@@ -1,0 +1,366 @@
+"""Deduplication queries over ``documents`` [extension — not in reference].
+
+Exact dedup, MinHash signatures + LSH-banded near-dup pairs, inverted-index
+n-gram Jaccard pairs, and SimHash fingerprints + banded near-dup pairs
+(SURVEY.md §2.4). Hashing follows operators/text.py: one md5 per
+shingle/word, 64 affine integer "permutations" — so the DuckDB oracle
+reproduces every value bit-for-bit, *including the LSH candidate sets*:
+the oracle runs the same banding, not an O(n²) stand-in.
+
+Scale notes (100 TB posture):
+- Exact dedup is a hash-groupBy on md5(text) — one shuffle on the digest,
+  uniform by construction (no skew).
+- MinHash/SimHash hot path is explode → codegen'd md5+int arithmetic →
+  64 partial-agg min()/sum()s; the shuffle carries (doc_id, 64 ints) per
+  doc regardless of document size. Candidate generation explodes 16 bands
+  (resp. 4) per doc and equi-joins on (band_idx, band_hash).
+- Inverted-index Jaccard joins docs on shared shingles. Hot shingles are
+  the skew risk at scale; AQE skew-join splitting handles moderate skew,
+  and a stop-shingle cutoff (drop shingles in > X% of docs) is the
+  standard mitigation — not applied here to keep oracle semantics simple.
+- SimHash fingerprints are packed into two int64 words; hamming distance
+  is two XOR+popcounts, banding is 4×16-bit substrings (pigeonhole: any
+  pair with hamming ≤ 3 shares a band).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from iceberg_file_writer_spark.operators.text import (
+    LSH_BANDS,
+    LSH_ROWS,
+    MERSENNE_P,
+    NUM_HASHES,
+    SIMHASH_BANDS,
+    SIMHASH_BITS,
+    hamming64,
+    hash32,
+    jaccard,
+    minhash_agg_columns,
+    minhash_band_hash_columns,
+    minhash_coeffs,
+    minhash_x,
+    simhash_pack_words,
+    simhash_vote_columns,
+    word_shingles,
+    words,
+)
+from iceberg_file_writer_spark.queries import register
+from iceberg_file_writer_spark.tables import load_tables
+
+MINHASH_JACCARD_THRESHOLD = 0.8
+NGRAM_JACCARD_THRESHOLD = 0.7
+NGRAM_N = 4
+SIMHASH_MAX_HAMMING = 8
+_SIMHASH_BAND_WIDTH = SIMHASH_BITS // SIMHASH_BANDS
+
+# --- shared DuckDB SQL fragment builders ------------------------------------
+
+# Distinct word n-gram shingles of `text` as list column `s`.
+def _shingles_sql(n: int = 3) -> str:
+    gram = " || ' ' || ".join(f"w[i+{k + 1}]" for k in range(n))
+    return f"""
+  SELECT doc_id,
+         CASE WHEN len(w) >= {n}
+              THEN list_distinct(list_transform(range(len(w) - {n - 1}), i -> {gram}))
+              ELSE []::VARCHAR[] END AS s
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+"""
+
+
+# MinHash signature columns h0..h63 via exploded min-aggregation.
+def _minhash_sql() -> str:
+    mins = ",\n         ".join(
+        f"min(({a} * x + {b}) % {MERSENNE_P}) AS h{i}"
+        for i, (a, b) in enumerate(minhash_coeffs(NUM_HASHES))
+    )
+    return f"""
+  SELECT doc_id,
+         {mins}
+  FROM (SELECT doc_id, ('0x' || substr(md5(unnest(s)), 1, 8))::BIGINT % {MERSENNE_P} AS x
+        FROM shingles)
+  GROUP BY doc_id
+"""
+
+
+_SIG_COLS = ", ".join(f"h{i}" for i in range(NUM_HASHES))
+
+
+def _band_hash_sql(b: int) -> str:
+    cols = ", ".join(f"h{b * LSH_ROWS + r}" for r in range(LSH_ROWS))
+    return f"md5(concat_ws(',', {cols}))"
+
+
+# SimHash vote columns s0..s63 via exploded ±1 sums over per-word chunks.
+def _simhash_votes_sql() -> str:
+    sums = ",\n         ".join(
+        f"sum(((c{1 if i < 32 else 2} >> {i % 32}) & 1) * 2 - 1) AS s{i}"
+        for i in range(SIMHASH_BITS)
+    )
+    return f"""
+  SELECT doc_id,
+         {sums}
+  FROM (SELECT doc_id,
+               ('0x' || substr(md5(w), 1, 8))::BIGINT AS c1,
+               ('0x' || substr(md5(w), 9, 8))::BIGINT AS c2
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents))
+  GROUP BY doc_id
+"""
+
+
+def _simhash_packed_sql() -> str:
+    bit = lambda i: f"(CASE WHEN s{i} > 0 THEN 1 ELSE 0 END)"  # noqa: E731
+    w1 = " + ".join(f"{bit(i)}::BIGINT * {1 << i}" for i in range(32))
+    w2 = " + ".join(f"{bit(32 + i)}::BIGINT * {1 << i}" for i in range(32))
+    fp = " || ".join(f"{bit(i)}::VARCHAR" for i in range(SIMHASH_BITS))
+    return f"""
+  SELECT doc_id, {w1} AS w1, {w2} AS w2, {fp} AS fingerprint
+  FROM votes
+"""
+
+
+@register(
+    "exact_dedup_documents",
+    oracle="""
+SELECT md5(text)    AS content_hash,
+       min(doc_id)  AS keeper_doc_id,
+       count(*)     AS n_copies
+FROM documents
+GROUP BY md5(text)
+""",
+    description="Exact dedup: hash-groupBy on content digest, keep min doc_id",
+)
+def exact_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return (
+        t["documents"]
+        .groupBy(F.md5("text").alias("content_hash"))
+        .agg(F.min("doc_id").alias("keeper_doc_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+def _minhash_sig_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, h0..h63) via explode → 64 partial-agg mins."""
+    t = load_tables(spark, sf_dir)
+    sh = t["documents"].select("doc_id", word_shingles(words(F.col("text"))).alias("s"))
+    ex = sh.select("doc_id", F.explode("s").alias("g")).select(
+        "doc_id", minhash_x(F.col("g")).alias("x")
+    )
+    return ex.groupBy("doc_id").agg(*minhash_agg_columns(F.col("x")))
+
+
+@register(
+    "minhash_signatures",
+    oracle=f"""
+WITH shingles AS ({_shingles_sql(3)}),
+sigs AS ({_minhash_sql()})
+SELECT doc_id, concat_ws(',', {_SIG_COLS}) AS signature
+FROM sigs
+""",
+    description=f"MinHash: {NUM_HASHES}-permutation affine signature per document",
+)
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    mh = _minhash_sig_df(spark, sf_dir)
+    return mh.select(
+        "doc_id", F.concat_ws(",", *[f"h{i}" for i in range(NUM_HASHES)]).alias("signature")
+    )
+
+
+@register(
+    "minhash_lsh_near_duplicates",
+    oracle=f"""
+WITH shingles AS ({_shingles_sql(3)}),
+sigs AS ({_minhash_sql()}),
+bands AS (
+  SELECT doc_id, unnest(range({LSH_BANDS})) AS band_idx,
+         unnest([{", ".join(_band_hash_sql(b) for b in range(LSH_BANDS))}]) AS band_hash
+  FROM sigs
+),
+candidates AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+)
+SELECT c.doc_a,
+       c.doc_b,
+       len(list_filter(sa.s, x -> list_contains(sb.s, x)))::DOUBLE
+         / (len(sa.s) + len(sb.s) - len(list_filter(sa.s, x -> list_contains(sb.s, x)))) AS jaccard_sim
+FROM candidates c
+JOIN shingles sa ON sa.doc_id = c.doc_a
+JOIN shingles sb ON sb.doc_id = c.doc_b
+WHERE len(list_filter(sa.s, x -> list_contains(sb.s, x)))::DOUBLE
+        / (len(sa.s) + len(sb.s) - len(list_filter(sa.s, x -> list_contains(sb.s, x))))
+      >= {MINHASH_JACCARD_THRESHOLD}
+""",
+    description=f"MinHash+LSH near-dup: {LSH_BANDS}x{LSH_ROWS} banding, exact-Jaccard verify ≥ {MINHASH_JACCARD_THRESHOLD}",
+)
+def minhash_lsh_near_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"].select("doc_id", word_shingles(words(F.col("text"))).alias("s"))
+    mh = _minhash_sig_df(spark, sf_dir)
+    band_arr = F.array(*[F.col(f"band{b}") for b in range(LSH_BANDS)])
+    bands = mh.select("doc_id", *minhash_band_hash_columns()).select(
+        "doc_id", F.posexplode(band_arr).alias("band_idx", "band_hash")
+    )
+    cands = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa = docs.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("sa"))
+    sb = docs.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("sb"))
+    return (
+        cands.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", jaccard(F.col("sa"), F.col("sb")).alias("jaccard_sim"))
+        .where(F.col("jaccard_sim") >= MINHASH_JACCARD_THRESHOLD)
+    )
+
+
+@register(
+    "ngram_jaccard_near_duplicates",
+    oracle=f"""
+WITH grams AS ({_shingles_sql(NGRAM_N)}),
+exploded AS (SELECT doc_id, unnest(s) AS g FROM grams),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+  FROM exploded a JOIN exploded b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT i.doc_a, i.doc_b,
+       i.n_shared::DOUBLE / (len(ga.s) + len(gb.s) - i.n_shared) AS jaccard_sim
+FROM inter i
+JOIN grams ga ON ga.doc_id = i.doc_a
+JOIN grams gb ON gb.doc_id = i.doc_b
+WHERE i.n_shared::DOUBLE / (len(ga.s) + len(gb.s) - i.n_shared) >= {NGRAM_JACCARD_THRESHOLD}
+""",
+    description=f"n-gram Jaccard near-dup via inverted-index join, ≥ {NGRAM_JACCARD_THRESHOLD}",
+)
+def ngram_jaccard_near_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    grams = t["documents"].select(
+        "doc_id", word_shingles(words(F.col("text")), n=NGRAM_N).alias("s")
+    )
+    exploded = grams.select("doc_id", F.explode("s").alias("g"))
+    inter = (
+        exploded.alias("a")
+        .join(
+            exploded.alias("b"),
+            (F.col("a.g") == F.col("b.g")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    ga = grams.select(F.col("doc_id").alias("doc_a"), F.size("s").alias("size_a"))
+    gb = grams.select(F.col("doc_id").alias("doc_b"), F.size("s").alias("size_b"))
+    return (
+        inter.join(ga, "doc_a")
+        .join(gb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("n_shared").cast("double")
+                / (F.col("size_a") + F.col("size_b") - F.col("n_shared"))
+            ).alias("jaccard_sim"),
+        )
+        .where(F.col("jaccard_sim") >= NGRAM_JACCARD_THRESHOLD)
+    )
+
+
+def _simhash_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, w1, w2, fingerprint) via explode → 64 partial-agg ±1 sums."""
+    t = load_tables(spark, sf_dir)
+    ex = (
+        t["documents"]
+        .select("doc_id", F.explode(words(F.col("text"))).alias("w"))
+        .select(
+            "doc_id",
+            hash32(F.col("w")).alias("c1"),
+            hash32(F.col("w"), offset=8).alias("c2"),
+        )
+    )
+    votes = ex.groupBy("doc_id").agg(*simhash_vote_columns())
+    return votes.select("doc_id", *simhash_pack_words())
+
+
+@register(
+    "simhash_fingerprints",
+    oracle=f"""
+WITH votes AS ({_simhash_votes_sql()}),
+packed AS ({_simhash_packed_sql()})
+SELECT doc_id, fingerprint FROM packed
+""",
+    description=f"SimHash: {SIMHASH_BITS}-bit md5-vote fingerprint per document",
+)
+def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _simhash_df(spark, sf_dir).select("doc_id", "fingerprint")
+
+
+@register(
+    "simhash_near_duplicates",
+    oracle=f"""
+WITH votes AS ({_simhash_votes_sql()}),
+packed AS ({_simhash_packed_sql()}),
+bands AS (
+  SELECT doc_id, w1, w2,
+         unnest(range({SIMHASH_BANDS})) AS band_idx,
+         unnest([{", ".join(f"substr(fingerprint, {b * _SIMHASH_BAND_WIDTH + 1}, {_SIMHASH_BAND_WIDTH})" for b in range(SIMHASH_BANDS))}]) AS band_key
+  FROM packed
+),
+candidates AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+)
+SELECT c.doc_a, c.doc_b,
+       (bit_count(xor(pa.w1, pb.w1)) + bit_count(xor(pa.w2, pb.w2)))::INT AS hamming
+FROM candidates c
+JOIN packed pa ON pa.doc_id = c.doc_a
+JOIN packed pb ON pb.doc_id = c.doc_b
+WHERE bit_count(xor(pa.w1, pb.w1)) + bit_count(xor(pa.w2, pb.w2)) <= {SIMHASH_MAX_HAMMING}
+""",
+    description=f"SimHash near-dup: {SIMHASH_BANDS}-band candidates, hamming ≤ {SIMHASH_MAX_HAMMING}",
+)
+def simhash_near_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sim = _simhash_df(spark, sf_dir)
+    band_arr = F.array(
+        *[
+            F.substring("fingerprint", b * _SIMHASH_BAND_WIDTH + 1, _SIMHASH_BAND_WIDTH)
+            for b in range(SIMHASH_BANDS)
+        ]
+    )
+    bands = sim.select(
+        "doc_id", "w1", "w2", F.posexplode(band_arr).alias("band_idx", "band_key")
+    )
+    cands = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    pa = sim.select(F.col("doc_id").alias("doc_a"), F.col("w1").alias("w1a"), F.col("w2").alias("w2a"))
+    pb = sim.select(F.col("doc_id").alias("doc_b"), F.col("w1").alias("w1b"), F.col("w2").alias("w2b"))
+    return (
+        cands.join(pa, "doc_a")
+        .join(pb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            hamming64(F.col("w1a"), F.col("w2a"), F.col("w1b"), F.col("w2b")).alias("hamming"),
+        )
+        .where(F.col("hamming") <= SIMHASH_MAX_HAMMING)
+    )

@@ -1,0 +1,310 @@
+"""Time-series / event-stream query corpus over the ``events`` table.
+
+The ``events`` table is the driver-provided stand-in for the reference's
+stream input (entity column ``user_id``, event-time ``ts`` — the same
+*events-by-entity-by-time* shape as the reference's Location records,
+reference main.go:50-51). These queries are the batch duals of the
+streaming operators in ``iceberg_file_writer_spark.streaming``; each is
+SQL-expressible so the DuckDB oracle checks it exactly.
+
+Scale notes:
+- Sessionization and as-of join are window functions partitioned by
+  ``user_id`` — one shuffle on the entity key, then linear per-partition
+  work; no self-join blowup. This is the formulation that survives 100 TB
+  (the alternative, a range self-join, is quadratic per user).
+- The as-of join is the union+last(ignorenulls) formulation: both streams
+  are unioned, ordered by (ts, kind, event_id) within each user, and the
+  most recent left-side row is carried forward — a single window pass,
+  identical semantics to ``pd.merge_asof`` with strict inequality.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from iceberg_file_writer_spark.queries import register
+from iceberg_file_writer_spark.tables import load_tables
+
+SESSION_GAP_SECONDS = 1800
+
+
+@register(
+    "pruned_time_range_scan",
+    oracle="""
+SELECT event_id, ts, user_id, event_type, value
+FROM events
+WHERE user_id = 7
+  AND ts >= TIMESTAMP '2024-01-10 00:00:00'
+  AND ts <  TIMESTAMP '2024-01-20 00:00:00'
+""",
+    description="The reference layout's flagship read: entity + time-range pruned scan (SURVEY §7.1)",
+)
+def pruned_time_range_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return (
+        t["events"]
+        .where(
+            (F.col("user_id") == 7)
+            & (F.col("ts") >= F.to_timestamp(F.lit("2024-01-10")))
+            & (F.col("ts") < F.to_timestamp(F.lit("2024-01-20")))
+        )
+        .select("event_id", "ts", "user_id", "event_type", "value")
+    )
+
+
+@register(
+    "events_hourly_stats",
+    oracle="""
+SELECT date_trunc('hour', ts) AS hour,
+       event_type,
+       count(*)   AS n_events,
+       sum(value) AS total_value,
+       avg(value) AS avg_value
+FROM events
+GROUP BY 1, 2
+""",
+    description="Tumbling-window aggregation (batch dual of streaming window agg)",
+)
+def events_hourly_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return (
+        t["events"]
+        .groupBy(F.date_trunc("hour", F.col("ts")).alias("hour"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("total_value"),
+            F.avg("value").alias("avg_value"),
+        )
+    )
+
+
+@register(
+    "user_sessions",
+    oracle=f"""
+WITH ordered AS (
+  SELECT user_id, ts, event_id,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events
+), flagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN prev_ts IS NULL
+                OR epoch_us(ts) - epoch_us(prev_ts) > {SESSION_GAP_SECONDS} * 1000000
+              THEN 1 ELSE 0 END AS is_new
+  FROM ordered
+), numbered AS (
+  SELECT user_id, ts, event_id,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS session_seq
+  FROM flagged
+)
+SELECT user_id,
+       session_seq,
+       min(ts)  AS session_start,
+       max(ts)  AS session_end,
+       count(*) AS n_events
+FROM numbered
+GROUP BY user_id, session_seq
+""",
+    description="Sessionization: gaps-and-islands via lag + running sum, 30-min gap",
+)
+def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.col("prev_ts"))
+    return (
+        t["events"]
+        .select("user_id", "ts", "event_id", F.lag("ts").over(w).alias("prev_ts"))
+        .withColumn(
+            "is_new",
+            F.when(
+                F.col("prev_ts").isNull() | (gap_us > SESSION_GAP_SECONDS * 1_000_000),
+                F.lit(1),
+            ).otherwise(F.lit(0)),
+        )
+        .withColumn(
+            "session_seq",
+            F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+        )
+        .groupBy("user_id", "session_seq")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+@register(
+    "purchase_asof_click",
+    oracle="""
+WITH stream AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN event_type = 'purchase' THEN 0 ELSE 1 END AS kind
+  FROM events
+  WHERE event_type IN ('purchase', 'click')
+), carried AS (
+  SELECT user_id, ts, event_id, kind,
+         last_value(CASE WHEN kind = 1 THEN event_id END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, kind, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS click_id,
+         last_value(CASE WHEN kind = 1 THEN ts END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, kind, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS click_ts
+  FROM stream
+)
+SELECT event_id AS purchase_id,
+       user_id,
+       ts AS purchase_ts,
+       click_id,
+       click_ts
+FROM carried
+WHERE kind = 0
+""",
+    description="As-of join: each purchase matched to the user's most recent strictly-earlier click",
+)
+def purchase_asof_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Union + carry-forward window: one shuffle on user_id, linear scan per
+    # partition. Purchases sort before clicks at an equal ts (kind 0 < 1) and
+    # the frame ends at 1 PRECEDING, so a same-timestamp click never matches —
+    # strict "before" semantics, the classic as-of contract.
+    t = load_tables(spark, sf_dir)
+    stream = (
+        t["events"]
+        .where(F.col("event_type").isin("purchase", "click"))
+        .select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.when(F.col("event_type") == "purchase", F.lit(0)).otherwise(F.lit(1)).alias("kind"),
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "kind", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    click_id = F.last(F.when(F.col("kind") == 1, F.col("event_id")), ignorenulls=True).over(w)
+    click_ts = F.last(F.when(F.col("kind") == 1, F.col("ts")), ignorenulls=True).over(w)
+    return (
+        stream.withColumn("click_id", click_id)
+        .withColumn("click_ts", click_ts)
+        .where(F.col("kind") == 0)
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("ts").alias("purchase_ts"),
+            "click_id",
+            "click_ts",
+        )
+    )
+
+
+@register(
+    "event_props_extraction",
+    oracle="""
+SELECT event_type,
+       count(*)                                         AS n_events,
+       sum(CAST(json_extract_string(props, '$.k') AS BIGINT))::BIGINT AS sum_k,
+       avg(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS avg_k
+FROM events
+GROUP BY event_type
+""",
+    description="Semi-structured extraction: JSON property pulled and aggregated",
+)
+def event_props_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    k = F.get_json_object(F.col("props"), "$.k").cast("bigint")
+    return (
+        t["events"]
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(k).alias("sum_k"),
+            F.avg(k).alias("avg_k"),
+        )
+    )
+
+
+@register(
+    "user_event_gaps",
+    oracle="""
+WITH gaps AS (
+  SELECT user_id,
+         epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS gap_us
+  FROM events
+)
+SELECT user_id,
+       count(gap_us)                  AS n_gaps,
+       avg(gap_us / 1000000.0)        AS avg_gap_sec,
+       max(gap_us / 1000000.0)        AS max_gap_sec
+FROM gaps
+WHERE gap_us IS NOT NULL
+GROUP BY user_id
+""",
+    description="Lag analytics: inter-event arrival gaps per entity",
+)
+def user_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    return (
+        t["events"]
+        .select("user_id", gap_us.alias("gap_us"))
+        .where(F.col("gap_us").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.count("gap_us").alias("n_gaps"),
+            F.avg(F.col("gap_us") / 1_000_000.0).alias("avg_gap_sec"),
+            F.max(F.col("gap_us") / 1_000_000.0).alias("max_gap_sec"),
+        )
+    )
+
+
+@register(
+    "top_purchasers",
+    oracle="""
+SELECT user_id,
+       count(*)   AS n_purchases,
+       sum(value) AS total_spent
+FROM events
+WHERE event_type = 'purchase'
+GROUP BY user_id
+ORDER BY total_spent DESC, user_id
+LIMIT 10
+""",
+    description="Global top-k: TakeOrderedAndProject, no full sort",
+)
+def top_purchasers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return (
+        t["events"]
+        .where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_purchases"), F.sum("value").alias("total_spent"))
+        .orderBy(F.desc("total_spent"), "user_id")
+        .limit(10)
+    )
+
+
+@register(
+    "event_value_quantiles",
+    oracle="""
+SELECT event_type,
+       quantile_cont(value, 0.5) AS median_value,
+       quantile_cont(value, 0.9) AS p90_value
+FROM events
+GROUP BY event_type
+""",
+    description="Exact continuous quantiles per event type",
+)
+def event_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return (
+        t["events"]
+        .groupBy("event_type")
+        .agg(
+            F.percentile("value", 0.5).alias("median_value"),
+            F.percentile("value", 0.9).alias("p90_value"),
+        )
+    )

@@ -1,0 +1,227 @@
+"""Similarity-search queries over ``embeddings`` [extension — not in reference].
+
+Brute-force cosine top-k as the correctness baseline, and sign-random-
+projection (SRP) LSH variants as the 100 TB scale path (SURVEY.md §2.4).
+
+Engine-parity design: all arithmetic is double-precision after an exact
+float→double widening, dot products accumulate left-to-right, and every
+similarity is rounded to 6 decimals *before* ranking so cross-engine float
+noise (≈1e-15) can never flip a top-k boundary. The SRP hyperplanes are
+md5-derived constants (operators/vectors.py) embedded as literals in both
+the Spark plan and the DuckDB oracle SQL — the bucketing, and therefore
+the *candidate sets of the approximate algorithm itself*, are verified
+exactly, not approximated by an O(n²) stand-in.
+
+Scale notes:
+- Brute-force is O(Q·N) with a broadcast of the Q query vectors — the
+  right plan when Q is small; it is one scan of the N side, no shuffle.
+- SRP near-dup uses L=8 tables × k=4 bits: candidates are equi-joins on
+  (table, bucket) — at 1000 executors each join key is a tiny fraction of
+  the corpus, and recall at cos≥0.45 is ~1-(1-0.65^4)^8 ≈ 0.8 by the SRP
+  collision bound p = 1 - θ/π.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from iceberg_file_writer_spark.operators.vectors import (
+    COSINE_DECIMALS,
+    cosine,
+    dot,
+    srp_hyperplanes,
+    to_double,
+)
+from iceberg_file_writer_spark.queries import register
+from iceberg_file_writer_spark.tables import load_tables
+
+KNN_K = 5
+KNN_N_QUERIES = 5  # vec_id < 5 are the query vectors
+NEARDUP_COS_THRESHOLD = 0.45
+SRP_TABLES = 8
+SRP_BITS_PER_TABLE = 4
+EMB_DIMS = 64
+
+# --- DuckDB SQL fragment builders -------------------------------------------
+
+
+def _dot_sql(a: str, b: str, dims: int = EMB_DIMS) -> str:
+    return (
+        f"list_sum(list_transform(range({dims}), i -> {a}[i+1]::DOUBLE * {b}[i+1]::DOUBLE))"
+    )
+
+
+def _cosine_sql(a: str, b: str) -> str:
+    return (
+        f"round({_dot_sql(a, b)} / "
+        f"(sqrt({_dot_sql(a, a)}) * sqrt({_dot_sql(b, b)})), {COSINE_DECIMALS})"
+    )
+
+
+def _plane_literal(plane: list[float]) -> str:
+    return "[" + ", ".join(f"{v:.1f}" for v in plane) + "]"
+
+
+def _srp_bit_sql(vec: str, plane: list[float], dims: int = EMB_DIMS) -> str:
+    lit = _plane_literal(plane)
+    return (
+        f"CASE WHEN list_sum(list_transform(range({dims}), "
+        f"j -> {vec}[j+1]::DOUBLE * ({lit})[j+1])) > 0 THEN '1' ELSE '0' END"
+    )
+
+
+def _srp_table_keys_sql(vec: str, tables: int, bits_per_table: int) -> list[str]:
+    planes = srp_hyperplanes(tables * bits_per_table, EMB_DIMS)
+    keys = []
+    for t in range(tables):
+        bits = planes[t * bits_per_table : (t + 1) * bits_per_table]
+        keys.append(" || ".join(_srp_bit_sql(vec, p) for p in bits))
+    return keys
+
+
+@register(
+    "knn_bruteforce_cosine",
+    oracle=f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < {KNN_N_QUERIES}),
+c AS (SELECT vec_id AS neighbor_id, embedding AS ce FROM embeddings),
+scored AS (
+  SELECT query_id, neighbor_id, {_cosine_sql('qe', 'ce')} AS cosine_sim
+  FROM q, c
+  WHERE query_id <> neighbor_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cosine_sim,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine_sim DESC, neighbor_id) AS rk
+  FROM scored
+)
+SELECT query_id, neighbor_id, cosine_sim, rk
+FROM ranked WHERE rk <= {KNN_K}
+""",
+    description=f"Brute-force ANN baseline: top-{KNN_K} cosine neighbors for {KNN_N_QUERIES} query vectors",
+)
+def knn_bruteforce_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    emb = t["embeddings"].select("vec_id", to_double(F.col("embedding")).alias("e"))
+    q = emb.where(F.col("vec_id") < KNN_N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
+    )
+    c = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("e").alias("ce"))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("qe"), F.col("ce")).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
+    return scored.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= KNN_K)
+
+
+def _srp_keys_column(vec_col):
+    """array<string> of per-table SRP bucket keys for a double-array column."""
+    planes = srp_hyperplanes(SRP_TABLES * SRP_BITS_PER_TABLE, EMB_DIMS)
+    keys = []
+    for t in range(SRP_TABLES):
+        bits = [
+            F.when(dot(vec_col, F.array(*[F.lit(v) for v in p])) > 0, F.lit("1")).otherwise(
+                F.lit("0")
+            )
+            for p in planes[t * SRP_BITS_PER_TABLE : (t + 1) * SRP_BITS_PER_TABLE]
+        ]
+        keys.append(F.concat(*bits))
+    return F.array(*keys)
+
+
+@register(
+    "embedding_near_duplicates",
+    oracle=(
+        lambda keys=_srp_table_keys_sql("embedding", SRP_TABLES, SRP_BITS_PER_TABLE): f"""
+WITH keyed AS (
+  SELECT vec_id, embedding,
+         [{", ".join(keys)}] AS tkeys
+  FROM embeddings
+),
+buckets AS (
+  SELECT vec_id, embedding,
+         unnest(range({SRP_TABLES})) AS table_idx,
+         unnest(tkeys) AS bucket_key
+  FROM keyed
+),
+candidates AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM buckets a JOIN buckets b
+    ON a.table_idx = b.table_idx AND a.bucket_key = b.bucket_key
+   AND a.vec_id < b.vec_id
+)
+SELECT c.vec_a, c.vec_b, {_cosine_sql('ea.embedding', 'eb.embedding')} AS cosine_sim
+FROM candidates c
+JOIN embeddings ea ON ea.vec_id = c.vec_a
+JOIN embeddings eb ON eb.vec_id = c.vec_b
+WHERE {_cosine_sql('ea.embedding', 'eb.embedding')} >= {NEARDUP_COS_THRESHOLD}
+"""
+    )(),
+    description=(
+        f"Embedding near-dup: SRP LSH {SRP_TABLES}×{SRP_BITS_PER_TABLE}-bit tables, "
+        f"exact cosine ≥ {NEARDUP_COS_THRESHOLD} verify"
+    ),
+)
+def embedding_near_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    emb = t["embeddings"].select("vec_id", to_double(F.col("embedding")).alias("e"))
+    keyed = emb.select("vec_id", "e", _srp_keys_column(F.col("e")).alias("tkeys"))
+    buckets = keyed.select(
+        "vec_id", "e", F.posexplode("tkeys").alias("table_idx", "bucket_key")
+    )
+    cands = (
+        buckets.alias("a")
+        .join(
+            buckets.alias("b"),
+            (F.col("a.table_idx") == F.col("b.table_idx"))
+            & (F.col("a.bucket_key") == F.col("b.bucket_key"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
+        .distinct()
+    )
+    ea = emb.select(F.col("vec_id").alias("vec_a"), F.col("e").alias("e_a"))
+    eb = emb.select(F.col("vec_id").alias("vec_b"), F.col("e").alias("e_b"))
+    return (
+        cands.join(ea, "vec_a")
+        .join(eb, "vec_b")
+        .select("vec_a", "vec_b", cosine(F.col("e_a"), F.col("e_b")).alias("cosine_sim"))
+        .where(F.col("cosine_sim") >= NEARDUP_COS_THRESHOLD)
+    )
+
+
+@register(
+    "embedding_label_stats",
+    oracle=f"""
+SELECT label,
+       count(*) AS n_vectors,
+       avg(sqrt({_dot_sql('embedding', 'embedding')})) AS avg_norm,
+       min(sqrt({_dot_sql('embedding', 'embedding')})) AS min_norm,
+       max(sqrt({_dot_sql('embedding', 'embedding')})) AS max_norm
+FROM embeddings
+GROUP BY label
+""",
+    description="Vector profiling: per-label counts and L2-norm stats",
+)
+def embedding_label_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    e = to_double(F.col("embedding"))
+    nrm = F.sqrt(dot(e, e))
+    return (
+        t["embeddings"]
+        .select("label", nrm.alias("nrm"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.avg("nrm").alias("avg_norm"),
+            F.min("nrm").alias("min_norm"),
+            F.max("nrm").alias("max_norm"),
+        )
+    )

@@ -1,0 +1,185 @@
+"""Text-analysis queries over ``documents`` [extension — not in reference].
+
+Language-ID, quality scoring, token counting, and document fingerprinting
+(SURVEY.md §2.4). All computed with JVM-side column expressions (no UDFs);
+each paired with DuckDB oracle SQL that reproduces the identical
+arithmetic, including the shared md5-based hashing (operators/text.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from iceberg_file_writer_spark.operators.text import (
+    LANG_LEXICONS,
+    TOKEN_PATTERN,
+    predicted_lang,
+    words,
+)
+from iceberg_file_writer_spark.queries import register
+from iceberg_file_writer_spark.tables import load_tables
+
+# SQL fragment shared by the language-ID oracle: per-lang token-occurrence
+# scores over the word list `w` (alphabetical lang order = tie-break order).
+def _lang_scores_sql() -> str:
+    parts = []
+    for lang in sorted(LANG_LEXICONS):
+        lex = ", ".join(f"'{w}'" for w in LANG_LEXICONS[lang])
+        parts.append(f"len(list_filter(w, t -> t IN ({lex}))) AS s_{lang}")
+    return ",\n         ".join(parts)
+
+
+def _argmax_lang_sql() -> str:
+    langs = sorted(LANG_LEXICONS)
+    best = "greatest(" + ", ".join(f"s_{l}" for l in langs) + ")"
+    whens = " ".join(f"WHEN s_{l} = {best} THEN '{l}'" for l in langs)
+    return f"CASE {whens} END"
+
+
+@register(
+    "doc_language_id",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents
+), scored AS (
+  SELECT doc_id, lang,
+         {_lang_scores_sql()}
+  FROM toks
+)
+SELECT doc_id,
+       lang AS labeled_lang,
+       {_argmax_lang_sql()} AS predicted_lang
+FROM scored
+""",
+    description="Language-ID: stopword-lexicon vote, argmax with alphabetical tie-break",
+)
+def doc_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    ws = words(F.col("text"))
+    return t["documents"].select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        predicted_lang(ws).alias("predicted_lang"),
+    )
+
+
+@register(
+    "doc_quality_scores",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, text, string_split(text, ' ') AS w FROM documents
+)
+SELECT doc_id,
+       length(text)                                   AS n_chars,
+       len(w)                                         AS n_words,
+       len(list_distinct(w))                          AS n_uniq_words,
+       len(list_distinct(w))::DOUBLE / len(w)         AS uniq_ratio,
+       length(replace(text, ' ', ''))::DOUBLE / len(w) AS avg_word_len,
+       len(list_filter(w, t -> t IN ('the','and','is','of','to','a','in')))::DOUBLE
+         / len(w)                                     AS stopword_ratio
+FROM toks
+""",
+    description="Quality scoring: length, lexical diversity, stopword ratio",
+)
+def doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    ws = words(F.col("text"))
+    en = LANG_LEXICONS["en"]
+    df = t["documents"].select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars"),
+        F.size(ws).cast("long").alias("n_words"),
+        F.size(F.array_distinct(ws)).cast("long").alias("n_uniq_words"),
+        ws.alias("w"),
+    )
+    return df.select(
+        "doc_id",
+        "n_chars",
+        "n_words",
+        "n_uniq_words",
+        (F.col("n_uniq_words").cast("double") / F.col("n_words")).alias("uniq_ratio"),
+        (
+            F.length(F.array_join(F.col("w"), "")).cast("double") / F.col("n_words")
+        ).alias("avg_word_len"),
+        (
+            F.size(F.filter(F.col("w"), lambda x: x.isin(*en))).cast("double")
+            / F.col("n_words")
+        ).alias("stopword_ratio"),
+    )
+
+
+@register(
+    "doc_token_counts",
+    oracle=f"""
+SELECT doc_id,
+       len(string_split(text, ' '))                        AS ws_tokens,
+       len(regexp_extract_all(text, '{TOKEN_PATTERN}'))    AS bpe_tokens,
+       length(text)                                        AS n_bytes
+FROM documents
+""",
+    description="Token counting: whitespace + BPE-ish regex tokenization",
+)
+def doc_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return t["documents"].select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("ws_tokens"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(TOKEN_PATTERN), F.lit(0)))
+        .cast("long")
+        .alias("bpe_tokens"),
+        F.length("text").cast("long").alias("n_bytes"),
+    )
+
+
+@register(
+    "doc_fingerprints",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, text, string_split(text, ' ') AS w FROM documents
+)
+SELECT doc_id,
+       md5(text)                                               AS content_md5,
+       sha256(text)                                            AS content_sha256,
+       md5(array_to_string(list_sort(list_distinct(w)), ' '))  AS bow_fingerprint
+FROM toks
+""",
+    description="Document fingerprinting: content hash + order-insensitive bag-of-words hash",
+)
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    ws = words(F.col("text"))
+    return t["documents"].select(
+        "doc_id",
+        F.md5("text").alias("content_md5"),
+        F.sha2(F.col("text").cast("binary"), 256).alias("content_sha256"),
+        F.md5(F.array_join(F.array_sort(F.array_distinct(ws)), " ")).alias("bow_fingerprint"),
+    )
+
+
+@register(
+    "corpus_stats_by_source",
+    oracle="""
+SELECT source,
+       lang,
+       count(*)                       AS n_docs,
+       sum(n_chars)::BIGINT           AS total_chars,
+       avg(length(text))              AS avg_len,
+       count(DISTINCT md5(text))      AS n_distinct_texts
+FROM documents
+GROUP BY source, lang
+""",
+    description="Corpus profiling: per-source/lang doc counts and size stats",
+)
+def corpus_stats_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return (
+        t["documents"]
+        .groupBy("source", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.avg(F.length("text")).alias("avg_len"),
+            F.countDistinct(F.md5("text")).alias("n_distinct_texts"),
+        )
+    )

@@ -1,0 +1,51 @@
+"""Testdata table loaders.
+
+Loads the driver-generated parquet tables (TESTDATA.md) and registers them
+as temp views so queries can be written either as DataFrame chains or SQL.
+Loading is a metadata-only operation — Catalyst prunes columns and pushes
+predicates into each parquet scan at execution time.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from iceberg_file_writer_spark.schemas import TESTDATA_TABLES
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Load every testdata table under ``sf_dir`` and register temp views.
+
+    ``events.ts`` is written as parquet TIMESTAMP(NANOS), which Spark's
+    vectorized reader rejects; read it as long via the legacy conf and
+    truncate nanos → micros (matching DuckDB's own ns→us truncation) so
+    both engines see identical microsecond timestamps.
+    """
+    cache_key = (id(spark), sf_dir)
+    if cache_key in _TABLE_CACHE:
+        return _TABLE_CACHE[cache_key]
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    out: dict[str, DataFrame] = {}
+    for name in TESTDATA_TABLES:
+        path = table_path(sf_dir, name)
+        if not os.path.exists(path):
+            continue
+        df = spark.read.parquet(path)
+        if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        df.createOrReplaceTempView(name)
+        out[name] = df
+    _TABLE_CACHE[cache_key] = out
+    return out
+
+
+_TABLE_CACHE: dict[tuple[int, str], dict[str, DataFrame]] = {}

@@ -1,0 +1,174 @@
+"""Ingestion invariants — SURVEY.md §2.3 as executed assertions.
+
+The reference's implicit contract (partition completeness, ≤4096-row
+files, intra-file key ordering, snappy compression, schema+default
+fidelity; reference main.go:47-85) tested against both the batch and the
+streaming formulation, plus compaction.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import random
+
+import pyarrow.parquet as pq
+import pytest
+
+from iceberg_file_writer_spark.ingest.batch import (
+    IngestConfig,
+    ingest_batch,
+    read_source,
+    read_table,
+)
+from iceberg_file_writer_spark.ingest.maintenance import compact_table, list_data_files
+from iceberg_file_writer_spark.ingest.streaming import ingest_stream_once
+
+N_BIG_USER = 9000  # forces file rolling: > 2 * MaxSize (4096)
+USERS_SMALL = ["userid2", "userid3"]
+
+
+def _write_fixture_json(path: str) -> int:
+    """Synthetic Location stream per FIXTURES.md §1: one hot user (rolling),
+    small users, shuffled timestamps, nulls, null source (default check)."""
+    rng = random.Random(42)
+    rows = []
+    for i in range(N_BIG_USER):
+        rows.append(
+            {
+                "accuracy": None if i % 3 == 0 else rng.uniform(1, 50),
+                "altitude": None,
+                "altitudeAccuracy": None,
+                "course": rng.uniform(0, 360),
+                "features": [f"osm-{rng.randrange(10000)}"] if i % 2 else [],
+                "latitude": 37.0 + rng.uniform(-1, 1),
+                "longitude": -121.0 + rng.uniform(-1, 1),
+                "speed": None,
+                "source": None,  # -> default "device"
+                "timestamp": 100000 + rng.randrange(10_000_000),
+                "user_id": "userid1",
+            }
+        )
+    for u in USERS_SMALL:
+        for i in range(50):
+            rows.append(
+                {
+                    "accuracy": None,
+                    "altitude": None,
+                    "altitudeAccuracy": None,
+                    "course": None,
+                    "features": ["osm-2332"],
+                    "latitude": 37.0,
+                    "longitude": -121.0,
+                    "speed": None,
+                    "source": "satellite",
+                    "timestamp": 100000 + rng.randrange(10_000_000),
+                    "user_id": u,
+                }
+            )
+    rng.shuffle(rows)
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, "part-0.json"), "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    return len(rows)
+
+
+def _assert_invariants(table_path: str, expected_rows: int, cfg: IngestConfig) -> None:
+    files = list_data_files(table_path)
+    assert files, "no data files written"
+    total = 0
+    seen_users = set()
+    for fp in files:
+        # partition correctness: Hive layout user_id=<value>/...
+        part_dir = os.path.basename(os.path.dirname(fp))
+        assert part_dir.startswith("user_id="), fp
+        user = part_dir.split("=", 1)[1]
+        seen_users.add(user)
+        pf = pq.ParquetFile(fp)
+        md = pf.metadata
+        total += md.num_rows
+        # §2.3.3 file row bound
+        assert md.num_rows <= cfg.max_rows_per_file, (fp, md.num_rows)
+        # §2.3.5 snappy compression
+        assert md.row_group(0).column(0).compression == "SNAPPY", fp
+        # §2.3.4 intra-file key ordering
+        ts = pf.read(columns=["timestamp"])["timestamp"].to_pylist()
+        assert ts == sorted(ts), f"timestamps not sorted in {fp}"
+    # §2.3.1 completeness
+    assert total == expected_rows
+    assert seen_users == {"userid1", *USERS_SMALL}
+
+
+@pytest.fixture(scope="module")
+def fixture_input(tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("location-input"))
+    n = _write_fixture_json(path)
+    return path, n
+
+
+def test_batch_ingest_invariants(spark, fixture_input, tmp_path):
+    input_path, n_rows = fixture_input
+    out = str(tmp_path / "table")
+    cfg = IngestConfig()
+    df = read_source(spark, input_path)
+    ingest_batch(df, out, cfg)
+    _assert_invariants(out, n_rows, cfg)
+
+    # §2.3.6 schema fidelity + defaults: null source -> "device"
+    back = read_table(spark, out)
+    assert back.where(back.source.isNull()).count() == 0
+    assert back.where(back.source == "device").count() == N_BIG_USER
+    got = dict(back.dtypes)
+    assert got["latitude"] == "double" and got["features"] == "array<string>"
+    assert got["timestamp"] == "bigint"
+    # partition column round-trips (read back from directory layout)
+    assert set(r.user_id for r in back.select("user_id").distinct().collect()) == {
+        "userid1",
+        *USERS_SMALL,
+    }
+
+
+def test_batch_ingest_partition_pruning(spark, fixture_input, tmp_path):
+    """The layout's purpose: a single-user query scans one directory."""
+    input_path, _ = fixture_input
+    out = str(tmp_path / "table")
+    ingest_batch(read_source(spark, input_path), out)
+    q = read_table(spark, out).where("user_id = 'userid2'")
+    plan = q.queryExecution if False else q._jdf.queryExecution().executedPlan().toString()
+    assert q.count() == 50
+    # pruned scan: only the userid2 partition directory is listed
+    assert "PartitionFilters: [isnotnull(user_id" in plan, plan
+
+
+def test_streaming_ingest_invariants(spark, fixture_input, tmp_path):
+    input_path, n_rows = fixture_input
+    out = str(tmp_path / "stream-table")
+    ckpt = str(tmp_path / "ckpt")
+    cfg = IngestConfig()
+    ingest_stream_once(spark, input_path, out, ckpt, cfg=cfg)
+    _assert_invariants(out, n_rows, cfg)
+
+
+def test_streaming_restart_is_lossless(spark, fixture_input, tmp_path):
+    """Checkpointed restart: a second run over the same source adds nothing
+    (the reference's clean-shutdown contract, upgraded to crash-safety)."""
+    input_path, n_rows = fixture_input
+    out = str(tmp_path / "stream-table")
+    ckpt = str(tmp_path / "ckpt")
+    ingest_stream_once(spark, input_path, out, ckpt)
+    ingest_stream_once(spark, input_path, out, ckpt)  # replay with same checkpoint
+    back = read_table(spark, out)
+    assert back.count() == n_rows
+
+
+def test_compaction_preserves_invariants(spark, fixture_input, tmp_path):
+    input_path, n_rows = fixture_input
+    out = str(tmp_path / "stream-table")
+    ckpt = str(tmp_path / "ckpt")
+    cfg = IngestConfig()
+    ingest_stream_once(spark, input_path, out, ckpt, cfg=cfg)
+    n_before = len(list_data_files(out))
+    compact_table(spark, out, cfg)
+    _assert_invariants(out, n_rows, cfg)
+    assert len(list_data_files(out)) <= n_before

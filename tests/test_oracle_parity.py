@@ -1,0 +1,54 @@
+"""t2-style correctness: every registered query vs the DuckDB oracle.
+
+Runs at sf0.001 (fast inner loop). The driver runs the same comparison at
+sf0.01; `pytest -m sf001 tests/test_oracle_parity.py --sf /root/testdata/sf0.01`
+style escalation is available via the SPARK_GRAFT_TEST_SF env var.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from iceberg_file_writer_spark.queries import all_queries
+from tests.oracle_utils import assert_parity, register_views
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
+
+QUERIES = all_queries()
+SQL_CHECKED = sorted(name for name, q in QUERIES.items() if q.oracle)
+ROWS_ONLY = sorted(name for name, q in QUERIES.items() if not q.oracle)
+
+
+@pytest.mark.parametrize("name", SQL_CHECKED)
+def test_oracle_parity(spark, duck, name):
+    register_views(duck, SF_DIR)
+    q = QUERIES[name]
+    df = q.fn(spark, SF_DIR)
+    assert_parity(df, duck, q.oracle, name=name)
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY)
+def test_rows_only_queries_run(spark, name):
+    q = QUERIES[name]
+    df = q.fn(spark, SF_DIR)
+    assert df.count() >= 0
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    rows = df.collect()
+    assert len(rows) >= 0
+    assert df.columns == ["event_id", "ts", "user_id", "event_type", "value"]
+
+
+def test_driver_contract_shapes(spark):
+    import __spark_entry__ as e
+
+    qs = e.queries()
+    oracles = e.oracle_sql()
+    assert set(oracles) <= set(qs)
+    assert len(qs) >= 20
