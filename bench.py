@@ -1,0 +1,90 @@
+"""Benchmark harness: headline queries + ingest at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+- value: total wall-clock seconds over the full registered query corpus
+  (the driver-facing headline number; lower is better).
+- queries: per-query seconds, plus pseudo-queries "ingest_events"
+  (events -> partitioned/sorted/bounded table, the reference pipeline) and
+  "geomean" over the corpus.
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS (default all cores).
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+    from iceberg_file_writer_spark.queries import all_queries
+    from iceberg_file_writer_spark.session import get_spark
+    from iceberg_file_writer_spark.tables import load_tables
+
+    spark = get_spark("bench")
+    # Warm the JVM + parquet footers so per-query timings measure the
+    # queries, not session startup.
+    tables = load_tables(spark, sf_dir)
+    tables["lineitem"].count()
+
+    timings: dict[str, float] = {}
+
+    # Reference-pipeline ingest benchmark: events -> partitioned table.
+    from pyspark.sql import functions as F
+
+    from iceberg_file_writer_spark.ingest.batch import IngestConfig, ingest_batch
+
+    out = tempfile.mkdtemp(prefix="bench-ingest-")
+    try:
+        ev = tables["events"].withColumn("user_bucket", F.col("user_id") % 32)
+        cfg = IngestConfig(partition_column="user_bucket", key_column="ts")
+        t0 = time.time()
+        ingest_batch(ev, os.path.join(out, "events_table"), cfg, defaults={})
+        timings["ingest_events"] = round(time.time() - t0, 3)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+    # Two runs per query, report the best: the first run pays one-time plan
+    # compilation/codegen (~seconds, independent of data size), the second
+    # measures steady-state execution — the number that scales with SF.
+    queries = all_queries()
+    corpus_times = []
+    for name, q in sorted(queries.items()):
+        best, n = float("inf"), 0
+        for _ in range(2):
+            t0 = time.time()
+            n = len(q.fn(spark, sf_dir).collect())
+            best = min(best, time.time() - t0)
+        timings[name] = round(best, 3)
+        corpus_times.append(max(best, 1e-3))
+        print(f"  {name}: {best:.2f}s ({n} rows)", file=sys.stderr)
+
+    total = round(sum(corpus_times), 3)
+    timings["geomean"] = round(
+        math.exp(sum(math.log(t) for t in corpus_times) / len(corpus_times)), 3
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "corpus_total_wall_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_dir,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,154 @@
+"""Multimodal binary columns [extension — not in reference].
+
+Images/audio/video ride through the engine as opaque ``binary`` payload
+columns plus a typed metadata struct — the reference's schema system
+(Avro bytes would be the analog; reference main.go:19-41 exercises none)
+extended to the LLM-training-data shape (SURVEY.md §2.4).
+
+Design:
+- Payloads are content-addressed (``sha2(payload, 256)``) so exact dedup,
+  caching, and replication are all digest joins — engine-native column
+  ops, no Python.
+- Decode / feature-extraction run as Arrow-batched ``mapInPandas``
+  pipelines: the Spark-side plumbing (schema, batch iteration,
+  partitioning) is real; the codec call itself is pluggable. In this
+  container no image/audio libraries exist, so the default decoder is a
+  deterministic fake (size/digest-derived pseudo-features) and the
+  library-backed path raises NotImplementedError — clearly marked STUBs.
+- Batch shape: mapInPandas receives/emits pandas DataFrames per Arrow
+  batch; peak memory per task = batch_rows × payload size, tuned via
+  ``spark.sql.execution.arrow.maxRecordsPerBatch`` for 100 TB runs.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), nullable=False),
+        T.StructField("payload", T.BinaryType(), nullable=False),
+        T.StructField("media_type", T.StringType(), nullable=False),  # image/audio/video
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("width", T.IntegerType()),
+                    T.StructField("height", T.IntegerType()),
+                    T.StructField("duration_ms", T.LongType()),
+                    T.StructField("codec", T.StringType()),
+                ]
+            ),
+        ),
+    ]
+)
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("content_sha256", T.StringType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("features", T.ArrayType(T.FloatType())),
+    ]
+)
+
+
+def documents_as_media(docs: DataFrame) -> DataFrame:
+    """Adapter: treat document text bytes as opaque payloads so the
+    multimodal plumbing is exercised against real testdata."""
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "utf-8").alias("payload"),
+        F.lit("text").alias("media_type"),
+        F.struct(
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("bigint").alias("duration_ms"),
+            F.lit("utf-8").alias("codec"),
+        ).alias("meta"),
+    )
+
+
+def content_address(media: DataFrame) -> DataFrame:
+    """Content addressing + exact payload dedup keys — pure column ops."""
+    return media.select(
+        "media_id",
+        F.sha2("payload", 256).alias("content_sha256"),
+        F.octet_length("payload").cast("long").alias("n_bytes"),
+        "media_type",
+    )
+
+
+def decode_and_featurize(media: DataFrame, n_features: int = 8) -> DataFrame:
+    """mapInPandas decode/feature pipeline over binary payloads.
+
+    STUB DECODER: real image/audio decoding needs PIL/librosa/ffmpeg which
+    are not in this container. The fake features are deterministic
+    functions of the payload bytes (length + byte histogram moments), so
+    the distributed plumbing — Arrow batches, schema, partition-parallel
+    execution — is fully exercised and testable.
+    """
+
+    def decode_batches(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            feats = []
+            digests = []
+            sizes = []
+            for payload in pdf["payload"]:
+                buf = bytes(payload)
+                digests.append(hashlib.sha256(buf).hexdigest())
+                sizes.append(len(buf))
+                arr = np.frombuffer(buf, dtype=np.uint8)
+                # deterministic pseudo-features: moments of the byte stream
+                if len(arr) == 0:
+                    feats.append([0.0] * n_features)
+                    continue
+                f = [
+                    float(len(arr)),
+                    float(arr.mean()),
+                    float(arr.std()),
+                    float(arr.min()),
+                    float(arr.max()),
+                    float(np.median(arr)),
+                    float((arr == 32).mean()),  # whitespace ratio for text payloads
+                    float(arr[: min(64, len(arr))].sum() % 997),
+                ]
+                feats.append([float(x) for x in f[:n_features]])
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "content_sha256": digests,
+                    "n_bytes": sizes,
+                    "features": feats,
+                }
+            )
+
+    return media.mapInPandas(decode_batches, FEATURE_SCHEMA)
+
+
+def decode_image(media: DataFrame) -> DataFrame:
+    """STUB: library-backed image decode (resize, RGB stats, EXIF).
+
+    Requires PIL/opencv — not available in this container.
+    """
+    raise NotImplementedError(
+        "image decoding requires PIL/opencv; wire a decoder into "
+        "decode_and_featurize's mapInPandas body when the library is present"
+    )
+
+
+def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """STUB: video frame sampling — requires ffmpeg bindings."""
+    raise NotImplementedError(
+        "video frame sampling requires ffmpeg; the mapInPandas batch shape "
+        "is identical to decode_and_featurize"
+    )

@@ -60,6 +60,40 @@ def minhash_x(s: Column) -> Column:
     return hash32(s) % MERSENNE_P
 
 
+# Word n-grams are hashed compositionally: each word is md5-hashed ONCE,
+# consecutive word hashes are combined by a Horner chain mod P. This keeps
+# the whole shingling pipeline in codegen (explode words → lead() window →
+# integer arithmetic) instead of building per-row shingle-string arrays
+# (~20× slower). Shingle identity = the combined hash; collision odds are
+# ~|shingles|²/2³¹ per doc pair — negligible for set-similarity use.
+HORNER_C = 1_000_003
+
+
+def word_hash(w: Column) -> Column:
+    """Per-word base hash (one md5 per word), reduced mod P."""
+    return hash32(w) % MERSENNE_P
+
+
+def ngram_hash(word_hashes: list[Column]) -> Column:
+    """Horner-combined n-gram hash over consecutive word hashes.
+
+    Every intermediate stays < 2^51 (x < 2^31, C ≈ 2^20), so the identical
+    int64 arithmetic runs in any engine.
+    """
+    h = word_hashes[0]
+    for nxt in word_hashes[1:]:
+        h = (h * HORNER_C + nxt) % MERSENNE_P
+    return h
+
+
+def ngram_hash_sql(exprs: list[str]) -> str:
+    """The DuckDB-side mirror of :func:`ngram_hash`."""
+    h = exprs[0]
+    for nxt in exprs[1:]:
+        h = f"(({h}) * {HORNER_C} + {nxt}) % {MERSENNE_P}"
+    return h
+
+
 # SimHash configuration.
 SIMHASH_BITS = 64
 SIMHASH_BANDS = 4  # 16 bits per band; equal-band candidates cover hamming<=3

@@ -45,11 +45,19 @@ def to_double(vec: Column) -> Column:
     return F.transform(vec, lambda x: x.cast("double"))
 
 
-def dot(a: Column, b: Column) -> Column:
-    """Left-to-right double-precision dot product of two double arrays."""
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
-    )
+def dot(a: Column, b: Column, dims: int = SRP_DIMS) -> Column:
+    """Left-to-right double-precision dot product of two double arrays.
+
+    Expanded as a flat 64-term expression (not zip_with/aggregate): flat
+    arithmetic stays inside whole-stage codegen — the higher-order-function
+    formulation drops to interpreted evaluation and is ~20× slower on the
+    pairwise hot path. The left-associated chain adds in the same
+    sequential order as the oracle's list_sum, so values match bitwise.
+    """
+    out = F.element_at(a, 1) * F.element_at(b, 1)
+    for i in range(2, dims + 1):
+        out = out + F.element_at(a, i) * F.element_at(b, i)
+    return out
 
 
 def norm(a: Column) -> Column:
@@ -61,13 +69,21 @@ def cosine(a: Column, b: Column) -> Column:
     return F.round(dot(a, b) / (norm(a) * norm(b)), COSINE_DECIMALS)
 
 
+def plane_dot(vec: Column, plane: list[float]) -> Column:
+    """Dot of a vector column against a literal ±1 hyperplane — flat chain."""
+    out = F.element_at(vec, 1) * F.lit(plane[0])
+    for i in range(1, len(plane)):
+        out = out + F.element_at(vec, i + 1) * F.lit(plane[i])
+    return out
+
+
 def srp_bucket(vec: Column, bits: int = SRP_BITS, dims: int = SRP_DIMS) -> Column:
     """Sign-random-projection bucket id as a ``bits``-char '0'/'1' string.
 
     ``vec`` must already be a double array of length ``dims``.
     """
     planes = srp_hyperplanes(bits, dims)
-    bit = lambda hp: F.when(  # noqa: E731
-        dot(vec, F.array(*[F.lit(v) for v in hp])) > 0, F.lit("1")
-    ).otherwise(F.lit("0"))
+    bit = lambda hp: F.when(plane_dot(vec, hp) > 0, F.lit("1")).otherwise(  # noqa: E731
+        F.lit("0")
+    )
     return F.concat(*[bit(hp) for hp in planes])

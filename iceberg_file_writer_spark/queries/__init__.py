@@ -45,6 +45,7 @@ def all_queries() -> dict[str, Query]:
         dedup,
         events,
         relational,
+        relational_ext,
         similarity,
         text,
     )

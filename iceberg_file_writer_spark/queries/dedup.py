@@ -2,22 +2,25 @@
 
 Exact dedup, MinHash signatures + LSH-banded near-dup pairs, inverted-index
 n-gram Jaccard pairs, and SimHash fingerprints + banded near-dup pairs
-(SURVEY.md §2.4). Hashing follows operators/text.py: one md5 per
-shingle/word, 64 affine integer "permutations" — so the DuckDB oracle
-reproduces every value bit-for-bit, *including the LSH candidate sets*:
-the oracle runs the same banding, not an O(n²) stand-in.
+(SURVEY.md §2.4). Hashing follows operators/text.py — one md5 per word,
+Horner-combined shingle hashes, 64 affine integer "permutations" — so the
+DuckDB oracle reproduces every value bit-for-bit, *including the LSH
+candidate sets*: the oracle runs the same banding, not an O(n²) stand-in.
 
 Scale notes (100 TB posture):
 - Exact dedup is a hash-groupBy on md5(text) — one shuffle on the digest,
   uniform by construction (no skew).
-- MinHash/SimHash hot path is explode → codegen'd md5+int arithmetic →
-  64 partial-agg min()/sum()s; the shuffle carries (doc_id, 64 ints) per
-  doc regardless of document size. Candidate generation explodes 16 bands
-  (resp. 4) per doc and equi-joins on (band_idx, band_hash).
-- Inverted-index Jaccard joins docs on shared shingles. Hot shingles are
-  the skew risk at scale; AQE skew-join splitting handles moderate skew,
-  and a stop-shingle cutoff (drop shingles in > X% of docs) is the
-  standard mitigation — not applied here to keep oracle semantics simple.
+- The shingling hot path is: explode words → codegen'd md5 + int
+  arithmetic → lead() window (one shuffle on doc_id) → 64 partial-agg
+  min()/sum()s. The shuffle carries (doc_id, 64 ints) per doc regardless
+  of document size. No per-row array construction anywhere.
+- Candidate generation explodes 16 bands (resp. 4) per doc and equi-joins
+  on (band_idx, band_hash); verification touches only candidate pairs.
+- Inverted-index Jaccard joins docs on shared shingle hashes. Hot
+  shingles are the skew risk at scale; AQE skew-join splitting handles
+  moderate skew, and a stop-shingle cutoff (drop shingles in > X% of
+  docs) is the standard mitigation — not applied here to keep oracle
+  semantics simple.
 - SimHash fingerprints are packed into two int64 words; hamming distance
   is two XOR+popcounts, banding is 4×16-bit substrings (pigeonhole: any
   pair with hamming ≤ 3 shares a band).
@@ -25,10 +28,11 @@ Scale notes (100 TB posture):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from iceberg_file_writer_spark.operators.text import (
+    HORNER_C,
     LSH_BANDS,
     LSH_ROWS,
     MERSENNE_P,
@@ -41,10 +45,11 @@ from iceberg_file_writer_spark.operators.text import (
     minhash_agg_columns,
     minhash_band_hash_columns,
     minhash_coeffs,
-    minhash_x,
+    ngram_hash,
+    ngram_hash_sql,
     simhash_pack_words,
     simhash_vote_columns,
-    word_shingles,
+    word_hash,
     words,
 )
 from iceberg_file_writer_spark.queries import register
@@ -58,20 +63,31 @@ _SIMHASH_BAND_WIDTH = SIMHASH_BITS // SIMHASH_BANDS
 
 # --- shared DuckDB SQL fragment builders ------------------------------------
 
-# Distinct word n-gram shingles of `text` as list column `s`.
-def _shingles_sql(n: int = 3) -> str:
-    gram = " || ' ' || ".join(f"w[i+{k + 1}]" for k in range(n))
-    return f"""
+# (doc_id, pos, xw): one md5 per word, parallel-unnest zip for positions.
+_WORDX_SQL = f"""
   SELECT doc_id,
-         CASE WHEN len(w) >= {n}
-              THEN list_distinct(list_transform(range(len(w) - {n - 1}), i -> {gram}))
-              ELSE []::VARCHAR[] END AS s
+         unnest(range(len(w))) AS pos,
+         ('0x' || substr(md5(unnest(w)), 1, 8))::BIGINT % {MERSENNE_P} AS xw
   FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
 """
 
 
-# MinHash signature columns h0..h63 via exploded min-aggregation.
+def _shingle_x_sql(n: int) -> str:
+    """(doc_id, x): Horner-combined n-gram hashes via lead() windows."""
+    leads = ", ".join(
+        f"lead(xw, {k}) OVER (PARTITION BY doc_id ORDER BY pos) AS x{k}"
+        for k in range(1, n)
+    )
+    combined = ngram_hash_sql(["xw"] + [f"x{k}" for k in range(1, n)])
+    return f"""
+  SELECT doc_id, {combined} AS x
+  FROM (SELECT doc_id, pos, xw, {leads} FROM wordx)
+  WHERE x{n - 1} IS NOT NULL
+"""
+
+
 def _minhash_sql() -> str:
+    """h0..h63 MIN aggregates over the shingle hashes."""
     mins = ",\n         ".join(
         f"min(({a} * x + {b}) % {MERSENNE_P}) AS h{i}"
         for i, (a, b) in enumerate(minhash_coeffs(NUM_HASHES))
@@ -79,8 +95,7 @@ def _minhash_sql() -> str:
     return f"""
   SELECT doc_id,
          {mins}
-  FROM (SELECT doc_id, ('0x' || substr(md5(unnest(s)), 1, 8))::BIGINT % {MERSENNE_P} AS x
-        FROM shingles)
+  FROM shingle_x
   GROUP BY doc_id
 """
 
@@ -92,6 +107,11 @@ def _band_hash_sql(b: int) -> str:
     cols = ", ".join(f"h{b * LSH_ROWS + r}" for r in range(LSH_ROWS))
     return f"md5(concat_ws(',', {cols}))"
 
+
+_JACCARD_SQL = """
+  len(list_filter(sa.s, v -> list_contains(sb.s, v)))::DOUBLE
+    / (len(sa.s) + len(sb.s) - len(list_filter(sa.s, v -> list_contains(sb.s, v))))
+"""
 
 # SimHash vote columns s0..s63 via exploded ±1 sums over per-word chunks.
 def _simhash_votes_sql() -> str:
@@ -121,6 +141,49 @@ def _simhash_packed_sql() -> str:
 """
 
 
+# --- Spark-side shared builders ----------------------------------------------
+
+
+def _shingle_x_df(spark: SparkSession, sf_dir: str, n: int = 3) -> DataFrame:
+    """(doc_id, x): hashed word n-grams — explode + one md5/word + lead()."""
+    t = load_tables(spark, sf_dir)
+    wx = t["documents"].select(
+        "doc_id", F.posexplode(words(F.col("text"))).alias("pos", "w")
+    ).select("doc_id", "pos", word_hash(F.col("w")).alias("xw"))
+    win = Window.partitionBy("doc_id").orderBy("pos")
+    leads = [F.lead("xw", k).over(win).alias(f"x{k}") for k in range(1, n)]
+    comb = wx.select("doc_id", "xw", *leads)
+    combined = ngram_hash([F.col("xw")] + [F.col(f"x{k}") for k in range(1, n)])
+    return comb.where(F.col(f"x{n - 1}").isNotNull()).select(
+        "doc_id", combined.alias("x")
+    )
+
+
+def _minhash_sig_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, h0..h63) via 64 partial-agg mins over shingle hashes."""
+    return _shingle_x_df(spark, sf_dir, 3).groupBy("doc_id").agg(
+        *minhash_agg_columns(F.col("x"))
+    )
+
+
+@register(
+    "minhash_signatures",
+    oracle=f"""
+WITH wordx AS ({_WORDX_SQL}),
+shingle_x AS ({_shingle_x_sql(3)}),
+sigs AS ({_minhash_sql()})
+SELECT doc_id, concat_ws(',', {_SIG_COLS}) AS signature
+FROM sigs
+""",
+    description=f"MinHash: {NUM_HASHES}-permutation affine signature per document",
+)
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    mh = _minhash_sig_df(spark, sf_dir)
+    return mh.select(
+        "doc_id", F.concat_ws(",", *[f"h{i}" for i in range(NUM_HASHES)]).alias("signature")
+    )
+
+
 @register(
     "exact_dedup_documents",
     oracle="""
@@ -141,37 +204,11 @@ def exact_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _minhash_sig_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, h0..h63) via explode → 64 partial-agg mins."""
-    t = load_tables(spark, sf_dir)
-    sh = t["documents"].select("doc_id", word_shingles(words(F.col("text"))).alias("s"))
-    ex = sh.select("doc_id", F.explode("s").alias("g")).select(
-        "doc_id", minhash_x(F.col("g")).alias("x")
-    )
-    return ex.groupBy("doc_id").agg(*minhash_agg_columns(F.col("x")))
-
-
-@register(
-    "minhash_signatures",
-    oracle=f"""
-WITH shingles AS ({_shingles_sql(3)}),
-sigs AS ({_minhash_sql()})
-SELECT doc_id, concat_ws(',', {_SIG_COLS}) AS signature
-FROM sigs
-""",
-    description=f"MinHash: {NUM_HASHES}-permutation affine signature per document",
-)
-def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    mh = _minhash_sig_df(spark, sf_dir)
-    return mh.select(
-        "doc_id", F.concat_ws(",", *[f"h{i}" for i in range(NUM_HASHES)]).alias("signature")
-    )
-
-
 @register(
     "minhash_lsh_near_duplicates",
     oracle=f"""
-WITH shingles AS ({_shingles_sql(3)}),
+WITH wordx AS ({_WORDX_SQL}),
+shingle_x AS ({_shingle_x_sql(3)}),
 sigs AS ({_minhash_sql()}),
 bands AS (
   SELECT doc_id, unnest(range({LSH_BANDS})) AS band_idx,
@@ -182,23 +219,17 @@ candidates AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM bands a JOIN bands b
     ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
-)
-SELECT c.doc_a,
-       c.doc_b,
-       len(list_filter(sa.s, x -> list_contains(sb.s, x)))::DOUBLE
-         / (len(sa.s) + len(sb.s) - len(list_filter(sa.s, x -> list_contains(sb.s, x)))) AS jaccard_sim
+),
+sets AS (SELECT doc_id, list(DISTINCT x) AS s FROM shingle_x GROUP BY doc_id)
+SELECT c.doc_a, c.doc_b, {_JACCARD_SQL} AS jaccard_sim
 FROM candidates c
-JOIN shingles sa ON sa.doc_id = c.doc_a
-JOIN shingles sb ON sb.doc_id = c.doc_b
-WHERE len(list_filter(sa.s, x -> list_contains(sb.s, x)))::DOUBLE
-        / (len(sa.s) + len(sb.s) - len(list_filter(sa.s, x -> list_contains(sb.s, x))))
-      >= {MINHASH_JACCARD_THRESHOLD}
+JOIN sets sa ON sa.doc_id = c.doc_a
+JOIN sets sb ON sb.doc_id = c.doc_b
+WHERE {_JACCARD_SQL} >= {MINHASH_JACCARD_THRESHOLD}
 """,
     description=f"MinHash+LSH near-dup: {LSH_BANDS}x{LSH_ROWS} banding, exact-Jaccard verify ≥ {MINHASH_JACCARD_THRESHOLD}",
 )
 def minhash_lsh_near_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    t = load_tables(spark, sf_dir)
-    docs = t["documents"].select("doc_id", word_shingles(words(F.col("text"))).alias("s"))
     mh = _minhash_sig_df(spark, sf_dir)
     band_arr = F.array(*[F.col(f"band{b}") for b in range(LSH_BANDS)])
     bands = mh.select("doc_id", *minhash_band_hash_columns()).select(
@@ -215,8 +246,13 @@ def minhash_lsh_near_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    sa = docs.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("sa"))
-    sb = docs.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("sb"))
+    sets = (
+        _shingle_x_df(spark, sf_dir, 3)
+        .groupBy("doc_id")
+        .agg(F.collect_set("x").alias("s"))
+    )
+    sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("sa"))
+    sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("sb"))
     return (
         cands.join(sa, "doc_a")
         .join(sb, "doc_b")
@@ -228,42 +264,41 @@ def minhash_lsh_near_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "ngram_jaccard_near_duplicates",
     oracle=f"""
-WITH grams AS ({_shingles_sql(NGRAM_N)}),
-exploded AS (SELECT doc_id, unnest(s) AS g FROM grams),
+WITH wordx AS ({_WORDX_SQL}),
+shingle_x AS ({_shingle_x_sql(NGRAM_N)}),
+grams AS (SELECT DISTINCT doc_id, x FROM shingle_x),
+sizes AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY doc_id),
 inter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
-  FROM exploded a JOIN exploded b ON a.g = b.g AND a.doc_id < b.doc_id
+  FROM grams a JOIN grams b ON a.x = b.x AND a.doc_id < b.doc_id
   GROUP BY a.doc_id, b.doc_id
 )
 SELECT i.doc_a, i.doc_b,
-       i.n_shared::DOUBLE / (len(ga.s) + len(gb.s) - i.n_shared) AS jaccard_sim
+       i.n_shared::DOUBLE / (za.sz + zb.sz - i.n_shared) AS jaccard_sim
 FROM inter i
-JOIN grams ga ON ga.doc_id = i.doc_a
-JOIN grams gb ON gb.doc_id = i.doc_b
-WHERE i.n_shared::DOUBLE / (len(ga.s) + len(gb.s) - i.n_shared) >= {NGRAM_JACCARD_THRESHOLD}
+JOIN sizes za ON za.doc_id = i.doc_a
+JOIN sizes zb ON zb.doc_id = i.doc_b
+WHERE i.n_shared::DOUBLE / (za.sz + zb.sz - i.n_shared) >= {NGRAM_JACCARD_THRESHOLD}
 """,
     description=f"n-gram Jaccard near-dup via inverted-index join, ≥ {NGRAM_JACCARD_THRESHOLD}",
 )
 def ngram_jaccard_near_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    t = load_tables(spark, sf_dir)
-    grams = t["documents"].select(
-        "doc_id", word_shingles(words(F.col("text")), n=NGRAM_N).alias("s")
-    )
-    exploded = grams.select("doc_id", F.explode("s").alias("g"))
+    grams = _shingle_x_df(spark, sf_dir, NGRAM_N).distinct()
+    sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     inter = (
-        exploded.alias("a")
+        grams.alias("a")
         .join(
-            exploded.alias("b"),
-            (F.col("a.g") == F.col("b.g")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+            grams.alias("b"),
+            (F.col("a.x") == F.col("b.x")) & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .agg(F.count(F.lit(1)).alias("n_shared"))
     )
-    ga = grams.select(F.col("doc_id").alias("doc_a"), F.size("s").alias("size_a"))
-    gb = grams.select(F.col("doc_id").alias("doc_b"), F.size("s").alias("size_b"))
+    za = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("size_a"))
+    zb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("size_b"))
     return (
-        inter.join(ga, "doc_a")
-        .join(gb, "doc_b")
+        inter.join(za, "doc_a")
+        .join(zb, "doc_b")
         .select(
             "doc_a",
             "doc_b",

@@ -1,0 +1,293 @@
+"""Extended relational corpus: subqueries, having, date rollups, approx ops.
+
+Adaptations of further TPC-H query shapes to the columns the testdata
+star schema actually has (FIXTURES.md §2 — no partsupp, no l_shipmode /
+o_comment), plus the approximate aggregates (HLL distinct, quantile
+sketch) that are rows-only checked — their sketches are engine-specific
+by design, so no value oracle exists (the exact duals are oracle-checked
+in relational.py / events.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from iceberg_file_writer_spark.queries import register
+from iceberg_file_writer_spark.tables import load_tables
+
+
+@register(
+    "q4_order_priority",
+    oracle="""
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders o
+WHERE o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1996-10-01 00:00:00'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate
+  )
+GROUP BY o_orderpriority
+""",
+    description="TPC-H Q4: EXISTS semi-join + priority counts",
+)
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    o = t["orders"].where(
+        (F.col("o_orderdate") >= F.to_timestamp(F.lit("1996-07-01")))
+        & (F.col("o_orderdate") < F.to_timestamp(F.lit("1996-10-01")))
+    )
+    late = t["lineitem"].select("l_orderkey", "l_shipdate")
+    return (
+        o.join(
+            late,
+            (F.col("l_orderkey") == F.col("o_orderkey"))
+            & (F.col("l_shipdate") > F.col("o_orderdate")),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+@register(
+    "q7_nation_volume",
+    oracle="""
+SELECT sn.n_name AS supp_nation,
+       cn.n_name AS cust_nation,
+       year(l_shipdate) AS l_year,
+       sum(l_extendedprice * (1 - l_discount)) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey  = s_suppkey
+JOIN customer ON o_custkey  = c_custkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+JOIN nation cn ON c_nationkey = cn.n_nationkey
+WHERE ((sn.n_name = 'NATION_3' AND cn.n_name = 'NATION_7')
+    OR (sn.n_name = 'NATION_7' AND cn.n_name = 'NATION_3'))
+GROUP BY sn.n_name, cn.n_name, year(l_shipdate)
+""",
+    description="TPC-H Q7: bilateral trade volume, dual-aliased dimension join",
+)
+def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    sn = t["nation"].select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    cn = t["nation"].select(
+        F.col("n_nationkey").alias("c_nkey"), F.col("n_name").alias("cust_nation")
+    )
+    return (
+        t["lineitem"]
+        .join(t["orders"].select("o_orderkey", "o_custkey"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(t["supplier"].select("s_suppkey", "s_nationkey")), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(t["customer"].select("c_custkey", "c_nationkey")), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("s_nkey"))
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("c_nkey"))
+        .where(
+            ((F.col("supp_nation") == "NATION_3") & (F.col("cust_nation") == "NATION_7"))
+            | ((F.col("supp_nation") == "NATION_7") & (F.col("cust_nation") == "NATION_3"))
+        )
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+    )
+
+
+@register(
+    "q14_promo_revenue",
+    oracle="""
+SELECT 100.00 * sum(CASE WHEN p_type = 'PROMO'
+                         THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+       / sum(l_extendedprice * (1 - l_discount)) AS promo_revenue_pct
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1997-03-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+""",
+    description="TPC-H Q14: conditional aggregation ratio (promo share)",
+)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        t["lineitem"]
+        .where(
+            (F.col("l_shipdate") >= F.to_timestamp(F.lit("1997-03-01")))
+            & (F.col("l_shipdate") < F.to_timestamp(F.lit("1997-04-01")))
+        )
+        .join(F.broadcast(t["part"].select("p_partkey", "p_type")), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            (
+                100.0
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0)))
+                / F.sum(rev)
+            ).alias("promo_revenue_pct")
+        )
+    )
+
+
+@register(
+    "q18_large_volume_customers",
+    oracle="""
+SELECT c_custkey, c_name, o_orderkey, o_totalprice, t.sum_qty
+FROM (
+  SELECT l_orderkey, sum(l_quantity) AS sum_qty
+  FROM lineitem
+  GROUP BY l_orderkey
+  HAVING sum(l_quantity) > 250
+) t
+JOIN orders   ON o_orderkey = t.l_orderkey
+JOIN customer ON c_custkey = o_custkey
+""",
+    description="TPC-H Q18: HAVING filter over grouped fact, then dim join",
+)
+def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    big = (
+        t["lineitem"]
+        .groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .where(F.col("sum_qty") > 250)
+    )
+    return (
+        big.join(t["orders"], F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(t["customer"]), F.col("c_custkey") == F.col("o_custkey"))
+        .select("c_custkey", "c_name", "o_orderkey", "o_totalprice", "sum_qty")
+    )
+
+
+@register(
+    "q19_brand_filters",
+    oracle="""
+SELECT sum(l_extendedprice * (1 - l_discount)) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 21)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 30)
+   OR (p_brand = 'Brand#4' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 40)
+""",
+    description="TPC-H Q19: disjunctive multi-predicate join filter",
+)
+def q19_brand_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    j = t["lineitem"].join(
+        F.broadcast(t["part"].select("p_partkey", "p_brand", "p_size")),
+        F.col("p_partkey") == F.col("l_partkey"),
+    )
+    cond = (
+        ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 15) & F.col("l_quantity").between(1, 21))
+        | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 25) & F.col("l_quantity").between(10, 30))
+        | ((F.col("p_brand") == "Brand#4") & F.col("p_size").between(1, 35) & F.col("l_quantity").between(20, 40))
+    )
+    return j.where(cond).agg(
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+@register(
+    "supplier_above_nation_avg",
+    oracle="""
+WITH nat_avg AS (
+  SELECT s_nationkey AS nk, avg(s_acctbal) AS nation_avg
+  FROM supplier GROUP BY s_nationkey
+)
+SELECT s_suppkey, s_name, s_acctbal, nation_avg
+FROM supplier JOIN nat_avg ON s_nationkey = nk
+WHERE s_acctbal > nation_avg
+""",
+    description="Correlated-subquery shape: suppliers above their nation's average balance",
+)
+def supplier_above_nation_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    w = Window.partitionBy("s_nationkey")
+    return (
+        t["supplier"]
+        .withColumn("nation_avg", F.avg("s_acctbal").over(w))
+        .where(F.col("s_acctbal") > F.col("nation_avg"))
+        .select("s_suppkey", "s_name", "s_acctbal", "nation_avg")
+    )
+
+
+@register(
+    "monthly_order_rollup",
+    oracle="""
+SELECT year(o_orderdate)  AS o_year,
+       month(o_orderdate) AS o_month,
+       count(*)           AS n_orders,
+       sum(o_totalprice)  AS total_sales
+FROM orders
+GROUP BY ROLLUP (year(o_orderdate), month(o_orderdate))
+""",
+    description="Date-hierarchy rollup: year/month/grand-total order stats",
+)
+def monthly_order_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return (
+        t["orders"]
+        .select(
+            F.year("o_orderdate").alias("o_year"),
+            F.month("o_orderdate").alias("o_month"),
+            "o_totalprice",
+        )
+        .rollup("o_year", "o_month")
+        .agg(F.count(F.lit(1)).alias("n_orders"), F.sum("o_totalprice").alias("total_sales"))
+    )
+
+
+@register(
+    "intersect_customers",
+    oracle="""
+SELECT c_custkey FROM customer JOIN orders ON o_custkey = c_custkey
+  WHERE o_orderstatus = 'F'
+INTERSECT
+SELECT c_custkey FROM customer JOIN orders ON o_custkey = c_custkey
+  WHERE o_orderstatus = 'O'
+""",
+    description="Set operation: INTERSECT of customer populations",
+)
+def intersect_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    c = t["customer"].select("c_custkey")
+    o = t["orders"]
+    f = c.join(o.where(F.col("o_orderstatus") == "F"), F.col("o_custkey") == F.col("c_custkey"), "left_semi")
+    op = c.join(o.where(F.col("o_orderstatus") == "O"), F.col("o_custkey") == F.col("c_custkey"), "left_semi")
+    return f.intersect(op)
+
+
+# --- approximate aggregates: rows-only (sketches are engine-specific) -------
+
+
+@register(
+    "approx_distinct_users",
+    oracle=None,
+    description="HLL++ approximate distinct users per event type (rows-only: sketch values are engine-specific)",
+)
+def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return (
+        t["events"]
+        .groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"),
+            F.countDistinct("user_id").alias("exact_users"),
+        )
+    )
+
+
+@register(
+    "approx_value_percentiles",
+    oracle=None,
+    description="Quantile-sketch percentiles of event value (rows-only: sketch values are engine-specific)",
+)
+def approx_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return (
+        t["events"]
+        .groupBy("event_type")
+        .agg(
+            F.percentile_approx("value", [0.5, 0.9, 0.99], 10_000).alias("approx_pcts"),
+        )
+    )

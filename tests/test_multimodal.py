@@ -1,0 +1,46 @@
+"""Multimodal binary-column plumbing over real testdata payloads."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+
+from iceberg_file_writer_spark.operators.multimodal import (
+    content_address,
+    decode_and_featurize,
+    decode_image,
+    documents_as_media,
+)
+from iceberg_file_writer_spark.tables import load_tables
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    return documents_as_media(load_tables(spark, SF_DIR)["documents"])
+
+
+def test_content_addressing_matches_python_sha(spark, media):
+    got = {r.media_id: (r.content_sha256, r.n_bytes) for r in content_address(media).collect()}
+    docs = {r.doc_id: r.text for r in load_tables(spark, SF_DIR)["documents"].collect()}
+    assert len(got) == len(docs)
+    for doc_id, text in list(docs.items())[:50]:
+        buf = text.encode("utf-8")
+        assert got[doc_id] == (hashlib.sha256(buf).hexdigest(), len(buf))
+
+
+def test_mapinpandas_featurize_deterministic(spark, media):
+    a = {r.media_id: (r.content_sha256, tuple(r.features)) for r in decode_and_featurize(media).collect()}
+    b = {r.media_id: (r.content_sha256, tuple(r.features)) for r in decode_and_featurize(media).collect()}
+    assert a == b  # deterministic across runs/partitionings
+    assert all(len(v[1]) == 8 for v in a.values())
+    # features column survives a repartition (schema is stable under shuffle)
+    c = decode_and_featurize(media.repartition(8)).count()
+    assert c == len(a)
+
+
+def test_library_backed_decode_is_marked_stub(media):
+    with pytest.raises(NotImplementedError):
+        decode_image(media)

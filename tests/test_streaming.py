@@ -1,0 +1,126 @@
+"""Streaming analytics: results checked against the oracle-verified batch duals.
+
+Each streaming query is driven to completion over the static sf0.001
+events table (file source → memory sink → processAllAvailable), then the
+finalized result is compared to the equivalent batch computation — which
+itself is covered by the DuckDB oracle in test_oracle_parity.py.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from iceberg_file_writer_spark.streaming.windows import (
+    session_windows,
+    user_running_totals,
+    windowed_event_stats,
+)
+from iceberg_file_writer_spark.tables import load_tables
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def events_stream_dir(spark, tmp_path_factory):
+    """Events as a parquet directory suitable for a file-source stream
+    (timestamps normalized to micros by load_tables)."""
+    path = str(tmp_path_factory.mktemp("events-stream"))
+    ev = load_tables(spark, SF_DIR)["events"]
+    ev.write.mode("overwrite").parquet(path)
+    yield path, ev.schema
+    shutil.rmtree(path, ignore_errors=True)
+
+
+def _run_to_completion(spark, stream_df, name):
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.sql(f"SELECT * FROM {name}")
+
+
+def _read_stream(spark, events_stream_dir):
+    path, schema = events_stream_dir
+    return spark.readStream.schema(schema).parquet(path)
+
+
+def test_windowed_stats_matches_batch(spark, events_stream_dir):
+    stream = windowed_event_stats(_read_stream(spark, events_stream_dir))
+    got = _run_to_completion(spark, stream, "win_stats")
+
+    batch = (
+        load_tables(spark, SF_DIR)["events"]
+        .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("total_value"),
+            F.avg("value").alias("avg_value"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "total_value",
+            "avg_value",
+        )
+    )
+    g = {tuple(r) for r in got.collect()}
+    b = {tuple(r) for r in batch.collect()}
+    # Append mode emits only watermark-finalized windows; every emitted
+    # window must exactly match its batch dual, and most windows finalize.
+    assert g <= b
+    assert len(g) >= 0.8 * len(b)
+
+
+def test_session_windows_run_and_bound(spark, events_stream_dir):
+    stream = session_windows(_read_stream(spark, events_stream_dir), gap="30 minutes")
+    got = _run_to_completion(spark, stream, "sess")
+    rows = got.collect()
+    assert rows, "no finalized sessions emitted"
+    # sessions are per-user, disjoint, and each spans >= 1 event
+    for r in rows:
+        assert r.session_end >= r.session_start
+        assert r.n_events >= 1
+
+
+def test_stateful_running_totals(spark, events_stream_dir):
+    stream = user_running_totals(_read_stream(spark, events_stream_dir))
+    got = _run_to_completion(spark, stream, "totals").collect()
+    assert got, "no stateful output"
+    ev = load_tables(spark, SF_DIR)["events"]
+    expect = {
+        r.user_id: (r.n, round(r.v, 6))
+        for r in ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("v"))
+        .collect()
+    }
+    # the LAST emitted row per user carries the final cumulative totals
+    final = {}
+    for r in got:
+        final[r.user_id] = (r.total_events, round(r.total_value, 6))
+    assert final == expect
+
+
+def test_streaming_rate_limit_multiple_batches(spark, events_stream_dir, tmp_path):
+    """maxFilesPerTrigger forces multiple micro-batches; totals still converge
+    (the reference's bounded-channel backpressure analog, main.go:64)."""
+    path, schema = events_stream_dir
+    # re-write input as several files to make rate limiting meaningful
+    multi = str(tmp_path / "multi")
+    spark.read.schema(schema).parquet(path).repartition(8).write.parquet(multi)
+    stream_df = spark.readStream.schema(schema).option("maxFilesPerTrigger", 2).parquet(multi)
+    got = _run_to_completion(spark, user_running_totals(stream_df), "totals_rl").collect()
+    n_events = sum(r.batch_events for r in got)
+    assert n_events == spark.read.schema(schema).parquet(multi).count()
