@@ -1,0 +1,123 @@
+"""CLI — the reference driver's entry surface, Spark-first.
+
+The reference is invoked as ``iceberg-file-writer <inputFile> <outputPath>``
+(reference main.go:117-141: argv checks at 120-124, start() at 126,
+blocking on Finished at 130, ordered stop() at 138). The rebuild keeps
+that surface and adds the query/maintenance verbs the engine grew:
+
+    python -m iceberg_file_writer_spark ingest <input> <output>
+        [--streaming] [--format json|parquet] [--partition-col user_id]
+        [--key-col timestamp] [--max-rows-per-file 4096]
+        [--trigger-seconds 60] [--checkpoint DIR]
+    python -m iceberg_file_writer_spark compact <table_path>
+    python -m iceberg_file_writer_spark query <name> [--sf-dir DIR]
+    python -m iceberg_file_writer_spark list-queries
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def _build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="iceberg_file_writer_spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    ing = sub.add_parser("ingest", help="ingest a record stream into a partitioned table")
+    ing.add_argument("input")
+    ing.add_argument("output")
+    ing.add_argument("--streaming", action="store_true", help="run as a Structured Streaming query")
+    ing.add_argument("--format", default="json", choices=["json", "parquet"])
+    ing.add_argument("--partition-col", default="user_id")
+    ing.add_argument("--key-col", default="timestamp")
+    ing.add_argument("--max-rows-per-file", type=int, default=4096)
+    ing.add_argument("--compression", default="snappy")
+    ing.add_argument("--trigger-seconds", type=int, default=60)
+    ing.add_argument("--checkpoint", default=None)
+
+    comp = sub.add_parser("compact", help="rewrite a table's files preserving layout invariants")
+    comp.add_argument("table_path")
+    comp.add_argument("--partition-col", default="user_id")
+    comp.add_argument("--key-col", default="timestamp")
+    comp.add_argument("--target-rows-per-file", type=int, default=None)
+
+    q = sub.add_parser("query", help="run a registered query and show the result")
+    q.add_argument("name")
+    q.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    q.add_argument("--limit", type=int, default=20)
+    q.add_argument("--explain", action="store_true")
+
+    sub.add_parser("list-queries", help="list registered queries")
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = _build_parser().parse_args(argv)
+
+    from iceberg_file_writer_spark.session import get_spark
+
+    if args.cmd == "list-queries":
+        from iceberg_file_writer_spark.queries import all_queries
+
+        for name, q in sorted(all_queries().items()):
+            oracle = "oracle" if q.oracle else "rows-only"
+            print(f"{name:36s} [{oracle}] {q.description}")
+        return 0
+
+    spark = get_spark("iceberg_file_writer_spark-cli")
+
+    if args.cmd == "ingest":
+        from iceberg_file_writer_spark.ingest.batch import (
+            IngestConfig,
+            ingest_batch,
+            read_source,
+        )
+
+        cfg = IngestConfig(
+            partition_column=args.partition_col,
+            key_column=args.key_col,
+            max_rows_per_file=args.max_rows_per_file,
+            compression=args.compression,
+        )
+        if args.streaming:
+            from iceberg_file_writer_spark.ingest.streaming import ingest_stream_once
+
+            ckpt = args.checkpoint or (args.output.rstrip("/") + ".checkpoint")
+            ingest_stream_once(
+                spark, args.input, args.output, ckpt, cfg=cfg, source_format=args.format
+            )
+        else:
+            ingest_batch(read_source(spark, args.input, source_format=args.format), args.output, cfg)
+        print(f"ingested {args.input} -> {args.output}")
+        return 0
+
+    if args.cmd == "compact":
+        from iceberg_file_writer_spark.ingest.batch import IngestConfig
+        from iceberg_file_writer_spark.ingest.maintenance import compact_table, list_data_files
+
+        cfg = IngestConfig(partition_column=args.partition_col, key_column=args.key_col)
+        before = len(list_data_files(args.table_path))
+        compact_table(spark, args.table_path, cfg, args.target_rows_per_file)
+        after = len(list_data_files(args.table_path))
+        print(f"compacted {args.table_path}: {before} -> {after} files")
+        return 0
+
+    if args.cmd == "query":
+        from iceberg_file_writer_spark.queries import all_queries
+
+        queries = all_queries()
+        if args.name not in queries:
+            print(f"unknown query: {args.name}", file=sys.stderr)
+            return 2
+        df = queries[args.name].fn(spark, args.sf_dir)
+        if args.explain:
+            df.explain("formatted")
+        df.show(args.limit, truncate=60)
+        return 0
+
+    return 2
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -47,6 +47,7 @@ def all_queries() -> dict[str, Query]:
         relational,
         relational_ext,
         similarity,
+        streaming_ops,
         text,
     )
 
