@@ -94,6 +94,9 @@ def ingest_batch(
     reference's CommitBlocks(force=true) final flush (main_test.go:86)
     is implied by job completion.
     """
+    from iceberg_file_writer_spark.ingest.table_format import require_format
+
+    require_format(df.sparkSession, cfg.table_format)
     out = normalize_defaults(df, defaults)
     (
         out.repartition(cfg.num_buckets, F.col(cfg.partition_column))

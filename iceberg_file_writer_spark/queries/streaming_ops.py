@@ -77,6 +77,17 @@ def streaming_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_dedup_events",
+    oracle=None,
+    description="Structured Streaming: watermark-bounded exact dedup (dropDuplicatesWithinWatermark; rows-only)",
+)
+def streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from iceberg_file_writer_spark.streaming.windows import streaming_dedup
+
+    return _run_stream(spark, sf_dir, streaming_dedup, "dedupstream")
+
+
+@register(
     "multimodal_content_address",
     oracle="""
 SELECT doc_id AS media_id,

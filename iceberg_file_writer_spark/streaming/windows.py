@@ -78,6 +78,24 @@ def session_windows(
     )
 
 
+def streaming_dedup(
+    events: DataFrame,
+    keys: list[str] | None = None,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming exact deduplication — the streaming face of the dedup
+    operator family (queries/dedup.py): drop repeats of ``keys`` with
+    dedup state bounded by the watermark horizon.
+
+    Uses ``dropDuplicatesWithinWatermark`` so state for a key is evicted
+    once the watermark passes it — the formulation that runs forever on an
+    unbounded stream (plain ``dropDuplicates`` on a stream grows state
+    without bound).
+    """
+    keys = keys or ["event_id"]
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
+
+
 def user_running_totals(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
     """Custom stateful operator: per-user cumulative purchase totals via
     ``applyInPandasWithState`` — the escape hatch for operators Spark's
