@@ -29,14 +29,20 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2."""
-    from iceberg_file_writer_spark.queries import all_queries
+    """One entry per implemented operator from SURVEY.md §2.
 
-    return {name: q.fn for name, q in all_queries().items()}
+    The driver's report caps at ~50 entries, so this exposes the curated
+    driver surface (oracle-checked first, rows-only last); the full
+    registry — a strict superset — is benched and pytest-oracle-checked
+    via iceberg_file_writer_spark.queries.all_queries().
+    """
+    from iceberg_file_writer_spark.queries import driver_queries
+
+    return {name: q.fn for name, q in driver_queries().items()}
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL for each SQL-expressible query."""
-    from iceberg_file_writer_spark.queries import all_queries
+    from iceberg_file_writer_spark.queries import driver_queries
 
-    return {name: q.oracle for name, q in all_queries().items() if q.oracle is not None}
+    return {name: q.oracle for name, q in driver_queries().items() if q.oracle is not None}

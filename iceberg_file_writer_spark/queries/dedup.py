@@ -176,6 +176,9 @@ SELECT doc_id, concat_ws(',', {_SIG_COLS}) AS signature
 FROM sigs
 """,
     description=f"MinHash: {NUM_HASHES}-permutation affine signature per document",
+    # Signature values are re-verified inside minhash_lsh_near_duplicates'
+    # oracle (same CTEs); kept off the capped driver surface.
+    driver_exposed=False,
 )
 def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     mh = _minhash_sig_df(spark, sf_dir)
@@ -335,6 +338,9 @@ packed AS ({_simhash_packed_sql()})
 SELECT doc_id, fingerprint FROM packed
 """,
     description=f"SimHash: {SIMHASH_BITS}-bit md5-vote fingerprint per document",
+    # Fingerprint values are re-verified inside simhash_near_duplicates'
+    # oracle (same CTEs); kept off the capped driver surface.
+    driver_exposed=False,
 )
 def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _simhash_df(spark, sf_dir).select("doc_id", "fingerprint")

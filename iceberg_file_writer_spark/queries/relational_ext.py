@@ -277,17 +277,35 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PCT_QS = (0.5, 0.9, 0.99)
+_PCT_ACCURACY = 10_000  # > rows/group at oracle SF, so the sketch is exact there
+
+
 @register(
     "approx_value_percentiles",
-    oracle=None,
-    description="Quantile-sketch percentiles of event value (rows-only: sketch values are engine-specific)",
+    oracle="\nUNION ALL\n".join(
+        f"""SELECT event_type, {q} AS quantile, quantile_disc(value, {q}) AS approx_value
+FROM events GROUP BY event_type"""
+        for q in _PCT_QS
+    ),
+    description="Quantile-sketch percentiles of event value, one row per (event_type, quantile); GK sketch is exact below its accuracy bound, so the discrete-quantile oracle matches at check SF",
 )
 def approx_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # percentile_approx (Greenwald-Khanna) returns an actual data value; with
+    # n_group < accuracy the sketch keeps every sample and the result equals
+    # the exact discrete quantile — bit-for-bit the oracle's quantile_disc.
+    # One row per quantile (posexplode) keeps the result scalar-typed for
+    # the driver's canonicalizer (arrays are unhashable there).
     t = load_tables(spark, sf_dir)
+    qs_arr = F.array(*[F.lit(float(q)) for q in _PCT_QS])
     return (
         t["events"]
         .groupBy("event_type")
-        .agg(
-            F.percentile_approx("value", [0.5, 0.9, 0.99], 10_000).alias("approx_pcts"),
+        .agg(F.percentile_approx("value", list(_PCT_QS), _PCT_ACCURACY).alias("pcts"))
+        .select("event_type", F.posexplode("pcts").alias("qi", "approx_value"))
+        .select(
+            "event_type",
+            F.element_at(qs_arr, F.col("qi") + 1).alias("quantile"),
+            "approx_value",
         )
     )

@@ -1,38 +1,81 @@
 """Streaming + multimodal operators exposed as driver-checkable queries.
 
 The streaming entries run a real Structured Streaming query to completion
-over the sf_dir events table (file source → memory sink →
-processAllAvailable) and return the finalized result — genuinely
-non-SQL-expressible custom stateful operators, so they carry no oracle
-(the driver records the weaker rows-only check; their batch duals in
-queries/events.py ARE oracle-checked, and tests/test_streaming.py
-cross-checks stream-vs-batch equivalence).
+over the sf_dir events table, streaming **directly from the existing
+parquet file** (no input rewrite) and sinking to **files** (parquet sink +
+checkpoint) — never a memory sink, so nothing is materialized on the
+driver; the returned DataFrame is a lazy scan of the committed sink files.
+That is the harness shape that survives 100 TB: source → stateful op →
+file sink is executor-side end to end.
 
-The multimodal content-address entry is pure column algebra (sha256 over
-binary payloads) and is oracle-checked exactly.
+Oracles: run-to-completion append-mode output is deterministic for the
+watermarked window/session aggregations — it equals the batch dual
+restricted to *finalized* groups, i.e. those whose window end ≤ final
+watermark = max(ts) − watermark delay (verified: predicates `<=` and `<`
+coincide on the corpus). Those two entries therefore carry exact DuckDB
+oracles. The stateful-running-totals and watermark-bounded-dedup entries
+remain rows-only: their output shape depends on micro-batch boundaries
+(per-batch emission) — genuinely engine-specific.
+
+The multimodal entries exercise the binary-payload plumbing
+(operators/multimodal.py); content addressing is pure column algebra and
+oracle-checked, feature extraction is an Arrow mapInPandas pipeline whose
+features are returned comma-joined (the operator API keeps the
+array<float> type; the entry stringifies for the driver's canonicalizer).
 """
 
 from __future__ import annotations
 
 import tempfile
-import uuid
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from iceberg_file_writer_spark.queries import register
-from iceberg_file_writer_spark.tables import load_tables
+from iceberg_file_writer_spark.tables import load_tables, table_path
+
+WATERMARK = "10 minutes"
+_FINAL_WM_SQL = "(SELECT max(ts) - INTERVAL 10 MINUTE FROM events)"
+
+
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the sf_dir events parquet, in place.
+
+    load_tables sets the nanos-as-long conf; the raw ts column (parquet
+    TIMESTAMP(NANOS) → bigint) is truncated to microseconds exactly as the
+    batch loader does, so stream and batch see identical timestamps.
+    """
+    load_tables(spark, sf_dir)  # ensure session confs (nanosAsLong) are set
+    path = table_path(sf_dir, "events")
+    raw_schema = spark.read.parquet(path).schema
+    # The testdata table is a single parquet file. FileStreamSource forces
+    # basePath = the source path itself when it is not a glob, and a file
+    # basePath is rejected — so address the file via a glob and pin
+    # basePath to the containing directory.
+    src = (
+        spark.readStream.schema(raw_schema)
+        .option("basePath", sf_dir)
+        .parquet(path + "*")
+    )
+    if dict((f.name, f.dataType.simpleString()) for f in raw_schema).get("ts") == "bigint":
+        src = src.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return src
 
 
 def _run_stream(spark: SparkSession, sf_dir: str, transform, name: str) -> DataFrame:
-    """Drive a streaming transformation of `events` to completion."""
-    ev = load_tables(spark, sf_dir)["events"]
-    src = tempfile.mkdtemp(prefix=f"stream-src-{name}-")
-    ev.write.mode("overwrite").parquet(src)
-    sink = f"{name}_{uuid.uuid4().hex[:8]}"
+    """Drive a streaming transformation of `events` to completion.
+
+    Sink and checkpoint are throwaway local dirs; the result is read back
+    lazily from the committed sink files (the _spark_metadata log makes
+    the read see exactly the committed set).
+    """
+    out_df = transform(_events_stream(spark, sf_dir))
+    sink = tempfile.mkdtemp(prefix=f"stream-sink-{name}-")
+    ckpt = tempfile.mkdtemp(prefix=f"stream-ckpt-{name}-")
     q = (
-        transform(spark.readStream.schema(ev.schema).parquet(src))
-        .writeStream.format("memory")
-        .queryName(sink)
+        out_df.writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
         .outputMode("append")
         .start()
     )
@@ -40,13 +83,23 @@ def _run_stream(spark: SparkSession, sf_dir: str, transform, name: str) -> DataF
         q.processAllAvailable()
     finally:
         q.stop()
-    return spark.table(sink)
+    return spark.read.schema(out_df.schema).parquet(sink)
 
 
 @register(
     "streaming_windowed_stats",
-    oracle=None,
-    description="Structured Streaming: watermarked tumbling-window aggregation run to completion (rows-only; batch dual events_hourly_stats is oracle-checked)",
+    oracle=f"""
+SELECT date_trunc('hour', ts)                   AS window_start,
+       date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
+       event_type,
+       count(*)   AS n_events,
+       sum(value) AS total_value,
+       avg(value) AS avg_value
+FROM events
+GROUP BY 1, 2, 3
+HAVING window_end <= {_FINAL_WM_SQL}
+""",
+    description="Structured Streaming: watermarked tumbling-window aggregation run to completion (finalized windows = batch dual with end <= final watermark)",
 )
 def streaming_windowed_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from iceberg_file_writer_spark.streaming.windows import windowed_event_stats
@@ -56,8 +109,36 @@ def streaming_windowed_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "streaming_session_windows",
-    oracle=None,
-    description="Structured Streaming: native session_window stateful sessionization (rows-only; batch dual user_sessions is oracle-checked)",
+    oracle=f"""
+WITH ordered AS (
+  SELECT user_id, ts, value, event_id,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events
+), flagged AS (
+  SELECT user_id, ts, value, event_id,
+         CASE WHEN prev_ts IS NULL
+                OR epoch_us(ts) - epoch_us(prev_ts) > 1800 * 1000000
+              THEN 1 ELSE 0 END AS is_new
+  FROM ordered
+), numbered AS (
+  SELECT user_id, ts, value,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+  FROM flagged
+), sess AS (
+  SELECT user_id,
+         min(ts)                        AS session_start,
+         max(ts) + INTERVAL 30 MINUTE   AS session_end,
+         count(*)::BIGINT               AS n_events,
+         sum(value)                     AS total_value
+  FROM numbered
+  GROUP BY user_id, session_seq
+)
+SELECT user_id, session_start, session_end, n_events, total_value
+FROM sess
+WHERE session_end <= {_FINAL_WM_SQL}
+""",
+    description="Structured Streaming: native session_window sessionization run to completion (finalized sessions; session_end = last event + 30 min gap)",
 )
 def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     from iceberg_file_writer_spark.streaming.windows import session_windows
@@ -68,7 +149,7 @@ def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "streaming_stateful_totals",
     oracle=None,
-    description="Structured Streaming: applyInPandasWithState per-user running totals (rows-only; custom stateful operator)",
+    description="Structured Streaming: applyInPandasWithState per-user running totals (rows-only: per-micro-batch emission is engine-specific)",
 )
 def streaming_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     from iceberg_file_writer_spark.streaming.windows import user_running_totals
@@ -79,7 +160,7 @@ def streaming_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "streaming_dedup_events",
     oracle=None,
-    description="Structured Streaming: watermark-bounded exact dedup (dropDuplicatesWithinWatermark; rows-only)",
+    description="Structured Streaming: watermark-bounded exact dedup (dropDuplicatesWithinWatermark; rows-only: state eviction horizon is engine-specific)",
 )
 def streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     from iceberg_file_writer_spark.streaming.windows import streaming_dedup
@@ -92,11 +173,11 @@ def streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT doc_id AS media_id,
        sha256(text)           AS content_sha256,
-       length(text)::BIGINT   AS n_bytes,
+       strlen(text)::BIGINT   AS n_bytes,
        'text'                 AS media_type
 FROM documents
 """,
-    description="Multimodal: content-address binary payloads (sha256 digest + size)",
+    description="Multimodal: content-address binary payloads (sha256 digest + UTF-8 byte size)",
 )
 def multimodal_content_address(spark: SparkSession, sf_dir: str) -> DataFrame:
     from iceberg_file_writer_spark.operators.multimodal import (
@@ -111,7 +192,7 @@ def multimodal_content_address(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "multimodal_feature_extract",
     oracle=None,
-    description="Multimodal: mapInPandas decode/feature pipeline over binary payloads (rows-only; deterministic fake decoder, see operators/multimodal.py)",
+    description="Multimodal: mapInPandas decode/feature pipeline over binary payloads (rows-only; deterministic fake decoder, see operators/multimodal.py; features comma-joined for the harness)",
 )
 def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     from iceberg_file_writer_spark.operators.multimodal import (
@@ -120,4 +201,15 @@ def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_tables(spark, sf_dir)["documents"]
-    return decode_and_featurize(documents_as_media(docs))
+    feats = decode_and_featurize(documents_as_media(docs))
+    # The operator API returns features as array<float>; the driver's
+    # canonicalizer can't hash list cells, so the entry emits the array as
+    # one deterministic comma-joined string column.
+    return feats.select(
+        "media_id",
+        "content_sha256",
+        "n_bytes",
+        F.concat_ws(",", F.transform("features", lambda f: f.cast("string"))).alias(
+            "features_csv"
+        ),
+    )
