@@ -57,17 +57,20 @@ def main() -> None:
     # Two runs per query, report the best: the first run pays one-time plan
     # compilation/codegen (~seconds, independent of data size), the second
     # measures steady-state execution — the number that scales with SF.
+    # The timed action is a noop-sink write: full executor-side
+    # materialization of every output column with zero driver transfer, so
+    # timings measure the plan, not a driver-side collect.
     queries = all_queries()
     corpus_times = []
     for name, q in sorted(queries.items()):
-        best, n = float("inf"), 0
+        best = float("inf")
         for _ in range(2):
             t0 = time.time()
-            n = len(q.fn(spark, sf_dir).collect())
+            q.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             best = min(best, time.time() - t0)
         timings[name] = round(best, 3)
         corpus_times.append(max(best, 1e-3))
-        print(f"  {name}: {best:.2f}s ({n} rows)", file=sys.stderr)
+        print(f"  {name}: {best:.2f}s", file=sys.stderr)
 
     total = round(sum(corpus_times), 3)
     timings["geomean"] = round(

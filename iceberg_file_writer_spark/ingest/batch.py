@@ -73,12 +73,22 @@ def read_source(
     source_format: str = "json",
 ) -> DataFrame:
     """Ops #1-#2: schema-enforced scan (reference FileStreamAdapter + codec,
-    main.go:61-70; strict decode ≈ FAILFAST)."""
+    main.go:61-70; strict decode ≈ FAILFAST).
+
+    ``avro`` is the reference's literal wire format (Avro object-container
+    files, main.go:61-65); it resolves through the TableFormat seam and
+    raises the actionable missing-jar error when spark-avro is absent.
+    """
+    from iceberg_file_writer_spark.ingest.table_format import require_format
+
     reader = spark.read.schema(schema)
     if source_format == "json":
         return reader.option("mode", "FAILFAST").json(input_path)
     if source_format == "parquet":
         return reader.parquet(input_path)
+    if source_format == "avro":
+        require_format(spark, "avro")
+        return reader.format("avro").load(input_path)
     raise ValueError(f"unsupported source format: {source_format}")
 
 
@@ -96,6 +106,11 @@ def ingest_batch(
     """
     from iceberg_file_writer_spark.ingest.table_format import require_format
 
+    if cfg.table_format == "iceberg":
+        raise ValueError(
+            "iceberg writes commit through a catalog table, not a filesystem "
+            "path: use write_iceberg_table(df, 'catalog.db.table', cfg)"
+        )
     require_format(df.sparkSession, cfg.table_format)
     out = normalize_defaults(df, defaults)
     (
@@ -107,6 +122,42 @@ def ingest_batch(
         .partitionBy(cfg.partition_column)
         .format(cfg.table_format)
         .save(output_path)
+    )
+
+
+def write_iceberg_table(
+    df: DataFrame,
+    table_identifier: str,
+    cfg: IngestConfig = IngestConfig(),
+    defaults: dict[str, object] | None = None,
+) -> None:
+    """The Iceberg-native write path (BASELINE "DataFrame write with Iceberg
+    format connector"): same partition/order/bound semantics as
+    :func:`ingest_batch`, committed through an Iceberg catalog table via
+    ``writeTo(...).partitionedBy(...)`` — snapshot-isolated, atomic, and
+    object-store-safe (manifest commit, no directory renames).
+
+    Requires the iceberg-spark-runtime jar + a configured catalog; raises
+    the seam's actionable error otherwise. ``table_identifier`` is a
+    catalog identifier like ``local.db.events``, not a path.
+    """
+    from pyspark.sql.functions import col
+
+    from iceberg_file_writer_spark.ingest.table_format import require_format
+
+    require_format(df.sparkSession, "iceberg")
+    out = (
+        normalize_defaults(df, defaults)
+        .repartition(cfg.num_buckets, F.col(cfg.partition_column))
+        .sortWithinPartitions(cfg.partition_column, cfg.key_column)
+    )
+    (
+        out.writeTo(table_identifier)
+        .partitionedBy(col(cfg.partition_column))
+        .tableProperty("write.format.default", "parquet")
+        .tableProperty("write.parquet.compression-codec", cfg.compression)
+        .option("maxRecordsPerFile", str(cfg.max_rows_per_file))
+        .createOrReplace()
     )
 
 

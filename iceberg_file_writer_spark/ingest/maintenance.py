@@ -27,6 +27,29 @@ def list_data_files(table_path: str) -> list[str]:
     )
 
 
+def recover_compaction(table_path: str) -> None:
+    """Roll the table to a consistent state after a compaction crash.
+
+    The swap is two renames, so a crash can strand the committed data at
+    ``.compact-old`` with nothing at ``table_path``; recovery restores it.
+    A leftover ``.compact-tmp`` (incomplete rewrite) or ``.compact-old``
+    beside a live table (crash after swap, before cleanup) is deleted.
+    Runs automatically at every compact_table entry.
+    """
+    import shutil
+
+    base = table_path.rstrip("/")
+    old, tmp = base + ".compact-old", base + ".compact-tmp"
+    if os.path.exists(old) and not os.path.exists(base):
+        os.rename(old, base)  # crashed between the two swap renames
+    if os.path.exists(old):
+        shutil.rmtree(old)  # crashed after swap: table is the new data
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)  # incomplete rewrite: redo from the live table
+    # a _SUCCESS-less table dir would mean a torn batch write; Spark's own
+    # commit protocol prevents that for the save() below.
+
+
 def compact_table(
     spark: SparkSession,
     table_path: str,
@@ -37,12 +60,22 @@ def compact_table(
 
     At scale this is the periodic job that bounds file counts after
     streaming ingest; `maxRecordsPerFile` keeps the reference's row bound
-    (or a larger compaction target), the per-partition sort keeps key
-    order, and the rewrite is staged through a temp dir then swapped so a
-    failed compaction never corrupts the table.
+    (or a larger compaction target), and the per-partition sort keeps key
+    order. The rewrite is staged to ``.compact-tmp``, then swapped in via
+    two renames with :func:`recover_compaction` covering every crash
+    window — so a failed compaction is always recoverable, never silent
+    data loss.
+
+    Local-filesystem semantics only: the swap assumes POSIX rename and a
+    maintenance window (concurrent readers can observe the table missing
+    for the instant between the renames). On an object store this
+    operation is the Iceberg ``rewrite_data_files`` seam — a manifest
+    commit, not directory renames — via the TableFormat module.
     """
+    recover_compaction(table_path)
     target = target_rows_per_file or cfg.max_rows_per_file
-    tmp = table_path.rstrip("/") + ".compact-tmp"
+    base = table_path.rstrip("/")
+    tmp = base + ".compact-tmp"
     df = spark.read.format(cfg.table_format).load(table_path)
     (
         df.repartition(cfg.num_buckets, cfg.partition_column)
@@ -56,7 +89,7 @@ def compact_table(
     )
     import shutil
 
-    old = table_path.rstrip("/") + ".compact-old"
-    os.rename(table_path, old)
-    os.rename(tmp, table_path)
+    old = base + ".compact-old"
+    os.rename(base, old)
+    os.rename(tmp, base)
     shutil.rmtree(old)

@@ -22,6 +22,7 @@ onto one streaming query:
 from __future__ import annotations
 
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
@@ -49,6 +50,46 @@ def read_stream(
     raise ValueError(f"unsupported source format: {source_format}")
 
 
+def _commit_epoch(staging: str, output_path: str, epoch_id: int) -> None:
+    """Move a staged epoch into the table under epoch-keyed file names.
+
+    The idempotency protocol (the local-FS analog of a manifest commit;
+    on an object store this is the Iceberg-append seam):
+
+    1. the epoch is fully written to ``staging`` with the final layout;
+    2. per partition directory, any file from a previous attempt of THIS
+       epoch (``epoch-<id>-*``) is deleted — clearing partial commits;
+    3. staged files are moved in under deterministic ``epoch-<id>-<k>``
+       names.
+
+    A crash at any point leaves either deletable partials keyed to the
+    epoch or a completed commit; the checkpoint replays the same source
+    offsets into the same epoch id, so recovery converges to exactly one
+    copy of every record. Moves are metadata-only renames on a local FS —
+    the data bytes are written once, by the executors, in step 1.
+    """
+    prefix = f"epoch-{epoch_id:010d}-"
+    for part_dir in sorted(os.listdir(staging)):
+        src_dir = os.path.join(staging, part_dir)
+        if not os.path.isdir(src_dir) or part_dir.startswith(("_", ".")):
+            continue
+        dst_dir = os.path.join(output_path, part_dir)
+        os.makedirs(dst_dir, exist_ok=True)
+        for f in os.listdir(dst_dir):
+            if f.startswith(prefix):
+                os.remove(os.path.join(dst_dir, f))
+        data_files = sorted(
+            f for f in os.listdir(src_dir) if not f.startswith(("_", "."))
+        )
+        for k, f in enumerate(data_files):
+            suffix = f.split(".", 1)[1] if "." in f else "parquet"
+            os.replace(
+                os.path.join(src_dir, f),
+                os.path.join(dst_dir, f"{prefix}{k:05d}.{suffix}"),
+            )
+    shutil.rmtree(staging)
+
+
 def start_ingest_stream(
     df: DataFrame,
     output_path: str,
@@ -68,20 +109,26 @@ def start_ingest_stream(
 
     # Streaming plans can't sort, so the key-ordering op (#4, reference
     # main.go:51,79) runs inside foreachBatch: each micro-batch is a bounded
-    # DataFrame — the reference's flushed block — sorted and appended with
-    # the same layout as the batch path. foreachBatch + append is
-    # effectively-once here because each epoch writes distinct files.
+    # DataFrame — the reference's flushed block — sorted and written with
+    # the same layout as the batch path. foreachBatch alone is at-least-once
+    # (a crash between the write and the checkpoint offset commit replays
+    # the epoch with fresh file names), so each epoch is staged and then
+    # committed under epoch-keyed file names via _commit_epoch: a replayed
+    # epoch first deletes its own partial files, making the table state
+    # exactly-once once the stream recovers.
     def write_epoch(batch_df: DataFrame, epoch_id: int) -> None:
+        staging = output_path.rstrip("/") + ".epoch-staging"
         (
             batch_df.repartition(cfg.num_buckets, cfg.partition_column)
             .sortWithinPartitions(cfg.partition_column, cfg.key_column)
-            .write.mode("append")
+            .write.mode("overwrite")
             .option("maxRecordsPerFile", cfg.max_rows_per_file)
             .option("compression", cfg.compression)
             .partitionBy(cfg.partition_column)
             .format(cfg.table_format)
-            .save(output_path)
+            .save(staging)
         )
+        _commit_epoch(staging, output_path, epoch_id)
 
     return (
         out.writeStream.queryName(name)
@@ -98,8 +145,10 @@ def drain_and_stop(query: StreamingQuery) -> None:
 
     ``processAllAvailable()`` = drain source + flush all buffered state
     (the reference's CommitBlocks(true), main_test.go:86); ``stop()`` then
-    tears down. The checkpoint makes even unclean shutdown lossless —
-    the reference's contract, upgraded.
+    tears down. On unclean shutdown the checkpoint replays unacknowledged
+    epochs and the epoch-keyed commit (:func:`_commit_epoch`) makes the
+    replay idempotent — no loss, no duplicates once the stream recovers.
+    The reference loses open blocks on crash (no WAL; SURVEY.md §7.3).
     """
     query.processAllAvailable()
     query.stop()

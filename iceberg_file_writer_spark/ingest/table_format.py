@@ -1,26 +1,30 @@
 """TableFormat seam — Parquet today, Iceberg/Avro when jars are present.
 
-The reference writes snappy Avro object-container files in an
-"Iceberg-style" partitioned layout (reference main.go:47-54). This
-environment has neither the spark-avro datasource nor an Iceberg runtime
-jar (SURVEY.md §7.0), so the default is Hive-layout Parquet — the
-semantics under test (partitioned, key-sorted, row-bounded, compressed
-files) are format-independent. This module is the one place format
-capability is probed, so swapping formats never touches pipeline code.
+The reference reads Avro records and writes snappy Avro object-container
+files in an "Iceberg-style" partitioned layout (reference main.go:61-65,
+47-54). This environment has neither the spark-avro datasource nor an
+Iceberg runtime jar (SURVEY.md §7.0), so the default is Hive-layout
+Parquet — the semantics under test (partitioned, key-sorted, row-bounded,
+compressed files) are format-independent. This module is the one place
+format capability is probed, so swapping formats never touches pipeline
+code: ``read_source(..., source_format="avro")`` and
+``write_iceberg_table(...)`` light up as soon as the jars are on the
+classpath, and fail with the exact fix otherwise.
 """
 
 from __future__ import annotations
-
-from functools import lru_cache
 
 from pyspark.sql import SparkSession
 
 SUPPORTED_ALWAYS = ("parquet", "orc", "json", "csv")
 
+# applicationId -> probe results; a plain dict (not lru_cache on the session
+# object) so SparkSession instances aren't pinned by the cache.
+_PROBE_CACHE: dict[str, dict[str, bool]] = {}
 
-@lru_cache(maxsize=None)
-def available_formats(app_id: str) -> dict[str, bool]:
-    """Probe which writer formats the running session supports.
+
+def available_formats(spark: SparkSession) -> dict[str, bool]:
+    """Probe which reader/writer formats the running session supports.
 
     Probing must go through datasource *resolution*, not Class.forName —
     Spark 4 ships the avro classes in its jar but the module is still
@@ -28,8 +32,14 @@ def available_formats(app_id: str) -> dict[str, bool]:
     A read of a nonexistent path distinguishes the two failure modes:
     unsupported format fails at resolution ("Failed to find data
     source"), a supported one fails later at path listing.
+
+    Takes the session explicitly — ``getActiveSession()`` is None on
+    threads that didn't create the session, which would turn a missing-jar
+    condition into an AttributeError.
     """
-    spark = SparkSession.getActiveSession()
+    app_id = spark.sparkContext.applicationId
+    if app_id in _PROBE_CACHE:
+        return _PROBE_CACHE[app_id]
     out = {f: True for f in SUPPORTED_ALWAYS}
     for fmt in ("avro", "iceberg"):
         try:
@@ -38,6 +48,7 @@ def available_formats(app_id: str) -> dict[str, bool]:
         except Exception as e:  # noqa: BLE001
             msg = str(e)
             out[fmt] = "Failed to find data source" not in msg and "ClassNotFound" not in msg
+    _PROBE_CACHE[app_id] = out
     return out
 
 
@@ -46,14 +57,13 @@ def require_format(spark: SparkSession, fmt: str) -> str:
     fmt = fmt.lower()
     if fmt in SUPPORTED_ALWAYS:
         return fmt
-    formats = available_formats(spark.sparkContext.applicationId)
-    if formats.get(fmt):
+    if available_formats(spark).get(fmt):
         return fmt
     if fmt == "avro":
         raise RuntimeError(
-            "avro output needs the spark-avro module on the classpath "
+            "avro I/O needs the spark-avro module on the classpath "
             "(--packages org.apache.spark:spark-avro_2.13:<spark-version>); "
-            "falling back is intentional — pass table_format='parquet'"
+            "falling back is intentional — pass source_format/table_format='parquet'"
         )
     if fmt == "iceberg":
         raise RuntimeError(

@@ -96,7 +96,10 @@ def ngram_hash_sql(exprs: list[str]) -> str:
 
 # SimHash configuration.
 SIMHASH_BITS = 64
-SIMHASH_BANDS = 4  # 16 bits per band; equal-band candidates cover hamming<=3
+# 8 bands of 8 bits: by pigeonhole any pair with hamming <= 7 shares at
+# least one band, so candidate generation is complete for the hamming <= 7
+# range (pairs at exactly hamming 8 sharing no band are best-effort).
+SIMHASH_BANDS = 8
 
 
 def words(text: Column) -> Column:

@@ -17,13 +17,14 @@ Scale notes (100 TB posture):
 - Candidate generation explodes 16 bands (resp. 4) per doc and equi-joins
   on (band_idx, band_hash); verification touches only candidate pairs.
 - Inverted-index Jaccard joins docs on shared shingle hashes. Hot
-  shingles are the skew risk at scale; AQE skew-join splitting handles
-  moderate skew, and a stop-shingle cutoff (drop shingles in > X% of
-  docs) is the standard mitigation — not applied here to keep oracle
-  semantics simple.
+  shingles are the skew risk at scale, so a stop-shingle cutoff drops any
+  shingle appearing in > NGRAM_STOP_DF_FRAC of documents before the join
+  (applied identically in the oracle SQL, so the check stays exact). The
+  stop set is tiny by construction and broadcast for the anti-join; AQE
+  skew-join splitting handles residual moderate skew.
 - SimHash fingerprints are packed into two int64 words; hamming distance
-  is two XOR+popcounts, banding is 4×16-bit substrings (pigeonhole: any
-  pair with hamming ≤ 3 shares a band).
+  is two XOR+popcounts, banding is 8×8-bit substrings (pigeonhole: any
+  pair with hamming ≤ 7 shares a band; hamming-8 pairs are best-effort).
 """
 
 from __future__ import annotations
@@ -58,6 +59,11 @@ from iceberg_file_writer_spark.tables import load_tables
 MINHASH_JACCARD_THRESHOLD = 0.8
 NGRAM_JACCARD_THRESHOLD = 0.7
 NGRAM_N = 4
+# A shingle present in more than this fraction of all documents is a "stop
+# shingle": it carries no dedup signal and is the quadratic-blowup key in
+# the inverted-index join at 100 TB. Dropped before the join, identically
+# in Spark and the oracle.
+NGRAM_STOP_DF_FRAC = 0.5
 SIMHASH_MAX_HAMMING = 8
 _SIMHASH_BAND_WIDTH = SIMHASH_BITS // SIMHASH_BANDS
 
@@ -269,7 +275,12 @@ def minhash_lsh_near_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
 WITH wordx AS ({_WORDX_SQL}),
 shingle_x AS ({_shingle_x_sql(NGRAM_N)}),
-grams AS (SELECT DISTINCT doc_id, x FROM shingle_x),
+all_grams AS (SELECT DISTINCT doc_id, x FROM shingle_x),
+stop AS (
+  SELECT x FROM all_grams GROUP BY x
+  HAVING count(*) > (SELECT count(*) FROM documents) * {NGRAM_STOP_DF_FRAC}
+),
+grams AS (SELECT g.doc_id, g.x FROM all_grams g ANTI JOIN stop s ON g.x = s.x),
 sizes AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY doc_id),
 inter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
@@ -286,7 +297,21 @@ WHERE i.n_shared::DOUBLE / (za.sz + zb.sz - i.n_shared) >= {NGRAM_JACCARD_THRESH
     description=f"n-gram Jaccard near-dup via inverted-index join, ≥ {NGRAM_JACCARD_THRESHOLD}",
 )
 def ngram_jaccard_near_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    grams = _shingle_x_df(spark, sf_dir, NGRAM_N).distinct()
+    all_grams = _shingle_x_df(spark, sf_dir, NGRAM_N).distinct()
+    # Stop-shingle cutoff: the stop set (shingles in > NGRAM_STOP_DF_FRAC of
+    # docs) is at most 1/frac entries per distinct text pattern — tiny — so
+    # the anti-join is a broadcast, not a shuffle.
+    n_docs = load_tables(spark, sf_dir)["documents"].agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    stop = (
+        all_grams.groupBy("x")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .crossJoin(F.broadcast(n_docs))
+        .where(F.col("df") > F.col("n_docs") * NGRAM_STOP_DF_FRAC)
+        .select("x")
+    )
+    grams = all_grams.join(F.broadcast(stop), "x", "left_anti")
     sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     inter = (
         grams.alias("a")

@@ -172,3 +172,63 @@ def test_compaction_preserves_invariants(spark, fixture_input, tmp_path):
     compact_table(spark, out, cfg)
     _assert_invariants(out, n_rows, cfg)
     assert len(list_data_files(out)) <= n_before
+
+
+def test_compaction_crash_recovery(spark, fixture_input, tmp_path):
+    """Every compaction crash window is recoverable: stranded-at-old
+    (between the swap renames), stale .compact-old beside a live table,
+    and a torn .compact-tmp are all rolled forward/back on re-entry."""
+    import shutil
+
+    input_path, n_rows = fixture_input
+    out = str(tmp_path / "table")
+    cfg = IngestConfig()
+    ingest_batch(read_source(spark, input_path), out, cfg)
+
+    # crash window 1: between the two renames — table gone, data at .compact-old
+    os.rename(out, out + ".compact-old")
+    compact_table(spark, out, cfg)
+    _assert_invariants(out, n_rows, cfg)
+
+    # crash window 2: torn tmp + stale old beside a live table
+    os.makedirs(out + ".compact-tmp/junk", exist_ok=True)
+    shutil.copytree(out, out + ".compact-old")
+    compact_table(spark, out, cfg)
+    _assert_invariants(out, n_rows, cfg)
+    assert not os.path.exists(out + ".compact-old")
+    assert not os.path.exists(out + ".compact-tmp")
+
+
+def test_epoch_commit_is_replay_idempotent(spark, fixture_input, tmp_path):
+    """A replayed epoch (crash between write and checkpoint commit)
+    replaces its own files instead of duplicating rows."""
+    from pyspark.sql import functions as F
+
+    from iceberg_file_writer_spark.ingest.streaming import _commit_epoch
+
+    input_path, _ = fixture_input
+    out = str(tmp_path / "table")
+    os.makedirs(out, exist_ok=True)
+    df = read_source(spark, input_path).limit(500)
+
+    def stage(n_files: int) -> str:
+        staging = out + ".epoch-staging"
+        (
+            df.repartition(n_files)
+            .write.mode("overwrite")
+            .partitionBy("user_id")
+            .parquet(staging)
+        )
+        return staging
+
+    # first attempt of epoch 7 (more files), then the "replay" (fewer files)
+    _commit_epoch(stage(4), out, 7)
+    _commit_epoch(stage(2), out, 7)
+    # a different epoch's files are untouched by epoch 7's replay
+    _commit_epoch(stage(1), out, 8)
+
+    back = spark.read.parquet(out)
+    assert back.count() == 2 * 500  # one copy from epoch 7, one from epoch 8
+    names = [os.path.basename(p) for p in list_data_files(out)]
+    assert all(n.startswith("epoch-") for n in names)
+    assert not os.path.exists(out + ".epoch-staging")
