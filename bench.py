@@ -61,6 +61,17 @@ def main() -> None:
     # materialization of every output column with zero driver transfer, so
     # timings measure the plan, not a driver-side collect.
     queries = all_queries()
+
+    # Warm the streaming machinery once at the smallest SF: the first
+    # streaming query in a JVM pays ~15s of one-time initialization (state
+    # store providers, the Python stateful-processing server, sink commit
+    # paths) that is independent of data size and would otherwise be
+    # misattributed to whichever streaming entry runs first.
+    for warm_name in ("streaming_stateful_totals", "streaming_windowed_stats"):
+        if warm_name in queries:
+            queries[warm_name].fn(spark, "/root/testdata/sf0.001").write.format(
+                "noop"
+            ).mode("overwrite").save()
     corpus_times = []
     for name, q in sorted(queries.items()):
         best = float("inf")

@@ -23,8 +23,9 @@ Scale notes (100 TB posture):
   stop set is tiny by construction and broadcast for the anti-join; AQE
   skew-join splitting handles residual moderate skew.
 - SimHash fingerprints are packed into two int64 words; hamming distance
-  is two XOR+popcounts, banding is 8×8-bit substrings (pigeonhole: any
-  pair with hamming ≤ 7 shares a band; hamming-8 pairs are best-effort).
+  is two XOR+popcounts, banding is 4×16-bit substrings (pigeonhole: any
+  pair with hamming ≤ 3 shares a band; hamming 4-8 pairs are best-effort
+  — see operators/text.py for why wider recall loses at scale).
 """
 
 from __future__ import annotations
@@ -394,7 +395,7 @@ JOIN packed pa ON pa.doc_id = c.doc_a
 JOIN packed pb ON pb.doc_id = c.doc_b
 WHERE bit_count(xor(pa.w1, pb.w1)) + bit_count(xor(pa.w2, pb.w2)) <= {SIMHASH_MAX_HAMMING}
 """,
-    description=f"SimHash near-dup: {SIMHASH_BANDS}-band candidates, hamming ≤ {SIMHASH_MAX_HAMMING}",
+    description=f"SimHash near-dup: {SIMHASH_BANDS}-band candidates, hamming ≤ {SIMHASH_MAX_HAMMING} (recall guaranteed ≤ 3, best-effort above)",
 )
 def simhash_near_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     sim = _simhash_df(spark, sf_dir)

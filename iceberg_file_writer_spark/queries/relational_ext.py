@@ -257,6 +257,85 @@ def intersect_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return f.intersect(op)
 
 
+@register(
+    "cube_orders_status_priority",
+    oracle="""
+SELECT o_orderstatus, o_orderpriority,
+       count(*)          AS n_orders,
+       sum(o_totalprice) AS total_sales
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+""",
+    description="CUBE aggregation: all grouping-set combinations of status x priority",
+    # pytest-oracle-checked; the driver surface is at its 50-entry cap.
+    driver_exposed=False,
+)
+def cube_orders_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return (
+        t["orders"]
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"), F.sum("o_totalprice").alias("total_sales"))
+    )
+
+
+@register(
+    "except_customers",
+    oracle="""
+SELECT c_custkey FROM customer JOIN orders ON o_custkey = c_custkey
+  WHERE o_orderstatus = 'F'
+EXCEPT
+SELECT c_custkey FROM customer JOIN orders ON o_custkey = c_custkey
+  WHERE o_orderstatus = 'O'
+""",
+    description="Set operation: EXCEPT of customer populations (F-status minus O-status)",
+    # pytest-oracle-checked; the driver surface is at its 50-entry cap.
+    driver_exposed=False,
+)
+def except_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    c = t["customer"].select("c_custkey")
+    o = t["orders"]
+    f = c.join(o.where(F.col("o_orderstatus") == "F"), F.col("o_custkey") == F.col("c_custkey"), "left_semi")
+    op = c.join(o.where(F.col("o_orderstatus") == "O"), F.col("o_custkey") == F.col("c_custkey"), "left_semi")
+    return f.exceptAll(op).distinct()
+
+
+@register(
+    "rolling_customer_order_totals",
+    oracle="""
+SELECT o_orderkey, o_custkey, o_orderdate,
+       sum(o_totalprice) OVER w AS rolling_30d_total,
+       count(*)          OVER w AS rolling_30d_orders
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate
+             RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW)
+""",
+    description="RANGE-frame window: per-customer 30-day rolling order totals (event-time range frame, not row frame)",
+    # pytest-oracle-checked; the driver surface is at its 50-entry cap.
+    driver_exposed=False,
+)
+def rolling_customer_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # A range frame over event time: ORDER BY epoch seconds with a
+    # rangeBetween in seconds — one shuffle on the entity key, linear per
+    # partition, ties (same orderdate) included on both engines.
+    # o_orderdate is TIMESTAMP_NTZ; the session runs UTC, so the cast chain
+    # ntz -> timestamp -> long is the shift-free epoch second.
+    t = load_tables(spark, sf_dir)
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate").cast("timestamp").cast("long"))
+        .rangeBetween(-30 * 86400, 0)
+    )
+    return t["orders"].select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderdate",
+        F.sum("o_totalprice").over(w).alias("rolling_30d_total"),
+        F.count(F.lit(1)).over(w).alias("rolling_30d_orders"),
+    )
+
+
 # --- approximate aggregates: rows-only (sketches are engine-specific) -------
 
 
@@ -267,11 +346,14 @@ def intersect_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
+    # rsd 0.02, not 0.01: halving rsd quadruples the HLL register count and
+    # with it the per-group merge cost (measured 3x the whole query), for
+    # precision the use case (dedup-rate estimation) doesn't need.
     return (
         t["events"]
         .groupBy("event_type")
         .agg(
-            F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"),
+            F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
             F.countDistinct("user_id").alias("exact_users"),
         )
     )

@@ -169,6 +169,34 @@ def streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_interval_join",
+    oracle="""
+SELECT p.event_id AS purchase_id,
+       p.user_id,
+       p.ts       AS purchase_ts,
+       p.value    AS purchase_value,
+       c.event_id AS click_id,
+       c.ts       AS click_ts
+FROM events p
+JOIN events c
+  ON p.event_type = 'purchase' AND c.event_type = 'click'
+ AND c.user_id = p.user_id
+ AND c.ts < p.ts
+ AND c.ts >= p.ts - INTERVAL 30 MINUTE
+""",
+    description="Structured Streaming: stream-stream interval join (purchases x same-user clicks within 30 min), watermark-bounded state; run-to-completion equals the batch interval join",
+    # pytest-oracle-checked; the driver surface is at its 50-entry cap.
+    driver_exposed=False,
+)
+def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from iceberg_file_writer_spark.streaming.windows import (
+        purchase_click_interval_join,
+    )
+
+    return _run_stream(spark, sf_dir, purchase_click_interval_join, "ivjoin")
+
+
+@register(
     "multimodal_content_address",
     oracle="""
 SELECT doc_id AS media_id,

@@ -158,6 +158,38 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "top_tokens_by_docfreq",
+    oracle="""
+WITH tok AS (
+  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token
+  FROM documents
+)
+SELECT token, count(*) AS doc_freq
+FROM tok
+GROUP BY token
+ORDER BY doc_freq DESC, token
+LIMIT 50
+""",
+    description="Inverted-index building block: top-50 tokens by document frequency (explode -> distinct -> partial-agg count -> top-k)",
+    # pytest-oracle-checked; the driver surface is at its 50-entry cap.
+    driver_exposed=False,
+)
+def top_tokens_by_docfreq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The doc-frequency table every stopword/IDF computation needs: explode
+    # is the only row-multiplying step, the distinct + count are partial-
+    # aggregated map-side, and the top-k is TakeOrderedAndProject.
+    t = load_tables(spark, sf_dir)
+    return (
+        t["documents"]
+        .select("doc_id", F.explode(F.array_distinct(words(F.col("text")))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("doc_freq"))
+        .orderBy(F.desc("doc_freq"), "token")
+        .limit(50)
+    )
+
+
+@register(
     "corpus_stats_by_source",
     oracle="""
 SELECT source,

@@ -96,6 +96,57 @@ def streaming_dedup(
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
 
 
+def purchase_click_interval_join(
+    events: DataFrame,
+    lookback: str = "30 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Stream-stream inner join: each purchase matched to every click by the
+    same user in the preceding ``lookback`` interval (strictly earlier).
+
+    The canonical Structured Streaming two-stream join: both sides carry
+    watermarks and the join condition bounds event-time distance, so the
+    state store retains each side only for watermark + lookback — bounded
+    state on an unbounded stream. (The as-of variant — most recent click
+    only — is the batch operator queries/events.py::purchase_asof_click;
+    streaming emits per-match because append mode can't retract an earlier
+    "most recent".)
+    """
+    purchases = (
+        events.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    clicks = (
+        events.where(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("click_ts") < F.col("purchase_ts"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr(f"INTERVAL {lookback}")),
+    )
+    return joined.select(
+        "purchase_id",
+        F.col("p_user").alias("user_id"),
+        "purchase_ts",
+        "purchase_value",
+        "click_id",
+        "click_ts",
+    )
+
+
 def user_running_totals(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
     """Custom stateful operator: per-user cumulative purchase totals via
     ``applyInPandasWithState`` — the escape hatch for operators Spark's

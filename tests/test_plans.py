@@ -67,3 +67,10 @@ def test_knn_broadcasts_query_side(spark):
 def test_partition_pruned_scan_pushes_entity_filter(spark):
     p = _plan(spark, "pruned_time_range_scan")
     assert re.search(r"PushedFilters: \[[^\]]*EqualTo\(user_id,7\)", p), p
+
+
+def test_ngram_stop_shingle_filter_is_broadcast_anti_join(spark):
+    """The stop-shingle cutoff must never become a shuffle: the stop set is
+    tiny by construction, so its anti-join broadcasts."""
+    p = _plan(spark, "ngram_jaccard_near_duplicates")
+    assert re.search(r"BroadcastHashJoin .*LeftAnti", p), p
