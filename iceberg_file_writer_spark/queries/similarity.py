@@ -238,7 +238,11 @@ def embedding_near_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
     emb = _emb_cols(spark, sf_dir)
     keyed = t["embeddings"].select("vec_id", _srp_keys_udf()(F.col("embedding")).alias("tkeys"))
-    buckets = keyed.select("vec_id", F.posexplode("tkeys").alias("table_idx", "bucket_key"))
+    # cache(): both sides of the bucket self-join read the SRP keys; without
+    # it the pandas-UDF projection (the one Python stage) runs twice.
+    buckets = keyed.select(
+        "vec_id", F.posexplode("tkeys").alias("table_idx", "bucket_key")
+    ).cache()
     cands = (
         buckets.alias("a")
         .join(
