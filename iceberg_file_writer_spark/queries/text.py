@@ -190,6 +190,50 @@ def top_tokens_by_docfreq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "doc_ngrams_udtf",
+    oracle="""
+WITH g AS (
+  SELECT doc_id,
+         unnest(list_transform(range(len(w) - 2),
+                               i -> array_to_string(w[i+1:i+3], ' '))) AS gram
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+)
+SELECT doc_id,
+       count(*)             AS n_grams,
+       count(DISTINCT gram) AS n_distinct_grams
+FROM g
+GROUP BY doc_id
+""",
+    description="Python UDTF surface: LATERAL table function emitting sliding word 3-grams, aggregated per doc (API demonstration — the hot-path shingling stays in codegen, see dedup.py)",
+    # pytest-oracle-checked; the driver surface is at its 50-entry cap.
+    driver_exposed=False,
+)
+def doc_ngrams_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import udtf
+
+    # Defined inline so the class cloudpickles by value — no package import
+    # needed in the Python worker regardless of how the session launched.
+    @udtf(returnType="pos int, gram string")
+    class SlidingNGrams:
+        def eval(self, text: str, n: int):
+            ws = text.split(" ")
+            for i in range(len(ws) - n + 1):
+                yield i, " ".join(ws[i : i + n])
+
+    spark.udtf.register("sliding_ngrams", SlidingNGrams)
+    load_tables(spark, sf_dir)  # registers the documents temp view
+    return spark.sql(
+        """
+        SELECT doc_id,
+               count(*)             AS n_grams,
+               count(DISTINCT gram) AS n_distinct_grams
+        FROM documents, LATERAL sliding_ngrams(text, 3)
+        GROUP BY doc_id
+        """
+    )
+
+
+@register(
     "corpus_stats_by_source",
     oracle="""
 SELECT source,
