@@ -258,6 +258,71 @@ def intersect_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q13_customer_distribution",
+    oracle="""
+SELECT c_count, count(*) AS custdist
+FROM (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+  GROUP BY c_custkey
+)
+GROUP BY c_count
+""",
+    description="TPC-H Q13: LEFT OUTER join + order-count distribution (customers with zero orders kept)",
+    # pytest-oracle-checked; the driver surface is at its 50-entry cap.
+    driver_exposed=False,
+)
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    per_cust = (
+        t["customer"]
+        .select("c_custkey")
+        .join(
+            t["orders"].select("o_orderkey", "o_custkey"),
+            F.col("c_custkey") == F.col("o_custkey"),
+            "left_outer",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@register(
+    "daily_activity_full_outer",
+    oracle="""
+SELECT coalesce(od, ed)     AS day,
+       n_orders,
+       n_events
+FROM (SELECT date_trunc('day', o_orderdate)::TIMESTAMP AS od, count(*) AS n_orders
+      FROM orders GROUP BY 1) o
+FULL OUTER JOIN
+     (SELECT date_trunc('day', ts)::TIMESTAMP AS ed, count(*) AS n_events
+      FROM events GROUP BY 1) e
+  ON od = ed
+""",
+    description="FULL OUTER join: per-day order vs event activity, unmatched days kept from both sides",
+    # pytest-oracle-checked; the driver surface is at its 50-entry cap.
+    driver_exposed=False,
+)
+def daily_activity_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    o = (
+        t["orders"]
+        .groupBy(F.date_trunc("day", F.col("o_orderdate")).alias("od"))
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    e = (
+        t["events"]
+        .groupBy(F.date_trunc("day", F.col("ts")).alias("ed"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    return o.join(e, F.col("od") == F.col("ed"), "full_outer").select(
+        F.coalesce("od", "ed").alias("day"), "n_orders", "n_events"
+    )
+
+
+@register(
     "cube_orders_status_priority",
     oracle="""
 SELECT o_orderstatus, o_orderpriority,
