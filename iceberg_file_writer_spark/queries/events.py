@@ -80,6 +80,43 @@ def events_hourly_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_sliding_stats",
+    oracle="""
+WITH base AS (
+  SELECT (epoch_us(ts) // (1800 * 1000000)) * 1800 AS s1, event_type, value
+  FROM events
+), assigned AS (
+  SELECT unnest([s1, s1 - 1800]) AS s, event_type, value FROM base
+)
+SELECT TIMESTAMP '1970-01-01 00:00:00' + s * INTERVAL 1 SECOND AS window_start,
+       TIMESTAMP '1970-01-01 00:00:00' + (s + 3600) * INTERVAL 1 SECOND AS window_end,
+       event_type,
+       count(*)   AS n_events,
+       sum(value) AS total_value
+FROM assigned
+GROUP BY 1, 2, 3
+""",
+    description="Sliding windows: 1-hour window every 30 minutes — each event lands in exactly two overlapping windows (batch dual of the streaming slide)",
+    # pytest-oracle-checked; the driver surface is at its 50-entry cap.
+    driver_exposed=False,
+)
+def events_sliding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return (
+        t["events"]
+        .groupBy(F.window("ts", "1 hour", "30 minutes").alias("win"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("total_value"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@register(
     "user_sessions",
     oracle=f"""
 WITH ordered AS (
