@@ -159,8 +159,12 @@ def streaming_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "streaming_dedup_events",
-    oracle=None,
-    description="Structured Streaming: watermark-bounded exact dedup (dropDuplicatesWithinWatermark; rows-only: state eviction horizon is engine-specific)",
+    oracle="""
+SELECT event_id, ts, user_id, event_type, value, props
+FROM events
+QUALIFY row_number() OVER (PARTITION BY event_id ORDER BY ts, user_id) = 1
+""",
+    description="Structured Streaming: watermark-bounded exact dedup (dropDuplicatesWithinWatermark). Oracle = first occurrence per key, which the streaming result equals whenever duplicate pairs arrive within the watermark horizon — true of this corpus (keys are unique)",
 )
 def streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     from iceberg_file_writer_spark.streaming.windows import streaming_dedup
