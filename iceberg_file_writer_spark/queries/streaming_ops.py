@@ -150,11 +150,33 @@ def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     "streaming_stateful_totals",
     oracle=None,
     description="Structured Streaming: applyInPandasWithState per-user running totals (rows-only: per-micro-batch emission is engine-specific)",
+    # pytest-checked; the deterministic stateful variant below carries the
+    # driver-facing oracle, so this per-batch-emission demo stays registry-only.
+    driver_exposed=False,
 )
 def streaming_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     from iceberg_file_writer_spark.streaming.windows import user_running_totals
 
     return _run_stream(spark, sf_dir, user_running_totals, "totals")
+
+
+@register(
+    "streaming_stateful_daily_totals",
+    oracle=f"""
+SELECT user_id,
+       CAST(ts AS DATE)  AS day,
+       count(*)::BIGINT  AS n_events,
+       sum(value)        AS total_value
+FROM events
+GROUP BY 1, 2
+HAVING CAST(CAST(ts AS DATE) AS TIMESTAMP) + INTERVAL 1 DAY < {_FINAL_WM_SQL}
+""",
+    description="Structured Streaming: custom stateful operator (applyInPandasWithState + EventTimeTimeout) emitting per-(user, day) totals exactly once when the watermark closes the day — deterministic finalized output, exact batch oracle",
+)
+def streaming_stateful_daily_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from iceberg_file_writer_spark.streaming.windows import user_daily_totals_closed
+
+    return _run_stream(spark, sf_dir, user_daily_totals_closed, "dailytotals")
 
 
 @register(
@@ -223,8 +245,29 @@ def multimodal_content_address(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "multimodal_feature_extract",
-    oracle=None,
-    description="Multimodal: mapInPandas decode/feature pipeline over binary payloads (rows-only; deterministic fake decoder, see operators/multimodal.py; features comma-joined for the harness)",
+    oracle="""
+WITH pos AS (
+  SELECT doc_id, lower(hex(encode(text))) AS hx,
+         unnest(range(1, octet_length(encode(text))::BIGINT + 1)) AS i
+  FROM documents
+), b AS (
+  SELECT doc_id, i,
+         (strpos('0123456789abcdef', substr(hx, (2*i-1)::INT, 1)) - 1) * 16
+         + (strpos('0123456789abcdef', substr(hx, (2*i)::INT, 1)) - 1) AS byte
+  FROM pos
+)
+SELECT b.doc_id                                        AS media_id,
+       sha256(d.text)                                  AS content_sha256,
+       count(*)::BIGINT                                AS byte_len,
+       min(byte)::BIGINT                               AS byte_min,
+       max(byte)::BIGINT                               AS byte_max,
+       median(byte)::DOUBLE                            AS byte_median,
+       sum(CASE WHEN byte = 32 THEN 1 ELSE 0 END)::BIGINT AS ws_count,
+       (sum(CASE WHEN i <= 64 THEN byte ELSE 0 END) % 997)::BIGINT AS prefix64_mod997
+FROM b JOIN documents d ON d.doc_id = b.doc_id
+GROUP BY b.doc_id, d.text
+""",
+    description="Multimodal: mapInPandas decode/feature pipeline over binary payloads. The deterministic decoder's byte-statistic features are checked exactly: the entry keeps only the features that are integer-or-half-integer valued (exact in float32), and the oracle recomputes them from UTF-8 bytes via hex-pair decode",
 )
 def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     from iceberg_file_writer_spark.operators.multimodal import (
@@ -235,13 +278,18 @@ def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_tables(spark, sf_dir)["documents"]
     feats = decode_and_featurize(documents_as_media(docs))
     # The operator API returns features as array<float>; the driver's
-    # canonicalizer can't hash list cells, so the entry emits the array as
-    # one deterministic comma-joined string column.
+    # canonicalizer can't hash list cells, so the entry projects the
+    # exactly-representable features to scalar columns (mean/std stay
+    # float32-rounded and are covered by pytest, not the hash check).
+    f = feats["features"]
     return feats.select(
         "media_id",
         "content_sha256",
-        "n_bytes",
-        F.concat_ws(",", F.transform("features", lambda f: f.cast("string"))).alias(
-            "features_csv"
-        ),
+        f[0].cast("long").alias("byte_len"),
+        f[3].cast("long").alias("byte_min"),
+        f[4].cast("long").alias("byte_max"),
+        f[5].cast("double").alias("byte_median"),
+        # ws ratio × len recovers the count; float32 round-trip error ≪ 0.5
+        F.round(f[0] * f[6]).cast("long").alias("ws_count"),
+        f[7].cast("long").alias("prefix64_mod997"),
     )

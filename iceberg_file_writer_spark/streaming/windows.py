@@ -198,3 +198,62 @@ def user_running_totals(events: DataFrame, watermark: str = "10 minutes") -> Dat
             update, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
         )
     )
+
+
+def user_daily_totals_closed(
+    events: DataFrame, watermark: str = "10 minutes"
+) -> DataFrame:
+    """Custom stateful operator with *deterministic* run-to-completion
+    output: per-(user, day) totals emitted only when the event-time
+    watermark closes the day.
+
+    ``applyInPandasWithState`` + ``EventTimeTimeout``: state for a
+    (user_id, day) group accumulates across micro-batches and is emitted
+    exactly once — on the timeout that fires when the watermark passes the
+    day's end — then removed. Days the final watermark never passes are
+    never emitted, so the output is a pure function of the data
+    (finalized groups), not of micro-batch boundaries: the shape that
+    gives a custom stateful operator an exact batch oracle. State is
+    bounded by the watermark horizon (one open day per active user).
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = "user_id bigint, day date, n_events bigint, total_value double"
+    state_schema = "n_events bigint, total_value double"
+    day_ms = 24 * 3600 * 1000
+
+    def update(key, pdf_iter, state):
+        import pandas as pd
+
+        user_id, day = key
+        if state.hasTimedOut:
+            n, v = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id],
+                    "day": [day],
+                    "n_events": [n],
+                    "total_value": [v],
+                }
+            )
+            return
+        n, v = state.get if state.exists else (0, 0.0)
+        for pdf in pdf_iter:
+            n += len(pdf)
+            v += float(pdf["value"].sum())
+        state.update((n, v))
+        # fire when the watermark passes local midnight at the day's end
+        day_end_ms = (pd.Timestamp(day).value // 1_000_000) + day_ms
+        state.setTimeoutTimestamp(day_end_ms)
+
+    return (
+        events.withWatermark("ts", watermark)
+        # applyInPandasWithState resolves grouping keys by name post-analysis,
+        # so the derived key must be a materialized column, not a groupBy alias
+        .withColumn("day", F.to_date("ts"))
+        .groupBy("user_id", "day")
+        .applyInPandasWithState(
+            update, out_schema, state_schema, "append", GroupStateTimeout.EventTimeTimeout
+        )
+    )
