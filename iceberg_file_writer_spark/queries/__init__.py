@@ -63,6 +63,7 @@ def _import_all() -> None:
         similarity,
         streaming_ops,
         text,
+        tpch_more,
     )
 
 
