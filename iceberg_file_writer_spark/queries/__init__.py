@@ -60,6 +60,7 @@ def _import_all() -> None:
         events,
         relational,
         relational_ext,
+        sampling,
         similarity,
         streaming_ops,
         text,

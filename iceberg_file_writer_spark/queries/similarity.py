@@ -348,7 +348,11 @@ def ivf_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     (or PQ) coarse quantizer plugs in — the cell-assign/probe/verify
     pipeline is unchanged.
     """
-    emb = _emb_cols(spark, sf_dir)
+    # cache(): the unpacked column-block relation feeds five plan branches
+    # (centroids, assignment, probes, query side, neighbor side) — without
+    # it each branch re-scans and re-unpacks the parquet (measured 1.5-2 s
+    # of the query's ~6 s at sf0.1)
+    emb = _emb_cols(spark, sf_dir).cache()
     n = emb.count()
     stride = max(1, n // N_CENTROIDS)
     cents = _rename(
