@@ -265,6 +265,9 @@ def event_props_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "user_event_gaps",
+    # lag-window coverage is carried by the richer user_sessions entry;
+    # ceded its driver slot to the round-2 operator classes (50-entry cap)
+    driver_exposed=False,
     oracle="""
 WITH gaps AS (
   SELECT user_id,

@@ -273,6 +273,9 @@ def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "suppliers_with_shipments",
+    # semi-join coverage is carried by q4 (EXISTS form); ceded its driver
+    # slot to the round-2 operator classes (50-entry cap)
+    driver_exposed=False,
     oracle="""
 SELECT s_suppkey, s_name, s_acctbal
 FROM supplier s

@@ -159,6 +159,9 @@ def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q19_brand_filters",
+    # filter+scalar-agg coverage is carried by q6/q14; ceded its driver
+    # slot to the round-2 operator classes (50-entry cap)
+    driver_exposed=False,
     oracle="""
 SELECT sum(l_extendedprice * (1 - l_discount)) AS revenue,
        count(*) AS n_items
@@ -213,6 +216,9 @@ def supplier_above_nation_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "monthly_order_rollup",
+    # rollup coverage is carried by rollup_sales_by_region_nation; ceded
+    # its driver slot to the round-2 operator classes (50-entry cap)
+    driver_exposed=False,
     oracle="""
 SELECT year(o_orderdate)  AS o_year,
        month(o_orderdate) AS o_month,

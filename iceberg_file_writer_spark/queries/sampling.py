@@ -83,7 +83,6 @@ WHERE {_duck_hash_bucket("doc_id")} < {_rate_case_sql()}
         "doc vs per-language keep rate (en 40%, de/fr/es 80%, zh 100%) — "
         "reproducible across engines, runs, and cluster sizes"
     ),
-    driver_exposed=False,
 )
 def doc_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)

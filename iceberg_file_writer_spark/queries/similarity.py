@@ -332,8 +332,6 @@ SELECT query_id, neighbor_id, cosine_sim, rk FROM (
         "replicates the IVF algorithm itself — assignment, probing, and "
         "ranking — not a brute-force stand-in"
     ),
-    # pytest-oracle-checked; the driver surface is at its 50-entry cap.
-    driver_exposed=False,
 )
 def ivf_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inverted-file ANN over the embeddings table.
@@ -388,7 +386,10 @@ def ivf_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     cand = (
-        probes.join(assign, "cent_id")
+        # probes is Q x NPROBE rows but sits behind a window over a cross
+        # join, so Catalyst can't see it's tiny — broadcast explicitly or
+        # the cell-id equi-join falls back to sort-merge
+        F.broadcast(probes).join(assign, "cent_id")
         .where(F.col("vec_id") != F.col("query_id"))
         .select("query_id", F.col("vec_id").alias("neighbor_id"))
     )

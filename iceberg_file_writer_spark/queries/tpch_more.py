@@ -315,7 +315,6 @@ JOIN revenue ON s_suppkey = supplier_no
 WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
 """,
     description="TPC-H Q15: quarterly top supplier via scalar max subquery",
-    driver_exposed=False,
 )
 def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
@@ -390,7 +389,6 @@ WHERE p_brand = 'Brand#23'
         "TPC-H Q17: small-quantity order revenue, correlated per-part avg "
         "subquery as a pre-aggregated broadcast join"
     ),
-    driver_exposed=False,
 )
 def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)

@@ -74,3 +74,57 @@ def test_ngram_stop_shingle_filter_is_broadcast_anti_join(spark):
     tiny by construction, so its anti-join broadcasts."""
     p = _plan(spark, "ngram_jaccard_near_duplicates")
     assert re.search(r"BroadcastHashJoin .*LeftAnti", p), p
+
+
+@pytest.mark.parametrize(
+    "name,min_broadcasts",
+    [
+        ("q2_min_cost_supplier", 2),   # part + EUROPE-supplier dims
+        ("q8_market_share", 2),        # part filter + supplier-nation dim
+        ("q9_product_type_profit", 2), # red-parts semi + supplier-nation dim
+        ("q17_small_quantity_revenue", 2),  # brand semi + per-part avg join
+        ("q20_part_promotion_suppliers", 2),  # nation dim + movers semi
+    ],
+)
+def test_tpch_more_dims_broadcast(spark, name, min_broadcasts):
+    """The adapted TPC-H corpus keeps every dimension/derived-small side
+    broadcast: the lineitem scan must never shuffle for them."""
+    p = _plan(spark, name)
+    assert p.count("BroadcastHashJoin") >= min_broadcasts, p
+    assert "SortMergeJoin" not in p, f"{name} fell back to sort-merge:\n{p}"
+
+
+@pytest.mark.parametrize("name", ["q11_important_parts", "q15_top_supplier"])
+def test_scalar_subquery_threshold_is_broadcast(spark, name):
+    """The scalar-subquery threshold (0.2% of total / max revenue) must be
+    computed once and broadcast against the aggregate — not recomputed per
+    row or joined with a shuffle."""
+    p = _plan(spark, name)
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p, p
+    assert "SortMergeJoin" not in p, p
+
+
+def test_ivf_probe_join_is_not_all_pairs(spark):
+    """IVF candidates come from an equi-join on cell id (probes x
+    assignment); only the tiny N x K centroid scoring may be a broadcast
+    nested loop. A CartesianProduct anywhere means the index degenerated
+    to brute force."""
+    p = _plan(spark, "ivf_knn_cosine")
+    assert "CartesianProduct" not in p, p
+    assert "SortMergeJoin" not in p, p
+
+
+def test_uniform_ksample_avoids_full_sort(spark):
+    """The fixed-k hash draw must run as TakeOrderedAndProject (per-
+    partition heaps), never a global sort of the corpus."""
+    p = _plan(spark, "doc_uniform_ksample")
+    assert "TakeOrderedAndProject" in p, p
+    assert not re.search(r"\bSort \[", p), p
+
+
+def test_stratified_sample_filter_stays_jvm_side(spark):
+    """The salted-hash keep decision is a pure column expression: no
+    Python/Arrow eval nodes, no shuffle — one scan, one filter."""
+    p = _plan(spark, "doc_stratified_sample")
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p, p
+    assert "Exchange" not in p, p
