@@ -259,3 +259,54 @@ def corpus_stats_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct(F.md5("text")).alias("n_distinct_texts"),
         )
     )
+
+
+CHUNK_SIZE = 32
+CHUNK_STEP = 24  # = CHUNK_SIZE - 8 token overlap between consecutive chunks
+
+
+@register(
+    "doc_token_chunks",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+), starts AS (
+  SELECT doc_id, tk, unnest(range(0, greatest(len(tk), 1), {CHUNK_STEP})) AS s
+  FROM toks
+)
+SELECT doc_id,
+       (s / {CHUNK_STEP})::BIGINT AS chunk_idx,
+       array_to_string(list_slice(tk, s + 1, s + {CHUNK_SIZE}), ' ') AS chunk_text,
+       least({CHUNK_SIZE}, len(tk) - s)::BIGINT AS n_tokens
+FROM starts
+""",
+    description=(
+        f"Document chunking: overlapping {CHUNK_SIZE}-token windows every "
+        f"{CHUNK_STEP} tokens (8-token overlap) — the training-data "
+        "pre-tokenization split, as JVM-side array expressions"
+    ),
+    # pytest-oracle-checked; the driver surface is at its 50-entry cap.
+    driver_exposed=False,
+)
+def doc_token_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split each document into fixed-size overlapping token windows.
+
+    Scale shape: one scan, zero shuffles, zero Python — split/sequence/
+    posexplode/slice/array_join are all codegen'd column expressions, and
+    output rows stay co-partitioned with their input split, so a
+    downstream per-chunk tokenizer or embedder starts from a clean
+    narrow dependency.
+    """
+    t = load_tables(spark, sf_dir)
+    tk = F.split(F.col("text"), " ")
+    starts = F.sequence(F.lit(0), F.greatest(F.size(tk) - 1, F.lit(0)), F.lit(CHUNK_STEP))
+    return (
+        t["documents"]
+        .select("doc_id", tk.alias("tk"), F.posexplode(starts).alias("pos", "s"))
+        .select(
+            "doc_id",
+            F.col("pos").cast("long").alias("chunk_idx"),
+            F.array_join(F.slice("tk", F.col("s") + 1, CHUNK_SIZE), " ").alias("chunk_text"),
+            F.least(F.lit(CHUNK_SIZE), F.size("tk") - F.col("s")).cast("long").alias("n_tokens"),
+        )
+    )
