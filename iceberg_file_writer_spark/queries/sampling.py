@@ -19,8 +19,9 @@ groupBy. The fixed-k draw is a global top-k on the hash — Spark executes
 orderBy+limit as TakeOrderedAndProject (per-partition heaps + driver
 merge of k), not a full sort.
 
-Registered with ``driver_exposed=False``: the driver's 50-entry surface
-is at its cap; these are benched and pytest-oracle-checked.
+The stratified sample holds a slot in the driver's capped 50-entry
+surface (it carries the sampling class's correctness row); the rest are
+benched and pytest-oracle-checked via the full registry.
 """
 
 from __future__ import annotations
@@ -160,4 +161,81 @@ def doc_uniform_ksample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("hb", "doc_id")
         .limit(KSAMPLE_K)
         .select("doc_id", "lang", "source")
+    )
+
+
+MIN_WORDS = 20
+MIN_UNIQ_RATIO = 0.35
+
+
+@register(
+    "corpus_curation_pipeline",
+    oracle=f"""
+WITH dedup AS (
+  SELECT doc_id, text, lang, source FROM (
+    SELECT doc_id, text, lang, source,
+           min(doc_id) OVER (PARTITION BY md5(text)) AS keeper
+    FROM documents
+  ) WHERE doc_id = keeper
+), scored AS (
+  SELECT doc_id, lang, source,
+         len(string_split(text, ' ')) AS n_words,
+         len(list_distinct(string_split(text, ' ')))::DOUBLE
+           / len(string_split(text, ' ')) AS uniq_ratio
+  FROM dedup
+), kept AS (
+  SELECT * FROM scored
+  WHERE n_words >= {MIN_WORDS}
+    AND uniq_ratio >= {MIN_UNIQ_RATIO}
+    AND {_duck_hash_bucket("doc_id")} < {_rate_case_sql()}
+)
+SELECT source, lang,
+       count(*)      AS n_docs,
+       sum(n_words)  AS total_words
+FROM kept
+GROUP BY source, lang
+""",
+    description=(
+        "End-to-end corpus curation: exact-dedup survivors -> quality "
+        f"filter (>= {MIN_WORDS} words, uniq ratio >= {MIN_UNIQ_RATIO}) -> "
+        "language-stratified hash sample -> per-(source, lang) stats — the "
+        "composed pipeline a training-data run executes, as one plan"
+    ),
+    # pytest-oracle-checked; the driver surface is at its 50-entry cap.
+    driver_exposed=False,
+)
+def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup -> quality -> sample -> stats, declared as one DataFrame plan.
+
+    Scale shape: a single shuffle on the content digest (dedup window);
+    everything after is per-row column algebra (quality + hash decisions,
+    codegen'd) feeding a partial-agg'd groupBy. Catalyst fuses the
+    post-dedup stages into one pass — composing the operators costs no
+    extra scans or shuffles over running dedup alone.
+    """
+    t = load_tables(spark, sf_dir)
+    from pyspark.sql import Window
+
+    keeper = F.min("doc_id").over(Window.partitionBy(F.md5("text")))
+    survivors = (
+        t["documents"]
+        .withColumn("keeper", keeper)
+        .where(F.col("doc_id") == F.col("keeper"))
+    )
+    ws = F.split(F.col("text"), " ")
+    scored = survivors.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.size(ws).cast("long").alias("n_words"),
+        (F.size(F.array_distinct(ws)).cast("double") / F.size(ws)).alias("uniq_ratio"),
+    )
+    kept = scored.where(
+        (F.col("n_words") >= MIN_WORDS)
+        & (F.col("uniq_ratio") >= MIN_UNIQ_RATIO)
+        & (_spark_hash_bucket(F.col("doc_id")) < _rate_case_spark())
+    )
+    return kept.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_words").alias("total_words"),
     )
