@@ -37,6 +37,16 @@ from iceberg_file_writer_spark.tables import load_tables, table_path
 WATERMARK = "10 minutes"
 _FINAL_WM_SQL = "(SELECT max(ts) - INTERVAL 10 MINUTE FROM events)"
 
+# Streaming state partition count for the run-to-completion entries. The
+# number of state-store instances (and their per-batch snapshot/commit
+# constant cost) is fixed at query start from spark.sql.shuffle.partitions;
+# at this corpus's state volume (~10^4-10^5 keys) 8 partitions measures
+# 1.6-2.6x faster than 32 (and ~vs the plain-session default 200, far
+# more), with identical results. Size this UP with state volume at scale —
+# the right number is state_rows / O(10^6), not the session's join/agg
+# shuffle parallelism.
+STREAM_STATE_PARTITIONS = 8
+
 
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the sf_dir events parquet, in place.
@@ -72,17 +82,22 @@ def _run_stream(spark: SparkSession, sf_dir: str, transform, name: str) -> DataF
     out_df = transform(_events_stream(spark, sf_dir))
     sink = tempfile.mkdtemp(prefix=f"stream-sink-{name}-")
     ckpt = tempfile.mkdtemp(prefix=f"stream-ckpt-{name}-")
-    q = (
-        out_df.writeStream.format("parquet")
-        .option("path", sink)
-        .option("checkpointLocation", ckpt)
-        .outputMode("append")
-        .start()
-    )
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(STREAM_STATE_PARTITIONS))
     try:
-        q.processAllAvailable()
+        q = (
+            out_df.writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     finally:
-        q.stop()
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return spark.read.schema(out_df.schema).parquet(sink)
 
 
