@@ -128,3 +128,22 @@ def test_stratified_sample_filter_stays_jvm_side(spark):
     p = _plan(spark, "doc_stratified_sample")
     assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p, p
     assert "Exchange" not in p, p
+
+
+def test_chunking_is_one_scan_no_shuffle(spark):
+    """Chunking is split/sequence/posexplode/slice column algebra: chunks
+    stay co-partitioned with their input split — no Exchange, no Python."""
+    p = _plan(spark, "doc_token_chunks")
+    assert "Exchange" not in p, p
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p, p
+
+
+def test_curation_pipeline_shuffles_once_before_agg(spark):
+    """Dedup -> quality -> sample -> stats as ONE plan: exactly the dedup
+    window's hash-partition exchange plus the final aggregation exchange —
+    composing the stages must not add scans or shuffles."""
+    p = _plan(spark, "corpus_curation_pipeline")
+    assert len(re.findall(r"\(\d+\) Exchange", p)) <= 2, p
+    # node-detail section lists each operator once; the tree duplicates it
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1, p
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p, p
