@@ -306,11 +306,17 @@ WHERE i.n_shared::DOUBLE / (za.sz + zb.sz - i.n_shared) >= {NGRAM_JACCARD_THRESH
     description=f"n-gram Jaccard near-dup via inverted-index join, ≥ {NGRAM_JACCARD_THRESHOLD}",
 )
 def ngram_jaccard_near_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # No cache() here, unlike minhash/simhash: the gram table's consumers
-    # join on x, and caching measured 2.4x SLOWER at sf0.1 — the identical
-    # self-join branches already share work via exchange reuse, which an
-    # InMemoryTableScan displaces.
-    all_grams = _shingle_x_df(spark, sf_dir, NGRAM_N).distinct()
+    # cache() at the distinct-gram table: the stop-shingle docfreq pass
+    # added a 4th consumer (stop agg + sizes + both self-join sides), and
+    # without the cache Spark plans the full shingling pipeline once per
+    # branch (12 parquet scans, no exchange reuse — measured round 3).
+    # Round-1's "caching is 2.4x slower" predates the docfreq pass; the
+    # round-3 same-session A/B reads cached 2.20s vs uncached 2.43s at
+    # sf0.1. (A Window.partitionBy(x) docfreq measured faster still, 1.64s,
+    # but is NOT 100 TB-safe: it shuffles every posting of a hot stop
+    # shingle to one task before the filter — the groupBy here partial-
+    # aggregates map-side, so the hot key never ships its postings.)
+    all_grams = _shingle_x_df(spark, sf_dir, NGRAM_N).distinct().cache()
     # Stop-shingle cutoff: the stop set (shingles in > NGRAM_STOP_DF_FRAC of
     # docs) is at most 1/frac entries per distinct text pattern — tiny — so
     # the anti-join is a broadcast, not a shuffle.
