@@ -92,6 +92,108 @@ def test_stream_respects_backpressure_cap(spark, json_input, tmp_path):
     assert len(batches) >= N_ROWS // 100
 
 
+def _mk_files(d, sizes, prefix="f"):
+    paths = []
+    for i, n in enumerate(sizes):
+        p = os.path.join(d, f"{prefix}-{i}.json")
+        with open(p, "w") as f:
+            for j in range(n):
+                f.write(json.dumps({"timestamp": j, "user_id": f"u{j}"}) + "\n")
+        paths.append(p)
+    return paths
+
+
+def test_offset_discovery_reads_only_new_bytes(tmp_path):
+    """latestOffset must be O(appended data): size-unchanged files are
+    never opened, and a grown file is read only from its stored byte
+    offset (the scale contract for a long-running ingest directory)."""
+    from iceberg_file_writer_spark.sources.location_stream import _LocationStreamReader
+
+    d = str(tmp_path)
+    paths = _mk_files(d, [50, 80, 30])
+    r = _LocationStreamReader(LOCATION_SCHEMA, {"path": d, "maxrecordsperbatch": "10000"})
+    assert r.latestOffset() == {"files": {paths[0]: 50, paths[1]: 80, paths[2]: 30}}
+    opens0, bytes0 = r.scan_opens, r.scan_bytes
+    assert opens0 == 3 and bytes0 == sum(os.path.getsize(p) for p in paths)
+
+    # no growth -> zero file opens, zero bytes read
+    r.latestOffset()
+    assert (r.scan_opens, r.scan_bytes) == (opens0, bytes0)
+
+    # grow ONE file -> exactly one open, exactly the appended bytes
+    appended = b""
+    with open(paths[1], "ab") as f:
+        for j in range(7):
+            line = (json.dumps({"timestamp": 80 + j, "user_id": "ux"}) + "\n").encode()
+            f.write(line)
+            appended += line
+    assert r.latestOffset()["files"][paths[1]] == 87
+    assert r.scan_opens == opens0 + 1
+    assert r.scan_bytes == bytes0 + len(appended)
+
+
+def test_offset_discovery_partial_tail_not_lost(tmp_path):
+    """A record mid-append (no trailing newline) is counted like a full
+    line — matching a naive count — and re-examined once completed, so
+    its remainder is never skipped by the byte-offset resume."""
+    from iceberg_file_writer_spark.sources.location_stream import _LocationStreamReader
+
+    d = str(tmp_path)
+    (p,) = _mk_files(d, [10])
+    with open(p, "ab") as f:
+        f.write(b'{"timestamp": 10, "user_')  # partial record
+    r = _LocationStreamReader(LOCATION_SCHEMA, {"path": d, "maxrecordsperbatch": "10000"})
+    assert r.latestOffset()["files"][p] == 11
+    with open(p, "ab") as f:
+        f.write(b'id": "u10"}\n')  # completed + terminated
+    assert r.latestOffset()["files"][p] == 11  # still 11 lines, all whole
+    # the completed line decodes correctly from the stored resume offset
+    rows = list(r.read(r.partitions({"files": {p: 10}}, {"files": {p: 11}})[0]))
+    assert rows[0][-1] == "u10"
+
+
+def test_partitions_carry_seek_anchors(tmp_path):
+    """Slices over consumed ranges seek to the nearest scan anchor instead
+    of re-reading the file prefix, and decode identically."""
+    from iceberg_file_writer_spark.sources.location_stream import (
+        _LocationStreamReader,
+        _decode_lines,
+    )
+
+    d = str(tmp_path)
+    (p,) = _mk_files(d, [100])
+    r = _LocationStreamReader(LOCATION_SCHEMA, {"path": d, "maxrecordsperbatch": "10000"})
+    r.latestOffset()
+    with open(p, "a") as f:
+        for j in range(100, 140):
+            f.write(json.dumps({"timestamp": j, "user_id": f"u{j}"}) + "\n")
+    r.latestOffset()
+    (part,) = r.partitions({"files": {p: 100}}, {"files": {p: 140}})
+    assert part.anchor_line == 100 and part.anchor_byte > 0
+    hinted = list(r.read(part))
+    plain = list(_decode_lines(p, 100, 140, LOCATION_SCHEMA))
+    assert hinted == plain and len(hinted) == 40
+    # commit prunes anchors strictly below the committed position
+    r.commit({"files": {p: 140}})
+    assert all(a[0] >= 100 for a in r._anchors[p])
+
+
+def test_restart_applies_budget_on_top_of_committed_offset(tmp_path):
+    """After a restart the reader's in-memory position is empty; the first
+    partitions() call must seed it from the engine's committed start so
+    the very next trigger advances past it (not ceil(committed/max)
+    empty triggers re-announcing from zero)."""
+    from iceberg_file_writer_spark.sources.location_stream import _LocationStreamReader
+
+    d = str(tmp_path)
+    (p,) = _mk_files(d, [500])
+    fresh = _LocationStreamReader(LOCATION_SCHEMA, {"path": d, "maxrecordsperbatch": "100"})
+    end1 = fresh.latestOffset()  # capped: announces 100 < committed 300
+    assert end1["files"][p] == 100
+    assert fresh.partitions({"files": {p: 300}}, end1) == []  # nothing new...
+    assert fresh.latestOffset()["files"][p] == 400  # ...but budget now stacks on 300
+
+
 def test_stream_ingests_through_standard_pipeline(spark, json_input, tmp_path):
     """The custom source composes with ops #3-#9 unchanged: partitioned,
     sorted, bounded, epoch-committed table out the other end."""
