@@ -62,16 +62,28 @@ def main() -> None:
     # timings measure the plan, not a driver-side collect.
     queries = all_queries()
 
-    # Warm the streaming machinery once at the smallest SF: the first
-    # streaming query in a JVM pays ~15s of one-time initialization (state
-    # store providers, the Python stateful-processing server, sink commit
-    # paths) that is independent of data size and would otherwise be
-    # misattributed to whichever streaming entry runs first.
+    # Warm the streaming machinery once at the smallest available SF: the
+    # first streaming query in a JVM pays ~15s of one-time initialization
+    # (state store providers, the Python stateful-processing server, sink
+    # commit paths) that is independent of data size and would otherwise be
+    # misattributed to whichever streaming entry runs first. The warm-up
+    # corpus is derived from the benched sf_dir (smallest sibling sf* dir),
+    # falling back to sf_dir itself, so a relocated data root still warms.
+    candidates = sorted(
+        d
+        for d in (
+            os.path.join(os.path.dirname(sf_dir.rstrip("/")), n)
+            for n in os.listdir(os.path.dirname(sf_dir.rstrip("/")) or ".")
+            if n.startswith("sf")
+        )
+        if os.path.isdir(d)
+    )
+    warm_dir = candidates[0] if candidates else sf_dir
     for warm_name in ("streaming_stateful_totals", "streaming_windowed_stats"):
         if warm_name in queries:
-            queries[warm_name].fn(spark, "/root/testdata/sf0.001").write.format(
-                "noop"
-            ).mode("overwrite").save()
+            queries[warm_name].fn(spark, warm_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
     # Headline total/geomean cover the driver-exposed surface (the corpus
     # BASELINE.md anchored); registry-only extras are timed and reported
     # per-query but kept out of the headline so corpus growth across
