@@ -152,7 +152,14 @@ def write_iceberg_table(
         .sortWithinPartitions(cfg.partition_column, cfg.key_column)
     )
     (
+        # .using("iceberg"): require_format only proves the jar is on the
+        # classpath; without an explicit provider a table identifier that
+        # resolves to a non-Iceberg catalog (e.g. spark_catalog) would
+        # silently create a table with the session default provider
+        # (parquet). Pinning the provider makes that misconfiguration fail
+        # loudly instead.
         out.writeTo(table_identifier)
+        .using("iceberg")
         .partitionedBy(col(cfg.partition_column))
         .tableProperty("write.format.default", "parquet")
         .tableProperty("write.parquet.compression-codec", cfg.compression)

@@ -21,6 +21,7 @@ onto one streaming query:
 
 from __future__ import annotations
 
+import hashlib
 import os
 import shutil
 
@@ -50,7 +51,9 @@ def read_stream(
     raise ValueError(f"unsupported source format: {source_format}")
 
 
-def _commit_epoch(staging: str, output_path: str, epoch_id: int) -> None:
+def _commit_epoch(
+    staging: str, output_path: str, epoch_id: int, writer_id: str = ""
+) -> None:
     """Move a staged epoch into the table under epoch-keyed file names.
 
     The idempotency protocol (the local-FS analog of a manifest commit;
@@ -67,8 +70,14 @@ def _commit_epoch(staging: str, output_path: str, epoch_id: int) -> None:
     offsets into the same epoch id, so recovery converges to exactly one
     copy of every record. Moves are metadata-only renames on a local FS —
     the data bytes are written once, by the executors, in step 1.
+
+    ``writer_id`` namespaces both the replay-cleanup prefix and the final
+    file names, so two streaming queries committing into the same table
+    (distinct checkpoints) never delete or overwrite each other's epochs —
+    each stream's epoch counter is private to its checkpoint.
     """
-    prefix = f"epoch-{epoch_id:010d}-"
+    wid = f"{writer_id}-" if writer_id else ""
+    prefix = f"epoch-{wid}{epoch_id:010d}-"
     for part_dir in sorted(os.listdir(staging)):
         src_dir = os.path.join(staging, part_dir)
         if not os.path.isdir(src_dir) or part_dir.startswith(("_", ".")):
@@ -116,8 +125,15 @@ def start_ingest_stream(
     # committed under epoch-keyed file names via _commit_epoch: a replayed
     # epoch first deletes its own partial files, making the table state
     # exactly-once once the stream recovers.
+    # Writer identity = hash of the checkpoint dir: stable across restarts
+    # of the same query (replayed epochs must regenerate their own prefix
+    # to clean their partials) and distinct per concurrent writer, so two
+    # streams ingesting into the same output path collide on neither the
+    # staging dir nor the committed epoch file names.
+    writer_id = hashlib.md5(checkpoint_dir.encode()).hexdigest()[:8]
+
     def write_epoch(batch_df: DataFrame, epoch_id: int) -> None:
-        staging = output_path.rstrip("/") + ".epoch-staging"
+        staging = output_path.rstrip("/") + f".epoch-staging-{writer_id}"
         (
             batch_df.repartition(cfg.num_buckets, cfg.partition_column)
             .sortWithinPartitions(cfg.partition_column, cfg.key_column)
@@ -128,7 +144,7 @@ def start_ingest_stream(
             .format(cfg.table_format)
             .save(staging)
         )
-        _commit_epoch(staging, output_path, epoch_id)
+        _commit_epoch(staging, output_path, epoch_id, writer_id)
 
     return (
         out.writeStream.queryName(name)

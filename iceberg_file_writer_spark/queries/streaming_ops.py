@@ -82,6 +82,13 @@ def _run_stream(spark: SparkSession, sf_dir: str, transform, name: str) -> DataF
     out_df = transform(_events_stream(spark, sf_dir))
     sink = tempfile.mkdtemp(prefix=f"stream-sink-{name}-")
     ckpt = tempfile.mkdtemp(prefix=f"stream-ckpt-{name}-")
+    # Harness-only session-global override (restored in `finally`): the
+    # state-store instance count is fixed at the stream's first checkpoint
+    # from this conf, and Spark exposes no per-query form. A concurrent
+    # query planned on the same session during the stream's lifetime would
+    # see the reduced value — acceptable here because the bench and the
+    # driver run queries serially; a shared multi-tenant session would
+    # instead start streams from a dedicated session.
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", str(STREAM_STATE_PARTITIONS))
     try:
@@ -132,7 +139,9 @@ WITH ordered AS (
 ), flagged AS (
   SELECT user_id, ts, value, event_id,
          CASE WHEN prev_ts IS NULL
-                OR epoch_us(ts) - epoch_us(prev_ts) > 1800 * 1000000
+                -- >= not >: a gap of exactly the session duration starts a
+                -- new session (Spark's session_window end is exclusive)
+                OR epoch_us(ts) - epoch_us(prev_ts) >= 1800 * 1000000
               THEN 1 ELSE 0 END AS is_new
   FROM ordered
 ), numbered AS (

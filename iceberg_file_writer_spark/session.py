@@ -57,3 +57,31 @@ def get_spark(app_name: str = "iceberg_file_writer_spark") -> SparkSession:
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+
+
+def use_rocksdb_state_store(spark: SparkSession, changelog: bool = True) -> None:
+    """Opt into the RocksDB state store for stateful streaming queries.
+
+    The default HDFS-backed provider keeps every state key on the executor
+    heap — fine at test scale, an OOM risk once state approaches executor
+    memory (streaming dedup keys, open sessions, per-user state at 100 TB).
+    RocksDB keeps state on local disk with bounded memory, and changelog
+    checkpointing ships per-batch deltas to the checkpoint instead of full
+    snapshots — the scale-safe configuration for large-state streaming.
+
+    Session-level conf: applies to queries started after the call; a query
+    restarted from an existing checkpoint keeps the provider it was created
+    with. Not enabled by default here because the local-FS test harness
+    measures faster on the in-memory provider at test scale.
+    """
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER)
+    if changelog:
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+            "true",
+        )

@@ -232,3 +232,43 @@ def test_epoch_commit_is_replay_idempotent(spark, fixture_input, tmp_path):
     names = [os.path.basename(p) for p in list_data_files(out)]
     assert all(n.startswith("epoch-") for n in names)
     assert not os.path.exists(out + ".epoch-staging")
+
+
+def test_concurrent_streams_into_same_table(spark, fixture_input, tmp_path):
+    """Two streaming writers committing into the SAME table path (distinct
+    checkpoints, the multi-writer-append topology): per-writer staging dirs
+    and writer-namespaced epoch file names mean neither stream deletes or
+    overwrites the other's epochs — the table ends with both copies."""
+    from iceberg_file_writer_spark.ingest.streaming import (
+        drain_and_stop,
+        read_stream,
+        start_ingest_stream,
+    )
+
+    input_path, n_rows = fixture_input
+    out = str(tmp_path / "shared-table")
+    queries = []
+    for i in (1, 2):
+        ckpt = str(tmp_path / f"ckpt{i}")
+        os.makedirs(ckpt, exist_ok=True)
+        queries.append(
+            start_ingest_stream(
+                read_stream(spark, input_path),
+                out,
+                ckpt,
+                trigger_seconds=1,
+                query_name=f"writer{i}",
+            )
+        )
+    for q in queries:
+        drain_and_stop(q)
+
+    back = spark.read.parquet(out)
+    assert back.count() == 2 * n_rows
+    names = [os.path.basename(p) for p in list_data_files(out)]
+    # every committed file carries a writer namespace, and both writers landed
+    widths = {n.split("-")[1] for n in names}
+    assert all(n.startswith("epoch-") for n in names)
+    assert len(widths) == 2, names
+    # no staging residue from either writer
+    assert not [d for d in os.listdir(tmp_path) if ".epoch-staging" in d]

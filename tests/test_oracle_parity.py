@@ -52,3 +52,16 @@ def test_driver_contract_shapes(spark):
     oracles = e.oracle_sql()
     assert set(oracles) <= set(qs)
     assert len(qs) >= 20
+
+
+def test_approx_distinct_users_bounded_error(spark):
+    """The one rows-only driver entry: HLL++ sketch values are engine-
+    specific, so instead of a cross-engine hash the accuracy contract is
+    asserted directly — |approx - exact| <= 3*rsd*exact per group (3 sigma
+    of the sketch's relative standard deviation; the query computes both
+    columns in one pass)."""
+    rows = QUERIES["approx_distinct_users"].fn(spark, SF_DIR).collect()
+    assert rows
+    rsd = 0.02
+    for r in rows:
+        assert abs(r.approx_users - r.exact_users) <= max(1.0, 3 * rsd * r.exact_users), r

@@ -124,3 +124,50 @@ def test_streaming_rate_limit_multiple_batches(spark, events_stream_dir, tmp_pat
     got = _run_to_completion(spark, user_running_totals(stream_df), "totals_rl").collect()
     n_events = sum(r.batch_events for r in got)
     assert n_events == spark.read.schema(schema).parquet(multi).count()
+
+
+def test_rocksdb_state_store_runs_stateful_query(spark, events_stream_dir):
+    """use_rocksdb_state_store: the scale-safe state-store configuration
+    (disk-backed state, changelog checkpointing) runs a watermarked
+    stateful aggregation to the same finalized result as the default
+    provider. Skips if the provider cannot initialize in this environment."""
+    from iceberg_file_writer_spark.session import use_rocksdb_state_store
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    use_rocksdb_state_store(spark)
+    try:
+        stream = windowed_event_stats(_read_stream(spark, events_stream_dir))
+        try:
+            got = _run_to_completion(spark, stream, "rocksdb_win_stats")
+            n = got.count()
+        except Exception as exc:  # pragma: no cover - env-dependent
+            pytest.skip(f"RocksDB state store unavailable here: {exc}")
+        # same finalized emission contract as the default provider
+        # (test_windowed_stats_matches_batch): non-trivial, subset of the
+        # batch dual
+        batch = (
+            load_tables(spark, SF_DIR)["events"]
+            .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum("value").alias("total_value"),
+                F.avg("value").alias("avg_value"),
+            )
+            .select(
+                F.col("win.start").alias("window_start"),
+                F.col("win.end").alias("window_end"),
+                "event_type",
+                "n_events",
+                "total_value",
+                "avg_value",
+            )
+        )
+        g = {tuple(r) for r in got.collect()}
+        b = {tuple(r) for r in batch.collect()}
+        assert n > 0 and g <= b
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
