@@ -413,7 +413,11 @@ def rolling_customer_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame
 @register(
     "approx_distinct_users",
     oracle=None,
-    description="HLL++ approximate distinct users per event type (rows-only: sketch values are engine-specific)",
+    description="HLL++ approximate distinct users per event type (sketch values are engine-specific; accuracy contract asserted in tests/test_oracle_parity.py: |approx-exact| <= 3*rsd*exact)",
+    # Not driver-exposed: a rows-only driver check is weaker than the
+    # in-repo 3-sigma accuracy bound this entry carries in pytest, and its
+    # slot lets the driver surface be 50/50 value-hash-checked.
+    driver_exposed=False,
 )
 def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)

@@ -147,3 +147,13 @@ def test_curation_pipeline_shuffles_once_before_agg(spark):
     # node-detail section lists each operator once; the tree duplicates it
     assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1, p
     assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p, p
+
+
+def test_decontamination_holdout_side_is_broadcast(spark):
+    """The eval-holdout gram set is tiny by construction; the corpus-side
+    gram stream must join it via broadcast — a sort-merge join here would
+    shuffle the full corpus gram relation at 100 TB."""
+    p = _plan(spark, "eval_train_decontamination")
+    assert "BroadcastHashJoin" in p, p
+    assert "SortMergeJoin" not in p, p
+    assert "CartesianProduct" not in p, p
