@@ -214,10 +214,10 @@ def exact_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "minhash_lsh_near_duplicates",
-    oracle=f"""
-WITH wordx AS ({_WORDX_SQL}),
+# The full CTE chain producing the verified near-dup pair relation
+# `pairs(doc_a, doc_b, jaccard_sim)` — shared by the pair query and the
+# connected-components canonicalization oracle.
+_MINHASH_PAIRS_CTES = f"""wordx AS ({_WORDX_SQL}),
 shingle_x AS ({_shingle_x_sql(3)}),
 sigs AS ({_minhash_sql()}),
 bands AS (
@@ -230,16 +230,19 @@ candidates AS (
   FROM bands a JOIN bands b
     ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
 ),
-sets AS (SELECT doc_id, list(DISTINCT x) AS s FROM shingle_x GROUP BY doc_id)
-SELECT c.doc_a, c.doc_b, {_JACCARD_SQL} AS jaccard_sim
-FROM candidates c
-JOIN sets sa ON sa.doc_id = c.doc_a
-JOIN sets sb ON sb.doc_id = c.doc_b
-WHERE {_JACCARD_SQL} >= {MINHASH_JACCARD_THRESHOLD}
-""",
-    description=f"MinHash+LSH near-dup: {LSH_BANDS}x{LSH_ROWS} banding, exact-Jaccard verify ≥ {MINHASH_JACCARD_THRESHOLD}",
-)
-def minhash_lsh_near_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+sets AS (SELECT doc_id, list(DISTINCT x) AS s FROM shingle_x GROUP BY doc_id),
+pairs AS (
+  SELECT c.doc_a, c.doc_b, {_JACCARD_SQL} AS jaccard_sim
+  FROM candidates c
+  JOIN sets sa ON sa.doc_id = c.doc_a
+  JOIN sets sb ON sb.doc_id = c.doc_b
+  WHERE {_JACCARD_SQL} >= {MINHASH_JACCARD_THRESHOLD}
+)"""
+
+
+def _minhash_pairs_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verified near-dup pairs (doc_a < doc_b, exact Jaccard >= threshold)
+    via banded-LSH candidates — the Spark dual of _MINHASH_PAIRS_CTES."""
     # Materialization boundary: the signature and shingle-set tables are
     # each read by BOTH sides of the candidate self-join, and Spark plans
     # the full shingling pipeline once per branch (no exchange reuse across
@@ -277,6 +280,115 @@ def minhash_lsh_near_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b", jaccard(F.col("sa"), F.col("sb")).alias("jaccard_sim"))
         .where(F.col("jaccard_sim") >= MINHASH_JACCARD_THRESHOLD)
     )
+
+
+@register(
+    "minhash_lsh_near_duplicates",
+    oracle=f"""
+WITH {_MINHASH_PAIRS_CTES}
+SELECT doc_a, doc_b, jaccard_sim FROM pairs
+""",
+    description=f"MinHash+LSH near-dup: {LSH_BANDS}x{LSH_ROWS} banding, exact-Jaccard verify ≥ {MINHASH_JACCARD_THRESHOLD}",
+)
+def minhash_lsh_near_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _minhash_pairs_df(spark, sf_dir)
+
+
+@register(
+    "neardup_cluster_canonical",
+    oracle=f"""
+WITH RECURSIVE {_MINHASH_PAIRS_CTES},
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+),
+reach AS (
+  SELECT src AS doc, src AS r FROM edges
+  UNION
+  SELECT src AS doc, dst AS r FROM edges
+  UNION
+  SELECT re.doc, e.dst AS r
+  FROM reach re JOIN edges e ON e.src = re.r
+),
+canon AS (
+  SELECT doc AS doc_id, min(r) AS canonical_doc_id
+  FROM reach GROUP BY doc
+)
+SELECT doc_id, canonical_doc_id,
+       count(*) OVER (PARTITION BY canonical_doc_id) AS cluster_size
+FROM canon
+""",
+    description=(
+        "Dedup endgame: connected components over the verified near-dup "
+        "pair graph — every clustered document mapped to its cluster's "
+        "canonical (minimum) doc_id, with cluster sizes. Iterative "
+        "min-label propagation to fixpoint; the oracle replays the "
+        "closure with a recursive CTE"
+    ),
+    driver_exposed=False,
+)
+def neardup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over near-duplicate pairs.
+
+    Pairwise near-dup output is not yet a dedup decision: duplicates
+    chain (A~B, B~C but not A~C), so keep/remove choices per pair can
+    contradict. The fix is the transitive closure — one canonical doc per
+    component.
+
+    Algorithm: Pregel-style min-label propagation, the standard
+    distributed CC (GraphX/GraphFrames use the same skeleton). Each
+    round sends every node's current label along edges and takes the min
+    of (own label, incoming labels) — one shuffle join + one partial-agg
+    per round, state is (node, label) only. Rounds needed = component
+    diameter, which for near-dup clusters is small (duplicate families
+    chain shallowly); the loop still runs to a *checked fixpoint* (an
+    aggregate per round, same driver-side cost class as count()), so the
+    result is the exact closure regardless of diameter, deterministic
+    under any partitioning — which is what lets the DuckDB recursive CTE
+    replay it exactly. At 100 TB the edge relation (near-dup pairs) is
+    orders smaller than the corpus, so the per-round joins are cheap
+    relative to pair generation; for adversarially deep graphs the
+    large-star/small-star variant halves round count — seam documented
+    here, the emitted mapping is identical.
+    """
+    pairs = _minhash_pairs_df(spark, sf_dir).select("doc_a", "doc_b")
+    # cache(): the edge list seeds the node set and is re-joined every
+    # propagation round; without it each round replays LSH pair generation.
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+        .cache()
+    )
+    labels = (
+        edges.select(F.col("src").alias("doc"))
+        .distinct()
+        .select("doc", F.col("doc").alias("lbl"))
+        .cache()
+    )
+    while True:
+        msgs = edges.join(labels, edges.src == labels.doc).select(
+            F.col("dst").alias("doc"), "lbl"
+        )
+        new_labels = (
+            msgs.union(labels)
+            .groupBy("doc")
+            .agg(F.min("lbl").alias("lbl"))
+            .cache()
+        )
+        changed = (
+            new_labels.join(labels.withColumnRenamed("lbl", "old"), "doc")
+            .where(F.col("lbl") != F.col("old"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    wsz = Window.partitionBy("canonical_doc_id")
+    return labels.select(
+        F.col("doc").alias("doc_id"), F.col("lbl").alias("canonical_doc_id")
+    ).withColumn("cluster_size", F.count(F.lit(1)).over(wsz))
 
 
 @register(

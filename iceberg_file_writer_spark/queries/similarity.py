@@ -571,6 +571,119 @@ def ivf_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.withColumn("rk", F.row_number().over(wk)).where(F.col("rk") <= KNN_K)
 
 
+SEMDEDUP_COS_THRESHOLD = NEARDUP_COS_THRESHOLD
+
+
+def _semdedup_oracle() -> str:
+    return f"""{_ivf_training_ctes()},
+assign AS (
+  SELECT vec_id, cent_id FROM (
+    SELECT e.vec_id, c.cent_id,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {_cosine_sql('e.embedding', 'c.cemb')} DESC,
+                                       c.cent_id) AS rk
+    FROM embeddings e CROSS JOIN cents c
+  ) WHERE rk = 1
+),
+cellpairs AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.cent_id
+  FROM assign a JOIN assign b
+    ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id
+),
+near AS (
+  SELECT p.vec_a, p.vec_b, p.cent_id
+  FROM cellpairs p
+  JOIN embeddings ea ON ea.vec_id = p.vec_a
+  JOIN embeddings eb ON eb.vec_id = p.vec_b
+  WHERE {_cosine_sql('ea.embedding', 'eb.embedding')} >= {SEMDEDUP_COS_THRESHOLD}
+),
+sided AS (
+  SELECT vec_a AS vec_id, vec_b AS other, cent_id FROM near
+  UNION ALL
+  SELECT vec_b AS vec_id, vec_a AS other, cent_id FROM near
+)
+SELECT vec_id, cent_id,
+       count(*)                 AS n_near,
+       (min(other) > vec_id)    AS kept
+FROM sided
+GROUP BY vec_id, cent_id
+"""
+
+
+@register(
+    "embedding_cluster_dedup",
+    oracle=_semdedup_oracle(),
+    description=(
+        f"SemDeDup-style semantic dedup: vectors quantized to their trained "
+        f"IVF cell, near-duplicate pairs (cosine >= {SEMDEDUP_COS_THRESHOLD}) "
+        "found within cells only, greedy keep-lowest-id decision per vector"
+    ),
+    driver_exposed=False,
+)
+def embedding_cluster_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic dedup over the embedding corpus (the SemDeDup shape).
+
+    The trained coarse quantizer (the IVF index artifact) turns the
+    O(N²) semantic-near-dup problem into per-cell pairwise checks: the
+    pair join is an equi-join on cell id, so candidate volume is
+    sum-over-cells |cell|² instead of N², and the corpus never
+    all-pairs. The keep/remove rule is greedy keep-lowest-id within a
+    near-dup neighborhood — deterministic, so the oracle replays the
+    whole pipeline (training included) exactly. Output rows are only the
+    vectors participating in at least one near-dup pair.
+    """
+    emb = _emb_cols(spark, sf_dir).cache()
+    cents = _trained_centroids_df(spark, emb, sf_dir)
+    cos_c = F.round(_coldot("e", "c") / (F.col("nrm") * F.col("nc")), COSINE_DECIMALS)
+    assign = (
+        emb.crossJoin(F.broadcast(cents))
+        .select("vec_id", cos_c.alias("cos_c"), "cent_id")
+        .groupBy("vec_id")
+        .agg(F.max(F.struct(F.col("cos_c"), (-F.col("cent_id")).alias("neg_cent"))).alias("b"))
+        .select("vec_id", (-F.col("b.neg_cent")).alias("cent_id"))
+        # cache(): both sides of the cell self-join read the assignment;
+        # per-doc (vec_id, cent_id) rows, orders smaller than the corpus
+        .cache()
+    )
+    cellpairs = (
+        assign.alias("a")
+        .join(
+            assign.alias("b"),
+            (F.col("a.cent_id") == F.col("b.cent_id"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.col("a.cent_id").alias("cent_id"),
+        )
+    )
+    ea = _rename(emb, "vec_a", "a", "na")
+    eb = _rename(emb, "vec_b", "b", "nb")
+    near = (
+        cellpairs.join(ea, "vec_a")
+        .join(eb, "vec_b")
+        .where(
+            F.round(_coldot("a", "b") / (F.col("na") * F.col("nb")), COSINE_DECIMALS)
+            >= SEMDEDUP_COS_THRESHOLD
+        )
+        .select("vec_a", "vec_b", "cent_id")
+        # cache(): the verified pair set feeds both direction branches
+        .cache()
+    )
+    sided = near.select(
+        F.col("vec_a").alias("vec_id"), F.col("vec_b").alias("other"), "cent_id"
+    ).unionAll(
+        near.select(
+            F.col("vec_b").alias("vec_id"), F.col("vec_a").alias("other"), "cent_id"
+        )
+    )
+    return sided.groupBy("vec_id", "cent_id").agg(
+        F.count(F.lit(1)).alias("n_near"),
+        (F.min("other") > F.col("vec_id")).alias("kept"),
+    )
+
+
 @register(
     "embedding_label_stats",
     oracle=f"""
