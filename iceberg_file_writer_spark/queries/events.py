@@ -348,3 +348,92 @@ def event_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.percentile("value", 0.9).alias("p90_value"),
         )
     )
+
+
+@register(
+    "events_hourly_gapfill",
+    oracle="""
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS hour, event_type,
+         count(*) AS n_events, avg(value) AS avg_value
+  FROM events GROUP BY 1, 2
+),
+bounds AS (
+  SELECT date_trunc('hour', min(ts)) AS h0, date_trunc('hour', max(ts)) AS h1
+  FROM events
+),
+grid AS (
+  SELECT t.event_type, g.hour
+  FROM (SELECT DISTINCT event_type FROM events) t
+  CROSS JOIN (SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
+              FROM bounds) g
+),
+j AS (
+  SELECT g.event_type, g.hour, h.n_events, h.avg_value
+  FROM grid g LEFT JOIN hourly h USING (event_type, hour)
+),
+grp AS (
+  SELECT *, count(avg_value) OVER (PARTITION BY event_type ORDER BY hour) AS fg
+  FROM j
+)
+SELECT event_type, hour,
+       coalesce(n_events, 0) AS n_events,
+       avg_value,
+       max(avg_value) OVER (PARTITION BY event_type, fg) AS filled_avg_value
+FROM grp
+""",
+    description=(
+        "Time-series resample + gap-fill: events resampled to a dense "
+        "hourly grid per event type (empty hours materialized with "
+        "n_events=0), hourly avg forward-filled from the last observed "
+        "hour — the hypertable-style downsampling shape"
+    ),
+    driver_exposed=False,
+)
+def events_hourly_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense time-grid resampling with forward fill.
+
+    Scale shape: the observed side is one partial-agg'd groupBy; the
+    grid is |event types| x |hours| — generated from a broadcast scalar
+    bounds row + sequence/explode, orders smaller than the event corpus,
+    and never shuffles the corpus to build. Forward fill uses the
+    portable fill-group trick (running count of non-nulls, then max
+    within (type, group)) instead of last(ignorenulls) so the oracle
+    runs the identical computation. The ffill window partitions by
+    event_type — at 100 TB with unbounded history you'd bound it by
+    (type, day) with boundary stitching; the per-type hourly grid here
+    is bounded by calendar time, not corpus size.
+    """
+    t = load_tables(spark, sf_dir)
+    ev = t["events"]
+    hourly = ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n_events"), F.avg("value").alias("avg_value"))
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("h0"),
+        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    )
+    grid = (
+        ev.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence(F.col("h0"), F.col("h1"), F.expr("INTERVAL 1 HOUR"))
+            ).alias("hour"),
+        )
+    )
+    j = grid.join(hourly, ["event_type", "hour"], "left")
+    wff = Window.partitionBy("event_type").orderBy("hour")
+    wgrp = Window.partitionBy("event_type", "fg")
+    return (
+        j.withColumn("fg", F.count("avg_value").over(wff))
+        .select(
+            "event_type",
+            "hour",
+            F.coalesce(F.col("n_events"), F.lit(0)).alias("n_events"),
+            "avg_value",
+            F.max("avg_value").over(wgrp).alias("filled_avg_value"),
+        )
+    )

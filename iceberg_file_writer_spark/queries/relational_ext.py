@@ -466,3 +466,79 @@ def approx_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             "approx_value",
         )
     )
+
+
+@register(
+    "unpivot_nation_balance_metrics",
+    oracle="""
+WITH a AS (
+  SELECT c_nationkey,
+         min(c_acctbal) AS min_bal,
+         avg(c_acctbal) AS avg_bal,
+         max(c_acctbal) AS max_bal
+  FROM customer GROUP BY c_nationkey
+)
+SELECT c_nationkey, 'min_bal' AS metric, min_bal AS balance FROM a
+UNION ALL
+SELECT c_nationkey, 'avg_bal' AS metric, avg_bal AS balance FROM a
+UNION ALL
+SELECT c_nationkey, 'max_bal' AS metric, max_bal AS balance FROM a
+""",
+    description=(
+        "Unpivot (melt): per-nation balance aggregates widened to columns, "
+        "then melted back to (nation, metric, balance) long form — the "
+        "inverse of the pivot operator"
+    ),
+    driver_exposed=False,
+)
+def unpivot_nation_balance_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    agg = t["customer"].groupBy("c_nationkey").agg(
+        F.min("c_acctbal").alias("min_bal"),
+        F.avg("c_acctbal").alias("avg_bal"),
+        F.max("c_acctbal").alias("max_bal"),
+    )
+    # native unpivot: no explode/struct gymnastics, stays in codegen
+    return agg.unpivot(
+        ["c_nationkey"], ["min_bal", "avg_bal", "max_bal"], "metric", "balance"
+    )
+
+
+@register(
+    "grouping_sets_revenue",
+    oracle="""
+SELECT r.r_name, n.n_name,
+       GROUPING(r.r_name) * 2 + GROUPING(n.n_name) AS gid,
+       sum(o.o_totalprice) AS revenue,
+       count(*) AS n_orders
+FROM orders o
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+JOIN region r ON r.r_regionkey = n.n_regionkey
+GROUP BY GROUPING SETS ((r.r_name), (n.n_name))
+""",
+    description=(
+        "Explicit GROUPING SETS: revenue by region AND by nation in one "
+        "pass (non-hierarchical sets, unlike rollup/cube) with the "
+        "grouping_id disambiguator"
+    ),
+    driver_exposed=False,
+)
+def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    joined = (
+        t["orders"]
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    return (
+        joined.groupingSets(
+            [[F.col("r_name")], [F.col("n_name")]], F.col("r_name"), F.col("n_name")
+        )
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.sum("o_totalprice").alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
