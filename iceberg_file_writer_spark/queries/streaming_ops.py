@@ -317,3 +317,59 @@ def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(f[0] * f[6]).cast("long").alias("ws_count"),
         f[7].cast("long").alias("prefix64_mod997"),
     )
+
+
+@register(
+    "streaming_enriched_segment_stats",
+    oracle=f"""
+SELECT date_trunc('hour', e.ts)                   AS window_start,
+       date_trunc('hour', e.ts) + INTERVAL 1 HOUR AS window_end,
+       c.c_mktsegment                             AS segment,
+       count(*)    AS n_events,
+       sum(e.value) AS total_value
+FROM events e
+JOIN customer c ON c.c_custkey = e.user_id
+GROUP BY 1, 2, 3
+HAVING window_end <= {_FINAL_WM_SQL}
+""",
+    description=(
+        "Structured Streaming stream-static join: the event stream "
+        "enriched against the static customer dimension (broadcast per "
+        "micro-batch), then watermarked tumbling-window stats per market "
+        "segment — finalized windows equal the batch dual"
+    ),
+    driver_exposed=False,
+)
+def streaming_enriched_segment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static dimension enrichment.
+
+    The static side is re-read per micro-batch by Structured Streaming's
+    stream-static join contract and is broadcast (dimension ≪ stream) —
+    no stream-side shuffle for the join; state exists only in the
+    downstream windowed aggregation, bounded by the watermark horizon.
+    This is the canonical enrichment topology at 100 TB: fact stream +
+    slowly-changing broadcast dimension.
+    """
+    dim = load_tables(spark, sf_dir)["customer"].select(
+        F.col("c_custkey").alias("user_id"), F.col("c_mktsegment").alias("segment")
+    )
+
+    def transform(ev: DataFrame) -> DataFrame:
+        return (
+            ev.withWatermark("ts", WATERMARK)
+            .join(F.broadcast(dim), "user_id")
+            .groupBy(F.window("ts", "1 hour").alias("win"), "segment")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum("value").alias("total_value"),
+            )
+            .select(
+                F.col("win.start").alias("window_start"),
+                F.col("win.end").alias("window_end"),
+                "segment",
+                "n_events",
+                "total_value",
+            )
+        )
+
+    return _run_stream(spark, sf_dir, transform, "segstats")

@@ -281,3 +281,101 @@ def user_daily_totals_closed(
             update, out_schema, state_schema, "append", GroupStateTimeout.EventTimeTimeout
         )
     )
+
+
+def user_daily_totals_closed_tws(
+    events: DataFrame, watermark: str = "10 minutes"
+) -> DataFrame:
+    """The same deterministic finalized-(user, day) operator as
+    :func:`user_daily_totals_closed`, on the ``transformWithState``
+    API — Spark's successor to ``applyInPandasWithState`` for custom
+    stateful operators (arbitrary typed state + first-class timers).
+
+    Differences that matter at scale:
+    - open days live in a **MapState** (one typed entry per day) instead
+      of parallel arrays in one value blob — per-day point updates and
+      deletes instead of rewriting the whole user state every batch;
+    - day closure uses **registered event-time timers** (one per user,
+      at the earliest open day's end) rather than a manually maintained
+      timeout timestamp;
+    - requires the RocksDB state store (column families), i.e. the
+      scale-safe provider is the only provider — see
+      session.use_rocksdb_state_store.
+
+    Emission contract is identical: a (user, day) row is emitted exactly
+    once, when the watermark strictly passes the day's end — a pure
+    function of the data, so the same exact batch oracle applies.
+    """
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+    out_schema = "user_id bigint, day date, n_events bigint, total_value double"
+    day_ms = 24 * 3600 * 1000
+
+    class DailyTotalsProcessor(StatefulProcessor):
+        def init(self, handle) -> None:
+            self.handle = handle
+            self.days = handle.getMapState("open_days", "day long", "n bigint, v double")
+
+        def _emit_closed(self, user_id: int, wm: int):
+            import numpy as np
+            import pandas as pd
+
+            closed = sorted(d[0] for d in list(self.days.keys()) if (d[0] + 1) * day_ms < wm)
+            if not closed:
+                return None
+            vals = [self.days.getValue((d,)) for d in closed]
+            for d in closed:
+                self.days.removeKey((d,))
+            return pd.DataFrame(
+                {
+                    "user_id": np.full(len(closed), user_id, dtype="int64"),
+                    "day": [pd.Timestamp(d, unit="D").date() for d in closed],
+                    "n_events": np.array([v[0] for v in vals], dtype="int64"),
+                    "total_value": np.array([v[1] for v in vals]),
+                }
+            )
+
+        def _retime(self, wm: int) -> None:
+            open_days = [d[0] for d in list(self.days.keys())]
+            want = max((min(open_days) + 1) * day_ms, wm + 1) if open_days else None
+            for t in list(self.handle.listTimers()):
+                if t != want:
+                    self.handle.deleteTimer(t)
+            if want is not None:
+                self.handle.registerTimer(want)
+
+        def handleInputRows(self, key, rows, timerValues):
+            import pandas as pd
+
+            for pdf in rows:
+                ed = pdf["ts"].values.astype("datetime64[D]").astype("int64")
+                per_day = pd.DataFrame({"d": ed, "v": pdf["value"].values}).groupby("d")["v"]
+                cnt, sm = per_day.count(), per_day.sum()
+                for d, n, v in zip(cnt.index, cnt.values, sm.values):
+                    k = (int(d),)
+                    prev = self.days.getValue(k) if self.days.containsKey(k) else (0, 0.0)
+                    self.days.updateValue(k, (int(prev[0]) + int(n), float(prev[1]) + float(v)))
+            out = self._emit_closed(key[0], timerValues.getCurrentWatermarkInMs())
+            self._retime(timerValues.getCurrentWatermarkInMs())
+            if out is not None:
+                yield out
+
+        def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+            out = self._emit_closed(key[0], timerValues.getCurrentWatermarkInMs())
+            self._retime(timerValues.getCurrentWatermarkInMs())
+            if out is not None:
+                yield out
+
+        def close(self) -> None:
+            pass
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=DailyTotalsProcessor(),
+            outputStructType=out_schema,
+            outputMode="Append",
+            timeMode="EventTime",
+        )
+    )
