@@ -44,7 +44,10 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     DataSourceStreamReader,
+    DataSourceStreamWriter,
+    DataSourceWriter,
     InputPartition,
+    WriterCommitMessage,
 )
 
 from iceberg_file_writer_spark.schemas import LOCATION_DEFAULTS, LOCATION_SCHEMA
@@ -297,9 +300,101 @@ class _LocationStreamReader(DataSourceStreamReader):
             del anchors[:keep_from]
 
 
+class _LocationCommit(WriterCommitMessage):
+    """Per-task commit message: the staged file and its row count."""
+
+    def __init__(self, staged_path: str, n_rows: int):
+        self.staged_path = staged_path
+        self.n_rows = n_rows
+
+
+class _LocationWriterBase:
+    """Executor-side JSON-lines write + driver-side manifest commit.
+
+    The write protocol is the reference's storage adapter upgraded to
+    exactly-once (FilesystemStorageAdapter main.go:47-59 + CommitBlocks
+    main.go:107-113, which loses staged blocks on crash):
+
+    1. each task writes its rows to ``<path>/_staging/<uuid>`` — data
+       bytes are written once, by executors;
+    2. ``commit`` (driver, after ALL tasks succeed) first deletes any
+       files from a previous attempt of the same batch, then renames the
+       staged files to deterministic ``batch-<id>-<k>.jsonl`` names and
+       finally writes ``_manifest-<id>.json`` (counts + files) — the
+       commit point, written last;
+    3. ``abort`` removes staged files, leaving the table untouched.
+
+    A crash between write and commit leaves only staging/partial files
+    that the batch's replay deletes — the same idempotent-replay
+    protocol as the ingest pipeline's epoch commit
+    (ingest/streaming.py:_commit_epoch). Readers (the batch reader
+    above, `_list_files`) skip ``_``-prefixed entries, so staging and
+    manifests are invisible to scans.
+    """
+
+    def __init__(self, schema: T.StructType, options):
+        self.schema_ = schema
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("location_stream sink requires a 'path' option")
+        self.field_names = [f.name for f in schema.fields]
+
+    def write(self, iterator: Iterator) -> _LocationCommit:
+        import uuid
+
+        staging = os.path.join(self.path, "_staging")
+        os.makedirs(staging, exist_ok=True)
+        staged = os.path.join(staging, uuid.uuid4().hex)
+        n = 0
+        with open(staged, "w", encoding="utf-8") as f:
+            for row in iterator:
+                rec = dict(zip(self.field_names, tuple(row)))
+                f.write(json.dumps(rec) + "\n")
+                n += 1
+        return _LocationCommit(staged, n)
+
+    def _commit(self, messages, batch_tag: str) -> None:
+        os.makedirs(self.path, exist_ok=True)
+        prefix = f"batch-{batch_tag}-"
+        for f in os.listdir(self.path):
+            if f.startswith(prefix) or f == f"_manifest-{batch_tag}.json":
+                os.remove(os.path.join(self.path, f))
+        manifest = []
+        for k, msg in enumerate(m for m in messages if m is not None):
+            final = f"{prefix}{k:05d}.jsonl"
+            os.replace(msg.staged_path, os.path.join(self.path, final))
+            manifest.append({"file": final, "n_rows": msg.n_rows})
+        with open(
+            os.path.join(self.path, f"_manifest-{batch_tag}.json"), "w"
+        ) as mf:
+            json.dump({"batch": batch_tag, "files": manifest}, mf)
+
+    def _abort(self, messages) -> None:
+        for msg in messages:
+            if msg is not None and os.path.exists(msg.staged_path):
+                os.remove(msg.staged_path)
+
+
+class _LocationStreamWriter(_LocationWriterBase, DataSourceStreamWriter):
+    def commit(self, messages, batchId: int) -> None:
+        self._commit(messages, f"{batchId:010d}")
+
+    def abort(self, messages, batchId: int) -> None:
+        self._abort(messages)
+
+
+class _LocationBatchWriter(_LocationWriterBase, DataSourceWriter):
+    def commit(self, messages) -> None:
+        self._commit(messages, "once")
+
+    def abort(self, messages) -> None:
+        self._abort(messages)
+
+
 class LocationStreamDataSource(DataSource):
     """``format("location_stream")`` — batch + micro-batch JSON-lines source
-    with the reference's schema and backpressure semantics."""
+    AND sink with the reference's schema, backpressure, and commit
+    semantics (the FileStreamAdapter/FilesystemStorageAdapter pair)."""
 
     @classmethod
     def name(cls) -> str:
@@ -313,6 +408,12 @@ class LocationStreamDataSource(DataSource):
 
     def streamReader(self, schema: T.StructType) -> DataSourceStreamReader:
         return _LocationStreamReader(schema, self.options)
+
+    def writer(self, schema: T.StructType, overwrite: bool) -> "_LocationBatchWriter":
+        return _LocationBatchWriter(schema, self.options)
+
+    def streamWriter(self, schema: T.StructType, overwrite: bool) -> "_LocationStreamWriter":
+        return _LocationStreamWriter(schema, self.options)
 
 
 def register_location_source(spark: SparkSession) -> None:

@@ -213,3 +213,75 @@ def test_stream_ingests_through_standard_pipeline(spark, json_input, tmp_path):
     assert back.count() == N_ROWS
     # defaults normalized on the way through (null source -> "device")
     assert back.where(back.source.isNull()).count() == 0
+
+
+def test_stream_writer_roundtrip(spark, json_input, tmp_path):
+    """Source -> sink round trip through format("location_stream") in BOTH
+    directions: streaming read of the fixture, streaming write via the
+    custom sink, batch read back — same multiset of rows, manifest
+    committed last, no staging residue."""
+    register_location_source(spark)
+    out = str(tmp_path / "sink-table")
+    ckpt = str(tmp_path / "sink-ckpt")
+    stream = spark.readStream.format("location_stream").option("path", json_input).load()
+    q = (
+        stream.writeStream.format("location_stream")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    back = spark.read.format("location_stream").option("path", out).load()
+    ref = spark.read.format("location_stream").option("path", json_input).load()
+    key = lambda r: (r.user_id, r.timestamp, r.course)  # noqa: E731
+    assert sorted(map(key, back.collect())) == sorted(map(key, ref.collect()))
+    # commit protocol artifacts: manifest present, staging drained
+    manifests = [f for f in os.listdir(out) if f.startswith("_manifest-")]
+    assert manifests, os.listdir(out)
+    staging = os.path.join(out, "_staging")
+    assert not os.path.exists(staging) or not os.listdir(staging)
+    import json as _json
+
+    total = sum(
+        e["n_rows"]
+        for m in manifests
+        for e in _json.load(open(os.path.join(out, m)))["files"]
+    )
+    assert total == ref.count()
+
+
+def test_stream_writer_commit_is_replay_idempotent(tmp_path):
+    """A replayed batch commit (crash between rename and checkpoint ack)
+    deletes its own previous files first — one copy survives, like the
+    ingest epoch protocol."""
+    from iceberg_file_writer_spark.sources.location_stream import (
+        _LocationCommit,
+        _LocationStreamWriter,
+    )
+
+    out = str(tmp_path / "table")
+    w = _LocationStreamWriter(LOCATION_SCHEMA, {"path": out})
+
+    def stage(rows):
+        staging = os.path.join(out, "_staging")
+        os.makedirs(staging, exist_ok=True)
+        p = os.path.join(staging, f"s{rows}")
+        with open(p, "w") as f:
+            for i in range(rows):
+                f.write(json.dumps({"user_id": f"u{i}"}) + "\n")
+        return _LocationCommit(p, rows)
+
+    w.commit([stage(4), stage(3)], 7)   # first attempt of batch 7
+    w.commit([stage(2)], 7)             # replay with different task split
+    w.commit([stage(5)], 8)             # another batch unaffected
+    names = sorted(f for f in os.listdir(out) if f.startswith("batch-"))
+    assert names == [
+        "batch-0000000007-00000.jsonl",
+        "batch-0000000008-00000.jsonl",
+    ], names
+    n7 = sum(1 for _ in open(os.path.join(out, "batch-0000000007-00000.jsonl")))
+    assert n7 == 2  # the replay's copy, not the first attempt's
