@@ -437,3 +437,128 @@ def events_hourly_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("avg_value").over(wgrp).alias("filled_avg_value"),
         )
     )
+
+
+FUNNEL_HORIZON_US = 3600 * 1_000_000  # each step within 1 hour of the previous
+
+
+@register(
+    "funnel_view_click_purchase",
+    oracle=f"""
+WITH keyed AS (
+  SELECT user_id, event_type, epoch_us(ts) AS us,
+         printf('%020d-%012d', epoch_us(ts), event_id) AS ordk
+  FROM events
+),
+nexts AS (
+  SELECT user_id, event_type, us, ordk,
+         min(CASE WHEN event_type = 'click' THEN ordk END) OVER w AS next_click_key,
+         min(CASE WHEN event_type = 'purchase' THEN ordk END) OVER w AS next_purchase_key
+  FROM keyed
+  WINDOW w AS (PARTITION BY user_id ORDER BY ordk DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+),
+views AS (
+  SELECT user_id, us AS view_us, next_click_key
+  FROM nexts WHERE event_type = 'view'
+),
+clicks AS (
+  SELECT user_id, ordk, us AS click_us, next_purchase_key
+  FROM nexts WHERE event_type = 'click'
+),
+chained AS (
+  SELECT v.user_id, v.view_us, c.click_us,
+         CAST(string_split(c.next_purchase_key, '-')[1] AS BIGINT) AS purchase_us
+  FROM views v
+  LEFT JOIN clicks c
+    ON c.user_id = v.user_id AND c.ordk = v.next_click_key
+)
+SELECT user_id,
+       count(*) AS n_views,
+       sum(CASE WHEN click_us IS NOT NULL
+                 AND click_us <= view_us + {FUNNEL_HORIZON_US}
+                THEN 1 ELSE 0 END)::BIGINT AS n_view_click,
+       sum(CASE WHEN click_us IS NOT NULL
+                 AND click_us <= view_us + {FUNNEL_HORIZON_US}
+                 AND purchase_us IS NOT NULL
+                 AND purchase_us <= click_us + {FUNNEL_HORIZON_US}
+                THEN 1 ELSE 0 END)::BIGINT AS n_full_funnel
+FROM chained
+GROUP BY user_id
+""",
+    description=(
+        "Funnel analysis: per-user view -> click -> purchase conversions, "
+        "each step the strictly-next matching event within 1 hour — "
+        "sequence matching via running-min order keys over a descending "
+        "event-time window, no self-join of the event stream"
+    ),
+    driver_exposed=False,
+)
+def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-sequence funnel over the event stream.
+
+    The classic funnel needs, for every step-N event, the *earliest*
+    step-N+1 event strictly after it. Expressed as a running min of a
+    fixed-width (ts, event_id) order key over a DESCENDING per-user
+    window (rows strictly above = events strictly after), each step is
+    one window pass over the already-partitioned stream — no per-step
+    self-join of the corpus, no explosion on hot users. The chain then
+    resolves with ONE equi-join of view rows to their matched click row
+    (user + order key). Deterministic under timestamp ties because the
+    order key includes event_id — the oracle replays it exactly.
+    """
+    t = load_tables(spark, sf_dir)
+    ordk = F.format_string("%020d-%012d", F.unix_micros(F.col("ts")), F.col("event_id"))
+    keyed = t["events"].select(
+        "user_id",
+        "event_type",
+        F.unix_micros(F.col("ts")).alias("us"),
+        ordk.alias("ordk"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.desc("ordk"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    nexts = keyed.select(
+        "user_id",
+        "event_type",
+        "us",
+        "ordk",
+        F.min(F.when(F.col("event_type") == "click", F.col("ordk"))).over(w).alias(
+            "next_click_key"
+        ),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ordk"))).over(w).alias(
+            "next_purchase_key"
+        ),
+    )
+    views = nexts.where(F.col("event_type") == "view").select(
+        "user_id", F.col("us").alias("view_us"), "next_click_key"
+    )
+    clicks = nexts.where(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("ordk").alias("click_key"),
+        F.col("us").alias("click_us"),
+        F.split(F.col("next_purchase_key"), "-").getItem(0).cast("long").alias(
+            "purchase_us"
+        ),
+    )
+    chained = views.join(
+        clicks,
+        (views.user_id == clicks.user_id)
+        & (F.col("next_click_key") == F.col("click_key")),
+        "left",
+    ).select(views.user_id, "view_us", "click_us", "purchase_us")
+    click_ok = F.col("click_us").isNotNull() & (
+        F.col("click_us") <= F.col("view_us") + FUNNEL_HORIZON_US
+    )
+    full_ok = (
+        click_ok
+        & F.col("purchase_us").isNotNull()
+        & (F.col("purchase_us") <= F.col("click_us") + FUNNEL_HORIZON_US)
+    )
+    return chained.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_views"),
+        F.sum(click_ok.cast("long")).alias("n_view_click"),
+        F.sum(full_ok.cast("long")).alias("n_full_funnel"),
+    )

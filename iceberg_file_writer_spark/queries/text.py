@@ -8,7 +8,7 @@ arithmetic, including the shared md5-based hashing (operators/text.py).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from iceberg_file_writer_spark.operators.text import (
@@ -308,5 +308,110 @@ def doc_token_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("pos").cast("long").alias("chunk_idx"),
             F.array_join(F.slice("tk", F.col("s") + 1, CHUNK_SIZE), " ").alias("chunk_text"),
             F.least(F.lit(CHUNK_SIZE), F.size("tk") - F.col("s")).cast("long").alias("n_tokens"),
+        )
+    )
+
+
+CMS_DEPTH = 4
+CMS_WIDTH = 256
+CMS_TOP_K = 20
+
+
+def _cms_bucket_sql(expr: str, depth: int) -> str:
+    return (
+        f"CAST(('0x' || substr(md5('{depth}:' || {expr}), 1, 8)) AS UBIGINT) "
+        f"% {CMS_WIDTH}"
+    )
+
+
+def _cms_bucket_spark(col, depth: int):
+    h = F.md5(F.concat(F.lit(f"{depth}:"), col))
+    return F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % CMS_WIDTH
+
+
+@register(
+    "token_heavy_hitters_cms",
+    oracle=f"""
+WITH toks AS (
+  SELECT unnest(string_split(text, ' ')) AS w FROM documents
+),
+tf AS (SELECT w, count(*) AS true_count FROM toks GROUP BY w),
+cells AS (
+  SELECT d, bucket, sum(cnt) AS cms_count FROM (
+    SELECT tf.w, tf.true_count AS cnt, t.d,
+           CASE {" ".join(f"WHEN t.d = {d} THEN {_cms_bucket_sql('tf.w', d)}" for d in range(CMS_DEPTH))} END AS bucket
+    FROM tf CROSS JOIN (SELECT unnest(range({CMS_DEPTH})) AS d) t
+  ) GROUP BY d, bucket
+),
+top AS (
+  SELECT w, true_count,
+         row_number() OVER (ORDER BY true_count DESC, w) AS rk
+  FROM tf
+),
+est AS (
+  SELECT top.w, top.true_count, top.rk, min(c.cms_count) AS cms_estimate
+  FROM top
+  CROSS JOIN (SELECT unnest(range({CMS_DEPTH})) AS d) t
+  JOIN cells c ON c.d = t.d
+   AND c.bucket = CASE {" ".join(f"WHEN t.d = {d} THEN {_cms_bucket_sql('top.w', d)}" for d in range(CMS_DEPTH))} END
+  WHERE top.rk <= {CMS_TOP_K}
+  GROUP BY top.w, top.true_count, top.rk
+)
+SELECT w AS token, true_count, cms_estimate, rk FROM est
+""",
+    description=(
+        f"Heavy hitters via count-min sketch ({CMS_DEPTH}x{CMS_WIDTH}, "
+        "md5-derived rows): fixed-memory frequency sketch built with "
+        "partial aggregation; top tokens reported with true count AND "
+        "sketch estimate — the sketch arithmetic itself is replayed "
+        "exactly by the oracle (estimate >= truth by construction)"
+    ),
+    driver_exposed=False,
+)
+def token_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch over corpus tokens.
+
+    The scale story: the sketch is CMS_DEPTH x CMS_WIDTH integer cells —
+    fixed memory regardless of vocabulary size — built with one explode +
+    map-side partial aggregation per depth row (the explode multiplies
+    rows by CMS_DEPTH, but partial agg collapses them to <= DEPTH*WIDTH
+    per task before the shuffle). Estimates touch only the top-k tokens
+    and join the tiny broadcast sketch. All hashing is the engine's
+    md5-based portable scheme, so the DuckDB oracle reproduces every
+    cell and every estimate bit-for-bit.
+    """
+    t = load_tables(spark, sf_dir)
+    toks = t["documents"].select(F.explode(words(F.col("text"))).alias("w"))
+    tf = toks.groupBy("w").agg(F.count(F.lit(1)).alias("true_count")).cache()
+    # sketch cells: per token, one (depth, bucket) pair per hash row
+    cells = (
+        tf.select(
+            "true_count",
+            F.posexplode(
+                F.array(*[_cms_bucket_spark(F.col("w"), d) for d in range(CMS_DEPTH)])
+            ).alias("d", "bucket"),
+        )
+        .groupBy("d", "bucket")
+        .agg(F.sum("true_count").alias("cms_count"))
+    )
+    wtop = Window.orderBy(F.desc("true_count"), F.asc("w"))
+    top = (
+        tf.withColumn("rk", F.row_number().over(wtop))
+        .where(F.col("rk") <= CMS_TOP_K)
+    )
+    probes = top.select(
+        "w",
+        "true_count",
+        "rk",
+        F.posexplode(
+            F.array(*[_cms_bucket_spark(F.col("w"), d) for d in range(CMS_DEPTH)])
+        ).alias("d", "bucket"),
+    )
+    return (
+        probes.join(F.broadcast(cells), ["d", "bucket"])
+        .groupBy("w", "true_count", "rk")
+        .agg(F.min("cms_count").alias("cms_estimate"))
+        .select(
+            F.col("w").alias("token"), "true_count", "cms_estimate", "rk"
         )
     )
