@@ -562,3 +562,138 @@ def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(click_ok.cast("long")).alias("n_view_click"),
         F.sum(full_ok.cast("long")).alias("n_full_funnel"),
     )
+
+
+HIST_BUCKETS = 20
+
+
+@register(
+    "event_value_histogram",
+    oracle=f"""
+WITH bounds AS (
+  SELECT min(value) AS lo, max(value) AS hi FROM events
+),
+bucketed AS (
+  SELECT e.event_type,
+         CAST(least(floor((e.value - b.lo) * {HIST_BUCKETS} / (b.hi - b.lo)),
+                    {HIST_BUCKETS - 1}) AS BIGINT) AS bucket,
+         b.lo, b.hi
+  FROM events e CROSS JOIN bounds b
+)
+SELECT event_type, bucket,
+       round(lo + bucket * (hi - lo) / {HIST_BUCKETS}, 6)       AS bucket_lo,
+       round(lo + (bucket + 1) * (hi - lo) / {HIST_BUCKETS}, 6) AS bucket_hi,
+       count(*) AS n
+FROM bucketed
+GROUP BY event_type, bucket, lo, hi
+""",
+    description=(
+        f"Equi-width histogram: {HIST_BUCKETS} value buckets per event type "
+        "over data-derived bounds (broadcast scalar min/max), identical "
+        "bucket arithmetic on both engines"
+    ),
+    driver_exposed=False,
+)
+def event_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One partial-agg pass for bounds (broadcast scalar row), one
+    partial-agg pass for the bucket counts — the corpus is scanned twice
+    and shuffled once on (event_type, bucket), never on raw rows."""
+    t = load_tables(spark, sf_dir)
+    ev = t["events"]
+    bounds = ev.agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+    bucket = F.least(
+        F.floor(
+            (F.col("value") - F.col("lo")) * HIST_BUCKETS / (F.col("hi") - F.col("lo"))
+        ),
+        F.lit(HIST_BUCKETS - 1),
+    ).cast("long")
+    return (
+        ev.crossJoin(F.broadcast(bounds))
+        .select("event_type", bucket.alias("bucket"), "lo", "hi")
+        .groupBy("event_type", "bucket", "lo", "hi")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "event_type",
+            "bucket",
+            F.round(
+                F.col("lo") + F.col("bucket") * (F.col("hi") - F.col("lo")) / HIST_BUCKETS,
+                6,
+            ).alias("bucket_lo"),
+            F.round(
+                F.col("lo")
+                + (F.col("bucket") + 1) * (F.col("hi") - F.col("lo")) / HIST_BUCKETS,
+                6,
+            ).alias("bucket_hi"),
+            "n",
+        )
+    )
+
+
+ANOMALY_TRAIL = 24  # trailing observed hours in the baseline window
+ANOMALY_Z = 2.0
+
+
+@register(
+    "events_hourly_anomalies",
+    oracle=f"""
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour, count(*) AS n_events
+  FROM events GROUP BY 1, 2
+),
+scored AS (
+  SELECT event_type, hour, n_events,
+         avg(n_events)         OVER w AS mu,
+         stddev_samp(n_events) OVER w AS sigma,
+         count(*)              OVER w AS n_trail
+  FROM hourly
+  WINDOW w AS (PARTITION BY event_type ORDER BY hour
+               ROWS BETWEEN {ANOMALY_TRAIL} PRECEDING AND 1 PRECEDING)
+)
+SELECT event_type, hour, n_events,
+       round((n_events - mu) / sigma, 6) AS zscore,
+       (abs(round((n_events - mu) / sigma, 6)) >= {ANOMALY_Z}) AS is_anomaly
+FROM scored
+WHERE n_trail = {ANOMALY_TRAIL} AND sigma > 0
+""",
+    description=(
+        f"Time-series anomaly flags: per-(event type, hour) volume z-score "
+        f"against the trailing {ANOMALY_TRAIL} observed hours (rows frame "
+        "excluding the current hour), |z| >= 2 flagged; scores rounded "
+        "before thresholding for cross-engine determinism"
+    ),
+    driver_exposed=False,
+)
+def events_hourly_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly counts are one partial-agg'd groupBy; the baseline is a
+    bounded ROWS frame over the per-type hourly series (tiny relative to
+    the corpus — the window shuffles hours, not events)."""
+    t = load_tables(spark, sf_dir)
+    hourly = (
+        t["events"]
+        .groupBy("event_type", F.date_trunc("hour", F.col("ts")).alias("hour"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(-ANOMALY_TRAIL, -1)
+    )
+    scored = hourly.select(
+        "event_type",
+        "hour",
+        "n_events",
+        F.avg("n_events").over(w).alias("mu"),
+        F.stddev_samp("n_events").over(w).alias("sigma"),
+        F.count(F.lit(1)).over(w).alias("n_trail"),
+    )
+    z = F.round((F.col("n_events") - F.col("mu")) / F.col("sigma"), 6)
+    return (
+        scored.where((F.col("n_trail") == ANOMALY_TRAIL) & (F.col("sigma") > 0))
+        .select(
+            "event_type",
+            "hour",
+            "n_events",
+            z.alias("zscore"),
+            (F.abs(z) >= ANOMALY_Z).alias("is_anomaly"),
+        )
+    )

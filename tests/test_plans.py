@@ -157,3 +157,29 @@ def test_decontamination_holdout_side_is_broadcast(spark):
     assert "BroadcastHashJoin" in p, p
     assert "SortMergeJoin" not in p, p
     assert "CartesianProduct" not in p, p
+
+
+def test_tfidf_vocab_joins_are_broadcast(spark):
+    """Document frequency (vocab-sized) and the corpus-count scalar join
+    back onto term frequency via broadcast — a sort-merge join would
+    shuffle the full tf relation twice at 100 TB."""
+    p = _plan(spark, "doc_tfidf_top_terms")
+    assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p, p
+    assert "SortMergeJoin" not in p, p
+
+
+def test_cms_sketch_join_is_broadcast(spark):
+    """The count-min sketch is <= DEPTH*WIDTH rows by construction; probe
+    estimation must join it broadcast."""
+    p = _plan(spark, "token_heavy_hitters_cms")
+    assert "BroadcastHashJoin" in p, p
+    assert "CartesianProduct" not in p, p
+
+
+def test_funnel_has_no_event_stream_self_join_explosion(spark):
+    """Funnel steps resolve via running-min window keys + ONE equi-join;
+    a CartesianProduct or theta-join here means the sequence matching
+    degenerated to joining the event stream against itself."""
+    p = _plan(spark, "funnel_view_click_purchase")
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastNestedLoopJoin" not in p, p
