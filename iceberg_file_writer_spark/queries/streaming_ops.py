@@ -67,8 +67,13 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("basePath", sf_dir)
         .parquet(path + "*")
     )
-    if dict((f.name, f.dataType.simpleString()) for f in raw_schema).get("ts") == "bigint":
+    ts_type = dict((f.name, f.dataType.simpleString()) for f in raw_schema).get("ts")
+    if ts_type == "bigint":
         src = src.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_type == "timestamp_ntz":
+        # Same normalization as tables.load_tables: session-TZ TIMESTAMP
+        # (UTC machine) so withWatermark accepts the event-time column.
+        src = src.withColumn("ts", F.col("ts").cast("timestamp"))
     return src
 
 

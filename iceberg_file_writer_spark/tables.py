@@ -45,8 +45,17 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
         if not os.path.exists(path):
             continue
         df = spark.read.parquet(path)
-        if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        if name == "events":
+            ts_type = dict(df.dtypes).get("ts")
+            if ts_type == "bigint":
+                df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+            elif ts_type == "timestamp_ntz":
+                # Testdata written as TIMESTAMP(MICROS, isAdjustedToUTC=false)
+                # reads as TIMESTAMP_NTZ; the engine standardizes on session-TZ
+                # TIMESTAMP (machine TZ is UTC, so the cast is value-preserving
+                # and matches DuckDB's naive timestamps) — watermarks and
+                # window() require it.
+                df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         df.createOrReplaceTempView(name)
         out[name] = df
     _TABLE_CACHE[cache_key] = out
