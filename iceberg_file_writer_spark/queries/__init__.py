@@ -59,6 +59,7 @@ def _import_all() -> None:
         decontam,
         dedup,
         events,
+        pipeline_ext,
         relational,
         relational_ext,
         sampling,

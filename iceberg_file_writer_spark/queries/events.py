@@ -337,6 +337,9 @@ FROM events
 GROUP BY event_type
 """,
     description="Exact continuous quantiles per event type",
+    # Ceded its driver slot round 4; the percentile class stays covered by
+    # approx_value_percentiles.
+    driver_exposed=False,
 )
 def event_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)

@@ -202,6 +202,9 @@ FROM supplier JOIN nat_avg ON s_nationkey = nk
 WHERE s_acctbal > nation_avg
 """,
     description="Correlated-subquery shape: suppliers above their nation's average balance",
+    # Ceded its driver slot round 4; the correlated-subquery class stays
+    # covered by orders_above_customer_avg.
+    driver_exposed=False,
 )
 def supplier_above_nation_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)

@@ -183,3 +183,49 @@ def test_funnel_has_no_event_stream_self_join_explosion(spark):
     p = _plan(spark, "funnel_view_click_purchase")
     assert "CartesianProduct" not in p, p
     assert "BroadcastNestedLoopJoin" not in p, p
+
+
+def test_token_budget_ledger_is_broadcast(spark):
+    """The per-(lang, bucket) ledger is <= langs x BUDGET_BUCKETS rows by
+    construction; it must broadcast back onto the document stream — a
+    sort-merge join would shuffle the corpus for a few-hundred-row dim."""
+    p = _plan(spark, "token_budget_sample")
+    assert "BroadcastHashJoin" in p, p
+    assert "SortMergeJoin" not in p, p
+
+
+def test_sequence_packing_shuffles_once(spark):
+    """Packing is one shard-partitioned window; the (shard, seq_id) agg is
+    co-partitioned with it, so the whole plan carries exactly one Exchange
+    and the aggregation combines map-side."""
+    p = _plan(spark, "pack_training_sequences")
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 1, p
+    assert "SortMergeJoin" not in p, p
+
+
+def test_bigram_lm_vocab_joins_are_broadcast(spark):
+    """Unigram counts and |V| are vocabulary-sized; they must broadcast
+    onto the bigram token stream. The bigram-count join may hash or
+    broadcast (AQE decides by stats), but nothing may cartesian."""
+    p = _plan(spark, "doc_bigram_logprob")
+    assert "CartesianProduct" not in p, p
+    assert "SortMergeJoin" not in p, p
+
+
+@pytest.mark.parametrize("name", ["embedding_quantize", "events_zorder_keys"])
+def test_bounds_pass_broadcasts_single_row(spark, name):
+    """Min/max bounds reduce to ONE row that broadcasts back over the
+    corpus (the TPC-H scalar-threshold shape): exactly one Exchange (the
+    bounds partial-agg), never a shuffle of the main stream."""
+    p = _plan(spark, name)
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p, p
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 1, p
+    assert "CartesianProduct" not in p, p
+
+
+def test_cdc_latest_state_uses_window_group_limit(spark):
+    """rn = 1 over the key window must trigger Spark's WindowGroupLimit
+    pushdown (per-partition top-1 before the full sort/window) — without
+    it every historical version of every key flows through the window."""
+    p = _plan(spark, "cdc_user_latest_state")
+    assert "WindowGroupLimit" in p, p
