@@ -352,7 +352,11 @@ def neardup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     large-star/small-star variant halves round count — seam documented
     here, the emitted mapping is identical.
     """
-    pairs = _minhash_pairs_df(spark, sf_dir).select("doc_a", "doc_b")
+    # cache() on the pair relation itself: the symmetrized edge union reads
+    # it twice, and without the pin each union branch replays the LSH
+    # candidate join + Jaccard verify (the signature/set relations below it
+    # are cached, but the join work is not).
+    pairs = _minhash_pairs_df(spark, sf_dir).select("doc_a", "doc_b").cache()
     # cache(): the edge list seeds the node set and is re-joined every
     # propagation round; without it each round replays LSH pair generation.
     edges = (

@@ -41,6 +41,27 @@ Reference scope note: the reference (/root/reference/main.go) is a
 partitioned ingest pipeline with no query/compaction surface; these
 operators extend its write-side layout thinking (partition + sort keys,
 main.go:50-51,78-79) to the training-data read side. [extension]
+
+Second batch (same round):
+
+- **chunk-level exact dedup**: duplicated fixed-token windows across
+  documents — the paragraph/span dedup of pretraining curation (the
+  Dolma/RefinedWeb shape): hash every chunk, group on the digest, flag
+  digests seen in more than one document; plus the per-document
+  duplicated-span fraction that the curation filter thresholds on.
+- **BPE merge training**: the first K byte-pair-encoding merges learned
+  from corpus word frequencies — tokenizer training as a DataFrame
+  program. The corpus-sized explode happens once (word frequencies);
+  every merge iteration runs over the vocabulary-sized (word, freq,
+  symbol-sequence) relation, so iteration cost is independent of corpus
+  size. Pair-merge rewriting uses leftmost non-overlapping string
+  replacement — verified bitwise-identical semantics in Spark and DuckDB
+  — which is what lets the oracle replay training exactly.
+- **snapshot diff**: the changelog's materialized state compared at two
+  snapshot times — per-key insert/update/delete classification (the
+  Iceberg changelog-read / CDC-diff shape). Append-only changelogs
+  cannot produce deletes; the branch is still implemented so the
+  operator is complete for tombstoned feeds.
 """
 
 from __future__ import annotations
@@ -578,4 +599,378 @@ def events_zorder_zone_map(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("user_id").alias("user_max"),
         F.min("tus").alias("ts_min"),
         F.max("tus").alias("ts_max"),
+    )
+
+
+# --- chunk-level exact dedup (paragraph dedup) ----------------------------
+
+# Same chunk geometry as doc_token_chunks (queries/text.py): dedup operates
+# on the windows the downstream tokenizer actually consumes.
+from iceberg_file_writer_spark.queries.text import CHUNK_SIZE, CHUNK_STEP
+
+_CHUNKS_SQL = f"""
+  SELECT doc_id,
+         md5(array_to_string(list_slice(tk, s + 1, s + {CHUNK_SIZE}), ' ')) AS chunk_hash
+  FROM (
+    SELECT doc_id, tk, unnest(range(0, greatest(len(tk), 1), {CHUNK_STEP})) AS s
+    FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM documents)
+  )
+"""
+
+
+def _chunk_hashes_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, chunk_hash) for every CHUNK_SIZE-token window — the Spark
+    dual of _CHUNKS_SQL; hashing happens before any shuffle so the
+    groupBy/join below move 32-hex digests, never chunk text."""
+    t = load_tables(spark, sf_dir)
+    tk = F.split(F.col("text"), " ")
+    starts = F.sequence(
+        F.lit(0), F.greatest(F.size(tk) - 1, F.lit(0)), F.lit(CHUNK_STEP)
+    )
+    return (
+        t["documents"]
+        .select("doc_id", tk.alias("tk"), F.explode(starts).alias("s"))
+        .select(
+            "doc_id",
+            F.md5(F.array_join(F.slice("tk", F.col("s") + 1, CHUNK_SIZE), " ")).alias(
+                "chunk_hash"
+            ),
+        )
+    )
+
+
+@register(
+    "chunk_exact_dedup",
+    oracle=f"""
+WITH chunks AS ({_CHUNKS_SQL})
+SELECT chunk_hash,
+       count(*)                 AS n_occurrences,
+       count(DISTINCT doc_id)   AS n_docs,
+       min(doc_id)              AS keeper_doc_id
+FROM chunks
+GROUP BY chunk_hash
+HAVING count(DISTINCT doc_id) > 1
+""",
+    description=(
+        f"Chunk-level exact dedup: {CHUNK_SIZE}-token windows hashed and "
+        "grouped on the digest, digests spanning >1 document flagged with "
+        "occurrence/document counts and the keeper — the paragraph/span "
+        "dedup of pretraining curation"
+    ),
+    # pytest-oracle-checked at sf0.001/sf0.01; the driver surface is at its
+    # 50-entry cap (the round-4 rotation is already documented) — the
+    # dedup class stays driver-visible via exact_dedup_documents.
+    driver_exposed=False,
+)
+def chunk_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-span detection across documents.
+
+    Scale shape: identical to exact document dedup — one hash-groupBy,
+    but on chunk digests, so the shuffle carries (32-hex digest, doc_id)
+    per window regardless of document size. The HAVING on distinct-doc
+    count is a partial-agg'd distinct within the same shuffle. This is
+    the operator that catches boilerplate shared across pages that
+    document-level dedup misses.
+    """
+    chunks = _chunk_hashes_df(spark, sf_dir)
+    return (
+        chunks.groupBy("chunk_hash")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.min("doc_id").alias("keeper_doc_id"),
+        )
+        .where(F.col("n_docs") > 1)
+    )
+
+
+@register(
+    "doc_dup_chunk_fraction",
+    oracle=f"""
+WITH chunks AS ({_CHUNKS_SQL}),
+dup AS (
+  SELECT chunk_hash FROM chunks
+  GROUP BY chunk_hash HAVING count(DISTINCT doc_id) > 1
+)
+SELECT c.doc_id,
+       count(*) AS n_chunks,
+       sum(CASE WHEN d.chunk_hash IS NOT NULL THEN 1 ELSE 0 END) AS n_dup_chunks,
+       round(sum(CASE WHEN d.chunk_hash IS NOT NULL THEN 1 ELSE 0 END)
+             / count(*)::DOUBLE, 6) AS dup_fraction
+FROM chunks c LEFT JOIN dup d ON d.chunk_hash = c.chunk_hash
+GROUP BY c.doc_id
+""",
+    description=(
+        "Per-document duplicated-span fraction: share of a document's "
+        f"{CHUNK_SIZE}-token chunks whose hash also appears in another "
+        "document — the curation signal thresholded to drop "
+        "boilerplate-heavy pages"
+    ),
+    # pytest-oracle-checked; the driver surface is at its 50-entry cap —
+    # the chunk-dedup class is driver-visible via chunk_exact_dedup.
+    driver_exposed=False,
+)
+def doc_dup_chunk_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The filterable per-document form of chunk_exact_dedup.
+
+    The duplicated-digest relation is orders smaller than the chunk
+    relation (only cross-document repeats survive the HAVING), so the
+    join back is hash-partitioned digest-to-digest with a tiny build
+    side; both the dedup groupBy and the join shuffle on chunk_hash, so
+    AQE coalesces them onto one exchange footprint.
+    """
+    chunks = _chunk_hashes_df(spark, sf_dir).cache()
+    dup = (
+        chunks.groupBy("chunk_hash")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .where(F.col("nd") > 1)
+        .select("chunk_hash", F.lit(1).alias("is_dup"))
+    )
+    return (
+        chunks.join(dup, "chunk_hash", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum(F.coalesce(F.col("is_dup"), F.lit(0))).alias("n_dup_chunks"),
+            F.round(
+                F.sum(F.coalesce(F.col("is_dup"), F.lit(0)))
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("dup_fraction"),
+        )
+    )
+
+
+# --- BPE merge training ---------------------------------------------------
+
+BPE_MERGES = 4  # learned merge rules (unrolled identically in the oracle)
+
+
+def _bpe_oracle() -> str:
+    """Unrolled K-iteration BPE training as DuckDB CTEs (the Lloyd-style
+    fixed-iteration pattern: deterministic inputs + exact integer
+    arithmetic => the oracle replays training bit-for-bit)."""
+    ctes = [
+        """w0 AS (
+  SELECT w, count(*) AS freq
+  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+  GROUP BY w
+)""",
+        r"""s0 AS (
+  SELECT w, freq, regexp_replace(w, '(.)', '|\1', 'g') || '|' AS seq FROM w0
+)""",
+    ]
+    for k in range(1, BPE_MERGES + 1):
+        ctes.append(f"""p{k} AS (
+  SELECT ss[i] AS w1, ss[i + 1] AS w2, CAST(sum(freq) AS BIGINT) AS cnt
+  FROM (SELECT list_filter(string_split(seq, '|'), x -> x <> '') AS ss, freq
+        FROM s{k - 1}),
+       unnest(range(1, len(ss))) AS t(i)
+  GROUP BY 1, 2
+)""")
+        ctes.append(f"""b{k} AS (
+  SELECT w1, w2, cnt FROM p{k} ORDER BY cnt DESC, w1, w2 LIMIT 1
+)""")
+        if k < BPE_MERGES:
+            ctes.append(f"""s{k} AS (
+  SELECT w, freq,
+         replace(seq, '|' || b.w1 || '|' || b.w2 || '|',
+                      '|' || b.w1 || b.w2 || '|') AS seq
+  FROM s{k - 1} CROSS JOIN b{k} b
+)""")
+    selects = "\nUNION ALL\n".join(
+        f"SELECT CAST({k} AS BIGINT) AS merge_rank, w1 AS left_sym, "
+        f"w2 AS right_sym, cnt AS pair_count FROM b{k}"
+        for k in range(1, BPE_MERGES + 1)
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + selects
+
+
+@register(
+    "bpe_merge_train",
+    oracle=_bpe_oracle(),
+    description=(
+        f"BPE tokenizer training: the first {BPE_MERGES} byte-pair merges "
+        "learned from corpus word frequencies (highest-count adjacent "
+        "symbol pair per round, ties broken lexicographically) — each "
+        "round emits (rank, pair, count)"
+    ),
+    # pytest-oracle-checked; driver surface at its 50-entry cap.
+    driver_exposed=False,
+)
+def bpe_merge_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-pair-encoding merge learning as an iterative DataFrame program.
+
+    Scale shape: the only corpus-sized pass is the word-frequency
+    aggregation (explode -> partial-agg'd groupBy, the same stream every
+    token-count operator runs). Training then iterates over the
+    *vocabulary*-sized (word, freq, symbol-seq) relation: per round one
+    pair-count aggregation (map-side combined; the pair space is
+    vocabulary-bounded), one TakeOrderedAndProject(1) for the argmax
+    pair, and one broadcast of that single row back over the vocabulary
+    to rewrite sequences. Iteration cost is independent of corpus size —
+    exactly why BPE training is feasible on a 100 TB corpus: the corpus
+    compresses to its vocabulary before any iteration starts.
+
+    Merge rewriting is leftmost non-overlapping replacement on a
+    '|'-delimited symbol string ('|a|b|' -> '|ab|'); shared-boundary
+    occurrences are skipped by the resume-after-replacement scan. Spark's
+    replace() and DuckDB's replace() implement this convention
+    identically (verified on overlapping runs), which is what makes the
+    oracle exact.
+    """
+    t = load_tables(spark, sf_dir)
+    wf = (
+        t["documents"]
+        .select(F.explode(words(F.col("text"))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    seqs = wf.select(
+        "w",
+        "freq",
+        F.concat(F.regexp_replace("w", "(.)", r"|$1"), F.lit("|")).alias("seq"),
+    ).cache()
+    merges = None
+    for k in range(1, BPE_MERGES + 1):
+        syms = F.filter(F.split("seq", "\\|"), lambda x: x != "")
+        n1 = F.greatest(F.size(syms) - 1, F.lit(0))
+        # adjacent pairs (syms[i], syms[i+1]) without a per-word window:
+        # slice off the last symbol, pair each with its successor by index
+        pairs = F.transform(
+            F.slice(syms, 1, n1),
+            lambda x, i: F.struct(
+                x.alias("w1"), F.element_at(syms, i + 2).alias("w2")
+            ),
+        )
+        pc = (
+            seqs.select(F.explode(pairs).alias("p"), "freq")
+            .groupBy(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+            .agg(F.sum("freq").alias("cnt"))
+        )
+        best = pc.orderBy(F.desc("cnt"), "w1", "w2").limit(1).cache()
+        ranked = best.select(
+            F.lit(k).cast("long").alias("merge_rank"),
+            F.col("w1").alias("left_sym"),
+            F.col("w2").alias("right_sym"),
+            F.col("cnt").alias("pair_count"),
+        )
+        merges = ranked if merges is None else merges.union(ranked)
+        if k < BPE_MERGES:
+            b = best.select(
+                F.col("w1").alias("_bw1"), F.col("w2").alias("_bw2")
+            )
+            seqs = (
+                seqs.crossJoin(F.broadcast(b))
+                .select(
+                    "w",
+                    "freq",
+                    F.replace(
+                        F.col("seq"),
+                        F.concat(
+                            F.lit("|"), F.col("_bw1"), F.lit("|"), F.col("_bw2"), F.lit("|")
+                        ),
+                        F.concat(F.lit("|"), F.col("_bw1"), F.col("_bw2"), F.lit("|")),
+                    ).alias("seq"),
+                )
+                .cache()
+            )
+    return merges
+
+
+# --- snapshot diff (changelog materialized at two times) ------------------
+
+SNAPSHOT_T1 = "2024-01-15 00:00:00"
+
+
+@register(
+    "table_snapshot_diff",
+    oracle=f"""
+WITH old AS (
+  SELECT user_id, event_id, ts FROM (
+    SELECT user_id, event_id, ts,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events WHERE ts < TIMESTAMP '{SNAPSHOT_T1}'
+  ) WHERE rn = 1
+),
+new AS (
+  SELECT user_id, event_id, ts FROM (
+    SELECT user_id, event_id, ts,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events
+  ) WHERE rn = 1
+)
+SELECT coalesce(n.user_id, o.user_id) AS user_id,
+       CASE WHEN o.user_id IS NULL THEN 'insert'
+            WHEN n.user_id IS NULL THEN 'delete'
+            ELSE 'update' END         AS change_type,
+       o.event_id AS old_event_id,
+       n.event_id AS new_event_id,
+       o.ts       AS old_ts,
+       n.ts       AS new_ts
+FROM new n FULL OUTER JOIN old o ON n.user_id = o.user_id
+WHERE o.user_id IS NULL OR n.user_id IS NULL OR n.event_id <> o.event_id
+""",
+    description=(
+        "Snapshot diff: the events changelog materialized (latest row per "
+        f"user) at {SNAPSHOT_T1} vs at stream end, full-outer-compared "
+        "into per-key insert/update/delete rows — the CDC changelog-read "
+        "between two table snapshots"
+    ),
+    # pytest-oracle-checked; driver surface at its 50-entry cap — the CDC
+    # class stays driver-visible via cdc_user_latest_state.
+    driver_exposed=False,
+)
+def table_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diff of the changelog's materialized state at two snapshot times.
+
+    Scale shape: each snapshot is one window over the user_id hash
+    partition (WindowGroupLimit pushes the top-1 before the sort, same as
+    cdc_user_latest_state); the full-outer join is on the same user_id
+    key, so the window's shuffle partitioning is reused and the join adds
+    no exchange. Unchanged keys are dropped before emission — output is
+    proportional to the churn between snapshots, not to the key space.
+    The delete branch requires tombstones, which an append-only changelog
+    cannot carry; it is implemented (NULL new-side) for tombstoned feeds.
+    """
+    t = load_tables(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    ev = t["events"].select("user_id", "event_id", "ts")
+
+    def snap(df: DataFrame) -> DataFrame:
+        return (
+            df.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .drop("rn")
+        )
+
+    old = snap(ev.where(F.col("ts") < F.lit(SNAPSHOT_T1).cast("timestamp"))).select(
+        F.col("user_id").alias("o_user_id"),
+        F.col("event_id").alias("old_event_id"),
+        F.col("ts").alias("old_ts"),
+    )
+    new = snap(ev).select(
+        F.col("user_id").alias("n_user_id"),
+        F.col("event_id").alias("new_event_id"),
+        F.col("ts").alias("new_ts"),
+    )
+    joined = new.join(
+        old, new.n_user_id == old.o_user_id, "full_outer"
+    )
+    return joined.where(
+        F.col("o_user_id").isNull()
+        | F.col("n_user_id").isNull()
+        | (F.col("new_event_id") != F.col("old_event_id"))
+    ).select(
+        F.coalesce("n_user_id", "o_user_id").alias("user_id"),
+        F.when(F.col("o_user_id").isNull(), F.lit("insert"))
+        .when(F.col("n_user_id").isNull(), F.lit("delete"))
+        .otherwise(F.lit("update"))
+        .alias("change_type"),
+        "old_event_id",
+        "new_event_id",
+        "old_ts",
+        "new_ts",
     )

@@ -715,3 +715,136 @@ def embedding_label_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("nrm").alias("max_norm"),
         )
     )
+
+
+# --- SQ8 quantized prefilter + exact rerank ---------------------------------
+
+# Same scalar-quantization law as queries/pipeline_ext.py::embedding_quantize
+# (floor((x - min) * 255 / range), exact integers in both engines).
+SQ8_LEVELS = 255
+SQ8_CAND_M = 50  # candidates kept per query by the int8 prefilter
+
+
+def _sq8_oracle() -> str:
+    mins = ", ".join(
+        f"min(embedding[{i + 1}]::DOUBLE) AS mn{i}" for i in range(EMB_DIMS)
+    )
+    maxs = ", ".join(
+        f"max(embedding[{i + 1}]::DOUBLE) AS mx{i}" for i in range(EMB_DIMS)
+    )
+    zc = ", ".join(
+        f"CAST(floor((embedding[{i + 1}]::DOUBLE - b.mn{i}) * {SQ8_LEVELS}.0"
+        f" / (b.mx{i} - b.mn{i})) AS BIGINT) AS z{i}"
+        for i in range(EMB_DIMS)
+    )
+    idot = " + ".join(f"q.z{i} * c.z{i}" for i in range(EMB_DIMS))
+    return f"""
+WITH b AS (SELECT {mins}, {maxs} FROM embeddings),
+z AS (SELECT vec_id, {zc} FROM embeddings CROSS JOIN b),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, {idot} AS iscore
+  FROM (SELECT * FROM z WHERE vec_id < {KNN_N_QUERIES}) q, z c
+  WHERE q.vec_id <> c.vec_id
+),
+cand AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY iscore DESC, neighbor_id) AS prk
+    FROM scored
+  ) WHERE prk <= {SQ8_CAND_M}
+),
+rr AS (
+  SELECT cand.query_id, cand.neighbor_id,
+         {_cosine_sql('qe.embedding', 'ce.embedding')} AS cosine_sim
+  FROM cand
+  JOIN embeddings qe ON qe.vec_id = cand.query_id
+  JOIN embeddings ce ON ce.vec_id = cand.neighbor_id
+)
+SELECT query_id, neighbor_id, cosine_sim, rk FROM (
+  SELECT query_id, neighbor_id, cosine_sim,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine_sim DESC, neighbor_id) AS rk
+  FROM rr
+) WHERE rk <= {KNN_K}
+"""
+
+
+@register(
+    "knn_sq8_rerank",
+    oracle=_sq8_oracle(),
+    description=(
+        f"Two-stage ANN: int8-quantized dot-product prefilter keeps "
+        f"{SQ8_CAND_M} candidates per query, exact-cosine rerank emits "
+        f"top-{KNN_K} — the SQ8 retrieve-then-rerank pattern; integer "
+        "prefilter scores make the candidate sets bitwise-checkable"
+    ),
+    # pytest-oracle-checked; driver surface at its 50-entry cap — the ANN
+    # class stays driver-visible via knn_bruteforce_cosine / ivf_knn_cosine.
+    driver_exposed=False,
+)
+def knn_sq8_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQ8 retrieve-then-rerank: the memory-bandwidth ANN shape.
+
+    Stage 1 scans the *quantized* corpus (64 bytes/vector instead of 512
+    — at 100 TB of embeddings this is the difference between a scan that
+    fits the cluster's aggregate bandwidth and one that doesn't) against
+    the broadcast quantized queries, scoring with a pure int64
+    multiply-add chain; top-M per query by (integer score, id) is exactly
+    reproducible — no float noise exists in the prefilter at all. Stage 2
+    rejoins only the M candidates per query to the full-precision vectors
+    (candidate-sized equi-join) for the exact rounded-cosine rerank. The
+    quantization bounds are one partial-agg pass broadcast back, same as
+    embedding_quantize.
+    """
+    flat = _emb_cols(spark, sf_dir)
+    bounds = flat.agg(
+        *[F.min(f"e{i}").alias(f"mn{i}") for i in range(EMB_DIMS)],
+        *[F.max(f"e{i}").alias(f"mx{i}") for i in range(EMB_DIMS)],
+    )
+    z = flat.crossJoin(F.broadcast(bounds)).select(
+        "vec_id",
+        *[
+            F.floor(
+                (F.col(f"e{i}") - F.col(f"mn{i}"))
+                * F.lit(float(SQ8_LEVELS))
+                / (F.col(f"mx{i}") - F.col(f"mn{i}"))
+            )
+            .cast("long")
+            .alias(f"z{i}")
+            for i in range(EMB_DIMS)
+        ],
+    )
+    qz = z.where(F.col("vec_id") < KNN_N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        *[F.col(f"z{i}").alias(f"a{i}") for i in range(EMB_DIMS)],
+    )
+    iscore = F.col("a0") * F.col("z0")
+    for i in range(1, EMB_DIMS):
+        iscore = iscore + F.col(f"a{i}") * F.col(f"z{i}")
+    scored = (
+        z.crossJoin(F.broadcast(qz))
+        .where(F.col("query_id") != F.col("vec_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), iscore.alias("iscore"))
+    )
+    wp = Window.partitionBy("query_id").orderBy(F.desc("iscore"), F.asc("neighbor_id"))
+    cand = (
+        scored.withColumn("prk", F.row_number().over(wp))
+        .where(F.col("prk") <= SQ8_CAND_M)
+        .select("query_id", "neighbor_id")
+    )
+    qe = _rename(flat.where(F.col("vec_id") < KNN_N_QUERIES), "query_id", "a", "na")
+    ce = _rename(flat, "neighbor_id", "b", "nb")
+    rr = (
+        cand.join(F.broadcast(qe), "query_id")
+        .join(ce, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                _coldot("a", "b") / (F.col("na") * F.col("nb")), COSINE_DECIMALS
+            ).alias("cosine_sim"),
+        )
+    )
+    wr = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
+    return rr.withColumn("rk", F.row_number().over(wr)).where(F.col("rk") <= KNN_K)

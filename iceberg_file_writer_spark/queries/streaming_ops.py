@@ -378,3 +378,115 @@ def streaming_enriched_segment_stats(spark: SparkSession, sf_dir: str) -> DataFr
         )
 
     return _run_stream(spark, sf_dir, transform, "segstats")
+
+
+@register(
+    "streaming_cdc_upsert_state",
+    oracle="""
+SELECT user_id,
+       event_id AS last_event_id,
+       ts       AS last_ts,
+       event_type AS last_event_type,
+       value    AS last_value
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY user_id
+                               ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1
+""",
+    description=(
+        "Structured Streaming CDC apply: foreachBatch merges each "
+        "micro-batch's newest row per user into a versioned parquet state "
+        "table (the MERGE INTO upsert sink) — final state equals the "
+        "batch latest-state read exactly, independent of batch boundaries"
+    ),
+    # pytest-oracle-checked (incl. a forced multi-batch run); the driver
+    # surface is at its 50-entry cap — the CDC class is driver-visible via
+    # cdc_user_latest_state.
+    driver_exposed=False,
+)
+def streaming_cdc_upsert_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The write side of CDC: a streaming upsert ("MERGE INTO") sink.
+
+    Each micro-batch is reduced to its newest row per key (a batch-local
+    window — tiny, batch-sized), then merged with the current state table
+    by the same (ts, event_id) recency rule. Because per-key max over
+    (ts, event_id) is associative and commutative, merging per-batch
+    winners yields the global winner whatever the batch boundaries — that
+    is what makes the final state exactly oracle-checkable.
+
+    The state table is versioned-directory parquet with an atomic rename
+    swap (the same staged-commit idiom as ingest/_commit_epoch); on a
+    lakehouse table this foreachBatch body is literally `MERGE INTO state
+    USING batch_winners ON key WHEN MATCHED AND newer THEN UPDATE ...` —
+    the Iceberg/Delta seam is the swap. State volume is |keys|, not
+    |events|; the per-batch merge cost is |state| + |batch|, and at 100 TB
+    the read-merge-rewrite becomes the storage layer's row-level MERGE
+    instead of a full rewrite.
+    """
+    return run_cdc_upsert(spark, _events_stream(spark, sf_dir))
+
+
+def run_cdc_upsert(spark: SparkSession, src: DataFrame) -> DataFrame:
+    """Drive the foreachBatch upsert to completion over `src` (a streaming
+    events DataFrame) and return a lazy read of the final state table.
+    Exposed separately so tests can force multi-batch runs
+    (maxFilesPerTrigger=1 over a many-file directory)."""
+    import os
+    import shutil
+
+    from pyspark.sql import Window
+
+    root = tempfile.mkdtemp(prefix="cdc-state-")
+    state_dir = os.path.join(root, "state")
+    ckpt = tempfile.mkdtemp(prefix="cdc-ckpt-")
+    w = Window.partitionBy("user_id").orderBy(F.desc("last_ts"), F.desc("last_event_id"))
+
+    def batch_winners(df: DataFrame) -> DataFrame:
+        bw = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+        return (
+            df.withColumn("rn", F.row_number().over(bw))
+            .where(F.col("rn") == 1)
+            .select(
+                "user_id",
+                F.col("event_id").alias("last_event_id"),
+                F.col("ts").alias("last_ts"),
+                F.col("event_type").alias("last_event_type"),
+                F.col("value").alias("last_value"),
+            )
+        )
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        merged = batch_winners(batch_df)
+        if os.path.isdir(state_dir):
+            cur = batch_df.sparkSession.read.parquet(state_dir)
+            merged = cur.unionByName(merged)
+        latest = (
+            merged.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .drop("rn")
+        )
+        staged = os.path.join(root, f"state-staging-{batch_id}")
+        latest.write.mode("overwrite").parquet(staged)
+        old = os.path.join(root, f"state-old-{batch_id}")
+        if os.path.isdir(state_dir):
+            os.rename(state_dir, old)
+        os.rename(staged, state_dir)
+        shutil.rmtree(old, ignore_errors=True)
+
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(STREAM_STATE_PARTITIONS))
+    try:
+        q = (
+            src.writeStream.foreachBatch(upsert)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination()
+        finally:
+            q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return spark.read.parquet(state_dir)

@@ -229,3 +229,36 @@ def test_cdc_latest_state_uses_window_group_limit(spark):
     it every historical version of every key flows through the window."""
     p = _plan(spark, "cdc_user_latest_state")
     assert "WindowGroupLimit" in p, p
+
+
+def test_chunk_dedup_shuffles_digests_not_text(spark):
+    """Chunk-level dedup hashes before it shuffles: the distinct-doc
+    rewrite is two aggregation exchanges over (digest, doc_id) — the
+    chunk text itself must never cross an exchange, and no join or
+    Python node belongs in the plan."""
+    p = _plan(spark, "chunk_exact_dedup")
+    assert len(re.findall(r"\(\d+\) Exchange", p)) <= 2, p
+    assert "Join" not in p, p
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p, p
+    for m in re.finditer(r"\(\d+\) Exchange\nInput \[\d+\]: \[([^\]]*)\]", p):
+        assert "text" not in m.group(1), p
+
+
+def test_snapshot_diff_join_reuses_window_partitioning(spark):
+    """Both snapshot branches window on user_id and the full-outer join
+    keys on user_id: exactly one exchange per branch, none for the join;
+    WindowGroupLimit pushes the per-key top-1 below each sort."""
+    p = _plan(spark, "table_snapshot_diff")
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 2, p
+    assert len(re.findall(r"\(\d+\) WindowGroupLimit", p)) >= 2, p
+
+
+def test_bpe_iterations_stay_vocab_sized(spark):
+    """BPE training: the argmax pair per round is TakeOrderedAndProject
+    (never a global sort), the 1-row merge rule joins back by broadcast
+    (never sort-merge/cartesian), and no Python touches the loop."""
+    p = _plan(spark, "bpe_merge_train")
+    assert "TakeOrderedAndProject" in p, p
+    assert "SortMergeJoin" not in p, p
+    assert "CartesianProduct" not in p, p
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p, p

@@ -213,3 +213,40 @@ def test_transform_with_state_daily_totals(spark, events_stream_dir, tmp_path):
             spark.conf.unset(key)
         else:
             spark.conf.set(key, prev)
+
+
+def test_cdc_upsert_multi_batch_matches_batch_latest(spark, events_stream_dir, tmp_path):
+    """The foreachBatch upsert sink must converge to the batch latest-state
+    result regardless of micro-batch boundaries: stream the events from a
+    many-file directory one file per trigger and compare the final state
+    table to the batch window dual."""
+    from iceberg_file_writer_spark.queries.streaming_ops import run_cdc_upsert
+
+    path, schema = events_stream_dir
+    multi = str(tmp_path / "events-multi")
+    spark.read.schema(schema).parquet(path).repartition(5).write.parquet(multi)
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(multi)
+    )
+    got = run_cdc_upsert(spark, src)
+
+    ev = load_tables(spark, SF_DIR)["events"]
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    want = (
+        ev.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_id").alias("last_event_id"),
+            F.col("ts").alias("last_ts"),
+            F.col("event_type").alias("last_event_type"),
+            F.col("value").alias("last_value"),
+        )
+    )
+    got_rows = sorted(map(tuple, got.collect()))
+    want_rows = sorted(map(tuple, want.collect()))
+    assert got_rows == want_rows
