@@ -100,6 +100,15 @@ def main() -> None:
         if name in headline:
             corpus_times.append(max(best, 1e-3))
         print(f"  {name}: {best:.2f}s", file=sys.stderr)
+        # Entry isolation: many entries pin relations (signatures, shingle
+        # sets, BPE sequence chains, ...) with cache(); left in place they
+        # accumulate across the corpus and storage-eviction/GC churn
+        # inflates later entries 2-3x (measured: ngram_jaccard 1.44s
+        # isolated vs 4.03s late in a contaminated session). The driver
+        # runs queries in fresh contexts; measure the same way. Within an
+        # entry the second (best-of-2) run still benefits from its own
+        # caches — the clear happens after both runs.
+        spark.catalog.clearCache()
 
     total = round(sum(corpus_times), 3)
     timings["geomean"] = round(

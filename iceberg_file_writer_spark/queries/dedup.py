@@ -568,3 +568,94 @@ def simhash_near_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("hamming") <= SIMHASH_MAX_HAMMING)
     )
+
+
+# --- incremental near-dup: new batch vs existing corpus --------------------
+
+NEW_BATCH_SPLIT = 400  # doc_id >= 400 plays the freshly-ingested shard
+
+
+@register(
+    "incremental_neardup_new_vs_corpus",
+    oracle=f"""
+WITH wordx AS ({_WORDX_SQL}),
+shingle_x AS ({_shingle_x_sql(3)}),
+sigs AS ({_minhash_sql()}),
+bands AS (
+  SELECT doc_id, unnest(range({LSH_BANDS})) AS band_idx,
+         unnest([{", ".join(_band_hash_sql(b) for b in range(LSH_BANDS))}]) AS band_hash
+  FROM sigs
+),
+candidates AS (
+  SELECT DISTINCT n.doc_id AS new_doc_id, o.doc_id AS corpus_doc_id
+  FROM bands n JOIN bands o
+    ON n.band_idx = o.band_idx AND n.band_hash = o.band_hash
+  WHERE n.doc_id >= {NEW_BATCH_SPLIT} AND o.doc_id < {NEW_BATCH_SPLIT}
+),
+sets AS (SELECT doc_id, list(DISTINCT x) AS s FROM shingle_x GROUP BY doc_id),
+pairs AS (
+  SELECT c.new_doc_id, c.corpus_doc_id, {_JACCARD_SQL} AS jaccard_sim
+  FROM candidates c
+  JOIN sets sa ON sa.doc_id = c.new_doc_id
+  JOIN sets sb ON sb.doc_id = c.corpus_doc_id
+  WHERE {_JACCARD_SQL} >= {MINHASH_JACCARD_THRESHOLD}
+)
+SELECT new_doc_id, corpus_doc_id, jaccard_sim FROM pairs
+""",
+    description=(
+        f"Incremental near-dup: the freshly-ingested shard (doc_id >= "
+        f"{NEW_BATCH_SPLIT}) LSH-matched against the existing corpus only "
+        "(no new-new or corpus-corpus pairs) — the per-ingest dedup gate "
+        "of a continuously-growing corpus; new-side bands broadcast"
+    ),
+    # pytest-oracle-checked; driver surface at its 50-entry cap — the
+    # near-dup class stays driver-visible via minhash_lsh_near_duplicates.
+    driver_exposed=False,
+)
+def incremental_neardup_new_vs_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup an incoming shard against the corpus without an all-pairs pass.
+
+    The steady-state curation loop never re-runs full-corpus dedup: each
+    ingest batch is checked against the standing index. Shape: the new
+    shard's band hashes are a batch-sized relation — *broadcast* against
+    the corpus band postings (plan-gated), so the corpus side is one scan
+    with no shuffle for the candidate join; exact-Jaccard verification
+    then touches only candidate pairs, asymmetric (new side small) by
+    construction. At 100 TB the corpus bands live as a bucketed postings
+    table (the signatures-table seam documented on _minhash_pairs_df) and
+    this query is the incremental probe against it.
+    """
+    mh = _minhash_sig_df(spark, sf_dir).cache()
+    band_arr = F.array(*[F.col(f"band{b}") for b in range(LSH_BANDS)])
+    bands = mh.select("doc_id", *minhash_band_hash_columns()).select(
+        "doc_id", F.posexplode(band_arr).alias("band_idx", "band_hash")
+    )
+    new_bands = bands.where(F.col("doc_id") >= NEW_BATCH_SPLIT).select(
+        F.col("doc_id").alias("new_doc_id"), "band_idx", "band_hash"
+    )
+    corpus_bands = bands.where(F.col("doc_id") < NEW_BATCH_SPLIT).select(
+        F.col("doc_id").alias("corpus_doc_id"), "band_idx", "band_hash"
+    )
+    cands = (
+        corpus_bands.join(F.broadcast(new_bands), ["band_idx", "band_hash"])
+        .select("new_doc_id", "corpus_doc_id")
+        .distinct()
+    )
+    sets = (
+        _shingle_x_df(spark, sf_dir, 3)
+        .groupBy("doc_id")
+        .agg(F.collect_set("x").alias("s"))
+        .cache()
+    )
+    sa = sets.select(F.col("doc_id").alias("new_doc_id"), F.col("s").alias("sa"))
+    sb = sets.select(F.col("doc_id").alias("corpus_doc_id"), F.col("s").alias("sb"))
+    return (
+        cands.join(sa, "new_doc_id")
+        .join(sb, "corpus_doc_id")
+        .select(
+            "new_doc_id",
+            "corpus_doc_id",
+            jaccard(F.col("sa"), F.col("sb")).alias("jaccard_sim"),
+        )
+        .where(F.col("jaccard_sim") >= MINHASH_JACCARD_THRESHOLD)
+    )

@@ -262,3 +262,13 @@ def test_bpe_iterations_stay_vocab_sized(spark):
     assert "SortMergeJoin" not in p, p
     assert "CartesianProduct" not in p, p
     assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p, p
+
+
+def test_incremental_neardup_broadcasts_new_shard(spark):
+    """Incremental dedup probes the corpus postings with the new shard's
+    bands broadcast: the corpus side must not shuffle for the candidate
+    join (a sort-merge join here re-shuffles the full postings relation
+    on every ingest batch at 100 TB)."""
+    p = _plan(spark, "incremental_neardup_new_vs_corpus")
+    assert "BroadcastHashJoin" in p, p
+    assert "CartesianProduct" not in p, p
