@@ -974,3 +974,85 @@ def table_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         "old_ts",
         "new_ts",
     )
+
+
+# --- source-mixture (domain reweighting) sampling --------------------------
+
+MIX_BUDGET = 300  # documents in the mixed output
+# Target mixture in permille (sums to 1000) — the corpus-mixing knob.
+MIX_PERMILLE = {"en": 350, "zh": 200, "es": 180, "de": 150, "fr": 120}
+_MIX_SEED = "mix1:"  # own salt: decorrelated from the stratified sampler
+
+
+def _mix_w_sql() -> str:
+    whens = " ".join(
+        f"WHEN d.lang = '{g}' THEN {w}" for g, w in sorted(MIX_PERMILLE.items())
+    )
+    return f"CASE {whens} ELSE 0 END"
+
+
+def _mix_hb_sql() -> str:
+    return (
+        f"CAST(('0x' || substr(md5('{_MIX_SEED}' || CAST(d.doc_id AS VARCHAR)), 1, 8)) "
+        f"AS UBIGINT) % 10000"
+    )
+
+
+@register(
+    "source_mixture_sample",
+    oracle=f"""
+WITH n AS (SELECT lang, count(*) AS n_g FROM documents GROUP BY lang)
+SELECT d.doc_id, d.lang, d.source
+FROM documents d JOIN n ON n.lang = d.lang
+WHERE {_mix_hb_sql()} <
+      least(10000, ({MIX_BUDGET} * ({_mix_w_sql()}) * 10) // n.n_g)
+""",
+    description=(
+        f"Mixture sampling: per-language keep rates derived from group "
+        f"counts so ~{MIX_BUDGET} sampled documents match a target "
+        "language mixture (permille weights) — the domain-reweighting "
+        "step of corpus mixing, deterministic salted-hash keep decisions"
+    ),
+    # pytest-oracle-checked; driver surface at its 50-entry cap — the
+    # sampling class is driver-visible via doc_stratified_sample.
+    driver_exposed=False,
+)
+def source_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-dependent mixture rates, exactly reproducible.
+
+    Unlike the fixed-rate stratified sampler, the keep rate here is
+    *derived*: rate_g = budget * weight_g / n_g, so the output hits the
+    target mixture whatever the corpus composition. Two phases: the group
+    counts partial-aggregate to a handful of rows broadcast back over the
+    corpus (no shuffle of documents anywhere), and the keep decision is
+    integer arithmetic on a salted md5 bucket — floor-division thresholds
+    make the decision bitwise identical cross-engine. At 100 TB this is
+    one corpus scan plus a |groups|-row broadcast; rebalancing to a new
+    mixture is a constant change, not a new shuffle.
+    """
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"]
+    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_g"))
+    w = F.lit(0)
+    for g, wt in sorted(MIX_PERMILLE.items()):
+        w = F.when(F.col("lang") == g, F.lit(wt)).otherwise(w)
+    hb = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(_MIX_SEED), F.col("doc_id").cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 10000
+    )
+    thr = F.least(
+        F.lit(10000).cast("long"),
+        F.expr(f"({MIX_BUDGET} * CAST(mix_w AS BIGINT) * 10) div n_g"),
+    )
+    return (
+        docs.join(F.broadcast(counts), "lang")
+        .withColumn("mix_w", w)
+        .where(hb < thr)
+        .select("doc_id", "lang", "source")
+    )

@@ -545,3 +545,55 @@ def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_orders"),
         )
     )
+
+
+@register(
+    "customer_balance_deciles",
+    oracle="""
+SELECT c_custkey,
+       c_mktsegment,
+       ntile(10)  OVER w AS balance_decile,
+       round(percent_rank() OVER w, 6) AS pct_rank,
+       round(cume_dist()    OVER w, 6) AS cum_dist,
+       nth_value(c_custkey, 2) OVER (PARTITION BY c_mktsegment
+                                     ORDER BY c_acctbal DESC, c_custkey
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                          AND UNBOUNDED FOLLOWING)
+         AS second_richest_custkey
+FROM customer
+WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
+""",
+    description=(
+        "Analytic-function surface: ntile deciles, percent_rank, "
+        "cume_dist, and full-frame nth_value per market segment — the "
+        "rank-statistics window family in one pass"
+    ),
+    # pytest-oracle-checked; driver surface at its 50-entry cap — the
+    # window class is driver-visible via user_sessions/top_parts_per_brand.
+    driver_exposed=False,
+)
+def customer_balance_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile/percent_rank/cume_dist/nth_value in a single window pass.
+
+    The unique (acctbal DESC, custkey) ordering makes every rank statistic
+    deterministic (no ties), so percent_rank/cume_dist round-compare
+    exactly cross-engine. Scale note: rank statistics require the full
+    window partition sorted — inherent to the semantics, and why the
+    partition key here is a grouping column (segment), never the whole
+    relation; for corpus-wide ranks at 100 TB the two-phase bucket-ledger
+    pattern (token_budget_sample) or approx percentiles are the scale
+    path, and a global ntile would be a deliberate single-partition
+    bottleneck.
+    """
+    t = load_tables(spark, sf_dir)
+    w = Window.partitionBy("c_mktsegment").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return t["customer"].select(
+        "c_custkey",
+        "c_mktsegment",
+        # cast: Spark ntile is int32, DuckDB's is int64 — align the schema
+        F.ntile(10).over(w).cast("long").alias("balance_decile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cum_dist"),
+        F.nth_value("c_custkey", 2).over(wf).alias("second_richest_custkey"),
+    )

@@ -250,3 +250,57 @@ def test_cdc_upsert_multi_batch_matches_batch_latest(spark, events_stream_dir, t
     got_rows = sorted(map(tuple, got.collect()))
     want_rows = sorted(map(tuple, want.collect()))
     assert got_rows == want_rows
+
+
+def test_watermark_drop_accounting_surfaces_late_rows(spark, events_stream_dir, tmp_path):
+    """Late files must be *visibly* dropped: stream a fresh file first so
+    the watermark advances, then deliver a much older file and assert the
+    state_metrics_summary accounting reports the dropped rows."""
+    import time
+
+    from iceberg_file_writer_spark.streaming.metrics import state_metrics_summary
+    from iceberg_file_writer_spark.streaming.windows import windowed_event_stats
+
+    path, schema = events_stream_dir
+    ev = spark.read.schema(schema).parquet(path)
+    cutoff = "2024-01-20 00:00:00"
+    src_dir = str(tmp_path / "late-src")
+    os.makedirs(src_dir)
+    # batch 1: the recent half — advances the watermark to ~max(ts) - 10m
+    ev.where(F.col("ts") >= cutoff).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "recent")
+    )
+    # batch 2: the old half — every row far below the advanced watermark
+    ev.where(F.col("ts") < cutoff).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "old")
+    )
+
+    def files_of(d):
+        return [
+            os.path.join(str(tmp_path / d), f)
+            for f in os.listdir(str(tmp_path / d))
+            if f.endswith(".parquet")
+        ]
+
+    shutil.copy(files_of("recent")[0], os.path.join(src_dir, "a.parquet"))
+    stream = windowed_event_stats(spark.readStream.schema(schema).parquet(src_dir))
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    q = (
+        stream.writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        shutil.copy(files_of("old")[0], os.path.join(src_dir, "b.parquet"))
+        time.sleep(0.1)
+        q.processAllAvailable()
+        m = state_metrics_summary(q)
+    finally:
+        q.stop()
+    assert m["rows_dropped_by_watermark"] > 0, m
+    assert m["batches"] >= 2, m
+    assert m["last_watermark"] is not None, m
