@@ -370,23 +370,25 @@ def neardup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc", F.col("doc").alias("lbl"))
         .cache()
     )
+    prev_cached = labels
     while True:
         msgs = edges.join(labels, edges.src == labels.doc).select(
-            F.col("dst").alias("doc"), "lbl"
+            F.col("dst").alias("doc"), "lbl", F.lit(None).cast("long").alias("own")
         )
+        # Tag the node's own label through the union so convergence is read
+        # off the SAME aggregate that computes the new labels (min(own) is
+        # the round's starting label — each doc appears exactly once in the
+        # labels branch): no per-round join against the previous labels.
         new_labels = (
-            msgs.union(labels)
+            msgs.union(labels.select("doc", "lbl", F.col("lbl").alias("own")))
             .groupBy("doc")
-            .agg(F.min("lbl").alias("lbl"))
+            .agg(F.min("lbl").alias("lbl"), F.min("own").alias("own"))
             .cache()
         )
-        changed = (
-            new_labels.join(labels.withColumnRenamed("lbl", "old"), "doc")
-            .where(F.col("lbl") != F.col("old"))
-            .count()
-        )
-        labels.unpersist()
-        labels = new_labels
+        changed = new_labels.where(F.col("lbl") != F.col("own")).count()
+        prev_cached.unpersist()
+        prev_cached = new_labels
+        labels = new_labels.select("doc", "lbl")
         if changed == 0:
             break
     wsz = Window.partitionBy("canonical_doc_id")
