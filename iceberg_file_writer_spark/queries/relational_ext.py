@@ -438,7 +438,14 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _PCT_QS = (0.5, 0.9, 0.99)
-_PCT_ACCURACY = 10_000  # > rows/group at oracle SF, so the sketch is exact there
+# GK sketch accuracy: relative rank error <= 1/accuracy. Set so the
+# sketch never compresses at any local test SF (sf0.1: ~20k rows/type,
+# compression starts well below rows=accuracy), making the result the
+# exact discrete quantile there — bit-for-bit the quantile_disc oracle
+# across the whole escalation ladder. At production scale the sketch
+# approximates by design (rank error n/accuracy) with O(accuracy)
+# memory per group.
+_PCT_ACCURACY = 1_000_000
 
 
 @register(

@@ -848,3 +848,90 @@ def knn_sq8_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     wr = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
     return rr.withColumn("rk", F.row_number().over(wr)).where(F.col("rk") <= KNN_K)
+
+
+# --- metadata-filtered kNN (within-label retrieval) ------------------------
+
+
+@register(
+    "knn_filtered_by_label",
+    oracle=f"""
+WITH q AS (SELECT vec_id AS query_id, label AS qlabel, embedding AS qe
+           FROM embeddings WHERE vec_id < {KNN_N_QUERIES}),
+scored AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id, c.label,
+         {_cosine_sql('q.qe', 'c.embedding')} AS cosine_sim
+  FROM q JOIN embeddings c ON c.label = q.qlabel
+  WHERE c.vec_id <> q.query_id
+)
+SELECT query_id, neighbor_id, label, cosine_sim, rk FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine_sim DESC, neighbor_id) AS rk
+  FROM scored
+) WHERE rk <= {KNN_K}
+""",
+    description=(
+        f"Filtered vector search: top-{KNN_K} cosine neighbors restricted "
+        "to vectors sharing the query's label — metadata-filtered ANN as "
+        "an equi-join on the filter key (pre-filtering, never "
+        "post-filtering a global top-k)"
+    ),
+    # pytest-oracle-checked; driver surface at its 50-entry cap — the ANN
+    # class stays driver-visible via knn_bruteforce_cosine / ivf_knn_cosine.
+    driver_exposed=False,
+)
+def knn_filtered_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-filtered retrieval: the filter IS the join key.
+
+    Post-filtering a global top-k under-returns (the classic filtered-ANN
+    bug: k results minus those failing the filter); the correct shape
+    joins the filter key first so ranking happens inside the filtered
+    set. Here that is an equi-join of the broadcast query set on label —
+    the corpus scan streams once, each vector scored only against queries
+    of its own label (candidate volume |label cell|, not N). With a
+    partitioned/bucketed-by-label corpus table the join prunes to the
+    queried labels' buckets; the IVF composition (cells within a label)
+    is the same pipeline with cent_id appended to the join key.
+    """
+    t = load_tables(spark, sf_dir)
+    # One flat relation carrying the label beside the unpacked columns —
+    # re-deriving the label via joins against _emb_cols doubles the 64-dim
+    # expression lineage and sends Catalyst analysis into deep recursion.
+    dims = [
+        F.element_at(F.col("embedding"), i + 1).cast("double").alias(f"e{i}")
+        for i in range(EMB_DIMS)
+    ]
+    flat = (
+        t["embeddings"]
+        .select("vec_id", "label", *dims)
+        .select(
+            "vec_id", "label", *[f"e{i}" for i in range(EMB_DIMS)],
+            F.sqrt(_coldot("e", "e")).alias("nrm"),
+        )
+    )
+    q = flat.where(F.col("vec_id") < KNN_N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("qlabel"),
+        *[F.col(f"e{i}").alias(f"a{i}") for i in range(EMB_DIMS)],
+        F.col("nrm").alias("na"),
+    )
+    c = flat.select(
+        F.col("vec_id").alias("neighbor_id"),
+        "label",
+        *[F.col(f"e{i}").alias(f"b{i}") for i in range(EMB_DIMS)],
+        F.col("nrm").alias("nb"),
+    )
+    scored = (
+        c.join(F.broadcast(q), F.col("label") == F.col("qlabel"))
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            "label",
+            F.round(
+                _coldot("a", "b") / (F.col("na") * F.col("nb")), COSINE_DECIMALS
+            ).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
+    return scored.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= KNN_K)

@@ -490,3 +490,69 @@ def run_cdc_upsert(spark: SparkSession, src: DataFrame) -> DataFrame:
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return spark.read.parquet(state_dir)
+
+
+@register(
+    "streaming_windowed_topk_types",
+    oracle=f"""
+WITH agg AS (
+  SELECT date_trunc('hour', ts)                   AS window_start,
+         event_type,
+         count(*)   AS n_events,
+         sum(value) AS total_value
+  FROM events
+  GROUP BY 1, 2
+  HAVING date_trunc('hour', ts) + INTERVAL 1 HOUR <= {_FINAL_WM_SQL}
+)
+SELECT window_start, event_type, n_events, total_value, rk FROM (
+  SELECT *, row_number() OVER (PARTITION BY window_start
+                               ORDER BY n_events DESC, event_type) AS rk
+  FROM agg
+) WHERE rk <= 3
+""",
+    description=(
+        "Streaming windowed top-k: watermarked tumbling-window per-type "
+        "counts stream to the file sink on finalization; the per-window "
+        "top-3 rank runs on the committed sink read (the serving-side "
+        "pattern — cross-key ranking has no incremental streaming form)"
+    ),
+    # pytest-oracle-checked; driver surface at its 50-entry cap — the
+    # streaming-agg class is driver-visible via streaming_windowed_stats.
+    driver_exposed=False,
+)
+def streaming_windowed_topk_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming aggregation + serving-side rank, composed honestly.
+
+    The stateful half (watermarked tumbling counts) runs as a real
+    streaming query to completion, append-emitting each window exactly
+    once on finalization. The rank is deliberately NOT in the stream:
+    row_number across keys within a window needs the window complete, so
+    any "streaming top-k" is really finalized-aggregate + rank at read —
+    done here lazily over the committed sink files, which at scale is the
+    dashboard/serving query over the continuously-written agg table. The
+    rank input is one (window, type) row per group — orders smaller than
+    the event stream.
+    """
+    def agg(src: DataFrame) -> DataFrame:
+        return (
+            src.withWatermark("ts", WATERMARK)
+            .groupBy(F.window("ts", "1 hour"), F.col("event_type"))
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum("value").alias("total_value"),
+            )
+            .select(
+                F.col("window.start").alias("window_start"),
+                "event_type",
+                "n_events",
+                "total_value",
+            )
+        )
+
+    from pyspark.sql import Window
+
+    finalized = _run_stream(spark, sf_dir, agg, "wintopk")
+    w = Window.partitionBy("window_start").orderBy(
+        F.desc("n_events"), F.asc("event_type")
+    )
+    return finalized.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= 3)

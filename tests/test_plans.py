@@ -272,3 +272,21 @@ def test_incremental_neardup_broadcasts_new_shard(spark):
     p = _plan(spark, "incremental_neardup_new_vs_corpus")
     assert "BroadcastHashJoin" in p, p
     assert "CartesianProduct" not in p, p
+
+
+def test_mixture_sample_broadcasts_group_counts(spark):
+    """The mixture sampler's derived rates are a |groups|-row relation:
+    they must broadcast back over the corpus — documents never shuffle
+    for the keep decision."""
+    p = _plan(spark, "source_mixture_sample")
+    assert "BroadcastHashJoin" in p, p
+    assert "SortMergeJoin" not in p, p
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p, p
+
+
+def test_rank_statistics_single_window_pass(spark):
+    """ntile/percent_rank/cume_dist/nth_value share one segment-keyed
+    window: exactly one exchange, no join, no Python."""
+    p = _plan(spark, "customer_balance_deciles")
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 1, p
+    assert "Join" not in p, p
