@@ -1056,3 +1056,50 @@ def source_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(hb < thr)
         .select("doc_id", "lang", "source")
     )
+
+
+# --- mergeable-sketch rollup (HLL build once, merge many) -------------------
+
+HLL_LGK = 14  # DataSketches HLL lgConfigK: ~0.8% relative standard error
+
+
+@register(
+    "daily_user_sketch_rollup",
+    oracle=None,  # sketch bytes are engine-specific; bounded-error pytest
+    # (tests/test_oracle_parity.py) asserts the estimates against the
+    # exact weekly distinct counts instead.
+    description=(
+        "Mergeable-sketch rollup: per-day HLL sketches of active users "
+        "(hll_sketch_agg), merged per ISO week with hll_union_agg and "
+        "estimated — the build-once/merge-many sketch workflow that "
+        "replaces countDistinct re-scans at 100 TB"
+    ),
+    driver_exposed=False,
+)
+def daily_user_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The persisted-sketch pattern: aggregate once, re-aggregate freely.
+
+    Daily HLL sketches are the materialization unit (in production they
+    live beside the daily partition as a binary column); any coarser
+    rollup — week here, month, arbitrary ad-hoc ranges — is a cheap
+    *merge of sketches*, never a re-scan of the event stream. That
+    associativity is the whole point: the 100 TB scan happens once at
+    ingest granularity, and every downstream distinct-count is
+    sketch-sized work. Estimates are deterministic for a fixed input set
+    (the sketch is order-insensitive), but engine-specific — hence the
+    bounded-error check rather than a cross-engine oracle.
+    """
+    t = load_tables(spark, sf_dir)
+    daily = (
+        t["events"]
+        .groupBy(F.date_trunc("day", F.col("ts")).alias("day"))
+        .agg(F.hll_sketch_agg("user_id", F.lit(HLL_LGK)).alias("sk"))
+    )
+    return (
+        daily.groupBy(F.weekofyear("day").alias("iso_week"))
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_users"),
+        )
+        .select("iso_week", "n_days", F.col("est_users").cast("long").alias("est_users"))
+    )

@@ -65,3 +65,30 @@ def test_approx_distinct_users_bounded_error(spark):
     rsd = 0.02
     for r in rows:
         assert abs(r.approx_users - r.exact_users) <= max(1.0, 3 * rsd * r.exact_users), r
+
+
+def test_daily_user_sketch_rollup_bounded_error(spark):
+    """The HLL weekly estimates must sit within the sketch's error bound
+    of the exact weekly distinct counts (lgK=14 -> ~0.8% RSE; assert 3
+    sigma + slack for the tiny-cardinality regime)."""
+    from iceberg_file_writer_spark.queries import all_queries
+
+    got = {
+        r["iso_week"]: r["est_users"]
+        for r in all_queries()["daily_user_sketch_rollup"].fn(spark, SF_DIR).collect()
+    }
+    from pyspark.sql import functions as F
+
+    from iceberg_file_writer_spark.tables import load_tables
+
+    ev = load_tables(spark, SF_DIR)["events"]
+    exact = {
+        r["iso_week"]: r["n"]
+        for r in ev.groupBy(F.weekofyear(F.date_trunc("day", F.col("ts"))).alias("iso_week"))
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(got) == set(exact)
+    for wk, est in got.items():
+        tol = max(3, 0.03 * exact[wk])
+        assert abs(est - exact[wk]) <= tol, (wk, est, exact[wk])
