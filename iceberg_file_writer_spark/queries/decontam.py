@@ -117,7 +117,7 @@ WITH wc AS (
 ),
 word_stats AS (
   SELECT doc_id,
-         sum(cnt)  AS n_words,
+         sum(cnt)::BIGINT  AS n_words,
          count(*)  AS n_distinct_words,
          max(cnt)  AS top_word_count
   FROM wc GROUP BY doc_id

@@ -97,7 +97,7 @@ c AS (
   SELECT doc_id, lang, n_tokens,
          sum(n_tokens) OVER (PARTITION BY lang ORDER BY hb, doc_id
                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-           AS cum_tokens
+           ::BIGINT AS cum_tokens
   FROM d
 )
 SELECT doc_id, lang, n_tokens, cum_tokens
@@ -181,11 +181,11 @@ placed AS (
            AS cum
   FROM d
 )
-SELECT shard,
-       (cum - n_tokens) // {SEQ_LEN} AS seq_id,
-       count(*)                      AS n_docs,
-       sum(n_tokens)                 AS seq_tokens,
-       min(doc_id)                   AS first_doc_id
+SELECT shard::BIGINT                          AS shard,
+       ((cum - n_tokens) // {SEQ_LEN})::BIGINT AS seq_id,
+       count(*)                                AS n_docs,
+       sum(n_tokens)::BIGINT                   AS seq_tokens,
+       min(doc_id)                             AS first_doc_id
 FROM placed
 GROUP BY shard, seq_id
 """,
@@ -694,7 +694,7 @@ dup AS (
 )
 SELECT c.doc_id,
        count(*) AS n_chunks,
-       sum(CASE WHEN d.chunk_hash IS NOT NULL THEN 1 ELSE 0 END) AS n_dup_chunks,
+       sum(CASE WHEN d.chunk_hash IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_dup_chunks,
        round(sum(CASE WHEN d.chunk_hash IS NOT NULL THEN 1 ELSE 0 END)
              / count(*)::DOUBLE, 6) AS dup_fraction
 FROM chunks c LEFT JOIN dup d ON d.chunk_hash = c.chunk_hash

@@ -451,7 +451,7 @@ _PCT_ACCURACY = 1_000_000
 @register(
     "approx_value_percentiles",
     oracle="\nUNION ALL\n".join(
-        f"""SELECT event_type, {q} AS quantile, quantile_disc(value, {q}) AS approx_value
+        f"""SELECT event_type, {q}::DOUBLE AS quantile, quantile_disc(value, {q}) AS approx_value
 FROM events GROUP BY event_type"""
         for q in _PCT_QS
     ),

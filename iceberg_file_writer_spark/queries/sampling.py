@@ -106,7 +106,7 @@ WITH assigned AS (
 )
 SELECT source, split,
        count(*)        AS n_docs,
-       sum(n_chars)    AS total_chars
+       sum(n_chars)::BIGINT AS total_chars
 FROM assigned
 GROUP BY source, split
 """,
@@ -191,7 +191,7 @@ WITH dedup AS (
 )
 SELECT source, lang,
        count(*)      AS n_docs,
-       sum(n_words)  AS total_words
+       sum(n_words)::BIGINT AS total_words
 FROM kept
 GROUP BY source, lang
 """,

@@ -349,7 +349,7 @@ top AS (
   FROM tf
 ),
 est AS (
-  SELECT top.w, top.true_count, top.rk, min(c.cms_count) AS cms_estimate
+  SELECT top.w, top.true_count, top.rk, min(c.cms_count)::BIGINT AS cms_estimate
   FROM top
   CROSS JOIN (SELECT unnest(range({CMS_DEPTH})) AS d) t
   JOIN cells c ON c.d = t.d
