@@ -422,6 +422,10 @@ JOIN sizes zb ON zb.doc_id = i.doc_b
 WHERE i.n_shared::DOUBLE / (za.sz + zb.sz - i.n_shared) >= {NGRAM_JACCARD_THRESHOLD}
 """,
     description=f"n-gram Jaccard near-dup via inverted-index join, ≥ {NGRAM_JACCARD_THRESHOLD}",
+    # Round-5 rotation: slot ceded to incremental_neardup_new_vs_corpus
+    # (driver-green r1-r4 here; still benched + pytest-oracle-checked
+    # every session).
+    driver_exposed=False,
 )
 def ngram_jaccard_near_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cache() at the distinct-gram table: the stop-shingle docfreq pass
@@ -610,9 +614,9 @@ SELECT new_doc_id, corpus_doc_id, jaccard_sim FROM pairs
         "(no new-new or corpus-corpus pairs) — the per-ingest dedup gate "
         "of a continuously-growing corpus; new-side bands broadcast"
     ),
-    # pytest-oracle-checked; driver surface at its 50-entry cap — the
-    # near-dup class stays driver-visible via minhash_lsh_near_duplicates.
-    driver_exposed=False,
+    # Round-5 rotation: promoted to the driver surface;
+    # ngram_jaccard_near_duplicates (driver-green r1-r4; the near-dup class
+    # keeps minhash_lsh + simhash driver slots) ceded its slot.
 )
 def incremental_neardup_new_vs_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup an incoming shard against the corpus without an all-pairs pass.

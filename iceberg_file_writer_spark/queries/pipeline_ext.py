@@ -657,10 +657,10 @@ HAVING count(DISTINCT doc_id) > 1
         "occurrence/document counts and the keeper — the paragraph/span "
         "dedup of pretraining curation"
     ),
-    # pytest-oracle-checked at sf0.001/sf0.01; the driver surface is at its
-    # 50-entry cap (the round-4 rotation is already documented) — the
-    # dedup class stays driver-visible via exact_dedup_documents.
-    driver_exposed=False,
+    # Round-5 rotation (VERDICT r4 next-step 3): promoted to the driver
+    # surface to earn a hash-green CORRECTNESS row; q4_order_priority
+    # (driver-green r2-r4, semi-join shape also covered by q18/q3) ceded
+    # its slot.
 )
 def chunk_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact duplicated-span detection across documents.
@@ -795,8 +795,9 @@ def _bpe_oracle() -> str:
         "symbol pair per round, ties broken lexicographically) — each "
         "round emits (rank, pair, count)"
     ),
-    # pytest-oracle-checked; driver surface at its 50-entry cap.
-    driver_exposed=False,
+    # Round-5 rotation: promoted to the driver surface; q14_promo_revenue
+    # (driver-green r2-r4, conditional-agg shape also covered by q6/q1)
+    # ceded its slot.
 )
 def bpe_merge_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Byte-pair-encoding merge learning as an iterative DataFrame program.
@@ -919,9 +920,9 @@ WHERE o.user_id IS NULL OR n.user_id IS NULL OR n.event_id <> o.event_id
         "into per-key insert/update/delete rows — the CDC changelog-read "
         "between two table snapshots"
     ),
-    # pytest-oracle-checked; driver surface at its 50-entry cap — the CDC
-    # class stays driver-visible via cdc_user_latest_state.
-    driver_exposed=False,
+    # Round-5 rotation: promoted to the driver surface; q7_nation_volume
+    # (driver-green r2-r4, multi-join agg shape also covered by q5)
+    # ceded its slot.
 )
 def table_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Diff of the changelog's materialized state at two snapshot times.

@@ -240,6 +240,9 @@ FROM ranked
 WHERE rk <= 3
 """,
     description="Top-k per group: window row_number over per-brand part revenue",
+    # Round-5 rotation: slot ceded to knn_filtered_by_label (driver-green
+    # r1-r4 here; still benched + pytest-oracle-checked every session).
+    driver_exposed=False,
 )
 def top_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)

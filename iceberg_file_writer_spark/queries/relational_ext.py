@@ -31,6 +31,9 @@ WHERE o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
 GROUP BY o_orderpriority
 """,
     description="TPC-H Q4: EXISTS semi-join + priority counts",
+    # Round-5 rotation: slot ceded to chunk_exact_dedup (driver-green
+    # r2-r4 here; still benched + pytest-oracle-checked every session).
+    driver_exposed=False,
 )
 def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
@@ -68,6 +71,9 @@ WHERE ((sn.n_name = 'NATION_3' AND cn.n_name = 'NATION_7')
     OR (sn.n_name = 'NATION_7' AND cn.n_name = 'NATION_3'))
 GROUP BY sn.n_name, cn.n_name, year(l_shipdate)
 """,
+    # Round-5 rotation: slot ceded to table_snapshot_diff (driver-green
+    # r2-r4 here; still benched + pytest-oracle-checked every session).
+    driver_exposed=False,
     description="TPC-H Q7: bilateral trade volume, dual-aliased dimension join",
 )
 def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -106,6 +112,9 @@ WHERE l_shipdate >= TIMESTAMP '1997-03-01 00:00:00'
   AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
 """,
     description="TPC-H Q14: conditional aggregation ratio (promo share)",
+    # Round-5 rotation: slot ceded to bpe_merge_train (driver-green r2-r4
+    # here; still benched + pytest-oracle-checked every session).
+    driver_exposed=False,
 )
 def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)

@@ -779,9 +779,9 @@ SELECT query_id, neighbor_id, cosine_sim, rk FROM (
         f"top-{KNN_K} — the SQ8 retrieve-then-rerank pattern; integer "
         "prefilter scores make the candidate sets bitwise-checkable"
     ),
-    # pytest-oracle-checked; driver surface at its 50-entry cap — the ANN
-    # class stays driver-visible via knn_bruteforce_cosine / ivf_knn_cosine.
-    driver_exposed=False,
+    # Round-5 rotation: promoted to the driver surface;
+    # q17_small_quantity_revenue (driver-green r3-r4, correlated-subquery
+    # shape also covered by orders_above_customer_avg) ceded its slot.
 )
 def knn_sq8_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SQ8 retrieve-then-rerank: the memory-bandwidth ANN shape.
@@ -876,9 +876,9 @@ SELECT query_id, neighbor_id, label, cosine_sim, rk FROM (
         "an equi-join on the filter key (pre-filtering, never "
         "post-filtering a global top-k)"
     ),
-    # pytest-oracle-checked; driver surface at its 50-entry cap — the ANN
-    # class stays driver-visible via knn_bruteforce_cosine / ivf_knn_cosine.
-    driver_exposed=False,
+    # Round-5 rotation: promoted to the driver surface; top_parts_per_brand
+    # (driver-green r1-r4, window-top-k shape also covered by
+    # user_sessions / top_purchasers) ceded its slot.
 )
 def knn_filtered_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pre-filtered retrieval: the filter IS the join key.

@@ -389,6 +389,9 @@ WHERE p_brand = 'Brand#23'
         "TPC-H Q17: small-quantity order revenue, correlated per-part avg "
         "subquery as a pre-aggregated broadcast join"
     ),
+    # Round-5 rotation: slot ceded to knn_sq8_rerank (driver-green r3-r4
+    # here; still benched + pytest-oracle-checked every session).
+    driver_exposed=False,
 )
 def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
