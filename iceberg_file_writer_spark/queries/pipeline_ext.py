@@ -402,9 +402,13 @@ def _quant_oracle() -> str:
     maxs = ", ".join(
         f"max(embedding[{i + 1}]::DOUBLE) AS mx{i}" for i in range(EMB_DIMS)
     )
+    # Zero-range guard: a constant dimension would make the division NULL
+    # in both engines and string_agg would silently drop the position,
+    # misaligning every later dimension — emit 0 explicitly instead.
     q = ", ".join(
+        f"CASE WHEN b.mx{i} = b.mn{i} THEN 0 ELSE "
         f"CAST(floor((embedding[{i + 1}]::DOUBLE - b.mn{i}) * {QUANT_LEVELS}.0"
-        f" / (b.mx{i} - b.mn{i})) AS INT)"
+        f" / (b.mx{i} - b.mn{i})) AS INT) END"
         for i in range(EMB_DIMS)
     )
     return f"""
@@ -446,11 +450,14 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[F.max(f"e{i}").alias(f"mx{i}") for i in range(EMB_DIMS)],
     )
     qcols = [
-        F.floor(
-            (F.col(f"e{i}") - F.col(f"mn{i}"))
-            * F.lit(float(QUANT_LEVELS))
-            / (F.col(f"mx{i}") - F.col(f"mn{i}"))
-        ).cast("int")
+        F.when(F.col(f"mx{i}") == F.col(f"mn{i}"), F.lit(0))
+        .otherwise(
+            F.floor(
+                (F.col(f"e{i}") - F.col(f"mn{i}"))
+                * F.lit(float(QUANT_LEVELS))
+                / (F.col(f"mx{i}") - F.col(f"mn{i}"))
+            ).cast("int")
+        )
         for i in range(EMB_DIMS)
     ]
     return flat.crossJoin(F.broadcast(bounds)).select(
@@ -492,8 +499,8 @@ WITH b AS (
 ),
 q AS (
   SELECT event_id,
-         ((user_id - b.umin) * 65535) // (b.umax - b.umin)      AS qu,
-         ((epoch_us(ts) - b.tmin) * 65535) // (b.tmax - b.tmin) AS qt
+         ((user_id - b.umin) * 65535) // greatest(b.umax - b.umin, 1)      AS qu,
+         ((epoch_us(ts) - b.tmin) * 65535) // greatest(b.tmax - b.tmin, 1) AS qt
   FROM events CROSS JOIN b
 )
 SELECT event_id, {_morton_sql("qu", "qt")} AS zkey
@@ -529,8 +536,8 @@ def events_zorder_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q = ev.crossJoin(F.broadcast(b)).select(
         "event_id",
-        F.expr("((user_id - umin) * 65535) div (umax - umin)").alias("qu"),
-        F.expr("((tus - tmin) * 65535) div (tmax - tmin)").alias("qt"),
+        F.expr("((user_id - umin) * 65535) div greatest(umax - umin, 1)").alias("qu"),
+        F.expr("((tus - tmin) * 65535) div greatest(tmax - tmin, 1)").alias("qt"),
     )
     return q.select(
         "event_id", _morton_spark(F.col("qu"), F.col("qt")).alias("zkey")
@@ -547,8 +554,8 @@ WITH b AS (
 ),
 q AS (
   SELECT event_id, user_id, epoch_us(ts) AS tus,
-         ((user_id - b.umin) * 65535) // (b.umax - b.umin)      AS qu,
-         ((epoch_us(ts) - b.tmin) * 65535) // (b.tmax - b.tmin) AS qt
+         ((user_id - b.umin) * 65535) // greatest(b.umax - b.umin, 1)      AS qu,
+         ((epoch_us(ts) - b.tmin) * 65535) // greatest(b.tmax - b.tmin, 1) AS qt
   FROM events CROSS JOIN b
 ),
 z AS (
@@ -585,8 +592,8 @@ def events_zorder_zone_map(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "user_id",
         "tus",
-        F.expr("((user_id - umin) * 65535) div (umax - umin)").alias("qu"),
-        F.expr("((tus - tmin) * 65535) div (tmax - tmin)").alias("qt"),
+        F.expr("((user_id - umin) * 65535) div greatest(umax - umin, 1)").alias("qu"),
+        F.expr("((tus - tmin) * 65535) div greatest(tmax - tmin, 1)").alias("qt"),
     )
     z = q.select(
         "user_id",
@@ -1064,6 +1071,21 @@ def source_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 HLL_LGK = 14  # DataSketches HLL lgConfigK: ~0.8% relative standard error
 
 
+def iso_week_key(day_col):
+    """'YYYY-Www' ISO week key, unambiguous across year boundaries.
+
+    The ISO week-year is the calendar year of that week's Thursday; a bare
+    weekofyear() would merge e.g. 2024-W01 with 2025-W01. Spark's
+    DateTimeFormatter rejects the week-based 'YYYY' pattern, so the
+    week-year is derived arithmetically (ISO dow from dayofweek's
+    Sunday=1 convention).
+    """
+    d = F.to_date(day_col)
+    iso_dow = ((F.dayofweek(d) + F.lit(5)) % 7) + F.lit(1)
+    thursday = F.date_add(d, (F.lit(4) - iso_dow).cast("int"))
+    return F.format_string("%04d-W%02d", F.year(thursday), F.weekofyear(d))
+
+
 @register(
     "daily_user_sketch_rollup",
     oracle=None,  # sketch bytes are engine-specific; bounded-error pytest
@@ -1097,7 +1119,7 @@ def daily_user_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.hll_sketch_agg("user_id", F.lit(HLL_LGK)).alias("sk"))
     )
     return (
-        daily.groupBy(F.weekofyear("day").alias("iso_week"))
+        daily.groupBy(iso_week_key(F.col("day")).alias("iso_week"))
         .agg(
             F.count(F.lit(1)).alias("n_days"),
             F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_users"),

@@ -40,6 +40,12 @@ def state_metrics_summary(query: StreamingQuery) -> dict[str, Any]:
     batches = 0
     last_wm = None
     for p in query.recentProgress:
+        # Classic sessions yield plain dicts; Spark Connect yields
+        # StreamingQueryProgress objects — normalize via their json form.
+        if not isinstance(p, dict):
+            import json
+
+            p = json.loads(p.json() if callable(getattr(p, "json", None)) else p.json)
         batches += 1
         for op in p.get("stateOperators", []):
             dropped += op.get("numRowsDroppedByWatermark", 0) or 0

@@ -39,6 +39,11 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     # them to interpreted mode (~5x slower). Runtime-set so the driver's
     # own plain session gets it too.
     spark.conf.set("spark.sql.codegen.maxFields", "1000")
+    # The timestamp_ntz -> timestamp cast below is value-preserving only
+    # under a UTC session TZ; pin it so a non-UTC host cannot shift epoch
+    # values (unix_micros, z-order keys, watermarks) vs DuckDB's naive
+    # timestamps. Runtime-set so the driver's plain session gets it too.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     out: dict[str, DataFrame] = {}
     for name in TESTDATA_TABLES:
         path = table_path(sf_dir, name)

@@ -79,12 +79,15 @@ def test_daily_user_sketch_rollup_bounded_error(spark):
     }
     from pyspark.sql import functions as F
 
+    from iceberg_file_writer_spark.queries import pipeline_ext
     from iceberg_file_writer_spark.tables import load_tables
 
     ev = load_tables(spark, SF_DIR)["events"]
     exact = {
         r["iso_week"]: r["n"]
-        for r in ev.groupBy(F.weekofyear(F.date_trunc("day", F.col("ts"))).alias("iso_week"))
+        for r in ev.groupBy(
+            pipeline_ext.iso_week_key(F.date_trunc("day", F.col("ts"))).alias("iso_week")
+        )
         .agg(F.countDistinct("user_id").alias("n"))
         .collect()
     }
