@@ -49,6 +49,12 @@ class IngestConfig:
     compression: str = DEFAULT_COMPRESSION  # FilesystemStorageAdapter.CompressionName
     table_format: str = "parquet"  # TableFormat seam: "avro"/"iceberg" when jars exist
     num_buckets: int = 32  # write-parallelism bound (not in reference: single-proc)
+    # Two-column z-order layout (generalizes the reference's single
+    # key_column sort, main.go:50-51,78-79): rows are range-partitioned and
+    # sorted by the Morton interleave of these columns, giving every file a
+    # tight bounding box in BOTH — file-level zone maps then prune on
+    # either. None = the reference's plain key_column layout.
+    cluster_by: tuple[str, str] | None = None
 
 
 def normalize_defaults(df: DataFrame, defaults: dict[str, object] | None = None) -> DataFrame:
@@ -113,10 +119,27 @@ def ingest_batch(
         )
     require_format(df.sparkSession, cfg.table_format)
     out = normalize_defaults(df, defaults)
+    if cfg.cluster_by is not None:
+        # Z-order layout: one bounds pass (broadcast back), then a range
+        # shuffle on the Morton key — same single-shuffle budget as the
+        # hash repartition below, but the written files tile the
+        # (cluster_by[0], cluster_by[1]) plane instead of striping it.
+        # The key is dropped after ordering; projection preserves the
+        # sort, so it never lands in the table schema.
+        from iceberg_file_writer_spark.operators.zorder import with_zorder_key
+
+        out = (
+            with_zorder_key(out, cfg.cluster_by, key_name="__zkey")
+            .repartitionByRange(cfg.num_buckets, cfg.partition_column, "__zkey")
+            .sortWithinPartitions(cfg.partition_column, "__zkey")
+            .drop("__zkey")
+        )
+    else:
+        out = out.repartition(
+            cfg.num_buckets, F.col(cfg.partition_column)
+        ).sortWithinPartitions(cfg.partition_column, cfg.key_column)
     (
-        out.repartition(cfg.num_buckets, F.col(cfg.partition_column))
-        .sortWithinPartitions(cfg.partition_column, cfg.key_column)
-        .write.mode("overwrite")
+        out.write.mode("overwrite")
         .option("maxRecordsPerFile", cfg.max_rows_per_file)
         .option("compression", cfg.compression)
         .partitionBy(cfg.partition_column)

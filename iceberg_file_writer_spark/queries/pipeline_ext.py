@@ -468,25 +468,14 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- z-order clustering keys ----------------------------------------------
+# The Morton-key algebra lives in operators/zorder.py (it is also the
+# ingest write path's cluster_by implementation); these queries expose it
+# oracle-checked.
 
-ZBITS = 16  # bits per dimension -> 32-bit Morton key
-
-
-def _morton_sql(xcol: str, ycol: str) -> str:
-    terms = []
-    for i in range(ZBITS):
-        terms.append(f"((({xcol} >> {i}) & 1) << {2 * i})")
-        terms.append(f"((({ycol} >> {i}) & 1) << {2 * i + 1})")
-    return " + ".join(terms)
-
-
-def _morton_spark(x, y):
-    total = None
-    for i in range(ZBITS):
-        tx = F.shiftleft(F.shiftright(x, i).bitwiseAND(F.lit(1)), 2 * i)
-        ty = F.shiftleft(F.shiftright(y, i).bitwiseAND(F.lit(1)), 2 * i + 1)
-        total = tx + ty if total is None else total + tx + ty
-    return total
+from iceberg_file_writer_spark.operators.zorder import (  # noqa: E402
+    morton_col as _morton_spark,
+    morton_sql as _morton_sql,
+)
 
 
 @register(

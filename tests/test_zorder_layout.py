@@ -58,3 +58,62 @@ def test_zorder_write_layout_produces_tight_file_boxes(spark, tmp_path):
     # naive files each cover essentially all of it
     assert za <= 0.4, za
     assert na >= 2 * za, (na, za)
+
+
+def test_ingest_cluster_by_writes_tight_file_boxes(spark, tmp_path):
+    """cluster_by on the ingest API (VERDICT r4 next-step 4): the public
+    write path must produce the same tight per-file (user_id, ts) boxes the
+    raw-layout test above proves, and still honor the row bound."""
+    from iceberg_file_writer_spark.ingest.batch import IngestConfig, ingest_batch
+
+    ev = load_tables(spark, SF_DIR)["events"].withColumn(
+        "user_bucket", F.col("user_id") % 2
+    )
+
+    def run(cluster_by):
+        out = str(tmp_path / ("clustered" if cluster_by else "plain"))
+        cfg = IngestConfig(
+            partition_column="user_bucket",
+            key_column="ts",
+            max_rows_per_file=128,
+            num_buckets=8,
+            cluster_by=cluster_by,
+        )
+        ingest_batch(ev, out, cfg, defaults={})
+        df = spark.read.parquet(out)
+        assert "__zkey" not in df.columns
+        ev_back = df.select(
+            "user_id", F.unix_micros(F.col("ts").cast("timestamp")).alias("tus")
+        )
+        files = (
+            ev_back.withColumn("f", F.input_file_name())
+            .groupBy("f")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.min("user_id").alias("umin"),
+                F.max("user_id").alias("umax"),
+                F.min("tus").alias("tmin"),
+                F.max("tus").alias("tmax"),
+            )
+            .collect()
+        )
+        assert all(r.n <= 128 for r in files)
+        g = ev_back.agg(
+            F.min("user_id"), F.max("user_id"), F.min("tus"), F.max("tus")
+        ).collect()[0]
+        gu, gt = max(g[1] - g[0], 1), max(g[3] - g[2], 1)
+        area = sum(
+            ((r.umax - r.umin) / gu) * ((r.tmax - r.tmin) / gt) for r in files
+        ) / len(files)
+        uspan = sum((r.umax - r.umin) / gu for r in files) / len(files)
+        return area, uspan
+
+    (c_area, c_uspan), (_, p_uspan) = run(("user_id", "ts")), run(None)
+    # Tight tiles overall…
+    assert c_area <= 0.5, c_area
+    # …and, the point of z-order vs the reference's single-key sort: the
+    # plain layout's ts-sorted files each span ~the whole user_id range
+    # (a user_id-only predicate prunes nothing), while z-ordered files
+    # cover a fraction of it.
+    assert c_uspan <= 0.7, c_uspan
+    assert p_uspan >= 1.3 * c_uspan, (p_uspan, c_uspan)
