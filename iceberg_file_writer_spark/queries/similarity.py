@@ -87,11 +87,11 @@ def _srp_table_keys_sql(vec: str, tables: int, bits_per_table: int) -> list[str]
 
 def _coldot(pa: str, pb: str) -> Column:
     """Flat left-associated multiply-add chain over two column blocks —
-    the same sequential order as the oracle's list_sum, so bitwise equal."""
-    out = F.col(f"{pa}0") * F.col(f"{pb}0")
-    for i in range(1, EMB_DIMS):
-        out = out + F.col(f"{pa}{i}") * F.col(f"{pb}{i}")
-    return out
+    the same sequential order as the oracle's list_sum, so bitwise equal.
+    Built as one JVM-parsed expression: the Column-API form cost ~128
+    py4j round trips per call site (round-5 profiling: plan construction,
+    not execution, dominated every 64-wide vector query)."""
+    return F.expr(_dot_expr(pa, pb))
 
 
 def _plane_coldot(plane: list[float], prefix: str = "e") -> Column:
@@ -104,23 +104,18 @@ def _plane_coldot(plane: list[float], prefix: str = "e") -> Column:
 def _emb_cols(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(vec_id, e0..e63, nrm): the unpacked column-block representation."""
     t = load_tables(spark, sf_dir)
-    cols = [
-        F.element_at(F.col("embedding"), i + 1).cast("double").alias(f"e{i}")
-        for i in range(EMB_DIMS)
-    ]
-    df = t["embeddings"].select("vec_id", *cols)
-    return df.select(
+    return t["embeddings"].selectExpr("vec_id", *_unpack_exprs("e")).selectExpr(
         "vec_id",
         *[f"e{i}" for i in range(EMB_DIMS)],
-        F.sqrt(_coldot("e", "e")).alias("nrm"),
+        f"sqrt({_dot_expr('e', 'e')}) AS nrm",
     )
 
 
 def _rename(df: DataFrame, id_alias: str, dst: str, norm_alias: str) -> DataFrame:
-    return df.select(
-        F.col("vec_id").alias(id_alias),
-        *[F.col(f"e{i}").alias(f"{dst}{i}") for i in range(EMB_DIMS)],
-        F.col("nrm").alias(norm_alias),
+    return df.selectExpr(
+        f"vec_id AS {id_alias}",
+        *[f"e{i} AS {dst}{i}" for i in range(EMB_DIMS)],
+        f"nrm AS {norm_alias}",
     )
 
 
@@ -959,40 +954,35 @@ def knn_filtered_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     # One flat relation carrying the label beside the unpacked columns —
     # re-deriving the label via joins against _emb_cols doubles the 64-dim
     # expression lineage and sends Catalyst analysis into deep recursion.
-    dims = [
-        F.element_at(F.col("embedding"), i + 1).cast("double").alias(f"e{i}")
-        for i in range(EMB_DIMS)
-    ]
     flat = (
         t["embeddings"]
-        .select("vec_id", "label", *dims)
-        .select(
+        .selectExpr("vec_id", "label", *_unpack_exprs("e"))
+        .selectExpr(
             "vec_id", "label", *[f"e{i}" for i in range(EMB_DIMS)],
-            F.sqrt(_coldot("e", "e")).alias("nrm"),
+            f"sqrt({_dot_expr('e', 'e')}) AS nrm",
         )
     )
-    q = flat.where(F.col("vec_id") < KNN_N_QUERIES).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("label").alias("qlabel"),
-        *[F.col(f"e{i}").alias(f"a{i}") for i in range(EMB_DIMS)],
-        F.col("nrm").alias("na"),
+    q = flat.where(F.col("vec_id") < KNN_N_QUERIES).selectExpr(
+        "vec_id AS query_id",
+        "label AS qlabel",
+        *[f"e{i} AS a{i}" for i in range(EMB_DIMS)],
+        "nrm AS na",
     )
-    c = flat.select(
-        F.col("vec_id").alias("neighbor_id"),
+    c = flat.selectExpr(
+        "vec_id AS neighbor_id",
         "label",
-        *[F.col(f"e{i}").alias(f"b{i}") for i in range(EMB_DIMS)],
-        F.col("nrm").alias("nb"),
+        *[f"e{i} AS b{i}" for i in range(EMB_DIMS)],
+        "nrm AS nb",
     )
     scored = (
         c.join(F.broadcast(q), F.col("label") == F.col("qlabel"))
         .where(F.col("query_id") != F.col("neighbor_id"))
-        .select(
+        .selectExpr(
             "query_id",
             "neighbor_id",
             "label",
-            F.round(
-                _coldot("a", "b") / (F.col("na") * F.col("nb")), COSINE_DECIMALS
-            ).alias("cosine_sim"),
+            f"round(({_dot_expr('a', 'b')}) / (na * nb), {COSINE_DECIMALS})"
+            " AS cosine_sim",
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
