@@ -120,15 +120,18 @@ def word_shingles(ws: Column, n: int = 3) -> Column:
     ).otherwise(F.array().cast("array<string>"))
 
 
-def minhash_agg_columns(x: Column, n: int = NUM_HASHES) -> list[Column]:
-    """The 64 MIN aggregates over affine transforms of the base hash ``x``.
+def minhash_agg_columns(x: str, n: int = NUM_HASHES) -> list[Column]:
+    """The 64 MIN aggregates over affine transforms of the base hash ``x``
+    (a column name).
 
-    Used as ``exploded.groupBy(doc_id).agg(*minhash_agg_columns(col('x')))``
+    Used as ``exploded.groupBy(doc_id).agg(*minhash_agg_columns('x'))``
     — Catalyst plans map-side partial mins, so the shuffle is (doc_id,
-    64×int64) per doc.
+    64×int64) per doc. Each aggregate is one JVM-parsed expression: the
+    Column-API form cost ~5 py4j round trips per hash (round-5 profiling:
+    driver-side plan construction dominated the wide dedup queries).
     """
     return [
-        F.min((F.lit(a) * x + F.lit(b)) % MERSENNE_P).alias(f"h{i}")
+        F.expr(f"min(({a} * {x} + {b}) % {MERSENNE_P}) AS h{i}")
         for i, (a, b) in enumerate(minhash_coeffs(n))
     ]
 
@@ -140,8 +143,10 @@ def minhash_band_hash_columns(bands: int = LSH_BANDS, rows: int = LSH_ROWS) -> l
     the banding trick: P(candidate) = 1 - (1 - j^rows)^bands.
     """
     return [
-        F.md5(F.concat_ws(",", *[F.col(f"h{b * rows + r}") for r in range(rows)])).alias(
-            f"band{b}"
+        F.expr(
+            "md5(concat_ws(',', "
+            + ", ".join(f"h{b * rows + r}" for r in range(rows))
+            + f")) AS band{b}"
         )
         for b in range(bands)
     ]
@@ -155,9 +160,10 @@ def simhash_vote_columns(bits: int = SIMHASH_BITS) -> list[Column]:
     """
     cols = []
     for i in range(bits):
-        chunk = F.col("c1") if i < 32 else F.col("c2")
-        bit = F.shiftright(chunk, i % 32).bitwiseAND(F.lit(1))
-        cols.append(F.sum(bit * 2 - 1).alias(f"s{i}"))
+        chunk = "c1" if i < 32 else "c2"
+        cols.append(
+            F.expr(f"sum((shiftright({chunk}, {i % 32}) & 1) * 2 - 1) AS s{i}")
+        )
     return cols
 
 
@@ -167,19 +173,25 @@ def simhash_pack_words(bits: int = SIMHASH_BITS) -> tuple[Column, Column, Column
     w1 packs bits 0..31, w2 bits 32..63 (bit i ↔ 2^(i mod 32), always
     non-negative, int64-safe); fingerprint is the 64-char '0'/'1' string.
     """
-    bit_exprs = [
-        F.when(F.col(f"s{i}") > 0, F.lit(1)).otherwise(F.lit(0)) for i in range(bits)
-    ]
-    w1 = sum(
-        (bit_exprs[i].cast("bigint") * F.lit(1 << i) for i in range(1, 32)),
-        bit_exprs[0].cast("bigint"),
+    def bit(i: int) -> str:
+        return f"CASE WHEN s{i} > 0 THEN 1 ELSE 0 END"
+
+    w1 = " + ".join(
+        [f"CAST({bit(0)} AS BIGINT)"]
+        + [f"CAST({bit(i)} AS BIGINT) * {1 << i}" for i in range(1, 32)]
     )
-    w2 = sum(
-        (bit_exprs[32 + i].cast("bigint") * F.lit(1 << i) for i in range(1, 32)),
-        bit_exprs[32].cast("bigint"),
+    w2 = " + ".join(
+        [f"CAST({bit(32)} AS BIGINT)"]
+        + [f"CAST({bit(32 + i)} AS BIGINT) * {1 << i}" for i in range(1, 32)]
     )
-    fingerprint = F.concat(*[b.cast("string") for b in bit_exprs])
-    return w1.alias("w1"), w2.alias("w2"), fingerprint.alias("fingerprint")
+    fingerprint = "concat(" + ", ".join(
+        f"CAST({bit(i)} AS STRING)" for i in range(bits)
+    ) + ")"
+    return (
+        F.expr(f"{w1} AS w1"),
+        F.expr(f"{w2} AS w2"),
+        F.expr(f"{fingerprint} AS fingerprint"),
+    )
 
 
 def hamming64(w1a: Column, w2a: Column, w1b: Column, w2b: Column) -> Column:

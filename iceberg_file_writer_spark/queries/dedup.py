@@ -169,7 +169,7 @@ def _shingle_x_df(spark: SparkSession, sf_dir: str, n: int = 3) -> DataFrame:
 def _minhash_sig_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, h0..h63) via 64 partial-agg mins over shingle hashes."""
     return _shingle_x_df(spark, sf_dir, 3).groupBy("doc_id").agg(
-        *minhash_agg_columns(F.col("x"))
+        *minhash_agg_columns("x")
     )
 
 
