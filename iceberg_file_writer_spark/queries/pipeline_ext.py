@@ -438,32 +438,31 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     the DuckDB oracle matches bitwise; floor() avoids engine-specific
     round-half behavior.
     """
+    # Bounds as literals via the shared per-corpus artifact memo, and the
+    # quantize row as one JVM-parsed select (round-5 plan-build fix — the
+    # 64 when/otherwise Column chains plus the 192-column bounds join cost
+    # ~2 s of driver-side construction). The zero-range guard constant-
+    # folds at build time; the oracle keeps the equivalent CASE.
+    from iceberg_file_writer_spark.queries.similarity import _dlit, _sq8_bounds
+
     t = load_tables(spark, sf_dir)
-    emb = t["embeddings"]
-    dims = [
-        F.element_at(F.col("embedding"), i + 1).cast("double").alias(f"e{i}")
-        for i in range(EMB_DIMS)
-    ]
-    flat = emb.select("vec_id", "label", *dims)
-    bounds = flat.agg(
-        *[F.min(f"e{i}").alias(f"mn{i}") for i in range(EMB_DIMS)],
-        *[F.max(f"e{i}").alias(f"mx{i}") for i in range(EMB_DIMS)],
-    )
-    qcols = [
-        F.when(F.col(f"mx{i}") == F.col(f"mn{i}"), F.lit(0))
-        .otherwise(
-            F.floor(
-                (F.col(f"e{i}") - F.col(f"mn{i}"))
-                * F.lit(float(QUANT_LEVELS))
-                / (F.col(f"mx{i}") - F.col(f"mn{i}"))
-            ).cast("int")
+    mn, mx = _sq8_bounds(spark, sf_dir)
+    qexprs = [
+        "CAST(0 AS INT)"
+        if mx[i] == mn[i]
+        else (
+            f"CAST(floor((CAST(element_at(embedding, {i + 1}) AS DOUBLE)"
+            f" - {_dlit(mn[i])}) * {_dlit(float(QUANT_LEVELS))}"
+            f" / ({_dlit(mx[i])} - {_dlit(mn[i])})) AS INT)"
         )
         for i in range(EMB_DIMS)
     ]
-    return flat.crossJoin(F.broadcast(bounds)).select(
+    return t["embeddings"].selectExpr(
         "vec_id",
         "label",
-        F.concat_ws(",", *[c.cast("string") for c in qcols]).alias("qvec"),
+        "concat_ws(',', "
+        + ", ".join(f"CAST({q} AS STRING)" for q in qexprs)
+        + ") AS qvec",
     )
 
 
@@ -1114,4 +1113,75 @@ def daily_user_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_users"),
         )
         .select("iso_week", "n_days", F.col("est_users").cast("long").alias("est_users"))
+    )
+
+
+# --- temperature-scaled mixture weights ------------------------------------
+# The "compute the mixture" counterpart of source_mixture_sample (which
+# *applies* a given mixture): observed per-source token shares are
+# temperature-flattened (tau = 0.5, the multilingual-sampling convention)
+# and renormalized into sampling weights. sqrt() keeps the power exact and
+# bitwise cross-engine; weights round to 6 decimals before comparison so
+# the one unordered 20-double renormalization sum cannot flip a value.
+
+
+@register(
+    "source_temperature_mixture_weights",
+    oracle="""
+WITH tok AS (
+  SELECT source,
+         count(*)                                 AS n_docs,
+         sum(len(string_split(text, ' ')))::BIGINT AS n_tokens
+  FROM documents
+  GROUP BY source
+)
+SELECT source, n_docs, n_tokens,
+       round(n_tokens::DOUBLE / (sum(n_tokens) OVER ()), 6)       AS token_share,
+       round(sqrt(n_tokens::DOUBLE) / (sum(sqrt(n_tokens::DOUBLE)) OVER ()), 6)
+                                                                  AS weight
+FROM tok
+""",
+    description=(
+        "Temperature-scaled source mixture weights (tau=0.5): observed "
+        "per-source token shares flattened with a square root and "
+        "renormalized — the domain-reweighting computation that feeds a "
+        "mixture sampler; one partial-agg scan plus a |sources|-row window"
+    ),
+    # Registry entry (driver surface at its 50-slot cap); benched +
+    # pytest-oracle-checked per session like every non-exposed entry.
+    driver_exposed=False,
+)
+def source_temperature_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Derive sampling weights, never shuffle documents.
+
+    The corpus-sized work is one token-count partial aggregation; the
+    temperature transform and renormalization run on the |sources|-row
+    relation (a window over ~20 rows — at 100 TB the same window covers
+    the same 20 rows). weight_g = sqrt(tok_g) / sum_j sqrt(tok_j) is the
+    scale-invariant form of share^tau / sum share^tau at tau = 0.5, so no
+    intermediate division can introduce engine-specific rounding before
+    the final one.
+    """
+    t = load_tables(spark, sf_dir)
+    tok = (
+        t["documents"]
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.size(words(F.col("text"))).cast("long")).alias("n_tokens"),
+        )
+    )
+    w = Window.partitionBy()
+    return tok.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round(
+            F.col("n_tokens").cast("double") / F.sum("n_tokens").over(w), 6
+        ).alias("token_share"),
+        F.round(
+            F.sqrt(F.col("n_tokens").cast("double"))
+            / F.sum(F.sqrt(F.col("n_tokens").cast("double"))).over(w),
+            6,
+        ).alias("weight"),
     )

@@ -987,3 +987,110 @@ def knn_filtered_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
     return scored.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= KNN_K)
+
+
+# --- kNN label voting (weak classification over the vector index) -----------
+
+
+@register(
+    "knn_label_vote",
+    oracle=f"""
+WITH q AS (SELECT vec_id AS query_id, label AS true_label, embedding AS qe
+           FROM embeddings WHERE vec_id < {KNN_N_QUERIES}),
+c AS (SELECT vec_id AS neighbor_id, label AS nlabel, embedding AS ce FROM embeddings),
+scored AS (
+  SELECT query_id, true_label, neighbor_id, nlabel,
+         {_cosine_sql('qe', 'ce')} AS cosine_sim
+  FROM q, c
+  WHERE query_id <> neighbor_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine_sim DESC, neighbor_id) AS rk
+  FROM scored
+),
+votes AS (
+  SELECT query_id, true_label, nlabel, count(*)::BIGINT AS votes
+  FROM ranked WHERE rk <= {KNN_K}
+  GROUP BY query_id, true_label, nlabel
+)
+SELECT query_id, nlabel AS predicted_label, votes, true_label,
+       (nlabel = true_label) AS correct
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY votes DESC, nlabel) AS vrk
+  FROM votes
+) WHERE vrk = 1
+""",
+    description=(
+        f"kNN label voting: majority label among the top-{KNN_K} cosine "
+        "neighbors per query (ties break to the smaller label) with a "
+        "correctness flag against the query's own label — the "
+        "weak-labeling / auto-labeling step of embedding-space curation"
+    ),
+    # Registry entry (driver surface at its 50-slot cap); benched +
+    # pytest-oracle-checked per session like every non-exposed entry.
+    driver_exposed=False,
+)
+def knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classification as a composition of the existing retrieval plan.
+
+    Same scale shape as brute-force kNN (broadcast queries, one corpus
+    scan, per-query top-k) plus two tiny aggregations over the K-sized
+    neighbor lists; swap the scored CTE for the IVF candidate join and
+    the same voting tail gives the indexed variant.
+    """
+    t = load_tables(spark, sf_dir)
+    flat = (
+        t["embeddings"]
+        .selectExpr("vec_id", "label", *_unpack_exprs("e"))
+        .selectExpr(
+            "vec_id", "label", *[f"e{i}" for i in range(EMB_DIMS)],
+            f"sqrt({_dot_expr('e', 'e')}) AS nrm",
+        )
+    )
+    q = flat.where(F.col("vec_id") < KNN_N_QUERIES).selectExpr(
+        "vec_id AS query_id",
+        "label AS true_label",
+        *[f"e{i} AS a{i}" for i in range(EMB_DIMS)],
+        "nrm AS na",
+    )
+    c = flat.selectExpr(
+        "vec_id AS neighbor_id",
+        "label AS nlabel",
+        *[f"e{i} AS b{i}" for i in range(EMB_DIMS)],
+        "nrm AS nb",
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .selectExpr(
+            "query_id",
+            "true_label",
+            "neighbor_id",
+            "nlabel",
+            f"round(({_dot_expr('a', 'b')}) / (na * nb), {COSINE_DECIMALS})"
+            " AS cosine_sim",
+        )
+    )
+    wr = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.asc("neighbor_id")
+    )
+    votes = (
+        scored.withColumn("rk", F.row_number().over(wr))
+        .where(F.col("rk") <= KNN_K)
+        .groupBy("query_id", "true_label", "nlabel")
+        .agg(F.count(F.lit(1)).alias("votes"))
+    )
+    wv = Window.partitionBy("query_id").orderBy(F.desc("votes"), F.asc("nlabel"))
+    return (
+        votes.withColumn("vrk", F.row_number().over(wv))
+        .where(F.col("vrk") == 1)
+        .select(
+            "query_id",
+            F.col("nlabel").alias("predicted_label"),
+            "votes",
+            "true_label",
+            (F.col("nlabel") == F.col("true_label")).alias("correct"),
+        )
+    )
