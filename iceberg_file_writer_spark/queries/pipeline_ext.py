@@ -1185,3 +1185,224 @@ def source_temperature_mixture_weights(spark: SparkSession, sf_dir: str) -> Data
             6,
         ).alias("weight"),
     )
+
+
+# --- session event sequences (behavior-sequence training examples) ----------
+
+SEQ_MAX_EVENTS = 32  # truncation bound per training example
+
+
+@register(
+    "user_session_event_sequences",
+    oracle=f"""
+WITH ordered AS (
+  SELECT user_id, ts, event_id, event_type,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events
+), flagged AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN prev_ts IS NULL
+                OR epoch_us(ts) - epoch_us(prev_ts) > 1800 * 1000000
+              THEN 1 ELSE 0 END AS is_new
+  FROM ordered
+), numbered AS (
+  SELECT user_id, ts, event_id, event_type,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+           AS session_seq
+  FROM flagged
+)
+SELECT user_id, session_seq,
+       count(*) AS n_events,
+       least(count(*), {SEQ_MAX_EVENTS})::BIGINT AS seq_len,
+       array_to_string(
+         (list(event_type ORDER BY ts, event_id))[1:{SEQ_MAX_EVENTS}], ','
+       ) AS event_seq
+FROM numbered
+GROUP BY user_id, session_seq
+""",
+    description=(
+        f"Behavior-sequence construction: per (user, session) the ordered "
+        f"event-type sequence truncated to {SEQ_MAX_EVENTS} events — the "
+        "session-to-training-example step of sequence-model pipelines; "
+        "gaps-and-islands sessionization reused, deterministic (ts, "
+        "event_id) ordering"
+    ),
+    # Registry entry (driver surface at its 50-slot cap); benched +
+    # pytest-oracle-checked per session like every non-exposed entry.
+    driver_exposed=False,
+)
+def user_session_event_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence construction without any per-group Python.
+
+    The only corpus-sized work is the sessionization windows (same
+    shuffle as user_sessions); each session's events collapse via
+    sort_array(collect_list(struct)) — struct order (ts, event_id) is the
+    unique sort key, so the sequence is deterministic under any
+    partitioning. Truncation bounds the per-example payload: a session
+    with 10k events ships 32, which is what keeps the output row size
+    bounded at 100 TB.
+    """
+    from iceberg_file_writer_spark.queries.events import SESSION_GAP_SECONDS
+
+    t = load_tables(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.col("prev_ts"))
+    numbered = (
+        t["events"]
+        .select("user_id", "ts", "event_id", "event_type",
+                F.lag("ts").over(w).alias("prev_ts"))
+        .withColumn(
+            "is_new",
+            F.when(
+                F.col("prev_ts").isNull()
+                | (gap_us > SESSION_GAP_SECONDS * 1_000_000),
+                F.lit(1),
+            ).otherwise(F.lit(0)),
+        )
+        .withColumn(
+            "session_seq",
+            F.sum("is_new").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+    )
+    return (
+        numbered.groupBy("user_id", "session_seq")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sort_array(
+                F.collect_list(F.struct("ts", "event_id", "event_type"))
+            ).alias("evs"),
+        )
+        .select(
+            "user_id",
+            "session_seq",
+            "n_events",
+            F.least(F.col("n_events"), F.lit(SEQ_MAX_EVENTS))
+            .cast("long")
+            .alias("seq_len"),
+            F.array_join(
+                F.transform(
+                    F.slice("evs", 1, SEQ_MAX_EVENTS), lambda x: x.event_type
+                ),
+                ",",
+            ).alias("event_seq"),
+        )
+    )
+
+
+# --- quality-filter funnel (curation attrition report) ----------------------
+
+FUNNEL_MIN_CHARS = 200
+FUNNEL_MIN_WORDS = 30
+FUNNEL_MIN_UNIQ = 0.3
+
+
+def _funnel_flags_sql() -> str:
+    return f"""
+SELECT doc_id,
+       n_chars >= {FUNNEL_MIN_CHARS} AS pass_chars,
+       len(string_split(text, ' ')) >= {FUNNEL_MIN_WORDS} AS pass_words,
+       (len(list_distinct(string_split(text, ' ')))::DOUBLE
+        / len(string_split(text, ' '))) >= {FUNNEL_MIN_UNIQ} AS pass_uniq,
+       doc_id = min(doc_id) OVER (PARTITION BY md5(text)) AS pass_dedup
+FROM documents
+"""
+
+
+@register(
+    "quality_filter_funnel",
+    oracle=f"""
+WITH flags AS ({_funnel_flags_sql()}),
+agg AS (
+  SELECT count(*)::BIGINT AS s0,
+         sum(CASE WHEN pass_chars THEN 1 ELSE 0 END)::BIGINT AS s1,
+         sum(CASE WHEN pass_chars AND pass_words THEN 1 ELSE 0 END)::BIGINT AS s2,
+         sum(CASE WHEN pass_chars AND pass_words AND pass_uniq
+                  THEN 1 ELSE 0 END)::BIGINT AS s3,
+         sum(CASE WHEN pass_chars AND pass_words AND pass_uniq AND pass_dedup
+                  THEN 1 ELSE 0 END)::BIGINT AS s4
+  FROM flags
+)
+SELECT stage, survivors, dropped FROM (
+  SELECT 0 AS stage_no, 'total' AS stage, s0 AS survivors, 0::BIGINT AS dropped FROM agg
+  UNION ALL SELECT 1, 'min_chars', s1, s0 - s1 FROM agg
+  UNION ALL SELECT 2, 'min_words', s2, s1 - s2 FROM agg
+  UNION ALL SELECT 3, 'uniq_ratio', s3, s2 - s3 FROM agg
+  UNION ALL SELECT 4, 'exact_dedup', s4, s3 - s4 FROM agg
+)
+""",
+    description=(
+        "Curation attrition funnel: document survivors and per-stage drops "
+        "through length -> word-count -> uniqueness -> exact-dedup filters "
+        "in fixed order — the report that makes a filtering pipeline's "
+        "selectivity auditable"
+    ),
+    # Registry entry (driver surface at its 50-slot cap); benched +
+    # pytest-oracle-checked per session like every non-exposed entry.
+    driver_exposed=False,
+)
+def quality_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One corpus scan, one 1-row aggregate, a 5-row unpivot.
+
+    Every stage's predicate is computed in the same pass (the dedup flag
+    is a window over the content digest — the only shuffle); cumulative
+    conjunctions make the funnel monotone by construction. The 1-row
+    aggregate broadcasts into the fixed 5-row report — at 100 TB the
+    report is the same 5 rows.
+    """
+    t = load_tables(spark, sf_dir)
+    wdup = Window.partitionBy(F.md5("text"))
+    ws = words(F.col("text"))
+    flags = t["documents"].select(
+        (F.col("n_chars") >= FUNNEL_MIN_CHARS).alias("pass_chars"),
+        (F.size(ws) >= FUNNEL_MIN_WORDS).alias("pass_words"),
+        (
+            (F.size(F.array_distinct(ws)).cast("double") / F.size(ws))
+            >= FUNNEL_MIN_UNIQ
+        ).alias("pass_uniq"),
+        (F.col("doc_id") == F.min("doc_id").over(wdup)).alias("pass_dedup"),
+    )
+    agg = flags.agg(
+        F.count(F.lit(1)).alias("s0"),
+        F.sum(F.when(F.col("pass_chars"), 1).otherwise(0)).alias("s1"),
+        F.sum(
+            F.when(F.col("pass_chars") & F.col("pass_words"), 1).otherwise(0)
+        ).alias("s2"),
+        F.sum(
+            F.when(
+                F.col("pass_chars") & F.col("pass_words") & F.col("pass_uniq"), 1
+            ).otherwise(0)
+        ).alias("s3"),
+        F.sum(
+            F.when(
+                F.col("pass_chars")
+                & F.col("pass_words")
+                & F.col("pass_uniq")
+                & F.col("pass_dedup"),
+                1,
+            ).otherwise(0)
+        ).alias("s4"),
+    )
+    stages = [
+        ("total", "s0", None),
+        ("min_chars", "s1", "s0"),
+        ("min_words", "s2", "s1"),
+        ("uniq_ratio", "s3", "s2"),
+        ("exact_dedup", "s4", "s3"),
+    ]
+    rows = [
+        agg.select(
+            F.lit(name).alias("stage"),
+            F.col(surv).alias("survivors"),
+            (F.col(prev) - F.col(surv) if prev else F.lit(0).cast("long")).alias(
+                "dropped"
+            ),
+        )
+        for name, surv, prev in stages
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionAll(r)
+    return out

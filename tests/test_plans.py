@@ -212,7 +212,7 @@ def test_bigram_lm_vocab_joins_are_broadcast(spark):
     assert "SortMergeJoin" not in p, p
 
 
-@pytest.mark.parametrize("name", ["embedding_quantize", "events_zorder_keys"])
+@pytest.mark.parametrize("name", ["events_zorder_keys"])
 def test_bounds_pass_broadcasts_single_row(spark, name):
     """Min/max bounds reduce to ONE row that broadcasts back over the
     corpus (the TPC-H scalar-threshold shape): exactly one Exchange (the
@@ -221,6 +221,15 @@ def test_bounds_pass_broadcasts_single_row(spark, name):
     assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p, p
     assert len(re.findall(r"\(\d+\) Exchange", p)) == 1, p
     assert "CartesianProduct" not in p, p
+
+
+def test_embedding_quantize_is_one_shuffle_free_projection(spark):
+    """Round 5: the quantization bounds come from the per-corpus artifact
+    memo as literals, so the whole query must be a single codegen'd
+    projection over the scan — no join, no Exchange of any kind."""
+    p = _plan(spark, "embedding_quantize")
+    assert "Join" not in p, p
+    assert "Exchange" not in p, p
 
 
 def test_cdc_latest_state_uses_window_group_limit(spark):
