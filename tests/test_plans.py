@@ -299,3 +299,23 @@ def test_rank_statistics_single_window_pass(spark):
     p = _plan(spark, "customer_balance_deciles")
     assert len(re.findall(r"\(\d+\) Exchange", p)) == 1, p
     assert "Join" not in p, p
+
+
+def test_session_sequences_single_exchange(spark):
+    """Sequence construction must reuse the sessionization shuffle: one
+    hash exchange on user_id, both windows and the (user_id, session_seq)
+    aggregate co-partitioned behind it, no Python nodes."""
+    p = _plan(spark, "user_session_event_sequences")
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 1, p
+    assert "hashpartitioning(user_id" in p, p
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p, p
+
+
+def test_quality_filter_funnel_single_pass(spark):
+    """The funnel is one corpus pass: the content-digest window exchange
+    plus the 1-row global aggregate — the 5-row report must come from an
+    explode of that single aggregate, never a unionAll that replays the
+    scan per stage (measured 10 scans before the explode form)."""
+    p = _plan(spark, "quality_filter_funnel")
+    assert len(re.findall(r"\(\d+\) Exchange", p)) <= 2, p
+    assert "Union" not in p, p
