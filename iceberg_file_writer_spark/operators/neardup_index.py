@@ -1,0 +1,140 @@
+"""Persisted MinHash near-dup index [extension — not in reference].
+
+The steady-state curation loop never recomputes corpus signatures: they
+are built once at ingest time and persisted beside the table (the
+"signatures table" seam documented on ``_minhash_pairs_df``); each new
+shard then probes the standing index. This module is that seam as a real
+API:
+
+- :func:`build_minhash_index` materializes the three index relations to
+  parquet — per-document signatures, banded LSH postings (bucketed by
+  band for probe-side partition pruning), and distinct-shingle sets for
+  exact-Jaccard verification.
+- :func:`incremental_neardup_against_index` runs the per-ingest dedup
+  gate: the new shard's band hashes (batch-sized, broadcast) probe the
+  persisted postings, and only candidate pairs load their shingle sets.
+
+Equivalence to the inline plan is pytest-asserted: probing the persisted
+index yields byte-identical pairs to ``incremental_neardup_new_vs_corpus``
+(which derives the corpus side in-plan). At 100 TB the difference is the
+point — the index build is one corpus pass at ingest, after which every
+incremental probe touches signatures/postings only, never document text.
+
+Reference scope note: the reference (/root/reference/main.go:47-54)
+persists exactly one artifact — the partitioned record files; the index
+extends its write path with derived artifacts the query side probes.
+[extension]
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def build_minhash_index(spark: SparkSession, sf_dir: str, index_path: str) -> None:
+    """One corpus pass -> three persisted relations under ``index_path``.
+
+    signatures/  (doc_id, h0..h63)         — 64 int64 per document
+    postings/    (band_idx, band_hash, doc_id), partitioned by band_idx —
+                 a probe for band b prunes to its own directory
+    sets/        (doc_id, s array<bigint>) — distinct shingle hashes, the
+                 verify-side payload (still orders smaller than text)
+    """
+    from iceberg_file_writer_spark.operators.text import (
+        minhash_band_hash_columns,
+    )
+    from iceberg_file_writer_spark.queries.dedup import (
+        LSH_BANDS,
+        _minhash_sig_df,
+        _shingle_x_df,
+    )
+
+    sig = _minhash_sig_df(spark, sf_dir).cache()
+    sig.write.mode("overwrite").parquet(os.path.join(index_path, "signatures"))
+    band_arr = F.array(*[F.col(f"band{b}") for b in range(LSH_BANDS)])
+    (
+        sig.select("doc_id", *minhash_band_hash_columns())
+        .select("doc_id", F.posexplode(band_arr).alias("band_idx", "band_hash"))
+        .write.mode("overwrite")
+        .partitionBy("band_idx")
+        .parquet(os.path.join(index_path, "postings"))
+    )
+    (
+        _shingle_x_df(spark, sf_dir, 3)
+        .groupBy("doc_id")
+        .agg(F.collect_set("x").alias("s"))
+        .write.mode("overwrite")
+        .parquet(os.path.join(index_path, "sets"))
+    )
+    sig.unpersist()
+
+
+def incremental_neardup_against_index(
+    spark: SparkSession,
+    sf_dir: str,
+    index_path: str,
+    new_split: int,
+) -> DataFrame:
+    """The per-ingest dedup gate against a standing index.
+
+    The new shard (``doc_id >= new_split``) computes its signatures
+    inline — it is the data being ingested; the corpus side reads ONLY
+    the persisted postings/sets (pushdown-filtered to ``doc_id <
+    new_split`` so a replayed build is harmless). Same plan posture as
+    the inline query: batch-sized band relation broadcast, corpus never
+    shuffles for the candidate join, verification candidate-sized.
+    """
+    from iceberg_file_writer_spark.operators.text import (
+        jaccard,
+        minhash_band_hash_columns,
+    )
+    from iceberg_file_writer_spark.queries.dedup import (
+        LSH_BANDS,
+        MINHASH_JACCARD_THRESHOLD,
+        _minhash_sig_df,
+        _shingle_x_df,
+    )
+
+    band_arr = F.array(*[F.col(f"band{b}") for b in range(LSH_BANDS)])
+    new_bands = (
+        _minhash_sig_df(spark, sf_dir)
+        .where(F.col("doc_id") >= new_split)
+        .select("doc_id", *minhash_band_hash_columns())
+        .select("doc_id", F.posexplode(band_arr).alias("band_idx", "band_hash"))
+        .select(F.col("doc_id").alias("new_doc_id"), "band_idx", "band_hash")
+    )
+    corpus_bands = (
+        spark.read.parquet(os.path.join(index_path, "postings"))
+        .where(F.col("doc_id") < new_split)
+        .select(F.col("doc_id").alias("corpus_doc_id"), "band_idx", "band_hash")
+    )
+    cands = (
+        corpus_bands.join(F.broadcast(new_bands), ["band_idx", "band_hash"])
+        .select("new_doc_id", "corpus_doc_id")
+        .distinct()
+    )
+    new_sets = (
+        _shingle_x_df(spark, sf_dir, 3)
+        .where(F.col("doc_id") >= new_split)
+        .groupBy("doc_id")
+        .agg(F.collect_set("x").alias("s"))
+        .select(F.col("doc_id").alias("new_doc_id"), F.col("s").alias("sa"))
+    )
+    corpus_sets = (
+        spark.read.parquet(os.path.join(index_path, "sets"))
+        .where(F.col("doc_id") < new_split)
+        .select(F.col("doc_id").alias("corpus_doc_id"), F.col("s").alias("sb"))
+    )
+    return (
+        cands.join(F.broadcast(new_sets), "new_doc_id")
+        .join(corpus_sets, "corpus_doc_id")
+        .select(
+            "new_doc_id",
+            "corpus_doc_id",
+            jaccard(F.col("sa"), F.col("sb")).alias("jaccard_sim"),
+        )
+        .where(F.col("jaccard_sim") >= MINHASH_JACCARD_THRESHOLD)
+    )
