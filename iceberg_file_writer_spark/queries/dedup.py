@@ -364,10 +364,15 @@ def neardup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         .union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
         .cache()
     )
+    # Seed with min(self, direct neighbors): the symmetrized edge list
+    # already carries every node as src, so one partial-agg'd groupBy
+    # performs propagation round 1 without the join + union + convergence
+    # job the loop pays per round (any upper-bound init converges to the
+    # same component minima, so the checked fixpoint is unchanged).
     labels = (
-        edges.select(F.col("src").alias("doc"))
-        .distinct()
-        .select("doc", F.col("doc").alias("lbl"))
+        edges.groupBy("src")
+        .agg(F.min("dst").alias("mn"))
+        .select(F.col("src").alias("doc"), F.least("src", "mn").alias("lbl"))
         .cache()
     )
     prev_cached = labels
