@@ -98,6 +98,31 @@ def read_source(
     raise ValueError(f"unsupported source format: {source_format}")
 
 
+def apply_layout(df: DataFrame, cfg: IngestConfig) -> DataFrame:
+    """The partition + order step, shared by ingest and compaction.
+
+    Plain layout: hash-repartition on the partition column, rows sorted
+    by (partition, key) — the reference's layout (main.go:50-51,78-79).
+    With ``cluster_by``: one bounds pass (broadcast back), then a range
+    shuffle on the Morton key — same single-shuffle budget, but the
+    written files tile the (cluster_by[0], cluster_by[1]) plane instead
+    of striping it. The key is dropped after ordering; projection
+    preserves the sort, so it never lands in the table schema.
+    """
+    if cfg.cluster_by is not None:
+        from iceberg_file_writer_spark.operators.zorder import with_zorder_key
+
+        return (
+            with_zorder_key(df, cfg.cluster_by, key_name="__zkey")
+            .repartitionByRange(cfg.num_buckets, cfg.partition_column, "__zkey")
+            .sortWithinPartitions(cfg.partition_column, "__zkey")
+            .drop("__zkey")
+        )
+    return df.repartition(
+        cfg.num_buckets, F.col(cfg.partition_column)
+    ).sortWithinPartitions(cfg.partition_column, cfg.key_column)
+
+
 def ingest_batch(
     df: DataFrame,
     output_path: str,
@@ -118,26 +143,7 @@ def ingest_batch(
             "path: use write_iceberg_table(df, 'catalog.db.table', cfg)"
         )
     require_format(df.sparkSession, cfg.table_format)
-    out = normalize_defaults(df, defaults)
-    if cfg.cluster_by is not None:
-        # Z-order layout: one bounds pass (broadcast back), then a range
-        # shuffle on the Morton key — same single-shuffle budget as the
-        # hash repartition below, but the written files tile the
-        # (cluster_by[0], cluster_by[1]) plane instead of striping it.
-        # The key is dropped after ordering; projection preserves the
-        # sort, so it never lands in the table schema.
-        from iceberg_file_writer_spark.operators.zorder import with_zorder_key
-
-        out = (
-            with_zorder_key(out, cfg.cluster_by, key_name="__zkey")
-            .repartitionByRange(cfg.num_buckets, cfg.partition_column, "__zkey")
-            .sortWithinPartitions(cfg.partition_column, "__zkey")
-            .drop("__zkey")
-        )
-    else:
-        out = out.repartition(
-            cfg.num_buckets, F.col(cfg.partition_column)
-        ).sortWithinPartitions(cfg.partition_column, cfg.key_column)
+    out = apply_layout(normalize_defaults(df, defaults), cfg)
     (
         out.write.mode("overwrite")
         .option("maxRecordsPerFile", cfg.max_rows_per_file)

@@ -76,10 +76,14 @@ def compact_table(
     target = target_rows_per_file or cfg.max_rows_per_file
     base = table_path.rstrip("/")
     tmp = base + ".compact-tmp"
+    from iceberg_file_writer_spark.ingest.batch import apply_layout
+
     df = spark.read.format(cfg.table_format).load(table_path)
     (
-        df.repartition(cfg.num_buckets, cfg.partition_column)
-        .sortWithinPartitions(cfg.partition_column, cfg.key_column)
+        # apply_layout preserves the table's configured layout, including
+        # a cluster_by z-order — compaction must not degrade a clustered
+        # table to the single-key stripe layout.
+        apply_layout(df, cfg)
         .write.mode("overwrite")
         .option("maxRecordsPerFile", target)
         .option("compression", cfg.compression)

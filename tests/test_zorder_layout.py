@@ -117,3 +117,43 @@ def test_ingest_cluster_by_writes_tight_file_boxes(spark, tmp_path):
     # cover a fraction of it.
     assert c_uspan <= 0.7, c_uspan
     assert p_uspan >= 1.3 * c_uspan, (p_uspan, c_uspan)
+
+
+def test_compaction_preserves_zorder_layout(spark, tmp_path):
+    """compact_table with a cluster_by config must re-produce the z-order
+    tiling (tight per-file user spans), not degrade to ts stripes."""
+    from iceberg_file_writer_spark.ingest.batch import IngestConfig, ingest_batch
+    from iceberg_file_writer_spark.ingest.maintenance import compact_table, list_data_files
+
+    ev = load_tables(spark, SF_DIR)["events"].withColumn(
+        "user_bucket", F.col("user_id") % 2
+    )
+    out = str(tmp_path / "clustered")
+    cfg = IngestConfig(
+        partition_column="user_bucket",
+        key_column="ts",
+        max_rows_per_file=64,
+        num_buckets=8,
+        cluster_by=("user_id", "ts"),
+    )
+    ingest_batch(ev, out, cfg, defaults={})
+    n_before = len(list_data_files(out))
+    compact_table(spark, out, cfg, target_rows_per_file=256)
+    files = (
+        spark.read.parquet(out)
+        .select("user_id", F.unix_micros(F.col("ts").cast("timestamp")).alias("tus"))
+        .withColumn("f", F.input_file_name())
+        .groupBy("f")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("user_id").alias("umin"),
+            F.max("user_id").alias("umax"),
+        )
+        .collect()
+    )
+    assert len(files) < n_before, (len(files), n_before)
+    assert all(r.n <= 256 for r in files)
+    g = ev.agg(F.min("user_id"), F.max("user_id")).collect()[0]
+    gu = max(g[1] - g[0], 1)
+    uspan = sum((r.umax - r.umin) / gu for r in files) / len(files)
+    assert uspan <= 0.7, uspan
