@@ -72,20 +72,17 @@ def build_minhash_index(spark: SparkSession, sf_dir: str, index_path: str) -> No
     sig.unpersist()
 
 
-def incremental_neardup_against_index(
-    spark: SparkSession,
-    sf_dir: str,
-    index_path: str,
-    new_split: int,
+def probe_docs_against_index(
+    new_docs: DataFrame, index_path: str, new_split: int
 ) -> DataFrame:
-    """The per-ingest dedup gate against a standing index.
+    """Probe any (doc_id, text) relation against a standing index.
 
-    The new shard (``doc_id >= new_split``) computes its signatures
-    inline — it is the data being ingested; the corpus side reads ONLY
-    the persisted postings/sets (pushdown-filtered to ``doc_id <
-    new_split`` so a replayed build is harmless). Same plan posture as
-    the inline query: batch-sized band relation broadcast, corpus never
-    shuffles for the candidate join, verification candidate-sized.
+    The probe side computes its signatures inline — it is the data being
+    ingested (a batch shard or one streaming micro-batch); the corpus
+    side reads ONLY the persisted postings/sets (pushdown-filtered to
+    ``doc_id < new_split`` so a replayed build is harmless). Plan
+    posture: batch-sized band relation broadcast, corpus never shuffles
+    for the candidate join, verification candidate-sized.
     """
     from iceberg_file_writer_spark.operators.text import (
         jaccard,
@@ -94,14 +91,14 @@ def incremental_neardup_against_index(
     from iceberg_file_writer_spark.queries.dedup import (
         LSH_BANDS,
         MINHASH_JACCARD_THRESHOLD,
-        _minhash_sig_df,
-        _shingle_x_df,
+        minhash_sig_from_docs,
+        shingle_x_from_docs,
     )
 
+    spark = new_docs.sparkSession
     band_arr = F.array(*[F.col(f"band{b}") for b in range(LSH_BANDS)])
     new_bands = (
-        _minhash_sig_df(spark, sf_dir)
-        .where(F.col("doc_id") >= new_split)
+        minhash_sig_from_docs(new_docs)
         .select("doc_id", *minhash_band_hash_columns())
         .select("doc_id", F.posexplode(band_arr).alias("band_idx", "band_hash"))
         .select(F.col("doc_id").alias("new_doc_id"), "band_idx", "band_hash")
@@ -117,8 +114,7 @@ def incremental_neardup_against_index(
         .distinct()
     )
     new_sets = (
-        _shingle_x_df(spark, sf_dir, 3)
-        .where(F.col("doc_id") >= new_split)
+        shingle_x_from_docs(new_docs, 3)
         .groupBy("doc_id")
         .agg(F.collect_set("x").alias("s"))
         .select(F.col("doc_id").alias("new_doc_id"), F.col("s").alias("sa"))
@@ -138,3 +134,21 @@ def incremental_neardup_against_index(
         )
         .where(F.col("jaccard_sim") >= MINHASH_JACCARD_THRESHOLD)
     )
+
+
+def incremental_neardup_against_index(
+    spark: SparkSession,
+    sf_dir: str,
+    index_path: str,
+    new_split: int,
+) -> DataFrame:
+    """The per-ingest dedup gate: the new shard of ``sf_dir``'s documents
+    table (``doc_id >= new_split``) probed against the standing index."""
+    from iceberg_file_writer_spark.tables import load_tables
+
+    new_docs = (
+        load_tables(spark, sf_dir)["documents"]
+        .where(F.col("doc_id") >= new_split)
+        .select("doc_id", "text")
+    )
+    return probe_docs_against_index(new_docs, index_path, new_split)

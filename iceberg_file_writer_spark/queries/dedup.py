@@ -151,10 +151,11 @@ def _simhash_packed_sql() -> str:
 # --- Spark-side shared builders ----------------------------------------------
 
 
-def _shingle_x_df(spark: SparkSession, sf_dir: str, n: int = 3) -> DataFrame:
-    """(doc_id, x): hashed word n-grams — explode + one md5/word + lead()."""
-    t = load_tables(spark, sf_dir)
-    wx = t["documents"].select(
+def shingle_x_from_docs(docs: DataFrame, n: int = 3) -> DataFrame:
+    """(doc_id, x): hashed word n-grams — explode + one md5/word + lead().
+    Takes any (doc_id, text) relation, so a streaming micro-batch can
+    shingle exactly like the batch table."""
+    wx = docs.select(
         "doc_id", F.posexplode(words(F.col("text"))).alias("pos", "w")
     ).select("doc_id", "pos", word_hash(F.col("w")).alias("xw"))
     win = Window.partitionBy("doc_id").orderBy("pos")
@@ -166,11 +167,19 @@ def _shingle_x_df(spark: SparkSession, sf_dir: str, n: int = 3) -> DataFrame:
     )
 
 
-def _minhash_sig_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _shingle_x_df(spark: SparkSession, sf_dir: str, n: int = 3) -> DataFrame:
+    return shingle_x_from_docs(load_tables(spark, sf_dir)["documents"], n)
+
+
+def minhash_sig_from_docs(docs: DataFrame) -> DataFrame:
     """(doc_id, h0..h63) via 64 partial-agg mins over shingle hashes."""
-    return _shingle_x_df(spark, sf_dir, 3).groupBy("doc_id").agg(
+    return shingle_x_from_docs(docs, 3).groupBy("doc_id").agg(
         *minhash_agg_columns("x")
     )
+
+
+def _minhash_sig_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_sig_from_docs(load_tables(spark, sf_dir)["documents"])
 
 
 @register(
@@ -585,10 +594,9 @@ def simhash_near_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 NEW_BATCH_SPLIT = 400  # doc_id >= 400 plays the freshly-ingested shard
 
-
-@register(
-    "incremental_neardup_new_vs_corpus",
-    oracle=f"""
+# Shared with the streaming ingest-gate entry (queries/streaming_ops.py),
+# whose run-to-completion result equals this batch probe exactly.
+INCREMENTAL_NEARDUP_ORACLE = f"""
 WITH wordx AS ({_WORDX_SQL}),
 shingle_x AS ({_shingle_x_sql(3)}),
 sigs AS ({_minhash_sql()}),
@@ -612,7 +620,12 @@ pairs AS (
   WHERE {_JACCARD_SQL} >= {MINHASH_JACCARD_THRESHOLD}
 )
 SELECT new_doc_id, corpus_doc_id, jaccard_sim FROM pairs
-""",
+"""
+
+
+@register(
+    "incremental_neardup_new_vs_corpus",
+    oracle=INCREMENTAL_NEARDUP_ORACLE,
     description=(
         f"Incremental near-dup: the freshly-ingested shard (doc_id >= "
         f"{NEW_BATCH_SPLIT}) LSH-matched against the existing corpus only "

@@ -556,3 +556,90 @@ def streaming_windowed_topk_types(spark: SparkSession, sf_dir: str) -> DataFrame
         F.desc("n_events"), F.asc("event_type")
     )
     return finalized.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= 3)
+
+
+# --- streaming near-dup ingest gate ----------------------------------------
+
+# Per-corpus standing index for the gate (built once per session — in
+# production this is the persisted signatures/postings table the batch
+# probe also uses; see operators/neardup_index.py).
+_GATE_INDEX: dict[str, str] = {}
+
+
+def _gate_oracle() -> str:
+    from iceberg_file_writer_spark.queries.dedup import INCREMENTAL_NEARDUP_ORACLE
+
+    return INCREMENTAL_NEARDUP_ORACLE
+
+
+@register(
+    "streaming_neardup_ingest_gate",
+    oracle=_gate_oracle(),
+    description=(
+        "Structured Streaming: the per-ingest near-dup gate — incoming "
+        "document files probed per micro-batch (foreachBatch) against the "
+        "persisted MinHash index; run-to-completion equals the batch "
+        "incremental probe exactly (each new doc arrives in exactly one "
+        "batch and only new-vs-corpus pairs exist, so batch boundaries "
+        "cannot change the result)"
+    ),
+    # Registry entry (driver surface at its 50-slot cap); benched +
+    # pytest-oracle-checked per session like every non-exposed entry.
+    driver_exposed=False,
+)
+def streaming_neardup_ingest_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation loop's steady state, composed end-to-end.
+
+    Build-once: the corpus index (signatures + band postings + shingle
+    sets) persists beside the table. Stream: each arriving document file
+    is one micro-batch; the batch's band hashes (batch-sized, broadcast)
+    probe the standing postings, verification touches candidates only,
+    and confirmed pairs append to the gate's output table. At 100 TB the
+    corpus side of every batch is index-file reads pruned by the probe's
+    band/doc_id predicates — the document text of the corpus is never
+    touched again after the index build.
+    """
+    from iceberg_file_writer_spark.operators.neardup_index import (
+        build_minhash_index,
+        probe_docs_against_index,
+    )
+    from iceberg_file_writer_spark.queries.dedup import NEW_BATCH_SPLIT
+
+    if sf_dir not in _GATE_INDEX:
+        idx = tempfile.mkdtemp(prefix="gate-index-")
+        build_minhash_index(spark, sf_dir, idx)
+        _GATE_INDEX[sf_dir] = idx
+    idx = _GATE_INDEX[sf_dir]
+
+    new_docs = (
+        load_tables(spark, sf_dir)["documents"]
+        .where(F.col("doc_id") >= NEW_BATCH_SPLIT)
+        .select("doc_id", "text")
+    )
+    incoming = tempfile.mkdtemp(prefix="gate-incoming-")
+    new_docs.repartition(3).write.mode("overwrite").parquet(incoming)
+
+    sink = tempfile.mkdtemp(prefix="gate-sink-")
+    ckpt = tempfile.mkdtemp(prefix="gate-ckpt-")
+
+    def _probe_batch(batch_df: DataFrame, _batch_id: int) -> None:
+        pairs = probe_docs_against_index(batch_df, idx, NEW_BATCH_SPLIT)
+        pairs.write.mode("append").parquet(sink)
+
+    stream = (
+        spark.readStream.schema(new_docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(incoming)
+    )
+    q = (
+        stream.writeStream.foreachBatch(_probe_batch)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.read.schema(
+        "new_doc_id bigint, corpus_doc_id bigint, jaccard_sim double"
+    ).parquet(sink)
