@@ -1408,3 +1408,132 @@ def quality_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.select(F.explode(F.array(*structs)).alias("r")).select(
         "r.stage", "r.survivors", "r.dropped"
     )
+
+
+# --- span-corruption training examples (T5/UL2 denoising shape) -------------
+
+MASK_RATE_BP = 1500  # per-position mask rate, basis points of 10000 (15%)
+
+
+@register(
+    "span_corruption_examples",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, pos, w,
+         {_duck_hash_bucket("doc_id || '#' || pos")} < {MASK_RATE_BP} AS m
+  FROM (
+    SELECT doc_id,
+           generate_subscripts(string_split(text, ' '), 1) - 1 AS pos,
+           unnest(string_split(text, ' ')) AS w
+    FROM documents
+  )
+),
+runs AS (
+  SELECT doc_id, pos, w, m,
+         CASE WHEN m AND NOT coalesce(
+                lag(m) OVER (PARTITION BY doc_id ORDER BY pos), FALSE)
+              THEN 1 ELSE 0 END AS boundary
+  FROM tok
+),
+numbered AS (
+  SELECT doc_id, pos, w, m, boundary,
+         sum(boundary) OVER (PARTITION BY doc_id ORDER BY pos
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           ::BIGINT AS k
+  FROM runs
+),
+pieces AS (
+  SELECT doc_id, pos, m, boundary, k,
+         CASE WHEN NOT m THEN w
+              WHEN boundary = 1 THEN '<X' || k || '>'
+              ELSE '' END AS in_piece,
+         CASE WHEN m AND boundary = 1 THEN '<X' || k || '> ' || w
+              WHEN m THEN w
+              ELSE '' END AS tgt_piece
+  FROM numbered
+)
+SELECT doc_id,
+       count(*)::BIGINT                              AS n_tokens,
+       sum(CASE WHEN m THEN 1 ELSE 0 END)::BIGINT    AS n_masked,
+       max(k)                                        AS n_spans,
+       coalesce(string_agg(in_piece, ' ' ORDER BY pos) FILTER (in_piece <> ''),
+                '')                                   AS input_text,
+       coalesce(string_agg(tgt_piece, ' ' ORDER BY pos) FILTER (tgt_piece <> ''),
+                '')                                   AS target_text
+FROM pieces
+GROUP BY doc_id
+""",
+    description=(
+        "Span-corruption training examples (the T5/UL2 denoising shape): "
+        f"{MASK_RATE_BP / 100:.0f}% of token positions masked by a salted "
+        "per-(doc, position) hash — no RNG anywhere, so examples are "
+        "reproducible across runs/engines/cluster sizes; consecutive "
+        "masked positions merge into one sentinel span, inputs get "
+        "'<Xk>' placeholders, targets get '<Xk> tokens...'"
+    ),
+    # Registry entry (driver surface at its 50-slot cap); benched +
+    # pytest-oracle-checked per session like every non-exposed entry.
+    driver_exposed=False,
+)
+def span_corruption_examples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Denoising-example construction as pure column algebra.
+
+    One corpus-sized explode, one per-doc window pass (mask runs +
+    sentinel numbering), one ordered re-assembly via
+    sort_array(collect_list(struct)) — no Python, no RNG, no shuffle
+    beyond the doc_id partition the window already needs. The salted
+    positional hash is the reproducibility contract: masking a corpus
+    twice (or on a different cluster) yields byte-identical examples,
+    which is what makes data ablations comparable at 100 TB.
+    """
+    t = load_tables(spark, sf_dir)
+    tok = t["documents"].select(
+        "doc_id", F.posexplode(words(F.col("text"))).alias("pos", "w")
+    )
+    key = F.concat(F.col("doc_id").cast("string"), F.lit("#"), F.col("pos").cast("string"))
+    tok = tok.withColumn("m", _spark_hash_bucket(key) < MASK_RATE_BP)
+    w_ord = Window.partitionBy("doc_id").orderBy("pos")
+    runs = tok.withColumn(
+        "boundary",
+        F.when(
+            F.col("m") & ~F.coalesce(F.lag("m").over(w_ord), F.lit(False)), 1
+        ).otherwise(0),
+    )
+    numbered = runs.withColumn(
+        "k",
+        F.sum("boundary")
+        .over(w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("long"),
+    )
+    sentinel = F.concat(F.lit("<X"), F.col("k").cast("string"), F.lit(">"))
+    pieces = numbered.select(
+        "doc_id",
+        "pos",
+        "m",
+        F.when(~F.col("m"), F.col("w"))
+        .when(F.col("boundary") == 1, sentinel)
+        .otherwise(F.lit(""))
+        .alias("in_piece"),
+        F.when(
+            F.col("m") & (F.col("boundary") == 1),
+            F.concat(sentinel, F.lit(" "), F.col("w")),
+        )
+        .when(F.col("m"), F.col("w"))
+        .otherwise(F.lit(""))
+        .alias("tgt_piece"),
+        "k",
+    )
+
+    def _joined(field):
+        arr = F.sort_array(F.collect_list(F.struct("pos", F.col(field).alias("p"))))
+        return F.array_join(
+            F.filter(F.transform(arr, lambda x: x.p), lambda p: p != ""), " "
+        )
+
+    return pieces.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum(F.when(F.col("m"), 1).otherwise(0)).alias("n_masked"),
+        F.max("k").alias("n_spans"),
+        _joined("in_piece").alias("input_text"),
+        _joined("tgt_piece").alias("target_text"),
+    )
