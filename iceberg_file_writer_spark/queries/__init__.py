@@ -56,6 +56,7 @@ def register(name: str, oracle: str | None, description: str = "", driver_expose
 
 def _import_all() -> None:
     from iceberg_file_writer_spark.queries import (  # noqa: F401
+        analytics_ext,
         decontam,
         dedup,
         events,

@@ -1,0 +1,232 @@
+"""Corpus/product analytics operators, round 5 [extension — not in reference]:
+cohort retention, per-source token-distribution drift, and a table
+column-profile audit.
+
+These are the monitoring/diagnostics queries a 100 TB training-data
+pipeline runs continuously around the curation operators:
+
+- **cohort retention**: users bucketed by first-seen day, activity counted
+  by day offset — the activation/retention matrix over the events stream.
+  Both aggregations and the first-seen join shuffle on user_id (one
+  co-located exchange footprint under AQE); the final rollup keys on
+  (cohort_day, offset), whose cardinality is days², independent of corpus
+  size.
+- **source token drift**: KL divergence of each source's unigram
+  distribution from the corpus distribution — the mixture-monitoring
+  signal that catches a crawler or dump gone off-distribution before it
+  poisons a training mix. The only corpus-sized pass is the token
+  explode→(source, word) count (map-side combined); everything after runs
+  on the sources×vocabulary relation, with the two totals relations
+  broadcast.
+- **column profile**: per-column row/null/distinct counts — the
+  data-quality audit gate before a table enters a training mix. The
+  registered (oracle-checked) form uses exact multi-column COUNT
+  DISTINCT, which Catalyst plans via Expand (one replicated stream per
+  audited column) — fine at audit time but the wrong default at 100 TB;
+  the production path (``exact=False``) swaps in approx_count_distinct
+  so the whole profile is one map-side-combined pass with no Expand.
+
+Reference scope note: the reference (/root/reference/main.go) is a
+partitioned ingest driver with no analytics surface; these extend its
+events-by-entity-by-time data model (main.go:38-39,50) to the read side.
+[extension]
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from iceberg_file_writer_spark.operators.text import words
+from iceberg_file_writer_spark.queries import register
+from iceberg_file_writer_spark.tables import load_tables
+
+
+@register(
+    "cohort_retention",
+    oracle="""
+WITH firstseen AS (
+  SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day
+  FROM events GROUP BY user_id
+), activity AS (
+  SELECT DISTINCT e.user_id, f.cohort_day,
+         datediff('day', f.cohort_day, CAST(e.ts AS DATE)) AS day_offset
+  FROM events e JOIN firstseen f USING (user_id)
+)
+SELECT cohort_day, CAST(day_offset AS BIGINT) AS day_offset,
+       CAST(count(*) AS BIGINT) AS n_active_users
+FROM activity GROUP BY cohort_day, day_offset
+""",
+    description=(
+        "Cohort retention: users bucketed by first-seen day, distinct "
+        "active users per (cohort, day-offset) cell"
+    ),
+    # Mid-round-5 promotion: q15_top_supplier (driver-green r3-r4; its
+    # view+agg+join shape stays covered by q5 and top_purchasers) ceded
+    # its slot.
+)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention matrix over the events stream.
+
+    Scale shape: first-seen is a user-keyed partial-aggregated groupBy;
+    the join back is user_id-to-user_id (same partitioning as the
+    distinct's partial aggregate, so AQE coalesces the exchanges); the
+    final groupBy keys on (cohort_day, day_offset) — days² rows however
+    large the corpus. No window functions, no driver-side state.
+    """
+    ev = load_tables(spark, sf_dir)["events"].select(
+        "user_id", F.to_date("ts").alias("d")
+    )
+    first = ev.groupBy("user_id").agg(F.min("d").alias("cohort_day"))
+    activity = (
+        ev.join(first, "user_id")
+        .select(
+            "user_id",
+            "cohort_day",
+            F.datediff("d", "cohort_day").cast("long").alias("day_offset"),
+        )
+        .distinct()
+    )
+    return activity.groupBy("cohort_day", "day_offset").agg(
+        F.count(F.lit(1)).alias("n_active_users")
+    )
+
+
+@register(
+    "source_unigram_drift",
+    oracle="""
+WITH tok AS (
+  SELECT source, unnest(string_split(text, ' ')) AS w FROM documents
+), src AS (
+  SELECT source, w, count(*) AS c FROM tok GROUP BY source, w
+), srctot AS (
+  SELECT source, sum(c) AS n FROM src GROUP BY source
+), corpus AS (
+  SELECT w, sum(c) AS cc FROM src GROUP BY w
+), corptot AS (
+  SELECT sum(cc) AS nn FROM corpus
+)
+SELECT s.source,
+       CAST(count(*) AS BIGINT) AS n_terms,
+       round(sum((s.c::DOUBLE / t.n::DOUBLE)
+                 * ln((s.c::DOUBLE / t.n::DOUBLE)
+                      / (corpus.cc::DOUBLE / corptot.nn::DOUBLE))), 6)
+         AS kl_divergence
+FROM src s
+JOIN srctot t USING (source)
+JOIN corpus USING (w)
+CROSS JOIN corptot
+GROUP BY s.source
+""",
+    description=(
+        "Source drift: KL divergence of each source's unigram "
+        "distribution from the corpus unigram distribution"
+    ),
+    # Registered mid-round 5; driver surface is at its 50-entry cap, so
+    # pytest-oracle + bench coverage until a future rotation.
+    driver_exposed=False,
+)
+def source_unigram_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source KL(source ‖ corpus) over unigram distributions.
+
+    Scale shape: one corpus-sized explode→count on (source, word) with
+    map-side combine; src is sources×vocabulary rows, so the three
+    derived relations (per-source totals, corpus counts, grand total) are
+    tiny — srctot/corpus broadcast into the join and the 1-row grand
+    total broadcasts via crossJoin. KL needs no smoothing: every source
+    term is by construction present in the corpus distribution
+    (q(w) >= p(w)·n/N > 0).
+    """
+    docs = load_tables(spark, sf_dir)["documents"]
+    # src is sources×vocabulary rows; cached so the corpus-sized
+    # explode→count runs ONCE and the four downstream uses (join left
+    # side, both totals, grand total) read the tiny aggregate.
+    src = (
+        docs.select("source", F.explode(words(F.col("text"))).alias("w"))
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .cache()
+    )
+    srctot = src.groupBy("source").agg(F.sum("c").alias("n"))
+    corpus = src.groupBy("w").agg(F.sum("c").alias("cc"))
+    corptot = corpus.agg(F.sum("cc").alias("nn"))
+    p = F.col("c").cast("double") / F.col("n").cast("double")
+    q = F.col("cc").cast("double") / F.col("nn").cast("double")
+    return (
+        src.join(F.broadcast(srctot), "source")
+        .join(F.broadcast(corpus), "w")
+        .crossJoin(F.broadcast(corptot))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_terms"),
+            F.round(F.sum(p * F.log(p / q)), 6).alias("kl_divergence"),
+        )
+    )
+
+
+PROFILE_COLUMNS = (
+    "o_orderkey",
+    "o_custkey",
+    "o_orderstatus",
+    "o_totalprice",
+    "o_orderdate",
+    "o_orderpriority",
+)
+
+
+def column_profile(df: DataFrame, cols: tuple[str, ...], exact: bool = True) -> DataFrame:
+    """Per-column (n_rows, n_nulls, n_distinct) audit in one aggregate.
+
+    ``exact=True`` (the oracle-checked mode) uses COUNT(DISTINCT col) per
+    column — Catalyst plans the multi-distinct via Expand, replicating
+    the scan stream once per audited column. ``exact=False`` is the
+    production default at scale: approx_count_distinct sketches all
+    columns in a single map-side-combined pass (no Expand, one exchange
+    of one sketch row per partition).
+    """
+    nd = (
+        (lambda c: F.countDistinct(F.col(c)))
+        if exact
+        else (lambda c: F.approx_count_distinct(c).cast("long"))
+    )
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in cols:
+        aggs.append(F.count(c).alias(f"nn_{c}"))
+        aggs.append(nd(c).alias(f"nd_{c}"))
+    row = df.agg(*aggs)
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column_name"),
+                F.col("n_rows").alias("n_rows"),
+                (F.col("n_rows") - F.col(f"nn_{c}")).alias("n_nulls"),
+                F.col(f"nd_{c}").alias("n_distinct"),
+            )
+            for c in cols
+        ]
+    )
+    return row.select(F.explode(entries).alias("p")).select("p.*")
+
+
+@register(
+    "orders_column_profile",
+    oracle="\nUNION ALL\n".join(
+        f"""SELECT '{c}' AS column_name,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(*) - count({c}) AS BIGINT) AS n_nulls,
+       CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct
+FROM orders"""
+        for c in PROFILE_COLUMNS
+    ),
+    description=(
+        "Column-profile audit: per-column row/null/distinct counts over "
+        "orders (exact mode; production uses approx_count_distinct)"
+    ),
+    # Registered mid-round 5; driver surface is at its 50-entry cap, so
+    # pytest-oracle + bench coverage until a future rotation.
+    driver_exposed=False,
+)
+def orders_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return column_profile(
+        load_tables(spark, sf_dir)["orders"], PROFILE_COLUMNS, exact=True
+    )

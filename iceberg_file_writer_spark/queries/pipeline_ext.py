@@ -741,10 +741,10 @@ def doc_dup_chunk_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
 BPE_MERGES = 4  # learned merge rules (unrolled identically in the oracle)
 
 
-def _bpe_oracle() -> str:
-    """Unrolled K-iteration BPE training as DuckDB CTEs (the Lloyd-style
-    fixed-iteration pattern: deterministic inputs + exact integer
-    arithmetic => the oracle replays training bit-for-bit)."""
+def _bpe_train_ctes() -> list[str]:
+    """The unrolled K-iteration BPE training CTEs (shared by the train and
+    encode oracles): w0 word frequencies, s0 char-split sequences, then per
+    round k the pair counts p{k} and the 1-row argmax merge b{k}."""
     ctes = [
         """w0 AS (
   SELECT w, count(*) AS freq
@@ -773,12 +773,53 @@ def _bpe_oracle() -> str:
                       '|' || b.w1 || b.w2 || '|') AS seq
   FROM s{k - 1} CROSS JOIN b{k} b
 )""")
+    return ctes
+
+
+def _bpe_oracle() -> str:
+    """Unrolled K-iteration BPE training as DuckDB CTEs (the Lloyd-style
+    fixed-iteration pattern: deterministic inputs + exact integer
+    arithmetic => the oracle replays training bit-for-bit)."""
     selects = "\nUNION ALL\n".join(
         f"SELECT CAST({k} AS BIGINT) AS merge_rank, w1 AS left_sym, "
         f"w2 AS right_sym, cnt AS pair_count FROM b{k}"
         for k in range(1, BPE_MERGES + 1)
     )
-    return "WITH " + ",\n".join(ctes) + "\n" + selects
+    return "WITH " + ",\n".join(_bpe_train_ctes()) + "\n" + selects
+
+
+def _bpe_encode_oracle() -> str:
+    """Re-train the merges (same CTEs as the train oracle), flatten them
+    into one wide row, then apply them to every document's words as the
+    identical chained leftmost-non-overlapping replace the engine runs."""
+    mw_cols = ", ".join(
+        f"b{k}.w1 AS l{k}, b{k}.w2 AS r{k}" for k in range(1, BPE_MERGES + 1)
+    )
+    mw_from = ", ".join(f"b{k}" for k in range(1, BPE_MERGES + 1))
+    ctes = _bpe_train_ctes() + [f"mw AS (SELECT {mw_cols} FROM {mw_from})"]
+    enc = r"regexp_replace(x, '(.)', '|\1', 'g') || '|'"
+    for k in range(1, BPE_MERGES + 1):
+        enc = (
+            f"replace({enc}, '|' || l{k} || '|' || r{k} || '|',"
+            f" '|' || l{k} || r{k} || '|')"
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT doc_id,
+       CAST(len(w) AS BIGINT) AS n_words,
+       CAST(length(encfull) - length(replace(encfull, '|', '')) - len(w)
+            AS BIGINT)                                   AS n_bpe_tokens,
+       md5(encfull)                                      AS enc_md5
+FROM (
+  SELECT doc_id, w,
+         array_to_string(list_transform(w, x -> {enc}), ' ') AS encfull
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+       CROSS JOIN mw
+)
+"""
+    )
 
 
 @register(
@@ -815,6 +856,12 @@ def bpe_merge_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     identically (verified on overlapping runs), which is what makes the
     oracle exact.
     """
+    return _bpe_train_merges(spark, sf_dir)
+
+
+def _bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shared training loop: (merge_rank, left_sym, right_sym,
+    pair_count) for the first BPE_MERGES merges (see bpe_merge_train)."""
     t = load_tables(spark, sf_dir)
     wf = (
         t["documents"]
@@ -872,6 +919,77 @@ def bpe_merge_train(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .cache()
             )
     return merges
+
+
+@register(
+    "bpe_encode_docs",
+    oracle=_bpe_encode_oracle(),
+    description=(
+        f"BPE tokenizer application: encode every document with the "
+        f"{BPE_MERGES} trained merges (rank-order chained replace) — "
+        "emits per-doc word/BPE-token counts and an md5 of the encoded "
+        "symbol sequence"
+    ),
+    # Mid-round-5 promotion: q10_returned_items (driver-green r1-r4;
+    # multi-join + group-agg shape stays covered by q3/q5/q18) ceded its
+    # slot so tokenizer *application* earns driver evidence alongside
+    # tokenizer training.
+)
+def bpe_encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the trained BPE merges to the whole corpus — the encode half
+    of the tokenizer (train: bpe_merge_train).
+
+    Scale shape: the trained merge table is a BPE_MERGES-row relation,
+    flattened to ONE wide row and broadcast; encoding is then a per-row
+    array transform (chained leftmost-non-overlapping replaces over each
+    word's char-split symbol string) — the corpus itself never shuffles
+    and never explodes. The alternative (encode the distinct vocabulary,
+    broadcast-join it back over exploded words) would re-aggregate tokens
+    per document and shuffle the full token stream; per-row transform
+    keeps the encode stage embarrassingly parallel, which is the shape
+    that survives 100 TB. Training cost is vocabulary-bounded (see
+    bpe_merge_train).
+    """
+    t = load_tables(spark, sf_dir)
+    merges = _bpe_train_merges(spark, sf_dir)
+    wide = merges.agg(
+        *[
+            F.max(F.when(F.col("merge_rank") == k, F.col(c))).alias(f"{a}{k}")
+            for k in range(1, BPE_MERGES + 1)
+            for a, c in (("l", "left_sym"), ("r", "right_sym"))
+        ]
+    )
+
+    def enc(x):
+        seq = F.concat(F.regexp_replace(x, "(.)", r"|$1"), F.lit("|"))
+        for k in range(1, BPE_MERGES + 1):
+            seq = F.replace(
+                seq,
+                F.concat(
+                    F.lit("|"), F.col(f"l{k}"), F.lit("|"), F.col(f"r{k}"), F.lit("|")
+                ),
+                F.concat(F.lit("|"), F.col(f"l{k}"), F.col(f"r{k}"), F.lit("|")),
+            )
+        return seq
+
+    docs = t["documents"].select("doc_id", words(F.col("text")).alias("w"))
+    encoded = docs.crossJoin(F.broadcast(wide)).select(
+        "doc_id",
+        F.size("w").cast("long").alias("n_words"),
+        F.concat_ws(" ", F.transform(F.col("w"), enc)).alias("encfull"),
+    )
+    return encoded.select(
+        "doc_id",
+        "n_words",
+        (
+            F.length("encfull")
+            - F.length(F.replace(F.col("encfull"), F.lit("|"), F.lit("")))
+            - F.col("n_words")
+        )
+        .cast("long")
+        .alias("n_bpe_tokens"),
+        F.md5("encfull").alias("enc_md5"),
+    )
 
 
 # --- snapshot diff (changelog materialized at two times) ------------------

@@ -197,6 +197,10 @@ ORDER BY revenue DESC, c_custkey
 LIMIT 20
 """,
     description="TPC-H Q10: returned-item ranking, 4-way join + agg + top-20",
+    # Mid-round-5 rotation: driver-green r1-r4; ceded its slot to
+    # bpe_encode_docs (pipeline_ext.py). The 4-way-join + group-agg +
+    # top-k shape stays driver-covered by q3/q5/q18.
+    driver_exposed=False,
 )
 def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)

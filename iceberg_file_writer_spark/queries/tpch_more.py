@@ -315,6 +315,10 @@ JOIN revenue ON s_suppkey = supplier_no
 WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
 """,
     description="TPC-H Q15: quarterly top supplier via scalar max subquery",
+    # Mid-round-5 rotation: driver-green r3-r4; ceded its slot to
+    # cohort_retention (analytics_ext.py). The view+agg+scalar-subquery
+    # shape stays driver-covered by q5 / orders_above_customer_avg.
+    driver_exposed=False,
 )
 def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)

@@ -319,3 +319,62 @@ def test_quality_filter_funnel_single_pass(spark):
     p = _plan(spark, "quality_filter_funnel")
     assert len(re.findall(r"\(\d+\) Exchange", p)) <= 2, p
     assert "Union" not in p, p
+
+
+def test_bpe_encode_corpus_side_never_shuffles(spark):
+    """Tokenizer application: the trained-merge wide row broadcasts onto
+    the documents scan (BroadcastNestedLoopJoin of a 1-row relation); the
+    corpus itself must not hash-exchange — every Exchange in the plan
+    belongs to the vocabulary-sized training subtree, so none may carry
+    doc_id (the corpus relation's key)."""
+    p = _plan(spark, "bpe_encode_docs")
+    assert "BroadcastNestedLoopJoin" in p, p
+    assert "CartesianProduct" not in p, p
+    for m in re.finditer(r"\(\d+\) Exchange[^\n]*\n(?:[^\n]*\n){0,2}", p):
+        assert "doc_id" not in m.group(0), m.group(0)
+
+
+def test_cohort_retention_colocated_on_user_id(spark):
+    """First-seen aggregate, join back, and the distinct must all key on
+    user_id (co-located exchanges AQE can coalesce); no window, no
+    cartesian; the final rollup keys on (cohort_day, day_offset)."""
+    p = _plan(spark, "cohort_retention")
+    assert "hashpartitioning(user_id" in p, p
+    assert "Window" not in p and "CartesianProduct" not in p, p
+
+
+def test_unigram_drift_totals_are_broadcast(spark):
+    """After the single (source, word) count, every join side is the tiny
+    sources×vocabulary aggregate: per-source totals and corpus counts
+    broadcast; the 1-row grand total broadcasts via nested-loop."""
+    p = _plan(spark, "source_unigram_drift")
+    assert p.count("BroadcastHashJoin") >= 2, p
+    assert "BroadcastNestedLoopJoin" in p, p
+    assert "SortMergeJoin" not in p and "CartesianProduct" not in p, p
+
+
+def test_column_profile_exact_mode_expands_once(spark):
+    """The exact multi-distinct audit is one scan + one Expand (width =
+    audited columns + 1) + one exchange of partial aggregates — and the
+    production approx mode must plan with NO Expand and the same single
+    exchange."""
+    p = _plan(spark, "orders_column_profile")
+    assert len(re.findall(r"\(\d+\) Expand", p)) == 1, p
+    import contextlib
+    import io
+
+    from iceberg_file_writer_spark.queries.analytics_ext import (
+        PROFILE_COLUMNS,
+        column_profile,
+    )
+    from iceberg_file_writer_spark.tables import load_tables
+
+    approx = column_profile(
+        load_tables(spark, SF_DIR)["orders"], PROFILE_COLUMNS, exact=False
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        approx.explain("formatted")
+    ap = buf.getvalue()
+    assert "Expand" not in ap, ap
+    assert len(re.findall(r"\(\d+\) Exchange", ap)) == 1, ap
