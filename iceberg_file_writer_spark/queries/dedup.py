@@ -366,11 +366,24 @@ def neardup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     # candidate join + Jaccard verify (the signature/set relations below it
     # are cached, but the join work is not).
     pairs = _minhash_pairs_df(spark, sf_dir).select("doc_a", "doc_b").cache()
+    # The edge relation is orders smaller than the corpus (it is the
+    # near-dup pair list), but it inherits the corpus-sized shuffle
+    # partitioning from pair generation — leaving the fixpoint rounds to
+    # schedule hundreds of near-empty tasks per round (measured ~0.6-1 s
+    # of pure task-scheduling overhead per round at sf0.1). Right-size the
+    # iteration layout to the *edge count*: ~1M edges per partition, so a
+    # 10^9-edge graph still iterates on ~1000 partitions while a small
+    # dedup family graph collapses to one. pairs is cached, so the count
+    # is a metadata-cheap job that also pins the cache before the union
+    # reads it twice.
+    n_edges = 2 * pairs.count()
+    iter_parts = max(1, min(int(spark.sparkContext.defaultParallelism) * 4, n_edges // 1_000_000 + 1))
     # cache(): the edge list seeds the node set and is re-joined every
     # propagation round; without it each round replays LSH pair generation.
     edges = (
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+        .coalesce(iter_parts)
         .cache()
     )
     # Seed with min(self, direct neighbors): the symmetrized edge list
