@@ -230,3 +230,59 @@ def orders_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return column_profile(
         load_tables(spark, sf_dir)["orders"], PROFILE_COLUMNS, exact=True
     )
+
+
+@register(
+    "fuzzy_name_matches",
+    oracle="""
+WITH c AS (SELECT c_custkey, c_name FROM customer),
+v AS (
+  SELECT c_custkey, c_name,
+         substr(c_name, 1, i - 1) || '?' || substr(c_name, i + 1) AS blk
+  FROM c, unnest(range(1, length(c_name) + 1)) AS t(i)
+)
+SELECT a.c_custkey AS cust_a, b.c_custkey AS cust_b,
+       a.c_name AS name_a, b.c_name AS name_b
+FROM v a JOIN v b ON a.blk = b.blk AND a.c_custkey < b.c_custkey
+WHERE levenshtein(a.c_name, b.c_name) = 1
+""",
+    description=(
+        "Entity resolution: edit-distance-1 name pairs via wildcard-"
+        "position blocking (SymSpell neighborhoods) + Levenshtein verify"
+    ),
+    # Registered mid-round 5; driver surface is at its 50-entry cap, so
+    # pytest-oracle + bench coverage until a future rotation.
+    driver_exposed=False,
+)
+def fuzzy_name_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate string join — the record-linkage/dedup primitive for
+    entity columns.
+
+    Scale shape: never all-pairs. Each name explodes into L wildcard
+    variants ('?' at each position); two same-length names are
+    Levenshtein-1 iff they are a single substitution apart iff they
+    share the variant wildcarded at the differing position — so the
+    candidate generator is an equi-join on the variant string (O(n·L)
+    rows, hash-partitioned, group sizes bounded by the alphabet), with
+    exact recall at this threshold, and the Levenshtein verify runs only
+    on candidates. Larger thresholds generalize via C(L,d) deletion
+    neighborhoods (SymSpell) — same join shape, documented seam. The
+    blocked form is the whole point at 100 TB: brute force is an O(n²)
+    CartesianProduct (gate below pins its absence).
+    """
+    c = load_tables(spark, sf_dir)["customer"].select("c_custkey", "c_name")
+    v = c.selectExpr(
+        "c_custkey",
+        "c_name",
+        "explode(transform(sequence(1, length(c_name)),"
+        " i -> concat(substring(c_name, 1, i - 1), '?',"
+        " substring(c_name, i + 1)))) AS blk",
+    ).cache()
+    a = v.selectExpr("c_custkey AS cust_a", "c_name AS name_a", "blk")
+    b = v.selectExpr("c_custkey AS cust_b", "c_name AS name_b", "blk")
+    return (
+        a.join(b, "blk")
+        .where(F.col("cust_a") < F.col("cust_b"))
+        .where(F.levenshtein("name_a", "name_b") == 1)
+        .select("cust_a", "cust_b", "name_a", "name_b")
+    )

@@ -385,3 +385,12 @@ def test_pca_scores_projection_is_scan_project(spark):
     assert len(re.findall(r"\(\d+\) Exchange", p)) == 0, p
     assert "Join" not in p, p
     assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p, p
+
+
+def test_fuzzy_match_candidates_are_equi_join(spark):
+    """Approximate string join: candidates must come from the wildcard-
+    variant equi-join — a CartesianProduct or nested-loop here means the
+    blocking degenerated to all-pairs Levenshtein."""
+    p = _plan(spark, "fuzzy_name_matches")
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastNestedLoopJoin" not in p, p
