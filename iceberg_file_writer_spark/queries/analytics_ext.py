@@ -286,3 +286,50 @@ def fuzzy_name_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.levenshtein("name_a", "name_b") == 1)
         .select("cust_a", "cust_b", "name_a", "name_b")
     )
+
+
+@register(
+    "event_value_trends",
+    oracle="""
+SELECT event_type,
+       CAST(regr_count(value, epoch_us(ts)) AS BIGINT)                  AS n,
+       round(regr_slope(value, epoch_us(ts) / 86400000000.0), 6)       AS slope_per_day,
+       round(regr_intercept(value, epoch_us(ts) / 86400000000.0), 6)   AS intercept,
+       round(regr_r2(value, epoch_us(ts) / 86400000000.0), 6)          AS r2,
+       round(corr(value, epoch_us(ts) / 86400000000.0), 6)             AS corr_vt,
+       round(stddev_samp(value), 6)                                    AS value_stddev
+FROM events
+GROUP BY event_type
+""",
+    description=(
+        "Trend detection: per-event-type OLS regression of value on "
+        "event time (slope/day, intercept, R², correlation, stddev) via "
+        "the built-in statistical aggregate family"
+    ),
+    # Registered mid-round 5; driver surface is at its 50-entry cap, so
+    # pytest-oracle + bench coverage until a future rotation.
+    driver_exposed=False,
+)
+def event_value_trends(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type linear trend of event values over time.
+
+    Scale shape: regr_*/corr/stddev are algebraic aggregates — Catalyst
+    plans them as map-side partial moment sums (n, Σx, Σy, Σxy, Σx²,
+    Σy²) with one exchange on the group key, identical to a hand-rolled
+    moments pass but JVM-side and whole-stage-codegen'd. One scan, one
+    shuffle of 6 doubles per (partition, type).
+    """
+    load_tables(spark, sf_dir)
+    return spark.sql(
+        """
+SELECT event_type,
+       CAST(regr_count(value, unix_micros(ts)) AS BIGINT)                AS n,
+       round(regr_slope(value, unix_micros(ts) / 86400000000.0), 6)     AS slope_per_day,
+       round(regr_intercept(value, unix_micros(ts) / 86400000000.0), 6) AS intercept,
+       round(regr_r2(value, unix_micros(ts) / 86400000000.0), 6)        AS r2,
+       round(corr(value, unix_micros(ts) / 86400000000.0), 6)           AS corr_vt,
+       round(stddev_samp(value), 6)                                     AS value_stddev
+FROM events
+GROUP BY event_type
+"""
+    )
