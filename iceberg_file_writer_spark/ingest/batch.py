@@ -98,6 +98,69 @@ def read_source(
     raise ValueError(f"unsupported source format: {source_format}")
 
 
+CORRUPT_COLUMN = "_corrupt_record"
+
+
+def read_source_with_quarantine(
+    spark: SparkSession,
+    input_path: str,
+    schema: T.StructType = LOCATION_SCHEMA,
+) -> tuple[DataFrame, DataFrame]:
+    """Dead-letter decode: (valid, quarantined) instead of FAILFAST's stop.
+
+    The reference decodes strictly and halts on the first undecodable
+    record (goavro codec error path, main.go:66-69) — correct for a test
+    driver, fatal for a 100 TB ingest where one bad byte must not kill
+    the stream. PERMISSIVE mode routes undecodable lines into the
+    corrupt-record column; the split preserves the raw payload verbatim
+    so quarantined records can be replayed after a fix.
+
+    Semantics: syntactically bad JSON and type-mismatched fields
+    quarantine; *missing* fields decode as null (schema defaults then
+    apply via normalize_defaults) — the Avro-default contract.
+
+    The one-pass cache is load-bearing: Spark disallows filtering the
+    corrupt column straight off a JSON scan (the parser would need the
+    raw line after pruning dropped it), and without it each branch would
+    re-parse the input anyway.
+    """
+    aug = T.StructType(schema.fields + [T.StructField(CORRUPT_COLUMN, T.StringType())])
+    df = (
+        spark.read.schema(aug)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", CORRUPT_COLUMN)
+        .json(input_path)
+        .cache()
+    )
+    good = df.where(F.col(CORRUPT_COLUMN).isNull()).drop(CORRUPT_COLUMN)
+    bad = df.where(F.col(CORRUPT_COLUMN).isNotNull()).select(
+        F.col(CORRUPT_COLUMN).alias("raw_record"),
+        F.input_file_name().alias("source_file"),
+    )
+    return good, bad
+
+
+def ingest_batch_with_quarantine(
+    spark: SparkSession,
+    input_path: str,
+    output_path: str,
+    quarantine_path: str,
+    cfg: IngestConfig = IngestConfig(),
+    defaults: dict[str, object] | None = None,
+    schema: T.StructType = LOCATION_SCHEMA,
+) -> tuple[int, int]:
+    """Quarantining end-to-end ingest: valid records get the full
+    partition/order/bound write, undecodable lines land as text under
+    ``quarantine_path`` with their source file recorded. Returns
+    (rows_ingested, rows_quarantined)."""
+    good, bad = read_source_with_quarantine(spark, input_path, schema)
+    ingest_batch(good, output_path, cfg, defaults)
+    bad.write.mode("overwrite").json(quarantine_path)
+    n_bad = spark.read.json(quarantine_path).count()
+    n_good = read_table(spark, output_path, cfg).count()
+    return n_good, n_bad
+
+
 def apply_layout(df: DataFrame, cfg: IngestConfig) -> DataFrame:
     """The partition + order step, shared by ingest and compaction.
 

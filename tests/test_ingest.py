@@ -272,3 +272,46 @@ def test_concurrent_streams_into_same_table(spark, fixture_input, tmp_path):
     assert len(widths) == 2, names
     # no staging residue from either writer
     assert not [d for d in os.listdir(tmp_path) if ".epoch-staging" in d]
+
+
+def test_quarantine_ingest_routes_bad_records(spark, fixture_input, tmp_path):
+    """Dead-letter decode: malformed lines must not kill the ingest (the
+    FAILFAST contrast is asserted), must be preserved verbatim for
+    replay, and the valid rows must land with the full layout
+    invariants."""
+    from iceberg_file_writer_spark.ingest.batch import (
+        ingest_batch_with_quarantine,
+        read_source,
+    )
+
+    input_path, n_rows = fixture_input
+    poisoned = str(tmp_path / "poisoned.json")
+    bad_lines = [
+        '{"latitude": 1.0, "longitude": ',  # truncated JSON
+        '{"latitude": "not-a-double", "longitude": 2.0, "features": [],'
+        ' "source": "s", "timestamp": 1, "user_id": "userid9"}',  # type mismatch
+    ]
+    import glob
+
+    with open(poisoned, "w") as f:
+        for src in sorted(glob.glob(os.path.join(input_path, "*"))):
+            with open(src) as g:
+                f.write(g.read().rstrip("\n") + "\n")
+        f.write("\n".join(bad_lines) + "\n")
+
+    # the reference's strict mode refuses the same input
+    with pytest.raises(Exception):
+        read_source(spark, poisoned).count()
+
+    out = str(tmp_path / "table")
+    q = str(tmp_path / "quarantine")
+    cfg = IngestConfig()
+    n_good, n_bad = ingest_batch_with_quarantine(spark, poisoned, out, q, cfg)
+    assert n_good == n_rows
+    assert n_bad == len(bad_lines)
+    _assert_invariants(out, n_rows, cfg)
+    kept = {
+        r.raw_record
+        for r in spark.read.json(q).select("raw_record").collect()
+    }
+    assert kept == set(bad_lines)
