@@ -1,0 +1,120 @@
+"""Persisted inverted index [extension — not in reference].
+
+The steady-state counterpart of ``queries/search_ext.py::
+conjunctive_token_search``: the corpus-sized explode→count pass runs
+ONCE at ingest time and materializes the posting lists; every later
+search probes the standing index and never touches document text.
+
+Two relations under ``index_path``:
+
+- ``postings/`` (term, doc_id, tf), **partitioned by term_bucket**
+  (md5-derived, 16 buckets) — a probe for a term set prunes to its
+  buckets' directories, so a 3-term query reads ≤3/16 of the postings
+  however large the corpus.
+- ``lexicon/`` (term, df) — document frequency per term, the idf side;
+  vocabulary-sized, broadcast at probe time.
+
+Probing the index is pytest-asserted byte-identical to the inline query
+(tests/test_inverted_index.py), the same build/probe contract as the
+persisted MinHash index (operators/neardup_index.py).
+
+Reference scope note: the reference (/root/reference/main.go:47-54)
+persists exactly one artifact — the partitioned record files; this
+extends its write path with a derived search artifact. [extension]
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+N_TERM_BUCKETS = 16
+
+
+def _term_bucket(col) -> F.Column:
+    """Stable md5-derived bucket (not Spark's hash(), so the on-disk layout
+    is engine/version-independent like every other persisted artifact)."""
+    return (
+        F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long") % N_TERM_BUCKETS
+    ).cast("int")
+
+
+def build_inverted_index(spark: SparkSession, sf_dir: str, index_path: str) -> None:
+    """One corpus pass -> postings + lexicon parquet under ``index_path``."""
+    from iceberg_file_writer_spark.operators.text import words
+    from iceberg_file_writer_spark.tables import load_tables
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    postings = (
+        docs.select("doc_id", F.explode(words(F.col("text"))).alias("term"))
+        .groupBy("term", "doc_id")
+        .agg(F.count("*").alias("tf"))
+        .withColumn("term_bucket", _term_bucket(F.col("term")))
+    )
+    (
+        postings.repartition("term_bucket")
+        .sortWithinPartitions("term", "doc_id")
+        .write.mode("overwrite")
+        .option("compression", "snappy")
+        .partitionBy("term_bucket")
+        .parquet(f"{index_path}/postings")
+    )
+    lexicon = postings.groupBy("term").agg(F.count("*").alias("df"))
+    lexicon.write.mode("overwrite").option("compression", "snappy").parquet(
+        f"{index_path}/lexicon"
+    )
+    # n_docs: the 1-row corpus size the idf needs (an index header, not a
+    # driver-side constant — probes join it as a broadcast relation)
+    docs.agg(F.count("*").cast("long").alias("n_docs")).write.mode(
+        "overwrite"
+    ).parquet(f"{index_path}/meta")
+
+
+def conjunctive_search_index(
+    spark: SparkSession,
+    index_path: str,
+    terms: tuple[str, ...],
+    top_k: int = 20,
+) -> DataFrame:
+    """AND-of-terms tf·idf search against the persisted index.
+
+    Scale shape: the postings scan prunes to the probed terms' buckets
+    (partition filter on term_bucket — pushed to the directory listing)
+    and then to the terms themselves (pushed parquet filter over the
+    sorted term column → row-group pruning); df/n_docs are broadcast.
+    Document text is never read.
+    """
+    buckets = sorted(
+        {
+            int.from_bytes(__import__("hashlib").md5(t.encode()).digest()[:4], "big")
+            % N_TERM_BUCKETS
+            for t in terms
+        }
+    )
+    postings = (
+        spark.read.parquet(f"{index_path}/postings")
+        .where(F.col("term_bucket").isin(buckets))
+        .where(F.col("term").isin(*terms))
+    )
+    df_rel = spark.read.parquet(f"{index_path}/lexicon").where(
+        F.col("term").isin(*terms)
+    )
+    n = spark.read.parquet(f"{index_path}/meta")
+    scored = (
+        postings.join(F.broadcast(df_rel), "term")
+        .crossJoin(F.broadcast(n))
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.sum(
+                    F.col("tf")
+                    * F.round(F.log(F.col("n_docs").cast("double") / F.col("df")), 6)
+                ),
+                6,
+            ).alias("score"),
+            F.countDistinct("term").alias("nterms"),
+        )
+        .where(F.col("nterms") == len(terms))
+        .select("doc_id", "score")
+    )
+    return scored.orderBy(F.desc("score"), "doc_id").limit(top_k)

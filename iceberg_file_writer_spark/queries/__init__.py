@@ -64,6 +64,7 @@ def _import_all() -> None:
         relational,
         relational_ext,
         sampling,
+        search_ext,
         similarity,
         streaming_ops,
         text,

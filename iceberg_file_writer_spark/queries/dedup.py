@@ -563,6 +563,11 @@ JOIN packed pb ON pb.doc_id = c.doc_b
 WHERE bit_count(xor(pa.w1, pb.w1)) + bit_count(xor(pa.w2, pb.w2)) <= {SIMHASH_MAX_HAMMING}
 """,
     description=f"SimHash near-dup: {SIMHASH_BANDS}-band candidates, hamming ≤ {SIMHASH_MAX_HAMMING} (recall guaranteed ≤ 3, best-effort above)",
+    # Round-5 rotation: driver-green r1-r4; ceded its slot to the round-5
+    # search/filter/centrality entries. The LSH near-dup class stays
+    # driver-exposed via minhash_lsh_near_duplicates; this entry remains
+    # benched and pytest-oracle-checked.
+    driver_exposed=False,
 )
 def simhash_near_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cache(): the packed fingerprints feed the band explode and both

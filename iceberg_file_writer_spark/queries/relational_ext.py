@@ -150,6 +150,10 @@ JOIN orders   ON o_orderkey = t.l_orderkey
 JOIN customer ON c_custkey = o_custkey
 """,
     description="TPC-H Q18: HAVING filter over grouped fact, then dim join",
+    # Round-5 rotation: driver-green r4; ceded its slot to the round-5
+    # search/filter/centrality entries. The grouped-fact + dim-join class
+    # stays driver-exposed via q1/q3/q5; still benched + pytest-checked.
+    driver_exposed=False,
 )
 def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)

@@ -1,0 +1,405 @@
+"""Search/runtime-filter/graph-centrality operators, round 5
+[extension — not in reference]:
+
+- **Bloom runtime-filter join**: the classic big-join optimization — a
+  compact bitset built from the small (filtered) side is broadcast and
+  probed *before* the shuffle, so the probe side discards non-matching
+  rows at scan time. At 100 TB this is the difference between shuffling
+  the full fact table and shuffling the ~matching fraction. Spark's AQE
+  can inject these automatically (`spark.sql.optimizer.runtime.
+  bloomFilter.enabled`); this implementation makes the structure explicit
+  and engine-portable: a 65,536-bit / k=3 bloom as 2,048 32-bit words
+  built with one partial-aggregated pass (`bit_or`), broadcast as a
+  2,048-row relation, membership = all three probed bits set. The bitset
+  itself is oracle-checked **bitwise** (`bloom_filter_words`), and the
+  filtered join's end result is oracle-checked against the plain exact
+  join (`bloom_prefilter_join`) — correct because a bloom filter has no
+  false negatives and the residual exact join removes false positives.
+
+- **PageRank centrality** over the user hand-off graph (who acts
+  immediately after whom within an event-type stream): the iterative
+  numeric-fixpoint shape (Pregel) done with **exact fixed-point integer
+  arithmetic** — scores live in 1e-9 units, every contribution is an
+  integer `div`, so sums are order-independent and the result is
+  bit-identical across engines, partitionings, and cluster sizes. The
+  oracle replays all three iterations with unrolled CTEs. Scale shape:
+  per iteration one join (scores ⋈ edges on src) + one groupBy(dst) —
+  the standard two-exchange Pregel superstep; the edge relation is
+  computed once and reused across iterations; no driver-side state, no
+  collect.
+
+- **Conjunctive token search** (inverted-index probe): documents
+  containing ALL query terms, ranked by tf·idf. The plan is the probe
+  shape a persisted inverted index serves: the corpus-sized work is one
+  explode→filter(term IN query)→count pass (the posting lists); document
+  frequency is a |terms|-row relation broadcast back. See
+  ``operators/inverted_index.py`` for the build-once/probe-many
+  materialization of the same postings (pytest-asserted byte-identical).
+
+Reference scope note: the reference (/root/reference/main.go) is a
+304-line partitioned ingest driver with no join, search, or graph
+surface; these extend the query layer over its table layout. [extension]
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from iceberg_file_writer_spark.queries import register
+from iceberg_file_writer_spark.tables import load_tables
+
+# ---------------------------------------------------------------------------
+# Bloom filter: 65,536 bits as 2,048 x 32-bit words (bit 31 is the largest
+# shift used, so every mask fits a signed 64-bit lane in both engines —
+# DuckDB raises on a 63-bit shift overflow, Spark wraps; 32-bit words
+# sidestep the divergence entirely). k = 3 salted md5 positions.
+# ---------------------------------------------------------------------------
+
+BLOOM_BITS = 65536
+BLOOM_WORD_BITS = 32
+BLOOM_K = 3
+
+
+def _bloom_pos(col, i: int):
+    """Position i (0..BLOOM_BITS-1) for a key: first 8 md5 hex digits of
+    'b{i}:key' as an integer — identical math to the salted-hash sampling
+    family (sampling.py), so determinism is already proven cross-engine."""
+    h = F.md5(F.concat(F.lit(f"b{i}:"), col.cast("string")))
+    return F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % BLOOM_BITS
+
+
+def _bloom_pos_sql(col: str, i: int) -> str:
+    return (
+        f"CAST(('0x' || substr(md5('b{i}:' || CAST({col} AS VARCHAR)), 1, 8)) "
+        f"AS UBIGINT) % {BLOOM_BITS}"
+    )
+
+
+def bloom_build(keys: DataFrame, key: str) -> DataFrame:
+    """One partial-aggregated pass over the build keys -> the bitset as a
+    (word_idx, word) relation of <= 2,048 rows.
+
+    Scale shape: the explode is x3 (k positions per key), the groupBy is
+    map-side combined down to <=2,048 rows per task before the (tiny)
+    exchange — the build cost is one scan of the filtered build side.
+    """
+    pos = keys.select(
+        F.explode(F.array(*[_bloom_pos(F.col(key), i) for i in range(BLOOM_K)])).alias(
+            "pos"
+        )
+    )
+    return pos.select(
+        F.expr(f"pos div {BLOOM_WORD_BITS}").alias("word_idx"),
+        F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST(pos % {BLOOM_WORD_BITS} AS INT))").alias(
+            "mask"
+        ),
+    ).groupBy("word_idx").agg(F.expr("bit_or(mask)").alias("word"))
+
+
+_BLOOM_BUILD_SQL = f"""
+  SELECT pos // {BLOOM_WORD_BITS} AS word_idx,
+         CAST(bit_or(1::BIGINT << CAST(pos % {BLOOM_WORD_BITS} AS INT)) AS BIGINT) AS word
+  FROM (
+    SELECT unnest([{", ".join(_bloom_pos_sql("o_custkey", i) for i in range(BLOOM_K))}]) AS pos
+    FROM (SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+  ) GROUP BY 1
+"""
+
+
+@register(
+    "bloom_filter_words",
+    oracle=f"""
+SELECT CAST(word_idx AS BIGINT) AS word_idx, word
+FROM ({_BLOOM_BUILD_SQL})
+""",
+    description=(
+        "65,536-bit / k=3 bloom filter over urgent-order custkeys as 2,048 "
+        "32-bit words — the bitset checked bitwise against the oracle"
+    ),
+    driver_exposed=False,  # construction verified here; the join entry below
+    # carries the end-to-end semantics on the driver surface rotation pool
+)
+def bloom_filter_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The runtime filter's payload, oracle-checked bit-for-bit.
+
+    This is the artifact a 1000-executor join broadcasts: ~16 KiB however
+    large the build side's row count (vs shipping the key set itself).
+    """
+    t = load_tables(spark, sf_dir)
+    urgent = (
+        t["orders"]
+        .where(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+        .distinct()
+    )
+    return bloom_build(urgent, "o_custkey").select(
+        F.col("word_idx").cast("long").alias("word_idx"), "word"
+    )
+
+
+@register(
+    "bloom_prefilter_join",
+    oracle="""
+SELECT c.c_custkey, c.c_name,
+       CAST(count(*) AS BIGINT)            AS n_urgent_orders,
+       CAST(sum(o.o_totalprice) AS DOUBLE) AS urgent_spend
+FROM customer c
+JOIN orders o ON o.o_custkey = c.c_custkey
+WHERE o.o_orderpriority = '1-URGENT'
+GROUP BY c.c_custkey, c.c_name
+""",
+    description=(
+        "Customer join restricted through a broadcast bloom runtime filter "
+        "built from urgent orders; bloom has no false negatives and the "
+        "residual equi-join removes false positives, so the result equals "
+        "the plain exact join (which is the oracle)"
+    ),
+)
+def bloom_prefilter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Urgent-order spend per customer, probe side pre-filtered by bloom.
+
+    Plan shape (the 100 TB point): the probe (customer) side tests 3 bits
+    against the broadcast 2,048-row bitset and discards non-members BEFORE
+    any shuffle toward the orders join — at scale that converts a
+    full-table shuffle into a matching-fraction shuffle. Membership is one
+    broadcast hash join (positions exploded x3, all 3 bits must hit);
+    false positives (expected ~2e-4 at this fill) are removed by the
+    residual exact join, so correctness never depends on the filter.
+    """
+    t = load_tables(spark, sf_dir)
+    urgent = t["orders"].where(F.col("o_orderpriority") == "1-URGENT")
+    bloom = bloom_build(urgent.select("o_custkey").distinct(), "o_custkey")
+
+    cust = t["customer"].select("c_custkey", "c_name")
+    probe = cust.select(
+        "c_custkey",
+        F.explode(
+            F.array(*[_bloom_pos(F.col("c_custkey"), i) for i in range(BLOOM_K)])
+        ).alias("pos"),
+    ).select(
+        "c_custkey",
+        F.expr("pos div 32").alias("word_idx"),
+        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 32 AS INT))").alias("mask"),
+    )
+    members = (
+        probe.join(F.broadcast(bloom), "word_idx")
+        .where(F.expr("(word & mask) = mask"))
+        .groupBy("c_custkey")
+        .agg(F.count("*").alias("nbits"))
+        .where(F.col("nbits") == BLOOM_K)
+        .select("c_custkey")
+    )
+    survivors = cust.join(F.broadcast(members), "c_custkey")
+    return (
+        survivors.join(urgent, survivors.c_custkey == urgent.o_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.count("*").alias("n_urgent_orders"),
+            F.sum("o_totalprice").cast("double").alias("urgent_spend"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# PageRank over the user hand-off graph, exact fixed-point integers.
+# ---------------------------------------------------------------------------
+
+PR_SCALE = 1_000_000_000  # scores in 1e-9 units; int64-safe throughout
+PR_ITERS = 3
+PR_DAMP_NUM, PR_DAMP_DEN = 85, 100  # d = 0.85 as an exact ratio
+# (1-d) * SCALE precomputed in Python: 15 * 1e9 overflows a 32-bit literal
+# product in both engines' ANSI arithmetic, so neither side computes it.
+PR_TELEPORT_MASS = (PR_DAMP_DEN - PR_DAMP_NUM) * PR_SCALE // PR_DAMP_DEN
+
+
+_PR_EDGES_SQL = """
+  SELECT src, dst, CAST(count(*) AS BIGINT) AS w
+  FROM (
+    SELECT user_id AS src,
+           lead(user_id) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS dst
+    FROM events
+  ) WHERE dst IS NOT NULL AND dst <> src
+  GROUP BY src, dst
+"""
+
+
+def _pr_iter_sql(prev: str, out: str) -> str:
+    """One unrolled superstep: s'(v) = teleport + floor(0.85 * inflow(v))."""
+    return f"""
+{out} AS (
+  SELECT n.user_id,
+         {PR_TELEPORT_MASS} // (SELECT nn FROM nn)
+         + ({PR_DAMP_NUM} * COALESCE(f.infl, 0)) // {PR_DAMP_DEN} AS s
+  FROM nodes n
+  LEFT JOIN (
+    SELECT e.dst AS user_id,
+           CAST(sum((p.s * e.w) // o.out_w) AS BIGINT) AS infl
+    FROM edges e
+    JOIN {prev} p ON p.user_id = e.src
+    JOIN outw o ON o.src = e.src
+    GROUP BY e.dst
+  ) f ON f.user_id = n.user_id
+)"""
+
+
+@register(
+    "user_pagerank",
+    oracle=f"""
+WITH edges AS ({_PR_EDGES_SQL}),
+outw AS (SELECT src, CAST(sum(w) AS BIGINT) AS out_w FROM edges GROUP BY src),
+nodes AS (SELECT src AS user_id FROM edges UNION SELECT dst FROM edges),
+nn AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM nodes),
+s0 AS (SELECT user_id, {PR_SCALE} // (SELECT nn FROM nn) AS s FROM nodes),
+{_pr_iter_sql("s0", "s1")},
+{_pr_iter_sql("s1", "s2")},
+{_pr_iter_sql("s2", "s3")}
+SELECT user_id, CAST(s AS BIGINT) AS pr_nano FROM s3
+""",
+    description=(
+        "3-iteration PageRank (d=0.85) over the user hand-off graph in "
+        "exact fixed-point 1e-9-unit integers — bit-identical across "
+        "engines and partitionings; oracle unrolls the supersteps as CTEs"
+    ),
+)
+def user_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Who is central in the 'acts right after' graph.
+
+    Edges: within each event_type stream ordered by (ts, event_id), user u
+    hands off to the next event's user v (u != v), weighted by occurrence
+    count. The iterative fixpoint is the Pregel superstep done as
+    DataFrames: join(scores, edges on src) -> groupBy(dst) -> left join
+    back onto the node set. Exact integer arithmetic (every product
+    bounded by PR_SCALE * max weight << 2^63) makes the sums
+    order-independent — no float nondeterminism across cluster sizes.
+
+    Scale shape: the edge relation is computed once and cached for the
+    fixed 3 iterations; each superstep is one src-keyed broadcast-or-hash
+    join plus one dst-keyed aggregate; teleport mass comes from a 1-row
+    count relation (broadcast), never a driver-side constant derived via
+    collect.
+    """
+    ev = load_tables(spark, sf_dir)["events"]
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    hand = ev.select(
+        F.col("user_id").alias("src"), F.lead("user_id").over(w).alias("dst")
+    ).where(F.col("dst").isNotNull() & (F.col("dst") != F.col("src")))
+    edges = hand.groupBy("src", "dst").agg(F.count("*").alias("w"))
+    outw = edges.groupBy("src").agg(F.sum("w").cast("long").alias("out_w"))
+    # carry out_w on the edge so every superstep is a single src join
+    edges = edges.join(outw, "src").cache()
+
+    nodes = (
+        edges.select(F.col("src").alias("user_id"))
+        .union(edges.select(F.col("dst").alias("user_id")))
+        .distinct()
+        .cache()
+    )
+    nn = nodes.agg(F.count("*").cast("long").alias("nn"))
+
+    teleport = F.expr(f"{PR_TELEPORT_MASS}L div nn")
+    scores = nodes.crossJoin(F.broadcast(nn)).select(
+        "user_id", F.expr(f"{PR_SCALE} div nn").alias("s")
+    )
+    for _ in range(PR_ITERS):
+        infl = (
+            edges.join(scores.withColumnRenamed("user_id", "src"), "src")
+            .select(
+                F.col("dst").alias("user_id"),
+                F.expr("(s * w) div out_w").alias("contrib"),
+            )
+            .groupBy("user_id")
+            .agg(F.sum("contrib").cast("long").alias("infl"))
+        )
+        scores = (
+            nodes.join(infl, "user_id", "left")
+            .crossJoin(F.broadcast(nn))
+            .select(
+                "user_id",
+                (
+                    teleport
+                    + F.expr(
+                        f"({PR_DAMP_NUM} * COALESCE(infl, CAST(0 AS BIGINT))) div {PR_DAMP_DEN}"
+                    )
+                ).alias("s"),
+            )
+        )
+    return scores.select("user_id", F.col("s").alias("pr_nano"))
+
+
+# ---------------------------------------------------------------------------
+# Conjunctive token search (inverted-index probe shape).
+# ---------------------------------------------------------------------------
+
+SEARCH_TERMS = ("spark", "window", "hash")
+SEARCH_TOP_K = 20
+
+
+@register(
+    "conjunctive_token_search",
+    oracle=f"""
+WITH postings AS (
+  SELECT doc_id, w AS term, CAST(count(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+  WHERE w IN {SEARCH_TERMS}
+  GROUP BY doc_id, w
+), df AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS df FROM postings GROUP BY term
+), n AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents
+)
+SELECT doc_id,
+       round(sum(p.tf * round(ln(n.n_docs::DOUBLE / d.df), 6)), 6) AS score
+FROM postings p JOIN df d USING (term), n
+GROUP BY doc_id
+HAVING count(DISTINCT p.term) = {len(SEARCH_TERMS)}
+ORDER BY score DESC, doc_id
+LIMIT {SEARCH_TOP_K}
+""",
+    description=(
+        "AND-of-terms document search ranked by tf*idf (idf rounded before "
+        "the sum so ln() float noise cannot flip a boundary) — the probe "
+        "shape a persisted inverted index serves"
+    ),
+)
+def conjunctive_token_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k documents containing ALL of SEARCH_TERMS, tf-idf ranked.
+
+    Scale shape: the corpus-sized pass is explode->filter(term IN set)->
+    partial-aggregated (doc_id, term) counts — exactly the posting lists
+    an inverted index persists (operators/inverted_index.py materializes
+    them; probing the index is pytest-asserted byte-identical to this
+    inline plan). Document frequency is a |terms|-row relation broadcast
+    back; the final ranking is TakeOrderedAndProject, never a global sort.
+    """
+    docs = load_tables(spark, sf_dir)["documents"]
+    from iceberg_file_writer_spark.operators.text import words
+
+    postings = (
+        docs.select("doc_id", F.explode(words(F.col("text"))).alias("term"))
+        .where(F.col("term").isin(*SEARCH_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    df_rel = postings.groupBy("term").agg(F.count("*").alias("df"))
+    n = docs.agg(F.count("*").cast("long").alias("n_docs"))
+    scored = (
+        postings.join(F.broadcast(df_rel), "term")
+        .crossJoin(F.broadcast(n))
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.sum(
+                    F.col("tf")
+                    * F.round(F.log(F.col("n_docs").cast("double") / F.col("df")), 6)
+                ),
+                6,
+            ).alias("score"),
+            F.countDistinct("term").alias("nterms"),
+        )
+        .where(F.col("nterms") == len(SEARCH_TERMS))
+        .select("doc_id", "score")
+    )
+    return scored.orderBy(F.desc("score"), "doc_id").limit(SEARCH_TOP_K)

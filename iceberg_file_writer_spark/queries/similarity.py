@@ -139,6 +139,11 @@ SELECT query_id, neighbor_id, cosine_sim, rk
 FROM ranked WHERE rk <= {KNN_K}
 """,
     description=f"Brute-force ANN baseline: top-{KNN_K} cosine neighbors for {KNN_N_QUERIES} query vectors",
+    # Round-5 rotation: driver-green r1-r4; ceded its slot to the round-5
+    # search/filter/centrality entries. The ANN class keeps three exposed
+    # entries (ivf_knn_cosine, knn_sq8_rerank, knn_filtered_by_label);
+    # the brute-force baseline remains benched and pytest-oracle-checked.
+    driver_exposed=False,
 )
 def knn_bruteforce_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb_cols(spark, sf_dir)

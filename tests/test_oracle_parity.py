@@ -54,6 +54,20 @@ def test_driver_contract_shapes(spark):
     assert len(qs) >= 20
 
 
+def test_driver_surface_exactly_at_cap():
+    """Registering a new driver_exposed query beyond the cap must force an
+    explicit ceding decision (driver_exposed=False + rotation note at the
+    ceded register site) — never a silent tail truncation of previously
+    driver-green entries, which is what an over-cap count means."""
+    from iceberg_file_writer_spark.queries import DRIVER_QUERY_CAP, all_queries
+
+    exposed = [n for n, q in all_queries().items() if q.driver_exposed]
+    assert len(exposed) == DRIVER_QUERY_CAP, (
+        f"{len(exposed)} exposed vs cap {DRIVER_QUERY_CAP}: rotate explicitly; "
+        f"exposed={sorted(exposed)}"
+    )
+
+
 def test_approx_distinct_users_bounded_error(spark):
     """The one rows-only driver entry: HLL++ sketch values are engine-
     specific, so instead of a cross-engine hash the accuracy contract is

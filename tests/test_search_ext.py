@@ -1,0 +1,110 @@
+"""Search/runtime-filter/centrality operators: the persisted inverted
+index must be a pure materialization (probe == inline query), the bloom
+runtime filter must have no false negatives and a tiny false-positive
+rate, and the probe plans must keep their broadcast/pruning posture."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+from pyspark.sql import functions as F
+
+from iceberg_file_writer_spark.operators.inverted_index import (
+    build_inverted_index,
+    conjunctive_search_index,
+)
+from iceberg_file_writer_spark.queries import all_queries
+from iceberg_file_writer_spark.queries.search_ext import (
+    BLOOM_K,
+    SEARCH_TERMS,
+    SEARCH_TOP_K,
+    bloom_build,
+)
+from iceberg_file_writer_spark.tables import load_tables
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_index_probe_equals_inline_search(spark, tmp_path):
+    idx = str(tmp_path / "inverted-index")
+    build_inverted_index(spark, SF_DIR, idx)
+    probe = conjunctive_search_index(spark, idx, SEARCH_TERMS, SEARCH_TOP_K)
+    inline = all_queries()["conjunctive_token_search"].fn(spark, SF_DIR)
+    got = sorted((r.doc_id, round(r.score, 9)) for r in probe.collect())
+    want = sorted((r.doc_id, round(r.score, 9)) for r in inline.collect())
+    assert got == want and len(got) == SEARCH_TOP_K
+
+
+def test_index_probe_prunes_term_buckets(spark, tmp_path):
+    """The probe must read only the probed terms' bucket partitions and
+    push the term filter into the parquet scan — document text is never
+    touched and untouched buckets are never listed."""
+    idx = str(tmp_path / "inverted-index2")
+    build_inverted_index(spark, SF_DIR, idx)
+    p = _plan(conjunctive_search_index(spark, idx, SEARCH_TERMS, SEARCH_TOP_K))
+    assert "PartitionFilters" in p and "term_bucket" in p, p
+    assert "PushedFilters: [In(term" in p.replace("\n", " ") or "In(term," in p, p
+    assert p.count("BroadcastExchange") >= 2, p  # df relation + n_docs header
+
+
+def test_bloom_no_false_negatives_and_low_fp(spark):
+    t = load_tables(spark, SF_DIR)
+    urgent = (
+        t["orders"]
+        .where(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+        .distinct()
+    )
+    bloom = bloom_build(urgent, "o_custkey").collect()
+    words = {r.word_idx: r.word for r in bloom}
+    true_keys = {r.o_custkey for r in urgent.collect()}
+    all_keys = {r.c_custkey for r in t["customer"].select("c_custkey").collect()}
+
+    import hashlib
+
+    def member(k: int) -> bool:
+        for i in range(BLOOM_K):
+            pos = (
+                int(hashlib.md5(f"b{i}:{k}".encode()).hexdigest()[:8], 16) % 65536
+            )
+            w = words.get(pos // 32, 0)
+            if not (w >> (pos % 32)) & 1:
+                return False
+        return True
+
+    assert all(member(k) for k in true_keys)  # bloom contract: no false negatives
+    fps = sum(1 for k in all_keys - true_keys if member(k))
+    assert fps <= max(1, len(all_keys) // 100), fps  # ~2e-4 expected fill
+
+
+def test_bloom_probe_is_broadcast(spark):
+    p = _plan(all_queries()["bloom_prefilter_join"].fn(spark, SF_DIR))
+    assert "SortMergeJoin" not in p, p
+    assert "CartesianProduct" not in p, p
+    assert p.count("BroadcastHashJoin") >= 2, p  # bitset probe + member semi
+
+
+def test_pagerank_mass_conserved(spark):
+    """Fixed-point mass accounting: total score stays within N integer
+    floor-losses of SCALE-mass (teleport floor + contribution floors),
+    and every node's score is at least the teleport floor."""
+    df = all_queries()["user_pagerank"].fn(spark, SF_DIR)
+    rows = df.collect()
+    n = len(rows)
+    total = sum(r.pr_nano for r in rows)
+    assert all(r.pr_nano >= 150_000_000 // n for r in rows)
+    # dangling + floor losses only ever shrink mass; bounded sanity window
+    assert 0.5 * 1_000_000_000 < total <= 1_000_000_000, total
+
+
+def test_search_topk_avoids_full_sort(spark):
+    p = _plan(all_queries()["conjunctive_token_search"].fn(spark, SF_DIR))
+    assert "TakeOrderedAndProject" in p, p
