@@ -97,3 +97,128 @@ def compact_table(
     os.rename(base, old)
     os.rename(tmp, base)
     shutil.rmtree(old)
+
+
+def _partition_dir(base: str, cfg: IngestConfig, key) -> str:
+    return os.path.join(base, f"{cfg.partition_column}={key}")
+
+
+def recover_deletes(table_path: str) -> None:
+    """Roll partition-level delete rewrites to a consistent state.
+
+    The per-partition swap is two renames; a crash can strand a
+    partition's committed data at ``<dir>.delete-old`` with nothing live
+    (restore it), or leave ``.delete-old`` beside a live dir after the
+    swap (the live dir is the new data — drop the old), or leave the
+    staging root ``<table>.delete-tmp`` (incomplete rewrite — drop it and
+    redo from the live table). Runs at every apply_deletes entry.
+    """
+    import shutil
+
+    base = table_path.rstrip("/")
+    tmp_root = base + ".delete-tmp"
+    if os.path.exists(tmp_root):
+        shutil.rmtree(tmp_root)
+    if os.path.isdir(base):
+        for name in os.listdir(base):
+            if not name.endswith(".delete-old"):
+                continue
+            old = os.path.join(base, name)
+            live = old[: -len(".delete-old")]
+            if os.path.exists(live):
+                shutil.rmtree(old)  # crashed after swap: live dir is current
+            else:
+                os.rename(old, live)  # crashed mid-swap: restore committed data
+
+
+def apply_deletes(
+    spark: SparkSession,
+    table_path: str,
+    keys: list,
+    cfg: IngestConfig = IngestConfig(),
+    predicate: str | None = None,
+) -> dict:
+    """Targeted copy-on-write delete: the GDPR/right-to-be-forgotten and
+    retention-expiry primitive.
+
+    ``keys`` are partition-column values (the reference's ``user_id``
+    layout, main.go:50,78); ``predicate`` is an optional SQL condition —
+    rows of the keyed partitions matching it are deleted (None = delete
+    the whole partition).
+
+    Scale shape — the point of the partition layout: the table is never
+    scanned. Whole-partition deletes are metadata-only directory drops.
+    Predicate deletes read ONLY the affected partitions' files (partition
+    pruning by construction: the scan is rooted at those directories) in
+    ONE Spark job however many keys there are, rewrite survivors with the
+    layout invariants intact (key order, row bound, compression), and
+    swap each partition in with the crash-recoverable two-rename protocol
+    (:func:`recover_deletes`). Untouched partitions' files are never
+    opened, rewritten, or even listed — asserted byte-for-byte in
+    tests/test_maintenance_deletes.py. On Iceberg this operation is the
+    delete-file / copy-on-write ``DELETE WHERE`` seam via TableFormat;
+    row counts come from parquet footers, not data scans.
+    """
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    recover_deletes(table_path)
+    base = table_path.rstrip("/")
+    stats = {"partitions_dropped": 0, "partitions_rewritten": 0, "rows_deleted": 0}
+
+    def _footer_rows(d: str) -> int:
+        return sum(
+            pq.ParquetFile(p).metadata.num_rows
+            for p in glob.glob(os.path.join(d, "**", "*.parquet"), recursive=True)
+            if not os.path.basename(p).startswith(("_", "."))
+        )
+
+    affected = [k for k in keys if os.path.isdir(_partition_dir(base, cfg, k))]
+    if not affected:
+        return stats
+
+    if predicate is None:
+        for k in affected:
+            d = _partition_dir(base, cfg, k)
+            stats["rows_deleted"] += _footer_rows(d)
+            shutil.rmtree(d)
+            stats["partitions_dropped"] += 1
+        return stats
+
+    tmp_root = base + ".delete-tmp"
+    # one job over the affected partitions only; basePath keeps the
+    # partition column in the schema so the rewrite re-partitions by it
+    survivors = (
+        spark.read.option("basePath", base)
+        .format(cfg.table_format)
+        .load([_partition_dir(base, cfg, k) for k in affected])
+        .where(f"NOT ({predicate})")
+    )
+    (
+        survivors.sortWithinPartitions(cfg.partition_column, cfg.key_column)
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", cfg.max_rows_per_file)
+        .option("compression", cfg.compression)
+        .partitionBy(cfg.partition_column)
+        .format(cfg.table_format)
+        .save(tmp_root)
+    )
+    for k in affected:
+        live = _partition_dir(base, cfg, k)
+        staged = _partition_dir(tmp_root, cfg, k)
+        before = _footer_rows(live)
+        after = _footer_rows(staged) if os.path.isdir(staged) else 0
+        if after == before:
+            continue  # predicate matched nothing here: leave files untouched
+        stats["rows_deleted"] += before - after
+        old = live + ".delete-old"
+        os.rename(live, old)
+        if after:
+            os.rename(staged, live)
+            stats["partitions_rewritten"] += 1
+        else:
+            stats["partitions_dropped"] += 1
+        shutil.rmtree(old)
+    shutil.rmtree(tmp_root)
+    return stats
