@@ -333,3 +333,185 @@ FROM events
 GROUP BY event_type
 """
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic weighted sampling + cross-source contamination (round 5).
+# ---------------------------------------------------------------------------
+
+PRIORITY_K = 50
+PRIORITY_SEED = "prio:"
+_U32 = 4_294_967_296  # 2^32: the hash range the priority normalizes by
+
+
+@register(
+    "doc_priority_sample",
+    oracle=f"""
+WITH w AS (
+  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+), h AS (
+  SELECT doc_id, n_tokens,
+         CAST(('0x' || substr(md5('{PRIORITY_SEED}' || CAST(doc_id AS VARCHAR)), 1, 8))
+              AS UBIGINT) AS hv
+  FROM w
+)
+SELECT doc_id, n_tokens,
+       CAST((n_tokens * {_U32}) // (hv + 1) AS BIGINT) AS priority
+FROM h
+ORDER BY priority DESC, doc_id
+LIMIT {PRIORITY_K}
+""",
+    description=(
+        f"Weighted sample without replacement (priority sampling, "
+        f"Duffield-Lund-Thorup shape): top-{PRIORITY_K} docs by the exact "
+        f"integer priority w*2^32 div (h+1) over a salted md5 hash"
+    ),
+    # Registered mid-round 5; driver surface is at its 50-entry cap, so
+    # pytest-oracle + bench coverage until a future rotation.
+    driver_exposed=False,
+)
+def doc_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-weighted k-sample: long documents proportionally likelier.
+
+    The RNG-free form of priority sampling: u = salted-hash/2^32 stands in
+    for the uniform draw, priority = w/u computed as the exact integer
+    w*2^32 div (h+1) — reproducible across engines, runs, and cluster
+    sizes like every sampling decision in this engine (sampling.py).
+
+    Scale shape: one corpus scan, per-row JVM expressions, and a
+    TakeOrderedAndProject top-k — per-partition heaps then a k-row driver
+    merge; no global sort, no shuffle of non-winners.
+    """
+    docs = load_tables(spark, sf_dir)["documents"]
+    from iceberg_file_writer_spark.operators.text import words
+
+    h = docs.select(
+        "doc_id",
+        F.size(words(F.col("text"))).cast("long").alias("n_tokens"),
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(PRIORITY_SEED), F.col("doc_id").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("hv"),
+    ).select(
+        "doc_id",
+        "n_tokens",
+        F.expr(f"(n_tokens * {_U32}) div (hv + 1)").alias("priority"),
+    )
+    return h.orderBy(F.desc("priority"), "doc_id").limit(PRIORITY_K)
+
+
+# Shingles shared by >= 2 and <= RARE_MAX sources: discriminative overlap
+# evidence. Frequent shingles carry no cross-source signal and would make
+# the pair explosion quadratic in |sources| — the same hot-key reasoning
+# as the near-dup stop-shingle cutoff (dedup.py), applied at source
+# granularity.
+OVERLAP_RARE_MAX = 5
+
+
+def _overlap_oracle() -> str:
+    from iceberg_file_writer_spark.queries.dedup import _WORDX_SQL, _shingle_x_sql
+
+    return f"""
+WITH wordx AS ({_WORDX_SQL}),
+shingle_x AS ({_shingle_x_sql(3)}),
+sx AS (
+  SELECT DISTINCT d.source, s.x
+  FROM shingle_x s JOIN documents d USING (doc_id)
+),
+counts AS (SELECT x, count(*) AS n_src FROM sx GROUP BY x),
+rare AS (
+  SELECT sx.source, sx.x FROM sx JOIN counts USING (x)
+  WHERE n_src BETWEEN 2 AND {OVERLAP_RARE_MAX}
+),
+sizes AS (SELECT source, CAST(count(*) AS BIGINT) AS n_rare FROM rare GROUP BY source),
+pairs AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         CAST(count(*) AS BIGINT) AS n_shared
+  FROM rare a JOIN rare b ON a.x = b.x AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT p.source_a, p.source_b, p.n_shared,
+       round(p.n_shared::DOUBLE / least(sa.n_rare, sb.n_rare), 6) AS containment
+FROM pairs p
+JOIN sizes sa ON sa.source = p.source_a
+JOIN sizes sb ON sb.source = p.source_b
+"""
+
+
+@register(
+    "source_shingle_overlap",
+    oracle=_overlap_oracle(),
+    description=(
+        f"Cross-source contamination matrix: discriminative 3-gram "
+        f"shingles (shared by 2..{OVERLAP_RARE_MAX} sources) joined "
+        f"within shingle groups, scored as containment of the smaller "
+        f"source's rare-shingle set"
+    ),
+    # Registered mid-round 5; driver surface is at its 50-entry cap, so
+    # pytest-oracle + bench coverage until a future rotation.
+    driver_exposed=False,
+)
+def source_shingle_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which corpus sources copy from each other.
+
+    The dataset-level dual of near-dup detection: duplicated content
+    across *sources* (mirror sites, re-crawls, dataset repacks) shows up
+    as shared rare shingles long before whole documents match. Pairing
+    only shingles held by <= OVERLAP_RARE_MAX sources bounds the
+    per-shingle pair fan-out to a constant (the stop-shingle argument at
+    source granularity: frequent shingles carry no signal AND explode
+    quadratically), so the join volume is O(|rare postings| * RARE_MAX)
+    however large the corpus. Shingles travel as int64 hashes — document
+    text never shuffles.
+    """
+    from iceberg_file_writer_spark.queries.dedup import shingle_x_from_docs
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    sx = (
+        shingle_x_from_docs(docs, 3)
+        .join(docs.select("doc_id", "source"), "doc_id")
+        .select("source", "x")
+        .distinct()
+        .cache()
+    )
+    counts = sx.groupBy("x").agg(F.count(F.lit(1)).alias("n_src"))
+    rare = sx.join(
+        counts.where(
+            (F.col("n_src") >= 2) & (F.col("n_src") <= OVERLAP_RARE_MAX)
+        ).select("x"),
+        "x",
+    )
+    sizes = rare.groupBy("source").agg(F.count(F.lit(1)).alias("n_rare"))
+    pairs = (
+        rare.alias("a")
+        .join(
+            rare.alias("b"),
+            (F.col("a.x") == F.col("b.x")) & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"), F.col("b.source").alias("source_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    sa = sizes.select(F.col("source").alias("source_a"), F.col("n_rare").alias("ra"))
+    sb = sizes.select(F.col("source").alias("source_b"), F.col("n_rare").alias("rb"))
+    return (
+        pairs.join(F.broadcast(sa), "source_a")
+        .join(F.broadcast(sb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_shared",
+            F.round(
+                F.col("n_shared").cast("double") / F.least("ra", "rb"), 6
+            ).alias("containment"),
+        )
+    )
