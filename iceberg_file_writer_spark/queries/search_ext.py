@@ -213,11 +213,18 @@ PR_DAMP_NUM, PR_DAMP_DEN = 85, 100  # d = 0.85 as an exact ratio
 PR_TELEPORT_MASS = (PR_DAMP_DEN - PR_DAMP_NUM) * PR_SCALE // PR_DAMP_DEN
 
 
+# Hand-offs are scoped to (event_type, day): a window partitioned by
+# event_type alone has ~|types| partition values — at scale that is one
+# hot sorted partition per type. The day scope bounds every sort to one
+# (type, day) slice (types x days partitions, parallel at any SF) and
+# drops only the midnight-crossing hand-offs — the same bounded-window
+# trade the streaming operators make with watermarks.
 _PR_EDGES_SQL = """
   SELECT src, dst, CAST(count(*) AS BIGINT) AS w
   FROM (
     SELECT user_id AS src,
-           lead(user_id) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS dst
+           lead(user_id) OVER (PARTITION BY event_type, CAST(ts AS DATE)
+                               ORDER BY ts, event_id) AS dst
     FROM events
   ) WHERE dst IS NOT NULL AND dst <> src
   GROUP BY src, dst
@@ -265,9 +272,10 @@ SELECT user_id, CAST(s AS BIGINT) AS pr_nano FROM s3
 def user_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Who is central in the 'acts right after' graph.
 
-    Edges: within each event_type stream ordered by (ts, event_id), user u
-    hands off to the next event's user v (u != v), weighted by occurrence
-    count. The iterative fixpoint is the Pregel superstep done as
+    Edges: within each (event_type, day) slice ordered by (ts, event_id),
+    user u hands off to the next event's user v (u != v), weighted by
+    occurrence count (day scoping bounds the sort partitions — see the
+    edge-SQL comment). The iterative fixpoint is the Pregel superstep done as
     DataFrames: join(scores, edges on src) -> groupBy(dst) -> left join
     back onto the node set. Exact integer arithmetic (every product
     bounded by PR_SCALE * max weight << 2^63) makes the sums
@@ -282,7 +290,7 @@ def user_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_tables(spark, sf_dir)["events"]
     from pyspark.sql import Window
 
-    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    w = Window.partitionBy("event_type", F.to_date("ts")).orderBy("ts", "event_id")
     hand = ev.select(
         F.col("user_id").alias("src"), F.lead("user_id").over(w).alias("dst")
     ).where(F.col("dst").isNotNull() & (F.col("dst") != F.col("src")))
