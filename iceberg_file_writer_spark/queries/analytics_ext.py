@@ -515,3 +515,95 @@ def source_shingle_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("containment"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Train/eval split leakage audit (round 5).
+# ---------------------------------------------------------------------------
+
+
+def _leakage_oracle() -> str:
+    from iceberg_file_writer_spark.queries.dedup import _MINHASH_PAIRS_CTES
+    from iceberg_file_writer_spark.queries.sampling import (
+        SPLIT_TRAIN,
+        SPLIT_VAL,
+        _duck_hash_bucket,
+    )
+
+    return f"""
+WITH {_MINHASH_PAIRS_CTES},
+splits AS (
+  SELECT doc_id,
+         CASE WHEN {_duck_hash_bucket("doc_id")} < {SPLIT_TRAIN} THEN 'train'
+              WHEN {_duck_hash_bucket("doc_id")} < {SPLIT_VAL}   THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents
+)
+SELECT least(sa.split, sb.split)    AS split_a,
+       greatest(sa.split, sb.split) AS split_b,
+       CAST(count(*) AS BIGINT)     AS n_pairs,
+       (least(sa.split, sb.split) <> greatest(sa.split, sb.split)) AS is_leak
+FROM pairs p
+JOIN splits sa ON sa.doc_id = p.doc_a
+JOIN splits sb ON sb.doc_id = p.doc_b
+GROUP BY 1, 2
+"""
+
+
+@register(
+    "split_leakage_audit",
+    oracle=_leakage_oracle(),
+    description=(
+        "Train/eval leakage audit: verified near-dup pairs bucketed by "
+        "their endpoints' deterministic train/val/test splits — cross-split "
+        "pairs are evaluation leaks the random split cannot see"
+    ),
+    # Registered mid-round 5; driver surface is at its 50-entry cap, so
+    # pytest-oracle + bench coverage until a future rotation.
+    driver_exposed=False,
+)
+def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Does the random split leak near-duplicate content into eval?
+
+    Hash-based splits are document-independent, so near-duplicate pairs
+    straddle split boundaries in proportion to the split sizes — exactly
+    the leakage the decontamination literature warns about (a test doc's
+    near-twin in train). This audit joins the verified MinHash pair
+    relation with both endpoints' split assignments and reports pair
+    counts per (split, split) cell; the off-diagonal cells are the leaks
+    the dedup-then-split pipeline ordering exists to prevent.
+
+    Scale shape: the pair relation is the already-bounded LSH output
+    (banded candidates, exact verify); the split column is a per-row hash
+    expression, so the two joins are pair-sized, never corpus-sized —
+    the tiny pair side broadcasts against the doc_id-keyed split relation.
+    """
+    from iceberg_file_writer_spark.queries.dedup import _minhash_pairs_df
+    from iceberg_file_writer_spark.queries.sampling import (
+        SPLIT_TRAIN,
+        SPLIT_VAL,
+        _spark_hash_bucket,
+    )
+
+    bucket = _spark_hash_bucket(F.col("doc_id"))
+    splits = load_tables(spark, sf_dir)["documents"].select(
+        "doc_id",
+        F.when(bucket < SPLIT_TRAIN, "train")
+        .when(bucket < SPLIT_VAL, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+    pairs = _minhash_pairs_df(spark, sf_dir)
+    sa = splits.select(F.col("doc_id").alias("doc_a"), F.col("split").alias("sa"))
+    sb = splits.select(F.col("doc_id").alias("doc_b"), F.col("split").alias("sb"))
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            F.least("sa", "sb").alias("split_a"),
+            F.greatest("sa", "sb").alias("split_b"),
+        )
+        .groupBy("split_a", "split_b")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .withColumn("is_leak", F.col("split_a") != F.col("split_b"))
+    )

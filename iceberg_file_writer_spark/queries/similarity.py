@@ -1300,3 +1300,83 @@ def embedding_pca_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"CAST(({s}) AS DOUBLE)"
         f" / CAST({PCA_QUANT * PCA_VQUANT} AS DOUBLE) AS pc1_score",
     )
+
+
+# --- Hard-negative mining (contrastive training data) -----------------------
+
+
+@register(
+    "hard_negative_mining",
+    oracle=f"""
+WITH q AS (SELECT vec_id AS query_id, label AS true_label, embedding AS qe
+           FROM embeddings WHERE vec_id < {KNN_N_QUERIES}),
+scored AS (
+  SELECT q.query_id, q.true_label, c.vec_id AS neighbor_id,
+         c.label AS neg_label,
+         {_cosine_sql('q.qe', 'c.embedding')} AS cosine_sim
+  FROM q JOIN embeddings c ON c.label <> q.true_label
+)
+SELECT query_id, true_label, neighbor_id, neg_label, cosine_sim, rk FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine_sim DESC, neighbor_id) AS rk
+  FROM scored
+) WHERE rk <= {KNN_K}
+""",
+    description=(
+        f"Hard-negative mining: per query the top-{KNN_K} most-similar "
+        "vectors with a DIFFERENT label — the contrastive-training "
+        "counterpart of filtered kNN (confusable negatives, not random "
+        "ones)"
+    ),
+    # Registered mid-round 5; driver surface is at its 50-entry cap, so
+    # pytest-oracle + bench coverage until a future rotation.
+    driver_exposed=False,
+)
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusable negatives for contrastive training.
+
+    The mirror image of knn_filtered_by_label: rank within the
+    COMPLEMENT of the query's label. A label-inequality join has no
+    equi-key, so the correct scale shape is the brute-force one — the
+    tiny query set broadcast, the corpus streamed once per batch of
+    queries (BroadcastNestedLoopJoin), each vector scored only against
+    the queries it could be a negative for. At 100 TB the same pipeline
+    runs per IVF cell (cent_id equi-join prepended), mining negatives
+    only among geometrically-close candidates.
+    """
+    flat = (
+        load_tables(spark, sf_dir)["embeddings"]
+        .selectExpr("vec_id", "label", *_unpack_exprs("e"))
+        .selectExpr(
+            "vec_id", "label", *[f"e{i}" for i in range(EMB_DIMS)],
+            f"sqrt({_dot_expr('e', 'e')}) AS nrm",
+        )
+    )
+    q = flat.where(F.col("vec_id") < KNN_N_QUERIES).selectExpr(
+        "vec_id AS query_id",
+        "label AS true_label",
+        *[f"e{i} AS a{i}" for i in range(EMB_DIMS)],
+        "nrm AS na",
+    )
+    c = flat.selectExpr(
+        "vec_id AS neighbor_id",
+        "label AS neg_label",
+        *[f"e{i} AS b{i}" for i in range(EMB_DIMS)],
+        "nrm AS nb",
+    )
+    scored = c.join(
+        F.broadcast(q), F.col("neg_label") != F.col("true_label")
+    ).selectExpr(
+        "query_id",
+        "true_label",
+        "neighbor_id",
+        "neg_label",
+        f"round(({_dot_expr('a', 'b')}) / (na * nb), {COSINE_DECIMALS})"
+        " AS cosine_sim",
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.asc("neighbor_id")
+    )
+    return scored.withColumn("rk", F.row_number().over(w)).where(
+        F.col("rk") <= KNN_K
+    )
