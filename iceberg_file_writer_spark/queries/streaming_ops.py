@@ -643,3 +643,156 @@ def streaming_neardup_ingest_gate(spark: SparkSession, sf_dir: str) -> DataFrame
     return spark.read.schema(
         "new_doc_id bigint, corpus_doc_id bigint, jaccard_sim double"
     ).parquet(sink)
+
+
+# ---------------------------------------------------------------------------
+# Stream-stream LEFT OUTER interval join (round 5).
+# ---------------------------------------------------------------------------
+
+
+def _run_stream_with_flush(
+    spark: SparkSession, sf_dir: str, transform, name: str
+) -> DataFrame:
+    """Drive a streaming transform to completion INCLUDING watermark-gated
+    emissions (outer-join nulls, final windows).
+
+    Outer joins emit null-extended rows only when the watermark proves no
+    match can still arrive — and the watermark computed from batch N only
+    takes effect in batch N+1. A single-file source therefore never
+    flushes its tail. This runner stages the events file plus two sentinel
+    files of far-future purchase/click rows (negative event_ids, filtered
+    inside the transform) with forced mtime ordering and
+    maxFilesPerTrigger=1: sentinel batch 1 advances the watermark past all
+    real data, sentinel batch 2 executes under that watermark and evicts/
+    emits every remaining null-extended row. The production analog is the
+    steady state itself — new data always arrives, so the frontier always
+    advances; the sentinels simulate that for a finite corpus.
+    """
+    import os
+    import shutil
+
+    load_tables(spark, sf_dir)
+    path = table_path(sf_dir, "events")
+    raw_schema = spark.read.parquet(path).schema
+    staging = tempfile.mkdtemp(prefix=f"stream-src-{name}-")
+    shutil.copy(path, os.path.join(staging, "000-data.parquet"))
+
+    ts_type = dict((f.name, f.dataType.simpleString()) for f in raw_schema).get("ts")
+    maxts = spark.read.parquet(path).agg(F.max("ts").alias("m")).collect()[0].m
+    # Each sentinel file advances BOTH event-time frontiers (the global
+    # watermark is the min across the two watermarked sides), so it holds
+    # one far-future purchase AND one far-future click. File 1 (+2d)
+    # raises both sides' max event time; the watermark it implies commits
+    # at that batch's end, so file 2 (+3d) provides the follow-up batch
+    # that executes under it and flushes every real null-extension.
+    for i in (1, 2):
+        if ts_type == "bigint":
+            far = maxts + (i + 1) * 86_400_000_000_000  # nanos: +2d, +3d
+            ts_expr = F.lit(far).cast("long")
+        else:
+            ts_expr = F.expr(f"TIMESTAMP'{maxts}' + INTERVAL {i + 1} DAYS").cast(
+                dict((f.name, f.dataType) for f in raw_schema)["ts"]
+            )
+        sent = (
+            spark.range(1)
+            .select(
+                F.explode(F.array(F.lit("purchase"), F.lit("click"))).alias(
+                    "event_type"
+                )
+            )
+            .select(
+                F.when(F.col("event_type") == "purchase", -1)
+                .otherwise(-2)
+                .cast("long")
+                .alias("event_id"),
+                ts_expr.alias("ts"),
+                F.lit(-1).cast("long").alias("user_id"),
+                "event_type",
+                F.lit(0.0).alias("value"),
+                F.lit("{}").alias("props"),
+            )
+        )
+        fdir = tempfile.mkdtemp(prefix=f"sent-{name}-")
+        sent.coalesce(1).write.mode("overwrite").parquet(fdir)
+        src = next(
+            p for p in os.listdir(fdir) if p.endswith(".parquet") and p[0] != "."
+        )
+        shutil.copy(
+            os.path.join(fdir, src), os.path.join(staging, f"{i:03d}-sentinel.parquet")
+        )
+        shutil.rmtree(fdir)
+    # FileStreamSource orders by modification time: force data < s1 < s2
+    base = os.path.getmtime(os.path.join(staging, "000-data.parquet"))
+    for i, f in enumerate(sorted(os.listdir(staging))):
+        os.utime(os.path.join(staging, f), (base + i * 10, base + i * 10))
+
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(staging)
+    )
+    if ts_type == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_type == "timestamp_ntz":
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    out_df = transform(stream)
+    sink = tempfile.mkdtemp(prefix=f"stream-sink-{name}-")
+    ckpt = tempfile.mkdtemp(prefix=f"stream-ckpt-{name}-")
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(STREAM_STATE_PARTITIONS))
+    try:
+        q = (
+            out_df.writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return spark.read.schema(out_df.schema).parquet(sink)
+
+
+@register(
+    "streaming_interval_left_join",
+    oracle="""
+SELECT p.event_id AS purchase_id,
+       p.user_id,
+       p.ts       AS purchase_ts,
+       p.value    AS purchase_value,
+       c.event_id AS click_id,
+       c.ts       AS click_ts
+FROM events p
+LEFT JOIN events c
+  ON c.event_type = 'click'
+ AND c.user_id = p.user_id
+ AND c.ts < p.ts
+ AND c.ts >= p.ts - INTERVAL 30 MINUTE
+WHERE p.event_type = 'purchase'
+""",
+    description=(
+        "Structured Streaming: stream-stream LEFT OUTER interval join — "
+        "null-extended rows (purchases with no recent click) emit when the "
+        "watermark closes their match window; run-to-completion equals the "
+        "batch LEFT JOIN exactly via the sentinel watermark-advance runner"
+    ),
+    # Registry entry (driver surface at its 50-slot cap); benched +
+    # pytest-oracle-checked per session like every non-exposed entry.
+    driver_exposed=False,
+)
+def streaming_interval_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from iceberg_file_writer_spark.streaming.windows import (
+        purchase_click_interval_left_join,
+    )
+
+    out = _run_stream_with_flush(
+        spark, sf_dir, purchase_click_interval_left_join, "ivljoin"
+    )
+    # drop the sentinel rows on the committed-sink read (batch side) —
+    # inside the streaming plan this filter would push below the
+    # watermark node and defeat the frontier advance
+    return out.where(F.col("purchase_id") >= 0)

@@ -147,6 +147,65 @@ def purchase_click_interval_join(
     )
 
 
+def purchase_click_interval_left_join(
+    events: DataFrame,
+    lookback: str = "30 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join: every purchase emits, with
+    null click columns when no same-user click preceded it in ``lookback``.
+
+    The semantics inner joins cannot give: "purchases WITHOUT a recent
+    click" is exactly the null-extended set. Matched rows emit on match
+    like the inner join; null-extended rows emit only when the watermark
+    passes the purchase's match window (the state store then knows no
+    qualifying click can still arrive) — so run-to-completion equality
+    with the batch LEFT JOIN requires the watermark to advance past the
+    final real event, which the sentinel-file runner in streaming_ops
+    provides. State stays bounded exactly as in the inner join.
+    """
+    purchases = (
+        events.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    clicks = (
+        events.where(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("click_ts") < F.col("purchase_ts"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr(f"INTERVAL {lookback}")),
+        "leftOuter",
+    )
+    # Sentinel watermark-advance rows (negative event_ids) flow through to
+    # the sink and are dropped by the caller on the batch read-back: a
+    # purchase_id >= 0 filter HERE would be pushed below the
+    # EventTimeWatermark node and the sentinel would then never advance
+    # the purchase-side frontier (measured: the max-ts purchase's null row
+    # stays stuck in state forever).
+    return joined.select(
+        "purchase_id",
+        F.col("p_user").alias("user_id"),
+        "purchase_ts",
+        "purchase_value",
+        "click_id",
+        "click_ts",
+    )
+
+
 def user_running_totals(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
     """Custom stateful operator: per-user cumulative purchase totals via
     ``applyInPandasWithState`` — the escape hatch for operators Spark's
