@@ -108,3 +108,52 @@ def test_pagerank_mass_conserved(spark):
 def test_search_topk_avoids_full_sort(spark):
     p = _plan(all_queries()["conjunctive_token_search"].fn(spark, SF_DIR))
     assert "TakeOrderedAndProject" in p, p
+
+
+def test_index_append_equals_full_rebuild(spark, tmp_path):
+    """Appending a shard to the standing index must be indistinguishable
+    from rebuilding over the full corpus: identical search results and an
+    identical lexicon (term -> df)."""
+    from iceberg_file_writer_spark.operators.inverted_index import (
+        append_to_inverted_index,
+        build_inverted_index,
+        conjunctive_search_index,
+    )
+    from iceberg_file_writer_spark.queries.dedup import NEW_BATCH_SPLIT
+    from iceberg_file_writer_spark.tables import load_tables
+
+    docs = load_tables(spark, SF_DIR)["documents"]
+    full_idx = str(tmp_path / "full")
+    build_inverted_index(spark, SF_DIR, full_idx)
+
+    # incremental: build on the old corpus only, then fold in the shard
+    inc_idx = str(tmp_path / "inc")
+    old_dir = str(tmp_path / "old-docs")
+    docs.where(F.col("doc_id") < NEW_BATCH_SPLIT).write.parquet(
+        old_dir + "/documents.parquet"
+    )
+    # the builder only touches documents, so a dir holding just that
+    # table works as the "old corpus" sf_dir
+    build_inverted_index(spark, old_dir, inc_idx)
+    append_to_inverted_index(
+        spark, docs.where(F.col("doc_id") >= NEW_BATCH_SPLIT), inc_idx
+    )
+
+    res_full = sorted(
+        (r.doc_id, round(r.score, 9))
+        for r in conjunctive_search_index(spark, full_idx, SEARCH_TERMS).collect()
+    )
+    res_inc = sorted(
+        (r.doc_id, round(r.score, 9))
+        for r in conjunctive_search_index(spark, inc_idx, SEARCH_TERMS).collect()
+    )
+    assert res_full == res_inc and len(res_full) == SEARCH_TOP_K
+
+    lex_full = sorted(
+        map(tuple, spark.read.parquet(full_idx + "/lexicon").collect())
+    )
+    lex_inc = sorted(map(tuple, spark.read.parquet(inc_idx + "/lexicon").collect()))
+    assert lex_full == lex_inc
+    n_full = spark.read.parquet(full_idx + "/meta").collect()[0].n_docs
+    n_inc = spark.read.parquet(inc_idx + "/meta").collect()[0].n_docs
+    assert n_full == n_inc
