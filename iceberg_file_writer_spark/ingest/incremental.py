@@ -1,0 +1,130 @@
+"""Incremental aggregate maintenance [extension — not in reference].
+
+A materialized daily rollup over the events stream, refreshed per ingest
+batch by recomputing ONLY the (day, event_type) groups the batch touches
+— incremental view maintenance, the pattern that keeps a 100 TB rollup
+current without ever re-scanning history:
+
+1. the arriving batch aggregates to its own partial rows (batch-sized),
+2. the touched group keys (a tiny distinct relation) select the affected
+   rows of the standing rollup,
+3. affected standing rows MERGE with the batch partials (algebraic
+   aggregates: count/sum/min/max fold exactly; avg = sum/count derived),
+4. untouched rollup rows append through unchanged — never recomputed,
+   never re-read from the events table.
+
+The rollup is partitioned by day, so step 2's read prunes to the touched
+days' directories and the rewrite swaps only those partitions (the same
+two-rename crash protocol as apply_deletes). Late data is just another
+batch: a record for a 3-month-old day refreshes exactly that day.
+
+``refresh_daily_rollup`` is pytest-asserted equal to a full recompute
+after any sequence of batches, including out-of-order/late arrivals
+(tests/test_incremental_rollup.py).
+
+Reference scope note: the reference (/root/reference/main.go:72-85)
+maintains in-memory per-partition blocks between flushes; this is that
+buffering idea promoted to a durable, queryable aggregate artifact.
+[extension]
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+ROLLUP_KEYS = ("day", "event_type")
+
+
+def _partial(events: DataFrame) -> DataFrame:
+    """Algebraic partial rows for a slice of events: mergeable by key."""
+    return events.groupBy(
+        F.to_date("ts").alias("day"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("value").alias("sum_value"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+    )
+
+
+def _merge(parts: DataFrame) -> DataFrame:
+    """Fold partial rows sharing a key: the aggregate merge functions."""
+    return parts.groupBy("day", "event_type").agg(
+        F.sum("n_events").alias("n_events"),
+        F.sum("sum_value").alias("sum_value"),
+        F.min("min_value").alias("min_value"),
+        F.max("max_value").alias("max_value"),
+    )
+
+
+def init_daily_rollup(spark: SparkSession, events: DataFrame, rollup_path: str) -> None:
+    """Materialize the rollup from scratch, partitioned by day."""
+    _partial(events).write.mode("overwrite").option(
+        "compression", "snappy"
+    ).partitionBy("day").parquet(rollup_path)
+
+
+def refresh_daily_rollup(
+    spark: SparkSession, batch: DataFrame, rollup_path: str
+) -> dict:
+    """Fold one arriving batch into the standing rollup.
+
+    Only the touched days' partition directories are read and swapped;
+    history outside them is never opened (mtime-asserted in the tests).
+    Returns {"days_refreshed": int}.
+    """
+    batch_parts = _partial(batch).cache()
+    touched_days = [r.day for r in batch_parts.select("day").distinct().collect()]
+    if not touched_days:
+        return {"days_refreshed": 0}
+
+    base = rollup_path.rstrip("/")
+    existing_dirs = [
+        d for d in touched_days if os.path.isdir(os.path.join(base, f"day={d}"))
+    ]
+    if existing_dirs:
+        standing = (
+            spark.read.option("basePath", base)
+            .parquet(*[os.path.join(base, f"day={d}") for d in existing_dirs])
+            .select(batch_parts.columns)
+        )
+        merged = _merge(standing.unionByName(batch_parts))
+    else:
+        merged = batch_parts
+
+    tmp = base + ".refresh-tmp"
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)
+    merged.write.mode("overwrite").option("compression", "snappy").partitionBy(
+        "day"
+    ).parquet(tmp)
+    for d in touched_days:
+        live = os.path.join(base, f"day={d}")
+        staged = os.path.join(tmp, f"day={d}")
+        old = live + ".refresh-old"
+        if os.path.isdir(live):
+            os.rename(live, old)
+        os.rename(staged, live)
+        if os.path.isdir(old):
+            shutil.rmtree(old)
+    shutil.rmtree(tmp)
+    batch_parts.unpersist()
+    return {"days_refreshed": len(touched_days)}
+
+
+def read_daily_rollup(spark: SparkSession, rollup_path: str) -> DataFrame:
+    """The rollup with derived columns (avg from the algebraic parts)."""
+    r = spark.read.parquet(rollup_path)
+    return r.select(
+        F.col("day").cast("date").alias("day"),
+        "event_type",
+        "n_events",
+        "sum_value",
+        "min_value",
+        "max_value",
+        (F.col("sum_value") / F.col("n_events")).alias("avg_value"),
+    )

@@ -1,0 +1,97 @@
+"""Incremental rollup maintenance: any batch arrival order must converge
+to the full recompute, refreshing only the touched days' partitions."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from iceberg_file_writer_spark.ingest.incremental import (
+    _partial,
+    init_daily_rollup,
+    read_daily_rollup,
+    refresh_daily_rollup,
+)
+from iceberg_file_writer_spark.tables import load_tables
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _canon(df):
+    return sorted(
+        (
+            str(r.day),
+            r.event_type,
+            r.n_events,
+            round(r.sum_value, 6),
+            round(r.min_value, 6),
+            round(r.max_value, 6),
+        )
+        for r in df.collect()
+    )
+
+
+def test_incremental_refresh_converges_to_full_recompute(spark, tmp_path):
+    ev = load_tables(spark, SF_DIR)["events"]
+    cutoff = ev.agg(
+        F.date_add(F.min(F.to_date("ts")), 12).alias("c")
+    ).collect()[0].c
+
+    early = ev.where(F.to_date("ts") <= F.lit(cutoff))
+    late_days = ev.where(F.to_date("ts") > F.lit(cutoff))
+    # stragglers: some early-day events arrive LAST (out-of-order batch)
+    stragglers = early.where(F.col("event_id") % 10 == 0)
+    on_time = early.where(F.col("event_id") % 10 != 0)
+
+    rollup = str(tmp_path / "rollup")
+    init_daily_rollup(spark, on_time, rollup)
+    s1 = refresh_daily_rollup(spark, late_days, rollup)
+    assert s1["days_refreshed"] > 0
+
+    # before the straggler batch: snapshot the late-day partition files
+    late_files = {
+        p: os.stat(p).st_mtime_ns
+        for p in _walk_parquet(rollup)
+        if _day_of(p) > str(cutoff)
+    }
+    s2 = refresh_daily_rollup(spark, stragglers, rollup)
+    assert s2["days_refreshed"] > 0
+
+    # late-day partitions were not touched by the early-day straggler batch
+    after = {
+        p: os.stat(p).st_mtime_ns
+        for p in _walk_parquet(rollup)
+        if _day_of(p) > str(cutoff)
+    }
+    assert after == late_files
+
+    got = _canon(read_daily_rollup(spark, rollup).drop("avg_value"))
+    want = _canon(_partial(ev))
+    assert got == want and len(got) > 0
+
+
+def test_empty_batch_is_noop(spark, tmp_path):
+    ev = load_tables(spark, SF_DIR)["events"]
+    rollup = str(tmp_path / "rollup")
+    init_daily_rollup(spark, ev, rollup)
+    before = {p: os.stat(p).st_mtime_ns for p in _walk_parquet(rollup)}
+    stats = refresh_daily_rollup(spark, ev.where(F.lit(False)), rollup)
+    assert stats == {"days_refreshed": 0}
+    assert {p: os.stat(p).st_mtime_ns for p in _walk_parquet(rollup)} == before
+
+
+def _walk_parquet(root: str) -> list[str]:
+    out = []
+    for dirpath, _dirs, files in os.walk(root):
+        for f in files:
+            if f.endswith(".parquet") and not f.startswith(("_", ".")):
+                out.append(os.path.join(dirpath, f))
+    return out
+
+
+def _day_of(path: str) -> str:
+    for part in path.split(os.sep):
+        if part.startswith("day="):
+            return part[4:]
+    return ""
