@@ -95,3 +95,40 @@ def _day_of(path: str) -> str:
         if part.startswith("day="):
             return part[4:]
     return ""
+
+
+def test_streaming_refresh_keeps_rollup_current(spark, tmp_path):
+    """The steady-state composition: a file stream of event batches drives
+    refresh_daily_rollup from foreachBatch; after run-to-completion the
+    standing rollup equals the batch full recompute regardless of how the
+    stream was chunked into micro-batches."""
+    ev = load_tables(spark, SF_DIR)["events"]
+    # stage the corpus as 3 files -> 3 micro-batches
+    staging = str(tmp_path / "incoming")
+    ev.withColumn("part", F.col("event_id") % 3).repartition(
+        3, "part"
+    ).drop("part").write.parquet(staging)
+
+    rollup = str(tmp_path / "rollup")
+    init_daily_rollup(spark, ev.where(F.lit(False)), rollup)  # empty start
+
+    def _fold(batch_df, _bid):
+        refresh_daily_rollup(spark, batch_df, rollup)
+
+    raw_schema = spark.read.parquet(staging).schema
+    q = (
+        spark.readStream.schema(raw_schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(staging)
+        .writeStream.foreachBatch(_fold)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = _canon(read_daily_rollup(spark, rollup).drop("avg_value"))
+    want = _canon(_partial(ev))
+    assert got == want and len(got) > 0
