@@ -112,11 +112,19 @@ def _write_data_files(df: DataFrame, table_path: str, max_rows: int) -> list[dic
     return entries
 
 
-def _commit(table_path: str, parent: int, op: str, files: list[dict]) -> int:
+def _commit(
+    table_path: str,
+    parent: int,
+    op: str,
+    files: list[dict],
+    extra: dict | None = None,
+) -> int:
     """O_EXCL manifest create + atomic CURRENT flip (optimistic locking)."""
     version = parent + 1
     os.makedirs(_snap_dir(table_path), exist_ok=True)
     manifest = {"version": version, "parent": parent, "op": op, "files": files}
+    if extra:
+        manifest.update(extra)
     try:
         fd = os.open(
             _manifest_path(table_path, version), os.O_CREAT | os.O_EXCL | os.O_WRONLY
@@ -253,3 +261,100 @@ def expire_snapshots(table_path: str, keep_last: int = 2) -> dict:
             os.remove(os.path.join(_data_dir(table_path), name))
             dropped_files += 1
     return {"dropped_manifests": dropped_manifests, "dropped_files": dropped_files}
+
+
+def commit_merge(
+    spark: SparkSession,
+    table_path: str,
+    updates: DataFrame,
+    key: str,
+    max_rows: int = 4096,
+) -> int:
+    """Copy-on-write MERGE (upsert): rows of ``updates`` replace same-key
+    rows and insert otherwise — Iceberg's ``MERGE INTO ... WHEN MATCHED
+    UPDATE WHEN NOT MATCHED INSERT`` for the whole-row case.
+
+    Only files containing a matched key are rewritten: affected-file
+    discovery is one scan of the current snapshot semi-joined to the
+    (broadcast) update keys, keyed by input_file_name. Survivor rows of
+    affected files (key not in updates) are rewritten alongside ALL update
+    rows; every unaffected file carries forward by reference. If no file
+    matches, the merge is a pure append of the updates.
+    """
+    parent = current_version(table_path)
+    files = read_manifest(table_path, parent)["files"] if parent else []
+    paths = [os.path.join(table_path, e["path"]) for e in files]
+    keys = updates.select(key).distinct()
+    if paths:
+        # input_file_name() must be projected over the single-source scan
+        # BEFORE the join (Spark rejects it in multi-source plans)
+        cur = spark.read.parquet(*paths).select(
+            F.col(key), F.input_file_name().alias("f")
+        )
+        hit_uris = {
+            r.f
+            for r in (
+                cur.join(F.broadcast(keys), key, "left_semi")
+                .select("f")
+                .distinct()
+                .collect()
+            )
+        }
+        affected = {
+            e["path"] for e in files if any(u.endswith(e["path"]) for u in hit_uris)
+        }
+    else:
+        affected = set()
+    if affected:
+        aff_df = spark.read.parquet(
+            *[os.path.join(table_path, p) for p in sorted(affected)]
+        )
+        survivors = aff_df.join(F.broadcast(keys), key, "left_anti")
+        new_rows = survivors.unionByName(updates.select(aff_df.columns))
+    else:
+        new_rows = updates
+    rewritten = _write_data_files(new_rows, table_path, max_rows)
+    carried = [e for e in files if e["path"] not in affected]
+    return _commit(table_path, parent, "merge", carried + rewritten)
+
+
+def commit_compact(
+    spark: SparkSession, table_path: str, target_rows: int = 65536
+) -> int:
+    """Compaction as a snapshot: same rows, fewer/larger files, history
+    intact — Iceberg's rewrite_data_files. Old files stay on disk for time
+    travel until expire_snapshots drops them."""
+    parent = current_version(table_path)
+    files = read_manifest(table_path, parent)["files"]
+    df = spark.read.parquet(*[os.path.join(table_path, e["path"]) for e in files])
+    rewritten = _write_data_files(df.coalesce(max(1, len(files) // 8)), table_path, target_rows)
+    return _commit(table_path, parent, "compact", rewritten)
+
+
+def streaming_append_sink(table_path: str, max_rows: int = 4096):
+    """foreachBatch callback: exactly-once appends into the snapshot table.
+
+    Structured Streaming replays a micro-batch after a crash with the SAME
+    batch_id; the manifest records which batch each append came from, so a
+    replayed id is a no-op instead of a duplicate — idempotent commit on
+    top of the optimistic protocol (the snapshot analog of the epoch
+    commit in ingest/streaming.py).
+    """
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        cur = current_version(table_path)
+        seen = set()
+        v = cur
+        while v > 0:
+            m = read_manifest(table_path, v)
+            if m.get("batch_id") is not None:
+                seen.add(m["batch_id"])
+            v = m["parent"]
+        if batch_id in seen:
+            return
+        parent = current_version(table_path)
+        prev = read_manifest(table_path, parent)["files"] if parent else []
+        new = _write_data_files(batch_df, table_path, max_rows)
+        _commit(table_path, parent, "append", prev + new, extra={"batch_id": batch_id})
+
+    return _sink

@@ -110,3 +110,67 @@ def test_snapshot_log_shape(spark, table):
     assert [s["version"] for s in log] == [1, 2]
     assert [s["op"] for s in log] == ["append", "append"]
     assert log[1]["n_rows"] == orders.count()
+
+
+def test_merge_upsert_matches_latest_state(spark, table):
+    from iceberg_file_writer_spark.ingest.snapshots import commit_merge
+
+    t, orders = table
+    # updates: change totalprice for 20 keys, insert 5 new synthetic keys
+    upd_keys = orders.limit(20).select("o_orderkey")
+    updates = (
+        orders.join(upd_keys, "o_orderkey", "left_semi")
+        .withColumn("o_totalprice", F.lit(1.0))
+    )
+    maxkey = orders.agg(F.max("o_orderkey")).collect()[0][0]
+    inserts = orders.limit(5).withColumn(
+        "o_orderkey", F.col("o_orderkey") + F.lit(maxkey + 1000)
+    )
+    before = {e["path"] for e in read_manifest(t, current_version(t))["files"]}
+    v = commit_merge(
+        spark, t, updates.unionByName(inserts), "o_orderkey", max_rows=200
+    )
+    after = read_table_version(spark, t, v)
+    assert after.count() == orders.count() + 5
+    assert after.where("o_totalprice = 1.0").count() == 20 + inserts.where(
+        "o_totalprice = 1.0"
+    ).count()
+    # unaffected files carried by reference
+    carried = {e["path"] for e in read_manifest(t, v)["files"]} & before
+    assert len(carried) > 0
+
+
+def test_compact_preserves_rows_and_history(spark, table):
+    from iceberg_file_writer_spark.ingest.snapshots import commit_compact
+
+    t, orders = table
+    n_files_before = len(read_manifest(t, current_version(t))["files"])
+    v = commit_compact(spark, t)
+    files = read_manifest(t, v)["files"]
+    assert len(files) < n_files_before
+    assert read_table_version(spark, t, v).count() == orders.count()
+    # history before compaction still reads (old files retained)
+    assert read_table_version(spark, t, 1).count() == orders.where(
+        "o_orderkey % 2 = 0"
+    ).count()
+
+
+def test_streaming_sink_is_exactly_once(spark, tmp_path):
+    from iceberg_file_writer_spark.ingest.snapshots import (
+        current_version,
+        streaming_append_sink,
+    )
+
+    t = str(tmp_path / "stream-tbl")
+    orders = load_tables(spark, SF_DIR)["orders"]
+    sink = streaming_append_sink(t, max_rows=500)
+    b0 = orders.where("o_orderkey % 2 = 0")
+    b1 = orders.where("o_orderkey % 2 = 1")
+    sink(b0, 0)
+    sink(b1, 1)
+    v = current_version(t)
+    sink(b1, 1)  # crash-replay of batch 1: must be a no-op
+    assert current_version(t) == v
+    from iceberg_file_writer_spark.ingest.snapshots import read_table_version
+
+    assert read_table_version(spark, t).count() == orders.count()
