@@ -171,7 +171,7 @@ def commit_delete_where(
     hit_uris = {
         r.f
         for r in (
-            spark.read.parquet(*paths)
+            spark.read.option("mergeSchema", "true").parquet(*paths)
             .where(predicate)
             .select(F.input_file_name().alias("f"))
             .distinct()
@@ -186,9 +186,9 @@ def commit_delete_where(
         return _commit(table_path, parent, "delete", files)
 
     survivors = (
-        spark.read.parquet(
-            *[os.path.join(table_path, p) for p in sorted(affected)]
-        ).where(f"NOT ({predicate})")
+        spark.read.option("mergeSchema", "true")
+        .parquet(*[os.path.join(table_path, p) for p in sorted(affected)])
+        .where(f"NOT ({predicate})")
     )
     rewritten = _write_data_files(survivors, table_path, max_rows)
     carried = [e for e in files if e["path"] not in affected]
@@ -215,7 +215,13 @@ def read_table_version(
             for e in read_manifest(table_path, v)["files"]
         ]
         return spark.read.parquet(*anc).where(F.lit(False))
-    return spark.read.parquet(*[os.path.join(table_path, e["path"]) for e in files])
+    # mergeSchema: snapshots may mix files written before and after an
+    # additive column evolution; older rows surface NULL for new columns.
+    # (At scale the manifest would carry the schema; footer merging here
+    # keeps the jar-free layer simple.)
+    return spark.read.option("mergeSchema", "true").parquet(
+        *[os.path.join(table_path, e["path"]) for e in files]
+    )
 
 
 def snapshot_log(table_path: str) -> list[dict]:
@@ -288,7 +294,7 @@ def commit_merge(
     if paths:
         # input_file_name() must be projected over the single-source scan
         # BEFORE the join (Spark rejects it in multi-source plans)
-        cur = spark.read.parquet(*paths).select(
+        cur = spark.read.option("mergeSchema", "true").parquet(*paths).select(
             F.col(key), F.input_file_name().alias("f")
         )
         hit_uris = {
@@ -306,7 +312,7 @@ def commit_merge(
     else:
         affected = set()
     if affected:
-        aff_df = spark.read.parquet(
+        aff_df = spark.read.option("mergeSchema", "true").parquet(
             *[os.path.join(table_path, p) for p in sorted(affected)]
         )
         survivors = aff_df.join(F.broadcast(keys), key, "left_anti")
@@ -358,3 +364,58 @@ def streaming_append_sink(table_path: str, max_rows: int = 4096):
         _commit(table_path, parent, "append", prev + new, extra={"batch_id": batch_id})
 
     return _sink
+
+
+def changes_between(
+    spark: SparkSession, table_path: str, from_version: int, to_version: int
+) -> DataFrame:
+    """Row-level change feed between two snapshots (CDC read).
+
+    The manifests make this cheap: a file carried by reference from one
+    snapshot to the other cannot contribute any change, so only the
+    files present in exactly one manifest are read — for an append-mostly
+    table that is the new files, however large the table. The symmetric
+    row diff over those files (multiset semantics via per-row counts)
+    yields '+' (inserted) and '-' (deleted) rows; an update appears as
+    its delete + insert pair, exactly a changelog.
+    """
+    a = {e["path"] for e in read_manifest(table_path, from_version)["files"]}
+    b = {e["path"] for e in read_manifest(table_path, to_version)["files"]}
+    only_a, only_b = sorted(a - b), sorted(b - a)
+
+    def _read(paths: list[str]) -> DataFrame | None:
+        if not paths:
+            return None
+        return spark.read.option("mergeSchema", "true").parquet(
+            *[os.path.join(table_path, p) for p in paths]
+        )
+
+    removed, added = _read(only_a), _read(only_b)
+    # tag each side +1/-1 and align schemas by name (evolution may give the
+    # two sides different column sets; missing columns fill as NULL)
+    sides = []
+    if added is not None:
+        sides.append(added.select(F.lit(1).alias("_d"), *added.columns))
+    if removed is not None:
+        sides.append(removed.select(F.lit(-1).alias("_d"), *removed.columns))
+    if not sides:
+        # identical manifests: an empty feed with the snapshot's schema
+        empty = read_table_version(spark, table_path, to_version).where(F.lit(False))
+        return empty.select(F.lit("+").alias("change"), *empty.columns)
+    tagged = sides[0]
+    for s_df in sides[1:]:
+        tagged = tagged.unionByName(s_df, allowMissingColumns=True)
+    cols = [c for c in tagged.columns if c != "_d"]
+    # multiset diff: net signed count per distinct row value is the change
+    net = (
+        tagged.groupBy(*cols)
+        .agg(F.sum("_d").alias("_net"))
+        .where(F.col("_net") != 0)
+    )
+    exploded = net.select(
+        *cols,
+        F.explode(
+            F.expr("transform(sequence(1, abs(_net)), i -> IF(_net > 0, '+', '-'))")
+        ).alias("change"),
+    )
+    return exploded.select("change", *cols)

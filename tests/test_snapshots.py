@@ -174,3 +174,69 @@ def test_streaming_sink_is_exactly_once(spark, tmp_path):
     from iceberg_file_writer_spark.ingest.snapshots import read_table_version
 
     assert read_table_version(spark, t).count() == orders.count()
+
+
+def test_changes_between_reads_only_differing_files(spark, table):
+    from iceberg_file_writer_spark.ingest.snapshots import changes_between
+
+    t, orders = table
+    # v2 -> v3: delete F-status rows
+    v3 = commit_delete_where(spark, t, "o_orderstatus = 'F'", max_rows=200)
+    ch = changes_between(spark, t, 2, v3)
+    n_f = orders.where("o_orderstatus = 'F'").count()
+    assert ch.where("change = '-'").count() == n_f
+    assert ch.where("change = '+'").count() == 0
+    assert ch.where("change = '-' AND o_orderstatus <> 'F'").count() == 0
+
+    # append-only change feed: v1 -> v2 is purely inserts of the odd half
+    ch12 = changes_between(spark, t, 1, 2)
+    assert ch12.where("change = '-'").count() == 0
+    assert ch12.where("change = '+'").count() == orders.where(
+        "o_orderkey % 2 = 1"
+    ).count()
+
+    # the feed must not read carried files: appends diff only new files
+    from iceberg_file_writer_spark.ingest.snapshots import read_manifest as rm
+
+    carried = {e["path"] for e in rm(t, 1)["files"]} & {
+        e["path"] for e in rm(t, 2)["files"]
+    }
+    assert len(carried) > 0  # the even half's files were carried
+
+
+def test_additive_schema_evolution(spark, table):
+    """A later append may add a column; earlier rows read as NULL for it,
+    earlier versions keep their original schema, and CoW deletes work on
+    the mixed-schema table."""
+    t, orders = table
+    evolved = orders.limit(30).withColumn("note", F.lit("late-column"))
+    v = commit_append(spark, evolved, t, max_rows=200)
+
+    cur = read_table_version(spark, t, v)
+    assert "note" in cur.columns
+    assert cur.where("note = 'late-column'").count() == 30
+    assert cur.where("note IS NULL").count() == orders.count()
+    # time travel below the evolution has no such column
+    assert "note" not in read_table_version(spark, t, 2).columns
+
+    # CoW delete across the mixed-schema snapshot: removing every row that
+    # carried the column drops it from the (data-defined) merged schema
+    v2 = commit_delete_where(spark, t, "note = 'late-column'", max_rows=200)
+    after = read_table_version(spark, t, v2)
+    assert after.count() == orders.count()
+    assert "note" not in after.columns
+
+
+def test_changes_between_across_schema_evolution(spark, table):
+    from iceberg_file_writer_spark.ingest.snapshots import changes_between
+
+    t, orders = table
+    v = commit_append(
+        spark, orders.limit(7).withColumn("note", F.lit("x")), t, max_rows=200
+    )
+    ch = changes_between(spark, t, 2, v)
+    assert ch.where("change = '+'").count() == 7
+    assert ch.where("change = '-'").count() == 0
+    assert ch.where("change = '+' AND note = 'x'").count() == 7
+    # identical manifests -> empty feed
+    assert changes_between(spark, t, v, v).count() == 0
