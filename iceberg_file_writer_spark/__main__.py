@@ -10,6 +10,12 @@ that surface and adds the query/maintenance verbs the engine grew:
         [--key-col timestamp] [--max-rows-per-file 4096]
         [--trigger-seconds 60] [--checkpoint DIR]
     python -m iceberg_file_writer_spark compact <table_path>
+    python -m iceberg_file_writer_spark delete <table_path> <keys...>
+        [--predicate SQL]
+    python -m iceberg_file_writer_spark snapshot-log <table_path>
+    python -m iceberg_file_writer_spark time-travel <table_path> [--version N]
+    python -m iceberg_file_writer_spark expire-snapshots <table_path>
+        [--keep-last N]
     python -m iceberg_file_writer_spark query <name> [--sf-dir DIR]
     python -m iceberg_file_writer_spark list-queries
 """
@@ -41,6 +47,27 @@ def _build_parser() -> argparse.ArgumentParser:
     comp.add_argument("--partition-col", default="user_id")
     comp.add_argument("--key-col", default="timestamp")
     comp.add_argument("--target-rows-per-file", type=int, default=None)
+
+    dele = sub.add_parser(
+        "delete", help="targeted copy-on-write delete (GDPR/retention)"
+    )
+    dele.add_argument("table_path")
+    dele.add_argument("keys", nargs="+", help="partition-column values to target")
+    dele.add_argument("--predicate", default=None, help="SQL condition; omit to drop whole partitions")
+    dele.add_argument("--partition-col", default="user_id")
+    dele.add_argument("--key-col", default="timestamp")
+
+    slog = sub.add_parser("snapshot-log", help="list a snapshot table's versions")
+    slog.add_argument("table_path")
+
+    tt = sub.add_parser("time-travel", help="show a snapshot table at a version")
+    tt.add_argument("table_path")
+    tt.add_argument("--version", type=int, default=None)
+    tt.add_argument("--limit", type=int, default=20)
+
+    exp = sub.add_parser("expire-snapshots", help="drop unreferenced history")
+    exp.add_argument("table_path")
+    exp.add_argument("--keep-last", type=int, default=2)
 
     q = sub.add_parser("query", help="run a registered query and show the result")
     q.add_argument("name")
@@ -101,6 +128,41 @@ def main(argv: list[str] | None = None) -> int:
         compact_table(spark, args.table_path, cfg, args.target_rows_per_file)
         after = len(list_data_files(args.table_path))
         print(f"compacted {args.table_path}: {before} -> {after} files")
+        return 0
+
+    if args.cmd == "delete":
+        from iceberg_file_writer_spark.ingest.batch import IngestConfig
+        from iceberg_file_writer_spark.ingest.maintenance import apply_deletes
+
+        cfg = IngestConfig(partition_column=args.partition_col, key_column=args.key_col)
+        stats = apply_deletes(
+            spark, args.table_path, args.keys, cfg, predicate=args.predicate
+        )
+        print(stats)
+        return 0
+
+    if args.cmd == "snapshot-log":
+        from iceberg_file_writer_spark.ingest.snapshots import snapshot_log
+
+        for s in snapshot_log(args.table_path):
+            print(
+                f"v{s['version']:06d} {s['op']:8s} "
+                f"{s['n_files']:5d} files {s['n_rows']:10d} rows"
+            )
+        return 0
+
+    if args.cmd == "time-travel":
+        from iceberg_file_writer_spark.ingest.snapshots import read_table_version
+
+        read_table_version(spark, args.table_path, args.version).show(
+            args.limit, truncate=60
+        )
+        return 0
+
+    if args.cmd == "expire-snapshots":
+        from iceberg_file_writer_spark.ingest.snapshots import expire_snapshots
+
+        print(expire_snapshots(args.table_path, keep_last=args.keep_last))
         return 0
 
     if args.cmd == "query":
