@@ -1666,3 +1666,82 @@ def span_corruption_examples(spark: SparkSession, sf_dir: str) -> DataFrame:
         _joined("in_piece").alias("input_text"),
         _joined("tgt_piece").alias("target_text"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Snapshot change feed as an oracle-checked entry (round 5).
+# ---------------------------------------------------------------------------
+
+# The physical diff (differing manifest files only) equals the LOGICAL
+# multiset diff of the two versions' row sets — carried files contribute
+# identically to both sides and cancel — so the oracle needs no knowledge
+# of file layout: it states the two versions relationally and diffs them.
+SNAP_UPDATE_KEYS = 10  # the N lowest orderkeys get a price update in v3
+_SNAP_TABLES: dict[str, str] = {}
+
+
+def _snapshot_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """v1: even orders; v2: + odd orders; v3: MERGE price-update of the
+    SNAP_UPDATE_KEYS lowest orderkeys. Memoized per sf_dir (an index-
+    artifact seam like the neardup gate's persisted index)."""
+    if sf_dir in _SNAP_TABLES:
+        return _SNAP_TABLES[sf_dir]
+    import tempfile
+
+    from iceberg_file_writer_spark.ingest.snapshots import (
+        commit_append,
+        commit_merge,
+    )
+
+    t = tempfile.mkdtemp(prefix="snap-feed-") + "/tbl"
+    orders = load_tables(spark, sf_dir)["orders"]
+    commit_append(spark, orders.where("o_orderkey % 2 = 0"), t, max_rows=500)
+    commit_append(spark, orders.where("o_orderkey % 2 = 1"), t, max_rows=500)
+    updates = (
+        orders.orderBy("o_orderkey")
+        .limit(SNAP_UPDATE_KEYS)
+        .withColumn("o_totalprice", F.round(F.col("o_totalprice") * 2, 2))
+    )
+    commit_merge(spark, t, updates, "o_orderkey", max_rows=500)
+    _SNAP_TABLES[sf_dir] = t
+    return t
+
+
+@register(
+    "snapshot_changes_feed",
+    oracle=f"""
+WITH updated AS (
+  SELECT * FROM orders ORDER BY o_orderkey LIMIT {SNAP_UPDATE_KEYS}
+)
+SELECT '-' AS change, o_orderkey, o_custkey, o_orderstatus,
+       o_totalprice, o_orderdate, o_orderpriority
+FROM updated
+UNION ALL
+SELECT '+' AS change, o_orderkey, o_custkey, o_orderstatus,
+       round(o_totalprice * 2, 2) AS o_totalprice, o_orderdate,
+       o_orderpriority
+FROM updated
+""",
+    description=(
+        "Snapshot-table CDC read: the row-level change feed between the "
+        "pre- and post-MERGE versions of a snapshot table — physically "
+        "diffing only the manifests' differing files, logically equal to "
+        "the relational multiset diff the oracle states"
+    ),
+    # Registered mid-round 5; driver surface is at its 50-entry cap, so
+    # pytest-oracle + bench coverage until a future rotation.
+    driver_exposed=False,
+)
+def snapshot_changes_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE's changelog read off the table's snapshots.
+
+    Scale shape: the feed reads ONLY files appearing in exactly one of
+    the two manifests — for this MERGE that is the rewritten files plus
+    their originals, never the carried rest of the table. The multiset
+    diff is a groupBy over those files' rows; an update surfaces as its
+    '-'/'+' pair exactly as a changelog consumer expects.
+    """
+    from iceberg_file_writer_spark.ingest.snapshots import changes_between
+
+    t = _snapshot_fixture(spark, sf_dir)
+    return changes_between(spark, t, 2, 3)
