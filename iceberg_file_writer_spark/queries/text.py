@@ -415,3 +415,94 @@ def token_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("w").alias("token"), "true_count", "cms_estimate", "rk"
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# PII redaction (round 5).
+# ---------------------------------------------------------------------------
+
+# RE2-compatible patterns (DuckDB) that Java's regex engine interprets
+# identically: character classes, bounded repetition, no backrefs/lookarounds.
+PII_EMAIL_RE = r"[a-z0-9._]+@[a-z0-9.]+\.[a-z]+"
+PII_PHONE_RE = r"[0-9]{3}-[0-9]{3}-[0-9]{4}"
+PII_SSN_RE = r"[0-9]{3}-[0-9]{2}-[0-9]{4}"
+
+
+@register(
+    "doc_pii_redaction",
+    oracle=f"""
+WITH seeded AS (
+  -- the synthetic corpus carries no PII, so the entry seeds a
+  -- deterministic email/phone per doc: the operator's effect is then
+  -- observable and exactly checkable (redaction order: SSN before phone,
+  -- since every SSN's first 8 chars also match the phone prefix shape)
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@example.com or 555-123-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+              || ' ssn 123-45-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS text
+  FROM documents
+)
+SELECT doc_id,
+       regexp_replace(
+         regexp_replace(
+           regexp_replace(text, '{PII_SSN_RE}', '<SSN>', 'g'),
+           '{PII_PHONE_RE}', '<PHONE>', 'g'),
+         '{PII_EMAIL_RE}', '<EMAIL>', 'g') AS redacted,
+       CAST(len(regexp_extract_all(text, '{PII_EMAIL_RE}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(
+           regexp_replace(text, '{PII_SSN_RE}', '<SSN>', 'g'),
+           '{PII_PHONE_RE}')) AS BIGINT) AS n_phones
+FROM seeded
+""",
+    description=(
+        "PII redaction: email/phone/SSN patterns replaced with typed "
+        "sentinels (SSN before phone — overlapping shapes), with per-doc "
+        "match counts; deterministic seeded PII makes the effect checkable"
+    ),
+    # Registered mid-round 5; driver surface is at its 50-entry cap, so
+    # pytest-oracle + bench coverage until a future rotation.
+    driver_exposed=False,
+)
+def doc_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pre-training scrub pass: structured identifiers out, text in.
+
+    Scale shape: pure per-row JVM regex expressions over one corpus scan —
+    no shuffle, no Python; whole-stage codegen end to end. Pattern subset
+    chosen for engine-identical semantics (RE2 ∩ java.util.regex:
+    character classes + bounded repetition, no backrefs/lookarounds).
+    Redaction order matters and is pinned: SSN first, since an SSN's
+    prefix also matches the phone shape.
+    """
+    docs = load_tables(spark, sf_dir)["documents"]
+    seeded = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or 555-123-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            F.lit(" ssn 123-45-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ).alias("text"),
+    )
+    no_ssn = F.regexp_replace(F.col("text"), PII_SSN_RE, "<SSN>")
+    return seeded.select(
+        "doc_id",
+        F.regexp_replace(
+            F.regexp_replace(no_ssn, PII_PHONE_RE, "<PHONE>"),
+            PII_EMAIL_RE,
+            "<EMAIL>",
+        ).alias("redacted"),
+        F.size(F.expr(f"regexp_extract_all(text, '{PII_EMAIL_RE}', 0)"))
+        .cast("long")
+        .alias("n_emails"),
+        F.size(
+            F.expr(
+                f"regexp_extract_all(regexp_replace(text, '{PII_SSN_RE}', '<SSN>'),"
+                f" '{PII_PHONE_RE}', 0)"
+            )
+        )
+        .cast("long")
+        .alias("n_phones"),
+    )
