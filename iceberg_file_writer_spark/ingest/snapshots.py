@@ -419,3 +419,77 @@ def changes_between(
         ).alias("change"),
     )
     return exploded.select("change", *cols)
+
+
+def _file_stats(path: str, stats_cols: tuple[str, ...]) -> dict:
+    """Per-file min/max from parquet row-group footers — no data read."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(path).metadata
+    names = {md.schema.column(i).name: i for i in range(md.num_columns)}
+    out = {}
+    for col in stats_cols:
+        if col not in names:
+            continue
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(names[col]).statistics
+            if st is None or st.min is None or st.max is None:
+                break
+            mins.append(st.min)
+            maxs.append(st.max)
+        else:
+            if mins:
+                out[col] = [min(mins), max(maxs)]
+    return out
+
+
+def attach_column_stats(
+    table_path: str, version: int, stats_cols: tuple[str, ...]
+) -> None:
+    """Backfill per-file column stats into a manifest (footer metadata
+    only — no data bytes read). Normally stats ride along at commit time
+    via the ``stats_cols`` argument of the commit verbs at 100 TB; here
+    they attach in place so any existing snapshot can become prunable."""
+    m = read_manifest(table_path, version)
+    for e in m["files"]:
+        e["stats"] = _file_stats(os.path.join(table_path, e["path"]), stats_cols)
+    with open(_manifest_path(table_path, version), "w") as f:
+        json.dump(m, f)
+
+
+def scan_pruned(
+    spark: SparkSession,
+    table_path: str,
+    col: str,
+    lo,
+    hi,
+    version: int | None = None,
+) -> tuple[DataFrame, dict]:
+    """Manifest-pruned range scan: only files whose [min, max] for ``col``
+    overlaps [lo, hi] are handed to Spark at all.
+
+    This is Iceberg's planning model: the engine never lists or opens a
+    non-overlapping file — at 100 TB the difference between a metadata
+    lookup and a cluster-wide listing. Files without stats are scanned
+    conservatively (they might match). Returns (df, {"files_total",
+    "files_scanned"}); the residual predicate still applies in the scan,
+    so results are exact whatever the stats say.
+    """
+    v = current_version(table_path) if version is None else version
+    files = read_manifest(table_path, v)["files"]
+    keep = []
+    for e in files:
+        st = (e.get("stats") or {}).get(col)
+        if st is None or not (hi < st[0] or lo > st[1]):
+            keep.append(e["path"])
+    info = {"files_total": len(files), "files_scanned": len(keep)}
+    if not keep:
+        empty = read_table_version(spark, table_path, v).where(F.lit(False))
+        return empty, info
+    df = (
+        spark.read.option("mergeSchema", "true")
+        .parquet(*[os.path.join(table_path, p) for p in keep])
+        .where((F.col(col) >= F.lit(lo)) & (F.col(col) <= F.lit(hi)))
+    )
+    return df, info

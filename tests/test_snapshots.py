@@ -240,3 +240,31 @@ def test_changes_between_across_schema_evolution(spark, table):
     assert ch.where("change = '+' AND note = 'x'").count() == 7
     # identical manifests -> empty feed
     assert changes_between(spark, t, v, v).count() == 0
+
+
+def test_manifest_stats_prune_file_reads(spark, tmp_path):
+    """A range scan must hand Spark only the overlapping files, and the
+    result must equal the unpruned filter exactly."""
+    from iceberg_file_writer_spark.ingest.snapshots import (
+        attach_column_stats,
+        scan_pruned,
+    )
+
+    t = str(tmp_path / "tbl")
+    orders = load_tables(spark, SF_DIR)["orders"]
+    # range-ordered write -> tight per-file o_orderkey boxes
+    v = commit_append(
+        spark, orders.repartitionByRange(8, "o_orderkey"), t, max_rows=200
+    )
+    attach_column_stats(t, v, ("o_orderkey",))
+
+    lo, hi = 100, 300
+    df, info = scan_pruned(spark, t, "o_orderkey", lo, hi)
+    want = orders.where(f"o_orderkey BETWEEN {lo} AND {hi}")
+    assert df.count() == want.count() > 0
+    assert info["files_scanned"] < info["files_total"], info
+
+    # empty range: zero files handed to Spark, empty result, schema intact
+    df0, info0 = scan_pruned(spark, t, "o_orderkey", -50, -10)
+    assert info0["files_scanned"] == 0
+    assert df0.count() == 0 and df0.columns == want.columns
