@@ -558,3 +558,116 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("rrf_score"),
     )
     return ranked.orderBy(F.desc("rrf_score"), "doc_id").limit(SEARCH_TOP_K)
+
+
+# ---------------------------------------------------------------------------
+# Triangle counting (degree-ordered orientation).
+# ---------------------------------------------------------------------------
+
+
+_TRI_EDGES_SQL = """
+  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+  FROM (
+    SELECT user_id AS src,
+           lead(user_id) OVER (PARTITION BY event_type, CAST(ts AS DATE)
+                               ORDER BY ts, event_id) AS dst
+    FROM events
+  ) WHERE dst IS NOT NULL AND dst <> src
+"""
+
+
+@register(
+    "user_triangle_count",
+    oracle=f"""
+WITH und AS ({_TRI_EDGES_SQL}),
+deg AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS d FROM (
+    SELECT u AS node FROM und UNION ALL SELECT v FROM und
+  ) GROUP BY node
+),
+-- orient each edge from the lower-rank endpoint to the higher, ranking by
+-- (degree, node id): every triangle is then counted exactly once, and the
+-- path-join fan-out per node is bounded by its FORWARD degree
+oriented AS (
+  SELECT CASE WHEN (da.d, e.u) < (db.d, e.v) THEN e.u ELSE e.v END AS a,
+         CASE WHEN (da.d, e.u) < (db.d, e.v) THEN e.v ELSE e.u END AS b
+  FROM und e
+  JOIN deg da ON da.node = e.u
+  JOIN deg db ON db.node = e.v
+),
+paths AS (
+  SELECT p1.a AS x, p1.b AS y, p2.b AS z
+  FROM oriented p1 JOIN oriented p2 ON p2.a = p1.b
+),
+tris AS (
+  SELECT p.x, p.y, p.z FROM paths p
+  JOIN oriented o ON o.a = p.x AND o.b = p.z
+)
+SELECT node AS user_id, CAST(count(*) AS BIGINT) AS n_triangles FROM (
+  SELECT x AS node FROM tris
+  UNION ALL SELECT y FROM tris
+  UNION ALL SELECT z FROM tris
+) GROUP BY node
+""",
+    description=(
+        "Per-user triangle count over the undirected hand-off graph via "
+        "degree-ordered edge orientation — each triangle found exactly "
+        "once, path fan-out bounded by forward degree (the skew-safe "
+        "distributed triangle algorithm)"
+    ),
+    # Registered mid-round 5; driver surface is at its 50-entry cap, so
+    # pytest-oracle + bench coverage until a future rotation.
+    driver_exposed=False,
+)
+def user_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How clustered is each user's neighborhood.
+
+    Scale shape — why orientation matters: joining raw adjacency on the
+    middle node fans out quadratically in that node's degree, so one hub
+    user dominates the shuffle. Orienting every edge from the
+    (degree, id)-lower endpoint to the higher caps each node's forward
+    degree at O(sqrt(|E|)), making the path join's fan-out skew-safe —
+    the standard distributed triangle-counting bound. Two equi-joins, no
+    window over the whole graph, node degrees broadcast back onto edges.
+    """
+    ev = load_tables(spark, sf_dir)["events"]
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("event_type", F.to_date("ts")).orderBy("ts", "event_id")
+    hand = ev.select(
+        F.col("user_id").alias("src"), F.lead("user_id").over(w).alias("dst")
+    ).where(F.col("dst").isNotNull() & (F.col("dst") != F.col("src")))
+    und = hand.select(
+        F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
+    ).distinct()
+    deg = (
+        und.select(F.col("u").alias("node"))
+        .unionAll(und.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    da = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
+    db = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
+    lower_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = (
+        und.join(F.broadcast(da), "u")
+        .join(F.broadcast(db), "v")
+        .select(
+            F.when(lower_first, F.col("u")).otherwise(F.col("v")).alias("a"),
+            F.when(lower_first, F.col("v")).otherwise(F.col("u")).alias("b"),
+        )
+        .cache()
+    )
+    p1 = oriented.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    p2 = oriented.select(F.col("a").alias("y"), F.col("b").alias("z"))
+    paths = p1.join(p2, "y")
+    closing = oriented.select(F.col("a").alias("x"), F.col("b").alias("z"))
+    tris = paths.join(closing, ["x", "z"]).cache()
+    nodes = (
+        tris.select(F.col("x").alias("user_id"))
+        .unionAll(tris.select(F.col("y").alias("user_id")))
+        .unionAll(tris.select(F.col("z").alias("user_id")))
+    )
+    return nodes.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_triangles"))
