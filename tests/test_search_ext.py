@@ -157,3 +157,30 @@ def test_index_append_equals_full_rebuild(spark, tmp_path):
     n_full = spark.read.parquet(full_idx + "/meta").collect()[0].n_docs
     n_inc = spark.read.parquet(inc_idx + "/meta").collect()[0].n_docs
     assert n_full == n_inc
+
+
+def test_triangle_count_plan_has_no_cartesian(spark):
+    p = _plan(all_queries()["user_triangle_count"].fn(spark, SF_DIR))
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastNestedLoopJoin" not in p, p
+    assert p.count("BroadcastHashJoin") >= 2, p  # degree relations broadcast
+
+
+def test_source_overlap_pairs_only_rare_shingles(spark):
+    """The pair self-join must run on the rare-filtered relation, not raw
+    postings — the joins stay equi-joins and nothing goes cartesian."""
+    p = _plan(all_queries()["source_shingle_overlap"].fn(spark, SF_DIR))
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastNestedLoopJoin" not in p, p
+
+
+def test_hybrid_search_broadcasts_query_embedding(spark):
+    p = _plan(all_queries()["hybrid_search_rrf"].fn(spark, SF_DIR))
+    assert "CartesianProduct" not in p, p
+    assert p.count("BroadcastExchange") >= 3, p  # df rel, n_docs, query vec
+
+
+def test_priority_sample_avoids_full_sort(spark):
+    p = _plan(all_queries()["doc_priority_sample"].fn(spark, SF_DIR))
+    assert "TakeOrderedAndProject" in p, p
+    assert "Exchange hashpartitioning" not in p, p  # one scan, no shuffle
