@@ -607,3 +607,92 @@ def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_pairs"))
         .withColumn("is_leak", F.col("split_a") != F.col("split_b"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Event-type co-occurrence PMI (round 5).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "event_type_cooccurrence_pmi",
+    oracle="""
+WITH docs AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day, event_type
+  FROM events
+),
+n AS (SELECT CAST(count(DISTINCT (user_id, day)) AS BIGINT) AS n_docs
+      FROM docs),
+tc AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_t
+       FROM docs GROUP BY event_type),
+pairs AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         CAST(count(*) AS BIGINT) AS n_both
+  FROM docs a JOIN docs b
+    ON a.user_id = b.user_id AND a.day = b.day
+   AND a.event_type < b.event_type
+  GROUP BY 1, 2
+)
+SELECT p.type_a, p.type_b, p.n_both,
+       round(ln((p.n_both::DOUBLE * n.n_docs)
+                / (ta.n_t::DOUBLE * tb.n_t)), 6) AS pmi
+FROM pairs p
+JOIN tc ta ON ta.event_type = p.type_a
+JOIN tc tb ON tb.event_type = p.type_b
+CROSS JOIN n
+""",
+    description=(
+        "Pointwise mutual information between event types co-occurring in "
+        "the same (user, day) — which behaviors travel together; the "
+        "feature-engineering co-occurrence statistic"
+    ),
+    # Registered mid-round 5; driver surface is at its 50-entry cap, so
+    # pytest-oracle + bench coverage until a future rotation.
+    driver_exposed=False,
+)
+def event_type_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which event types show up together more than chance predicts.
+
+    Scale shape: the corpus-sized pass is one distinct over
+    (user, day, type) — map-side combined, |types| rows per (user, day).
+    The self-join fans out at most |types|² per (user, day) cell (a
+    constant), the per-type totals and the 1-row doc count broadcast, and
+    the output is |types|² rows however large the corpus.
+    """
+    ev = load_tables(spark, sf_dir)["events"]
+    docs = ev.select(
+        "user_id", F.to_date("ts").alias("day"), "event_type"
+    ).distinct()
+    n = (
+        docs.select("user_id", "day")
+        .distinct()
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )
+    tc = docs.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_t"))
+    a = docs.select("user_id", "day", F.col("event_type").alias("type_a"))
+    b = docs.select("user_id", "day", F.col("event_type").alias("type_b"))
+    pairs = (
+        a.join(b, ["user_id", "day"])
+        .where(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    ta = tc.select(F.col("event_type").alias("type_a"), F.col("n_t").alias("na"))
+    tb = tc.select(F.col("event_type").alias("type_b"), F.col("n_t").alias("nb"))
+    return (
+        pairs.join(F.broadcast(ta), "type_a")
+        .join(F.broadcast(tb), "type_b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "type_a",
+            "type_b",
+            "n_both",
+            F.round(
+                F.log(
+                    (F.col("n_both").cast("double") * F.col("n_docs"))
+                    / (F.col("na").cast("double") * F.col("nb"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
