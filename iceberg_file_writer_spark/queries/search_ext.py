@@ -36,6 +36,14 @@
   ``operators/inverted_index.py`` for the build-once/probe-many
   materialization of the same postings (pytest-asserted byte-identical).
 
+- **Hybrid retrieval (RRF)**: the lexical candidates fused with cosine
+  similarity to a broadcast query embedding by reciprocal-rank fusion —
+  rank-only fusion needs no cross-modality score calibration.
+
+- **Triangle counting**: per-user triangle counts with degree-ordered
+  edge orientation, capping path-join fan-out at forward degree — the
+  skew-safe distributed algorithm.
+
 Reference scope note: the reference (/root/reference/main.go) is a
 304-line partitioned ingest driver with no join, search, or graph
 surface; these extend the query layer over its table layout. [extension]
