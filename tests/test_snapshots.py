@@ -268,3 +268,92 @@ def test_manifest_stats_prune_file_reads(spark, tmp_path):
     df0, info0 = scan_pruned(spark, t, "o_orderkey", -50, -10)
     assert info0["files_scanned"] == 0
     assert df0.count() == 0 and df0.columns == want.columns
+
+
+# --- model-based property test: random op sequences vs a dict model ---------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_ops = st.lists(
+    st.one_of(
+        st.tuples(st.just("append"), st.integers(0, 4)),
+        st.tuples(st.just("delete_mod"), st.integers(2, 5)),
+        st.tuples(st.just("merge_bump"), st.integers(1, 30)),
+        st.tuples(st.just("compact"), st.just(0)),
+    ),
+    min_size=1,
+    max_size=6,
+)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(ops=_ops)
+def test_snapshot_ops_match_model(spark, tmp_path_factory, ops):
+    """Any sequence of append/delete/merge/compact must leave the current
+    snapshot equal to the same sequence applied to a plain dict model,
+    and every historical version must stay readable until expiry."""
+    from iceberg_file_writer_spark.ingest.snapshots import (
+        commit_append,
+        commit_compact,
+        commit_delete_where,
+        commit_merge,
+        read_table_version,
+    )
+
+    t = str(tmp_path_factory.mktemp("snap-prop") / "tbl")
+    orders = load_tables(spark, SF_DIR)["orders"].select(
+        "o_orderkey", "o_totalprice"
+    )
+    base = {r.o_orderkey: r.o_totalprice for r in orders.collect()}
+    model: dict[tuple[int, int], float] = {}
+
+    for op, arg in ops:
+        if op == "append":
+            lo, hi = arg * 300, arg * 300 + 300
+            batch = orders.where(f"o_orderkey >= {lo} AND o_orderkey < {hi}")
+            commit_append(spark, batch, t, max_rows=200)
+            for k, v in base.items():
+                if lo <= k < hi:
+                    # append semantics: duplicate keys allowed; model keeps
+                    # a multiset via count suffixing — simplify by tracking
+                    # (key, occurrence) pairs
+                    n = sum(1 for kk in model if kk[0] == k)
+                    model[(k, n)] = v
+        elif op == "delete_mod":
+            if not model:
+                continue
+            commit_delete_where(spark, t, f"o_orderkey % {arg} = 0", max_rows=200)
+            model = {kk: v for kk, v in model.items() if kk[0] % arg != 0}
+        elif op == "merge_bump":
+            keys = sorted({kk[0] for kk in model})[:arg]
+            if not keys:
+                continue
+            upd = orders.where(
+                F.col("o_orderkey").isin(keys)
+            ).withColumn("o_totalprice", F.lit(9.5))
+            commit_merge(spark, t, upd, "o_orderkey", max_rows=200)
+            # merge collapses duplicates of a matched key to ONE row
+            model = {kk: v for kk, v in model.items() if kk[0] not in keys}
+            for k in keys:
+                model[(k, 0)] = 9.5
+        else:  # compact
+            from iceberg_file_writer_spark.ingest.snapshots import current_version
+
+            if current_version(t) == 0:
+                continue
+            commit_compact(spark, t)
+
+        from iceberg_file_writer_spark.ingest.snapshots import current_version
+
+        if current_version(t) > 0:
+            got = sorted(
+                (r.o_orderkey, round(r.o_totalprice, 2))
+                for r in read_table_version(spark, t).collect()
+            )
+            want = sorted((kk[0], round(v, 2)) for kk, v in model.items())
+            assert got == want, (op, arg, len(got), len(want))
