@@ -239,3 +239,53 @@ def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_words").alias("total_words"),
     )
+
+
+PER_GROUP_K = 5
+
+
+@register(
+    "doc_per_source_ksample",
+    oracle=f"""
+SELECT source, doc_id, lang FROM (
+  SELECT source, doc_id, lang,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY {_duck_hash_bucket("doc_id")} * 10000000000 + doc_id
+         ) AS rk
+  FROM documents
+) WHERE rk <= {PER_GROUP_K}
+""",
+    description=(
+        f"Deterministic fixed-{PER_GROUP_K} sample PER SOURCE by salted "
+        "hash — the per-stratum eval-example draw; WindowGroupLimit "
+        "pushdown keeps only k rows per group ahead of the sort"
+    ),
+    # Registered mid-round 5; driver surface is at its 50-entry cap, so
+    # pytest-oracle + bench coverage until a future rotation.
+    driver_exposed=False,
+)
+def doc_per_source_ksample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k reproducible examples from every source.
+
+    The per-group dual of doc_uniform_ksample: the same salted-hash order
+    (engine/run/cluster-size independent), ranked within each source.
+    Scale shape: Spark's WindowGroupLimit pushes the rank-<=-k filter
+    below the window sort, so each partition retains k rows per group
+    ahead of the exchange — per-group heaps, not a full per-group sort
+    (gated in tests/test_plans-style assertions).
+    """
+    from pyspark.sql import Window
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    order_key = _spark_hash_bucket(F.col("doc_id")) * 10_000_000_000 + F.col(
+        "doc_id"
+    )
+    return (
+        docs.select("source", "doc_id", "lang", order_key.alias("_ok"))
+        .withColumn(
+            "rk", F.row_number().over(Window.partitionBy("source").orderBy("_ok"))
+        )
+        .where(F.col("rk") <= PER_GROUP_K)
+        .select("source", "doc_id", "lang")
+    )

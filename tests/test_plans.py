@@ -394,3 +394,10 @@ def test_fuzzy_match_candidates_are_equi_join(spark):
     p = _plan(spark, "fuzzy_name_matches")
     assert "CartesianProduct" not in p, p
     assert "BroadcastNestedLoopJoin" not in p, p
+
+
+def test_per_source_ksample_uses_window_group_limit(spark):
+    """The per-group rank filter must push below the window sort: each
+    task retains k rows per group ahead of the exchange."""
+    p = _plan(spark, "doc_per_source_ksample")
+    assert "WindowGroupLimit" in p, p
