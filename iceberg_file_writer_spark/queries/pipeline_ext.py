@@ -1745,3 +1745,164 @@ def snapshot_changes_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = _snapshot_fixture(spark, sf_dir)
     return changes_between(spark, t, 2, 3)
+
+
+# ---------------------------------------------------------------------------
+# Content-defined chunking dedup (round 5).
+# ---------------------------------------------------------------------------
+
+# Rolling 4-token Horner hash; boundary when rh % CDC_DIVISOR == 0 (mean
+# chunk length = CDC_DIVISOR tokens). A boundary token CLOSES its chunk.
+CDC_WINDOW = 4
+CDC_DIVISOR = 8
+
+
+def _cdc_chunks_sql() -> str:
+    from iceberg_file_writer_spark.operators.text import HORNER_C, MERSENNE_P
+
+    from iceberg_file_writer_spark.queries.dedup import _WORDX_SQL
+
+    P, C = MERSENNE_P, HORNER_C
+    return f"""
+wordx AS ({_WORDX_SQL}),
+rolled AS (
+  SELECT doc_id, pos, xw,
+    ((((lag(xw,3) OVER w * {C} + lag(xw,2) OVER w) % {P}) * {C}
+       + lag(xw,1) OVER w) % {P} * {C} + xw) % {P} AS rh
+  FROM wordx WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+),
+marked AS (
+  SELECT doc_id, pos, xw,
+    CASE WHEN pos >= {CDC_WINDOW - 1} AND rh % {CDC_DIVISOR} = 0
+         THEN 1 ELSE 0 END AS bnd
+  FROM rolled
+),
+chunked AS (
+  SELECT doc_id, pos, xw,
+    COALESCE(SUM(bnd) OVER (PARTITION BY doc_id ORDER BY pos
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk_idx
+  FROM marked
+),
+cdc_chunks AS (
+  SELECT doc_id, chunk_idx,
+         md5(string_agg(CAST(xw AS VARCHAR), ',' ORDER BY pos)) AS chunk_hash,
+         CAST(count(*) AS BIGINT) AS n_tokens
+  FROM chunked GROUP BY doc_id, chunk_idx
+)"""
+
+
+def cdc_chunks_df(docs: DataFrame) -> DataFrame:
+    """(doc_id, chunk_idx, chunk_hash, n_tokens) with content-defined
+    boundaries: unlike fixed windows, inserting or deleting a token
+    re-chunks only the O(1) neighborhood around the edit — every chunk
+    whose 4-token boundary context is untouched keeps its digest."""
+    from pyspark.sql import Window
+
+    from iceberg_file_writer_spark.operators.text import (
+        HORNER_C,
+        MERSENNE_P,
+        word_hash,
+        words,
+    )
+
+    P, C = MERSENNE_P, HORNER_C
+    wordx = docs.select(
+        "doc_id", F.posexplode(words(F.col("text"))).alias("pos", "wtok")
+    ).select("doc_id", "pos", word_hash(F.col("wtok")).alias("xw"))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    rolled = wordx.select(
+        "doc_id",
+        "pos",
+        "xw",
+        F.expr(
+            f"(((lag(xw,3) OVER (PARTITION BY doc_id ORDER BY pos) * {C}"
+            f" + lag(xw,2) OVER (PARTITION BY doc_id ORDER BY pos)) % {P}) * {C}"
+            f" + lag(xw,1) OVER (PARTITION BY doc_id ORDER BY pos)) % {P}"
+        ).alias("h2"),
+    ).select(
+        "doc_id",
+        "pos",
+        "xw",
+        F.expr(f"(h2 * {C} + xw) % {P}").alias("rh"),
+    )
+    marked = rolled.select(
+        "doc_id",
+        "pos",
+        "xw",
+        F.when(
+            (F.col("pos") >= CDC_WINDOW - 1) & (F.col("rh") % CDC_DIVISOR == 0), 1
+        )
+        .otherwise(0)
+        .alias("bnd"),
+    )
+    chunked = marked.select(
+        "doc_id",
+        "pos",
+        "xw",
+        F.coalesce(
+            F.sum("bnd").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        ).alias("chunk_idx"),
+    )
+    return (
+        chunked.groupBy("doc_id", "chunk_idx")
+        .agg(
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("pos", "xw"))),
+                        lambda s: s.xw.cast("string"),
+                    ),
+                    ",",
+                )
+            ).alias("chunk_hash"),
+            F.count(F.lit(1)).alias("n_tokens"),
+        )
+    )
+
+
+@register(
+    "cdc_chunk_dedup",
+    oracle=f"""
+WITH {_cdc_chunks_sql()}
+SELECT chunk_hash,
+       CAST(count(*) AS BIGINT)               AS n_occurrences,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       min(doc_id)                            AS keeper_doc_id
+FROM cdc_chunks
+GROUP BY chunk_hash
+HAVING count(DISTINCT doc_id) > 1
+""",
+    description=(
+        f"Content-defined chunk dedup: rolling {CDC_WINDOW}-token Horner "
+        f"hash draws boundaries (mean chunk {CDC_DIVISOR} tokens), so "
+        "edits re-chunk only their neighborhood — duplicated spans found "
+        "even when fixed windows would phase-shift past them"
+    ),
+    # Registered mid-round 5; driver surface is at its 50-entry cap, so
+    # pytest-oracle + bench coverage until a future rotation.
+    driver_exposed=False,
+)
+def cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shift-robust duplicated-span detection.
+
+    Fixed-window chunking (chunk_exact_dedup) misses a duplicated
+    paragraph when a single token prepended upstream shifts every window
+    by one. Content-defined boundaries depend only on the local 4-token
+    context, so shared spans re-align on the same boundaries in both
+    documents regardless of offset (shift-robustness pytest-asserted on
+    a constructed shifted pair). Scale shape identical to fixed-window
+    chunk dedup: the shuffle carries (32-hex digest, doc_id) per chunk;
+    the rolling hash itself is one per-doc window pass.
+    """
+    docs = load_tables(spark, sf_dir)["documents"]
+    return (
+        cdc_chunks_df(docs)
+        .groupBy("chunk_hash")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.min("doc_id").alias("keeper_doc_id"),
+        )
+        .where(F.col("n_docs") > 1)
+    )
