@@ -1906,3 +1906,85 @@ def cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("n_docs") > 1)
     )
+
+
+@register(
+    "doc_stitch_candidates",
+    oracle=f"""
+WITH {_cdc_chunks_sql()},
+bounds AS (
+  SELECT doc_id,
+         min(chunk_idx) AS lo, max(chunk_idx) AS hi
+  FROM cdc_chunks GROUP BY doc_id
+),
+firsts AS (
+  SELECT c.doc_id, c.chunk_hash, c.n_tokens
+  FROM cdc_chunks c JOIN bounds b
+    ON b.doc_id = c.doc_id AND c.chunk_idx = b.lo
+),
+lasts AS (
+  SELECT c.doc_id, c.chunk_hash, c.n_tokens
+  FROM cdc_chunks c JOIN bounds b
+    ON b.doc_id = c.doc_id AND c.chunk_idx = b.hi
+)
+SELECT l.doc_id AS head_doc_id, f.doc_id AS tail_doc_id,
+       l.chunk_hash AS shared_chunk_hash,
+       l.n_tokens AS shared_tokens
+FROM lasts l JOIN firsts f
+  ON f.chunk_hash = l.chunk_hash AND f.doc_id <> l.doc_id
+WHERE l.n_tokens >= 4
+""",
+    description=(
+        "Overlapping-shard stitching candidates: a document whose LAST "
+        "content-defined chunk equals another's FIRST chunk repeats that "
+        "span — the sliding-window export overlap signal (>= 4 shared "
+        "boundary tokens; fires when the head closes on a boundary whose "
+        "context lies inside the shared chunk)"
+    ),
+    # Registered mid-round 5; driver surface is at its 50-entry cap, so
+    # pytest-oracle + bench coverage until a future rotation.
+    driver_exposed=False,
+)
+def doc_stitch_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which documents repeat each other's boundary spans.
+
+    Sliding-window shard exports (and our own doc_token_chunks) overlap
+    fragments so no span is lost at cut points; the overlapped region
+    then duplicates content that whole-document near-dup misses (too
+    little total overlap). Content-defined boundaries make it detectable:
+    when the head ends on a boundary whose 4-token context lies inside
+    the shared chunk, the tail re-draws that exact boundary and the two
+    chunks hash identically (constructed-overlap pytest in
+    tests/test_cdc_chunking.py). Scale shape: per-doc first/last
+    chunks are a WindowGroupLimit-sized relation (2 rows per doc); the
+    candidate join is digest-to-digest equi-join — no text, no all-pairs.
+    """
+    from pyspark.sql import Window
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    chunks = cdc_chunks_df(docs)
+    wlo = Window.partitionBy("doc_id").orderBy(F.asc("chunk_idx"))
+    whi = Window.partitionBy("doc_id").orderBy(F.desc("chunk_idx"))
+    firsts = (
+        chunks.withColumn("rk", F.row_number().over(wlo))
+        .where(F.col("rk") == 1)
+        .select(
+            F.col("doc_id").alias("tail_doc_id"),
+            F.col("chunk_hash").alias("fh"),
+        )
+    )
+    lasts = (
+        chunks.withColumn("rk", F.row_number().over(whi))
+        .where(F.col("rk") == 1)
+        .where(F.col("n_tokens") >= 4)
+        .select(
+            F.col("doc_id").alias("head_doc_id"),
+            F.col("chunk_hash").alias("shared_chunk_hash"),
+            F.col("n_tokens").alias("shared_tokens"),
+        )
+    )
+    return (
+        lasts.join(firsts, lasts.shared_chunk_hash == firsts.fh)
+        .where(F.col("head_doc_id") != F.col("tail_doc_id"))
+        .select("head_doc_id", "tail_doc_id", "shared_chunk_hash", "shared_tokens")
+    )

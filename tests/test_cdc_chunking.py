@@ -51,3 +51,48 @@ def test_cdc_chunks_partition_every_token_exactly_once(spark):
         idxs = sorted(i for i, _ in cs)
         assert idxs == list(range(len(cs)))
         assert sum(n for _, n in cs) == len(texts[doc_id].split(" "))
+
+
+def test_stitch_detection_on_constructed_overlap(spark):
+    """Overlapping shards must be detected: when a head document ends ON a
+    chunk boundary and the next shard repeats that closing chunk (the
+    sliding-window export overlap), the head's last chunk and the tail's
+    first chunk hash identically. Construction: truncate a corpus doc at
+    an interior boundary-closed chunk with >= 4 tokens (its boundary's
+    4-token context lies inside the chunk, so it re-fires when the chunk
+    opens the tail document)."""
+    from iceberg_file_writer_spark.queries.pipeline_ext import cdc_chunks_df
+
+    base = None
+    pick = None
+    docs = load_tables(spark, SF_DIR)["documents"].orderBy("doc_id").limit(10)
+    for row in docs.collect():
+        one = spark.createDataFrame([(0, row.text)], "doc_id long, text string")
+        chunks = sorted(
+            (r.chunk_idx, r.n_tokens) for r in cdc_chunks_df(one).collect()
+        )
+        # interior (boundary-closed) chunk with its whole context inside
+        start = 0
+        for idx, n in chunks[:-1]:
+            if n >= 4:
+                pick = (start, n)
+                break
+            start += n
+        if pick:
+            base = row.text
+            break
+        pick = None
+    assert base is not None, "no corpus doc with an interior >=4-token chunk"
+
+    toks = base.split(" ")
+    start, n = pick
+    head = " ".join(toks[: start + n])  # ends exactly on the boundary
+    tail = " ".join(toks[start : start + n] + ["fresh", "continuation", "words"])
+    pair = spark.createDataFrame(
+        [(0, head), (1, tail)], "doc_id long, text string"
+    )
+    pc = cdc_chunks_df(pair).collect()
+    last_of_head = max((r for r in pc if r.doc_id == 0), key=lambda r: r.chunk_idx)
+    first_of_tail = min((r for r in pc if r.doc_id == 1), key=lambda r: r.chunk_idx)
+    assert last_of_head.chunk_hash == first_of_tail.chunk_hash
+    assert last_of_head.n_tokens == n
