@@ -696,3 +696,87 @@ def event_type_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("pmi"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Robust (MAD) outlier detection (round 5).
+# ---------------------------------------------------------------------------
+
+MAD_THRESHOLD = 3.5  # the conventional modified-z-score cutoff
+
+
+@register(
+    "event_value_mad_outliers",
+    oracle=f"""
+WITH med AS (
+  SELECT event_type, quantile_disc(value, 0.5) AS med
+  FROM events GROUP BY event_type
+),
+dev AS (
+  SELECT e.event_type, e.event_id, e.value, m.med,
+         abs(e.value - m.med) AS adev
+  FROM events e JOIN med m USING (event_type)
+),
+mad AS (
+  SELECT event_type, quantile_disc(adev, 0.5) AS mad
+  FROM dev GROUP BY event_type
+)
+SELECT d.event_type,
+       CAST(count(*) AS BIGINT) AS n_outliers,
+       CAST(min(d.event_id) AS BIGINT) AS first_outlier_id,
+       round(max(abs(d.value - d.med) / (1.4826 * m.mad)), 6) AS max_robust_z
+FROM dev d JOIN mad m USING (event_type)
+WHERE m.mad > 0
+  AND abs(d.value - d.med) / (1.4826 * m.mad) > {MAD_THRESHOLD}
+GROUP BY d.event_type
+""",
+    description=(
+        "Robust outlier detection: per-type median absolute deviation "
+        f"(MAD) modified z-scores, flagging |z| > {MAD_THRESHOLD} — "
+        "median/MAD resist the very outliers a stddev-based z-score "
+        "absorbs"
+    ),
+    # Registered mid-round 5; driver surface is at its 50-entry cap, so
+    # pytest-oracle + bench coverage until a future rotation.
+    driver_exposed=False,
+)
+def event_value_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outliers a mean/stddev z-score would hide.
+
+    Extreme values inflate the stddev that is supposed to expose them;
+    median and MAD are 50%-breakdown robust. Two GK-percentile passes
+    (median per type, then median absolute deviation per type), each a
+    map-side partial-aggregated sketch with the |types|-row result
+    broadcast back — no global sorts. Exact-accuracy sketches make the
+    oracle's quantile_disc equality exact at check SF; the production
+    accuracy is the bounded default (relational_ext.approx_percentiles).
+    """
+    from iceberg_file_writer_spark.queries.relational_ext import (
+        _PCT_EXACT_ORACLE_ACCURACY,
+    )
+
+    ev = load_tables(spark, sf_dir)["events"]
+    med = ev.groupBy("event_type").agg(
+        F.percentile_approx("value", 0.5, _PCT_EXACT_ORACLE_ACCURACY).alias("med")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        "event_id",
+        "value",
+        "med",
+        F.abs(F.col("value") - F.col("med")).alias("adev"),
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.percentile_approx("adev", 0.5, _PCT_EXACT_ORACLE_ACCURACY).alias("mad")
+    )
+    z = F.abs(F.col("value") - F.col("med")) / (F.lit(1.4826) * F.col("mad"))
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .where((F.col("mad") > 0) & (z > MAD_THRESHOLD))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_outliers"),
+            F.min("event_id").alias("first_outlier_id"),
+            F.round(F.max(z), 6).alias("max_robust_z"),
+        )
+    )
