@@ -92,6 +92,22 @@ def read_source(
         return reader.option("mode", "FAILFAST").json(input_path)
     if source_format == "parquet":
         return reader.parquet(input_path)
+    if source_format == "csv":
+        # CSV cells are scalars; nested/array fields have no standard CSV
+        # encoding, so reject them loudly rather than silently mangle
+        nested = [
+            f.name
+            for f in schema.fields
+            if isinstance(f.dataType, (T.ArrayType, T.StructType, T.MapType))
+        ]
+        if nested:
+            raise ValueError(
+                f"csv source supports flat schemas only; nested fields: {nested} "
+                "(use json/parquet, or flatten upstream)"
+            )
+        return reader.option("mode", "FAILFAST").option("header", "true").csv(
+            input_path
+        )
     if source_format == "avro":
         require_format(spark, "avro")
         return reader.format("avro").load(input_path)
