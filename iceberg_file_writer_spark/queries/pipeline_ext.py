@@ -1988,3 +1988,203 @@ def doc_stitch_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("head_doc_id") != F.col("tail_doc_id"))
         .select("head_doc_id", "tail_doc_id", "shared_chunk_hash", "shared_tokens")
     )
+
+
+# ---------------------------------------------------------------------------
+# Leave-one-out trigram stupid-backoff scoring (round 5).
+# ---------------------------------------------------------------------------
+
+SB_ALPHA = 0.4  # the stupid-backoff discount
+
+
+@register(
+    "doc_trigram_backoff_logprob",
+    oracle=f"""
+WITH wx AS (
+  SELECT doc_id, i AS pos, ws[i] AS w
+  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       unnest(range(1, len(ws) + 1)) AS t(i)
+),
+tg AS (
+  SELECT a.doc_id, a.w AS w1, b.w AS w2, c.w AS w3
+  FROM wx a
+  JOIN wx b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+  JOIN wx c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2
+),
+tgd AS (
+  SELECT doc_id, w1, w2, w3, CAST(count(*) AS BIGINT) AS cnt,
+         CAST(SUM(count(*)) OVER (PARTITION BY w1, w2, w3) AS BIGINT) AS ct_all
+  FROM tg GROUP BY doc_id, w1, w2, w3
+),
+bgd12 AS (
+  SELECT doc_id, w1, w2, CAST(count(*) AS BIGINT) AS b12,
+         CAST(SUM(count(*)) OVER (PARTITION BY w1, w2) AS BIGINT) AS b12_all
+  FROM tg GROUP BY doc_id, w1, w2
+),
+bgd23 AS (
+  SELECT doc_id, w2, w3, CAST(count(*) AS BIGINT) AS b23,
+         CAST(SUM(count(*)) OVER (PARTITION BY w2, w3) AS BIGINT) AS b23_all
+  FROM tg GROUP BY doc_id, w2, w3
+),
+ugd2 AS (
+  SELECT doc_id, w2, CAST(count(*) AS BIGINT) AS u2,
+         CAST(SUM(count(*)) OVER (PARTITION BY w2) AS BIGINT) AS u2_all
+  FROM tg GROUP BY doc_id, w2
+),
+ugd3 AS (
+  SELECT doc_id, w3, CAST(count(*) AS BIGINT) AS u3,
+         CAST(SUM(count(*)) OVER (PARTITION BY w3) AS BIGINT) AS u3_all
+  FROM tg GROUP BY doc_id, w3
+),
+totd AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS td,
+         CAST(SUM(count(*)) OVER () AS BIGINT) AS t_all
+  FROM tg GROUP BY doc_id
+),
+v AS (SELECT CAST(count(DISTINCT w) AS BIGINT) AS v FROM wx),
+scored AS (
+  SELECT t.doc_id, t.cnt,
+    CASE
+      WHEN t.ct_all - t.cnt > 0
+        THEN (t.ct_all - t.cnt)::DOUBLE / (g12.b12_all - g12.b12)
+      WHEN g23.b23_all - g23.b23 > 0
+        THEN {SB_ALPHA} * (g23.b23_all - g23.b23)::DOUBLE
+             / (u2.u2_all - u2.u2)
+      ELSE {SB_ALPHA} * {SB_ALPHA}
+           * (u3.u3_all - u3.u3 + 1.0)
+           / (tt.t_all - tt.td + v.v)
+    END AS p,
+    CASE WHEN t.ct_all - t.cnt > 0 THEN 'tri'
+         WHEN g23.b23_all - g23.b23 > 0 THEN 'bi' ELSE 'uni' END AS lvl
+  FROM tgd t
+  JOIN bgd12 g12 ON g12.doc_id = t.doc_id AND g12.w1 = t.w1 AND g12.w2 = t.w2
+  JOIN bgd23 g23 ON g23.doc_id = t.doc_id AND g23.w2 = t.w2 AND g23.w3 = t.w3
+  JOIN ugd2 u2 ON u2.doc_id = t.doc_id AND u2.w2 = t.w2
+  JOIN ugd3 u3 ON u3.doc_id = t.doc_id AND u3.w3 = t.w3
+  JOIN totd tt ON tt.doc_id = t.doc_id
+  CROSS JOIN v
+)
+SELECT doc_id,
+       CAST(sum(cnt) AS BIGINT) AS n_trigrams,
+       round(-sum(cnt * ln(p)) / sum(cnt), 6) AS mean_nll,
+       round(sum(CASE WHEN lvl = 'tri' THEN cnt ELSE 0 END)::DOUBLE
+             / sum(cnt), 6) AS frac_tri,
+       round(sum(CASE WHEN lvl = 'uni' THEN cnt ELSE 0 END)::DOUBLE
+             / sum(cnt), 6) AS frac_uni
+FROM scored GROUP BY doc_id
+""",
+    description=(
+        "Leave-one-out trigram stupid-backoff scoring: each document's "
+        "mean NLL under the corpus model MINUS its own counts — the "
+        "self-inflation correction perplexity filters need (a doc cannot "
+        "look fluent just by matching itself); backoff levels reported"
+    ),
+    # Registered mid-round 5; driver surface is at its 50-entry cap, so
+    # pytest-oracle + bench coverage until a future rotation.
+    driver_exposed=False,
+)
+def doc_trigram_backoff_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trigram LM with stupid backoff, trained leave-one-out in one plan.
+
+    Scoring a corpus under a model trained on that corpus inflates every
+    document (its own n-grams are in the counts), and on the training set
+    the trigram branch always fires so backoff code goes untested.
+    Leave-one-out fixes both: global counts come from window sums over
+    the per-doc count relations (SUM OVER (PARTITION BY gram) - own), so
+    "the model minus this document" costs no second training pass.
+
+    Scale shape: each gram relation shuffles once on its gram key for the
+    window sum (trigram keys are high-cardinality — no hot partitions),
+    then joins back on (doc_id, gram) — co-partitioned with the per-doc
+    aggregates. No broadcast of corpus-sized state; the only global
+    scalars are V and the 1-row total.
+    """
+    from pyspark.sql import Window
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    from iceberg_file_writer_spark.operators.text import words
+
+    wx = docs.select(
+        "doc_id", F.posexplode(words(F.col("text"))).alias("pos", "w")
+    )
+    dw = Window.partitionBy("doc_id").orderBy("pos")
+    tg = (
+        wx.select(
+            "doc_id",
+            F.col("w").alias("w1"),
+            F.lead("w", 1).over(dw).alias("w2"),
+            F.lead("w", 2).over(dw).alias("w3"),
+        )
+        .where(F.col("w3").isNotNull())
+        .cache()
+    )
+
+    def loo(keys: list[str], cname: str) -> DataFrame:
+        per = tg.groupBy("doc_id", *keys).agg(F.count(F.lit(1)).alias(cname))
+        return per.withColumn(
+            f"{cname}_all", F.sum(cname).over(Window.partitionBy(*keys))
+        )
+
+    tgd = loo(["w1", "w2", "w3"], "cnt")
+    bgd12 = loo(["w1", "w2"], "b12")
+    bgd23 = loo(["w2", "w3"], "b23")
+    ugd2 = loo(["w2"], "u2")
+    ugd3 = loo(["w3"], "u3")
+    totd = tg.groupBy("doc_id").agg(F.count(F.lit(1)).alias("td"))
+    t_all = tg.agg(F.count(F.lit(1)).cast("long").alias("t_all"))
+    v = wx.agg(F.countDistinct("w").alias("v"))
+
+    j = (
+        tgd.join(bgd12, ["doc_id", "w1", "w2"])
+        .join(bgd23, ["doc_id", "w2", "w3"])
+        .join(ugd2, ["doc_id", "w2"])
+        .join(ugd3, ["doc_id", "w3"])
+        .join(totd, "doc_id")
+        .crossJoin(F.broadcast(t_all))
+        .crossJoin(F.broadcast(v))
+    )
+    p = (
+        F.when(
+            F.col("cnt_all") - F.col("cnt") > 0,
+            (F.col("cnt_all") - F.col("cnt")).cast("double")
+            / (F.col("b12_all") - F.col("b12")),
+        )
+        .when(
+            F.col("b23_all") - F.col("b23") > 0,
+            F.lit(SB_ALPHA)
+            * (F.col("b23_all") - F.col("b23")).cast("double")
+            / (F.col("u2_all") - F.col("u2")),
+        )
+        .otherwise(
+            F.lit(SB_ALPHA)
+            * F.lit(SB_ALPHA)
+            * (F.col("u3_all") - F.col("u3") + F.lit(1.0))
+            / (F.col("t_all") - F.col("td") + F.col("v"))
+        )
+    )
+    lvl = (
+        F.when(F.col("cnt_all") - F.col("cnt") > 0, "tri")
+        .when(F.col("b23_all") - F.col("b23") > 0, "bi")
+        .otherwise("uni")
+    )
+    scored = j.select("doc_id", "cnt", p.alias("p"), lvl.alias("lvl"))
+    return scored.groupBy("doc_id").agg(
+        F.sum("cnt").alias("n_trigrams"),
+        F.round(-F.sum(F.col("cnt") * F.log("p")) / F.sum("cnt"), 6).alias(
+            "mean_nll"
+        ),
+        F.round(
+            F.sum(F.when(F.col("lvl") == "tri", F.col("cnt")).otherwise(0)).cast(
+                "double"
+            )
+            / F.sum("cnt"),
+            6,
+        ).alias("frac_tri"),
+        F.round(
+            F.sum(F.when(F.col("lvl") == "uni", F.col("cnt")).otherwise(0)).cast(
+                "double"
+            )
+            / F.sum("cnt"),
+            6,
+        ).alias("frac_uni"),
+    )
