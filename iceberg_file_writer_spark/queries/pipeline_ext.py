@@ -1962,7 +1962,11 @@ def doc_stitch_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     docs = load_tables(spark, sf_dir)["documents"]
-    chunks = cdc_chunks_df(docs)
+    # cache(): the first/last window branches are two consumers of the
+    # chunk relation — uncached, Spark replans the whole rolling-hash
+    # pipeline per branch (same multi-consumer policy as dedup.py's gram
+    # relations). The cached artifact is chunk-digest-sized, not text.
+    chunks = cdc_chunks_df(docs).cache()
     wlo = Window.partitionBy("doc_id").orderBy(F.asc("chunk_idx"))
     whi = Window.partitionBy("doc_id").orderBy(F.desc("chunk_idx"))
     firsts = (
