@@ -57,6 +57,7 @@ def register(name: str, oracle: str | None, description: str = "", driver_expose
 def _import_all() -> None:
     from iceberg_file_writer_spark.queries import (  # noqa: F401
         analytics_ext,
+        batching_ext,
         decontam,
         dedup,
         events,

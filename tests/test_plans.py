@@ -401,3 +401,44 @@ def test_per_source_ksample_uses_window_group_limit(spark):
     task retains k rows per group ahead of the exchange."""
     p = _plan(spark, "doc_per_source_ksample")
     assert "WindowGroupLimit" in p, p
+
+
+def test_length_bucketed_batches_cellwise(spark):
+    """Padded-batch construction runs inside (bucket, shard) cells: one
+    window exchange plus the co-keyed batch aggregate — no join, no
+    global sort, no Python anywhere."""
+    p = _plan(spark, "length_bucketed_batches")
+    assert len(re.findall(r"\(\d+\) Exchange", p)) <= 2, p
+    assert "Join" not in p, p
+    assert "TakeOrderedAndProject" not in p, p
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p, p
+
+
+def test_event_transition_matrix_joinless(spark):
+    """Markov transitions: one user-keyed window pass, the pair counts
+    partial-aggregated, the normalizing window on the types^2 relation —
+    never a self-join of the event stream."""
+    p = _plan(spark, "event_transition_matrix")
+    assert "Join" not in p, p
+    assert "hashpartitioning(user_id" in p, p
+
+
+def test_doc_oov_rate_vocab_is_broadcast(spark):
+    """OOV audit: the top-V vocabulary must broadcast to the occurrence
+    anti-join (LeftAnti BroadcastHashJoin) and be selected by
+    TakeOrderedAndProject, never a global sort of the count relation."""
+    p = _plan(spark, "doc_oov_rate")
+    assert "TakeOrderedAndProject" in p, p
+    assert "BroadcastHashJoin LeftAnti" in p, p
+    assert "CartesianProduct" not in p, p
+
+
+def test_hot_key_audit_topk_and_broadcast_total(spark):
+    """Skew audit: the heavy-key selection is a TakeOrderedAndProject
+    (top-k, never a global sort) and the 1-row grand total arrives by
+    broadcast nested-loop — the key-count relation itself never
+    re-shuffles for the share computation."""
+    p = _plan(spark, "hot_key_audit")
+    assert "TakeOrderedAndProject" in p, p
+    assert "BroadcastNestedLoopJoin" in p, p
+    assert "CartesianProduct" not in p, p
