@@ -58,6 +58,7 @@ def _import_all() -> None:
     from iceberg_file_writer_spark.queries import (  # noqa: F401
         analytics_ext,
         batching_ext,
+        curation_ext,
         decontam,
         dedup,
         events,

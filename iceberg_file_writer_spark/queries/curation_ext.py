@@ -1,0 +1,203 @@
+"""Curation-planning operators, round 5 [extension — not in reference]:
+
+- **quality-cutoff survival curve**: documents bucketed by an exact
+  integer quality score (distinct-word permille), with per-bucket and
+  cumulative surviving doc/token counts — the tradeoff curve a curation
+  team reads before choosing a filter threshold ("how many tokens do we
+  keep at each cutoff"). The corpus-sized work is one scan + one
+  partial-aggregated groupBy onto a ≤21-row bucket relation; the
+  cumulative window runs on those 21 rows. All integer arithmetic —
+  bitwise cross-engine.
+- **near-dup canonical by quality**: the dedup endgame upgraded from
+  "keep the minimum doc_id" to "keep the best document of each
+  near-dup cluster" — connected-component labels joined with the same
+  quality score, top-1 per cluster by (quality desc, doc_id). The
+  cluster relation is pair-graph-sized (orders smaller than the
+  corpus), the quality join is doc_id-keyed, and the per-cluster top-1
+  is a WindowGroupLimit pushdown, never a sort of the corpus.
+
+Reference scope note: the reference (/root/reference/main.go) is a
+304-line partitioned ingest driver with no query surface; these extend
+its data model on the read side. [extension]
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from iceberg_file_writer_spark.operators.text import words
+from iceberg_file_writer_spark.queries import register
+from iceberg_file_writer_spark.queries.dedup import (
+    _MINHASH_PAIRS_CTES,
+    neardup_cluster_canonical,
+)
+from iceberg_file_writer_spark.tables import load_tables
+
+BUCKET_PERMILLE = 50  # survival-curve bucket width (score is 0..1000)
+
+_QUALITY_SQL = (
+    "(1000 * len(list_distinct(string_split(text, ' ')))) "
+    "// len(string_split(text, ' '))"
+)
+
+
+def _quality_permille(text_col) -> "F.Column":
+    """Distinct-word permille: exact integer in [0, 1000]."""
+    ws = words(text_col)
+    return F.floor(
+        (F.lit(1000) * F.size(F.array_distinct(ws))) / F.size(ws)
+    ).cast("long")
+
+
+@register(
+    "quality_cutoff_survival",
+    oracle=f"""
+WITH d AS (
+  SELECT len(string_split(text, ' ')) AS n_tokens,
+         ({_QUALITY_SQL}) // {BUCKET_PERMILLE} AS bucket
+  FROM documents
+),
+b AS (
+  SELECT bucket, count(*) AS n_docs, sum(n_tokens)::BIGINT AS n_tokens
+  FROM d GROUP BY bucket
+)
+SELECT bucket::BIGINT                            AS bucket,
+       (bucket * {BUCKET_PERMILLE})::BIGINT      AS cutoff_permille,
+       n_docs, n_tokens,
+       sum(n_docs) OVER (ORDER BY bucket DESC
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         ::BIGINT AS surviving_docs,
+       sum(n_tokens) OVER (ORDER BY bucket DESC
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         ::BIGINT AS surviving_tokens
+FROM b
+""",
+    description=(
+        "Quality-cutoff survival curve: per distinct-word-permille bucket, "
+        "doc/token counts plus the cumulative docs/tokens surviving at "
+        "each quality threshold"
+    ),
+    driver_exposed=False,
+    # Registered after the round-5 driver surface froze at the cap;
+    # pytest-oracle-checked at sf0.001/sf0.01 (test_oracle_parity).
+)
+def quality_cutoff_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter-threshold tradeoff curve.
+
+    Scale shape: one corpus scan computing two integer expressions, one
+    map-side-combined groupBy onto <= 1000/BUCKET_PERMILLE + 1 bucket
+    rows, and a cumulative window over that constant-sized relation.
+    The single-partition window is on ~21 rows by construction — the
+    global-order objection does not apply.
+    """
+    docs = load_tables(spark, sf_dir)["documents"]
+    d = docs.select(
+        F.size(words(F.col("text"))).cast("long").alias("n_tokens"),
+        F.floor(_quality_permille(F.col("text")) / BUCKET_PERMILLE)
+        .cast("long")
+        .alias("bucket"),
+    )
+    b = d.groupBy("bucket").agg(
+        F.count("*").alias("n_docs"), F.sum("n_tokens").alias("n_tokens")
+    )
+    w = (
+        Window.orderBy(F.col("bucket").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return b.select(
+        "bucket",
+        (F.col("bucket") * BUCKET_PERMILLE).cast("long").alias(
+            "cutoff_permille"
+        ),
+        "n_docs",
+        "n_tokens",
+        F.sum("n_docs").over(w).alias("surviving_docs"),
+        F.sum("n_tokens").over(w).alias("surviving_tokens"),
+    )
+
+
+@register(
+    "neardup_canonical_by_quality",
+    oracle=f"""
+WITH RECURSIVE {_MINHASH_PAIRS_CTES},
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+),
+reach AS (
+  SELECT src AS doc, src AS r FROM edges
+  UNION
+  SELECT src AS doc, dst AS r FROM edges
+  UNION
+  SELECT re.doc, e.dst AS r
+  FROM reach re JOIN edges e ON e.src = re.r
+),
+canon AS (
+  SELECT doc AS doc_id, min(r) AS cluster_id
+  FROM reach GROUP BY doc
+),
+q AS (
+  SELECT c.cluster_id, c.doc_id,
+         ({_QUALITY_SQL}) AS quality_permille
+  FROM canon c JOIN documents USING (doc_id)
+),
+ranked AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY cluster_id
+                            ORDER BY quality_permille DESC, doc_id) AS rn,
+         count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+  FROM q
+)
+SELECT cluster_id, cluster_size::BIGINT AS cluster_size,
+       doc_id AS keep_doc_id,
+       quality_permille::BIGINT AS keep_quality_permille
+FROM ranked WHERE rn = 1
+""",
+    description=(
+        "Near-dup canonical selection by quality: each duplicate "
+        "cluster's keeper is its highest-distinct-word-permille member "
+        "(tie-break doc_id), not the minimum id"
+    ),
+    driver_exposed=False,
+    # Registered after the round-5 driver surface froze at the cap;
+    # pytest-oracle-checked at sf0.001/sf0.01 (test_oracle_parity).
+)
+def neardup_canonical_by_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-ranked keeper selection over near-dup clusters.
+
+    Composes the checked-fixpoint connected components (cluster labels)
+    with the quality score: clusters join documents on doc_id (the
+    cluster relation is pair-graph-sized), and the per-cluster argmax is
+    a rank-1 window filter Spark plans as WindowGroupLimit — each task
+    keeps one candidate per cluster ahead of the exchange. No corpus
+    sort, no driver-side state beyond the CC fixpoint's convergence
+    aggregate.
+    """
+    clusters = neardup_cluster_canonical(spark, sf_dir).select(
+        "doc_id",
+        F.col("canonical_doc_id").alias("cluster_id"),
+        "cluster_size",
+    )
+    docs = load_tables(spark, sf_dir)["documents"].select(
+        "doc_id", _quality_permille(F.col("text")).alias("quality_permille")
+    )
+    q = clusters.join(docs, "doc_id")
+    # cluster_size rides along from the CC output instead of a second
+    # count() window here — a rank-1 filter over a lone row_number window
+    # is what Spark pushes down as WindowGroupLimit; adding any other
+    # window function over the same partition would forfeit the pushdown.
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("quality_permille").desc(), "doc_id"
+    )
+    return (
+        q.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "cluster_id",
+            "cluster_size",
+            F.col("doc_id").alias("keep_doc_id"),
+            F.col("quality_permille").alias("keep_quality_permille"),
+        )
+    )

@@ -442,3 +442,22 @@ def test_hot_key_audit_topk_and_broadcast_total(spark):
     assert "TakeOrderedAndProject" in p, p
     assert "BroadcastNestedLoopJoin" in p, p
     assert "CartesianProduct" not in p, p
+
+
+def test_quality_survival_constant_sized_tail(spark):
+    """Survival curve: one bucket aggregate exchange plus the cumulative
+    window's single-partition exchange over the ~21-row bucket relation —
+    no join, no Python, nothing corpus-sized after the first aggregate."""
+    p = _plan(spark, "quality_cutoff_survival")
+    assert len(re.findall(r"\(\d+\) Exchange", p)) <= 2, p
+    assert "Join" not in p, p
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p, p
+
+
+def test_canonical_by_quality_uses_window_group_limit(spark):
+    """Quality-ranked keeper selection: the rank-1 filter must push below
+    the per-cluster window sort (WindowGroupLimit), and the cluster/
+    quality join must never degrade to a cartesian."""
+    p = _plan(spark, "neardup_canonical_by_quality")
+    assert "WindowGroupLimit" in p, p
+    assert "CartesianProduct" not in p, p
