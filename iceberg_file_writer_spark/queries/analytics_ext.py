@@ -344,9 +344,10 @@ PRIORITY_SEED = "prio:"
 _U32 = 4_294_967_296  # 2^32: the hash range the priority normalizes by
 
 
-@register(
-    "doc_priority_sample",
-    oracle=f"""
+# Shared with the streaming form (streaming_ops.streaming_priority_sample):
+# top-k by an exact integer priority is associative/commutative state, so
+# the batch and streaming operators answer to the SAME oracle.
+PRIORITY_ORACLE = f"""
 WITH w AS (
   SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
   FROM documents
@@ -361,7 +362,12 @@ SELECT doc_id, n_tokens,
 FROM h
 ORDER BY priority DESC, doc_id
 LIMIT {PRIORITY_K}
-""",
+"""
+
+
+@register(
+    "doc_priority_sample",
+    oracle=PRIORITY_ORACLE,
     description=(
         f"Weighted sample without replacement (priority sampling, "
         f"Duffield-Lund-Thorup shape): top-{PRIORITY_K} docs by the exact "
@@ -384,8 +390,15 @@ def doc_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     merge; no global sort, no shuffle of non-winners.
     """
     docs = load_tables(spark, sf_dir)["documents"]
-    from iceberg_file_writer_spark.operators.text import words
+    return priority_relation(docs).orderBy(
+        F.desc("priority"), "doc_id"
+    ).limit(PRIORITY_K)
 
+
+def priority_relation(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_tokens, priority) with the exact integer priority
+    w*2^32 div (h+1). Shared by the batch top-k and the streaming
+    mergeable-state sampler — both must compute identical integers."""
     h = docs.select(
         "doc_id",
         F.size(words(F.col("text"))).cast("long").alias("n_tokens"),
@@ -400,12 +413,12 @@ def doc_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("long")
         .alias("hv"),
-    ).select(
+    )
+    return h.select(
         "doc_id",
         "n_tokens",
         F.expr(f"(n_tokens * {_U32}) div (hv + 1)").alias("priority"),
     )
-    return h.orderBy(F.desc("priority"), "doc_id").limit(PRIORITY_K)
 
 
 # Shingles shared by >= 2 and <= RARE_MAX sources: discriminative overlap

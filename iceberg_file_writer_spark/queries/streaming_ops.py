@@ -796,3 +796,99 @@ def streaming_interval_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # inside the streaming plan this filter would push below the
     # watermark node and defeat the frontier advance
     return out.where(F.col("purchase_id") >= 0)
+
+
+# ---------------------------------------------------------------------------
+# Streaming priority sample (round 5): mergeable top-k sampling state.
+# ---------------------------------------------------------------------------
+
+
+from iceberg_file_writer_spark.queries.analytics_ext import (  # noqa: E402
+    PRIORITY_K,
+    PRIORITY_ORACLE,
+    priority_relation,
+)
+
+
+@register(
+    "streaming_priority_sample",
+    oracle=PRIORITY_ORACLE,
+    description=(
+        f"Streaming weighted sample without replacement: each "
+        f"micro-batch's priority candidates merge into a {PRIORITY_K}-row "
+        "state table; top-k by an exact integer priority is "
+        "associative+commutative, so the final state equals the batch "
+        "priority sample whatever the batch boundaries"
+    ),
+    # pytest-oracle-checked (incl. a forced multi-batch run); driver
+    # surface is at its 50-entry cap — the sampling class is
+    # driver-visible via doc_stratified_sample/token_budget_sample.
+    driver_exposed=False,
+)
+def streaming_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reservoir-style sampling as a streaming operator.
+
+    Priority sampling's state is just "the k highest-priority rows so
+    far" — a bounded, mergeable summary (same argument as the CDC
+    upsert's per-key max): merge(topk(A), topk(B)) = topk(A ∪ B), so
+    run-to-completion equals the batch operator exactly and the SAME
+    oracle checks both. Each micro-batch computes batch-local
+    priorities (one scan, JVM expressions), takes its own top-k via
+    TakeOrderedAndProject, merges with the k-row standing state, and
+    swaps the state table atomically — state volume is k rows forever,
+    the streaming analog of a driver-side heap. At 100 TB the sampler
+    never re-reads history: cost per batch is |batch| + k.
+    """
+    docs = load_tables(spark, sf_dir)["documents"].select("doc_id", "text")
+    incoming = tempfile.mkdtemp(prefix="prio-incoming-")
+    docs.repartition(4).write.mode("overwrite").parquet(incoming)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(incoming)
+    )
+    return run_streaming_priority_sample(spark, stream)
+
+
+def run_streaming_priority_sample(
+    spark: SparkSession, src: DataFrame
+) -> DataFrame:
+    """Drive the foreachBatch top-k merge to completion over `src` and
+    return a lazy read of the final k-row state table. Exposed separately
+    so tests can force arbitrary batch splits."""
+    import os
+    import shutil
+
+    root = tempfile.mkdtemp(prefix="prio-state-")
+    state_dir = os.path.join(root, "state")
+    ckpt = tempfile.mkdtemp(prefix="prio-ckpt-")
+
+    def merge_topk(batch_df: DataFrame, batch_id: int) -> None:
+        cand = (
+            priority_relation(batch_df)
+            .orderBy(F.desc("priority"), "doc_id")
+            .limit(PRIORITY_K)
+        )
+        if os.path.isdir(state_dir):
+            cur = batch_df.sparkSession.read.parquet(state_dir)
+            cand = cur.unionByName(cand)
+        topk = cand.orderBy(F.desc("priority"), "doc_id").limit(PRIORITY_K)
+        staged = os.path.join(root, f"staging-{batch_id}")
+        topk.write.mode("overwrite").parquet(staged)
+        old = os.path.join(root, f"old-{batch_id}")
+        if os.path.isdir(state_dir):
+            os.rename(state_dir, old)
+        os.rename(staged, state_dir)
+        shutil.rmtree(old, ignore_errors=True)
+
+    q = (
+        src.writeStream.foreachBatch(merge_topk)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+    finally:
+        q.stop()
+    return spark.read.parquet(state_dir)

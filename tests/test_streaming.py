@@ -304,3 +304,32 @@ def test_watermark_drop_accounting_surfaces_late_rows(spark, events_stream_dir, 
     assert m["rows_dropped_by_watermark"] > 0, m
     assert m["batches"] >= 2, m
     assert m["last_watermark"] is not None, m
+
+
+def test_streaming_priority_sample_batch_split_invariant(spark, tmp_path):
+    """Forced 8-batch run (one file per trigger, files carved by doc_id
+    range so early batches hold none of the winners) must produce exactly
+    the batch priority sample — merge(topk(A), topk(B)) = topk(A ∪ B)."""
+    from iceberg_file_writer_spark.queries.analytics_ext import (
+        doc_priority_sample,
+    )
+    from iceberg_file_writer_spark.queries.streaming_ops import (
+        run_streaming_priority_sample,
+    )
+
+    docs = load_tables(spark, SF_DIR)["documents"].select("doc_id", "text")
+    incoming = str(tmp_path / "prio-in")
+    # range-partitioned files: each micro-batch sees one contiguous
+    # doc_id slice, so no batch alone contains the global top-k
+    docs.repartitionByRange(8, "doc_id").write.parquet(incoming)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(incoming)
+    )
+    got = {
+        tuple(r)
+        for r in run_streaming_priority_sample(spark, stream).collect()
+    }
+    want = {tuple(r) for r in doc_priority_sample(spark, SF_DIR).collect()}
+    assert got == want
