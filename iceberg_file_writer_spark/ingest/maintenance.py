@@ -222,3 +222,108 @@ def apply_deletes(
         shutil.rmtree(old)
     shutil.rmtree(tmp_root)
     return stats
+
+
+def partition_file_counts(table_path: str) -> dict[str, int]:
+    """Data-file count per partition directory (footer-free, listing only)."""
+    counts: dict[str, int] = {}
+    for p in list_data_files(table_path):
+        d = os.path.dirname(p)
+        counts[d] = counts.get(d, 0) + 1
+    return counts
+
+
+def recover_auto_compact(table_path: str) -> None:
+    """Roll partition-level compaction rewrites to a consistent state.
+
+    Same crash windows as :func:`recover_deletes`: a stranded
+    ``<dir>.compact-old`` with nothing live is restored; one beside a
+    live dir is dropped (the live dir is the committed rewrite); a
+    leftover staging root ``<table>.autocompact-tmp`` is dropped (the
+    rewrite never committed — the live partition is untouched).
+    Runs at every auto_compact entry.
+    """
+    import shutil
+
+    base = table_path.rstrip("/")
+    tmp_root = base + ".autocompact-tmp"
+    if os.path.exists(tmp_root):
+        shutil.rmtree(tmp_root)
+    if os.path.isdir(base):
+        for name in os.listdir(base):
+            if not name.endswith(".compact-old"):
+                continue
+            old = os.path.join(base, name)
+            live = old[: -len(".compact-old")]
+            if os.path.exists(live):
+                shutil.rmtree(old)
+            else:
+                os.rename(old, live)
+
+
+def auto_compact(
+    spark: SparkSession,
+    table_path: str,
+    cfg: IngestConfig = IngestConfig(),
+    min_files: int = 4,
+    target_rows_per_file: int | None = None,
+) -> list[str]:
+    """Partition-selective small-file compaction (policy + rewrite).
+
+    The operational form of compaction at scale: streaming ingest leaves
+    one file per (micro-batch x partition), and rewriting the WHOLE table
+    to fix a few hot partitions is exactly the scan compact_table pays.
+    This scans nothing it doesn't rewrite: the policy reads only the
+    directory listing (file counts), rewrites only partitions holding at
+    least ``min_files`` data files, and swaps each via the same
+    two-rename protocol as apply_deletes — untouched partitions stay
+    byte-for-byte unopened. File count per rewritten partition comes
+    from parquet footers (ceil(rows/target) range-partitioned files,
+    key-ordered across files), never a data scan.
+
+    Within one partition value the Morton key of a clustered table
+    (cluster_by = (partition, key)) is monotone in the key column, so the
+    per-partition key sort preserves a clustered layout too.
+
+    Returns the list of rewritten partition directory names.
+    """
+    import math
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    recover_auto_compact(table_path)
+    base = table_path.rstrip("/")
+    target = target_rows_per_file or cfg.max_rows_per_file
+    hot = sorted(
+        d for d, c in partition_file_counts(base).items() if c >= min_files
+    )
+    if not hot:
+        return []
+    tmp_root = base + ".autocompact-tmp"
+    os.makedirs(tmp_root)
+    done: list[str] = []
+    for pdir in hot:
+        rows = sum(
+            pq.ParquetFile(f).metadata.num_rows
+            for f in list_data_files(pdir)
+        )
+        n_out = max(1, math.ceil(rows / target))
+        staged = os.path.join(tmp_root, os.path.basename(pdir))
+        df = spark.read.format(cfg.table_format).load(pdir)
+        (
+            df.repartitionByRange(n_out, cfg.key_column)
+            .sortWithinPartitions(cfg.key_column)
+            .write.mode("overwrite")
+            .option("maxRecordsPerFile", target)
+            .option("compression", cfg.compression)
+            .format(cfg.table_format)
+            .save(staged)
+        )
+        old = pdir + ".compact-old"
+        os.rename(pdir, old)
+        os.rename(staged, pdir)
+        shutil.rmtree(old)
+        done.append(os.path.basename(pdir))
+    shutil.rmtree(tmp_root, ignore_errors=True)
+    return done

@@ -337,3 +337,75 @@ def hot_key_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("share_permille"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic A/B experiment readout.
+# ---------------------------------------------------------------------------
+
+AB_SEED = "ab:"  # salt for the arm assignment hash
+
+
+@register(
+    "ab_experiment_readout",
+    oracle=f"""
+WITH assign AS (
+  SELECT DISTINCT user_id,
+         CASE WHEN {_duck_hash_bucket("user_id")} % 2 = 0
+              THEN 'control' ELSE 'treatment' END AS arm
+  FROM events
+),
+m AS (
+  SELECT a.arm, e.event_type, e.user_id, e.event_id
+  FROM events e JOIN assign a USING (user_id)
+)
+SELECT arm, event_type,
+       count(DISTINCT user_id)        AS n_users,
+       count(*)                       AS n_events,
+       ((1000 * count(*)) // count(DISTINCT user_id))::BIGINT
+         AS events_per_1000_users
+FROM m GROUP BY arm, event_type
+""",
+    description=(
+        "Deterministic A/B readout: users hash-assigned to control/"
+        "treatment, per-(arm, event type) distinct users, event counts, "
+        "and exact events-per-1000-users"
+    ),
+    driver_exposed=False,
+    # Registered after the round-5 driver surface froze at the cap;
+    # pytest-oracle-checked at sf0.001/sf0.01 (test_oracle_parity).
+)
+def ab_experiment_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experiment analysis over the events stream.
+
+    The arm assignment is the same salted-md5 decision every sampler in
+    this engine uses — deterministic across engines, runs, and cluster
+    sizes, which is exactly the property an experiment assignment needs
+    (a user's arm never changes). Scale shape: assignment is a column
+    expression on the distinct-user relation (user-keyed partial agg),
+    the join back is user_id-to-user_id, and the readout aggregates onto
+    the |arms|x|types| relation. The rate is exact integer permille.
+    """
+    ev = load_tables(spark, sf_dir)["events"]
+    assign = (
+        ev.select("user_id")
+        .distinct()
+        .select(
+            "user_id",
+            F.when(
+                _spark_hash_bucket(F.col("user_id")) % 2 == 0, F.lit("control")
+            )
+            .otherwise(F.lit("treatment"))
+            .alias("arm"),
+        )
+    )
+    m = ev.select("user_id", "event_type", "event_id").join(assign, "user_id")
+    return m.groupBy("arm", "event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count("*").alias("n_events"),
+        F.floor(
+            (F.lit(1000) * F.count("*")) / F.countDistinct("user_id")
+        )
+        .cast("long")
+        .alias("events_per_1000_users"),
+    )

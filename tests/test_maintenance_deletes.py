@@ -118,3 +118,108 @@ def test_delete_crash_recovery(spark, table):
     assert not os.path.exists(live + ".delete-old")
     assert not os.path.exists(out + ".delete-tmp")
     assert read_table(spark, out, CFG).count() == n
+
+
+# ---------------------------------------------------------------------------
+# Partition-selective auto-compaction.
+# ---------------------------------------------------------------------------
+
+
+def _fragment_partition(spark, table_path: str, user: str, copies: int) -> None:
+    """Append `copies` extra SMALL files to one partition (the streaming
+    one-file-per-micro-batch fragmentation; rows sorted, so the per-file
+    key-order invariant is preserved by construction)."""
+    pdir = os.path.join(table_path, f"user_id={user}")
+    df = (
+        spark.read.parquet(pdir)
+        .orderBy("timestamp")
+        .limit(512)
+        .coalesce(1)
+        .sortWithinPartitions("timestamp")
+    )
+    for _ in range(copies):
+        df.write.mode("append").parquet(pdir)
+
+
+def test_auto_compact_rewrites_only_hot_partitions(spark, table):
+    from iceberg_file_writer_spark.ingest.maintenance import (
+        auto_compact,
+        partition_file_counts,
+    )
+
+    out, n = table
+    hot = "userid1"
+    _fragment_partition(spark, out, hot, copies=4)
+    before_rows = spark.read.parquet(out).groupBy().count().collect()[0][0]
+    cold_before = _snapshot(out, hot)
+    counts = partition_file_counts(out)
+    hot_dir = os.path.join(out, f"user_id={hot}")
+    assert counts[hot_dir] >= 5
+
+    done = auto_compact(spark, out, CFG, min_files=5)
+    assert done == [f"user_id={hot}"]
+    # untouched partitions byte-identical (same files, sizes, mtimes)
+    assert _snapshot(out, hot) == cold_before
+    # hot partition consolidated to the footer-derived minimum file count
+    import math
+
+    import pyarrow.parquet as pq
+
+    files = list_data_files(hot_dir)
+    rows = sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+    # range-partition sampling makes per-range row counts uneven, so
+    # maxRecordsPerFile may split a few ranges: bounded near-minimal,
+    # never the pre-compaction fragmentation
+    minimal = max(1, math.ceil(rows / CFG.max_rows_per_file))
+    assert minimal <= len(files) <= 2 * minimal
+    assert len(files) < counts[hot_dir]
+    for f in files:
+        pf = pq.ParquetFile(f)
+        assert pf.metadata.num_rows <= CFG.max_rows_per_file
+        ts = pf.read(columns=["timestamp"])["timestamp"].to_pylist()
+        assert ts == sorted(ts), f
+    # content unchanged
+    assert spark.read.parquet(out).groupBy().count().collect()[0][0] == before_rows
+
+
+def test_auto_compact_below_threshold_is_noop(spark, table):
+    from iceberg_file_writer_spark.ingest.maintenance import auto_compact
+
+    out, n = table
+    before = {
+        p: (os.path.getsize(p), os.stat(p).st_mtime_ns)
+        for p in list_data_files(out)
+    }
+    assert auto_compact(spark, out, CFG, min_files=50) == []
+    after = {
+        p: (os.path.getsize(p), os.stat(p).st_mtime_ns)
+        for p in list_data_files(out)
+    }
+    assert after == before
+
+
+def test_auto_compact_crash_recovery(spark, table):
+    """A stranded .compact-old with nothing live is restored; a stale
+    staging root is dropped; a .compact-old beside a live dir is pruned."""
+    import shutil
+
+    from iceberg_file_writer_spark.ingest.maintenance import (
+        auto_compact,
+        recover_auto_compact,
+    )
+
+    out, n = table
+    want = sorted(str(r) for r in spark.read.parquet(out).collect())
+    hot_dir = os.path.join(out, "user_id=userid1")
+    # crash mid-swap: partition renamed away, replacement never arrived
+    os.rename(hot_dir, hot_dir + ".compact-old")
+    os.makedirs(out + ".autocompact-tmp")
+    recover_auto_compact(out)
+    assert os.path.isdir(hot_dir)
+    assert not os.path.exists(out + ".autocompact-tmp")
+    assert sorted(str(r) for r in spark.read.parquet(out).collect()) == want
+    # crash after swap: old beside live — entry-point recovery prunes it
+    shutil.copytree(hot_dir, hot_dir + ".compact-old")
+    assert auto_compact(spark, out, CFG, min_files=50) == []
+    assert not os.path.exists(hot_dir + ".compact-old")
+    assert sorted(str(r) for r in spark.read.parquet(out).collect()) == want
