@@ -61,6 +61,7 @@ def _import_all() -> None:
         curation_ext,
         decontam,
         dedup,
+        evaluation_ext,
         events,
         pipeline_ext,
         relational,

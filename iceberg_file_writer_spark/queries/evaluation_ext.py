@@ -1,0 +1,88 @@
+"""Index/operator self-evaluation, round 5 [extension — not in reference]:
+
+- **ANN recall@k**: per-query recall of the trained-IVF approximate
+  index against the exact brute-force top-k — the index-quality gate a
+  retrieval deployment monitors continuously (probe fewer cells → faster
+  but lower recall; this operator is how that dial is read). Both sides
+  are deterministic registered operators, so the evaluation itself is
+  exactly oracle-checkable — the oracle literally composes the two
+  entries' own oracle programs as CTEs and diffs them, meaning the
+  evaluation can never drift from what the evaluated operators actually
+  compute. Cost shape: both operand plans (each already individually
+  scale-audited) plus a candidates-only join on (query_id, neighbor_id)
+  — the evaluation adds k·|queries| rows of work on top of its operands.
+
+Reference scope note: the reference (/root/reference/main.go) is a
+304-line ingest driver with no query surface. [extension]
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# importing the operand module registers it, so its oracles are readable
+# from the registry below regardless of import order
+from iceberg_file_writer_spark.queries import _REGISTRY, register
+from iceberg_file_writer_spark.queries.similarity import (  # noqa: F401
+    ivf_knn_cosine,
+    knn_bruteforce_cosine,
+)
+
+KNN_K = 5  # both operand operators emit top-5 per query
+
+_RECALL_ORACLE = f"""
+WITH approx AS (
+{_REGISTRY["ivf_knn_cosine"].oracle}
+),
+exact AS (
+{_REGISTRY["knn_bruteforce_cosine"].oracle}
+)
+SELECT e.query_id,
+       count(a.neighbor_id)                  AS n_hits,
+       ((1000 * count(a.neighbor_id)) // {KNN_K})::BIGINT AS recall_permille
+FROM exact e
+LEFT JOIN approx a
+  ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+GROUP BY e.query_id
+"""
+
+
+@register(
+    "ann_recall_at_k",
+    oracle=_RECALL_ORACLE,
+    description=(
+        f"ANN index quality: per-query recall@{KNN_K} of the trained-IVF "
+        "index against the exact brute-force top-k (exact integer "
+        "permille) — the oracle composes the two operand oracles and "
+        "diffs them"
+    ),
+    driver_exposed=False,
+    # Registered after the round-5 driver surface froze at the cap;
+    # pytest-oracle-checked at sf0.001/sf0.01 (test_oracle_parity).
+)
+def ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall of the approximate index vs exact ground truth.
+
+    The ground-truth side anchors the output (LEFT join), so a query the
+    index misses entirely still reports recall 0 — the failure mode a
+    post-filtered or under-probed index exhibits first. Both operands
+    are the registered operators themselves (not re-implementations), so
+    this evaluation moves when they move.
+    """
+    approx = ivf_knn_cosine(spark, sf_dir).select(
+        "query_id", "neighbor_id", F.lit(1).alias("hit")
+    )
+    exact = knn_bruteforce_cosine(spark, sf_dir).select(
+        "query_id", "neighbor_id"
+    )
+    return (
+        exact.join(approx, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count("hit").alias("n_hits"),
+            F.floor((F.lit(1000) * F.count("hit")) / KNN_K)
+            .cast("long")
+            .alias("recall_permille"),
+        )
+    )
