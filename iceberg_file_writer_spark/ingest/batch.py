@@ -207,13 +207,23 @@ def ingest_batch(
     output_path: str,
     cfg: IngestConfig = IngestConfig(),
     defaults: dict[str, object] | None = None,
-) -> None:
+) -> dict[str, object]:
     """Ops #3-#5, #7, #8: partition, order, bound, compress, write, commit.
 
     Batch write is atomic per job (the _SUCCESS commit protocol) — the
     reference's CommitBlocks(force=true) final flush (main_test.go:86)
     is implied by job completion.
+
+    Returns write-job metrics observed IN the write job itself (Spark's
+    Observation API): rows written, distinct-partition estimate, and the
+    key column's min/max. At 100 TB a ``count()`` after the write would
+    re-scan the table to learn what the write job already knew — observe()
+    rides the existing job for free, which is why ingestion pipelines use
+    it as the completeness/monitoring hook (the reference's only signal
+    was its ``Finished`` channel, main.go:83).
     """
+    from pyspark.sql import Observation
+
     from iceberg_file_writer_spark.ingest.table_format import require_format
 
     if cfg.table_format == "iceberg":
@@ -222,7 +232,14 @@ def ingest_batch(
             "path: use write_iceberg_table(df, 'catalog.db.table', cfg)"
         )
     require_format(df.sparkSession, cfg.table_format)
-    out = apply_layout(normalize_defaults(df, defaults), cfg)
+    obs = Observation("ingest")
+    out = apply_layout(normalize_defaults(df, defaults), cfg).observe(
+        obs,
+        F.count(F.lit(1)).alias("rows_written"),
+        F.approx_count_distinct(cfg.partition_column).alias("approx_partitions"),
+        F.min(cfg.key_column).alias("min_key"),
+        F.max(cfg.key_column).alias("max_key"),
+    )
     (
         out.write.mode("overwrite")
         .option("maxRecordsPerFile", cfg.max_rows_per_file)
@@ -231,6 +248,7 @@ def ingest_batch(
         .format(cfg.table_format)
         .save(output_path)
     )
+    return obs.get
 
 
 def write_iceberg_table(

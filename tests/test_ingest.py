@@ -315,3 +315,20 @@ def test_quarantine_ingest_routes_bad_records(spark, fixture_input, tmp_path):
         for r in spark.read.json(q).select("raw_record").collect()
     }
     assert kept == set(bad_lines)
+
+
+def test_ingest_batch_observed_metrics(spark, tmp_path):
+    """Write-job observability: ingest_batch returns metrics measured IN
+    the write job (Observation API), matching a post-hoc scan exactly —
+    without costing one."""
+    src = str(tmp_path / "in")
+    n = _write_fixture_json(src)
+    out = str(tmp_path / "table")
+    m = ingest_batch(read_source(spark, src), out, IngestConfig())
+    assert m["rows_written"] == n
+    table = spark.read.parquet(out)
+    assert m["rows_written"] == table.count()
+    lo, hi = table.selectExpr("min(timestamp)", "max(timestamp)").first()
+    assert (m["min_key"], m["max_key"]) == (lo, hi)
+    # approx distinct partitions lands within HLL error of the truth (3)
+    assert 2 <= m["approx_partitions"] <= 4
