@@ -15,6 +15,11 @@
   cluster relation is pair-graph-sized (orders smaller than the
   corpus), the quality join is doc_id-keyed, and the per-cluster top-1
   is a WindowGroupLimit pushdown, never a sort of the corpus.
+- **cluster-aware split assignment**: train/val/test keyed on the
+  near-dup cluster canonical id so duplicate families move between
+  splits as a unit — the structural fix for the cross-split leakage
+  split_leakage_audit measures, with a ``moved`` flag counting docs the
+  repair relocated vs the naive per-doc assignment.
 
 Reference scope note: the reference (/root/reference/main.go) is a
 304-line partitioned ingest driver with no query surface; these extend
@@ -200,4 +205,121 @@ def neardup_canonical_by_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("doc_id").alias("keep_doc_id"),
             F.col("quality_permille").alias("keep_quality_permille"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cluster-aware split assignment: the fix the leakage audit motivates.
+# ---------------------------------------------------------------------------
+
+
+def _split_case_sql(col: str) -> str:
+    from iceberg_file_writer_spark.queries.sampling import (
+        SPLIT_TRAIN,
+        SPLIT_VAL,
+        _duck_hash_bucket,
+    )
+
+    return (
+        f"CASE WHEN {_duck_hash_bucket(col)} < {SPLIT_TRAIN} THEN 'train' "
+        f"WHEN {_duck_hash_bucket(col)} < {SPLIT_VAL} THEN 'val' "
+        f"ELSE 'test' END"
+    )
+
+
+@register(
+    "cluster_aware_split_assignment",
+    oracle=f"""
+WITH RECURSIVE {_MINHASH_PAIRS_CTES},
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+),
+reach AS (
+  SELECT src AS doc, src AS r FROM edges
+  UNION
+  SELECT src AS doc, dst AS r FROM edges
+  UNION
+  SELECT re.doc, e.dst AS r
+  FROM reach re JOIN edges e ON e.src = re.r
+),
+canon AS (
+  SELECT doc AS doc_id, min(r) AS canonical_doc_id
+  FROM reach GROUP BY doc
+),
+labeled AS (
+  SELECT d.doc_id,
+         coalesce(c.canonical_doc_id, d.doc_id) AS cluster_id
+  FROM documents d LEFT JOIN canon c USING (doc_id)
+)
+SELECT doc_id, cluster_id,
+       {{split_cluster}} AS split,
+       {{split_naive}}   AS naive_split,
+       CASE WHEN {{split_cluster}} <> {{split_naive}} THEN 1 ELSE 0 END
+         ::BIGINT AS moved
+FROM labeled
+""".format(
+        split_cluster=_split_case_sql("cluster_id"),
+        split_naive=_split_case_sql("doc_id"),
+    ),
+    description=(
+        "Dedup-before-split: train/val/test assignment keyed on the "
+        "near-dup cluster id, so every cluster member lands in the same "
+        "split (the fix the split-leakage audit motivates); moved flags "
+        "docs whose split changed vs the naive per-doc assignment"
+    ),
+    driver_exposed=False,
+    # Registered after the round-5 driver surface froze at the cap;
+    # pytest-oracle-checked at sf0.001/sf0.01 (test_oracle_parity).
+)
+def cluster_aware_split_assignment(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Split assignment that cannot leak near-duplicates across splits.
+
+    The leakage audit (split_leakage_audit) counts cross-split near-dup
+    pairs under the naive per-doc assignment; this operator is the
+    repair: the salted-hash split decision keys on the cluster canonical
+    id (unclustered docs are their own cluster), so a duplicate family
+    moves as a unit and the off-diagonal audit cells become structurally
+    zero. Scale shape: the CC label relation is pair-graph-sized, the
+    join back to the corpus is doc_id-keyed, and the split decision is
+    the same JVM column expression every sampler uses.
+    """
+    from iceberg_file_writer_spark.queries.sampling import (
+        SPLIT_TRAIN,
+        SPLIT_VAL,
+        _spark_hash_bucket,
+    )
+
+    def split_of(col) -> "F.Column":
+        b = _spark_hash_bucket(col)
+        return (
+            F.when(b < SPLIT_TRAIN, "train")
+            .when(b < SPLIT_VAL, "val")
+            .otherwise("test")
+        )
+
+    clusters = neardup_cluster_canonical(spark, sf_dir).select(
+        "doc_id", "canonical_doc_id"
+    )
+    docs = load_tables(spark, sf_dir)["documents"].select("doc_id")
+    labeled = docs.join(clusters, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("canonical_doc_id"), F.col("doc_id")).alias(
+            "cluster_id"
+        ),
+    )
+    return labeled.select(
+        "doc_id",
+        "cluster_id",
+        split_of(F.col("cluster_id")).alias("split"),
+        split_of(F.col("doc_id")).alias("naive_split"),
+        F.when(
+            split_of(F.col("cluster_id")) != split_of(F.col("doc_id")), 1
+        )
+        .otherwise(0)
+        .cast("long")
+        .alias("moved"),
     )
