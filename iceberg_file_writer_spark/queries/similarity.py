@@ -1380,3 +1380,150 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.withColumn("rk", F.row_number().over(w)).where(
         F.col("rk") <= KNN_K
     )
+
+
+@register(
+    "hard_negative_mining_ivf",
+    oracle=f"""{_ivf_training_ctes()},
+assign AS (
+  SELECT vec_id, cent_id FROM (
+    SELECT e.vec_id, c.cent_id,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {_cosine_sql('e.embedding', 'c.cemb')} DESC,
+                                       c.cent_id) AS rk
+    FROM embeddings e CROSS JOIN cents c
+  ) WHERE rk = 1
+),
+probes AS (
+  SELECT query_id, cent_id FROM (
+    SELECT q.vec_id AS query_id, c.cent_id,
+           row_number() OVER (PARTITION BY q.vec_id
+                              ORDER BY {_cosine_sql('q.embedding', 'c.cemb')} DESC,
+                                       c.cent_id) AS rk
+    FROM embeddings q CROSS JOIN cents c
+    WHERE q.vec_id < {KNN_N_QUERIES}
+  ) WHERE rk <= {IVF_NPROBE}
+),
+cand AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id
+  FROM probes p JOIN assign a USING (cent_id)
+  WHERE a.vec_id <> p.query_id
+),
+labeled AS (
+  SELECT c.query_id, qv.label AS true_label,
+         c.neighbor_id, nv.label AS neg_label,
+         {_cosine_sql('qv.embedding', 'nv.embedding')} AS cosine_sim
+  FROM cand c
+  JOIN embeddings qv ON qv.vec_id = c.query_id
+  JOIN embeddings nv ON nv.vec_id = c.neighbor_id
+  WHERE nv.label <> qv.label
+)
+SELECT query_id, true_label, neighbor_id, neg_label, cosine_sim, rk FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine_sim DESC, neighbor_id) AS rk
+  FROM labeled
+) WHERE rk <= {KNN_K}
+""",
+    description=(
+        f"Hard-negative mining, IVF-pruned: top-{KNN_K} different-label "
+        f"vectors per query drawn ONLY from the query's {IVF_NPROBE} "
+        "probed cells — the scale path where negatives come from "
+        "geometrically-close candidates instead of a full corpus stream"
+    ),
+    driver_exposed=False,
+    # Registered after the round-5 driver surface froze at the cap;
+    # pytest-oracle-checked at sf0.001/sf0.01 (test_oracle_parity).
+)
+def hard_negative_mining_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scale form of hard-negative mining.
+
+    hard_negative_mining streams the whole corpus against the broadcast
+    queries (the only correct shape for a bare label-inequality join);
+    this variant prepends the trained IVF quantizer so each query mines
+    negatives only inside its probed cells — candidate volume drops from
+    |corpus| to NPROBE/K of it, and the label-inequality becomes a
+    residual filter on a cell-id equi-join instead of the join condition
+    itself. The negatives it returns are the *geometrically confusable*
+    ones, which is exactly the contrastive-training intent. Same
+    assignment/probe plan as ivf_knn_cosine (trained centroids memoized,
+    explicit broadcasts, no cartesian beyond the N x K centroid scoring).
+    """
+    # label rides the unpacked projection (no corpus-to-corpus label join
+    # — a second join on vec_id would re-shuffle the corpus at scale and
+    # blocks the final candidate join's broadcast conversion)
+    embl = (
+        load_tables(spark, sf_dir)["embeddings"]
+        .selectExpr("vec_id", "label", *_unpack_exprs("e"))
+        .selectExpr(
+            "vec_id",
+            "label",
+            *[f"e{i}" for i in range(EMB_DIMS)],
+            f"sqrt({_dot_expr('e', 'e')}) AS nrm",
+        )
+        .cache()
+    )
+    emb = embl.drop("label")
+    cents = _trained_centroids_df(spark, emb, sf_dir)
+    cos_c = F.round(
+        _coldot("e", "c") / (F.col("nrm") * F.col("nc")), COSINE_DECIMALS
+    )
+    assign = (
+        emb.crossJoin(F.broadcast(cents))
+        .select("vec_id", cos_c.alias("cos_c"), "cent_id")
+        .groupBy("vec_id")
+        .agg(
+            F.max(
+                F.struct(F.col("cos_c"), (-F.col("cent_id")).alias("neg_cent"))
+            ).alias("b")
+        )
+        .select("vec_id", (-F.col("b.neg_cent")).alias("cent_id"))
+    )
+    probes_scored = (
+        emb.where(F.col("vec_id") < KNN_N_QUERIES)
+        .crossJoin(F.broadcast(cents))
+        .select(F.col("vec_id").alias("query_id"), cos_c.alias("cos_c"), "cent_id")
+    )
+    wp = Window.partitionBy("query_id").orderBy(F.desc("cos_c"), F.asc("cent_id"))
+    probes = (
+        probes_scored.withColumn("rk", F.row_number().over(wp))
+        .where(F.col("rk") <= IVF_NPROBE)
+        .select("query_id", "cent_id")
+    )
+    cand = (
+        F.broadcast(probes)
+        .join(assign, "cent_id")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+    )
+    qe = embl.selectExpr(
+        "vec_id AS query_id",
+        "label AS true_label",
+        *[f"e{i} AS a{i}" for i in range(EMB_DIMS)],
+        "nrm AS na",
+    )
+    ne = embl.selectExpr(
+        "vec_id AS neighbor_id",
+        "label AS neg_label",
+        *[f"e{i} AS b{i}" for i in range(EMB_DIMS)],
+        "nrm AS nb",
+    )
+    scored = (
+        cand.join(F.broadcast(qe.where(F.col("query_id") < KNN_N_QUERIES)), "query_id")
+        .join(ne, "neighbor_id")
+        .where(F.col("neg_label") != F.col("true_label"))
+        .select(
+            "query_id",
+            "true_label",
+            "neighbor_id",
+            "neg_label",
+            F.round(
+                _coldot("a", "b") / (F.col("na") * F.col("nb")), COSINE_DECIMALS
+            ).alias("cosine_sim"),
+        )
+    )
+    wk = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.asc("neighbor_id")
+    )
+    return scored.withColumn("rk", F.row_number().over(wk)).where(
+        F.col("rk") <= KNN_K
+    )

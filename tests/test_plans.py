@@ -461,3 +461,13 @@ def test_canonical_by_quality_uses_window_group_limit(spark):
     p = _plan(spark, "neardup_canonical_by_quality")
     assert "WindowGroupLimit" in p, p
     assert "CartesianProduct" not in p, p
+
+
+def test_hard_negative_ivf_is_cell_pruned(spark):
+    """IVF-pruned negative mining: candidates must come from the cell-id
+    equi-join (label inequality as a residual filter), never a corpus
+    stream — no CartesianProduct, no SortMergeJoin, and unlike the
+    brute-force variant no BroadcastNestedLoopJoin over the corpus."""
+    p = _plan(spark, "hard_negative_mining_ivf")
+    assert "CartesianProduct" not in p, p
+    assert "SortMergeJoin" not in p, p
