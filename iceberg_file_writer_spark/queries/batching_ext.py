@@ -409,3 +409,80 @@ def ab_experiment_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("events_per_1000_users"),
     )
+
+
+@register(
+    "markov_top1_accuracy",
+    oracle="""
+WITH seq AS (
+  SELECT event_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS next_type
+  FROM events
+),
+pairs AS (
+  SELECT event_type, next_type, count(*) AS n
+  FROM seq WHERE next_type IS NOT NULL
+  GROUP BY event_type, next_type
+),
+ranked AS (
+  SELECT event_type, next_type, n,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY n DESC, next_type) AS rn,
+         sum(n) OVER (PARTITION BY event_type)::BIGINT AS n_transitions
+  FROM pairs
+)
+SELECT event_type,
+       next_type AS predicted_next,
+       n_transitions,
+       n         AS n_correct,
+       ((1000 * n) // n_transitions)::BIGINT AS accuracy_permille
+FROM ranked WHERE rn = 1
+""",
+    description=(
+        "Markov model readout: the argmax next-event predictor per "
+        "current type, with its exact in-sample top-1 accuracy permille"
+    ),
+    driver_exposed=False,
+    # Registered after the round-5 driver surface froze at the cap;
+    # pytest-oracle-checked at sf0.001/sf0.01 (test_oracle_parity).
+)
+def markov_top1_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How predictable is the event stream under a first-order model.
+
+    Everything after the one user-keyed lead() pass and the map-side
+    pair aggregation runs on the |types|² relation: the argmax predictor
+    and its hit count are the same row, so accuracy needs no re-join of
+    raw transitions — n_correct IS the argmax pair's count. Exact
+    integer permille; deterministic argmax tie-break (count desc,
+    next_type asc).
+    """
+    ev = load_tables(spark, sf_dir)["events"]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select(
+            "event_type", F.lead("event_type").over(w).alias("next_type")
+        )
+        .where(F.col("next_type").isNotNull())
+        .groupBy("event_type", "next_type")
+        .agg(F.count("*").alias("n"))
+    )
+    wt = Window.partitionBy("event_type")
+    ranked = pairs.select(
+        "event_type",
+        "next_type",
+        "n",
+        F.row_number()
+        .over(wt.orderBy(F.col("n").desc(), "next_type"))
+        .alias("rn"),
+        F.sum("n").over(wt).alias("n_transitions"),
+    )
+    return ranked.where(F.col("rn") == 1).select(
+        "event_type",
+        F.col("next_type").alias("predicted_next"),
+        "n_transitions",
+        F.col("n").alias("n_correct"),
+        F.floor((F.lit(1000) * F.col("n")) / F.col("n_transitions"))
+        .cast("long")
+        .alias("accuracy_permille"),
+    )
