@@ -486,3 +486,100 @@ def markov_top1_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("accuracy_permille"),
     )
+
+
+N_PROBE_USERS = 5  # user_id < 5 are the retrieval probes
+SIMILAR_K = 5
+
+
+@register(
+    "similar_users_by_behavior",
+    oracle=f"""
+WITH c AS (
+  SELECT user_id, event_type, count(*) AS cnt
+  FROM events GROUP BY user_id, event_type
+),
+nrm AS (
+  SELECT user_id, sqrt(sum(cnt * cnt)) AS nu FROM c GROUP BY user_id
+),
+dots AS (
+  SELECT p.user_id AS probe_user, o.user_id AS similar_user,
+         sum(p.cnt * o.cnt)::BIGINT AS dot
+  FROM c p JOIN c o USING (event_type)
+  WHERE p.user_id < {N_PROBE_USERS} AND p.user_id <> o.user_id
+  GROUP BY p.user_id, o.user_id
+),
+scored AS (
+  SELECT d.probe_user, d.similar_user,
+         round(d.dot / (np.nu * no.nu), 6) AS cosine_sim
+  FROM dots d
+  JOIN nrm np ON np.user_id = d.probe_user
+  JOIN nrm no ON no.user_id = d.similar_user
+)
+SELECT probe_user, similar_user, cosine_sim, rk FROM (
+  SELECT *, row_number() OVER (PARTITION BY probe_user
+                               ORDER BY cosine_sim DESC, similar_user) AS rk
+  FROM scored
+) WHERE rk <= {SIMILAR_K}
+""",
+    description=(
+        f"Similar-user retrieval over behavioral embeddings: each user's "
+        f"per-event-type count vector, cosine top-{SIMILAR_K} against "
+        f"{N_PROBE_USERS} probe users — derived features feeding the same "
+        "broadcast-probe retrieval shape as the kNN family"
+    ),
+    driver_exposed=False,
+    # Registered after the round-5 driver surface froze at the cap;
+    # pytest-oracle-checked at sf0.001/sf0.01 (test_oracle_parity).
+)
+def similar_users_by_behavior(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature engineering into retrieval, end to end.
+
+    The embedding is derived (per-(user, type) counts — one user-keyed
+    partial agg), kept SPARSE (no pivot to a dynamic-width vector, so
+    the operator is schema-stable however many event types exist), and
+    probed via an event_type equi-join against the broadcast probe rows
+    (≤ probes × types rows). Dot products are exact integer sums;
+    cosine rounds before ranking like every similarity in this engine.
+    Fan-out is bounded: each candidate row meets at most the probe set.
+    """
+    ev = load_tables(spark, sf_dir)["events"]
+    c = ev.groupBy("user_id", "event_type").agg(F.count("*").alias("cnt"))
+    nrm = c.groupBy("user_id").agg(
+        F.sqrt(F.sum(F.col("cnt") * F.col("cnt"))).alias("nu")
+    )
+    probes = c.where(F.col("user_id") < N_PROBE_USERS).select(
+        F.col("user_id").alias("probe_user"),
+        "event_type",
+        F.col("cnt").alias("pcnt"),
+    )
+    dots = (
+        c.join(F.broadcast(probes), "event_type")
+        .where(F.col("probe_user") != F.col("user_id"))
+        .groupBy("probe_user", F.col("user_id").alias("similar_user"))
+        .agg(F.sum(F.col("pcnt") * F.col("cnt")).alias("dot"))
+    )
+    scored = (
+        dots.join(
+            F.broadcast(
+                nrm.where(F.col("user_id") < N_PROBE_USERS).selectExpr(
+                    "user_id AS probe_user", "nu AS np"
+                )
+            ),
+            "probe_user",
+        )
+        .join(nrm.selectExpr("user_id AS similar_user", "nu AS no"), "similar_user")
+        .select(
+            "probe_user",
+            "similar_user",
+            F.round(F.col("dot") / (F.col("np") * F.col("no")), 6).alias(
+                "cosine_sim"
+            ),
+        )
+    )
+    w = Window.partitionBy("probe_user").orderBy(
+        F.col("cosine_sim").desc(), "similar_user"
+    )
+    return scored.withColumn("rk", F.row_number().over(w)).where(
+        F.col("rk") <= SIMILAR_K
+    )
