@@ -26,6 +26,16 @@
   salting / AQE skew handling. Per-key counts partial-aggregate
   map-side; the ranking is a 10-row TakeOrderedAndProject, and the
   1-row total broadcasts back.
+- **A/B experiment readout**: users hash-assigned to stable arms (the
+  engine's salted-md5 decision — an assignment that never changes), per
+  (arm, type) engagement as exact integer rates.
+- **Markov top-1 accuracy**: the argmax next-event predictor and its
+  exact in-sample accuracy, computed entirely on the |types|² pair
+  relation (the hit count IS the argmax pair's count).
+- **similar users by behavior**: per-(user, type) count vectors kept
+  sparse, probed by broadcast probe rows — derived features feeding the
+  engine's standard broadcast-probe retrieval shape with exact integer
+  dot products.
 
 Reference scope note: the reference (/root/reference/main.go) is a
 partitioned ingest driver keyed by user_id and timestamp
