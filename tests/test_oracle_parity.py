@@ -109,3 +109,12 @@ def test_daily_user_sketch_rollup_bounded_error(spark):
     for wk, est in got.items():
         tol = max(3, 0.03 * exact[wk])
         assert abs(est - exact[wk]) <= tol, (wk, est, exact[wk])
+
+
+def test_operator_catalog_in_sync():
+    """docs/OPERATORS.md is generated from the registry; regenerate with
+    `python tools_gen_catalog.py` whenever an operator is added."""
+    import tools_gen_catalog
+
+    with open("/root/repo/docs/OPERATORS.md") as f:
+        assert f.read() == tools_gen_catalog.render()
