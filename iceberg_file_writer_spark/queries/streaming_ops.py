@@ -892,3 +892,117 @@ def run_streaming_priority_sample(
     finally:
         q.stop()
     return spark.read.parquet(state_dir)
+
+
+# ---------------------------------------------------------------------------
+# Streaming data-quality monitor (round 5): additive per-source state.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "streaming_quality_monitor",
+    oracle="""
+SELECT source,
+       count(*) AS n_docs,
+       sum(len(string_split(text, ' ')))::BIGINT AS total_tokens,
+       (sum((1000 * len(list_distinct(string_split(text, ' '))))
+            // len(string_split(text, ' '))) // count(*))::BIGINT
+         AS mean_quality_permille
+FROM documents
+GROUP BY source
+""",
+    description=(
+        "Streaming data-quality monitor: per-source doc/token counts and "
+        "mean distinct-word quality folded additively per micro-batch — "
+        "sums are associative, so the standing monitor table equals the "
+        "batch aggregate whatever the batch boundaries"
+    ),
+    # pytest-oracle-checked; driver surface at its 50-entry cap — the
+    # streaming class keeps four exposed entries.
+    driver_exposed=False,
+)
+def streaming_quality_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous quality monitoring as mergeable aggregate state.
+
+    The monitored statistics are algebraic (counts and sums), so the
+    per-source state table folds each micro-batch in with a plain
+    grouped sum — the same additive-merge argument as the CDC upsert
+    (per-key max) and priority sample (top-k): run-to-completion equals
+    the batch aggregate exactly and the batch form IS the oracle. State
+    volume is |sources| rows; the mean is derived at read time from the
+    exact sums, never averaged across batches (means do not merge, sums
+    do — the classic streaming-aggregation mistake this operator's
+    shape avoids by construction).
+    """
+    from iceberg_file_writer_spark.operators.text import words
+
+    docs = load_tables(spark, sf_dir)["documents"].select(
+        "source", "doc_id", "text"
+    )
+    incoming = tempfile.mkdtemp(prefix="qmon-incoming-")
+    docs.repartition(4).write.mode("overwrite").parquet(incoming)
+
+    import os
+    import shutil
+
+    root = tempfile.mkdtemp(prefix="qmon-state-")
+    state_dir = os.path.join(root, "state")
+    ckpt = tempfile.mkdtemp(prefix="qmon-ckpt-")
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        ws = words(F.col("text"))
+        q = F.floor(
+            (F.lit(1000) * F.size(F.array_distinct(ws))) / F.size(ws)
+        ).cast("long")
+        part = batch_df.select(
+            "source",
+            F.size(ws).cast("long").alias("n_tokens"),
+            q.alias("qp"),
+        ).groupBy("source").agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.sum("qp").alias("sum_quality"),
+        )
+        if os.path.isdir(state_dir):
+            cur = batch_df.sparkSession.read.parquet(state_dir)
+            part = (
+                cur.unionByName(part)
+                .groupBy("source")
+                .agg(
+                    F.sum("n_docs").alias("n_docs"),
+                    F.sum("total_tokens").alias("total_tokens"),
+                    F.sum("sum_quality").alias("sum_quality"),
+                )
+            )
+        staged = os.path.join(root, f"staging-{batch_id}")
+        part.write.mode("overwrite").parquet(staged)
+        old = os.path.join(root, f"old-{batch_id}")
+        if os.path.isdir(state_dir):
+            os.rename(state_dir, old)
+        os.rename(staged, state_dir)
+        shutil.rmtree(old, ignore_errors=True)
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(incoming)
+    )
+    q = (
+        stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+    finally:
+        q.stop()
+    st = spark.read.parquet(state_dir)
+    return st.select(
+        "source",
+        "n_docs",
+        "total_tokens",
+        F.floor(F.col("sum_quality") / F.col("n_docs"))
+        .cast("long")
+        .alias("mean_quality_permille"),
+    )
