@@ -178,12 +178,36 @@ def apply_deletes(
     if not affected:
         return stats
 
+    # Captured before any file is dropped: if the delete removes the LAST
+    # data file, a bare Hive-layout directory is unreadable (Spark cannot
+    # infer a schema from zero files — found by the hypothesis property
+    # suite with a delete-everything case). A zero-row keeper file with
+    # the data schema, under one deleted key's own partition dir (so the
+    # partition-column TYPE stays inferable from a value that actually
+    # occurred), keeps "empty table" a readable state — the jar-free
+    # stand-in for the metadata an Iceberg/Delta table retains when its
+    # last data file is deleted.
+    first_files = list_data_files(_partition_dir(base, cfg, affected[0]))
+    keeper_schema = pq.ParquetFile(first_files[0]).schema_arrow if first_files else None
+
+    def _keep_schema_if_empty() -> None:
+        if keeper_schema is None or list_data_files(base):
+            return
+        keeper_dir = _partition_dir(base, cfg, affected[0])
+        os.makedirs(keeper_dir, exist_ok=True)
+        pq.write_table(
+            keeper_schema.empty_table(),
+            os.path.join(keeper_dir, "part-empty-keeper.snappy.parquet"),
+            compression="snappy",
+        )
+
     if predicate is None:
         for k in affected:
             d = _partition_dir(base, cfg, k)
             stats["rows_deleted"] += _footer_rows(d)
             shutil.rmtree(d)
             stats["partitions_dropped"] += 1
+        _keep_schema_if_empty()
         return stats
 
     tmp_root = base + ".delete-tmp"
@@ -221,6 +245,7 @@ def apply_deletes(
             stats["partitions_dropped"] += 1
         shutil.rmtree(old)
     shutil.rmtree(tmp_root)
+    _keep_schema_if_empty()
     return stats
 
 

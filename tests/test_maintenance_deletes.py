@@ -223,3 +223,25 @@ def test_auto_compact_crash_recovery(spark, table):
     assert auto_compact(spark, out, CFG, min_files=50) == []
     assert not os.path.exists(hot_dir + ".compact-old")
     assert sorted(str(r) for r in spark.read.parquet(out).collect()) == want
+
+
+def test_delete_everything_leaves_readable_empty_table(spark, table):
+    """Deleting every partition must leave a READABLE empty table: a
+    zero-row keeper file preserves the data schema (and the partition
+    column's type, via a dir value that actually occurred) — the
+    hypothesis-found delete-everything edge, pinned."""
+    from iceberg_file_writer_spark.ingest.maintenance import apply_deletes
+
+    out, n = table
+    users = ["userid1", *USERS_SMALL]
+    stats = apply_deletes(spark, out, users)
+    assert stats["rows_deleted"] == n
+    after = spark.read.parquet(out)
+    assert after.count() == 0
+    assert "user_id" in after.columns and "timestamp" in after.columns
+    # and the empty table accepts a predicate delete without erroring
+    assert apply_deletes(spark, out, users, predicate="timestamp < 0") == {
+        "partitions_dropped": 0,
+        "partitions_rewritten": 0,
+        "rows_deleted": 0,
+    }
