@@ -779,3 +779,64 @@ def conversion_latency_percentiles(spark: SparkSession, sf_dir: str) -> DataFram
         qs=(0.5, 0.9, 0.99),
         accuracy=_PCT_EXACT_ORACLE_ACCURACY,
     )
+
+
+@register(
+    "user_longest_streak",
+    oracle="""
+WITH days AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+),
+islands AS (
+  SELECT user_id, d,
+         d - CAST(row_number() OVER (PARTITION BY user_id ORDER BY d)
+                  AS INTEGER) AS island
+  FROM days
+),
+streaks AS (
+  SELECT user_id, count(*) AS streak_days, min(d) AS streak_start
+  FROM islands GROUP BY user_id, island
+)
+SELECT user_id, streak_days, streak_start FROM (
+  SELECT *, row_number() OVER (PARTITION BY user_id
+                               ORDER BY streak_days DESC, streak_start) AS rn
+  FROM streaks
+) WHERE rn = 1
+""",
+    description=(
+        "Longest consecutive-day activity streak per user (gaps-and-"
+        "islands): distinct active days, date-minus-row_number island "
+        "keys, per-island counts, best streak with deterministic "
+        "earliest-start tie-break"
+    ),
+    driver_exposed=False,
+    # Registered after the round-5 driver surface froze at the cap;
+    # pytest-oracle-checked at sf0.001/sf0.01 (test_oracle_parity).
+)
+def user_longest_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The gaps-and-islands shape over the events stream.
+
+    Scale shape: the distinct-days relation is user-keyed (partial-agg'd
+    map-side, at most users x days rows), every window partitions on
+    user_id (the table's own partition key — one exchange, shared by the
+    island numbering and the final best-streak rank), and the island
+    aggregate is co-partitioned behind it. Nothing corpus-sized after
+    the distinct.
+    """
+    ev = load_tables(spark, sf_dir)["events"]
+    days = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
+    wd = Window.partitionBy("user_id").orderBy("d")
+    islands = days.withColumn(
+        "island", F.date_sub(F.col("d"), F.row_number().over(wd))
+    )
+    streaks = islands.groupBy("user_id", "island").agg(
+        F.count("*").alias("streak_days"), F.min("d").alias("streak_start")
+    )
+    wr = Window.partitionBy("user_id").orderBy(
+        F.col("streak_days").desc(), "streak_start"
+    )
+    return (
+        streaks.withColumn("rn", F.row_number().over(wr))
+        .where(F.col("rn") == 1)
+        .select("user_id", "streak_days", "streak_start")
+    )
