@@ -643,3 +643,63 @@ def customer_balance_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.cume_dist().over(w), 6).alias("cum_dist"),
         F.nth_value("c_custkey", 2).over(wf).alias("second_richest_custkey"),
     )
+
+
+COPURCHASE_TOP_K = 20
+
+
+@register(
+    "part_copurchase_pairs",
+    oracle=f"""
+WITH items AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+pairs AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+         count(*) AS n_orders
+  FROM items a JOIN items b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY a.l_partkey, b.l_partkey
+)
+SELECT part_a, part_b, n_orders FROM pairs
+ORDER BY n_orders DESC, part_a, part_b
+LIMIT {COPURCHASE_TOP_K}
+""",
+    description=(
+        f"Market-basket co-purchase: the top-{COPURCHASE_TOP_K} part "
+        "pairs by number of orders containing both — the frequent-"
+        "itemset-pairs shape over the order/lineitem basket"
+    ),
+    driver_exposed=False,
+    # Registered after the round-5 driver surface froze at the cap;
+    # pytest-oracle-checked at sf0.001/sf0.01 (test_oracle_parity).
+)
+def part_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent co-purchased part pairs (support counting).
+
+    Scale shape: the self-join is an equi-join on the basket key
+    (l_orderkey), so pair fan-out is bounded by items-per-order squared
+    — a data constant (~7² here), never corpus-quadratic; the a<b
+    predicate halves it and canonicalizes pair identity. Pair counts
+    partial-aggregate map-side, and the report is a
+    TakeOrderedAndProject. At true market-basket scale the same shape
+    takes a pre-filter on frequent single items (the a-priori cut) as
+    one more broadcast semi-join in front — seam noted, not needed at
+    this item cardinality.
+    """
+    items = (
+        load_tables(spark, sf_dir)["lineitem"]
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = items.selectExpr("l_orderkey", "l_partkey AS part_a")
+    b = items.selectExpr("l_orderkey", "l_partkey AS part_b")
+    pairs = (
+        a.join(b, "l_orderkey")
+        .where(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count("*").alias("n_orders"))
+    )
+    return pairs.orderBy(
+        F.col("n_orders").desc(), "part_a", "part_b"
+    ).limit(COPURCHASE_TOP_K)
