@@ -703,3 +703,100 @@ def part_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.orderBy(
         F.col("n_orders").desc(), "part_a", "part_b"
     ).limit(COPURCHASE_TOP_K)
+
+
+RULE_MIN_SUPPORT = 3  # orders containing the pair
+
+
+@register(
+    "part_association_rules",
+    oracle=f"""
+WITH items AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+n_orders_t AS (
+  SELECT count(DISTINCT l_orderkey)::BIGINT AS n_orders FROM items
+),
+item_supp AS (
+  SELECT l_partkey, count(*) AS n_a FROM items GROUP BY l_partkey
+),
+pair_supp AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+         count(*) AS n_ab
+  FROM items a JOIN items b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+  GROUP BY a.l_partkey, b.l_partkey
+)
+SELECT p.part_a AS antecedent, p.part_b AS consequent, p.n_ab,
+       ((1000 * p.n_ab) // sa.n_a)::BIGINT AS confidence_permille,
+       round((p.n_ab * t.n_orders) / (sa.n_a * sb.n_a * 1.0), 4) AS lift
+FROM pair_supp p
+JOIN item_supp sa ON sa.l_partkey = p.part_a
+JOIN item_supp sb ON sb.l_partkey = p.part_b
+CROSS JOIN n_orders_t t
+WHERE p.n_ab >= {RULE_MIN_SUPPORT}
+""",
+    description=(
+        f"Association rules a=>b over order baskets (pair support >= "
+        f"{RULE_MIN_SUPPORT}): exact integer confidence permille and "
+        "rounded lift"
+    ),
+    driver_exposed=False,
+    # Registered after the round-5 driver surface froze at the cap;
+    # pytest-oracle-checked at sf0.001/sf0.01 (test_oracle_parity).
+)
+def part_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed rules with confidence and lift.
+
+    Scale shape: identical basket-keyed self-join as the co-purchase
+    pairs (fan-out items-per-order², a data constant), directed this
+    time (a<>b) because confidence is asymmetric; single-item supports
+    are a vocabulary-sized relation joined back (broadcastable), and
+    the 1-row basket total broadcasts. Confidence is exact integer
+    permille; lift rounds a single multiply-divide chain, associated
+    identically in both engines.
+    """
+    items = (
+        load_tables(spark, sf_dir)["lineitem"]
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    total = items.agg(
+        F.countDistinct("l_orderkey").cast("long").alias("n_orders")
+    )
+    supp = items.groupBy("l_partkey").agg(F.count("*").alias("n_a"))
+    a = items.selectExpr("l_orderkey", "l_partkey AS antecedent")
+    b = items.selectExpr("l_orderkey", "l_partkey AS consequent")
+    pairs = (
+        a.join(b, "l_orderkey")
+        .where(F.col("antecedent") != F.col("consequent"))
+        .groupBy("antecedent", "consequent")
+        .agg(F.count("*").alias("n_ab"))
+        .where(F.col("n_ab") >= RULE_MIN_SUPPORT)
+    )
+    return (
+        pairs.join(
+            F.broadcast(supp.selectExpr("l_partkey AS antecedent", "n_a")),
+            "antecedent",
+        )
+        .join(
+            F.broadcast(
+                supp.selectExpr("l_partkey AS consequent", "n_a AS n_b")
+            ),
+            "consequent",
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "antecedent",
+            "consequent",
+            "n_ab",
+            F.floor((F.lit(1000) * F.col("n_ab")) / F.col("n_a"))
+            .cast("long")
+            .alias("confidence_permille"),
+            F.round(
+                (F.col("n_ab") * F.col("n_orders"))
+                / (F.col("n_a") * F.col("n_b") * F.lit(1.0)),
+                4,
+            ).alias("lift"),
+        )
+    )
