@@ -840,3 +840,87 @@ def user_longest_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") == 1)
         .select("user_id", "streak_days", "streak_start")
     )
+
+
+@register(
+    "purchase_asof_next_error",
+    oracle="""
+WITH stream AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN event_type = 'error' THEN 0 ELSE 1 END AS kind
+  FROM events
+  WHERE event_type IN ('purchase', 'error')
+), carried AS (
+  SELECT user_id, ts, event_id, kind,
+         first_value(CASE WHEN kind = 0 THEN event_id END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, kind, event_id
+                 ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS err_id,
+         first_value(CASE WHEN kind = 0 THEN ts END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, kind, event_id
+                 ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS err_ts
+  FROM stream
+)
+SELECT event_id AS purchase_id,
+       user_id,
+       ts AS purchase_ts,
+       CASE WHEN err_ts <= ts + INTERVAL 1 HOUR THEN err_id END AS next_error_id,
+       CASE WHEN err_ts <= ts + INTERVAL 1 HOUR THEN err_ts END AS next_error_ts
+FROM carried
+WHERE kind = 1
+""",
+    description=(
+        "Forward as-of join: each purchase matched to the user's first "
+        "strictly-later error within 1 hour (null if none) — the "
+        "look-ahead direction of the as-of family"
+    ),
+    driver_exposed=False,
+    # Registered after the round-5 driver surface froze at the cap;
+    # pytest-oracle-checked at sf0.001/sf0.01 (test_oracle_parity).
+)
+def purchase_asof_next_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The look-ahead as-of direction (did an error follow the purchase).
+
+    Same union + carry window as the backward as-of, mirrored: errors
+    sort BEFORE purchases at an equal ts (kind 0 < 1) and the frame
+    starts at 1 FOLLOWING, so a same-timestamp error never matches —
+    strict "after" semantics. One user_id shuffle, linear scan per
+    partition; the 1-hour horizon is a post-filter (at streaming scale
+    it is what bounds the look-ahead state).
+    """
+    t = load_tables(spark, sf_dir)
+    stream = (
+        t["events"]
+        .where(F.col("event_type").isin("purchase", "error"))
+        .select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.when(F.col("event_type") == "error", F.lit(0))
+            .otherwise(F.lit(1))
+            .alias("kind"),
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "kind", "event_id")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    err_id = F.first(
+        F.when(F.col("kind") == 0, F.col("event_id")), ignorenulls=True
+    ).over(w)
+    err_ts = F.first(
+        F.when(F.col("kind") == 0, F.col("ts")), ignorenulls=True
+    ).over(w)
+    in_horizon = F.col("err_ts") <= F.col("ts") + F.expr("INTERVAL 1 HOUR")
+    return (
+        stream.withColumn("err_id", err_id)
+        .withColumn("err_ts", err_ts)
+        .where(F.col("kind") == 1)
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("ts").alias("purchase_ts"),
+            F.when(in_horizon, F.col("err_id")).alias("next_error_id"),
+            F.when(in_horizon, F.col("err_ts")).alias("next_error_ts"),
+        )
+    )
