@@ -701,3 +701,76 @@ def incremental_neardup_new_vs_corpus(spark: SparkSession, sf_dir: str) -> DataF
         )
         .where(F.col("jaccard_sim") >= MINHASH_JACCARD_THRESHOLD)
     )
+
+
+@register(
+    "minhash_estimator_error",
+    oracle=f"""
+WITH {_MINHASH_PAIRS_CTES}
+SELECT p.doc_a, p.doc_b,
+       round(p.jaccard_sim, 6) AS jaccard_sim,
+       ({" + ".join(f"CASE WHEN sa.h{i} = sb.h{i} THEN 1 ELSE 0 END" for i in range(NUM_HASHES))})::BIGINT
+         AS matching_components,
+       ((1000 * ({" + ".join(f"CASE WHEN sa.h{i} = sb.h{i} THEN 1 ELSE 0 END" for i in range(NUM_HASHES))}))
+        // {NUM_HASHES})::BIGINT AS estimate_permille,
+       abs(((1000 * ({" + ".join(f"CASE WHEN sa.h{i} = sb.h{i} THEN 1 ELSE 0 END" for i in range(NUM_HASHES))}))
+            // {NUM_HASHES}) - CAST(floor(1000 * p.jaccard_sim) AS BIGINT))::BIGINT
+         AS abs_error_permille
+FROM pairs p
+JOIN sigs sa ON sa.doc_id = p.doc_a
+JOIN sigs sb ON sb.doc_id = p.doc_b
+""",
+    description=(
+        f"MinHash estimator quality: per verified near-dup pair, the "
+        f"{NUM_HASHES}-component signature-agreement estimate vs the exact "
+        "Jaccard, with the absolute error in exact integer permille"
+    ),
+    driver_exposed=False,
+    # Registered after the round-5 driver surface froze at the cap;
+    # pytest-oracle-checked at sf0.001/sf0.01 (test_oracle_parity).
+)
+def minhash_estimator_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Does the sketch deliver its promised accuracy.
+
+    The evaluation-family readout for MinHash itself: E[agreement
+    fraction] = true Jaccard, with std ≈ sqrt(J(1-J)/k) ≈ 0.06 at k=64 —
+    this operator measures the realized per-pair error so a signature-
+    width decision (k vs error vs storage) is made from data, not the
+    formula alone. The pair relation and both signature reads come from
+    the same cached artifacts the dedup pipeline already materializes;
+    the comparison is a 64-term codegen'd CASE sum on pair-sized rows.
+    """
+    pairs = _minhash_pairs_df(spark, sf_dir)
+    sig = _minhash_sig_df(spark, sf_dir)
+    sa = sig.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"h{i}").alias(f"a{i}") for i in range(NUM_HASHES)],
+    )
+    sb = sig.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"h{i}").alias(f"b{i}") for i in range(NUM_HASHES)],
+    )
+    matches = sum(
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+        for i in range(NUM_HASHES)
+    )
+    est = F.floor((F.lit(1000) * F.col("matching_components")) / NUM_HASHES).cast(
+        "long"
+    )
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("matching_components", matches.cast("long"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round("jaccard_sim", 6).alias("jaccard_sim"),
+            "matching_components",
+            est.alias("estimate_permille"),
+            F.abs(
+                est - F.floor(F.lit(1000) * F.col("jaccard_sim")).cast("long")
+            )
+            .cast("long")
+            .alias("abs_error_permille"),
+        )
+    )
