@@ -232,19 +232,26 @@ def orders_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "fuzzy_name_matches",
-    oracle="""
-WITH c AS (SELECT c_custkey, c_name FROM customer),
+# Shared with customer_entity_clusters' recursive-closure oracle.
+_FUZZY_CTES = """c AS (SELECT c_custkey, c_name FROM customer),
 v AS (
   SELECT c_custkey, c_name,
          substr(c_name, 1, i - 1) || '?' || substr(c_name, i + 1) AS blk
   FROM c, unnest(range(1, length(c_name) + 1)) AS t(i)
-)
-SELECT a.c_custkey AS cust_a, b.c_custkey AS cust_b,
-       a.c_name AS name_a, b.c_name AS name_b
-FROM v a JOIN v b ON a.blk = b.blk AND a.c_custkey < b.c_custkey
-WHERE levenshtein(a.c_name, b.c_name) = 1
+),
+fpairs AS (
+  SELECT DISTINCT a.c_custkey AS cust_a, b.c_custkey AS cust_b,
+         a.c_name AS name_a, b.c_name AS name_b
+  FROM v a JOIN v b ON a.blk = b.blk AND a.c_custkey < b.c_custkey
+  WHERE levenshtein(a.c_name, b.c_name) = 1
+)"""
+
+
+@register(
+    "fuzzy_name_matches",
+    oracle=f"""
+WITH {_FUZZY_CTES}
+SELECT cust_a, cust_b, name_a, name_b FROM fpairs
 """,
     description=(
         "Entity resolution: edit-distance-1 name pairs via wildcard-"
@@ -791,5 +798,71 @@ def event_value_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_outliers"),
             F.min("event_id").alias("first_outlier_id"),
             F.round(F.max(z), 6).alias("max_robust_z"),
+        )
+    )
+
+
+@register(
+    "customer_entity_clusters",
+    oracle=f"""
+WITH RECURSIVE {_FUZZY_CTES},
+edges AS (
+  SELECT cust_a AS src, cust_b AS dst FROM fpairs
+  UNION
+  SELECT cust_b, cust_a FROM fpairs
+),
+reach AS (
+  SELECT src AS doc, src AS r FROM edges
+  UNION
+  SELECT src AS doc, dst AS r FROM edges
+  UNION
+  SELECT re.doc, e.dst AS r
+  FROM reach re JOIN edges e ON e.src = re.r
+),
+canon AS (
+  SELECT doc AS c_custkey, min(r) AS entity_id FROM reach GROUP BY doc
+)
+SELECT canon.entity_id, canon.c_custkey, c.c_name,
+       (count(*) OVER (PARTITION BY canon.entity_id))::BIGINT AS entity_size
+FROM canon JOIN c ON c.c_custkey = canon.c_custkey
+""",
+    description=(
+        "Entity resolution endgame: fuzzy name matches closed into "
+        "entity clusters via the shared connected-components operator — "
+        "each matched customer labeled with its entity's canonical key"
+    ),
+    driver_exposed=False,
+    # Registered after the round-5 driver surface froze at the cap;
+    # pytest-oracle-checked at sf0.001/sf0.01 (test_oracle_parity).
+)
+def customer_entity_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Match pairs are not entities — the closure is.
+
+    Same argument as near-dup canonicalization (A~B, B~C chains), same
+    machinery: the pair graph feeds operators/graph.py::
+    connected_components — the audited min-label fixpoint now shared by
+    both the dedup and entity-resolution pipelines, which is the point
+    of extracting it. The pair relation is match-sized (orders smaller
+    than the customer table); the name join back is key-equi.
+    """
+    from pyspark.sql import Window
+
+    from iceberg_file_writer_spark.operators.graph import connected_components
+
+    pairs = fuzzy_name_matches(spark, sf_dir).select("cust_a", "cust_b")
+    cc = connected_components(pairs, "cust_a", "cust_b")
+    names = load_tables(spark, sf_dir)["customer"].select("c_custkey", "c_name")
+    wsz = Window.partitionBy("entity_id")
+    return (
+        cc.select(
+            F.col("component").alias("entity_id"),
+            F.col("node").alias("c_custkey"),
+        )
+        .join(names, "c_custkey")
+        .select(
+            "entity_id",
+            "c_custkey",
+            "c_name",
+            F.count(F.lit(1)).over(wsz).cast("long").alias("entity_size"),
         )
     )

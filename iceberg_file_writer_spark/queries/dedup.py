@@ -361,66 +361,18 @@ def neardup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     large-star/small-star variant halves round count — seam documented
     here, the emitted mapping is identical.
     """
-    # cache() on the pair relation itself: the symmetrized edge union reads
-    # it twice, and without the pin each union branch replays the LSH
-    # candidate join + Jaccard verify (the signature/set relations below it
-    # are cached, but the join work is not).
-    pairs = _minhash_pairs_df(spark, sf_dir).select("doc_a", "doc_b").cache()
-    # The edge relation is orders smaller than the corpus (it is the
-    # near-dup pair list), but it inherits the corpus-sized shuffle
-    # partitioning from pair generation — leaving the fixpoint rounds to
-    # schedule hundreds of near-empty tasks per round (measured ~0.6-1 s
-    # of pure task-scheduling overhead per round at sf0.1). Right-size the
-    # iteration layout to the *edge count*: ~1M edges per partition, so a
-    # 10^9-edge graph still iterates on ~1000 partitions while a small
-    # dedup family graph collapses to one. pairs is cached, so the count
-    # is a metadata-cheap job that also pins the cache before the union
-    # reads it twice.
-    n_edges = 2 * pairs.count()
-    iter_parts = max(1, min(int(spark.sparkContext.defaultParallelism) * 4, n_edges // 1_000_000 + 1))
-    # cache(): the edge list seeds the node set and is re-joined every
-    # propagation round; without it each round replays LSH pair generation.
-    edges = (
-        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-        .union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
-        .coalesce(iter_parts)
-        .cache()
-    )
-    # Seed with min(self, direct neighbors): the symmetrized edge list
-    # already carries every node as src, so one partial-agg'd groupBy
-    # performs propagation round 1 without the join + union + convergence
-    # job the loop pays per round (any upper-bound init converges to the
-    # same component minima, so the checked fixpoint is unchanged).
-    labels = (
-        edges.groupBy("src")
-        .agg(F.min("dst").alias("mn"))
-        .select(F.col("src").alias("doc"), F.least("src", "mn").alias("lbl"))
-        .cache()
-    )
-    prev_cached = labels
-    while True:
-        msgs = edges.join(labels, edges.src == labels.doc).select(
-            F.col("dst").alias("doc"), "lbl", F.lit(None).cast("long").alias("own")
-        )
-        # Tag the node's own label through the union so convergence is read
-        # off the SAME aggregate that computes the new labels (min(own) is
-        # the round's starting label — each doc appears exactly once in the
-        # labels branch): no per-round join against the previous labels.
-        new_labels = (
-            msgs.union(labels.select("doc", "lbl", F.col("lbl").alias("own")))
-            .groupBy("doc")
-            .agg(F.min("lbl").alias("lbl"), F.min("own").alias("own"))
-            .cache()
-        )
-        changed = new_labels.where(F.col("lbl") != F.col("own")).count()
-        prev_cached.unpersist()
-        prev_cached = new_labels
-        labels = new_labels.select("doc", "lbl")
-        if changed == 0:
-            break
+    # The fixpoint itself lives in operators/graph.py::connected_components
+    # (extracted round 5 so fuzzy-match entity clustering reuses the same
+    # audited iteration); it caches the pair relation — the symmetrized
+    # edge union reads it twice, and without the pin each branch replays
+    # the LSH candidate join + Jaccard verify.
+    from iceberg_file_writer_spark.operators.graph import connected_components
+
+    pairs = _minhash_pairs_df(spark, sf_dir).select("doc_a", "doc_b")
+    cc = connected_components(pairs, "doc_a", "doc_b")
     wsz = Window.partitionBy("canonical_doc_id")
-    return labels.select(
-        F.col("doc").alias("doc_id"), F.col("lbl").alias("canonical_doc_id")
+    return cc.select(
+        F.col("node").alias("doc_id"), F.col("component").alias("canonical_doc_id")
     ).withColumn("cluster_size", F.count(F.lit(1)).over(wsz))
 
 
