@@ -726,3 +726,148 @@ def minhash_estimator_error(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("abs_error_permille"),
         )
     )
+
+
+_PI = "3.141592653589793"  # shared literal so both engines run identical arithmetic
+
+
+@register(
+    "simhash_estimator_error",
+    oracle=f"""
+WITH votes AS ({_simhash_votes_sql()}),
+packed AS ({_simhash_packed_sql()}),
+bands AS (
+  SELECT doc_id, w1, w2,
+         unnest(range({SIMHASH_BANDS})) AS band_idx,
+         unnest([{", ".join(f"substr(fingerprint, {b * _SIMHASH_BAND_WIDTH + 1}, {_SIMHASH_BAND_WIDTH})" for b in range(SIMHASH_BANDS))}]) AS band_key
+  FROM packed
+),
+candidates AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+spairs AS (
+  SELECT c.doc_a, c.doc_b,
+         (bit_count(xor(pa.w1, pb.w1)) + bit_count(xor(pa.w2, pb.w2)))::BIGINT AS hamming
+  FROM candidates c
+  JOIN packed pa ON pa.doc_id = c.doc_a
+  JOIN packed pb ON pb.doc_id = c.doc_b
+  WHERE bit_count(xor(pa.w1, pb.w1)) + bit_count(xor(pa.w2, pb.w2)) <= {SIMHASH_MAX_HAMMING}
+),
+wordx AS ({_WORDX_SQL}),
+shingle_x AS ({_shingle_x_sql(3)}),
+sets AS (SELECT doc_id, count(DISTINCT x) AS sz FROM shingle_x GROUP BY doc_id),
+inter AS (
+  SELECT p.doc_a, p.doc_b, p.hamming, count(*) AS n_shared
+  FROM spairs p
+  JOIN (SELECT DISTINCT doc_id, x FROM shingle_x) ga ON ga.doc_id = p.doc_a
+  JOIN (SELECT DISTINCT doc_id, x FROM shingle_x) gb
+    ON gb.doc_id = p.doc_b AND gb.x = ga.x
+  GROUP BY p.doc_a, p.doc_b, p.hamming
+)
+SELECT i.doc_a, i.doc_b, i.hamming,
+       round(cos({_PI} * i.hamming / {SIMHASH_BITS}), 6) AS est_cosine,
+       round(i.n_shared / sqrt(sa.sz * sb.sz), 6)        AS exact_cosine,
+       round(abs(round(cos({_PI} * i.hamming / {SIMHASH_BITS}), 6)
+                 - round(i.n_shared / sqrt(sa.sz * sb.sz), 6)), 6) AS abs_error
+FROM inter i
+JOIN sets sa ON sa.doc_id = i.doc_a
+JOIN sets sb ON sb.doc_id = i.doc_b
+""",
+    description=(
+        f"SimHash selection-bias audit: hamming-implied similarity "
+        f"cos(pi*h/{SIMHASH_BITS}) of banded CANDIDATES vs their exact "
+        "binary shingle cosine — quantifies why exact verification after "
+        "candidate generation is mandatory"
+    ),
+    driver_exposed=False,
+    # Registered after the round-5 driver surface froze at the cap;
+    # pytest-oracle-checked at sf0.001/sf0.01 (test_oracle_parity).
+)
+def simhash_estimator_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Why candidate verification is mandatory, quantified.
+
+    SimHash's contract is P(bit differs) = theta/pi, so hamming h
+    implies angular similarity cos(pi*h/BITS); this operator measures
+    that implied similarity against the exact binary cosine of the same
+    shingle sets — ON THE BANDED CANDIDATES. The measured mean error is
+    large (~0.55 at test SFs): conditioning on a small hamming selects
+    exactly the pairs whose 64-bit sketch got lucky across n² trials,
+    so the implied similarity of *candidates* is systematically
+    optimistic (LSH selection bias), even though the estimator is
+    unbiased over random pairs. That gap is the empirical justification
+    for the exact-verify stage every near-dup pipeline in this engine
+    runs after candidate generation — here made a monitored number.
+    Pair relation and shingle sets come from the already-cached dedup
+    artifacts; the exact cosine is one candidate-only inverted join.
+    """
+    sim = _simhash_df(spark, sf_dir).cache()
+    band_arr = F.array(
+        *[
+            F.substring(
+                "fingerprint", b * _SIMHASH_BAND_WIDTH + 1, _SIMHASH_BAND_WIDTH
+            )
+            for b in range(SIMHASH_BANDS)
+        ]
+    )
+    bands = sim.select(
+        "doc_id", "w1", "w2", F.posexplode(band_arr).alias("band_idx", "band_key")
+    )
+    cands = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    pa = sim.selectExpr("doc_id AS doc_a", "w1 AS a1", "w2 AS a2")
+    pb = sim.selectExpr("doc_id AS doc_b", "w1 AS b1", "w2 AS b2")
+    spairs = (
+        cands.join(pa, "doc_a")
+        .join(pb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            hamming64(
+                F.col("a1"), F.col("a2"), F.col("b1"), F.col("b2")
+            )
+            .cast("long")
+            .alias("hamming"),
+        )
+        .where(F.col("hamming") <= SIMHASH_MAX_HAMMING)
+    )
+    grams = _shingle_x_df(spark, sf_dir, 3).distinct().cache()
+    sizes = grams.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    ga = grams.selectExpr("doc_id AS doc_a", "x")
+    gb = grams.selectExpr("doc_id AS doc_b", "x")
+    inter = (
+        spairs.join(ga, "doc_a")
+        .join(gb, ["doc_b", "x"])
+        .groupBy("doc_a", "doc_b", "hamming")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    est = F.round(
+        F.cos(F.lit(float(_PI)) * F.col("hamming") / SIMHASH_BITS), 6
+    )
+    exact = F.round(
+        F.col("n_shared") / F.sqrt(F.col("sz_a") * F.col("sz_b")), 6
+    )
+    return (
+        inter.join(sizes.selectExpr("doc_id AS doc_a", "sz AS sz_a"), "doc_a")
+        .join(sizes.selectExpr("doc_id AS doc_b", "sz AS sz_b"), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "hamming",
+            est.alias("est_cosine"),
+            exact.alias("exact_cosine"),
+            F.round(F.abs(est - exact), 6).alias("abs_error"),
+        )
+    )
