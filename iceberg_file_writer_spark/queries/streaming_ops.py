@@ -1006,3 +1006,145 @@ def streaming_quality_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("mean_quality_permille"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming count-min sketch (round 5): additive cell state.
+# ---------------------------------------------------------------------------
+
+
+def _register_streaming_cms():
+    from iceberg_file_writer_spark.operators.text import words
+    from iceberg_file_writer_spark.queries import _REGISTRY
+    from iceberg_file_writer_spark.queries.text import (  # noqa: F401
+        CMS_DEPTH,
+        CMS_TOP_K,
+        _cms_bucket_spark,
+        token_heavy_hitters_cms,
+    )
+
+    @register(
+        "streaming_cms_heavy_hitters",
+        # CMS cells merge by cell-wise sum (associative+commutative), so
+        # the streamed sketch equals the batch sketch and the batch
+        # entry's oracle checks this entry verbatim.
+        oracle=_REGISTRY["token_heavy_hitters_cms"].oracle,
+        description=(
+            "Streaming count-min sketch: per-batch token-frequency cells "
+            "folded cell-wise-additively into fixed-size sketch state; "
+            "the final heavy-hitter report equals the batch CMS entry "
+            "exactly (same oracle) whatever the batch boundaries"
+        ),
+        # pytest-oracle-checked; driver surface at its 50-entry cap.
+        driver_exposed=False,
+    )
+    def streaming_cms_heavy_hitters(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        """The sketch as streaming state — the reason sketches exist.
+
+        A CMS is DEPTH x WIDTH integers whose merge is cell-wise
+        addition, so per-batch sketches fold into standing state with a
+        grouped sum — fixed memory forever, any batch boundaries, final
+        state provably equal to the batch-built sketch (same additive
+        argument as the quality monitor; the batch entry's oracle checks
+        this entry unchanged). The top-k probe side is a serving-time
+        read — the sketch answers point queries; identifying NEW heavy
+        keys online additionally needs a heap beside the sketch, which
+        is the documented SpaceSaving seam, not this operator.
+        """
+        import os
+        import shutil
+
+        docs = load_tables(spark, sf_dir)["documents"].select("doc_id", "text")
+        incoming = tempfile.mkdtemp(prefix="cms-incoming-")
+        docs.repartition(4).write.mode("overwrite").parquet(incoming)
+
+        root = tempfile.mkdtemp(prefix="cms-state-")
+        state_dir = os.path.join(root, "state")
+        ckpt = tempfile.mkdtemp(prefix="cms-ckpt-")
+
+        def fold(batch_df: DataFrame, batch_id: int) -> None:
+            tfb = (
+                batch_df.select(F.explode(words(F.col("text"))).alias("w"))
+                .groupBy("w")
+                .agg(F.count(F.lit(1)).alias("cnt"))
+            )
+            part = (
+                tfb.select(
+                    "cnt",
+                    F.posexplode(
+                        F.array(
+                            *[
+                                _cms_bucket_spark(F.col("w"), d)
+                                for d in range(CMS_DEPTH)
+                            ]
+                        )
+                    ).alias("d", "bucket"),
+                )
+                .groupBy("d", "bucket")
+                .agg(F.sum("cnt").alias("cms_count"))
+            )
+            if os.path.isdir(state_dir):
+                cur = batch_df.sparkSession.read.parquet(state_dir)
+                part = (
+                    cur.unionByName(part)
+                    .groupBy("d", "bucket")
+                    .agg(F.sum("cms_count").alias("cms_count"))
+                )
+            staged = os.path.join(root, f"staging-{batch_id}")
+            part.write.mode("overwrite").parquet(staged)
+            old = os.path.join(root, f"old-{batch_id}")
+            if os.path.isdir(state_dir):
+                os.rename(state_dir, old)
+            os.rename(staged, state_dir)
+            shutil.rmtree(old, ignore_errors=True)
+
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(incoming)
+        )
+        q = (
+            stream.writeStream.foreachBatch(fold)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination()
+        finally:
+            q.stop()
+        cells = spark.read.parquet(state_dir)
+
+        # serving-side probe: top-k truth from the batch table, estimates
+        # from the streamed sketch state
+        from pyspark.sql import Window
+
+        toks = docs.select(F.explode(words(F.col("text"))).alias("w"))
+        tf = toks.groupBy("w").agg(F.count(F.lit(1)).alias("true_count"))
+        wtop = Window.orderBy(F.desc("true_count"), F.asc("w"))
+        top = tf.withColumn("rk", F.row_number().over(wtop)).where(
+            F.col("rk") <= CMS_TOP_K
+        )
+        probes = top.select(
+            "w",
+            "true_count",
+            "rk",
+            F.posexplode(
+                F.array(
+                    *[_cms_bucket_spark(F.col("w"), d) for d in range(CMS_DEPTH)]
+                )
+            ).alias("d", "bucket"),
+        )
+        return (
+            probes.join(F.broadcast(cells), ["d", "bucket"])
+            .groupBy("w", "true_count", "rk")
+            .agg(F.min("cms_count").cast("long").alias("cms_estimate"))
+            .select(
+                F.col("w").alias("token"), "true_count", "cms_estimate", "rk"
+            )
+        )
+
+
+_register_streaming_cms()
