@@ -800,3 +800,69 @@ def part_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift"),
         )
     )
+
+
+@register(
+    "open_orders_backlog",
+    oracle="""
+WITH spans AS (
+  SELECT o.o_orderkey, o.o_orderdate AS start_day,
+         max(l.l_shipdate) AS end_day
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  GROUP BY o.o_orderkey, o.o_orderdate
+),
+deltas AS (
+  SELECT d, sum(delta)::BIGINT AS net FROM (
+    SELECT start_day AS d, 1 AS delta FROM spans
+    UNION ALL
+    SELECT end_day AS d, -1 AS delta FROM spans
+  ) GROUP BY d
+)
+SELECT d AS day,
+       net,
+       sum(net) OVER (ORDER BY d
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         ::BIGINT AS open_orders
+FROM deltas
+""",
+    description=(
+        "Open-order backlog per day (sweep line): +1 at order date, -1 at "
+        "last shipment, cumulative over the date axis — the interval-"
+        "counting shape (concurrent sessions / active loans / WIP)"
+    ),
+    driver_exposed=False,
+    # Registered after the round-5 driver surface froze at the cap;
+    # pytest-oracle-checked at sf0.001/sf0.01 (test_oracle_parity).
+)
+def open_orders_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How many intervals cover each day, without expanding intervals.
+
+    The sweep-line dual of the rolling-WAU fan-out: instead of exploding
+    each interval onto every day it covers (length-proportional), each
+    interval emits exactly two signed events and a prefix sum over the
+    date axis recovers the concurrent count — O(intervals), any span
+    lengths. The per-order span is an orderkey-keyed aggregate; deltas
+    partial-aggregate onto the |dates| relation, and only that tiny
+    relation passes through the single-partition cumulative window (the
+    documented exception class: constant-bounded input). A day ending
+    and starting the same count nets in one row.
+    """
+    t = load_tables(spark, sf_dir)
+    spans = (
+        t["orders"]
+        .join(t["lineitem"], t["orders"].o_orderkey == t["lineitem"].l_orderkey)
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(F.max("l_shipdate").alias("end_day"))
+    )
+    deltas = (
+        spans.select(F.col("o_orderdate").alias("d"), F.lit(1).alias("delta"))
+        .unionAll(spans.select(F.col("end_day").alias("d"), F.lit(-1).alias("delta")))
+        .groupBy("d")
+        .agg(F.sum("delta").cast("long").alias("net"))
+    )
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return deltas.select(
+        F.col("d").alias("day"),
+        "net",
+        F.sum("net").over(w).cast("long").alias("open_orders"),
+    )
