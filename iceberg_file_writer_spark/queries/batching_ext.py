@@ -593,3 +593,66 @@ def similar_users_by_behavior(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.withColumn("rk", F.row_number().over(w)).where(
         F.col("rk") <= SIMILAR_K
     )
+
+
+@register(
+    "seasonal_naive_forecast_error",
+    oracle="""
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS h, count(*) AS n
+  FROM events GROUP BY event_type, date_trunc('hour', ts)
+),
+scored AS (
+  SELECT cur.event_type,
+         abs(cur.n - prev.n) AS abs_err
+  FROM hourly cur
+  JOIN hourly prev
+    ON prev.event_type = cur.event_type
+   AND prev.h = cur.h - INTERVAL 168 HOUR
+)
+SELECT event_type,
+       count(*)                                   AS n_hours,
+       sum(abs_err)::BIGINT                       AS total_abs_err,
+       ((1000 * sum(abs_err)) // count(*))::BIGINT AS mae_milli
+FROM scored GROUP BY event_type
+""",
+    description=(
+        "Seasonal-naive forecast error: predict each (type, hour) count "
+        "by the same hour one week earlier; per-type MAE in exact "
+        "milli-units — the baseline every fancier forecaster must beat"
+    ),
+    driver_exposed=False,
+    # Registered after the round-5 driver surface froze at the cap;
+    # pytest-oracle-checked at sf0.001/sf0.01 (test_oracle_parity).
+)
+def seasonal_naive_forecast_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The forecasting floor, measured.
+
+    Seasonal-naive (y_hat[t] = y[t - 168h]) is the standard baseline a
+    demand/traffic forecaster must beat to justify itself; this readout
+    computes its per-type MAE over all hours with a one-week-earlier
+    observation (missing-predecessor hours are excluded — scoring them
+    as zero-prediction would conflate coverage with accuracy). Scale
+    shape: the hourly relation is types x hours (tiny vs events), the
+    week-shift is a self equi-join on (type, shifted hour) — both sides
+    co-keyed — and all arithmetic is exact integers.
+    """
+    ev = load_tables(spark, sf_dir)["events"]
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("h")
+    ).agg(F.count("*").alias("n"))
+    prev = hourly.select(
+        "event_type",
+        (F.col("h") + F.expr("INTERVAL 168 HOURS")).alias("h"),
+        F.col("n").alias("n_prev"),
+    )
+    scored = hourly.join(prev, ["event_type", "h"]).select(
+        "event_type", F.abs(F.col("n") - F.col("n_prev")).alias("abs_err")
+    )
+    return scored.groupBy("event_type").agg(
+        F.count("*").alias("n_hours"),
+        F.sum("abs_err").cast("long").alias("total_abs_err"),
+        F.floor((F.lit(1000) * F.sum("abs_err")) / F.count("*"))
+        .cast("long")
+        .alias("mae_milli"),
+    )
