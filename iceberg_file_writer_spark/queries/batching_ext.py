@@ -656,3 +656,65 @@ def seasonal_naive_forecast_error(spark: SparkSession, sf_dir: str) -> DataFrame
         .cast("long")
         .alias("mae_milli"),
     )
+
+
+@register(
+    "event_concentration_gini",
+    oracle="""
+WITH c AS (
+  SELECT user_id, count(*) AS n FROM events GROUP BY user_id
+),
+ranked AS (
+  SELECT n, row_number() OVER (ORDER BY n, user_id) AS i,
+         count(*) OVER () AS k,
+         sum(n) OVER ()   AS tot
+  FROM c
+)
+SELECT count(*)::BIGINT                         AS n_users,
+       sum(n)::BIGINT                           AS n_events,
+       ((1000 * sum((2 * i - k - 1) * n)) // (k * tot))::BIGINT
+         AS gini_milli
+FROM ranked GROUP BY k, tot
+""",
+    description=(
+        "Event-concentration Gini coefficient over per-user activity "
+        "(exact integer milli-units) — the global-inequality complement "
+        "of the hot-key audit's top-10 view"
+    ),
+    driver_exposed=False,
+    # Registered after the round-5 driver surface froze at the cap;
+    # pytest-oracle-checked at sf0.001/sf0.01 (test_oracle_parity).
+)
+def event_concentration_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How unequal is the key distribution, in one number.
+
+    Gini = sum_i (2i - k - 1) x_(i) / (k * sum x) over ascending-ranked
+    counts — computed entirely in integers (exact numerator, floor
+    division to milli-units), so the check is bitwise. The ranked
+    window runs over the per-user COUNT relation (|users| rows, not
+    events — the corpus-sized work is the one map-side-combined
+    groupBy); the global order there is the same documented
+    constant-vs-corpus exception as the deciles entry, with the
+    two-phase ledger as the stated path when even |keys| outgrows a
+    partition.
+    """
+    ev = load_tables(spark, sf_dir)["events"]
+    c = ev.groupBy("user_id").agg(F.count("*").alias("n"))
+    w = Window.orderBy("n", "user_id")
+    wall = Window.partitionBy()
+    ranked = c.select(
+        "n",
+        F.row_number().over(w).alias("i"),
+        F.count("*").over(wall).alias("k"),
+        F.sum("n").over(wall).alias("tot"),
+    )
+    return ranked.groupBy("k", "tot").agg(
+        F.count("*").cast("long").alias("n_users"),
+        F.sum("n").cast("long").alias("n_events"),
+        F.floor(
+            (F.lit(1000) * F.sum((F.lit(2) * F.col("i") - F.col("k") - 1) * F.col("n")))
+            / (F.col("k") * F.col("tot"))
+        )
+        .cast("long")
+        .alias("gini_milli"),
+    ).drop("k", "tot").select("n_users", "n_events", "gini_milli")
