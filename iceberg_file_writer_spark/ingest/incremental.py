@@ -68,6 +68,35 @@ def init_daily_rollup(spark: SparkSession, events: DataFrame, rollup_path: str) 
     ).partitionBy("day").parquet(rollup_path)
 
 
+def recover_rollup(rollup_path: str) -> None:
+    """Roll a crashed refresh to a consistent state (runs at every
+    refresh entry — same two-rename protocol as maintenance.recover_*).
+
+    A crash mid-swap can strand ``day=<d>.refresh-old`` dirs INSIDE the
+    rollup root; Spark partition discovery would parse those as bogus
+    ``day='<d>.refresh-old'`` partition values and double-count the day
+    on every later read. A stranded ``.refresh-old`` beside a live dir
+    means the swap for that day committed — drop the old; with nothing
+    live it means the crash hit between the two renames — restore it.
+    A leftover ``<rollup>.refresh-tmp`` staging root (outside the rollup
+    root, invisible to discovery) is an uncommitted rewrite — drop it.
+    """
+    base = rollup_path.rstrip("/")
+    tmp_root = base + ".refresh-tmp"
+    if os.path.exists(tmp_root):
+        shutil.rmtree(tmp_root)
+    if os.path.isdir(base):
+        for name in os.listdir(base):
+            if not name.endswith(".refresh-old"):
+                continue
+            old = os.path.join(base, name)
+            live = old[: -len(".refresh-old")]
+            if os.path.exists(live):
+                shutil.rmtree(old)  # crashed after swap: live dir is current
+            else:
+                os.rename(old, live)  # crashed mid-swap: restore committed data
+
+
 def refresh_daily_rollup(
     spark: SparkSession, batch: DataFrame, rollup_path: str
 ) -> dict:
@@ -77,6 +106,7 @@ def refresh_daily_rollup(
     history outside them is never opened (mtime-asserted in the tests).
     Returns {"days_refreshed": int}.
     """
+    recover_rollup(rollup_path)
     batch_parts = _partial(batch).cache()
     touched_days = [r.day for r in batch_parts.select("day").distinct().collect()]
     if not touched_days:

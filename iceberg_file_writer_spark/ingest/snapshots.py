@@ -82,12 +82,16 @@ def _write_data_files(df: DataFrame, table_path: str, max_rows: int) -> list[dic
     """Materialize a DataFrame as new immutable data files; return entries.
 
     Spark writes to a staging dir; files then move into data/ under fresh
-    uuid names (same filesystem — rename, not copy). Until a manifest
-    references them they are invisible to every reader, so a crash here
-    strands garbage bytes, never a broken table (expire_snapshots sweeps
-    unreferenced files).
+    uuid names. Staging lives INSIDE the table directory (a dot-prefixed
+    dir both Spark and the manifest readers ignore) so the final move is a
+    same-filesystem rename by construction — staging in the system /tmp
+    would fail with EXDEV whenever the table sits on a different mount.
+    Until a manifest references them the files are invisible to every
+    reader, so a crash here strands garbage bytes, never a broken table
+    (expire_snapshots sweeps unreferenced files).
     """
-    staging = tempfile.mkdtemp(prefix="snap-staging-")
+    os.makedirs(table_path, exist_ok=True)
+    staging = tempfile.mkdtemp(prefix=".snap-staging-", dir=table_path)
     (
         df.write.mode("overwrite")
         .option("maxRecordsPerFile", max_rows)
@@ -245,21 +249,35 @@ def snapshot_log(table_path: str) -> list[dict]:
 def expire_snapshots(table_path: str, keep_last: int = 2) -> dict:
     """Drop old manifests and any data file no retained snapshot references
     — the ONLY operation that deletes data bytes. Time travel narrows to
-    the retained window; current state is never affected."""
+    the retained window; current state is never affected.
+
+    Concurrency-safe under the module's optimistic-commit model: only
+    versions STRICTLY BELOW the retention floor (computed from CURRENT at
+    entry) are ever expired — a writer racing in version cur+1 can never
+    lose its manifest. The data-file sweep then re-reads the manifest dir,
+    so files referenced by any manifest committed mid-expire (or still
+    retained) survive.
+    """
     cur = current_version(table_path)
-    keep = set(range(max(1, cur - keep_last + 1), cur + 1))
-    referenced: set[str] = set()
+    floor = max(1, cur - keep_last + 1)
     dropped_manifests = 0
     for name in sorted(os.listdir(_snap_dir(table_path))):
         if not name.startswith("v") or not name.endswith(".json"):
             continue
         full = os.path.join(_snap_dir(table_path), name)
         m = json.load(open(full))
-        if m["version"] in keep:
-            referenced |= {e["path"] for e in m["files"]}
-        else:
+        # never touch >= floor — includes versions newer than cur at entry
+        if m["version"] < floor:
             os.remove(full)
             dropped_manifests += 1
+    # re-list AFTER the manifest sweep: any manifest present now (retained
+    # or committed concurrently) pins its files
+    referenced: set[str] = set()
+    for name in sorted(os.listdir(_snap_dir(table_path))):
+        if not name.startswith("v") or not name.endswith(".json"):
+            continue
+        m = json.load(open(os.path.join(_snap_dir(table_path), name)))
+        referenced |= {e["path"] for e in m["files"]}
     dropped_files = 0
     for name in os.listdir(_data_dir(table_path)):
         rel = f"data/{name}"
@@ -345,23 +363,48 @@ def streaming_append_sink(table_path: str, max_rows: int = 4096):
     replayed id is a no-op instead of a duplicate — idempotent commit on
     top of the optimistic protocol (the snapshot analog of the epoch
     commit in ingest/streaming.py).
+
+    Each commit carries the CUMULATIVE ``batch_ids`` ledger forward, so
+    the dedup check reads only the CURRENT manifest — no parent-chain
+    walk. This is what makes exactly-once compose with expire_snapshots:
+    expired ancestors take their per-commit ``batch_id`` fields with them,
+    but the ledger in the newest manifest survives. Older tables (or
+    interleaved non-streaming commits, which don't carry the ledger) fall
+    back to the chain walk, tolerating expired history — a missing
+    ancestor manifest means its batches can no longer replay anyway
+    (the streaming checkpoint is already past them).
     """
 
-    def _sink(batch_df: DataFrame, batch_id: int) -> None:
-        cur = current_version(table_path)
-        seen = set()
+    def _seen_batch_ids(cur: int) -> set:
+        seen: set = set()
         v = cur
         while v > 0:
-            m = read_manifest(table_path, v)
+            try:
+                m = read_manifest(table_path, v)
+            except FileNotFoundError:
+                break  # expired history — nothing older can replay
+            if "batch_ids" in m:
+                seen.update(m["batch_ids"])
+                break  # ledger is cumulative; no need to walk further
             if m.get("batch_id") is not None:
                 seen.add(m["batch_id"])
             v = m["parent"]
+        return seen
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        parent = current_version(table_path)
+        seen = _seen_batch_ids(parent)
         if batch_id in seen:
             return
-        parent = current_version(table_path)
         prev = read_manifest(table_path, parent)["files"] if parent else []
         new = _write_data_files(batch_df, table_path, max_rows)
-        _commit(table_path, parent, "append", prev + new, extra={"batch_id": batch_id})
+        _commit(
+            table_path,
+            parent,
+            "append",
+            prev + new,
+            extra={"batch_id": batch_id, "batch_ids": sorted(seen | {batch_id})},
+        )
 
     return _sink
 

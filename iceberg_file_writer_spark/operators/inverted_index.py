@@ -132,14 +132,30 @@ def append_to_inverted_index(
     - ``lexicon/``: per-term df of old + shard summed — a
       vocabulary-sized merge, orders smaller than the corpus.
     - ``meta/``: n_docs incremented.
-    The two small relations are staged and swapped via rename so a crash
-    mid-append leaves the previous lexicon/meta readable; a stranded
-    ``.tmp`` is overwritten by the next append. Appending shard-by-shard
-    is pytest-asserted byte-identical to rebuilding from scratch.
+    The two small relations are staged and swapped via the two-rename
+    protocol (live -> .old, .tmp -> live, drop .old — the same order as
+    ingest/maintenance.py), so at every instant either the previous or
+    the new lexicon/meta is live; a crash never leaves neither. Stranded
+    ``.tmp``/``.old`` dirs are recovered at the next append (restore a
+    ``.old`` with nothing live; drop it beside a live dir). Appending
+    shard-by-shard is pytest-asserted byte-identical to rebuilding from
+    scratch.
     """
     import os
+    import shutil
 
     from iceberg_file_writer_spark.operators.text import words
+
+    # recover a crashed prior append before touching anything
+    for rel in ("lexicon", "meta"):
+        live, tmp, old = (f"{index_path}/{rel}{s}" for s in ("", ".tmp", ".old"))
+        if os.path.exists(old):
+            if os.path.exists(live):
+                shutil.rmtree(old)  # crashed after swap: live dir is current
+            else:
+                os.rename(old, live)  # crashed mid-swap: restore previous
+        if os.path.exists(tmp):
+            shutil.rmtree(tmp)  # uncommitted staging from a crashed append
 
     shard = (
         new_docs.select("doc_id", F.explode(words(F.col("text"))).alias("term"))
@@ -171,9 +187,9 @@ def append_to_inverted_index(
         .select((F.col("n_docs") + F.col("add")).alias("n_docs"))
     )
     new_meta.write.mode("overwrite").parquet(f"{index_path}/meta.tmp")
-    import shutil
 
     for rel in ("lexicon", "meta"):
-        live, tmp = f"{index_path}/{rel}", f"{index_path}/{rel}.tmp"
-        shutil.rmtree(live)
+        live, tmp, old = (f"{index_path}/{rel}{s}" for s in ("", ".tmp", ".old"))
+        os.rename(live, old)
         os.rename(tmp, live)
+        shutil.rmtree(old)

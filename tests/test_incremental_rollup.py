@@ -132,3 +132,43 @@ def test_streaming_refresh_keeps_rollup_current(spark, tmp_path):
     got = _canon(read_daily_rollup(spark, rollup).drop("avg_value"))
     want = _canon(_partial(ev))
     assert got == want and len(got) > 0
+
+
+def test_recover_rollup_heals_crashed_swap(spark, tmp_path):
+    """A crash mid-swap strands day=<d>.refresh-old dirs that partition
+    discovery would parse as bogus partition values; recover_rollup (run
+    at every refresh entry) must restore/drop them (ADVICE r5)."""
+    from iceberg_file_writer_spark.ingest.incremental import recover_rollup
+    import shutil
+
+    events = load_tables(spark, SF_DIR)["events"]
+    rollup = str(tmp_path / "rollup")
+    init_daily_rollup(spark, events, rollup)
+    want = _canon(read_daily_rollup(spark, rollup).drop("avg_value"))
+    days = sorted(d for d in os.listdir(rollup) if d.startswith("day="))
+    assert len(days) >= 2
+
+    # crash state A: swap for days[0] never completed — committed data
+    # stranded at .refresh-old with nothing live
+    os.rename(
+        os.path.join(rollup, days[0]),
+        os.path.join(rollup, days[0] + ".refresh-old"),
+    )
+    # crash state B: swap for days[1] completed but old not cleaned
+    shutil.copytree(
+        os.path.join(rollup, days[1]),
+        os.path.join(rollup, days[1] + ".refresh-old"),
+    )
+    # crash state C: stranded staging root
+    os.makedirs(rollup + ".refresh-tmp/day=junk", exist_ok=True)
+
+    recover_rollup(rollup)
+    assert not [n for n in os.listdir(rollup) if n.endswith(".refresh-old")]
+    assert not os.path.exists(rollup + ".refresh-tmp")
+    assert _canon(read_daily_rollup(spark, rollup).drop("avg_value")) == want
+
+    # and a refresh over the healed rollup still converges to recompute
+    late = events.limit(50)
+    refresh_daily_rollup(spark, late, rollup)
+    full = _partial(events.unionByName(late))
+    assert _canon(read_daily_rollup(spark, rollup).drop("avg_value")) == _canon(full)

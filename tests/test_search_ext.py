@@ -184,3 +184,50 @@ def test_priority_sample_avoids_full_sort(spark):
     p = _plan(all_queries()["doc_priority_sample"].fn(spark, SF_DIR))
     assert "TakeOrderedAndProject" in p, p
     assert "Exchange hashpartitioning" not in p, p  # one scan, no shuffle
+
+
+def test_index_append_recovers_crashed_swap(spark, tmp_path):
+    """The lexicon/meta swap is two renames; append must heal every crash
+    state at entry — .old with nothing live (restore), .old beside live
+    (drop), stranded .tmp (drop) — and still fold the shard so the
+    result equals a full rebuild (ADVICE r5: inverted_index.py swap)."""
+    import os
+    import shutil
+
+    from iceberg_file_writer_spark.operators.inverted_index import (
+        append_to_inverted_index,
+    )
+    from iceberg_file_writer_spark.queries.dedup import NEW_BATCH_SPLIT
+
+    docs = load_tables(spark, SF_DIR)["documents"]
+    full_idx = str(tmp_path / "full")
+    build_inverted_index(spark, SF_DIR, full_idx)
+
+    inc_idx = str(tmp_path / "inc")
+    old_dir = str(tmp_path / "old-docs")
+    docs.where(F.col("doc_id") < NEW_BATCH_SPLIT).write.parquet(
+        old_dir + "/documents.parquet"
+    )
+    build_inverted_index(spark, old_dir, inc_idx)
+
+    # crash state: lexicon mid-swap (live renamed aside, new not yet in),
+    # meta with a committed swap whose .old lingered, plus stranded .tmps
+    os.rename(inc_idx + "/lexicon", inc_idx + "/lexicon.old")
+    shutil.copytree(inc_idx + "/meta", inc_idx + "/meta.old")
+    shutil.copytree(inc_idx + "/meta", inc_idx + "/lexicon.tmp")
+
+    append_to_inverted_index(
+        spark, docs.where(F.col("doc_id") >= NEW_BATCH_SPLIT), inc_idx
+    )
+    for leftover in ("lexicon.old", "meta.old", "lexicon.tmp", "meta.tmp"):
+        assert not os.path.exists(f"{inc_idx}/{leftover}")
+
+    res_full = sorted(
+        (r.doc_id, round(r.score, 9))
+        for r in conjunctive_search_index(spark, full_idx, SEARCH_TERMS).collect()
+    )
+    res_inc = sorted(
+        (r.doc_id, round(r.score, 9))
+        for r in conjunctive_search_index(spark, inc_idx, SEARCH_TERMS).collect()
+    )
+    assert res_full == res_inc

@@ -357,3 +357,76 @@ def test_snapshot_ops_match_model(spark, tmp_path_factory, ops):
             )
             want = sorted((kk[0], round(v, 2)) for kk, v in model.items())
             assert got == want, (op, arg, len(got), len(want))
+
+
+def test_streaming_sink_composes_with_expire(spark, tmp_path):
+    """Exactly-once must survive retention: after expire_snapshots removes
+    ancestor manifests, (a) the next micro-batch still commits (no walk
+    into missing files) and (b) a replay of a PRE-expiry batch_id is
+    still a no-op — the cumulative batch_ids ledger rides the newest
+    manifest (ADVICE r5: snapshots.py streaming+retention combination)."""
+    from iceberg_file_writer_spark.ingest.snapshots import streaming_append_sink
+
+    t = str(tmp_path / "stream-exp")
+    orders = load_tables(spark, SF_DIR)["orders"]
+    sink = streaming_append_sink(t, max_rows=500)
+    batches = [orders.where(f"o_orderkey % 4 = {i}") for i in range(4)]
+    sink(batches[0], 0)
+    sink(batches[1], 1)
+    expire_snapshots(t, keep_last=1)  # drops v1's manifest
+    sink(batches[2], 2)  # must not FileNotFoundError on the expired chain
+    v = current_version(t)
+    sink(batches[0], 0)  # replay of an EXPIRED batch id: ledger says seen
+    sink(batches[2], 2)  # replay of a live batch id
+    assert current_version(t) == v
+    total = sum(b.count() for b in batches[:3])
+    assert read_table_version(spark, t).count() == total
+
+
+def test_expire_never_drops_versions_at_or_above_entry_floor(spark, table):
+    """A manifest committed at version cur+1 while expire runs (legal in
+    the optimistic model: O_EXCL manifest exists, CURRENT not yet
+    flipped) must survive the sweep, files included (ADVICE r5)."""
+    import json
+
+    t, orders = table  # v1, v2 committed; CURRENT = 2
+    from iceberg_file_writer_spark.ingest.snapshots import (
+        _snap_dir,
+        commit_append,
+    )
+
+    v3 = commit_append(spark, orders.limit(7), t, max_rows=200)
+    assert v3 == 3
+    # rewind CURRENT to 2: writer of v3 hasn't flipped yet
+    with open(os.path.join(_snap_dir(t), "CURRENT"), "w") as f:
+        f.write("2")
+    expire_snapshots(t, keep_last=1)  # floor = 2: only v1 may go
+    assert not os.path.exists(_manifest_path(t, 1))
+    assert os.path.exists(_manifest_path(t, 3))
+    # v3's data files survived the sweep — the table reads at v3
+    with open(os.path.join(_snap_dir(t), "CURRENT"), "w") as f:
+        f.write("3")
+    assert read_table_version(spark, t, 3).count() == orders.count() + 7
+
+
+def test_data_file_staging_is_inside_table_dir(spark, tmp_path, monkeypatch):
+    """Staging must share the table's filesystem so the commit rename can
+    never hit EXDEV (ADVICE r5: mkdtemp in system /tmp)."""
+    import tempfile as _tf
+
+    import iceberg_file_writer_spark.ingest.snapshots as S
+
+    seen = []
+    real = _tf.mkdtemp
+
+    def spy(*a, **k):
+        seen.append(k.get("dir"))
+        return real(*a, **k)
+
+    monkeypatch.setattr(S.tempfile, "mkdtemp", spy)
+    t = str(tmp_path / "tbl2")
+    orders = load_tables(spark, SF_DIR)["orders"]
+    commit_append(spark, orders.limit(10), t, max_rows=200)
+    assert seen and all(d == t for d in seen)
+    # and no staging debris remains inside the table dir
+    assert not [n for n in os.listdir(t) if n.startswith(".snap-staging-")]
