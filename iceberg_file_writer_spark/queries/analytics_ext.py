@@ -1005,20 +1005,26 @@ def weekly_churn_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", F.date_trunc("week", F.to_date("ts")).cast("date").alias("week_start")
     ).distinct()
     last = wk.agg(F.max("week_start").alias("mx"))
-    nxt = wk.selectExpr("user_id", "week_start AS next_week")
+    # alias both sides of the self-join: joining on columns of a derived
+    # DataFrame (nxt.user_id == wk.user_id) resolves only via dataset-id
+    # lineage and emits the "trivially true equals predicate" WARN
+    cur = wk.alias("cur")
+    nxt = wk.selectExpr("user_id AS nxt_user_id", "week_start AS next_week").alias(
+        "nxt"
+    )
     paired = (
-        wk.withColumn("next_expected", F.date_add("week_start", 7))
+        cur.withColumn("next_expected", F.date_add("week_start", 7))
         .crossJoin(F.broadcast(last))
         .where(F.col("next_expected") <= F.col("mx"))
         .join(
             nxt,
-            (F.col("next_week") == F.col("next_expected"))
-            & (nxt.user_id == wk.user_id),
+            (F.col("nxt.next_week") == F.col("next_expected"))
+            & (F.col("nxt.nxt_user_id") == F.col("cur.user_id")),
             "left",
         )
         .select(
-            F.col("week_start").alias("prev_week"),
-            F.when(F.col("next_week").isNull(), 0).otherwise(1).alias("retained"),
+            F.col("cur.week_start").alias("prev_week"),
+            F.when(F.col("nxt.next_week").isNull(), 0).otherwise(1).alias("retained"),
         )
     )
     return paired.groupBy("prev_week").agg(

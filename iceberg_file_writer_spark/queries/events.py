@@ -535,11 +535,13 @@ def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
             "next_purchase_key"
         ),
     )
+    # both sides derive from `nexts`: rename the join key on one side so
+    # resolution never leans on dataset-id lineage (self-join ambiguity)
     views = nexts.where(F.col("event_type") == "view").select(
         "user_id", F.col("us").alias("view_us"), "next_click_key"
     )
     clicks = nexts.where(F.col("event_type") == "click").select(
-        "user_id",
+        F.col("user_id").alias("click_user_id"),
         F.col("ordk").alias("click_key"),
         F.col("us").alias("click_us"),
         F.split(F.col("next_purchase_key"), "-").getItem(0).cast("long").alias(
@@ -548,10 +550,10 @@ def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     chained = views.join(
         clicks,
-        (views.user_id == clicks.user_id)
+        (F.col("user_id") == F.col("click_user_id"))
         & (F.col("next_click_key") == F.col("click_key")),
         "left",
-    ).select(views.user_id, "view_us", "click_us", "purchase_us")
+    ).select("user_id", "view_us", "click_us", "purchase_us")
     click_ok = F.col("click_us").isNotNull() & (
         F.col("click_us") <= F.col("view_us") + FUNNEL_HORIZON_US
     )
