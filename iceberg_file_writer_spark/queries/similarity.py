@@ -271,7 +271,18 @@ def embedding_near_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 N_CENTROIDS = 32
-IVF_NPROBE = 4
+# Default probe count tuned against the ann_recall_at_k readout (round 6).
+# These embeddings are near-isotropic (no label/cluster structure: mean
+# same-label cos 0.0016 vs 0.0003 cross-label), so cell membership carries
+# limited neighbor signal and recall tracks probed fraction: measured
+# recall@5 was 400‰ (sf0.01) / 320‰ (sf0.1) at NPROBE=4, and crosses the
+# 800‰ bar at NPROBE=16 — 920‰ / 960‰ for ~half the corpus probed (full
+# curve in BASELINE.md round-6 addendum). On clustered production
+# embeddings the same dial sits far lower; ann_recall_at_k is the monitor
+# that keeps the default honest per-corpus. Probe cost scales only the
+# per-query candidate join (queries x probed-cells), not training or
+# assignment.
+IVF_NPROBE = 16
 # Lloyd refinement of the coarse quantizer: embeddings are quantized to
 # fixed-point integers (floor(e*KMEANS_QUANT + 0.5)) so per-cell centroid
 # means are an exact integer sum + one double division — bit-identical
