@@ -9,9 +9,15 @@ scale posture are properties of the operator, proven once:
 
 - seeds are min(self, direct neighbors) — propagation round 1 happens
   inside the seed aggregation, no join;
-- every round is one shuffle join + one partial-agg'd groupBy whose
-  min(own) column doubles as the convergence check (no separate
-  comparison join);
+- every round is one edge-relation shuffle join + one partial-agg'd
+  groupBy whose min(own) column doubles as the convergence check (no
+  separate comparison join), followed by a POINTER-DOUBLING shortcut —
+  each node replaces its label by its label's label (one node-sized
+  self-join). Plain min propagation needs diameter rounds; with the
+  shortcut the effective reach compounds, giving O(log diameter) rounds
+  (the label-of-label idea behind Shiloach-Vishkin / the two-phase
+  star algorithms of Kiveris et al., CC in MapReduce, SoCC'14) — a
+  64-deep path converges in 5 rounds instead of 63 (pytest-asserted);
 - the iteration layout is right-sized to the EDGE count (~1M edges per
   partition), not inherited from however the pair relation was produced
   — a small graph collapses to one partition, a 10^9-edge graph iterates
@@ -65,7 +71,9 @@ def connected_components(
         .cache()
     )
     prev_cached = labels
+    rounds = 0
     while True:
+        rounds += 1
         msgs = sym.join(labels, sym.src == labels.node).select(
             F.col("dst").alias("node"),
             "lbl",
@@ -78,11 +86,32 @@ def connected_components(
         # ~wordlen rounds on the fuzzy-match graph). The checkpoint
         # materializes the node-sized label relation and makes each
         # round's plan start from a leaf — plan size is O(1) per round,
-        # the GraphX-style discipline for iterative dataflows.
-        new_labels = (
+        # the GraphX-style discipline for iterative dataflows. (Also why
+        # the shortcut self-join below reads a materialized leaf twice
+        # instead of recomputing the propagate join per branch.)
+        prop = (
             msgs.union(labels.select("node", "lbl", F.col("lbl").alias("own")))
             .groupBy("node")
             .agg(F.min("lbl").alias("lbl"), F.min("own").alias("own"))
+            .localCheckpoint(eager=True)
+        )
+        # pointer doubling: lbl <- lbl(lbl). Labels only ever decrease
+        # (the shortcut target's label is <= the label itself), so the
+        # convergence argument is untouched; what changes is the round
+        # count — reach compounds instead of growing by one hop. Left
+        # join + coalesce: a label that is itself an edgeless id (can't
+        # happen for ids drawn from the edge set, but cheap to be exact)
+        # keeps its value.
+        lut = prop.select(
+            F.col("node").alias("lnode"), F.col("lbl").alias("lbl2")
+        )
+        new_labels = (
+            prop.join(lut, prop.lbl == lut.lnode, "left")
+            .select(
+                "node",
+                F.coalesce("lbl2", "lbl").alias("lbl"),
+                "own",
+            )
             .localCheckpoint(eager=True)
         )
         changed = new_labels.where(F.col("lbl") != F.col("own")).count()
@@ -91,4 +120,8 @@ def connected_components(
         labels = new_labels.select("node", "lbl")
         if changed == 0:
             break
+    sym.unpersist()
+    pairs.unpersist()
+    # round-count telemetry (read by tests pinning the O(log d) behavior)
+    connected_components.last_rounds = rounds
     return labels.select("node", F.col("lbl").alias("component"))
