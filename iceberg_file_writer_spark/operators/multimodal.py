@@ -135,6 +135,48 @@ def decode_and_featurize(media: DataFrame, n_features: int = 8) -> DataFrame:
     return media.mapInPandas(decode_batches, FEATURE_SCHEMA)
 
 
+def parse_media_header(media: DataFrame) -> DataFrame:
+    """Parse a fixed-layout binary media header ENTIRELY JVM-side.
+
+    Layout (little-endian; see tools_gen_media_fixture.py): 2-byte magic
+    "BM", uint32 width, uint32 height, uint16 bit depth, uint16 frame
+    count, then pixel bytes. The whole decode is hex slicing over the
+    payload (`hex` + `substring` + `conv`) inside whole-stage codegen —
+    no Python anywhere in the path (plan-asserted in tests), which is
+    the scale posture for header-sniffing 100 TB of media files: the
+    executors never cross the JVM boundary, and only header-width
+    prefixes of each value feed the field expressions. Fields of a
+    payload whose magic fails validation surface as NULL (the corrupt
+    row stays visible with its id and byte count). ``pix8_sum`` — the
+    sum of the first 8 pixel bytes — stands in for payload processing
+    (checksum/thumbnail seeds) with the same hex-pair technique.
+
+    Expects (media_id, payload); emits one row per payload.
+    """
+    # byte i of the payload is hex chars (2i-1, 2i); LE fields reverse
+    # the pair order before one conv(hex, 16, 10)
+    le4 = lambda c: (  # noqa: E731 — 4-byte LE field starting at byte c
+        f"concat(substr(h,{2 * c + 7},2), substr(h,{2 * c + 5},2), "
+        f"substr(h,{2 * c + 3},2), substr(h,{2 * c + 1},2))"
+    )
+    le2 = lambda c: f"concat(substr(h,{2 * c + 3},2), substr(h,{2 * c + 1},2))"  # noqa: E731
+    return media.selectExpr(
+        "media_id", "hex(payload) AS h", "octet_length(payload) AS nb"
+    ).selectExpr(
+        "media_id",
+        "substr(h, 1, 4) = '424D' AS valid",
+        "decode(unhex(substr(h, 1, 4)), 'UTF-8') AS magic",
+        f"CASE WHEN substr(h,1,4)='424D' THEN CAST(conv({le4(2)},16,10) AS BIGINT) END AS width",
+        f"CASE WHEN substr(h,1,4)='424D' THEN CAST(conv({le4(6)},16,10) AS BIGINT) END AS height",
+        f"CASE WHEN substr(h,1,4)='424D' THEN CAST(conv({le2(10)},16,10) AS BIGINT) END AS depth",
+        f"CASE WHEN substr(h,1,4)='424D' THEN CAST(conv({le2(12)},16,10) AS BIGINT) END AS n_frames",
+        "CAST(nb - 14 AS BIGINT) AS n_pixel_bytes",
+        "CASE WHEN substr(h,1,4)='424D' THEN aggregate(sequence(0, 7), 0L, "
+        "(acc, i) -> acc + CAST(conv(substr(h, 29 + 2*i, 2), 16, 10) AS BIGINT)) "
+        "END AS pix8_sum",
+    )
+
+
 def decode_image(media: DataFrame) -> DataFrame:
     """STUB: library-backed image decode (resize, RGB stats, EXIF).
 

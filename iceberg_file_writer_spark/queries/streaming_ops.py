@@ -324,6 +324,61 @@ def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# fixtures/media_blobs.parquet — deterministic binary headers generated by
+# tools_gen_media_fixture.py (committed; regenerate with that script).
+# The absolute path keeps the DuckDB oracle able to read the same bytes.
+_MEDIA_FIXTURE = __file__.rsplit("/iceberg_file_writer_spark/", 1)[0] + (
+    "/fixtures/media_blobs.parquet"
+)
+
+
+def _le_hex_sql(c: int, nbytes: int) -> str:
+    """DuckDB: hex chars of an nbytes little-endian field at byte c."""
+    pairs = [f"substr(h,{2 * (c + k) + 1},2)" for k in reversed(range(nbytes))]
+    return "('0x' || " + " || ".join(pairs) + ")::UBIGINT::BIGINT"
+
+
+@register(
+    "multimodal_header_parse",
+    oracle=f"""
+WITH m AS (
+  SELECT media_id, hex(payload) AS h,
+         octet_length(payload)::BIGINT AS nb
+  FROM read_parquet('{_MEDIA_FIXTURE}')
+)
+SELECT media_id,
+       (substr(h,1,4) = '424D') AS valid,
+       chr(('0x'||substr(h,1,2))::UBIGINT::INT)
+         || chr(('0x'||substr(h,3,2))::UBIGINT::INT) AS magic,
+       CASE WHEN substr(h,1,4)='424D' THEN {_le_hex_sql(2, 4)} END AS width,
+       CASE WHEN substr(h,1,4)='424D' THEN {_le_hex_sql(6, 4)} END AS height,
+       CASE WHEN substr(h,1,4)='424D' THEN {_le_hex_sql(10, 2)} END AS depth,
+       CASE WHEN substr(h,1,4)='424D' THEN {_le_hex_sql(12, 2)} END AS n_frames,
+       (nb - 14) AS n_pixel_bytes,
+       CASE WHEN substr(h,1,4)='424D' THEN
+         list_sum(list_transform([0,1,2,3,4,5,6,7],
+           i -> ('0x'||substr(h, (29+2*i)::INT, 2))::UBIGINT::BIGINT))::BIGINT
+       END AS pix8_sum
+FROM m
+""",
+    description=(
+        "Multimodal: fixed-layout binary header decode (BMP-like magic + "
+        "little-endian width/height/depth/frame-count) executed entirely "
+        "JVM-side via hex slicing + conv — no Python in the decode path; "
+        "corrupt-magic payloads surface with NULL fields. Oracle replays "
+        "the parse with DuckDB blob functions over the same committed "
+        "fixture bytes"
+    ),
+    driver_exposed=False,
+    # Round-6 addition; candidate for the next driver-slot rotation.
+)
+def multimodal_header_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from iceberg_file_writer_spark.operators.multimodal import parse_media_header
+
+    media = spark.read.parquet(_MEDIA_FIXTURE)
+    return parse_media_header(media)
+
+
 @register(
     "streaming_enriched_segment_stats",
     oracle=f"""

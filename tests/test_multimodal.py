@@ -44,3 +44,50 @@ def test_mapinpandas_featurize_deterministic(spark, media):
 def test_library_backed_decode_is_marked_stub(media):
     with pytest.raises(NotImplementedError):
         decode_image(media)
+
+
+def test_header_parse_matches_generator_ground_truth(spark):
+    """parse_media_header recovers every field the fixture generator
+    encoded — on bytes the query plan did not construct."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from tools_gen_media_fixture import N_ROWS, row_fields
+
+    from iceberg_file_writer_spark.queries.streaming_ops import (
+        multimodal_header_parse,
+    )
+
+    rows = {r.media_id: r for r in multimodal_header_parse(spark, SF_DIR).collect()}
+    assert len(rows) == N_ROWS
+    for mid in range(N_ROWS):
+        f, r = row_fields(mid), rows[mid]
+        if f["magic"] == b"BM":
+            assert r.valid and r.magic == "BM"
+            assert (r.width, r.height, r.depth, r.n_frames) == (
+                f["width"], f["height"], f["depth"], f["n_frames"],
+            )
+            assert r.n_pixel_bytes == f["n_pix"]
+            assert r.pix8_sum == sum((mid * 31 + i * 7) % 256 for i in range(8))
+        else:
+            assert not r.valid
+            assert (r.width, r.height, r.depth, r.n_frames, r.pix8_sum) == (
+                None, None, None, None, None,
+            )
+
+
+def test_header_parse_has_no_python_in_plan(spark):
+    """The decode path must stay JVM-side: no Arrow/Python eval nodes."""
+    import contextlib
+    import io
+
+    from iceberg_file_writer_spark.queries.streaming_ops import (
+        multimodal_header_parse,
+    )
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        multimodal_header_parse(spark, SF_DIR).explain("formatted")
+    plan = buf.getvalue()
+    for node in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas", "PythonUDF"):
+        assert node not in plan, node
