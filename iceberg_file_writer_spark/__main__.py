@@ -18,6 +18,8 @@ that surface and adds the query/maintenance verbs the engine grew:
         [--keep-last N]
     python -m iceberg_file_writer_spark query <name> [--sf-dir DIR]
     python -m iceberg_file_writer_spark list-queries
+    python -m iceberg_file_writer_spark sql <statement|-> [--sf-dir DIR]
+        [--views name1,name2] [--limit N] [--explain]
 """
 
 from __future__ import annotations
@@ -76,6 +78,22 @@ def _build_parser() -> argparse.ArgumentParser:
     q.add_argument("--explain", action="store_true")
 
     sub.add_parser("list-queries", help="list registered queries")
+
+    sq = sub.add_parser(
+        "sql",
+        help="run ad-hoc SQL over the testdata views (tables by name, "
+        "registered queries as q_<name>)",
+    )
+    sq.add_argument("statement", help="SQL text, or '-' to read stdin")
+    sq.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    sq.add_argument(
+        "--views",
+        default=None,
+        help="comma-separated query names to expose as q_<name> views "
+        "(default: all batch entries)",
+    )
+    sq.add_argument("--limit", type=int, default=20)
+    sq.add_argument("--explain", action="store_true")
     return p
 
 
@@ -163,6 +181,23 @@ def main(argv: list[str] | None = None) -> int:
         from iceberg_file_writer_spark.ingest.snapshots import expire_snapshots
 
         print(expire_snapshots(args.table_path, keep_last=args.keep_last))
+        return 0
+
+    if args.cmd == "sql":
+        from iceberg_file_writer_spark.tables import create_views
+
+        stmt = sys.stdin.read() if args.statement == "-" else args.statement
+        # --views '' = base tables only; omitted = all batch entries
+        names = (
+            [n for n in args.views.split(",") if n]
+            if args.views is not None
+            else None
+        )
+        create_views(spark, args.sf_dir, query_names=names)
+        df = spark.sql(stmt)
+        if args.explain:
+            df.explain("formatted")
+        df.show(args.limit, truncate=60)
         return 0
 
     if args.cmd == "query":

@@ -68,3 +68,41 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
 
 
 _TABLE_CACHE: dict[tuple[int, str], dict[str, DataFrame]] = {}
+
+
+def create_views(
+    spark: SparkSession,
+    sf_dir: str,
+    query_names: "list[str] | None" = None,
+    include_streaming: bool = False,
+) -> list[str]:
+    """Register the full SQL surface as temp views: every testdata table
+    (by its own name) plus registered queries (each as ``q_<name>``), so
+    users compose everything through ``spark.sql`` — the composability a
+    user of "the reference + extensions" expects.
+
+    View registration is plan construction only — nothing executes until
+    a view is queried, and Catalyst optimizes ACROSS the view boundary
+    (filters over a ``q_`` view push into its underlying scans). The
+    exceptions are entries whose builder runs work eagerly (streaming
+    run-to-completion harnesses, index materializers); those register
+    only when asked: pass their names in ``query_names`` or set
+    ``include_streaming=True``.
+
+    Returns the list of registered view names.
+    """
+    from iceberg_file_writer_spark.queries import all_queries
+
+    tables = load_tables(spark, sf_dir)  # registers base-table views
+    registered = list(tables)
+    qs = all_queries()
+    if query_names is None:
+        query_names = [
+            n
+            for n in qs
+            if include_streaming or not n.startswith(("streaming_", "ingest_"))
+        ]
+    for name in query_names:
+        qs[name].fn(spark, sf_dir).createOrReplaceTempView(f"q_{name}")
+        registered.append(f"q_{name}")
+    return registered
