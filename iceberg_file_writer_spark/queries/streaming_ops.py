@@ -97,15 +97,25 @@ def _run_stream(spark: SparkSession, sf_dir: str, transform, name: str) -> DataF
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", str(STREAM_STATE_PARTITIONS))
     try:
+        # availableNow: drain everything (still honoring source options
+        # like maxFilesPerTrigger) then self-terminate. Versus the default
+        # processing-time trigger + processAllAvailable this removes idle
+        # trigger waits and the stop() handshake — the round-5 bench
+        # variance on the stateful entries (3.4-7.8 s) was trigger/commit
+        # latency, not plan work. Semantics are identical for a
+        # run-to-completion harness over a static source; the
+        # reference-parity ingest path keeps its 60 s wall-clock trigger
+        # (ingest/streaming.py — SURVEY §4.3 semantics untouched).
         q = (
             out_df.writeStream.format("parquet")
             .option("path", sink)
             .option("checkpointLocation", ckpt)
             .outputMode("append")
+            .trigger(availableNow=True)
             .start()
         )
         try:
-            q.processAllAvailable()
+            q.awaitTermination()
         finally:
             q.stop()
     finally:
@@ -796,15 +806,25 @@ def _run_stream_with_flush(
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", str(STREAM_STATE_PARTITIONS))
     try:
+        # availableNow: drain everything (still honoring source options
+        # like maxFilesPerTrigger) then self-terminate. Versus the default
+        # processing-time trigger + processAllAvailable this removes idle
+        # trigger waits and the stop() handshake — the round-5 bench
+        # variance on the stateful entries (3.4-7.8 s) was trigger/commit
+        # latency, not plan work. Semantics are identical for a
+        # run-to-completion harness over a static source; the
+        # reference-parity ingest path keeps its 60 s wall-clock trigger
+        # (ingest/streaming.py — SURVEY §4.3 semantics untouched).
         q = (
             out_df.writeStream.format("parquet")
             .option("path", sink)
             .option("checkpointLocation", ckpt)
             .outputMode("append")
+            .trigger(availableNow=True)
             .start()
         )
         try:
-            q.processAllAvailable()
+            q.awaitTermination()
         finally:
             q.stop()
     finally:
