@@ -335,7 +335,6 @@ FROM canon
         "min-label propagation to fixpoint; the oracle replays the "
         "closure with a recursive CTE"
     ),
-    driver_exposed=False,
 )
 def neardup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components over near-duplicate pairs.

@@ -57,9 +57,6 @@ GROUP BY e.query_id
         "permille) — the oracle composes the two operand oracles and "
         "diffs them"
     ),
-    driver_exposed=False,
-    # Registered after the round-5 driver surface froze at the cap;
-    # pytest-oracle-checked at sf0.001/sf0.01 (test_oracle_parity).
 )
 def ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall of the approximate index vs exact ground truth.

@@ -65,6 +65,10 @@ FROM events
 GROUP BY 1, 2
 """,
     description="Tumbling-window aggregation (batch dual of streaming window agg)",
+    # Round-6 rotation: slot ceded to the round-6 promotions
+    # (driver-green in earlier rounds; still benched + pytest-
+    # oracle-checked every session).
+    driver_exposed=False,
 )
 def events_hourly_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)

@@ -1602,7 +1602,6 @@ GROUP BY doc_id
     ),
     # Registry entry (driver surface at its 50-slot cap); benched +
     # pytest-oracle-checked per session like every non-exposed entry.
-    driver_exposed=False,
 )
 def span_corruption_examples(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Denoising-example construction as pure column algebra.
@@ -1730,7 +1729,6 @@ FROM updated
     ),
     # Registered mid-round 5; driver surface is at its 50-entry cap, so
     # pytest-oracle + bench coverage until a future rotation.
-    driver_exposed=False,
 )
 def snapshot_changes_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MERGE's changelog read off the table's snapshots.
@@ -2085,7 +2083,6 @@ FROM scored GROUP BY doc_id
     ),
     # Registered mid-round 5; driver surface is at its 50-entry cap, so
     # pytest-oracle + bench coverage until a future rotation.
-    driver_exposed=False,
 )
 def doc_trigram_backoff_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trigram LM with stupid backoff, trained leave-one-out in one plan.

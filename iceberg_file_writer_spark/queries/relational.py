@@ -85,6 +85,10 @@ ORDER BY revenue DESC, o_orderdate, l_orderkey
 LIMIT 10
 """,
     description="TPC-H Q3: 3-way join (broadcast dim) + agg + global top-10",
+    # Round-6 rotation: slot ceded to the round-6 promotions
+    # (driver-green in earlier rounds; still benched + pytest-
+    # oracle-checked every session).
+    driver_exposed=False,
 )
 def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
@@ -123,6 +127,10 @@ WHERE r_name = 'ASIA'
 GROUP BY n_name
 """,
     description="TPC-H Q5: 6-way join star query, region-filtered, agg by nation",
+    # Round-6 rotation: slot ceded to the round-6 promotions
+    # (driver-green in earlier rounds; still benched + pytest-
+    # oracle-checked every session).
+    driver_exposed=False,
 )
 def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
@@ -350,6 +358,10 @@ FROM orders
 GROUP BY o_orderpriority
 """,
     description="Pivot: order counts, priority rows × status columns",
+    # Round-6 rotation: slot ceded to the round-6 promotions
+    # (driver-green in earlier rounds; still benched + pytest-
+    # oracle-checked every session).
+    driver_exposed=False,
 )
 def pivot_orders_priority_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)

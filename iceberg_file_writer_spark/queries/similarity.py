@@ -707,6 +707,10 @@ FROM embeddings
 GROUP BY label
 """,
     description="Vector profiling: per-label counts and L2-norm stats",
+    # Round-6 rotation: slot ceded to the round-6 promotions
+    # (driver-green in earlier rounds; still benched + pytest-
+    # oracle-checked every session).
+    driver_exposed=False,
 )
 def embedding_label_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)

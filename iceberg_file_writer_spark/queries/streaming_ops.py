@@ -379,8 +379,6 @@ FROM m
         "the parse with DuckDB blob functions over the same committed "
         "fixture bytes"
     ),
-    driver_exposed=False,
-    # Round-6 addition; candidate for the next driver-slot rotation.
 )
 def multimodal_header_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     from iceberg_file_writer_spark.operators.multimodal import parse_media_header
@@ -898,7 +896,6 @@ from iceberg_file_writer_spark.queries.analytics_ext import (  # noqa: E402
     # pytest-oracle-checked (incl. a forced multi-batch run); driver
     # surface is at its 50-entry cap — the sampling class is
     # driver-visible via doc_stratified_sample/token_budget_sample.
-    driver_exposed=False,
 )
 def streaming_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reservoir-style sampling as a streaming operator.

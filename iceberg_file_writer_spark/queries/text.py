@@ -81,6 +81,10 @@ SELECT doc_id,
 FROM toks
 """,
     description="Quality scoring: length, lexical diversity, stopword ratio",
+    # Round-6 rotation: slot ceded to the round-6 promotions
+    # (driver-green in earlier rounds; still benched + pytest-
+    # oracle-checked every session).
+    driver_exposed=False,
 )
 def doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
@@ -246,6 +250,10 @@ FROM documents
 GROUP BY source, lang
 """,
     description="Corpus profiling: per-source/lang doc counts and size stats",
+    # Round-6 rotation: slot ceded to the round-6 promotions
+    # (driver-green in earlier rounds; still benched + pytest-
+    # oracle-checked every session).
+    driver_exposed=False,
 )
 def corpus_stats_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
