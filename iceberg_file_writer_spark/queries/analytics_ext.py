@@ -1037,3 +1037,150 @@ def weekly_churn_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("churn_permille"),
     )
+
+
+# --- HyperLogLog distinct sketch (mergeable-sketch family) ------------------
+
+HLL_P = 8                      # 2^8 = 256 registers
+HLL_M = 1 << HLL_P
+HLL_WBITS = 52                 # rank bits read after the bucket byte
+_HLL_RMAX = HLL_WBITS + 1      # rho when the rank field is all zeros
+_HLL_POW = float(1 << _HLL_RMAX)  # 2^53, exactly representable
+# Flajolet et al. alpha_m for m >= 128, spelled identically in both
+# engines so the double arithmetic is bit-identical
+_HLL_ALPHA_SQL = f"(0.7213 / (1.0 + 1.079 / {HLL_M}.0))"
+
+
+def _hll_est_sql(s: str, zeros: str) -> str:
+    """Estimator with linear-counting small-range correction; ``s`` is the
+    EXACT INTEGER sum of 2^(RMAX - rho) over all m registers (empty
+    registers contribute 2^RMAX), so the only float ops are the final
+    division and the log — written with one association order for both
+    engines."""
+    raw = (
+        f"({_HLL_ALPHA_SQL} * {HLL_M}.0 * {HLL_M}.0 * {_HLL_POW!r}"
+        f" / CAST({s} AS DOUBLE))"
+    )
+    lc = f"({HLL_M}.0 * ln({HLL_M}.0 / CAST({zeros} AS DOUBLE)))"
+    return (
+        f"CAST(floor(CASE WHEN {raw} <= {2.5 * HLL_M!r} AND {zeros} > 0 "
+        f"THEN {lc} ELSE {raw} END) AS BIGINT)"
+    )
+
+
+@register(
+    "hll_distinct_users_by_type",
+    oracle=f"""
+WITH h AS (
+  SELECT event_type,
+         ('0x' || substr(md5(user_id::VARCHAR), 1, 2))::UBIGINT::BIGINT AS bucket,
+         ('0x' || substr(md5(user_id::VARCHAR), 3, 13))::UBIGINT::BIGINT AS w
+  FROM events
+),
+regs AS (
+  SELECT event_type, bucket,
+         max(CASE WHEN w = 0 THEN {_HLL_RMAX}
+                  ELSE {_HLL_RMAX} - length(bin(w)) END)::BIGINT AS rho
+  FROM h GROUP BY 1, 2
+),
+merged AS (
+  SELECT event_type, bucket, rho FROM regs
+  UNION ALL
+  SELECT 'ALL' AS event_type, bucket, max(rho) AS rho
+  FROM regs GROUP BY bucket
+),
+sums AS (
+  SELECT event_type,
+         (sum(1::BIGINT << ({_HLL_RMAX} - rho))
+          + ({HLL_M} - count(*)) * (1::BIGINT << {_HLL_RMAX}))::BIGINT AS s,
+         ({HLL_M} - count(*))::BIGINT AS zeros
+  FROM merged GROUP BY 1
+),
+exact AS (
+  SELECT event_type, count(DISTINCT user_id)::BIGINT AS exact_distinct
+  FROM events GROUP BY 1
+  UNION ALL
+  SELECT 'ALL', count(DISTINCT user_id)::BIGINT FROM events
+)
+SELECT s.event_type,
+       {_hll_est_sql('s.s', 's.zeros')} AS est_distinct,
+       e.exact_distinct,
+       CAST(floor(1000.0 * abs({_hll_est_sql('s.s', 's.zeros')} - e.exact_distinct)
+                  / e.exact_distinct) AS BIGINT) AS err_permille
+FROM sums s JOIN exact e ON e.event_type = s.event_type
+""",
+    description=(
+        f"HyperLogLog distinct-user sketch: {HLL_M} registers from "
+        "md5-derived bucket/rank bits, per-type sketches PLUS their "
+        "register-wise max-merge as the 'ALL' row (the mergeability that "
+        "makes HLL the 100 TB cardinality primitive), linear-counting "
+        "small-range correction, and the measured error vs the exact "
+        "count — the estimator-error audit pattern. Exact-integer "
+        "register sums make the estimate bit-reproducible; the oracle "
+        "replays the whole sketch"
+    ),
+    driver_exposed=False,
+    # Round-6 addition, registered after the rotation froze the surface;
+    # pytest-oracle-checked (test_oracle_parity).
+)
+def hll_distinct_users_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL cardinality with a mergeability proof in the output.
+
+    Scale shape: one corpus pass builds the (type, bucket) -> max-rho
+    register relation (map-side partial max over at most
+    |types| x 256 keys); every later step runs on register-sized
+    relations. The 'ALL' row is computed FROM THE SKETCHES (register-wise
+    max), never from the data — merging m-integer summaries is how HLL
+    unions across partitions, days, or tables without re-reading any of
+    them. The estimator sums 2^(RMAX-rho) as exact BIGINTs (empty
+    registers contribute 2^RMAX), so both engines floor identical
+    doubles. Compare spark.sql approx_count_distinct: same family, but
+    its registers aren't exposed — this form keeps the sketch itself
+    queryable and mergeable as data.
+    """
+    ev = load_tables(spark, sf_dir)["events"]
+    h = ev.selectExpr(
+        "event_type",
+        "CAST(conv(substr(md5(CAST(user_id AS STRING)), 1, 2), 16, 10) AS BIGINT)"
+        " AS bucket",
+        "CAST(conv(substr(md5(CAST(user_id AS STRING)), 3, 13), 16, 10) AS BIGINT)"
+        " AS w",
+    )
+    regs = h.groupBy("event_type", "bucket").agg(
+        F.expr(
+            f"max(CASE WHEN w = 0 THEN {_HLL_RMAX}"
+            f" ELSE {_HLL_RMAX} - length(bin(w)) END)"
+        ).cast("long").alias("rho")
+    ).cache()
+    merged = regs.unionByName(
+        regs.groupBy("bucket")
+        .agg(F.max("rho").alias("rho"))
+        .select(F.lit("ALL").alias("event_type"), "bucket", "rho")
+    )
+    sums = merged.groupBy("event_type").agg(
+        F.expr(
+            f"CAST(sum(shiftleft(CAST(1 AS BIGINT), {_HLL_RMAX} - rho))"
+            f" + ({HLL_M} - count(*)) * shiftleft(CAST(1 AS BIGINT), {_HLL_RMAX})"
+            " AS BIGINT)"
+        ).alias("s"),
+        F.expr(f"CAST({HLL_M} - count(*) AS BIGINT)").alias("zeros"),
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("long").alias("exact_distinct")
+    ).unionByName(
+        ev.agg(
+            F.lit("ALL").alias("event_type"),
+            F.countDistinct("user_id").cast("long").alias("exact_distinct"),
+        )
+    )
+    est = _hll_est_sql("s", "zeros")
+    return (
+        sums.join(F.broadcast(exact), "event_type")
+        .selectExpr(
+            "event_type",
+            f"{est} AS est_distinct",
+            "exact_distinct",
+            f"CAST(floor(1000.0 * abs({est} - exact_distinct)"
+            " / exact_distinct) AS BIGINT) AS err_permille",
+        )
+    )

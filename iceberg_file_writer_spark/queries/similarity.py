@@ -1542,3 +1542,305 @@ def hard_negative_mining_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.withColumn("rk", F.row_number().over(wk)).where(
         F.col("rk") <= KNN_K
     )
+
+
+# --- Product quantization (PQ) ADC prefilter + exact rerank -----------------
+#
+# The third member of the retrieve-then-rerank family (after IVF cells and
+# SQ8): vectors are split into PQ_SUBS subspaces, each subspace gets its
+# own PQ_K-centroid codebook (k-means in quantized-integer space), and a
+# vector's code is its per-subspace nearest centroid — PQ_SUBS small ints
+# (~8 bytes) instead of 64 floats (~512 B/vector after the SQ8 path's 64).
+# Queries score the ENCODED corpus via asymmetric distance computation
+# (ADC): one (query, subspace, centroid) lookup table of true
+# query-to-centroid distances, summed over the vector's codes. Everything
+# up to the rerank is EXACT INTEGER arithmetic (fixed-point coords, floor
+# division in the centroid update), so candidate sets are bitwise
+# reproducible across engines — stronger than IVF's rounded-cosine path.
+#
+# Scale shape: training and encoding are one corpus scan per Lloyd pass
+# against a broadcast 128-row codebook (partial-agg argmin, K-key means);
+# ADC joins the code relation to a broadcast |Q|x8x16 LUT and partial-aggs
+# the per-vector sums — no full-precision vector is touched until the
+# M-candidate rerank. [extension; PQ per Jégou et al., TPAMI 2011]
+
+PQ_SUBS = 8
+PQ_SUBDIM = EMB_DIMS // PQ_SUBS
+PQ_K = 16
+PQ_CAND_M = 50
+
+_PQ_CODEBOOKS: dict[str, tuple] = {}
+
+
+def _pq_quant_expr(i: int) -> str:
+    return (
+        f"CAST(floor(CAST(element_at(embedding, {i + 1}) AS DOUBLE)"
+        f" * {KMEANS_QUANT} + 0.5) AS BIGINT)"
+    )
+
+
+def _pq_sub_rel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, sub, m0..m7): fixed-point integer subspace slices, one row
+    per (vector, subspace) via stack — a single scan, no explode."""
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    groups = ", ".join(
+        f"{s}L, "
+        + ", ".join(_pq_quant_expr(s * PQ_SUBDIM + j) for j in range(PQ_SUBDIM))
+        for s in range(PQ_SUBS)
+    )
+    names = ", ".join(["sub"] + [f"m{j}" for j in range(PQ_SUBDIM)])
+    return emb.selectExpr(
+        "vec_id", f"stack({PQ_SUBS}, {groups}) AS ({names})"
+    )
+
+
+def _pq_d2_expr(pa: str, pb: str) -> str:
+    """Exact integer squared-L2 chain over one subspace's columns."""
+    return " + ".join(
+        f"({pa}{j} - {pb}{j}) * ({pa}{j} - {pb}{j})" for j in range(PQ_SUBDIM)
+    )
+
+
+def _pq_codebooks_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The trained PQ codebooks (sub, cent_id, c0..c7) as a local artifact
+    (same train-once/query-many memo pattern as the IVF centroid store)."""
+    if sf_dir not in _PQ_CODEBOOKS:
+        sub_rel = _pq_sub_rel(spark, sf_dir).cache()
+        seeds = (
+            load_tables(spark, sf_dir)["embeddings"]
+            .selectExpr("vec_id", "md5(CAST(vec_id AS STRING)) AS mk")
+            .orderBy("mk", "vec_id")
+            .limit(PQ_K)
+        )
+        seeds = seeds.select(
+            "vec_id",
+            (
+                F.row_number().over(Window.orderBy("mk", "vec_id")) - 1
+            ).cast("long").alias("cent_id"),
+        )
+        cents = (
+            sub_rel.join(F.broadcast(seeds), "vec_id")
+            .selectExpr(
+                "sub", "cent_id", *[f"m{j} AS c{j}" for j in range(PQ_SUBDIM)]
+            )
+        )
+        for _ in range(KMEANS_ITERS):
+            assigned = (
+                sub_rel.join(F.broadcast(cents), "sub")
+                .selectExpr(
+                    "vec_id",
+                    "sub",
+                    f"named_struct('d2', {_pq_d2_expr('m', 'c')}, 'cent_id', cent_id, "
+                    + ", ".join(f"'m{j}', m{j}" for j in range(PQ_SUBDIM))
+                    + ") AS cand",
+                )
+                .groupBy("vec_id", "sub")
+                .agg(F.min("cand").alias("b"))
+            )
+            cents = (
+                assigned.select(
+                    "sub",
+                    F.col("b.cent_id").alias("cent_id"),
+                    *[F.col(f"b.m{j}").alias(f"m{j}") for j in range(PQ_SUBDIM)],
+                )
+                .groupBy("sub", "cent_id")
+                .agg(
+                    F.count(F.lit(1)).alias("cnt"),
+                    *[F.sum(f"m{j}").alias(f"s{j}") for j in range(PQ_SUBDIM)],
+                )
+                .selectExpr(
+                    "sub",
+                    "cent_id",
+                    *[
+                        f"CAST(floor(CAST(s{j} AS DOUBLE) / cnt) AS BIGINT) AS c{j}"
+                        for j in range(PQ_SUBDIM)
+                    ],
+                )
+            )
+        _PQ_CODEBOOKS[sf_dir] = (cents.schema, cents.collect())
+        sub_rel.unpersist()
+    schema, rows = _PQ_CODEBOOKS[sf_dir]
+    return spark.createDataFrame(rows, schema)
+
+
+def _pq_oracle() -> str:
+    mlist = (
+        "list_transform(range("
+        + str(PQ_SUBDIM)
+        + "), j -> floor(embedding[sub * "
+        + str(PQ_SUBDIM)
+        + " + j + 1]::DOUBLE * "
+        + str(KMEANS_QUANT)
+        + " + 0.5)::BIGINT)"
+    )
+    d2 = (
+        f"list_sum(list_transform(range({PQ_SUBDIM}), "
+        "j -> (q.m[j+1] - c.cemb[j+1]) * (q.m[j+1] - c.cemb[j+1])))"
+    )
+    mean_list = (
+        "["
+        + ", ".join(
+            f"floor(sum(m[{j + 1}])::DOUBLE / count(*))::BIGINT"
+            for j in range(PQ_SUBDIM)
+        )
+        + "]"
+    )
+    lloyd = ""
+    prev = "cents0"
+    for it in range(KMEANS_ITERS):
+        lloyd += f"""
+assign{it} AS (
+  SELECT vec_id, sub, cent_id FROM (
+    SELECT q.vec_id, q.sub, c.cent_id,
+           row_number() OVER (PARTITION BY q.vec_id, q.sub
+                              ORDER BY {d2} ASC, c.cent_id) AS rk
+    FROM q8 q JOIN {prev} c ON c.sub = q.sub
+  ) WHERE rk = 1
+),
+cents{it + 1} AS (
+  SELECT a.sub, a.cent_id, {mean_list} AS cemb
+  FROM assign{it} a JOIN q8 q ON q.vec_id = a.vec_id AND q.sub = a.sub
+  GROUP BY a.sub, a.cent_id
+),"""
+        prev = f"cents{it + 1}"
+    return f"""
+WITH subs AS (SELECT unnest(range({PQ_SUBS})) AS sub),
+q8 AS (
+  SELECT vec_id, sub, {mlist} AS m FROM embeddings CROSS JOIN subs
+),
+seeds AS (
+  SELECT vec_id AS src,
+         (row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) - 1)::BIGINT
+           AS cent_id
+  FROM embeddings ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT {PQ_K}
+),
+cents0 AS (
+  SELECT q.sub, s.cent_id, q.m AS cemb
+  FROM seeds s JOIN q8 q ON q.vec_id = s.src
+),{lloyd}
+cents AS (SELECT sub, cent_id, cemb FROM {prev}),
+encode AS (
+  SELECT vec_id, sub, cent_id FROM (
+    SELECT q.vec_id, q.sub, c.cent_id,
+           row_number() OVER (PARTITION BY q.vec_id, q.sub
+                              ORDER BY {d2} ASC, c.cent_id) AS rk
+    FROM q8 q JOIN cents c ON c.sub = q.sub
+  ) WHERE rk = 1
+),
+lut AS (
+  SELECT q.vec_id AS query_id, c.sub, c.cent_id, {d2} AS d2
+  FROM q8 q JOIN cents c ON c.sub = q.sub
+  WHERE q.vec_id < {KNN_N_QUERIES}
+),
+adc AS (
+  SELECT l.query_id, e.vec_id AS neighbor_id, sum(l.d2)::BIGINT AS approx_d2
+  FROM encode e
+  JOIN lut l ON l.sub = e.sub AND l.cent_id = e.cent_id
+  WHERE e.vec_id <> l.query_id
+  GROUP BY 1, 2
+),
+cand AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY approx_d2 ASC, neighbor_id) AS prk
+    FROM adc
+  ) WHERE prk <= {PQ_CAND_M}
+),
+rr AS (
+  SELECT cand.query_id, cand.neighbor_id,
+         {_cosine_sql('qe.embedding', 'ce.embedding')} AS cosine_sim
+  FROM cand
+  JOIN embeddings qe ON qe.vec_id = cand.query_id
+  JOIN embeddings ce ON ce.vec_id = cand.neighbor_id
+)
+SELECT query_id, neighbor_id, cosine_sim, rk FROM (
+  SELECT query_id, neighbor_id, cosine_sim,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine_sim DESC, neighbor_id) AS rk
+  FROM rr
+) WHERE rk <= {KNN_K}
+"""
+
+
+@register(
+    "knn_pq_adc_rerank",
+    oracle=_pq_oracle(),
+    description=(
+        f"Product-quantization ANN: {PQ_SUBS} subspace codebooks of "
+        f"{PQ_K} centroids trained by exact-integer k-means "
+        f"({KMEANS_ITERS} Lloyd passes, fixed-point coords, floor-division "
+        f"means), asymmetric-distance scoring over the {PQ_SUBS}-code "
+        f"corpus keeps {PQ_CAND_M} candidates per query, exact-cosine "
+        f"rerank emits top-{KNN_K}. Training, encoding, and the ADC "
+        "prefilter are bitwise integer arithmetic — the oracle replays "
+        "the whole algorithm, codebooks included"
+    ),
+    driver_exposed=False,
+    # Round-6 addition; registered after the round-6 rotation froze the
+    # 50-slot surface — pytest-oracle-checked (test_oracle_parity).
+)
+def knn_pq_adc_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ retrieve-then-rerank over the embeddings table.
+
+    Stage 1 never reads a full-precision vector: the encoded corpus
+    (vec_id, sub, code — PQ_SUBS ints/vector) joins a broadcast
+    |Q|x{PQ_SUBS}x{PQ_K} ADC lookup table and partial-aggregates the
+    per-vector distance sums; top-M per query by (integer distance, id)
+    is exactly reproducible. Stage 2 rejoins only the M candidates to
+    full vectors for the rounded-cosine rerank (candidate-sized
+    equi-join, broadcast query side). Codebooks come from the trained
+    artifact memo — 128 rows of small ints, the persisted-index pattern.
+    """
+    sub_rel = _pq_sub_rel(spark, sf_dir)
+    cents = _pq_codebooks_df(spark, sf_dir)
+    encode = (
+        sub_rel.join(F.broadcast(cents), "sub")
+        .selectExpr(
+            "vec_id",
+            "sub",
+            f"named_struct('d2', {_pq_d2_expr('m', 'c')}, 'cent_id', cent_id) AS cand",
+        )
+        .groupBy("vec_id", "sub")
+        .agg(F.min("cand").alias("b"))
+        .select("vec_id", "sub", F.col("b.cent_id").alias("cent_id"))
+    )
+    lut = (
+        sub_rel.where(F.col("vec_id") < KNN_N_QUERIES)
+        .join(F.broadcast(cents), "sub")
+        .selectExpr(
+            "vec_id AS query_id",
+            "sub",
+            "cent_id",
+            f"CAST({_pq_d2_expr('m', 'c')} AS BIGINT) AS d2",
+        )
+    )
+    adc = (
+        encode.join(F.broadcast(lut), ["sub", "cent_id"])
+        .where(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("d2").alias("approx_d2"))
+    )
+    wp = Window.partitionBy("query_id").orderBy(F.asc("approx_d2"), F.asc("vec_id"))
+    cand = (
+        adc.withColumn("prk", F.row_number().over(wp))
+        .where(F.col("prk") <= PQ_CAND_M)
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+    )
+    emb = _emb_cols(spark, sf_dir)
+    qe = _rename(emb.where(F.col("vec_id") < KNN_N_QUERIES), "query_id", "a", "na")
+    ce = _rename(emb, "neighbor_id", "b", "nb")
+    rr = (
+        cand.join(F.broadcast(qe), "query_id")
+        .join(ce, "neighbor_id")
+        .selectExpr(
+            "query_id",
+            "neighbor_id",
+            f"round(({_dot_expr('a', 'b')}) / (na * nb), {COSINE_DECIMALS})"
+            " AS cosine_sim",
+        )
+    )
+    wr = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.asc("neighbor_id")
+    )
+    return rr.withColumn("rk", F.row_number().over(wr)).where(F.col("rk") <= KNN_K)
