@@ -789,3 +789,108 @@ def bloom_fpr_measurement(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("fpr_ppm"),
     )
+
+
+# --- BM25 ranked retrieval ---------------------------------------------------
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+@register(
+    "bm25_ranked_search",
+    oracle=f"""
+WITH dl AS (
+  SELECT doc_id, CAST(length(string_split(text, ' ')) AS BIGINT) AS dl
+  FROM documents
+),
+avgdl AS (
+  SELECT sum(dl)::DOUBLE / count(*) AS avgdl FROM dl
+),
+postings AS (
+  SELECT doc_id, w AS term, CAST(count(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+  WHERE w IN {SEARCH_TERMS}
+  GROUP BY doc_id, w
+),
+dfr AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS df FROM postings GROUP BY term
+),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+scored AS (
+  SELECT p.doc_id,
+         round(round(ln((n.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0), 6)
+               * (p.tf * ({BM25_K1} + 1.0))
+               / (p.tf + {BM25_K1} * (1.0 - {BM25_B}
+                                      + {BM25_B} * (dl.dl / a.avgdl))), 6)
+           AS term_score
+  FROM postings p
+  JOIN dfr d USING (term)
+  JOIN dl ON dl.doc_id = p.doc_id
+  CROSS JOIN n CROSS JOIN avgdl a
+)
+SELECT doc_id, round(sum(term_score), 6) AS score,
+       CAST(count(*) AS BIGINT) AS n_matched_terms
+FROM scored GROUP BY doc_id
+ORDER BY score DESC, doc_id
+LIMIT {SEARCH_TOP_K}
+""",
+    description=(
+        f"BM25 (k1={BM25_K1}, b={BM25_B}) disjunctive ranked retrieval "
+        "with Lucene-style idf and length normalization — per-term scores "
+        "rounded before summation so ln/division float noise cannot flip "
+        "a rank boundary"
+    ),
+    driver_exposed=False,
+    # Round-6 addition, registered after the rotation froze the surface;
+    # pytest-oracle-checked (test_oracle_parity).
+)
+def bm25_ranked_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OR-of-terms retrieval ranked by BM25.
+
+    Scale shape mirrors conjunctive_token_search: the corpus pass is the
+    explode->filter(term IN query)->partial-agg postings build (what the
+    persisted inverted index stores); document length is a size(split)
+    projection — no second explode — and average length is a 1-row
+    broadcast. Scoring then runs on the match-sized relation: df and the
+    two scalars broadcast in, length normalization
+    tf·(k1+1)/(tf + k1·(1-b+b·dl/avgdl)) and the Lucene idf
+    ln((N-df+0.5)/(df+0.5)+1) are computed with one association order in
+    both engines, each term's score rounded to 6 decimals before the
+    per-doc sum. Final ranking is TakeOrderedAndProject.
+    """
+    from iceberg_file_writer_spark.operators.text import words
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    dl = docs.select(
+        "doc_id", F.size(words(F.col("text"))).cast("long").alias("dl")
+    )
+    avgdl = dl.agg(
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl")
+    )
+    postings = (
+        docs.select("doc_id", F.explode(words(F.col("text"))).alias("term"))
+        .where(F.col("term").isin(*SEARCH_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfr = postings.groupBy("term").agg(F.count("*").alias("df"))
+    n = docs.agg(F.count("*").cast("long").alias("n_docs"))
+    scored = (
+        postings.join(F.broadcast(dfr), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(n))
+        .crossJoin(F.broadcast(avgdl))
+        .selectExpr(
+            "doc_id",
+            f"round(round(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0), 6)"
+            f" * (tf * ({BM25_K1} + 1.0))"
+            f" / (tf + {BM25_K1} * (1.0 - {BM25_B}"
+            f" + {BM25_B} * (dl / avgdl))), 6) AS term_score",
+        )
+    )
+    out = scored.groupBy("doc_id").agg(
+        F.round(F.sum("term_score"), 6).alias("score"),
+        F.count(F.lit(1)).alias("n_matched_terms"),
+    )
+    return out.orderBy(F.desc("score"), "doc_id").limit(SEARCH_TOP_K)
