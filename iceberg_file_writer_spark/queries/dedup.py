@@ -870,3 +870,106 @@ def simhash_estimator_error(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.abs(est - exact), 6).alias("abs_error"),
         )
     )
+
+
+# --- prefix-filtering set-similarity join (AllPairs/PPJoin family) ----------
+
+PREFIX_JACCARD_T = 0.7  # as a ratio; prefix length uses the exact integer form
+
+
+@register(
+    "prefix_filter_jaccard_pairs",
+    oracle=f"""
+WITH wordx AS ({_WORDX_SQL}),
+shingle_x AS ({_shingle_x_sql(NGRAM_N)}),
+grams AS (SELECT DISTINCT doc_id, x FROM shingle_x),
+sizes AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+  FROM grams a JOIN grams b ON a.x = b.x AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT i.doc_a, i.doc_b,
+       i.n_shared::DOUBLE / (za.sz + zb.sz - i.n_shared) AS jaccard_sim
+FROM inter i
+JOIN sizes za ON za.doc_id = i.doc_a
+JOIN sizes zb ON zb.doc_id = i.doc_b
+WHERE i.n_shared::DOUBLE / (za.sz + zb.sz - i.n_shared) >= {PREFIX_JACCARD_T}
+""",
+    description=(
+        f"Prefix-filtering set-similarity join (AllPairs/PPJoin family): "
+        f"each doc exposes only its |d| - ceil(t*|d|) + 1 globally-rarest "
+        f"{NGRAM_N}-shingles as join keys; pairs sharing a prefix shingle "
+        f"are exact-Jaccard verified at t >= {PREFIX_JACCARD_T}. The "
+        "oracle is the FULL inverted-index join — equality proves the "
+        "pruning loses no qualifying pair (prefix completeness), the "
+        "guarantee banding-based LSH can only approximate"
+    ),
+    driver_exposed=False,
+    # Round-6 addition, registered after the rotation froze the surface;
+    # pytest-oracle-checked (test_oracle_parity).
+)
+def prefix_filter_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact threshold-Jaccard pairs via prefix filtering.
+
+    The second exact candidate-pruning technique in the dedup family
+    (beside the stop-shingle cutoff) and the standard one for set-
+    similarity joins: order every doc's shingles by global rarity
+    (ascending df, then x) and join ONLY on each doc's first
+    |d| - ceil(t·|d|) + 1 shingles — by pigeonhole, two sets with
+    Jaccard >= t must share one of these prefix tokens, so pruning is
+    lossless while the join posting lists shrink to the rare tail of
+    the vocabulary (the hot shingles that explode the full join are
+    exactly the ones prefix filtering never joins on). Prefix length
+    uses the exact integer form (7·sz + 9) div 10 = ceil(0.7·sz), no
+    float boundary. Verification joins only candidate pairs' gram sets
+    (candidate-sized work), computing the same rounded-division Jaccard
+    as the brute-force oracle.
+
+    Scale shape: one corpus shingling pass (cached: df aggregate, rank
+    window, and verify sides share it), a doc-partitioned rank window,
+    and equi-joins on rare shingles — no all-pairs anywhere.
+    """
+    grams = _shingle_x_df(spark, sf_dir, NGRAM_N).distinct().cache()
+    dfr = grams.groupBy("x").agg(F.count(F.lit(1)).alias("df"))
+    sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    wr = Window.partitionBy("doc_id").orderBy("df", "x")
+    prefix = (
+        grams.join(dfr, "x")
+        .withColumn("r", F.row_number().over(wr))
+        .join(sizes, "doc_id")
+        .where(F.col("r") <= F.col("sz") - F.expr("CAST((7 * sz + 9) div 10 AS INT)") + 1)
+        .select("doc_id", "x")
+    )
+    cands = (
+        prefix.alias("a")
+        .join(
+            prefix.alias("b"),
+            (F.col("a.x") == F.col("b.x")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    ga = grams.select(F.col("doc_id").alias("doc_a"), F.col("x").alias("xa"))
+    gb = grams.select(F.col("doc_id").alias("gb_doc"), F.col("x").alias("xb"))
+    inter = (
+        cands.join(ga, "doc_a")
+        .join(gb, (F.col("doc_b") == F.col("gb_doc")) & (F.col("xa") == F.col("xb")))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    za = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("size_a"))
+    zb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("size_b"))
+    return (
+        inter.join(za, "doc_a")
+        .join(zb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("n_shared").cast("double")
+                / (F.col("size_a") + F.col("size_b") - F.col("n_shared"))
+            ).alias("jaccard_sim"),
+        )
+        .where(F.col("jaccard_sim") >= PREFIX_JACCARD_T)
+    )

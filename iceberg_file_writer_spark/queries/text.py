@@ -514,3 +514,75 @@ def doc_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_phones"),
     )
+
+
+# --- sliding-window chunking (RAG/pretraining context windows) --------------
+
+SLIDE_CHUNK_WORDS = 64
+SLIDE_CHUNK_STRIDE = 32
+
+
+@register(
+    "sliding_window_chunks",
+    oracle=f"""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+s AS (
+  SELECT doc_id, ws,
+         unnest(range(0, greatest(length(ws), 1), {SLIDE_CHUNK_STRIDE})) AS start
+  FROM w
+)
+SELECT doc_id,
+       (start // {SLIDE_CHUNK_STRIDE})::BIGINT AS chunk_idx,
+       start::BIGINT AS start_word,
+       length(ws[start + 1 : least(start + {SLIDE_CHUNK_WORDS}, length(ws))])::BIGINT
+         AS n_words,
+       md5(array_to_string(
+         ws[start + 1 : least(start + {SLIDE_CHUNK_WORDS}, length(ws))], ' '))
+         AS chunk_hash
+FROM s
+""",
+    description=(
+        f"Sliding-window chunking: {SLIDE_CHUNK_WORDS}-word chunks every "
+        f"{SLIDE_CHUNK_STRIDE} words (50% overlap) — the RAG/pretraining "
+        "context-window cutter; chunks travel as md5 digests, not text"
+    ),
+    driver_exposed=False,
+    # Round-6 addition, registered after the rotation froze the surface;
+    # pytest-oracle-checked (test_oracle_parity).
+)
+def sliding_window_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping fixed-width chunks per document.
+
+    Scale shape: one projection — split once, generate the stride starts
+    with `sequence`, explode, and slice per start; no join, no shuffle
+    (the whole plan is scan→generate→project). Emitting the md5 digest
+    instead of chunk text keeps the output (and any downstream exact-dedup
+    join over it) digest-sized — the same discipline as chunk_exact_dedup.
+    A short document still yields its single (possibly sub-width) chunk,
+    and the tail chunk is truncated, never padded, so every source word
+    lands in >= 1 and <= 2 chunks at 50% overlap.
+    """
+    docs = load_tables(spark, sf_dir)["documents"]
+    return (
+        docs.select(
+            "doc_id", words(F.col("text")).alias("ws")
+        )
+        .select(
+            "doc_id",
+            "ws",
+            F.explode(
+                F.expr(
+                    f"sequence(0, greatest(size(ws) - 1, 0), {SLIDE_CHUNK_STRIDE})"
+                )
+            ).alias("start"),
+        )
+        .selectExpr(
+            "doc_id",
+            f"CAST(start div {SLIDE_CHUNK_STRIDE} AS BIGINT) AS chunk_idx",
+            "CAST(start AS BIGINT) AS start_word",
+            f"CAST(size(slice(ws, start + 1, least({SLIDE_CHUNK_WORDS},"
+            " size(ws) - start))) AS BIGINT) AS n_words",
+            f"md5(concat_ws(' ', slice(ws, start + 1, least({SLIDE_CHUNK_WORDS},"
+            " size(ws) - start)))) AS chunk_hash",
+        )
+    )

@@ -176,3 +176,36 @@ def test_minhash_lsh_banding_completeness_hypothesis(spark):
                     assert (a, b) in cands, (a, b, j, sorted(cands))
 
     prop()
+
+
+def test_prefix_filter_prunes_join_keys(spark):
+    """The prefix relation must be a strict subset of the gram relation
+    (that's the whole point — fewer join keys), while the entry's oracle
+    (the FULL inverted-index join) already proves no qualifying pair is
+    lost. Pins the pruning so a refactor can't silently degrade it to
+    the full join."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from iceberg_file_writer_spark.queries.dedup import (
+        NGRAM_N,
+        _shingle_x_df,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    grams = _shingle_x_df(spark, sf, NGRAM_N).distinct()
+    dfr = grams.groupBy("x").agg(F.count(F.lit(1)).alias("df"))
+    sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    wr = Window.partitionBy("doc_id").orderBy("df", "x")
+    prefix = (
+        grams.join(dfr, "x")
+        .withColumn("r", F.row_number().over(wr))
+        .join(sizes, "doc_id")
+        .where(
+            F.col("r")
+            <= F.col("sz") - F.expr("CAST((7 * sz + 9) div 10 AS INT)") + 1
+        )
+    )
+    n_grams, n_prefix = grams.count(), prefix.count()
+    # at t=0.7 the prefix keeps ~30% of each doc's shingles
+    assert 0 < n_prefix < 0.45 * n_grams, (n_prefix, n_grams)
