@@ -697,10 +697,11 @@ def streaming_neardup_ingest_gate(spark: SparkSession, sf_dir: str) -> DataFrame
     q = (
         stream.writeStream.foreachBatch(_probe_batch)
         .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
         .start()
     )
     try:
-        q.processAllAvailable()
+        q.awaitTermination()
     finally:
         q.stop()
     return spark.read.schema(
