@@ -894,3 +894,155 @@ def bm25_ranked_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_matched_terms"),
     )
     return out.orderBy(F.desc("score"), "doc_id").limit(SEARCH_TOP_K)
+
+
+# --- personalized PageRank (seeded teleport) --------------------------------
+#
+# Same exact-integer Pregel machinery as user_pagerank, but the teleport
+# mass returns to a SEED SET instead of all nodes — the graph-retrieval
+# primitive ("rank relative to these nodes") behind related-item feeds
+# and graph-expanded search. Seeds here: a deterministic 1/4 salted-hash
+# sample of the node set (md5(user_id) first hex digit >= 'c' — the same
+# salted-decision primitive the sampling family uses), so the seed set is
+# a nonempty strict subset at every scale factor and both engines derive
+# it identically. (A cohort predicate would be the production seed; this
+# corpus's users are all first-seen on day 1, so a recency seed is empty
+# by construction.)
+
+
+def _ppr_iter_sql(prev: str, out: str) -> str:
+    return f"""
+{out} AS (
+  SELECT n.user_id,
+         CASE WHEN sd.user_id IS NOT NULL
+              THEN {PR_TELEPORT_MASS} // (SELECT ns FROM ns) ELSE 0 END
+         + ({PR_DAMP_NUM} * COALESCE(f.infl, 0)) // {PR_DAMP_DEN} AS s
+  FROM nodes n
+  LEFT JOIN seeds sd ON sd.user_id = n.user_id
+  LEFT JOIN (
+    SELECT e.dst AS user_id,
+           CAST(sum((p.s * e.w) // o.out_w) AS BIGINT) AS infl
+    FROM edges e
+    JOIN {prev} p ON p.user_id = e.src
+    JOIN outw o ON o.src = e.src
+    GROUP BY e.dst
+  ) f ON f.user_id = n.user_id
+)"""
+
+
+@register(
+    "personalized_pagerank_seeded",
+    oracle=f"""
+WITH edges AS ({_PR_EDGES_SQL}),
+outw AS (SELECT src, CAST(sum(w) AS BIGINT) AS out_w FROM edges GROUP BY src),
+nodes AS (SELECT src AS user_id FROM edges UNION SELECT dst FROM edges),
+seeds AS (
+  SELECT user_id FROM nodes
+  WHERE substr(md5(user_id::VARCHAR), 1, 1) >= 'c'
+),
+ns AS (SELECT CAST(count(*) AS BIGINT) AS ns FROM seeds),
+s0 AS (
+  SELECT n.user_id,
+         CASE WHEN sd.user_id IS NOT NULL
+              THEN {PR_SCALE} // (SELECT ns FROM ns) ELSE 0 END AS s
+  FROM nodes n LEFT JOIN seeds sd ON sd.user_id = n.user_id
+),
+{_ppr_iter_sql("s0", "s1")},
+{_ppr_iter_sql("s1", "s2")},
+{_ppr_iter_sql("s2", "s3")}
+SELECT user_id, CAST(s AS BIGINT) AS ppr_nano FROM s3 WHERE s > 0
+""",
+    description=(
+        "Personalized PageRank (d=0.85, 3 supersteps, exact fixed-point "
+        "integers): teleport mass restarts at a deterministic salted-hash "
+        "seed set (1/4 of nodes) instead of all nodes — the seeded "
+        "graph-retrieval primitive; oracle unrolls the supersteps"
+    ),
+    driver_exposed=False,
+    # Round-6 addition, registered after the rotation froze the surface;
+    # pytest-oracle-checked (test_oracle_parity).
+)
+def personalized_pagerank_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded-teleport PageRank over the hand-off graph.
+
+    Identical scale shape to user_pagerank (edges cached once, one src
+    join + one dst aggregate per superstep, exact integer arithmetic so
+    sums are order-independent); the only new relation is the seed set —
+    a user-keyed min(ts) aggregate against a broadcast 1-row horizon —
+    and the teleport term becomes seed-conditional. Rows with zero mass
+    after 3 supersteps (nodes unreachable from any seed within 3 hops)
+    are dropped: at scale the interesting output is the reachable
+    neighborhood, a small fraction of the graph.
+    """
+    from pyspark.sql import Window
+
+    ev = load_tables(spark, sf_dir)["events"]
+    w = Window.partitionBy("event_type", F.to_date("ts")).orderBy("ts", "event_id")
+    hand = ev.select(
+        F.col("user_id").alias("src"), F.lead("user_id").over(w).alias("dst")
+    ).where(F.col("dst").isNotNull() & (F.col("dst") != F.col("src")))
+    edges = hand.groupBy("src", "dst").agg(F.count("*").alias("w"))
+    outw = edges.groupBy("src").agg(F.sum("w").cast("long").alias("out_w"))
+    edges = edges.join(outw, "src").cache()
+
+    nodes = (
+        edges.select(F.col("src").alias("user_id"))
+        .union(edges.select(F.col("dst").alias("user_id")))
+        .distinct()
+        .cache()
+    )
+    seeds = nodes.where(
+        F.expr("substr(md5(CAST(user_id AS STRING)), 1, 1) >= 'c'")
+    ).cache()
+    ns = seeds.agg(F.count("*").cast("long").alias("ns"))
+
+    is_seed = F.col("seed_user").isNotNull()
+    seed_mark = seeds.select(F.col("user_id").alias("seed_user"))
+    scores = (
+        nodes.join(
+            F.broadcast(seed_mark),
+            F.col("user_id") == F.col("seed_user"),
+            "left",
+        )
+        .crossJoin(F.broadcast(ns))
+        .select(
+            "user_id",
+            F.when(is_seed, F.expr(f"{PR_SCALE} div ns"))
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("s"),
+        )
+    )
+    for _ in range(PR_ITERS):
+        infl = (
+            edges.join(scores.withColumnRenamed("user_id", "src"), "src")
+            .select(
+                F.col("dst").alias("user_id"),
+                F.expr("(s * w) div out_w").alias("contrib"),
+            )
+            .groupBy("user_id")
+            .agg(F.sum("contrib").cast("long").alias("infl"))
+        )
+        scores = (
+            nodes.join(infl, "user_id", "left")
+            .join(
+                F.broadcast(seed_mark),
+                F.col("user_id") == F.col("seed_user"),
+                "left",
+            )
+            .crossJoin(F.broadcast(ns))
+            .select(
+                "user_id",
+                (
+                    F.when(is_seed, F.expr(f"{PR_TELEPORT_MASS}L div ns"))
+                    .otherwise(F.lit(0))
+                    .cast("long")
+                    + F.expr(
+                        f"({PR_DAMP_NUM} * COALESCE(infl, CAST(0 AS BIGINT))) div {PR_DAMP_DEN}"
+                    )
+                ).alias("s"),
+            )
+        )
+    return scores.where(F.col("s") > 0).select(
+        "user_id", F.col("s").alias("ppr_nano")
+    )
