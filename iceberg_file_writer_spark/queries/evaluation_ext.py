@@ -83,3 +83,58 @@ def ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("recall_permille"),
         )
     )
+
+
+_PQ_RECALL_ORACLE = f"""
+WITH approx AS (
+{_REGISTRY["knn_pq_adc_rerank"].oracle}
+),
+exact AS (
+{_REGISTRY["knn_bruteforce_cosine"].oracle}
+)
+SELECT e.query_id,
+       count(a.neighbor_id)                  AS n_hits,
+       ((1000 * count(a.neighbor_id)) // {KNN_K})::BIGINT AS recall_permille
+FROM exact e
+LEFT JOIN approx a
+  ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+GROUP BY e.query_id
+"""
+
+
+@register(
+    "pq_recall_at_k",
+    oracle=_PQ_RECALL_ORACLE,
+    description=(
+        f"ANN index quality: per-query recall@{KNN_K} of the "
+        "product-quantization (ADC) index against the exact brute-force "
+        "top-k (exact integer permille) — same composed-oracle pattern "
+        "as ann_recall_at_k, so the PQ index ships with its own quality "
+        "dial"
+    ),
+    driver_exposed=False,
+    # Round-6 addition, registered after the rotation froze the surface;
+    # pytest-oracle-checked (test_oracle_parity).
+)
+def pq_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall of the PQ/ADC index vs exact ground truth (LEFT-anchored on
+    the exact side, so a fully-missed query reports 0 — see
+    ann_recall_at_k)."""
+    from iceberg_file_writer_spark.queries.similarity import knn_pq_adc_rerank
+
+    approx = knn_pq_adc_rerank(spark, sf_dir).select(
+        "query_id", "neighbor_id", F.lit(1).alias("hit")
+    )
+    exact = knn_bruteforce_cosine(spark, sf_dir).select(
+        "query_id", "neighbor_id"
+    )
+    return (
+        exact.join(approx, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count("hit").alias("n_hits"),
+            F.floor((F.lit(1000) * F.count("hit")) / KNN_K)
+            .cast("long")
+            .alias("recall_permille"),
+        )
+    )

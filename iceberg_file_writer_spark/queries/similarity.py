@@ -1567,7 +1567,11 @@ def hard_negative_mining_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 PQ_SUBS = 8
 PQ_SUBDIM = EMB_DIMS // PQ_SUBS
 PQ_K = 16
-PQ_CAND_M = 50
+# Candidate depth tuned against pq_recall_at_k (round 6): 8-byte codes on
+# this near-isotropic corpus need a deeper rerank than SQ8's 64-byte
+# codes — measured recall@5 at M=50 was 680‰/520‰ (sf0.01/0.1), at M=150
+# it is 920‰/960‰; the rerank is |Q|xM exact cosines, trivial at any M.
+PQ_CAND_M = 150
 
 _PQ_CODEBOOKS: dict[str, tuple] = {}
 
