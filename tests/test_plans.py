@@ -471,3 +471,40 @@ def test_hard_negative_ivf_is_cell_pruned(spark):
     p = _plan(spark, "hard_negative_mining_ivf")
     assert "CartesianProduct" not in p, p
     assert "SortMergeJoin" not in p, p
+
+
+def test_pq_adc_join_is_not_all_pairs(spark):
+    """PQ candidates come from the code relation equi-joined to the
+    broadcast ADC lookup table on (sub, cent_id); the exact rerank joins
+    only candidate ids. Cartesian/SMJ anywhere means the index
+    degenerated to brute force."""
+    p = _plan(spark, "knn_pq_adc_rerank")
+    assert "CartesianProduct" not in p, p
+    assert "SortMergeJoin" not in p, p
+
+
+def test_prefix_filter_candidates_are_equi_join(spark):
+    """Prefix filtering joins on shingle hashes (equi); no all-pairs."""
+    p = _plan(spark, "prefix_filter_jaccard_pairs")
+    assert "CartesianProduct" not in p, p
+
+
+def test_bm25_topk_avoids_full_sort(spark):
+    p = _plan(spark, "bm25_ranked_search")
+    assert "TakeOrderedAndProject" in p, p
+
+
+def test_sliding_chunks_is_shuffle_free(spark):
+    """scan -> generate -> project: no join, no exchange, no Python."""
+    p = _plan(spark, "sliding_window_chunks")
+    assert "Exchange" not in p, p
+    assert "Join" not in p, p
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p, p
+
+
+def test_hll_register_relation_is_partial_aggregated(spark):
+    """The only corpus-sized pass is the (type, bucket) max-rho build —
+    partial_max must appear (map-side combine), and no Python nodes."""
+    p = _plan(spark, "hll_distinct_users_by_type")
+    assert "partial_max" in p, p
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p, p
