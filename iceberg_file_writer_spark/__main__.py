@@ -193,7 +193,11 @@ def main(argv: list[str] | None = None) -> int:
             if args.views is not None
             else None
         )
-        create_views(spark, args.sf_dir, query_names=names)
+        try:
+            create_views(spark, args.sf_dir, query_names=names)
+        except ValueError as e:
+            print(str(e), file=sys.stderr)
+            return 2
         df = spark.sql(stmt)
         if args.explain:
             df.explain("formatted")

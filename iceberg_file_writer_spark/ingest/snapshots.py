@@ -123,11 +123,30 @@ def _commit(
     files: list[dict],
     extra: dict | None = None,
 ) -> int:
-    """O_EXCL manifest create + atomic CURRENT flip (optimistic locking)."""
+    """O_EXCL manifest create + atomic CURRENT flip (optimistic locking).
+
+    EVERY commit carries the parent's cumulative ``batch_ids`` ledger
+    forward (merged with any ids this commit adds): a compaction or CoW
+    commit interleaved between streaming appends must not strand the
+    exactly-once ledger on an ancestor that expire_snapshots may remove
+    — with the carry, the newest manifest always holds the full ledger.
+    """
     version = parent + 1
     os.makedirs(_snap_dir(table_path), exist_ok=True)
     manifest = {"version": version, "parent": parent, "op": op, "files": files}
+    if parent > 0:
+        try:
+            inherited = read_manifest(table_path, parent).get("batch_ids")
+        except FileNotFoundError:
+            inherited = None
+        if inherited is not None:
+            manifest["batch_ids"] = inherited
     if extra:
+        if "batch_ids" in extra and manifest.get("batch_ids"):
+            extra = dict(extra)
+            extra["batch_ids"] = sorted(
+                set(extra["batch_ids"]) | set(manifest["batch_ids"])
+            )
         manifest.update(extra)
     try:
         fd = os.open(
@@ -246,7 +265,9 @@ def snapshot_log(table_path: str) -> list[dict]:
     return out
 
 
-def expire_snapshots(table_path: str, keep_last: int = 2) -> dict:
+def expire_snapshots(
+    table_path: str, keep_last: int = 2, staging_ttl_seconds: int = 86400
+) -> dict:
     """Drop old manifests and any data file no retained snapshot references
     — the ONLY operation that deletes data bytes. Time travel narrows to
     the retained window; current state is never affected.
@@ -284,7 +305,28 @@ def expire_snapshots(table_path: str, keep_last: int = 2) -> dict:
         if rel not in referenced:
             os.remove(os.path.join(_data_dir(table_path), name))
             dropped_files += 1
-    return {"dropped_manifests": dropped_manifests, "dropped_files": dropped_files}
+    # GC crashed writers' staging debris. A LIVE writer's staging dir must
+    # survive (it is mid-commit), so only dirs idle past the TTL go — a
+    # healthy commit stages for seconds, not a day.
+    import time
+
+    now = time.time()
+    dropped_staging = 0
+    for name in os.listdir(table_path):
+        if not name.startswith(".snap-staging-"):
+            continue
+        full = os.path.join(table_path, name)
+        try:
+            if now - os.path.getmtime(full) > staging_ttl_seconds:
+                shutil.rmtree(full)
+                dropped_staging += 1
+        except FileNotFoundError:
+            pass  # a concurrent commit just renamed its files away
+    return {
+        "dropped_manifests": dropped_manifests,
+        "dropped_files": dropped_files,
+        "dropped_staging": dropped_staging,
+    }
 
 
 def commit_merge(

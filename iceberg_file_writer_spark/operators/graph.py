@@ -115,6 +115,9 @@ def connected_components(
             .localCheckpoint(eager=True)
         )
         changed = new_labels.where(F.col("lbl") != F.col("own")).count()
+        # release the intermediate propagate checkpoint too — new_labels
+        # is materialized, so prop's blocks are dead after this point
+        prop.unpersist()
         prev_cached.unpersist()
         prev_cached = new_labels
         labels = new_labels.select("node", "lbl")

@@ -160,8 +160,13 @@ def parse_media_header(media: DataFrame) -> DataFrame:
         f"substr(h,{2 * c + 3},2), substr(h,{2 * c + 1},2))"
     )
     le2 = lambda c: f"concat(substr(h,{2 * c + 3},2), substr(h,{2 * c + 1},2))"  # noqa: E731
+    # hex only the bytes the fields read (14-byte header + the 8 pix8_sum
+    # bytes) — hex(payload) would materialize 2x the FULL payload per row,
+    # which defeats header sniffing on multi-MB media blobs
     return media.selectExpr(
-        "media_id", "hex(payload) AS h", "octet_length(payload) AS nb"
+        "media_id",
+        "hex(substring(payload, 1, 22)) AS h",
+        "octet_length(payload) AS nb",
     ).selectExpr(
         "media_id",
         "substr(h, 1, 4) = '424D' AS valid",

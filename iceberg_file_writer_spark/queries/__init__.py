@@ -29,6 +29,11 @@ class Query:
     # marked driver_exposed=False: still registered, benched, and
     # pytest-oracle-checked — just not part of the driver's capped surface.
     driver_exposed: bool = True
+    # True when fn() executes Spark jobs at PLAN-BUILD time (trains an
+    # index artifact, runs a stream to completion, materializes files).
+    # create_views' default surface excludes these — registering a view
+    # must stay plan-only (lint: tests/test_sql_surface.py).
+    eager: bool = False
 
 
 _REGISTRY: dict[str, Query] = {}
@@ -36,7 +41,13 @@ _REGISTRY: dict[str, Query] = {}
 DRIVER_QUERY_CAP = 50
 
 
-def register(name: str, oracle: str | None, description: str = "", driver_exposed: bool = True):
+def register(
+    name: str,
+    oracle: str | None,
+    description: str = "",
+    driver_exposed: bool = True,
+    eager: bool = False,
+):
     """Decorator: add a query function to the global registry."""
 
     def deco(fn: Callable[[SparkSession, str], DataFrame]):
@@ -48,6 +59,7 @@ def register(name: str, oracle: str | None, description: str = "", driver_expose
             oracle=oracle,
             description=description,
             driver_exposed=driver_exposed,
+            eager=eager,
         )
         return fn
 

@@ -833,7 +833,8 @@ FROM canon JOIN c ON c.c_custkey = canon.c_custkey
     ),
     driver_exposed=False,
     # Registered after the round-5 driver surface froze at the cap;
-    # pytest-oracle-checked at sf0.001/sf0.01 (test_oracle_parity).
+    # pytest-oracle-checked at sf0.001/sf0.01 (test_oracle_parity).,
+    eager=True,  # builds/loads a trained artifact or runs a stream at plan time
 )
 def customer_entity_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Match pairs are not entities — the closure is.
@@ -912,7 +913,8 @@ FROM ranked WHERE rn = 1
     ),
     driver_exposed=False,
     # Registered after the round-5 driver surface froze at the cap;
-    # pytest-oracle-checked at sf0.001/sf0.01 (test_oracle_parity).
+    # pytest-oracle-checked at sf0.001/sf0.01 (test_oracle_parity).,
+    eager=True,  # builds/loads a trained artifact or runs a stream at plan time
 )
 def entity_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Golden-record selection over resolved entities.

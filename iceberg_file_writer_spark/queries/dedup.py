@@ -335,6 +335,7 @@ FROM canon
         "min-label propagation to fixpoint; the oracle replays the "
         "closure with a recursive CTE"
     ),
+    eager=True,  # builds/loads a trained artifact or runs a stream at plan time
 )
 def neardup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components over near-duplicate pairs.

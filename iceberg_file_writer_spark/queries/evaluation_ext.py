@@ -57,6 +57,7 @@ GROUP BY e.query_id
         "permille) — the oracle composes the two operand oracles and "
         "diffs them"
     ),
+    eager=True,  # builds/loads a trained artifact or runs a stream at plan time
 )
 def ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall of the approximate index vs exact ground truth.
@@ -114,7 +115,8 @@ GROUP BY e.query_id
     ),
     driver_exposed=False,
     # Round-6 addition, registered after the rotation froze the surface;
-    # pytest-oracle-checked (test_oracle_parity).
+    # pytest-oracle-checked (test_oracle_parity).,
+    eager=True,  # builds/loads a trained artifact or runs a stream at plan time
 )
 def pq_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall of the PQ/ADC index vs exact ground truth (LEFT-anchored on

@@ -968,8 +968,9 @@ def personalized_pagerank_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
     Identical scale shape to user_pagerank (edges cached once, one src
     join + one dst aggregate per superstep, exact integer arithmetic so
     sums are order-independent); the only new relation is the seed set —
-    a user-keyed min(ts) aggregate against a broadcast 1-row horizon —
-    and the teleport term becomes seed-conditional. Rows with zero mass
+    a deterministic salted-hash filter over the node relation (see the
+    module comment: this corpus has no usable cohort predicate) — and
+    the teleport term becomes seed-conditional. Rows with zero mass
     after 3 supersteps (nodes unreachable from any seed within 3 hops)
     are dropped: at scale the interesting output is the reachable
     neighborhood, a small fraction of the graph.

@@ -492,6 +492,7 @@ def _trained_centroids_df(spark: SparkSession, emb: DataFrame, sf_dir: str) -> D
         "results"
     ),
     driver_exposed=False,
+    eager=True,  # builds/loads a trained artifact or runs a stream at plan time
 )
 def ivf_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb_cols(spark, sf_dir).cache()
@@ -510,6 +511,7 @@ def ivf_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         "iterations, assignment, probing, and ranking — not a brute-force "
         "stand-in"
     ),
+    eager=True,  # builds/loads a trained artifact or runs a stream at plan time
 )
 def ivf_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inverted-file ANN over the embeddings table.
@@ -630,6 +632,7 @@ GROUP BY vec_id, cent_id
         "found within cells only, greedy keep-lowest-id decision per vector"
     ),
     driver_exposed=False,
+    eager=True,  # builds/loads a trained artifact or runs a stream at plan time
 )
 def embedding_cluster_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semantic dedup over the embedding corpus (the SemDeDup shape).
@@ -846,7 +849,8 @@ SELECT query_id, neighbor_id, cosine_sim, rk FROM (
     ),
     # Round-5 rotation: promoted to the driver surface;
     # q17_small_quantity_revenue (driver-green r3-r4, correlated-subquery
-    # shape also covered by orders_above_customer_avg) ceded its slot.
+    # shape also covered by orders_above_customer_avg) ceded its slot.,
+    eager=True,  # builds/loads a trained artifact or runs a stream at plan time
 )
 def knn_sq8_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SQ8 retrieve-then-rerank: the memory-bandwidth ANN shape.
@@ -1271,6 +1275,7 @@ FROM m CROSS JOIN vq{PCA_ITERS} v
     # Registered mid-round 5; driver surface is at its 50-entry cap, so
     # pytest-oracle + bench coverage until a future rotation.
     driver_exposed=False,
+    eager=True,  # builds/loads a trained artifact or runs a stream at plan time
 )
 def embedding_pca_component(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dominant eigenvector by power iteration.
@@ -1302,6 +1307,7 @@ def embedding_pca_component(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Registered mid-round 5; driver surface is at its 50-entry cap, so
     # pytest-oracle + bench coverage until a future rotation.
     driver_exposed=False,
+    eager=True,  # builds/loads a trained artifact or runs a stream at plan time
 )
 def embedding_pca_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Project the corpus onto PC1 — the dimensionality-reduction read
@@ -1447,7 +1453,8 @@ SELECT query_id, true_label, neighbor_id, neg_label, cosine_sim, rk FROM (
     ),
     driver_exposed=False,
     # Registered after the round-5 driver surface froze at the cap;
-    # pytest-oracle-checked at sf0.001/sf0.01 (test_oracle_parity).
+    # pytest-oracle-checked at sf0.001/sf0.01 (test_oracle_parity).,
+    eager=True,  # builds/loads a trained artifact or runs a stream at plan time
 )
 def hard_negative_mining_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The scale form of hard-negative mining.
@@ -1782,7 +1789,8 @@ SELECT query_id, neighbor_id, cosine_sim, rk FROM (
     ),
     driver_exposed=False,
     # Round-6 addition; registered after the round-6 rotation froze the
-    # 50-slot surface — pytest-oracle-checked (test_oracle_parity).
+    # 50-slot surface — pytest-oracle-checked (test_oracle_parity).,
+    eager=True,  # builds/loads a trained artifact or runs a stream at plan time
 )
 def knn_pq_adc_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PQ retrieve-then-rerank over the embeddings table.

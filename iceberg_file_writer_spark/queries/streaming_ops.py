@@ -137,6 +137,7 @@ GROUP BY 1, 2, 3
 HAVING window_end <= {_FINAL_WM_SQL}
 """,
     description="Structured Streaming: watermarked tumbling-window aggregation run to completion (finalized windows = batch dual with end <= final watermark)",
+    eager=True,  # builds/loads a trained artifact or runs a stream at plan time
 )
 def streaming_windowed_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from iceberg_file_writer_spark.streaming.windows import windowed_event_stats
@@ -178,6 +179,7 @@ FROM sess
 WHERE session_end <= {_FINAL_WM_SQL}
 """,
     description="Structured Streaming: native session_window sessionization run to completion (finalized sessions; session_end = last event + 30 min gap)",
+    eager=True,  # builds/loads a trained artifact or runs a stream at plan time
 )
 def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     from iceberg_file_writer_spark.streaming.windows import session_windows
@@ -192,6 +194,7 @@ def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pytest-checked; the deterministic stateful variant below carries the
     # driver-facing oracle, so this per-batch-emission demo stays registry-only.
     driver_exposed=False,
+    eager=True,  # builds/loads a trained artifact or runs a stream at plan time
 )
 def streaming_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     from iceberg_file_writer_spark.streaming.windows import user_running_totals
@@ -211,6 +214,7 @@ GROUP BY 1, 2
 HAVING CAST(CAST(ts AS DATE) AS TIMESTAMP) + INTERVAL 1 DAY < {_FINAL_WM_SQL}
 """,
     description="Structured Streaming: custom stateful operator (applyInPandasWithState + EventTimeTimeout) emitting per-(user, day) totals exactly once when the watermark closes the day — deterministic finalized output, exact batch oracle",
+    eager=True,  # builds/loads a trained artifact or runs a stream at plan time
 )
 def streaming_stateful_daily_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     from iceberg_file_writer_spark.streaming.windows import user_daily_totals_closed
@@ -226,6 +230,7 @@ FROM events
 QUALIFY row_number() OVER (PARTITION BY event_id ORDER BY ts, user_id) = 1
 """,
     description="Structured Streaming: watermark-bounded exact dedup (dropDuplicatesWithinWatermark). Oracle = first occurrence per key, which the streaming result equals whenever duplicate pairs arrive within the watermark horizon — true of this corpus (keys are unique)",
+    eager=True,  # builds/loads a trained artifact or runs a stream at plan time
 )
 def streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     from iceberg_file_writer_spark.streaming.windows import streaming_dedup
@@ -252,6 +257,7 @@ JOIN events c
     description="Structured Streaming: stream-stream interval join (purchases x same-user clicks within 30 min), watermark-bounded state; run-to-completion equals the batch interval join",
     # pytest-oracle-checked; the driver surface is at its 50-entry cap.
     driver_exposed=False,
+    eager=True,  # builds/loads a trained artifact or runs a stream at plan time
 )
 def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from iceberg_file_writer_spark.streaming.windows import (
@@ -407,6 +413,7 @@ HAVING window_end <= {_FINAL_WM_SQL}
         "segment — finalized windows equal the batch dual"
     ),
     driver_exposed=False,
+    eager=True,  # builds/loads a trained artifact or runs a stream at plan time
 )
 def streaming_enriched_segment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-static dimension enrichment.
@@ -467,6 +474,7 @@ FROM (
     # surface is at its 50-entry cap — the CDC class is driver-visible via
     # cdc_user_latest_state.
     driver_exposed=False,
+    eager=True,  # builds/loads a trained artifact or runs a stream at plan time
 )
 def streaming_cdc_upsert_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The write side of CDC: a streaming upsert ("MERGE INTO") sink.
@@ -582,6 +590,7 @@ SELECT window_start, event_type, n_events, total_value, rk FROM (
     # pytest-oracle-checked; driver surface at its 50-entry cap — the
     # streaming-agg class is driver-visible via streaming_windowed_stats.
     driver_exposed=False,
+    eager=True,  # builds/loads a trained artifact or runs a stream at plan time
 )
 def streaming_windowed_topk_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming aggregation + serving-side rank, composed honestly.
@@ -649,6 +658,7 @@ def _gate_oracle() -> str:
     # Registry entry (driver surface at its 50-slot cap); benched +
     # pytest-oracle-checked per session like every non-exposed entry.
     driver_exposed=False,
+    eager=True,  # builds/loads a trained artifact or runs a stream at plan time
 )
 def streaming_neardup_ingest_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The curation loop's steady state, composed end-to-end.
@@ -857,6 +867,7 @@ WHERE p.event_type = 'purchase'
     # Registry entry (driver surface at its 50-slot cap); benched +
     # pytest-oracle-checked per session like every non-exposed entry.
     driver_exposed=False,
+    eager=True,  # builds/loads a trained artifact or runs a stream at plan time
 )
 def streaming_interval_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from iceberg_file_writer_spark.streaming.windows import (
@@ -896,7 +907,8 @@ from iceberg_file_writer_spark.queries.analytics_ext import (  # noqa: E402
     ),
     # pytest-oracle-checked (incl. a forced multi-batch run); driver
     # surface is at its 50-entry cap — the sampling class is
-    # driver-visible via doc_stratified_sample/token_budget_sample.
+    # driver-visible via doc_stratified_sample/token_budget_sample.,
+    eager=True,  # builds/loads a trained artifact or runs a stream at plan time
 )
 def streaming_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reservoir-style sampling as a streaming operator.
@@ -993,6 +1005,7 @@ GROUP BY source
     # pytest-oracle-checked; driver surface at its 50-entry cap — the
     # streaming class keeps four exposed entries.
     driver_exposed=False,
+    eager=True,  # builds/loads a trained artifact or runs a stream at plan time
 )
 def streaming_quality_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Continuous quality monitoring as mergeable aggregate state.
@@ -1110,7 +1123,8 @@ def _register_streaming_cms():
         ),
         # pytest-oracle-checked; driver surface at its 50-entry cap.
         driver_exposed=False,
-    )
+    eager=True,  # builds/loads a trained artifact or runs a stream at plan time
+)
     def streaming_cms_heavy_hitters(
         spark: SparkSession, sf_dir: str
     ) -> DataFrame:

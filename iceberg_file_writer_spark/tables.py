@@ -74,7 +74,7 @@ def create_views(
     spark: SparkSession,
     sf_dir: str,
     query_names: "list[str] | None" = None,
-    include_streaming: bool = False,
+    include_eager: bool = False,
 ) -> list[str]:
     """Register the full SQL surface as temp views: every testdata table
     (by its own name) plus registered queries (each as ``q_<name>``), so
@@ -84,10 +84,13 @@ def create_views(
     View registration is plan construction only — nothing executes until
     a view is queried, and Catalyst optimizes ACROSS the view boundary
     (filters over a ``q_`` view push into its underlying scans). The
-    exceptions are entries whose builder runs work eagerly (streaming
-    run-to-completion harnesses, index materializers); those register
-    only when asked: pass their names in ``query_names`` or set
-    ``include_streaming=True``.
+    exceptions are entries whose builder runs work at plan time
+    (streaming run-to-completion harnesses, trained-artifact loaders,
+    index materializers) — each is flagged ``eager=True`` in the
+    registry, and the default surface excludes them (lint:
+    tests/test_sql_surface.py patches every Spark action and registers
+    the default set to prove nothing executes). Register eager entries
+    by passing their names in ``query_names`` or ``include_eager=True``.
 
     Returns the list of registered view names.
     """
@@ -97,11 +100,13 @@ def create_views(
     registered = list(tables)
     qs = all_queries()
     if query_names is None:
-        query_names = [
-            n
-            for n in qs
-            if include_streaming or not n.startswith(("streaming_", "ingest_"))
-        ]
+        query_names = [n for n, q in qs.items() if include_eager or not q.eager]
+    unknown = [n for n in query_names if n not in qs]
+    if unknown:
+        raise ValueError(
+            f"unknown quer{'y' if len(unknown) == 1 else 'ies'}: "
+            f"{', '.join(sorted(unknown))} (see list-queries)"
+        )
     for name in query_names:
         qs[name].fn(spark, sf_dir).createOrReplaceTempView(f"q_{name}")
         registered.append(f"q_{name}")

@@ -430,3 +430,45 @@ def test_data_file_staging_is_inside_table_dir(spark, tmp_path, monkeypatch):
     assert seen and all(d == t for d in seen)
     # and no staging debris remains inside the table dir
     assert not [n for n in os.listdir(t) if n.startswith(".snap-staging-")]
+
+
+def test_ledger_survives_interleaved_commit_plus_expire(spark, tmp_path):
+    """Every commit carries the batch_ids ledger forward, so a compaction
+    topping the chain followed by expire cannot lose exactly-once state
+    (code-review find r6: ledger stranded on an expired ancestor)."""
+    from iceberg_file_writer_spark.ingest.snapshots import (
+        commit_compact,
+        streaming_append_sink,
+    )
+
+    t = str(tmp_path / "ledger-tbl")
+    orders = load_tables(spark, SF_DIR)["orders"]
+    sink = streaming_append_sink(t, max_rows=500)
+    b0 = orders.where("o_orderkey % 2 = 0")
+    b1 = orders.where("o_orderkey % 2 = 1")
+    sink(b0, 0)
+    sink(b1, 1)
+    commit_compact(spark, t)  # non-streaming commit tops the chain
+    expire_snapshots(t, keep_last=1)  # drops the ledger-bearing appends
+    v = current_version(t)
+    sink(b1, 1)  # replay of a batch whose manifest is expired
+    sink(b0, 0)
+    assert current_version(t) == v, "replayed batches must stay no-ops"
+    assert read_table_version(spark, t).count() == orders.count()
+
+
+def test_expire_sweeps_stale_staging_dirs(spark, table):
+    """Crashed writers' .snap-staging-* debris is GC'd by expire once
+    idle past the TTL; a fresh (possibly live) staging dir survives."""
+    import time
+
+    t, _ = table
+    stale = os.path.join(t, ".snap-staging-stale")
+    fresh = os.path.join(t, ".snap-staging-fresh")
+    os.makedirs(stale)
+    os.makedirs(fresh)
+    old = time.time() - 100
+    os.utime(stale, (old, old))
+    stats = expire_snapshots(t, keep_last=10, staging_ttl_seconds=50)
+    assert stats["dropped_staging"] == 1
+    assert not os.path.exists(stale) and os.path.exists(fresh)

@@ -91,3 +91,35 @@ def test_cli_sql_subcommand(capsys):
     )
     out = capsys.readouterr().out
     assert rc == 0 and "n" in out
+
+
+def test_default_view_surface_is_plan_only(spark, monkeypatch):
+    """create_views' default set must register without executing ANY
+    Spark action — every entry that trains an artifact, collects, writes,
+    or starts a stream at plan-build time must carry eager=True (lint
+    for the registry flag; code-review find r6)."""
+    import pyspark.sql.classic.dataframe as cdf
+    import pyspark.sql.readwriter as rw
+    import pyspark.sql.streaming.readwriter as srw
+
+    class Boom(Exception):
+        pass
+
+    def boom(*a, **k):
+        raise Boom("a default (non-eager) view executed a Spark action")
+
+    for n in ("collect", "count", "head", "take", "toPandas"):
+        monkeypatch.setattr(cdf.DataFrame, n, boom)
+    for n in ("parquet", "save", "orc", "csv", "json", "text"):
+        monkeypatch.setattr(rw.DataFrameWriter, n, boom)
+    monkeypatch.setattr(srw.DataStreamWriter, "start", boom)
+
+    views = create_views(spark, SF_DIR)  # must not raise Boom
+    assert len(views) > 100  # base tables + the lazy majority
+
+
+def test_unknown_view_name_is_a_clean_error(spark):
+    import pytest
+
+    with pytest.raises(ValueError, match="unknown query"):
+        create_views(spark, SF_DIR, query_names=["definitely_not_a_query"])
