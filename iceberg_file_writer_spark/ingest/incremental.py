@@ -68,20 +68,71 @@ def init_daily_rollup(spark: SparkSession, events: DataFrame, rollup_path: str) 
     ).partitionBy("day").parquet(rollup_path)
 
 
+def _commit_rollup(base: str) -> None:
+    """The idempotent commit phase (runs under the marker; re-runnable
+    from any crash point): swap every staged day into the rollup root,
+    record the batch id, clean up, drop the marker."""
+    import json
+
+    tmp = base + ".refresh-tmp"
+    if os.path.isdir(tmp):
+        for name in sorted(os.listdir(tmp)):
+            if not name.startswith("day="):
+                continue
+            live = os.path.join(base, name)
+            staged = os.path.join(tmp, name)
+            old = live + ".refresh-old"
+            if os.path.isdir(live):
+                os.rename(live, old)
+            os.rename(staged, live)
+            if os.path.isdir(old):
+                shutil.rmtree(old)
+    # a day whose staged dir is gone already swapped; its .refresh-old may
+    # remain from a crash between its two renames' cleanup
+    if os.path.isdir(base):
+        for name in os.listdir(base):
+            if name.endswith(".refresh-old"):
+                shutil.rmtree(os.path.join(base, name))
+    marker = base + ".refresh-commit"
+    if os.path.exists(marker):
+        with open(marker) as f:
+            batch_id = f.read().strip()
+        if batch_id:
+            ledger = base + ".refresh-applied.json"
+            applied = []
+            if os.path.exists(ledger):
+                with open(ledger) as f:
+                    applied = json.load(f)
+            if batch_id not in applied:
+                with open(ledger + ".tmp", "w") as f:
+                    json.dump(sorted(set(applied) | {batch_id}), f)
+                os.rename(ledger + ".tmp", ledger)
+    if os.path.isdir(tmp):
+        shutil.rmtree(tmp)
+    if os.path.exists(marker):
+        os.remove(marker)
+
+
 def recover_rollup(rollup_path: str) -> None:
     """Roll a crashed refresh to a consistent state (runs at every
-    refresh entry — same two-rename protocol as maintenance.recover_*).
+    refresh entry).
 
-    A crash mid-swap can strand ``day=<d>.refresh-old`` dirs INSIDE the
-    rollup root; Spark partition discovery would parse those as bogus
-    ``day='<d>.refresh-old'`` partition values and double-count the day
-    on every later read. A stranded ``.refresh-old`` beside a live dir
-    means the swap for that day committed — drop the old; with nothing
-    live it means the crash hit between the two renames — restore it.
-    A leftover ``<rollup>.refresh-tmp`` staging root (outside the rollup
-    root, invisible to discovery) is an uncommitted rewrite — drop it.
+    The refresh is ALL-OR-NOTHING across the batch's touched days,
+    decided by the ``.refresh-commit`` marker: with the marker absent
+    the crash hit during staging — rollback (restore any stranded
+    ``day=<d>.refresh-old`` whose live dir is missing, drop one beside a
+    live dir, drop the staging root). With the marker present every
+    day's merged result is fully staged — roll FORWARD by re-running
+    the idempotent commit phase, so the batch lands in ALL its days
+    (the pre-round-6 recovery could leave a batch applied to some days
+    and silently lost for the rest). Stranded ``.refresh-old`` dirs are
+    also what Spark partition discovery would misparse as bogus
+    partition values — both paths clear them.
     """
     base = rollup_path.rstrip("/")
+    if os.path.exists(base + ".refresh-commit"):
+        _commit_rollup(base)
+        return
     tmp_root = base + ".refresh-tmp"
     if os.path.exists(tmp_root):
         shutil.rmtree(tmp_root)
@@ -98,21 +149,38 @@ def recover_rollup(rollup_path: str) -> None:
 
 
 def refresh_daily_rollup(
-    spark: SparkSession, batch: DataFrame, rollup_path: str
+    spark: SparkSession,
+    batch: DataFrame,
+    rollup_path: str,
+    batch_id: "str | None" = None,
 ) -> dict:
-    """Fold one arriving batch into the standing rollup.
+    """Fold one arriving batch into the standing rollup, atomically.
 
     Only the touched days' partition directories are read and swapped;
     history outside them is never opened (mtime-asserted in the tests).
-    Returns {"days_refreshed": int}.
+    All touched days commit together: the merged partials stage outside
+    the rollup root, then a commit marker flips the refresh from
+    rollback-on-crash to roll-forward-on-crash (recover_rollup completes
+    it). Pass a stable ``batch_id`` (e.g. the foreachBatch epoch id) to
+    make caller retries exactly-once — a replayed id is a no-op instead
+    of a double-fold. Returns {"days_refreshed": int}.
     """
+    import json
+
     recover_rollup(rollup_path)
+    base = rollup_path.rstrip("/")
+    if batch_id is not None:
+        ledger = base + ".refresh-applied.json"
+        if os.path.exists(ledger):
+            with open(ledger) as f:
+                if batch_id in json.load(f):
+                    return {"days_refreshed": 0}
+
     batch_parts = _partial(batch).cache()
     touched_days = [r.day for r in batch_parts.select("day").distinct().collect()]
     if not touched_days:
         return {"days_refreshed": 0}
 
-    base = rollup_path.rstrip("/")
     existing_dirs = [
         d for d in touched_days if os.path.isdir(os.path.join(base, f"day={d}"))
     ]
@@ -132,16 +200,10 @@ def refresh_daily_rollup(
     merged.write.mode("overwrite").option("compression", "snappy").partitionBy(
         "day"
     ).parquet(tmp)
-    for d in touched_days:
-        live = os.path.join(base, f"day={d}")
-        staged = os.path.join(tmp, f"day={d}")
-        old = live + ".refresh-old"
-        if os.path.isdir(live):
-            os.rename(live, old)
-        os.rename(staged, live)
-        if os.path.isdir(old):
-            shutil.rmtree(old)
-    shutil.rmtree(tmp)
+    # everything staged: flip to roll-forward and commit
+    with open(base + ".refresh-commit", "w") as f:
+        f.write(batch_id or "")
+    _commit_rollup(base)
     batch_parts.unpersist()
     return {"days_refreshed": len(touched_days)}
 

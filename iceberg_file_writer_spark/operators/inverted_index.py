@@ -120,42 +120,143 @@ def conjunctive_search_index(
     return scored.orderBy(F.desc("score"), "doc_id").limit(top_k)
 
 
+_APPEND_MARKER = ".append-commit"
+_APPLIED_SHARDS = "applied_shards.json"
+
+
+def _recover_append(index_path: str) -> None:
+    """Roll a crashed append to a consistent state.
+
+    The append is ALL-OR-NOTHING across postings + lexicon + meta,
+    decided by the ``.append-commit`` marker:
+
+    - marker ABSENT: the crash hit during staging — the live index was
+      never touched. Rollback: drop ``postings.staged``/``*.tmp``, and
+      restore/drop any stranded ``*.old`` from an earlier protocol.
+    - marker PRESENT: both small relations were fully staged and the
+      commit phase had begun — roll FORWARD by re-running it (each step
+      is idempotent: already-moved posting files are gone from staging,
+      an already-swapped relation has no ``.tmp`` left).
+    """
+    import json
+    import os
+    import shutil
+
+    marker = f"{index_path}/{_APPEND_MARKER}"
+    staged = f"{index_path}/postings.staged"
+    if os.path.exists(marker):
+        _commit_append(index_path)
+        return
+    if os.path.exists(staged):
+        shutil.rmtree(staged)
+    for rel in ("lexicon", "meta"):
+        live, tmp, old = (f"{index_path}/{rel}{s}" for s in ("", ".tmp", ".old"))
+        if os.path.exists(old):
+            if os.path.exists(live):
+                shutil.rmtree(old)
+            else:
+                os.rename(old, live)
+        if os.path.exists(tmp):
+            shutil.rmtree(tmp)
+
+
+def _commit_append(index_path: str) -> None:
+    """The idempotent commit phase (runs under the marker; re-runnable
+    from any crash point): move staged posting files into their live
+    term-bucket partitions, swap lexicon/meta, record the shard id,
+    clean up, drop the marker."""
+    import json
+    import os
+    import shutil
+
+    staged = f"{index_path}/postings.staged"
+    live_postings = f"{index_path}/postings"
+    if os.path.isdir(staged):
+        for part in sorted(os.listdir(staged)):
+            src_dir = os.path.join(staged, part)
+            if not part.startswith("term_bucket=") or not os.path.isdir(src_dir):
+                continue
+            dst_dir = os.path.join(live_postings, part)
+            os.makedirs(dst_dir, exist_ok=True)
+            for fname in sorted(os.listdir(src_dir)):
+                if fname.endswith(".parquet") and not fname.startswith(("_", ".")):
+                    os.rename(
+                        os.path.join(src_dir, fname), os.path.join(dst_dir, fname)
+                    )
+    for rel in ("lexicon", "meta"):
+        livep, tmp, old = (f"{index_path}/{rel}{s}" for s in ("", ".tmp", ".old"))
+        if os.path.exists(tmp):
+            if os.path.exists(livep):
+                os.rename(livep, old)
+            os.rename(tmp, livep)
+        if os.path.exists(old):
+            shutil.rmtree(old)
+    marker = f"{index_path}/{_APPEND_MARKER}"
+    if os.path.exists(marker):
+        with open(marker) as f:
+            shard_id = f.read().strip()
+        if shard_id:
+            ledger_path = f"{index_path}/{_APPLIED_SHARDS}"
+            applied = []
+            if os.path.exists(ledger_path):
+                with open(ledger_path) as f:
+                    applied = json.load(f)
+            if shard_id not in applied:
+                tmp_ledger = ledger_path + ".tmp"
+                with open(tmp_ledger, "w") as f:
+                    json.dump(sorted(set(applied) | {shard_id}), f)
+                os.rename(tmp_ledger, ledger_path)
+    if os.path.isdir(staged):
+        shutil.rmtree(staged)
+    if os.path.exists(marker):
+        os.remove(marker)
+
+
 def append_to_inverted_index(
-    spark: SparkSession, new_docs: DataFrame, index_path: str
+    spark: SparkSession,
+    new_docs: DataFrame,
+    index_path: str,
+    shard_id: str | None = None,
 ) -> None:
     """Per-ingest index maintenance: fold a new shard into the standing
     index without re-reading corpus text.
 
-    - ``postings/``: the shard's postings APPEND into their term-bucket
+    - ``postings/``: the shard's postings land in their term-bucket
       partitions (doc_ids are new, so no per-term merge is needed — the
       posting list of a term is the union of its rows across files).
     - ``lexicon/``: per-term df of old + shard summed — a
       vocabulary-sized merge, orders smaller than the corpus.
     - ``meta/``: n_docs incremented.
-    The two small relations are staged and swapped via the two-rename
-    protocol (live -> .old, .tmp -> live, drop .old — the same order as
-    ingest/maintenance.py), so at every instant either the previous or
-    the new lexicon/meta is live; a crash never leaves neither. Stranded
-    ``.tmp``/``.old`` dirs are recovered at the next append (restore a
-    ``.old`` with nothing live; drop it beside a live dir). Appending
-    shard-by-shard is pytest-asserted byte-identical to rebuilding from
-    scratch.
+
+    The append is ATOMIC across all three relations: postings stage into
+    ``postings.staged`` and the small relations into ``*.tmp``, then a
+    commit marker flips the append from rollback-on-crash to
+    roll-forward-on-crash — the commit phase (file moves + two-rename
+    swaps) is idempotent and completed by the next append's recovery, so
+    a crash can never publish postings without their lexicon/meta (the
+    tear the pre-round-6 mode('append') write allowed). Pass a stable
+    ``shard_id`` to make caller retries exactly-once: an id recorded in
+    ``applied_shards.json`` (written atomically during commit) makes a
+    replayed append a no-op — without it a caller retrying a crashed
+    call that had already reached the marker would fold the shard twice.
+    Appending shard-by-shard is pytest-asserted byte-identical to
+    rebuilding from scratch, including across injected crashes at every
+    commit step.
     """
+    import json
     import os
-    import shutil
 
     from iceberg_file_writer_spark.operators.text import words
 
     # recover a crashed prior append before touching anything
-    for rel in ("lexicon", "meta"):
-        live, tmp, old = (f"{index_path}/{rel}{s}" for s in ("", ".tmp", ".old"))
-        if os.path.exists(old):
-            if os.path.exists(live):
-                shutil.rmtree(old)  # crashed after swap: live dir is current
-            else:
-                os.rename(old, live)  # crashed mid-swap: restore previous
-        if os.path.exists(tmp):
-            shutil.rmtree(tmp)  # uncommitted staging from a crashed append
+    _recover_append(index_path)
+
+    if shard_id is not None:
+        ledger_path = f"{index_path}/{_APPLIED_SHARDS}"
+        if os.path.exists(ledger_path):
+            with open(ledger_path) as f:
+                if shard_id in json.load(f):
+                    return  # replayed shard: already folded
 
     shard = (
         new_docs.select("doc_id", F.explode(words(F.col("text"))).alias("term"))
@@ -166,10 +267,10 @@ def append_to_inverted_index(
     (
         shard.repartition("term_bucket")
         .sortWithinPartitions("term", "doc_id")
-        .write.mode("append")
+        .write.mode("overwrite")
         .option("compression", "snappy")
         .partitionBy("term_bucket")
-        .parquet(f"{index_path}/postings")
+        .parquet(f"{index_path}/postings.staged")
     )
     new_lex = shard.groupBy("term").agg(F.count("*").alias("df"))
     merged = (
@@ -188,8 +289,7 @@ def append_to_inverted_index(
     )
     new_meta.write.mode("overwrite").parquet(f"{index_path}/meta.tmp")
 
-    for rel in ("lexicon", "meta"):
-        live, tmp, old = (f"{index_path}/{rel}{s}" for s in ("", ".tmp", ".old"))
-        os.rename(live, old)
-        os.rename(tmp, live)
-        shutil.rmtree(old)
+    # everything staged: flip to roll-forward and commit
+    with open(f"{index_path}/{_APPEND_MARKER}", "w") as f:
+        f.write(shard_id or "")
+    _commit_append(index_path)

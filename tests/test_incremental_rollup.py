@@ -172,3 +172,48 @@ def test_recover_rollup_heals_crashed_swap(spark, tmp_path):
     refresh_daily_rollup(spark, late, rollup)
     full = _partial(events.unionByName(late))
     assert _canon(read_daily_rollup(spark, rollup).drop("avg_value")) == _canon(full)
+
+
+def test_refresh_atomic_across_injected_crashes(spark, tmp_path):
+    """Crash-inject every rename of the commit phase: recovery must roll
+    the batch FORWARD into ALL touched days, and a caller retry with the
+    same batch_id must be a no-op — the rollup always converges to the
+    full recompute (code-review find r6: partial per-day application)."""
+    import os
+
+    from iceberg_file_writer_spark.ingest import incremental as INC
+
+    events = load_tables(spark, SF_DIR)["events"]
+    base_events = events.where("event_id % 3 != 0")
+    late = events.where("event_id % 3 = 0")  # touches many days at once
+    want = _canon(_partial(events))
+
+    crash_at = 0
+    while True:
+        crash_at += 1
+        rollup = str(tmp_path / f"rollup{crash_at}")
+        init_daily_rollup(spark, base_events, rollup)
+        real_rename = os.rename
+        calls = {"n": 0, "crashed": False}
+
+        def exploding(src, dst):
+            if str(src).startswith(str(tmp_path)):
+                calls["n"] += 1
+                if calls["n"] == crash_at:
+                    calls["crashed"] = True
+                    raise OSError("injected crash")
+            return real_rename(src, dst)
+
+        os.rename = exploding
+        try:
+            INC.refresh_daily_rollup(spark, late, rollup, batch_id="b1")
+        except OSError:
+            pass
+        finally:
+            os.rename = real_rename
+        INC.refresh_daily_rollup(spark, late, rollup, batch_id="b1")  # retry
+        got = _canon(read_daily_rollup(spark, rollup).drop("avg_value"))
+        assert got == want, f"crash_at={crash_at}"
+        if not calls["crashed"]:
+            break
+    assert crash_at > 3

@@ -231,3 +231,66 @@ def test_index_append_recovers_crashed_swap(spark, tmp_path):
         for r in conjunctive_search_index(spark, inc_idx, SEARCH_TERMS).collect()
     )
     assert res_full == res_inc
+
+
+def test_index_append_atomic_across_injected_crashes(spark, tmp_path):
+    """Crash-inject the commit phase at every rename step: recovery must
+    roll the append FORWARD (marker present => staged state is complete),
+    and a caller retry with the same shard_id must be a no-op — the
+    index always ends byte-identical to the full rebuild (code-review
+    find r6: postings/lexicon/meta tear + double-fold on retry)."""
+    import os
+
+    from iceberg_file_writer_spark.operators import inverted_index as II
+    from iceberg_file_writer_spark.queries.dedup import NEW_BATCH_SPLIT
+    from iceberg_file_writer_spark.tables import load_tables
+
+    docs = load_tables(spark, SF_DIR)["documents"]
+    full_idx = str(tmp_path / "full")
+    build_inverted_index(spark, SF_DIR, full_idx)
+    old_docs = docs.where(F.col("doc_id") < NEW_BATCH_SPLIT)
+    shard = docs.where(F.col("doc_id") >= NEW_BATCH_SPLIT)
+    old_dir = str(tmp_path / "old-docs")
+    old_docs.write.parquet(old_dir + "/documents.parquet")
+
+    def canon(idx):
+        res = sorted(
+            (r.doc_id, round(r.score, 9))
+            for r in conjunctive_search_index(spark, idx, SEARCH_TERMS).collect()
+        )
+        lex = sorted(map(tuple, spark.read.parquet(idx + "/lexicon").collect()))
+        n = spark.read.parquet(idx + "/meta").collect()[0].n_docs
+        return res, lex, n
+
+    want = canon(full_idx)
+
+    crash_at = 0
+    while True:
+        crash_at += 1
+        idx = str(tmp_path / f"inc{crash_at}")
+        build_inverted_index(spark, old_dir, idx)
+        real_rename = os.rename
+        calls = {"n": 0, "crashed": False}
+
+        def exploding(src, dst):
+            # only meter renames inside the index commit phase
+            if str(src).startswith(idx):
+                calls["n"] += 1
+                if calls["n"] == crash_at:
+                    calls["crashed"] = True
+                    raise OSError("injected crash")
+            return real_rename(src, dst)
+
+        os.rename = exploding
+        try:
+            II.append_to_inverted_index(spark, shard, idx, shard_id="s1")
+        except OSError:
+            pass
+        finally:
+            os.rename = real_rename
+        # caller retry with the same shard id
+        II.append_to_inverted_index(spark, shard, idx, shard_id="s1")
+        assert canon(idx) == want, f"crash_at={crash_at}"
+        if not calls["crashed"]:
+            break  # commit completed before the injection point: done
+    assert crash_at > 3  # the sweep actually exercised several windows
