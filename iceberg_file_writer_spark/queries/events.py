@@ -988,3 +988,141 @@ def rolling_weekly_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("target_day")
         .agg(F.count("*").alias("weekly_active_users"))
     )
+
+
+# --- time-series densification + OHLC rollup --------------------------------
+
+
+@register(
+    "hourly_gap_fill",
+    oracle="""
+WITH bounds AS (
+  SELECT date_trunc('hour', min(ts)) AS lo, date_trunc('hour', max(ts)) AS hi
+  FROM events
+),
+grid AS (
+  SELECT t.event_type, g.hour
+  FROM (SELECT DISTINCT event_type FROM events) t
+  CROSS JOIN (
+    SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour FROM bounds
+  ) g
+),
+hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour, sum(value) AS v
+  FROM events GROUP BY 1, 2
+)
+SELECT g.event_type, g.hour,
+       (h.hour IS NOT NULL)          AS observed,
+       coalesce(h.v, 0.0)            AS hour_value,
+       last_value(h.v IGNORE NULLS) OVER (
+         PARTITION BY g.event_type ORDER BY g.hour
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS carried_value
+FROM grid g LEFT JOIN hourly h
+  ON h.event_type = g.event_type AND h.hour = g.hour
+""",
+    description=(
+        "Time-series densification: the full (type x hour) grid between "
+        "the corpus bounds, missing hours flagged and forward-filled with "
+        "the last observed hourly value (gap filling / interpolation "
+        "baseline)"
+    ),
+    driver_exposed=False,
+    # Round-6 addition, registered after the rotation froze the surface;
+    # pytest-oracle-checked (test_oracle_parity).
+)
+def hourly_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense hourly grid with forward-fill — the densification step
+    before window models or charting, where missing buckets must be
+    explicit rows, not absent ones.
+
+    Scale shape: the only corpus-sized pass is the (type, hour) partial
+    aggregate; the grid is |types| x |hours| rows built from a broadcast
+    1-row bounds aggregate via `sequence` (no generator UDF), the join
+    onto it is grid-sized, and the carry-forward window partitions by
+    type over hour-granular rows — never events. At 100 TB the grid is
+    still thousands of rows.
+    """
+    ev = load_tables(spark, sf_dir)["events"]
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
+    ).agg(F.sum("value").alias("v"))
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    grid = (
+        ev.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
+            ).alias("hour"),
+        )
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(hourly, ["event_type", "hour"], "left")
+        .select(
+            "event_type",
+            "hour",
+            F.col("v").isNotNull().alias("observed"),
+            F.coalesce("v", F.lit(0.0)).alias("hour_value"),
+            F.last("v", ignorenulls=True).over(w).alias("carried_value"),
+        )
+    )
+
+
+@register(
+    "hourly_value_ohlc",
+    oracle="""
+WITH ranked AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour, value,
+         row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                            ORDER BY ts, event_id) AS rk_open,
+         row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                            ORDER BY ts DESC, event_id DESC) AS rk_close
+  FROM events
+)
+SELECT event_type, hour,
+       min(CASE WHEN rk_open = 1 THEN value END)  AS open,
+       max(value)                                  AS high,
+       min(value)                                  AS low,
+       min(CASE WHEN rk_close = 1 THEN value END) AS close,
+       CAST(count(*) AS BIGINT)                   AS n_events
+FROM ranked GROUP BY 1, 2
+""",
+    description=(
+        "OHLC candles: per (type, hour) the first/max/min/last event "
+        "value with deterministic (ts, event_id) endpoints — the "
+        "financial-style downsampling rollup"
+    ),
+    driver_exposed=False,
+    # Round-6 addition, registered after the rotation froze the surface;
+    # pytest-oracle-checked (test_oracle_parity).
+)
+def hourly_value_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open/high/low/close downsampling per (type, hour).
+
+    Open/close use min_by/max_by over the (ts, event_id) struct — one
+    partial-aggregated pass, no window, no second scan: at scale this is
+    a pure map-side-combined groupBy on bounded keys (types x hours).
+    The deterministic (ts, event_id) tie-break makes endpoints exact
+    across engines and partitionings.
+    """
+    ev = load_tables(spark, sf_dir)["events"]
+    key = F.struct(F.col("ts"), F.col("event_id"))
+    return ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
+    ).agg(
+        F.min_by("value", key).alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max_by("value", key).alias("close"),
+        F.count(F.lit(1)).alias("n_events"),
+    )

@@ -112,8 +112,10 @@ def test_streaming_refresh_keeps_rollup_current(spark, tmp_path):
     rollup = str(tmp_path / "rollup")
     init_daily_rollup(spark, ev.where(F.lit(False)), rollup)  # empty start
 
-    def _fold(batch_df, _bid):
-        refresh_daily_rollup(spark, batch_df, rollup)
+    def _fold(batch_df, bid):
+        # the epoch id as batch_id: a crash-replayed micro-batch becomes
+        # a no-op instead of a double-fold (exactly-once composition)
+        refresh_daily_rollup(spark, batch_df, rollup, batch_id=str(bid))
 
     raw_schema = spark.read.parquet(staging).schema
     q = (
