@@ -472,3 +472,40 @@ def test_expire_sweeps_stale_staging_dirs(spark, table):
     stats = expire_snapshots(t, keep_last=10, staging_ttl_seconds=50)
     assert stats["dropped_staging"] == 1
     assert not os.path.exists(stale) and os.path.exists(fresh)
+
+
+def test_concurrent_appends_with_retry_all_land_exactly_once(spark, tmp_path):
+    """Optimistic concurrency end-to-end: four threads race appends into
+    one table, retrying on CommitConflict; every batch must land exactly
+    once and the final version count must equal the number of commits."""
+    import threading
+
+    from iceberg_file_writer_spark.ingest.snapshots import commit_append
+
+    t = str(tmp_path / "race-tbl")
+    orders = load_tables(spark, SF_DIR)["orders"]
+    batches = [orders.where(f"o_orderkey % 4 = {i}") for i in range(4)]
+    errors: list = []
+
+    def writer(i):
+        try:
+            for attempt in range(50):
+                try:
+                    commit_append(spark, batches[i], t, max_rows=500)
+                    return
+                except CommitConflict:
+                    continue
+            errors.append(f"writer {i} exhausted retries")
+        except Exception as e:  # pragma: no cover - surfaced via assert
+            errors.append(f"writer {i}: {e!r}")
+
+    threads = [threading.Thread(target=writer, args=(i,)) for i in range(4)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errors, errors
+    assert current_version(t) == 4
+    got = read_table_version(spark, t)
+    assert got.count() == orders.count()
+    assert got.select("o_orderkey").distinct().count() == orders.count()
