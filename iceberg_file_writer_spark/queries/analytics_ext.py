@@ -1186,3 +1186,135 @@ def hll_distinct_users_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
             " / exact_distinct) AS BIGINT) AS err_permille",
         )
     )
+
+
+@register(
+    "rolling_wau_hll_estimate",
+    oracle=f"""
+WITH ud AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+),
+maxd AS (SELECT max(d) AS mx FROM ud),
+regs_daily AS (
+  SELECT d, ('0x' || substr(md5(user_id::VARCHAR), 1, 2))::UBIGINT::BIGINT AS bucket,
+         max(CASE WHEN ('0x' || substr(md5(user_id::VARCHAR), 3, 13))::UBIGINT::BIGINT = 0
+                  THEN {_HLL_RMAX}
+                  ELSE {_HLL_RMAX} - length(bin(
+                    ('0x' || substr(md5(user_id::VARCHAR), 3, 13))::UBIGINT::BIGINT))
+             END)::BIGINT AS rho
+  FROM ud GROUP BY 1, 2
+),
+contrib AS (
+  SELECT d + (o::INT) AS target_day, bucket, rho
+  FROM regs_daily CROSS JOIN (SELECT unnest(range(7)) AS o)
+),
+merged AS (
+  SELECT c.target_day, c.bucket, max(c.rho) AS rho
+  FROM contrib c CROSS JOIN maxd
+  WHERE c.target_day <= maxd.mx
+  GROUP BY 1, 2
+),
+sums AS (
+  SELECT target_day,
+         (sum(1::BIGINT << ({_HLL_RMAX} - rho))
+          + ({HLL_M} - count(*)) * (1::BIGINT << {_HLL_RMAX}))::BIGINT AS s,
+         ({HLL_M} - count(*))::BIGINT AS zeros
+  FROM merged GROUP BY 1
+),
+exact AS (
+  SELECT target_day, count(DISTINCT user_id)::BIGINT AS exact_wau
+  FROM (
+    SELECT user_id, d + (o::INT) AS target_day
+    FROM ud CROSS JOIN (SELECT unnest(range(7)) AS o)
+  ) x CROSS JOIN maxd
+  WHERE x.target_day <= maxd.mx
+  GROUP BY 1
+)
+SELECT s.target_day AS day,
+       {_hll_est_sql('s.s', 's.zeros')} AS est_wau,
+       e.exact_wau,
+       CAST(floor(1000.0 * abs({_hll_est_sql('s.s', 's.zeros')} - e.exact_wau)
+                  / e.exact_wau) AS BIGINT) AS err_permille
+FROM sums s JOIN exact e ON e.target_day = s.target_day
+""",
+    description=(
+        "Rolling 7-day active users from MERGED daily HLL sketches "
+        "(register-wise max across the window's days) with measured "
+        "error vs the exact rolling distinct — the long-window path the "
+        "exact rolling-WAU entry documents: day-granular register "
+        "relations replace the x7 fan-out of user rows"
+    ),
+    driver_exposed=False,
+    # Round-6 addition, registered after the rotation froze the surface;
+    # pytest-oracle-checked (test_oracle_parity).
+)
+def rolling_wau_hll_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window distinct counting at sketch cost.
+
+    The exact form (rolling_weekly_active_users) fans the distinct
+    (user, day) relation x7; this form fans the DAILY REGISTER relation
+    x7 instead — |days| x 256 rows however many users exist, the reason
+    HLL rollups own long windows and high-cardinality keys at 100 TB.
+    Merging is register-wise max (associative, order-free), the estimate
+    and its measured error vs the exact count ride in the output, and
+    everything downstream of the one (user, day)-distinct corpus pass
+    runs on register- or day-sized relations.
+    """
+    ev = load_tables(spark, sf_dir)["events"]
+    ud = ev.select(
+        "user_id", F.to_date("ts").alias("d")
+    ).distinct().cache()
+    maxd = ud.agg(F.max("d").alias("mx"))
+    regs_daily = ud.selectExpr(
+        "d",
+        "CAST(conv(substr(md5(CAST(user_id AS STRING)), 1, 2), 16, 10) AS BIGINT)"
+        " AS bucket",
+        "CAST(conv(substr(md5(CAST(user_id AS STRING)), 3, 13), 16, 10) AS BIGINT)"
+        " AS w",
+    ).groupBy("d", "bucket").agg(
+        F.expr(
+            f"max(CASE WHEN w = 0 THEN {_HLL_RMAX}"
+            f" ELSE {_HLL_RMAX} - length(bin(w)) END)"
+        ).cast("long").alias("rho")
+    )
+    merged = (
+        regs_daily.select(
+            F.explode(F.expr("sequence(d, date_add(d, 6))")).alias("target_day"),
+            "bucket",
+            "rho",
+        )
+        .crossJoin(F.broadcast(maxd))
+        .where(F.col("target_day") <= F.col("mx"))
+        .groupBy("target_day", "bucket")
+        .agg(F.max("rho").alias("rho"))
+    )
+    sums = merged.groupBy("target_day").agg(
+        F.expr(
+            f"CAST(sum(shiftleft(CAST(1 AS BIGINT), {_HLL_RMAX} - rho))"
+            f" + ({HLL_M} - count(*)) * shiftleft(CAST(1 AS BIGINT), {_HLL_RMAX})"
+            " AS BIGINT)"
+        ).alias("s"),
+        F.expr(f"CAST({HLL_M} - count(*) AS BIGINT)").alias("zeros"),
+    )
+    exact = (
+        ud.select(
+            "user_id",
+            F.explode(F.expr("sequence(d, date_add(d, 6))")).alias("target_day"),
+        )
+        .crossJoin(F.broadcast(maxd))
+        .where(F.col("target_day") <= F.col("mx"))
+        .distinct()
+        .groupBy("target_day")
+        .agg(F.countDistinct("user_id").cast("long").alias("exact_wau"))
+    )
+    est = _hll_est_sql("s", "zeros")
+    return (
+        sums.join(exact, "target_day")
+        .selectExpr(
+            "target_day AS day",
+            f"{est} AS est_wau",
+            "exact_wau",
+            f"CAST(floor(1000.0 * abs({est} - exact_wau)"
+            " / exact_wau) AS BIGINT) AS err_permille",
+        )
+    )
