@@ -1047,3 +1047,133 @@ def personalized_pagerank_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scores.where(F.col("s") > 0).select(
         "user_id", F.col("s").alias("ppr_nano")
     )
+
+
+# --- k-core decomposition (iterative peel) ----------------------------------
+
+KCORE_K = 2
+KCORE_MIN_W = 2  # repeated hand-offs only: the raw graph is near-complete
+KCORE_ORACLE_UNROLL = 12  # >= observed peel rounds (8 at sf0.1); pytest pins
+
+
+def _kcore_oracle() -> str:
+    peel = ""
+    prev = "alive0"
+    for i in range(KCORE_ORACLE_UNROLL):
+        peel += f"""
+alive{i + 1} AS MATERIALIZED (
+  SELECT a.user_id FROM {prev} a
+  JOIN edges e ON e.src = a.user_id
+  JOIN {prev} b ON b.user_id = e.dst
+  GROUP BY a.user_id HAVING count(*) >= {KCORE_K}
+),"""
+        prev = f"alive{i + 1}"
+    return f"""
+WITH pairs AS (
+  SELECT src, dst FROM (
+    SELECT src, dst, count(*) AS w FROM (
+      SELECT user_id AS src,
+             lead(user_id) OVER (PARTITION BY event_type, CAST(ts AS DATE)
+                                 ORDER BY ts, event_id) AS dst
+      FROM events)
+    WHERE dst IS NOT NULL AND dst <> src GROUP BY src, dst
+  ) WHERE w >= {KCORE_MIN_W}
+),
+edges AS MATERIALIZED (
+  SELECT src, dst FROM pairs
+  UNION SELECT dst AS src, src AS dst FROM pairs
+),
+alive0 AS MATERIALIZED (SELECT DISTINCT src AS user_id FROM edges),{peel}
+final AS (SELECT user_id FROM {prev})
+SELECT a.user_id, CAST(count(*) AS BIGINT) AS core_degree
+FROM final a
+JOIN edges e ON e.src = a.user_id
+JOIN final b ON b.user_id = e.dst
+GROUP BY a.user_id
+"""
+
+
+@register(
+    "user_kcore_membership",
+    oracle=_kcore_oracle(),
+    description=(
+        f"{KCORE_K}-core of the repeated-hand-off graph (edge weight >= "
+        f"{KCORE_MIN_W}): iterative peeling of nodes with degree < k to a "
+        "checked fixpoint, emitting survivors with their within-core "
+        "degree — the cohesive-subgraph primitive; the oracle unrolls "
+        f"{KCORE_ORACLE_UNROLL} peel rounds (a pytest pins convergence "
+        "inside that bound)"
+    ),
+    driver_exposed=False,
+    # Round-6 addition (post-escalation; sf0.1-parity-checked individually
+    # — see BASELINE.md round-6 addendum).
+)
+def user_kcore_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The k-core: the maximal subgraph where every member keeps >= k
+    neighbors INSIDE the subgraph — the standard cohesion filter before
+    community detection or influence analysis (peripheral chains that
+    inflate component sizes peel away).
+
+    Scale shape: the peel is degree-filter iterations, one
+    alive-semi-joined degree aggregate per round over the (weight-
+    thresholded) edge relation — edges cached once, alive relations are
+    node-sized and localCheckpoint'ed per round (the CC lineage
+    discipline), and rounds stop at a CHECKED fixpoint (drop count = 0).
+    Peeling is monotone so round count is bounded by the peel depth
+    (8 at sf0.1), not the node count.
+    """
+    from pyspark.sql import Window
+
+    ev = load_tables(spark, sf_dir)["events"]
+    w = Window.partitionBy("event_type", F.to_date("ts")).orderBy("ts", "event_id")
+    hand = ev.select(
+        F.col("user_id").alias("src"), F.lead("user_id").over(w).alias("dst")
+    ).where(F.col("dst").isNotNull() & (F.col("dst") != F.col("src")))
+    pairs = (
+        hand.groupBy("src", "dst")
+        .agg(F.count("*").alias("w"))
+        .where(F.col("w") >= KCORE_MIN_W)
+        .select("src", "dst")
+    )
+    edges = (
+        pairs.union(pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .cache()
+    )
+    alive = edges.select(F.col("src").alias("user_id")).distinct().localCheckpoint(
+        eager=True
+    )
+    rounds = 0
+    while True:
+        rounds += 1
+        survivors = (
+            alive.join(edges, alive.user_id == edges.src)
+            .join(
+                alive.select(F.col("user_id").alias("nbr")),
+                F.col("dst") == F.col("nbr"),
+            )
+            .groupBy(F.col("src").alias("uid"))
+            .agg(F.count(F.lit(1)).alias("deg"))
+            .where(F.col("deg") >= KCORE_K)
+            .select(F.col("uid").alias("user_id"))
+            .localCheckpoint(eager=True)
+        )
+        n_alive, n_surv = alive.count(), survivors.count()
+        prev = alive
+        alive = survivors
+        prev.unpersist()
+        if n_surv == n_alive or n_surv == 0:
+            break
+    user_kcore_membership.last_rounds = rounds
+    core = alive
+    out = (
+        core.join(edges, core.user_id == edges.src)
+        .join(
+            core.select(F.col("user_id").alias("nbr")),
+            F.col("dst") == F.col("nbr"),
+        )
+        .groupBy(F.col("src").alias("user_id"))
+        .agg(F.count(F.lit(1)).cast("long").alias("core_degree"))
+    )
+    edges.unpersist()
+    return out

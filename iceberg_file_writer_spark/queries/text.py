@@ -586,3 +586,61 @@ def sliding_window_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
             " size(ws) - start)))) AS chunk_hash",
         )
     )
+
+
+# --- deterministic pseudonymization (GDPR-grade key tokenization) -----------
+
+PSEUDO_SALT = "pii-salt-v1"  # rotate the salt to rotate the token space
+
+
+@register(
+    "user_pseudonymization",
+    oracle=f"""
+WITH tok AS (
+  SELECT user_id,
+         substr(md5('{PSEUDO_SALT}:' || user_id::VARCHAR), 1, 16) AS user_token
+  FROM (SELECT DISTINCT user_id FROM events)
+)
+SELECT t.user_token,
+       CAST(count(*) AS BIGINT)        AS n_events,
+       CAST(count(DISTINCT e.event_type) AS BIGINT) AS n_types,
+       round(sum(e.value), 6)          AS total_value
+FROM events e JOIN tok t USING (user_id)
+GROUP BY t.user_token
+""",
+    description=(
+        "Deterministic pseudonymization: user ids replaced by salted-md5 "
+        "tokens (stable within a salt epoch, so joins/aggregations still "
+        "line up; rotating the salt rotates the token space) with the "
+        "per-token activity rollup proving referential integrity survives"
+    ),
+    driver_exposed=False,
+    # Round-6 addition (post-escalation; sf0.1-parity-checked individually
+    # — see BASELINE.md round-6 addendum).
+)
+def user_pseudonymization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The privacy-pipeline primitive between raw ids and analysts:
+    tokenize the entity key deterministically so every downstream
+    join/groupBy works unchanged while the raw id never leaves the
+    trust boundary. Token = salted md5 prefix — one projection, no
+    shuffle beyond the rollup's own aggregate; the salt is the rotation
+    lever (re-tokenize by changing one constant, the reversible-pseudonym
+    escrow variant is a keyed lookup table instead). The rollup output
+    exercises the property that matters: grouping by token equals
+    grouping by raw id.
+    """
+    ev = load_tables(spark, sf_dir)["events"]
+    tok = F.substring(
+        F.md5(F.concat(F.lit(f"{PSEUDO_SALT}:"), F.col("user_id").cast("string"))),
+        1,
+        16,
+    )
+    return (
+        ev.withColumn("user_token", tok)
+        .groupBy("user_token")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("event_type").cast("long").alias("n_types"),
+            F.round(F.sum("value"), 6).alias("total_value"),
+        )
+    )

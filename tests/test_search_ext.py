@@ -294,3 +294,18 @@ def test_index_append_atomic_across_injected_crashes(spark, tmp_path):
         if not calls["crashed"]:
             break  # commit completed before the injection point: done
     assert crash_at > 3  # the sweep actually exercised several windows
+
+
+def test_kcore_converges_inside_oracle_unroll(spark):
+    """The oracle unrolls KCORE_ORACLE_UNROLL peel rounds; the Spark
+    fixpoint must converge within that bound at every test SF or the
+    unroll constant needs raising (parity would break loudly too —
+    this pins the margin)."""
+    from iceberg_file_writer_spark.queries.search_ext import (
+        KCORE_ORACLE_UNROLL,
+        user_kcore_membership,
+    )
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        user_kcore_membership(spark, sf).count()
+        assert user_kcore_membership.last_rounds <= KCORE_ORACLE_UNROLL - 2
