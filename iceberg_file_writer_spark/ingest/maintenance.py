@@ -352,3 +352,55 @@ def auto_compact(
         done.append(os.path.basename(pdir))
     shutil.rmtree(tmp_root, ignore_errors=True)
     return done
+
+
+def storage_report(table_path: str) -> list[dict]:
+    """Per-partition storage diagnostics from parquet FOOTERS only — the
+    operational readout behind compaction/clustering decisions (which
+    partitions have small files, poor compression, oversized rows)
+    without reading a single data byte.
+
+    Returns one dict per partition directory (top-level Hive key), each
+    with: partition, n_files, n_rows, compressed_bytes,
+    uncompressed_bytes, compression_ratio_permille (compressed/raw,
+    exact integer), avg_rows_per_file, min/max file rows. At 100 TB this
+    is a listing plus one footer read per file — the same metadata the
+    auto_compact policy consumes, surfaced as a report.
+    """
+    import pyarrow.parquet as pq
+
+    groups: dict[str, list[str]] = {}
+    base = table_path.rstrip("/")
+    for path in list_data_files(base):
+        rel = os.path.relpath(path, base)
+        part = rel.split(os.sep)[0] if os.sep in rel else "<root>"
+        groups.setdefault(part, []).append(path)
+    out = []
+    for part in sorted(groups):
+        rows = comp = raw = 0
+        per_file_rows = []
+        for path in groups[part]:
+            md = pq.ParquetFile(path).metadata
+            rows += md.num_rows
+            per_file_rows.append(md.num_rows)
+            for rg in range(md.num_row_groups):
+                g = md.row_group(rg)
+                comp += g.total_byte_size  # compressed on-disk pages
+                raw += sum(
+                    g.column(c).total_uncompressed_size
+                    for c in range(g.num_columns)
+                )
+        out.append(
+            {
+                "partition": part,
+                "n_files": len(groups[part]),
+                "n_rows": rows,
+                "compressed_bytes": comp,
+                "uncompressed_bytes": raw,
+                "compression_ratio_permille": (1000 * comp) // raw if raw else 0,
+                "avg_rows_per_file": rows // len(groups[part]),
+                "min_file_rows": min(per_file_rows),
+                "max_file_rows": max(per_file_rows),
+            }
+        )
+    return out

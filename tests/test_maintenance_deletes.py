@@ -245,3 +245,30 @@ def test_delete_everything_leaves_readable_empty_table(spark, table):
         "partitions_rewritten": 0,
         "rows_deleted": 0,
     }
+
+
+def test_storage_report_matches_footers(spark, tmp_path):
+    """storage_report reads only footers; values must reconcile with a
+    real scan of the table it describes."""
+    from iceberg_file_writer_spark.ingest.batch import IngestConfig, ingest_batch
+    from iceberg_file_writer_spark.ingest.maintenance import storage_report
+    from iceberg_file_writer_spark.tables import load_tables
+
+    ev = load_tables(spark, "/root/testdata/sf0.001")["events"]
+    t = str(tmp_path / "tbl")
+    cfg = IngestConfig(partition_column="event_type", key_column="ts",
+                       max_rows_per_file=500)
+    ingest_batch(ev, t, cfg, defaults={})
+    rep = storage_report(t)
+    by_part = {r["partition"]: r for r in rep}
+    counts = {
+        f"event_type={r.event_type}": r.n
+        for r in ev.groupBy("event_type").count().withColumnRenamed("count", "n").collect()
+    }
+    assert set(by_part) == set(counts)
+    for part, r in by_part.items():
+        assert r["n_rows"] == counts[part]
+        assert 0 < r["compression_ratio_permille"] <= 1000
+        assert r["min_file_rows"] <= r["avg_rows_per_file"] <= r["max_file_rows"]
+        assert r["max_file_rows"] <= 500  # layout bound preserved
+        assert r["compressed_bytes"] > 0 and r["uncompressed_bytes"] > 0
