@@ -1105,6 +1105,7 @@ GROUP BY a.user_id
         "inside that bound)"
     ),
     driver_exposed=False,
+    eager=True,  # runs the checked-fixpoint peel (counts/checkpoints) at build
     # Round-6 addition (post-escalation; sf0.1-parity-checked individually
     # — see BASELINE.md round-6 addendum).
 )

@@ -32,7 +32,15 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """
     cache_key = (id(spark), sf_dir)
     if cache_key in _TABLE_CACHE:
-        return _TABLE_CACHE[cache_key]
+        cached = _TABLE_CACHE[cache_key]
+        # Re-point the temp views at THIS sf_dir: a prior load for a
+        # different sf_dir left the session's views aimed there, and the
+        # SQL surface (create_views / spark.sql users) resolves by view
+        # name — without the refresh, DataFrame results and SQL results
+        # could silently read different scale factors.
+        for name, df in cached.items():
+            df.createOrReplaceTempView(name)
+        return cached
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # Wide aggregates (64-column MinHash/SimHash) must stay inside
     # whole-stage codegen; the default field limit (100) silently drops
