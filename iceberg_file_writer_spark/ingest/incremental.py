@@ -36,6 +36,12 @@ import shutil
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from iceberg_file_writer_spark.ingest.ledger import (
+    ledger_add,
+    ledger_contains,
+    write_atomic,
+)
+
 ROLLUP_KEYS = ("day", "event_type")
 
 
@@ -72,8 +78,6 @@ def _commit_rollup(base: str) -> None:
     """The idempotent commit phase (runs under the marker; re-runnable
     from any crash point): swap every staged day into the rollup root,
     record the batch id, clean up, drop the marker."""
-    import json
-
     tmp = base + ".refresh-tmp"
     if os.path.isdir(tmp):
         for name in sorted(os.listdir(tmp)):
@@ -98,15 +102,7 @@ def _commit_rollup(base: str) -> None:
         with open(marker) as f:
             batch_id = f.read().strip()
         if batch_id:
-            ledger = base + ".refresh-applied.json"
-            applied = []
-            if os.path.exists(ledger):
-                with open(ledger) as f:
-                    applied = json.load(f)
-            if batch_id not in applied:
-                with open(ledger + ".tmp", "w") as f:
-                    json.dump(sorted(set(applied) | {batch_id}), f)
-                os.rename(ledger + ".tmp", ledger)
+            ledger_add(base + ".refresh-applied.json", batch_id)
     if os.path.isdir(tmp):
         shutil.rmtree(tmp)
     if os.path.exists(marker):
@@ -133,6 +129,10 @@ def recover_rollup(rollup_path: str) -> None:
     if os.path.exists(base + ".refresh-commit"):
         _commit_rollup(base)
         return
+    # a crash mid-marker-write leaves only the .tmp (write_atomic):
+    # the refresh never committed — discard it with the staging
+    if os.path.exists(base + ".refresh-commit.tmp"):
+        os.remove(base + ".refresh-commit.tmp")
     tmp_root = base + ".refresh-tmp"
     if os.path.exists(tmp_root):
         shutil.rmtree(tmp_root)
@@ -152,7 +152,7 @@ def refresh_daily_rollup(
     spark: SparkSession,
     batch: DataFrame,
     rollup_path: str,
-    batch_id: "str | None" = None,
+    batch_id: "str | int | None" = None,
 ) -> dict:
     """Fold one arriving batch into the standing rollup, atomically.
 
@@ -163,22 +163,21 @@ def refresh_daily_rollup(
     rollback-on-crash to roll-forward-on-crash (recover_rollup completes
     it). Pass a stable ``batch_id`` (e.g. the foreachBatch epoch id) to
     make caller retries exactly-once — a replayed id is a no-op instead
-    of a double-fold. Returns {"days_refreshed": int}.
+    of a double-fold (int epoch ids from foreachBatch are coerced to
+    str; the ledger is bounded — see ingest/ledger.py). Returns
+    {"days_refreshed": int}.
     """
-    import json
-
     recover_rollup(rollup_path)
     base = rollup_path.rstrip("/")
     if batch_id is not None:
-        ledger = base + ".refresh-applied.json"
-        if os.path.exists(ledger):
-            with open(ledger) as f:
-                if batch_id in json.load(f):
-                    return {"days_refreshed": 0}
+        batch_id = str(batch_id)
+        if ledger_contains(base + ".refresh-applied.json", batch_id):
+            return {"days_refreshed": 0}
 
     batch_parts = _partial(batch).cache()
     touched_days = [r.day for r in batch_parts.select("day").distinct().collect()]
     if not touched_days:
+        batch_parts.unpersist()
         return {"days_refreshed": 0}
 
     existing_dirs = [
@@ -200,9 +199,11 @@ def refresh_daily_rollup(
     merged.write.mode("overwrite").option("compression", "snappy").partitionBy(
         "day"
     ).parquet(tmp)
-    # everything staged: flip to roll-forward and commit
-    with open(base + ".refresh-commit", "w") as f:
-        f.write(batch_id or "")
+    # everything staged: flip to roll-forward and commit. The marker is
+    # fsync'd + rename-installed — a crash mid-write can leave only a
+    # .tmp recovery ignores, never a truncated marker that would roll
+    # forward with a wrong batch id.
+    write_atomic(base + ".refresh-commit", batch_id or "")
     _commit_rollup(base)
     batch_parts.unpersist()
     return {"days_refreshed": len(touched_days)}

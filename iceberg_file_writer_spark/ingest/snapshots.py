@@ -229,14 +229,26 @@ def read_table_version(
         raise ValueError(f"{table_path} has no committed snapshots")
     files = read_manifest(table_path, v)["files"]
     if not files:
-        while v > 0 and not read_manifest(table_path, v)["files"]:
-            v = read_manifest(table_path, v)["parent"]
-        if v == 0:
+        # Schema source for the empty state: the nearest non-empty
+        # ancestor — but expire_snapshots may have removed the ancestor
+        # chain while this (empty, retained) version stays readable, so
+        # fall back to any retained non-empty manifest: the rows are
+        # empty either way, only the schema matters, and retained
+        # manifests' data files are never expired.
+        try:
+            while v > 0 and not read_manifest(table_path, v)["files"]:
+                v = read_manifest(table_path, v)["parent"]
+            src = read_manifest(table_path, v)["files"] if v > 0 else []
+        except FileNotFoundError:
+            src = []
+        if not src:
+            for entry in reversed(snapshot_log(table_path)):
+                if entry["n_files"]:
+                    src = read_manifest(table_path, entry["version"])["files"]
+                    break
+        if not src:
             raise ValueError("table never contained data; no schema available")
-        anc = [
-            os.path.join(table_path, e["path"])
-            for e in read_manifest(table_path, v)["files"]
-        ]
+        anc = [os.path.join(table_path, e["path"]) for e in src]
         return spark.read.parquet(*anc).where(F.lit(False))
     # mergeSchema: snapshots may mix files written before and after an
     # additive column evolution; older rows surface NULL for new columns.
@@ -266,7 +278,10 @@ def snapshot_log(table_path: str) -> list[dict]:
 
 
 def expire_snapshots(
-    table_path: str, keep_last: int = 2, staging_ttl_seconds: int = 86400
+    table_path: str,
+    keep_last: int = 2,
+    staging_ttl_seconds: int = 86400,
+    data_grace_seconds: int = 3600,
 ) -> dict:
     """Drop old manifests and any data file no retained snapshot references
     — the ONLY operation that deletes data bytes. Time travel narrows to
@@ -277,8 +292,15 @@ def expire_snapshots(
     entry) are ever expired — a writer racing in version cur+1 can never
     lose its manifest. The data-file sweep then re-reads the manifest dir,
     so files referenced by any manifest committed mid-expire (or still
-    retained) survive.
+    retained) survive. A writer that has renamed data files into ``data/``
+    but not yet committed its manifest is additionally protected by
+    ``data_grace_seconds``: unreferenced files younger than the grace TTL
+    are skipped (a healthy commit publishes its manifest seconds after the
+    rename, so files past the grace window are genuinely orphaned —
+    crashed-writer debris this sweep exists to collect).
     """
+    import time
+
     cur = current_version(table_path)
     floor = max(1, cur - keep_last + 1)
     dropped_manifests = 0
@@ -300,16 +322,21 @@ def expire_snapshots(
         m = json.load(open(os.path.join(_snap_dir(table_path), name)))
         referenced |= {e["path"] for e in m["files"]}
     dropped_files = 0
+    sweep_now = time.time()
     for name in os.listdir(_data_dir(table_path)):
         rel = f"data/{name}"
         if rel not in referenced:
-            os.remove(os.path.join(_data_dir(table_path), name))
-            dropped_files += 1
+            full = os.path.join(_data_dir(table_path), name)
+            try:
+                if sweep_now - os.path.getmtime(full) <= data_grace_seconds:
+                    continue  # possibly a live writer's pre-commit file
+                os.remove(full)
+                dropped_files += 1
+            except FileNotFoundError:
+                pass  # a concurrent expire already removed it
     # GC crashed writers' staging debris. A LIVE writer's staging dir must
     # survive (it is mid-commit), so only dirs idle past the TTL go — a
     # healthy commit stages for seconds, not a day.
-    import time
-
     now = time.time()
     dropped_staging = 0
     for name in os.listdir(table_path):

@@ -138,7 +138,6 @@ def _recover_append(index_path: str) -> None:
       is idempotent: already-moved posting files are gone from staging,
       an already-swapped relation has no ``.tmp`` left).
     """
-    import json
     import os
     import shutil
 
@@ -147,6 +146,10 @@ def _recover_append(index_path: str) -> None:
     if os.path.exists(marker):
         _commit_append(index_path)
         return
+    # a crash mid-marker-write leaves only the .tmp (write_atomic): the
+    # append never committed — roll back with the staging
+    if os.path.exists(marker + ".tmp"):
+        os.remove(marker + ".tmp")
     if os.path.exists(staged):
         shutil.rmtree(staged)
     for rel in ("lexicon", "meta"):
@@ -165,9 +168,10 @@ def _commit_append(index_path: str) -> None:
     from any crash point): move staged posting files into their live
     term-bucket partitions, swap lexicon/meta, record the shard id,
     clean up, drop the marker."""
-    import json
     import os
     import shutil
+
+    from iceberg_file_writer_spark.ingest.ledger import ledger_add
 
     staged = f"{index_path}/postings.staged"
     live_postings = f"{index_path}/postings"
@@ -196,16 +200,8 @@ def _commit_append(index_path: str) -> None:
         with open(marker) as f:
             shard_id = f.read().strip()
         if shard_id:
-            ledger_path = f"{index_path}/{_APPLIED_SHARDS}"
-            applied = []
-            if os.path.exists(ledger_path):
-                with open(ledger_path) as f:
-                    applied = json.load(f)
-            if shard_id not in applied:
-                tmp_ledger = ledger_path + ".tmp"
-                with open(tmp_ledger, "w") as f:
-                    json.dump(sorted(set(applied) | {shard_id}), f)
-                os.rename(tmp_ledger, ledger_path)
+            # bounded, atomically-rewritten ledger (ingest/ledger.py)
+            ledger_add(f"{index_path}/{_APPLIED_SHARDS}", shard_id)
     if os.path.isdir(staged):
         shutil.rmtree(staged)
     if os.path.exists(marker):
@@ -243,20 +239,16 @@ def append_to_inverted_index(
     rebuilding from scratch, including across injected crashes at every
     commit step.
     """
-    import json
-    import os
-
+    from iceberg_file_writer_spark.ingest.ledger import ledger_contains
     from iceberg_file_writer_spark.operators.text import words
 
     # recover a crashed prior append before touching anything
     _recover_append(index_path)
 
     if shard_id is not None:
-        ledger_path = f"{index_path}/{_APPLIED_SHARDS}"
-        if os.path.exists(ledger_path):
-            with open(ledger_path) as f:
-                if shard_id in json.load(f):
-                    return  # replayed shard: already folded
+        shard_id = str(shard_id)  # tolerate int foreachBatch epoch ids
+        if ledger_contains(f"{index_path}/{_APPLIED_SHARDS}", shard_id):
+            return  # replayed shard: already folded
 
     shard = (
         new_docs.select("doc_id", F.explode(words(F.col("text"))).alias("term"))
@@ -289,7 +281,9 @@ def append_to_inverted_index(
     )
     new_meta.write.mode("overwrite").parquet(f"{index_path}/meta.tmp")
 
-    # everything staged: flip to roll-forward and commit
-    with open(f"{index_path}/{_APPEND_MARKER}", "w") as f:
-        f.write(shard_id or "")
+    # everything staged: flip to roll-forward and commit (marker fsync'd
+    # + rename-installed so a crash cannot leave a truncated marker)
+    from iceberg_file_writer_spark.ingest.ledger import write_atomic
+
+    write_atomic(f"{index_path}/{_APPEND_MARKER}", shard_id or "")
     _commit_append(index_path)

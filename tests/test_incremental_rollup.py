@@ -219,3 +219,54 @@ def test_refresh_atomic_across_injected_crashes(spark, tmp_path):
         if not calls["crashed"]:
             break
     assert crash_at > 3
+
+
+def test_int_epoch_batch_ids_and_bounded_ledger(spark, tmp_path):
+    """foreachBatch hands refresh an INT epoch id — it must be accepted
+    (coerced to str) and still deduplicate replays; the applied-ids
+    ledger stays bounded at LEDGER_CAP entries however many batches
+    commit (ADVICE r6: unbounded ledger rewrite per batch)."""
+    import json
+
+    from iceberg_file_writer_spark.ingest import ledger as L
+
+    ev = load_tables(spark, SF_DIR)["events"]
+    rollup = str(tmp_path / "rollup")
+    init_daily_rollup(spark, ev.where("event_id % 2 = 0"), rollup)
+    batch = ev.where("event_id % 2 = 1").limit(20)
+    r1 = refresh_daily_rollup(spark, batch, rollup, batch_id=7)  # int epoch
+    assert r1["days_refreshed"] > 0
+    r2 = refresh_daily_rollup(spark, batch, rollup, batch_id=7)  # replay
+    assert r2["days_refreshed"] == 0
+    r3 = refresh_daily_rollup(spark, batch, rollup, batch_id="7")  # str alias
+    assert r3["days_refreshed"] == 0
+
+    # ledger stays bounded: drive it past the cap synthetically
+    ledger = rollup + ".refresh-applied.json"
+    for i in range(L.LEDGER_CAP + 40):
+        L.ledger_add(ledger, f"synthetic-{i}")
+    ids = json.load(open(ledger))
+    assert len(ids) == L.LEDGER_CAP
+    assert ids[-1] == f"synthetic-{L.LEDGER_CAP + 39}", "newest ids retained"
+    assert "7" not in ids, "oldest ids fell off the capped ledger"
+
+
+def test_truncated_marker_tmp_rolls_back(spark, tmp_path):
+    """A crash mid-marker-write leaves only .refresh-commit.tmp (the
+    atomic write protocol): recovery must treat the refresh as
+    uncommitted — staging discarded, tmp marker removed, standing
+    rollup untouched."""
+    ev = load_tables(spark, SF_DIR)["events"]
+    rollup = str(tmp_path / "rollup")
+    init_daily_rollup(spark, ev, rollup)
+    want = _canon(read_daily_rollup(spark, rollup).drop("avg_value"))
+    os.makedirs(rollup + ".refresh-tmp/day=1990-01-01")
+    with open(rollup + ".refresh-commit.tmp", "w") as f:
+        f.write("half-written-batch-i")  # truncated content
+    from iceberg_file_writer_spark.ingest.incremental import recover_rollup
+
+    recover_rollup(rollup)
+    assert not os.path.exists(rollup + ".refresh-commit.tmp")
+    assert not os.path.exists(rollup + ".refresh-tmp")
+    got = _canon(read_daily_rollup(spark, rollup).drop("avg_value"))
+    assert got == want
