@@ -113,9 +113,8 @@ GROUP BY e.query_id
         "as ann_recall_at_k, so the PQ index ships with its own quality "
         "dial"
     ),
-    driver_exposed=False,
-    # Round-6 addition, registered after the rotation froze the surface;
-    # pytest-oracle-checked (test_oracle_parity).,
+    # Promoted in the round-7 (fifth) rotation: round-6 flagship
+    # classes get driver-green evidence (VERDICT r6 item 2; BASELINE.md).
     eager=True,  # builds/loads a trained artifact or runs a stream at plan time
 )
 def pq_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
