@@ -833,7 +833,7 @@ FROM canon JOIN c ON c.c_custkey = canon.c_custkey
     ),
     driver_exposed=False,
     # Registered after the round-5 driver surface froze at the cap;
-    # pytest-oracle-checked at sf0.001/sf0.01 (test_oracle_parity).,
+    # pytest-oracle-checked at sf0.001/sf0.01 (test_oracle_parity).
     eager=True,  # builds/loads a trained artifact or runs a stream at plan time
 )
 def customer_entity_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -913,7 +913,7 @@ FROM ranked WHERE rn = 1
     ),
     driver_exposed=False,
     # Registered after the round-5 driver surface froze at the cap;
-    # pytest-oracle-checked at sf0.001/sf0.01 (test_oracle_parity).,
+    # pytest-oracle-checked at sf0.001/sf0.01 (test_oracle_parity).
     eager=True,  # builds/loads a trained artifact or runs a stream at plan time
 )
 def entity_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1121,9 +1121,8 @@ FROM sums s JOIN exact e ON e.event_type = s.event_type
         "register sums make the estimate bit-reproducible; the oracle "
         "replays the whole sketch"
     ),
-    driver_exposed=False,
-    # Round-6 addition, registered after the rotation froze the surface;
-    # pytest-oracle-checked (test_oracle_parity).
+    # Promoted in the round-7 (fifth) rotation: round-6 flagship
+    # classes get driver-green evidence (VERDICT r6 item 2; BASELINE.md).
 )
 def hll_distinct_users_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL cardinality with a mergeability proof in the output.

@@ -171,7 +171,7 @@ FROM ranked WHERE rn = 1
     ),
     driver_exposed=False,
     # Registered after the round-5 driver surface froze at the cap;
-    # pytest-oracle-checked at sf0.001/sf0.01 (test_oracle_parity).,
+    # pytest-oracle-checked at sf0.001/sf0.01 (test_oracle_parity).
     eager=True,  # builds/loads a trained artifact or runs a stream at plan time
 )
 def neardup_canonical_by_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -276,7 +276,7 @@ FROM labeled
     ),
     driver_exposed=False,
     # Registered after the round-5 driver surface froze at the cap;
-    # pytest-oracle-checked at sf0.001/sf0.01 (test_oracle_parity).,
+    # pytest-oracle-checked at sf0.001/sf0.01 (test_oracle_parity).
     eager=True,  # builds/loads a trained artifact or runs a stream at plan time
 )
 def cluster_aware_split_assignment(

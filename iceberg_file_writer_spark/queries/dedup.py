@@ -298,6 +298,10 @@ WITH {_MINHASH_PAIRS_CTES}
 SELECT doc_a, doc_b, jaccard_sim FROM pairs
 """,
     description=f"MinHash+LSH near-dup: {LSH_BANDS}x{LSH_ROWS} banding, exact-Jaccard verify ≥ {MINHASH_JACCARD_THRESHOLD}",
+    # Round-7 rotation (fifth): driver-green 5-6 consecutive rounds; ceded
+    # its slot to the round-6 flagship promotions + persisted-ANN probes
+    # (class keeps an exposed sibling — see BASELINE.md rotation table).
+    driver_exposed=False,
 )
 def minhash_lsh_near_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _minhash_pairs_df(spark, sf_dir)
@@ -906,9 +910,8 @@ WHERE i.n_shared::DOUBLE / (za.sz + zb.sz - i.n_shared) >= {PREFIX_JACCARD_T}
         "pruning loses no qualifying pair (prefix completeness), the "
         "guarantee banding-based LSH can only approximate"
     ),
-    driver_exposed=False,
-    # Round-6 addition, registered after the rotation froze the surface;
-    # pytest-oracle-checked (test_oracle_parity).
+    # Promoted in the round-7 (fifth) rotation: round-6 flagship
+    # classes get driver-green evidence (VERDICT r6 item 2; BASELINE.md).
 )
 def prefix_filter_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact threshold-Jaccard pairs via prefix filtering.

@@ -148,6 +148,10 @@ FROM numbered
 GROUP BY user_id, session_seq
 """,
     description="Sessionization: gaps-and-islands via lag + running sum, 30-min gap",
+    # Round-7 rotation (fifth): driver-green 5-6 consecutive rounds; ceded
+    # its slot to the round-6 flagship promotions + persisted-ANN probes
+    # (class keeps an exposed sibling — see BASELINE.md rotation table).
+    driver_exposed=False,
 )
 def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)

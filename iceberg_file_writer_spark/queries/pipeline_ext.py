@@ -951,7 +951,7 @@ def _bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Mid-round-5 promotion: q10_returned_items (driver-green r1-r4;
     # multi-join + group-agg shape stays covered by q3/q5/q18) ceded its
     # slot so tokenizer *application* earns driver evidence alongside
-    # tokenizer training.,
+    # tokenizer training.
     eager=True,  # builds/loads a trained artifact or runs a stream at plan time
 )
 def bpe_encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1730,7 +1730,7 @@ FROM updated
         "the relational multiset diff the oracle states"
     ),
     # Registered mid-round 5; driver surface is at its 50-entry cap, so
-    # pytest-oracle + bench coverage until a future rotation.,
+    # pytest-oracle + bench coverage until a future rotation.
     eager=True,  # builds/loads a trained artifact or runs a stream at plan time
 )
 def snapshot_changes_feed(spark: SparkSession, sf_dir: str) -> DataFrame:

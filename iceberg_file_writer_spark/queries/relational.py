@@ -167,6 +167,10 @@ WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
   AND l_quantity < 24
 """,
     description="TPC-H Q6: pure pushed-down filter + scalar aggregate (no shuffle of note)",
+    # Round-7 rotation (fifth): driver-green 5-6 consecutive rounds; ceded
+    # its slot to the round-6 flagship promotions + persisted-ANN probes
+    # (class keeps an exposed sibling — see BASELINE.md rotation table).
+    driver_exposed=False,
 )
 def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
@@ -330,6 +334,10 @@ JOIN region   ON n_regionkey = r_regionkey
 GROUP BY ROLLUP (r_name, n_name)
 """,
     description="Rollup aggregation: region/nation/grand-total sales cube slice",
+    # Round-7 rotation (fifth): driver-green 5-6 consecutive rounds; ceded
+    # its slot to the round-6 flagship promotions + persisted-ANN probes
+    # (class keeps an exposed sibling — see BASELINE.md rotation table).
+    driver_exposed=False,
 )
 def rollup_sales_by_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
@@ -464,6 +472,10 @@ FROM stats
 WHERE o_totalprice > 1.5 * cust_avg
 """,
     description="Analytic window: orders 1.5x above their customer's average",
+    # Round-7 rotation (fifth): driver-green 5-6 consecutive rounds; ceded
+    # its slot to the round-6 flagship promotions + persisted-ANN probes
+    # (class keeps an exposed sibling — see BASELINE.md rotation table).
+    driver_exposed=False,
 )
 def orders_above_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)

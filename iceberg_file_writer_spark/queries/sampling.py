@@ -84,6 +84,10 @@ WHERE {_duck_hash_bucket("doc_id")} < {_rate_case_sql()}
         "doc vs per-language keep rate (en 40%, de/fr/es 80%, zh 100%) — "
         "reproducible across engines, runs, and cluster sizes"
     ),
+    # Round-7 rotation (fifth): driver-green 5-6 consecutive rounds; ceded
+    # its slot to the round-6 flagship promotions + persisted-ANN probes
+    # (class keeps an exposed sibling — see BASELINE.md rotation table).
+    driver_exposed=False,
 )
 def doc_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)

@@ -841,9 +841,8 @@ LIMIT {SEARCH_TOP_K}
         "rounded before summation so ln/division float noise cannot flip "
         "a rank boundary"
     ),
-    driver_exposed=False,
-    # Round-6 addition, registered after the rotation froze the surface;
-    # pytest-oracle-checked (test_oracle_parity).
+    # Promoted in the round-7 (fifth) rotation: round-6 flagship
+    # classes get driver-green evidence (VERDICT r6 item 2; BASELINE.md).
 )
 def bm25_ranked_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OR-of-terms retrieval ranked by BM25.
@@ -958,9 +957,8 @@ SELECT user_id, CAST(s AS BIGINT) AS ppr_nano FROM s3 WHERE s > 0
         "seed set (1/4 of nodes) instead of all nodes — the seeded "
         "graph-retrieval primitive; oracle unrolls the supersteps"
     ),
-    driver_exposed=False,
-    # Round-6 addition, registered after the rotation froze the surface;
-    # pytest-oracle-checked (test_oracle_parity).
+    # Promoted in the round-7 (fifth) rotation: round-6 flagship
+    # classes get driver-green evidence (VERDICT r6 item 2; BASELINE.md).
 )
 def personalized_pagerank_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Seeded-teleport PageRank over the hand-off graph.
@@ -1104,7 +1102,8 @@ GROUP BY a.user_id
         f"{KCORE_ORACLE_UNROLL} peel rounds (a pytest pins convergence "
         "inside that bound)"
     ),
-    driver_exposed=False,
+    # Promoted in the round-7 (fifth) rotation: round-6 flagship
+    # classes get driver-green evidence (VERDICT r6 item 2; BASELINE.md).
     eager=True,  # runs the checked-fixpoint peel (counts/checkpoints) at build
     # Round-6 addition (post-escalation; sf0.1-parity-checked individually
     # — see BASELINE.md round-6 addendum).
@@ -1144,37 +1143,45 @@ def user_kcore_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     alive = edges.select(F.col("src").alias("user_id")).distinct().localCheckpoint(
         eager=True
     )
+    # one count() per peel round: the previous round's survivor count IS
+    # this round's alive count (the CC convergence trick applied here —
+    # the pre-round-7 loop ran both counts every round)
+    n_alive = alive.count()
     rounds = 0
+
+    def _core_degrees(members: DataFrame) -> DataFrame:
+        # .alias() both derived sides: `members` derives from `edges`, so
+        # unqualified Column refs would resolve by dataset-id tagging only
+        # (the refactor hazard the round-5 churn fix removed elsewhere)
+        return (
+            members.alias("a")
+            .join(edges.alias("e"), F.col("a.user_id") == F.col("e.src"))
+            .join(
+                members.alias("b").select(F.col("user_id").alias("nbr")),
+                F.col("e.dst") == F.col("nbr"),
+            )
+            .groupBy(F.col("e.src").alias("uid"))
+            .agg(F.count(F.lit(1)).alias("deg"))
+        )
+
     while True:
         rounds += 1
         survivors = (
-            alive.join(edges, alive.user_id == edges.src)
-            .join(
-                alive.select(F.col("user_id").alias("nbr")),
-                F.col("dst") == F.col("nbr"),
-            )
-            .groupBy(F.col("src").alias("uid"))
-            .agg(F.count(F.lit(1)).alias("deg"))
+            _core_degrees(alive)
             .where(F.col("deg") >= KCORE_K)
             .select(F.col("uid").alias("user_id"))
             .localCheckpoint(eager=True)
         )
-        n_alive, n_surv = alive.count(), survivors.count()
+        n_surv = survivors.count()
         prev = alive
         alive = survivors
         prev.unpersist()
         if n_surv == n_alive or n_surv == 0:
             break
+        n_alive = n_surv
     user_kcore_membership.last_rounds = rounds
-    core = alive
-    out = (
-        core.join(edges, core.user_id == edges.src)
-        .join(
-            core.select(F.col("user_id").alias("nbr")),
-            F.col("dst") == F.col("nbr"),
-        )
-        .groupBy(F.col("src").alias("user_id"))
-        .agg(F.count(F.lit(1)).cast("long").alias("core_degree"))
+    out = _core_degrees(alive).select(
+        F.col("uid").alias("user_id"), F.col("deg").cast("long").alias("core_degree")
     )
     edges.unpersist()
     return out

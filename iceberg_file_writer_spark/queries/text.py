@@ -53,6 +53,10 @@ SELECT doc_id,
 FROM scored
 """,
     description="Language-ID: stopword-lexicon vote, argmax with alphabetical tie-break",
+    # Round-7 rotation (fifth): driver-green 5-6 consecutive rounds; ceded
+    # its slot to the round-6 flagship promotions + persisted-ANN probes
+    # (class keeps an exposed sibling — see BASELINE.md rotation table).
+    driver_exposed=False,
 )
 def doc_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
@@ -546,9 +550,8 @@ FROM s
         f"{SLIDE_CHUNK_STRIDE} words (50% overlap) — the RAG/pretraining "
         "context-window cutter; chunks travel as md5 digests, not text"
     ),
-    driver_exposed=False,
-    # Round-6 addition, registered after the rotation froze the surface;
-    # pytest-oracle-checked (test_oracle_parity).
+    # Promoted in the round-7 (fifth) rotation: round-6 flagship
+    # classes get driver-green evidence (VERDICT r6 item 2; BASELINE.md).
 )
 def sliding_window_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Overlapping fixed-width chunks per document.

@@ -119,3 +119,39 @@ def create_views(
         qs[name].fn(spark, sf_dir).createOrReplaceTempView(f"q_{name}")
         registered.append(f"q_{name}")
     return registered
+
+
+def materialize_view(spark: SparkSession, sf_dir: str, name: str) -> str:
+    """Opt-in SQL surface for the eager entries ``create_views`` excludes.
+
+    An ``eager=True`` entry executes work when its builder runs (trains
+    an index artifact, drives a stream to completion) — registering it as
+    a lazy view would silently re-run that work on every SQL reference.
+    This runs the entry ONCE, localCheckpoints the result (severing the
+    lineage back to the eager builder so later SQL reads the materialized
+    rows, not a re-execution), and registers it as ``q_<name>`` — so
+    ``spark.sql`` users can join streaming/index results with the
+    plan-only views. Returns the view name.
+
+    The result must fit the session's storage for the checkpoint — true
+    for every registered eager entry (their outputs are report-sized);
+    at 100 TB a giant eager result would instead be written to a table
+    and read back, which is what the ingest APIs are for.
+    """
+    from iceberg_file_writer_spark.queries import all_queries
+
+    qs = all_queries()
+    if name not in qs:
+        raise ValueError(f"unknown query: {name} (see list-queries)")
+    if not qs[name].eager:
+        # plan-only entries belong in create_views; registering them here
+        # would needlessly pin a checkpoint copy
+        raise ValueError(
+            f"{name} is plan-only — register it via create_views(); "
+            "materialize_view is for eager entries"
+        )
+    load_tables(spark, sf_dir)
+    result = qs[name].fn(spark, sf_dir).localCheckpoint(eager=True)
+    view = f"q_{name}"
+    result.createOrReplaceTempView(view)
+    return view

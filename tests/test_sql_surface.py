@@ -123,3 +123,42 @@ def test_unknown_view_name_is_a_clean_error(spark):
 
     with pytest.raises(ValueError, match="unknown query"):
         create_views(spark, SF_DIR, query_names=["definitely_not_a_query"])
+
+
+def test_materialize_view_joins_eager_result_with_plan_only_view(spark):
+    """VERDICT r6 item 7: the documented opt-in for eager entries — run
+    once, register the materialized rows as a temp view, and SQL joins
+    against plan-only views must equal the registry composition."""
+    from iceberg_file_writer_spark.tables import materialize_view
+
+    create_views(spark, SF_DIR, query_names=["top_purchasers"])
+    view = materialize_view(spark, SF_DIR, "ann_index_ivf_probe")
+    assert view == "q_ann_index_ivf_probe"
+    got = spark.sql(
+        """
+        SELECT a.query_id, a.neighbor_id, a.cosine_sim, t.total_spent
+        FROM q_ann_index_ivf_probe a
+        JOIN q_top_purchasers t ON t.user_id = a.neighbor_id
+        """
+    )
+    qs = all_queries()
+    want = (
+        qs["ann_index_ivf_probe"].fn(spark, SF_DIR)
+        .join(
+            qs["top_purchasers"].fn(spark, SF_DIR),
+            F.col("user_id") == F.col("neighbor_id"),
+        )
+        .select("query_id", "neighbor_id", "cosine_sim", "total_spent")
+    )
+    assert _rows(got) == _rows(want)
+
+
+def test_materialize_view_rejects_plan_only_entries(spark):
+    import pytest as _pytest
+
+    from iceberg_file_writer_spark.tables import materialize_view
+
+    with _pytest.raises(ValueError, match="plan-only"):
+        materialize_view(spark, SF_DIR, "top_purchasers")
+    with _pytest.raises(ValueError, match="unknown query"):
+        materialize_view(spark, SF_DIR, "no_such_entry")
