@@ -45,10 +45,18 @@ def connected_components(
     (isolated nodes are the caller's coalesce). The input pair relation
     is cached here: it is read by both union branches of the
     symmetrization and usually represents expensive upstream work
-    (candidate generation + verification).
+    (candidate generation + verification). Ownership-aware: when the
+    caller already cached an identical plan (common — the pair relation
+    IS the caller's expensive product), reuse it and do NOT unpersist it
+    on exit (re-caching warned, and the old unconditional unpersist
+    silently evicted the caller's working set).
     """
+    from iceberg_file_writer_spark.cache_util import is_plan_cached
+
     spark = edges.sparkSession
-    pairs = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).cache()
+    sel = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    pairs_preowned = is_plan_cached(sel)
+    pairs = sel if pairs_preowned else sel.cache()
     n_edges = 2 * pairs.count()
     iter_parts = max(
         1,
@@ -124,7 +132,8 @@ def connected_components(
         if changed == 0:
             break
     sym.unpersist()
-    pairs.unpersist()
+    if not pairs_preowned:
+        pairs.unpersist()
     # round-count telemetry (read by tests pinning the O(log d) behavior)
     connected_components.last_rounds = rounds
     return labels.select("node", F.col("lbl").alias("component"))

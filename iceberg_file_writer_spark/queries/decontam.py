@@ -49,6 +49,7 @@ from iceberg_file_writer_spark.queries.sampling import (
     _spark_hash_bucket,
 )
 from iceberg_file_writer_spark.tables import load_tables
+from iceberg_file_writer_spark.cache_util import ensure_cached
 
 # 5-word grams: long enough that a shared gram means real shared text (a
 # 4-gram already collides on random small-vocab text), short enough to
@@ -92,7 +93,7 @@ def eval_train_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         _shingle_x_df(spark, sf_dir, DECONTAM_N)
         .distinct()
         .withColumn("b", _spark_hash_bucket(F.col("doc_id")))
-        .cache()
+        .transform(ensure_cached)
     )
     train = grams.where(F.col("b") < SPLIT_TRAIN).select(
         F.col("doc_id").alias("train_doc_id"), "x"

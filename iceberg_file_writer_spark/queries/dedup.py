@@ -56,6 +56,7 @@ from iceberg_file_writer_spark.operators.text import (
 )
 from iceberg_file_writer_spark.queries import register
 from iceberg_file_writer_spark.tables import load_tables
+from iceberg_file_writer_spark.cache_util import ensure_cached
 
 MINHASH_JACCARD_THRESHOLD = 0.8
 NGRAM_JACCARD_THRESHOLD = 0.7
@@ -259,7 +260,7 @@ def _minhash_pairs_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the cached artifact is per-doc (64 ints / the distinct-shingle set),
     # orders smaller than the corpus. At 100 TB this is the stage you
     # persist to a signatures table instead (measured 1.6x on this query).
-    mh = _minhash_sig_df(spark, sf_dir).cache()
+    mh = _minhash_sig_df(spark, sf_dir).transform(ensure_cached)
     band_arr = F.array(*[F.col(f"band{b}") for b in range(LSH_BANDS)])
     bands = mh.select("doc_id", *minhash_band_hash_columns()).select(
         "doc_id", F.posexplode(band_arr).alias("band_idx", "band_hash")
@@ -279,7 +280,7 @@ def _minhash_pairs_df(spark: SparkSession, sf_dir: str) -> DataFrame:
         _shingle_x_df(spark, sf_dir, 3)
         .groupBy("doc_id")
         .agg(F.collect_set("x").alias("s"))
-        .cache()
+        .transform(ensure_cached)
     )
     sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("sa"))
     sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("sb"))
@@ -421,7 +422,7 @@ def ngram_jaccard_near_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame
     # but is NOT 100 TB-safe: it shuffles every posting of a hot stop
     # shingle to one task before the filter — the groupBy here partial-
     # aggregates map-side, so the hot key never ships its postings.)
-    all_grams = _shingle_x_df(spark, sf_dir, NGRAM_N).distinct().cache()
+    all_grams = _shingle_x_df(spark, sf_dir, NGRAM_N).distinct().transform(ensure_cached)
     # Stop-shingle cutoff: the stop set (shingles in > NGRAM_STOP_DF_FRAC of
     # docs) is at most 1/frac entries per distinct text pattern — tiny — so
     # the anti-join is a broadcast, not a shuffle.
@@ -529,7 +530,7 @@ def simhash_near_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cache(): the packed fingerprints feed the band explode and both
     # verify-join sides — three consumers of one vote pipeline (see
     # minhash_lsh note).
-    sim = _simhash_df(spark, sf_dir).cache()
+    sim = _simhash_df(spark, sf_dir).transform(ensure_cached)
     band_arr = F.array(
         *[
             F.substring("fingerprint", b * _SIMHASH_BAND_WIDTH + 1, _SIMHASH_BAND_WIDTH)
@@ -623,7 +624,7 @@ def incremental_neardup_new_vs_corpus(spark: SparkSession, sf_dir: str) -> DataF
     table (the signatures-table seam documented on _minhash_pairs_df) and
     this query is the incremental probe against it.
     """
-    mh = _minhash_sig_df(spark, sf_dir).cache()
+    mh = _minhash_sig_df(spark, sf_dir).transform(ensure_cached)
     band_arr = F.array(*[F.col(f"band{b}") for b in range(LSH_BANDS)])
     bands = mh.select("doc_id", *minhash_band_hash_columns()).select(
         "doc_id", F.posexplode(band_arr).alias("band_idx", "band_hash")
@@ -643,7 +644,7 @@ def incremental_neardup_new_vs_corpus(spark: SparkSession, sf_dir: str) -> DataF
         _shingle_x_df(spark, sf_dir, 3)
         .groupBy("doc_id")
         .agg(F.collect_set("x").alias("s"))
-        .cache()
+        .transform(ensure_cached)
     )
     sa = sets.select(F.col("doc_id").alias("new_doc_id"), F.col("s").alias("sa"))
     sb = sets.select(F.col("doc_id").alias("corpus_doc_id"), F.col("s").alias("sb"))
@@ -806,7 +807,7 @@ def simhash_estimator_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     Pair relation and shingle sets come from the already-cached dedup
     artifacts; the exact cosine is one candidate-only inverted join.
     """
-    sim = _simhash_df(spark, sf_dir).cache()
+    sim = _simhash_df(spark, sf_dir).transform(ensure_cached)
     band_arr = F.array(
         *[
             F.substring(
@@ -847,7 +848,7 @@ def simhash_estimator_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("hamming") <= SIMHASH_MAX_HAMMING)
     )
-    grams = _shingle_x_df(spark, sf_dir, 3).distinct().cache()
+    grams = _shingle_x_df(spark, sf_dir, 3).distinct().transform(ensure_cached)
     sizes = grams.groupBy("doc_id").agg(F.count("*").alias("sz"))
     ga = grams.selectExpr("doc_id AS doc_a", "x")
     gb = grams.selectExpr("doc_id AS doc_b", "x")
@@ -934,7 +935,7 @@ def prefix_filter_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     window, and verify sides share it), a doc-partitioned rank window,
     and equi-joins on rare shingles — no all-pairs anywhere.
     """
-    grams = _shingle_x_df(spark, sf_dir, NGRAM_N).distinct().cache()
+    grams = _shingle_x_df(spark, sf_dir, NGRAM_N).distinct().transform(ensure_cached)
     dfr = grams.groupBy("x").agg(F.count(F.lit(1)).alias("df"))
     sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     wr = Window.partitionBy("doc_id").orderBy("df", "x")

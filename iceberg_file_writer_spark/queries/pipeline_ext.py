@@ -289,12 +289,12 @@ def doc_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     # otherwise).
     wx = docs.select(
         "doc_id", F.posexplode(words(F.col("text"))).alias("pos", "w")
-    ).cache()
+    ).transform(ensure_cached)
     wd = Window.partitionBy("doc_id").orderBy("pos")
     bg = (
         wx.select("doc_id", F.col("w").alias("w1"), F.lead("w", 1).over(wd).alias("w2"))
         .where(F.col("w2").isNotNull())
-        .cache()
+        .transform(ensure_cached)
     )
     cb = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb"))
     cu = wx.groupBy(F.col("w").alias("w1")).agg(F.count(F.lit(1)).alias("cu"))
@@ -603,6 +603,7 @@ def events_zorder_zone_map(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Same chunk geometry as doc_token_chunks (queries/text.py): dedup operates
 # on the windows the downstream tokenizer actually consumes.
 from iceberg_file_writer_spark.queries.text import CHUNK_SIZE, CHUNK_STEP
+from iceberg_file_writer_spark.cache_util import ensure_cached
 
 _CHUNKS_SQL = f"""
   SELECT doc_id,
@@ -715,7 +716,7 @@ def doc_dup_chunk_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     side; both the dedup groupBy and the join shuffle on chunk_hash, so
     AQE coalesces them onto one exchange footprint.
     """
-    chunks = _chunk_hashes_df(spark, sf_dir).cache()
+    chunks = _chunk_hashes_df(spark, sf_dir).transform(ensure_cached)
     dup = (
         chunks.groupBy("chunk_hash")
         .agg(F.countDistinct("doc_id").alias("nd"))
@@ -857,29 +858,42 @@ def bpe_merge_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     identically (verified on overlapping runs), which is what makes the
     oracle exact.
     """
-    return _bpe_train_merges(spark, sf_dir)
+    rows = _trained_bpe_merges(spark, sf_dir)
+    return spark.createDataFrame(
+        rows, "merge_rank long, left_sym string, right_sym string, pair_count long"
+    )
 
 
 # Trained-tokenizer artifact store (the IVF-centroid pattern,
 # similarity.py:455-470): BPE merges are train-once / encode-many — at
 # 100 TB the merge list is trained offline and shipped to every encoder
 # task as part of the tokenizer artifact. Keyed by corpus dir; BPE_MERGES
-# rows of (rank, left, right, count).
+# rows of (rank, left, right, count). BOTH entries (train + encode)
+# serve from this memo, so training runs at most once per (session,
+# corpus) and its intermediate vocabulary caches are released as soon as
+# the merge list is collected.
 _BPE_TRAINED: dict[str, list] = {}
 
 
 def _trained_bpe_merges(spark: SparkSession, sf_dir: str) -> list:
     if sf_dir not in _BPE_TRAINED:
+        df, cached_frames = _bpe_train_merges(spark, sf_dir)
         _BPE_TRAINED[sf_dir] = [
             (r.merge_rank, r.left_sym, r.right_sym, r.pair_count)
-            for r in _bpe_train_merges(spark, sf_dir).collect()
+            for r in df.collect()
         ]
+        # the per-round vocabulary caches (seqs chain + argmax rows) are
+        # dead once the merge list is local — release them instead of
+        # pinning BPE_MERGES copies of the vocabulary in storage
+        for frame in cached_frames:
+            frame.unpersist()
     return _BPE_TRAINED[sf_dir]
 
 
-def _bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The shared training loop: (merge_rank, left_sym, right_sym,
-    pair_count) for the first BPE_MERGES merges (see bpe_merge_train)."""
+def _bpe_train_merges(spark: SparkSession, sf_dir: str) -> "tuple[DataFrame, list]":
+    """The shared training loop: ((merge_rank, left_sym, right_sym,
+    pair_count) DataFrame, [cached intermediate frames]) for the first
+    BPE_MERGES merges (see bpe_merge_train)."""
     t = load_tables(spark, sf_dir)
     wf = (
         t["documents"]
@@ -891,7 +905,8 @@ def _bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         "w",
         "freq",
         F.concat(F.regexp_replace("w", "(.)", r"|$1"), F.lit("|")).alias("seq"),
-    ).cache()
+    ).transform(ensure_cached)
+    cached_frames = [seqs]
     merges = None
     for k in range(1, BPE_MERGES + 1):
         syms = F.filter(F.split("seq", "\\|"), lambda x: x != "")
@@ -909,7 +924,8 @@ def _bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
             .agg(F.sum("freq").alias("cnt"))
         )
-        best = pc.orderBy(F.desc("cnt"), "w1", "w2").limit(1).cache()
+        best = pc.orderBy(F.desc("cnt"), "w1", "w2").limit(1).transform(ensure_cached)
+        cached_frames.append(best)
         ranked = best.select(
             F.lit(k).cast("long").alias("merge_rank"),
             F.col("w1").alias("left_sym"),
@@ -934,9 +950,10 @@ def _bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.concat(F.lit("|"), F.col("_bw1"), F.col("_bw2"), F.lit("|")),
                     ).alias("seq"),
                 )
-                .cache()
+                .transform(ensure_cached)
             )
-    return merges
+            cached_frames.append(seqs)
+    return merges, cached_frames
 
 
 @register(
@@ -1967,7 +1984,7 @@ def doc_stitch_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     # chunk relation — uncached, Spark replans the whole rolling-hash
     # pipeline per branch (same multi-consumer policy as dedup.py's gram
     # relations). The cached artifact is chunk-digest-sized, not text.
-    chunks = cdc_chunks_df(docs).cache()
+    chunks = cdc_chunks_df(docs).transform(ensure_cached)
     wlo = Window.partitionBy("doc_id").orderBy(F.asc("chunk_idx"))
     whi = Window.partitionBy("doc_id").orderBy(F.desc("chunk_idx"))
     firsts = (
@@ -2120,7 +2137,7 @@ def doc_trigram_backoff_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lead("w", 2).over(dw).alias("w3"),
         )
         .where(F.col("w3").isNotNull())
-        .cache()
+        .transform(ensure_cached)
     )
 
     def loo(keys: list[str], cname: str) -> DataFrame:

@@ -37,6 +37,7 @@ from pyspark.sql import functions as F
 from iceberg_file_writer_spark.operators.vectors import COSINE_DECIMALS, srp_hyperplanes
 from iceberg_file_writer_spark.queries import register
 from iceberg_file_writer_spark.tables import load_tables
+from iceberg_file_writer_spark.cache_util import ensure_cached
 
 KNN_K = 5
 KNN_N_QUERIES = 5  # vec_id < 5 are the query vectors
@@ -263,7 +264,7 @@ def embedding_near_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     # it the pandas-UDF projection (the one Python stage) runs twice.
     buckets = keyed.select(
         "vec_id", F.posexplode("tkeys").alias("table_idx", "bucket_key")
-    ).cache()
+    ).transform(ensure_cached)
     cands = (
         buckets.alias("a")
         .join(
@@ -735,7 +736,7 @@ def embedding_cluster_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", (-F.col("b.neg_cent")).alias("cent_id"))
         # cache(): both sides of the cell self-join read the assignment;
         # per-doc (vec_id, cent_id) rows, orders smaller than the corpus
-        .cache()
+        .transform(ensure_cached)
     )
     cellpairs = (
         assign.alias("a")
@@ -761,7 +762,7 @@ def embedding_cluster_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("vec_a", "vec_b", "cent_id")
         # cache(): the verified pair set feeds both direction branches
-        .cache()
+        .transform(ensure_cached)
     )
     sided = near.select(
         F.col("vec_a").alias("vec_id"), F.col("vec_b").alias("other"), "cent_id"
@@ -1248,7 +1249,7 @@ def _trained_pca(spark: SparkSession, sf_dir: str):
         import math
 
         t = load_tables(spark, sf_dir)
-        m = t["embeddings"].selectExpr("vec_id", *_pca_m_exprs()).cache()
+        m = t["embeddings"].selectExpr("vec_id", *_pca_m_exprs()).transform(ensure_cached)
         vq = [PCA_SEED] * EMB_DIMS
         for _ in range(PCA_ITERS):
             s = " + ".join(
@@ -1560,7 +1561,7 @@ def hard_negative_mining_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             *[f"e{i}" for i in range(EMB_DIMS)],
             f"sqrt({_dot_expr('e', 'e')}) AS nrm",
         )
-        .cache()
+        .transform(ensure_cached)
     )
     emb = embl.drop("label")
     cents = _trained_centroids_df(spark, emb, sf_dir)

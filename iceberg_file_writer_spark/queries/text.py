@@ -19,6 +19,7 @@ from iceberg_file_writer_spark.operators.text import (
 )
 from iceberg_file_writer_spark.queries import register
 from iceberg_file_writer_spark.tables import load_tables
+from iceberg_file_writer_spark.cache_util import ensure_cached
 
 # SQL fragment shared by the language-ID oracle: per-lang token-occurrence
 # scores over the word list `w` (alphabetical lang order = tie-break order).
@@ -394,7 +395,7 @@ def token_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     t = load_tables(spark, sf_dir)
     toks = t["documents"].select(F.explode(words(F.col("text"))).alias("w"))
-    tf = toks.groupBy("w").agg(F.count(F.lit(1)).alias("true_count")).cache()
+    tf = toks.groupBy("w").agg(F.count(F.lit(1)).alias("true_count")).transform(ensure_cached)
     # sketch cells: per token, one (depth, bucket) pair per hash row
     cells = (
         tf.select(

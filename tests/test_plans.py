@@ -265,8 +265,23 @@ def test_snapshot_diff_join_reuses_window_partitioning(spark):
 def test_bpe_iterations_stay_vocab_sized(spark):
     """BPE training: the argmax pair per round is TakeOrderedAndProject
     (never a global sort), the 1-row merge rule joins back by broadcast
-    (never sort-merge/cartesian), and no Python touches the loop."""
-    p = _plan(spark, "bpe_merge_train")
+    (never sort-merge/cartesian), and no Python touches the loop.
+
+    Gates the TRAINING plan (_bpe_train_merges) directly: the registered
+    entry serves the trained merge list from the artifact memo (a local
+    relation — train-once/serve-many), so its own plan is a leaf."""
+    from iceberg_file_writer_spark.queries.pipeline_ext import _bpe_train_merges
+
+    import contextlib
+    import io
+
+    df, cached_frames = _bpe_train_merges(spark, SF_DIR)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    p = buf.getvalue()
+    for frame in cached_frames:
+        frame.unpersist()
     assert "TakeOrderedAndProject" in p, p
     assert "SortMergeJoin" not in p, p
     assert "CartesianProduct" not in p, p
