@@ -40,6 +40,7 @@ from pyspark.sql import functions as F
 from iceberg_file_writer_spark.operators.text import words
 from iceberg_file_writer_spark.queries import register
 from iceberg_file_writer_spark.tables import load_tables
+from iceberg_file_writer_spark.cache_util import ensure_cached
 
 
 @register(
@@ -145,7 +146,7 @@ def source_unigram_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("source", F.explode(words(F.col("text"))).alias("w"))
         .groupBy("source", "w")
         .agg(F.count(F.lit(1)).alias("c"))
-        .cache()
+        .transform(ensure_cached)
     )
     srctot = src.groupBy("source").agg(F.sum("c").alias("n"))
     corpus = src.groupBy("w").agg(F.sum("c").alias("cc"))
@@ -284,7 +285,7 @@ def fuzzy_name_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
         "explode(transform(sequence(1, length(c_name)),"
         " i -> concat(substring(c_name, 1, i - 1), '?',"
         " substring(c_name, i + 1)))) AS blk",
-    ).cache()
+    ).transform(ensure_cached)
     a = v.selectExpr("c_custkey AS cust_a", "c_name AS name_a", "blk")
     b = v.selectExpr("c_custkey AS cust_b", "c_name AS name_b", "blk")
     return (
@@ -500,7 +501,7 @@ def source_shingle_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(docs.select("doc_id", "source"), "doc_id")
         .select("source", "x")
         .distinct()
-        .cache()
+        .transform(ensure_cached)
     )
     counts = sx.groupBy("x").agg(F.count(F.lit(1)).alias("n_src"))
     rare = sx.join(
@@ -1152,7 +1153,7 @@ def hll_distinct_users_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"max(CASE WHEN w = 0 THEN {_HLL_RMAX}"
             f" ELSE {_HLL_RMAX} - length(bin(w)) END)"
         ).cast("long").alias("rho")
-    ).cache()
+    ).transform(ensure_cached)
     merged = regs.unionByName(
         regs.groupBy("bucket")
         .agg(F.max("rho").alias("rho"))
@@ -1262,7 +1263,7 @@ def rolling_wau_hll_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_tables(spark, sf_dir)["events"]
     ud = ev.select(
         "user_id", F.to_date("ts").alias("d")
-    ).distinct().cache()
+    ).distinct().transform(ensure_cached)
     maxd = ud.agg(F.max("d").alias("mx"))
     regs_daily = ud.selectExpr(
         "d",
@@ -1316,4 +1317,225 @@ def rolling_wau_hll_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"CAST(floor(1000.0 * abs({est} - exact_wau)"
             " / exact_wau) AS BIGINT) AS err_permille",
         )
+    )
+
+
+# --- KMV / theta sketch: distinct counts WITH set operations ---------------
+
+# k-minimum-values sketch (Bar-Yossef et al.; the theta-sketch family):
+# keep the KMV_K smallest 48-bit hash values of a key set. Cardinality
+# estimate: (K-1) * HMAX / kth_smallest. Unlike HLL (register max-merge,
+# union only), KMV summaries support INTERSECTION: with theta =
+# min(kth_A, kth_B), the sketch entries below theta are a uniform
+# hash-sample of each set, so |A n B| ~ |{h in sk_A n sk_B : h < theta}|
+# * HMAX / theta. 48-bit hashes keep every product (K-1)*HMAX ~ 2^56
+# inside BIGINT on both engines (no HUGEINT/DECIMAL divergence).
+KMV_K = 128  # small enough that the estimator path (not the exact-count
+# fallback) is exercised from sf0.01 up — the correctness gate must see
+# the real sketch math, not the |S| < K degenerate case
+KMV_HEX = 12  # md5 hex prefix length -> 48-bit hash
+KMV_HMAX = 1 << 48
+
+_KMV_H_SPARK = (
+    f"CAST(conv(substr(md5(CAST(user_id AS STRING)), 1, {KMV_HEX}), 16, 10)"
+    " AS BIGINT)"
+)
+_KMV_H_DUCK = (
+    f"(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, {KMV_HEX}))"
+    "::UBIGINT)::BIGINT"
+)
+
+
+@register(
+    "kmv_theta_user_overlap",
+    oracle=f"""
+WITH base AS (
+  SELECT DISTINCT event_type, {_KMV_H_DUCK} AS h
+  FROM events WHERE event_type IN ('purchase', 'click')
+),
+sk AS (
+  SELECT event_type, h,
+         row_number() OVER (PARTITION BY event_type ORDER BY h) AS rk
+  FROM base QUALIFY rk <= {KMV_K}
+),
+stats AS (SELECT event_type, count(*)::BIGINT AS nh FROM base GROUP BY 1),
+kth AS (SELECT event_type, h AS kth FROM sk WHERE rk = {KMV_K}),
+per_type AS (
+  SELECT s.event_type AS measure,
+         CASE WHEN k.kth IS NULL THEN s.nh
+              ELSE ({KMV_K - 1}::BIGINT * {KMV_HMAX}::BIGINT) // k.kth
+         END AS est_distinct
+  FROM stats s LEFT JOIN kth k ON k.event_type = s.event_type
+),
+uh AS (SELECT DISTINCT h FROM sk),
+topu AS (SELECT h, row_number() OVER (ORDER BY h) AS rk FROM uh QUALIFY rk <= {KMV_K}),
+est_u AS (
+  SELECT 'UNION' AS measure,
+         CASE WHEN (SELECT count(*) FROM uh) < {KMV_K}
+              THEN (SELECT count(*)::BIGINT FROM uh)
+              ELSE ({KMV_K - 1}::BIGINT * {KMV_HMAX}::BIGINT)
+                   // (SELECT h FROM topu WHERE rk = {KMV_K})
+         END AS est_distinct
+),
+theta AS (
+  SELECT least(
+    coalesce((SELECT kth FROM kth WHERE event_type = 'purchase'), {KMV_HMAX}::BIGINT),
+    coalesce((SELECT kth FROM kth WHERE event_type = 'click'), {KMV_HMAX}::BIGINT)
+  ) AS th
+),
+est_i AS (
+  SELECT 'INTERSECT' AS measure,
+         ((SELECT count(*)::BIGINT FROM sk a JOIN sk b ON a.h = b.h
+            AND a.event_type = 'purchase' AND b.event_type = 'click'
+           WHERE a.h < (SELECT th FROM theta))
+          * {KMV_HMAX}::BIGINT) // (SELECT th FROM theta) AS est_distinct
+),
+est AS (
+  SELECT * FROM per_type UNION ALL SELECT * FROM est_u UNION ALL SELECT * FROM est_i
+),
+upt AS (
+  SELECT DISTINCT event_type, user_id FROM events
+  WHERE event_type IN ('purchase', 'click')
+),
+exact AS (
+  SELECT event_type AS measure, count(*)::BIGINT AS exact_distinct
+  FROM upt GROUP BY 1
+  UNION ALL
+  SELECT 'UNION', count(DISTINCT user_id)::BIGINT FROM upt
+  UNION ALL
+  SELECT 'INTERSECT', count(*)::BIGINT FROM (
+    SELECT user_id FROM upt GROUP BY user_id HAVING count(*) = 2
+  )
+)
+SELECT e.measure,
+       CAST(e.est_distinct AS BIGINT) AS est_distinct,
+       x.exact_distinct,
+       CAST(floor(1000.0 * abs(e.est_distinct - x.exact_distinct)
+                  / x.exact_distinct) AS BIGINT) AS err_permille
+FROM est e JOIN exact x ON x.measure = e.measure
+""",
+    description=(
+        f"KMV/theta sketch: {KMV_K}-minimum-values summaries of the "
+        "purchaser and clicker user sets — per-set cardinality, "
+        "sketch-merge UNION, and the theta INTERSECTION estimate HLL "
+        "cannot express, each beside its exact count with measured "
+        "error (estimator-audit pattern); 48-bit integer hashes keep "
+        "every product in BIGINT, bit-identical across engines"
+    ),
+    # Round-7 addition, registered after the fifth rotation froze the
+    # surface; pytest-oracle-checked (test_oracle_parity).
+    driver_exposed=False,
+)
+def kmv_theta_user_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-set algebra from mergeable fixed-size summaries.
+
+    Scale shape: ONE corpus pass computes distinct (type, 48-bit-hash)
+    pairs (map-side partial distinct); the per-type K-smallest runs as a
+    single-row_number window that Spark executes as WindowGroupLimit —
+    each input partition forwards at most K rows before the shuffle, so
+    the full-data sort never happens. Everything after operates on
+    <= 2*K summary rows (broadcast-sized). The union estimate uses only
+    the two summaries (K smallest of their union IS the K smallest of
+    the united sets — every hash below the merged kth is below its own
+    set's kth); the intersection estimate counts shared summary entries
+    below theta = min(kth_A, kth_B). At 100 TB the summaries are the
+    only thing that crosses the wire — the sketch-as-data posture shared
+    with hll_distinct_users_by_type, plus the set algebra HLL lacks.
+    """
+    from pyspark.sql import Window
+
+    ev = load_tables(spark, sf_dir)["events"]
+    base = (
+        ev.where(F.col("event_type").isin("purchase", "click"))
+        .selectExpr("event_type", f"{_KMV_H_SPARK} AS h")
+        .distinct()
+        .transform(ensure_cached)
+    )
+    w = Window.partitionBy("event_type").orderBy("h")
+    sk = (
+        base.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= KMV_K)
+        .transform(ensure_cached)
+    )
+    stats = base.groupBy("event_type").agg(F.count("*").cast("long").alias("nh"))
+    kth = sk.where(F.col("rk") == KMV_K).select("event_type", F.col("h").alias("kth"))
+    per_type = stats.join(F.broadcast(kth), "event_type", "left").selectExpr(
+        "event_type AS measure",
+        f"CAST(CASE WHEN kth IS NULL THEN nh"
+        f" ELSE (CAST({KMV_K - 1} AS BIGINT) * CAST({KMV_HMAX} AS BIGINT)) div kth"
+        " END AS BIGINT) AS est_distinct",
+    )
+    uh = sk.select("h").distinct().transform(ensure_cached)
+    n_u = uh.agg(F.count("*").cast("long").alias("n_u"))
+    kth_u = uh.orderBy("h").limit(KMV_K).agg(
+        F.max("h").alias("kth_u"), F.count("*").cast("long").alias("n_top")
+    )
+    est_u = n_u.crossJoin(kth_u).selectExpr(
+        "'UNION' AS measure",
+        f"CAST(CASE WHEN n_u < {KMV_K} THEN n_u"
+        f" ELSE (CAST({KMV_K - 1} AS BIGINT) * CAST({KMV_HMAX} AS BIGINT)) div kth_u"
+        " END AS BIGINT) AS est_distinct",
+    )
+    theta = (
+        sk.groupBy()
+        .pivot("event_type", ["purchase", "click"])
+        .agg(F.max(F.when(F.col("rk") == KMV_K, F.col("h"))))
+        .selectExpr(
+            f"least(coalesce(purchase, {KMV_HMAX}L),"
+            f" coalesce(click, {KMV_HMAX}L)) AS th"
+        )
+    )
+    ska = sk.where(F.col("event_type") == "purchase").select("h")
+    skb = sk.where(F.col("event_type") == "click").select("h")
+    est_i = (
+        ska.join(skb, "h")
+        .crossJoin(F.broadcast(theta))
+        .where(F.col("h") < F.col("th"))
+        .groupBy("th")
+        .agg(F.count("*").cast("long").alias("shared"))
+        .unionByName(
+            theta.selectExpr("th", "CAST(0 AS BIGINT) AS shared")
+        )  # empty-intersection guard: keep exactly one row per theta
+        .groupBy("th")
+        .agg(F.max("shared").alias("shared"))
+        .selectExpr(
+            "'INTERSECT' AS measure",
+            f"CAST((shared * CAST({KMV_HMAX} AS BIGINT)) div th AS BIGINT)"
+            " AS est_distinct",
+        )
+    )
+    est = per_type.unionByName(est_u).unionByName(est_i)
+
+    upt = (
+        ev.where(F.col("event_type").isin("purchase", "click"))
+        .select("event_type", "user_id")
+        .distinct()
+        .transform(ensure_cached)
+    )
+    exact = (
+        upt.groupBy("event_type")
+        .agg(F.count("*").cast("long").alias("exact_distinct"))
+        .selectExpr("event_type AS measure", "exact_distinct")
+        .unionByName(
+            upt.agg(
+                F.lit("UNION").alias("measure"),
+                F.countDistinct("user_id").cast("long").alias("exact_distinct"),
+            )
+        )
+        .unionByName(
+            upt.groupBy("user_id")
+            .agg(F.count("*").alias("nt"))
+            .where(F.col("nt") == 2)
+            .agg(
+                F.lit("INTERSECT").alias("measure"),
+                F.count("*").cast("long").alias("exact_distinct"),
+            )
+        )
+    )
+    return est.join(F.broadcast(exact), "measure").selectExpr(
+        "measure",
+        "est_distinct",
+        "exact_distinct",
+        "CAST(floor(1000.0 * abs(est_distinct - exact_distinct)"
+        " / exact_distinct) AS BIGINT) AS err_permille",
     )
