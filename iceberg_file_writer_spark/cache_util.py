@@ -33,3 +33,14 @@ def ensure_cached(df: DataFrame) -> DataFrame:
     the DataFrame is returned as-is (reads resolve to the existing
     InMemoryRelation)."""
     return df if is_plan_cached(df) else df.cache()
+
+
+def cache_if_new(df: DataFrame) -> "tuple[DataFrame, bool]":
+    """``ensure_cached`` with ownership reporting: returns
+    ``(df, owned)`` where ``owned`` is True iff THIS call invoked
+    ``.cache()``. Callers that unpersist on exit must unpersist only
+    owned frames — unpersisting a plan another owner cached evicts that
+    owner's entry (see module docstring)."""
+    if is_plan_cached(df):
+        return df, False
+    return df.cache(), True

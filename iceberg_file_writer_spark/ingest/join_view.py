@@ -51,6 +51,11 @@ from iceberg_file_writer_spark.ingest.ledger import (
 
 JV_BUCKETS = 16
 
+# Out-of-band already-applied sentinel: a caller's real batch_id can be any
+# string (including "SKIP"), so replay detection must not use an in-band
+# string value.
+_SKIP = object()
+
 
 def _with_bucket(df: DataFrame, key: str) -> DataFrame:
     return df.withColumn("kb", F.pmod(F.col(key), F.lit(JV_BUCKETS)))
@@ -150,16 +155,16 @@ def recover_join_view(view_path: str) -> None:
         shutil.rmtree(tmp)
 
 
-def _enter(base: str, batch_id: "str | int | None") -> "str | None":
+def _enter(base: str, batch_id: "str | int | None"):
     """Shared refresh preamble: recover, then answer the exactly-once
-    question. Returns the normalized batch id, or the string 'SKIP' when
-    the id was already applied."""
+    question. Returns the normalized batch id, or the out-of-band
+    ``_SKIP`` sentinel when the id was already applied."""
     recover_join_view(base)
     if batch_id is None:
         return None
     batch_id = str(batch_id)
     if ledger_contains(base + ".jv-applied.json", batch_id):
-        return "SKIP"
+        return _SKIP
     return batch_id
 
 
@@ -177,15 +182,24 @@ def refresh_join_view_facts(
     Returns {"rows_appended": int}."""
     base = view_path.rstrip("/")
     batch_id = _enter(base, batch_id)
-    if batch_id == "SKIP":
+    if batch_id is _SKIP:
         return {"rows_appended": 0}
 
     delta = _with_bucket(fact_batch.join(F.broadcast(dim), key), key)
     tmp = base + ".jv-tmp"
+    app = os.path.join(tmp, "append")
     delta.write.mode("overwrite").option("compression", "snappy").partitionBy(
         "kb"
-    ).parquet(os.path.join(tmp, "append"))
-    n = spark.read.parquet(os.path.join(tmp, "append")).count()
+    ).parquet(app)
+    # An empty delta (empty micro-batch, or a fact batch whose keys all
+    # miss the dim) writes only _SUCCESS: no kb=* dirs exist, and reading
+    # the dir back would throw UNABLE_TO_INFER_SCHEMA. Skip the read-back
+    # but still run the marker/commit path so the batch_id is ledgered
+    # exactly-once and a retry does not re-fail.
+    has_parts = os.path.isdir(app) and any(
+        p.startswith("kb=") for p in os.listdir(app)
+    )
+    n = spark.read.parquet(app).count() if has_parts else 0
     write_atomic(base + ".jv-commit", batch_id or "")
     _commit_join_view(base)
     return {"rows_appended": n}
@@ -207,13 +221,17 @@ def refresh_join_view_dim(
     bucket's files are untouched. Returns {"buckets_refreshed": int}."""
     base = view_path.rstrip("/")
     batch_id = _enter(base, batch_id)
-    if batch_id == "SKIP":
+    if batch_id is _SKIP:
         return {"buckets_refreshed": 0}
 
     touched = sorted(
         r.kb for r in _with_bucket(changed_keys, key).select("kb").distinct().collect()
     )
     if not touched:
+        # No buckets to rebuild, but the batch still happened: ledger its
+        # id through the normal marker/commit path so a retry is a no-op.
+        write_atomic(base + ".jv-commit", batch_id or "")
+        _commit_join_view(base)
         return {"buckets_refreshed": 0}
     rebuilt = _with_bucket(
         facts.where(F.pmod(F.col(key), F.lit(JV_BUCKETS)).isin(touched)).join(

@@ -224,7 +224,8 @@ def read_table_version(
     """Time travel: the exact file list of the requested (default current)
     snapshot. An empty snapshot needs a schema source, so the latest
     non-empty ancestor provides it with a False filter."""
-    v = current_version(table_path) if version is None else version
+    req_v = current_version(table_path) if version is None else version
+    v = req_v
     if v == 0:
         raise ValueError(f"{table_path} has no committed snapshots")
     files = read_manifest(table_path, v)["files"]
@@ -232,7 +233,7 @@ def read_table_version(
         # Schema source for the empty state: the nearest non-empty
         # ancestor — but expire_snapshots may have removed the ancestor
         # chain while this (empty, retained) version stays readable, so
-        # fall back to any retained non-empty manifest: the rows are
+        # fall back to a retained non-empty manifest: the rows are
         # empty either way, only the schema matters, and retained
         # manifests' data files are never expired.
         try:
@@ -242,10 +243,17 @@ def read_table_version(
         except FileNotFoundError:
             src = []
         if not src:
-            for entry in reversed(snapshot_log(table_path)):
-                if entry["n_files"]:
-                    src = read_manifest(table_path, entry["version"])["files"]
-                    break
+            # Schema-as-of: prefer the NEWEST retained non-empty manifest
+            # at or below the requested version, so columns added by a
+            # later additive evolution never leak into an older empty
+            # snapshot; only when nothing at-or-below survived expiry
+            # fall forward to the CLOSEST newer one (best remaining
+            # approximation of the as-of schema).
+            entries = [e for e in snapshot_log(table_path) if e["n_files"]]
+            older = [e for e in entries if e["version"] <= req_v]
+            pick = older[-1] if older else (entries[0] if entries else None)
+            if pick is not None:
+                src = read_manifest(table_path, pick["version"])["files"]
         if not src:
             raise ValueError("table never contained data; no schema available")
         anc = [os.path.join(table_path, e["path"]) for e in src]

@@ -603,7 +603,7 @@ def events_zorder_zone_map(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Same chunk geometry as doc_token_chunks (queries/text.py): dedup operates
 # on the windows the downstream tokenizer actually consumes.
 from iceberg_file_writer_spark.queries.text import CHUNK_SIZE, CHUNK_STEP
-from iceberg_file_writer_spark.cache_util import ensure_cached
+from iceberg_file_writer_spark.cache_util import cache_if_new, ensure_cached
 
 _CHUNKS_SQL = f"""
   SELECT doc_id,
@@ -877,23 +877,26 @@ _BPE_TRAINED: dict[str, list] = {}
 
 def _trained_bpe_merges(spark: SparkSession, sf_dir: str) -> list:
     if sf_dir not in _BPE_TRAINED:
-        df, cached_frames = _bpe_train_merges(spark, sf_dir)
+        df, owned_frames = _bpe_train_merges(spark, sf_dir)
         _BPE_TRAINED[sf_dir] = [
             (r.merge_rank, r.left_sym, r.right_sym, r.pair_count)
             for r in df.collect()
         ]
         # the per-round vocabulary caches (seqs chain + argmax rows) are
         # dead once the merge list is local — release them instead of
-        # pinning BPE_MERGES copies of the vocabulary in storage
-        for frame in cached_frames:
+        # pinning BPE_MERGES copies of the vocabulary in storage. Only
+        # frames THIS trainer cached are released (cache_if_new
+        # ownership): unpersisting a plan another owner cached would
+        # evict that owner's entry.
+        for frame in owned_frames:
             frame.unpersist()
     return _BPE_TRAINED[sf_dir]
 
 
 def _bpe_train_merges(spark: SparkSession, sf_dir: str) -> "tuple[DataFrame, list]":
     """The shared training loop: ((merge_rank, left_sym, right_sym,
-    pair_count) DataFrame, [cached intermediate frames]) for the first
-    BPE_MERGES merges (see bpe_merge_train)."""
+    pair_count) DataFrame, [intermediate frames cached BY this call])
+    for the first BPE_MERGES merges (see bpe_merge_train)."""
     t = load_tables(spark, sf_dir)
     wf = (
         t["documents"]
@@ -905,8 +908,12 @@ def _bpe_train_merges(spark: SparkSession, sf_dir: str) -> "tuple[DataFrame, lis
         "w",
         "freq",
         F.concat(F.regexp_replace("w", "(.)", r"|$1"), F.lit("|")).alias("seq"),
-    ).transform(ensure_cached)
-    cached_frames = [seqs]
+    )
+    # owned_frames tracks only the frames THIS trainer cached (cache_if_new
+    # ownership) — unpersisting a frame another owner already cached would
+    # evict that owner's entry (cache_util.py docstring hazard).
+    seqs, owned = cache_if_new(seqs)
+    owned_frames = [seqs] if owned else []
     merges = None
     for k in range(1, BPE_MERGES + 1):
         syms = F.filter(F.split("seq", "\\|"), lambda x: x != "")
@@ -924,8 +931,9 @@ def _bpe_train_merges(spark: SparkSession, sf_dir: str) -> "tuple[DataFrame, lis
             .groupBy(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
             .agg(F.sum("freq").alias("cnt"))
         )
-        best = pc.orderBy(F.desc("cnt"), "w1", "w2").limit(1).transform(ensure_cached)
-        cached_frames.append(best)
+        best, owned = cache_if_new(pc.orderBy(F.desc("cnt"), "w1", "w2").limit(1))
+        if owned:
+            owned_frames.append(best)
         ranked = best.select(
             F.lit(k).cast("long").alias("merge_rank"),
             F.col("w1").alias("left_sym"),
@@ -950,10 +958,11 @@ def _bpe_train_merges(spark: SparkSession, sf_dir: str) -> "tuple[DataFrame, lis
                         F.concat(F.lit("|"), F.col("_bw1"), F.col("_bw2"), F.lit("|")),
                     ).alias("seq"),
                 )
-                .transform(ensure_cached)
             )
-            cached_frames.append(seqs)
-    return merges, cached_frames
+            seqs, owned = cache_if_new(seqs)
+            if owned:
+                owned_frames.append(seqs)
+    return merges, owned_frames
 
 
 @register(

@@ -693,7 +693,11 @@ def streaming_windowed_topk_types(spark: SparkSession, sf_dir: str) -> DataFrame
 # Per-corpus standing index for the gate (built once per session — in
 # production this is the persisted signatures/postings table the batch
 # probe also uses; see operators/neardup_index.py).
-_GATE_INDEX: dict[str, tuple] = {}  # sf_dir -> (index_path, cached corpus pair)
+# Keyed by (applicationId, sf_dir): the memo holds cached DataFrames, which
+# die with their session — after a session restart in the same process a
+# sf_dir-only key would serve stale frames from the dead session (the
+# _EMB_CACHED pattern in similarity.py).
+_GATE_INDEX: dict[tuple, tuple] = {}  # (app_id, sf_dir) -> (index_path, corpus)
 
 
 def _gate_oracle() -> str:
@@ -737,14 +741,15 @@ def streaming_neardup_ingest_gate(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     from iceberg_file_writer_spark.queries.dedup import NEW_BATCH_SPLIT
 
-    if sf_dir not in _GATE_INDEX:
+    memo_key = (spark.sparkContext.applicationId, sf_dir)
+    if memo_key not in _GATE_INDEX:
         idx = tempfile.mkdtemp(prefix="gate-index-")
         build_minhash_index(spark, sf_dir, idx)
         # the steady-state gate holds the probe-side index relations hot
         # across micro-batches (and across bench re-runs) — re-reading
         # footers per batch was ~0.3-0.4 s/batch of pure constant
-        _GATE_INDEX[sf_dir] = (idx, load_index_corpus(spark, idx, NEW_BATCH_SPLIT))
-    idx, corpus = _GATE_INDEX[sf_dir]
+        _GATE_INDEX[memo_key] = (idx, load_index_corpus(spark, idx, NEW_BATCH_SPLIT))
+    idx, corpus = _GATE_INDEX[memo_key]
 
     new_docs = (
         load_tables(spark, sf_dir)["documents"]

@@ -166,3 +166,68 @@ def test_crash_recovery_rolls_back_and_forward(spark, tmp_path):
     recover_join_view(view)
     assert os.path.isdir(os.path.join(view, "kb=5"))
     assert not os.path.isdir(os.path.join(view, "kb=5.jv-old"))
+
+
+def test_empty_fact_delta_commits_and_ledgers(spark, tmp_path):
+    """ADVICE r7: an empty delta (empty micro-batch, or a batch whose keys
+    all miss the dim) must not crash on the staged-dir read-back, must
+    leave the view intact, and must STILL ledger its batch_id so a retry
+    is an exactly-once no-op rather than a re-fail loop."""
+    facts, dim = _sources(spark)
+    view = str(tmp_path / "view")
+    init_join_view(spark, facts, dim, view, "custkey")
+    before = _canon(read_join_view(spark, view))
+
+    empty = facts.where(F.lit(False))
+    r = refresh_join_view_facts(spark, empty, dim, view, "custkey", batch_id="e1")
+    assert r == {"rows_appended": 0}
+    # keys that all miss the dim: join output is empty too
+    miss = facts.withColumn("custkey", F.col("custkey") + F.lit(10_000_000))
+    r2 = refresh_join_view_facts(spark, miss, dim, view, "custkey", batch_id="e2")
+    assert r2 == {"rows_appended": 0}
+    assert _canon(read_join_view(spark, view)) == before
+    # both ids ledgered: replaying with a NON-empty batch is skipped
+    r3 = refresh_join_view_facts(spark, facts, dim, view, "custkey", batch_id="e1")
+    assert r3 == {"rows_appended": 0}
+    assert _canon(read_join_view(spark, view)) == before
+
+
+def test_batch_id_literal_skip_is_not_inband(spark, tmp_path):
+    """ADVICE r7: a caller whose real batch_id is literally "SKIP" must be
+    applied normally, not silently treated as a replay."""
+    facts, dim = _sources(spark)
+    view = str(tmp_path / "view")
+    init_join_view(spark, facts.where("o_orderkey % 2 = 0"), dim, view, "custkey")
+    r = refresh_join_view_facts(
+        spark, facts.where("o_orderkey % 2 = 1"), dim, view, "custkey", batch_id="SKIP"
+    )
+    assert r["rows_appended"] > 0
+    exp = _canon(_with := facts.join(dim, "custkey"))
+    assert _canon(read_join_view(spark, view)) == exp
+    # and the second "SKIP" IS now a replay of that id
+    assert (
+        refresh_join_view_facts(
+            spark, facts.where("o_orderkey % 2 = 1"), dim, view, "custkey",
+            batch_id="SKIP",
+        )["rows_appended"]
+        == 0
+    )
+
+
+def test_empty_dim_update_ledgers_batch_id(spark, tmp_path):
+    """A dim batch whose changed_keys relation is empty still records its
+    batch_id (same retry-loop hazard as the empty fact delta)."""
+    facts, dim = _sources(spark)
+    view = str(tmp_path / "view")
+    init_join_view(spark, facts, dim, view, "custkey")
+    no_keys = dim.select("custkey").where(F.lit(False))
+    r = refresh_join_view_dim(
+        spark, facts, dim, no_keys, view, "custkey", batch_id="d0"
+    )
+    assert r == {"buckets_refreshed": 0}
+    # replay with a non-empty changed set under the same id: skipped
+    some = dim.select("custkey").limit(3)
+    r2 = refresh_join_view_dim(
+        spark, facts, dim, some, view, "custkey", batch_id="d0"
+    )
+    assert r2 == {"buckets_refreshed": 0}

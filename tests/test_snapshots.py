@@ -587,3 +587,26 @@ def test_concurrent_appends_with_retry_all_land_exactly_once(spark, tmp_path):
     got = read_table_version(spark, t)
     assert got.count() == orders.count()
     assert got.select("o_orderkey").distinct().count() == orders.count()
+
+
+def test_empty_version_schema_as_of_prefers_closest_newer(spark, tmp_path):
+    """ADVICE r7: time-traveling to an empty version whose non-empty
+    ancestors were all expired must take its schema from the CLOSEST
+    retained newer manifest, not the newest — columns added by later
+    additive evolutions must not leak into the older empty snapshot."""
+    t = str(tmp_path / "tbl")
+    orders = load_tables(spark, SF_DIR)["orders"]
+    base = orders.limit(20)
+    assert commit_append(spark, base, t, max_rows=200) == 1
+    assert commit_delete_where(spark, t, "o_orderkey >= 0", max_rows=200) == 2
+    ev1 = base.withColumn("note", F.lit("a"))
+    assert commit_append(spark, ev1, t, max_rows=200) == 3
+    ev2 = base.withColumn("note", F.lit("b")).withColumn("note2", F.lit("c"))
+    assert commit_append(spark, ev2, t, max_rows=200) == 4
+    expire_snapshots(t, keep_last=3, data_grace_seconds=0)  # v1 gone
+
+    df = read_table_version(spark, t, 2)
+    assert df.count() == 0
+    cols = set(df.columns)
+    assert "note" in cols  # closest newer retained manifest (v3)
+    assert "note2" not in cols  # v4's later evolution must not leak
