@@ -54,7 +54,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from iceberg_file_writer_spark.cache_util import ensure_cached
+from iceberg_file_writer_spark.cache_util import cache_if_new, ensure_cached
 from iceberg_file_writer_spark.queries import register
 from iceberg_file_writer_spark.tables import load_tables
 
@@ -651,14 +651,11 @@ def user_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     the standard distributed triangle-counting bound. Two equi-joins, no
     window over the whole graph, node degrees broadcast back onto edges.
     """
-    ev = load_tables(spark, sf_dir)["events"]
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("event_type", F.to_date("ts")).orderBy("ts", "event_id")
-    hand = ev.select(
-        F.col("user_id").alias("src"), F.lead("user_id").over(w).alias("dst")
-    ).where(F.col("dst").isNotNull() & (F.col("dst") != F.col("src")))
-    und = hand.select(
+    # the shared cached hand-off relation (window + aggregate paid once
+    # per session by whichever graph entry runs first); its distinct
+    # (src, dst) pairs are exactly the directed hand-off pairs
+    hg_edges, _ = _handoff_graph(spark, sf_dir)
+    und = hg_edges.select(
         F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
     ).distinct()
     deg = (
@@ -679,17 +676,17 @@ def user_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(lower_first, F.col("u")).otherwise(F.col("v")).alias("a"),
             F.when(lower_first, F.col("v")).otherwise(F.col("u")).alias("b"),
         )
-        .cache()
+        .transform(ensure_cached)  # read 3x (p1/p2/closing); WARN-free re-entry
     )
     p1 = oriented.select(F.col("a").alias("x"), F.col("b").alias("y"))
     p2 = oriented.select(F.col("a").alias("y"), F.col("b").alias("z"))
     paths = p1.join(p2, "y")
-    closing = oriented.select(F.col("a").alias("x"), F.col("b").alias("z"))
-    tris = paths.join(closing, ["x", "z"]).cache()
-    nodes = (
-        tris.select(F.col("x").alias("user_id"))
-        .unionAll(tris.select(F.col("y").alias("user_id")))
-        .unionAll(tris.select(F.col("z").alias("user_id")))
+    # each triangle contributes one credit to each of its 3 corners:
+    # explode reads the closed-wedge relation ONCE (no cache, no
+    # triple-union re-scan — the r7 cache-hygiene item)
+    nodes = paths.join(oriented.select(F.col("a").alias("x"), F.col("b").alias("z")),
+                       ["x", "z"]).select(
+        F.explode(F.array("x", "y", "z")).alias("user_id")
     )
     return nodes.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_triangles"))
 
@@ -1048,6 +1045,12 @@ def personalized_pagerank_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 KCORE_K = 2
 KCORE_MIN_W = 2  # repeated hand-offs only: the raw graph is near-complete
+# Broadcast the alive/members side of the peel joins while it fits in an
+# executor (exact count known per round); above this, shuffle joins.
+KCORE_BROADCAST_NODES = 5_000_000
+# Peel driver-locally while the weight-thresholded symmetrized edge
+# relation fits comfortably on the driver; above this, distributed rounds.
+KCORE_LOCAL_EDGES = 2_000_000
 KCORE_ORACLE_UNROLL = 12  # >= observed peel rounds (8 at sf0.1); pytest pins
 
 
@@ -1119,24 +1122,54 @@ def user_kcore_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     Peeling is monotone so round count is bounded by the peel depth
     (8 at sf0.1), not the node count.
     """
-    from pyspark.sql import Window
+    # the shared cached hand-off relation: its `w` column IS the per-pair
+    # hand-off count, so the weight threshold is a filter over the cached
+    # operand — the window + aggregate over events is paid once per
+    # session across ALL graph entries, not once per k-core call
+    hg_edges, _ = _handoff_graph(spark, sf_dir)
+    pairs = hg_edges.where(F.col("w") >= KCORE_MIN_W).select("src", "dst")
+    edges, edges_owned = cache_if_new(
+        pairs.union(
+            pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        ).distinct()
+    )
+    # Adaptive peel, same guard philosophy as AQE's shuffle->broadcast
+    # conversion: the weight-thresholded hand-off graph is orders of
+    # magnitude smaller than events (4.2k edges at sf0.1), and each
+    # distributed peel round costs a fixed multi-job floor (~0.5 s
+    # locally) that dwarfs its microseconds of actual compute. When the
+    # thresholded edge relation fits on the driver, run the identical
+    # peel locally in one collect; above the cap, the distributed
+    # round-per-action peel below is the 100 TB path (forced in
+    # tests/test_graph_operator.py to pin both paths equal).
+    n_edges = edges.count()
+    if n_edges <= KCORE_LOCAL_EDGES:
+        adj: dict = {}
+        for r in edges.collect():
+            adj.setdefault(r.src, set()).add(r.dst)
+        alive_set = set(adj)
+        rounds = 0
+        while True:
+            rounds += 1
+            survivors = {
+                u
+                for u in alive_set
+                if sum(1 for v in adj[u] if v in alive_set) >= KCORE_K
+            }
+            if len(survivors) in (len(alive_set), 0):
+                alive_set = survivors
+                break
+            alive_set = survivors
+        user_kcore_membership.last_rounds = rounds
+        data = sorted(
+            (u, sum(1 for v in adj[u] if v in alive_set)) for u in alive_set
+        )
+        if edges_owned:
+            edges.unpersist()
+        return spark.createDataFrame(
+            data, "user_id long, core_degree long"
+        )
 
-    ev = load_tables(spark, sf_dir)["events"]
-    w = Window.partitionBy("event_type", F.to_date("ts")).orderBy("ts", "event_id")
-    hand = ev.select(
-        F.col("user_id").alias("src"), F.lead("user_id").over(w).alias("dst")
-    ).where(F.col("dst").isNotNull() & (F.col("dst") != F.col("src")))
-    pairs = (
-        hand.groupBy("src", "dst")
-        .agg(F.count("*").alias("w"))
-        .where(F.col("w") >= KCORE_MIN_W)
-        .select("src", "dst")
-    )
-    edges = (
-        pairs.union(pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-        .distinct()
-        .cache()
-    )
     alive = edges.select(F.col("src").alias("user_id")).distinct().localCheckpoint(
         eager=True
     )
@@ -1146,39 +1179,54 @@ def user_kcore_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_alive = alive.count()
     rounds = 0
 
-    def _core_degrees(members: DataFrame) -> DataFrame:
+    def _core_degrees(members: DataFrame, n_members: int) -> DataFrame:
         # .alias() both derived sides: `members` derives from `edges`, so
         # unqualified Column refs would resolve by dataset-id tagging only
-        # (the refactor hazard the round-5 churn fix removed elsewhere)
+        # (the refactor hazard the round-5 churn fix removed elsewhere).
+        # The members relation is node-sized and its EXACT count is known
+        # (the peel's convergence counter), so both membership joins
+        # broadcast whenever it fits — turning each peel round into two
+        # map-side hash joins over the cached edge relation instead of
+        # two shuffles. The count guard keeps this scale-safe: a
+        # billion-node alive set at 100 TB falls back to shuffle joins.
+        a = members.alias("a")
+        b = members.alias("b").select(F.col("user_id").alias("nbr"))
+        if n_members <= KCORE_BROADCAST_NODES:
+            a, b = F.broadcast(a), F.broadcast(b)
         return (
-            members.alias("a")
-            .join(edges.alias("e"), F.col("a.user_id") == F.col("e.src"))
-            .join(
-                members.alias("b").select(F.col("user_id").alias("nbr")),
-                F.col("e.dst") == F.col("nbr"),
-            )
+            edges.alias("e")
+            .join(a, F.col("a.user_id") == F.col("e.src"))
+            .join(b, F.col("e.dst") == F.col("nbr"))
             .groupBy(F.col("e.src").alias("uid"))
             .agg(F.count(F.lit(1)).alias("deg"))
         )
 
+    # The checkpointed survivor relation KEEPS its degree column, so the
+    # fixpoint round's degrees ARE the answer (at fixpoint survivors ==
+    # alive, hence in-core degrees == the round's degrees) — the loop no
+    # longer recomputes a final _core_degrees pass (r7 verdict item 5).
+    prev_ckpt = alive
     while True:
         rounds += 1
-        survivors = (
-            _core_degrees(alive)
+        surv_deg = (
+            _core_degrees(alive, n_alive)
             .where(F.col("deg") >= KCORE_K)
-            .select(F.col("uid").alias("user_id"))
             .localCheckpoint(eager=True)
         )
-        n_surv = survivors.count()
-        prev = alive
-        alive = survivors
-        prev.unpersist()
+        n_surv = surv_deg.count()
+        prev_ckpt.unpersist()
+        prev_ckpt = surv_deg
+        alive = surv_deg.select(F.col("uid").alias("user_id"))
         if n_surv == n_alive or n_surv == 0:
             break
         n_alive = n_surv
     user_kcore_membership.last_rounds = rounds
-    out = _core_degrees(alive).select(
+    out = surv_deg.select(
         F.col("uid").alias("user_id"), F.col("deg").cast("long").alias("core_degree")
     )
-    edges.unpersist()
+    # out is materialized in the final localCheckpoint — the edge cache is
+    # no longer needed by the returned plan, so releasing it here is safe
+    # (and only if THIS call cached it: cache_if_new ownership)
+    if edges_owned:
+        edges.unpersist()
     return out

@@ -309,3 +309,17 @@ def test_kcore_converges_inside_oracle_unroll(spark):
     for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
         user_kcore_membership(spark, sf).count()
         assert user_kcore_membership.last_rounds <= KCORE_ORACLE_UNROLL - 2
+
+
+def test_kcore_local_and_distributed_peels_agree(spark, monkeypatch):
+    """The adaptive peel (driver-local when the thresholded edge relation
+    fits, distributed rounds above the cap) must produce IDENTICAL
+    (user_id, core_degree) rows either way — the distributed path is the
+    100 TB path and must stay exercised."""
+    import iceberg_file_writer_spark.queries.search_ext as se
+
+    sf = "/root/testdata/sf0.01"
+    local = sorted(tuple(r) for r in se.user_kcore_membership(spark, sf).collect())
+    monkeypatch.setattr(se, "KCORE_LOCAL_EDGES", -1)  # force distributed
+    dist = sorted(tuple(r) for r in se.user_kcore_membership(spark, sf).collect())
+    assert local == dist and len(local) > 0
