@@ -1422,9 +1422,11 @@ FROM est e JOIN exact x ON x.measure = e.measure
         "error (estimator-audit pattern); 48-bit integer hashes keep "
         "every product in BIGINT, bit-identical across engines"
     ),
-    # Round-7 addition, registered after the fifth rotation froze the
-    # surface; pytest-oracle-checked (test_oracle_parity).
-    driver_exposed=False,
+    # Round-8 rotation (sixth): restored/promoted — r7 verdict item 3
+    # (class-coverage guard: grouping extensions and correlated
+    # subqueries lost their last exposed sibling in the fifth
+    # rotation; kmv joins the surface for first driver evidence).
+    driver_exposed=True,
 )
 def kmv_theta_user_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct-set algebra from mergeable fixed-size summaries.

@@ -256,6 +256,10 @@ FROM events
 GROUP BY event_type
 """,
     description="Semi-structured extraction: JSON property pulled and aggregated",
+    # Round-8 rotation (sixth): driver-green 7 consecutive rounds;
+    # ceded its slot to the restored/promoted classes (class keeps an
+    # exposed sibling — see BASELINE.md sixth-rotation table).
+    driver_exposed=False,
 )
 def event_props_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)

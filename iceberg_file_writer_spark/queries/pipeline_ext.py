@@ -836,6 +836,10 @@ FROM (
     # Round-5 rotation: promoted to the driver surface; q14_promo_revenue
     # (driver-green r2-r4, conditional-agg shape also covered by q6/q1)
     # ceded its slot.
+    # eager since the r7 memoization: training runs (and collects the
+    # merge list) at CALL time on a cold memo — a default view must not
+    # execute actions at registration (tests/test_sql_surface.py lint).
+    eager=True,
 )
 def bpe_merge_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Byte-pair-encoding merge learning as an iterative DataFrame program.

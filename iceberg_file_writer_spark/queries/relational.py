@@ -334,10 +334,11 @@ JOIN region   ON n_regionkey = r_regionkey
 GROUP BY ROLLUP (r_name, n_name)
 """,
     description="Rollup aggregation: region/nation/grand-total sales cube slice",
-    # Round-7 rotation (fifth): driver-green 5-6 consecutive rounds; ceded
-    # its slot to the round-6 flagship promotions + persisted-ANN probes
-    # (class keeps an exposed sibling — see BASELINE.md rotation table).
-    driver_exposed=False,
+    # Round-8 rotation (sixth): restored/promoted — r7 verdict item 3
+    # (class-coverage guard: grouping extensions and correlated
+    # subqueries lost their last exposed sibling in the fifth
+    # rotation; kmv joins the surface for first driver evidence).
+    driver_exposed=True,
 )
 def rollup_sales_by_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
@@ -472,10 +473,11 @@ FROM stats
 WHERE o_totalprice > 1.5 * cust_avg
 """,
     description="Analytic window: orders 1.5x above their customer's average",
-    # Round-7 rotation (fifth): driver-green 5-6 consecutive rounds; ceded
-    # its slot to the round-6 flagship promotions + persisted-ANN probes
-    # (class keeps an exposed sibling — see BASELINE.md rotation table).
-    driver_exposed=False,
+    # Round-8 rotation (sixth): restored/promoted — r7 verdict item 3
+    # (class-coverage guard: grouping extensions and correlated
+    # subqueries lost their last exposed sibling in the fifth
+    # rotation; kmv joins the surface for first driver evidence).
+    driver_exposed=True,
 )
 def orders_above_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)

@@ -501,6 +501,10 @@ FROM events GROUP BY event_type"""
         for q in _PCT_QS
     ),
     description="Quantile-sketch percentiles of event value, one row per (event_type, quantile); GK sketch is exact below its accuracy bound, so the discrete-quantile oracle matches at check SF",
+    # Round-8 rotation (sixth): driver-green 7 consecutive rounds;
+    # ceded its slot to the restored/promoted classes (class keeps an
+    # exposed sibling — see BASELINE.md sixth-rotation table).
+    driver_exposed=False,
 )
 def approx_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     # One row per quantile (posexplode inside approx_percentiles) keeps the

@@ -255,6 +255,10 @@ WHERE {_cosine_sql('ea.embedding', 'eb.embedding')} >= {NEARDUP_COS_THRESHOLD}
         f"Embedding near-dup: SRP LSH {SRP_TABLES}x{SRP_BITS_PER_TABLE}-bit tables, "
         f"exact cosine >= {NEARDUP_COS_THRESHOLD} verify"
     ),
+    # Round-8 rotation (sixth): driver-green 7 consecutive rounds;
+    # ceded its slot to the restored/promoted classes (class keeps an
+    # exposed sibling — see BASELINE.md sixth-rotation table).
+    driver_exposed=False,
 )
 def embedding_near_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)

@@ -1327,3 +1327,98 @@ def _register_streaming_cms():
 
 
 _register_streaming_cms()
+
+
+# --- streaming incremental join-view maintenance ----------------------------
+
+
+@register(
+    "streaming_join_view_maintenance",
+    oracle="""
+SELECT o.o_orderkey,
+       o.o_custkey                    AS custkey,
+       o.o_totalprice,
+       c.c_name,
+       c.c_mktsegment
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+""",
+    description=(
+        "Structured Streaming incremental join-view maintenance: "
+        "foreachBatch folds each arriving fact micro-batch into a "
+        "standing materialized orders-x-customer join via "
+        "ingest/join_view.py (delta join + per-bucket file append, "
+        "marker-committed, batch_id-ledgered) — the final view equals "
+        "the from-scratch batch join exactly, independent of batch "
+        "boundaries"
+    ),
+    # Promoted in the round-8 (sixth) rotation to give the round-7
+    # join-view family driver-green evidence (r7 verdict item 6).
+    eager=True,  # builds/loads a trained artifact or runs a stream at plan time
+)
+def streaming_join_view_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming write side of the maintained join view.
+
+    A quarter of orders is the standing view (init_join_view); the rest
+    arrive as three staged parquet files driven one-per-trigger, and each
+    micro-batch runs ``refresh_join_view_facts``: delta = batch JOIN
+    broadcast(dim) — O(|batch|), the standing view is never read — with
+    the marker/roll-forward commit and the bounded exactly-once batch_id
+    ledger (a replayed micro-batch after a checkpoint recovery is a
+    no-op; pinned in tests/test_join_view.py). Because append-only fact
+    deltas commute, the final view equals the from-scratch batch join
+    whatever the batch boundaries — that is what makes this entry
+    oracle-checkable against the plain SQL join.
+
+    At 100 TB: per-batch cost is batch-sized (broadcast dim, bucketed
+    file appends); dim churn takes the partition-selective
+    ``refresh_join_view_dim`` path (bucket-pruned rebuilds), crash
+    recovery rolls forward from the fsync'd marker.
+    """
+    import os
+
+    from iceberg_file_writer_spark.ingest.join_view import (
+        init_join_view,
+        read_join_view,
+        refresh_join_view_facts,
+    )
+
+    t = load_tables(spark, sf_dir)
+    facts = t["orders"].select(
+        "o_orderkey", F.col("o_custkey").alias("custkey"), "o_totalprice"
+    )
+    dim = t["customer"].select(
+        F.col("c_custkey").alias("custkey"), "c_name", "c_mktsegment"
+    )
+
+    def _stage(path: str) -> None:
+        # three arrival files over the streamed 3/4 of the corpus
+        facts.where("o_orderkey % 4 <> 0").repartition(3).write.mode(
+            "overwrite"
+        ).parquet(path)
+
+    incoming = _staged_input((sf_dir, "join-view"), _stage)
+
+    root = tempfile.mkdtemp(prefix="jv-stream-")
+    view = os.path.join(root, "view")
+    ckpt = os.path.join(root, "ckpt")
+    init_join_view(spark, facts.where("o_orderkey % 4 = 0"), dim, view, "custkey")
+
+    def _fold(batch_df: DataFrame, batch_id: int) -> None:
+        refresh_join_view_facts(
+            batch_df.sparkSession, batch_df, dim, view, "custkey",
+            batch_id=batch_id,
+        )
+
+    q = (
+        spark.readStream.schema(facts.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(incoming)
+        .writeStream.foreachBatch(_fold)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return read_join_view(spark, view).select(
+        "o_orderkey", "custkey", "o_totalprice", "c_name", "c_mktsegment"
+    )

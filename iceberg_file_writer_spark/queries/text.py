@@ -128,6 +128,10 @@ SELECT doc_id,
 FROM documents
 """,
     description="Token counting: whitespace + BPE-ish regex tokenization",
+    # Round-8 rotation (sixth): driver-green 7 consecutive rounds;
+    # ceded its slot to the restored/promoted classes (class keeps an
+    # exposed sibling — see BASELINE.md sixth-rotation table).
+    driver_exposed=False,
 )
 def doc_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
