@@ -174,3 +174,71 @@ def test_registered_probe_entries_match_inline(spark):
     assert _canon(S.ann_index_pq_probe(spark, SF_DIR)) == _canon(
         S.knn_pq_adc_rerank(spark, SF_DIR)
     )
+
+
+def test_streaming_shard_append_composition(spark, tmp_path):
+    """r7 verdict item 7: the ingest-gate composition — new embedding
+    shards ARRIVE via a file stream, foreachBatch folds each micro-batch
+    into the standing index (frozen quantizers, exactly-once shard
+    ledger), and afterwards BOTH probes against the streamed index are
+    row-identical to probes against an index that absorbed the same
+    rows in one batch append. Batch boundaries must not matter."""
+    import tempfile
+
+    streamed = str(tmp_path / "streamed")
+    batched = str(tmp_path / "batched")
+    AI.build_ann_index(spark, SF_DIR, streamed)
+    AI.build_ann_index(spark, SF_DIR, batched)
+
+    shard = _shard(spark, n=40)
+    # one-shot reference append (same frozen quantizers)
+    AI.append_to_ann_index(spark, shard, batched, shard_id="all")
+
+    # arrival directory: the same 40 rows split across 2 files, driven
+    # one file per micro-batch
+    arrivals = tempfile.mkdtemp(prefix="ann-arrivals-")
+    shard.repartition(2).write.mode("overwrite").parquet(arrivals)
+    ckpt = tempfile.mkdtemp(prefix="ann-ckpt-")
+
+    def _fold(batch_df, batch_id):
+        AI.append_to_ann_index(
+            batch_df.sparkSession, batch_df, streamed, shard_id=batch_id
+        )
+
+    q = (
+        spark.readStream.schema(shard.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(arrivals)
+        .writeStream.foreachBatch(_fold)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    # a replayed micro-batch (checkpoint-recovery re-delivery) is a no-op
+    AI.append_to_ann_index(spark, shard.limit(10), streamed, shard_id=0)
+
+    for probe in (AI.ivf_probe_index, AI.pq_probe_index):
+        got = _canon(probe(spark, SF_DIR, streamed))
+        want = _canon(probe(spark, SF_DIR, batched))
+        assert got == want and len(got) > 0, probe.__name__
+    # and the appended vectors are genuinely visible to the CANDIDATE
+    # stage (the probes' exact rerank sources full-precision vectors
+    # from the corpus table, which this synthetic shard is not part of —
+    # so visibility is asserted on the index relations the candidate
+    # generation reads)
+    assert (
+        AI._read_assign(spark, streamed).where(F.col("vec_id") >= 1_000_000).count()
+        == 40
+    )
+    assert (
+        AI._codes_stacked(spark, streamed)
+        .where(F.col("vec_id") >= 1_000_000)
+        .select("vec_id")
+        .distinct()
+        .count()
+        == 40
+    )
+    n = spark.read.parquet(os.path.join(streamed, "meta")).first().n_vecs
+    assert n == spark.read.parquet(os.path.join(batched, "meta")).first().n_vecs
