@@ -224,10 +224,16 @@ def read_table_version(
     """Time travel: the exact file list of the requested (default current)
     snapshot. An empty snapshot needs a schema source, so the latest
     non-empty ancestor provides it with a False filter."""
-    req_v = current_version(table_path) if version is None else version
+    cur = current_version(table_path)
+    req_v = cur if version is None else version
     v = req_v
     if v == 0:
         raise ValueError(f"{table_path} has no committed snapshots")
+    if v > cur:
+        # an above-CURRENT manifest may exist as a multi-table
+        # transaction's unflipped claim — reading it would be reading
+        # uncommitted data
+        raise ValueError(f"version {v} is not committed (CURRENT={cur})")
     files = read_manifest(table_path, v)["files"]
     if not files:
         # Schema source for the empty state: the nearest non-empty
@@ -268,12 +274,20 @@ def read_table_version(
 
 
 def snapshot_log(table_path: str) -> list[dict]:
-    """(version, op, n_files, n_rows) per retained snapshot, oldest first."""
+    """(version, op, n_files, n_rows) per retained snapshot, oldest first.
+
+    Versions ABOVE CURRENT are skipped: a multi-table transaction
+    (ingest/multi_commit.py) claims version slots by creating manifests
+    before flipping CURRENT, and an in-flight (or rolled-back) claim is
+    not yet history."""
+    cur = current_version(table_path)
     out = []
     for name in sorted(os.listdir(_snap_dir(table_path))):
         if not name.startswith("v") or not name.endswith(".json"):
             continue
         m = json.load(open(os.path.join(_snap_dir(table_path), name)))
+        if m["version"] > cur:
+            continue
         out.append(
             {
                 "version": m["version"],

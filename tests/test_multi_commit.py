@@ -1,0 +1,201 @@
+"""Multi-table atomic commit: all-or-nothing across tables under crash
+injection at every Python-side rename window, exactly-once replays,
+honest conflicts with concurrent single-table writers, and reader
+invisibility of in-flight claims."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from iceberg_file_writer_spark.ingest.multi_commit import (
+    commit_multi,
+    recover_multi,
+)
+from iceberg_file_writer_spark.ingest.snapshots import (
+    CommitConflict,
+    commit_append,
+    current_version,
+    read_table_version,
+    snapshot_log,
+)
+from iceberg_file_writer_spark.tables import load_tables
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _canon(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+@pytest.fixture()
+def setup(spark, tmp_path):
+    orders = load_tables(spark, SF_DIR)["orders"].select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    ta, tb = str(tmp_path / "facts"), str(tmp_path / "stats")
+    commit_append(spark, orders.where("o_orderkey % 2 = 0"), ta, max_rows=200)
+    commit_append(
+        spark,
+        orders.where("o_orderkey % 2 = 0")
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("n")),
+        tb,
+        max_rows=200,
+    )
+    txn = str(tmp_path / "txn")
+    return orders, ta, tb, txn
+
+
+def test_both_tables_advance_atomically(spark, setup):
+    orders, ta, tb, txn = setup
+    delta = orders.where("o_orderkey % 2 = 1")
+    stats_delta = delta.groupBy("o_custkey").agg(F.count("*").alias("n"))
+    got = commit_multi(
+        spark, txn, [(ta, delta), (tb, stats_delta)], max_rows=200, batch_id="b1"
+    )
+    assert got == {ta: 2, tb: 2}
+    assert read_table_version(spark, ta).count() == orders.count()
+    # replay: exactly-once no-op
+    assert commit_multi(
+        spark, txn, [(ta, delta), (tb, stats_delta)], max_rows=200, batch_id="b1"
+    ) == {}
+    assert (current_version(ta), current_version(tb)) == (2, 2)
+
+
+def test_conflict_rolls_back_all_claims(spark, setup):
+    orders, ta, tb, txn = setup
+    delta = orders.where("o_orderkey % 2 = 1")
+
+    # a concurrent writer holds tb's next version slot mid-stage
+    # (an in-flight claim: manifest exists, CURRENT not flipped)
+    rival = os.path.join(tb, "_snapshots", "v000002.json")
+    with open(rival, "w") as f:
+        f.write('{"version": 2, "parent": 1, "op": "append", "files": []}')
+    with pytest.raises(CommitConflict):
+        commit_multi(
+            spark, txn,
+            [(ta, delta),
+             (tb, delta.groupBy("o_custkey").agg(F.count("*").alias("n")))],
+            max_rows=200,
+        )
+    # ta's claim was rolled back: no v2 manifest, CURRENT untouched;
+    # the rival's claim is NOT ours and must survive the rollback
+    assert current_version(ta) == 1
+    assert [e["version"] for e in snapshot_log(ta)] == [1]
+    assert os.path.exists(rival)
+    # rival aborts (its claim vacates); our retry then succeeds
+    os.remove(rival)
+    got = commit_multi(
+        spark, txn,
+        [(ta, delta),
+         (tb, delta.groupBy("o_custkey").agg(F.count("*").alias("n")))],
+        max_rows=200,
+    )
+    assert got == {ta: 2, tb: 2}
+
+
+def test_inflight_claim_is_invisible_to_readers(spark, setup, monkeypatch):
+    """Crash right after the claims land (pre-marker): snapshot_log and
+    read_table_version must not surface the unflipped version."""
+    import iceberg_file_writer_spark.ingest.multi_commit as MC
+
+    orders, ta, tb, txn = setup
+    delta = orders.where("o_orderkey % 2 = 1")
+
+    class Boom(Exception):
+        pass
+
+    def no_marker(path, content):
+        if path.endswith(MC._MARKER):
+            raise Boom()
+        return MC_write(path, content)
+
+    MC_write = MC.write_atomic
+    monkeypatch.setattr(MC, "write_atomic", no_marker)
+    with pytest.raises(Boom):
+        commit_multi(spark, txn, [(ta, delta)], max_rows=200)
+    monkeypatch.setattr(MC, "write_atomic", MC_write)
+
+    # claim exists on disk but is invisible everywhere
+    assert os.path.exists(os.path.join(ta, "_snapshots", "v000002.json"))
+    assert [e["version"] for e in snapshot_log(ta)] == [1]
+    with pytest.raises(ValueError):
+        read_table_version(spark, ta, 2)
+    # recovery rolls it back; retry applies cleanly
+    recover_multi(txn)
+    assert not os.path.exists(os.path.join(ta, "_snapshots", "v000002.json"))
+    assert commit_multi(spark, txn, [(ta, delta)], max_rows=200) == {ta: 2}
+
+
+def test_crash_sweep_all_or_nothing(spark, setup):
+    """Inject a crash at EVERY Python-side atomic-write/rename window of
+    the protocol; after recover_multi + a batch_id retry, BOTH tables
+    hold exactly the post-commit state — never a partial outcome."""
+    import iceberg_file_writer_spark.ingest.ledger as L
+
+    orders, ta, tb, txn0 = setup
+    delta = orders.where("o_orderkey % 2 = 1")
+    stats_delta = delta.groupBy("o_custkey").agg(F.count("*").alias("n"))
+    want_a = _canon(orders)
+    # base_b as an expression over source data (NOT a lazy read of tb's
+    # files — the sweep's reset deletes and recreates those files)
+    base_b = orders.where("o_orderkey % 2 = 0").groupBy("o_custkey").agg(
+        F.count("*").alias("n")
+    )
+    want_b = _canon(base_b.unionByName(stats_delta))
+
+    real_rename = os.rename
+    crash_at = 0
+    while True:
+        crash_at += 1
+        txn = f"{txn0}-{crash_at}"
+        calls = {"n": 0, "crashed": False}
+
+        class Boom(Exception):
+            pass
+
+        def boom_rename(src, dst, *, _c=calls, _k=crash_at):
+            # only renames under this test's tables/txn dir count: Spark's
+            # own temp renames happen JVM-side and don't pass through here
+            if any(p in src for p in (ta, tb, txn)):
+                _c["n"] += 1
+                if _c["n"] == _k:
+                    _c["crashed"] = True
+                    raise Boom()
+            return real_rename(src, dst)
+
+        os.rename = boom_rename
+        try:
+            commit_multi(
+                spark, txn, [(ta, delta), (tb, stats_delta)],
+                max_rows=200, batch_id="bx",
+            )
+        except Boom:
+            pass
+        finally:
+            os.rename = real_rename
+
+        recover_multi(txn)
+        va, vb = current_version(ta), current_version(tb)
+        assert (va, vb) in ((1, 1), (2, 2)), f"partial outcome at {crash_at}"
+        # retry with the SAME batch_id: exactly-once either way
+        commit_multi(
+            spark, txn, [(ta, delta), (tb, stats_delta)],
+            max_rows=200, batch_id="bx",
+        )
+        assert (current_version(ta), current_version(tb)) == (2, 2)
+        assert _canon(read_table_version(spark, ta)) == want_a
+        assert _canon(read_table_version(spark, tb)) == want_b
+        # reset for the next window: fresh tables
+        if not calls["crashed"]:
+            break
+        import shutil
+
+        for t in (ta, tb):
+            shutil.rmtree(t)
+        commit_append(spark, orders.where("o_orderkey % 2 = 0"), ta, max_rows=200)
+        commit_append(spark, base_b, tb, max_rows=200)
+    assert crash_at > 3  # the sweep exercised several distinct windows
