@@ -1,0 +1,124 @@
+"""Field-id column mapping: renames/drops/adds are metadata-only, reads
+resolve by id (old files readable under new names, dropped-then-re-added
+names never resurrect old data), time travel is schema-as-of."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from iceberg_file_writer_spark.ingest.column_mapping import (
+    append_mapped,
+    create_mapped_table,
+    evolve_mapped,
+    read_mapped,
+    table_columns,
+)
+from iceberg_file_writer_spark.ingest.snapshots import current_version
+from iceberg_file_writer_spark.tables import load_tables
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _canon(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def _data_mtimes(t):
+    d = os.path.join(t, "data")
+    return {n: os.path.getmtime(os.path.join(d, n)) for n in os.listdir(d)}
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    orders = load_tables(spark, SF_DIR)["orders"].select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    create_mapped_table(spark, orders.limit(50), t, max_rows=20)
+    return t, orders.limit(50)
+
+
+def test_rename_is_metadata_only_and_readable(spark, table):
+    t, orders = table
+    before = _data_mtimes(t)
+    v = evolve_mapped(t, renames={"o_totalprice": "price"})
+    assert _data_mtimes(t) == before  # zero data bytes moved
+    got = read_mapped(spark, t)
+    assert got.columns == ["o_orderkey", "o_custkey", "price"]
+    want = _canon(orders.withColumnRenamed("o_totalprice", "price"))
+    assert _canon(got) == want
+    # appends after the rename write under the NEW name; both epochs read
+    extra = orders.limit(5).select(
+        (F.col("o_orderkey") + 1_000_000).alias("o_orderkey"),
+        "o_custkey",
+        F.col("o_totalprice").alias("price"),
+    )
+    append_mapped(spark, extra, t, max_rows=20)
+    assert read_mapped(spark, t).count() == 55
+    # time travel below the rename: as-of schema has the OLD name
+    assert read_mapped(spark, t, 1).columns == [
+        "o_orderkey", "o_custkey", "o_totalprice"
+    ]
+
+
+def test_drop_then_readd_never_resurrects(spark, table):
+    t, orders = table
+    evolve_mapped(t, drops=["o_totalprice"])
+    assert read_mapped(spark, t).columns == ["o_orderkey", "o_custkey"]
+    # re-add the SAME name: fresh id, old bytes must NOT come back
+    evolve_mapped(t, adds=[("o_totalprice", "double")])
+    got = read_mapped(spark, t)
+    assert got.columns == ["o_orderkey", "o_custkey", "o_totalprice"]
+    assert got.where(F.col("o_totalprice").isNotNull()).count() == 0
+    # new appends fill the new column; old files stay null for it
+    extra = orders.limit(5).select(
+        (F.col("o_orderkey") + 1_000_000).alias("o_orderkey"),
+        "o_custkey",
+        F.lit(9.5).alias("o_totalprice"),
+    )
+    append_mapped(spark, extra, t, max_rows=20)
+    got = read_mapped(spark, t)
+    assert got.where("o_totalprice IS NOT NULL").count() == 5
+    assert got.count() == 55
+    # while time travel BEFORE the drop still reads the original values
+    v1 = read_mapped(spark, t, 1)
+    assert _canon(v1) == _canon(orders)
+
+
+def test_add_column_null_fills_history(spark, table):
+    t, orders = table
+    evolve_mapped(t, adds=[("note", "string")])
+    got = read_mapped(spark, t)
+    assert got.columns == ["o_orderkey", "o_custkey", "o_totalprice", "note"]
+    assert got.where("note IS NOT NULL").count() == 0
+
+
+def test_append_schema_mismatch_rejected(spark, table):
+    t, orders = table
+    with pytest.raises(ValueError, match="schema mismatch"):
+        append_mapped(spark, orders.select("o_orderkey", "o_custkey"), t)
+
+
+def test_evolution_guards(spark, table):
+    t, _ = table
+    with pytest.raises(ValueError, match="no such column"):
+        evolve_mapped(t, drops=["nope"])
+    with pytest.raises(ValueError, match="column exists"):
+        evolve_mapped(t, adds=[("o_custkey", "bigint")])
+    with pytest.raises(ValueError, match="rename collision"):
+        evolve_mapped(t, renames={"o_orderkey": "o_custkey"})
+
+
+def test_ids_are_never_recycled(spark, table):
+    t, _ = table
+    evolve_mapped(t, drops=["o_totalprice"])          # id 3 retired
+    evolve_mapped(t, adds=[("a", "bigint")])          # must take id 4
+    cols = {name: cid for cid, name, _t in table_columns(t)}
+    assert cols["a"] == 4
+    evolve_mapped(t, drops=["a"])
+    evolve_mapped(t, adds=[("b", "bigint")])          # id 5, not 3 or 4
+    cols = {name: cid for cid, name, _t in table_columns(t)}
+    assert cols["b"] == 5
