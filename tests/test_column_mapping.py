@@ -122,3 +122,31 @@ def test_ids_are_never_recycled(spark, table):
     evolve_mapped(t, adds=[("b", "bigint")])          # id 5, not 3 or 4
     cols = {name: cid for cid, name, _t in table_columns(t)}
     assert cols["b"] == 5
+
+
+def test_pushdown_and_pruning_survive_evolution(spark, table):
+    """The scale property: a filter on the RENAMED column must reach the
+    parquet scan of BOTH epochs — translated to each epoch's physical
+    name — and column pruning must hold (ReadSchema excludes unselected
+    columns). Two epochs => exactly two scans, not one per file."""
+    t, orders = table
+    evolve_mapped(t, renames={"o_totalprice": "price"})
+    extra = orders.limit(5).select(
+        (F.col("o_orderkey") + 1_000_000).alias("o_orderkey"),
+        "o_custkey",
+        F.col("o_totalprice").alias("price"),
+    )
+    append_mapped(spark, extra, t, max_rows=20)
+    df = read_mapped(spark, t).where(F.col("price") > 100.0).select(
+        "o_orderkey", "price"
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    scans = [ln for ln in plan.splitlines() if "FileScan parquet" in ln]
+    assert len(scans) == 2  # one per evolution epoch
+    old_epoch = [ln for ln in scans if "o_totalprice" in ln]
+    new_epoch = [ln for ln in scans if "price#" in ln and "o_totalprice" not in ln]
+    assert len(old_epoch) == 1 and len(new_epoch) == 1
+    assert "(o_totalprice" in old_epoch[0]  # filter under the OLD name
+    assert "(price" in new_epoch[0]  # filter under the NEW name
+    for ln in scans:
+        assert "o_custkey" not in ln  # pruned everywhere
