@@ -107,13 +107,61 @@ def _write_data_files(df: DataFrame, table_path: str, max_rows: int) -> list[dic
             continue
         final = f"part-{uuid.uuid4().hex}.parquet"
         src = os.path.join(staging, name)
-        rows = pq.ParquetFile(src).metadata.num_rows
+        meta = pq.ParquetFile(src).metadata
+        rows = meta.num_rows
         if rows == 0:
             continue
         os.rename(src, os.path.join(_data_dir(table_path), final))
-        entries.append({"path": f"data/{final}", "rows": rows})
+        entries.append(
+            {"path": f"data/{final}", "rows": rows, "stats": _footer_stats(meta)}
+        )
     shutil.rmtree(staging)
     return entries
+
+
+def _footer_stats(meta) -> dict:
+    """Per-file column min/max/null-count from the parquet footer the
+    writer already parsed — the manifest-level file-skipping index
+    (Iceberg's lower_bounds/upper_bounds), collected automatically at
+    EVERY commit since round 8 (``attach_column_stats`` remains for
+    backfilling pre-round-8 manifests). JSON-storable types only
+    (int/float/str/bool); columns with other types, missing stats, or
+    any stats-less row group are omitted — ``file_skipping.prune_files``
+    treats absence as "cannot exclude". ``nulls`` drives IS NULL
+    pruning."""
+    mins: dict = {}
+    maxs: dict = {}
+    nulls: dict = {}
+    ok = None
+    for rg in range(meta.num_row_groups):
+        g = meta.row_group(rg)
+        cols = {}
+        for ci in range(g.num_columns):
+            c = g.column(ci)
+            if "." in c.path_in_schema:
+                continue  # nested: no top-level pruning
+            cols[c.path_in_schema] = c.statistics
+        if ok is None:
+            ok = set(cols)
+        for name in list(ok):
+            st = cols.get(name)
+            if (
+                st is None
+                or not st.has_min_max
+                or not isinstance(st.min, (int, float, str, bool))
+                or not isinstance(st.max, (int, float, str, bool))
+                or isinstance(st.min, bool) != isinstance(st.max, bool)
+            ):
+                ok.discard(name)
+                continue
+            mins[name] = st.min if name not in mins else min(mins[name], st.min)
+            maxs[name] = st.max if name not in maxs else max(maxs[name], st.max)
+            nulls[name] = nulls.get(name, 0) + (st.null_count or 0)
+    return {
+        name: [mins[name], maxs[name], nulls.get(name, 0)]
+        for name in (ok or set())
+        if name in mins
+    }
 
 
 def _commit(
@@ -556,26 +604,12 @@ def changes_between(
 
 
 def _file_stats(path: str, stats_cols: tuple[str, ...]) -> dict:
-    """Per-file min/max from parquet row-group footers — no data read."""
+    """Per-file stats for selected columns (footer metadata only) —
+    the backfill flavor of ``_footer_stats``."""
     import pyarrow.parquet as pq
 
-    md = pq.ParquetFile(path).metadata
-    names = {md.schema.column(i).name: i for i in range(md.num_columns)}
-    out = {}
-    for col in stats_cols:
-        if col not in names:
-            continue
-        mins, maxs = [], []
-        for rg in range(md.num_row_groups):
-            st = md.row_group(rg).column(names[col]).statistics
-            if st is None or st.min is None or st.max is None:
-                break
-            mins.append(st.min)
-            maxs.append(st.max)
-        else:
-            if mins:
-                out[col] = [min(mins), max(maxs)]
-    return out
+    full = _footer_stats(pq.ParquetFile(path).metadata)
+    return {c: full[c] for c in stats_cols if c in full}
 
 
 def attach_column_stats(

@@ -1,0 +1,114 @@
+"""Manifest-stats file skipping: scans are row-identical to the full
+read + filter while provably reading fewer files; skipping is
+conservative (missing stats never exclude)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from iceberg_file_writer_spark.ingest.file_skipping import (
+    conjuncts_to_sql,
+    prune_files,
+    scan_table,
+)
+from iceberg_file_writer_spark.ingest.snapshots import (
+    commit_append,
+    current_version,
+    read_manifest,
+    read_table_version,
+)
+from iceberg_file_writer_spark.tables import load_tables
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _canon(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    """Orders sorted by o_orderkey so files have disjoint key ranges —
+    the layout a clustered/z-ordered 100 TB table has."""
+    t = str(tmp_path / "tbl")
+    orders = load_tables(spark, SF_DIR)["orders"].select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"
+    )
+    clustered = orders.repartitionByRange(6, "o_orderkey").sortWithinPartitions(
+        "o_orderkey"
+    )
+    commit_append(spark, clustered, t, max_rows=10_000)
+    return t, orders
+
+
+def test_stats_present_in_manifest(spark, table):
+    t, _ = table
+    files = read_manifest(t, current_version(t))["files"]
+    assert len(files) >= 4
+    for e in files:
+        st = e["stats"]
+        assert set(st) >= {"o_orderkey", "o_totalprice", "o_orderstatus"}
+        lo, hi, nulls = st["o_orderkey"]
+        assert lo <= hi and nulls == 0
+
+
+def test_range_scan_prunes_and_matches(spark, table):
+    t, orders = table
+    maxkey = orders.agg(F.max("o_orderkey")).first()[0]
+    cut = int(maxkey * 0.8)
+    conj = [("o_orderkey", ">", cut)]
+    got = scan_table(spark, t, conj)
+    kept, total = scan_table.last_files
+    assert kept < total  # genuinely skipped files
+    want = read_table_version(spark, t).where(f"o_orderkey > {cut}")
+    assert _canon(got) == _canon(want)
+    assert got.count() > 0
+
+
+def test_equality_and_string_pruning(spark, table):
+    t, orders = table
+    key = orders.agg(F.min("o_orderkey")).first()[0]
+    got = scan_table(spark, t, [("o_orderkey", "=", int(key))])
+    kept, total = scan_table.last_files
+    assert kept == 1  # point lookup: one file
+    assert got.count() == orders.where(F.col("o_orderkey") == key).count()
+    # string column: status 'F'/'O'/'P' spread everywhere -> no pruning,
+    # but results stay exact
+    got = scan_table(spark, t, [("o_orderstatus", "=", "F")])
+    want = read_table_version(spark, t).where("o_orderstatus = 'F'")
+    assert _canon(got) == _canon(want)
+
+
+def test_empty_result_keeps_schema(spark, table):
+    t, orders = table
+    maxkey = orders.agg(F.max("o_orderkey")).first()[0]
+    got = scan_table(spark, t, [("o_orderkey", ">", int(maxkey) + 10)])
+    assert scan_table.last_files[0] == 0
+    assert got.count() == 0
+    assert got.columns == read_table_version(spark, t).columns
+
+
+def test_missing_stats_never_exclude():
+    files = [
+        {"path": "a", "rows": 1, "stats": {}},
+        {"path": "b", "rows": 1},  # legacy entry, no stats key
+        {"path": "c", "rows": 1, "stats": {"x": [0, 10, 0]}},
+    ]
+    kept = prune_files(files, [("x", ">", 100)])
+    assert [e["path"] for e in kept] == ["a", "b"]  # only c provably excluded
+    kept = prune_files(files, [("x", "isnull")])
+    assert [e["path"] for e in kept] == ["a", "b"]
+    kept = prune_files(files, [("x", "<=", 0)])
+    assert [e["path"] for e in kept] == ["a", "b", "c"]
+
+
+def test_conjunction_combines(spark, table):
+    t, orders = table
+    maxkey = int(orders.agg(F.max("o_orderkey")).first()[0])
+    conj = [("o_orderkey", ">=", maxkey // 2), ("o_orderkey", "<", maxkey // 2 + 500)]
+    got = scan_table(spark, t, conj)
+    want = read_table_version(spark, t).where(conjuncts_to_sql(conj))
+    assert _canon(got) == _canon(want)
+    kept, total = scan_table.last_files
+    assert kept < total  # the band prunes files on both sides
