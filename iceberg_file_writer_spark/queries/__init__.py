@@ -81,6 +81,7 @@ def _import_all() -> None:
         sampling,
         search_ext,
         similarity,
+        storage_ext,
         streaming_ops,
         text,
         tpch_more,

@@ -112,3 +112,15 @@ def test_conjunction_combines(spark, table):
     assert _canon(got) == _canon(want)
     kept, total = scan_table.last_files
     assert kept < total  # the band prunes files on both sides
+
+
+def test_registered_entry_prunes(spark):
+    """The oracle-paired entry must actually skip files (<50%) at the
+    test SF — parity alone can't prove the pruning half."""
+    from iceberg_file_writer_spark.queries.storage_ext import (
+        stats_pruned_orders_scan,
+    )
+
+    stats_pruned_orders_scan(spark, SF_DIR).count()
+    kept, total = stats_pruned_orders_scan.last_files
+    assert total >= 4 and kept < total / 2
