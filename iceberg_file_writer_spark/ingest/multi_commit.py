@@ -68,6 +68,7 @@ from iceberg_file_writer_spark.ingest.ledger import (
 from iceberg_file_writer_spark.ingest.snapshots import (
     CommitConflict,
     _manifest_path,
+    _segment_files,
     _snap_dir,
     _write_data_files,
     current_version,
@@ -177,16 +178,20 @@ def commit_multi(
             files = _write_data_files(df, t, max_rows)
             os.makedirs(_snap_dir(t), exist_ok=True)
             parent = v - 1
+            os.makedirs(_snap_dir(t), exist_ok=True)
             manifest = {
                 "version": v,
                 "parent": parent,
                 "op": "append",
                 "txn": txn_id,
-                "files": (
-                    read_manifest(t, parent)["files"] if parent else []
-                )
-                + files,
             }
+            manifest.update(
+                _segment_files(
+                    t,
+                    (read_manifest(t, parent)["files"] if parent else [])
+                    + files,
+                )
+            )
             if parent > 0:
                 inherited = read_manifest(t, parent).get("batch_ids")
                 if inherited is not None:

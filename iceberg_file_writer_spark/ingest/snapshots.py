@@ -73,9 +73,28 @@ def current_version(path: str) -> int:
         return int(f.read().strip())
 
 
+def _resolve_raw(table_path: str, m: dict) -> dict:
+    """Resolve a raw manifest dict's file list in place (segmented or
+    plain) — for callers that already json.load'ed the file."""
+    if "segments" in m:
+        files = []
+        for seg in m["segments"]:
+            with open(os.path.join(_snap_dir(table_path), seg)) as f:
+                files.extend(json.load(f))
+        m["files"] = files + m.pop("tail", [])
+        m["_segments"] = m.pop("segments")
+    return m
+
+
 def read_manifest(path: str, version: int) -> dict:
+    """Manifest with its full file list resolved.
+
+    Two storage forms: plain (``files`` inline) and two-level (sealed
+    content-addressed ``segments`` + inline ``tail`` — see ``_commit``).
+    Callers always see ``files``."""
     with open(_manifest_path(path, version)) as f:
-        return json.load(f)
+        m = json.load(f)
+    return _resolve_raw(path, m)
 
 
 def _write_data_files(df: DataFrame, table_path: str, max_rows: int) -> list[dict]:
@@ -164,6 +183,42 @@ def _footer_stats(meta) -> dict:
     }
 
 
+# Two-level manifests: a manifest whose file list exceeds this many
+# entries stores sealed chunks of exactly this size as content-addressed
+# segment files (seg-<sha>.json) plus an inline "tail" of the remainder.
+# Chunking is deterministic from index 0, so an APPEND re-seals nothing:
+# every previously sealed chunk hashes identically and is reused — commit
+# metadata cost is O(delta), not O(files). At 100 TB (millions of files)
+# this is the difference between rewriting gigabytes of manifest per
+# commit and writing one segment. CoW deletes/compactions change entries
+# mid-list and re-chunk — they rewrite data files anyway, the metadata
+# rewrite is not the dominant cost there.
+MANIFEST_SEGMENT_SIZE = 512
+
+
+def _segment_files(table_path: str, files: list[dict]) -> dict:
+    """{"files": ...} inline below the threshold, else
+    {"segments": [names], "tail": [entries]} with sealed chunks written
+    (content-addressed; an existing segment file is never rewritten)."""
+    import hashlib
+
+    if len(files) <= MANIFEST_SEGMENT_SIZE:
+        return {"files": files}
+    n_sealed = (len(files) // MANIFEST_SEGMENT_SIZE) * MANIFEST_SEGMENT_SIZE
+    seg_names = []
+    for i in range(0, n_sealed, MANIFEST_SEGMENT_SIZE):
+        body = json.dumps(files[i : i + MANIFEST_SEGMENT_SIZE], sort_keys=True)
+        name = f"seg-{hashlib.sha256(body.encode()).hexdigest()[:32]}.json"
+        full = os.path.join(_snap_dir(table_path), name)
+        if not os.path.exists(full):
+            tmp = full + f".{uuid.uuid4().hex[:8]}.tmp"
+            with open(tmp, "w") as f:
+                f.write(body)
+            os.rename(tmp, full)
+        seg_names.append(name)
+    return {"segments": seg_names, "tail": files[n_sealed:]}
+
+
 def _commit(
     table_path: str,
     parent: int,
@@ -181,7 +236,8 @@ def _commit(
     """
     version = parent + 1
     os.makedirs(_snap_dir(table_path), exist_ok=True)
-    manifest = {"version": version, "parent": parent, "op": op, "files": files}
+    manifest = {"version": version, "parent": parent, "op": op}
+    manifest.update(_segment_files(table_path, files))
     if parent > 0:
         try:
             inherited = read_manifest(table_path, parent).get("batch_ids")
@@ -333,7 +389,9 @@ def snapshot_log(table_path: str) -> list[dict]:
     for name in sorted(os.listdir(_snap_dir(table_path))):
         if not name.startswith("v") or not name.endswith(".json"):
             continue
-        m = json.load(open(os.path.join(_snap_dir(table_path), name)))
+        m = _resolve_raw(
+            table_path, json.load(open(os.path.join(_snap_dir(table_path), name)))
+        )
         if m["version"] > cur:
             continue
         out.append(
@@ -386,11 +444,30 @@ def expire_snapshots(
     # re-list AFTER the manifest sweep: any manifest present now (retained
     # or committed concurrently) pins its files
     referenced: set[str] = set()
+    live_segments: set[str] = set()
     for name in sorted(os.listdir(_snap_dir(table_path))):
         if not name.startswith("v") or not name.endswith(".json"):
             continue
-        m = json.load(open(os.path.join(_snap_dir(table_path), name)))
+        m = _resolve_raw(
+            table_path, json.load(open(os.path.join(_snap_dir(table_path), name)))
+        )
         referenced |= {e["path"] for e in m["files"]}
+        live_segments |= set(m.get("_segments", []))
+    # sealed segment files referenced by no remaining manifest go with
+    # their manifests (content-addressing means shared segments survive
+    # as long as ANY retained manifest lists them)
+    seg_now = time.time()
+    for name in os.listdir(_snap_dir(table_path)):
+        if name.startswith("seg-") and name.endswith(".json"):
+            if name not in live_segments:
+                full = os.path.join(_snap_dir(table_path), name)
+                try:
+                    # same pre-commit grace as the data sweep: a live
+                    # writer seals segments moments before its manifest
+                    if seg_now - os.path.getmtime(full) > data_grace_seconds:
+                        os.remove(full)
+                except FileNotFoundError:
+                    pass
     dropped_files = 0
     sweep_now = time.time()
     for name in os.listdir(_data_dir(table_path)):
