@@ -111,12 +111,22 @@ def _write_data_files(df: DataFrame, table_path: str, max_rows: int) -> list[dic
     """
     os.makedirs(table_path, exist_ok=True)
     staging = tempfile.mkdtemp(prefix=".snap-staging-", dir=table_path)
-    (
-        df.write.mode("overwrite")
-        .option("maxRecordsPerFile", max_rows)
-        .option("compression", "snappy")
-        .parquet(staging)
-    )
+    # INT96 (Spark's default parquet timestamp) carries NO column stats;
+    # TIMESTAMP_MICROS (the modern annotated int64) does — without it,
+    # time-range file skipping is blind. Scoped to this write.
+    sess = df.sparkSession
+    conf_key = "spark.sql.parquet.outputTimestampType"
+    prev_tt = sess.conf.get(conf_key)
+    sess.conf.set(conf_key, "TIMESTAMP_MICROS")
+    try:
+        (
+            df.write.mode("overwrite")
+            .option("maxRecordsPerFile", max_rows)
+            .option("compression", "snappy")
+            .parquet(staging)
+        )
+    finally:
+        sess.conf.set(conf_key, prev_tt)
     import pyarrow.parquet as pq
 
     os.makedirs(_data_dir(table_path), exist_ok=True)
@@ -136,6 +146,27 @@ def _write_data_files(df: DataFrame, table_path: str, max_rows: int) -> list[dic
         )
     shutil.rmtree(staging)
     return entries
+
+
+def _stat_value(v):
+    """Normalize a parquet stat to a JSON-storable, ORDER-PRESERVING
+    value, or None if the type has no safe representation. Timestamps
+    and dates become fixed-width strings ('YYYY-MM-DD HH:MM:SS.ffffff' /
+    'YYYY-MM-DD') whose lexicographic order equals their temporal order,
+    so string comparison against same-format predicate literals prunes
+    correctly (a truncated literal sorts before its extensions, matching
+    timestamp semantics)."""
+    import datetime
+
+    if isinstance(v, bool) or v is None:
+        return None  # bool stats carry no pruning value; reject mixes
+    if isinstance(v, (int, float, str)):
+        return v
+    if isinstance(v, datetime.datetime):
+        return v.strftime("%Y-%m-%d %H:%M:%S.%f")
+    if isinstance(v, datetime.date):
+        return v.strftime("%Y-%m-%d")
+    return None
 
 
 def _footer_stats(meta) -> dict:
@@ -164,17 +195,15 @@ def _footer_stats(meta) -> dict:
             ok = set(cols)
         for name in list(ok):
             st = cols.get(name)
-            if (
-                st is None
-                or not st.has_min_max
-                or not isinstance(st.min, (int, float, str, bool))
-                or not isinstance(st.max, (int, float, str, bool))
-                or isinstance(st.min, bool) != isinstance(st.max, bool)
-            ):
+            if st is None or not st.has_min_max:
                 ok.discard(name)
                 continue
-            mins[name] = st.min if name not in mins else min(mins[name], st.min)
-            maxs[name] = st.max if name not in maxs else max(maxs[name], st.max)
+            lo, hi = _stat_value(st.min), _stat_value(st.max)
+            if lo is None or hi is None or type(lo) is not type(hi):
+                ok.discard(name)
+                continue
+            mins[name] = lo if name not in mins else min(mins[name], lo)
+            maxs[name] = hi if name not in maxs else max(maxs[name], hi)
             nulls[name] = nulls.get(name, 0) + (st.null_count or 0)
     return {
         name: [mins[name], maxs[name], nulls.get(name, 0)]
@@ -240,11 +269,15 @@ def _commit(
     manifest.update(_segment_files(table_path, files))
     if parent > 0:
         try:
-            inherited = read_manifest(table_path, parent).get("batch_ids")
+            pm = read_manifest(table_path, parent)
         except FileNotFoundError:
-            inherited = None
-        if inherited is not None:
-            manifest["batch_ids"] = inherited
+            pm = {}
+        if pm.get("batch_ids") is not None:
+            manifest["batch_ids"] = pm["batch_ids"]
+        # the hidden-partition spec rides with the table: a plain append
+        # or CoW commit between spec'd appends must not strand it
+        if pm.get("spec") is not None and not (extra and "spec" in extra):
+            manifest["spec"] = pm["spec"]
     if extra:
         if "batch_ids" in extra and manifest.get("batch_ids"):
             extra = dict(extra)

@@ -1,0 +1,86 @@
+"""Hidden partitioning: raw-column predicates prune through transform
+specs (time via tight raw stats, point lookups via bucket ids); hidden
+columns never surface; spec evolution stays conservative."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from iceberg_file_writer_spark.ingest.partitioning import (
+    bucket_of,
+    commit_append_partitioned,
+    scan_partitioned,
+)
+from iceberg_file_writer_spark.ingest.snapshots import (
+    commit_append,
+    read_table_version,
+)
+from iceberg_file_writer_spark.tables import load_tables
+
+SF_DIR = "/root/testdata/sf0.001"
+SPEC = [("bucket", 8, "user_id"), ("day", "ts")]  # spec order = clustering significance
+
+
+def _canon(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    t = str(tmp_path / "events")
+    ev = load_tables(spark, SF_DIR)["events"].select(
+        "event_id", "user_id", "ts", "event_type", "value"
+    )
+    commit_append_partitioned(spark, ev, t, SPEC, max_rows=40)
+    return t, ev
+
+
+def test_bucket_expr_matches_python_twin(spark):
+    ev = load_tables(spark, SF_DIR)["events"].select("user_id").distinct().limit(50)
+    from iceberg_file_writer_spark.ingest.partitioning import _bucket_expr
+
+    rows = ev.select("user_id", _bucket_expr("user_id", 8).alias("b")).collect()
+    for r in rows:
+        assert r.b == bucket_of(r.user_id, 8), r.user_id
+
+
+def test_hidden_columns_never_surface(spark, table):
+    t, ev = table
+    got = scan_partitioned(spark, t, [])
+    assert sorted(got.columns) == sorted(ev.columns)
+    assert _canon(got) == _canon(ev)
+
+
+def test_time_range_prunes_via_raw_stats(spark, table):
+    t, ev = table
+    cut = "2024-01-20 00:00:00"  # corpus spans Jan 1-30
+    got = scan_partitioned(spark, t, [("ts", ">=", cut)])
+    kept, total = scan_partitioned.last_files
+    assert kept < total  # day clustering made raw ts stats tight
+    want = ev.where(f"ts >= '{cut}'")
+    assert _canon(got) == _canon(want) and got.count() > 0
+
+
+def test_point_lookup_prunes_via_bucket(spark, table):
+    t, ev = table
+    uid = int(ev.agg(F.min("user_id")).first()[0])
+    got = scan_partitioned(spark, t, [("user_id", "=", uid)])
+    kept, total = scan_partitioned.last_files
+    assert kept < total  # bucket id pruned files range stats cannot
+    want = ev.where(F.col("user_id") == uid)
+    assert _canon(got) == _canon(want) and got.count() > 0
+
+
+def test_spec_evolution_is_conservative(spark, table):
+    """Files appended WITHOUT the spec (legacy layout, no hidden bucket
+    column) must always survive bucket pruning and read correctly."""
+    t, ev = table
+    legacy = ev.withColumn("event_id", F.col("event_id") + 10_000_000)
+    commit_append(spark, legacy, t, max_rows=500)
+    uid = int(ev.agg(F.min("user_id")).first()[0])
+    got = scan_partitioned(spark, t, [("user_id", "=", uid)])
+    want = ev.unionByName(legacy).where(F.col("user_id") == uid)
+    assert _canon(got) == _canon(want)
+    kept, total = scan_partitioned.last_files
+    assert kept < total  # spec'd files still prune; legacy ones all kept
