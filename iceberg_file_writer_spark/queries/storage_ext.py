@@ -148,3 +148,61 @@ def evolved_schema_orders_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = _mapped_table(spark, sf_dir)
     return read_mapped(spark, t).select("o_orderkey", "o_custkey", "price")
+
+
+_PARTITIONED_TABLES: dict[tuple, str] = {}
+
+
+def _partitioned_events(spark: SparkSession, sf_dir: str) -> str:
+    """Events under a bucket(8, user_id) + day(ts) hidden-partition spec
+    (bucket-major: the layout a point-lookup-heavy workload wants)."""
+    from iceberg_file_writer_spark.ingest.partitioning import (
+        commit_append_partitioned,
+    )
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _PARTITIONED_TABLES:
+        t = os.path.join(tempfile.mkdtemp(prefix="hidpart-tbl-"), "events")
+        ev = load_tables(spark, sf_dir)["events"].select(
+            "event_id", "user_id", "ts", "event_type", "value"
+        )
+        commit_append_partitioned(
+            spark, ev, t, [("bucket", 8, "user_id"), ("day", "ts")],
+            max_rows=2_000,
+        )
+        _PARTITIONED_TABLES[key] = t
+    return _PARTITIONED_TABLES[key]
+
+
+@register(
+    "hidden_partition_point_lookup",
+    oracle="""
+SELECT event_id, user_id, ts, event_type, value
+FROM events
+WHERE user_id = (SELECT min(user_id) FROM events)
+""",
+    description=(
+        "Hidden partitioning: a point lookup on the RAW user_id column "
+        "prunes through the table's bucket(8) transform (the scanner "
+        "derives the literal's bucket id and skips every other bucket's "
+        "files) — the query never names the layout"
+    ),
+    driver_exposed=False,
+    eager=True,  # builds/loads a trained artifact or runs a stream at plan time
+)
+def hidden_partition_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw-predicate scan through the transform spec.
+
+    Pruning effectiveness is pinned in tests/test_partitioning.py; this
+    entry's value parity proves the bucket-mapped read loses no rows —
+    including rows in files written before the spec existed (the
+    conservative path)."""
+    from iceberg_file_writer_spark.ingest.partitioning import scan_partitioned
+
+    t = _partitioned_events(spark, sf_dir)
+    uid = (
+        load_tables(spark, sf_dir)["events"].agg(F.min("user_id")).first()[0]
+    )
+    return scan_partitioned(spark, t, [("user_id", "=", int(uid))]).select(
+        "event_id", "user_id", "ts", "event_type", "value"
+    )
