@@ -278,6 +278,11 @@ def _commit(
         # or CoW commit between spec'd appends must not strand it
         if pm.get("spec") is not None and not (extra and "spec" in extra):
             manifest["spec"] = pm["spec"]
+        # deletion vectors ride too: an append between MoR deletes must
+        # not resurrect deleted rows (stale entries for files a CoW verb
+        # rewrote are inert — uuid file names never recur)
+        if pm.get("dvs") and not (extra and "dvs" in extra):
+            manifest["dvs"] = pm["dvs"]
     if extra:
         if "batch_ids" in extra and manifest.get("batch_ids"):
             extra = dict(extra)
@@ -345,11 +350,12 @@ def commit_delete_where(
     if not affected:
         return _commit(table_path, parent, "delete", files)
 
-    survivors = (
-        spark.read.option("mergeSchema", "true")
-        .parquet(*[os.path.join(table_path, p) for p in sorted(affected)])
-        .where(f"NOT ({predicate})")
-    )
+    survivors = _read_files(
+        spark,
+        table_path,
+        [{"path": p} for p in sorted(affected)],
+        read_manifest(table_path, parent).get("dvs"),
+    ).where(f"NOT ({predicate})")
     rewritten = _write_data_files(survivors, table_path, max_rows)
     carried = [e for e in files if e["path"] not in affected]
     return _commit(table_path, parent, "delete", carried + rewritten)
@@ -405,9 +411,48 @@ def read_table_version(
     # additive column evolution; older rows surface NULL for new columns.
     # (At scale the manifest would carry the schema; footer merging here
     # keeps the jar-free layer simple.)
-    return spark.read.option("mergeSchema", "true").parquet(
+    return _read_files(
+        spark, table_path, files, read_manifest(table_path, v).get("dvs")
+    )
+
+
+def _read_files(
+    spark: SparkSession,
+    table_path: str,
+    files: list[dict],
+    dvs: "list[str] | None" = None,
+    with_position: bool = False,
+) -> DataFrame:
+    """Scan manifest entries; when the snapshot carries deletion vectors
+    (merge-on-read DELETE — ingest/deletion_vectors.py), anti-join the
+    (file_name, row_index) tombstones so deleted rows never surface.
+    Zero overhead when dvs is empty. The DV relation is row-positional
+    and deletion-sized; AQE picks the join strategy (tombstone counts
+    are usually broadcastable — a DV bigger than that is the compaction
+    trigger). ``with_position=True`` keeps the physical position as
+    ``_pos_fn``/``_pos_ri`` columns — the ``_metadata`` pseudo-column is
+    only resolvable on the direct scan, so positional consumers (the MoR
+    delete writer) must capture it here, not after the join."""
+    data = spark.read.option("mergeSchema", "true").parquet(
         *[os.path.join(table_path, e["path"]) for e in files]
     )
+    if not dvs and not with_position:
+        return data
+    data = data.withColumns(
+        {
+            "_pos_fn": F.col("_metadata.file_name"),
+            "_pos_ri": F.col("_metadata.row_index"),
+        }
+    )
+    if dvs:
+        dv = spark.read.parquet(
+            *[os.path.join(table_path, p) for p in dvs]
+        ).select(
+            F.col("file_name").alias("_pos_fn"),
+            F.col("row_index").alias("_pos_ri"),
+        )
+        data = data.join(dv, ["_pos_fn", "_pos_ri"], "left_anti")
+    return data if with_position else data.drop("_pos_fn", "_pos_ri")
 
 
 def snapshot_log(table_path: str) -> list[dict]:
@@ -579,8 +624,11 @@ def commit_merge(
     else:
         affected = set()
     if affected:
-        aff_df = spark.read.option("mergeSchema", "true").parquet(
-            *[os.path.join(table_path, p) for p in sorted(affected)]
+        aff_df = _read_files(
+            spark,
+            table_path,
+            [{"path": p} for p in sorted(affected)],
+            read_manifest(table_path, parent).get("dvs") if parent else None,
         )
         survivors = aff_df.join(F.broadcast(keys), key, "left_anti")
         new_rows = survivors.unionByName(updates.select(aff_df.columns))
@@ -598,10 +646,12 @@ def commit_compact(
     intact — Iceberg's rewrite_data_files. Old files stay on disk for time
     travel until expire_snapshots drops them."""
     parent = current_version(table_path)
-    files = read_manifest(table_path, parent)["files"]
-    df = spark.read.parquet(*[os.path.join(table_path, e["path"]) for e in files])
+    m = read_manifest(table_path, parent)
+    files = m["files"]
+    df = _read_files(spark, table_path, files, m.get("dvs"))
     rewritten = _write_data_files(df.coalesce(max(1, len(files) // 8)), table_path, target_rows)
-    return _commit(table_path, parent, "compact", rewritten)
+    # compaction materializes the MoR-applied state: tombstones retire
+    return _commit(table_path, parent, "compact", rewritten, extra={"dvs": []})
 
 
 def streaming_append_sink(table_path: str, max_rows: int = 4096):
