@@ -206,3 +206,51 @@ def hidden_partition_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame
     return scan_partitioned(spark, t, [("user_id", "=", int(uid))]).select(
         "event_id", "user_id", "ts", "event_type", "value"
     )
+
+
+_MOR_TABLES: dict[tuple, str] = {}
+
+
+@register(
+    "mor_deleted_orders_read",
+    oracle="""
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders
+WHERE NOT (o_orderstatus = 'F') AND NOT (o_custkey % 7 = 0)
+""",
+    description=(
+        "Merge-on-read DELETE: two tombstone commits (positional "
+        "deletion vectors, zero files rewritten) applied at read time "
+        "via the DV anti-join — values equal the doubly-filtered source "
+        "exactly"
+    ),
+    driver_exposed=False,
+    eager=True,  # builds/loads a trained artifact or runs a stream at plan time
+)
+def mor_deleted_orders_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Read through accumulated deletion vectors.
+
+    The second delete's predicate scan runs DV-applied (no double
+    tombstones — pinned in tests/test_deletion_vectors.py); parity here
+    proves the anti-join surfaces exactly the surviving rows."""
+    from iceberg_file_writer_spark.ingest.deletion_vectors import (
+        commit_delete_where_mor,
+    )
+    from iceberg_file_writer_spark.ingest.snapshots import (
+        commit_append,
+        read_table_version,
+    )
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _MOR_TABLES:
+        t = os.path.join(tempfile.mkdtemp(prefix="mor-tbl-"), "orders")
+        orders = load_tables(spark, sf_dir)["orders"].select(
+            "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"
+        )
+        commit_append(spark, orders, t, max_rows=2_000)
+        commit_delete_where_mor(spark, t, "o_orderstatus = 'F'")
+        commit_delete_where_mor(spark, t, "o_custkey % 7 = 0")
+        _MOR_TABLES[key] = t
+    return read_table_version(spark, _MOR_TABLES[key]).select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
