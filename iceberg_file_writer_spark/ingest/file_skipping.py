@@ -93,7 +93,14 @@ def conjuncts_to_sql(conjuncts: list) -> str:
             parts.append(f"`{col}` IS NOT NULL")
         else:
             v = rest[0]
-            lit = f"'{v}'" if isinstance(v, str) else repr(v)
+            if isinstance(v, str):
+                # Spark string literals treat backslash as an escape;
+                # escape it and the quote so a value like O'Brien cannot
+                # malform (or alter) the rendered predicate
+                esc = v.replace("\\", "\\\\").replace("'", "\\'")
+                lit = f"'{esc}'"
+            else:
+                lit = repr(v)
             parts.append(f"`{col}` {op} {lit}")
     return " AND ".join(parts) if parts else "true"
 
@@ -108,16 +115,16 @@ def scan_table(
     reads only files whose manifest stats can match. Exposes the
     surviving/total file counts on the returned DataFrame as
     ``scan_table.last_files = (kept, total)`` for observability."""
-    import os
-
     from iceberg_file_writer_spark.ingest.snapshots import (
+        _read_files,
         current_version,
         read_manifest,
         read_table_version,
     )
 
     v = current_version(table_path) if version is None else version
-    files = read_manifest(table_path, v)["files"]
+    m = read_manifest(table_path, v)
+    files = m["files"]
     kept = prune_files(files, conjuncts)
     scan_table.last_files = (len(kept), len(files))
     residual = conjuncts_to_sql(conjuncts)
@@ -126,8 +133,28 @@ def scan_table(
         return read_table_version(spark, table_path, v).where("false")
     if len(kept) == len(files):
         return read_table_version(spark, table_path, v).where(residual)
-    return (
-        spark.read.option("mergeSchema", "true")
-        .parquet(*[os.path.join(table_path, e["path"]) for e in kept])
-        .where(residual)
-    )
+    # Pruned path: the kept files must still honor the snapshot's
+    # merge-on-read deletion vectors (anti-join in _read_files) and the
+    # snapshot's FULL schema — additive evolution can leave the kept
+    # subset without a column the residual (or the caller) references,
+    # so align by adding typed NULL columns. The full schema comes from
+    # a lazy read_table_version (parquet footer metadata only — no data
+    # IO; at 100 TB the manifest would carry the schema inline).
+    pruned = _read_files(spark, table_path, kept, m.get("dvs"))
+    full_schema = read_table_version(spark, table_path, v).schema
+    return _align_schema(pruned, full_schema).where(residual)
+
+
+def _align_schema(df: DataFrame, schema) -> DataFrame:
+    """Add typed NULL columns for fields of ``schema`` missing from
+    ``df`` (files that predate an additive evolution) and project to the
+    schema's column order."""
+    from pyspark.sql import functions as F
+
+    have = set(df.columns)
+    for field in schema.fields:
+        if field.name not in have:
+            df = df.withColumn(
+                field.name, F.lit(None).cast(field.dataType)
+            )
+    return df.select(*[f.name for f in schema.fields])

@@ -78,7 +78,6 @@ from iceberg_file_writer_spark.ingest.snapshots import (
 _MARKER = "txn.commit"
 _STAGING = "txn.staging.json"
 _LEDGER = "txn.applied.json"
-_SKIP = object()
 
 
 def _flip_current(table_path: str, version: int) -> None:
@@ -132,12 +131,34 @@ def recover_multi(txn_root: str) -> None:
         try:
             owner = json.load(open(mp)).get("txn")
         except (json.JSONDecodeError, ValueError):
-            # empty/torn manifest at a version our intent claims: ours
-            # (crashed between O_EXCL create and content write)
-            owner = txn_id
+            # Unparseable manifest at a claimed version: NOT ours. Our
+            # claims are linked into place fully-written + fsync'd
+            # (_claim_slot), so a torn manifest here is a rival
+            # single-table writer mid-`json.dump` — deleting it would
+            # brick the table once the rival flips CURRENT to it.
+            continue
         if owner == txn_id:
             os.remove(mp)
     os.remove(staging)
+
+
+def _claim_slot(t: str, v: int, manifest: dict) -> None:
+    """Claim version slot ``v`` of table ``t`` atomically WITH content:
+    write + fsync a temp file, then hard-link it into the slot.
+    ``os.link`` fails with FileExistsError exactly like O_EXCL, but the
+    manifest is never observable half-written — recovery can therefore
+    trust that any unparseable ``v{n}.json`` belongs to someone else."""
+    tmp = _manifest_path(t, v) + f".{uuid.uuid4().hex[:8]}.tmp"
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+        f.flush()
+        os.fsync(f.fileno())
+    try:
+        os.link(tmp, _manifest_path(t, v))
+    except FileExistsError as e:
+        raise CommitConflict(f"{t} version {v} claimed by another writer") from e
+    finally:
+        os.remove(tmp)
 
 
 def commit_multi(
@@ -178,7 +199,7 @@ def commit_multi(
             files = _write_data_files(df, t, max_rows)
             os.makedirs(_snap_dir(t), exist_ok=True)
             parent = v - 1
-            os.makedirs(_snap_dir(t), exist_ok=True)
+            pm = read_manifest(t, parent) if parent else {}
             manifest = {
                 "version": v,
                 "parent": parent,
@@ -186,28 +207,16 @@ def commit_multi(
                 "txn": txn_id,
             }
             manifest.update(
-                _segment_files(
-                    t,
-                    (read_manifest(t, parent)["files"] if parent else [])
-                    + files,
-                )
+                _segment_files(t, (pm.get("files") or []) + files)
             )
-            if parent > 0:
-                inherited = read_manifest(t, parent).get("batch_ids")
-                if inherited is not None:
-                    manifest["batch_ids"] = inherited
-            try:
-                fd = os.open(
-                    _manifest_path(t, v), os.O_CREAT | os.O_EXCL | os.O_WRONLY
-                )
-            except FileExistsError as e:
-                raise CommitConflict(
-                    f"{t} version {v} claimed by another writer"
-                ) from e
-            with os.fdopen(fd, "w") as f:
-                json.dump(manifest, f)
-                f.flush()
-                os.fsync(f.fileno())
+            # inherit everything a single-table append inherits
+            # (snapshots._commit): the exactly-once ledger, the
+            # hidden-partition spec, and merge-on-read deletion vectors
+            # — dropping the dvs here would resurrect deleted rows.
+            for carried in ("batch_ids", "spec", "dvs"):
+                if pm.get(carried) is not None:
+                    manifest[carried] = pm[carried]
+            _claim_slot(t, v, manifest)
     except CommitConflict:
         recover_multi(txn_root)  # marker absent => rolls our claims back
         raise

@@ -11,16 +11,20 @@ manifest-stats file skipping (``ingest/file_skipping.py``), so:
   the transform's only job is the write-side clustering.
 - **bucket transforms** add pruning power range stats cannot give: a
   point lookup on a high-cardinality key that the sort order does not
-  cover. The writer materializes a hidden ``_b_<col>`` column
+  cover. The writer materializes a hidden ``_b<n>_<col>`` column
   (md5-derived bucket id — bit-identical in Spark SQL and Python, so
   the scanner computes the literal's bucket driver-side) and clusters
-  by it; the scanner augments ``col = v`` with ``_b_<col> =
+  by it; the scanner augments ``col = v`` with ``_b<n>_<col> =
   bucket(v)``, which the per-file stats then prune on.
 
 The spec rides in the manifest (``"spec"``), so scans self-configure
-and the spec can EVOLVE: files written under an old spec simply lack
-the new hidden column's stats and survive pruning conservatively —
-correctness never depends on layout, only scan cost does.
+and the spec can EVOLVE: the bucket COUNT is part of the hidden
+column's name, so files written under an old spec (no spec, or a
+different bucket count for the same column) simply lack the current
+hidden column's stats and survive pruning conservatively —
+correctness never depends on layout, only scan cost does. (A single
+shared ``_b_<col>`` name would silently trust stats computed under
+the OLD modulus and drop files that still hold matching rows.)
 
 At 100 TB: a day+bucket spec turns full-corpus point lookups into
 O(files-per-day / n_buckets) reads with zero layout knowledge in
@@ -57,27 +61,21 @@ def bucket_of(value, n: int) -> int:
     return int(digest, 16) % n
 
 
-def _hidden_cols(spec: list) -> "list[tuple[str, object]]":
-    out = []
-    for tr in spec:
-        if tr[0] == "bucket":
-            _k, n, col = tr
-            out.append((f"_b_{col}", _bucket_expr(col, n)))
-    return out
+def _bucket_col_name(col: str, n: int) -> str:
+    """Hidden bucket column name. The modulus is part of the name so a
+    spec evolution that re-buckets the same column can never read stats
+    written under a different bucket count."""
+    return f"_b{n}_{col}"
 
 
-def _cluster_cols(spec: list) -> list[str]:
-    cols = []
-    for tr in spec:
-        if tr[0] == "day":
-            cols.append(f"_d_{tr[1]}")
-        elif tr[0] == "month":
-            cols.append(f"_m_{tr[1]}")
-        elif tr[0] == "bucket":
-            cols.append(f"_b_{tr[2]}")
-        else:
-            raise ValueError(f"unknown transform: {tr[0]}")
-    return cols
+def _is_hidden(name: str) -> bool:
+    """Hidden bucket columns of ANY spec epoch (``_b<n>_<col>``) — old
+    epochs' columns still live in old data files and surface under
+    mergeSchema, so scans drop by shape, not by the current spec."""
+    if not name.startswith("_b"):
+        return False
+    digits = name[2:].split("_", 1)[0]
+    return bool(digits) and digits.isdigit() and "_" in name[2:]
 
 
 def commit_append_partitioned(
@@ -108,7 +106,7 @@ def commit_append_partitioned(
             c = f"_m_{tr[1]}"
             work = work.withColumn(c, F.date_format(tr[1], "yyyy-MM"))
         elif tr[0] == "bucket":
-            c = f"_b_{tr[2]}"
+            c = _bucket_col_name(tr[2], tr[1])
             work = work.withColumn(c, _bucket_expr(tr[2], tr[1]))
         else:
             raise ValueError(f"unknown transform: {tr[0]}")
@@ -116,7 +114,7 @@ def commit_append_partitioned(
     # cluster files along the spec; drop the time helpers (raw stats
     # prune time ranges), KEEP bucket cols (their stats carry the
     # pruning signal range stats cannot)
-    keep_hidden = [c for c in cluster if c.startswith("_b_")]
+    keep_hidden = [c for c in cluster if _is_hidden(c)]
     work = (
         work.repartitionByRange(*[F.col(c) for c in cluster])
         .sortWithinPartitions(*cluster)
@@ -140,14 +138,16 @@ def scan_partitioned(
     the spec's transforms (bucket equality); hidden columns never
     surface. Row-identical to the unpruned filtered read."""
     from iceberg_file_writer_spark.ingest.file_skipping import (
+        _align_schema,
         conjuncts_to_sql,
         prune_files,
     )
     from iceberg_file_writer_spark.ingest.snapshots import (
+        _read_files,
         current_version,
         read_manifest,
+        read_table_version,
     )
-    import os
 
     v = current_version(table_path) if version is None else version
     m = read_manifest(table_path, v)
@@ -156,21 +156,24 @@ def scan_partitioned(
     augmented = list(conjuncts)
     for col, op, *rest in conjuncts:
         if op == "=" and col in buckets:
-            augmented.append((f"_b_{col}", "=", bucket_of(rest[0], buckets[col])))
+            n = buckets[col]
+            augmented.append(
+                (_bucket_col_name(col, n), "=", bucket_of(rest[0], n))
+            )
     kept = prune_files(m["files"], augmented)
     scan_partitioned.last_files = (len(kept), len(m["files"]))
     residual = conjuncts_to_sql(conjuncts)  # raw predicates only
-    hidden = [f"_b_{c}" for c in buckets]
-    if not kept:
-        from iceberg_file_writer_spark.ingest.snapshots import (
-            read_table_version,
-        )
 
-        out = read_table_version(spark, table_path, v).where("false")
-        return out.drop(*hidden)
-    return (
-        spark.read.option("mergeSchema", "true")
-        .parquet(*[os.path.join(table_path, e["path"]) for e in kept])
-        .where(residual)
-        .drop(*hidden)
-    )
+    def _drop_hidden(df: DataFrame) -> DataFrame:
+        return df.drop(*[c for c in df.columns if _is_hidden(c)])
+
+    full = read_table_version(spark, table_path, v)
+    if not kept:
+        return _drop_hidden(full.where("false"))
+    if len(kept) == len(m["files"]):
+        return _drop_hidden(full.where(residual))
+    # Pruned subset: DV anti-join + full-schema alignment, exactly as
+    # file_skipping.scan_table — a hidden-partition read must not
+    # resurrect merge-on-read-deleted rows or lose evolved columns.
+    pruned = _read_files(spark, table_path, kept, m.get("dvs"))
+    return _drop_hidden(_align_schema(pruned, full.schema).where(residual))

@@ -204,9 +204,15 @@ def _footer_stats(meta) -> dict:
                 continue
             mins[name] = lo if name not in mins else min(mins[name], lo)
             maxs[name] = hi if name not in maxs else max(maxs[name], hi)
-            nulls[name] = nulls.get(name, 0) + (st.null_count or 0)
+            # a single row group without a null count makes the file's
+            # count UNKNOWN (None, sticky) — coercing to 0 would let
+            # IS NULL pruning skip files that do hold nulls
+            if not st.has_null_count or nulls.get(name, 0) is None:
+                nulls[name] = None
+            else:
+                nulls[name] = nulls.get(name, 0) + st.null_count
     return {
-        name: [mins[name], maxs[name], nulls.get(name, 0)]
+        name: [mins[name], maxs[name], nulls.get(name)]
         for name in (ok or set())
         if name in mins
     }
@@ -713,26 +719,34 @@ def changes_between(
 ) -> DataFrame:
     """Row-level change feed between two snapshots (CDC read).
 
-    The manifests make this cheap: a file carried by reference from one
-    snapshot to the other cannot contribute any change, so only the
-    files present in exactly one manifest are read — for an append-mostly
-    table that is the new files, however large the table. The symmetric
-    row diff over those files (multiset semantics via per-row counts)
-    yields '+' (inserted) and '-' (deleted) rows; an update appears as
-    its delete + insert pair, exactly a changelog.
+    The manifests make this cheap: a file carried by reference with an
+    unchanged tombstone set cannot contribute any change, so only (a)
+    files present in exactly one manifest and (b) carried files whose
+    merge-on-read deletion-vector membership changed between the two
+    snapshots are read — for an append-mostly table that is the new
+    files, however large the table. Each side's rows are DV-APPLIED
+    (rows already deleted at ``from_version`` never re-emit as '-'
+    when a compaction rewrites their file; rows tombstoned between the
+    versions emit as '-' even though no file changed). The symmetric
+    row diff (multiset semantics via per-row counts) yields '+'
+    (inserted) and '-' (deleted) rows; an update appears as its
+    delete + insert pair, exactly a changelog.
     """
-    a = {e["path"] for e in read_manifest(table_path, from_version)["files"]}
-    b = {e["path"] for e in read_manifest(table_path, to_version)["files"]}
+    ma = read_manifest(table_path, from_version)
+    mb = read_manifest(table_path, to_version)
+    a = {e["path"] for e in ma["files"]}
+    b = {e["path"] for e in mb["files"]}
     only_a, only_b = sorted(a - b), sorted(b - a)
+    dvs_a, dvs_b = ma.get("dvs") or [], mb.get("dvs") or []
 
-    def _read(paths: list[str]) -> DataFrame | None:
+    def _read(paths: list[str], dvs: list) -> DataFrame | None:
         if not paths:
             return None
-        return spark.read.option("mergeSchema", "true").parquet(
-            *[os.path.join(table_path, p) for p in paths]
+        return _read_files(
+            spark, table_path, [{"path": p} for p in paths], dvs
         )
 
-    removed, added = _read(only_a), _read(only_b)
+    removed, added = _read(only_a, dvs_a), _read(only_b, dvs_b)
     # tag each side +1/-1 and align schemas by name (evolution may give the
     # two sides different column sets; missing columns fill as NULL)
     sides = []
@@ -740,6 +754,11 @@ def changes_between(
         sides.append(added.select(F.lit(1).alias("_d"), *added.columns))
     if removed is not None:
         sides.append(removed.select(F.lit(-1).alias("_d"), *removed.columns))
+    carried_delta = _carried_dv_delta(
+        spark, table_path, sorted(a & b), dvs_a, dvs_b
+    )
+    if carried_delta is not None:
+        sides.append(carried_delta)
     if not sides:
         # identical manifests: an empty feed with the snapshot's schema
         empty = read_table_version(spark, table_path, to_version).where(F.lit(False))
@@ -761,6 +780,73 @@ def changes_between(
         ).alias("change"),
     )
     return exploded.select("change", *cols)
+
+
+def _carried_dv_delta(
+    spark: SparkSession,
+    table_path: str,
+    carried: list[str],
+    dvs_a: list,
+    dvs_b: list,
+) -> DataFrame | None:
+    """Signed rows (+1/-1 in ``_d``) contributed to a CDC feed by files
+    carried between two snapshots whose deletion-vector membership
+    changed: a position tombstoned at B but not at A was visible at A
+    and gone at B (-1); the reverse (+1) covers DV retirement shapes.
+    Only the carried files actually NAMED by the tombstone delta are
+    read — the delta is deletion-sized, so the driver-side file-name
+    collect is bounded by the compaction trigger, not the table."""
+    if not carried or (not dvs_a and not dvs_b):
+        return None
+    if set(dvs_a) == set(dvs_b):
+        return None
+
+    def _dv(dvs: list) -> DataFrame | None:
+        if not dvs:
+            return None
+        return spark.read.parquet(
+            *[os.path.join(table_path, p) for p in dvs]
+        ).select("file_name", "row_index")
+
+    da, db = _dv(dvs_a), _dv(dvs_b)
+    if da is None:
+        minus, plus = db, None  # all of B's tombstones are new deletes
+    elif db is None:
+        minus, plus = None, da  # every A tombstone retired un-compacted
+    else:
+        minus, plus = db.subtract(da), da.subtract(db)
+    name_to_path = {os.path.basename(p): p for p in carried}
+    sides = []
+    for delta, sign in ((minus, -1), (plus, 1)):
+        if delta is None:
+            continue
+        hit_names = {
+            r.file_name
+            for r in delta.select("file_name").distinct().collect()
+            if r.file_name in name_to_path
+        }
+        if not hit_names:
+            continue
+        rows = _read_files(
+            spark,
+            table_path,
+            [{"path": name_to_path[n]} for n in sorted(hit_names)],
+            None,
+            with_position=True,
+        ).join(
+            delta.select(
+                F.col("file_name").alias("_pos_fn"),
+                F.col("row_index").alias("_pos_ri"),
+            ),
+            ["_pos_fn", "_pos_ri"],
+        ).drop("_pos_fn", "_pos_ri")
+        sides.append(rows.select(F.lit(sign).alias("_d"), *rows.columns))
+    if not sides:
+        return None
+    out = sides[0]
+    for s_df in sides[1:]:
+        out = out.unionByName(s_df, allowMissingColumns=True)
+    return out
 
 
 def _file_stats(path: str, stats_cols: tuple[str, ...]) -> dict:

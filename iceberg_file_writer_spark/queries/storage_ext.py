@@ -59,7 +59,7 @@ def _stats_table(spark: SparkSession, sf_dir: str) -> str:
     oracle="""
 SELECT o_orderkey, o_custkey, o_totalprice
 FROM orders
-WHERE o_orderkey > (SELECT CAST(max(o_orderkey) * 0.8 AS BIGINT) FROM orders)
+WHERE o_orderkey > (SELECT CAST(FLOOR(max(o_orderkey) * 0.8) AS BIGINT) FROM orders)
 """,
     description=(
         "Manifest-stats file skipping: a key-range predicate over a "
@@ -74,8 +74,10 @@ def stats_pruned_orders_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-skipping scan through the manifest stats index.
 
     The cutoff (top 20% of the key range) is computed from data on both
-    sides identically (double multiply + truncation), so the oracle is
-    exact. Pruning effectiveness is plan-pinned in
+    sides identically — double multiply + explicit FLOOR, because
+    Python ``int()`` truncates while a bare DuckDB ``CAST`` rounds to
+    nearest, and the two disagree whenever the product's fraction is
+    >= 0.5 — so the oracle is exact for any key distribution. Pruning effectiveness is plan-pinned in
     tests/test_file_skipping.py::test_registered_entry_prunes — this
     entry's value-hash parity proves the pruned read LOSES NOTHING,
     which is the half a plan assertion cannot prove.

@@ -121,3 +121,53 @@ def test_compact_retires_tombstones(spark, table):
     expire_snapshots(t, keep_last=1, data_grace_seconds=0)
     assert expire_deletion_vectors(t, grace_seconds=0) == 1
     assert dv_stats(t) == {"n_dvs": 0, "tombstone_rows": 0}
+
+
+def test_changes_between_sees_mor_deletes(spark, table):
+    """A MoR delete changes no file list, but the CDC feed between the
+    surrounding snapshots must still emit the tombstoned rows as '-'."""
+    from iceberg_file_writer_spark.ingest.snapshots import changes_between
+
+    t, orders = table
+    v2 = commit_delete_where_mor(spark, t, "o_orderstatus = 'F'")
+    ch = changes_between(spark, t, 1, v2)
+    n_f = orders.where("o_orderstatus = 'F'").count()
+    assert ch.where("change = '-'").count() == n_f
+    assert ch.where("change = '+'").count() == 0
+    assert ch.where("change = '-' AND o_orderstatus <> 'F'").count() == 0
+
+
+def test_changes_between_compaction_of_mor_state_is_empty(spark, table):
+    """Compacting a MoR snapshot rewrites files AND retires tombstones
+    without changing a single visible row — its change feed is empty
+    (deleted rows must NOT spuriously surface as '-' here: they already
+    appeared at the delete_mor snapshot)."""
+    from iceberg_file_writer_spark.ingest.snapshots import changes_between
+
+    t, orders = table
+    v2 = commit_delete_where_mor(spark, t, "o_orderstatus = 'F'")
+    v3 = commit_compact(spark, t)
+    assert changes_between(spark, t, v2, v3).count() == 0
+    # and the full 1 -> v3 feed equals the 1 -> v2 feed (delete only)
+    n_f = orders.where("o_orderstatus = 'F'").count()
+    ch = changes_between(spark, t, 1, v3)
+    assert ch.where("change = '-'").count() == n_f
+    assert ch.where("change = '+'").count() == 0
+
+
+def test_changes_between_mixed_append_and_mor_delete(spark, table):
+    """One feed spanning an append AND a MoR delete yields both signs
+    exactly (carried-file DV delta composes with the file diff)."""
+    from iceberg_file_writer_spark.ingest.snapshots import changes_between
+
+    t, orders = table
+    commit_delete_where_mor(spark, t, "o_orderstatus = 'F'")
+    extra = orders.limit(5).withColumn(
+        "o_orderkey", F.col("o_orderkey") + 10_000_000
+    )
+    v3 = commit_append(spark, extra, t, max_rows=200)
+    ch = changes_between(spark, t, 1, v3)
+    assert ch.where("change = '+'").count() == 5
+    assert ch.where("change = '-'").count() == orders.where(
+        "o_orderstatus = 'F'"
+    ).count()

@@ -124,3 +124,69 @@ def test_registered_entry_prunes(spark):
     stats_pruned_orders_scan(spark, SF_DIR).count()
     kept, total = stats_pruned_orders_scan.last_files
     assert total >= 4 and kept < total / 2
+
+
+def test_pruned_scan_applies_deletion_vectors(spark, table):
+    """A scan whose pruning drops files must still anti-join the
+    snapshot's MoR tombstones — kept files can hold deleted rows."""
+    from iceberg_file_writer_spark.ingest.deletion_vectors import (
+        commit_delete_where_mor,
+    )
+
+    t, orders = table
+    maxkey = orders.agg(F.max("o_orderkey")).first()[0]
+    cut = int(maxkey * 0.8)
+    commit_delete_where_mor(spark, t, f"o_orderkey > {cut} AND o_custkey % 2 = 0")
+    got = scan_table(spark, t, [("o_orderkey", ">", cut)])
+    kept, total = scan_table.last_files
+    assert kept < total  # pruning actually fired
+    want = read_table_version(spark, t).where(f"o_orderkey > {cut}")
+    assert _canon(got) == _canon(want)
+
+
+def test_pruned_scan_survives_evolved_column_conjunct(spark, tmp_path):
+    """Residual on a column added by additive evolution must not crash
+    (or lose schema) when every file carrying it was pruned away."""
+    t = str(tmp_path / "evolved")
+    orders = load_tables(spark, SF_DIR)["orders"].select(
+        "o_orderkey", "o_custkey"
+    )
+    old = orders.where("o_orderkey <= 1000").repartitionByRange(
+        2, "o_orderkey"
+    ).sortWithinPartitions("o_orderkey")
+    commit_append(spark, old, t, max_rows=10_000)
+    new = (
+        orders.where("o_orderkey > 1000")
+        .withColumn("priority", F.col("o_orderkey") % 3)
+        .repartitionByRange(2, "o_orderkey")
+        .sortWithinPartitions("o_orderkey")
+    )
+    commit_append(spark, new, t, max_rows=10_000)
+    # prune to the OLD half (no priority column in any kept file), with a
+    # residual conjunct on the evolved column
+    conj = [("o_orderkey", "<=", 1000), ("priority", "=", 1)]
+    got = scan_table(spark, t, conj)
+    want = read_table_version(spark, t).where(
+        "o_orderkey <= 1000 AND priority = 1"
+    )
+    assert got.columns == want.columns
+    assert _canon(got) == _canon(want) == []
+    # and IS NULL on the evolved column over the old half MATCHES rows
+    got2 = scan_table(spark, t, [("o_orderkey", "<=", 1000), ("priority", "isnull")])
+    want2 = read_table_version(spark, t).where(
+        "o_orderkey <= 1000 AND priority IS NULL"
+    )
+    assert _canon(got2) == _canon(want2)
+    assert len(_canon(got2)) > 0
+
+
+def test_string_literal_escaping():
+    sql = conjuncts_to_sql([("name", "=", "O'Brien \\ co")])
+    assert sql == "`name` = 'O\\'Brien \\\\ co'"
+
+
+def test_string_literal_escaping_filters(spark):
+    df = spark.createDataFrame(
+        [("O'Brien",), ("Smith",)], "name string"
+    )
+    assert df.where(conjuncts_to_sql([("name", "=", "O'Brien")])).count() == 1

@@ -199,3 +199,62 @@ def test_crash_sweep_all_or_nothing(spark, setup):
         commit_append(spark, orders.where("o_orderkey % 2 = 0"), ta, max_rows=200)
         commit_append(spark, base_b, tb, max_rows=200)
     assert crash_at > 3  # the sweep exercised several distinct windows
+
+
+def test_multi_commit_carries_deletion_vectors_and_spec(spark, setup):
+    """A multi-table append to a table holding MoR tombstones (or a
+    hidden-partition spec) must inherit them like a single-table append
+    — dropping the dvs would silently resurrect deleted rows."""
+    from iceberg_file_writer_spark.ingest.deletion_vectors import (
+        commit_delete_where_mor,
+    )
+    from iceberg_file_writer_spark.ingest.snapshots import read_manifest
+
+    orders, ta, tb, txn = setup
+    commit_delete_where_mor(spark, ta, "o_custkey % 3 = 0")
+    want_before = _canon(read_table_version(spark, ta))
+    delta = orders.where("o_orderkey % 2 = 1")
+    got = commit_multi(spark, txn, [(ta, delta)], max_rows=200)
+    v = got[ta]
+    m = read_manifest(ta, v)
+    assert m.get("dvs"), "multi-commit dropped the parent's deletion vectors"
+    assert _canon(read_table_version(spark, ta)) == sorted(
+        want_before + _canon(delta)
+    )
+
+
+def test_recover_never_deletes_rival_torn_manifest(spark, setup, tmp_path):
+    """An unparseable manifest at a claimed version belongs to a rival
+    single-table writer mid-write (our own claims are linked into place
+    fully formed); rollback must leave it intact."""
+    import json
+
+    from iceberg_file_writer_spark.ingest.snapshots import _manifest_path
+
+    orders, ta, tb, txn = setup
+    os.makedirs(txn, exist_ok=True)
+    # our intent claims version 2 of ta...
+    with open(os.path.join(txn, "txn.staging.json"), "w") as f:
+        json.dump({"claims": [[ta, 2]], "txn": "deadbeef"}, f)
+    # ...but a rival is mid-json.dump at that slot (empty file on disk)
+    open(_manifest_path(ta, 2), "w").close()
+    recover_multi(txn)
+    assert os.path.exists(_manifest_path(ta, 2)), (
+        "rollback deleted a rival's in-flight manifest"
+    )
+    os.remove(_manifest_path(ta, 2))  # clean the simulated torn file
+
+
+def test_multi_commit_after_itself_inherits_ledger(spark, setup):
+    """batch_ids accumulated by streaming appends survive an interleaved
+    multi-table commit (inheritance parity with snapshots._commit)."""
+    from iceberg_file_writer_spark.ingest.snapshots import (
+        read_manifest,
+        streaming_append_sink,
+    )
+
+    orders, ta, tb, txn = setup
+    streaming_append_sink(ta, max_rows=200)(orders.limit(3), 41)
+    commit_multi(spark, txn, [(ta, orders.limit(2))], max_rows=200)
+    m = read_manifest(ta, current_version(ta))
+    assert m.get("batch_ids") == [41]

@@ -84,3 +84,53 @@ def test_spec_evolution_is_conservative(spark, table):
     assert _canon(got) == _canon(want)
     kept, total = scan_partitioned.last_files
     assert kept < total  # spec'd files still prune; legacy ones all kept
+
+
+def test_partitioned_scan_applies_deletion_vectors(spark, tmp_path):
+    """Pruned hidden-partition reads must anti-join MoR tombstones."""
+    from iceberg_file_writer_spark.ingest.deletion_vectors import (
+        commit_delete_where_mor,
+    )
+    from iceberg_file_writer_spark.ingest.snapshots import read_table_version
+
+    t = str(tmp_path / "tbl")
+    ev = load_tables(spark, SF_DIR)["events"].select(
+        "event_id", "user_id", "ts", "event_type", "value"
+    )
+    commit_append_partitioned(
+        spark, ev, t, [("bucket", 8, "user_id")], max_rows=40
+    )
+    uid = ev.agg(F.min("user_id")).first()[0]
+    commit_delete_where_mor(spark, t, f"user_id = {uid} AND event_id % 2 = 0")
+    got = scan_partitioned(spark, t, [("user_id", "=", int(uid))])
+    kept, total = scan_partitioned.last_files
+    assert kept < total  # bucket pruning fired
+    want = ev.where(f"user_id = {uid} AND event_id % 2 <> 0")
+    assert sorted(tuple(r) for r in got.collect()) == sorted(
+        tuple(r) for r in want.collect()
+    )
+
+
+def test_bucket_respec_loses_no_rows(spark, tmp_path):
+    """Re-bucketing the SAME column with a different count must not let
+    old files' stale bucket stats prune away matching rows."""
+    t = str(tmp_path / "tbl")
+    ev = load_tables(spark, SF_DIR)["events"].select(
+        "event_id", "user_id", "ts", "event_type", "value"
+    )
+    old = ev.where("event_id % 2 = 0")
+    new = ev.where("event_id % 2 = 1")
+    commit_append_partitioned(
+        spark, old, t, [("bucket", 4, "user_id")], max_rows=40
+    )
+    commit_append_partitioned(
+        spark, new, t, [("bucket", 8, "user_id")], max_rows=40
+    )
+    for uid in [r[0] for r in ev.select("user_id").distinct().limit(5).collect()]:
+        got = scan_partitioned(spark, t, [("user_id", "=", int(uid))])
+        want = ev.where(f"user_id = {uid}")
+        assert sorted(tuple(r) for r in got.collect()) == sorted(
+            tuple(r) for r in want.collect()
+        ), f"user {uid} lost rows across the spec change"
+    # hidden columns of BOTH epochs stay hidden
+    assert not [c for c in got.columns if c.startswith("_b")]
