@@ -126,6 +126,10 @@ def scan_table(
     m = read_manifest(table_path, v)
     files = m["files"]
     kept = prune_files(files, conjuncts)
+    if m.get("bloom"):
+        from iceberg_file_writer_spark.ingest.bloom_index import bloom_prune
+
+        kept = bloom_prune(table_path, m["bloom"], kept, conjuncts)
     scan_table.last_files = (len(kept), len(files))
     residual = conjuncts_to_sql(conjuncts)
     if not kept:

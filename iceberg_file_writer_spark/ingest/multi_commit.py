@@ -211,9 +211,10 @@ def commit_multi(
             )
             # inherit everything a single-table append inherits
             # (snapshots._commit): the exactly-once ledger, the
-            # hidden-partition spec, and merge-on-read deletion vectors
-            # — dropping the dvs here would resurrect deleted rows.
-            for carried in ("batch_ids", "spec", "dvs"):
+            # hidden-partition spec, merge-on-read deletion vectors
+            # (dropping dvs would resurrect deleted rows), and bloom
+            # sidecar pointers.
+            for carried in ("batch_ids", "spec", "dvs", "bloom"):
                 if pm.get(carried) is not None:
                     manifest[carried] = pm[carried]
             _claim_slot(t, v, manifest)

@@ -26,6 +26,13 @@ correctness never depends on layout, only scan cost does. (A single
 shared ``_b_<col>`` name would silently trust stats computed under
 the OLD modulus and drop files that still hold matching rows.)
 
+- **z-order transforms** cluster by a Morton code over SEVERAL columns
+  at once: every z-ordered column's raw per-file min/max stays tight,
+  so range predicates on ANY of them (alone or boxed together) prune —
+  where a plain sort order only serves its leading column. Like the
+  time transforms, the z-value is a write-side clustering key only;
+  no hidden column is stored.
+
 At 100 TB: a day+bucket spec turns full-corpus point lookups into
 O(files-per-day / n_buckets) reads with zero layout knowledge in
 queries.
@@ -43,6 +50,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 # spec entry forms: ("day", col) | ("month", col) | ("bucket", n, col)
+#                 | ("zorder", [col, ...])
 
 
 def _bucket_expr(col: str, n: int):
@@ -59,6 +67,44 @@ def bucket_of(value, n: int) -> int:
     """The driver-side twin of ``_bucket_expr`` for a literal."""
     digest = hashlib.md5(str(value).encode()).hexdigest()[:15]
     return int(digest, 16) % n
+
+
+def _zorder_expr(df: DataFrame, cols: "list[str]", bits: int = 16):
+    """Z-value (Morton code) of ``cols``: each column min-max-normalized
+    to ``bits`` bits, then bit-interleaved — rows close in EVERY
+    dimension get close z-values, so range-clustering by the z-value
+    makes per-file raw min/max tight in ALL dimensions at once (the
+    Delta OPTIMIZE ZORDER / Iceberg sort-order trick). The whole thing
+    is one JVM-side expression (no UDF); the only driver work is a
+    single min/max aggregate over the batch.
+
+    Normalization is linear; heavily skewed columns would want quantile
+    (rank) normalization instead — at 100 TB that is an approxQuantile
+    pass feeding width-bucket boundaries, same interleave after."""
+    stats = df.agg(
+        *[F.min(c).alias(f"lo_{c}") for c in cols],
+        *[F.max(c).alias(f"hi_{c}") for c in cols],
+    ).first()
+    top = (1 << bits) - 1
+    scaled = []
+    for c in cols:
+        lo = float(stats[f"lo_{c}"])
+        hi = float(stats[f"hi_{c}"])
+        span = (hi - lo) or 1.0
+        scaled.append(
+            f"CAST(LEAST({top}, GREATEST(0, "
+            f"FLOOR((CAST(`{c}` AS DOUBLE) - {lo!r}) / {span!r} * {top})"
+            f")) AS BIGINT)"
+        )
+    shifts = " | ".join(
+        f"(((__zc{j}__ >> i) & 1) << (i * {len(cols)} + {j}))"
+        for j in range(len(cols))
+    )
+    lam = f"(acc, i) -> acc | {shifts}"
+    body = f"aggregate(sequence(0, {bits - 1}), CAST(0 AS BIGINT), {lam})"
+    for j, s in enumerate(scaled):
+        body = body.replace(f"__zc{j}__", f"({s})")
+    return F.expr(body)
 
 
 def _bucket_col_name(col: str, n: int) -> str:
@@ -108,6 +154,10 @@ def commit_append_partitioned(
         elif tr[0] == "bucket":
             c = _bucket_col_name(tr[2], tr[1])
             work = work.withColumn(c, _bucket_expr(tr[2], tr[1]))
+        elif tr[0] == "zorder":
+            zcols = list(tr[1])
+            c = "_z_" + "_".join(zcols)
+            work = work.withColumn(c, _zorder_expr(df, zcols))
         else:
             raise ValueError(f"unknown transform: {tr[0]}")
         cluster.append(c)
@@ -161,6 +211,10 @@ def scan_partitioned(
                 (_bucket_col_name(col, n), "=", bucket_of(rest[0], n))
             )
     kept = prune_files(m["files"], augmented)
+    if m.get("bloom"):
+        from iceberg_file_writer_spark.ingest.bloom_index import bloom_prune
+
+        kept = bloom_prune(table_path, m["bloom"], kept, conjuncts)
     scan_partitioned.last_files = (len(kept), len(m["files"]))
     residual = conjuncts_to_sql(conjuncts)  # raw predicates only
 

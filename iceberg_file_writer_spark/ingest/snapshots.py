@@ -289,6 +289,11 @@ def _commit(
         # rewrote are inert — uuid file names never recur)
         if pm.get("dvs") and not (extra and "dvs" in extra):
             manifest["dvs"] = pm["dvs"]
+        # bloom sidecar pointers ride the same way: entries are keyed by
+        # immutable file name, so carried files stay indexed and
+        # rewritten files just lack rows (conservative)
+        if pm.get("bloom") and not (extra and "bloom" in extra):
+            manifest["bloom"] = pm["bloom"]
     if extra:
         if "batch_ids" in extra and manifest.get("batch_ids"):
             extra = dict(extra)

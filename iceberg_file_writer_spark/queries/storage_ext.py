@@ -256,3 +256,124 @@ def mor_deleted_orders_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_table_version(spark, _MOR_TABLES[key]).select(
         "o_orderkey", "o_custkey", "o_totalprice"
     )
+
+
+_ZORDER_TABLES: dict[tuple, str] = {}
+
+
+@register(
+    "zorder_box_scan",
+    oracle="""
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders
+WHERE o_orderkey <= (SELECT CAST(FLOOR(median(o_orderkey)) AS BIGINT) FROM orders)
+  AND o_custkey  <= (SELECT CAST(FLOOR(median(o_custkey))  AS BIGINT) FROM orders)
+""",
+    description=(
+        "Z-order clustering: a 2-dimension box predicate over a table "
+        "Morton-clustered on (o_orderkey, o_custkey) prunes files on "
+        "BOTH columns at once (pytest-pinned vs a plain sort order); "
+        "values equal the unclustered filtered scan exactly"
+    ),
+    driver_exposed=False,
+    eager=True,  # builds/loads a trained artifact or runs a stream at plan time
+)
+def zorder_box_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Box scan through a z-ordered layout.
+
+    Pruning-on-every-dimension is pinned in
+    tests/test_partitioning.py::test_zorder_prunes_on_every_dimension;
+    value parity here proves the Morton layout loses no rows. Both
+    sides compute the box corner as FLOOR(median) — DuckDB's median of
+    an even row count is fractional, Spark's percentile likewise, and
+    FLOOR agrees with them both."""
+    from iceberg_file_writer_spark.ingest.partitioning import (
+        commit_append_partitioned,
+        scan_partitioned,
+    )
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _ZORDER_TABLES:
+        t = os.path.join(tempfile.mkdtemp(prefix="zorder-tbl-"), "orders")
+        commit_append_partitioned(
+            spark,
+            _orders(spark, sf_dir),
+            t,
+            [("zorder", ["o_orderkey", "o_custkey"])],
+            max_rows=2_000,
+        )
+        _ZORDER_TABLES[key] = t
+    t = _ZORDER_TABLES[key]
+    corners = _orders(spark, sf_dir).selectExpr(
+        "CAST(FLOOR(percentile(o_orderkey, 0.5)) AS BIGINT) AS k",
+        "CAST(FLOOR(percentile(o_custkey, 0.5)) AS BIGINT) AS c",
+    ).first()
+    df = scan_partitioned(
+        spark,
+        t,
+        [("o_orderkey", "<=", int(corners.k)), ("o_custkey", "<=", int(corners.c))],
+    )
+    zorder_box_scan.last_files = scan_partitioned.last_files
+    return df.select("o_orderkey", "o_custkey", "o_totalprice")
+
+
+_BLOOM_TABLES: dict[tuple, str] = {}
+
+
+@register(
+    "bloom_point_lookup",
+    oracle="""
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders
+WHERE o_orderkey = (
+    SELECT min(o_orderkey) FROM orders
+    WHERE o_orderkey >= (SELECT CAST(FLOOR(median(o_orderkey)) AS BIGINT) FROM orders)
+)
+""",
+    description=(
+        "Per-file bloom index: an equality probe on a near-unique "
+        "column the layout does NOT cluster (the table is custkey-"
+        "clustered, so every file's orderkey min/max spans the probe) "
+        "prunes to ~1 file through the bloom sidecar; values equal the "
+        "plain filtered scan exactly"
+    ),
+    driver_exposed=False,
+    eager=True,  # builds/loads a trained artifact or runs a stream at plan time
+)
+def bloom_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point lookup through the bloom sidecar.
+
+    The table is clustered by o_custkey, so an o_orderkey probe is the
+    layout's worst case: every file's [min, max] covers the mid-range
+    key and stats prune NOTHING — the near-unique key then lives in
+    exactly one file, and the bloom filters prove it for the rest
+    (pinned in tests/test_bloom_index.py). Parity proves membership
+    tests lose no rows (false negatives impossible)."""
+    from iceberg_file_writer_spark.ingest.bloom_index import attach_bloom_index
+    from iceberg_file_writer_spark.ingest.file_skipping import scan_table
+    from iceberg_file_writer_spark.ingest.snapshots import commit_append
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _BLOOM_TABLES:
+        t = os.path.join(tempfile.mkdtemp(prefix="bloom-tbl-"), "orders")
+        clustered = (
+            _orders(spark, sf_dir)
+            .repartitionByRange(8, "o_custkey")
+            .sortWithinPartitions("o_custkey")
+        )
+        commit_append(spark, clustered, t, max_rows=2_000)
+        attach_bloom_index(spark, t, ["o_orderkey"], fpp=0.01)
+        _BLOOM_TABLES[key] = t
+    t = _BLOOM_TABLES[key]
+    med = _orders(spark, sf_dir).selectExpr(
+        "CAST(FLOOR(percentile(o_orderkey, 0.5)) AS BIGINT) AS m"
+    ).first()[0]
+    probe = (
+        _orders(spark, sf_dir)
+        .where(F.col("o_orderkey") >= int(med))
+        .agg(F.min("o_orderkey"))
+        .first()[0]
+    )
+    df = scan_table(spark, t, [("o_orderkey", "=", int(probe))])
+    bloom_point_lookup.last_files = scan_table.last_files
+    return df.select("o_orderkey", "o_custkey", "o_totalprice")

@@ -134,3 +134,88 @@ def test_bucket_respec_loses_no_rows(spark, tmp_path):
         ), f"user {uid} lost rows across the spec change"
     # hidden columns of BOTH epochs stay hidden
     assert not [c for c in got.columns if c.startswith("_b")]
+
+
+def test_zorder_prunes_on_every_dimension(spark, tmp_path):
+    """Z-order clustering's signature: range predicates on EITHER
+    z-ordered column prune files, where a plain sort order serves only
+    its leading column — and values are identical to the plain read."""
+    from iceberg_file_writer_spark.ingest.snapshots import read_table_version
+
+    orders = load_tables(spark, SF_DIR)["orders"].select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    tz = str(tmp_path / "ztbl")
+    commit_append_partitioned(
+        spark, orders, tz, [("zorder", ["o_orderkey", "o_custkey"])],
+        max_rows=150,
+    )
+    ts = str(tmp_path / "stbl")  # control: plain sort by o_orderkey
+    from iceberg_file_writer_spark.ingest.snapshots import commit_append
+
+    commit_append(
+        spark,
+        orders.repartitionByRange(8, "o_orderkey").sortWithinPartitions(
+            "o_orderkey"
+        ),
+        ts,
+        max_rows=150,
+    )
+    hi_c = orders.selectExpr("percentile(o_custkey, 0.2)").first()[0]
+
+    # dim 1 (leading for both layouts): both prune
+    conj_k = [("o_orderkey", "<=", int(orders.agg(F.min("o_orderkey")).first()[0]) + 10)]
+    scan_partitioned(spark, tz, conj_k)
+    zk, ztot = scan_partitioned.last_files
+    assert zk < ztot
+
+    # dim 2: z-order prunes, the plain sort CANNOT
+    from iceberg_file_writer_spark.ingest.file_skipping import scan_table
+
+    conj_c = [("o_custkey", "<=", int(hi_c) // 4)]
+    got = scan_partitioned(spark, tz, conj_c)
+    zk2, ztot2 = scan_partitioned.last_files
+    scan_table(spark, ts, conj_c)
+    sk2, stot2 = scan_table.last_files
+    assert zk2 < ztot2, "z-order failed to prune on the second dimension"
+    # the plain sort's dim-2 stats are near-useless (incidental
+    # correlation may drop the odd file); z-order must do clearly better
+    assert zk2 / ztot2 < 0.75 * (sk2 / stot2), (
+        f"z-order {zk2}/{ztot2} not clearly better than sort {sk2}/{stot2}"
+    )
+
+    # values: layout is invisible
+    want = read_table_version(spark, ts).where(
+        conj_c[0][0] + " <= " + str(conj_c[0][2])
+    )
+    assert sorted(tuple(r) for r in got.collect()) == sorted(
+        tuple(r) for r in want.collect()
+    )
+
+
+def test_zorder_box_query_prunes_hard(spark, tmp_path):
+    """A 2-dim box predicate over a z-ordered table reads a small file
+    fraction (the multiplicative win single-column layouts cannot give)."""
+    orders = load_tables(spark, SF_DIR)["orders"].select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    tz = str(tmp_path / "ztbl")
+    commit_append_partitioned(
+        spark, orders, tz, [("zorder", ["o_orderkey", "o_custkey"])],
+        max_rows=150,
+    )
+    k_med = int(orders.selectExpr("percentile(o_orderkey, 0.5)").first()[0])
+    c_med = int(orders.selectExpr("percentile(o_custkey, 0.5)").first()[0])
+    got = scan_partitioned(
+        spark,
+        tz,
+        [
+            ("o_orderkey", "<=", k_med),
+            ("o_custkey", "<=", c_med),
+        ],
+    )
+    kept, total = scan_partitioned.last_files
+    assert total >= 8
+    assert kept <= total * 0.6, f"box query kept {kept}/{total}"
+    want = orders.where(f"o_orderkey <= {k_med} AND o_custkey <= {c_med}")
+    assert got.count() == want.count()
