@@ -249,7 +249,10 @@ def expire_bloom_index(table_path: str, grace_seconds: int = 3600) -> int:
     live: set = set()
     snap = _snap_dir(table_path)
     for name in os.listdir(snap):
-        if name.startswith("v") and name.endswith(".json"):
+        # main manifests AND WAP branch manifests pin their sidecars
+        if name.endswith(".json") and (
+            name.startswith("v") or name.startswith("branch-")
+        ):
             with open(os.path.join(snap, name)) as f:
                 live |= set(json.load(f).get("bloom") or [])
     dropped = 0

@@ -127,7 +127,10 @@ def expire_deletion_vectors(
     live: set[str] = set()
     snap = _snap_dir(table_path)
     for name in os.listdir(snap):
-        if name.startswith("v") and name.endswith(".json"):
+        # main manifests AND WAP branch manifests pin their DV dirs
+        if name.endswith(".json") and (
+            name.startswith("v") or name.startswith("branch-")
+        ):
             with open(os.path.join(snap, name)) as f:
                 live |= set(json.load(f).get("dvs") or [])
     dropped = 0

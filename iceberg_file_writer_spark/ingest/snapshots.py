@@ -531,16 +531,25 @@ def expire_snapshots(
             os.remove(full)
             dropped_manifests += 1
     # re-list AFTER the manifest sweep: any manifest present now (retained
-    # or committed concurrently) pins its files
+    # or committed concurrently) pins its files. Branch manifests
+    # (ingest/branching.py, `branch-<name>-v*.json`) pin their staged
+    # files too — a live WAP branch must survive a main-table expire;
+    # they are never dropped here (delete_branch is their lifecycle).
     referenced: set[str] = set()
     live_segments: set[str] = set()
     for name in sorted(os.listdir(_snap_dir(table_path))):
-        if not name.startswith("v") or not name.endswith(".json"):
+        is_main = name.startswith("v") and name.endswith(".json")
+        is_branch = (
+            name.startswith("branch-")
+            and name.endswith(".json")
+            and "-v" in name[len("branch-"):]
+        )
+        if not (is_main or is_branch):
             continue
         m = _resolve_raw(
             table_path, json.load(open(os.path.join(_snap_dir(table_path), name)))
         )
-        referenced |= {e["path"] for e in m["files"]}
+        referenced |= {e["path"] for e in m.get("files") or []}
         live_segments |= set(m.get("_segments", []))
     # sealed segment files referenced by no remaining manifest go with
     # their manifests (content-addressing means shared segments survive

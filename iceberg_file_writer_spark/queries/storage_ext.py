@@ -377,3 +377,66 @@ def bloom_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = scan_table(spark, t, [("o_orderkey", "=", int(probe))])
     bloom_point_lookup.last_files = scan_table.last_files
     return df.select("o_orderkey", "o_custkey", "o_totalprice")
+
+
+_WAP_TABLES: dict[tuple, str] = {}
+
+
+@register(
+    "wap_branch_publish_read",
+    oracle="""
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders
+""",
+    description=(
+        "Write-audit-publish: the odd half of orders staged on a "
+        "branch (invisible to production readers), audited via the "
+        "branch read, then atomically fast-forward published — the "
+        "final table equals the full source exactly"
+    ),
+    driver_exposed=False,
+    eager=True,  # builds/loads a trained artifact or runs a stream at plan time
+)
+def wap_branch_publish_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stage -> audit -> publish -> read, end to end.
+
+    The audit step is real: the branch read must equal the expected
+    post-publish state BEFORE publish is allowed (count-checked here;
+    value parity of the published table is this entry's oracle).
+    Invisibility mid-stage and divergence/crash semantics are pinned in
+    tests/test_branching.py."""
+    from iceberg_file_writer_spark.ingest.branching import (
+        commit_append_branch,
+        create_branch,
+        publish_branch,
+        read_branch,
+    )
+    from iceberg_file_writer_spark.ingest.snapshots import (
+        commit_append,
+        read_table_version,
+    )
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _WAP_TABLES:
+        t = os.path.join(tempfile.mkdtemp(prefix="wap-tbl-"), "orders")
+        orders = _orders(spark, sf_dir)
+        commit_append(
+            spark, orders.where("o_orderkey % 2 = 0"), t, max_rows=2_000
+        )
+        create_branch(t, "wap")
+        commit_append_branch(
+            spark, orders.where("o_orderkey % 2 = 1"), t, "wap",
+            max_rows=2_000,
+        )
+        # audit gate: staged state must match the source before publish
+        n_branch = read_branch(spark, t, "wap").count()
+        n_src = orders.count()
+        if n_branch != n_src:
+            raise AssertionError(
+                f"audit failed: branch has {n_branch} rows, want {n_src}"
+            )
+        publish_branch(t, "wap")
+        _WAP_TABLES[key] = t
+    return read_table_version(spark, _WAP_TABLES[key]).select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
