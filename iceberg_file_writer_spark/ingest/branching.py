@@ -127,6 +127,10 @@ def commit_append_branch(
     and pointer leaves an orphan the next commit overwrites."""
     ptr = _read_ptr(table_path, name)
     parent_m = _branch_manifest(table_path, name, ptr)
+    if parent_m.get("spec"):
+        from iceberg_file_writer_spark.ingest.partitioning import apply_spec
+
+        df = apply_spec(df, parent_m["spec"])
     new = _write_data_files(df, table_path, max_rows)
     n = ptr["head"] + 1
     manifest = {

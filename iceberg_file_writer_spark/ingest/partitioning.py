@@ -124,24 +124,15 @@ def _is_hidden(name: str) -> bool:
     return bool(digits) and digits.isdigit() and "_" in name[2:]
 
 
-def commit_append_partitioned(
-    spark: SparkSession,
-    df: DataFrame,
-    table_path: str,
-    spec: list,
-    max_rows: int = 4096,
-) -> int:
-    """Append under a hidden-partition spec: rows cluster by the
-    transforms (files align with transform values, making their stats
-    tight), hidden bucket columns are materialized, and the spec is
-    recorded in the manifest."""
-    from iceberg_file_writer_spark.ingest.snapshots import (
-        _commit,
-        _write_data_files,
-        current_version,
-        read_manifest,
-    )
-
+def apply_spec(df: DataFrame, spec: list) -> DataFrame:
+    """Cluster a batch along a transform spec: materialize the cluster
+    keys, range-partition + sort by them, keep only the hidden bucket
+    columns (their stats carry pruning signal; time and z-order keys
+    serve raw stats and are dropped). Used by EVERY write to a spec'd
+    table — ``commit_append``/``commit_compact``/the streaming sink
+    apply the table's standing spec so layout never silently decays
+    when a writer uses the plain verbs (Iceberg's contract: the spec
+    belongs to the table, not to one writer)."""
     work = df
     cluster = []
     for tr in spec:
@@ -161,15 +152,33 @@ def commit_append_partitioned(
         else:
             raise ValueError(f"unknown transform: {tr[0]}")
         cluster.append(c)
-    # cluster files along the spec; drop the time helpers (raw stats
-    # prune time ranges), KEEP bucket cols (their stats carry the
-    # pruning signal range stats cannot)
     keep_hidden = [c for c in cluster if _is_hidden(c)]
-    work = (
+    return (
         work.repartitionByRange(*[F.col(c) for c in cluster])
         .sortWithinPartitions(*cluster)
         .drop(*[c for c in cluster if c not in keep_hidden])
     )
+
+
+def commit_append_partitioned(
+    spark: SparkSession,
+    df: DataFrame,
+    table_path: str,
+    spec: list,
+    max_rows: int = 4096,
+) -> int:
+    """Append under a hidden-partition spec: rows cluster by the
+    transforms (files align with transform values, making their stats
+    tight), hidden bucket columns are materialized, and the spec is
+    recorded in the manifest."""
+    from iceberg_file_writer_spark.ingest.snapshots import (
+        _commit,
+        _write_data_files,
+        current_version,
+        read_manifest,
+    )
+
+    work = apply_spec(df, spec)
     parent = current_version(table_path)
     prev = read_manifest(table_path, parent)["files"] if parent else []
     files = _write_data_files(work, table_path, max_rows)

@@ -318,13 +318,35 @@ def _commit(
     return version
 
 
+def _apply_standing_spec(df: DataFrame, manifest: dict) -> DataFrame:
+    """If the table has a hidden-partition spec, cluster this batch by
+    it — the spec belongs to the TABLE, so plain verbs keep the layout
+    (and its hidden bucket stats) instead of silently decaying it."""
+    spec = manifest.get("spec")
+    if not spec:
+        return df
+    refs = {
+        tr[2] if tr[0] == "bucket" else tr[1]
+        for tr in spec
+        if tr[0] != "zorder"
+    } | {c for tr in spec if tr[0] == "zorder" for c in tr[1]}
+    if not refs <= set(df.columns):
+        return df  # batch predates/post-dates the spec's columns: write
+        # unclustered (conservative — scans keep these files)
+    from iceberg_file_writer_spark.ingest.partitioning import apply_spec
+
+    return apply_spec(df, spec)
+
+
 def commit_append(
     spark: SparkSession, df: DataFrame, table_path: str, max_rows: int = 4096
 ) -> int:
-    """New snapshot = parent's files + the batch's new files."""
+    """New snapshot = parent's files + the batch's new files (clustered
+    by the table's standing spec, if any)."""
     parent = current_version(table_path)
-    prev = read_manifest(table_path, parent)["files"] if parent else []
-    new = _write_data_files(df, table_path, max_rows)
+    pm = read_manifest(table_path, parent) if parent else {}
+    prev = pm.get("files") or []
+    new = _write_data_files(_apply_standing_spec(df, pm), table_path, max_rows)
     return _commit(table_path, parent, "append", prev + new)
 
 
@@ -669,7 +691,19 @@ def commit_compact(
     m = read_manifest(table_path, parent)
     files = m["files"]
     df = _read_files(spark, table_path, files, m.get("dvs"))
-    rewritten = _write_data_files(df.coalesce(max(1, len(files) // 8)), table_path, target_rows)
+    if m.get("spec"):
+        # re-cluster along the standing spec (compaction is exactly the
+        # moment to repair layout drift); hidden bucket columns already
+        # present in the data are recomputed identically by apply_spec,
+        # so drop them first rather than duplicate
+        from iceberg_file_writer_spark.ingest.partitioning import _is_hidden
+
+        df = _apply_standing_spec(
+            df.drop(*[c for c in df.columns if _is_hidden(c)]), m
+        )
+    else:
+        df = df.coalesce(max(1, len(files) // 8))
+    rewritten = _write_data_files(df, table_path, target_rows)
     # compaction materializes the MoR-applied state: tombstones retire
     return _commit(table_path, parent, "compact", rewritten, extra={"dvs": []})
 
@@ -715,8 +749,11 @@ def streaming_append_sink(table_path: str, max_rows: int = 4096):
         seen = _seen_batch_ids(parent)
         if batch_id in seen:
             return
-        prev = read_manifest(table_path, parent)["files"] if parent else []
-        new = _write_data_files(batch_df, table_path, max_rows)
+        pm = read_manifest(table_path, parent) if parent else {}
+        prev = pm.get("files") or []
+        new = _write_data_files(
+            _apply_standing_spec(batch_df, pm), table_path, max_rows
+        )
         _commit(
             table_path,
             parent,

@@ -219,3 +219,49 @@ def test_zorder_box_query_prunes_hard(spark, tmp_path):
     assert kept <= total * 0.6, f"box query kept {kept}/{total}"
     want = orders.where(f"o_orderkey <= {k_med} AND o_custkey <= {c_med}")
     assert got.count() == want.count()
+
+
+def test_plain_append_keeps_standing_spec(spark, tmp_path):
+    """A plain commit_append (and the streaming sink, and compaction)
+    to a spec'd table clusters by the standing spec: new files carry
+    hidden bucket stats, so pruning keeps working over the whole
+    history instead of decaying to conservative full reads."""
+    from iceberg_file_writer_spark.ingest.snapshots import (
+        commit_append,
+        commit_compact,
+        current_version,
+        read_manifest,
+        streaming_append_sink,
+    )
+
+    t = str(tmp_path / "tbl")
+    ev = load_tables(spark, SF_DIR)["events"].select(
+        "event_id", "user_id", "ts", "event_type", "value"
+    )
+    commit_append_partitioned(
+        spark, ev.where("event_id % 3 = 0"), t,
+        [("bucket", 8, "user_id")], max_rows=40,
+    )
+    commit_append(spark, ev.where("event_id % 3 = 1"), t, max_rows=40)
+    streaming_append_sink(t, max_rows=40)(ev.where("event_id % 3 = 2"), 0)
+    m = read_manifest(t, current_version(t))
+    for e in m["files"]:
+        assert any(k.startswith("_b8_") for k in e.get("stats", {})), (
+            "a plain-verb write lost the spec's hidden bucket column"
+        )
+    uid = ev.agg(F.min("user_id")).first()[0]
+    got = scan_partitioned(spark, t, [("user_id", "=", int(uid))])
+    kept, total = scan_partitioned.last_files
+    assert kept < total
+    want = ev.where(f"user_id = {uid}")
+    assert sorted(tuple(r) for r in got.collect()) == sorted(
+        tuple(r) for r in want.collect()
+    )
+    # compaction re-clusters and keeps pruning + values
+    commit_compact(spark, t, target_rows=60)
+    got = scan_partitioned(spark, t, [("user_id", "=", int(uid))])
+    kept2, total2 = scan_partitioned.last_files
+    assert kept2 < total2
+    assert sorted(tuple(r) for r in got.collect()) == sorted(
+        tuple(r) for r in want.collect()
+    )
