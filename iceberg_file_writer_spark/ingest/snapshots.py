@@ -681,6 +681,31 @@ def commit_merge(
     return _commit(table_path, parent, "merge", carried + rewritten)
 
 
+def commit_rollback(table_path: str, to_version: int) -> int:
+    """Restore an older snapshot's state as a NEW commit — history
+    stays linear and append-only (Iceberg's rollback): time travel to
+    the bad intermediate versions keeps working, and nothing is
+    deleted. The restored state is exact: the old version's file list
+    AND its deletion-vector set (parent DVs tombstoning rows that
+    existed at ``to_version`` must NOT leak into the restored state —
+    they are post-rollback-point deletes). Bloom pointers union both
+    manifests (file-name-keyed, so extra entries are inert, never
+    wrong); the standing spec carries forward (layout policy survives
+    a data rollback). Metadata-only: zero data files move."""
+    parent = current_version(table_path)
+    if not 1 <= to_version <= parent:
+        raise ValueError(
+            f"cannot roll back to v{to_version} (CURRENT={parent})"
+        )
+    m = read_manifest(table_path, to_version)
+    pm = read_manifest(table_path, parent)
+    extra: dict = {"rollback_of": to_version, "dvs": m.get("dvs") or []}
+    bloom = sorted(set(m.get("bloom") or []) | set(pm.get("bloom") or []))
+    if bloom:
+        extra["bloom"] = bloom
+    return _commit(table_path, parent, "rollback", m["files"], extra=extra)
+
+
 def commit_compact(
     spark: SparkSession, table_path: str, target_rows: int = 65536
 ) -> int:

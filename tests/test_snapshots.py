@@ -610,3 +610,42 @@ def test_empty_version_schema_as_of_prefers_closest_newer(spark, tmp_path):
     cols = set(df.columns)
     assert "note" in cols  # closest newer retained manifest (v3)
     assert "note2" not in cols  # v4's later evolution must not leak
+
+
+def test_rollback_restores_exact_state_linearly(spark, table):
+    """Rollback = a new commit with an old version's exact state: data
+    AND deletion vectors; history stays linear and time travel to the
+    rolled-past versions keeps working."""
+    from iceberg_file_writer_spark.ingest.deletion_vectors import (
+        commit_delete_where_mor,
+    )
+    from iceberg_file_writer_spark.ingest.snapshots import (
+        commit_rollback,
+        current_version,
+        read_manifest,
+    )
+
+    def _canon(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    t, orders = table
+    v1 = _canon(read_table_version(spark, t, 1))
+    v2 = _canon(read_table_version(spark, t, 2))
+    v3_ver = commit_delete_where_mor(spark, t, "o_orderstatus = 'F'")
+    v3 = _canon(read_table_version(spark, t, v3_ver))
+    assert len(v3) < len(v2)
+
+    new_v = commit_rollback(t, 1)
+    assert new_v == v3_ver + 1 and current_version(t) == new_v
+    # restored state is exactly v1 — the MoR tombstones from v3 must
+    # NOT leak into the restored file set
+    assert _canon(read_table_version(spark, t)) == v1
+    assert read_manifest(t, new_v).get("dvs") == []
+    # history intact: every intermediate version still time-travels
+    assert _canon(read_table_version(spark, t, 2)) == v2
+    assert _canon(read_table_version(spark, t, v3_ver)) == v3
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        commit_rollback(t, new_v + 5)
