@@ -61,7 +61,7 @@ from iceberg_file_writer_spark.ingest.snapshots import (
     read_table_version,
 )
 
-_CARRIED = ("batch_ids", "spec", "dvs", "bloom")
+_CARRIED = ("batch_ids", "spec", "dvs", "eqs", "bloom")
 
 
 class BranchDiverged(Exception):
@@ -140,9 +140,14 @@ def commit_append_branch(
         "op": "append",
         "branch": name,
     }
-    manifest.update(
-        _segment_files(table_path, (parent_m.get("files") or []) + new)
-    )
+    # data sequence stamp: staged files become visible at publish, which
+    # is ONE fast-forward commit at base+1 — so every staged file gets
+    # seq base+1, making carried equality deletes (seq <= base) skip
+    # them and post-publish deletes (seq >= base+2) apply to them
+    all_files = (parent_m.get("files") or []) + new
+    for e in all_files:
+        e.setdefault("seq", ptr["base"] + 1)
+    manifest.update(_segment_files(table_path, all_files))
     for carried in _CARRIED:
         if parent_m.get(carried) is not None:
             manifest[carried] = parent_m[carried]
@@ -165,7 +170,9 @@ def read_branch(
     m = _branch_manifest(table_path, name, ptr)
     if not m["files"]:
         return read_table_version(spark, table_path, ptr["base"]).limit(0)
-    return _read_files(spark, table_path, m["files"], m.get("dvs"))
+    return _read_files(
+        spark, table_path, m["files"], m.get("dvs"), eqs=m.get("eqs")
+    )
 
 
 def publish_branch(table_path: str, name: str) -> int:

@@ -144,7 +144,7 @@ def scan_table(
     # so align by adding typed NULL columns. The full schema comes from
     # a lazy read_table_version (parquet footer metadata only — no data
     # IO; at 100 TB the manifest would carry the schema inline).
-    pruned = _read_files(spark, table_path, kept, m.get("dvs"))
+    pruned = _read_files(spark, table_path, kept, m.get("dvs"), eqs=m.get("eqs"))
     full_schema = read_table_version(spark, table_path, v).schema
     return _align_schema(pruned, full_schema).where(residual)
 

@@ -206,15 +206,19 @@ def commit_multi(
                 "op": "append",
                 "txn": txn_id,
             }
-            manifest.update(
-                _segment_files(t, (pm.get("files") or []) + files)
-            )
+            # stamp data sequence numbers exactly as snapshots._commit
+            # does — equality-delete semantics must not depend on which
+            # commit verb appended the file
+            all_files = (pm.get("files") or []) + files
+            for e in all_files:
+                e.setdefault("seq", v)
+            manifest.update(_segment_files(t, all_files))
             # inherit everything a single-table append inherits
             # (snapshots._commit): the exactly-once ledger, the
             # hidden-partition spec, merge-on-read deletion vectors
             # (dropping dvs would resurrect deleted rows), and bloom
             # sidecar pointers.
-            for carried in ("batch_ids", "spec", "dvs", "bloom"):
+            for carried in ("batch_ids", "spec", "dvs", "eqs", "bloom"):
                 if pm.get(carried) is not None:
                     manifest[carried] = pm[carried]
             _claim_slot(t, v, manifest)

@@ -238,5 +238,5 @@ def scan_partitioned(
     # Pruned subset: DV anti-join + full-schema alignment, exactly as
     # file_skipping.scan_table — a hidden-partition read must not
     # resurrect merge-on-read-deleted rows or lose evolved columns.
-    pruned = _read_files(spark, table_path, kept, m.get("dvs"))
+    pruned = _read_files(spark, table_path, kept, m.get("dvs"), eqs=m.get("eqs"))
     return _drop_hidden(_align_schema(pruned, full.schema).where(residual))

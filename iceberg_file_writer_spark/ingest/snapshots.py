@@ -270,6 +270,17 @@ def _commit(
     — with the carry, the newest manifest always holds the full ledger.
     """
     version = parent + 1
+    # data sequence numbers (Iceberg v2): every entry is stamped, at its
+    # FIRST commit, with the version that introduced it. Equality deletes
+    # apply only to data files with seq STRICTLY BELOW the delete's seq,
+    # which is what lets one upsert commit pair "delete old rows for
+    # these keys" with "append the new rows" without the new rows
+    # deleting themselves. Carried entries already hold their stamp, so
+    # re-stamping never happens and content-addressed manifest segments
+    # stay byte-stable across carries. (Must run BEFORE _segment_files
+    # seals entries into content-addressed chunks.)
+    for e in files:
+        e.setdefault("seq", version)
     os.makedirs(_snap_dir(table_path), exist_ok=True)
     manifest = {"version": version, "parent": parent, "op": op}
     manifest.update(_segment_files(table_path, files))
@@ -289,6 +300,10 @@ def _commit(
         # rewrote are inert — uuid file names never recur)
         if pm.get("dvs") and not (extra and "dvs" in extra):
             manifest["dvs"] = pm["dvs"]
+        # equality-delete files (ingest/equality_deletes.py) carry the
+        # same way — an interleaved plain append must not drop them
+        if pm.get("eqs") and not (extra and "eqs" in extra):
+            manifest["eqs"] = pm["eqs"]
         # bloom sidecar pointers ride the same way: entries are keyed by
         # immutable file name, so carried files stay indexed and
         # rewritten files just lack rows (conservative)
@@ -383,11 +398,14 @@ def commit_delete_where(
     if not affected:
         return _commit(table_path, parent, "delete", files)
 
+    pm = read_manifest(table_path, parent)
+    aff_entries = [e for e in files if e["path"] in affected]
     survivors = _read_files(
         spark,
         table_path,
-        [{"path": p} for p in sorted(affected)],
-        read_manifest(table_path, parent).get("dvs"),
+        aff_entries,
+        pm.get("dvs"),
+        eqs=pm.get("eqs"),
     ).where(f"NOT ({predicate})")
     rewritten = _write_data_files(survivors, table_path, max_rows)
     carried = [e for e in files if e["path"] not in affected]
@@ -444,8 +462,9 @@ def read_table_version(
     # additive column evolution; older rows surface NULL for new columns.
     # (At scale the manifest would carry the schema; footer merging here
     # keeps the jar-free layer simple.)
+    mv = read_manifest(table_path, v)
     return _read_files(
-        spark, table_path, files, read_manifest(table_path, v).get("dvs")
+        spark, table_path, files, mv.get("dvs"), eqs=mv.get("eqs")
     )
 
 
@@ -455,21 +474,32 @@ def _read_files(
     files: list[dict],
     dvs: "list[str] | None" = None,
     with_position: bool = False,
+    eqs: "list[dict] | None" = None,
 ) -> DataFrame:
-    """Scan manifest entries; when the snapshot carries deletion vectors
-    (merge-on-read DELETE — ingest/deletion_vectors.py), anti-join the
-    (file_name, row_index) tombstones so deleted rows never surface.
-    Zero overhead when dvs is empty. The DV relation is row-positional
-    and deletion-sized; AQE picks the join strategy (tombstone counts
-    are usually broadcastable — a DV bigger than that is the compaction
-    trigger). ``with_position=True`` keeps the physical position as
-    ``_pos_fn``/``_pos_ri`` columns — the ``_metadata`` pseudo-column is
-    only resolvable on the direct scan, so positional consumers (the MoR
-    delete writer) must capture it here, not after the join."""
+    """Scan manifest entries; when the snapshot carries merge-on-read
+    deletes, apply them at read time so deleted rows never surface:
+
+    - **positional deletion vectors** (``dvs`` — ingest/deletion_vectors
+      .py): anti-join the (file_name, row_index) tombstones.
+    - **equality deletes** (``eqs`` — ingest/equality_deletes.py): a key
+      row deletes every data row with equal key values whose file's data
+      sequence number is STRICTLY BELOW the delete's (Iceberg v2
+      semantics — rows appended at or after the delete survive, which is
+      what makes one-commit upserts possible). The key relation is
+      pre-aggregated to (key → max seq), so the check is one
+      keys-distinct equi-join (broadcastable) plus a filter, never a
+      non-equi anti-join.
+
+    Zero overhead when both are empty; both relations are deletion-sized
+    (a big one is the compaction trigger). ``with_position=True`` keeps
+    the physical position as ``_pos_fn``/``_pos_ri`` columns — the
+    ``_metadata`` pseudo-column is only resolvable on the direct scan,
+    so positional consumers (the MoR delete writer) must capture it
+    here, not after the join."""
     data = spark.read.option("mergeSchema", "true").parquet(
         *[os.path.join(table_path, e["path"]) for e in files]
     )
-    if not dvs and not with_position:
+    if not dvs and not eqs and not with_position:
         return data
     data = data.withColumns(
         {
@@ -485,7 +515,57 @@ def _read_files(
             F.col("row_index").alias("_pos_ri"),
         )
         data = data.join(dv, ["_pos_fn", "_pos_ri"], "left_anti")
+    if eqs:
+        data = _apply_equality_deletes(spark, table_path, data, files, eqs)
     return data if with_position else data.drop("_pos_fn", "_pos_ri")
+
+
+def _apply_equality_deletes(
+    spark: SparkSession,
+    table_path: str,
+    data: DataFrame,
+    files: list[dict],
+    eqs: list[dict],
+) -> DataFrame:
+    """Filter ``data`` (already carrying ``_pos_fn``) through the
+    snapshot's equality-delete files. Requires all eq entries to share
+    one key-column set (enforced at commit). NULL key values never match
+    (SQL equality), matching Iceberg's null-excluding equality deletes.
+    """
+    cols = eqs[0]["cols"]
+    # file name -> data sequence number (files-count-sized, broadcast)
+    seq_rows = [
+        (os.path.basename(e["path"]), int(e.get("seq") or 0)) for e in files
+    ]
+    seq_map = spark.createDataFrame(seq_rows, "_pos_fn string, _file_seq long")
+    # (key -> newest delete seq): "exists delete with seq > file_seq"
+    # iff "max delete seq for key > file_seq"
+    parts = [
+        spark.read.parquet(os.path.join(table_path, e["path"]))
+        .select(*cols)
+        .withColumn("_eq_seq", F.lit(int(e["seq"])))
+        for e in eqs
+    ]
+    eq = parts[0]
+    for p in parts[1:]:
+        eq = eq.unionByName(p)
+    eq = eq.groupBy(*cols).agg(F.max("_eq_seq").alias("_eq_seq"))
+    eq = eq.select(
+        *[F.col(c).alias(f"_eqk_{c}") for c in cols], "_eq_seq"
+    )
+    out = (
+        data.join(F.broadcast(seq_map), "_pos_fn", "left")
+        .join(
+            F.broadcast(eq),
+            [F.col(c) == F.col(f"_eqk_{c}") for c in cols],
+            "left",
+        )
+        .where(
+            F.col("_eq_seq").isNull() | (F.col("_eq_seq") <= F.col("_file_seq"))
+        )
+        .drop("_file_seq", "_eq_seq", *[f"_eqk_{c}" for c in cols])
+    )
+    return out
 
 
 def snapshot_log(table_path: str) -> list[dict]:
@@ -666,11 +746,13 @@ def commit_merge(
     else:
         affected = set()
     if affected:
+        pm = read_manifest(table_path, parent) if parent else {}
         aff_df = _read_files(
             spark,
             table_path,
-            [{"path": p} for p in sorted(affected)],
-            read_manifest(table_path, parent).get("dvs") if parent else None,
+            [e for e in files if e["path"] in affected],
+            pm.get("dvs"),
+            eqs=pm.get("eqs"),
         )
         survivors = aff_df.join(F.broadcast(keys), key, "left_anti")
         new_rows = survivors.unionByName(updates.select(aff_df.columns))
@@ -699,7 +781,11 @@ def commit_rollback(table_path: str, to_version: int) -> int:
         )
     m = read_manifest(table_path, to_version)
     pm = read_manifest(table_path, parent)
-    extra: dict = {"rollback_of": to_version, "dvs": m.get("dvs") or []}
+    extra: dict = {
+        "rollback_of": to_version,
+        "dvs": m.get("dvs") or [],
+        "eqs": m.get("eqs") or [],
+    }
     bloom = sorted(set(m.get("bloom") or []) | set(pm.get("bloom") or []))
     if bloom:
         extra["bloom"] = bloom
@@ -715,7 +801,7 @@ def commit_compact(
     parent = current_version(table_path)
     m = read_manifest(table_path, parent)
     files = m["files"]
-    df = _read_files(spark, table_path, files, m.get("dvs"))
+    df = _read_files(spark, table_path, files, m.get("dvs"), eqs=m.get("eqs"))
     if m.get("spec"):
         # re-cluster along the standing spec (compaction is exactly the
         # moment to repair layout drift); hidden bucket columns already
@@ -729,8 +815,11 @@ def commit_compact(
     else:
         df = df.coalesce(max(1, len(files) // 8))
     rewritten = _write_data_files(df, table_path, target_rows)
-    # compaction materializes the MoR-applied state: tombstones retire
-    return _commit(table_path, parent, "compact", rewritten, extra={"dvs": []})
+    # compaction materializes the MoR-applied state: positional AND
+    # equality tombstones retire
+    return _commit(
+        table_path, parent, "compact", rewritten, extra={"dvs": [], "eqs": []}
+    )
 
 
 def streaming_append_sink(table_path: str, max_rows: int = 4096):
@@ -810,19 +899,21 @@ def changes_between(
     """
     ma = read_manifest(table_path, from_version)
     mb = read_manifest(table_path, to_version)
-    a = {e["path"] for e in ma["files"]}
-    b = {e["path"] for e in mb["files"]}
-    only_a, only_b = sorted(a - b), sorted(b - a)
+    ea = {e["path"]: e for e in ma["files"]}
+    eb = {e["path"]: e for e in mb["files"]}
+    a, b = set(ea), set(eb)
+    only_a = [ea[p] for p in sorted(a - b)]
+    only_b = [eb[p] for p in sorted(b - a)]
     dvs_a, dvs_b = ma.get("dvs") or [], mb.get("dvs") or []
+    eqs_a, eqs_b = ma.get("eqs") or [], mb.get("eqs") or []
 
-    def _read(paths: list[str], dvs: list) -> DataFrame | None:
-        if not paths:
+    def _read(entries: list[dict], dvs: list, eqs: list) -> DataFrame | None:
+        if not entries:
             return None
-        return _read_files(
-            spark, table_path, [{"path": p} for p in paths], dvs
-        )
+        return _read_files(spark, table_path, entries, dvs, eqs=eqs)
 
-    removed, added = _read(only_a, dvs_a), _read(only_b, dvs_b)
+    removed = _read(only_a, dvs_a, eqs_a)
+    added = _read(only_b, dvs_b, eqs_b)
     # tag each side +1/-1 and align schemas by name (evolution may give the
     # two sides different column sets; missing columns fill as NULL)
     sides = []
@@ -830,9 +921,26 @@ def changes_between(
         sides.append(added.select(F.lit(1).alias("_d"), *added.columns))
     if removed is not None:
         sides.append(removed.select(F.lit(-1).alias("_d"), *removed.columns))
-    carried_delta = _carried_dv_delta(
-        spark, table_path, sorted(a & b), dvs_a, dvs_b
-    )
+    carried = [ea[p] for p in sorted(a & b)]
+    if not eqs_a and not eqs_b:
+        carried_delta = _carried_dv_delta(
+            spark, table_path, [e["path"] for e in carried], dvs_a, dvs_b
+        )
+    elif (
+        {e["path"] for e in eqs_a} == {e["path"] for e in eqs_b}
+        and set(dvs_a) == set(dvs_b)
+    ):
+        carried_delta = None  # identical MoR state: no carried changes
+    else:
+        # equality deletes in force and the MoR state changed: a key
+        # tombstone is a table-wide predicate, so visibility of carried
+        # rows must be re-derived under both versions' full MoR state
+        # (the dv-only fast path cannot see key deletes, and a row
+        # already key-deleted at A must not re-emit when a DV lands on
+        # it at B)
+        carried_delta = _carried_mor_delta(
+            spark, table_path, carried, dvs_a, dvs_b, eqs_a, eqs_b
+        )
     if carried_delta is not None:
         sides.append(carried_delta)
     if not sides:
@@ -925,6 +1033,156 @@ def _carried_dv_delta(
     return out
 
 
+def _carried_mor_delta(
+    spark: SparkSession,
+    table_path: str,
+    carried: list[dict],
+    dvs_a: list,
+    dvs_b: list,
+    eqs_a: list[dict],
+    eqs_b: list[dict],
+) -> DataFrame | None:
+    """Signed rows (+1/-1 in ``_d``) from carried files under the GENERAL
+    merge-on-read state change: visibility of each row is derived at both
+    versions from that version's positional DVs AND equality deletes,
+    and only rows whose visibility flipped emit. Unlike the positional
+    fast path, equality deletes name keys, not files, so every carried
+    file within the delta's key bounding box is read — one stats prune
+    (per key column min/max of the NEW delete keys) keeps that from
+    being the whole table when the delete set is narrow."""
+    if not carried:
+        return None
+
+    def _eq_agg(eqs: list[dict], suffix: str):
+        if not eqs:
+            return None, None
+        cols = eqs[0]["cols"]
+        parts = [
+            spark.read.parquet(os.path.join(table_path, e["path"]))
+            .select(*cols)
+            .withColumn("_eq_seq", F.lit(int(e["seq"])))
+            for e in eqs
+        ]
+        eq = parts[0]
+        for p in parts[1:]:
+            eq = eq.unionByName(p)
+        eq = eq.groupBy(*cols).agg(F.max("_eq_seq").alias(f"_eqs_{suffix}"))
+        return (
+            eq.select(
+                *[F.col(c).alias(f"_eqk{suffix}_{c}") for c in cols],
+                f"_eqs_{suffix}",
+            ),
+            cols,
+        )
+
+    eq_a, cols_a = _eq_agg(eqs_a, "a")
+    eq_b, cols_b = _eq_agg(eqs_b, "b")
+    key_cols = cols_b or cols_a
+
+    # stats prune: a carried file can only change visibility through an
+    # eq delete if its per-column range intersects the DELTA keys' box
+    # (DV-named files are kept regardless)
+    new_eq = [e for e in eqs_b if e["path"] not in {x["path"] for x in eqs_a}]
+    gone_eq = [e for e in eqs_a if e["path"] not in {x["path"] for x in eqs_b}]
+    delta_eq = new_eq + gone_eq
+    keep = carried
+    if delta_eq and key_cols:
+        dparts = [
+            spark.read.parquet(os.path.join(table_path, e["path"])).select(
+                *key_cols
+            )
+            for e in delta_eq
+        ]
+        dk = dparts[0]
+        for p in dparts[1:]:
+            dk = dk.unionByName(p)
+        bounds = dk.agg(
+            *[F.min(c).alias(f"lo_{c}") for c in key_cols],
+            *[F.max(c).alias(f"hi_{c}") for c in key_cols],
+        ).first()
+        dv_named: set[str] = set()
+        dv_delta_rels = set(dvs_a) ^ set(dvs_b)
+        if dv_delta_rels:
+            dv_named = {
+                r.file_name
+                for r in spark.read.parquet(
+                    *[os.path.join(table_path, p) for p in dv_delta_rels]
+                )
+                .select("file_name")
+                .distinct()
+                .collect()
+            }
+        keep = []
+        for e in carried:
+            if os.path.basename(e["path"]) in dv_named:
+                keep.append(e)
+                continue
+            st = e.get("stats") or {}
+            overlap = True
+            for c in key_cols:
+                s = st.get(c)
+                lo, hi = bounds[f"lo_{c}"], bounds[f"hi_{c}"]
+                if s is not None and lo is not None and (
+                    hi < s[0] or lo > s[1]
+                ):
+                    overlap = False
+                    break
+            if overlap:
+                keep.append(e)
+        if not keep:
+            return None
+
+    rows = _read_files(spark, table_path, keep, None, with_position=True)
+
+    def _dv_marker(dvs: list, name: str):
+        if not dvs:
+            return None
+        return (
+            spark.read.parquet(*[os.path.join(table_path, p) for p in dvs])
+            .select(
+                F.col("file_name").alias("_pos_fn"),
+                F.col("row_index").alias("_pos_ri"),
+            )
+            .distinct()
+            .withColumn(name, F.lit(1))
+        )
+
+    seq_rows = [
+        (os.path.basename(e["path"]), int(e.get("seq") or 0)) for e in keep
+    ]
+    seq_map = spark.createDataFrame(seq_rows, "_pos_fn string, _file_seq long")
+    rows = rows.join(F.broadcast(seq_map), "_pos_fn", "left")
+    for dvs, name in ((dvs_a, "_dva"), (dvs_b, "_dvb")):
+        mk = _dv_marker(dvs, name)
+        rows = (
+            rows.join(mk, ["_pos_fn", "_pos_ri"], "left")
+            if mk is not None
+            else rows.withColumn(name, F.lit(None).cast("int"))
+        )
+    for eq, suffix, cols in ((eq_a, "a", cols_a), (eq_b, "b", cols_b)):
+        if eq is None:
+            rows = rows.withColumn(f"_eqs_{suffix}", F.lit(None).cast("long"))
+        else:
+            rows = rows.join(
+                F.broadcast(eq),
+                [F.col(c) == F.col(f"_eqk{suffix}_{c}") for c in cols],
+                "left",
+            ).drop(*[f"_eqk{suffix}_{c}" for c in cols])
+    vis_a = F.col("_dva").isNull() & (
+        F.col("_eqs_a").isNull() | (F.col("_eqs_a") <= F.col("_file_seq"))
+    )
+    vis_b = F.col("_dvb").isNull() & (
+        F.col("_eqs_b").isNull() | (F.col("_eqs_b") <= F.col("_file_seq"))
+    )
+    flipped = rows.where(vis_a != vis_b).withColumn(
+        "_d", F.when(vis_a, F.lit(-1)).otherwise(F.lit(1))
+    )
+    drop = ["_pos_fn", "_pos_ri", "_file_seq", "_dva", "_dvb", "_eqs_a", "_eqs_b"]
+    return flipped.select(
+        "_d", *[c for c in flipped.columns if c not in drop + ["_d"]]
+    )
+
+
 def _file_stats(path: str, stats_cols: tuple[str, ...]) -> dict:
     """Per-file stats for selected columns (footer metadata only) —
     the backfill flavor of ``_footer_stats``."""
@@ -967,19 +1225,20 @@ def scan_pruned(
     so results are exact whatever the stats say.
     """
     v = current_version(table_path) if version is None else version
-    files = read_manifest(table_path, v)["files"]
+    m = read_manifest(table_path, v)
+    files = m["files"]
     keep = []
     for e in files:
         st = (e.get("stats") or {}).get(col)
         if st is None or not (hi < st[0] or lo > st[1]):
-            keep.append(e["path"])
+            keep.append(e)
     info = {"files_total": len(files), "files_scanned": len(keep)}
     if not keep:
         empty = read_table_version(spark, table_path, v).where(F.lit(False))
         return empty, info
-    df = (
-        spark.read.option("mergeSchema", "true")
-        .parquet(*[os.path.join(table_path, p) for p in keep])
-        .where((F.col(col) >= F.lit(lo)) & (F.col(col) <= F.lit(hi)))
-    )
+    # merge-on-read deletes apply to pruned reads too — skipping them
+    # here would resurrect tombstoned rows inside the kept files
+    df = _read_files(
+        spark, table_path, keep, m.get("dvs"), eqs=m.get("eqs")
+    ).where((F.col(col) >= F.lit(lo)) & (F.col(col) <= F.lit(hi)))
     return df, info
