@@ -440,3 +440,79 @@ def wap_branch_publish_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_table_version(spark, _WAP_TABLES[key]).select(
         "o_orderkey", "o_custkey", "o_totalprice"
     )
+
+
+_UPSERT_TABLES: dict[tuple, str] = {}
+
+
+@register(
+    "upsert_mor_orders_read",
+    oracle="""
+SELECT o_orderkey, o_custkey, o_totalprice FROM (
+  SELECT o_orderkey, o_custkey,
+         CASE WHEN o_custkey % 5 = 0 THEN -o_totalprice
+              ELSE o_totalprice END AS o_totalprice
+  FROM orders
+  WHERE NOT (o_custkey % 7 = 0)
+  UNION ALL
+  SELECT CAST(o_orderkey + (SELECT max(o_orderkey) FROM orders) AS BIGINT),
+         o_custkey, o_totalprice
+  FROM orders WHERE o_custkey % 11 = 3
+)
+""",
+    description=(
+        "Merge-on-read UPSERT via equality deletes: one commit pairs a "
+        "key-tombstone file with the batch's data files (data sequence "
+        "numbers keep the new rows alive), then a key DELETE commit — "
+        "the table is never read on write; values equal the "
+        "update+insert+delete replay exactly"
+    ),
+    driver_exposed=False,
+    eager=True,  # builds/loads a trained artifact or runs a stream at plan time
+)
+def upsert_mor_orders_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upsert + key-delete through equality-delete files, read back.
+
+    Three commits: (1) append all orders; (2) one-commit upsert —
+    updates negate o_totalprice for o_custkey % 5 = 0 rows, inserts
+    clone o_custkey % 11 = 3 rows under key + max(key); (3)
+    commit_delete_keys tombstones every original o_custkey % 7 = 0 key.
+    The strict seq comparison is exercised in both directions: the
+    upsert's delete file (seq 2) kills base rows (seq 1) but not its
+    own inserts (seq 2), and the later delete (seq 3) reaches both
+    earlier generations — including rows already replaced at seq 2.
+    Write cost never touches the standing table (O(batch), the CDC
+    posture at 100 TB); sequencing/compaction/CDC edge cases are
+    pinned in tests/test_equality_deletes.py."""
+    from iceberg_file_writer_spark.ingest.equality_deletes import (
+        commit_delete_keys,
+        commit_upsert,
+    )
+    from iceberg_file_writer_spark.ingest.snapshots import (
+        commit_append,
+        read_table_version,
+    )
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _UPSERT_TABLES:
+        t = os.path.join(tempfile.mkdtemp(prefix="upsert-tbl-"), "orders")
+        orders = _orders(spark, sf_dir)
+        commit_append(spark, orders, t, max_rows=2_000)
+        maxkey = int(orders.agg(F.max("o_orderkey")).first()[0])
+        updates = orders.where("o_custkey % 5 = 0").withColumn(
+            "o_totalprice", -F.col("o_totalprice")
+        )
+        inserts = orders.where("o_custkey % 11 = 3").withColumn(
+            "o_orderkey", F.col("o_orderkey") + F.lit(maxkey)
+        )
+        commit_upsert(
+            spark, t, updates.unionByName(inserts), ["o_orderkey"],
+            max_rows=2_000,
+        )
+        commit_delete_keys(
+            spark, t, orders.where("o_custkey % 7 = 0").select("o_orderkey")
+        )
+        _UPSERT_TABLES[key] = t
+    return read_table_version(spark, _UPSERT_TABLES[key]).select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
