@@ -117,6 +117,7 @@ def commit_upsert(
     df: DataFrame,
     key_cols: "list[str]",
     max_rows: int = 4096,
+    extra: "dict | None" = None,
 ) -> int:
     """One-commit MERGE-on-read upsert: rows of ``df`` replace same-key
     current rows and insert otherwise — without reading the table.
@@ -145,8 +146,54 @@ def commit_upsert(
         parent,
         "upsert_mor",
         (m.get("files") or []) + new,
-        extra={"eqs": eqs + ([eq_entry] if n else [])},
+        extra={"eqs": eqs + ([eq_entry] if n else []), **(extra or {})},
     )
+
+
+def streaming_upsert_sink(
+    table_path: str, key_cols: "list[str]", max_rows: int = 4096
+):
+    """foreachBatch callback: exactly-once merge-on-read upserts.
+
+    The streaming analog of ``snapshots.streaming_append_sink``, but each
+    micro-batch is a keyed MERGE instead of an append: ``commit_upsert``
+    pairs the batch's data files with an equality-delete file in one
+    snapshot, so per-batch cost is O(batch) — the standing table is never
+    read, which is what a CDC upsert stream needs at 100 TB (contrast the
+    read-merge-rewrite state sink in queries/streaming_ops.run_cdc_upsert,
+    whose per-batch cost is O(state)).
+
+    Exactly-once composes the same way as the append sink: the cumulative
+    ``batch_ids`` ledger rides every commit, so a micro-batch replayed
+    after a checkpoint recovery is recognized and skipped instead of
+    double-applied (an upsert is NOT idempotent against history — a replay
+    would bump the delete sequence number and shadow interleaved writers).
+
+    The caller must reduce each batch to at most one row per key before
+    the stream (or in a prior transform): blind upsert applies batches in
+    arrival order, the contract a per-key-ordered CDC source (a keyed
+    Kafka topic, a Flink upsert changelog) provides.
+    """
+    from iceberg_file_writer_spark.ingest.snapshots import seen_batch_ids
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        parent = current_version(table_path)
+        seen = seen_batch_ids(table_path, parent)
+        if batch_id in seen:
+            return
+        commit_upsert(
+            batch_df.sparkSession,
+            table_path,
+            batch_df,
+            key_cols,
+            max_rows=max_rows,
+            extra={
+                "batch_id": batch_id,
+                "batch_ids": sorted(seen | {batch_id}),
+            },
+        )
+
+    return _sink
 
 
 def eq_stats(table_path: str, version: int | None = None) -> dict:

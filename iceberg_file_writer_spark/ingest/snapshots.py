@@ -822,6 +822,34 @@ def commit_compact(
     )
 
 
+def seen_batch_ids(table_path: str, cur: int) -> set:
+    """Batch ids already committed at version ``cur`` — the exactly-once
+    ledger for streaming sinks.
+
+    Reads the cumulative ``batch_ids`` ledger from the newest manifest
+    that carries one (streaming commits carry it forward, so this is
+    normally a single manifest read); older tables or interleaved
+    non-streaming commits fall back to walking per-commit ``batch_id``
+    fields up the parent chain, tolerating expired ancestors — a missing
+    manifest means its batches can no longer replay anyway (the streaming
+    checkpoint is already past them).
+    """
+    seen: set = set()
+    v = cur
+    while v > 0:
+        try:
+            m = read_manifest(table_path, v)
+        except FileNotFoundError:
+            break  # expired history — nothing older can replay
+        if "batch_ids" in m:
+            seen.update(m["batch_ids"])
+            break  # ledger is cumulative; no need to walk further
+        if m.get("batch_id") is not None:
+            seen.add(m["batch_id"])
+        v = m["parent"]
+    return seen
+
+
 def streaming_append_sink(table_path: str, max_rows: int = 4096):
     """foreachBatch callback: exactly-once appends into the snapshot table.
 
@@ -842,25 +870,9 @@ def streaming_append_sink(table_path: str, max_rows: int = 4096):
     (the streaming checkpoint is already past them).
     """
 
-    def _seen_batch_ids(cur: int) -> set:
-        seen: set = set()
-        v = cur
-        while v > 0:
-            try:
-                m = read_manifest(table_path, v)
-            except FileNotFoundError:
-                break  # expired history — nothing older can replay
-            if "batch_ids" in m:
-                seen.update(m["batch_ids"])
-                break  # ledger is cumulative; no need to walk further
-            if m.get("batch_id") is not None:
-                seen.add(m["batch_id"])
-            v = m["parent"]
-        return seen
-
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         parent = current_version(table_path)
-        seen = _seen_batch_ids(parent)
+        seen = seen_batch_ids(table_path, parent)
         if batch_id in seen:
             return
         pm = read_manifest(table_path, parent) if parent else {}

@@ -1422,3 +1422,120 @@ def streaming_join_view_maintenance(spark: SparkSession, sf_dir: str) -> DataFra
     return read_join_view(spark, view).select(
         "o_orderkey", "custkey", "o_totalprice", "c_name", "c_mktsegment"
     )
+
+
+@register(
+    "streaming_upsert_mor_state",
+    oracle="""
+SELECT user_id,
+       event_id AS last_event_id,
+       ts       AS last_ts,
+       event_type AS last_event_type,
+       value    AS last_value
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY user_id
+                               ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1
+""",
+    description=(
+        "Structured Streaming merge-on-read upsert sink: foreachBatch "
+        "commits each micro-batch's newest row per user as data files + "
+        "an equality-delete file in one O(batch) snapshot (the Flink "
+        "upsert-writer topology) — the standing table is never read; the "
+        "final MoR read equals the batch latest-state query exactly"
+    ),
+    # pytest-oracle-checked (incl. forced multi-batch + replay runs); the
+    # driver surface is at its 50-entry cap — the MoR upsert read path is
+    # driver-visible via upsert_mor_orders_read.
+    driver_exposed=False,
+    eager=True,  # runs a stream at plan time
+)
+def streaming_upsert_mor_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC upsert, the O(batch) way: equality-delete merge-on-read.
+
+    ``run_cdc_upsert`` above rewrites the whole state table every batch —
+    correct, but per-batch cost is O(state). This entry is the topology a
+    100 TB CDC ingest actually runs (Iceberg v2 + Flink upsert writer):
+    each micro-batch commits its rows as new data files PLUS an
+    equality-delete file over the batch's keys (ingest/equality_deletes.
+    streaming_upsert_sink), so old rows for those keys are shadowed at
+    READ time by the sequence-number rule; nothing standing is read or
+    rewritten per batch. Cost: O(batch) per batch, one keys→max(seq)
+    broadcast join at read, and compaction (commit_compact) retires the
+    tombstones on its own schedule.
+
+    Blind keyed replacement is only correct when batches arrive in
+    per-key event order — the contract a keyed Kafka topic or a Flink
+    upsert changelog provides. The staging simulates that contract for
+    the finite corpus: events are range-partitioned into four files
+    contiguous in (ts, event_id) order (repartitionByRange — a
+    distributed sort-split, no single-partition window) and driven
+    one-per-trigger in mtime order, so each user's newest row is in the
+    last batch that mentions the user, and within-batch reduction picks
+    it. Exactly-once: the cumulative batch_ids ledger rides every commit;
+    a replayed micro-batch is a no-op (tests/test_equality_deletes.py).
+    """
+    import os
+
+    from pyspark.sql import Window
+
+    from iceberg_file_writer_spark.ingest.equality_deletes import (
+        streaming_upsert_sink,
+    )
+    from iceberg_file_writer_spark.ingest.snapshots import read_table_version
+
+    ev = load_tables(spark, sf_dir)["events"]
+
+    def _stage(path: str) -> None:
+        # four arrival files, contiguous ranges of the (ts, event_id)
+        # total order; FileStreamSource orders by modification time
+        ev.repartitionByRange(4, "ts", "event_id").sortWithinPartitions(
+            "ts", "event_id"
+        ).write.mode("overwrite").parquet(path)
+        parts = sorted(
+            f for f in os.listdir(path)
+            if f.endswith(".parquet") and not f.startswith(("_", "."))
+        )
+        base = os.path.getmtime(os.path.join(path, parts[0]))
+        for i, f in enumerate(parts):
+            os.utime(os.path.join(path, f), (base + i * 10, base + i * 10))
+
+    incoming = _staged_input((sf_dir, "upsert-mor"), _stage)
+
+    root = tempfile.mkdtemp(prefix="upsert-mor-")
+    table = os.path.join(root, "state")
+    ckpt = os.path.join(root, "ckpt")
+    sink = streaming_upsert_sink(table, ["user_id"])
+    bw = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+
+    def _fold(batch_df: DataFrame, batch_id: int) -> None:
+        winners = (
+            batch_df.withColumn("rn", F.row_number().over(bw))
+            .where(F.col("rn") == 1)
+            .select(
+                "user_id",
+                F.col("event_id").alias("last_event_id"),
+                F.col("ts").alias("last_ts"),
+                F.col("event_type").alias("last_event_type"),
+                F.col("value").alias("last_value"),
+            )
+        )
+        sink(winners, batch_id)
+
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(STREAM_STATE_PARTITIONS))
+    try:
+        q = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(incoming)
+            .writeStream.foreachBatch(_fold)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return read_table_version(spark, table)

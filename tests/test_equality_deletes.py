@@ -343,3 +343,52 @@ def test_streaming_upsert_composition(spark, table, tmp_path):
         .drop("_rn")
     )
     assert _canon(read_table_version(spark, t)) == _canon(want)
+
+
+def test_streaming_upsert_sink_exactly_once(spark, tmp_path):
+    """A replayed micro-batch (same batch_id after a checkpoint recovery)
+    is a no-op: no new snapshot, no double-applied upsert — even when the
+    replay arrives AFTER later batches committed (the ledger is
+    cumulative, so the stale id is still recognized)."""
+    from iceberg_file_writer_spark.ingest.equality_deletes import (
+        streaming_upsert_sink,
+    )
+
+    t = str(tmp_path / "tbl")
+
+    def row(k: int, v: float):
+        return spark.createDataFrame([(k, v)], "user_id long, value double")
+
+    sink = streaming_upsert_sink(t, ["user_id"])
+    sink(row(1, 1.0).union(row(2, 2.0)), 0)
+    sink(row(1, 10.0), 1)
+    v_after = current_version(t)
+    assert v_after == 2
+    # replay batch 0: ledger hit, nothing committed, batch-1 value stands
+    sink(row(1, 1.0).union(row(2, 2.0)), 0)
+    assert current_version(t) == v_after
+    assert _canon(read_table_version(spark, t)) == [(1, 10.0), (2, 2.0)]
+    # the ledger survives in the newest manifest (single-read dedup)
+    assert read_manifest(t, v_after)["batch_ids"] == [0, 1]
+
+
+def test_streaming_upsert_sink_empty_batch_ledgers(spark, tmp_path):
+    """An empty micro-batch still commits its batch_id into the ledger
+    (files unchanged, no eq entry) — a later replay of that id is
+    recognized instead of re-running (the join_view empty-delta lesson,
+    ADVICE r7)."""
+    from iceberg_file_writer_spark.ingest.equality_deletes import (
+        streaming_upsert_sink,
+    )
+
+    t = str(tmp_path / "tbl")
+    sink = streaming_upsert_sink(t, ["user_id"])
+    df = spark.createDataFrame([(1, 1.0)], "user_id long, value double")
+    sink(df, 0)
+    sink(df.where("false"), 1)
+    assert current_version(t) == 2
+    m = read_manifest(t, 2)
+    assert m["batch_ids"] == [0, 1]
+    # empty batch added no tombstones: eqs carried forward unchanged
+    assert m.get("eqs") == read_manifest(t, 1).get("eqs")
+    assert _canon(read_table_version(spark, t)) == [(1, 1.0)]
