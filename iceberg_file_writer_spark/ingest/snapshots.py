@@ -620,16 +620,22 @@ def expire_snapshots(
     """
     import time
 
+    from iceberg_file_writer_spark.ingest.tags import tagged_versions
+
     cur = current_version(table_path)
     floor = max(1, cur - keep_last + 1)
+    pinned = tagged_versions(table_path)
     dropped_manifests = 0
     for name in sorted(os.listdir(_snap_dir(table_path))):
         if not name.startswith("v") or not name.endswith(".json"):
             continue
         full = os.path.join(_snap_dir(table_path), name)
         m = json.load(open(full))
-        # never touch >= floor — includes versions newer than cur at entry
-        if m["version"] < floor:
+        # never touch >= floor — includes versions newer than cur at
+        # entry; tagged versions are pinned below the floor too (the
+        # file sweep re-lists surviving manifests, so a pinned manifest
+        # pins its data/segment/DV/eq references with no extra work)
+        if m["version"] < floor and m["version"] not in pinned:
             os.remove(full)
             dropped_manifests += 1
     # re-list AFTER the manifest sweep: any manifest present now (retained
