@@ -1,0 +1,165 @@
+"""Metadata inspection tables: the table's own metadata as DataFrames
+[extension].
+
+Iceberg exposes every table's metadata as queryable relations
+(``SELECT * FROM tbl$snapshots / $files / $partitions / $history /
+$refs``) — the surface operators use to answer "what changed", "how
+big", "what does a maintenance pass owe" WITHOUT scanning data. This
+module is that surface for the jar-free snapshot layer:
+
+- ``snapshots`` — one row per retained version: op, parent, file/row
+  counts, delete-file counts. The compaction/expiry scheduling input.
+- ``files`` — one row per data file of a version: path, rows, per-column
+  min/max/null stats (JSON — schemas vary per table). The skew/layout
+  audit input.
+- ``history`` — snapshot lineage with an ``is_current`` flag.
+- ``partitions`` — per-partition file/row counts DERIVED FROM STATS:
+  each spec transform's value is recovered per file (day/month from the
+  source column's min=max day, bucket from the hidden column's min=max);
+  a file straddling a transform boundary (range-partitioned writes may
+  place one straddler at each boundary) surfaces as partition NULL
+  rather than a wrong bucket — the view never lies, it declines.
+- ``refs`` — main + every branch and tag with its version.
+
+All five are METADATA-ONLY: built from the manifest JSONs (and ref
+pointer files), never opening a data file. At 100 TB that is the point —
+"rows per snapshot over the last 50 commits" costs 50 manifest reads;
+the DataFrames are createDataFrame over manifest-sized lists (manifests
+are the planning unit, same as the scan path). On a real Iceberg
+catalog these map 1:1 onto the ``$``-suffixed metadata tables.
+
+Reference scope note: the reference (/root/reference/main.go) keeps no
+metadata to inspect; this is the observability layer over the snapshot
+extension. [extension]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from iceberg_file_writer_spark.ingest.snapshots import (
+    _snap_dir,
+    current_version,
+    read_manifest,
+)
+
+KINDS = ("snapshots", "files", "history", "partitions", "refs")
+
+
+def _retained_versions(table_path: str) -> "list[int]":
+    """Retained main versions (dir listing — tolerates expiry gaps and
+    tag-pinned islands below the retention floor)."""
+    cur = current_version(table_path)
+    out = []
+    for name in os.listdir(_snap_dir(table_path)):
+        if name.startswith("v") and name.endswith(".json"):
+            v = int(name[1:-5])
+            if v <= cur:  # above-CURRENT files are uncommitted claims
+                out.append(v)
+    return sorted(out)
+
+
+def inspect_table(
+    spark: SparkSession, table_path: str, kind: str, version: int | None = None
+) -> DataFrame:
+    """The ``kind`` metadata relation for ``table_path`` (see module
+    docstring). ``version`` scopes ``files``/``partitions`` to one
+    snapshot (default CURRENT); the other kinds are whole-table."""
+    if kind not in KINDS:
+        raise ValueError(f"unknown metadata table {kind!r}; one of {KINDS}")
+    if kind == "snapshots":
+        rows = []
+        for v in _retained_versions(table_path):
+            m = read_manifest(table_path, v)
+            rows.append(
+                (
+                    v,
+                    m.get("parent"),
+                    m["op"],
+                    len(m["files"]),
+                    sum(e["rows"] for e in m["files"]),
+                    len(m.get("dvs") or []),
+                    len(m.get("eqs") or []),
+                )
+            )
+        return spark.createDataFrame(
+            rows,
+            "version int, parent int, op string, n_data_files int, "
+            "n_rows bigint, n_delete_vectors int, n_eq_delete_files int",
+        )
+    if kind == "history":
+        cur = current_version(table_path)
+        rows = [
+            (v, read_manifest(table_path, v)["op"], v == cur)
+            for v in _retained_versions(table_path)
+        ]
+        return spark.createDataFrame(
+            rows, "version int, op string, is_current boolean"
+        )
+    if kind == "refs":
+        from iceberg_file_writer_spark.ingest.branching import list_branches
+        from iceberg_file_writer_spark.ingest.tags import list_tags
+
+        rows = [("main", "branch", current_version(table_path))]
+        for name, ptr in list_branches(table_path).items():
+            rows.append((name, "branch", ptr.get("base")))
+        for name, t in list_tags(table_path).items():
+            rows.append((name, "tag", t["version"]))
+        return spark.createDataFrame(rows, "name string, type string, version int")
+
+    v = current_version(table_path) if version is None else version
+    m = read_manifest(table_path, v)
+    if kind == "files":
+        rows = [
+            (e["path"], e["rows"], json.dumps(e.get("stats") or {}, default=str))
+            for e in m["files"]
+        ]
+        return spark.createDataFrame(
+            rows, "path string, rows bigint, stats_json string"
+        )
+    # partitions: recover each file's transform tuple from its stats
+    spec = m.get("spec") or []
+    agg: dict = {}
+    for e in m["files"]:
+        part = _file_partition(e, spec)
+        cell = agg.setdefault(part, [0, 0])
+        cell[0] += 1
+        cell[1] += e["rows"]
+    rows = [(k, n, r) for k, (n, r) in sorted(agg.items(), key=lambda kv: str(kv[0]))]
+    return spark.createDataFrame(
+        rows, "partition string, n_files int, n_rows bigint"
+    )
+
+
+def _file_partition(entry: dict, spec: list) -> "str | None":
+    """The file's transform-value tuple recovered from stats, or None
+    when any transform value is not constant within the file (boundary
+    straddler) / not derivable (z-order is a clustering, not a
+    partition; missing stats)."""
+    from iceberg_file_writer_spark.ingest.partitioning import _bucket_col_name
+
+    if not spec:
+        return ""
+    stats = entry.get("stats") or {}
+    parts = []
+    for tr in spec:
+        if tr[0] in ("day", "month"):
+            s = stats.get(tr[1])
+            if not s or s[0] is None or s[1] is None:
+                return None
+            w = 10 if tr[0] == "day" else 7
+            lo, hi = str(s[0])[:w], str(s[1])[:w]
+            if lo != hi:
+                return None
+            parts.append(f"{tr[0]}({tr[1]})={lo}")
+        elif tr[0] == "bucket":
+            s = stats.get(_bucket_col_name(tr[2], tr[1]))
+            if not s or s[0] is None or s[0] != s[1]:
+                return None
+            parts.append(f"bucket[{tr[1]}]({tr[2]})={s[0]}")
+        else:  # zorder and future clustering-only transforms
+            continue
+    return "/".join(parts)

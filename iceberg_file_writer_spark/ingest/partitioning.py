@@ -153,8 +153,16 @@ def apply_spec(df: DataFrame, spec: list) -> DataFrame:
             raise ValueError(f"unknown transform: {tr[0]}")
         cluster.append(c)
     keep_hidden = [c for c in cluster if _is_hidden(c)]
+    # explicit partition count: without it AQE's coalescing merges small
+    # range partitions, silently undoing the clustering (one file then
+    # spans many transform values and its stats carry no pruning signal).
+    # Pinning the count keeps range boundaries ON key values — a file
+    # can only straddle when maxRecordsPerFile splits mid-partition,
+    # which per-value sorting confines to range edges. This mirrors
+    # Iceberg's write.distribution-mode=range fanout contract.
+    n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     return (
-        work.repartitionByRange(*[F.col(c) for c in cluster])
+        work.repartitionByRange(n, *[F.col(c) for c in cluster])
         .sortWithinPartitions(*cluster)
         .drop(*[c for c in cluster if c not in keep_hidden])
     )

@@ -516,3 +516,70 @@ def upsert_mor_orders_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_table_version(spark, _UPSERT_TABLES[key]).select(
         "o_orderkey", "o_custkey", "o_totalprice"
     )
+
+
+_META_TABLES: dict[tuple, str] = {}
+
+
+@register(
+    "snapshots_metadata_log",
+    oracle="""
+SELECT 1 AS version, 'append' AS op,
+       (SELECT count(*) FROM orders WHERE o_orderkey % 3 = 0) AS n_rows,
+       0 AS n_eq_delete_files
+UNION ALL
+SELECT 2, 'append',
+       (SELECT count(*) FROM orders WHERE o_orderkey % 3 <= 1), 0
+UNION ALL
+SELECT 3, 'append', (SELECT count(*) FROM orders), 0
+UNION ALL
+SELECT 4, 'upsert_mor',
+       (SELECT count(*) FROM orders)
+       + (SELECT count(*) FROM orders WHERE o_custkey % 5 = 0), 1
+""",
+    description=(
+        "Metadata inspection tables (Iceberg's $snapshots): per-version "
+        "op, physical row and delete-file counts read from manifests "
+        "alone — the whole history audited without opening one data "
+        "file; values equal the commit replay exactly"
+    ),
+    driver_exposed=False,
+    eager=True,  # builds/loads a trained artifact or runs a stream at plan time
+)
+def snapshots_metadata_log(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The observability surface: table metadata AS a relation.
+
+    Builds a four-commit history (three thirds-of-orders appends, then a
+    merge-on-read upsert) and returns ``inspect_table(..., "snapshots")``
+    — version, op, physical rows, equality-delete file count, straight
+    from the manifest JSONs. No data file is opened: at 100 TB this is
+    the query a compaction scheduler or ingest monitor runs every minute
+    ("rows per snapshot, tombstone debt per snapshot"), and its cost is
+    per-RETAINED-VERSION metadata reads, independent of table bytes.
+    The oracle replays the commits arithmetically over `orders` — the
+    metadata must agree with the data that produced it.
+
+    The sibling views (files, partitions, history, refs) are pinned in
+    tests/test_inspect.py, including stats-derived partition recovery
+    and the boundary-straddler NULL contract.
+    """
+    from iceberg_file_writer_spark.ingest.equality_deletes import commit_upsert
+    from iceberg_file_writer_spark.ingest.inspect import inspect_table
+    from iceberg_file_writer_spark.ingest.snapshots import commit_append
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _META_TABLES:
+        t = os.path.join(tempfile.mkdtemp(prefix="meta-tbl-"), "orders")
+        orders = _orders(spark, sf_dir)
+        for r in range(3):
+            commit_append(
+                spark, orders.where(f"o_orderkey % 3 = {r}"), t, max_rows=2_000
+            )
+        updates = orders.where("o_custkey % 5 = 0").withColumn(
+            "o_totalprice", -F.col("o_totalprice")
+        )
+        commit_upsert(spark, t, updates, ["o_orderkey"], max_rows=2_000)
+        _META_TABLES[key] = t
+    return inspect_table(spark, _META_TABLES[key], "snapshots").select(
+        "version", "op", "n_rows", "n_eq_delete_files"
+    )
