@@ -1,0 +1,125 @@
+"""Incremental streaming source over snapshot tables: offsets are
+snapshot versions, batches are manifest diffs, restarts resume."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from iceberg_file_writer_spark.ingest.snapshots import (
+    commit_append,
+    commit_delete_where,
+)
+from iceberg_file_writer_spark.sources.snapshot_stream import (
+    register_snapshot_source,
+)
+from iceberg_file_writer_spark.tables import load_tables
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _canon(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+@pytest.fixture()
+def orders(spark):
+    return load_tables(spark, SF_DIR)["orders"].select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+
+
+def _drain(spark, table, sink, ckpt, **opts):
+    register_snapshot_source(spark)
+    reader = spark.readStream.format("snapshot_table").option("path", table)
+    for k, v in opts.items():
+        reader = reader.option(k, v)
+    # Python micro-batch sources don't support Trigger.AvailableNow
+    # (Spark falls back to ONE batch); drive with processAllAvailable
+    q = (
+        reader.load()
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(processingTime="50 milliseconds")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+
+def test_stream_reads_appends_and_resumes(spark, tmp_path, orders):
+    """Three appends stream through; a later run over the SAME checkpoint
+    picks up only commits made since — exactly-once across restarts."""
+    t = str(tmp_path / "tbl")
+    a = orders.where("o_orderkey % 3 = 0")
+    b = orders.where("o_orderkey % 3 = 1")
+    c = orders.where("o_orderkey % 3 = 2")
+    commit_append(spark, a, t, max_rows=300)
+    commit_append(spark, b, t, max_rows=300)
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    _drain(spark, t, sink, ckpt, maxVersionsPerBatch="1")
+    got = spark.read.parquet(sink)
+    assert _canon(got) == _canon(a.unionByName(b))
+    # table advances while the stream is down; the restart reads the delta
+    commit_append(spark, c, t, max_rows=300)
+    _drain(spark, t, sink, ckpt, maxVersionsPerBatch="1")
+    assert _canon(spark.read.parquet(sink)) == _canon(orders)
+
+
+def test_stream_rejects_row_removal_by_default(spark, tmp_path, orders):
+    t = str(tmp_path / "tbl")
+    commit_append(spark, orders, t)
+    commit_delete_where(spark, t, "o_custkey % 2 = 0")
+    sink, ckpt = str(tmp_path / "s"), str(tmp_path / "c")
+    with pytest.raises(Exception, match="append stream cannot express"):
+        _drain(spark, t, sink, ckpt)
+
+
+def test_stream_skip_non_appends_emits_added_files_only(spark, tmp_path, orders):
+    """skipNonAppends: a CoW delete's rewritten survivor files are new
+    paths, so they stream; the stream is additions-only by contract."""
+    t = str(tmp_path / "tbl")
+    half = orders.where("o_orderkey % 2 = 0")
+    commit_append(spark, half, t)
+    commit_delete_where(spark, t, "o_custkey % 2 = 0")  # rewrites files
+    sink, ckpt = str(tmp_path / "s"), str(tmp_path / "c")
+    _drain(spark, t, sink, ckpt, skipNonAppends="true")
+    got = spark.read.parquet(sink)
+    # appended half + the delete's survivor rewrites (added files)
+    survivors = half.where("o_custkey % 2 <> 0")
+    assert _canon(got) == _canon(half.unionByName(survivors))
+
+
+def test_stream_drops_hidden_layout_columns(spark, tmp_path, orders):
+    from iceberg_file_writer_spark.ingest.partitioning import (
+        commit_append_partitioned,
+    )
+
+    t = str(tmp_path / "tbl")
+    commit_append_partitioned(
+        spark, orders, t, spec=[("bucket", 4, "o_custkey")]
+    )
+    sink, ckpt = str(tmp_path / "s"), str(tmp_path / "c")
+    _drain(spark, t, sink, ckpt)
+    got = spark.read.parquet(sink)
+    assert got.columns == ["o_orderkey", "o_custkey", "o_totalprice"]
+    assert _canon(got) == _canon(orders)
+
+
+def test_stream_expired_history_raises_actionably(spark, tmp_path, orders):
+    from iceberg_file_writer_spark.ingest.snapshots import expire_snapshots
+
+    t = str(tmp_path / "tbl")
+    for r in range(4):
+        commit_append(spark, orders.where(f"o_orderkey % 4 = {r}"), t)
+    expire_snapshots(t, keep_last=1, data_grace_seconds=0)
+    sink, ckpt = str(tmp_path / "s"), str(tmp_path / "c")
+    with pytest.raises(Exception, match="expired or missing"):
+        _drain(spark, t, sink, ckpt)
