@@ -189,17 +189,27 @@ class _SnapshotStreamReader(DataSourceStreamReader):
 
 
 def _table_arrow_schema(table_path: str):
-    """Spark schema of the table, derived from the newest snapshot's
-    first data file footer (the jar-free layer's schema source)."""
+    """Spark schema of the table: the newest snapshot's file footers
+    UNIFIED, so files written before an additive column evolution don't
+    hide the newer columns (the batch read's mergeSchema contract).
+    Footer reads are metadata-sized; at scale the manifest would carry
+    the schema — same note as snapshots.read_table_version."""
+    import pyarrow as pa
     import pyarrow.parquet as pq
 
     v = _current_version(table_path)
     while v > 0:
         m = _manifest(table_path, v)
         if m["files"]:
-            return pq.ParquetFile(
-                os.path.join(table_path, m["files"][0]["path"])
-            ).schema_arrow
+            return pa.unify_schemas(
+                [
+                    pq.ParquetFile(
+                        os.path.join(table_path, f["path"])
+                    ).schema_arrow
+                    for f in m["files"]
+                ],
+                promote_options="permissive",
+            )
         v = m["parent"]
     raise ValueError(f"{table_path} has no data files; schema unknown")
 
@@ -220,8 +230,15 @@ class SnapshotTableDataSource(DataSource):
             raise ValueError("snapshot_table requires a 'path' option")
         arrow = _table_arrow_schema(path)
         spark_schema = from_arrow_schema(arrow)
+        # every field nullable: files written before an additive column
+        # evolution stream NULLs in the new column even when the
+        # introducing writer's footer marked it required
         return T.StructType(
-            [f for f in spark_schema.fields if not _is_hidden_name(f.name)]
+            [
+                T.StructField(f.name, f.dataType, nullable=True)
+                for f in spark_schema.fields
+                if not _is_hidden_name(f.name)
+            ]
         )
 
     def streamReader(self, schema: T.StructType) -> DataSourceStreamReader:

@@ -123,3 +123,22 @@ def test_stream_expired_history_raises_actionably(spark, tmp_path, orders):
     sink, ckpt = str(tmp_path / "s"), str(tmp_path / "c")
     with pytest.raises(Exception, match="expired or missing"):
         _drain(spark, t, sink, ckpt)
+
+
+def test_stream_nullfills_pre_evolution_files(spark, tmp_path, orders):
+    """Additive column evolution: files written before the new column
+    existed stream with NULLs in it (the declared schema comes from the
+    newest footer; older batches normalize to it), matching the batch
+    read's mergeSchema contract."""
+    t = str(tmp_path / "tbl")
+    commit_append(spark, orders, t)
+    evolved = orders.limit(7).withColumn("o_priority", F.lit("HIGH"))
+    commit_append(spark, evolved, t)
+    sink, ckpt = str(tmp_path / "s"), str(tmp_path / "c")
+    _drain(spark, t, sink, ckpt)
+    got = spark.read.parquet(sink)
+    assert set(got.columns) == {
+        "o_orderkey", "o_custkey", "o_totalprice", "o_priority"
+    }
+    assert got.where("o_priority IS NULL").count() == orders.count()
+    assert got.where("o_priority = 'HIGH'").count() == 7
