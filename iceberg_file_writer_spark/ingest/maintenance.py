@@ -404,3 +404,54 @@ def storage_report(table_path: str) -> list[dict]:
             }
         )
     return out
+
+
+def vacuum(
+    table_path: str,
+    keep_last: int = 2,
+    grace_seconds: int = 3600,
+    staging_ttl_seconds: int = 86400,
+) -> dict:
+    """One-call table maintenance: expire old snapshots, then sweep every
+    sidecar class their expiry orphaned — deletion-vector dirs,
+    equality-delete dirs, bloom-index dirs (data files, sealed manifest
+    segments, and crashed-writer staging debris are swept inside
+    ``expire_snapshots`` itself). The Iceberg operational pairing of
+    ``expire_snapshots`` + ``remove_orphan_files``, scheduled as one verb.
+
+    Ordering matters and is fixed here so callers cannot get it wrong:
+    snapshots first (that is what un-references the sidecars), sidecars
+    after. Every sweep honors the same pre-commit grace TTL — an
+    in-flight writer's not-yet-referenced artifacts are never collected —
+    and tag-pinned snapshots keep every artifact they reference
+    (``ingest/tags.py``). Safe to run concurrently with writers and with
+    itself; each pass is independently idempotent.
+
+    Returns the merged count report. At 100 TB this is the nightly
+    janitor: cost is metadata listing + deletes, never a data scan.
+    """
+    from iceberg_file_writer_spark.ingest.bloom_index import expire_bloom_index
+    from iceberg_file_writer_spark.ingest.deletion_vectors import (
+        expire_deletion_vectors,
+    )
+    from iceberg_file_writer_spark.ingest.equality_deletes import (
+        expire_equality_deletes,
+    )
+    from iceberg_file_writer_spark.ingest.snapshots import expire_snapshots
+
+    report = expire_snapshots(
+        table_path,
+        keep_last=keep_last,
+        staging_ttl_seconds=staging_ttl_seconds,
+        data_grace_seconds=grace_seconds,
+    )
+    report["dropped_dv_dirs"] = expire_deletion_vectors(
+        table_path, grace_seconds=grace_seconds
+    )
+    report["dropped_eq_dirs"] = expire_equality_deletes(
+        table_path, grace_seconds=grace_seconds
+    )
+    report["dropped_bloom_dirs"] = expire_bloom_index(
+        table_path, grace_seconds=grace_seconds
+    )
+    return report

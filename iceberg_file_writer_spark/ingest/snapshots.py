@@ -822,9 +822,16 @@ def commit_compact(
         df = df.coalesce(max(1, len(files) // 8))
     rewritten = _write_data_files(df, table_path, target_rows)
     # compaction materializes the MoR-applied state: positional AND
-    # equality tombstones retire
+    # equality tombstones retire. The bloom sidecar retires too — every
+    # file was rewritten, so the carried pointer would cover zero live
+    # files forever (referenced, hence un-GC-able, yet never pruning);
+    # re-attach after compaction to re-index the new layout
     return _commit(
-        table_path, parent, "compact", rewritten, extra={"dvs": [], "eqs": []}
+        table_path,
+        parent,
+        "compact",
+        rewritten,
+        extra={"dvs": [], "eqs": [], "bloom": []},
     )
 
 
