@@ -281,8 +281,18 @@ def _commit(
     # seals entries into content-addressed chunks.)
     for e in files:
         e.setdefault("seq", version)
+    import time
+
     os.makedirs(_snap_dir(table_path), exist_ok=True)
-    manifest = {"version": version, "parent": parent, "op": op}
+    # commit wall-clock stamp: what TIMESTAMP AS OF time travel resolves
+    # against (read_table_asof). Informational, never a correctness input
+    # — ordering authority is the version number, not the clock.
+    manifest = {
+        "version": version,
+        "parent": parent,
+        "op": op,
+        "ts_ms": int(time.time() * 1000),
+    }
     manifest.update(_segment_files(table_path, files))
     if parent > 0:
         try:
@@ -466,6 +476,40 @@ def read_table_version(
     return _read_files(
         spark, table_path, files, mv.get("dvs"), eqs=mv.get("eqs")
     )
+
+
+def version_asof(table_path: str, ts_ms: int) -> int:
+    """The newest committed version whose commit stamp is <= ``ts_ms``
+    (Iceberg's TIMESTAMP AS OF resolution). Raises if the requested time
+    predates the oldest RETAINED snapshot — expired history cannot be
+    resolved, same contract as reading an expired version. Manifests
+    from before the stamp existed (legacy tables) are skipped."""
+    cur = current_version(table_path)
+    best = 0
+    for name in os.listdir(_snap_dir(table_path)):
+        if not (name.startswith("v") and name.endswith(".json")):
+            continue
+        v = int(name[1:-5])
+        if v > cur or v <= best:
+            continue
+        with open(os.path.join(_snap_dir(table_path), name)) as f:
+            stamp = json.load(f).get("ts_ms")
+        if stamp is not None and stamp <= ts_ms:
+            best = v
+    if best == 0:
+        raise ValueError(
+            f"no retained snapshot of {table_path} at or before ts_ms="
+            f"{ts_ms} — history expired or the table is newer than that"
+        )
+    return best
+
+
+def read_table_asof(
+    spark: SparkSession, table_path: str, ts_ms: int
+) -> DataFrame:
+    """Time travel by wall-clock: the table exactly as it stood at
+    ``ts_ms`` (epoch millis) — ``SELECT ... TIMESTAMP AS OF``."""
+    return read_table_version(spark, table_path, version_asof(table_path, ts_ms))
 
 
 def _read_files(

@@ -116,10 +116,14 @@ class _SnapshotStreamReader(DataSourceStreamReader):
         self.skip_non_appends = (
             str(options.get("skipnonappends", "false")).lower() == "true"
         )
-        self._last_end = 0
+        # start AFTER this version (0 = from table genesis): the Iceberg
+        # stream-from-snapshot option for consumers that bootstrap with a
+        # batch read and tail only what follows
+        self.starting_version = int(options.get("startingversion", 0))
+        self._last_end = self.starting_version
 
     def initialOffset(self) -> dict:
-        return {"version": 0}
+        return {"version": self.starting_version}
 
     def latestOffset(self) -> dict:
         cur = _current_version(self.path)

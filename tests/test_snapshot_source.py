@@ -142,3 +142,16 @@ def test_stream_nullfills_pre_evolution_files(spark, tmp_path, orders):
     }
     assert got.where("o_priority IS NULL").count() == orders.count()
     assert got.where("o_priority = 'HIGH'").count() == 7
+
+
+def test_stream_starting_version_tails_later_commits(spark, tmp_path, orders):
+    """startingVersion: bootstrap with a batch read, tail the rest —
+    versions <= the start are never emitted."""
+    t = str(tmp_path / "tbl")
+    a = orders.where("o_orderkey % 2 = 0")
+    b = orders.where("o_orderkey % 2 = 1")
+    commit_append(spark, a, t)
+    commit_append(spark, b, t)
+    sink, ckpt = str(tmp_path / "s"), str(tmp_path / "c")
+    _drain(spark, t, sink, ckpt, startingVersion="1")
+    assert _canon(spark.read.parquet(sink)) == _canon(b)

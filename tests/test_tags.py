@@ -96,3 +96,27 @@ def test_tag_pins_through_expire(spark, table):
         read_table_version(spark, t, 2)
     assert current_version(t) == cur  # CURRENT untouched throughout
     assert list_tags(t) == {}
+
+
+def test_timestamp_asof_time_travel(spark, table):
+    """TIMESTAMP AS OF: wall-clock resolves to the newest snapshot at or
+    before it; pre-genesis times raise."""
+    import time
+
+    from iceberg_file_writer_spark.ingest.snapshots import (
+        read_table_asof,
+        version_asof,
+    )
+
+    t, orders = table  # v1 = full orders
+    time.sleep(0.02)
+    between = int(time.time() * 1000)
+    time.sleep(0.02)
+    commit_append(spark, orders.limit(3), t)  # v2
+    now = int(time.time() * 1000)
+    assert version_asof(t, between) == 1
+    assert version_asof(t, now) == 2
+    assert read_table_asof(spark, t, between).count() == orders.count()
+    assert read_table_asof(spark, t, now).count() == orders.count() + 3
+    with pytest.raises(ValueError, match="at or before"):
+        version_asof(t, 1)  # 1970: predates the table
