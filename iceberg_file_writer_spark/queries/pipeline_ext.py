@@ -1078,7 +1078,11 @@ WHERE o.user_id IS NULL OR n.user_id IS NULL OR n.event_id <> o.event_id
     ),
     # Round-5 rotation: promoted to the driver surface; q7_nation_volume
     # (driver-green r2-r4, multi-join agg shape also covered by q5)
-    # ceded its slot.
+    # ceded its slot. Round-8 seventh rotation: ceded (driver-green
+    # r5-r8 pre-rotation; snapshot-diff shape covered by
+    # snapshots_metadata_log + incremental_snapshot_stream_read, window
+    # shape by cdc_user_latest_state) to incremental_snapshot_stream_read.
+    driver_exposed=False,
 )
 def table_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Diff of the changelog's materialized state at two snapshot times.
@@ -1759,8 +1763,11 @@ FROM updated
         "diffing only the manifests' differing files, logically equal to "
         "the relational multiset diff the oracle states"
     ),
-    # Registered mid-round 5; driver surface is at its 50-entry cap, so
-    # pytest-oracle + bench coverage until a future rotation.
+    # Registered mid-round 5; promoted in the round-6 rotation. Round-8
+    # seventh rotation: ceded (driver-green r6-r8 pre-rotation; the CDC
+    # changelog shape stays covered by streaming_upsert_mor_state and
+    # cdc_user_latest_state) to streaming_upsert_mor_state.
+    driver_exposed=False,
     eager=True,  # builds/loads a trained artifact or runs a stream at plan time
 )
 def snapshot_changes_feed(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -933,6 +933,10 @@ SELECT query_id, neighbor_id, cosine_sim, rk FROM (
     # Round-5 rotation: promoted to the driver surface;
     # q17_small_quantity_revenue (driver-green r3-r4, correlated-subquery
     # shape also covered by orders_above_customer_avg) ceded its slot.
+    # Round-8 seventh rotation: ceded (driver-green r5-r8 pre-rotation;
+    # the retrieve-then-rerank shape stays covered by knn_pq_adc_rerank
+    # and the ann_index probes) to snapshots_metadata_log.
+    driver_exposed=False,
     eager=True,  # builds/loads a trained artifact or runs a stream at plan time
 )
 def knn_sq8_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -543,7 +543,9 @@ SELECT 4, 'upsert_mor',
         "alone — the whole history audited without opening one data "
         "file; values equal the commit replay exactly"
     ),
-    driver_exposed=False,
+    # Round-8 seventh rotation: promoted (metadata-inspection flagship);
+    # knn_sq8_rerank ceded its slot (retrieve-then-rerank shape stays
+    # covered by knn_pq_adc_rerank and the ann_index probes).
     eager=True,  # builds/loads a trained artifact or runs a stream at plan time
 )
 def snapshots_metadata_log(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -598,7 +600,10 @@ _STREAM_READ_TABLES: dict[tuple, str] = {}
         "commits stream through version-by-version and the drained sink "
         "equals the table exactly"
     ),
-    driver_exposed=False,
+    # Round-8 seventh rotation: promoted (incremental-source flagship);
+    # table_snapshot_diff ceded its slot (snapshot-diff shape stays
+    # covered by snapshots_metadata_log; its window shape by
+    # cdc_user_latest_state).
     eager=True,  # builds/loads a trained artifact or runs a stream at plan time
 )
 def incremental_snapshot_stream_read(spark: SparkSession, sf_dir: str) -> DataFrame:

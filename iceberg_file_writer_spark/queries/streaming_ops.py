@@ -1445,10 +1445,9 @@ FROM (
         "upsert-writer topology) — the standing table is never read; the "
         "final MoR read equals the batch latest-state query exactly"
     ),
-    # pytest-oracle-checked (incl. forced multi-batch + replay runs); the
-    # driver surface is at its 50-entry cap — the MoR upsert read path is
-    # driver-visible via upsert_mor_orders_read.
-    driver_exposed=False,
+    # Round-8 seventh rotation: promoted (the O(batch) CDC upsert
+    # flagship); snapshot_changes_feed ceded its slot (CDC changelog
+    # shape stays covered here and by cdc_user_latest_state).
     eager=True,  # runs a stream at plan time
 )
 def streaming_upsert_mor_state(spark: SparkSession, sf_dir: str) -> DataFrame:

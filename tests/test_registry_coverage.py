@@ -23,7 +23,8 @@ from iceberg_file_writer_spark.queries import all_queries, driver_queries
 CLASS_MEMBERS: dict[str, set[str]] = {
     "scans_sources_sinks": {
         "pruned_time_range_scan", "snapshot_changes_feed",
-        "table_snapshot_diff",
+        "table_snapshot_diff", "snapshots_metadata_log",
+        "incremental_snapshot_stream_read",
     },
     "projections_filters": {
         "part_scalar_expressions", "event_props_extraction",
@@ -64,7 +65,7 @@ CLASS_MEMBERS: dict[str, set[str]] = {
     "streaming": {
         "streaming_dedup_events", "streaming_session_windows",
         "streaming_stateful_daily_totals", "streaming_priority_sample",
-        "streaming_join_view_maintenance",
+        "streaming_join_view_maintenance", "streaming_upsert_mor_state",
     },
     "udf_surface": {
         "multimodal_feature_extract", "streaming_stateful_daily_totals",
