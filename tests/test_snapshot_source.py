@@ -155,3 +155,53 @@ def test_stream_starting_version_tails_later_commits(spark, tmp_path, orders):
     sink, ckpt = str(tmp_path / "s"), str(tmp_path / "c")
     _drain(spark, t, sink, ckpt, startingVersion="1")
     assert _canon(spark.read.parquet(sink)) == _canon(b)
+
+
+# --- property: any append/upsert interleaving streams its added rows ---------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_batches = st.lists(
+    st.tuples(
+        st.sampled_from(["append", "upsert"]),
+        st.lists(
+            st.tuples(st.integers(0, 9), st.integers(0, 99)),
+            min_size=1,
+            max_size=4,
+        ),
+    ),
+    min_size=1,
+    max_size=5,
+)
+
+
+@settings(
+    max_examples=4,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(batches=_batches)
+def test_source_streams_exactly_the_added_rows(spark, tmp_path_factory, batches):
+    """Property: for ANY interleaving of appends and MoR upserts, the
+    snapshot source (skipNonAppends) delivers exactly the rows each
+    commit ADDED — the additions feed — regardless of batch shapes,
+    duplicate keys, or upserts shadowing earlier rows."""
+    from iceberg_file_writer_spark.ingest.equality_deletes import commit_upsert
+
+    t = str(tmp_path_factory.mktemp("snap-src-prop") / "tbl")
+    added = []
+    for op, rows in batches:
+        if op == "upsert":
+            # upsert requires at most one row per key within the batch
+            rows = list({k: (k, v) for k, v in rows}.values())
+        df = spark.createDataFrame(rows, "k long, v long")
+        if op == "append":
+            commit_append(spark, df, t)
+        else:
+            commit_upsert(spark, t, df, ["k"])
+        added.extend(rows)
+    out = str(tmp_path_factory.mktemp("snap-src-prop") / "out")
+    ckpt = str(tmp_path_factory.mktemp("snap-src-prop") / "ckpt")
+    _drain(spark, t, out, ckpt, skipNonAppends="true", maxVersionsPerBatch="1")
+    assert _canon(spark.read.parquet(out)) == sorted(added)
