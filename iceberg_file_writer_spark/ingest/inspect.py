@@ -163,3 +163,41 @@ def _file_partition(entry: dict, spec: list) -> "str | None":
         else:  # zorder and future clustering-only transforms
             continue
     return "/".join(parts)
+
+
+def clustering_report(table_path: str, version: int | None = None) -> dict:
+    """Layout-quality triage for one snapshot, manifests only: how much
+    of the table still honors its transform spec (a file is "clustered"
+    when every spec value is recoverable from its stats — the same
+    test the partitions view applies), plus the merge-on-read tombstone
+    debt. The inputs to a re-cluster / compact decision:
+
+    - ``clustered_permille`` decays as writers miss spec columns or
+      boundary straddlers accumulate → ``commit_compact`` re-applies the
+      standing spec and repairs it (pinned in tests/test_inspect.py).
+    - ``n_dv_files`` / ``n_eq_rows`` grow with MoR churn → compaction
+      retires them.
+
+    At 100 TB: one manifest read; no data file is opened.
+    """
+    from iceberg_file_writer_spark.ingest.snapshots import current_version
+
+    v = current_version(table_path) if version is None else version
+    m = read_manifest(table_path, v)
+    spec = m.get("spec") or []
+    files = m["files"]
+    n = len(files)
+    rows = sum(e["rows"] for e in files)
+    straddlers = sum(1 for e in files if _file_partition(e, spec) is None)
+    return {
+        "version": v,
+        "spec": spec,
+        "n_files": n,
+        "n_rows": rows,
+        "avg_rows_per_file": rows // n if n else 0,
+        "straddler_files": straddlers,
+        "clustered_permille": (1000 * (n - straddlers)) // n if n else 1000,
+        "n_dv_files": len(m.get("dvs") or []),
+        "n_eq_files": len(m.get("eqs") or []),
+        "eq_key_rows": sum(e.get("rows", 0) for e in (m.get("eqs") or [])),
+    }

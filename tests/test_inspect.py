@@ -130,3 +130,36 @@ def test_partitions_day_spec_end_to_end(spark, tmp_path):
         assert n <= want[k]
         exact += n == want[k]
     assert exact >= max(1, len(want) - 8)  # straddlers are the exception
+
+
+def test_clustering_report_decay_and_repair(spark, tmp_path, orders):
+    """The report sees layout decay (a writer missing the spec column
+    appends unclustered files) and compaction repairing it."""
+    from iceberg_file_writer_spark.ingest.equality_deletes import commit_upsert
+    from iceberg_file_writer_spark.ingest.inspect import clustering_report
+    from iceberg_file_writer_spark.ingest.snapshots import (
+        commit_append,
+        commit_compact,
+    )
+
+    t = str(tmp_path / "tbl")
+    commit_append_partitioned(
+        spark, orders, t, spec=[("bucket", 4, "o_custkey")]
+    )
+    r1 = clustering_report(t)
+    assert r1["clustered_permille"] == 1000 and r1["n_files"] >= 4
+    # a writer without the spec's source column: conservative, unclustered
+    commit_append(spark, orders.limit(50).drop("o_custkey"), t)
+    # and some MoR churn
+    commit_upsert(
+        spark, t, orders.limit(9).withColumn("o_totalprice", F.lit(0.0)),
+        ["o_orderkey"],
+    )
+    r2 = clustering_report(t)
+    assert r2["straddler_files"] >= 1
+    assert r2["clustered_permille"] < 1000
+    assert r2["n_eq_files"] == 1 and r2["eq_key_rows"] == 9
+    commit_compact(spark, t)
+    r3 = clustering_report(t)
+    assert r3["clustered_permille"] == 1000  # spec re-applied
+    assert r3["n_eq_files"] == 0 and r3["n_dv_files"] == 0
