@@ -39,10 +39,13 @@ Reference scope note: the reference (/root/reference/main.go) writes
 files a consumer must directory-poll; this gives its output a
 transactional change feed. [extension]
 
-This module is registered pickle-by-value and kept SELF-CONTAINED
-(minimal local manifest readers instead of importing the ingest
-package): the driver-side streaming runner and executor workers may not
-have the repo importable.
+This module is registered pickle-by-value: the driver-side streaming
+runners and executor workers may not have the repo importable. The READ
+path keeps minimal local manifest readers (zero dependencies); the
+WRITE path reuses ingest.snapshots' full optimistic-commit protocol —
+that module is registered by value alongside this one, and its symbols
+are bound at module level here so no runtime import ever happens in a
+runner process.
 """
 
 from __future__ import annotations
@@ -56,7 +59,24 @@ from pyspark.sql import types as T
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceStreamReader,
+    DataSourceStreamWriter,
     InputPartition,
+    WriterCommitMessage,
+)
+
+# module-level on purpose: a lazy `import` inside the writer's commit()
+# would execute in the isolated sink-runner process, where the repo is
+# NOT importable — binding the symbols here puts them in this module's
+# globals, which register_snapshot_source pickles BY VALUE (snapshots is
+# registered too, so these function objects serialize self-contained)
+from iceberg_file_writer_spark.ingest.snapshots import (  # noqa: E402
+    CommitConflict,
+    _commit,
+    _data_dir,
+    _footer_stats,
+    current_version,
+    read_manifest,
+    seen_batch_ids,
 )
 
 # ops whose only table effect is ADDING rows/files; everything else
@@ -218,9 +238,123 @@ def _table_arrow_schema(table_path: str):
     raise ValueError(f"{table_path} has no data files; schema unknown")
 
 
+class _StagedFileCommit(WriterCommitMessage):
+    """Per-task commit message: one staged parquet file (or None for an
+    empty task) — data bytes are written ONCE, by executors."""
+
+    def __init__(self, staged_path: "str | None", n_rows: int):
+        self.staged_path = staged_path
+        self.n_rows = n_rows
+
+
+class _SnapshotStreamWriter(DataSourceStreamWriter):
+    """``writeStream.format("snapshot_table")`` — exactly-once streaming
+    append INTO a snapshot table, the format-native form of
+    ``snapshots.streaming_append_sink``:
+
+    1. **executors** write their partition's rows as parquet into a
+       dot-prefixed staging dir inside the table (invisible to every
+       reader; the same-filesystem guarantee the repo's writers rely on,
+       and ``expire_snapshots`` TTL-sweeps it if a crash strands it);
+    2. **commit (driver, all tasks succeeded)** consults the cumulative
+       ``batch_ids`` ledger — a replayed micro-batch after checkpoint
+       recovery cleans up its staging and returns without committing —
+       then renames the staged files to immutable uuid names in
+       ``data/``, harvests footer stats, and publishes ONE snapshot via
+       the repo's optimistic ``_commit`` (seq stamping, spec/DV/eq/bloom
+       carry, two-level sealing, conflict retry against interleaved
+       writers all inherited);
+    3. **abort** removes staged files — the table never saw the batch.
+
+    Layout note: rows land file-per-task, unclustered; a standing spec
+    still rides the manifest, and ``commit_compact`` re-clusters on its
+    schedule (the same contract as any spec-less writer verb).
+    """
+
+    def __init__(self, schema: T.StructType, options):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("snapshot_table sink requires a 'path' option")
+        self.schema_ = schema
+        self.max_commit_retries = int(options.get("maxcommitretries", 5))
+
+    def write(self, iterator) -> _StagedFileCommit:
+        import uuid as _uuid
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        target = to_arrow_schema(self.schema_)
+        names = target.names
+        rows = [dict(zip(names, tuple(r))) for r in iterator]
+        if not rows:
+            return _StagedFileCommit(None, 0)
+        staging = os.path.join(self.path, ".snap-staging-sink")
+        os.makedirs(staging, exist_ok=True)
+        staged = os.path.join(staging, f"{_uuid.uuid4().hex}.parquet")
+        tbl = pa.Table.from_pylist(rows, schema=target)
+        pq.write_table(tbl, staged, compression="snappy")
+        return _StagedFileCommit(staged, len(rows))
+
+    def commit(self, messages, batchId: int) -> None:
+        import uuid as _uuid
+
+        staged = [m for m in messages if m is not None and m.staged_path]
+        for attempt in range(self.max_commit_retries):
+            parent = current_version(self.path)
+            seen = seen_batch_ids(self.path, parent)
+            if batchId in seen:
+                self.abort(messages, batchId)  # replay: drop staging
+                return
+            if attempt == 0:
+                import pyarrow.parquet as pq
+
+                os.makedirs(_data_dir(self.path), exist_ok=True)
+                entries = []
+                for msg in staged:
+                    final = f"part-{_uuid.uuid4().hex}.parquet"
+                    meta = pq.ParquetFile(msg.staged_path).metadata
+                    os.rename(
+                        msg.staged_path, os.path.join(_data_dir(self.path), final)
+                    )
+                    entries.append(
+                        {
+                            "path": f"data/{final}",
+                            "rows": meta.num_rows,
+                            "stats": _footer_stats(meta),
+                        }
+                    )
+            pm = read_manifest(self.path, parent) if parent else {}
+            try:
+                _commit(
+                    self.path,
+                    parent,
+                    "append",
+                    (pm.get("files") or []) + entries,
+                    extra={
+                        "batch_id": batchId,
+                        "batch_ids": sorted(seen | {batchId}),
+                    },
+                )
+                return
+            except CommitConflict:
+                continue  # interleaved writer took the slot; re-read parent
+        raise CommitConflict(
+            f"batch {batchId}: lost the commit race {self.max_commit_retries} "
+            "times; raise maxCommitRetries or reduce writer contention"
+        )
+
+    def abort(self, messages, batchId: int) -> None:
+        for m in messages:
+            if m is not None and m.staged_path and os.path.exists(m.staged_path):
+                os.remove(m.staged_path)
+
+
 class SnapshotTableDataSource(DataSource):
     """``format("snapshot_table")`` — incremental micro-batch source over
-    a snapshot-versioned table (see module docstring)."""
+    AND exactly-once streaming sink into a snapshot-versioned table (see
+    module + writer docstrings)."""
 
     @classmethod
     def name(cls) -> str:
@@ -248,6 +382,11 @@ class SnapshotTableDataSource(DataSource):
     def streamReader(self, schema: T.StructType) -> DataSourceStreamReader:
         return _SnapshotStreamReader(schema, self.options)
 
+    def streamWriter(
+        self, schema: T.StructType, overwrite: bool
+    ) -> _SnapshotStreamWriter:
+        return _SnapshotStreamWriter(schema, self.options)
+
 
 def _is_hidden_name(name: str) -> bool:
     """Local twin of ingest.partitioning._is_hidden (self-containment)."""
@@ -259,11 +398,15 @@ def _is_hidden_name(name: str) -> bool:
 
 def register_snapshot_source(spark: SparkSession) -> None:
     """Idempotently register with a session; pickle-by-value so neither
-    the driver-side source runner nor executors need the repo on their
-    import path (same contract as register_location_source)."""
+    the driver-side source/sink runner nor executors need the repo on
+    their import path (same contract as register_location_source). The
+    sink's commit path reuses ingest.snapshots' optimistic protocol, so
+    that module rides by value too."""
     from pyspark import cloudpickle
 
+    import iceberg_file_writer_spark.ingest.snapshots as snapshots_mod
     import iceberg_file_writer_spark.sources.snapshot_stream as this_mod
 
     cloudpickle.register_pickle_by_value(this_mod)
+    cloudpickle.register_pickle_by_value(snapshots_mod)
     spark.dataSource.register(SnapshotTableDataSource)

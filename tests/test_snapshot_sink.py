@@ -1,0 +1,124 @@
+"""format("snapshot_table") streaming SINK: exactly-once appends into a
+snapshot table through the DataSource writer API."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from iceberg_file_writer_spark.ingest.snapshots import (
+    commit_append,
+    current_version,
+    read_manifest,
+    read_table_version,
+)
+from iceberg_file_writer_spark.sources.snapshot_stream import (
+    register_snapshot_source,
+)
+from iceberg_file_writer_spark.tables import load_tables
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _canon(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+@pytest.fixture()
+def orders(spark):
+    return load_tables(spark, SF_DIR)["orders"].select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+
+
+def _stage_files(df, n: int) -> str:
+    src = tempfile.mkdtemp(prefix="sink-src-")
+    df.repartition(n).write.mode("overwrite").parquet(src)
+    return src
+
+
+def _run_sink(spark, src_dir, schema, table, ckpt):
+    register_snapshot_source(spark)
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir)
+        .writeStream.format("snapshot_table")
+        .option("path", table)
+        .option("checkpointLocation", ckpt)
+        .trigger(processingTime="50 milliseconds")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+
+def test_sink_appends_exactly_once_across_restarts(spark, tmp_path, orders):
+    """Micro-batches become snapshots (one commit per batch, ledgered);
+    a restart over the same checkpoint re-delivers nothing."""
+    src = _stage_files(orders, 3)
+    t = str(tmp_path / "tbl")
+    ckpt = str(tmp_path / "ckpt")
+    _run_sink(spark, src, orders.schema, t, ckpt)
+    assert current_version(t) >= 3  # one snapshot per micro-batch
+    assert _canon(read_table_version(spark, t)) == _canon(orders)
+    m = read_manifest(t, current_version(t))
+    assert len(m["batch_ids"]) == current_version(t)
+    # restart with nothing new: no commits, no duplicates
+    v = current_version(t)
+    _run_sink(spark, src, orders.schema, t, ckpt)
+    assert current_version(t) == v
+    assert _canon(read_table_version(spark, t)) == _canon(orders)
+    # footer stats were harvested at commit (file-skipping works on
+    # sink-written tables)
+    assert all(
+        "o_orderkey" in (e.get("stats") or {}) for e in m["files"]
+    )
+
+
+def test_sink_composes_with_repo_verbs_and_source(spark, tmp_path, orders):
+    """The sink's snapshots interleave with repo-side commits (ledger
+    carried), and the snapshot SOURCE can tail a sink-written table —
+    the format round-trips with itself."""
+    half = orders.where("o_orderkey % 2 = 0")
+    rest = orders.where("o_orderkey % 2 = 1")
+    t = str(tmp_path / "tbl")
+    commit_append(spark, half, t)  # repo verb first
+    src = _stage_files(rest, 2)
+    _run_sink(spark, src, orders.schema, t, str(tmp_path / "ckpt"))
+    assert _canon(read_table_version(spark, t)) == _canon(orders)
+    # now tail the table with the source: everything streams back
+    out, ckpt2 = str(tmp_path / "out"), str(tmp_path / "ckpt2")
+    q = (
+        spark.readStream.format("snapshot_table")
+        .option("path", t)
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt2)
+        .trigger(processingTime="50 milliseconds")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert _canon(spark.read.parquet(out)) == _canon(orders)
+
+
+def test_sink_respects_timestamp_stats(spark, tmp_path):
+    """Timestamp columns written by the sink carry order-preserving
+    stats (the TIMESTAMP_MICROS contract the repo's writers keep)."""
+    ev = load_tables(spark, SF_DIR)["events"].select("event_id", "ts")
+    src = _stage_files(ev, 2)
+    t = str(tmp_path / "tbl")
+    _run_sink(spark, src, ev.schema, t, str(tmp_path / "ckpt"))
+    assert _canon(read_table_version(spark, t)) == _canon(ev)
+    m = read_manifest(t, current_version(t))
+    st = [e["stats"].get("ts") for e in m["files"] if e.get("stats")]
+    assert st and all(s and s[0] <= s[1] for s in st)
