@@ -58,6 +58,7 @@ from pyspark.sql import SparkSession
 from pyspark.sql import types as T
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceReader,
     DataSourceStreamReader,
     DataSourceStreamWriter,
     InputPartition,
@@ -184,36 +185,109 @@ class _SnapshotStreamReader(DataSourceStreamReader):
         return out
 
     def read(self, partition: _AddedFilePartition) -> Iterator:
-        import pyarrow as pa
-        import pyarrow.parquet as pq
-        from pyspark.sql.pandas.types import to_arrow_schema
-
-        target = to_arrow_schema(self.schema_)
-        pf = pq.ParquetFile(partition.path)
-        # project to the declared schema: files may carry extra hidden
-        # layout columns (_b<n>_<col>) the stream must not surface, may
-        # lack columns a later additive evolution introduced (surface
-        # NULLs, as the table read does), and may disagree on arrow-level
-        # annotations — normalize every batch to the declared schema
-        present = [c for c in target.names if c in pf.schema_arrow.names]
-        for batch in pf.iter_batches(columns=present):
-            tbl = pa.Table.from_batches([batch])
-            arrays = []
-            for field in target:
-                if field.name in tbl.column_names:
-                    arrays.append(
-                        tbl.column(field.name).cast(field.type).combine_chunks()
-                    )
-                else:
-                    arrays.append(pa.nulls(len(tbl), field.type))
-            yield pa.RecordBatch.from_arrays(arrays, schema=target)
+        yield from _normalized_batches(partition.path, self.schema_)
 
     def commit(self, end: dict) -> None:
         pass  # offsets are durable in the engine's checkpoint WAL
 
 
-def _table_arrow_schema(table_path: str):
-    """Spark schema of the table: the newest snapshot's file footers
+def _normalized_batches(file_path: str, schema: T.StructType) -> Iterator:
+    """Vectorized read of one data file, every batch normalized to the
+    declared schema: files may carry extra hidden layout columns
+    (_b<n>_<col>) that must not surface, may lack columns a later
+    additive evolution introduced (surface NULLs, as the table read
+    does), and may disagree on arrow-level annotations."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    target = to_arrow_schema(schema)
+    pf = pq.ParquetFile(file_path)
+    present = [c for c in target.names if c in pf.schema_arrow.names]
+    for batch in pf.iter_batches(columns=present):
+        tbl = pa.Table.from_batches([batch])
+        arrays = []
+        for field in target:
+            if field.name in tbl.column_names:
+                arrays.append(
+                    tbl.column(field.name).cast(field.type).combine_chunks()
+                )
+            else:
+                arrays.append(pa.nulls(len(tbl), field.type))
+        yield pa.RecordBatch.from_arrays(arrays, schema=target)
+
+
+def _resolve_version(table_path: str, options) -> int:
+    """The snapshot a read addresses: versionAsOf > timestampAsOf >
+    CURRENT (the Spark/Delta option pair, Iceberg's VERSION/TIMESTAMP
+    AS OF)."""
+    v = options.get("versionasof")
+    if v is not None:
+        return int(v)
+    ts = options.get("timestampasof")
+    if ts is not None:
+        cur, best = _current_version(table_path), 0
+        for name in os.listdir(_snap_dir(table_path)):
+            if not (name.startswith("v") and name.endswith(".json")):
+                continue
+            n = int(name[1:-5])
+            if n > cur or n <= best:
+                continue
+            with open(os.path.join(_snap_dir(table_path), name)) as f:
+                stamp = json.load(f).get("ts_ms")
+            if stamp is not None and stamp <= int(ts):
+                best = n
+        if best == 0:
+            raise ValueError(
+                f"no retained snapshot of {table_path} at or before "
+                f"timestampAsOf={ts}"
+            )
+        return best
+    return _current_version(table_path)
+
+
+class _SnapshotBatchReader(DataSourceReader):
+    """``spark.read.format("snapshot_table")`` — batch time travel through
+    the DataSource API: one InputPartition per data file of the resolved
+    snapshot (versionAsOf / timestampAsOf / CURRENT), vectorized reads.
+
+    Merge-on-read state is REFUSED, not silently misread: a snapshot
+    carrying deletion vectors or equality deletes needs the join-based
+    apply (`ingest.snapshots.read_table_version`) — this reader's
+    file-parallel path would resurrect deleted rows. Append-only and
+    compacted snapshots (the steady state after maintenance) read here.
+    """
+
+    def __init__(self, schema: T.StructType, options):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("snapshot_table requires a 'path' option")
+        self.schema_ = schema
+        v = _resolve_version(self.path, options)
+        if v == 0:
+            raise ValueError(f"{self.path} has no committed snapshots")
+        m = _manifest(self.path, v)
+        if m.get("dvs") or m.get("eqs"):
+            raise ValueError(
+                f"snapshot v{v} carries merge-on-read delete state; read "
+                "it with ingest.snapshots.read_table_version (join-based "
+                "apply) or compact first — this file-parallel reader "
+                "would resurrect deleted rows"
+            )
+        self.files = m["files"]
+
+    def partitions(self):
+        return [
+            _AddedFilePartition(os.path.join(self.path, f["path"]), f["rows"])
+            for f in self.files
+        ]
+
+    def read(self, partition: _AddedFilePartition) -> Iterator:
+        yield from _normalized_batches(partition.path, self.schema_)
+
+
+def _table_arrow_schema(table_path: str, version: "int | None" = None):
+    """Spark schema of the table: the addressed snapshot's file footers
     UNIFIED, so files written before an additive column evolution don't
     hide the newer columns (the batch read's mergeSchema contract).
     Footer reads are metadata-sized; at scale the manifest would carry
@@ -221,7 +295,7 @@ def _table_arrow_schema(table_path: str):
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    v = _current_version(table_path)
+    v = _current_version(table_path) if version is None else version
     while v > 0:
         m = _manifest(table_path, v)
         if m["files"]:
@@ -366,7 +440,9 @@ class SnapshotTableDataSource(DataSource):
         path = self.options.get("path")
         if not path:
             raise ValueError("snapshot_table requires a 'path' option")
-        arrow = _table_arrow_schema(path)
+        # batch reads may address an old snapshot: declare THAT version's
+        # schema (schema-as-of); streams always read CURRENT-forward
+        arrow = _table_arrow_schema(path, _resolve_version(path, self.options))
         spark_schema = from_arrow_schema(arrow)
         # every field nullable: files written before an additive column
         # evolution stream NULLs in the new column even when the
@@ -378,6 +454,9 @@ class SnapshotTableDataSource(DataSource):
                 if not _is_hidden_name(f.name)
             ]
         )
+
+    def reader(self, schema: T.StructType) -> DataSourceReader:
+        return _SnapshotBatchReader(schema, self.options)
 
     def streamReader(self, schema: T.StructType) -> DataSourceStreamReader:
         return _SnapshotStreamReader(schema, self.options)

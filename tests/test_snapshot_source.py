@@ -205,3 +205,42 @@ def test_source_streams_exactly_the_added_rows(spark, tmp_path_factory, batches)
     ckpt = str(tmp_path_factory.mktemp("snap-src-prop") / "ckpt")
     _drain(spark, t, out, ckpt, skipNonAppends="true", maxVersionsPerBatch="1")
     assert _canon(spark.read.parquet(out)) == sorted(added)
+
+
+def test_batch_reader_version_and_timestamp_asof(spark, tmp_path, orders):
+    """spark.read.format('snapshot_table'): CURRENT, VERSION AS OF, and
+    TIMESTAMP AS OF batch reads through the DataSource API."""
+    import time
+
+    t = str(tmp_path / "tbl")
+    a = orders.where("o_orderkey % 2 = 0")
+    commit_append(spark, a, t)
+    time.sleep(0.02)
+    between = int(time.time() * 1000)
+    time.sleep(0.02)
+    commit_append(spark, orders.where("o_orderkey % 2 = 1"), t)
+    register_snapshot_source(spark)
+
+    def rd(**opts):
+        r = spark.read.format("snapshot_table").option("path", t)
+        for k, v in opts.items():
+            r = r.option(k, v)
+        return r.load()
+
+    assert _canon(rd()) == _canon(orders)  # CURRENT
+    assert _canon(rd(versionAsOf="1")) == _canon(a)
+    assert _canon(rd(timestampAsOf=str(between))) == _canon(a)
+
+
+def test_batch_reader_refuses_mor_state(spark, tmp_path, orders):
+    from iceberg_file_writer_spark.ingest.equality_deletes import commit_upsert
+
+    t = str(tmp_path / "tbl")
+    commit_append(spark, orders, t)
+    commit_upsert(
+        spark, t, orders.limit(5).withColumn("o_totalprice", F.lit(0.0)),
+        ["o_orderkey"],
+    )
+    register_snapshot_source(spark)
+    with pytest.raises(Exception, match="merge-on-read delete state"):
+        spark.read.format("snapshot_table").option("path", t).load().collect()
