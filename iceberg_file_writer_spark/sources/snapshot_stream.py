@@ -61,6 +61,7 @@ from pyspark.sql.datasource import (
     DataSourceReader,
     DataSourceStreamReader,
     DataSourceStreamWriter,
+    DataSourceWriter,
     InputPartition,
     WriterCommitMessage,
 )
@@ -321,29 +322,9 @@ class _StagedFileCommit(WriterCommitMessage):
         self.n_rows = n_rows
 
 
-class _SnapshotStreamWriter(DataSourceStreamWriter):
-    """``writeStream.format("snapshot_table")`` — exactly-once streaming
-    append INTO a snapshot table, the format-native form of
-    ``snapshots.streaming_append_sink``:
-
-    1. **executors** write their partition's rows as parquet into a
-       dot-prefixed staging dir inside the table (invisible to every
-       reader; the same-filesystem guarantee the repo's writers rely on,
-       and ``expire_snapshots`` TTL-sweeps it if a crash strands it);
-    2. **commit (driver, all tasks succeeded)** consults the cumulative
-       ``batch_ids`` ledger — a replayed micro-batch after checkpoint
-       recovery cleans up its staging and returns without committing —
-       then renames the staged files to immutable uuid names in
-       ``data/``, harvests footer stats, and publishes ONE snapshot via
-       the repo's optimistic ``_commit`` (seq stamping, spec/DV/eq/bloom
-       carry, two-level sealing, conflict retry against interleaved
-       writers all inherited);
-    3. **abort** removes staged files — the table never saw the batch.
-
-    Layout note: rows land file-per-task, unclustered; a standing spec
-    still rides the manifest, and ``commit_compact`` re-clusters on its
-    schedule (the same contract as any spec-less writer verb).
-    """
+class _SnapshotWriterBase:
+    """Shared executor-write + file-finalize machinery for the streaming
+    and batch writers (see _SnapshotStreamWriter for the protocol)."""
 
     def __init__(self, schema: T.StructType, options):
         self.path = options.get("path")
@@ -371,34 +352,72 @@ class _SnapshotStreamWriter(DataSourceStreamWriter):
         pq.write_table(tbl, staged, compression="snappy")
         return _StagedFileCommit(staged, len(rows))
 
-    def commit(self, messages, batchId: int) -> None:
+    def _finalize(self, messages) -> list:
+        """Rename staged files to immutable uuid names in data/ and
+        harvest footer stats — the entries a manifest publishes."""
         import uuid as _uuid
 
-        staged = [m for m in messages if m is not None and m.staged_path]
-        for attempt in range(self.max_commit_retries):
+        import pyarrow.parquet as pq
+
+        os.makedirs(_data_dir(self.path), exist_ok=True)
+        entries = []
+        for msg in messages:
+            if msg is None or not msg.staged_path:
+                continue
+            final = f"part-{_uuid.uuid4().hex}.parquet"
+            meta = pq.ParquetFile(msg.staged_path).metadata
+            os.rename(
+                msg.staged_path, os.path.join(_data_dir(self.path), final)
+            )
+            entries.append(
+                {
+                    "path": f"data/{final}",
+                    "rows": meta.num_rows,
+                    "stats": _footer_stats(meta),
+                }
+            )
+        return entries
+
+    def _drop_staging(self, messages) -> None:
+        for m in messages:
+            if m is not None and m.staged_path and os.path.exists(m.staged_path):
+                os.remove(m.staged_path)
+
+
+class _SnapshotStreamWriter(_SnapshotWriterBase, DataSourceStreamWriter):
+    """``writeStream.format("snapshot_table")`` — exactly-once streaming
+    append INTO a snapshot table, the format-native form of
+    ``snapshots.streaming_append_sink``:
+
+    1. **executors** write their partition's rows as parquet into a
+       dot-prefixed staging dir inside the table (invisible to every
+       reader; the same-filesystem guarantee the repo's writers rely on,
+       and ``expire_snapshots`` TTL-sweeps it if a crash strands it);
+    2. **commit (driver, all tasks succeeded)** consults the cumulative
+       ``batch_ids`` ledger — a replayed micro-batch after checkpoint
+       recovery cleans up its staging and returns without committing —
+       then renames the staged files to immutable uuid names in
+       ``data/``, harvests footer stats, and publishes ONE snapshot via
+       the repo's optimistic ``_commit`` (seq stamping, spec/DV/eq/bloom
+       carry, two-level sealing, conflict retry against interleaved
+       writers all inherited);
+    3. **abort** removes staged files — the table never saw the batch.
+
+    Layout note: rows land file-per-task, unclustered; a standing spec
+    still rides the manifest, and ``commit_compact`` re-clusters on its
+    schedule (the same contract as any spec-less writer verb).
+    """
+
+    def commit(self, messages, batchId: int) -> None:
+        entries = None
+        for _ in range(self.max_commit_retries):
             parent = current_version(self.path)
             seen = seen_batch_ids(self.path, parent)
             if batchId in seen:
-                self.abort(messages, batchId)  # replay: drop staging
+                self._drop_staging(messages)  # replay: drop staging
                 return
-            if attempt == 0:
-                import pyarrow.parquet as pq
-
-                os.makedirs(_data_dir(self.path), exist_ok=True)
-                entries = []
-                for msg in staged:
-                    final = f"part-{_uuid.uuid4().hex}.parquet"
-                    meta = pq.ParquetFile(msg.staged_path).metadata
-                    os.rename(
-                        msg.staged_path, os.path.join(_data_dir(self.path), final)
-                    )
-                    entries.append(
-                        {
-                            "path": f"data/{final}",
-                            "rows": meta.num_rows,
-                            "stats": _footer_stats(meta),
-                        }
-                    )
+            if entries is None:
+                entries = self._finalize(messages)
             pm = read_manifest(self.path, parent) if parent else {}
             try:
                 _commit(
@@ -420,9 +439,47 @@ class _SnapshotStreamWriter(DataSourceStreamWriter):
         )
 
     def abort(self, messages, batchId: int) -> None:
-        for m in messages:
-            if m is not None and m.staged_path and os.path.exists(m.staged_path):
-                os.remove(m.staged_path)
+        self._drop_staging(messages)
+
+
+class _SnapshotBatchWriter(_SnapshotWriterBase, DataSourceWriter):
+    """``df.write.format("snapshot_table")`` — transactional batch write:
+    ``mode("append")`` publishes one append snapshot; ``mode(
+    "overwrite")`` publishes a snapshot listing ONLY the new files (the
+    old ones stay on disk for time travel until expiry — a logical
+    truncate-and-load, never a destructive rm). No batch ledger: batch
+    writes carry no replay identity (standard Spark batch semantics);
+    everything else — staging invisibility, optimistic conflict retry,
+    stats harvest, metadata carry — matches the streaming writer."""
+
+    def __init__(self, schema: T.StructType, options, overwrite: bool):
+        super().__init__(schema, options)
+        self.overwrite = overwrite
+
+    def commit(self, messages) -> None:
+        entries = self._finalize(messages)
+        for _ in range(self.max_commit_retries):
+            parent = current_version(self.path)
+            pm = read_manifest(self.path, parent) if parent else {}
+            if self.overwrite:
+                op, files = "overwrite", entries
+                # a logical truncate supersedes the MoR delete state too
+                extra: dict = {"dvs": [], "eqs": [], "bloom": []}
+            else:
+                op, files = "append", (pm.get("files") or []) + entries
+                extra = {}
+            try:
+                _commit(self.path, parent, op, files, extra=extra)
+                return
+            except CommitConflict:
+                continue
+        raise CommitConflict(
+            f"lost the commit race {self.max_commit_retries} times; "
+            "raise maxCommitRetries or reduce writer contention"
+        )
+
+    def abort(self, messages) -> None:
+        self._drop_staging(messages)
 
 
 class SnapshotTableDataSource(DataSource):
@@ -457,6 +514,9 @@ class SnapshotTableDataSource(DataSource):
 
     def reader(self, schema: T.StructType) -> DataSourceReader:
         return _SnapshotBatchReader(schema, self.options)
+
+    def writer(self, schema: T.StructType, overwrite: bool) -> _SnapshotBatchWriter:
+        return _SnapshotBatchWriter(schema, self.options, overwrite)
 
     def streamReader(self, schema: T.StructType) -> DataSourceStreamReader:
         return _SnapshotStreamReader(schema, self.options)

@@ -122,3 +122,26 @@ def test_sink_respects_timestamp_stats(spark, tmp_path):
     m = read_manifest(t, current_version(t))
     st = [e["stats"].get("ts") for e in m["files"] if e.get("stats")]
     assert st and all(s and s[0] <= s[1] for s in st)
+
+
+def test_batch_writer_append_and_overwrite(spark, tmp_path, orders):
+    """df.write.format('snapshot_table'): append publishes one snapshot;
+    overwrite is a logical truncate-and-load — old files stay readable
+    by time travel until expiry."""
+    register_snapshot_source(spark)
+    t = str(tmp_path / "tbl")
+    a = orders.where("o_orderkey % 2 = 0")
+    b = orders.where("o_orderkey % 2 = 1")
+    a.write.format("snapshot_table").option("path", t).mode("append").save()
+    assert current_version(t) == 1
+    b.write.format("snapshot_table").option("path", t).mode("append").save()
+    assert _canon(read_table_version(spark, t)) == _canon(orders)
+    small = orders.limit(5)
+    small.write.format("snapshot_table").option("path", t).mode(
+        "overwrite"
+    ).save()
+    assert current_version(t) == 3
+    assert read_manifest(t, 3)["op"] == "overwrite"
+    assert _canon(read_table_version(spark, t)) == _canon(small)
+    # time travel still reads the pre-overwrite state
+    assert _canon(read_table_version(spark, t, 2)) == _canon(orders)
