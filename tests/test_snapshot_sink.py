@@ -145,3 +145,48 @@ def test_batch_writer_append_and_overwrite(spark, tmp_path, orders):
     assert _canon(read_table_version(spark, t)) == _canon(small)
     # time travel still reads the pre-overwrite state
     assert _canon(read_table_version(spark, t, 2)) == _canon(orders)
+
+
+def test_sink_crash_between_finalize_and_commit_is_invisible(
+    spark, tmp_path, orders, monkeypatch
+):
+    """Driver dies AFTER renaming staged files into data/ but BEFORE the
+    manifest commit: the files are unreferenced (every reader blind to
+    them), the batch replays cleanly (exactly-once via the ledger path:
+    no manifest ever recorded the dead attempt), and expire_snapshots'
+    grace sweep collects the strands."""
+    import iceberg_file_writer_spark.sources.snapshot_stream as ss
+    from iceberg_file_writer_spark.ingest.snapshots import expire_snapshots
+
+    t = str(tmp_path / "tbl")
+    commit_append(spark, orders.limit(10), t)
+    w = ss._SnapshotStreamWriter(
+        spark.createDataFrame([(1, 2.0)], "k long, v double").schema,
+        {"path": t},
+    )
+    msg = w.write(iter([(1, 2.0), (2, 3.0)]))
+    boom = RuntimeError("driver died")
+    real_commit = ss._commit
+    monkeypatch.setattr(
+        ss, "_commit", lambda *a, **k: (_ for _ in ()).throw(boom)
+    )
+    w2_files = set(os.listdir(os.path.join(t, "data")))
+    with pytest.raises(RuntimeError, match="driver died"):
+        w.commit([msg], 7)
+    stranded = set(os.listdir(os.path.join(t, "data"))) - w2_files
+    assert stranded  # renamed but never referenced
+    assert current_version(t) == 1  # table unchanged
+    assert read_table_version(spark, t).count() == 10
+    # replay of batch 7 (Spark re-runs write + commit after recovery)
+    monkeypatch.setattr(ss, "_commit", real_commit)
+    msg2 = w.write(iter([(1, 2.0), (2, 3.0)]))
+    w.commit([msg2], 7)
+    assert current_version(t) == 2
+    assert read_manifest(t, 2)["batch_ids"] == [7]
+    # a second replay is a ledgered no-op
+    msg3 = w.write(iter([(1, 2.0)]))
+    w.commit([msg3], 7)
+    assert current_version(t) == 2
+    # the stranded attempt is crash debris: grace sweep collects it
+    expire_snapshots(t, keep_last=2, data_grace_seconds=0)
+    assert stranded.isdisjoint(os.listdir(os.path.join(t, "data")))
