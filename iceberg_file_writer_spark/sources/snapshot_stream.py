@@ -332,6 +332,43 @@ class _SnapshotWriterBase:
             raise ValueError("snapshot_table sink requires a 'path' option")
         self.schema_ = schema
         self.max_commit_retries = int(options.get("maxcommitretries", 5))
+        self.merge_schema = (
+            str(options.get("mergeschema", "false")).lower() == "true"
+        )
+
+    def _check_schema(self) -> None:
+        """Write-compatibility gate (Iceberg's contract): a column shared
+        with the table must keep its type — a silent type flip would
+        poison every future read; columns the table has never seen are an
+        additive EVOLUTION and need the explicit mergeSchema=true opt-in
+        (absent columns are fine — they surface NULL). Runs driver-side
+        against the table's unified footer schema; a new table accepts
+        any schema (it IS the schema)."""
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        if _current_version(self.path) == 0:
+            return
+        try:
+            table = _table_arrow_schema(self.path)
+        except ValueError:
+            return  # table retained only empty snapshots: no contract yet
+        incoming = to_arrow_schema(self.schema_)
+        table_types = {f.name: f.type for f in table}
+        for field in incoming:
+            have = table_types.get(field.name)
+            if have is None:
+                if not self.merge_schema:
+                    raise ValueError(
+                        f"write adds column {field.name!r} the table has "
+                        "never seen — pass mergeSchema=true to evolve the "
+                        "schema additively, or drop the column"
+                    )
+            elif not _types_compatible(have, field.type):
+                raise ValueError(
+                    f"type conflict on column {field.name!r}: table has "
+                    f"{have}, write has {field.type} — rewriting types "
+                    "in place would poison reads; add a NEW column instead"
+                )
 
     def write(self, iterator) -> _StagedFileCommit:
         import uuid as _uuid
@@ -384,6 +421,24 @@ class _SnapshotWriterBase:
                 os.remove(m.staged_path)
 
 
+def _types_compatible(a, b) -> bool:
+    """Arrow-type equality, lenient ONLY about the timezone label of
+    tz-aware same-unit timestamps (Spark and pyarrow spell UTC
+    differently); instant semantics are identical. NTZ vs tz-aware
+    stays a conflict."""
+    import pyarrow.types as pt
+
+    if a == b:
+        return True
+    return (
+        pt.is_timestamp(a)
+        and pt.is_timestamp(b)
+        and a.unit == b.unit
+        and a.tz is not None
+        and b.tz is not None
+    )
+
+
 class _SnapshotStreamWriter(_SnapshotWriterBase, DataSourceStreamWriter):
     """``writeStream.format("snapshot_table")`` — exactly-once streaming
     append INTO a snapshot table, the format-native form of
@@ -409,6 +464,7 @@ class _SnapshotStreamWriter(_SnapshotWriterBase, DataSourceStreamWriter):
     """
 
     def commit(self, messages, batchId: int) -> None:
+        self._check_schema()
         entries = None
         for _ in range(self.max_commit_retries):
             parent = current_version(self.path)
@@ -457,6 +513,11 @@ class _SnapshotBatchWriter(_SnapshotWriterBase, DataSourceWriter):
         self.overwrite = overwrite
 
     def commit(self, messages) -> None:
+        if not self.overwrite:
+            # an overwrite replaces the contract wholesale (old files stay
+            # readable under THEIR schema via time travel); appends must
+            # stay compatible with the standing one
+            self._check_schema()
         entries = self._finalize(messages)
         for _ in range(self.max_commit_retries):
             parent = current_version(self.path)

@@ -159,11 +159,11 @@ def test_sink_crash_between_finalize_and_commit_is_invisible(
     from iceberg_file_writer_spark.ingest.snapshots import expire_snapshots
 
     t = str(tmp_path / "tbl")
-    commit_append(spark, orders.limit(10), t)
-    w = ss._SnapshotStreamWriter(
-        spark.createDataFrame([(1, 2.0)], "k long, v double").schema,
-        {"path": t},
+    kv = spark.createDataFrame(
+        [(i, float(i)) for i in range(10)], "k long, v double"
     )
+    commit_append(spark, kv, t)
+    w = ss._SnapshotStreamWriter(kv.schema, {"path": t})
     msg = w.write(iter([(1, 2.0), (2, 3.0)]))
     boom = RuntimeError("driver died")
     real_commit = ss._commit
@@ -190,3 +190,32 @@ def test_sink_crash_between_finalize_and_commit_is_invisible(
     # the stranded attempt is crash debris: grace sweep collects it
     expire_snapshots(t, keep_last=2, data_grace_seconds=0)
     assert stranded.isdisjoint(os.listdir(os.path.join(t, "data")))
+
+
+def test_batch_writer_schema_gate(spark, tmp_path, orders):
+    """Write-compatibility: type flips always refuse; new columns need
+    the explicit mergeSchema=true evolution opt-in; absent columns pass
+    (they read back NULL); overwrite replaces the contract wholesale."""
+    register_snapshot_source(spark)
+    t = str(tmp_path / "tbl")
+    w = lambda df: df.write.format("snapshot_table").option("path", t)
+    w(orders).mode("append").save()
+    # type flip: o_orderkey as string
+    flipped = orders.withColumn("o_orderkey", F.col("o_orderkey").cast("string"))
+    with pytest.raises(Exception, match="type conflict"):
+        w(flipped).mode("append").save()
+    # unseen column without the opt-in
+    extra = orders.limit(3).withColumn("o_priority", F.lit("HIGH"))
+    with pytest.raises(Exception, match="mergeSchema"):
+        w(extra).mode("append").save()
+    # with the opt-in: additive evolution, old rows NULL-filled
+    extra.write.format("snapshot_table").option("path", t).option(
+        "mergeSchema", "true"
+    ).mode("append").save()
+    got = read_table_version(spark, t)
+    assert got.where("o_priority IS NULL").count() == orders.count()
+    # absent columns are fine
+    w(orders.limit(2).select("o_orderkey", "o_custkey")).mode("append").save()
+    # overwrite: a new contract, the flip is accepted as a fresh schema
+    w(flipped.limit(4)).mode("overwrite").save()
+    assert read_table_version(spark, t).count() == 4
