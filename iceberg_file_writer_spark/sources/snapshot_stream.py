@@ -71,11 +71,15 @@ from pyspark.sql.datasource import (
 # NOT importable — binding the symbols here puts them in this module's
 # globals, which register_snapshot_source pickles BY VALUE (snapshots is
 # registered too, so these function objects serialize self-contained)
+from iceberg_file_writer_spark.ingest.file_skipping import (  # noqa: E402
+    prune_files,
+)
 from iceberg_file_writer_spark.ingest.snapshots import (  # noqa: E402
     CommitConflict,
     _commit,
     _data_dir,
     _footer_stats,
+    _stat_value,
     current_version,
     read_manifest,
     seen_batch_ids,
@@ -276,6 +280,48 @@ class _SnapshotBatchReader(DataSourceReader):
                 "would resurrect deleted rows"
             )
         self.files = m["files"]
+        self.files_total = len(self.files)
+
+    def pushFilters(self, filters):
+        """File skipping through the format: conjuncts the manifest stats
+        understand prune the file list (same engine as scan_pruned);
+        EVERY filter is returned for Spark to re-apply row-level — the
+        pushdown is a skipping hint, exactly parquet's PushedFilters
+        contract, so correctness never depends on stats."""
+        from pyspark.sql.datasource import (
+            EqualTo,
+            GreaterThan,
+            GreaterThanOrEqual,
+            IsNotNull,
+            IsNull,
+            LessThan,
+            LessThanOrEqual,
+        )
+
+        ops = {
+            EqualTo: "=",
+            GreaterThan: ">",
+            GreaterThanOrEqual: ">=",
+            LessThan: "<",
+            LessThanOrEqual: "<=",
+        }
+        conjuncts = []
+        for f in filters:
+            t = type(f)
+            if len(getattr(f, "attribute", ())) != 1:
+                continue  # nested column: no top-level stats
+            col = f.attribute[0]
+            if t in ops:
+                v = _stat_value(f.value)  # same normalization stats use
+                if v is not None:
+                    conjuncts.append((col, ops[t], v))
+            elif t is IsNull:
+                conjuncts.append((col, "isnull"))
+            elif t is IsNotNull:
+                conjuncts.append((col, "notnull"))
+        if conjuncts:
+            self.files = prune_files(self.files, conjuncts)
+        return filters
 
     def partitions(self):
         return [
@@ -604,9 +650,15 @@ def register_snapshot_source(spark: SparkSession) -> None:
     that module rides by value too."""
     from pyspark import cloudpickle
 
+    import iceberg_file_writer_spark.ingest.file_skipping as skip_mod
     import iceberg_file_writer_spark.ingest.snapshots as snapshots_mod
     import iceberg_file_writer_spark.sources.snapshot_stream as this_mod
 
     cloudpickle.register_pickle_by_value(this_mod)
     cloudpickle.register_pickle_by_value(snapshots_mod)
+    cloudpickle.register_pickle_by_value(skip_mod)
+    # a reader that implements pushFilters is an ERROR (not a no-op)
+    # while this conf is off, and it defaults off in 4.1 — the batch
+    # reader's file skipping needs it
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(SnapshotTableDataSource)
