@@ -219,3 +219,37 @@ def test_batch_writer_schema_gate(spark, tmp_path, orders):
     # overwrite: a new contract, the flip is accepted as a fresh schema
     w(flipped.limit(4)).mode("overwrite").save()
     assert read_table_version(spark, t).count() == 4
+
+
+def test_writer_commit_retries_through_conflict(spark, tmp_path, monkeypatch):
+    """An interleaved writer steals the version slot between the sink's
+    parent read and its O_EXCL manifest create: the commit retries on the
+    new parent and both writers' rows survive."""
+    import iceberg_file_writer_spark.sources.snapshot_stream as ss
+
+    t = str(tmp_path / "tbl")
+    kv = spark.createDataFrame([(1, 1.0)], "k long, v double")
+    commit_append(spark, kv, t)
+    w = ss._SnapshotStreamWriter(kv.schema, {"path": t})
+    msg = w.write(iter([(2, 2.0)]))
+    real_cv = ss.current_version
+    state = {"raced": False}
+
+    def racing_cv(path):
+        v = real_cv(path)
+        if not state["raced"]:
+            state["raced"] = True
+            # rival commits AFTER we read the parent: our first O_EXCL
+            # create hits its manifest and raises CommitConflict
+            commit_append(
+                spark, spark.createDataFrame([(3, 3.0)], "k long, v double"), t
+            )
+        return v
+
+    monkeypatch.setattr(ss, "current_version", racing_cv)
+    w.commit([msg], 0)
+    assert real_cv(t) == 3  # base + rival + ours
+    assert _canon(read_table_version(spark, t)) == [
+        (1, 1.0), (2, 2.0), (3, 3.0),
+    ]
+    assert read_manifest(t, 3)["batch_ids"] == [0]
