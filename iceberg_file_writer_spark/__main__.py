@@ -71,6 +71,30 @@ def _build_parser() -> argparse.ArgumentParser:
     exp.add_argument("table_path")
     exp.add_argument("--keep-last", type=int, default=2)
 
+    vac = sub.add_parser(
+        "vacuum", help="expire history + sweep DV/eq/bloom sidecars (one call)"
+    )
+    vac.add_argument("table_path")
+    vac.add_argument("--keep-last", type=int, default=2)
+    vac.add_argument("--grace-seconds", type=int, default=3600)
+
+    tag = sub.add_parser("tag", help="create/delete/list snapshot tags")
+    tag.add_argument("table_path")
+    tag.add_argument("--create", metavar="NAME")
+    tag.add_argument("--version", type=int, default=None)
+    tag.add_argument("--delete", metavar="NAME")
+
+    insp = sub.add_parser(
+        "inspect", help="metadata tables: snapshots/files/history/partitions/refs"
+    )
+    insp.add_argument("table_path")
+    insp.add_argument(
+        "kind",
+        choices=["snapshots", "files", "history", "partitions", "refs", "clustering"],
+    )
+    insp.add_argument("--version", type=int, default=None)
+    insp.add_argument("--limit", type=int, default=50)
+
     q = sub.add_parser("query", help="run a registered query and show the result")
     q.add_argument("name")
     q.add_argument("--sf-dir", default="/root/testdata/sf0.001")
@@ -181,6 +205,45 @@ def main(argv: list[str] | None = None) -> int:
         from iceberg_file_writer_spark.ingest.snapshots import expire_snapshots
 
         print(expire_snapshots(args.table_path, keep_last=args.keep_last))
+        return 0
+
+    if args.cmd == "vacuum":
+        from iceberg_file_writer_spark.ingest.maintenance import vacuum
+
+        print(
+            vacuum(
+                args.table_path,
+                keep_last=args.keep_last,
+                grace_seconds=args.grace_seconds,
+            )
+        )
+        return 0
+
+    if args.cmd == "tag":
+        from iceberg_file_writer_spark.ingest import tags as tags_mod
+
+        if args.create:
+            v = tags_mod.create_tag(args.table_path, args.create, args.version)
+            print(f"tagged v{v} as {args.create!r}")
+        elif args.delete:
+            tags_mod.delete_tag(args.table_path, args.delete)
+            print(f"deleted tag {args.delete!r}")
+        else:
+            for name, t in tags_mod.list_tags(args.table_path).items():
+                print(f"{name:24s} v{t['version']:06d}")
+        return 0
+
+    if args.cmd == "inspect":
+        if args.kind == "clustering":
+            from iceberg_file_writer_spark.ingest.inspect import clustering_report
+
+            print(clustering_report(args.table_path, args.version))
+            return 0
+        from iceberg_file_writer_spark.ingest.inspect import inspect_table
+
+        inspect_table(spark, args.table_path, args.kind, args.version).show(
+            args.limit, truncate=60
+        )
         return 0
 
     if args.cmd == "sql":
