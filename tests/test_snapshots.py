@@ -282,6 +282,7 @@ _ops = st.lists(
         st.tuples(st.just("merge_bump"), st.integers(1, 30)),
         st.tuples(st.just("compact"), st.just(0)),
         st.tuples(st.just("expire"), st.integers(1, 3)),
+        st.tuples(st.just("tag"), st.just(0)),
     ),
     min_size=1,
     max_size=7,
@@ -318,6 +319,7 @@ def test_snapshot_ops_match_model(spark, tmp_path_factory, ops):
     model: dict[tuple[int, int], float] = {}
     history: dict[int, list] = {}  # retained version -> canonical rows
     expired: set[int] = set()
+    tagged: dict[str, int] = {}  # tag name -> pinned version
 
     def _want():
         return sorted((kk[0], round(v, 2)) for kk, v in model.items())
@@ -368,16 +370,27 @@ def test_snapshot_ops_match_model(spark, tmp_path_factory, ops):
             if current_version(t) == 0:
                 continue
             commit_compact(spark, t)
+        elif op == "tag":
+            cur = current_version(t)
+            if cur == 0 or cur in tagged.values():
+                continue
+            from iceberg_file_writer_spark.ingest.tags import create_tag
+
+            name = f"t{len(tagged)}"
+            create_tag(t, name)
+            tagged[name] = cur
+            continue
         else:  # expire
             cur = current_version(t)
             if cur == 0:
                 continue
             expire_snapshots(t, keep_last=arg, data_grace_seconds=0)
             floor = max(1, cur - arg + 1)
-            for hv in [v for v in history if v < floor]:
+            pinned = set(tagged.values())
+            for hv in [v for v in history if v < floor and v not in pinned]:
                 expired.add(hv)
                 del history[hv]
-            _check_history()  # retained reproduce; expired unreadable
+            _check_history()  # retained (incl. tag-pinned) reproduce
             continue
 
         cur = current_version(t)
