@@ -58,10 +58,10 @@ from pyspark.sql import SparkSession
 from pyspark.sql import types as T
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceArrowWriter,
     DataSourceReader,
+    DataSourceStreamArrowWriter,
     DataSourceStreamReader,
-    DataSourceStreamWriter,
-    DataSourceWriter,
     InputPartition,
     WriterCommitMessage,
 )
@@ -417,23 +417,34 @@ class _SnapshotWriterBase:
                 )
 
     def write(self, iterator) -> _StagedFileCommit:
+        """Arrow-native task write (DataSourceArrowWriter): record
+        batches stream straight into a staged parquet file — no per-row
+        Python anywhere in the data path."""
         import uuid as _uuid
 
-        import pyarrow as pa
         import pyarrow.parquet as pq
-        from pyspark.sql.pandas.types import to_arrow_schema
 
-        target = to_arrow_schema(self.schema_)
-        names = target.names
-        rows = [dict(zip(names, tuple(r))) for r in iterator]
-        if not rows:
-            return _StagedFileCommit(None, 0)
         staging = os.path.join(self.path, ".snap-staging-sink")
-        os.makedirs(staging, exist_ok=True)
         staged = os.path.join(staging, f"{_uuid.uuid4().hex}.parquet")
-        tbl = pa.Table.from_pylist(rows, schema=target)
-        pq.write_table(tbl, staged, compression="snappy")
-        return _StagedFileCommit(staged, len(rows))
+        writer = None
+        n = 0
+        try:
+            for batch in iterator:
+                if batch.num_rows == 0:
+                    continue
+                if writer is None:
+                    os.makedirs(staging, exist_ok=True)
+                    writer = pq.ParquetWriter(
+                        staged, batch.schema, compression="snappy"
+                    )
+                writer.write_batch(batch)
+                n += batch.num_rows
+        finally:
+            if writer is not None:
+                writer.close()
+        if n == 0:
+            return _StagedFileCommit(None, 0)
+        return _StagedFileCommit(staged, n)
 
     def _finalize(self, messages) -> list:
         """Rename staged files to immutable uuid names in data/ and
@@ -485,7 +496,7 @@ def _types_compatible(a, b) -> bool:
     )
 
 
-class _SnapshotStreamWriter(_SnapshotWriterBase, DataSourceStreamWriter):
+class _SnapshotStreamWriter(_SnapshotWriterBase, DataSourceStreamArrowWriter):
     """``writeStream.format("snapshot_table")`` — exactly-once streaming
     append INTO a snapshot table, the format-native form of
     ``snapshots.streaming_append_sink``:
@@ -544,7 +555,7 @@ class _SnapshotStreamWriter(_SnapshotWriterBase, DataSourceStreamWriter):
         self._drop_staging(messages)
 
 
-class _SnapshotBatchWriter(_SnapshotWriterBase, DataSourceWriter):
+class _SnapshotBatchWriter(_SnapshotWriterBase, DataSourceArrowWriter):
     """``df.write.format("snapshot_table")`` — transactional batch write:
     ``mode("append")`` publishes one append snapshot; ``mode(
     "overwrite")`` publishes a snapshot listing ONLY the new files (the

@@ -40,6 +40,22 @@ def _stage_files(df, n: int) -> str:
     return src
 
 
+def _kv_batch(rows):
+    """RecordBatch input for driving the Arrow writer directly."""
+    import pyarrow as pa
+
+    return iter(
+        [
+            pa.RecordBatch.from_pylist(
+                [{"k": k, "v": v} for k, v in rows],
+                schema=pa.schema(
+                    [pa.field("k", pa.int64()), pa.field("v", pa.float64())]
+                ),
+            )
+        ]
+    )
+
+
 def _run_sink(spark, src_dir, schema, table, ckpt):
     register_snapshot_source(spark)
     q = (
@@ -164,7 +180,7 @@ def test_sink_crash_between_finalize_and_commit_is_invisible(
     )
     commit_append(spark, kv, t)
     w = ss._SnapshotStreamWriter(kv.schema, {"path": t})
-    msg = w.write(iter([(1, 2.0), (2, 3.0)]))
+    msg = w.write(_kv_batch([(1, 2.0), (2, 3.0)]))
     boom = RuntimeError("driver died")
     real_commit = ss._commit
     monkeypatch.setattr(
@@ -179,12 +195,12 @@ def test_sink_crash_between_finalize_and_commit_is_invisible(
     assert read_table_version(spark, t).count() == 10
     # replay of batch 7 (Spark re-runs write + commit after recovery)
     monkeypatch.setattr(ss, "_commit", real_commit)
-    msg2 = w.write(iter([(1, 2.0), (2, 3.0)]))
+    msg2 = w.write(_kv_batch([(1, 2.0), (2, 3.0)]))
     w.commit([msg2], 7)
     assert current_version(t) == 2
     assert read_manifest(t, 2)["batch_ids"] == [7]
     # a second replay is a ledgered no-op
-    msg3 = w.write(iter([(1, 2.0)]))
+    msg3 = w.write(_kv_batch([(1, 2.0)]))
     w.commit([msg3], 7)
     assert current_version(t) == 2
     # the stranded attempt is crash debris: grace sweep collects it
@@ -231,7 +247,7 @@ def test_writer_commit_retries_through_conflict(spark, tmp_path, monkeypatch):
     kv = spark.createDataFrame([(1, 1.0)], "k long, v double")
     commit_append(spark, kv, t)
     w = ss._SnapshotStreamWriter(kv.schema, {"path": t})
-    msg = w.write(iter([(2, 2.0)]))
+    msg = w.write(_kv_batch([(2, 2.0)]))
     real_cv = ss.current_version
     state = {"raced": False}
 
