@@ -660,3 +660,61 @@ def incremental_snapshot_stream_read(spark: SparkSession, sf_dir: str) -> DataFr
     return spark.read.parquet(_STREAM_READ_TABLES[key]).select(
         "o_orderkey", "o_custkey", "o_totalprice"
     )
+
+
+_ROUNDTRIP_TABLES: dict[tuple, str] = {}
+
+
+@register(
+    "snapshot_format_roundtrip",
+    oracle="""
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders WHERE o_totalprice > 100000.0
+""",
+    description=(
+        "DataSource format round-trip: orders written through "
+        "df.write.format('snapshot_table') (Arrow task writes, optimistic "
+        "commit), read back through spark.read.format('snapshot_table') "
+        "with a pushed filter (manifest-stats file skipping) — values "
+        "equal the plain filtered scan exactly"
+    ),
+    # Registered end-of-round-8; driver surface is at its 50-entry cap —
+    # the format's read path is driver-visible via
+    # incremental_snapshot_stream_read. Candidate for the next rotation.
+    driver_exposed=False,
+    eager=True,  # builds/loads a trained artifact or runs a stream at plan time
+)
+def snapshot_format_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The format quartet under the value-hash gate.
+
+    Writes orders through the batch writer (executors stage Arrow
+    batches, driver publishes one optimistic snapshot), then reads back
+    through the batch reader with `o_totalprice > 100000.0` — Spark
+    pushes the filter, `pushFilters` prunes files via manifest stats,
+    and re-applies it row-level (the skipping-hint contract), so parity
+    with the plain SQL proves the pruned read drops no qualifying row.
+    Sorting the write by the filter column makes the per-file stats
+    tight — the pruning is real, not vacuous (pinned directly in
+    tests/test_snapshot_source.py::test_batch_reader_pushdown_skips_files).
+    """
+    from iceberg_file_writer_spark.sources.snapshot_stream import (
+        register_snapshot_source,
+    )
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _ROUNDTRIP_TABLES:
+        register_snapshot_source(spark)
+        t = os.path.join(tempfile.mkdtemp(prefix="fmt-rt-"), "orders")
+        _orders(spark, sf_dir).orderBy("o_totalprice").write.format(
+            "snapshot_table"
+        ).option("path", t).mode("append").save()
+        _ROUNDTRIP_TABLES[key] = t
+    else:
+        register_snapshot_source(spark)
+    return (
+        spark.read.format("snapshot_table")
+        .option("path", _ROUNDTRIP_TABLES[key])
+        .load()
+        .where(F.col("o_totalprice") > 100000.0)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
