@@ -248,3 +248,30 @@ def scan_partitioned(
     # resurrect merge-on-read-deleted rows or lose evolved columns.
     pruned = _read_files(spark, table_path, kept, m.get("dvs"), eqs=m.get("eqs"))
     return _drop_hidden(_align_schema(pruned, full.schema).where(residual))
+
+
+def commit_respec(table_path: str, spec: list) -> int:
+    """Metadata-only partition-spec evolution — Iceberg's ``ALTER TABLE
+    ... SET PARTITION SPEC``. No file moves or rewrites: the new spec
+    rides the manifest, so every subsequent write (plain verbs included,
+    via ``_apply_standing_spec``) clusters by it, and the next
+    ``commit_compact`` re-clusters the standing data. Files written
+    under older specs simply lack the new hidden columns' stats and
+    survive pruning conservatively — correctness never depends on
+    layout, only scan cost does (the bucket-count-in-name rule keeps a
+    re-bucketed column from trusting stale stats).
+    """
+    from iceberg_file_writer_spark.ingest.snapshots import (
+        _commit,
+        current_version,
+        read_manifest,
+    )
+
+    for tr in spec:
+        if tr[0] not in ("day", "month", "bucket", "zorder"):
+            raise ValueError(f"unknown transform: {tr[0]}")
+    parent = current_version(table_path)
+    m = read_manifest(table_path, parent) if parent else {}
+    return _commit(
+        table_path, parent, "respec", m.get("files") or [], extra={"spec": spec}
+    )

@@ -85,10 +85,12 @@ from iceberg_file_writer_spark.ingest.snapshots import (  # noqa: E402
     seen_batch_ids,
 )
 
-# ops whose only table effect is ADDING rows/files; everything else
-# (delete_where, eq_delete, compact, rollback, respec, merge) can remove
-# or rewrite, which an append stream cannot express
-_APPEND_OPS = {"append", "upsert_mor", "publish"}
+# ops whose only table effect is ADDING rows/files — plus the
+# metadata-only ops (respec, evolve) whose file diff is empty and whose
+# row effect is zero; everything else (delete_where, eq_delete, compact,
+# rollback, overwrite, merge) can remove or rewrite rows, which an
+# append stream cannot express
+_APPEND_OPS = {"append", "upsert_mor", "publish", "respec", "evolve"}
 
 
 def _snap_dir(table_path: str) -> str:

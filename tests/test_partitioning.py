@@ -265,3 +265,55 @@ def test_plain_append_keeps_standing_spec(spark, tmp_path):
     assert sorted(tuple(r) for r in got.collect()) == sorted(
         tuple(r) for r in want.collect()
     )
+
+
+def test_commit_respec_metadata_only_evolution(spark, tmp_path):
+    """SET PARTITION SPEC: a metadata-only commit changes how FUTURE
+    writes cluster; standing files are untouched and prune
+    conservatively; compaction repairs the whole table onto the new
+    layout."""
+    from iceberg_file_writer_spark.ingest.inspect import clustering_report
+    from iceberg_file_writer_spark.ingest.partitioning import (
+        commit_respec,
+        scan_partitioned,
+    )
+    from iceberg_file_writer_spark.ingest.snapshots import (
+        commit_append,
+        commit_compact,
+        read_manifest,
+        read_table_version,
+    )
+    from iceberg_file_writer_spark.tables import load_tables
+
+    orders = load_tables(spark, SF_DIR)["orders"].select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    t = str(tmp_path / "tbl")
+    commit_append(spark, orders.where("o_orderkey % 2 = 0"), t)
+    mt0 = {
+        e["path"]: e for e in read_manifest(t, 1)["files"]
+    }
+    v = commit_respec(t, [("bucket", 4, "o_custkey")])
+    m = read_manifest(t, v)
+    assert m["op"] == "respec" and m["spec"] == [["bucket", 4, "o_custkey"]]
+    # metadata-only: same files, byte-identical entries
+    assert {e["path"]: e for e in m["files"]} == mt0
+    with pytest.raises(ValueError, match="unknown transform"):
+        commit_respec(t, [("hour", "ts")])
+    # future writes cluster by the new spec (hidden col stats appear)
+    commit_append(spark, orders.where("o_orderkey % 2 = 1"), t)
+    new_files = [
+        e for e in read_manifest(t, v + 1)["files"] if e["path"] not in mt0
+    ]
+    assert new_files and all(
+        "_b4_o_custkey" in (e.get("stats") or {}) for e in new_files
+    )
+    # reads stay exact; point lookups prune only where layout allows
+    key = orders.agg(F.min("o_custkey")).first()[0]
+    got = scan_partitioned(spark, t, [("o_custkey", "=", int(key))])
+    want = orders.where(F.col("o_custkey") == key)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+    # compaction re-clusters everything onto the new spec
+    commit_compact(spark, t)
+    assert clustering_report(t)["clustered_permille"] == 1000
+    assert read_table_version(spark, t).count() == orders.count()

@@ -277,3 +277,23 @@ def test_batch_reader_pushdown_skips_files(spark, tmp_path, orders):
     r2 = ss._SnapshotBatchReader(orders.schema, {"path": t})
     r2.pushFilters([LessThanOrEqual(("a", "b"), 1)])
     assert len(r2.files) == total
+
+
+def test_stream_passes_metadata_only_commits(spark, tmp_path, orders):
+    """respec/evolve commits have an empty file diff and zero row effect:
+    the stream passes them without skipNonAppends and emits nothing for
+    them."""
+    from iceberg_file_writer_spark.ingest.partitioning import commit_respec
+
+    t = str(tmp_path / "tbl")
+    a = orders.where("o_orderkey % 2 = 0")
+    b = orders.where("o_orderkey % 2 = 1")
+    commit_append(spark, a, t)
+    commit_respec(t, [("bucket", 4, "o_custkey")])
+    commit_append(spark, b, t)  # clusters by the new spec
+    sink, ckpt = str(tmp_path / "s"), str(tmp_path / "c")
+    _drain(spark, t, sink, ckpt, maxVersionsPerBatch="1")
+    got = spark.read.parquet(sink)
+    # hidden layout columns of the post-respec files never surface
+    assert set(got.columns) == set(orders.columns)
+    assert _canon(got.select(*orders.columns)) == _canon(orders)
