@@ -662,3 +662,50 @@ def test_rollback_restores_exact_state_linearly(spark, table):
 
     with _pytest.raises(ValueError):
         commit_rollback(t, new_v + 5)
+
+
+def test_concurrent_appenders_all_commit(spark, tmp_path):
+    """Optimistic concurrency under real contention: 6 threads append to
+    one table, each retrying through CommitConflict — every batch lands
+    exactly once, versions are a gapless chain, and the final state is
+    the union of all batches."""
+    import threading
+
+    from iceberg_file_writer_spark.ingest.snapshots import (
+        CommitConflict,
+        commit_append,
+        current_version,
+        read_manifest,
+        read_table_version,
+    )
+
+    t = str(tmp_path / "tbl")
+    orders = load_tables(spark, SF_DIR)["orders"].select(
+        "o_orderkey", "o_totalprice"
+    )
+    commit_append(spark, orders.where("o_orderkey % 7 = 6"), t)
+    errors = []
+
+    def appender(r: int) -> None:
+        batch = orders.where(f"o_orderkey % 7 = {r}")
+        for _ in range(40):
+            try:
+                commit_append(spark, batch, t)
+                return
+            except CommitConflict:
+                continue
+        errors.append(r)
+
+    threads = [threading.Thread(target=appender, args=(r,)) for r in range(6)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errors, f"writers starved: {errors}"
+    assert current_version(t) == 7  # base + 6, no lost or double commits
+    # gapless parent chain
+    for v in range(2, 8):
+        assert read_manifest(t, v)["parent"] == v - 1
+    got = sorted(tuple(r) for r in read_table_version(spark, t).collect())
+    want = sorted(tuple(r) for r in orders.collect())
+    assert got == want
