@@ -383,6 +383,7 @@ class _SnapshotWriterBase:
         self.merge_schema = (
             str(options.get("mergeschema", "false")).lower() == "true"
         )
+        self._schema_ok = False
 
     def _check_schema(self) -> None:
         """Write-compatibility gate (Iceberg's contract): a column shared
@@ -394,6 +395,15 @@ class _SnapshotWriterBase:
         any schema (it IS the schema)."""
         from pyspark.sql.pandas.types import to_arrow_schema
 
+        if self._schema_ok:
+            # checked once per writer: the query's input schema is fixed,
+            # so re-unifying every footer per micro-batch would pay
+            # O(files) metadata reads for a result that cannot change
+            # (this writer's own appends satisfy the gate by definition;
+            # a concurrent evolver racing mid-stream is a TOCTOU no
+            # per-batch re-check could close either)
+            return
+        self._schema_ok = True
         if _current_version(self.path) == 0:
             return
         try:
