@@ -293,6 +293,11 @@ def fuzzy_name_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("cust_a") < F.col("cust_b"))
         .where(F.levenshtein("name_a", "name_b") == 1)
         .select("cust_a", "cust_b", "name_a", "name_b")
+        # match-sized output shared by three consumers (this entry,
+        # customer_entity_clusters, entity_survivorship): cache the
+        # verified pairs once per session instead of re-running the
+        # variant join + levenshtein verify per entry
+        .transform(ensure_cached)
     )
 
 
