@@ -29,8 +29,10 @@ Design points, 100 TB first:
 
 Hashing is md5-based and string-typed on BOTH sides (the build casts
 the column to string in Spark; the probe formats the literal with
-``str``), so int and string columns probe bit-identically; other types
-should be cast by the caller.
+``str``). Only str and non-bool int literals are probed — those are
+the types whose ``str()`` matches Spark's cast-to-string rendering
+bit-for-bit; double/boolean/decimal literals skip the bloom test
+conservatively (their files survive to the residual predicate).
 
 Reference scope note: the reference (/root/reference/main.go:47-54)
 has no scan path at all; this is a query-layer index above its write
@@ -171,10 +173,16 @@ def attach_bloom_index(
         .parquet(os.path.join(table_path, rel))
     )
     # record in the CURRENT manifest in place (attach_column_stats
-    # style): the pointer list is version metadata, not a new snapshot
-    m["bloom"] = blooms + [rel]
-    with open(_manifest_path(table_path, v), "w") as f:
-        json.dump(m, f)
+    # style): the pointer list is version metadata, not a new snapshot.
+    # Re-read just before writing (the Spark build above is slow; a
+    # concurrent stats attach may have updated v's manifest meanwhile)
+    # and swap atomically — a torn manifest would make the whole
+    # version unreadable.
+    from iceberg_file_writer_spark.ingest.ledger import write_atomic
+
+    m = read_manifest(table_path, v)
+    m["bloom"] = (m.get("bloom") or []) + [rel]
+    write_atomic(_manifest_path(table_path, v), json.dumps(m))
     return len(todo)
 
 
@@ -186,10 +194,18 @@ def bloom_prune(
     column always survive (carried semantics: conservative)."""
     import pyarrow.parquet as pq
 
+    # Only str and non-bool int literals render identically under
+    # Python's str() and Spark's CAST(col AS STRING) (the build side).
+    # Doubles ('10000000.0' vs '1.0E7'), booleans ('True' vs 'true'),
+    # and decimals diverge — probing them would manufacture false
+    # negatives (silent data loss), so they conservatively skip the
+    # bloom test and survive to the residual predicate.
     probes = [
         (col, str(rest[0]))
         for col, op, *rest in conjuncts
         if op == "=" and rest
+        and isinstance(rest[0], (str, int))
+        and not isinstance(rest[0], bool)
     ]
     if not probes or not blooms or not kept:
         return kept

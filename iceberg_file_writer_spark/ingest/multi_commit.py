@@ -56,6 +56,7 @@ from __future__ import annotations
 
 import json
 import os
+import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -205,6 +206,10 @@ def commit_multi(
                 "parent": parent,
                 "op": "append",
                 "txn": txn_id,
+                # commit wall-clock stamp, exactly as snapshots._commit:
+                # without it version_asof treats the version as "legacy"
+                # and TIMESTAMP AS OF silently skips past it
+                "ts_ms": int(time.time() * 1000),
             }
             # stamp data sequence numbers exactly as snapshots._commit
             # does — equality-delete semantics must not depend on which

@@ -795,8 +795,10 @@ def commit_merge(
         }
     else:
         affected = set()
+    pm = read_manifest(table_path, parent) if parent else {}
     if affected:
-        pm = read_manifest(table_path, parent) if parent else {}
+        from iceberg_file_writer_spark.ingest.partitioning import _is_hidden
+
         aff_df = _read_files(
             spark,
             table_path,
@@ -804,11 +806,18 @@ def commit_merge(
             pm.get("dvs"),
             eqs=pm.get("eqs"),
         )
-        survivors = aff_df.join(F.broadcast(keys), key, "left_anti")
-        new_rows = survivors.unionByName(updates.select(aff_df.columns))
+        # hidden _b<n>_<col> layout columns ride along in the mergeSchema
+        # read of spec-partitioned files; ``updates`` doesn't carry them,
+        # so union on the visible schema only — _apply_standing_spec
+        # below recomputes the layout for the whole rewritten batch
+        visible = [c for c in aff_df.columns if not _is_hidden(c)]
+        survivors = aff_df.select(visible).join(F.broadcast(keys), key, "left_anti")
+        new_rows = survivors.unionByName(updates.select(visible))
     else:
         new_rows = updates
-    rewritten = _write_data_files(new_rows, table_path, max_rows)
+    rewritten = _write_data_files(
+        _apply_standing_spec(new_rows, pm), table_path, max_rows
+    )
     carried = [e for e in files if e["path"] not in affected]
     return _commit(table_path, parent, "merge", carried + rewritten)
 
@@ -1268,11 +1277,14 @@ def attach_column_stats(
     only — no data bytes read). Normally stats ride along at commit time
     via the ``stats_cols`` argument of the commit verbs at 100 TB; here
     they attach in place so any existing snapshot can become prunable."""
+    from iceberg_file_writer_spark.ingest.ledger import write_atomic
+
     m = read_manifest(table_path, version)
     for e in m["files"]:
         e["stats"] = _file_stats(os.path.join(table_path, e["path"]), stats_cols)
-    with open(_manifest_path(table_path, version), "w") as f:
-        json.dump(m, f)
+    # atomic swap, not truncate-then-write: a crash mid-write (or a
+    # concurrent reader) must never see a torn manifest
+    write_atomic(_manifest_path(table_path, version), json.dumps(m))
 
 
 def scan_pruned(

@@ -26,10 +26,14 @@ Spark 4's Python DataSource API is the seam (same as
 - **append-only contract**: a delete / compaction / rollback snapshot
   inside the offset range raises by default (its effect is row REMOVAL,
   which an append stream cannot express — Iceberg's streaming read has
-  the same rule); ``skipNonAppends=true`` opts into emitting only the
-  newly-added files of such commits (MoR upserts then stream their new
-  rows; the shadowing of old rows is a table-side concern). Expired
-  intermediate manifests raise with the retention remedy.
+  the same rule); ``skipNonAppends=true`` SKIPS such commits entirely
+  (compact/rollback/delete/merge rewrite EXISTING rows into new files —
+  emitting those would duplicate already-streamed rows; Iceberg's
+  streaming read skips REPLACE snapshots the same way). Ops that append
+  genuinely new rows (plain appends, MoR upserts, WAP publishes) always
+  stream their added files; an upsert's shadowing of old rows is a
+  table-side concern. Expired intermediate manifests raise with the
+  retention remedy.
 
 At 100 TB: per-trigger planning cost is O(commits advanced) manifest
 reads; executors read only appended files. The consumer never rescans
@@ -169,13 +173,22 @@ class _SnapshotStreamReader(DataSourceStreamReader):
         prev_paths: set | None = None
         for v in range(s + 1, e + 1):
             m = _manifest(self.path, v)
-            if m["op"] not in _APPEND_OPS and not self.skip_non_appends:
-                raise ValueError(
-                    f"snapshot v{v} is op={m['op']!r}, which removes or "
-                    "rewrites rows — an append stream cannot express it. "
-                    "Pass skipNonAppends=true to stream only added files, "
-                    "or consume changes_between for a full changelog."
-                )
+            if m["op"] not in _APPEND_OPS:
+                if not self.skip_non_appends:
+                    raise ValueError(
+                        f"snapshot v{v} is op={m['op']!r}, which removes or "
+                        "rewrites rows — an append stream cannot express it. "
+                        "Pass skipNonAppends=true to stream only added files, "
+                        "or consume changes_between for a full changelog."
+                    )
+                # rewrite-type op (compact/rollback/delete/merge/...):
+                # its "added" files hold rows that already streamed —
+                # emitting them would duplicate the table downstream
+                # (Iceberg's streaming read likewise skips REPLACE
+                # snapshots). Skip the version entirely, but advance the
+                # diff base so the next append diffs against THIS layout.
+                prev_paths = {f["path"] for f in m["files"]}
+                continue
             if prev_paths is None:
                 pm = _manifest(self.path, v - 1) if v > 1 else {"files": []}
                 prev_paths = {f["path"] for f in pm["files"]}

@@ -132,3 +132,35 @@ def test_expire_bloom_sidecars(spark, table):
         assert expire_bloom_index(t, grace_seconds=0) == 0  # still referenced
     else:
         assert expire_bloom_index(t, grace_seconds=0) == 1
+
+
+def test_double_literal_probe_is_conservative(spark, table):
+    """Round-9 advice (high): str(10000000.0) and Spark's
+    CAST(double AS STRING) ('1.0E7') render differently, so probing a
+    double literal manufactured bloom FALSE NEGATIVES — scan_table
+    pruned every file and silently returned 0 rows for an existing
+    value. Non-(str|int) literals now skip the bloom test entirely."""
+    t, orders = table
+    attach_bloom_index(spark, t, ["o_totalprice"], fpp=0.01)
+    price = float(orders.agg(F.min("o_totalprice")).first()[0])
+    want = read_table_version(spark, t).where(F.col("o_totalprice") == price)
+    assert want.count() > 0  # sanity: the probed value exists
+    got = scan_table(spark, t, [("o_totalprice", "=", price)])
+    assert _canon(got) == _canon(want)
+
+
+def test_non_probe_typed_literals_never_prune(spark, table):
+    """Unit pin: bloom_prune ignores bool/float/decimal literals (their
+    str() diverges from Spark's cast-to-string) — kept list unchanged."""
+    from decimal import Decimal
+
+    t, _ = table
+    attach_bloom_index(spark, t, ["o_custkey"])
+    m = read_manifest(t, current_version(t))
+    kept = m["files"]
+    for lit in (True, False, 1.5, 10000000.0, Decimal("7.25")):
+        out = bloom_prune(t, m["bloom"], kept, [("o_custkey", "=", lit)])
+        assert out == kept, f"literal {lit!r} must not be bloom-probed"
+    # while str/int literals still probe (the absent key prunes files)
+    out = bloom_prune(t, m["bloom"], kept, [("o_custkey", "=", -987654)])
+    assert len(out) < len(kept)

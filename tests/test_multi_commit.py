@@ -258,3 +258,24 @@ def test_multi_commit_after_itself_inherits_ledger(spark, setup):
     commit_multi(spark, txn, [(ta, orders.limit(2))], max_rows=200)
     m = read_manifest(ta, current_version(ta))
     assert m.get("batch_ids") == [41]
+
+
+def test_multi_commit_versions_are_time_travelable(spark, setup):
+    """Round-9 advice (low): commit_multi stamped no ts_ms, so
+    TIMESTAMP AS OF treated its versions as legacy and silently
+    resolved past them. The claimed manifest now carries the commit
+    stamp exactly as snapshots._commit does."""
+    import time
+
+    from iceberg_file_writer_spark.ingest.snapshots import (
+        read_manifest,
+        version_asof,
+    )
+
+    orders, ta, tb, txn = setup
+    delta = orders.where("o_orderkey % 2 = 1")
+    commit_multi(spark, txn, [(ta, delta)], max_rows=200, batch_id="t1")
+    m = read_manifest(ta, current_version(ta))
+    assert isinstance(m.get("ts_ms"), int), "multi-commit manifest lacks ts_ms"
+    now = int(time.time() * 1000) + 1
+    assert version_asof(ta, now) == current_version(ta) == 2

@@ -317,3 +317,47 @@ def test_commit_respec_metadata_only_evolution(spark, tmp_path):
     commit_compact(spark, t)
     assert clustering_report(t)["clustered_permille"] == 1000
     assert read_table_version(spark, t).count() == orders.count()
+
+
+def test_merge_keeps_standing_spec_and_values(spark, tmp_path):
+    """Round-9 advice (medium): commit_merge on a bucket-spec'd table
+    raised UNRESOLVED_COLUMN `_b4_k` — the affected-file read surfaces
+    hidden layout columns that ``updates`` cannot provide. Merge now
+    unions on the visible schema and re-applies the standing spec, so
+    the rewrite keeps the layout (hidden bucket stats on new files)."""
+    from iceberg_file_writer_spark.ingest.snapshots import (
+        commit_merge,
+        current_version,
+        read_manifest,
+    )
+
+    t = str(tmp_path / "tbl")
+    ev = load_tables(spark, SF_DIR)["events"].select(
+        "event_id", "user_id", "ts", "event_type", "value"
+    )
+    commit_append_partitioned(
+        spark, ev, t, [("bucket", 4, "user_id")], max_rows=40
+    )
+    upd_keys = ev.select("event_id").distinct().limit(15)
+    updates = ev.join(upd_keys, "event_id", "left_semi").withColumn(
+        "value", F.lit(-1.0)
+    )
+    v = commit_merge(spark, t, updates, "event_id", max_rows=40)
+    got = scan_partitioned(spark, t, [])
+    want = ev.join(upd_keys, "event_id", "left_anti").unionByName(updates)
+    assert sorted(got.columns) == sorted(ev.columns)  # hidden cols gone
+    assert _canon(got) == _canon(want)
+    # every rewritten file carries the spec's hidden bucket stats
+    m = read_manifest(t, v)
+    rewritten = [e for e in m["files"] if e.get("seq") == v]
+    assert rewritten, "merge rewrote nothing"
+    for e in rewritten:
+        assert any(k.startswith("_b4_") for k in e.get("stats", {})), (
+            "merge rewrite lost the standing spec's hidden layout"
+        )
+    # pruning still fires across carried + rewritten files
+    uid = int(ev.agg(F.min("user_id")).first()[0])
+    pr = scan_partitioned(spark, t, [("user_id", "=", uid)])
+    kept, total = scan_partitioned.last_files
+    assert kept < total
+    assert _canon(pr) == _canon(want.where(F.col("user_id") == uid))

@@ -82,19 +82,43 @@ def test_stream_rejects_row_removal_by_default(spark, tmp_path, orders):
         _drain(spark, t, sink, ckpt)
 
 
-def test_stream_skip_non_appends_emits_added_files_only(spark, tmp_path, orders):
-    """skipNonAppends: a CoW delete's rewritten survivor files are new
-    paths, so they stream; the stream is additions-only by contract."""
+def test_stream_skip_non_appends_skips_rewrites(spark, tmp_path, orders):
+    """skipNonAppends: rewrite-type ops (CoW delete here) re-lay out
+    EXISTING rows into new files — emitting those "added" files would
+    duplicate already-streamed rows downstream, so the version is
+    skipped entirely (Iceberg's streaming read skips REPLACE snapshots
+    the same way). Appends after the rewrite diff against the
+    post-rewrite layout and still stream exactly once."""
     t = str(tmp_path / "tbl")
     half = orders.where("o_orderkey % 2 = 0")
     commit_append(spark, half, t)
     commit_delete_where(spark, t, "o_custkey % 2 = 0")  # rewrites files
+    more = orders.where("o_orderkey % 2 = 1")
+    commit_append(spark, more, t)
     sink, ckpt = str(tmp_path / "s"), str(tmp_path / "c")
     _drain(spark, t, sink, ckpt, skipNonAppends="true")
     got = spark.read.parquet(sink)
-    # appended half + the delete's survivor rewrites (added files)
-    survivors = half.where("o_custkey % 2 <> 0")
-    assert _canon(got) == _canon(half.unionByName(survivors))
+    # both appends, nothing from the delete's survivor rewrites
+    assert _canon(got) == _canon(half.unionByName(more))
+
+
+def test_stream_skip_non_appends_compaction_not_reemitted(spark, tmp_path, orders):
+    """A routine compaction mid-stream must NOT re-emit the whole table
+    as duplicates (the pre-round-9 behavior): its files are skipped and
+    the next append streams only its own rows."""
+    from iceberg_file_writer_spark.ingest.snapshots import commit_compact
+
+    t = str(tmp_path / "tbl")
+    a = orders.where("o_orderkey % 3 = 0")
+    b = orders.where("o_orderkey % 3 = 1")
+    commit_append(spark, a, t, max_rows=300)
+    sink, ckpt = str(tmp_path / "s"), str(tmp_path / "c")
+    _drain(spark, t, sink, ckpt, skipNonAppends="true")
+    assert _canon(spark.read.parquet(sink)) == _canon(a)
+    commit_compact(spark, t)  # rewrites every file
+    commit_append(spark, b, t, max_rows=300)
+    _drain(spark, t, sink, ckpt, skipNonAppends="true")
+    assert _canon(spark.read.parquet(sink)) == _canon(a.unionByName(b))
 
 
 def test_stream_drops_hidden_layout_columns(spark, tmp_path, orders):
