@@ -84,6 +84,101 @@ def prune_files(files: list, conjuncts: list) -> list:
     return out
 
 
+# Above this many manifest entries, stats pruning runs as a Spark job
+# over the sealed segment files (executors parse + filter them; only
+# KEPT entries return to the driver) instead of a driver-side Python
+# loop. The constant trades a Spark job's ~50-100 ms scheduling floor
+# against the driver loop's O(files) single-core cost: at 50k entries
+# the loop still wins comfortably; at 10^5-10^6 (the 100 TB regime,
+# where json-parsing the list alone is seconds) the fan-out wins and —
+# more importantly — the driver never materializes the full list at
+# all. Tests shrink it to exercise the path at sandbox scale.
+DISTRIBUTED_PRUNE_THRESHOLD = 50_000
+
+
+def prune_files_distributed(
+    spark: SparkSession,
+    table_path: str,
+    segments: list,
+    tail: list,
+    conjuncts: list,
+) -> list:
+    """``prune_files`` semantics evaluated as a Spark job over the
+    sealed manifest segment files: one text row per segment
+    (wholetext), an Arrow-batched mapInPandas parses and filters the
+    entries executor-side, and only survivors are collected. The inline
+    tail (< one segment) prunes on the driver with the canonical loop.
+
+    The closure is self-contained (executors under a plain driver
+    session cannot import this package — the bloom-build pattern) and
+    MUST stay semantics-identical to ``_file_can_match``;
+    ``tests/test_file_skipping.py`` pins the two equal over the stats
+    edge cases."""
+    import json
+    import os
+
+    conj = [
+        (c[0], c[1], c[2] if len(c) > 2 else None) for c in conjuncts
+    ]
+    for _col, op, _v in conj:
+        if op not in _OPS:
+            raise ValueError(f"unknown op: {op}")
+    snap = os.path.join(table_path, "_snapshots")
+    paths = [os.path.join(snap, s) for s in segments]
+
+    def _prune(batches):
+        import json as _json
+
+        import pandas as _pd
+
+        def can_match(stats, col, op, value):
+            st = stats.get(col)
+            if st is None:
+                return True
+            lo, hi, *rest = st
+            nulls = rest[0] if rest else None
+            if op == "isnull":
+                return True if nulls is None else nulls > 0
+            if op == "notnull":
+                return True
+            if not isinstance(value, type(lo)) and not (
+                isinstance(value, (int, float))
+                and isinstance(lo, (int, float))
+                and not isinstance(value, bool)
+                and not isinstance(lo, bool)
+            ):
+                return True
+            if op == "<":
+                return lo < value
+            if op == "<=":
+                return lo <= value
+            if op == ">":
+                return hi > value
+            if op == ">=":
+                return hi >= value
+            if op == "=":
+                return lo <= value <= hi
+            return not (lo == hi == value)  # op == "!="
+
+        for pdf in batches:
+            out = []
+            for content in pdf["value"]:
+                for e in _json.loads(content):
+                    st = e.get("stats", {})
+                    if all(
+                        can_match(st, col, op, v) for col, op, v in conj
+                    ):
+                        out.append(_json.dumps(e))
+            yield _pd.DataFrame({"e": out})
+
+    kept_rows = (
+        spark.read.text(paths, wholetext=True)
+        .mapInPandas(_prune, "e string")
+        .collect()
+    )
+    return [json.loads(r.e) for r in kept_rows] + prune_files(tail, conjuncts)
+
+
 def conjuncts_to_sql(conjuncts: list) -> str:
     parts = []
     for col, op, *rest in conjuncts:
@@ -116,26 +211,43 @@ def scan_table(
     surviving/total file counts on the returned DataFrame as
     ``scan_table.last_files = (kept, total)`` for observability."""
     from iceberg_file_writer_spark.ingest.snapshots import (
+        MANIFEST_SEGMENT_SIZE,
         _read_files,
         current_version,
         read_manifest,
+        read_manifest_layout,
         read_table_version,
     )
 
     v = current_version(table_path) if version is None else version
-    m = read_manifest(table_path, v)
-    files = m["files"]
-    kept = prune_files(files, conjuncts)
+    m = read_manifest_layout(table_path, v)
+    segs = m.get("segments")
+    # sealed segments hold exactly MANIFEST_SEGMENT_SIZE entries each,
+    # so the total is known without resolving any of them
+    total = (
+        len(segs) * MANIFEST_SEGMENT_SIZE + len(m.get("tail") or [])
+        if segs
+        else len(m.get("files") or [])
+    )
+    if segs and conjuncts and total > DISTRIBUTED_PRUNE_THRESHOLD:
+        # big segmented manifest: executors parse + filter the sealed
+        # chunks; the driver only ever sees the survivors
+        kept = prune_files_distributed(
+            spark, table_path, segs, m.get("tail") or [], conjuncts
+        )
+    else:
+        m = read_manifest(table_path, v)
+        kept = prune_files(m["files"], conjuncts)
     if m.get("bloom"):
         from iceberg_file_writer_spark.ingest.bloom_index import bloom_prune
 
         kept = bloom_prune(table_path, m["bloom"], kept, conjuncts)
-    scan_table.last_files = (len(kept), len(files))
+    scan_table.last_files = (len(kept), total)
     residual = conjuncts_to_sql(conjuncts)
     if not kept:
         # preserve the exact schema with an always-false read
         return read_table_version(spark, table_path, v).where("false")
-    if len(kept) == len(files):
+    if len(kept) == total:
         return read_table_version(spark, table_path, v).where(residual)
     # Pruned path: the kept files must still honor the snapshot's
     # merge-on-read deletion vectors (anti-join in _read_files) and the

@@ -73,17 +73,61 @@ def current_version(path: str) -> int:
         return int(f.read().strip())
 
 
-def _resolve_raw(table_path: str, m: dict) -> dict:
+# ---------------------------------------------------------------------------
+# Resolved-manifest memo. Planning used to json-parse the FULL file list
+# on the driver for EVERY scan — microseconds here, but at 10^5-10^6
+# files (the 100 TB regime) that is seconds of single-core work per
+# query, the classic Iceberg metadata bottleneck. Manifests are
+# immutable once written EXCEPT for the two in-place metadata attaches
+# (column stats, bloom pointers), which atomically REPLACE the file —
+# so the cache key carries (mtime_ns, size) and an in-place attach
+# naturally misses to a fresh parse. Sealed segments are
+# content-addressed and never rewritten: cached by name, forever valid.
+# Callers mutate what read_manifest hands them (seq stamping, stats
+# backfill, pointer-list swaps), so the cached master is private and
+# every call returns entry-shallow copies — O(files) dict copies, ~10x
+# cheaper than parse and zero disk IO.
+_SEGMENT_CACHE: dict = {}  # segment file name -> parsed entries (sealed)
+_MANIFEST_CACHE: dict = {}  # (path, mtime_ns, size) -> resolved master
+_MANIFEST_CACHE_MAX = 64
+_SEGMENT_CACHE_MAX = 512
+read_manifest_parses = 0  # observability: pytest pins one parse/version
+
+
+def _cached_segment(table_path: str, seg: str) -> list:
+    got = _SEGMENT_CACHE.get(seg)
+    if got is None:
+        with open(os.path.join(_snap_dir(table_path), seg)) as f:
+            got = json.load(f)
+        if len(_SEGMENT_CACHE) >= _SEGMENT_CACHE_MAX:
+            _SEGMENT_CACHE.clear()  # sealed chunks: any subset re-reads
+        _SEGMENT_CACHE[seg] = got
+    return got
+
+
+def _resolve_raw(table_path: str, m: dict, _own: bool = False) -> dict:
     """Resolve a raw manifest dict's file list in place (segmented or
-    plain) — for callers that already json.load'ed the file."""
+    plain) — for callers that already json.load'ed the file. Segment
+    entries come from the sealed-segment cache; unless ``_own`` (the
+    memo's private master), they are copied so the caller may mutate."""
     if "segments" in m:
-        files = []
+        files: list = []
         for seg in m["segments"]:
-            with open(os.path.join(_snap_dir(table_path), seg)) as f:
-                files.extend(json.load(f))
+            got = _cached_segment(table_path, seg)
+            files.extend(got if _own else (dict(e) for e in got))
         m["files"] = files + m.pop("tail", [])
         m["_segments"] = m.pop("segments")
     return m
+
+
+def read_manifest_layout(path: str, version: int) -> dict:
+    """The manifest WITHOUT segment resolution — ``segments``/``tail``
+    (or inline ``files``) plus every top-level metadata key. Metadata-
+    sized however many files the snapshot holds: planners that push
+    segment parsing off the driver (``prune_files_distributed``) start
+    here so the full entry list never materializes driver-side."""
+    with open(_manifest_path(path, version)) as f:
+        return json.load(f)
 
 
 def read_manifest(path: str, version: int) -> dict:
@@ -91,10 +135,28 @@ def read_manifest(path: str, version: int) -> dict:
 
     Two storage forms: plain (``files`` inline) and two-level (sealed
     content-addressed ``segments`` + inline ``tail`` — see ``_commit``).
-    Callers always see ``files``."""
-    with open(_manifest_path(path, version)) as f:
-        m = json.load(f)
-    return _resolve_raw(path, m)
+    Callers always see ``files`` and may freely mutate the returned
+    dict: the session memo keeps a private master and hands out
+    entry-shallow copies (see the cache note above)."""
+    global read_manifest_parses
+    mp = _manifest_path(path, version)
+    st = os.stat(mp)  # FileNotFoundError contract preserved
+    key = (mp, st.st_mtime_ns, st.st_size)
+    master = _MANIFEST_CACHE.get(key)
+    if master is None:
+        with open(mp) as f:
+            master = _resolve_raw(path, json.load(f), _own=True)
+        read_manifest_parses += 1
+        # one live generation per manifest path: an in-place stats/bloom
+        # attach changed (mtime, size), so older keys can never hit again
+        for k in [k for k in _MANIFEST_CACHE if k[0] == mp]:
+            del _MANIFEST_CACHE[k]
+        if len(_MANIFEST_CACHE) >= _MANIFEST_CACHE_MAX:
+            _MANIFEST_CACHE.clear()
+        _MANIFEST_CACHE[key] = master
+    out = dict(master)
+    out["files"] = [dict(e) for e in master["files"]]
+    return out
 
 
 def _write_data_files(df: DataFrame, table_path: str, max_rows: int) -> list[dict]:

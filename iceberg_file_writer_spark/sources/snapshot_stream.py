@@ -138,6 +138,91 @@ class _AddedFilePartition(InputPartition):
         self.rows = rows
 
 
+class _MorFilePartition(InputPartition):
+    """One data file plus the merge-on-read delete state that applies to
+    it: the snapshot's DV dirs (probed per file name task-side) and the
+    equality-delete files sequenced strictly above this file."""
+
+    def __init__(self, path: str, rows: int, dv_dirs: list, eq_specs: list):
+        self.path = path
+        self.rows = rows
+        self.dv_dirs = dv_dirs
+        self.eq_specs = eq_specs  # [(dir, key_cols, seq), ...]
+
+
+def _mor_batches(part: "_MorFilePartition", schema: T.StructType) -> Iterator:
+    """Worker-side merge-on-read apply over one data file's batches.
+
+    - positional tombstones: each DV dir is read with a parquet
+      predicate-pushdown filter on THIS file's name — row-group stats
+      keep the IO deletion-sized — and masked out by file row position
+      (cumulative batch offset == ``_metadata.row_index`` of the file).
+    - equality tombstones: the applicable delete files' key rows are
+      anti-probed per batch with Arrow ``is_in`` (single-column key) or
+      a pandas hash merge (composite key). NULL key values never match,
+      on either side — Iceberg's null-excluding equality semantics, the
+      same rule the join-based apply enforces.
+
+    Semantics twin of ``snapshots._read_files``'s DV anti-join +
+    ``_apply_equality_deletes``; tests pin the two row-identical."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pds
+    import pyarrow.parquet as pq
+
+    base = os.path.basename(part.path)
+    pos_list: list = []
+    for d in part.dv_dirs:
+        t = pds.dataset(d, format="parquet").to_table(
+            columns=["row_index"], filter=pds.field("file_name") == base
+        )
+        pos_list.extend(t.column("row_index").to_pylist())
+    positions = np.array(sorted(set(pos_list)), dtype=np.int64)
+
+    key_cols: tuple = ()
+    eq_tabs = []
+    for d, cols, _seq in part.eq_specs:
+        key_cols = cols  # one key-column set per table (commit-enforced)
+        eq_tabs.append(pq.read_table(d, columns=list(cols)))
+    tomb = pa.concat_tables(eq_tabs).drop_null() if eq_tabs else None
+
+    offset = 0
+    for batch in _normalized_batches(part.path, schema):
+        n = batch.num_rows
+        mask = np.ones(n, dtype=bool)
+        if positions.size:
+            hit = positions[(positions >= offset) & (positions < offset + n)]
+            mask[hit - offset] = False
+        if tomb is not None and tomb.num_rows:
+            if len(key_cols) == 1:
+                col = batch.column(batch.schema.get_field_index(key_cols[0]))
+                vals = tomb.column(key_cols[0]).cast(col.type).combine_chunks()
+                hit_eq = pc.fill_null(pc.is_in(col, value_set=vals), False)
+                mask &= np.invert(hit_eq.to_numpy(zero_copy_only=False))
+            else:
+                import pandas as pd
+
+                bdf = pa.Table.from_batches([batch]).select(
+                    list(key_cols)
+                ).to_pandas()
+                bdf["_ri"] = np.arange(n)
+                # nulls never match: drop null-keyed rows from the probe
+                # (they survive by construction)
+                probe = bdf.dropna(subset=list(key_cols))
+                hits = probe.merge(
+                    tomb.to_pandas().drop_duplicates(), on=list(key_cols)
+                )["_ri"].to_numpy()
+                mask[hits] = False
+        offset += n
+        if mask.all():
+            yield batch
+            continue
+        kept = batch.filter(pa.array(mask))
+        if kept.num_rows:
+            yield kept
+
+
 class _SnapshotStreamReader(DataSourceStreamReader):
     def __init__(self, schema: T.StructType, options):
         self.path = options.get("path")
@@ -271,11 +356,14 @@ class _SnapshotBatchReader(DataSourceReader):
     the DataSource API: one InputPartition per data file of the resolved
     snapshot (versionAsOf / timestampAsOf / CURRENT), vectorized reads.
 
-    Merge-on-read state is REFUSED, not silently misread: a snapshot
-    carrying deletion vectors or equality deletes needs the join-based
-    apply (`ingest.snapshots.read_table_version`) — this reader's
-    file-parallel path would resurrect deleted rows. Append-only and
-    compacted snapshots (the steady state after maintenance) read here.
+    Merge-on-read state applies PER TASK, Iceberg's execution model:
+    each file's partition carries the deletion-vector dirs (probed with
+    parquet predicate pushdown on THIS file's name — metadata-sized IO)
+    and the equality-delete files whose data sequence number is strictly
+    above the file's, and ``read`` drops tombstoned rows Arrow-side
+    before yielding. Row-identical to the join-based
+    ``ingest.snapshots.read_table_version`` (pinned by tests); an
+    append-only or compacted snapshot pays zero overhead.
     """
 
     def __init__(self, schema: T.StructType, options):
@@ -287,15 +375,15 @@ class _SnapshotBatchReader(DataSourceReader):
         if v == 0:
             raise ValueError(f"{self.path} has no committed snapshots")
         m = _manifest(self.path, v)
-        if m.get("dvs") or m.get("eqs"):
-            raise ValueError(
-                f"snapshot v{v} carries merge-on-read delete state; read "
-                "it with ingest.snapshots.read_table_version (join-based "
-                "apply) or compact first — this file-parallel reader "
-                "would resurrect deleted rows"
-            )
         self.files = m["files"]
         self.files_total = len(self.files)
+        self.dv_dirs = [
+            os.path.join(self.path, p) for p in (m.get("dvs") or [])
+        ]
+        self.eq_specs = [
+            (os.path.join(self.path, e["path"]), tuple(e["cols"]), int(e["seq"]))
+            for e in (m.get("eqs") or [])
+        ]
 
     def pushFilters(self, filters):
         """File skipping through the format: conjuncts the manifest stats
@@ -339,13 +427,32 @@ class _SnapshotBatchReader(DataSourceReader):
         return filters
 
     def partitions(self):
-        return [
-            _AddedFilePartition(os.path.join(self.path, f["path"]), f["rows"])
-            for f in self.files
-        ]
+        if not self.dv_dirs and not self.eq_specs:
+            return [
+                _AddedFilePartition(os.path.join(self.path, f["path"]), f["rows"])
+                for f in self.files
+            ]
+        out = []
+        for f in self.files:
+            seq = int(f.get("seq") or 0)
+            # Iceberg v2 scoping: an equality delete hits only files
+            # whose data sequence number is STRICTLY below the delete's
+            eqs = [s for s in self.eq_specs if s[2] > seq]
+            out.append(
+                _MorFilePartition(
+                    os.path.join(self.path, f["path"]),
+                    f["rows"],
+                    self.dv_dirs,
+                    eqs,
+                )
+            )
+        return out
 
-    def read(self, partition: _AddedFilePartition) -> Iterator:
-        yield from _normalized_batches(partition.path, self.schema_)
+    def read(self, partition) -> Iterator:
+        if isinstance(partition, _MorFilePartition):
+            yield from _mor_batches(partition, self.schema_)
+        else:
+            yield from _normalized_batches(partition.path, self.schema_)
 
 
 def _table_arrow_schema(table_path: str, version: "int | None" = None):

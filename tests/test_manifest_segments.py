@@ -111,3 +111,88 @@ def test_expire_gcs_unreferenced_segments(spark, small_segments, tmp_path):
     # the retained versions still read fine
     assert read_table_version(spark, t).count() > 0
     assert read_table_version(spark, t, 2).count() > 0
+
+
+def test_manifest_memo_parses_each_version_once(spark, tmp_path):
+    """Round-9 directive: planning used to json-parse the FULL file
+    list per scan — the 100x metadata bottleneck. Resolved manifests
+    are now memoized per (path, mtime, size): one parse per version per
+    session, an in-place metadata attach (new mtime/size) re-parses,
+    and callers' mutations never leak into the cache."""
+    t = str(tmp_path / "tbl")
+    orders = load_tables(spark, SF_DIR)["orders"].select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    commit_append(spark, orders, t, max_rows=200)
+    p0 = SN.read_manifest_parses
+    a = read_manifest(t, 1)
+    p1 = SN.read_manifest_parses
+    b = read_manifest(t, 1)
+    assert SN.read_manifest_parses == p1 and p1 <= p0 + 1, (
+        "second read of an unchanged manifest re-parsed it"
+    )
+    # caller mutations are private: the memo hands out copies
+    a["files"][0]["stats"] = {"POISON": [0, 0, 0]}
+    a["op"] = "poisoned"
+    c = read_manifest(t, 1)
+    assert c["op"] == "append" and "POISON" not in (
+        c["files"][0].get("stats") or {}
+    )
+    assert b["op"] == "append"
+    # an in-place attach atomically replaces the file -> fresh parse
+    from iceberg_file_writer_spark.ingest.snapshots import attach_column_stats
+
+    attach_column_stats(t, 1, ("o_custkey",))
+    d = read_manifest(t, 1)
+    assert SN.read_manifest_parses == p1 + 1
+    assert all("o_custkey" in e["stats"] for e in d["files"])
+
+
+def test_distributed_prune_matches_python_loop(spark, small_segments,
+                                               tmp_path, monkeypatch):
+    """Above the threshold, stats pruning runs executor-side over the
+    sealed segment files; it must keep EXACTLY the entries the
+    canonical driver loop keeps, and scan_table stays row-identical."""
+    import iceberg_file_writer_spark.ingest.file_skipping as FS
+    from iceberg_file_writer_spark.ingest.file_skipping import (
+        prune_files,
+        prune_files_distributed,
+        scan_table,
+    )
+
+    t = str(tmp_path / "tbl")
+    orders = load_tables(spark, SF_DIR)["orders"].select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    clustered = orders.repartitionByRange(8, "o_orderkey").sortWithinPartitions(
+        "o_orderkey"
+    )
+    commit_append(spark, clustered, t, max_rows=120)
+    raw = _raw(t, 1)
+    assert "segments" in raw, "fixture not segmented"
+    m = read_manifest(t, 1)
+    med = int(orders.agg(F.expr("percentile_approx(o_orderkey, 0.5)")).first()[0])
+    for conj in (
+        [("o_orderkey", ">=", med)],
+        [("o_orderkey", "<", med), ("o_custkey", "notnull")],
+        [("o_orderkey", "=", med)],
+        [("o_totalprice", ">", 1e12)],        # prunes everything
+        [("o_comment", "=", "absent-col")],   # no stats: keeps everything
+        [("o_orderkey", "!=", med), ("o_orderkey", "isnull")],
+    ):
+        want = prune_files(m["files"], conj)
+        got = prune_files_distributed(
+            spark, t, raw["segments"], raw.get("tail") or [], conj
+        )
+        assert sorted(e["path"] for e in got) == sorted(
+            e["path"] for e in want
+        ), conj
+    # scan_table routes through the distributed path above the threshold
+    monkeypatch.setattr(FS, "DISTRIBUTED_PRUNE_THRESHOLD", 4)
+    got_df = scan_table(spark, t, [("o_orderkey", ">=", med)])
+    kept, total = scan_table.last_files
+    assert kept < total == len(m["files"])
+    want_df = read_table_version(spark, t, 1).where(f"o_orderkey >= {med}")
+    assert sorted(map(tuple, got_df.collect())) == sorted(
+        map(tuple, want_df.collect())
+    )

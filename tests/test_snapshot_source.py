@@ -256,18 +256,54 @@ def test_batch_reader_version_and_timestamp_asof(spark, tmp_path, orders):
     assert _canon(rd(timestampAsOf=str(between))) == _canon(a)
 
 
-def test_batch_reader_refuses_mor_state(spark, tmp_path, orders):
+def test_batch_reader_applies_equality_deletes(spark, tmp_path, orders):
+    """Round-9 directive: the format quartet's last hole. A MoR-state
+    snapshot (equality deletes from an upsert) reads through
+    format("snapshot_table") row-identically to the join-based
+    read_table_version — the per-task Arrow apply, Iceberg's model."""
     from iceberg_file_writer_spark.ingest.equality_deletes import commit_upsert
+    from iceberg_file_writer_spark.ingest.snapshots import read_table_version
 
     t = str(tmp_path / "tbl")
-    commit_append(spark, orders, t)
-    commit_upsert(
-        spark, t, orders.limit(5).withColumn("o_totalprice", F.lit(0.0)),
-        ["o_orderkey"],
-    )
+    commit_append(spark, orders, t, max_rows=300)
+    upd = orders.limit(5).withColumn("o_totalprice", F.lit(0.0))
+    commit_upsert(spark, t, upd, ["o_orderkey"])
     register_snapshot_source(spark)
-    with pytest.raises(Exception, match="merge-on-read delete state"):
-        spark.read.format("snapshot_table").option("path", t).load().collect()
+    got = spark.read.format("snapshot_table").option("path", t).load()
+    want = read_table_version(spark, t)
+    assert _canon(got) == _canon(want)
+    assert got.where("o_totalprice = 0.0").count() >= 5
+    # second upsert layer: seq scoping (newer rows must NOT be deleted
+    # by older tombstones) across two delete files
+    upd2 = orders.limit(3).withColumn("o_totalprice", F.lit(9.0))
+    commit_upsert(spark, t, upd2, ["o_orderkey"])
+    got2 = spark.read.format("snapshot_table").option("path", t).load()
+    assert _canon(got2) == _canon(read_table_version(spark, t))
+    assert got2.count() == orders.count()
+
+
+def test_batch_reader_applies_deletion_vectors(spark, tmp_path, orders):
+    """Positional DV tombstones apply per task (pushdown-probed by file
+    name); combined DV + pushed filter stays row-identical."""
+    from iceberg_file_writer_spark.ingest.deletion_vectors import (
+        commit_delete_where_mor,
+    )
+    from iceberg_file_writer_spark.ingest.snapshots import read_table_version
+
+    t = str(tmp_path / "tbl")
+    commit_append(spark, orders, t, max_rows=300)
+    commit_delete_where_mor(spark, t, "o_custkey % 3 = 0")
+    register_snapshot_source(spark)
+    got = spark.read.format("snapshot_table").option("path", t).load()
+    want = orders.where("o_custkey % 3 <> 0")
+    assert _canon(got) == _canon(want)
+    assert _canon(got) == _canon(read_table_version(spark, t))
+    med = int(orders.agg(F.expr("percentile_approx(o_orderkey,0.5)")).first()[0])
+    got_f = (
+        spark.read.format("snapshot_table").option("path", t).load()
+        .where(F.col("o_orderkey") >= med)
+    )
+    assert _canon(got_f) == _canon(want.where(F.col("o_orderkey") >= med))
 
 
 def test_batch_reader_pushdown_skips_files(spark, tmp_path, orders):
