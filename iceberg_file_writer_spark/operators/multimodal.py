@@ -11,10 +11,12 @@ Design:
   ops, no Python.
 - Decode / feature-extraction run as Arrow-batched ``mapInPandas``
   pipelines: the Spark-side plumbing (schema, batch iteration,
-  partitioning) is real; the codec call itself is pluggable. In this
-  container no image/audio libraries exist, so the default decoder is a
-  deterministic fake (size/digest-derived pseudo-features) and the
-  library-backed path raises NotImplementedError — clearly marked STUBs.
+  partitioning) is real; the codec call itself is pluggable. The
+  repo's committed BMP-like codec decodes FOR REAL in pure numpy
+  (``decode_image`` — dimensions + exact pixel stats, oracle-checked);
+  library-bound codecs (JPEG/PNG, video) raise NotImplementedError
+  because no image/audio libraries exist in this container — the one
+  remaining clearly-marked STUB is ``sample_frames`` (ffmpeg).
 - Batch shape: mapInPandas receives/emits pandas DataFrames per Arrow
   batch; peak memory per task = batch_rows × payload size, tuned via
   ``spark.sql.execution.arrow.maxRecordsPerBatch`` for 100 TB runs.
@@ -182,14 +184,77 @@ def parse_media_header(media: DataFrame) -> DataFrame:
     )
 
 
-def decode_image(media: DataFrame) -> DataFrame:
-    """STUB: library-backed image decode (resize, RGB stats, EXIF).
+DECODED_IMAGE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("valid", T.BooleanType()),
+        T.StructField("width", T.LongType()),
+        T.StructField("height", T.LongType()),
+        T.StructField("depth", T.LongType()),
+        T.StructField("n_pixels", T.LongType()),
+        T.StructField("px_sum", T.LongType()),
+        T.StructField("px_min", T.LongType()),
+        T.StructField("px_max", T.LongType()),
+        T.StructField("px_mean", T.DoubleType()),
+    ]
+)
 
-    Requires PIL/opencv — not available in this container.
+# magics of codecs that genuinely need a native library to decode
+_LIBRARY_BOUND_MAGICS = (b"\xff\xd8", b"\x89P", b"GI", b"RI")  # jpeg/png/gif/riff
+
+
+def decode_image(media: DataFrame) -> DataFrame:
+    """Pure-numpy image decode for the repo's committed BMP-like codec
+    (tools_gen_media_fixture.py layout: "BM" magic, LE uint32
+    width/height, LE uint16 depth/frame-count, then raw 8-bit pixels) —
+    an Arrow-batched ``mapInPandas``, no PIL needed for THIS format.
+    Emits per-image dimensions and pixel statistics; payloads whose
+    magic fails validation surface as ``valid=false`` rows with NULL
+    fields (corrupt media stays visible, the parse_media_header rule).
+
+    Library-bound codecs remain honestly out of scope: a payload
+    bearing a JPEG/PNG/GIF/RIFF magic raises ``NotImplementedError``
+    (PIL/opencv absent from this container) rather than decoding wrong.
     """
-    raise NotImplementedError(
-        "image decoding requires PIL/opencv; wire a decoder into "
-        "decode_and_featurize's mapInPandas body when the library is present"
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import numpy as np
+        import pandas as pd
+
+        cols = [f.name for f in DECODED_IMAGE_SCHEMA.fields]
+        for pdf in it:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                b = bytes(payload)
+                if len(b) >= 14 and b[:2] == b"BM":
+                    w = int.from_bytes(b[2:6], "little")
+                    h = int.from_bytes(b[6:10], "little")
+                    depth = int.from_bytes(b[10:12], "little")
+                    px = np.frombuffer(b, dtype=np.uint8, offset=14)
+                    n = int(px.size)
+                    s = int(px.sum(dtype=np.int64)) if n else None
+                    rows.append(
+                        (
+                            mid, True, w, h, depth, n, s,
+                            int(px.min()) if n else None,
+                            int(px.max()) if n else None,
+                            # one exact-int sum then one IEEE division:
+                            # bit-identical to any engine's avg over the
+                            # same bytes (the oracle recomputes it)
+                            s / n if n else None,
+                        )
+                    )
+                elif b[:2] in _LIBRARY_BOUND_MAGICS:
+                    raise NotImplementedError(
+                        "payload is a library-bound codec (JPEG/PNG/GIF/"
+                        "RIFF); decoding needs PIL/opencv — absent here"
+                    )
+                else:
+                    rows.append((mid, False) + (None,) * 8)
+            yield pd.DataFrame(rows, columns=cols)
+
+    return media.select("media_id", "payload").mapInPandas(
+        batches, DECODED_IMAGE_SCHEMA
     )
 
 

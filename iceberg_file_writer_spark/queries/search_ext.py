@@ -1049,8 +1049,17 @@ KCORE_MIN_W = 2  # repeated hand-offs only: the raw graph is near-complete
 # executor (exact count known per round); above this, shuffle joins.
 KCORE_BROADCAST_NODES = 5_000_000
 # Peel driver-locally while the weight-thresholded symmetrized edge
-# relation fits comfortably on the driver; above this, distributed rounds.
-KCORE_LOCAL_EDGES = 2_000_000
+# relation fits an EXPLICIT driver byte budget; above it, distributed
+# rounds (the 100 TB path, pinned equal in tests/test_graph_operator).
+# Arithmetic: dict-of-sets measures ~100 B per directed edge
+# (sys.getsizeof over a 268k-edge synthetic: set slots + boxed ints +
+# dict overhead); budgeted at 250 B/edge for 2.5x headroom (hash-table
+# load factor, larger ints, the collect()'s transient Row objects) —
+# so the 64 MiB budget peaks well under 0.5 GB transient on a driver
+# sized in tens of GBs.
+KCORE_LOCAL_BYTES = 64 * 1024 * 1024
+KCORE_EDGE_BYTES = 250
+KCORE_LOCAL_EDGES = KCORE_LOCAL_BYTES // KCORE_EDGE_BYTES  # ~268k edges
 KCORE_ORACLE_UNROLL = 12  # >= observed peel rounds (8 at sf0.1); pytest pins
 
 

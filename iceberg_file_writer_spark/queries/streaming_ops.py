@@ -452,6 +452,52 @@ def multimodal_header_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_decode_pixel_stats",
+    oracle=f"""
+WITH m AS (
+  SELECT media_id, hex(payload) AS h,
+         octet_length(payload)::BIGINT AS nb
+  FROM read_parquet('{_MEDIA_FIXTURE}')
+),
+px AS (
+  SELECT media_id,
+         sum(v)::BIGINT AS px_sum, min(v) AS px_min, max(v) AS px_max,
+         count(*)::BIGINT AS n
+  FROM (
+    SELECT media_id,
+           ('0x' || substr(h, (29 + 2*i)::INT, 2))::UBIGINT::BIGINT AS v
+    FROM m, unnest(generate_series(0, (nb - 15)::INT)) AS t(i)
+    WHERE substr(h, 1, 4) = '424D' AND nb > 14
+  ) GROUP BY media_id
+)
+SELECT m.media_id,
+       (substr(h,1,4) = '424D') AS valid,
+       CASE WHEN substr(h,1,4)='424D' THEN {_le_hex_sql(2, 4)} END AS width,
+       CASE WHEN substr(h,1,4)='424D' THEN {_le_hex_sql(6, 4)} END AS height,
+       CASE WHEN substr(h,1,4)='424D' THEN {_le_hex_sql(10, 2)} END AS depth,
+       CASE WHEN substr(h,1,4)='424D' THEN (nb - 14) END AS n_pixels,
+       px.px_sum, px.px_min, px.px_max,
+       px.px_sum::DOUBLE / px.n AS px_mean
+FROM m LEFT JOIN px ON px.media_id = m.media_id
+""",
+    description=(
+        "Multimodal: pure-numpy image decode of the committed BMP-like "
+        "codec (LE header + raw 8-bit pixels) as an Arrow-batched "
+        "mapInPandas — per-image dimensions and exact pixel statistics; "
+        "corrupt-magic payloads surface as valid=false rows. Oracle "
+        "recomputes the decode byte-for-byte with DuckDB blob/hex "
+        "functions over the same fixture. Library-bound codecs "
+        "(JPEG/PNG) remain an honest NotImplementedError"
+    ),
+    driver_exposed=False,
+)
+def multimodal_decode_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from iceberg_file_writer_spark.operators.multimodal import decode_image
+
+    return decode_image(spark.read.parquet(_MEDIA_FIXTURE))
+
+
+@register(
     "streaming_enriched_segment_stats",
     oracle=f"""
 SELECT date_trunc('hour', e.ts)                   AS window_start,

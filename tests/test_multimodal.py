@@ -41,9 +41,47 @@ def test_mapinpandas_featurize_deterministic(spark, media):
     assert c == len(a)
 
 
-def test_library_backed_decode_is_marked_stub(media):
-    with pytest.raises(NotImplementedError):
-        decode_image(media)
+def test_library_bound_codecs_still_refuse(spark):
+    """decode_image decodes the committed codec for real (below), but a
+    JPEG/PNG payload must still surface the honest NotImplementedError
+    rather than decode wrong — PIL/opencv are absent here."""
+    jpeg = spark.createDataFrame(
+        [(1, bytearray(b"\xff\xd8\xff\xe0" + b"\x00" * 20))],
+        "media_id long, payload binary",
+    )
+    with pytest.raises(Exception, match="NotImplementedError|library-bound"):
+        decode_image(jpeg).collect()
+
+
+def test_decode_image_matches_generator_ground_truth(spark):
+    """Round-9 directive: the BMP-like fixture is fully decodable
+    without PIL. Every dimension and pixel statistic must equal the
+    generator formula (pixels = (id*31 + i*7) % 256)."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from tools_gen_media_fixture import N_ROWS, row_fields
+
+    from iceberg_file_writer_spark.queries.streaming_ops import _MEDIA_FIXTURE
+
+    media = spark.read.parquet(_MEDIA_FIXTURE)
+    rows = {r.media_id: r for r in decode_image(media).collect()}
+    assert len(rows) == N_ROWS
+    for mid in range(N_ROWS):
+        f, r = row_fields(mid), rows[mid]
+        if f["magic"] == b"BM":
+            px = [(mid * 31 + i * 7) % 256 for i in range(f["n_pix"])]
+            assert r.valid
+            assert (r.width, r.height, r.depth) == (
+                f["width"], f["height"], f["depth"],
+            )
+            assert r.n_pixels == f["n_pix"]
+            assert (r.px_sum, r.px_min, r.px_max) == (
+                sum(px), min(px), max(px),
+            )
+            assert r.px_mean == sum(px) / len(px)  # one IEEE division
+        else:
+            assert not r.valid and r.px_sum is None and r.width is None
 
 
 def test_header_parse_matches_generator_ground_truth(spark):
