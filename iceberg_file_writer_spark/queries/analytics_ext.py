@@ -247,6 +247,54 @@ fpairs AS (
   WHERE levenshtein(a.c_name, b.c_name) = 1
 )"""
 
+# Unrolled min-label closure for the ER oracles. The previous RECURSIVE
+# `reach` CTE materialized the FULL transitive closure — O(Σ comp²)
+# rows, and the edit-distance-1 graph over TPC-H customer names is one
+# giant Hamming component (every pair of names differing in a single
+# digit is an edge), so sf0.1 hit ~225M reach rows ≈ 29 min PER ENTRY
+# in the escalation (BASELINE.md round-8 note). Min-label propagation
+# is O(rounds × |E|) instead; rounds need only exceed the distance from
+# each component's min-key node to its farthest member (~12 observed at
+# sf0.1). The oracle SELF-CHECKS convergence at any sf: the final
+# select cross-joins an `EXCEPT` between the last two rounds and calls
+# DuckDB error() if they differ, so an under-unrolled closure fails
+# loudly rather than hashing wrong.
+ER_ORACLE_UNROLL = 24
+
+
+def _er_closure_ctes() -> str:
+    rounds, prev = "", "lbl0"
+    for i in range(1, ER_ORACLE_UNROLL + 1):
+        rounds += f"""
+lbl{i} AS MATERIALIZED (
+  SELECT n.node, least(n.lbl, coalesce(min(nb.lbl), n.lbl)) AS lbl
+  FROM {prev} n
+  LEFT JOIN edges e ON e.src = n.node
+  LEFT JOIN {prev} nb ON nb.node = e.dst
+  GROUP BY n.node, n.lbl
+),"""
+        prev = f"lbl{i}"
+    return f"""edges AS MATERIALIZED (
+  SELECT cust_a AS src, cust_b AS dst FROM fpairs
+  UNION
+  SELECT cust_b, cust_a FROM fpairs
+),
+lbl0 AS (SELECT DISTINCT src AS node, src AS lbl FROM edges),{rounds}
+conv AS (
+  SELECT count(*) AS bad FROM (
+    SELECT node, lbl FROM lbl{ER_ORACLE_UNROLL}
+    EXCEPT
+    SELECT node, lbl FROM lbl{ER_ORACLE_UNROLL - 1}
+  )
+),
+canon AS (
+  SELECT node AS c_custkey, lbl AS entity_id
+  FROM lbl{ER_ORACLE_UNROLL}, conv
+  WHERE CASE WHEN conv.bad = 0 THEN true
+             ELSE error('ER oracle closure did not converge in '
+                        || {ER_ORACLE_UNROLL} || ' rounds') END
+)"""
+
 
 @register(
     "fuzzy_name_matches",
@@ -811,23 +859,8 @@ def event_value_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "customer_entity_clusters",
     oracle=f"""
-WITH RECURSIVE {_FUZZY_CTES},
-edges AS (
-  SELECT cust_a AS src, cust_b AS dst FROM fpairs
-  UNION
-  SELECT cust_b, cust_a FROM fpairs
-),
-reach AS (
-  SELECT src AS doc, src AS r FROM edges
-  UNION
-  SELECT src AS doc, dst AS r FROM edges
-  UNION
-  SELECT re.doc, e.dst AS r
-  FROM reach re JOIN edges e ON e.src = re.r
-),
-canon AS (
-  SELECT doc AS c_custkey, min(r) AS entity_id FROM reach GROUP BY doc
-)
+WITH {_FUZZY_CTES},
+{_er_closure_ctes()}
 SELECT canon.entity_id, canon.c_custkey, c.c_name,
        (count(*) OVER (PARTITION BY canon.entity_id))::BIGINT AS entity_size
 FROM canon JOIN c ON c.c_custkey = canon.c_custkey
@@ -878,23 +911,8 @@ def customer_entity_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "entity_survivorship",
     oracle=f"""
-WITH RECURSIVE {_FUZZY_CTES},
-edges AS (
-  SELECT cust_a AS src, cust_b AS dst FROM fpairs
-  UNION
-  SELECT cust_b, cust_a FROM fpairs
-),
-reach AS (
-  SELECT src AS doc, src AS r FROM edges
-  UNION
-  SELECT src AS doc, dst AS r FROM edges
-  UNION
-  SELECT re.doc, e.dst AS r
-  FROM reach re JOIN edges e ON e.src = re.r
-),
-canon AS (
-  SELECT doc AS c_custkey, min(r) AS entity_id FROM reach GROUP BY doc
-),
+WITH {_FUZZY_CTES},
+{_er_closure_ctes()},
 members AS (
   SELECT canon.entity_id, cu.c_custkey, cu.c_name, cu.c_acctbal
   FROM canon JOIN customer cu USING (c_custkey)

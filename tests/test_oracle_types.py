@@ -46,3 +46,35 @@ def test_oracle_output_types(duck, name):
         f"{name}: oracle emits driver-hash-unsafe column types {bad}; "
         "cast back (::BIGINT / ::DOUBLE) in the oracle SQL"
     )
+
+
+def test_er_oracle_closure_converges_with_margin(duck):
+    """Round-9: the ER oracles replaced the unbounded recursive
+    transitive closure (O(sum comp^2) rows — ~29 min/entry at sf0.1)
+    with an ER_ORACLE_UNROLL-round min-label propagation that calls
+    DuckDB error() if the last two rounds differ. This pins the MARGIN:
+    convergence must land >= 4 rounds before the unroll bound at the
+    pytest SFs, so modest growth cannot silently reach the cliff (the
+    cliff itself fails loudly, never wrong)."""
+    from iceberg_file_writer_spark.queries.analytics_ext import (
+        ER_ORACLE_UNROLL,
+        _FUZZY_CTES,
+        _er_closure_ctes,
+    )
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        register_views(duck, sf)
+        diffs = "\nUNION ALL\n".join(
+            f"SELECT {i} AS r, (SELECT count(*) FROM ("
+            f"SELECT node, lbl FROM lbl{i} EXCEPT "
+            f"SELECT node, lbl FROM lbl{i - 1})) AS bad"
+            for i in range(1, ER_ORACLE_UNROLL + 1)
+        )
+        rows = dict(
+            duck.execute(
+                f"WITH {_FUZZY_CTES},\n{_er_closure_ctes()}\n{diffs}"
+            ).fetchall()
+        )
+        converged = min(r for r, bad in rows.items() if bad == 0)
+        assert all(rows[r] == 0 for r in rows if r >= converged)
+        assert converged <= ER_ORACLE_UNROLL - 4, (sf, converged)
