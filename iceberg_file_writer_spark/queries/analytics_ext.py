@@ -1445,11 +1445,10 @@ FROM est e JOIN exact x ON x.measure = e.measure
         "error (estimator-audit pattern); 48-bit integer hashes keep "
         "every product in BIGINT, bit-identical across engines"
     ),
-    # Round-8 rotation (sixth): restored/promoted — r7 verdict item 3
-    # (class-coverage guard: grouping extensions and correlated
-    # subqueries lost their last exposed sibling in the fifth
-    # rotation; kmv joins the surface for first driver evidence).
-    driver_exposed=True,
+    # Round-9 rotation (eighth): ceded after driver-green r7-r8 (the
+    # sketch family stays evidenced via hll_distinct_users_by_type);
+    # promoted in the sixth rotation for first driver evidence.
+    driver_exposed=False,
 )
 def kmv_theta_user_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct-set algebra from mergeable fixed-size summaries.

@@ -214,6 +214,10 @@ FROM documents
 GROUP BY md5(text)
 """,
     description="Exact dedup: hash-groupBy on content digest, keep min doc_id",
+    # Round-9 rotation (eighth): ceded after driver-green r1-r8 (the
+    # longest-tenured row; exact-dedup stays evidenced via the exposed
+    # chunk_exact_dedup) to make room for the storage-lifecycle entries.
+    driver_exposed=False,
 )
 def exact_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)

@@ -678,10 +678,10 @@ FROM orders WHERE o_totalprice > 100000.0
         "with a pushed filter (manifest-stats file skipping) — values "
         "equal the plain filtered scan exactly"
     ),
-    # Registered end-of-round-8; driver surface is at its 50-entry cap —
-    # the format's read path is driver-visible via
-    # incremental_snapshot_stream_read. Candidate for the next rotation.
-    driver_exposed=False,
+    # Round-9 rotation (eighth): promoted — the full format quartet
+    # (batch write -> batch read with pushed filters) under the driver's
+    # value-hash gate, per the r8 verdict's rotation directive.
+    driver_exposed=True,
     eager=True,  # builds/loads a trained artifact or runs a stream at plan time
 )
 def snapshot_format_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -717,4 +717,108 @@ def snapshot_format_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .load()
         .where(F.col("o_totalprice") > 100000.0)
         .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+_LIFECYCLE_REPORTS: dict[tuple, list] = {}
+
+
+@register(
+    "vacuum_lifecycle_report",
+    oracle="""
+WITH tot AS (SELECT count(*)::BIGINT AS n FROM orders),
+del AS (SELECT count(*)::BIGINT AS n FROM orders WHERE o_custkey % 7 = 0)
+SELECT * FROM (
+  SELECT '1_append' AS phase, (SELECT n FROM tot) AS n_rows,
+         0::BIGINT AS dv_tombstones, 0::BIGINT AS eq_key_rows,
+         1::BIGINT AS versions_readable
+  UNION ALL
+  SELECT '2_mor_delete', (SELECT n FROM tot) - (SELECT n FROM del),
+         (SELECT n FROM del), 0::BIGINT, 2::BIGINT
+  UNION ALL
+  SELECT '3_mor_upsert', (SELECT n FROM tot) - (SELECT n FROM del),
+         (SELECT n FROM del), 20::BIGINT, 3::BIGINT
+  UNION ALL
+  SELECT '4_compact', (SELECT n FROM tot) - (SELECT n FROM del),
+         0::BIGINT, 0::BIGINT, 4::BIGINT
+  UNION ALL
+  SELECT '5_vacuum', (SELECT n FROM tot) - (SELECT n FROM del),
+         0::BIGINT, 0::BIGINT, 1::BIGINT
+)
+""",
+    description=(
+        "Verb-level storage lifecycle under the value-hash gate: append "
+        "-> MoR delete (positional tombstones) -> MoR upsert (equality "
+        "tombstones) -> compact (tombstone debt retires) -> vacuum "
+        "(history trims to keep_last=1, CURRENT untouched). Each phase "
+        "reports readable rows, DV tombstone rows, equality-delete key "
+        "rows, and readable history depth — every number independently "
+        "recomputed by the DuckDB oracle from the source table and the "
+        "lifecycle's parameters"
+    ),
+    # Round-9 rotation (eighth): promoted at registration — the r8
+    # verdict's verb-level storage readout directive.
+    driver_exposed=True,
+    eager=True,  # builds/loads a trained artifact or runs a stream at plan time
+)
+def vacuum_lifecycle_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The maintenance verbs as one auditable story.
+
+    Readable rows are counted through read_table_version (the MoR-applied
+    read), tombstone debt through dv_stats / clustering_report (manifest
+    +footer metadata only), history depth through snapshot_log. Vacuum
+    runs with grace_seconds=0 inside a fresh tmpdir (nothing in-flight
+    by construction) and must leave CURRENT intact while versions 1-3
+    stop resolving — the Iceberg expire contract.
+    """
+    from iceberg_file_writer_spark.ingest.deletion_vectors import (
+        commit_delete_where_mor,
+        dv_stats,
+    )
+    from iceberg_file_writer_spark.ingest.equality_deletes import commit_upsert
+    from iceberg_file_writer_spark.ingest.inspect import clustering_report
+    from iceberg_file_writer_spark.ingest.maintenance import vacuum
+    from iceberg_file_writer_spark.ingest.snapshots import (
+        commit_append,
+        commit_compact,
+        read_table_version,
+        snapshot_log,
+    )
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _LIFECYCLE_REPORTS:
+        t = os.path.join(tempfile.mkdtemp(prefix="vac-life-"), "orders")
+        orders = _orders(spark, sf_dir)
+
+        def snap(phase: str) -> tuple:
+            return (
+                phase,
+                read_table_version(spark, t).count(),
+                dv_stats(t)["tombstone_rows"],
+                clustering_report(t)["eq_key_rows"],
+                len(snapshot_log(t)),
+            )
+
+        report = []
+        commit_append(spark, orders, t, max_rows=2000)
+        report.append(snap("1_append"))
+        commit_delete_where_mor(spark, t, "o_custkey % 7 = 0")
+        report.append(snap("2_mor_delete"))
+        upd = (
+            orders.where("o_custkey % 7 <> 0")
+            .orderBy("o_orderkey")
+            .limit(20)
+            .withColumn("o_totalprice", F.lit(-1.0))
+        )
+        commit_upsert(spark, t, upd, ["o_orderkey"])
+        report.append(snap("3_mor_upsert"))
+        commit_compact(spark, t)
+        report.append(snap("4_compact"))
+        vacuum(t, keep_last=1, grace_seconds=0)
+        report.append(snap("5_vacuum"))
+        _LIFECYCLE_REPORTS[key] = report
+    return spark.createDataFrame(
+        _LIFECYCLE_REPORTS[key],
+        "phase string, n_rows long, dv_tombstones long, "
+        "eq_key_rows long, versions_readable long",
     )

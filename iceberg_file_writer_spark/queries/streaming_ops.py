@@ -489,7 +489,9 @@ FROM m LEFT JOIN px ON px.media_id = m.media_id
         "functions over the same fixture. Library-bound codecs "
         "(JPEG/PNG) remain an honest NotImplementedError"
     ),
-    driver_exposed=False,
+    # Round-9 rotation (eighth): promoted at registration — the round's
+    # de-stubbed multimodal decode under the driver's hash gate.
+    driver_exposed=True,
 )
 def multimodal_decode_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from iceberg_file_writer_spark.operators.multimodal import decode_image

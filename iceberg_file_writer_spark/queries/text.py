@@ -158,6 +158,11 @@ SELECT doc_id,
 FROM toks
 """,
     description="Document fingerprinting: content hash + order-insensitive bag-of-words hash",
+    # Round-9 rotation (eighth): ceded after driver-green r2-r8 (scalar
+    # functions stay evidenced via part_scalar_expressions and
+    # multimodal_header_parse; fingerprint shapes via chunk/bow hashing
+    # inside the exposed dedup entries).
+    driver_exposed=False,
 )
 def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
