@@ -351,15 +351,23 @@ def fuzzy_name_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "event_value_trends",
+    # the day offset `t` divides by a DOUBLE literal (e-notation) in a
+    # projected subquery: a plain `86400000000.0` literal parses as
+    # DECIMAL in both engines, and on the Spark side that forced a
+    # per-row BigDecimal division inside EVERY regr_*/corr aggregate —
+    # ~10x the whole entry's cost (found by the round-9 sf1 scaling
+    # study); projecting once and dividing in IEEE double keeps the
+    # two engines bit-identical AND codegen-fast
     oracle="""
 SELECT event_type,
-       CAST(regr_count(value, epoch_us(ts)) AS BIGINT)                  AS n,
-       round(regr_slope(value, epoch_us(ts) / 86400000000.0), 6)       AS slope_per_day,
-       round(regr_intercept(value, epoch_us(ts) / 86400000000.0), 6)   AS intercept,
-       round(regr_r2(value, epoch_us(ts) / 86400000000.0), 6)          AS r2,
-       round(corr(value, epoch_us(ts) / 86400000000.0), 6)             AS corr_vt,
-       round(stddev_samp(value), 6)                                    AS value_stddev
-FROM events
+       CAST(regr_count(value, t) AS BIGINT)     AS n,
+       round(regr_slope(value, t), 6)           AS slope_per_day,
+       round(regr_intercept(value, t), 6)       AS intercept,
+       round(regr_r2(value, t), 6)              AS r2,
+       round(corr(value, t), 6)                 AS corr_vt,
+       round(stddev_samp(value), 6)             AS value_stddev
+FROM (SELECT event_type, value,
+             epoch_us(ts) / 86400000000e0 AS t FROM events)
 GROUP BY event_type
 """,
     description=(
@@ -384,13 +392,14 @@ def event_value_trends(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         """
 SELECT event_type,
-       CAST(regr_count(value, unix_micros(ts)) AS BIGINT)                AS n,
-       round(regr_slope(value, unix_micros(ts) / 86400000000.0), 6)     AS slope_per_day,
-       round(regr_intercept(value, unix_micros(ts) / 86400000000.0), 6) AS intercept,
-       round(regr_r2(value, unix_micros(ts) / 86400000000.0), 6)        AS r2,
-       round(corr(value, unix_micros(ts) / 86400000000.0), 6)           AS corr_vt,
-       round(stddev_samp(value), 6)                                     AS value_stddev
-FROM events
+       CAST(regr_count(value, t) AS BIGINT)     AS n,
+       round(regr_slope(value, t), 6)           AS slope_per_day,
+       round(regr_intercept(value, t), 6)       AS intercept,
+       round(regr_r2(value, t), 6)              AS r2,
+       round(corr(value, t), 6)                 AS corr_vt,
+       round(stddev_samp(value), 6)             AS value_stddev
+FROM (SELECT event_type, value,
+             unix_micros(ts) / 86400000000e0 AS t FROM events)
 GROUP BY event_type
 """
     )
