@@ -217,7 +217,9 @@ def apply_deletes(
         spark.read.option("basePath", base)
         .format(cfg.table_format)
         .load([_partition_dir(base, cfg, k) for k in affected])
-        .where(f"NOT ({predicate})")
+        # IS NOT TRUE, not NOT(...): a NULL-valued predicate row is not
+        # deleted by SQL DELETE semantics and must survive the rewrite
+        .where(f"({predicate}) IS NOT TRUE")
     )
     (
         survivors.sortWithinPartitions(cfg.partition_column, cfg.key_column)

@@ -252,7 +252,10 @@ def _footer_stats(meta) -> dict:
             c = g.column(ci)
             if "." in c.path_in_schema:
                 continue  # nested: no top-level pruning
-            cols[c.path_in_schema] = c.statistics
+            try:
+                cols[c.path_in_schema] = c.statistics
+            except Exception:
+                continue  # unreadable stats object: treated as absent
         if ok is None:
             ok = set(cols)
         for name in list(ok):
@@ -260,7 +263,15 @@ def _footer_stats(meta) -> dict:
             if st is None or not st.has_min_max:
                 ok.discard(name)
                 continue
-            lo, hi = _stat_value(st.min), _stat_value(st.max)
+            try:
+                lo, hi = _stat_value(st.min), _stat_value(st.max)
+            except Exception:
+                # pyarrow cannot DECODE stats for some physical types
+                # (DECIMAL raises ArrowNotImplementedError on access):
+                # omit the column — absent stats are conservative, a
+                # crashed commit is not
+                ok.discard(name)
+                continue
             if lo is None or hi is None or type(lo) is not type(hi):
                 ok.discard(name)
                 continue
@@ -478,10 +489,87 @@ def commit_delete_where(
         aff_entries,
         pm.get("dvs"),
         eqs=pm.get("eqs"),
-    ).where(f"NOT ({predicate})")
+    ).where(f"({predicate}) IS NOT TRUE")
+    # IS NOT TRUE, not NOT(...): SQL DELETE removes rows where the
+    # predicate is TRUE — a NULL-valued predicate row must SURVIVE, but
+    # NOT(NULL) is NULL and a bare where() would silently drop it
     rewritten = _write_data_files(survivors, table_path, max_rows)
     carried = [e for e in files if e["path"] not in affected]
     return _commit(table_path, parent, "delete", carried + rewritten)
+
+
+def commit_update_where(
+    spark: SparkSession,
+    table_path: str,
+    predicate: str,
+    assignments: "dict[str, str]",
+    max_rows: int = 4096,
+) -> int:
+    """Copy-on-write ``UPDATE <t> SET col = expr, ... WHERE pred``:
+    rewrite only the files holding matching rows.
+
+    SQL UPDATE semantics throughout: every SET expression is evaluated
+    against the OLD row (so ``SET a = b, b = a`` swaps), the result is
+    cast back to the column's standing type (no silent type evolution
+    through an update), and rows where the predicate is NULL are NOT
+    updated. Hidden layout columns are recomputed by the standing spec,
+    never carried stale — an update touching a bucketed column would
+    otherwise leave pruning stats that lose rows. Affected-file
+    discovery and carry-by-reference are commit_delete_where's."""
+    parent = current_version(table_path)
+    pm = read_manifest(table_path, parent) if parent else {}
+    files = pm.get("files") or []
+    paths = [os.path.join(table_path, e["path"]) for e in files]
+    if not paths:
+        return _commit(table_path, parent, "update", [])
+
+    hit_uris = {
+        r.f
+        for r in (
+            spark.read.option("mergeSchema", "true").parquet(*paths)
+            .where(predicate)
+            .select(F.input_file_name().alias("f"))
+            .distinct()
+            .collect()
+        )
+    }
+    affected = {
+        e["path"] for e in files if any(u.endswith(e["path"]) for u in hit_uris)
+    }
+    if not affected:
+        return _commit(table_path, parent, "update", files)
+
+    from iceberg_file_writer_spark.ingest.partitioning import _is_hidden
+
+    aff = _read_files(
+        spark,
+        table_path,
+        [e for e in files if e["path"] in affected],
+        pm.get("dvs"),
+        eqs=pm.get("eqs"),
+    )
+    visible = [f for f in aff.schema.fields if not _is_hidden(f.name)]
+    unknown = set(assignments) - {f.name for f in visible}
+    if unknown:
+        raise ValueError(f"UPDATE sets unknown column(s): {sorted(unknown)}")
+    aff = aff.select(*[f.name for f in visible])
+    updated = aff.where(predicate).selectExpr(
+        *[
+            f"CAST(({assignments[f.name]}) AS {f.dataType.simpleString()}) "
+            f"AS `{f.name}`"
+            if f.name in assignments
+            else f"`{f.name}`"
+            for f in visible
+        ]
+    )
+    untouched = aff.where(f"({predicate}) IS NOT TRUE")
+    rewritten = _write_data_files(
+        _apply_standing_spec(updated.unionByName(untouched), pm),
+        table_path,
+        max_rows,
+    )
+    carried = [e for e in files if e["path"] not in affected]
+    return _commit(table_path, parent, "update", carried + rewritten)
 
 
 def read_table_version(

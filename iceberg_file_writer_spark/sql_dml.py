@@ -1,0 +1,255 @@
+"""SQL DML surface for snapshot tables [extension — not in reference].
+
+Spark's ``DELETE FROM`` / ``UPDATE`` / ``MERGE INTO`` SQL statements
+only route to v2 DataSources through a catalog plugin (a JVM jar this
+environment cannot load — SURVEY §7.0), so the Python verbs
+(``commit_delete_where``, ``commit_update_where``, ``commit_upsert``,
+…) were the only mutation API. This module closes the usability gap:
+``execute_dml(spark, sql, tables)`` accepts the standard statement
+TEXT and routes it to the matching verb.
+
+Division of labor — deliberately thin:
+- This module parses only the statement SHAPE (verb, table name,
+  clause boundaries) with anchored regexes. Every EXPRESSION — the
+  WHERE predicate, SET right-hand sides, the INSERT source query — is
+  handed verbatim to Spark SQL, which owns parsing/typing/evaluation.
+  There is no second expression grammar to drift from Spark's.
+- Semantics come from the verbs, which already carry the table-format
+  contracts (CoW affected-file rewrites, MoR one-commit upserts, seq
+  scoping, spec re-application, snapshot isolation), so a statement
+  and its verb are the same operation by construction.
+
+Statements (one per call; trailing ``;`` allowed):
+
+    DELETE FROM t WHERE <pred>                        -> commit_delete_where
+    DELETE FROM t USING MOR WHERE <pred>              -> commit_delete_where_mor
+    UPDATE t SET c = <expr>[, ...] [WHERE <pred>]     -> commit_update_where
+    INSERT INTO t <query>                             -> commit_append
+    MERGE INTO t USING (<query>) ON t.k = s.k [AND ...]
+      WHEN MATCHED THEN UPDATE SET *
+      WHEN NOT MATCHED THEN INSERT *                  -> commit_upsert (MoR)
+    OPTIMIZE t                                        -> commit_compact
+    VACUUM t [RETAIN <n> VERSIONS]                    -> maintenance.vacuum
+
+MERGE is restricted to the whole-row ``SET * / INSERT *`` form — the
+CDC upsert every pipeline here emits; column-wise merge clauses should
+use the DataFrame verb directly. The MoR DELETE opt-in mirrors
+Iceberg's write.delete.mode table property, spelled inline.
+
+``tables`` maps statement table names to snapshot-table paths; source
+relations inside INSERT/MERGE queries resolve against the session's
+temp views (``load_tables`` / ``create_views``), so a statement can
+join testdata, query views, and snapshot tables in one breath.
+
+Returns the committed version (or the vacuum report dict).
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import SparkSession
+
+_WS = r"\s+"
+_ID = r"[A-Za-z_][A-Za-z0-9_.]*"
+
+_DELETE_RE = re.compile(
+    rf"^DELETE{_WS}FROM{_WS}(?P<t>{_ID})(?:{_WS}USING{_WS}MOR)?"
+    rf"{_WS}WHERE{_WS}(?P<pred>.+)$",
+    re.IGNORECASE | re.DOTALL,
+)
+_DELETE_MOR_RE = re.compile(
+    rf"^DELETE{_WS}FROM{_WS}{_ID}{_WS}USING{_WS}MOR\b", re.IGNORECASE
+)
+_UPDATE_RE = re.compile(
+    rf"^UPDATE{_WS}(?P<t>{_ID}){_WS}SET{_WS}(?P<sets>.+?)"
+    rf"(?:{_WS}WHERE{_WS}(?P<pred>.+))?$",
+    re.IGNORECASE | re.DOTALL,
+)
+_INSERT_RE = re.compile(
+    rf"^INSERT{_WS}INTO{_WS}(?P<t>{_ID}){_WS}(?P<q>(?:SELECT|VALUES|WITH|TABLE).+)$",
+    re.IGNORECASE | re.DOTALL,
+)
+_MERGE_RE = re.compile(
+    rf"^MERGE{_WS}INTO{_WS}(?P<t>{_ID})(?:{_WS}(?:AS{_WS})?(?P<talias>{_ID}))?"
+    rf"{_WS}USING{_WS}\((?P<q>.+)\)(?:{_WS}(?:AS{_WS})?(?P<salias>{_ID}))?"
+    rf"{_WS}ON{_WS}(?P<on>.+?)"
+    rf"{_WS}WHEN{_WS}MATCHED{_WS}THEN{_WS}UPDATE{_WS}SET{_WS}\*"
+    rf"{_WS}WHEN{_WS}NOT{_WS}MATCHED{_WS}THEN{_WS}INSERT{_WS}\*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_OPTIMIZE_RE = re.compile(rf"^OPTIMIZE{_WS}(?P<t>{_ID})$", re.IGNORECASE)
+_VACUUM_RE = re.compile(
+    rf"^VACUUM{_WS}(?P<t>{_ID})(?:{_WS}RETAIN{_WS}(?P<n>\d+){_WS}VERSIONS)?$",
+    re.IGNORECASE,
+)
+_ON_EQ_RE = re.compile(
+    rf"^\s*(?:(?P<la>{_ID})\.)?(?P<lc>[A-Za-z_][A-Za-z0-9_]*)\s*=\s*"
+    rf"(?:(?P<ra>{_ID})\.)?(?P<rc>[A-Za-z_][A-Za-z0-9_]*)\s*$"
+)
+
+
+def _split_top_level_commas(s: str) -> list[str]:
+    """Split SET assignments on commas not nested in () or quotes —
+    expressions stay opaque, only the list shape is parsed here."""
+    parts, depth, q, start = [], 0, None, 0
+    for i, ch in enumerate(s):
+        if q:
+            if ch == q:
+                q = None
+        elif ch in "'\"":
+            q = ch
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            parts.append(s[start:i])
+            start = i + 1
+    parts.append(s[start:])
+    return [p.strip() for p in parts if p.strip()]
+
+
+def _align_to_table(spark: SparkSession, df, path: str):
+    """Cast an INSERT/MERGE source to the target's standing schema —
+    SQL store-assignment semantics. Without the cast, a source literal
+    typed DECIMAL(2,1) (Spark's type for ``-7.0``) lands in a table
+    whose files hold DOUBLE and every later mergeSchema read fails with
+    CANNOT_MERGE_SCHEMAS. Requires the exact column set (any order)."""
+    from pyspark.sql import functions as F
+
+    from iceberg_file_writer_spark.ingest.snapshots import (
+        current_version,
+        read_table_version,
+    )
+
+    if current_version(path) == 0:
+        return df  # genesis insert defines the schema
+    target = read_table_version(spark, path).schema
+    want = {f.name for f in target.fields}
+    have = set(df.columns)
+    if want != have:
+        raise ValueError(
+            f"source columns {sorted(have)} != table columns {sorted(want)}"
+        )
+    return df.select(
+        *[F.col(f.name).cast(f.dataType) for f in target.fields]
+    )
+
+
+def _resolve(tables: "dict[str, str]", name: str) -> str:
+    if name not in tables:
+        raise ValueError(
+            f"unknown snapshot table {name!r}; known: {sorted(tables)}"
+        )
+    return tables[name]
+
+
+def _merge_keys(on: str, t_names: set, s_names: set) -> list[str]:
+    """Key columns from an AND-of-equalities ON clause; each equality
+    must pair the same column name across target and source (the
+    whole-row upsert contract)."""
+    keys = []
+    for conj in re.split(r"(?i)\s+AND\s+", on.strip()):
+        m = _ON_EQ_RE.match(conj)
+        if not m:
+            raise ValueError(
+                f"MERGE ON supports AND-ed column equalities only; got {conj!r}"
+            )
+        la, lc, ra, rc = m.group("la"), m.group("lc"), m.group("ra"), m.group("rc")
+        if lc != rc:
+            raise ValueError(
+                f"MERGE ON must equate same-named key columns "
+                f"(whole-row upsert); got {lc} = {rc}"
+            )
+        for alias in (la, ra):
+            if alias and alias not in t_names | s_names:
+                raise ValueError(f"unknown alias {alias!r} in MERGE ON")
+        keys.append(lc)
+    return keys
+
+
+def execute_dml(
+    spark: SparkSession,
+    sql: str,
+    tables: "dict[str, str]",
+    max_rows: int = 4096,
+):
+    """Execute one DML statement against snapshot tables (module doc)."""
+    from iceberg_file_writer_spark.ingest.deletion_vectors import (
+        commit_delete_where_mor,
+    )
+    from iceberg_file_writer_spark.ingest.equality_deletes import commit_upsert
+    from iceberg_file_writer_spark.ingest.maintenance import vacuum
+    from iceberg_file_writer_spark.ingest.snapshots import (
+        commit_append,
+        commit_compact,
+        commit_delete_where,
+        commit_update_where,
+    )
+
+    stmt = sql.strip().rstrip(";").strip()
+
+    m = _DELETE_RE.match(stmt)
+    if m:
+        path = _resolve(tables, m.group("t"))
+        if _DELETE_MOR_RE.match(stmt):
+            return commit_delete_where_mor(spark, path, m.group("pred"))
+        return commit_delete_where(
+            spark, path, m.group("pred"), max_rows=max_rows
+        )
+
+    m = _UPDATE_RE.match(stmt)
+    if m:
+        assignments = {}
+        for part in _split_top_level_commas(m.group("sets")):
+            col, eq, expr = part.partition("=")
+            if not eq or not col.strip().replace("`", "").isidentifier():
+                raise ValueError(f"malformed SET assignment: {part!r}")
+            assignments[col.strip().strip("`")] = expr.strip()
+        return commit_update_where(
+            spark,
+            _resolve(tables, m.group("t")),
+            m.group("pred") or "true",
+            assignments,
+            max_rows=max_rows,
+        )
+
+    m = _INSERT_RE.match(stmt)
+    if m:
+        path = _resolve(tables, m.group("t"))
+        return commit_append(
+            spark,
+            _align_to_table(spark, spark.sql(m.group("q")), path),
+            path,
+            max_rows=max_rows,
+        )
+
+    m = _MERGE_RE.match(stmt)
+    if m:
+        t = m.group("t")
+        aliases_t = {t, m.group("talias") or t}
+        aliases_s = {m.group("salias")} - {None}
+        keys = _merge_keys(m.group("on"), aliases_t, aliases_s)
+        path = _resolve(tables, t)
+        return commit_upsert(
+            spark,
+            path,
+            _align_to_table(spark, spark.sql(m.group("q")), path),
+            keys,
+            max_rows=max_rows,
+        )
+
+    m = _OPTIMIZE_RE.match(stmt)
+    if m:
+        return commit_compact(spark, _resolve(tables, m.group("t")))
+
+    m = _VACUUM_RE.match(stmt)
+    if m:
+        keep = int(m.group("n") or 2)
+        return vacuum(_resolve(tables, m.group("t")), keep_last=keep)
+
+    raise ValueError(
+        "unsupported DML statement (see sql_dml module doc for the "
+        f"accepted grammar): {stmt[:120]!r}"
+    )

@@ -1,0 +1,225 @@
+"""SQL DML surface over snapshot tables: statement text routes to the
+verbs with exact SQL semantics (NULL predicates, old-row SET
+evaluation, type preservation, whole-row MERGE)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from iceberg_file_writer_spark.ingest.snapshots import (
+    commit_append,
+    commit_update_where,
+    current_version,
+    read_manifest,
+    read_table_version,
+    snapshot_log,
+)
+from iceberg_file_writer_spark.sql_dml import execute_dml
+from iceberg_file_writer_spark.tables import load_tables
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _canon(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    t = str(tmp_path / "orders")
+    orders = load_tables(spark, SF_DIR)["orders"].select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    commit_append(spark, orders, t, max_rows=300)
+    return t, orders
+
+
+def test_delete_where_null_predicate_rows_survive(spark, tmp_path):
+    """SQL DELETE removes rows where the predicate is TRUE; a NULL
+    predicate row survives (round-9 fix: NOT(NULL) used to drop it)."""
+    t = str(tmp_path / "tbl")
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, None), (3, 30.0)], "k long, v double"
+    )
+    commit_append(spark, df, t)
+    execute_dml(spark, "DELETE FROM tbl WHERE v > 15", {"tbl": t})
+    got = _canon(read_table_version(spark, t))
+    assert got == [(1, 10.0), (2, None)]  # the NULL-v row survives
+
+
+def test_update_old_row_semantics_and_null_pred(spark, tmp_path):
+    """Every SET expression sees the OLD row (a, b swap works) and a
+    NULL-predicate row is not updated."""
+    t = str(tmp_path / "tbl")
+    df = spark.createDataFrame(
+        [(1, 1.0, 2.0), (2, None, 5.0), (3, 7.0, 8.0)],
+        "k long, a double, b double",
+    )
+    commit_append(spark, df, t)
+    execute_dml(
+        spark, "UPDATE tbl SET a = b, b = a WHERE a < 10", {"tbl": t}
+    )
+    got = _canon(read_table_version(spark, t))
+    # rows 1 and 3 swapped; row 2 (a NULL -> pred NULL) untouched
+    assert got == [(1, 2.0, 1.0), (2, None, 5.0), (3, 8.0, 7.0)]
+
+
+def test_update_casts_back_to_column_type(spark, table):
+    """SET expr results cast to the standing column type — an integer
+    expression cannot silently flip o_totalprice to BIGINT."""
+    t, orders = table
+    execute_dml(
+        spark,
+        "UPDATE ord SET o_totalprice = 0 WHERE o_orderkey % 2 = 0",
+        {"ord": t},
+    )
+    got = read_table_version(spark, t)
+    assert dict(got.dtypes)["o_totalprice"] == "double"
+    assert got.where("o_totalprice = 0.0").count() == orders.where(
+        "o_orderkey % 2 = 0"
+    ).count()
+    want = orders.withColumn(
+        "o_totalprice",
+        F.when(F.col("o_orderkey") % 2 == 0, 0.0).otherwise(
+            F.col("o_totalprice")
+        ),
+    )
+    assert _canon(got) == _canon(want)
+
+
+def test_update_affected_files_only(spark, table):
+    t, orders = table
+    before = {e["path"] for e in read_manifest(t, current_version(t))["files"]}
+    lo = int(orders.agg(F.min("o_orderkey")).first()[0])
+    execute_dml(
+        spark,
+        f"UPDATE ord SET o_totalprice = -1.0 WHERE o_orderkey = {lo}",
+        {"ord": t},
+    )
+    after = read_manifest(t, current_version(t))["files"]
+    carried = {e["path"] for e in after} & before
+    assert carried, "a one-row update rewrote every file"
+
+
+def test_update_recomputes_hidden_spec_layout(spark, tmp_path):
+    """UPDATE on a bucketed column re-applies the standing spec: the
+    rewritten files carry FRESH hidden bucket stats (stale ones would
+    prune away the moved rows — silent data loss)."""
+    from iceberg_file_writer_spark.ingest.partitioning import (
+        commit_append_partitioned,
+        scan_partitioned,
+    )
+
+    t = str(tmp_path / "ev")
+    ev = load_tables(spark, SF_DIR)["events"].select(
+        "event_id", "user_id", "value"
+    )
+    commit_append_partitioned(
+        spark, ev, t, [("bucket", 4, "user_id")], max_rows=40
+    )
+    hi = int(ev.agg(F.max("user_id")).first()[0]) + 1000
+    lo = int(ev.agg(F.min("user_id")).first()[0])
+    execute_dml(
+        spark,
+        f"UPDATE ev SET user_id = {hi} WHERE user_id = {lo}",
+        {"ev": t},
+    )
+    moved = scan_partitioned(spark, t, [("user_id", "=", hi)])
+    assert moved.count() == ev.where(F.col("user_id") == lo).count() > 0
+    want = ev.withColumn(
+        "user_id",
+        F.when(F.col("user_id") == lo, hi).otherwise(F.col("user_id")),
+    )
+    assert _canon(scan_partitioned(spark, t, [])) == _canon(want)
+
+
+def test_insert_into_select(spark, table):
+    t, orders = table
+    load_tables(spark, SF_DIR)  # temp views for the source query
+    n0 = read_table_version(spark, t).count()
+    v = execute_dml(
+        spark,
+        "INSERT INTO ord SELECT o_orderkey + 1000000 AS o_orderkey, "
+        "o_custkey, o_totalprice FROM orders LIMIT 10",
+        {"ord": t},
+    )
+    assert v == current_version(t)
+    assert read_table_version(spark, t).count() == n0 + 10
+
+
+def test_merge_whole_row_upsert(spark, table):
+    t, orders = table
+    load_tables(spark, SF_DIR)
+    execute_dml(
+        spark,
+        """MERGE INTO ord AS tgt USING (
+             SELECT o_orderkey, o_custkey, -7.0 AS o_totalprice
+             FROM orders ORDER BY o_orderkey LIMIT 5
+           ) AS src
+           ON tgt.o_orderkey = src.o_orderkey
+           WHEN MATCHED THEN UPDATE SET *
+           WHEN NOT MATCHED THEN INSERT *""",
+        {"ord": t},
+    )
+    got = read_table_version(spark, t)
+    assert got.count() == orders.count()  # pure update, no inserts
+    assert got.where("o_totalprice = -7.0").count() == 5
+    # manifest records a MoR upsert, not a rewrite
+    assert read_manifest(t, current_version(t))["op"] == "upsert_mor"
+
+
+def test_delete_using_mor_writes_tombstones(spark, table):
+    t, orders = table
+    execute_dml(
+        spark, "DELETE FROM ord USING MOR WHERE o_custkey % 5 = 0", {"ord": t}
+    )
+    m = read_manifest(t, current_version(t))
+    assert m["op"] == "delete_mor" and m.get("dvs")
+    want = orders.where("o_custkey % 5 <> 0")
+    assert _canon(read_table_version(spark, t)) == _canon(want)
+
+
+def test_optimize_and_vacuum_statements(spark, table):
+    t, orders = table
+    execute_dml(spark, "DELETE FROM ord WHERE o_custkey % 2 = 0", {"ord": t})
+    execute_dml(spark, "OPTIMIZE ord", {"ord": t})
+    assert read_manifest(t, current_version(t))["op"] == "compact"
+    report = execute_dml(spark, "VACUUM ord RETAIN 1 VERSIONS;", {"ord": t})
+    assert isinstance(report, dict)
+    assert len(snapshot_log(t)) == 1
+    want = orders.where("o_custkey % 2 <> 0")
+    assert _canon(read_table_version(spark, t)) == _canon(want)
+
+
+def test_statement_shape_errors(spark, table):
+    t, _ = table
+    with pytest.raises(ValueError, match="unknown snapshot table"):
+        execute_dml(spark, "DELETE FROM nope WHERE true", {"ord": t})
+    with pytest.raises(ValueError, match="unsupported DML"):
+        execute_dml(spark, "TRUNCATE TABLE ord", {"ord": t})
+    with pytest.raises(ValueError, match="AND-ed column equalities"):
+        execute_dml(
+            spark,
+            "MERGE INTO ord USING (SELECT 1 AS o_orderkey) ON "
+            "ord.o_orderkey > src.o_orderkey WHEN MATCHED THEN UPDATE "
+            "SET * WHEN NOT MATCHED THEN INSERT *",
+            {"ord": t},
+        )
+    with pytest.raises(ValueError, match="malformed SET"):
+        execute_dml(spark, "UPDATE ord SET WHERE true", {"ord": t})
+
+
+def test_update_verb_direct_empty_and_no_match(spark, tmp_path, table):
+    t, orders = table
+    v0 = current_version(t)
+    commit_update_where(spark, t, "o_orderkey < 0", {"o_totalprice": "0"})
+    assert current_version(t) == v0 + 1  # no-match still commits (audit)
+    assert _canon(read_table_version(spark, t)) == _canon(orders)
+    t2 = str(tmp_path / "empty")
+    commit_append(spark, orders.where("false"), t2)
+    v = commit_update_where(spark, t2, "true", {"o_totalprice": "1"})
+    # an always-empty table commits fine; reading it has no schema
+    # source by standing contract, so assert on the manifest instead
+    m = read_manifest(t2, v)
+    assert m["op"] == "update" and m["files"] == []
