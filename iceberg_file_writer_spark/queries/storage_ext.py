@@ -822,3 +822,108 @@ def vacuum_lifecycle_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "phase string, n_rows long, dv_tombstones long, "
         "eq_key_rows long, versions_readable long",
     )
+
+
+_DML_REPORTS: dict[tuple, list] = {}
+
+
+@register(
+    "sql_dml_lifecycle",
+    oracle="""
+WITH base AS (SELECT o_orderkey, o_custkey, o_totalprice FROM orders),
+tot AS (SELECT count(*)::BIGINT AS n FROM base),
+after_del AS (SELECT count(*)::BIGINT AS n FROM base WHERE o_custkey % 7 <> 0),
+zeroed AS (SELECT count(*)::BIGINT AS n FROM base WHERE o_custkey % 7 = 1),
+merged AS (SELECT count(*)::BIGINT AS n FROM base WHERE o_custkey % 7 = 2),
+mk AS (SELECT max(o_orderkey)::BIGINT AS k FROM base)
+SELECT * FROM (
+  SELECT '1_insert' AS phase, (SELECT n FROM tot) AS n_rows,
+         0::BIGINT AS n_zeroed, 0::BIGINT AS n_merged,
+         (SELECT k FROM mk) AS max_key
+  UNION ALL
+  SELECT '2_delete', (SELECT n FROM after_del), 0::BIGINT, 0::BIGINT,
+         (SELECT k FROM mk)
+  UNION ALL
+  SELECT '3_update', (SELECT n FROM after_del), (SELECT n FROM zeroed),
+         0::BIGINT, (SELECT k FROM mk)
+  UNION ALL
+  SELECT '4_merge', (SELECT n FROM after_del) + 10,
+         (SELECT n FROM zeroed), (SELECT n FROM merged) + 10,
+         10000019::BIGINT
+)
+""",
+    description=(
+        "SQL DML lifecycle under the value-hash gate: INSERT INTO "
+        "SELECT (append) -> DELETE WHERE (CoW, NULL-safe survivors) -> "
+        "UPDATE SET WHERE (CoW affected-files rewrite) -> whole-row "
+        "MERGE INTO (one-commit MoR upsert: updates + 10 inserts), all "
+        "issued as statement TEXT through sql_dml.execute_dml; each "
+        "phase's row count / updated-row count / merge-marked count / "
+        "max key recomputed independently by the DuckDB oracle"
+    ),
+    driver_exposed=False,
+    eager=True,  # builds/loads a trained artifact or runs a stream at plan time
+)
+def sql_dml_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DML statement surface exercised end-to-end (module doc of
+    sql_dml: shape parsed here, expressions owned by Spark, semantics
+    owned by the verbs) with every phase's observable state pinned."""
+    from iceberg_file_writer_spark.ingest.snapshots import (
+        commit_append,
+        read_table_version,
+    )
+    from iceberg_file_writer_spark.sql_dml import execute_dml
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _DML_REPORTS:
+        t = os.path.join(tempfile.mkdtemp(prefix="sql-dml-"), "ord")
+        orders = _orders(spark, sf_dir)
+        load_tables(spark, sf_dir)  # temp views for statement sources
+        commit_append(spark, orders.where("o_orderkey % 2 = 0"), t, max_rows=2000)
+        tbl = {"ord": t}
+
+        def snap(phase: str) -> tuple:
+            df = read_table_version(spark, t)
+            agg = df.selectExpr(
+                "count(*) AS n",
+                "count_if(o_totalprice = 0.0) AS z",
+                "count_if(o_totalprice = -5.0) AS m",
+                "max(o_orderkey) AS k",
+            ).first()
+            return (phase, agg.n, agg.z, agg.m, agg.k)
+
+        report = []
+        execute_dml(
+            spark,
+            "INSERT INTO ord SELECT o_orderkey, o_custkey, o_totalprice "
+            "FROM orders WHERE o_orderkey % 2 = 1",
+            tbl,
+        )
+        report.append(snap("1_insert"))
+        execute_dml(spark, "DELETE FROM ord WHERE o_custkey % 7 = 0", tbl)
+        report.append(snap("2_delete"))
+        execute_dml(
+            spark,
+            "UPDATE ord SET o_totalprice = 0.0 WHERE o_custkey % 7 = 1",
+            tbl,
+        )
+        report.append(snap("3_update"))
+        execute_dml(
+            spark,
+            """MERGE INTO ord USING (
+                 SELECT o_orderkey, o_custkey, -5.0 AS o_totalprice
+                 FROM orders WHERE o_custkey % 7 = 2
+                 UNION ALL
+                 SELECT o_orderkey + 10000010, o_custkey, -5.0
+                 FROM orders WHERE o_orderkey < 10
+               ) AS src ON ord.o_orderkey = src.o_orderkey
+               WHEN MATCHED THEN UPDATE SET *
+               WHEN NOT MATCHED THEN INSERT *""",
+            tbl,
+        )
+        report.append(snap("4_merge"))
+        _DML_REPORTS[key] = report
+    return spark.createDataFrame(
+        _DML_REPORTS[key],
+        "phase string, n_rows long, n_zeroed long, n_merged long, max_key long",
+    )
