@@ -132,6 +132,76 @@ def _manifest(table_path: str, version: int) -> dict:
     return m
 
 
+def _manifest_raw(table_path: str, version: int) -> dict:
+    """The manifest WITHOUT segment resolution (`segments`/`tail` or
+    inline `files`) — metadata-sized however many files the snapshot
+    holds. Same expired-history remedy as ``_manifest``."""
+    p = os.path.join(_snap_dir(table_path), f"v{version:06d}.json")
+    try:
+        with open(p) as f:
+            return json.load(f)
+    except FileNotFoundError:
+        raise FileNotFoundError(
+            f"snapshot v{version} of {table_path} is expired or missing — "
+            "an incremental read cannot resume from before the retention "
+            "window; restart the stream with a fresh checkpoint (full "
+            "refresh) or lengthen expire_snapshots' keep_last"
+        )
+
+
+def _raw_entries(table_path: str, raw: dict) -> list:
+    out = []
+    for seg in raw.get("segments") or []:
+        with open(os.path.join(_snap_dir(table_path), seg)) as f:
+            out.extend(json.load(f))
+    return out + (raw.get("tail") or raw.get("files") or [])
+
+
+def _added_entries(table_path: str, raw_prev: dict, raw_cur: dict) -> list:
+    """File entries of ``raw_cur`` absent from ``raw_prev``, opening
+    only the manifest segments the two snapshots do NOT share.
+
+    Sealed segments are content-addressed (a shared name IS shared
+    content) and append-shaped commits chunk deterministically from
+    index 0, so consecutive snapshots share their sealed prefix — the
+    per-trigger planning cost is O(files added since the last trigger)
+    + two tails, never O(table files). A diff whose previous segments
+    are not a subset of the current ones (a rewrite re-chunked the
+    list) falls back to the full two-sided diff. ``last_parsed``
+    exposes how many segment files were opened (pinned in tests)."""
+    prev_segs = raw_prev.get("segments") or []
+    cur_segs = raw_cur.get("segments") or []
+    prev_set = set(prev_segs)
+    parsed = 0
+    if prev_set <= set(cur_segs):
+        # append-shaped: every prev file lives in a shared sealed
+        # segment or in prev's loose list; only NEW segments + the
+        # current tail can hold added files, and only prev's loose
+        # paths can shadow them (a re-sealed old tail)
+        loose_prev = {
+            e["path"] for e in (raw_prev.get("tail") or raw_prev.get("files") or [])
+        }
+        new_entries = []
+        for seg in cur_segs:
+            if seg in prev_set:
+                continue
+            parsed += 1
+            with open(os.path.join(_snap_dir(table_path), seg)) as f:
+                new_entries.extend(json.load(f))
+        new_entries += raw_cur.get("tail") or raw_cur.get("files") or []
+        added = [e for e in new_entries if e["path"] not in loose_prev]
+    else:
+        prev_paths = {e["path"] for e in _raw_entries(table_path, raw_prev)}
+        parsed += len(prev_segs) + len(cur_segs)
+        added = [
+            e
+            for e in _raw_entries(table_path, raw_cur)
+            if e["path"] not in prev_paths
+        ]
+    _added_entries.last_parsed = parsed
+    return added
+
+
 class _AddedFilePartition(InputPartition):
     def __init__(self, path: str, rows: int):
         self.path = path
@@ -255,13 +325,13 @@ class _SnapshotStreamReader(DataSourceStreamReader):
         # committed position, not on top of zero
         self._last_end = max(self._last_end, s, e)
         out = []
-        prev_paths: set | None = None
+        raw_prev: dict | None = None
         for v in range(s + 1, e + 1):
-            m = _manifest(self.path, v)
-            if m["op"] not in _APPEND_OPS:
+            raw = _manifest_raw(self.path, v)
+            if raw["op"] not in _APPEND_OPS:
                 if not self.skip_non_appends:
                     raise ValueError(
-                        f"snapshot v{v} is op={m['op']!r}, which removes or "
+                        f"snapshot v{v} is op={raw['op']!r}, which removes or "
                         "rewrites rows — an append stream cannot express it. "
                         "Pass skipNonAppends=true to stream only added files, "
                         "or consume changes_between for a full changelog."
@@ -272,21 +342,20 @@ class _SnapshotStreamReader(DataSourceStreamReader):
                 # (Iceberg's streaming read likewise skips REPLACE
                 # snapshots). Skip the version entirely, but advance the
                 # diff base so the next append diffs against THIS layout.
-                prev_paths = {f["path"] for f in m["files"]}
+                raw_prev = raw
                 continue
-            if prev_paths is None:
-                pm = _manifest(self.path, v - 1) if v > 1 else {"files": []}
-                prev_paths = {f["path"] for f in pm["files"]}
-            cur_paths = set()
-            for f in m["files"]:
-                cur_paths.add(f["path"])
-                if f["path"] not in prev_paths:
-                    out.append(
-                        _AddedFilePartition(
-                            os.path.join(self.path, f["path"]), f["rows"]
-                        )
+            if raw_prev is None:
+                raw_prev = (
+                    _manifest_raw(self.path, v - 1) if v > 1 else {"files": []}
+                )
+            # segment-diff planning: O(files added at v), not O(table)
+            for f in _added_entries(self.path, raw_prev, raw):
+                out.append(
+                    _AddedFilePartition(
+                        os.path.join(self.path, f["path"]), f["rows"]
                     )
-            prev_paths = cur_paths
+                )
+            raw_prev = raw
         return out
 
     def read(self, partition: _AddedFilePartition) -> Iterator:

@@ -357,3 +357,65 @@ def test_stream_passes_metadata_only_commits(spark, tmp_path, orders):
     # hidden layout columns of the post-respec files never surface
     assert set(got.columns) == set(orders.columns)
     assert _canon(got.select(*orders.columns)) == _canon(orders)
+
+
+def test_trigger_planning_parses_only_the_segment_delta(spark, tmp_path,
+                                                        orders, monkeypatch):
+    """Round-9: per-trigger planning diffs content-addressed manifest
+    segments — an append's shared sealed prefix is never opened, so
+    planning cost is O(files added), not O(table files). Parity with
+    the full diff pinned, incl. the rewrite fallback."""
+    import iceberg_file_writer_spark.ingest.snapshots as SN
+    from iceberg_file_writer_spark.ingest.snapshots import (
+        commit_append,
+        commit_compact,
+        read_manifest,
+    )
+    from iceberg_file_writer_spark.sources.snapshot_stream import (
+        _added_entries,
+        _manifest_raw,
+    )
+
+    monkeypatch.setattr(SN, "MANIFEST_SEGMENT_SIZE", 4)
+    t = str(tmp_path / "tbl")
+    commit_append(spark, orders.where("o_orderkey % 3 = 0"), t, max_rows=60)
+    commit_append(spark, orders.where("o_orderkey % 3 = 1"), t, max_rows=60)
+    r1, r2 = _manifest_raw(t, 1), _manifest_raw(t, 2)
+    assert len(r2.get("segments") or []) > 3, "fixture not segmented"
+    added = _added_entries(t, r1, r2)
+    f1 = {e["path"] for e in read_manifest(t, 1)["files"]}
+    want = [e for e in read_manifest(t, 2)["files"] if e["path"] not in f1]
+    assert sorted(e["path"] for e in added) == sorted(e["path"] for e in want)
+    # the shared sealed prefix was never opened
+    shared = len(set(r1.get("segments") or []) & set(r2.get("segments") or []))
+    assert shared > 0
+    assert _added_entries.last_parsed <= len(r2["segments"]) - shared
+    # rewrite fallback: compaction re-chunks -> full diff, still exact
+    commit_compact(spark, t)
+    r3 = _manifest_raw(t, 3)
+    added3 = _added_entries(t, r2, r3)
+    f2 = {e["path"] for e in read_manifest(t, 2)["files"]}
+    want3 = [e for e in read_manifest(t, 3)["files"] if e["path"] not in f2]
+    assert sorted(e["path"] for e in added3) == sorted(
+        e["path"] for e in want3
+    )
+
+
+def test_stream_over_segmented_manifests(spark, tmp_path, orders, monkeypatch):
+    """End-to-end: the source streams exactly-once across two-level
+    manifests (sealed segments + tails) and a restart delta."""
+    import iceberg_file_writer_spark.ingest.snapshots as SN
+
+    monkeypatch.setattr(SN, "MANIFEST_SEGMENT_SIZE", 4)
+    t = str(tmp_path / "tbl")
+    a = orders.where("o_orderkey % 3 = 0")
+    b = orders.where("o_orderkey % 3 = 1")
+    c = orders.where("o_orderkey % 3 = 2")
+    commit_append(spark, a, t, max_rows=60)
+    commit_append(spark, b, t, max_rows=60)
+    sink, ckpt = str(tmp_path / "s"), str(tmp_path / "c")
+    _drain(spark, t, sink, ckpt, maxVersionsPerBatch="1")
+    assert _canon(spark.read.parquet(sink)) == _canon(a.unionByName(b))
+    commit_append(spark, c, t, max_rows=60)
+    _drain(spark, t, sink, ckpt, maxVersionsPerBatch="1")
+    assert _canon(spark.read.parquet(sink)) == _canon(orders)
