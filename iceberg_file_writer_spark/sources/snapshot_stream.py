@@ -443,7 +443,12 @@ class _SnapshotBatchReader(DataSourceReader):
         v = _resolve_version(self.path, options)
         if v == 0:
             raise ValueError(f"{self.path} has no committed snapshots")
-        m = _manifest(self.path, v)
+        try:
+            # driver-side planning: the session-memoized resolution
+            # (one segment parse per version per session)
+            m = read_manifest(self.path, v)
+        except FileNotFoundError:
+            m = _manifest(self.path, v)  # re-raise the retention remedy
         self.files = m["files"]
         self.files_total = len(self.files)
         self.dv_dirs = [
