@@ -200,13 +200,22 @@ def bloom_prune(
     # and decimals diverge — probing them would manufacture false
     # negatives (silent data loss), so they conservatively skip the
     # bloom test and survive to the residual predicate.
-    probes = [
-        (col, str(rest[0]))
-        for col, op, *rest in conjuncts
-        if op == "=" and rest
-        and isinstance(rest[0], (str, int))
-        and not isinstance(rest[0], bool)
-    ]
+    def _probe_safe(v) -> bool:
+        return isinstance(v, (str, int)) and not isinstance(v, bool)
+
+    # each probe is (col, [candidate strings]): a file survives if ANY
+    # candidate may be contained. Equality = one candidate; IN = its
+    # non-null members, but ONLY when every member is probe-safe — one
+    # unprobeable member means the file can never be excluded, so the
+    # whole conjunct is skipped conservatively.
+    probes = []
+    for col, op, *rest in conjuncts:
+        if op == "=" and rest and _probe_safe(rest[0]):
+            probes.append((col, [str(rest[0])]))
+        elif op == "in" and rest:
+            non_null = [v for v in (rest[0] or []) if v is not None]
+            if non_null and all(_probe_safe(v) for v in non_null):
+                probes.append((col, [str(v) for v in non_null]))
     if not probes or not blooms or not kept:
         return kept
     names = {os.path.basename(e["path"]) for e in kept}
@@ -246,8 +255,11 @@ def bloom_prune(
         e
         for e in kept
         if all(
-            _may_contain(os.path.basename(e["path"]), col, val)
-            for col, val in probes
+            any(
+                _may_contain(os.path.basename(e["path"]), col, val)
+                for val in vals
+            )
+            for col, vals in probes
         )
     ]
 

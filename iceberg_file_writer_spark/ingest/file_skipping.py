@@ -30,11 +30,19 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-_OPS = {"<", "<=", ">", ">=", "=", "!=", "isnull", "notnull"}
+_OPS = {"<", "<=", ">", ">=", "=", "!=", "isnull", "notnull", "in"}
 
 
 def _file_can_match(stats: dict, col: str, op: str, value) -> bool:
     """False ONLY when the file's stats prove no row matches."""
+    if op == "in":
+        # SQL IN: NULL list members never match (x IN (NULL) is NULL,
+        # filtered); an all-NULL/empty list matches no row — exact, not
+        # conservative. Otherwise the file can match iff ANY member can.
+        non_null = [v for v in (value or []) if v is not None]
+        if not non_null:
+            return False
+        return any(_file_can_match(stats, col, "=", v) for v in non_null)
     st = stats.get(col)
     if st is None:
         return True  # no stats: cannot exclude
@@ -132,6 +140,11 @@ def prune_files_distributed(
         import pandas as _pd
 
         def can_match(stats, col, op, value):
+            if op == "in":
+                non_null = [v for v in (value or []) if v is not None]
+                if not non_null:
+                    return False
+                return any(can_match(stats, col, "=", v) for v in non_null)
             st = stats.get(col)
             if st is None:
                 return True
@@ -179,6 +192,18 @@ def prune_files_distributed(
     return [json.loads(r.e) for r in kept_rows] + prune_files(tail, conjuncts)
 
 
+def _sql_lit(v) -> str:
+    if v is None:
+        return "NULL"
+    if isinstance(v, str):
+        # Spark string literals treat backslash as an escape;
+        # escape it and the quote so a value like O'Brien cannot
+        # malform (or alter) the rendered predicate
+        esc = v.replace("\\", "\\\\").replace("'", "\\'")
+        return f"'{esc}'"
+    return repr(v)
+
+
 def conjuncts_to_sql(conjuncts: list) -> str:
     parts = []
     for col, op, *rest in conjuncts:
@@ -186,17 +211,16 @@ def conjuncts_to_sql(conjuncts: list) -> str:
             parts.append(f"`{col}` IS NULL")
         elif op == "notnull":
             parts.append(f"`{col}` IS NOT NULL")
-        else:
-            v = rest[0]
-            if isinstance(v, str):
-                # Spark string literals treat backslash as an escape;
-                # escape it and the quote so a value like O'Brien cannot
-                # malform (or alter) the rendered predicate
-                esc = v.replace("\\", "\\\\").replace("'", "\\'")
-                lit = f"'{esc}'"
+        elif op == "in":
+            vals = list(rest[0] or [])
+            if not vals:
+                parts.append("false")  # IN () matches no row
             else:
-                lit = repr(v)
-            parts.append(f"`{col}` {op} {lit}")
+                parts.append(
+                    f"`{col}` IN ({', '.join(_sql_lit(v) for v in vals)})"
+                )
+        else:
+            parts.append(f"`{col}` {op} {_sql_lit(rest[0])}")
     return " AND ".join(parts) if parts else "true"
 
 

@@ -227,6 +227,14 @@ def scan_partitioned(
             augmented.append(
                 (_bucket_col_name(col, n), "=", bucket_of(rest[0], n))
             )
+        elif op == "in" and col in buckets and rest:
+            # key-list lookup: the file must hold one of the members'
+            # bucket ids (NULL members never match — dropped)
+            n = buckets[col]
+            ids = sorted(
+                {bucket_of(v, n) for v in (rest[0] or []) if v is not None}
+            )
+            augmented.append((_bucket_col_name(col, n), "in", ids))
     kept = prune_files(m["files"], augmented)
     if m.get("bloom"):
         from iceberg_file_writer_spark.ingest.bloom_index import bloom_prune

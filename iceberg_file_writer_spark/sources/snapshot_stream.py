@@ -469,6 +469,7 @@ class _SnapshotBatchReader(DataSourceReader):
             EqualTo,
             GreaterThan,
             GreaterThanOrEqual,
+            In,
             IsNotNull,
             IsNull,
             LessThan,
@@ -496,6 +497,18 @@ class _SnapshotBatchReader(DataSourceReader):
                 conjuncts.append((col, "isnull"))
             elif t is IsNotNull:
                 conjuncts.append((col, "notnull"))
+            elif t is In:
+                vals = [
+                    None if x is None else _stat_value(x) for x in f.values
+                ]
+                # a member whose type stats cannot normalize makes the
+                # whole list unusable (conservative); literal NULL
+                # members stay — IN-semantics drop them downstream
+                if all(
+                    v is not None or x is None
+                    for v, x in zip(vals, f.values)
+                ):
+                    conjuncts.append((col, "in", vals))
         if conjuncts:
             self.files = prune_files(self.files, conjuncts)
         return filters

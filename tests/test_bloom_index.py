@@ -164,3 +164,26 @@ def test_non_probe_typed_literals_never_prune(spark, table):
     # while str/int literals still probe (the absent key prunes files)
     out = bloom_prune(t, m["bloom"], kept, [("o_custkey", "=", -987654)])
     assert len(out) < len(kept)
+
+
+def test_in_list_bloom_probe(spark, table):
+    """IN probing: all-absent member lists prune files; a present
+    member keeps its file; one unprobeable member (double) disables
+    the conjunct conservatively."""
+    t, orders = table
+    attach_bloom_index(spark, t, ["o_custkey"], fpp=0.001)
+    m = read_manifest(t, current_version(t))
+    kept = m["files"]
+    out = bloom_prune(
+        t, m["bloom"], kept, [("o_custkey", "in", [-1, -2, -3])]
+    )
+    assert len(out) <= max(1, len(kept) // 4)  # fpp may keep odd files
+    uid = int(orders.agg(F.min("o_custkey")).first()[0])
+    got = scan_table(spark, t, [("o_custkey", "in", [uid, -987654])])
+    want = read_table_version(spark, t).where(F.col("o_custkey") == uid)
+    assert _canon(got) == _canon(want)
+    # unprobeable member -> conjunct skipped, nothing pruned
+    out = bloom_prune(
+        t, m["bloom"], kept, [("o_custkey", "in", [-1, 2.5])]
+    )
+    assert out == kept

@@ -190,3 +190,36 @@ def test_string_literal_escaping_filters(spark):
         [("O'Brien",), ("Smith",)], "name string"
     )
     assert df.where(conjuncts_to_sql([("name", "=", "O'Brien")])).count() == 1
+
+
+def test_in_list_prunes_and_matches(spark, table):
+    """IN-list pushdown (round 9): a key-list lookup over a clustered
+    table keeps only files whose [min,max] admits SOME member; values
+    row-identical to the plain isin filter, NULL members inert."""
+    t, orders = table
+    lo = int(orders.agg(F.min("o_orderkey")).first()[0])
+    hi = int(orders.agg(F.max("o_orderkey")).first()[0])
+    got = scan_table(spark, t, [("o_orderkey", "in", [lo, hi, None])])
+    kept, total = scan_table.last_files
+    assert 1 <= kept < total  # first + last file only (disjoint ranges)
+    want = orders.where(F.col("o_orderkey").isin(lo, hi))
+    assert _canon(got) == _canon(want) and got.count() == 2
+
+
+def test_in_list_empty_and_all_null_match_nothing(spark, table):
+    t, orders = table
+    for vals in ([], [None], [None, None]):
+        got = scan_table(spark, t, [("o_custkey", "in", vals)])
+        kept, _ = scan_table.last_files
+        assert kept == 0, vals  # exact: IN () / IN (NULL) matches no row
+        assert got.count() == 0
+
+
+def test_in_list_incomparable_member_is_conservative(spark, table):
+    """One member of a type the stats cannot compare keeps the file —
+    the whole read stays row-identical."""
+    t, orders = table
+    lo = int(orders.agg(F.min("o_orderkey")).first()[0])
+    got = scan_table(spark, t, [("o_orderkey", "in", [lo, "not-a-key"])])
+    want = orders.where(F.col("o_orderkey") == lo)
+    assert _canon(got.select(*orders.columns)) == _canon(want)

@@ -361,3 +361,16 @@ def test_merge_keeps_standing_spec_and_values(spark, tmp_path):
     kept, total = scan_partitioned.last_files
     assert kept < total
     assert _canon(pr) == _canon(want.where(F.col("user_id") == uid))
+
+
+def test_in_list_prunes_via_bucket(spark, table):
+    """IN on a bucketed column prunes to the members' bucket ids and
+    stays row-identical."""
+    t, ev = table
+    uids = [int(r.user_id) for r in
+            ev.select("user_id").distinct().orderBy("user_id").limit(2).collect()]
+    got = scan_partitioned(spark, t, [("user_id", "in", uids + [None])])
+    kept, total = scan_partitioned.last_files
+    assert kept < total
+    want = ev.where(F.col("user_id").isin(uids))
+    assert _canon(got) == _canon(want) and got.count() > 0
