@@ -215,11 +215,16 @@ def test_in_list_empty_and_all_null_match_nothing(spark, table):
         assert got.count() == 0
 
 
-def test_in_list_incomparable_member_is_conservative(spark, table):
-    """One member of a type the stats cannot compare keeps the file —
-    the whole read stays row-identical."""
-    t, orders = table
-    lo = int(orders.agg(F.min("o_orderkey")).first()[0])
-    got = scan_table(spark, t, [("o_orderkey", "in", [lo, "not-a-key"])])
-    want = orders.where(F.col("o_orderkey") == lo)
-    assert _canon(got.select(*orders.columns)) == _canon(want)
+def test_in_list_incomparable_member_is_conservative():
+    """Unit pin: a member whose type the file's stats cannot compare
+    (legacy string-typed stats under an int literal, or vice versa)
+    keeps the file — IN can only exclude when it can PROVE every
+    member misses."""
+    from iceberg_file_writer_spark.ingest.file_skipping import _file_can_match
+
+    stats = {"k": [10, 20, 0]}
+    assert _file_can_match(stats, "k", "in", [1, 5])            is False
+    assert _file_can_match(stats, "k", "in", [1, 15])           is True
+    assert _file_can_match(stats, "k", "in", [1, "legacy-str"]) is True
+    assert _file_can_match({"k": ["a", "c", 0]}, "k", "in", [5]) is True
+    assert _file_can_match({}, "k", "in", [5])                  is True
