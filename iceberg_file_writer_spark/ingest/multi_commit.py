@@ -239,3 +239,36 @@ def commit_multi(
     # Phase 4: idempotent commit.
     _commit_phase(txn_root)
     return dict(claims)
+
+
+def streaming_multi_txn_sink(
+    txn_root: str,
+    members_fn,
+    max_rows: int = 4096,
+):
+    """foreachBatch adapter: each micro-batch commits ONE atomic
+    multi-table transaction.
+
+    ``members_fn(batch_df) -> list[(table_path, DataFrame)]`` derives
+    every member table's delta from the batch — typically the raw facts
+    plus their pre-aggregated rollup — and ``commit_multi`` stages all
+    of them, claims each table's next version slot, and flips them
+    together behind one fsync'd marker. The consistency this buys at
+    100 TB: a reader at ANY instant sees fact and rollup from the same
+    set of micro-batches (never a fact row whose rollup is missing),
+    and exactly-once is transaction-wide — the batch_id rides the
+    TRANSACTION ledger, so a replayed micro-batch is a no-op across all
+    members at once rather than per-table ledgers that could disagree
+    after a crash between commits.
+    """
+
+    def _sink(batch_df, batch_id) -> None:
+        commit_multi(
+            batch_df.sparkSession,
+            txn_root,
+            members_fn(batch_df),
+            max_rows=max_rows,
+            batch_id=batch_id,
+        )
+
+    return _sink

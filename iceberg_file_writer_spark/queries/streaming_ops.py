@@ -1586,3 +1586,115 @@ def streaming_upsert_mor_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return read_table_version(spark, table)
+
+
+@register(
+    "streaming_multi_table_txn",
+    oracle="""
+SELECT event_type,
+       count(*)::BIGINT AS fact_rows,
+       count(*)::BIGINT AS rollup_rows,
+       min(event_id)::BIGINT AS first_event,
+       max(event_id)::BIGINT AS last_event
+FROM events
+GROUP BY event_type
+""",
+    description=(
+        "Structured Streaming multi-table transaction: each micro-batch "
+        "atomically commits BOTH the raw fact rows and their "
+        "pre-aggregated rollup delta (ingest/multi_commit — fsync'd "
+        "marker, all-or-nothing recovery, transaction-wide exactly-once "
+        "ledger), so a reader never sees a fact row whose rollup is "
+        "missing. The report derives fact_rows from the FACT table and "
+        "rollup_rows by summing the ROLLUP's per-batch deltas — the "
+        "oracle recomputes both from events, proving the two tables "
+        "stayed consistent"
+    ),
+    driver_exposed=False,
+    eager=True,  # runs a stream at plan time
+)
+def streaming_multi_table_txn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact + rollup in lockstep — the lakehouse consistency pattern.
+
+    Per-table streaming sinks give per-table exactly-once, but a crash
+    between the fact commit and the rollup commit leaves the pair
+    disagreeing until replay. Routing both through commit_multi's
+    foreachBatch adapter makes the PAIR the commit unit: staged data
+    files for both tables, two version-slot claims, one fsync'd marker.
+    The rollup table stores per-batch DELTAS (append-only — the
+    incremental-rollup shape); the standing aggregate is a sum over
+    them, so per-batch cost stays O(batch) for both members.
+    """
+    import os
+
+    from iceberg_file_writer_spark.ingest.multi_commit import (
+        streaming_multi_txn_sink,
+    )
+    from iceberg_file_writer_spark.ingest.snapshots import read_table_version
+
+    ev = load_tables(spark, sf_dir)["events"]
+
+    def _stage(path: str) -> None:
+        ev.repartitionByRange(4, "event_id").sortWithinPartitions(
+            "event_id"
+        ).write.mode("overwrite").parquet(path)
+        parts = sorted(
+            f for f in os.listdir(path)
+            if f.endswith(".parquet") and not f.startswith(("_", "."))
+        )
+        base = os.path.getmtime(os.path.join(path, parts[0]))
+        for i, f in enumerate(parts):
+            os.utime(os.path.join(path, f), (base + i * 10, base + i * 10))
+
+    incoming = _staged_input((sf_dir, "multi-txn"), _stage)
+
+    root = tempfile.mkdtemp(prefix="multi-txn-")
+    fact_t = os.path.join(root, "fact")
+    roll_t = os.path.join(root, "rollup")
+    ckpt = os.path.join(root, "ckpt")
+
+    def members(batch_df: DataFrame):
+        delta = batch_df.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("event_id").alias("lo"),
+            F.max("event_id").alias("hi"),
+        )
+        return [(fact_t, batch_df), (roll_t, delta)]
+
+    sink = streaming_multi_txn_sink(
+        os.path.join(root, "txn"), members, max_rows=100_000
+    )
+
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(STREAM_STATE_PARTITIONS))
+    try:
+        q = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(incoming)
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+
+    fact = (
+        read_table_version(spark, fact_t)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("fact_rows"),
+            F.min("event_id").cast("long").alias("first_event"),
+            F.max("event_id").cast("long").alias("last_event"),
+        )
+    )
+    roll = (
+        read_table_version(spark, roll_t)
+        .groupBy("event_type")
+        .agg(F.sum("n").cast("long").alias("rollup_rows"))
+    )
+    return fact.join(roll, "event_type").select(
+        "event_type", "fact_rows", "rollup_rows", "first_event", "last_event"
+    )

@@ -279,3 +279,33 @@ def test_multi_commit_versions_are_time_travelable(spark, setup):
     assert isinstance(m.get("ts_ms"), int), "multi-commit manifest lacks ts_ms"
     now = int(time.time() * 1000) + 1
     assert version_asof(ta, now) == current_version(ta) == 2
+
+
+def test_streaming_multi_txn_sink_lockstep_and_replay(spark, setup):
+    """The foreachBatch adapter: member tables advance in LOCKSTEP
+    (reader never sees fact without its rollup) and a replayed batch_id
+    is a transaction-wide no-op."""
+    from iceberg_file_writer_spark.ingest.multi_commit import (
+        streaming_multi_txn_sink,
+    )
+    from pyspark.sql import functions as F
+
+    orders, ta, tb, txn = setup
+    fact_v0, roll_v0 = current_version(ta), current_version(tb)
+
+    def members(batch_df):
+        return [
+            (ta, batch_df),
+            (tb, batch_df.groupBy("o_custkey").agg(F.count("*").alias("n"))),
+        ]
+
+    sink = streaming_multi_txn_sink(txn, members, max_rows=500)
+    delta = orders.where("o_orderkey % 2 = 1")
+    sink(delta, 7)
+    assert current_version(ta) == fact_v0 + 1
+    assert current_version(tb) == roll_v0 + 1
+    n_after = read_table_version(spark, ta).count()
+    sink(delta, 7)  # replay: transaction-wide no-op
+    assert current_version(ta) == fact_v0 + 1
+    assert current_version(tb) == roll_v0 + 1
+    assert read_table_version(spark, ta).count() == n_after
