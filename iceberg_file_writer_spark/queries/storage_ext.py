@@ -927,3 +927,43 @@ def sql_dml_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         _DML_REPORTS[key],
         "phase string, n_rows long, n_zeroed long, n_merged long, max_key long",
     )
+
+
+@register(
+    "bloom_keyset_lookup",
+    oracle="""
+WITH ks AS (
+  SELECT min(o_orderkey) AS a, max(o_orderkey) AS b FROM orders
+)
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders, ks
+WHERE o_orderkey IN (ks.a, ks.b, -1)
+""",
+    description=(
+        "IN-list pushdown end-to-end (round 9): a key-SET lookup on the "
+        "unclustered near-unique column prunes through stats AND the "
+        "bloom sidecar per member (a file survives iff SOME member may "
+        "be contained; the absent -1 member prunes nothing extra); "
+        "values equal the plain isin scan exactly"
+    ),
+    driver_exposed=False,
+    eager=True,  # builds/loads a trained artifact or runs a stream at plan time
+)
+def bloom_keyset_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-set lookup (the dim-join-avoiding IN probe) through the
+    skipping stack: manifest stats admit files whose range covers ANY
+    member, then bloom membership drops files containing NONE — the
+    worst-case layout from bloom_point_lookup, now with a 3-member list
+    (two live keys at opposite table ends + one absent)."""
+    from iceberg_file_writer_spark.ingest.file_skipping import scan_table
+
+    bloom_point_lookup(spark, sf_dir)  # ensure the shared indexed table
+    t = _BLOOM_TABLES[(spark.sparkContext.applicationId, sf_dir)]
+    o = _orders(spark, sf_dir).agg(
+        F.min("o_orderkey").alias("a"), F.max("o_orderkey").alias("b")
+    ).first()
+    df = scan_table(
+        spark, t, [("o_orderkey", "in", [int(o.a), int(o.b), -1])]
+    )
+    bloom_keyset_lookup.last_files = scan_table.last_files
+    return df.select("o_orderkey", "o_custkey", "o_totalprice")

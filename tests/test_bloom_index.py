@@ -187,3 +187,15 @@ def test_in_list_bloom_probe(spark, table):
         t, m["bloom"], kept, [("o_custkey", "in", [-1, 2.5])]
     )
     assert out == kept
+
+
+def test_keyset_entry_prunes(spark):
+    """The registered IN-keyset entry genuinely prunes: two live keys
+    at opposite table ends keep ~2 files of the bloom-indexed table."""
+    from iceberg_file_writer_spark.queries.storage_ext import (
+        bloom_keyset_lookup,
+    )
+
+    bloom_keyset_lookup(spark, SF_DIR).count()
+    kept, total = bloom_keyset_lookup.last_files
+    assert total >= 4 and kept <= max(2, total // 2), (kept, total)
