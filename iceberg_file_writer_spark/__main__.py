@@ -118,6 +118,26 @@ def _build_parser() -> argparse.ArgumentParser:
     )
     sq.add_argument("--limit", type=int, default=20)
     sq.add_argument("--explain", action="store_true")
+
+    dml = sub.add_parser(
+        "dml",
+        help="run one DML statement against snapshot tables "
+        "(DELETE/UPDATE/INSERT/MERGE/OPTIMIZE/VACUUM — sql_dml grammar)",
+    )
+    dml.add_argument("statement", help="DML text, or '-' to read stdin")
+    dml.add_argument(
+        "--table",
+        action="append",
+        required=True,
+        metavar="NAME=PATH",
+        help="bind a statement table name to a snapshot-table path "
+        "(repeatable)",
+    )
+    dml.add_argument(
+        "--sf-dir",
+        default="/root/testdata/sf0.001",
+        help="testdata views for INSERT/MERGE source queries",
+    )
     return p
 
 
@@ -265,6 +285,27 @@ def main(argv: list[str] | None = None) -> int:
         if args.explain:
             df.explain("formatted")
         df.show(args.limit, truncate=60)
+        return 0
+
+    if args.cmd == "dml":
+        from iceberg_file_writer_spark.sql_dml import execute_dml
+        from iceberg_file_writer_spark.tables import load_tables
+
+        stmt = sys.stdin.read() if args.statement == "-" else args.statement
+        tables = {}
+        for binding in args.table:
+            name, eq, path = binding.partition("=")
+            if not eq or not name or not path:
+                print(f"malformed --table binding: {binding!r}", file=sys.stderr)
+                return 2
+            tables[name] = path
+        load_tables(spark, args.sf_dir)  # views for statement sources
+        try:
+            out = execute_dml(spark, stmt, tables)
+        except ValueError as e:
+            print(str(e), file=sys.stderr)
+            return 2
+        print(out)
         return 0
 
     if args.cmd == "query":
