@@ -1572,3 +1572,44 @@ def kmv_theta_user_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(floor(1000.0 * abs(est_distinct - exact_distinct)"
         " / exact_distinct) AS BIGINT) AS err_permille",
     )
+
+
+@register(
+    "pareto_cheapest_large_parts",
+    oracle="""
+WITH p AS (SELECT DISTINCT p_retailprice AS pr, p_size AS sz FROM part),
+sky AS (
+  SELECT pr, sz FROM p a
+  WHERE NOT EXISTS (
+    SELECT 1 FROM p b
+    WHERE b.pr <= a.pr AND b.sz >= a.sz AND (b.pr < a.pr OR b.sz > a.sz)
+  )
+)
+SELECT t.p_partkey, t.p_name, t.p_retailprice, t.p_size
+FROM part t JOIN sky ON sky.pr = t.p_retailprice AND sky.sz = t.p_size
+""",
+    description=(
+        "Skyline / Pareto front (EDBT-2023 Spark-skyline class): the "
+        "parts no other part dominates on (price MIN, size MAX), "
+        "computed as a distributed prefix min-scan — range-partition on "
+        "price, two window frames per partition, one broadcast "
+        "carry-in; never the O(n^2) self-join the ORACLE literally runs "
+        "(over distinct value pairs) to define the semantics"
+    ),
+    driver_exposed=False,
+)
+def pareto_cheapest_large_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto-optimal parts: no cheaper-and-at-least-as-large rival.
+
+    operators/skyline.py has the plan argument; scale=100 makes the
+    2-decimal price an exact-integer RANGE key. Ties on both dimensions
+    are mutually non-dominating and all kept (NOT-EXISTS semantics)."""
+    from iceberg_file_writer_spark.operators.skyline import skyline2d
+
+    parts = load_tables(spark, sf_dir)["part"].select(
+        "p_partkey", "p_name", "p_retailprice", "p_size"
+    )
+    return skyline2d(
+        parts, "p_retailprice", "p_size",
+        minimize_x=True, minimize_y=False, scale=100,
+    )

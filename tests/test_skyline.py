@@ -1,0 +1,74 @@
+"""Skyline operator: NOT-EXISTS semantics via a distributed prefix
+scan — soundness, completeness, tie handling, plan shape."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from iceberg_file_writer_spark.operators.skyline import skyline2d
+
+
+def _brute_skyline(rows, minimize_x=True, minimize_y=True):
+    def better(a, b):  # a dominates b
+        ax, ay = (a[0], a[1]) if minimize_x else (-a[0], a[1])
+        bx, by = (b[0], b[1]) if minimize_x else (-b[0], b[1])
+        if not minimize_y:
+            ay, by = -ay, -by
+        return ax <= bx and ay <= by and (ax < bx or ay < by)
+
+    return sorted(r for r in rows if not any(better(o, r) for o in rows))
+
+
+def test_ties_and_duplicates_all_kept(spark):
+    rows = [(1, 10), (1, 10), (1, 5), (2, 5), (2, 20), (3, 5), (0, 1)]
+    df = spark.createDataFrame(rows, "x long, y long")
+    got = sorted(tuple(r) for r in skyline2d(df, "x", "y").collect())
+    assert got == _brute_skyline(rows)
+    # maximize-y orientation flips the front
+    got2 = sorted(
+        tuple(r)
+        for r in skyline2d(df, "x", "y", minimize_y=False).collect()
+    )
+    assert got2 == _brute_skyline(rows, minimize_y=False)
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(-50, 50), st.integers(-50, 50)),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_matches_brute_force(spark, rows):
+    df = spark.createDataFrame(rows, "x long, y long").repartition(5)
+    got = sorted(tuple(r) for r in skyline2d(df, "x", "y", partitions=4).collect())
+    assert got == _brute_skyline(rows)
+
+
+def test_plan_has_no_global_window_and_no_cartesian(spark):
+    from iceberg_file_writer_spark.queries.analytics_ext import (
+        pareto_cheapest_large_parts,
+    )
+
+    df = pareto_cheapest_large_parts(spark, "/root/testdata/sf0.001")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+    assert "rangepartitioning" in plan  # the distributed prefix scan
+    # every window is partitioned (never a single-task global sort)
+    for line in plan.splitlines():
+        if "windowspecdefinition(" in line:
+            assert "windowspecdefinition(_pid" in line or (
+                "_pid" in line.split("windowspecdefinition(", 1)[1][:60]
+            ), line
