@@ -109,8 +109,18 @@ def read_source(
             input_path
         )
     if source_format == "avro":
-        require_format(spark, "avro")
-        return reader.format("avro").load(input_path)
+        try:
+            require_format(spark, "avro")
+            return reader.format("avro").load(input_path)
+        except RuntimeError:
+            # no spark-avro jar: the clean-room pure-Python container
+            # reader (ingest/avro_py.py) — same bytes, same FAILFAST
+            # strictness, file-granular parallelism via binaryFile
+            from iceberg_file_writer_spark.ingest.avro_py import (
+                spark_read_avro,
+            )
+
+            return spark_read_avro(spark, input_path, schema)
     raise ValueError(f"unsupported source format: {source_format}")
 
 
@@ -231,7 +241,24 @@ def ingest_batch(
             "iceberg writes commit through a catalog table, not a filesystem "
             "path: use write_iceberg_table(df, 'catalog.db.table', cfg)"
         )
-    require_format(df.sparkSession, cfg.table_format)
+    if cfg.table_format == "avro":
+        try:
+            require_format(df.sparkSession, "avro")
+        except RuntimeError:
+            # no spark-avro jar: the clean-room writer produces the
+            # reference's literal output (Hive dirs of key-sorted,
+            # row-bounded, snappy Avro containers) without it
+            from iceberg_file_writer_spark.ingest.avro_py import (
+                write_avro_partitioned,
+            )
+
+            return write_avro_partitioned(
+                apply_layout(normalize_defaults(df, defaults), cfg),
+                output_path,
+                cfg,
+            )
+    else:
+        require_format(df.sparkSession, cfg.table_format)
     obs = Observation("ingest")
     out = apply_layout(normalize_defaults(df, defaults), cfg).observe(
         obs,

@@ -70,24 +70,37 @@ def test_unknown_format_rejected(spark):
 
 
 def test_avro_source_path_wired_through_seam(spark, tmp_path):
-    """The reference's literal wire format (main.go:61-65): the read path
-    exists and either works (jar present) or raises the actionable error."""
+    """The reference's literal wire format (main.go:61-65): jar present
+    -> the spark-avro datasource; jar absent -> the clean-room
+    pure-Python container reader (round 9, ingest/avro_py.py) — the
+    read path WORKS either way, on real Avro bytes."""
     from iceberg_file_writer_spark.ingest.batch import read_source
-    from iceberg_file_writer_spark.schemas import LOCATION_SCHEMA
 
-    if not available_formats(spark).get("avro"):
-        with pytest.raises(RuntimeError, match="spark-avro"):
-            read_source(spark, str(tmp_path), source_format="avro")
-        return
-    # jar present: a real avro roundtrip through the standard pipeline
     sample = spark.createDataFrame(
-        [("u1", 1000, 1.0, 2.0)], "user_id string, timestamp long, latitude double, longitude double"
+        [("u1", 1000, 1.0, 2.0)],
+        "user_id string, timestamp long, latitude double, longitude double",
     )
-    sample.write.format("avro").save(str(tmp_path / "in"))
+    src = str(tmp_path / "in")
+    if available_formats(spark).get("avro"):
+        sample.write.format("avro").save(src)
+    else:
+        import os
+
+        from iceberg_file_writer_spark.ingest.avro_py import (
+            avro_schema_of,
+            write_container,
+        )
+
+        os.makedirs(src)
+        write_container(
+            os.path.join(src, "a.avro"),
+            avro_schema_of(sample.schema),
+            [r.asDict() for r in sample.collect()],
+        )
     got = read_source(
-        spark, str(tmp_path / "in"), schema=sample.schema, source_format="avro"
+        spark, src, schema=sample.schema, source_format="avro"
     )
-    assert got.count() == 1
+    assert [tuple(r) for r in got.collect()] == [("u1", 1000, 1.0, 2.0)]
 
 
 def test_iceberg_write_path_wired_through_seam(spark):
