@@ -967,3 +967,71 @@ def bloom_keyset_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     bloom_keyset_lookup.last_files = scan_table.last_files
     return df.select("o_orderkey", "o_custkey", "o_totalprice")
+
+
+_AVRO_TABLES: dict[tuple, str] = {}
+
+
+@register(
+    "avro_container_roundtrip",
+    oracle="""
+SELECT event_id, user_id, event_type, value
+FROM events WHERE event_id % 17 = 0
+""",
+    description=(
+        "Clean-room Avro wire format under the value-hash gate: an "
+        "events sample is written DISTRIBUTED as Hive-partitioned "
+        "snappy Avro object-containers (pure-Python encoder, "
+        "key-sorted, row-bounded) and read back DISTRIBUTED through "
+        "read_source's jar-free decoder — values equal the plain "
+        "relational sample exactly, proving the 1.11 binary encoding "
+        "round-trips bit-true"
+    ),
+    driver_exposed=False,
+    eager=True,  # builds/loads a trained artifact or runs a stream at plan time
+)
+def avro_container_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's byte format inside the correctness gate.
+
+    Both directions are the 100 TB paths: the write is one
+    applyInPandas pass (executors encode containers; a file manifest
+    returns), the read is binaryFile file-parallel + Arrow-batched
+    executor decode. ts is excluded (timestamps need a logical-type
+    annotation this codec subset doesn't speak — documented scope)."""
+    from pyspark.sql import types as T
+
+    from iceberg_file_writer_spark.ingest.avro_py import (
+        spark_read_avro,
+        write_avro_partitioned,
+    )
+    from iceberg_file_writer_spark.ingest.batch import IngestConfig
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType(), False),
+            T.StructField("user_id", T.LongType(), False),
+            T.StructField("event_type", T.StringType(), False),
+            T.StructField("value", T.DoubleType(), True),
+        ]
+    )
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _AVRO_TABLES:
+        sample = (
+            load_tables(spark, sf_dir)["events"]
+            .where("event_id % 17 = 0")
+            .select("event_id", "user_id", "event_type", "value")
+        )
+        out = os.path.join(tempfile.mkdtemp(prefix="avro-rt-"), "events")
+        write_avro_partitioned(
+            sample,
+            out,
+            IngestConfig(
+                partition_column="event_type",
+                key_column="event_id",
+                max_rows_per_file=500,
+            ),
+        )
+        _AVRO_TABLES[key] = out
+    return spark_read_avro(
+        spark, f"{_AVRO_TABLES[key]}/*/*.avro", schema
+    )
