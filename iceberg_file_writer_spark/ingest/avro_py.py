@@ -482,3 +482,46 @@ def write_avro_partitioned(df, output_path: str, cfg) -> dict:
         "max_key": max(r.max_key for r in manifest) if manifest else None,
         "files": len(manifest),
     }
+
+
+def spark_read_avro_stream(
+    spark, input_path: str, schema, max_files_per_trigger: "int | None" = None
+):
+    """Streaming twin of ``spark_read_avro``: the binaryFile source
+    streamed (one micro-batch unit per arriving container file — the
+    reference's FileStreamAdapter granularity, main.go:61-70) with the
+    same Arrow-batched executor decode. Offsets/exactly-once are the
+    file source's own checkpointing; FAILFAST strictness unchanged."""
+    from pyspark import cloudpickle
+    from pyspark.sql import types as T
+
+    import iceberg_file_writer_spark.ingest.avro_py as _self
+
+    cloudpickle.register_pickle_by_value(_self)
+    bf_schema = T.StructType(
+        [
+            T.StructField("path", T.StringType()),
+            T.StructField("modificationTime", T.TimestampType()),
+            T.StructField("length", T.LongType()),
+            T.StructField("content", T.BinaryType()),
+        ]
+    )
+    cols = [f.name for f in schema.fields]
+
+    def batches(it):
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for content in pdf["content"]:
+                _, recs = read_container_bytes(bytes(content))
+                rows.extend(recs)
+            yield pd.DataFrame(
+                [[r.get(c) for c in cols] for r in rows], columns=cols
+            )
+
+    reader = spark.readStream.format("binaryFile").schema(bf_schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    bf = reader.load(input_path)
+    return bf.select("content").mapInPandas(batches, schema)

@@ -48,6 +48,16 @@ def read_stream(
         return reader.json(input_dir)
     if source_format == "parquet":
         return reader.parquet(input_dir)
+    if source_format == "avro":
+        # the reference's literal wire format (main.go:61-70), jar-free:
+        # streamed binaryFile + the clean-room executor-side decode
+        from iceberg_file_writer_spark.ingest.avro_py import (
+            spark_read_avro_stream,
+        )
+
+        return spark_read_avro_stream(
+            spark, input_dir, schema, max_files_per_trigger
+        )
     raise ValueError(f"unsupported source format: {source_format}")
 
 

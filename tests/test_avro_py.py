@@ -239,3 +239,48 @@ def test_ingest_batch_avro_table_format_falls_back(spark, tmp_path):
     assert glob.glob(f"{out}/user_id=*/part-*.avro")
     back = spark_read_avro(spark, f"{out}/*/*.avro", LOCATION_SCHEMA)
     assert back.count() == 100
+
+
+def test_streaming_ingest_from_avro_stream(spark, tmp_path):
+    """The reference's FULL streaming pipeline on real Avro bytes,
+    jar-free: container files arrive -> read_stream(source_format=
+    'avro') (streamed binaryFile + executor decode) -> the standard
+    epoch-committed partitioned sorted parquet sink."""
+    from iceberg_file_writer_spark.ingest.batch import IngestConfig
+    from iceberg_file_writer_spark.ingest.streaming import (
+        drain_and_stop,
+        read_stream,
+        start_ingest_stream,
+    )
+
+    src = str(tmp_path / "in")
+    os.makedirs(src)
+    rows = [
+        dict(CANON, user_id=f"u{i % 4}", timestamp=100000 + i)
+        for i in range(200)
+    ]
+    for j in range(2):
+        write_container(
+            os.path.join(src, f"arr-{j}.avro"),
+            LOCATION_AVRO,
+            rows[j * 100 : (j + 1) * 100],
+        )
+    stream = read_stream(
+        spark, src, LOCATION_SCHEMA, source_format="avro",
+        max_files_per_trigger=1,
+    )
+    out = str(tmp_path / "table")
+    ckpt = str(tmp_path / "ckpt")
+    cfg = IngestConfig(partition_column="user_id", key_column="timestamp")
+    q = start_ingest_stream(
+        stream, out, ckpt, cfg, trigger_seconds=1, defaults={}
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        drain_and_stop(q)
+    back = spark.read.parquet(out)
+    assert back.count() == 200
+    assert {
+        r.user_id for r in back.select("user_id").distinct().collect()
+    } == {f"u{i}" for i in range(4)}
