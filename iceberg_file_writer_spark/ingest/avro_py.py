@@ -328,6 +328,36 @@ def read_container(path: str) -> "tuple[dict, list[dict]]":
 # --- Spark adapter ----------------------------------------------------------
 
 
+
+def _decode_batches_fn(schema):
+    """mapInPandas closure over binaryFile rows: decode containers,
+    restore timestamp-micros logical columns to datetimes (Arrow's
+    bridge needs datetime-like values for timestamp fields)."""
+    cols = [f.name for f in schema.fields]
+    ts_cols = [
+        f.name
+        for f in schema.fields
+        if f.dataType.typeName().startswith("timestamp")
+    ]
+
+    def batches(it):
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for content in pdf["content"]:
+                _, recs = read_container_bytes(bytes(content))
+                rows.extend(recs)
+            out = pd.DataFrame(
+                [[r.get(c) for c in cols] for r in rows], columns=cols
+            )
+            for c in ts_cols:
+                out[c] = pd.to_datetime(out[c], unit="us")
+            yield out
+
+    return batches
+
+
 def spark_read_avro(spark, input_path: str, schema):
     """Distributed jar-free Avro read: the JVM ``binaryFile`` source
     lists and ships whole container files in parallel (the unit the
@@ -343,22 +373,8 @@ def spark_read_avro(spark, input_path: str, schema):
     # by value inside the closure (the snapshot_stream mechanism)
     cloudpickle.register_pickle_by_value(_self)
 
-    cols = [f.name for f in schema.fields]
-
-    def batches(it):
-        import pandas as pd
-
-        for pdf in it:
-            rows = []
-            for content in pdf["content"]:
-                _, recs = read_container_bytes(bytes(content))
-                rows.extend(recs)
-            yield pd.DataFrame(
-                [[r.get(c) for c in cols] for r in rows], columns=cols
-            )
-
     bf = spark.read.format("binaryFile").load(input_path)
-    return bf.select("content").mapInPandas(batches, schema)
+    return bf.select("content").mapInPandas(_decode_batches_fn(schema), schema)
 
 
 def avro_schema_of(schema, name: str = "record") -> dict:
@@ -368,6 +384,10 @@ def avro_schema_of(schema, name: str = "record") -> dict:
     from pyspark.sql import types as T
 
     def _t(dt):
+        if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+            # Avro logical type (spec: "Logical Types"): micros since
+            # epoch carried as long; annotation preserved in the schema
+            return {"type": "long", "logicalType": "timestamp-micros"}
         if isinstance(dt, T.DoubleType):
             return "double"
         if isinstance(dt, T.FloatType):
@@ -442,6 +462,8 @@ def write_avro_partitioned(df, output_path: str, cfg) -> dict:
                         isinstance(v, float) and math.isnan(v)
                     ):
                         rec[c] = None
+                    elif isinstance(v, pd.Timestamp):
+                        rec[c] = v.value // 1000  # ns -> micros (logical type)
                     elif hasattr(v, "tolist") and not isinstance(v, (str, bytes)):
                         rec[c] = v.tolist()  # numpy array/scalar
                     else:
@@ -506,22 +528,8 @@ def spark_read_avro_stream(
             T.StructField("content", T.BinaryType()),
         ]
     )
-    cols = [f.name for f in schema.fields]
-
-    def batches(it):
-        import pandas as pd
-
-        for pdf in it:
-            rows = []
-            for content in pdf["content"]:
-                _, recs = read_container_bytes(bytes(content))
-                rows.extend(recs)
-            yield pd.DataFrame(
-                [[r.get(c) for c in cols] for r in rows], columns=cols
-            )
-
     reader = spark.readStream.format("binaryFile").schema(bf_schema)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     bf = reader.load(input_path)
-    return bf.select("content").mapInPandas(batches, schema)
+    return bf.select("content").mapInPandas(_decode_batches_fn(schema), schema)

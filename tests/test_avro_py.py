@@ -284,3 +284,33 @@ def test_streaming_ingest_from_avro_stream(spark, tmp_path):
     assert {
         r.user_id for r in back.select("user_id").distinct().collect()
     } == {f"u{i}" for i in range(4)}
+
+
+def test_timestamp_logical_type_roundtrips_events(spark, tmp_path):
+    """timestamp-micros logical type: the events table (TIMESTAMP ts)
+    round-trips through the clean-room writer + reader bit-true."""
+    from iceberg_file_writer_spark.ingest.avro_py import (
+        spark_read_avro,
+        write_avro_partitioned,
+    )
+    from iceberg_file_writer_spark.ingest.batch import IngestConfig
+    from iceberg_file_writer_spark.tables import load_tables
+
+    ev = (
+        load_tables(spark, "/root/testdata/sf0.001")["events"]
+        .where("event_id % 11 = 0")
+        .select("event_id", "ts", "user_id", "event_type", "value")
+    )
+    out = str(tmp_path / "ev")
+    stats = write_avro_partitioned(
+        ev, out,
+        IngestConfig(partition_column="event_type", key_column="event_id",
+                     max_rows_per_file=200),
+    )
+    assert stats["rows_written"] == ev.count()
+    # cast NTZ->TZ exactly as load_tables does (session TZ is UTC)
+    want_schema = ev.schema
+    back = spark_read_avro(spark, f"{out}/*/*.avro", want_schema)
+    assert sorted(map(tuple, back.collect())) == sorted(
+        map(tuple, ev.collect())
+    )
