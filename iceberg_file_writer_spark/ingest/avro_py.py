@@ -50,6 +50,10 @@ MAGIC = b"Obj\x01"
 def encode_long(n: int) -> bytes:
     """Zig-zag then base-128 varint (spec: int and long values are
     written using variable-length zig-zag coding)."""
+    if not -(1 << 63) <= n < (1 << 63):
+        # Python ints are unbounded; silently masking would corrupt —
+        # FAILFAST like every other malformed-value path here
+        raise ValueError(f"value out of Avro long range: {n}")
     u = ((n << 1) ^ (n >> 63)) & 0xFFFFFFFFFFFFFFFF
     out = bytearray()
     while True:
@@ -429,7 +433,12 @@ def write_avro_partitioned(df, output_path: str, cfg) -> dict:
     Arrow bridge folds NULL and NaN together for float columns —
     Spark's own pandas_udf semantics; nullable doubles round-trip as
     nulls. Partition values ride IN the records as well as the dir name
-    (goavro writes whole records; readers need no dir-name parsing)."""
+    (goavro writes whole records; readers need no dir-name parsing).
+
+    Executors write with plain ``open()``: on a multi-node cluster
+    ``output_path`` must be a shared POSIX mount (NFS/FUSE) — the same
+    contract every manifest-writing path in ``ingest/`` already holds;
+    object stores would need an fsspec seam here."""
     import os as _os
     import uuid as _uuid
 
