@@ -1134,3 +1134,120 @@ def hourly_value_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max_by("value", key).alias("close"),
         F.count(F.lit(1)).alias("n_events"),
     )
+
+
+FUNNEL_STEPS = ["signup", "view", "click", "purchase"]
+
+
+def _funnel_oracle() -> str:
+    """Chained-join oracle: step k's first timestamp is the earliest
+    event of its type STRICTLY AFTER step k-1's — a deliberately
+    different algorithm from the engine's per-user array walk."""
+    ctes, prev = [], None
+    for i, s in enumerate(FUNNEL_STEPS, start=1):
+        if prev is None:
+            ctes.append(
+                f"t{i} AS (SELECT user_id, min(ts) AS ts{i} FROM events "
+                f"WHERE event_type = '{s}' GROUP BY user_id)"
+            )
+        else:
+            ctes.append(
+                f"t{i} AS (SELECT e.user_id, min(e.ts) AS ts{i} "
+                f"FROM events e JOIN {prev} p USING (user_id) "
+                f"WHERE e.event_type = '{s}' AND e.ts > p.ts{i - 1} "
+                f"GROUP BY e.user_id)"
+            )
+        prev = f"t{i}"
+    selects = [
+        f"""SELECT {i} AS step_idx, '{s}' AS step,
+       (SELECT count(*)::BIGINT FROM t{i}) AS n_users,
+       (SELECT CASE WHEN {i} = 1 THEN 0 ELSE
+          min(epoch_us(x.ts{i}) - epoch_us(t1.ts1)) // 1000000 END
+        FROM t{i} x JOIN t1 USING (user_id))::BIGINT AS min_secs_from_first,
+       (SELECT CASE WHEN {i} = 1 THEN 0 ELSE
+          max(epoch_us(x.ts{i}) - epoch_us(t1.ts1)) // 1000000 END
+        FROM t{i} x JOIN t1 USING (user_id))::BIGINT AS max_secs_from_first"""
+        for i, s in enumerate(FUNNEL_STEPS, start=1)
+    ]
+    return (
+        "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(selects)
+    )
+
+
+@register(
+    "user_conversion_funnel",
+    oracle=_funnel_oracle(),
+    description=(
+        "Ordered conversion funnel (signup -> view -> click -> "
+        "purchase): per step, users whose FIRST qualifying event "
+        "strictly follows the previous step's, plus min/max seconds "
+        "from funnel entry — ONE shuffle (groupBy user + sorted event "
+        "array + chained JVM array HOFs), vs the oracle's chained-join "
+        "derivation"
+    ),
+)
+def user_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential-pattern funnel as array expressions, not self-joins.
+
+    Scale shape: one hash shuffle on user_id; each user's events become
+    ONE sorted array (bounded by per-user activity — the session-window
+    contract) and the k chained "first event of type s after t_{k-1}"
+    lookups are JVM ``filter``/``transform``/``array_min`` HOFs inside
+    whole-stage codegen. A join-chain (the oracle's plan) would shuffle
+    k times; this shuffles once, which is the difference at 100 TB.
+    Timestamps compare as epoch micros (exact integers)."""
+    ev = load_tables(spark, sf_dir)["events"]
+    per_user = ev.groupBy("user_id").agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    F.unix_micros("ts").alias("tus"),
+                    F.col("event_type").alias("et"),
+                )
+            )
+        ).alias("seq")
+    )
+    cur = per_user
+    prev_col = None
+    for i, s in enumerate(FUNNEL_STEPS, start=1):
+        guard = "true" if prev_col is None else f"x.tus > {prev_col}"
+        cur = cur.withColumn(
+            f"t{i}",
+            F.expr(
+                f"array_min(transform(filter(seq, x -> x.et = '{s}' "
+                f"AND {guard}), x -> x.tus))"
+            ),
+        )
+        prev_col = f"t{i}"
+    rows = []
+    for i, s in enumerate(FUNNEL_STEPS, start=1):
+        agg = cur.where(F.col(f"t{i}").isNotNull()).agg(
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+            (
+                F.lit(0)
+                if i == 1
+                else F.min(
+                    F.expr(f"(t{i} - t1) div 1000000")
+                )
+            ).cast("long").alias("min_secs_from_first"),
+            (
+                F.lit(0)
+                if i == 1
+                else F.max(
+                    F.expr(f"(t{i} - t1) div 1000000")
+                )
+            ).cast("long").alias("max_secs_from_first"),
+        )
+        rows.append(
+            agg.select(
+                F.lit(i).cast("int").alias("step_idx"),
+                F.lit(s).alias("step"),
+                "n_users",
+                "min_secs_from_first",
+                "max_secs_from_first",
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out

@@ -323,3 +323,43 @@ def test_kcore_local_and_distributed_peels_agree(spark, monkeypatch):
     monkeypatch.setattr(se, "KCORE_LOCAL_EDGES", -1)  # force distributed
     dist = sorted(tuple(r) for r in se.user_kcore_membership(spark, sf).collect())
     assert local == dist and len(local) > 0
+
+
+def test_funnel_single_shuffle_and_monotone(spark):
+    """The funnel's per-user phase is ONE hash shuffle (the oracle's
+    chained-join plan would pay k); step counts are monotone
+    non-increasing by construction."""
+    import contextlib
+    import io
+
+    from iceberg_file_writer_spark.queries.events import (
+        user_conversion_funnel,
+    )
+
+    df = user_conversion_funnel(spark, "/root/testdata/sf0.001")
+    rows = {r.step_idx: r.n_users for r in df.collect()}
+    assert all(rows[i] >= rows[i + 1] for i in range(1, len(rows)))
+    assert rows[1] > 0
+    per_user_plan = io.StringIO()
+    with contextlib.redirect_stdout(per_user_plan):
+        # the per-user array phase (before the 4 tiny step aggregates)
+        from iceberg_file_writer_spark.tables import load_tables
+        from pyspark.sql import functions as F
+
+        ev = load_tables(spark, "/root/testdata/sf0.001")["events"]
+        ev.groupBy("user_id").agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.unix_micros("ts"), "event_type"))
+            )
+        ).explain("formatted")
+    plan = per_user_plan.getvalue()
+    # formatted mode prints each node in the tree AND a detail section;
+    # count detail headers ("(n) Exchange"), one per physical node
+    n_exchanges = len(
+        [
+            line
+            for line in plan.splitlines()
+            if line.startswith("(") and line.split(") ", 1)[-1].startswith("Exchange")
+        ]
+    )
+    assert n_exchanges == 1, plan
