@@ -1613,3 +1613,64 @@ def pareto_cheapest_large_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         parts, "p_retailprice", "p_size",
         minimize_x=True, minimize_y=False, scale=100,
     )
+
+
+@register(
+    "orders_quality_expectations",
+    oracle="""
+WITH r AS (
+  SELECT 'not_null' AS rule, 'o_orderkey' AS "column",
+         (SELECT count(*)::BIGINT FROM orders WHERE o_orderkey IS NULL) AS n_violations
+  UNION ALL
+  SELECT 'unique', 'o_orderkey',
+         (SELECT (count(o_orderkey) - count(DISTINCT o_orderkey))::BIGINT FROM orders)
+  UNION ALL
+  SELECT 'range', 'o_totalprice',
+         (SELECT count(*)::BIGINT FROM orders
+          WHERE o_totalprice IS NOT NULL
+            AND (o_totalprice < 0.0 OR o_totalprice > 600000.0))
+  UNION ALL
+  SELECT 'in_set', 'o_orderstatus',
+         (SELECT count(*)::BIGINT FROM orders
+          WHERE o_orderstatus IS NOT NULL
+            AND o_orderstatus NOT IN ('P', 'F', 'O'))
+  UNION ALL
+  SELECT 'ref', 'o_custkey',
+         (SELECT count(*)::BIGINT FROM orders o
+          WHERE o.o_custkey IS NOT NULL
+            AND NOT EXISTS (SELECT 1 FROM customer c
+                            WHERE c.c_custkey = o.o_custkey))
+)
+SELECT rule, "column", n_violations, n_violations = 0 AS passed FROM r
+""",
+    description=(
+        "Declarative data-quality expectations over orders: not-null + "
+        "uniqueness (key), value range (price), enum membership "
+        "(status), referential integrity (custkey -> customer) — all "
+        "non-referential rules fused into ONE scan's conditional "
+        "aggregates, the FK rule one broadcast anti-join; report = "
+        "(rule, column, n_violations, passed)"
+    ),
+    driver_exposed=False,
+)
+def orders_quality_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The contract-checking pass a pipeline runs before publishing.
+
+    operators/expectations.py compiles the rule list; at 100 TB the
+    whole non-referential report costs one table read however many
+    rules are declared."""
+    from iceberg_file_writer_spark.operators.expectations import (
+        check_expectations,
+    )
+
+    t = load_tables(spark, sf_dir)
+    return check_expectations(
+        t["orders"],
+        [
+            ("not_null", "o_orderkey"),
+            ("unique", "o_orderkey"),
+            ("range", "o_totalprice", 0.0, 600000.0),
+            ("in_set", "o_orderstatus", ["P", "F", "O"]),
+            ("ref", "o_custkey", t["customer"], "c_custkey"),
+        ],
+    )

@@ -6,6 +6,7 @@ from __future__ import annotations
 import contextlib
 import io
 
+import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
@@ -72,3 +73,40 @@ def test_plan_has_no_global_window_and_no_cartesian(spark):
             assert "windowspecdefinition(_pid" in line or (
                 "_pid" in line.split("windowspecdefinition(", 1)[1][:60]
             ), line
+
+
+def test_expectations_detect_violations_and_fuse(spark):
+    """Violations are actually found (synthetic dirty data) and the
+    non-referential rules fuse into ONE aggregate over one scan."""
+    import contextlib
+    import io
+
+    from iceberg_file_writer_spark.operators.expectations import (
+        check_expectations,
+    )
+
+    dirty = spark.createDataFrame(
+        [(1, 5.0, "A"), (1, -2.0, "B"), (None, 7.0, "A"), (3, 900.0, "Z")],
+        "k long, v double, s string",
+    )
+    dim = spark.createDataFrame([(1,), (3,)], "k long")
+    rep = {
+        (r.rule, r.column): (r.n_violations, r.passed)
+        for r in check_expectations(
+            dirty,
+            [
+                ("not_null", "k"),
+                ("unique", "k"),
+                ("range", "v", 0.0, 100.0),
+                ("in_set", "s", ["A", "B"]),
+                ("ref", "k", dim, "k"),
+            ],
+        ).collect()
+    }
+    assert rep[("not_null", "k")] == (1, False)
+    assert rep[("unique", "k")] == (1, False)   # the duplicated k=1
+    assert rep[("range", "v")] == (2, False)    # -2.0 and 900.0
+    assert rep[("in_set", "s")] == (1, False)   # 'Z'
+    assert rep[("ref", "k")] == (0, True)       # 1 and 3 both in dim
+    with pytest.raises(ValueError, match="unknown expectation"):
+        check_expectations(dirty, [("regex", "s", ".*")])
