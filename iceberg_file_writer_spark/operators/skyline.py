@@ -34,9 +34,10 @@ RANGE frames require an integral ORDER key, so callers pass ``scale``
 2-decimal money; 1 for ints). Exact, not approximate: testdata money
 IS 2-decimal (checked).
 
-Dimensions beyond 2 need the composition + broadcast-verify plan
-(local skylines are small; verification is candidates x candidates);
-no registry entry needs it yet — the EDBT paper has the grid.
+Dimensions beyond 2 use ``skyline_nd``'s composition + verify plan
+(local per-partition skylines, then one candidate-set pass); entry
+`pareto_lineitems_3d` evidences it. The EDBT paper's grid partitioning
+is the further refinement for pathological fronts.
 """
 
 from __future__ import annotations
@@ -93,3 +94,80 @@ def skyline2d(
         & (F.col("_sk_tie") == F.col("_sk_y"))
     )
     return kept.drop("_sk_x", "_sk_y", "_sk_prev", "_sk_tie", "_carry", "_pid")
+
+
+def skyline_nd(
+    df: DataFrame,
+    dims: "list[tuple[str, str]]",
+    partitions: int | None = None,
+) -> DataFrame:
+    """d-dimensional skyline via the compose + verify plan (skylines
+    compose: skyline(A ∪ B) ⊆ skyline(A) ∪ skyline(B)).
+
+    ``dims`` = [(col, "min"|"max"), ...]. Phase 1 computes each Spark
+    partition's LOCAL skyline with a vectorized numpy dominance scan
+    (rows visited in ascending dim-sum order, so kept sets stay small);
+    phase 2 verifies the union of local skylines — a candidate relation
+    bounded by the OUTPUT size times the partition count — in one
+    single-group pass. No all-pairs join over the input ever exists;
+    the n² term is confined to candidate-set-sized matrices. Ties on
+    every dimension are mutually non-dominating and all kept (the
+    NOT-EXISTS semantics, same as skyline2d).
+
+    Posture note: phase 2 is one task over the candidate set — correct
+    whenever the skyline itself is a tractable answer (if the front is
+    a large fraction of 100 TB, no operator shape saves the consumer);
+    the EDBT-2023 grid partitioning is the refinement when candidates
+    overflow one task."""
+    import numpy as np  # noqa: F401 (documented dependency of the UDF)
+
+    from pyspark.sql import functions as F
+
+    cols = list(df.columns)
+    orient = [
+        (c, -1.0 if how == "max" else 1.0) for c, how in dims
+    ]
+    for c, _ in orient:
+        if c not in cols:
+            raise ValueError(f"unknown skyline dimension: {c}")
+
+    def _local(pdf):
+        import numpy as _np
+
+        m = _np.column_stack(
+            [pdf[c].to_numpy(dtype=float) * s for c, s in orient]
+        )
+        order = _np.argsort(m.sum(axis=1), kind="stable")
+        kept_idx: list = []
+        kept: list = []
+        for i in order:
+            row = m[i]
+            if kept:
+                K = _np.vstack(kept)
+                dominated = (
+                    (K <= row).all(axis=1) & (K < row).any(axis=1)
+                ).any()
+                if dominated:
+                    continue
+            kept.append(row)
+            kept_idx.append(i)
+        return pdf.iloc[sorted(kept_idx)]
+
+    schema = df.schema
+    nparts = partitions or int(
+        df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    staged = df.repartition(nparts).withColumn(
+        "_sk_pid", F.spark_partition_id()
+    )
+    local = staged.groupBy("_sk_pid").applyInPandas(
+        lambda pdf: _local(pdf.drop(columns=["_sk_pid"])), schema
+    )
+    final = (
+        local.withColumn("_sk_one", F.lit(1))
+        .groupBy("_sk_one")
+        .applyInPandas(
+            lambda pdf: _local(pdf.drop(columns=["_sk_one"])), schema
+        )
+    )
+    return final

@@ -1674,3 +1674,45 @@ def orders_quality_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("ref", "o_custkey", t["customer"], "c_custkey"),
         ],
     )
+
+
+@register(
+    "pareto_lineitems_3d",
+    oracle="""
+WITH p AS (
+  SELECT DISTINCT l_quantity AS q, l_discount AS d, l_tax AS t
+  FROM lineitem
+),
+sky AS (
+  SELECT q, d, t FROM p a
+  WHERE NOT EXISTS (
+    SELECT 1 FROM p b
+    WHERE b.q >= a.q AND b.d >= a.d AND b.t <= a.t
+      AND (b.q > a.q OR b.d > a.d OR b.t < a.t)
+  )
+)
+SELECT l.l_orderkey, l.l_linenumber, l.l_quantity, l.l_discount, l.l_tax
+FROM lineitem l
+JOIN sky ON sky.q = l.l_quantity AND sky.d = l.l_discount
+        AND sky.t = l.l_tax
+""",
+    description=(
+        "3-dimensional skyline (quantity MAX, discount MAX, tax MIN "
+        "over lineitem) via the compose+verify plan: per-partition "
+        "numpy dominance scans, then one candidate-set pass — no "
+        "all-pairs over the input; oracle runs the NOT-EXISTS "
+        "definition over the distinct value triples"
+    ),
+    driver_exposed=False,
+)
+def pareto_lineitems_3d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The d>2 Pareto front (operators/skyline.py::skyline_nd)."""
+    from iceberg_file_writer_spark.operators.skyline import skyline_nd
+
+    li = load_tables(spark, sf_dir)["lineitem"].select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_discount", "l_tax"
+    )
+    return skyline_nd(
+        li,
+        [("l_quantity", "max"), ("l_discount", "max"), ("l_tax", "min")],
+    )

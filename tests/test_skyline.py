@@ -110,3 +110,52 @@ def test_expectations_detect_violations_and_fuse(spark):
     assert rep[("ref", "k")] == (0, True)       # 1 and 3 both in dim
     with pytest.raises(ValueError, match="unknown expectation"):
         check_expectations(dirty, [("regex", "s", ".*")])
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(-20, 20), st.integers(-20, 20), st.integers(-20, 20)
+        ),
+        min_size=1,
+        max_size=50,
+    )
+)
+def test_nd_matches_brute_force_3d(spark, rows):
+    from iceberg_file_writer_spark.operators.skyline import skyline_nd
+
+    def dominates(a, b):
+        # minimize x, maximize y, minimize z
+        ka = (a[0], -a[1], a[2])
+        kb = (b[0], -b[1], b[2])
+        return all(p <= q for p, q in zip(ka, kb)) and ka != kb
+
+    want = sorted(
+        r for r in rows if not any(dominates(o, r) for o in rows)
+    )
+    df = spark.createDataFrame(rows, "x long, y long, z long").repartition(4)
+    got = sorted(
+        tuple(r)
+        for r in skyline_nd(
+            df, [("x", "min"), ("y", "max"), ("z", "min")], partitions=3
+        ).collect()
+    )
+    assert got == want
+
+
+def test_nd_agrees_with_2d_operator(spark):
+    from iceberg_file_writer_spark.operators.skyline import skyline_nd
+
+    rows = [(i % 13, (i * 7) % 11) for i in range(200)]
+    df = spark.createDataFrame(rows, "x long, y long")
+    a = sorted(tuple(r) for r in skyline2d(df, "x", "y", minimize_y=False).collect())
+    b = sorted(
+        tuple(r)
+        for r in skyline_nd(df, [("x", "min"), ("y", "max")]).collect()
+    )
+    assert a == b
