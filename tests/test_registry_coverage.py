@@ -66,6 +66,7 @@ CLASS_MEMBERS: dict[str, set[str]] = {
         "streaming_dedup_events", "streaming_session_windows",
         "streaming_stateful_daily_totals", "streaming_priority_sample",
         "streaming_join_view_maintenance", "streaming_upsert_mor_state",
+        "streaming_multi_table_txn",
     },
     "udf_surface": {
         "multimodal_feature_extract", "streaming_stateful_daily_totals",
