@@ -35,7 +35,6 @@ record at the ingest edge, never in the query path.
 
 from __future__ import annotations
 
-import io
 import json
 import os
 import struct
