@@ -1652,6 +1652,7 @@ SELECT rule, "column", n_violations, n_violations = 0 AS passed FROM r
         "(rule, column, n_violations, passed)"
     ),
     driver_exposed=False,
+    eager=True,  # builds/loads a trained artifact or runs a stream at plan time
 )
 def orders_quality_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The contract-checking pass a pipeline runs before publishing.

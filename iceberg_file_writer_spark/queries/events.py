@@ -1185,6 +1185,10 @@ def _funnel_oracle() -> str:
         "array + chained JVM array HOFs), vs the oracle's chained-join "
         "derivation"
     ),
+    # Registered mid-round 9 AFTER the eighth rotation froze the
+    # 50-slot surface — exposing it would silently truncate the tail.
+    # Round-10 rotation candidate.
+    driver_exposed=False,
 )
 def user_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequential-pattern funnel as array expressions, not self-joins.
