@@ -1596,7 +1596,8 @@ FROM part t JOIN sky ON sky.pr = t.p_retailprice AND sky.sz = t.p_size
         "carry-in; never the O(n^2) self-join the ORACLE literally runs "
         "(over distinct value pairs) to define the semantics"
     ),
-    driver_exposed=False,
+    # Promoted in the ninth rotation (round 10): the skyline operator
+    # class gets driver-green evidence (VERDICT r9 next-step 2).
 )
 def pareto_cheapest_large_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pareto-optimal parts: no cheaper-and-at-least-as-large rival.

@@ -113,8 +113,10 @@ GROUP BY e.query_id
         "as ann_recall_at_k, so the PQ index ships with its own quality "
         "dial"
     ),
-    # Promoted in the round-7 (fifth) rotation: round-6 flagship
-    # classes get driver-green evidence (VERDICT r6 item 2; BASELINE.md).
+    # Promoted in the round-7 (fifth) rotation; ceded in the ninth
+    # (round 10) — ann_recall_at_k keeps the recall-eval shape and
+    # knn_pq_adc_rerank keeps PQ exposed.
+    driver_exposed=False,
     eager=True,  # builds/loads a trained artifact or runs a stream at plan time
 )
 def pq_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:

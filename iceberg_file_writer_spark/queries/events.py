@@ -207,6 +207,9 @@ FROM carried
 WHERE kind = 0
 """,
     description="As-of join: each purchase matched to the user's most recent strictly-earlier click",
+    # Ceded in the ninth rotation (round 10, r1-r8 tenure); the as-of
+    # shape stays pytest-oracle-checked and lives on in cohort machinery.
+    driver_exposed=False,
 )
 def purchase_asof_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Union + carry-forward window: one shuffle on user_id, linear scan per
@@ -1138,22 +1141,40 @@ def hourly_value_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 FUNNEL_STEPS = ["signup", "view", "click", "purchase"]
 
+# Hot-user bound: the per-user sorted array keeps only the first
+# FUNNEL_EVENT_CAP funnel-type events by (ts, event_type). The funnel
+# reads earliest-qualifying timestamps, so a user whose funnel-type
+# activity fits the cap (every realistic user) is unaffected; a
+# pathological hot user degrades to "funnel over their first cap
+# events" instead of an unbounded collect_list blowing a task (the
+# 100x-scale failure VERDICT r9 item 8 flagged). The oracle applies
+# the identical row_number cap so parity holds by construction.
+FUNNEL_EVENT_CAP = 10_000
+
 
 def _funnel_oracle() -> str:
     """Chained-join oracle: step k's first timestamp is the earliest
     event of its type STRICTLY AFTER step k-1's — a deliberately
-    different algorithm from the engine's per-user array walk."""
-    ctes, prev = [], None
+    different algorithm from the engine's per-user array fold."""
+    types = ", ".join(f"'{s}'" for s in FUNNEL_STEPS)
+    ctes = [
+        "capped AS (SELECT user_id, ts, event_type FROM ("
+        "SELECT user_id, ts, event_type, row_number() OVER ("
+        "PARTITION BY user_id ORDER BY ts, event_type) AS rn "
+        f"FROM events WHERE event_type IN ({types})) "
+        f"WHERE rn <= {FUNNEL_EVENT_CAP})"
+    ]
+    prev = None
     for i, s in enumerate(FUNNEL_STEPS, start=1):
         if prev is None:
             ctes.append(
-                f"t{i} AS (SELECT user_id, min(ts) AS ts{i} FROM events "
+                f"t{i} AS (SELECT user_id, min(ts) AS ts{i} FROM capped "
                 f"WHERE event_type = '{s}' GROUP BY user_id)"
             )
         else:
             ctes.append(
                 f"t{i} AS (SELECT e.user_id, min(e.ts) AS ts{i} "
-                f"FROM events e JOIN {prev} p USING (user_id) "
+                f"FROM capped e JOIN {prev} p USING (user_id) "
                 f"WHERE e.event_type = '{s}' AND e.ts > p.ts{i - 1} "
                 f"GROUP BY e.user_id)"
             )
@@ -1174,6 +1195,38 @@ def _funnel_oracle() -> str:
     )
 
 
+def _funnel_fold_expr() -> str:
+    """One LINEAR pass over the sorted per-user array via the
+    ``aggregate`` HOF: the accumulator carries (t1..tk); element x
+    advances step i iff step i is unreached, step i-1 is reached, x is
+    the step's type, and x strictly follows t_{i-1}. Because the array
+    is sorted by (tus, et), "first qualifying element in array order"
+    equals the oracle's min(ts of type s with ts > t_{i-1}) — t_{i-1}
+    is already set by the time any qualifying element is folded (its
+    setter has a strictly smaller tus), and strictness makes same-tus
+    tie order irrelevant.
+
+    This replaces the round-9 chained filter/transform/array_min HOF
+    columns whose step-(k-1) expression re-inlined into step k's lambda
+    guard (CollapseProject) — O(n^k) per-element re-evaluation, the
+    25.7 s sf0.1 pathology VERDICT r9 item 1 isolated. The fold is
+    O(n) per user and evaluated exactly once."""
+    k = len(FUNNEL_STEPS)
+    nulls = ", ".join(f"'t{i}', CAST(NULL AS BIGINT)" for i in range(1, k + 1))
+    fields = []
+    for i, s in enumerate(FUNNEL_STEPS, start=1):
+        guard = (
+            f"x.et = '{s}'"
+            if i == 1
+            else f"a.t{i - 1} IS NOT NULL AND x.tus > a.t{i - 1} AND x.et = '{s}'"
+        )
+        fields.append(f"'t{i}', IF(a.t{i} IS NULL AND {guard}, x.tus, a.t{i})")
+    return (
+        f"aggregate(seq, named_struct({nulls}), "
+        f"(a, x) -> named_struct({', '.join(fields)}))"
+    )
+
+
 @register(
     "user_conversion_funnel",
     oracle=_funnel_oracle(),
@@ -1181,77 +1234,68 @@ def _funnel_oracle() -> str:
         "Ordered conversion funnel (signup -> view -> click -> "
         "purchase): per step, users whose FIRST qualifying event "
         "strictly follows the previous step's, plus min/max seconds "
-        "from funnel entry — ONE shuffle (groupBy user + sorted event "
-        "array + chained JVM array HOFs), vs the oracle's chained-join "
-        "derivation"
+        "from funnel entry — ONE event scan, ONE data shuffle (groupBy "
+        "user + capped sorted array + single linear fold), vs the "
+        "oracle's chained-join derivation"
     ),
-    # Registered mid-round 9 AFTER the eighth rotation froze the
-    # 50-slot surface — exposing it would silently truncate the tail.
-    # Round-10 rotation candidate.
-    driver_exposed=False,
+    # Promoted in the ninth rotation (round 10) after the r9 perf
+    # pathology was fixed; see BASELINE.md rotation table.
 )
 def user_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sequential-pattern funnel as array expressions, not self-joins.
+    """Sequential-pattern funnel as ONE array fold, not self-joins.
 
-    Scale shape: one hash shuffle on user_id; each user's events become
-    ONE sorted array (bounded by per-user activity — the session-window
-    contract) and the k chained "first event of type s after t_{k-1}"
-    lookups are JVM ``filter``/``transform``/``array_min`` HOFs inside
-    whole-stage codegen. A join-chain (the oracle's plan) would shuffle
-    k times; this shuffles once, which is the difference at 100 TB.
+    Scale shape: events pre-filtered to the k funnel types, one hash
+    shuffle on user_id, each user's events become ONE sorted array
+    capped at FUNNEL_EVENT_CAP (hot-user bound — a pathological user
+    can no longer blow a task's memory), then a single O(n) JVM
+    ``aggregate`` fold extracts all k step timestamps in one pass.
+    The k step reports come from ONE global conditional aggregate
+    (count/min/max gated on t_i) unpivoted with ``stack`` — one scan
+    of events total, vs the previous 4-branch union re-scanning the
+    per-user relation with exponentially re-inlined HOFs (VERDICT r9
+    item 1: 25.7 s -> this plan) and vs the oracle's k-join chain.
     Timestamps compare as epoch micros (exact integers)."""
-    ev = load_tables(spark, sf_dir)["events"]
+    k = len(FUNNEL_STEPS)
+    ev = load_tables(spark, sf_dir)["events"].where(
+        F.col("event_type").isin(FUNNEL_STEPS)
+    )
     per_user = ev.groupBy("user_id").agg(
-        F.sort_array(
-            F.collect_list(
-                F.struct(
-                    F.unix_micros("ts").alias("tus"),
-                    F.col("event_type").alias("et"),
+        F.slice(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        F.unix_micros("ts").alias("tus"),
+                        F.col("event_type").alias("et"),
+                    )
                 )
-            )
+            ),
+            1,
+            FUNNEL_EVENT_CAP,
         ).alias("seq")
     )
-    cur = per_user
-    prev_col = None
+    th = per_user.select(F.expr(_funnel_fold_expr()).alias("th"))
+    aggs = []
+    for i in range(1, k + 1):
+        aggs.append(
+            F.count(F.when(F.col(f"th.t{i}").isNotNull(), 1))
+            .cast("long")
+            .alias(f"n{i}")
+        )
+        if i > 1:
+            # t_i set implies t1 set; NULL t_i rows fall out of min/max.
+            secs = F.expr(f"(th.t{i} - th.t1) div 1000000")
+            aggs.append(F.min(secs).cast("long").alias(f"mn{i}"))
+            aggs.append(F.max(secs).cast("long").alias(f"mx{i}"))
+    one = th.agg(*aggs)
+    stack_rows = []
     for i, s in enumerate(FUNNEL_STEPS, start=1):
-        guard = "true" if prev_col is None else f"x.tus > {prev_col}"
-        cur = cur.withColumn(
-            f"t{i}",
-            F.expr(
-                f"array_min(transform(filter(seq, x -> x.et = '{s}' "
-                f"AND {guard}), x -> x.tus))"
-            ),
+        mn = "CAST(0 AS BIGINT)" if i == 1 else f"mn{i}"
+        mx = "CAST(0 AS BIGINT)" if i == 1 else f"mx{i}"
+        stack_rows.append(f"{i}, '{s}', n{i}, {mn}, {mx}")
+    return one.select(
+        F.expr(
+            f"stack({k}, {', '.join(stack_rows)}) AS "
+            "(step_idx, step, n_users, min_secs_from_first, "
+            "max_secs_from_first)"
         )
-        prev_col = f"t{i}"
-    rows = []
-    for i, s in enumerate(FUNNEL_STEPS, start=1):
-        agg = cur.where(F.col(f"t{i}").isNotNull()).agg(
-            F.count(F.lit(1)).cast("long").alias("n_users"),
-            (
-                F.lit(0)
-                if i == 1
-                else F.min(
-                    F.expr(f"(t{i} - t1) div 1000000")
-                )
-            ).cast("long").alias("min_secs_from_first"),
-            (
-                F.lit(0)
-                if i == 1
-                else F.max(
-                    F.expr(f"(t{i} - t1) div 1000000")
-                )
-            ).cast("long").alias("max_secs_from_first"),
-        )
-        rows.append(
-            agg.select(
-                F.lit(i).cast("int").alias("step_idx"),
-                F.lit(s).alias("step"),
-                "n_users",
-                "min_secs_from_first",
-                "max_secs_from_first",
-            )
-        )
-    out = rows[0]
-    for r in rows[1:]:
-        out = out.unionByName(r)
-    return out
+    )

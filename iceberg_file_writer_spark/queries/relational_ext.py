@@ -269,6 +269,9 @@ SELECT c_custkey FROM customer JOIN orders ON o_custkey = c_custkey
   WHERE o_orderstatus = 'O'
 """,
     description="Set operation: INTERSECT of customer populations",
+    # Ceded in the ninth rotation (round 10, r1-r9 tenure);
+    # except_customers carries the set-op class. BASELINE.md table.
+    driver_exposed=False,
 )
 def intersect_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
@@ -376,8 +379,8 @@ SELECT c_custkey FROM customer JOIN orders ON o_custkey = c_custkey
   WHERE o_orderstatus = 'O'
 """,
     description="Set operation: EXCEPT of customer populations (F-status minus O-status)",
-    # pytest-oracle-checked; the driver surface is at its 50-entry cap.
-    driver_exposed=False,
+    # Promoted in the ninth rotation (round 10) to keep the set-op
+    # class driver-covered when intersect_customers ceded.
 )
 def except_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)

@@ -967,8 +967,9 @@ SELECT user_id, CAST(s AS BIGINT) AS ppr_nano FROM s3 WHERE s > 0
         "seed set (1/4 of nodes) instead of all nodes — the seeded "
         "graph-retrieval primitive; oracle unrolls the supersteps"
     ),
-    # Promoted in the round-7 (fifth) rotation: round-6 flagship
-    # classes get driver-green evidence (VERDICT r6 item 2; BASELINE.md).
+    # Promoted in the round-7 (fifth) rotation; ceded in the ninth
+    # (round 10) — user_pagerank keeps the graph shape exposed.
+    driver_exposed=False,
 )
 def personalized_pagerank_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Seeded-teleport PageRank over the hand-off graph.

@@ -2021,6 +2021,9 @@ def ann_index_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         "never touches a full-precision corpus vector or a training job. "
         "Same oracle as knn_pq_adc_rerank; row-identical (pytest-asserted)"
     ),
+    # Ceded in the ninth rotation (round 10); ann_index_ivf_probe keeps
+    # the persisted-index probe shape exposed.
+    driver_exposed=False,
     eager=True,  # builds/loads the persisted index artifact at plan time
 )
 def ann_index_pq_probe(spark: SparkSession, sf_dir: str) -> DataFrame:

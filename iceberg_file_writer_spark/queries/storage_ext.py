@@ -861,7 +861,8 @@ SELECT * FROM (
         "phase's row count / updated-row count / merge-marked count / "
         "max key recomputed independently by the DuckDB oracle"
     ),
-    driver_exposed=False,
+    # Promoted in the ninth rotation (round 10): the DML surface gets
+    # driver-green evidence (VERDICT r9 next-step 2).
     eager=True,  # builds/loads a trained artifact or runs a stream at plan time
 )
 def sql_dml_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -987,7 +988,8 @@ FROM events WHERE event_id % 17 = 0
         "relational sample exactly, proving the 1.11 binary encoding "
         "round-trips bit-true"
     ),
-    driver_exposed=False,
+    # Promoted in the ninth rotation (round 10): the clean-room wire
+    # format gets driver-green evidence (VERDICT r9 next-step 2).
     eager=True,  # builds/loads a trained artifact or runs a stream at plan time
 )
 def avro_container_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:

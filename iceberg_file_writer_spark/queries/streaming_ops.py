@@ -371,6 +371,10 @@ FROM b JOIN documents d ON d.doc_id = b.doc_id
 GROUP BY b.doc_id, d.text
 """,
     description="Multimodal: mapInPandas decode/feature pipeline over binary payloads. The deterministic decoder's byte-statistic features are checked exactly: the entry keeps only the features that are integer-or-half-integer valued (exact in float32), and the oracle recomputes them from UTF-8 bytes via hex-pair decode",
+    # Ceded in the ninth rotation (round 10); the udf class keeps
+    # streaming_stateful_daily_totals + span_corruption_examples, and
+    # multimodal keeps header_parse + decode_pixel_stats exposed.
+    driver_exposed=False,
 )
 def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     from iceberg_file_writer_spark.operators.multimodal import (
@@ -1610,7 +1614,8 @@ GROUP BY event_type
         "oracle recomputes both from events, proving the two tables "
         "stayed consistent"
     ),
-    driver_exposed=False,
+    # Promoted in the ninth rotation (round 10): txn consistency gets
+    # driver-green evidence (VERDICT r9 next-step 2).
     eager=True,  # runs a stream at plan time
 )
 def streaming_multi_table_txn(spark: SparkSession, sf_dir: str) -> DataFrame:

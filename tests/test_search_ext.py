@@ -325,10 +325,29 @@ def test_kcore_local_and_distributed_peels_agree(spark, monkeypatch):
     assert local == dist and len(local) > 0
 
 
-def test_funnel_single_shuffle_and_monotone(spark):
-    """The funnel's per-user phase is ONE hash shuffle (the oracle's
-    chained-join plan would pay k); step counts are monotone
-    non-increasing by construction."""
+def _physical_nodes(df) -> list[str]:
+    """Detail-section node names from explain('formatted'): one
+    '(n) NodeName' header per physical node."""
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return [
+        line.split(") ", 1)[-1].strip()
+        for line in buf.getvalue().splitlines()
+        if line.startswith("(") and ") " in line
+    ]
+
+
+def test_funnel_plan_one_scan_two_exchanges_and_monotone(spark):
+    """Gate on the REGISTERED entry's own plan (VERDICT r9 item 2 — the
+    old gate pinned a hand-rebuilt sub-phase and let a 25.7 s pathology
+    ship): exactly ONE events scan with the funnel-type IN filter
+    pushed, exactly TWO exchanges (per-user hash + final single
+    partition), and NO Union — the r9 4-branch union re-scanned the
+    per-user relation per step. Step counts stay monotone."""
     import contextlib
     import io
 
@@ -337,29 +356,73 @@ def test_funnel_single_shuffle_and_monotone(spark):
     )
 
     df = user_conversion_funnel(spark, "/root/testdata/sf0.001")
+    # explain BEFORE executing: post-collect, AQE prints Final+Initial
+    # plans and every Exchange shows up twice
+    nodes = _physical_nodes(df)
+    scans = [n for n in nodes if n.startswith("Scan parquet")]
+    exchanges = [n for n in nodes if n.startswith("Exchange")]
+    unions = [n for n in nodes if n.startswith("Union")]
+    assert len(scans) == 1, nodes
+    assert len(exchanges) == 2, nodes
+    assert not unions, nodes
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "PushedFilters: [In(event_type" in plan, plan
+    # the ONLY data shuffle is the per-user hash; the second exchange
+    # is the 1-row-per-partial final aggregate
+    assert plan.count("hashpartitioning(user_id") == 1, plan
+    assert "SinglePartition" in plan, plan
     rows = {r.step_idx: r.n_users for r in df.collect()}
     assert all(rows[i] >= rows[i + 1] for i in range(1, len(rows)))
     assert rows[1] > 0
-    per_user_plan = io.StringIO()
-    with contextlib.redirect_stdout(per_user_plan):
-        # the per-user array phase (before the 4 tiny step aggregates)
-        from iceberg_file_writer_spark.tables import load_tables
-        from pyspark.sql import functions as F
 
-        ev = load_tables(spark, "/root/testdata/sf0.001")["events"]
-        ev.groupBy("user_id").agg(
-            F.sort_array(
-                F.collect_list(F.struct(F.unix_micros("ts"), "event_type"))
-            )
-        ).explain("formatted")
-    plan = per_user_plan.getvalue()
-    # formatted mode prints each node in the tree AND a detail section;
-    # count detail headers ("(n) Exchange"), one per physical node
-    n_exchanges = len(
-        [
-            line
-            for line in plan.splitlines()
-            if line.startswith("(") and line.split(") ", 1)[-1].startswith("Exchange")
+
+def test_funnel_hot_user_cap(spark, tmp_path, monkeypatch):
+    """FUNNEL_EVENT_CAP bounds the per-user array (VERDICT r9 item 8):
+    a hot user beyond the cap degrades to "funnel over their first cap
+    funnel-type events" — deterministically, engine and oracle alike —
+    instead of an unbounded collect_list blowing a task at 100x scale."""
+    import duckdb
+    import pandas as pd
+
+    import iceberg_file_writer_spark.queries.events as ev_mod
+    from oracle_utils import assert_parity
+
+    base = pd.Timestamp("2024-01-01 00:00:00")
+
+    def mk(user, offsets_types):
+        return [
+            {
+                "event_id": i,
+                "user_id": user,
+                "ts": base + pd.Timedelta(seconds=off),
+                "event_type": et,
+            }
+            for i, (off, et) in enumerate(offsets_types)
         ]
+
+    rows = (
+        # hot user: completes the funnel only at event #4 — beyond cap 3
+        mk(1, [(0, "signup"), (1, "view"), (2, "click"), (3, "purchase"),
+               (4, "view"), (5, "click")])
+        # normal user: completes within the cap
+        + mk(2, [(0, "signup"), (10, "view"), (20, "click")])
     )
-    assert n_exchanges == 1, plan
+    df = pd.DataFrame(rows)
+    df["ts"] = df["ts"].astype("datetime64[us]")
+    df.to_parquet(tmp_path / "events.parquet", index=False)
+
+    monkeypatch.setattr(ev_mod, "FUNNEL_EVENT_CAP", 3)
+    result = ev_mod.user_conversion_funnel(spark, str(tmp_path))
+    got = {r.step_idx: r.n_users for r in result.collect()}
+    # cap=3 truncates user 1 at the click; nobody reaches purchase
+    assert got == {1: 2, 2: 2, 3: 2, 4: 0}, got
+
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/events.parquet')"
+    )
+    assert_parity(result, con, ev_mod._funnel_oracle(), name="funnel-capped")
