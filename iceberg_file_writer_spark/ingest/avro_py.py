@@ -99,15 +99,23 @@ def _branch_index(schema: list, value) -> int:
             if s == "null":
                 return i
         raise ValueError("None for a union without a null branch")
-    wanted = {
-        bool: {"boolean"},
-        int: {"long", "int"},
-        float: {"double", "float"},
-        str: {"string"},
-        bytes: {"bytes"},
-        list: {"array"},
-        dict: {"record", "map"},
-    }[type(value)]
+    try:
+        wanted = {
+            bool: {"boolean"},
+            int: {"long", "int"},
+            float: {"double", "float"},
+            str: {"string"},
+            bytes: {"bytes"},
+            list: {"array"},
+            dict: {"record", "map"},
+        }[type(value)]
+    except KeyError:
+        # FAILFAST contract: an unsupported Python type is a caller
+        # error, reported as such — not an opaque executor KeyError
+        raise ValueError(
+            f"no avro union branch for python type {type(value).__name__}: "
+            f"{value!r}"
+        ) from None
     for i, s in enumerate(schema):
         t = s if isinstance(s, str) else s.get("type")
         if t in wanted:
@@ -451,8 +459,6 @@ def write_avro_partitioned(df, output_path: str, cfg) -> dict:
     _os.makedirs(output_path, exist_ok=True)
 
     def _write_group(pdf):
-        import math
-
         import pandas as pd
 
         pdf = pdf.sort_values(kcol, kind="mergesort")
@@ -466,8 +472,13 @@ def write_avro_partitioned(df, output_path: str, cfg) -> dict:
             for row in chunk.itertuples(index=False):
                 rec = {}
                 for c, v in zip(cols, row):
+                    # scalar-NA check must catch pd.NaT too: NaT is not
+                    # None, not a NaN float, and not a pd.Timestamp
+                    # (ADVICE r9) — pd.isna folds all three; the
+                    # __len__ guard keeps sized values (str/bytes/
+                    # list/ndarray) away from pd.isna's array overload
                     if v is None or (
-                        isinstance(v, float) and math.isnan(v)
+                        not hasattr(v, "__len__") and pd.isna(v)
                     ):
                         rec[c] = None
                     elif isinstance(v, pd.Timestamp):

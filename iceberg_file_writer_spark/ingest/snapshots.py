@@ -155,7 +155,22 @@ def read_manifest(path: str, version: int) -> dict:
             _MANIFEST_CACHE.clear()
         _MANIFEST_CACHE[key] = master
     out = dict(master)
-    out["files"] = [dict(e) for e in master["files"]]
+    out["files"] = [
+        # per-entry stats ride as a nested dict; copy it too so an
+        # in-place caller mutation can never corrupt the session-wide
+        # cached master (ADVICE r9)
+        {**e, "stats": dict(e["stats"])} if isinstance(e.get("stats"), dict)
+        else dict(e)
+        for e in master["files"]
+    ]
+    # sidecar metadata lists (MoR DVs, equality deletes, bloom pointers)
+    # are manifest-level and small; copy one level so list.append /
+    # entry mutation on the returned dict stays private to the caller
+    for k in ("dvs", "eqs", "bloom"):
+        if isinstance(master.get(k), list):
+            out[k] = [
+                dict(x) if isinstance(x, dict) else x for x in master[k]
+            ]
     return out
 
 
@@ -446,6 +461,43 @@ def commit_append(
     prev = pm.get("files") or []
     new = _write_data_files(_apply_standing_spec(df, pm), table_path, max_rows)
     return _commit(table_path, parent, "append", prev + new)
+
+
+def commit_overwrite(
+    spark: SparkSession, df: DataFrame, table_path: str, max_rows: int = 4096
+) -> int:
+    """``INSERT OVERWRITE`` semantics: the new snapshot lists ONLY this
+    batch's files. Prior data files are dropped by reference (they stay
+    on disk, time-travelable, until vacuum), and the parent's MoR
+    sidecars (DVs / equality deletes / bloom pointers) are explicitly
+    cleared — they described rows that no longer exist; carrying them
+    would silently delete rows of the NEW data. The standing hidden
+    spec still applies: overwrite replaces the data, not the layout
+    contract."""
+    parent = current_version(table_path)
+    pm = read_manifest(table_path, parent) if parent else {}
+    new = _write_data_files(_apply_standing_spec(df, pm), table_path, max_rows)
+    return _commit(
+        table_path,
+        parent,
+        "overwrite",
+        new,
+        extra={"dvs": [], "eqs": [], "bloom": []},
+    )
+
+
+def commit_truncate(table_path: str) -> int:
+    """Bare ``DELETE FROM t`` (logical truncate): a metadata-only commit
+    listing no files. Old versions stay time-travelable until vacuum;
+    MoR sidecars are cleared with the data they described."""
+    parent = current_version(table_path)
+    return _commit(
+        table_path,
+        parent,
+        "delete",
+        [],
+        extra={"dvs": [], "eqs": [], "bloom": []},
+    )
 
 
 def commit_delete_where(

@@ -188,6 +188,7 @@ DECODED_IMAGE_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType()),
         T.StructField("valid", T.BooleanType()),
+        T.StructField("codec", T.StringType()),
         T.StructField("width", T.LongType()),
         T.StructField("height", T.LongType()),
         T.StructField("depth", T.LongType()),
@@ -200,10 +201,15 @@ DECODED_IMAGE_SCHEMA = T.StructType(
 )
 
 # magics of codecs that genuinely need a native library to decode
-_LIBRARY_BOUND_MAGICS = (b"\xff\xd8", b"\x89P", b"GI", b"RI")  # jpeg/png/gif/riff
+_LIBRARY_BOUND_MAGICS = {
+    b"\xff\xd8": "jpeg",
+    b"\x89P": "png",
+    b"GI": "gif",
+    b"RI": "riff",
+}
 
 
-def decode_image(media: DataFrame) -> DataFrame:
+def decode_image(media: DataFrame, strict: bool = False) -> DataFrame:
     """Pure-numpy image decode for the repo's committed BMP-like codec
     (tools_gen_media_fixture.py layout: "BM" magic, LE uint32
     width/height, LE uint16 depth/frame-count, then raw 8-bit pixels) —
@@ -212,9 +218,14 @@ def decode_image(media: DataFrame) -> DataFrame:
     magic fails validation surface as ``valid=false`` rows with NULL
     fields (corrupt media stays visible, the parse_media_header rule).
 
-    Library-bound codecs remain honestly out of scope: a payload
-    bearing a JPEG/PNG/GIF/RIFF magic raises ``NotImplementedError``
-    (PIL/opencv absent from this container) rather than decoding wrong.
+    Library-bound codecs remain honestly undecodable (PIL/opencv absent
+    from this container) — but ONE stray JPEG blob must not abort a
+    100 TB scan (VERDICT r9 item 3): by default a recognized
+    library-bound magic surfaces as a ``valid=false`` row whose
+    ``codec`` column names the format (jpeg/png/gif/riff), so mixed
+    corpora keep flowing and the skipped codecs stay countable.
+    ``strict=True`` restores the fail-fast raise for pipelines that
+    would rather die than silently skip media.
     """
 
     def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
@@ -235,7 +246,7 @@ def decode_image(media: DataFrame) -> DataFrame:
                     s = int(px.sum(dtype=np.int64)) if n else None
                     rows.append(
                         (
-                            mid, True, w, h, depth, n, s,
+                            mid, True, "bm", w, h, depth, n, s,
                             int(px.min()) if n else None,
                             int(px.max()) if n else None,
                             # one exact-int sum then one IEEE division:
@@ -245,12 +256,19 @@ def decode_image(media: DataFrame) -> DataFrame:
                         )
                     )
                 elif b[:2] in _LIBRARY_BOUND_MAGICS:
-                    raise NotImplementedError(
-                        "payload is a library-bound codec (JPEG/PNG/GIF/"
-                        "RIFF); decoding needs PIL/opencv — absent here"
+                    if strict:
+                        raise NotImplementedError(
+                            "payload is a library-bound codec "
+                            f"({_LIBRARY_BOUND_MAGICS[b[:2]]}); decoding "
+                            "needs PIL/opencv — absent here (strict=True)"
+                        )
+                    rows.append(
+                        (mid, False, _LIBRARY_BOUND_MAGICS[b[:2]])
+                        + (None,) * 8
                     )
                 else:
-                    rows.append((mid, False) + (None,) * 8)
+                    codec = "bm" if b[:2] == b"BM" else "unknown"
+                    rows.append((mid, False, codec) + (None,) * 8)
             yield pd.DataFrame(rows, columns=cols)
 
     return media.select("media_id", "payload").mapInPandas(

@@ -57,7 +57,16 @@ def skyline2d(
 ) -> DataFrame:
     """Rows of ``df`` on the 2-D Pareto front of (x, y) under the given
     orientations. Output columns = input columns; duplicates on both
-    dimensions are all kept (mutually non-dominating)."""
+    dimensions are all kept (mutually non-dominating).
+
+    NULL dimensions follow the NOT-EXISTS three-valued semantics
+    (ADVICE r9): a row with a NULL x or y can never be PROVEN dominated
+    (every comparison is NULL), so such rows pass through to the output
+    unconditioned — and, symmetrically, never dominate anyone, so they
+    are excluded from the scan that prunes the non-null rows."""
+    has_null = F.col(x).isNull() | F.col(y).isNull()
+    null_rows = df.where(has_null)
+    df = df.where(~has_null)
     sx = F.round(F.col(x) * scale).cast("long")
     if not minimize_x:
         sx = -sx
@@ -93,7 +102,9 @@ def skyline2d(
         (best_prev.isNull() | (best_prev > F.col("_sk_y")))
         & (F.col("_sk_tie") == F.col("_sk_y"))
     )
-    return kept.drop("_sk_x", "_sk_y", "_sk_prev", "_sk_tie", "_carry", "_pid")
+    return kept.drop(
+        "_sk_x", "_sk_y", "_sk_prev", "_sk_tie", "_carry", "_pid"
+    ).unionByName(null_rows)
 
 
 def skyline_nd(

@@ -835,31 +835,46 @@ tot AS (SELECT count(*)::BIGINT AS n FROM base),
 after_del AS (SELECT count(*)::BIGINT AS n FROM base WHERE o_custkey % 7 <> 0),
 zeroed AS (SELECT count(*)::BIGINT AS n FROM base WHERE o_custkey % 7 = 1),
 merged AS (SELECT count(*)::BIGINT AS n FROM base WHERE o_custkey % 7 = 2),
+bumped AS (SELECT count(*)::BIGINT AS n FROM base WHERE o_custkey % 7 = 3),
+ow AS (SELECT count(*)::BIGINT AS n, max(o_orderkey)::BIGINT AS k
+       FROM base WHERE o_custkey % 7 = 4),
 mk AS (SELECT max(o_orderkey)::BIGINT AS k FROM base)
 SELECT * FROM (
   SELECT '1_insert' AS phase, (SELECT n FROM tot) AS n_rows,
          0::BIGINT AS n_zeroed, 0::BIGINT AS n_merged,
-         (SELECT k FROM mk) AS max_key
+         0::BIGINT AS n_bumped, (SELECT k FROM mk) AS max_key
   UNION ALL
   SELECT '2_delete', (SELECT n FROM after_del), 0::BIGINT, 0::BIGINT,
-         (SELECT k FROM mk)
+         0::BIGINT, (SELECT k FROM mk)
   UNION ALL
   SELECT '3_update', (SELECT n FROM after_del), (SELECT n FROM zeroed),
-         0::BIGINT, (SELECT k FROM mk)
+         0::BIGINT, 0::BIGINT, (SELECT k FROM mk)
   UNION ALL
   SELECT '4_merge', (SELECT n FROM after_del) + 10,
          (SELECT n FROM zeroed), (SELECT n FROM merged) + 10,
-         10000019::BIGINT
+         0::BIGINT, 10000019::BIGINT
+  UNION ALL
+  SELECT '5_cw_merge', (SELECT n FROM after_del) + 10,
+         (SELECT n FROM zeroed), (SELECT n FROM merged) + 10,
+         (SELECT n FROM bumped), 10000019::BIGINT
+  UNION ALL
+  SELECT '6_overwrite', (SELECT n FROM ow), 0::BIGINT, 0::BIGINT,
+         0::BIGINT, (SELECT k FROM ow)
+  UNION ALL
+  SELECT '7_truncate', 0::BIGINT, 0::BIGINT, 0::BIGINT,
+         0::BIGINT, NULL::BIGINT
 )
 """,
     description=(
         "SQL DML lifecycle under the value-hash gate: INSERT INTO "
         "SELECT (append) -> DELETE WHERE (CoW, NULL-safe survivors) -> "
         "UPDATE SET WHERE (CoW affected-files rewrite) -> whole-row "
-        "MERGE INTO (one-commit MoR upsert: updates + 10 inserts), all "
-        "issued as statement TEXT through sql_dml.execute_dml; each "
-        "phase's row count / updated-row count / merge-marked count / "
-        "max key recomputed independently by the DuckDB oracle"
+        "MERGE INTO (one-commit MoR upsert: updates + 10 inserts) -> "
+        "column-wise MERGE (SET c = tgt.c + expr, both aliases in "
+        "scope) -> INSERT OVERWRITE (sidecar-clearing replace) -> bare "
+        "DELETE (logical truncate), all issued as statement TEXT "
+        "through sql_dml.execute_dml; each phase's observable state "
+        "recomputed independently by the DuckDB oracle"
     ),
     # Promoted in the ninth rotation (round 10): the DML surface gets
     # driver-green evidence (VERDICT r9 next-step 2).
@@ -889,9 +904,10 @@ def sql_dml_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "count(*) AS n",
                 "count_if(o_totalprice = 0.0) AS z",
                 "count_if(o_totalprice = -5.0) AS m",
+                "count_if(o_totalprice >= 1000000.0) AS b",
                 "max(o_orderkey) AS k",
             ).first()
-            return (phase, agg.n, agg.z, agg.m, agg.k)
+            return (phase, agg.n, agg.z, agg.m, agg.b, agg.k)
 
         report = []
         execute_dml(
@@ -923,10 +939,34 @@ def sql_dml_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
             tbl,
         )
         report.append(snap("4_merge"))
+        # column-wise MERGE: SET sees BOTH aliases (standard MERGE
+        # scoping); +1e6 puts the touched rows above any TPC-H price
+        execute_dml(
+            spark,
+            """MERGE INTO ord AS tgt USING (
+                 SELECT o_orderkey, o_custkey, o_totalprice
+                 FROM orders WHERE o_custkey % 7 = 3
+               ) AS src ON tgt.o_orderkey = src.o_orderkey
+               WHEN MATCHED THEN UPDATE SET
+                 o_totalprice = tgt.o_totalprice + 1000000.0
+               WHEN NOT MATCHED THEN INSERT *""",
+            tbl,
+        )
+        report.append(snap("5_cw_merge"))
+        execute_dml(
+            spark,
+            "INSERT OVERWRITE ord SELECT o_orderkey, o_custkey, "
+            "o_totalprice FROM orders WHERE o_custkey % 7 = 4",
+            tbl,
+        )
+        report.append(snap("6_overwrite"))
+        execute_dml(spark, "DELETE FROM ord", tbl)
+        report.append(snap("7_truncate"))
         _DML_REPORTS[key] = report
     return spark.createDataFrame(
         _DML_REPORTS[key],
-        "phase string, n_rows long, n_zeroed long, n_merged long, max_key long",
+        "phase string, n_rows long, n_zeroed long, n_merged long, "
+        "n_bumped long, max_key long",
     )
 
 

@@ -476,6 +476,12 @@ px AS (
 )
 SELECT m.media_id,
        (substr(h,1,4) = '424D') AS valid,
+       CASE WHEN substr(h,1,4) = '424D' THEN 'bm'
+            WHEN substr(h,1,4) = 'FFD8' THEN 'jpeg'
+            WHEN substr(h,1,4) = '8950' THEN 'png'
+            WHEN substr(h,1,4) = '4749' THEN 'gif'
+            WHEN substr(h,1,4) = '5249' THEN 'riff'
+            ELSE 'unknown' END AS codec,
        CASE WHEN substr(h,1,4)='424D' THEN {_le_hex_sql(2, 4)} END AS width,
        CASE WHEN substr(h,1,4)='424D' THEN {_le_hex_sql(6, 4)} END AS height,
        CASE WHEN substr(h,1,4)='424D' THEN {_le_hex_sql(10, 2)} END AS depth,

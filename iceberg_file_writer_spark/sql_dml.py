@@ -21,20 +21,29 @@ Division of labor — deliberately thin:
 
 Statements (one per call; trailing ``;`` allowed):
 
-    DELETE FROM t WHERE <pred>                        -> commit_delete_where
+    DELETE FROM t [WHERE <pred>]                      -> commit_delete_where
+                                         (no WHERE -> commit_truncate)
     DELETE FROM t USING MOR WHERE <pred>              -> commit_delete_where_mor
     UPDATE t SET c = <expr>[, ...] [WHERE <pred>]     -> commit_update_where
     INSERT INTO t <query>                             -> commit_append
+    INSERT OVERWRITE [TABLE] t <query>                -> commit_overwrite
     MERGE INTO t USING (<query>) ON t.k = s.k [AND ...]
       WHEN MATCHED THEN UPDATE SET *
       WHEN NOT MATCHED THEN INSERT *                  -> commit_upsert (MoR)
+    MERGE INTO t [AS ta] USING (<query>) AS sa ON ...
+      WHEN MATCHED THEN UPDATE SET c = <expr>[, ...]
+      WHEN NOT MATCHED THEN INSERT *                  -> column-wise merge
+                                         (joined SET projection -> upsert)
+
+The column-wise MERGE evaluates each SET expression with BOTH aliases
+in scope (``ta.col``/``sa.col``, standard MERGE scoping), projects the
+matched target rows through the assignments, unions the not-matched
+source rows, and commits the result through the same one-commit MoR
+upsert as the whole-row form. The MoR DELETE opt-in mirrors Iceberg's
+write.delete.mode table property, spelled inline.
+
     OPTIMIZE t                                        -> commit_compact
     VACUUM t [RETAIN <n> VERSIONS]                    -> maintenance.vacuum
-
-MERGE is restricted to the whole-row ``SET * / INSERT *`` form — the
-CDC upsert every pipeline here emits; column-wise merge clauses should
-use the DataFrame verb directly. The MoR DELETE opt-in mirrors
-Iceberg's write.delete.mode table property, spelled inline.
 
 ``tables`` maps statement table names to snapshot-table paths; source
 relations inside INSERT/MERGE queries resolve against the session's
@@ -55,26 +64,30 @@ _ID = r"[A-Za-z_][A-Za-z0-9_.]*"
 
 _DELETE_RE = re.compile(
     rf"^DELETE{_WS}FROM{_WS}(?P<t>{_ID})(?:{_WS}USING{_WS}MOR)?"
-    rf"{_WS}WHERE{_WS}(?P<pred>.+)$",
+    rf"(?:{_WS}WHERE{_WS}(?P<pred>.+))?$",
     re.IGNORECASE | re.DOTALL,
 )
 _DELETE_MOR_RE = re.compile(
     rf"^DELETE{_WS}FROM{_WS}{_ID}{_WS}USING{_WS}MOR\b", re.IGNORECASE
 )
 _UPDATE_RE = re.compile(
-    rf"^UPDATE{_WS}(?P<t>{_ID}){_WS}SET{_WS}(?P<sets>.+?)"
-    rf"(?:{_WS}WHERE{_WS}(?P<pred>.+))?$",
+    rf"^UPDATE{_WS}(?P<t>{_ID}){_WS}SET{_WS}(?P<rest>.+)$",
     re.IGNORECASE | re.DOTALL,
 )
 _INSERT_RE = re.compile(
     rf"^INSERT{_WS}INTO{_WS}(?P<t>{_ID}){_WS}(?P<q>(?:SELECT|VALUES|WITH|TABLE).+)$",
     re.IGNORECASE | re.DOTALL,
 )
+_INSERT_OVERWRITE_RE = re.compile(
+    rf"^INSERT{_WS}OVERWRITE(?:{_WS}TABLE)?{_WS}(?P<t>{_ID})"
+    rf"{_WS}(?P<q>(?:SELECT|VALUES|WITH|TABLE).+)$",
+    re.IGNORECASE | re.DOTALL,
+)
 _MERGE_RE = re.compile(
     rf"^MERGE{_WS}INTO{_WS}(?P<t>{_ID})(?:{_WS}(?:AS{_WS})?(?P<talias>{_ID}))?"
     rf"{_WS}USING{_WS}\((?P<q>.+)\)(?:{_WS}(?:AS{_WS})?(?P<salias>{_ID}))?"
     rf"{_WS}ON{_WS}(?P<on>.+?)"
-    rf"{_WS}WHEN{_WS}MATCHED{_WS}THEN{_WS}UPDATE{_WS}SET{_WS}\*"
+    rf"{_WS}WHEN{_WS}MATCHED{_WS}THEN{_WS}UPDATE{_WS}SET{_WS}(?P<sets>.+?)"
     rf"{_WS}WHEN{_WS}NOT{_WS}MATCHED{_WS}THEN{_WS}INSERT{_WS}\*$",
     re.IGNORECASE | re.DOTALL,
 )
@@ -87,6 +100,34 @@ _ON_EQ_RE = re.compile(
     rf"^\s*(?:(?P<la>{_ID})\.)?(?P<lc>[A-Za-z_][A-Za-z0-9_]*)\s*=\s*"
     rf"(?:(?P<ra>{_ID})\.)?(?P<rc>[A-Za-z_][A-Za-z0-9_]*)\s*$"
 )
+
+
+def _split_top_level_keyword(s: str, kw: str) -> "tuple[str, str | None]":
+    """Split ``s`` at its first TOP-LEVEL standalone occurrence of
+    ``kw`` — same paren/quote awareness as ``_split_top_level_commas``,
+    so ``SET a = (SELECT x FROM v WHERE y)`` or a string literal
+    containing the word WHERE never mis-splits (ADVICE r9). Returns
+    (before, after) with after=None when kw never appears top-level."""
+    depth, q, i, n, kl = 0, None, 0, len(s), len(kw)
+    while i < n:
+        ch = s[i]
+        if q:
+            if ch == q:
+                q = None
+        elif ch in "'\"":
+            q = ch
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif depth == 0 and s[i : i + kl].upper() == kw.upper():
+            standalone = (i == 0 or s[i - 1].isspace()) and (
+                i + kl >= n or s[i + kl].isspace()
+            )
+            if standalone:
+                return s[:i].rstrip(), s[i + kl :].strip()
+        i += 1
+    return s.strip(), None
 
 
 def _split_top_level_commas(s: str) -> list[str]:
@@ -137,6 +178,79 @@ def _align_to_table(spark: SparkSession, df, path: str):
     )
 
 
+def _parse_assignments(sets: str) -> "dict[str, str]":
+    """``c = expr[, ...]`` -> {col: expr}; expressions stay opaque."""
+    assignments = {}
+    for part in _split_top_level_commas(sets):
+        col, eq, expr = part.partition("=")
+        if not eq or not col.strip().replace("`", "").isidentifier():
+            raise ValueError(f"malformed SET assignment: {part!r}")
+        assignments[col.strip().strip("`")] = expr.strip()
+    if not assignments:
+        raise ValueError(f"malformed SET assignment: {sets!r}")
+    return assignments
+
+
+def _merge_column_wise(
+    spark: SparkSession,
+    path: str,
+    q: str,
+    talias: str,
+    salias: str,
+    on: str,
+    assignments: "dict[str, str]",
+    keys: "list[str]",
+    max_rows: int,
+):
+    """``WHEN MATCHED THEN UPDATE SET c = expr`` MERGE: matched target
+    rows are projected through the assignments with BOTH aliases in
+    scope (standard MERGE expression scoping — ``SET v = s.v + t.v``
+    works), not-matched source rows ride as inserts, and the union
+    commits through the same one-commit MoR upsert as the whole-row
+    form. One target scan + one source scan; the join and anti-join
+    both key on the MERGE ON columns, so at scale they shuffle once on
+    the same key."""
+    import uuid as _uuid
+
+    from iceberg_file_writer_spark.ingest.equality_deletes import commit_upsert
+    from iceberg_file_writer_spark.ingest.partitioning import _is_hidden
+    from iceberg_file_writer_spark.ingest.snapshots import read_table_version
+
+    tdf = read_table_version(spark, path)
+    visible = [f.name for f in tdf.schema.fields if not _is_hidden(f.name)]
+    unknown = set(assignments) - set(visible)
+    if unknown:
+        raise ValueError(f"MERGE sets unknown column(s): {sorted(unknown)}")
+    overlap = set(assignments) & set(keys)
+    if overlap:
+        raise ValueError(
+            f"MERGE must not update its ON key column(s): {sorted(overlap)}"
+        )
+    tview = f"__dml_merge_target_{_uuid.uuid4().hex[:8]}"
+    tdf.select(*[f"`{c}`" for c in visible]).createOrReplaceTempView(tview)
+    try:
+        proj = ", ".join(
+            f"({assignments[c]}) AS `{c}`"
+            if c in assignments
+            else f"`{talias}`.`{c}`"
+            for c in visible
+        )
+        matched = spark.sql(
+            f"SELECT {proj} FROM {tview} AS `{talias}` "
+            f"JOIN ({q}) AS `{salias}` ON {on}"
+        )
+        inserted = spark.sql(
+            f"SELECT `{salias}`.* FROM ({q}) AS `{salias}` "
+            f"LEFT ANTI JOIN {tview} AS `{talias}` ON {on}"
+        )
+        upsert_rows = _align_to_table(
+            spark, matched.unionByName(inserted, allowMissingColumns=False), path
+        )
+        return commit_upsert(spark, path, upsert_rows, keys, max_rows=max_rows)
+    finally:
+        spark.catalog.dropTempView(tview)
+
+
 def _resolve(tables: "dict[str, str]", name: str) -> str:
     if name not in tables:
         raise ValueError(
@@ -185,6 +299,8 @@ def execute_dml(
         commit_append,
         commit_compact,
         commit_delete_where,
+        commit_overwrite,
+        commit_truncate,
         commit_update_where,
     )
 
@@ -193,6 +309,9 @@ def execute_dml(
     m = _DELETE_RE.match(stmt)
     if m:
         path = _resolve(tables, m.group("t"))
+        if m.group("pred") is None:
+            # bare DELETE FROM t = logical truncate (metadata-only)
+            return commit_truncate(path)
         if _DELETE_MOR_RE.match(stmt):
             return commit_delete_where_mor(spark, path, m.group("pred"))
         return commit_delete_where(
@@ -201,17 +320,23 @@ def execute_dml(
 
     m = _UPDATE_RE.match(stmt)
     if m:
-        assignments = {}
-        for part in _split_top_level_commas(m.group("sets")):
-            col, eq, expr = part.partition("=")
-            if not eq or not col.strip().replace("`", "").isidentifier():
-                raise ValueError(f"malformed SET assignment: {part!r}")
-            assignments[col.strip().strip("`")] = expr.strip()
+        sets, pred = _split_top_level_keyword(m.group("rest"), "WHERE")
+        assignments = _parse_assignments(sets)
         return commit_update_where(
             spark,
             _resolve(tables, m.group("t")),
-            m.group("pred") or "true",
+            pred or "true",
             assignments,
+            max_rows=max_rows,
+        )
+
+    m = _INSERT_OVERWRITE_RE.match(stmt)
+    if m:
+        path = _resolve(tables, m.group("t"))
+        return commit_overwrite(
+            spark,
+            _align_to_table(spark, spark.sql(m.group("q")), path),
+            path,
             max_rows=max_rows,
         )
 
@@ -228,16 +353,31 @@ def execute_dml(
     m = _MERGE_RE.match(stmt)
     if m:
         t = m.group("t")
-        aliases_t = {t, m.group("talias") or t}
-        aliases_s = {m.group("salias")} - {None}
+        talias = m.group("talias") or t
+        salias = m.group("salias")
+        aliases_t = {t, talias}
+        aliases_s = {salias} - {None}
         keys = _merge_keys(m.group("on"), aliases_t, aliases_s)
         path = _resolve(tables, t)
-        return commit_upsert(
+        sets = m.group("sets").strip()
+        if sets == "*":
+            return commit_upsert(
+                spark,
+                path,
+                _align_to_table(spark, spark.sql(m.group("q")), path),
+                keys,
+                max_rows=max_rows,
+            )
+        return _merge_column_wise(
             spark,
             path,
-            _align_to_table(spark, spark.sql(m.group("q")), path),
+            m.group("q"),
+            talias,
+            salias or "__dml_src",
+            m.group("on"),
+            _parse_assignments(sets),
             keys,
-            max_rows=max_rows,
+            max_rows,
         )
 
     m = _OPTIMIZE_RE.match(stmt)

@@ -51,6 +51,15 @@ class SnapshotTable:
         """New table at ``path``; optional genesis data and hidden-
         partition spec (spec'd tables cluster every later write too)."""
         t = cls(spark, path)
+        if df is None and spec:
+            # the spec would otherwise be silently discarded (ADVICE r9):
+            # specs persist in manifests, and a dataless create has no
+            # commit to carry one
+            raise ValueError(
+                "create(spec=...) needs genesis data — the spec persists "
+                "with the first commit; create the table with df or use "
+                "commit_append_partitioned on the first batch"
+            )
         if df is not None:
             if spec:
                 from iceberg_file_writer_spark.ingest.partitioning import (
@@ -77,10 +86,17 @@ class SnapshotTable:
 
     def scan(self, conjuncts: list, version: "int | None" = None) -> DataFrame:
         """File-skipping read (stats + bloom + hidden transforms) —
-        row-identical to ``read().where(...)``, provably fewer files."""
+        row-identical to ``read().where(...)``, provably fewer files.
+
+        Routing (partitioned vs plain planner) follows the manifest of
+        the version BEING read (ADVICE r9): a time-travel scan across a
+        spec change must plan with that snapshot's own layout, or
+        pruning silently degrades."""
         from iceberg_file_writer_spark.ingest.snapshots import read_manifest
 
-        m = read_manifest(self.path, self.version())
+        m = read_manifest(
+            self.path, self.version() if version is None else version
+        )
         if m.get("spec"):
             from iceberg_file_writer_spark.ingest.partitioning import (
                 scan_partitioned,

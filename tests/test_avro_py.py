@@ -314,3 +314,52 @@ def test_timestamp_logical_type_roundtrips_events(spark, tmp_path):
     assert sorted(map(tuple, back.collect())) == sorted(
         map(tuple, ev.collect())
     )
+
+
+def test_null_timestamp_writes_as_null_branch(spark, tmp_path):
+    """A nullable ts carrying NULLs arrives executor-side as pd.NaT —
+    which is not None, not a NaN float, and not a pd.Timestamp — and
+    must map to the union's null branch, not an opaque executor error
+    (ADVICE r9). Round-trip keeps the NULLs."""
+    from pyspark.sql import types as T
+
+    from iceberg_file_writer_spark.ingest.avro_py import (
+        spark_read_avro,
+        write_avro_partitioned,
+    )
+    from iceberg_file_writer_spark.ingest.batch import IngestConfig
+
+    schema = T.StructType([
+        T.StructField("event_id", T.LongType(), False),
+        T.StructField("ts", T.TimestampType(), True),
+        T.StructField("event_type", T.StringType(), False),
+        T.StructField("value", T.DoubleType(), True),
+    ])
+    import datetime as dt
+
+    rows = [
+        (1, dt.datetime(2024, 1, 1, 0, 0, 0), "a", 1.5),
+        (2, None, "a", None),
+        (3, dt.datetime(2024, 1, 2, 3, 4, 5), "b", 2.5),
+    ]
+    df = spark.createDataFrame(rows, schema)
+    out = str(tmp_path / "nulls")
+    stats = write_avro_partitioned(
+        df, out,
+        IngestConfig(partition_column="event_type", key_column="event_id",
+                     max_rows_per_file=10),
+    )
+    assert stats["rows_written"] == 3
+    back = spark_read_avro(spark, f"{out}/*/*.avro", schema)
+    assert sorted(map(tuple, back.collect())) == sorted(rows)
+
+
+def test_unsupported_python_type_raises_value_error():
+    """FAILFAST contract: an unsupported Python value type in a union
+    is a ValueError naming the type, never a bare KeyError."""
+    import pytest
+
+    from iceberg_file_writer_spark.ingest.avro_py import _branch_index
+
+    with pytest.raises(ValueError, match="no avro union branch.*set"):
+        _branch_index(["null", "long"], {1, 2})

@@ -41,16 +41,47 @@ def test_mapinpandas_featurize_deterministic(spark, media):
     assert c == len(a)
 
 
-def test_library_bound_codecs_still_refuse(spark):
-    """decode_image decodes the committed codec for real (below), but a
-    JPEG/PNG payload must still surface the honest NotImplementedError
-    rather than decode wrong — PIL/opencv are absent here."""
+def test_library_bound_codec_rows_survive_by_default(spark):
+    """VERDICT r9 item 3: one JPEG-magic blob in a batch must NOT abort
+    the scan — it surfaces as valid=false with its codec named, and the
+    REST of the batch decodes normally."""
+    mixed = spark.createDataFrame(
+        [
+            (1, bytearray(b"\xff\xd8\xff\xe0" + b"\x00" * 20)),  # jpeg
+            (
+                2,
+                bytearray(
+                    b"BM"
+                    + (2).to_bytes(4, "little")  # width
+                    + (2).to_bytes(4, "little")  # height
+                    + (8).to_bytes(2, "little")  # depth
+                    + (1).to_bytes(2, "little")  # frames
+                    + bytes([10, 20, 30, 40])
+                ),
+            ),
+            (3, bytearray(b"\x89PNG" + b"\x00" * 20)),  # png
+            (4, bytearray(b"zz-not-a-codec")),
+        ],
+        "media_id long, payload binary",
+    )
+    rows = {r.media_id: r for r in decode_image(mixed).collect()}
+    assert len(rows) == 4
+    assert not rows[1].valid and rows[1].codec == "jpeg"
+    assert rows[2].valid and rows[2].codec == "bm"
+    assert (rows[2].px_sum, rows[2].px_min, rows[2].px_max) == (100, 10, 40)
+    assert not rows[3].valid and rows[3].codec == "png"
+    assert not rows[4].valid and rows[4].codec == "unknown"
+
+
+def test_library_bound_codecs_refuse_under_strict(spark):
+    """strict=True restores the fail-fast contract for pipelines that
+    would rather die than skip media — PIL/opencv are absent here."""
     jpeg = spark.createDataFrame(
         [(1, bytearray(b"\xff\xd8\xff\xe0" + b"\x00" * 20))],
         "media_id long, payload binary",
     )
     with pytest.raises(Exception, match="NotImplementedError|library-bound"):
-        decode_image(jpeg).collect()
+        decode_image(jpeg, strict=True).collect()
 
 
 def test_decode_image_matches_generator_ground_truth(spark):

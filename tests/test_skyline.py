@@ -55,6 +55,22 @@ def test_matches_brute_force(spark, rows):
     assert got == _brute_skyline(rows)
 
 
+def test_null_dimensions_pass_through(spark):
+    """NOT-EXISTS three-valued semantics (ADVICE r9): a NULL x or y can
+    never be proven dominated, so those rows are KEPT — and they never
+    dominate, so the non-null front is unchanged by their presence."""
+    rows = [(1, 10), (2, 5), (3, 1), (None, 0), (0, None), (None, None)]
+    df = spark.createDataFrame(rows, "x long, y long")
+    got = sorted(
+        ((r.x, r.y) for r in skyline2d(df, "x", "y").collect()), key=str
+    )
+    non_null_front = _brute_skyline([r for r in rows if None not in r])
+    want = sorted(
+        non_null_front + [(None, 0), (0, None), (None, None)], key=str
+    )
+    assert got == want
+
+
 def test_plan_has_no_global_window_and_no_cartesian(spark):
     from iceberg_file_writer_spark.queries.analytics_ext import (
         pareto_cheapest_large_parts,

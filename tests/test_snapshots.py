@@ -709,3 +709,31 @@ def test_concurrent_appenders_all_commit(spark, tmp_path):
     got = sorted(tuple(r) for r in read_table_version(spark, t).collect())
     want = sorted(tuple(r) for r in orders.collect())
     assert got == want
+
+
+def test_read_manifest_copies_are_mutation_safe(spark, tmp_path):
+    """read_manifest hands out copies whose NESTED metadata (per-entry
+    stats, dvs/eqs/bloom lists) is private too (ADVICE r9): in-place
+    mutation on one returned dict must never leak into the next read."""
+    from iceberg_file_writer_spark.ingest.deletion_vectors import (
+        commit_delete_where_mor,
+    )
+    from iceberg_file_writer_spark.ingest.snapshots import (
+        commit_append,
+        current_version,
+        read_manifest,
+    )
+
+    t = str(tmp_path / "tbl")
+    df = spark.createDataFrame([(i, float(i)) for i in range(20)], "k long, v double")
+    commit_append(spark, df, t)
+    commit_delete_where_mor(spark, t, "k = 3")
+    v = current_version(t)
+    m1 = read_manifest(t, v)
+    assert m1.get("dvs")
+    m1["dvs"].append("bogus-entry")
+    if isinstance(m1["files"][0].get("stats"), dict):
+        m1["files"][0]["stats"]["poison"] = True
+    m2 = read_manifest(t, v)
+    assert "bogus-entry" not in m2["dvs"]
+    assert "poison" not in (m2["files"][0].get("stats") or {})

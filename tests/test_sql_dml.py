@@ -210,6 +210,133 @@ def test_statement_shape_errors(spark, table):
         execute_dml(spark, "UPDATE ord SET WHERE true", {"ord": t})
 
 
+def test_bare_delete_is_logical_truncate(spark, table):
+    t, orders = table
+    v = execute_dml(spark, "DELETE FROM ord", {"ord": t})
+    m = read_manifest(t, v)
+    assert m["op"] == "delete" and m["files"] == []
+    # old version stays time-travelable until vacuum
+    assert _canon(read_table_version(spark, t, v - 1)) == _canon(orders)
+
+
+def test_insert_overwrite_replaces_contents(spark, table):
+    t, orders = table
+    load_tables(spark, SF_DIR)
+    execute_dml(
+        spark,
+        "INSERT OVERWRITE ord SELECT o_orderkey, o_custkey, o_totalprice "
+        "FROM orders WHERE o_orderkey % 10 = 0",
+        {"ord": t},
+    )
+    m = read_manifest(t, current_version(t))
+    assert m["op"] == "overwrite"
+    want = orders.where("o_orderkey % 10 = 0")
+    assert _canon(read_table_version(spark, t)) == _canon(want)
+
+
+def test_insert_overwrite_clears_mor_sidecars(spark, table):
+    """An overwrite replaces the data; parent DVs/equality deletes
+    described rows that no longer exist and must NOT apply to the new
+    files."""
+    t, orders = table
+    execute_dml(
+        spark, "DELETE FROM ord USING MOR WHERE o_custkey % 2 = 0", {"ord": t}
+    )
+    assert read_manifest(t, current_version(t)).get("dvs")
+    execute_dml(
+        spark,
+        "INSERT OVERWRITE TABLE ord SELECT o_orderkey, o_custkey, "
+        "o_totalprice FROM orders",
+        {"ord": t},
+    )
+    m = read_manifest(t, current_version(t))
+    assert not m.get("dvs") and not m.get("eqs")
+    assert _canon(read_table_version(spark, t)) == _canon(orders)
+
+
+def test_merge_column_wise_update(spark, table):
+    """WHEN MATCHED THEN UPDATE SET c = expr: assignments see BOTH
+    aliases (tgt.col + src.col), untouched columns keep target values,
+    not-matched source rows insert."""
+    t, orders = table
+    load_tables(spark, SF_DIR)
+    execute_dml(
+        spark,
+        """MERGE INTO ord AS tgt USING (
+             SELECT * FROM (
+               SELECT o_orderkey, o_custkey, 100.0 AS o_totalprice
+               FROM orders ORDER BY o_orderkey LIMIT 5
+             )
+             UNION ALL SELECT 99000077, 1, 5.0
+           ) AS src
+           ON tgt.o_orderkey = src.o_orderkey
+           WHEN MATCHED THEN UPDATE SET
+             o_totalprice = tgt.o_totalprice + src.o_totalprice
+           WHEN NOT MATCHED THEN INSERT *""",
+        {"ord": t},
+    )
+    got = read_table_version(spark, t)
+    assert got.count() == orders.count() + 1
+    assert read_manifest(t, current_version(t))["op"] == "upsert_mor"
+    first5 = {
+        r.o_orderkey: r.o_totalprice
+        for r in orders.orderBy("o_orderkey").limit(5).collect()
+    }
+    upd = {
+        r.o_orderkey: r.o_totalprice
+        for r in got.where(
+            F.col("o_orderkey").isin(list(first5))
+        ).collect()
+    }
+    assert upd == {k: v + 100.0 for k, v in first5.items()}
+    ins = got.where("o_orderkey = 99000077").collect()
+    assert len(ins) == 1 and ins[0].o_custkey == 1
+    assert ins[0].o_totalprice == 5.0
+
+
+def test_merge_column_wise_rejects_key_update(spark, table):
+    t, _ = table
+    with pytest.raises(ValueError, match="ON key"):
+        execute_dml(
+            spark,
+            "MERGE INTO ord AS tgt USING (SELECT 1 AS o_orderkey, "
+            "1 AS o_custkey, 1.0 AS o_totalprice) AS src "
+            "ON tgt.o_orderkey = src.o_orderkey "
+            "WHEN MATCHED THEN UPDATE SET o_orderkey = 0 "
+            "WHEN NOT MATCHED THEN INSERT *",
+            {"ord": t},
+        )
+
+
+def test_update_where_keyword_inside_set_expression(spark, tmp_path):
+    """The SET/WHERE boundary is found with the paren/quote-aware
+    scanner (ADVICE r9): a scalar subquery containing the word WHERE —
+    or a string literal containing it — must not mis-split."""
+    t = str(tmp_path / "tbl")
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (3, 30.0)], "k long, v double"
+    )
+    commit_append(spark, df, t)
+    spark.createDataFrame([(2, 99.0)], "k long, nv double").createOrReplaceTempView(
+        "upd_src"
+    )
+    execute_dml(
+        spark,
+        "UPDATE tbl SET v = (SELECT max(nv) FROM upd_src WHERE k = 2) "
+        "WHERE k = 2",
+        {"tbl": t},
+    )
+    got = _canon(read_table_version(spark, t))
+    assert got == [(1, 10.0), (2, 99.0), (3, 30.0)]
+    # a string literal containing ' where ' with NO real WHERE clause
+    t2 = str(tmp_path / "tbl2")
+    commit_append(
+        spark, spark.createDataFrame([(1, "a")], "k long, s string"), t2
+    )
+    execute_dml(spark, "UPDATE tbl2 SET s = 'x where y'", {"tbl2": t2})
+    assert _canon(read_table_version(spark, t2)) == [(1, "x where y")]
+
+
 def test_update_verb_direct_empty_and_no_match(spark, tmp_path, table):
     t, orders = table
     v0 = current_version(t)

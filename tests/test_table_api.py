@@ -94,3 +94,40 @@ def test_facade_mode_validation(spark, tmp_path, orders):
     t = SnapshotTable.create(spark, str(tmp_path / "o"), orders)
     with pytest.raises(ValueError, match="cow.*mor|mor.*cow"):
         t.delete_where("true", mode="nope")
+
+
+def test_create_spec_without_data_raises(spark, tmp_path):
+    """create(spec=...) with no genesis data used to silently discard
+    the spec (ADVICE r9) — now it refuses loudly."""
+    with pytest.raises(ValueError, match="genesis data"):
+        SnapshotTable.create(
+            spark, str(tmp_path / "t"), spec=[("bucket", 4, "user_id")]
+        )
+
+
+def test_scan_time_travel_routes_by_requested_version(spark, tmp_path):
+    """A scan of version N plans with version N's manifest (ADVICE r9):
+    here v1 is UNpartitioned and the current version carries a spec —
+    a v1 scan must route through the plain planner and still read v1's
+    rows exactly."""
+    ev = load_tables(spark, SF_DIR)["events"].select(
+        "event_id", "user_id", "value"
+    )
+    path = str(tmp_path / "ev")
+    t = SnapshotTable.create(spark, path, ev.where("event_id % 2 = 0"))
+    v1 = t.version()
+    # spec change: re-create the data under a bucket spec (new commit)
+    from iceberg_file_writer_spark.ingest.partitioning import (
+        commit_append_partitioned,
+    )
+
+    commit_append_partitioned(
+        spark, ev.where("event_id % 2 = 1"), path,
+        [("bucket", 4, "user_id")], max_rows=40,
+    )
+    uid = int(ev.agg(F.min("user_id")).first()[0])
+    got = t.scan([("user_id", "=", uid)], version=v1)
+    want = ev.where(
+        (F.col("event_id") % 2 == 0) & (F.col("user_id") == uid)
+    )
+    assert _canon(got) == _canon(want)
