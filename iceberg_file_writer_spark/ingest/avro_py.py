@@ -213,6 +213,149 @@ def decode_value(schema, buf: bytes, pos: int):
     raise NotImplementedError(f"avro type not supported here: {t!r}")
 
 
+# --- schema resolution (spec: "Schema Resolution") --------------------------
+#
+# A real stream's writer schema evolves; the reader's does not have to.
+# This implements the spec's resolution rules for the subset the codec
+# speaks: fields matched by name (or reader-field aliases), writer-only
+# fields decoded-and-skipped, reader-only fields filled from their
+# defaults (error if none — FAILFAST), numeric promotions
+# (int->long/float/double, long->float/double, float->double) and
+# string<->bytes, unions resolved branch-by-branch.
+
+
+def _type_name(s) -> str:
+    if isinstance(s, list):
+        return "union"
+    return s if isinstance(s, str) else s["type"]
+
+
+_PROMOTIONS = {
+    ("int", "long"): int,
+    ("int", "float"): float,
+    ("int", "double"): float,
+    ("long", "float"): float,
+    ("long", "double"): float,
+    ("float", "double"): float,
+    ("string", "bytes"): lambda v: v.encode("utf-8"),
+    ("bytes", "string"): lambda v: v.decode("utf-8"),
+}
+
+
+def _reader_accepts(w, r) -> bool:
+    wt, rt = _type_name(w), _type_name(r)
+    return wt == rt or (wt, rt) in _PROMOTIONS
+
+
+def _default_value(schema, d):
+    """A reader default (JSON-shaped, per the spec: union defaults are
+    typed by the FIRST branch; bytes defaults are latin-1 strings)."""
+    if isinstance(schema, list):
+        return _default_value(schema[0], d)
+    t = _type_name(schema)
+    if t == "null":
+        return None
+    if t == "boolean":
+        return bool(d)
+    if t in ("int", "long"):
+        return int(d)
+    if t in ("float", "double"):
+        return float(d)
+    if t == "string":
+        return str(d)
+    if t == "bytes":
+        return d.encode("latin-1") if isinstance(d, str) else bytes(d)
+    if t == "array":
+        return [_default_value(schema["items"], x) for x in d]
+    if t == "map":
+        return {k: _default_value(schema["values"], v) for k, v in d.items()}
+    if t == "record":
+        out = {}
+        for f in schema["fields"]:
+            if isinstance(d, dict) and f["name"] in d:
+                out[f["name"]] = _default_value(f["type"], d[f["name"]])
+            elif "default" in f:
+                out[f["name"]] = _default_value(f["type"], f["default"])
+            else:
+                raise ValueError(
+                    f"no default for nested record field {f['name']!r}"
+                )
+        return out
+    raise NotImplementedError(f"default for avro type {t!r}")
+
+
+def decode_resolved(w, r, buf: bytes, pos: int):
+    """Decode bytes written with schema ``w`` as reader schema ``r``."""
+    if isinstance(w, list):  # writer union: branch chosen by the data
+        i, pos = decode_long(buf, pos)
+        return decode_resolved(w[i], r, buf, pos)
+    if isinstance(r, list):  # reader union: first branch accepting w
+        for br in r:
+            if _reader_accepts(w, br):
+                return decode_resolved(w, br, buf, pos)
+        raise ValueError(
+            f"writer type {_type_name(w)!r} matches no reader union branch"
+        )
+    wt, rt = _type_name(w), _type_name(r)
+    if wt == rt:
+        if wt == "record":
+            rfields = r["fields"]
+            by_name = {f["name"]: f for f in rfields}
+            by_alias = {
+                a: f for f in rfields for a in f.get("aliases", [])
+            }
+            rec = {}
+            for wf in w["fields"]:
+                rf = by_name.get(wf["name"]) or by_alias.get(wf["name"])
+                if rf is None:
+                    # writer-only field: decode to advance, discard
+                    _, pos = decode_value(wf["type"], buf, pos)
+                else:
+                    rec[rf["name"]], pos = decode_resolved(
+                        wf["type"], rf["type"], buf, pos
+                    )
+            for rf in rfields:
+                if rf["name"] not in rec:
+                    if "default" not in rf:
+                        raise ValueError(
+                            f"reader field {rf['name']!r} missing from "
+                            "writer schema and has no default"
+                        )
+                    rec[rf["name"]] = _default_value(
+                        rf["type"], rf["default"]
+                    )
+            return rec, pos
+        if wt in ("array", "map"):
+            wsub = w["items"] if wt == "array" else w["values"]
+            rsub = r["items"] if wt == "array" else r["values"]
+            out_l, out_m = [], {}
+            while True:
+                n, pos = decode_long(buf, pos)
+                if n == 0:
+                    break
+                if n < 0:
+                    _, pos = decode_long(buf, pos)
+                    n = -n
+                for _ in range(n):
+                    if wt == "map":
+                        kb, pos = _dec_bytes(buf, pos)
+                        out_m[kb.decode("utf-8")], pos = decode_resolved(
+                            wsub, rsub, buf, pos
+                        )
+                    else:
+                        v, pos = decode_resolved(wsub, rsub, buf, pos)
+                        out_l.append(v)
+            return (out_l if wt == "array" else out_m), pos
+        return decode_value(w, buf, pos)
+    conv = _PROMOTIONS.get((wt, rt))
+    if conv is None:
+        raise ValueError(
+            f"cannot resolve writer type {wt!r} to reader type {rt!r}"
+        )
+    v, pos = decode_value(w, buf, pos)
+    return (conv(v) if v is not None else None), pos
+
+
 # --- object container files (spec: "Object Container Files") ---------------
 
 
@@ -294,7 +437,12 @@ def write_container(
             f.write(sync)
 
 
-def read_container_bytes(data: bytes) -> "tuple[dict, list[dict]]":
+def read_container_bytes(
+    data: bytes, reader_schema: "dict | None" = None
+) -> "tuple[dict, list[dict]]":
+    """Decode a container; with ``reader_schema``, records resolve
+    through the spec's Schema Resolution rules (defaults, promotions,
+    aliases) instead of surfacing writer-shaped."""
     if data[:4] != MAGIC:
         raise ValueError("not an Avro object container (bad magic)")
     pos = 4
@@ -326,24 +474,30 @@ def read_container_bytes(data: bytes) -> "tuple[dict, list[dict]]":
         pos += 16
         rp = 0
         for _ in range(count):
-            rec, rp = decode_value(schema, raw, rp)
+            if reader_schema is not None:
+                rec, rp = decode_resolved(schema, reader_schema, raw, rp)
+            else:
+                rec, rp = decode_value(schema, raw, rp)
             records.append(rec)
     return schema, records
 
 
-def read_container(path: str) -> "tuple[dict, list[dict]]":
+def read_container(
+    path: str, reader_schema: "dict | None" = None
+) -> "tuple[dict, list[dict]]":
     with open(path, "rb") as f:
-        return read_container_bytes(f.read())
+        return read_container_bytes(f.read(), reader_schema)
 
 
 # --- Spark adapter ----------------------------------------------------------
 
 
 
-def _decode_batches_fn(schema):
-    """mapInPandas closure over binaryFile rows: decode containers,
-    restore timestamp-micros logical columns to datetimes (Arrow's
-    bridge needs datetime-like values for timestamp fields)."""
+def _decode_batches_fn(schema, reader_schema: "dict | None" = None):
+    """mapInPandas closure over binaryFile rows: decode containers
+    (resolving against ``reader_schema`` when given), restore
+    timestamp-micros logical columns to datetimes (Arrow's bridge needs
+    datetime-like values for timestamp fields)."""
     cols = [f.name for f in schema.fields]
     ts_cols = [
         f.name
@@ -357,7 +511,7 @@ def _decode_batches_fn(schema):
         for pdf in it:
             rows = []
             for content in pdf["content"]:
-                _, recs = read_container_bytes(bytes(content))
+                _, recs = read_container_bytes(bytes(content), reader_schema)
                 rows.extend(recs)
             out = pd.DataFrame(
                 [[r.get(c) for c in cols] for r in rows], columns=cols
@@ -369,13 +523,18 @@ def _decode_batches_fn(schema):
     return batches
 
 
-def spark_read_avro(spark, input_path: str, schema):
+def spark_read_avro(
+    spark, input_path: str, schema, reader_schema: "dict | None" = None
+):
     """Distributed jar-free Avro read: the JVM ``binaryFile`` source
     lists and ships whole container files in parallel (the unit the
     reference's stream delivers — main.go:61-65); executors decode each
     file Arrow-batched and rows are projected to ``schema`` in schema
     field order. Undecodable bytes raise (FAILFAST, the reference's
-    strict-decode contract)."""
+    strict-decode contract). With ``reader_schema`` (an Avro record
+    schema dict), each file's records resolve through the spec's Schema
+    Resolution rules — an evolved stream (old-schema files + new-schema
+    files in one glob) reads uniformly reader-shaped."""
     from pyspark import cloudpickle
 
     import iceberg_file_writer_spark.ingest.avro_py as _self
@@ -385,7 +544,9 @@ def spark_read_avro(spark, input_path: str, schema):
     cloudpickle.register_pickle_by_value(_self)
 
     bf = spark.read.format("binaryFile").load(input_path)
-    return bf.select("content").mapInPandas(_decode_batches_fn(schema), schema)
+    return bf.select("content").mapInPandas(
+        _decode_batches_fn(schema, reader_schema), schema
+    )
 
 
 def avro_schema_of(schema, name: str = "record") -> dict:
@@ -526,7 +687,11 @@ def write_avro_partitioned(df, output_path: str, cfg) -> dict:
 
 
 def spark_read_avro_stream(
-    spark, input_path: str, schema, max_files_per_trigger: "int | None" = None
+    spark,
+    input_path: str,
+    schema,
+    max_files_per_trigger: "int | None" = None,
+    reader_schema: "dict | None" = None,
 ):
     """Streaming twin of ``spark_read_avro``: the binaryFile source
     streamed (one micro-batch unit per arriving container file — the
@@ -551,4 +716,6 @@ def spark_read_avro_stream(
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     bf = reader.load(input_path)
-    return bf.select("content").mapInPandas(_decode_batches_fn(schema), schema)
+    return bf.select("content").mapInPandas(
+        _decode_batches_fn(schema, reader_schema), schema
+    )

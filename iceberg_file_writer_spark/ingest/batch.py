@@ -77,6 +77,7 @@ def read_source(
     input_path: str,
     schema: T.StructType = LOCATION_SCHEMA,
     source_format: str = "json",
+    reader_schema: "dict | None" = None,
 ) -> DataFrame:
     """Ops #1-#2: schema-enforced scan (reference FileStreamAdapter + codec,
     main.go:61-70; strict decode ≈ FAILFAST).
@@ -84,9 +85,18 @@ def read_source(
     ``avro`` is the reference's literal wire format (Avro object-container
     files, main.go:61-65); it resolves through the TableFormat seam and
     raises the actionable missing-jar error when spark-avro is absent.
+
+    ``reader_schema`` (avro only): an Avro record-schema dict applied
+    through the spec's Schema Resolution rules — reader defaults fill
+    fields the writer never had, numeric/string-bytes promotions apply,
+    reader-field ``aliases`` track renames — so one read spans an
+    evolved stream's old- and new-schema files. The reference's driver
+    never evolves its schema (main.go:19-41); a real stream does.
     """
     from iceberg_file_writer_spark.ingest.table_format import require_format
 
+    if reader_schema is not None and source_format != "avro":
+        raise ValueError("reader_schema applies to the avro source only")
     reader = spark.read.schema(schema)
     if source_format == "json":
         return reader.option("mode", "FAILFAST").json(input_path)
@@ -111,7 +121,14 @@ def read_source(
     if source_format == "avro":
         try:
             require_format(spark, "avro")
-            return reader.format("avro").load(input_path)
+            fmt = reader.format("avro")
+            if reader_schema is not None:
+                # spark-avro's own resolution hook takes the reader
+                # schema as JSON text
+                import json as _json
+
+                fmt = fmt.option("avroSchema", _json.dumps(reader_schema))
+            return fmt.load(input_path)
         except RuntimeError:
             # no spark-avro jar: the clean-room pure-Python container
             # reader (ingest/avro_py.py) — same bytes, same FAILFAST
@@ -120,7 +137,9 @@ def read_source(
                 spark_read_avro,
             )
 
-            return spark_read_avro(spark, input_path, schema)
+            return spark_read_avro(
+                spark, input_path, schema, reader_schema=reader_schema
+            )
     raise ValueError(f"unsupported source format: {source_format}")
 
 

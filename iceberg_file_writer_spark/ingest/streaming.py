@@ -39,8 +39,15 @@ def read_stream(
     schema: T.StructType = LOCATION_SCHEMA,
     source_format: str = "json",
     max_files_per_trigger: int | None = None,
+    reader_schema: "dict | None" = None,
 ) -> DataFrame:
-    """Op #1-#2 streaming: schema-enforced file-source stream."""
+    """Op #1-#2 streaming: schema-enforced file-source stream.
+
+    ``reader_schema`` (avro only): Avro Schema Resolution against each
+    arriving container's own writer schema — a mid-stream producer
+    schema change keeps decoding reader-shaped (see read_source)."""
+    if reader_schema is not None and source_format != "avro":
+        raise ValueError("reader_schema applies to the avro source only")
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
@@ -56,7 +63,8 @@ def read_stream(
         )
 
         return spark_read_avro_stream(
-            spark, input_dir, schema, max_files_per_trigger
+            spark, input_dir, schema, max_files_per_trigger,
+            reader_schema=reader_schema,
         )
     raise ValueError(f"unsupported source format: {source_format}")
 

@@ -363,3 +363,159 @@ def test_unsupported_python_type_raises_value_error():
 
     with pytest.raises(ValueError, match="no avro union branch.*set"):
         _branch_index(["null", "long"], {1, 2})
+
+
+# --- Schema Resolution (spec section; VERDICT r9 next-step 6) -------------
+
+
+def _enc_one(schema, rec):
+    from iceberg_file_writer_spark.ingest.avro_py import encode_value
+
+    out = bytearray()
+    encode_value(schema, rec, out)
+    return bytes(out)
+
+
+W_V1 = {
+    "type": "record", "name": "r",
+    "fields": [
+        {"name": "id", "type": "int"},
+        {"name": "name", "type": "string"},
+        {"name": "legacy", "type": "long"},
+    ],
+}
+
+
+def test_resolution_defaults_promotions_aliases_and_skip():
+    """One decode exercises all four rules: int->long promotion, a
+    reader-only field filled from its default, a rename tracked via
+    reader aliases, and a writer-only field skipped over."""
+    from iceberg_file_writer_spark.ingest.avro_py import decode_resolved
+
+    reader = {
+        "type": "record", "name": "r",
+        "fields": [
+            {"name": "id", "type": "long"},                      # int->long
+            {"name": "full_name", "type": "string",
+             "aliases": ["name"]},                               # rename
+            {"name": "score", "type": ["null", "double"],
+             "default": None},                                   # default null
+            {"name": "tag", "type": "string", "default": "x"},   # default str
+            # writer's "legacy" has no reader field -> skipped
+        ],
+    }
+    buf = _enc_one(W_V1, {"id": 7, "name": "ada", "legacy": 99})
+    rec, pos = decode_resolved(W_V1, reader, buf, 0)
+    assert pos == len(buf)  # the skipped field still advanced the cursor
+    assert rec == {"id": 7, "full_name": "ada", "score": None, "tag": "x"}
+
+
+def test_resolution_numeric_and_bytes_promotions():
+    from iceberg_file_writer_spark.ingest.avro_py import decode_resolved
+
+    w = {"type": "record", "name": "r", "fields": [
+        {"name": "a", "type": "int"},
+        {"name": "b", "type": "long"},
+        {"name": "c", "type": "float"},
+        {"name": "d", "type": "string"},
+        {"name": "e", "type": "bytes"},
+    ]}
+    r = {"type": "record", "name": "r", "fields": [
+        {"name": "a", "type": "double"},
+        {"name": "b", "type": "double"},
+        {"name": "c", "type": "double"},
+        {"name": "d", "type": "bytes"},
+        {"name": "e", "type": "string"},
+    ]}
+    buf = _enc_one(w, {"a": 3, "b": 4, "c": 1.5, "d": "hi", "e": b"yo"})
+    rec, _ = decode_resolved(w, r, buf, 0)
+    assert rec == {"a": 3.0, "b": 4.0, "c": 1.5, "d": b"hi", "e": "yo"}
+    assert isinstance(rec["a"], float) and isinstance(rec["b"], float)
+
+
+def test_resolution_union_writer_branch_vs_reader_union():
+    """Writer nullable long read as nullable double (branch-by-branch
+    resolution), and a non-union writer against a reader union."""
+    from iceberg_file_writer_spark.ingest.avro_py import decode_resolved
+
+    w = {"type": "record", "name": "r",
+         "fields": [{"name": "v", "type": ["null", "long"]}]}
+    r = {"type": "record", "name": "r",
+         "fields": [{"name": "v", "type": ["null", "double"]}]}
+    for val in (None, 42):
+        buf = _enc_one(w, {"v": val})
+        rec, _ = decode_resolved(w, r, buf, 0)
+        assert rec["v"] == (None if val is None else 42.0)
+    w2 = {"type": "record", "name": "r",
+          "fields": [{"name": "v", "type": "long"}]}
+    buf = _enc_one(w2, {"v": 5})
+    rec, _ = decode_resolved(w2, r, buf, 0)
+    assert rec["v"] == 5.0
+
+
+def test_resolution_missing_field_without_default_raises():
+    import pytest
+
+    from iceberg_file_writer_spark.ingest.avro_py import decode_resolved
+
+    reader = {"type": "record", "name": "r", "fields": [
+        {"name": "id", "type": "long"},
+        {"name": "required_new", "type": "string"},  # no default
+    ]}
+    buf = _enc_one(W_V1, {"id": 1, "name": "n", "legacy": 2})
+    with pytest.raises(ValueError, match="no default"):
+        decode_resolved(W_V1, reader, buf, 0)
+
+
+def test_evolved_stream_reads_uniformly(spark, tmp_path):
+    """End-to-end (VERDICT r9 done-criterion): old-schema files and
+    new-schema files in ONE read_source glob come back reader-shaped —
+    old rows get the reader default, new rows keep their values."""
+    from pyspark.sql import types as T
+
+    from iceberg_file_writer_spark.ingest.avro_py import write_container
+    from iceberg_file_writer_spark.ingest.batch import read_source
+
+    v1 = {"type": "record", "name": "ev", "fields": [
+        {"name": "event_id", "type": "long"},
+        {"name": "user_id", "type": "int"},
+    ]}
+    v2 = {"type": "record", "name": "ev", "fields": [
+        {"name": "event_id", "type": "long"},
+        {"name": "user_id", "type": "long"},
+        {"name": "source", "type": "string", "default": "legacy"},
+    ]}
+    d = tmp_path / "stream"
+    d.mkdir()
+    write_container(
+        str(d / "old.avro"), v1,
+        [{"event_id": 1, "user_id": 10}, {"event_id": 2, "user_id": 20}],
+    )
+    write_container(
+        str(d / "new.avro"), v2,
+        [{"event_id": 3, "user_id": 30, "source": "live"}],
+    )
+    schema = T.StructType([
+        T.StructField("event_id", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("source", T.StringType()),
+    ])
+    got = sorted(
+        map(tuple, read_source(
+            spark, str(d / "*.avro"), schema,
+            source_format="avro", reader_schema=v2,
+        ).collect())
+    )
+    assert got == [(1, 10, "legacy"), (2, 20, "legacy"), (3, 30, "live")]
+
+
+def test_reader_schema_rejected_for_non_avro(spark, tmp_path):
+    import pytest
+
+    from iceberg_file_writer_spark.ingest.batch import read_source
+
+    with pytest.raises(ValueError, match="avro source only"):
+        read_source(
+            spark, str(tmp_path), source_format="json",
+            reader_schema={"type": "record", "name": "r", "fields": []},
+        )
