@@ -95,13 +95,18 @@ def prune_files(files: list, conjuncts: list) -> list:
 # Above this many manifest entries, stats pruning runs as a Spark job
 # over the sealed segment files (executors parse + filter them; only
 # KEPT entries return to the driver) instead of a driver-side Python
-# loop. The constant trades a Spark job's ~50-100 ms scheduling floor
-# against the driver loop's O(files) single-core cost: at 50k entries
-# the loop still wins comfortably; at 10^5-10^6 (the 100 TB regime,
-# where json-parsing the list alone is seconds) the fan-out wins and —
-# more importantly — the driver never materializes the full list at
-# all. Tests shrink it to exercise the path at sandbox scale.
-DISTRIBUTED_PRUNE_THRESHOLD = 50_000
+# loop. MEASURED (tools_metadata_bench.py, local[32], BASELINE.md
+# round-10 table): the cold driver loop (json parse + resolve + prune)
+# crosses the distributed path's cost between 10^5 and 3x10^5 entries
+# (0.70s vs 1.12s at 100k; 2.59s vs 1.88s at 300k; 9.9s vs 7.6s at
+# 1M), while the MEMO keeps the warm loop cheaper through 10^6 — so
+# the threshold sits at the measured cold crossover. Below it the loop
+# wins outright; above it the fan-out wins cold AND caps driver-side
+# JSON materialization, which on a thin-driver/fat-fleet cluster (the
+# 100 TB shape, where 195+ segments fan out to real executors instead
+# of in-process threads) matters more than this box can show. Tests
+# shrink it to exercise the path at sandbox scale.
+DISTRIBUTED_PRUNE_THRESHOLD = 250_000
 
 
 def prune_files_distributed(
