@@ -107,29 +107,76 @@ def skyline2d(
     ).unionByName(null_rows)
 
 
+def _skyline_mask(m, chunk: int = 256, kept_block: int = 4096):
+    """Boolean mask of the Pareto-optimal rows of matrix ``m`` (all
+    dimensions oriented to MINIMIZE; ties all kept; NaN dimensions
+    never dominate and are never dominated — the NULL semantics).
+
+    Vectorized chunk sweep replacing the round-9 per-row Python loop
+    (the 11.7x sf1 super-linearity this round's scaling study caught):
+    rows dedupe to UNIQUE tuples, unique tuples sort by dim-sum —
+    a dominator's sum is strictly smaller than its dominated row's, so
+    earlier kept rows can never be dominated later — and each chunk
+    tests against the kept front and itself as whole numpy matrix
+    comparisons. Python-level steps drop from O(rows) to
+    O(uniques/chunk x front/kept_block)."""
+    import numpy as np
+
+    uniq, inv = np.unique(m, axis=0, return_inverse=True)
+    order = np.argsort(np.nansum(uniq, axis=1), kind="stable")
+    u = uniq[order]
+    kept_u = np.zeros(len(u), dtype=bool)
+    front = None
+    for s in range(0, len(u), chunk):
+        c = u[s : s + chunk]
+        dom = np.zeros(len(c), dtype=bool)
+        if front is not None:
+            for ks in range(0, len(front), kept_block):
+                kb = front[ks : ks + kept_block]
+                le = (kb[:, None, :] <= c[None, :, :]).all(axis=2)
+                lt = (kb[:, None, :] < c[None, :, :]).any(axis=2)
+                dom |= (le & lt).any(axis=0)
+        # intra-chunk: tuples are unique, so a row never dominates itself
+        le = (c[:, None, :] <= c[None, :, :]).all(axis=2)
+        lt = (c[:, None, :] < c[None, :, :]).any(axis=2)
+        dom |= (le & lt).any(axis=0)
+        surv = c[~dom]
+        kept_u[s : s + chunk] = ~dom
+        front = surv if front is None else np.vstack([front, surv])
+    kept_unique = np.zeros(len(uniq), dtype=bool)
+    kept_unique[order] = kept_u
+    return kept_unique[inv]
+
+
 def skyline_nd(
     df: DataFrame,
     dims: "list[tuple[str, str]]",
     partitions: int | None = None,
 ) -> DataFrame:
     """d-dimensional skyline via the compose + verify plan (skylines
-    compose: skyline(A ∪ B) ⊆ skyline(A) ∪ skyline(B)).
+    compose: skyline(A ∪ B) ⊆ skyline(A) ∪ skyline(B) for ANY split).
 
-    ``dims`` = [(col, "min"|"max"), ...]. Phase 1 computes each Spark
-    partition's LOCAL skyline with a vectorized numpy dominance scan
-    (rows visited in ascending dim-sum order, so kept sets stay small);
-    phase 2 verifies the union of local skylines — a candidate relation
-    bounded by the OUTPUT size times the partition count — in one
-    single-group pass. No all-pairs join over the input ever exists;
-    the n² term is confined to candidate-set-sized matrices. Ties on
-    every dimension are mutually non-dominating and all kept (the
-    NOT-EXISTS semantics, same as skyline2d).
+    ``dims`` = [(col, "min"|"max"), ...]. Dominance only sees the
+    DIMENSION TUPLE, so phase 0 dedupes JVM-side: ``distinct()`` over
+    the dim columns runs as a hash aggregate with map-side partial
+    combine — the full relation never crosses the JVM->Python boundary
+    (the round-9 version shipped every row through Arrow; this round's
+    scaling study measured that at 11.7x on 10x data). Phase 1 computes
+    a local skyline per Arrow batch of the distinct tuples with the
+    vectorized unique-tuple sweep (``_skyline_mask``); phase 2 verifies
+    the union of local fronts in one candidate-sized task; phase 3
+    broadcast LEFT SEMI joins the original rows to the front tuples
+    (null-safe equality — NULL dimensions pass through unconditioned,
+    the NOT-EXISTS three-valued semantics), so ties on every dimension
+    are all kept. No all-pairs join over the input ever exists; the n²
+    term is confined to candidate-set-sized matrices.
 
-    Posture note: phase 2 is one task over the candidate set — correct
-    whenever the skyline itself is a tractable answer (if the front is
-    a large fraction of 100 TB, no operator shape saves the consumer);
-    the EDBT-2023 grid partitioning is the refinement when candidates
-    overflow one task."""
+    Posture note: phase 2 is one task over the candidate set and the
+    front must broadcast — both correct whenever the skyline itself is
+    a tractable answer (if the front is a large fraction of 100 TB, no
+    operator shape saves the consumer); the EDBT-2023 grid partitioning
+    is the refinement when candidates overflow one task. ``partitions``
+    spreads the distinct-tuple relation when given."""
     import numpy as np  # noqa: F401 (documented dependency of the UDF)
 
     from pyspark.sql import functions as F
@@ -141,6 +188,7 @@ def skyline_nd(
     for c, _ in orient:
         if c not in cols:
             raise ValueError(f"unknown skyline dimension: {c}")
+    dim_cols = [c for c, _ in orient]
 
     def _local(pdf):
         import numpy as _np
@@ -148,37 +196,30 @@ def skyline_nd(
         m = _np.column_stack(
             [pdf[c].to_numpy(dtype=float) * s for c, s in orient]
         )
-        order = _np.argsort(m.sum(axis=1), kind="stable")
-        kept_idx: list = []
-        kept: list = []
-        for i in order:
-            row = m[i]
-            if kept:
-                K = _np.vstack(kept)
-                dominated = (
-                    (K <= row).all(axis=1) & (K < row).any(axis=1)
-                ).any()
-                if dominated:
-                    continue
-            kept.append(row)
-            kept_idx.append(i)
-        return pdf.iloc[sorted(kept_idx)]
+        return pdf.iloc[_np.flatnonzero(_skyline_mask(m))]
 
-    schema = df.schema
-    nparts = partitions or int(
-        df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
-    )
-    staged = df.repartition(nparts).withColumn(
-        "_sk_pid", F.spark_partition_id()
-    )
-    local = staged.groupBy("_sk_pid").applyInPandas(
-        lambda pdf: _local(pdf.drop(columns=["_sk_pid"])), schema
-    )
-    final = (
-        local.withColumn("_sk_one", F.lit(1))
-        .groupBy("_sk_one")
-        .applyInPandas(
-            lambda pdf: _local(pdf.drop(columns=["_sk_one"])), schema
-        )
-    )
-    return final
+    def _per_batch(it):
+        for pdf in it:
+            if len(pdf):
+                yield _local(pdf)
+
+    def _global(it):
+        import pandas as _pd
+
+        pdfs = [pdf for pdf in it if len(pdf)]
+        if pdfs:
+            yield _local(_pd.concat(pdfs, ignore_index=True))
+
+    uniq = df.select(*dim_cols).distinct()
+    if partitions:
+        uniq = uniq.repartition(partitions)
+    local = uniq.mapInPandas(_per_batch, uniq.schema)
+    # repartition(1), NOT coalesce(1): coalesce's narrow dependency
+    # would collapse phase 1 into the single final task, destroying its
+    # parallelism — this shuffle moves only the local fronts
+    front = local.repartition(1).mapInPandas(_global, uniq.schema)
+    cond = None
+    for c in dim_cols:
+        eq = df[c].eqNullSafe(front[c])
+        cond = eq if cond is None else (cond & eq)
+    return df.join(F.broadcast(front), cond, "left_semi")
