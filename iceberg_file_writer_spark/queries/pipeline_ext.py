@@ -389,6 +389,82 @@ def scd2_user_value_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "click_scd2_state_asof",
+    oracle="""
+WITH hist AS (
+  SELECT user_id,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS version,
+         ts AS valid_from,
+         lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS valid_to,
+         value
+  FROM events WHERE event_type = 'purchase'
+),
+clicks AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+)
+SELECT c.event_id, c.user_id, c.ts,
+       h.version::BIGINT AS state_version, h.value AS state_value
+FROM clicks c LEFT JOIN hist h
+  ON h.user_id = c.user_id AND h.valid_from <= c.ts
+ AND (h.valid_to IS NULL OR c.ts < h.valid_to)
+""",
+    description=(
+        "Temporal join against a versioned dimension: each click event "
+        "picks the SCD2 purchase-history slice whose [valid_from, "
+        "valid_to) interval covers its timestamp (open current slice; "
+        "clicks before the first purchase keep NULL state) — the "
+        "point-in-time dimension lookup every warehouse backfill runs, "
+        "as one equi-key join with a range residual"
+    ),
+    # Registry-only: the driver surface is at its 50-entry cap
+    # (ninth rotation); pytest-oracle-checked + benched like every
+    # non-exposed entry.
+    driver_exposed=False,
+)
+def click_scd2_state_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time SCD2 lookup as an equi-join with a range residual.
+
+    Scale shape: both sides hash-shuffle ONCE on user_id (the SCD2
+    build's window already partitions by it) and the validity predicate
+    rides as a join residual — per-user histories are small, so the
+    residual scans bounded rows per key. Never a cross join; intervals
+    partition each user's timeline, so at most one slice matches
+    ([t, t) empty intervals from same-ts purchases match nothing, both
+    engines). A click AT a purchase's ts maps to the NEW slice
+    (valid_from <= ts, strict < valid_to)."""
+    t = load_tables(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    hist = (
+        t["events"]
+        .where(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("h_user_id"),
+            F.row_number().over(
+                Window.partitionBy("user_id").orderBy("ts", "event_id")
+            ).cast("long").alias("state_version"),
+            F.col("ts").alias("valid_from"),
+            F.lead("ts", 1).over(w).alias("valid_to"),
+            F.col("value").alias("state_value"),
+        )
+    )
+    clicks = (
+        t["events"]
+        .where(F.col("event_type") == "click")
+        .select("event_id", "user_id", "ts")
+    )
+    cond = (
+        (clicks["user_id"] == hist["h_user_id"])
+        & (hist["valid_from"] <= clicks["ts"])
+        & (hist["valid_to"].isNull() | (clicks["ts"] < hist["valid_to"]))
+    )
+    return clicks.join(hist, cond, "left").select(
+        "event_id", "user_id", "ts", "state_version", "state_value"
+    )
+
+
 # --- int8 embedding quantization ------------------------------------------
 
 EMB_DIMS = 64

@@ -1011,6 +1011,110 @@ def bloom_keyset_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _AVRO_TABLES: dict[tuple, str] = {}
+_AVRO_EVOLVED: dict[tuple, str] = {}
+
+
+@register(
+    "avro_schema_evolution_read",
+    oracle="""
+SELECT event_id, user_id,
+       CASE WHEN event_id % 2 = 0 THEN 'legacy' ELSE event_type END
+         AS event_type,
+       CASE WHEN event_id % 2 = 0 THEN CAST(value AS FLOAT)::DOUBLE
+            ELSE value END AS value
+FROM events WHERE event_id % 97 = 0
+""",
+    description=(
+        "Avro Schema Resolution under the value-hash gate: half the "
+        "sample is written with an OLD writer schema (user_id int, "
+        "value float, no event_type), half with the new one; ONE "
+        "read_source(reader_schema=...) glob resolves both — reader "
+        "default fills event_type='legacy' on old rows, int->long and "
+        "float->double promotions apply (the oracle replays the f32 "
+        "round-trip with CAST(value AS FLOAT)::DOUBLE) — proving an "
+        "evolved stream reads uniformly reader-shaped"
+    ),
+    driver_exposed=False,
+    eager=True,  # materializes the two-generation container files once
+)
+def avro_schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The evolved-stream read (ingest/avro_py.decode_resolved) as an
+    oracle-checked entry.
+
+    The builder collects the % 97 sample driver-side to author the two
+    writer generations byte-exactly (bounded: ~0.5 KiB/row at ~1% of
+    events — a fixture write, not a data path; the distributed
+    write/read paths are avro_container_roundtrip's). The READ is the
+    100 TB path: file-parallel binaryFile + Arrow-batched executor-side
+    resolution against the reader schema."""
+    from pyspark.sql import types as T
+
+    from iceberg_file_writer_spark.ingest.avro_py import write_container
+    from iceberg_file_writer_spark.ingest.batch import read_source
+
+    v1 = {
+        "type": "record", "name": "ev",
+        "fields": [
+            {"name": "event_id", "type": "long"},
+            {"name": "user_id", "type": "int"},
+            {"name": "value", "type": ["null", "float"], "default": None},
+        ],
+    }
+    v2 = {
+        "type": "record", "name": "ev",
+        "fields": [
+            {"name": "event_id", "type": "long"},
+            {"name": "user_id", "type": "long"},
+            {"name": "event_type", "type": "string", "default": "legacy"},
+            {"name": "value", "type": ["null", "double"], "default": None},
+        ],
+    }
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _AVRO_EVOLVED:
+        rows = (
+            load_tables(spark, sf_dir)["events"]
+            .where("event_id % 97 = 0")
+            .select("event_id", "user_id", "event_type", "value")
+            .collect()
+        )
+        d = tempfile.mkdtemp(prefix="avro-evo-")
+        old = [
+            {
+                "event_id": r.event_id,
+                "user_id": int(r.user_id),
+                "value": r.value,
+            }
+            for r in rows
+            if r.event_id % 2 == 0
+        ]
+        new = [
+            {
+                "event_id": r.event_id,
+                "user_id": r.user_id,
+                "event_type": r.event_type,
+                "value": r.value,
+            }
+            for r in rows
+            if r.event_id % 2 == 1
+        ]
+        write_container(os.path.join(d, "gen1.avro"), v1, old)
+        write_container(os.path.join(d, "gen2.avro"), v2, new)
+        _AVRO_EVOLVED[key] = d
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType(), False),
+            T.StructField("user_id", T.LongType(), False),
+            T.StructField("event_type", T.StringType(), False),
+            T.StructField("value", T.DoubleType(), True),
+        ]
+    )
+    return read_source(
+        spark,
+        f"{_AVRO_EVOLVED[key]}/*.avro",
+        schema,
+        source_format="avro",
+        reader_schema=v2,
+    )
 
 
 @register(
