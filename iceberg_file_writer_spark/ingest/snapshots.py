@@ -519,7 +519,8 @@ def commit_delete_where(
     hit_uris = {
         r.f
         for r in (
-            spark.read.option("mergeSchema", "true").parquet(*paths)
+            spark.read.schema(_standing_schema(spark, table_path, files))
+            .parquet(*paths)
             .where(predicate)
             .select(F.input_file_name().alias("f"))
             .distinct()
@@ -578,7 +579,8 @@ def commit_update_where(
     hit_uris = {
         r.f
         for r in (
-            spark.read.option("mergeSchema", "true").parquet(*paths)
+            spark.read.schema(_standing_schema(spark, table_path, files))
+            .parquet(*paths)
             .where(predicate)
             .select(F.input_file_name().alias("f"))
             .distinct()
@@ -670,10 +672,10 @@ def read_table_version(
             raise ValueError("table never contained data; no schema available")
         anc = [os.path.join(table_path, e["path"]) for e in src]
         return spark.read.parquet(*anc).where(F.lit(False))
-    # mergeSchema: snapshots may mix files written before and after an
-    # additive column evolution; older rows surface NULL for new columns.
-    # (At scale the manifest would carry the schema; footer merging here
-    # keeps the jar-free layer simple.)
+    # Snapshots may mix files written before and after an additive
+    # column evolution; older rows surface NULL for new columns. The
+    # read schema comes from ONE newest-seq footer (_standing_schema),
+    # not O(files) mergeSchema footer reads.
     mv = read_manifest(table_path, v)
     return _read_files(
         spark, table_path, files, mv.get("dvs"), eqs=mv.get("eqs")
@@ -714,6 +716,38 @@ def read_table_asof(
     return read_table_version(spark, table_path, version_asof(table_path, ts_ms))
 
 
+# Resolved-scan memo: creating a parquet reader over an EXPLICIT path
+# list costs ~1.75 ms/path of sequential driver-side glob/exists checks
+# (measured: 3.3 s at 1,880 files, EVERY read — vs 0.05 s for a
+# directory read; at 10^5 files that is minutes per scan). The path
+# list of a snapshot is immutable (uuid file names, never rewritten, a
+# changed table is a NEW version), so the resolved DataFrame plan is
+# memoized per (app, table, file-set, sidecars, position-flag) — the
+# same snapshot's second read costs a dict hit. Bounded like the
+# manifest memo.
+_READ_PLAN_CACHE: dict = {}
+_READ_PLAN_CACHE_MAX = 64
+
+
+def _standing_schema(spark: SparkSession, table_path: str, files: list[dict]):
+    """The snapshot's schema from the footer of ONE newest-seq file.
+
+    Schema evolution here is additive-only (module contract), so the
+    most recent write's files carry the superset schema — CoW rewrites
+    read merge-schema'd and re-write full-width, appends after an ADD
+    COLUMN carry the new column. Reading one footer replaces
+    ``mergeSchema=true``'s O(files) driver-side footer reads at every
+    plan — at 10^5 files that is the difference between a constant-time
+    plan and seconds of driver IO per statement (the metadata-plane
+    class of bottleneck; BASELINE.md round-10). Files written BEFORE an
+    added column surface NULL for it under an explicit read schema,
+    exactly as mergeSchema produced."""
+    newest = max(files, key=lambda e: int(e.get("seq") or 0))
+    return spark.read.parquet(
+        os.path.join(table_path, newest["path"])
+    ).schema
+
+
 def _read_files(
     spark: SparkSession,
     table_path: str,
@@ -741,11 +775,30 @@ def _read_files(
     the physical position as ``_pos_fn``/``_pos_ri`` columns — the
     ``_metadata`` pseudo-column is only resolvable on the direct scan,
     so positional consumers (the MoR delete writer) must capture it
-    here, not after the join."""
-    data = spark.read.option("mergeSchema", "true").parquet(
-        *[os.path.join(table_path, e["path"]) for e in files]
+    here, not after the join.
+
+    The whole resolved plan memoizes per snapshot content (see the
+    _READ_PLAN_CACHE note): every input — data files, DV files, eq
+    files, their seq stamps — is immutable once written, so equal keys
+    mean an identical plan."""
+    key = (
+        spark.sparkContext.applicationId,
+        table_path,
+        tuple(e["path"] for e in files),
+        tuple(dvs or []),
+        tuple((e["path"], int(e.get("seq") or 0)) for e in (eqs or [])),
+        with_position,
     )
+    cached = _READ_PLAN_CACHE.get(key)
+    if cached is not None:
+        return cached
+    data = spark.read.schema(
+        _standing_schema(spark, table_path, files)
+    ).parquet(*[os.path.join(table_path, e["path"]) for e in files])
     if not dvs and not eqs and not with_position:
+        if len(_READ_PLAN_CACHE) >= _READ_PLAN_CACHE_MAX:
+            _READ_PLAN_CACHE.clear()
+        _READ_PLAN_CACHE[key] = data
         return data
     data = data.withColumns(
         {
@@ -763,7 +816,11 @@ def _read_files(
         data = data.join(dv, ["_pos_fn", "_pos_ri"], "left_anti")
     if eqs:
         data = _apply_equality_deletes(spark, table_path, data, files, eqs)
-    return data if with_position else data.drop("_pos_fn", "_pos_ri")
+    out = data if with_position else data.drop("_pos_fn", "_pos_ri")
+    if len(_READ_PLAN_CACHE) >= _READ_PLAN_CACHE_MAX:
+        _READ_PLAN_CACHE.clear()
+    _READ_PLAN_CACHE[key] = out
+    return out
 
 
 def _apply_equality_deletes(
@@ -980,7 +1037,9 @@ def commit_merge(
     if paths:
         # input_file_name() must be projected over the single-source scan
         # BEFORE the join (Spark rejects it in multi-source plans)
-        cur = spark.read.option("mergeSchema", "true").parquet(*paths).select(
+        cur = spark.read.schema(
+            _standing_schema(spark, table_path, files)
+        ).parquet(*paths).select(
             F.col(key), F.input_file_name().alias("f")
         )
         hit_uris = {
