@@ -2030,3 +2030,134 @@ def ann_index_pq_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     from iceberg_file_writer_spark.operators.ann_index import pq_probe_index
 
     return pq_probe_index(spark, sf_dir, _ensure_ann_index(spark, sf_dir))
+
+
+# --- MMR diverse selection ---------------------------------------------------
+
+MMR_K = 6
+MMR_LAMBDA = 0.7
+
+
+def _mmr_oracle() -> str:
+    """Unrolled MMR: step r picks argmax of lam*rel - (1-lam)*max-sim to
+    the already-selected set (1-row CTE cross joins); cosines rounded to
+    COSINE_DECIMALS on both engines make the argmax tie-break (vec_id
+    asc) deterministic."""
+    lam, om = "0.7::DOUBLE", "0.3::DOUBLE"
+    ctes = [
+        "q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)",
+        "c AS (SELECT vec_id, embedding AS ce FROM embeddings "
+        "WHERE vec_id <> 0)",
+        f"scored AS (SELECT c.vec_id, c.ce, {_cosine_sql('c.ce', 'q.qe')} "
+        "AS rel FROM c, q)",
+    ]
+    prev: list = []
+    selects = []
+    for r in range(1, MMR_K + 1):
+        if prev:
+            red_terms = ", ".join(
+                _cosine_sql("s.ce", f"{p}.se") for p in prev
+            )
+            red = (
+                f"greatest({red_terms})" if len(prev) > 1 else red_terms
+            )
+            frm = "scored s, " + ", ".join(prev)
+            where = "WHERE " + " AND ".join(
+                f"s.vec_id <> {p}.vec_id" for p in prev
+            )
+        else:
+            red, frm, where = "0.0::DOUBLE", "scored s", ""
+        ctes.append(
+            f"s{r} AS (SELECT s.vec_id, s.ce AS se, "
+            f"{lam} * s.rel - {om} * ({red}) AS sc "
+            f"FROM {frm} {where} ORDER BY sc DESC, s.vec_id LIMIT 1)"
+        )
+        prev.append(f"s{r}")
+        selects.append(
+            f"SELECT {r} AS step_rank, (SELECT vec_id FROM s{r}) AS vec_id, "
+            f"(SELECT sc FROM s{r}) AS mmr_score"
+        )
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(selects)
+
+
+@register(
+    "mmr_diverse_topk",
+    oracle=_mmr_oracle(),
+    description=(
+        f"Maximal-marginal-relevance diverse top-{MMR_K} (lambda="
+        f"{MMR_LAMBDA}): greedy selection maximizing relevance to the "
+        "query minus max-similarity to the already-picked set — the "
+        "diversity-aware sampler RAG/dedup curation uses instead of "
+        "plain top-k; oracle unrolls the greedy steps as 1-row CTEs, "
+        "rounded cosines make the argmax deterministic cross-engine"
+    ),
+    driver_exposed=False,
+    eager=True,  # k bounded top-1 jobs run at plan-build time
+)
+def mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy MMR over the cached column-block corpus.
+
+    Scale shape: the corpus never shuffles — each of the k rounds is a
+    codegen'd projection over the cached blocks (relevance computed
+    once; redundancy = greatest of <=k literal-vector dot chains, the
+    selected set riding in the PLAN as exact double literals) ending in
+    one TakeOrdered top-1. Driver state is k rows + k vectors (bounded
+    guard relations, the repo's collect() contract). k jobs total;
+    at 100 TB the same plan holds with the corpus partition-pruned by
+    an IVF routing stage first (ann_index_ivf_probe's machinery)."""
+    emb = _emb_cached(spark, sf_dir)
+    qrow = emb.where("vec_id = 0").collect()[0]
+    qvec = [qrow[f"e{i}"] for i in range(EMB_DIMS)]
+    qn = qrow["nrm"]
+    cands = _rename(emb.where("vec_id <> 0"), "cid", "b", "nb")
+    rel_dot = " + ".join(
+        f"b{i} * {_dlit(qvec[i])}" for i in range(EMB_DIMS)
+    )
+    scored = cands.selectExpr(
+        "cid",
+        *[f"b{i}" for i in range(EMB_DIMS)],
+        "nb",
+        f"round(({rel_dot}) / (nb * {_dlit(qn)}), {COSINE_DECIMALS}) AS rel",
+    )
+    lam, om = _dlit(MMR_LAMBDA), _dlit(1.0 - MMR_LAMBDA)
+    out_rows: list = []
+    sel: list = []  # (vec_id, [e0..], norm)
+    for step_rank in range(1, MMR_K + 1):
+        if sel:
+            red_terms = ", ".join(
+                "round(("
+                + " + ".join(
+                    f"b{i} * {_dlit(v[i])}" for i in range(EMB_DIMS)
+                )
+                + f") / (nb * {_dlit(n)}), {COSINE_DECIMALS})"
+                for _vid, v, n in sel
+            )
+            red = (
+                f"greatest({red_terms})" if len(sel) > 1 else red_terms
+            )
+            guard = " AND ".join(f"cid <> {vid}" for vid, _v, _n in sel)
+        else:
+            red, guard = "CAST(0.0 AS DOUBLE)", "true"
+        step = (
+            scored.where(guard)
+            .selectExpr(
+                "cid",
+                *[f"b{i}" for i in range(EMB_DIMS)],
+                "nb",
+                f"{lam} * rel - {om} * ({red}) AS mmr_score",
+            )
+            .orderBy(F.desc("mmr_score"), F.asc("cid"))
+            .limit(1)
+        )
+        top = step.collect()[0]
+        out_rows.append((step_rank, top.cid, float(top.mmr_score)))
+        sel.append(
+            (
+                top.cid,
+                [top[f"b{i}"] for i in range(EMB_DIMS)],
+                top.nb,
+            )
+        )
+    return spark.createDataFrame(
+        out_rows, "step_rank int, vec_id long, mmr_score double"
+    )
