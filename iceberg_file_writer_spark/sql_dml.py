@@ -34,6 +34,10 @@ Statements (one per call; trailing ``;`` allowed):
       WHEN MATCHED THEN UPDATE SET c = <expr>[, ...]
       WHEN NOT MATCHED THEN INSERT *                  -> column-wise merge
                                          (joined SET projection -> upsert)
+    MERGE INTO ... [either SET form] ...
+      WHEN NOT MATCHED BY SOURCE THEN DELETE          -> full-sync merge
+                                         (result = matched+inserted rows,
+                                          committed as an overwrite)
 
 The column-wise MERGE evaluates each SET expression with BOTH aliases
 in scope (``ta.col``/``sa.col``, standard MERGE scoping), projects the
@@ -88,7 +92,9 @@ _MERGE_RE = re.compile(
     rf"{_WS}USING{_WS}\((?P<q>.+)\)(?:{_WS}(?:AS{_WS})?(?P<salias>{_ID}))?"
     rf"{_WS}ON{_WS}(?P<on>.+?)"
     rf"{_WS}WHEN{_WS}MATCHED{_WS}THEN{_WS}UPDATE{_WS}SET{_WS}(?P<sets>.+?)"
-    rf"{_WS}WHEN{_WS}NOT{_WS}MATCHED{_WS}THEN{_WS}INSERT{_WS}\*$",
+    rf"{_WS}WHEN{_WS}NOT{_WS}MATCHED{_WS}THEN{_WS}INSERT{_WS}\*"
+    rf"(?P<sync>{_WS}WHEN{_WS}NOT{_WS}MATCHED{_WS}BY{_WS}SOURCE"
+    rf"{_WS}THEN{_WS}DELETE)?$",
     re.IGNORECASE | re.DOTALL,
 )
 _OPTIMIZE_RE = re.compile(rf"^OPTIMIZE{_WS}(?P<t>{_ID})$", re.IGNORECASE)
@@ -201,6 +207,7 @@ def _merge_column_wise(
     assignments: "dict[str, str]",
     keys: "list[str]",
     max_rows: int,
+    sync: bool = False,
 ):
     """``WHEN MATCHED THEN UPDATE SET c = expr`` MERGE: matched target
     rows are projected through the assignments with BOTH aliases in
@@ -209,7 +216,9 @@ def _merge_column_wise(
     commits through the same one-commit MoR upsert as the whole-row
     form. One target scan + one source scan; the join and anti-join
     both key on the MERGE ON columns, so at scale they shuffle once on
-    the same key."""
+    the same key. With ``sync`` (WHEN NOT MATCHED BY SOURCE THEN
+    DELETE), target-only rows drop too — the matched+inserted union IS
+    the new table state, committed as one overwrite."""
     import uuid as _uuid
 
     from iceberg_file_writer_spark.ingest.equality_deletes import commit_upsert
@@ -246,6 +255,12 @@ def _merge_column_wise(
         upsert_rows = _align_to_table(
             spark, matched.unionByName(inserted, allowMissingColumns=False), path
         )
+        if sync:
+            from iceberg_file_writer_spark.ingest.snapshots import (
+                commit_overwrite,
+            )
+
+            return commit_overwrite(spark, upsert_rows, path, max_rows=max_rows)
         return commit_upsert(spark, path, upsert_rows, keys, max_rows=max_rows)
     finally:
         spark.catalog.dropTempView(tview)
@@ -360,14 +375,16 @@ def execute_dml(
         keys = _merge_keys(m.group("on"), aliases_t, aliases_s)
         path = _resolve(tables, t)
         sets = m.group("sets").strip()
+        sync = m.group("sync") is not None
         if sets == "*":
-            return commit_upsert(
-                spark,
-                path,
-                _align_to_table(spark, spark.sql(m.group("q")), path),
-                keys,
-                max_rows=max_rows,
-            )
+            src = _align_to_table(spark, spark.sql(m.group("q")), path)
+            if sync:
+                # SET * + INSERT * + NOT MATCHED BY SOURCE DELETE:
+                # matched rows become source rows, source-only rows
+                # insert, target-only rows drop — the result IS the
+                # source relation, committed as one overwrite
+                return commit_overwrite(spark, src, path, max_rows=max_rows)
+            return commit_upsert(spark, path, src, keys, max_rows=max_rows)
         return _merge_column_wise(
             spark,
             path,
@@ -378,6 +395,7 @@ def execute_dml(
             _parse_assignments(sets),
             keys,
             max_rows,
+            sync=sync,
         )
 
     m = _OPTIMIZE_RE.match(stmt)

@@ -350,3 +350,59 @@ def test_update_verb_direct_empty_and_no_match(spark, tmp_path, table):
     # source by standing contract, so assert on the manifest instead
     m = read_manifest(t2, v)
     assert m["op"] == "update" and m["files"] == []
+
+
+def test_merge_full_sync_whole_row(spark, table):
+    """SET * + INSERT * + WHEN NOT MATCHED BY SOURCE THEN DELETE: the
+    table becomes exactly the source relation, as one overwrite."""
+    t, orders = table
+    load_tables(spark, SF_DIR)
+    execute_dml(
+        spark,
+        """MERGE INTO ord USING (
+             SELECT o_orderkey, o_custkey, -1.0 AS o_totalprice
+             FROM orders WHERE o_custkey % 3 = 0
+           ) AS src ON ord.o_orderkey = src.o_orderkey
+           WHEN MATCHED THEN UPDATE SET *
+           WHEN NOT MATCHED THEN INSERT *
+           WHEN NOT MATCHED BY SOURCE THEN DELETE""",
+        {"ord": t},
+    )
+    got = read_table_version(spark, t)
+    want_n = orders.where("o_custkey % 3 = 0").count()
+    assert got.count() == want_n
+    assert got.where("o_totalprice <> -1.0").count() == 0
+    assert read_manifest(t, current_version(t))["op"] == "overwrite"
+
+
+def test_merge_full_sync_column_wise(spark, table):
+    """Column-wise SET + BY SOURCE DELETE: matched rows keep target
+    columns except the assignment, source-only rows insert, target-only
+    rows drop."""
+    t, orders = table
+    load_tables(spark, SF_DIR)
+    execute_dml(
+        spark,
+        """MERGE INTO ord AS tgt USING (
+             SELECT * FROM (
+               SELECT o_orderkey, o_custkey, o_totalprice
+               FROM orders ORDER BY o_orderkey LIMIT 10
+             )
+             UNION ALL SELECT 88000077, 9, 3.5
+           ) AS src
+           ON tgt.o_orderkey = src.o_orderkey
+           WHEN MATCHED THEN UPDATE SET o_totalprice = tgt.o_totalprice + 1.0
+           WHEN NOT MATCHED THEN INSERT *
+           WHEN NOT MATCHED BY SOURCE THEN DELETE""",
+        {"ord": t},
+    )
+    got = read_table_version(spark, t)
+    assert got.count() == 11  # 10 matched + 1 insert, everything else gone
+    first10 = {
+        r.o_orderkey: r.o_totalprice
+        for r in orders.orderBy("o_orderkey").limit(10).collect()
+    }
+    upd = {r.o_orderkey: r.o_totalprice for r in got.collect()}
+    for k, v in first10.items():
+        assert upd[k] == v + 1.0
+    assert upd[88000077] == 3.5
