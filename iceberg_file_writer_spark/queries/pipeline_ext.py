@@ -814,6 +814,115 @@ def doc_dup_chunk_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- duplicate-span removal (exact substring dedup, rewrite form) ---------
+
+# Non-overlapping segment geometry: removal rewrites the document, so the
+# segments must tile the token stream (an overlapping window cannot be
+# dropped without also dropping tokens its neighbours still need).
+SEG_TOKENS = CHUNK_SIZE
+
+_SEGS_SQL = f"""
+  SELECT doc_id,
+         s // {SEG_TOKENS} AS seg_idx,
+         md5(array_to_string(list_slice(tk, s + 1, s + {SEG_TOKENS}), ' ')) AS h,
+         len(list_slice(tk, s + 1, s + {SEG_TOKENS})) AS n_tok
+  FROM (
+    SELECT doc_id, tk, unnest(range(0, greatest(len(tk), 1), {SEG_TOKENS})) AS s
+    FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM documents)
+  )
+"""
+
+
+@register(
+    "doc_dup_span_removal",
+    oracle=f"""
+WITH segs AS ({_SEGS_SQL}),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY h ORDER BY doc_id, seg_idx) AS rn
+  FROM segs
+)
+SELECT doc_id,
+       count(*) AS n_segments,
+       CAST(count(*) FILTER (WHERE rn > 1) AS BIGINT)          AS n_removed,
+       CAST(coalesce(sum(n_tok) FILTER (WHERE rn = 1), 0) AS BIGINT) AS kept_tokens,
+       CAST(coalesce(sum(n_tok) FILTER (WHERE rn > 1), 0) AS BIGINT) AS removed_tokens,
+       md5(coalesce(string_agg(h, '' ORDER BY seg_idx) FILTER (WHERE rn = 1), ''))
+         AS cleaned_fingerprint
+FROM ranked GROUP BY doc_id
+""",
+    description=(
+        f"Duplicate-span REMOVAL (the rewrite form of chunk dedup): tile "
+        f"each document into non-overlapping {SEG_TOKENS}-token segments, "
+        "keep only the corpus-order first occurrence of each segment hash "
+        "(later repeats — boilerplate, mirrored pages, in-document "
+        "repetition — are dropped), and emit the per-document rewrite "
+        "ledger plus an order-preserving fingerprint of the cleaned text"
+    ),
+    driver_exposed=False,
+)
+def doc_dup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring dedup as a rewrite: drop repeated spans, keep firsts.
+
+    The training-data form of dedup that document- and chunk-LEVEL dedup
+    don't give you: instead of dropping whole documents (or just scoring
+    them), repeated spans are removed from otherwise-unique documents —
+    the Lee et al. "Deduplicating Training Data Makes Language Models
+    Better" operation, expressed relationally.
+
+    Scale shape: the token text never shuffles. Segments hash at scan
+    time, so both data movements — the first-occurrence window
+    (partitionBy segment hash) and the per-document rebuild (groupBy
+    doc_id) — carry only (doc_id, seg_idx, 32-hex digest, token count).
+    The cleaned text itself is never materialized; the fingerprint
+    (md5 over the kept segment digests in position order) commits to it
+    exactly, and an actual rewrite pass would re-slice the kept
+    (doc_id, seg_idx) positions from the source — O(kept) local work
+    with the ledger broadcast or storage-joined, still zero text
+    shuffles. First-occurrence is a total order (doc_id, seg_idx), so
+    the result is deterministic under any partitioning.
+    """
+    t = load_tables(spark, sf_dir)
+    tk = F.split(F.col("text"), " ")
+    starts = F.sequence(
+        F.lit(0), F.greatest(F.size(tk) - 1, F.lit(0)), F.lit(SEG_TOKENS)
+    )
+    seg_tok = F.slice("tk", F.col("s") + 1, SEG_TOKENS)
+    segs = (
+        t["documents"]
+        .select("doc_id", tk.alias("tk"), F.explode(starts).alias("s"))
+        .select(
+            "doc_id",
+            (F.col("s") / SEG_TOKENS).cast("long").alias("seg_idx"),
+            F.md5(F.array_join(seg_tok, " ")).alias("h"),
+            F.size(seg_tok).cast("long").alias("n_tok"),
+        )
+    )
+    w = Window.partitionBy("h").orderBy("doc_id", "seg_idx")
+    ranked = segs.select(
+        "doc_id", "seg_idx", "h", "n_tok", F.row_number().over(w).alias("rn")
+    )
+    kept = F.col("rn") == 1
+    return ranked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_segments"),
+        F.sum(F.when(~kept, 1).otherwise(0)).alias("n_removed"),
+        F.sum(F.when(kept, F.col("n_tok")).otherwise(0)).alias("kept_tokens"),
+        F.sum(F.when(~kept, F.col("n_tok")).otherwise(0)).alias("removed_tokens"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(kept, F.struct("seg_idx", "h"))
+                        )
+                    ),
+                    lambda x: x["h"],
+                ),
+                "",
+            )
+        ).alias("cleaned_fingerprint"),
+    )
+
+
 # --- BPE merge training ---------------------------------------------------
 
 BPE_MERGES = 4  # learned merge rules (unrolled identically in the oracle)

@@ -523,3 +523,24 @@ def test_hll_register_relation_is_partial_aggregated(spark):
     p = _plan(spark, "hll_distinct_users_by_type")
     assert "partial_max" in p, p
     assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p, p
+
+
+def test_dup_span_removal_never_shuffles_text(spark):
+    """Both exchanges (first-occurrence window on the segment hash, the
+    per-document rebuild) carry only (doc_id, seg_idx, digest, n_tok);
+    the token text is consumed at scan time and never moves. Scan prunes
+    to (doc_id, text); partial aggregation runs before the doc shuffle."""
+    import re
+
+    p = _plan(spark, "doc_dup_span_removal")
+    # formatted output prints each node twice (tree + detail): count the
+    # numbered detail entries, not the raw substring
+    assert len(re.findall(r"\(\d+\) Exchange\n", p)) == 2, p
+    for m in re.finditer(r"\(\d+\) Exchange\n(Input[^\n]*)", p):
+        assert "tk#" not in m.group(1) and "text#" not in m.group(1), m.group(1)
+    assert "partial_count" in p and "partial_collect_list" in p, p
+    m = re.search(r"ReadSchema: struct<([^>]*)>", p)
+    assert m, p
+    cols = {c.split(":")[0] for c in m.group(1).split(",")}
+    assert cols == {"doc_id", "text"}, cols
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p, p
