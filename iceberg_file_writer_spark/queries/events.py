@@ -1299,3 +1299,133 @@ def user_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             "max_secs_from_first)"
         )
     )
+
+
+# --- multi-touch attribution -------------------------------------------------
+
+ATTRIB_LOOKBACK_DAYS = 7
+ATTRIB_TOUCH_TYPES = ("view", "click")
+
+_ATTRIB_ORACLE = f"""
+WITH pairs AS (
+  SELECT p.event_id AS p_id, p.value AS p_val,
+         t.event_type AS touch_type, t.ts AS t_ts, t.event_id AS t_id
+  FROM events p JOIN events t
+    ON t.user_id = p.user_id
+   AND p.event_type = 'purchase'
+   AND t.event_type IN ('view', 'click')
+   AND t.ts <= p.ts
+   AND t.ts >= p.ts - INTERVAL {ATTRIB_LOOKBACK_DAYS} DAY
+),
+rk AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY p_id ORDER BY t_ts, t_id) AS rn,
+         count(*) OVER (PARTITION BY p_id) AS n
+  FROM pairs
+),
+wts AS (
+  SELECT touch_type, p_val,
+         CASE WHEN rn = 1 THEN 1.0::DOUBLE ELSE 0.0::DOUBLE END AS w_first,
+         CASE WHEN rn = n THEN 1.0::DOUBLE ELSE 0.0::DOUBLE END AS w_last,
+         1.0::DOUBLE / n AS w_linear,
+         CASE WHEN n = 1 THEN 1.0::DOUBLE
+              WHEN n = 2 THEN 0.5::DOUBLE
+              WHEN rn = 1 OR rn = n THEN 0.4::DOUBLE
+              ELSE 0.2::DOUBLE / (n - 2) END AS w_position
+  FROM rk
+),
+m AS (
+  SELECT touch_type, 'first_touch' AS model, w_first AS w, p_val FROM wts
+  UNION ALL SELECT touch_type, 'last_touch', w_last, p_val FROM wts
+  UNION ALL SELECT touch_type, 'linear', w_linear, p_val FROM wts
+  UNION ALL SELECT touch_type, 'position_based', w_position, p_val FROM wts
+)
+SELECT touch_type, model,
+       round(sum(w), 6) AS credited_conversions,
+       round(sum(w * p_val), 4) AS credited_revenue
+FROM m GROUP BY touch_type, model
+"""
+
+
+@register(
+    "purchase_multitouch_attribution",
+    oracle=_ATTRIB_ORACLE,
+    description=(
+        "Multi-touch attribution: every purchase's preceding view/click "
+        f"touches within a {ATTRIB_LOOKBACK_DAYS}-day lookback are credited "
+        "under four models at once — first-touch, last-touch, linear, and "
+        "U-shaped position-based (40/20/40) — reported as credited "
+        "(fractional) conversions and revenue per touch type and model"
+    ),
+    driver_exposed=False,
+)
+def purchase_multitouch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The marketing-analytics attribution read over the event stream.
+
+    Scale shape: the only corpus-sized movement is one hash shuffle of
+    each filtered event subset on ``user_id`` for the touch-to-purchase
+    interval join (sort-merge with the lookback range as the band
+    predicate — per-user fan-out is bounded by activity within the
+    7-day window, never all-pairs). The per-purchase ranking then
+    re-partitions the pair relation by purchase id; the
+    window needs ONE sort (the unbounded count carries no ordering, and
+    the last-touch test is ``rn = n``), and all four models' weights are
+    codegen'd projections off the same (rn, n) pair — the model dimension
+    multiplies rows only AFTER the windows, via ``stack``, into the
+    final partial-agg'd groupBy. Weights are exact per-pair arithmetic,
+    so each model distributes exactly 1.0 per purchase.
+    """
+    ev = load_tables(spark, sf_dir)["events"]
+    touches = ev.where(F.col("event_type").isin(*ATTRIB_TOUCH_TYPES)).select(
+        F.col("user_id").alias("t_user"),
+        F.col("ts").alias("t_ts"),
+        F.col("event_type").alias("touch_type"),
+        F.col("event_id").alias("t_id"),
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+        F.col("value").alias("p_val"),
+        F.col("event_id").alias("p_id"),
+    )
+    pairs = purchases.join(
+        touches,
+        (F.col("t_user") == F.col("p_user"))
+        & (F.col("t_ts") <= F.col("p_ts"))
+        & (
+            F.col("t_ts")
+            >= F.col("p_ts") - F.expr(f"INTERVAL {ATTRIB_LOOKBACK_DAYS} DAYS")
+        ),
+    )
+    w = Window.partitionBy("p_id")
+    rk = pairs.select(
+        "touch_type",
+        "p_val",
+        F.row_number().over(w.orderBy("t_ts", "t_id")).alias("rn"),
+        F.count(F.lit(1)).over(w).alias("n"),
+    )
+    rn, n = F.col("rn"), F.col("n")
+    wts = rk.select(
+        "touch_type",
+        "p_val",
+        F.when(rn == 1, F.lit(1.0)).otherwise(F.lit(0.0)).alias("w_first"),
+        F.when(rn == n, F.lit(1.0)).otherwise(F.lit(0.0)).alias("w_last"),
+        (F.lit(1.0) / n).alias("w_linear"),
+        F.when(n == 1, F.lit(1.0))
+        .when(n == 2, F.lit(0.5))
+        .when((rn == 1) | (rn == n), F.lit(0.4))
+        .otherwise(F.lit(0.2) / (n - 2))
+        .alias("w_position"),
+    )
+    m = wts.select(
+        "touch_type",
+        F.expr(
+            "stack(4, 'first_touch', w_first, 'last_touch', w_last, "
+            "'linear', w_linear, 'position_based', w_position) AS (model, w)"
+        ),
+        "p_val",
+    )
+    return m.groupBy("touch_type", "model").agg(
+        F.round(F.sum("w"), 6).alias("credited_conversions"),
+        F.round(F.sum(F.col("w") * F.col("p_val")), 4).alias("credited_revenue"),
+    )

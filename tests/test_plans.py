@@ -544,3 +544,17 @@ def test_dup_span_removal_never_shuffles_text(spark):
     cols = {c.split(":")[0] for c in m.group(1).split(",")}
     assert cols == {"doc_id", "text"}, cols
     assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p, p
+
+
+def test_attribution_models_multiply_rows_after_windows(spark):
+    """The 4 attribution models must fan out via one Generate(stack) AFTER
+    the per-purchase windows — never as 4 scans or a union of aggregates —
+    and the touch/purchase filters must reach the parquet scans."""
+    p = _plan(spark, "purchase_multitouch_attribution")
+    assert len(re.findall(r"\(\d+\) Generate\n", p)) == 1, p
+    assert "Union" not in p, p
+    assert len(re.findall(r"row_number", p)) <= 2, p  # tree+detail of ONE window
+    assert re.search(r"PushedFilters: \[[^\]]*In\(event_type", p), p
+    assert re.search(r"PushedFilters: \[[^\]]*EqualTo\(event_type,purchase", p), p
+    assert "partial_sum" in p, p
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p, p
