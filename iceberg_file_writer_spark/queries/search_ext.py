@@ -1240,3 +1240,135 @@ def user_kcore_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     if edges_owned:
         edges.unpersist()
     return out
+
+
+# ---------------------------------------------------------------------------
+# Label-propagation community detection (the non-trivial sibling of the
+# min-label connected-components the entity-resolution entries use).
+# ---------------------------------------------------------------------------
+
+LP_ROUNDS = 4
+
+
+def _lp_round_sql(prev: str, cand: str, out: str) -> str:
+    """One unrolled synchronous LP superstep: each node adopts the label
+    carrying the most incident edge weight among its neighbours' previous
+    labels, ties to the smaller label. Every node has degree >= 1 in the
+    symmetrized graph, so the candidate relation covers the full node set
+    and no fill-in join back onto ``nodes`` is needed."""
+    return f"""
+{cand} AS (
+  SELECT u.src, p.lbl, CAST(sum(u.w) AS BIGINT) AS wsum
+  FROM und u JOIN {prev} p ON p.user_id = u.dst
+  GROUP BY u.src, p.lbl
+),
+{out} AS (
+  SELECT src AS user_id, lbl FROM (
+    SELECT src, lbl,
+           row_number() OVER (PARTITION BY src ORDER BY wsum DESC, lbl) AS rn
+    FROM {cand}
+  ) WHERE rn = 1
+)"""
+
+
+def _lp_oracle() -> str:
+    rounds = ",".join(
+        _lp_round_sql(f"l{r - 1}", f"c{r}", f"l{r}")
+        for r in range(1, LP_ROUNDS + 1)
+    )
+    return f"""
+WITH edges AS ({_PR_EDGES_SQL}),
+und AS (
+  SELECT src, dst, CAST(sum(w) AS BIGINT) AS w FROM (
+    SELECT src, dst, w FROM edges
+    UNION ALL
+    SELECT dst AS src, src AS dst, w FROM edges
+  ) GROUP BY src, dst
+),
+nodes AS (SELECT src AS user_id FROM edges UNION SELECT dst FROM edges),
+l0 AS (SELECT user_id, user_id AS lbl FROM nodes),
+{rounds}
+SELECT lbl AS community,
+       count(*) AS n_users,
+       min(user_id) AS min_user,
+       max(user_id) AS max_user
+FROM l{LP_ROUNDS} GROUP BY lbl
+"""
+
+
+@register(
+    "user_label_propagation",
+    oracle=_lp_oracle(),
+    description=(
+        f"Label-propagation community detection ({LP_ROUNDS} synchronous "
+        "rounds) over the symmetrized user hand-off graph: each node "
+        "adopts the neighbour label carrying the most incident edge "
+        "weight (ties to the smaller label) — the weighted-majority "
+        "dynamics that finds dense communities where min-label connected "
+        "components only finds reachability; oracle unrolls every "
+        "superstep as CTEs"
+    ),
+    driver_exposed=False,
+)
+def user_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community structure of the 'acts right after' graph.
+
+    Unlike the pointer-doubling connected components (reachability) or
+    k-core (density floor), LP converges toward weighted-majority label
+    consensus — boundary nodes between two dense regions land with the
+    side they interact with more.
+
+    Determinism: synchronous updates with a total tie order (max weight,
+    then min label) make every round a pure function of the previous
+    labelling, so the result is independent of partitioning and engine;
+    the oracle replays the identical rounds.
+
+    Scale shape: the symmetrized edge relation is built once and cached;
+    each superstep is (a) one hash join edges x labels on the neighbour
+    key, (b) one partial-agg'd groupBy (node, label) weight sum, and (c)
+    one argmax as max(struct(weight, -label)) — a partial-aggregable
+    reduction, NOT a window sort; no fill-in join is needed because the
+    symmetrized graph gives every node degree >= 1, so the candidate
+    relation already covers the node set. All relations in motion are
+    node- or edge-sized with
+    3-column rows; labels never exceed one per node; no driver-side
+    state, no collect. Rounds are a fixed constant, so the plan depth is
+    bounded and AQE re-plans each superstep's exchanges independently.
+    """
+    edges, _nodes = _handoff_graph(spark, sf_dir)
+    und = ensure_cached(
+        edges.select("src", "dst", "w")
+        .union(
+            edges.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst"), "w"
+            )
+        )
+        .groupBy("src", "dst")
+        .agg(F.sum("w").cast("long").alias("w"))
+    )
+    nodes = ensure_cached(
+        und.select(F.col("src").alias("user_id")).distinct()
+    )
+    labels = nodes.select("user_id", F.col("user_id").alias("lbl"))
+    for _ in range(LP_ROUNDS):
+        cand = (
+            und.join(
+                labels.select(F.col("user_id").alias("dst"), "lbl"), "dst"
+            )
+            .groupBy("src", "lbl")
+            .agg(F.sum("w").cast("long").alias("wsum"))
+        )
+        # every node has degree >= 1 in the symmetrized graph, so cand
+        # covers the full node set — no fill-in join back onto nodes
+        labels = cand.groupBy("src").agg(
+            (
+                -F.max(F.struct(F.col("wsum"), (-F.col("lbl")).alias("nl")))[
+                    "nl"
+                ]
+            ).alias("lbl")
+        ).withColumnRenamed("src", "user_id")
+    return labels.groupBy(F.col("lbl").alias("community")).agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.min("user_id").alias("min_user"),
+        F.max("user_id").alias("max_user"),
+    )

@@ -558,3 +558,19 @@ def test_attribution_models_multiply_rows_after_windows(spark):
     assert re.search(r"PushedFilters: \[[^\]]*EqualTo\(event_type,purchase", p), p
     assert "partial_sum" in p, p
     assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p, p
+
+
+def test_label_propagation_argmax_is_aggregate_not_window(spark):
+    """Each LP superstep's argmax must be the partial-aggregable
+    max(struct(weight, -label)) reduction — the only Window in the whole
+    plan is the graph-build lead(); a per-round window sort would add a
+    full sort per superstep at 100 TB. No Python nodes."""
+    p = _plan(spark, "user_label_propagation")
+    # the only Window functions allowed are the graph-build lead()s (the
+    # cached edge relation appears under both union branches pre-
+    # materialization); the per-round argmax must never be a row_number
+    assert "row_number" not in p, p
+    for m in re.finditer(r"\(\d+\) Window\n(?:[^\n]*\n)*?Arguments: ([^\n]*)", p):
+        assert "lead(" in m.group(1), m.group(1)
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p, p
+    assert "CartesianProduct" not in p, p
