@@ -1181,3 +1181,125 @@ def avro_container_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark_read_avro(
         spark, f"{_AVRO_TABLES[key]}/*/*.avro", schema
     )
+
+
+# --- SQL DDL lifecycle (column-mapped tables) --------------------------------
+
+_DDL_REPORTS: dict[tuple, list] = {}
+
+
+@register(
+    "sql_ddl_lifecycle",
+    oracle="""
+WITH b0 AS (SELECT c_custkey, c_acctbal FROM customer WHERE c_custkey % 3 = 0),
+b1 AS (SELECT c_custkey, c_acctbal FROM customer WHERE c_custkey % 3 IN (0, 1))
+SELECT * FROM (
+  SELECT '1_create' AS phase,
+         (SELECT count(*) FROM b0)::BIGINT AS n_rows, 3::BIGINT AS n_cols,
+         'c_custkey,c_name,c_acctbal' AS cols,
+         (SELECT round(sum(c_acctbal), 2) FROM b0) AS bal
+  UNION ALL
+  SELECT '2_insert', (SELECT count(*) FROM b1)::BIGINT, 3::BIGINT,
+         'c_custkey,c_name,c_acctbal',
+         (SELECT round(sum(c_acctbal), 2) FROM b1)
+  UNION ALL
+  SELECT '3_rename', (SELECT count(*) FROM b1)::BIGINT, 3::BIGINT,
+         'c_custkey,c_name,balance',
+         (SELECT round(sum(c_acctbal), 2) FROM b1)
+  UNION ALL
+  SELECT '4_add', (SELECT count(*) FROM b1)::BIGINT, 4::BIGINT,
+         'c_custkey,c_name,balance,tier',
+         (SELECT round(sum(c_acctbal), 2) FROM b1)
+  UNION ALL
+  SELECT '5_drop', (SELECT count(*) FROM b1)::BIGINT, 3::BIGINT,
+         'c_custkey,balance,tier',
+         (SELECT round(sum(c_acctbal), 2) FROM b1)
+  UNION ALL
+  SELECT '6_truncate', 0::BIGINT, 3::BIGINT,
+         'c_custkey,balance,tier', NULL::DOUBLE
+  UNION ALL
+  SELECT '7_timetravel', (SELECT count(*) FROM b1)::BIGINT, 3::BIGINT,
+         'c_custkey,c_name,c_acctbal',
+         (SELECT round(sum(c_acctbal), 2) FROM b1)
+)
+""",
+    description=(
+        "SQL DDL lifecycle on a column-mapped table, value-hash-gated: "
+        "CREATE TABLE AS -> INSERT INTO (append_mapped) -> RENAME COLUMN "
+        "-> ADD COLUMN -> DROP COLUMN (each a metadata-only commit, zero "
+        "data bytes moved — the balance sum survives the rename because "
+        "reads resolve files by field id) -> TRUNCATE (schema kept) -> "
+        "time travel back under the pre-evolution schema; every phase's "
+        "observable state recomputed independently by the oracle"
+    ),
+    driver_exposed=False,
+    eager=True,  # issues DDL statements against a temp table at plan time
+)
+def sql_ddl_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DDL statement surface (sql_dml module doc, DDL section)
+    exercised end-to-end on a field-id column-mapped table.
+
+    Scale shape: every ALTER commits one manifest and moves zero data
+    bytes (the Iceberg schema-evolution contract); reads group files by
+    their written (id, name) mapping into one scan per evolution epoch,
+    so pushdown/pruning survive and scan count is O(#epochs), never
+    O(#files). The per-phase observables (row count, live schema, the
+    balance sum under whichever NAME the field currently carries) pin
+    exactly the property name-based readers get wrong: bytes written
+    under the old name keep resolving, and a dropped column can never
+    resurrect."""
+    from iceberg_file_writer_spark.ingest.column_mapping import (
+        read_mapped,
+        table_columns,
+    )
+    from iceberg_file_writer_spark.sql_dml import execute_dml
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _DDL_REPORTS:
+        t = os.path.join(tempfile.mkdtemp(prefix="sql-ddl-"), "cust")
+        load_tables(spark, sf_dir)  # temp views for statement sources
+        tbl = {"cust": t}
+
+        def snap(phase: str, version: int | None = None) -> tuple:
+            df = read_mapped(spark, t, version=version)
+            cols = [c[1] for c in table_columns(t, version)]
+            bal = next(
+                (c for c in ("c_acctbal", "balance") if c in cols), None
+            )
+            agg = df.selectExpr(
+                "count(*) AS n",
+                f"round(sum({bal}), 2) AS bal" if bal else "NULL AS bal",
+            ).first()
+            return (phase, agg.n, len(cols), ",".join(cols), agg.bal)
+
+        report = []
+        execute_dml(
+            spark,
+            "CREATE TABLE cust AS SELECT c_custkey, c_name, c_acctbal "
+            "FROM customer WHERE c_custkey % 3 = 0",
+            tbl,
+        )
+        report.append(snap("1_create"))
+        execute_dml(
+            spark,
+            "INSERT INTO cust SELECT c_custkey, c_name, c_acctbal "
+            "FROM customer WHERE c_custkey % 3 = 1",
+            tbl,
+        )
+        report.append(snap("2_insert"))
+        execute_dml(
+            spark, "ALTER TABLE cust RENAME COLUMN c_acctbal TO balance", tbl
+        )
+        report.append(snap("3_rename"))
+        execute_dml(spark, "ALTER TABLE cust ADD COLUMN tier string", tbl)
+        report.append(snap("4_add"))
+        execute_dml(spark, "ALTER TABLE cust DROP COLUMN c_name", tbl)
+        report.append(snap("5_drop"))
+        execute_dml(spark, "TRUNCATE TABLE cust", tbl)
+        report.append(snap("6_truncate"))
+        report.append(snap("7_timetravel", version=2))
+        _DDL_REPORTS[key] = report
+    return spark.createDataFrame(
+        _DDL_REPORTS[key],
+        "phase string, n_rows long, n_cols long, cols string, bal double",
+    )

@@ -49,6 +49,24 @@ write.delete.mode table property, spelled inline.
     OPTIMIZE t                                        -> commit_compact
     VACUUM t [RETAIN <n> VERSIONS]                    -> maintenance.vacuum
 
+DDL (column-mapped tables — field-id schema evolution from birth):
+
+    CREATE TABLE t AS <query>                -> create_mapped_table
+    TRUNCATE TABLE t                         -> empty commit (schema kept;
+                                                plain tables: commit_truncate)
+    ALTER TABLE t ADD COLUMN c <type>        -> evolve_mapped(adds)
+    ALTER TABLE t RENAME COLUMN a TO b       -> evolve_mapped(renames)
+    ALTER TABLE t DROP COLUMN c              -> evolve_mapped(drops)
+    DROP TABLE t                             -> remove the table directory
+
+CREATE TABLE AS makes a COLUMN-MAPPED table (ingest/column_mapping.py):
+every ALTER is a metadata-only commit, zero data bytes move, and reads
+resolve files by field id (read_mapped). INSERT INTO routes to
+append_mapped on such tables. Row-level DML verbs (DELETE/UPDATE/MERGE/
+INSERT OVERWRITE/OPTIMIZE) write file entries without the (id, name)
+mapping — on a mapped table that would null-fill columns at read time —
+so they are REFUSED loudly there until they learn to carry the mapping.
+
 ``tables`` maps statement table names to snapshot-table paths; source
 relations inside INSERT/MERGE queries resolve against the session's
 temp views (``load_tables`` / ``create_views``), so a statement can
@@ -98,6 +116,33 @@ _MERGE_RE = re.compile(
     re.IGNORECASE | re.DOTALL,
 )
 _OPTIMIZE_RE = re.compile(rf"^OPTIMIZE{_WS}(?P<t>{_ID})$", re.IGNORECASE)
+_TRUNCATE_RE = re.compile(
+    rf"^TRUNCATE{_WS}TABLE{_WS}(?P<t>{_ID})$", re.IGNORECASE
+)
+_CTAS_RE = re.compile(
+    rf"^CREATE{_WS}TABLE{_WS}(?P<t>{_ID}){_WS}AS"
+    rf"{_WS}(?P<q>(?:SELECT|VALUES|WITH|TABLE).+)$",
+    re.IGNORECASE | re.DOTALL,
+)
+_DROP_TABLE_RE = re.compile(
+    rf"^DROP{_WS}TABLE{_WS}(?P<t>{_ID})$", re.IGNORECASE
+)
+_ALTER_ADD_RE = re.compile(
+    rf"^ALTER{_WS}TABLE{_WS}(?P<t>{_ID}){_WS}ADD{_WS}COLUMN{_WS}"
+    rf"(?P<c>[A-Za-z_][A-Za-z0-9_]*){_WS}(?P<typ>.+)$",
+    re.IGNORECASE | re.DOTALL,
+)
+_ALTER_RENAME_RE = re.compile(
+    rf"^ALTER{_WS}TABLE{_WS}(?P<t>{_ID}){_WS}RENAME{_WS}COLUMN{_WS}"
+    rf"(?P<old>[A-Za-z_][A-Za-z0-9_]*){_WS}TO{_WS}"
+    rf"(?P<new>[A-Za-z_][A-Za-z0-9_]*)$",
+    re.IGNORECASE,
+)
+_ALTER_DROP_RE = re.compile(
+    rf"^ALTER{_WS}TABLE{_WS}(?P<t>{_ID}){_WS}DROP{_WS}COLUMN{_WS}"
+    rf"(?P<c>[A-Za-z_][A-Za-z0-9_]*)$",
+    re.IGNORECASE,
+)
 _VACUUM_RE = re.compile(
     rf"^VACUUM{_WS}(?P<t>{_ID})(?:{_WS}RETAIN{_WS}(?P<n>\d+){_WS}VERSIONS)?$",
     re.IGNORECASE,
@@ -266,6 +311,39 @@ def _merge_column_wise(
         spark.catalog.dropTempView(tview)
 
 
+def _table_exists(path: str) -> bool:
+    import os
+
+    from iceberg_file_writer_spark.ingest.snapshots import _snap_dir
+
+    return os.path.exists(os.path.join(_snap_dir(path), "CURRENT"))
+
+
+def _is_mapped(path: str) -> bool:
+    """True when the table carries field-id column mapping (created via
+    CREATE TABLE AS / create_mapped_table)."""
+    from iceberg_file_writer_spark.ingest.snapshots import (
+        current_version,
+        read_manifest,
+    )
+
+    if not _table_exists(path):
+        return False
+    return "columns" in read_manifest(path, current_version(path))
+
+
+def _reject_mapped(path: str, verb: str) -> None:
+    """Row-level DML verbs write file entries without the (id, name)
+    mapping — on a column-mapped table that would null-fill every column
+    at read time (silent data loss). Refuse loudly instead."""
+    if _is_mapped(path):
+        raise ValueError(
+            f"{verb} is not supported on column-mapped tables yet "
+            f"({path}); supported there: INSERT INTO, TRUNCATE TABLE, "
+            "ALTER TABLE ADD/RENAME/DROP COLUMN, DROP TABLE, VACUUM"
+        )
+
+
 def _resolve(tables: "dict[str, str]", name: str) -> str:
     if name not in tables:
         raise ValueError(
@@ -321,9 +399,74 @@ def execute_dml(
 
     stmt = sql.strip().rstrip(";").strip()
 
+    m = _CTAS_RE.match(stmt)
+    if m:
+        from iceberg_file_writer_spark.ingest.column_mapping import (
+            create_mapped_table,
+        )
+
+        path = _resolve(tables, m.group("t"))
+        if _table_exists(path):
+            raise ValueError(f"table exists: {m.group('t')} ({path})")
+        return create_mapped_table(
+            spark, spark.sql(m.group("q")), path, max_rows=max_rows
+        )
+
+    m = _DROP_TABLE_RE.match(stmt)
+    if m:
+        import shutil
+
+        path = _resolve(tables, m.group("t"))
+        if not _table_exists(path):
+            raise ValueError(f"no such table: {m.group('t')} ({path})")
+        shutil.rmtree(path)
+        return None
+
+    m = _ALTER_ADD_RE.match(stmt)
+    if m:
+        from iceberg_file_writer_spark.ingest.column_mapping import evolve_mapped
+
+        return evolve_mapped(
+            _resolve(tables, m.group("t")),
+            adds=[(m.group("c"), m.group("typ").strip().lower())],
+        )
+
+    m = _ALTER_RENAME_RE.match(stmt)
+    if m:
+        from iceberg_file_writer_spark.ingest.column_mapping import evolve_mapped
+
+        return evolve_mapped(
+            _resolve(tables, m.group("t")),
+            renames={m.group("old"): m.group("new")},
+        )
+
+    m = _ALTER_DROP_RE.match(stmt)
+    if m:
+        from iceberg_file_writer_spark.ingest.column_mapping import evolve_mapped
+
+        return evolve_mapped(
+            _resolve(tables, m.group("t")), drops=[m.group("c")]
+        )
+
+    m = _TRUNCATE_RE.match(stmt)
+    if m:
+        path = _resolve(tables, m.group("t"))
+        if _is_mapped(path):
+            # keep the logical schema: empty file list, columns carried
+            from iceberg_file_writer_spark.ingest.column_mapping import (
+                _commit_with_columns,
+                table_columns,
+            )
+
+            return _commit_with_columns(
+                path, "truncate", [], table_columns(path)
+            )
+        return commit_truncate(path)
+
     m = _DELETE_RE.match(stmt)
     if m:
         path = _resolve(tables, m.group("t"))
+        _reject_mapped(path, "DELETE")
         if m.group("pred") is None:
             # bare DELETE FROM t = logical truncate (metadata-only)
             return commit_truncate(path)
@@ -337,9 +480,11 @@ def execute_dml(
     if m:
         sets, pred = _split_top_level_keyword(m.group("rest"), "WHERE")
         assignments = _parse_assignments(sets)
+        path = _resolve(tables, m.group("t"))
+        _reject_mapped(path, "UPDATE")
         return commit_update_where(
             spark,
-            _resolve(tables, m.group("t")),
+            path,
             pred or "true",
             assignments,
             max_rows=max_rows,
@@ -348,6 +493,7 @@ def execute_dml(
     m = _INSERT_OVERWRITE_RE.match(stmt)
     if m:
         path = _resolve(tables, m.group("t"))
+        _reject_mapped(path, "INSERT OVERWRITE")
         return commit_overwrite(
             spark,
             _align_to_table(spark, spark.sql(m.group("q")), path),
@@ -358,6 +504,14 @@ def execute_dml(
     m = _INSERT_RE.match(stmt)
     if m:
         path = _resolve(tables, m.group("t"))
+        if _is_mapped(path):
+            from iceberg_file_writer_spark.ingest.column_mapping import (
+                append_mapped,
+            )
+
+            return append_mapped(
+                spark, spark.sql(m.group("q")), path, max_rows=max_rows
+            )
         return commit_append(
             spark,
             _align_to_table(spark, spark.sql(m.group("q")), path),
@@ -374,6 +528,7 @@ def execute_dml(
         aliases_s = {salias} - {None}
         keys = _merge_keys(m.group("on"), aliases_t, aliases_s)
         path = _resolve(tables, t)
+        _reject_mapped(path, "MERGE")
         sets = m.group("sets").strip()
         sync = m.group("sync") is not None
         if sets == "*":
@@ -400,7 +555,9 @@ def execute_dml(
 
     m = _OPTIMIZE_RE.match(stmt)
     if m:
-        return commit_compact(spark, _resolve(tables, m.group("t")))
+        path = _resolve(tables, m.group("t"))
+        _reject_mapped(path, "OPTIMIZE")
+        return commit_compact(spark, path)
 
     m = _VACUUM_RE.match(stmt)
     if m:

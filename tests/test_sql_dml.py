@@ -197,7 +197,7 @@ def test_statement_shape_errors(spark, table):
     with pytest.raises(ValueError, match="unknown snapshot table"):
         execute_dml(spark, "DELETE FROM nope WHERE true", {"ord": t})
     with pytest.raises(ValueError, match="unsupported DML"):
-        execute_dml(spark, "TRUNCATE TABLE ord", {"ord": t})
+        execute_dml(spark, "UPSERT INTO ord VALUES (1, 2, 3.0)", {"ord": t})
     with pytest.raises(ValueError, match="AND-ed column equalities"):
         execute_dml(
             spark,
@@ -406,3 +406,118 @@ def test_merge_full_sync_column_wise(spark, table):
     for k, v in first10.items():
         assert upd[k] == v + 1.0
     assert upd[88000077] == 3.5
+
+
+# --- DDL surface (column-mapped tables) ------------------------------------
+
+
+def test_ddl_lifecycle_create_insert_alter_read_drop(spark, tmp_path):
+    """CREATE TABLE AS -> INSERT INTO -> ALTER ADD/RENAME/DROP -> read by
+    field id -> TRUNCATE keeps schema -> DROP TABLE removes."""
+    import os
+
+    from iceberg_file_writer_spark.ingest.column_mapping import (
+        read_mapped,
+        table_columns,
+    )
+
+    t = str(tmp_path / "cust")
+    load_tables(spark, SF_DIR)
+    tbl = {"cust": t}
+    v = execute_dml(
+        spark,
+        "CREATE TABLE cust AS SELECT c_custkey, c_name, c_acctbal "
+        "FROM customer WHERE c_custkey < 10",
+        tbl,
+    )
+    assert v == 1
+    assert read_mapped(spark, t).count() == 10
+
+    execute_dml(
+        spark,
+        "INSERT INTO cust SELECT c_custkey, c_name, c_acctbal "
+        "FROM customer WHERE c_custkey BETWEEN 10 AND 14",
+        tbl,
+    )
+    assert read_mapped(spark, t).count() == 15
+
+    # metadata-only evolution: rename, add, drop — zero data bytes move
+    execute_dml(spark, "ALTER TABLE cust RENAME COLUMN c_acctbal TO balance", tbl)
+    execute_dml(spark, "ALTER TABLE cust ADD COLUMN tier string", tbl)
+    execute_dml(spark, "ALTER TABLE cust DROP COLUMN c_name", tbl)
+    cols = [c[1] for c in table_columns(t)]
+    assert cols == ["c_custkey", "balance", "tier"]
+    got = read_mapped(spark, t)
+    assert got.columns == ["c_custkey", "balance", "tier"]
+    assert got.where("balance IS NOT NULL").count() == 15  # renamed, not lost
+    assert got.where("tier IS NULL").count() == 15  # added, null-filled
+
+    # old versions read under their OWN schema (time travel)
+    assert read_mapped(spark, t, version=2).columns == [
+        "c_custkey",
+        "c_name",
+        "c_acctbal",
+    ]
+
+    execute_dml(spark, "TRUNCATE TABLE cust", tbl)
+    got = read_mapped(spark, t)
+    assert got.count() == 0
+    assert got.columns == ["c_custkey", "balance", "tier"]  # schema kept
+
+    execute_dml(spark, "DROP TABLE cust", tbl)
+    assert not os.path.exists(t)
+
+
+def test_ddl_create_refuses_existing_table(spark, table):
+    t, _ = table
+    with pytest.raises(ValueError, match="table exists"):
+        execute_dml(
+            spark, "CREATE TABLE ord AS SELECT 1 AS x", {"ord": t}
+        )
+
+
+def test_row_level_dml_refused_on_mapped_tables(spark, tmp_path):
+    """DELETE/UPDATE/MERGE/INSERT OVERWRITE/OPTIMIZE write entries
+    without the field-id mapping — refused loudly, never silent
+    null-fill."""
+    t = str(tmp_path / "cust")
+    load_tables(spark, SF_DIR)
+    tbl = {"cust": t}
+    execute_dml(
+        spark,
+        "CREATE TABLE cust AS SELECT c_custkey, c_acctbal FROM customer",
+        tbl,
+    )
+    for stmt in [
+        "DELETE FROM cust WHERE c_custkey = 1",
+        "UPDATE cust SET c_acctbal = 0.0",
+        "INSERT OVERWRITE cust SELECT c_custkey, c_acctbal FROM customer",
+        """MERGE INTO cust USING (SELECT 1 AS c_custkey, 2.0 AS c_acctbal) AS s
+           ON cust.c_custkey = s.c_custkey
+           WHEN MATCHED THEN UPDATE SET *
+           WHEN NOT MATCHED THEN INSERT *""",
+        "OPTIMIZE cust",
+    ]:
+        with pytest.raises(ValueError, match="column-mapped"):
+            execute_dml(spark, stmt, tbl)
+
+
+def test_truncate_table_on_plain_table(spark, table):
+    t, _ = table
+    execute_dml(spark, "TRUNCATE TABLE ord", {"ord": t})
+    assert read_table_version(spark, t).count() == 0
+
+
+def test_ddl_insert_into_mapped_validates_schema(spark, tmp_path):
+    t = str(tmp_path / "cust")
+    load_tables(spark, SF_DIR)
+    tbl = {"cust": t}
+    execute_dml(
+        spark,
+        "CREATE TABLE cust AS SELECT c_custkey, c_acctbal FROM customer",
+        tbl,
+    )
+    with pytest.raises(ValueError, match="schema mismatch"):
+        execute_dml(
+            spark, "INSERT INTO cust SELECT c_custkey FROM customer", tbl
+        )
