@@ -1249,6 +1249,38 @@ def user_kcore_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 LP_ROUNDS = 4
 
+# Symmetrized (undirected) hand-off graph: the shared operand of the
+# neighbourhood-dynamics entries (label propagation, BFS hops).
+_UND_SQL = """
+  SELECT src, dst, CAST(sum(w) AS BIGINT) AS w FROM (
+    SELECT src, dst, w FROM edges
+    UNION ALL
+    SELECT dst AS src, src AS dst, w FROM edges
+  ) GROUP BY src, dst
+"""
+
+
+def _und_graph(
+    spark: SparkSession, sf_dir: str
+) -> "tuple[DataFrame, DataFrame]":
+    """(und, nodes): the symmetrized weighted hand-off graph and its node
+    set — the Spark dual of _UND_SQL, cached so LP/BFS share one build."""
+    edges, _nodes = _handoff_graph(spark, sf_dir)
+    und = ensure_cached(
+        edges.select("src", "dst", "w")
+        .union(
+            edges.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst"), "w"
+            )
+        )
+        .groupBy("src", "dst")
+        .agg(F.sum("w").cast("long").alias("w"))
+    )
+    nodes = ensure_cached(
+        und.select(F.col("src").alias("user_id")).distinct()
+    )
+    return und, nodes
+
 
 def _lp_round_sql(prev: str, cand: str, out: str) -> str:
     """One unrolled synchronous LP superstep: each node adopts the label
@@ -1278,13 +1310,7 @@ def _lp_oracle() -> str:
     )
     return f"""
 WITH edges AS ({_PR_EDGES_SQL}),
-und AS (
-  SELECT src, dst, CAST(sum(w) AS BIGINT) AS w FROM (
-    SELECT src, dst, w FROM edges
-    UNION ALL
-    SELECT dst AS src, src AS dst, w FROM edges
-  ) GROUP BY src, dst
-),
+und AS ({_UND_SQL}),
 nodes AS (SELECT src AS user_id FROM edges UNION SELECT dst FROM edges),
 l0 AS (SELECT user_id, user_id AS lbl FROM nodes),
 {rounds}
@@ -1335,20 +1361,7 @@ def user_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     state, no collect. Rounds are a fixed constant, so the plan depth is
     bounded and AQE re-plans each superstep's exchanges independently.
     """
-    edges, _nodes = _handoff_graph(spark, sf_dir)
-    und = ensure_cached(
-        edges.select("src", "dst", "w")
-        .union(
-            edges.select(
-                F.col("dst").alias("src"), F.col("src").alias("dst"), "w"
-            )
-        )
-        .groupBy("src", "dst")
-        .agg(F.sum("w").cast("long").alias("w"))
-    )
-    nodes = ensure_cached(
-        und.select(F.col("src").alias("user_id")).distinct()
-    )
+    und, nodes = _und_graph(spark, sf_dir)
     labels = nodes.select("user_id", F.col("user_id").alias("lbl"))
     for _ in range(LP_ROUNDS):
         cand = (
@@ -1368,6 +1381,116 @@ def user_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lbl")
         ).withColumnRenamed("src", "user_id")
     return labels.groupBy(F.col("lbl").alias("community")).agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.min("user_id").alias("min_user"),
+        F.max("user_id").alias("max_user"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# BFS hop distances from the hub seed (reachability DEPTH, where CC gives
+# membership, LP gives communities, and PageRank gives centrality).
+# ---------------------------------------------------------------------------
+
+BFS_ROUNDS = 4
+
+
+def _bfs_round_sql(prev: str, cand: str, out: str) -> str:
+    """One unrolled BFS relaxation: d_r(v) = min(d_{r-1}(v),
+    1 + min over neighbours' d_{r-1})."""
+    return f"""
+{cand} AS (
+  SELECT u.src AS user_id, CAST(min(p.d + 1) AS BIGINT) AS nd
+  FROM und u JOIN {prev} p ON p.user_id = u.dst AND p.d IS NOT NULL
+  GROUP BY u.src
+),
+{out} AS (
+  SELECT n.user_id, least(n.d, c.nd) AS d
+  FROM {prev} n LEFT JOIN {cand} c ON c.user_id = n.user_id
+)"""
+
+
+def _bfs_oracle() -> str:
+    rounds = ",".join(
+        _bfs_round_sql(f"d{r - 1}", f"c{r}", f"d{r}")
+        for r in range(1, BFS_ROUNDS + 1)
+    )
+    return f"""
+WITH edges AS ({_PR_EDGES_SQL}),
+und AS ({_UND_SQL}),
+nodes AS (SELECT src AS user_id FROM edges UNION SELECT dst FROM edges),
+seed AS (SELECT min(user_id) AS s FROM nodes),
+d0 AS (
+  SELECT user_id,
+         CASE WHEN user_id = (SELECT s FROM seed)
+              THEN 0::BIGINT ELSE NULL::BIGINT END AS d
+  FROM nodes
+),
+{rounds}
+SELECT coalesce(d, CAST(-1 AS BIGINT)) AS hops,
+       count(*) AS n_users,
+       min(user_id) AS min_user,
+       max(user_id) AS max_user
+FROM d{BFS_ROUNDS} GROUP BY 1
+"""
+
+
+@register(
+    "user_bfs_hops",
+    oracle=_bfs_oracle(),
+    description=(
+        f"BFS hop-distance histogram ({BFS_ROUNDS} relaxation rounds) "
+        "from the smallest-id user over the symmetrized hand-off graph: "
+        "how many users sit 1, 2, 3, 4 interactions away from the seed "
+        "(unreached = -1) — the reachability-DEPTH read (blast radius / "
+        "influence horizon) that connected components (membership), "
+        "label propagation (communities), and PageRank (centrality) "
+        "don't answer; oracle unrolls every relaxation as CTEs"
+    ),
+    driver_exposed=False,
+)
+def user_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How far does influence reach from the hub seed, in hops.
+
+    Scale shape: the classic frontier-expansion BFS done as bounded
+    synchronous relaxations over the cached symmetrized graph (shared
+    with label propagation via _und_graph). Each round is one hash join
+    of the distance relation against the edge list on the neighbour key,
+    one partial-agg'd min per node, and one left join to carry
+    already-settled distances — all node-/edge-sized relations, no
+    frontier materialized driver-side, no collect. min(d+1) is exact
+    integer arithmetic, so rounds are deterministic under any
+    partitioning; the seed is a 1-row broadcast relation, never a
+    driver-side literal. Fixed round count bounds plan depth (the
+    four-hop horizon is the product question; full eccentricity would
+    iterate to fixpoint with the same per-round plan).
+    """
+    und, nodes = _und_graph(spark, sf_dir)
+    seed = nodes.agg(F.min("user_id").alias("s"))
+    d = nodes.crossJoin(F.broadcast(seed)).select(
+        "user_id",
+        F.when(F.col("user_id") == F.col("s"), F.lit(0))
+        .cast("long")
+        .alias("d"),
+    )
+    for _ in range(BFS_ROUNDS):
+        cand = (
+            und.join(
+                d.where(F.col("d").isNotNull()).select(
+                    F.col("user_id").alias("dst"), "d"
+                ),
+                "dst",
+            )
+            .groupBy("src")
+            .agg((F.min("d") + 1).cast("long").alias("nd"))
+            .withColumnRenamed("src", "user_id")
+        )
+        d = d.join(cand, "user_id", "left").select(
+            "user_id", F.least(F.col("d"), F.col("nd")).alias("d")
+        )
+    return d.groupBy(
+        F.coalesce(F.col("d"), F.lit(-1).cast("long")).alias("hops")
+    ).agg(
         F.count(F.lit(1)).alias("n_users"),
         F.min("user_id").alias("min_user"),
         F.max("user_id").alias("max_user"),
