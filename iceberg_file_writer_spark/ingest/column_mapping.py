@@ -87,6 +87,46 @@ def create_mapped_table(
     return _commit_with_columns(table_path, "create", files, columns)
 
 
+def convert_to_mapped(spark: SparkSession, table_path: str) -> int:
+    """Upgrade a PLAIN snapshot table to field-id column mapping in one
+    metadata-only commit (zero data bytes move).
+
+    Ids 1..n are assigned to the current merged logical schema in order.
+    Each existing file entry is stamped with the (id, name) pairs for the
+    columns PHYSICALLY present in that file (its parquet footer), so a
+    table that grew columns through additive mergeSchema evolution keeps
+    its history honest: pre-addition files simply omit the late ids and
+    read_mapped null-fills them — the same rows a mergeSchema read
+    produced before the conversion. One-time O(#files) footer reads,
+    driver-side (a conversion utility, not a per-query path).
+
+    After conversion every ALTER COLUMN verb is metadata-only; row-level
+    DML verbs refuse until they carry the mapping (sql_dml module doc).
+    """
+    import pyarrow.parquet as pq
+
+    from iceberg_file_writer_spark.ingest.snapshots import read_table_version
+
+    v = current_version(table_path)
+    m = read_manifest(table_path, v)
+    if "columns" in m:
+        raise ValueError(f"already column-mapped: {table_path}")
+    schema = read_table_version(spark, table_path).schema
+    columns = [
+        [i + 1, f.name, f.dataType.simpleString()]
+        for i, f in enumerate(schema.fields)
+    ]
+    files = [dict(e) for e in m["files"]]
+    for e in files:
+        present = set(
+            pq.read_schema(os.path.join(table_path, e["path"])).names
+        )
+        e["cols"] = [
+            [cid, name] for cid, name, _typ in columns if name in present
+        ]
+    return _commit_with_columns(table_path, "convert", files, columns)
+
+
 def table_columns(table_path: str, version: int | None = None) -> list:
     """The logical schema [[id, name, type], ...] as of ``version``."""
     v = current_version(table_path) if version is None else version

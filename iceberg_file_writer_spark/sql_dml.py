@@ -54,6 +54,8 @@ DDL (column-mapped tables — field-id schema evolution from birth):
     CREATE TABLE t AS <query>                -> create_mapped_table
     TRUNCATE TABLE t                         -> empty commit (schema kept;
                                                 plain tables: commit_truncate)
+    ALTER TABLE t CONVERT TO MAPPED          -> convert_to_mapped (upgrade
+                                                a plain table, metadata-only)
     ALTER TABLE t ADD COLUMN c <type>        -> evolve_mapped(adds)
     ALTER TABLE t RENAME COLUMN a TO b       -> evolve_mapped(renames)
     ALTER TABLE t DROP COLUMN c              -> evolve_mapped(drops)
@@ -131,6 +133,10 @@ _ALTER_ADD_RE = re.compile(
     rf"^ALTER{_WS}TABLE{_WS}(?P<t>{_ID}){_WS}ADD{_WS}COLUMN{_WS}"
     rf"(?P<c>[A-Za-z_][A-Za-z0-9_]*){_WS}(?P<typ>.+)$",
     re.IGNORECASE | re.DOTALL,
+)
+_ALTER_CONVERT_RE = re.compile(
+    rf"^ALTER{_WS}TABLE{_WS}(?P<t>{_ID}){_WS}CONVERT{_WS}TO{_WS}MAPPED$",
+    re.IGNORECASE,
 )
 _ALTER_RENAME_RE = re.compile(
     rf"^ALTER{_WS}TABLE{_WS}(?P<t>{_ID}){_WS}RENAME{_WS}COLUMN{_WS}"
@@ -430,6 +436,14 @@ def execute_dml(
             _resolve(tables, m.group("t")),
             adds=[(m.group("c"), m.group("typ").strip().lower())],
         )
+
+    m = _ALTER_CONVERT_RE.match(stmt)
+    if m:
+        from iceberg_file_writer_spark.ingest.column_mapping import (
+            convert_to_mapped,
+        )
+
+        return convert_to_mapped(spark, _resolve(tables, m.group("t")))
 
     m = _ALTER_RENAME_RE.match(stmt)
     if m:

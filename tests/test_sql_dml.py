@@ -521,3 +521,41 @@ def test_ddl_insert_into_mapped_validates_schema(spark, tmp_path):
         execute_dml(
             spark, "INSERT INTO cust SELECT c_custkey FROM customer", tbl
         )
+
+
+def test_convert_plain_table_to_mapped_preserves_history(spark, tmp_path):
+    """ALTER TABLE CONVERT TO MAPPED: metadata-only upgrade; files from
+    BEFORE an additive mergeSchema evolution omit the late field id and
+    null-fill, exactly as the plain mergeSchema read did."""
+    from iceberg_file_writer_spark.ingest.column_mapping import read_mapped
+
+    t = str(tmp_path / "ord")
+    orders = load_tables(spark, SF_DIR)["orders"].select(
+        "o_orderkey", "o_custkey"
+    )
+    commit_append(spark, orders.where("o_orderkey < 100"), t, max_rows=50)
+    # additive evolution the plain layer already supports (mergeSchema)
+    commit_append(
+        spark,
+        orders.where("o_orderkey >= 100 AND o_orderkey < 200").withColumn(
+            "note", F.lit("late")
+        ),
+        t,
+        max_rows=50,
+    )
+    tbl = {"ord": t}
+    execute_dml(spark, "ALTER TABLE ord CONVERT TO MAPPED", tbl)
+    got = read_mapped(spark, t)
+    assert set(got.columns) == {"o_orderkey", "o_custkey", "note"}
+    n_old = got.where("o_orderkey < 100 AND note IS NULL").count()
+    assert n_old == got.where("o_orderkey < 100").count() > 0
+    assert got.where("note = 'late'").count() == got.where(
+        "o_orderkey >= 100"
+    ).count() > 0
+    # the upgrade unlocks metadata-only renames on the old files' bytes
+    execute_dml(spark, "ALTER TABLE ord RENAME COLUMN o_custkey TO cust", tbl)
+    got = read_mapped(spark, t)
+    assert "cust" in got.columns and "o_custkey" not in got.columns
+    assert got.where("cust IS NOT NULL").count() == got.count()
+    with pytest.raises(ValueError, match="already column-mapped"):
+        execute_dml(spark, "ALTER TABLE ord CONVERT TO MAPPED", tbl)
