@@ -1113,16 +1113,54 @@ def commit_rollback(table_path: str, to_version: int) -> int:
 
 
 def commit_compact(
-    spark: SparkSession, table_path: str, target_rows: int = 65536
+    spark: SparkSession,
+    table_path: str,
+    target_rows: int = 65536,
+    zorder_by: "tuple[str, str] | None" = None,
 ) -> int:
     """Compaction as a snapshot: same rows, fewer/larger files, history
     intact — Iceberg's rewrite_data_files. Old files stay on disk for time
-    travel until expire_snapshots drops them."""
+    travel until expire_snapshots drops them.
+
+    ``zorder_by=(a, b)`` re-clusters the rewrite along the Morton
+    interleave of the two columns (numeric/timestamp), so every file's
+    (min, max) zone on BOTH columns tightens and scans filtered on either
+    column prune files — Delta/Iceberg's OPTIMIZE ZORDER BY. Range-
+    partitioned + sorted on the 32-bit key; the key column itself is
+    dropped before write (the ORDER is the artifact, not the key).
+    Mutually exclusive with a standing partition spec: hidden-partition
+    clustering and z-order clustering are competing layouts — re-cluster
+    along the spec (the default) or drop the spec first."""
     parent = current_version(table_path)
     m = read_manifest(table_path, parent)
     files = m["files"]
     df = _read_files(spark, table_path, files, m.get("dvs"), eqs=m.get("eqs"))
-    if m.get("spec"):
+    if zorder_by is not None:
+        if m.get("spec"):
+            raise ValueError(
+                "ZORDER compaction on a spec-partitioned table would fight "
+                "the standing hidden-partition layout; compact without "
+                "ZORDER (re-clusters along the spec) instead"
+            )
+        if len(zorder_by) != 2:
+            raise ValueError("zorder_by takes exactly two columns")
+        from iceberg_file_writer_spark.operators.zorder import with_zorder_key
+
+        missing = [c for c in zorder_by if c not in df.columns]
+        if missing:
+            raise ValueError(f"no such column(s): {missing}")
+        # one range partition per target file: zone tightness comes from
+        # the RANGE split on the Morton key, so file count must track
+        # target_rows, not the coalesce heuristic
+        total = sum(e.get("rows", 0) for e in files)
+        nparts = max(1, -(-total // target_rows))
+        df = (
+            with_zorder_key(df, tuple(zorder_by), key_name="__zcluster")
+            .repartitionByRange(nparts, "__zcluster")
+            .sortWithinPartitions("__zcluster")
+            .drop("__zcluster")
+        )
+    elif m.get("spec"):
         # re-cluster along the standing spec (compaction is exactly the
         # moment to repair layout drift); hidden bucket columns already
         # present in the data are recomputed identically by apply_spec,

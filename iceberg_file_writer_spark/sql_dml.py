@@ -46,7 +46,9 @@ source rows, and commits the result through the same one-commit MoR
 upsert as the whole-row form. The MoR DELETE opt-in mirrors Iceberg's
 write.delete.mode table property, spelled inline.
 
-    OPTIMIZE t                                        -> commit_compact
+    OPTIMIZE t [ZORDER BY (a, b)]                     -> commit_compact
+                                         (ZORDER: Morton re-clustering —
+                                          both columns' zone maps tighten)
     VACUUM t [RETAIN <n> VERSIONS]                    -> maintenance.vacuum
 
 DDL (column-mapped tables — field-id schema evolution from birth):
@@ -117,7 +119,11 @@ _MERGE_RE = re.compile(
     rf"{_WS}THEN{_WS}DELETE)?$",
     re.IGNORECASE | re.DOTALL,
 )
-_OPTIMIZE_RE = re.compile(rf"^OPTIMIZE{_WS}(?P<t>{_ID})$", re.IGNORECASE)
+_OPTIMIZE_RE = re.compile(
+    rf"^OPTIMIZE{_WS}(?P<t>{_ID})"
+    rf"(?:{_WS}ZORDER{_WS}BY{_WS}\(\s*(?P<z1>{_ID})\s*,\s*(?P<z2>{_ID})\s*\))?$",
+    re.IGNORECASE,
+)
 _TRUNCATE_RE = re.compile(
     rf"^TRUNCATE{_WS}TABLE{_WS}(?P<t>{_ID})$", re.IGNORECASE
 )
@@ -571,7 +577,8 @@ def execute_dml(
     if m:
         path = _resolve(tables, m.group("t"))
         _reject_mapped(path, "OPTIMIZE")
-        return commit_compact(spark, path)
+        z = (m.group("z1"), m.group("z2")) if m.group("z1") else None
+        return commit_compact(spark, path, zorder_by=z)
 
     m = _VACUUM_RE.match(stmt)
     if m:

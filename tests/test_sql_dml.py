@@ -559,3 +559,69 @@ def test_convert_plain_table_to_mapped_preserves_history(spark, tmp_path):
     assert got.where("cust IS NOT NULL").count() == got.count()
     with pytest.raises(ValueError, match="already column-mapped"):
         execute_dml(spark, "ALTER TABLE ord CONVERT TO MAPPED", tbl)
+
+
+def test_optimize_zorder_tightens_both_zone_maps(spark, tmp_path):
+    """OPTIMIZE ZORDER BY (user_id, value): same rows, and the summed
+    per-file zone volume over BOTH columns shrinks vs the row-order
+    layout — the property that makes scans filtered on EITHER column
+    prune files."""
+    from iceberg_file_writer_spark.ingest.snapshots import (
+        read_manifest as rm,
+    )
+
+    t = str(tmp_path / "ev")
+    ev = (
+        load_tables(spark, SF_DIR)["events"]
+        .select("event_id", "user_id", "value")
+        .orderBy("event_id")  # arrival order: uncorrelated with either dim
+    )
+    commit_append(spark, ev, t, max_rows=120)
+    tbl = {"ev": t}
+
+    def zone_volume(version):
+        m = rm(t, version)
+        vol = 0.0
+        for e in m["files"]:
+            s = e["stats"]
+            vol += (s["user_id"][1] - s["user_id"][0]) * (
+                s["value"][1] - s["value"][0]
+            )
+        return vol, len(m["files"])
+
+    before = _canon(read_table_version(spark, t))
+    v0_vol, v0_files = zone_volume(1)
+    # statement route (default target size), then a small-target rewrite
+    # so zone tightness is measured over a comparable file count
+    execute_dml(spark, "OPTIMIZE ev ZORDER BY (user_id, value)", tbl)
+    assert _canon(read_table_version(spark, t)) == before  # rows identical
+    from iceberg_file_writer_spark.ingest.snapshots import commit_compact
+
+    commit_compact(spark, t, target_rows=120, zorder_by=("user_id", "value"))
+    assert _canon(read_table_version(spark, t)) == before
+    v1 = current_version(t)
+    v1_vol, v1_files = zone_volume(v1)
+    # normalize per file: mean zone volume must shrink substantially
+    assert v1_files > 0
+    assert v1_vol / v1_files < 0.5 * (v0_vol / max(v0_files, 1)), (
+        v0_vol / v0_files,
+        v1_vol / v1_files,
+    )
+
+
+def test_optimize_zorder_refused_on_spec_partitioned_table(spark, tmp_path):
+    from iceberg_file_writer_spark.ingest.partitioning import (
+        commit_append_partitioned,
+    )
+
+    t = str(tmp_path / "evp")
+    ev = load_tables(spark, SF_DIR)["events"].select(
+        "event_id", "ts", "user_id", "value"
+    )
+    commit_append_partitioned(
+        spark, ev, t, spec=[("day", "ts")], max_rows=5000
+    )
+    with pytest.raises(ValueError, match="ZORDER"):
+        execute_dml(
+            spark, "OPTIMIZE evp ZORDER BY (user_id, value)", {"evp": t}
+        )
