@@ -1485,8 +1485,20 @@ def user_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg((F.min("d") + 1).cast("long").alias("nd"))
             .withColumnRenamed("src", "user_id")
         )
-        d = d.join(cand, "user_id", "left").select(
-            "user_id", F.least(F.col("d"), F.col("nd")).alias("d")
+        # each round references d TWICE (relaxation source + settled
+        # carry), so the LOGICAL plan doubles per round — .cache() does
+        # not help because Catalyst re-analyzes the full exponential
+        # tree before the InMemoryRelation substitutes (measured: 8s+
+        # per action at sf0.1). localCheckpoint truncates the lineage —
+        # the standard Pregel frontier checkpoint; lazy, so plan build
+        # stays job-free (a cluster deployment would use a reliable
+        # checkpoint dir for task-retry safety).
+        d = (
+            d.join(cand, "user_id", "left")
+            .select(
+                "user_id", F.least(F.col("d"), F.col("nd")).alias("d")
+            )
+            .localCheckpoint(eager=False)
         )
     return d.groupBy(
         F.coalesce(F.col("d"), F.lit(-1).cast("long")).alias("hops")
