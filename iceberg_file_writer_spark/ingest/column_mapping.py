@@ -111,6 +111,20 @@ def convert_to_mapped(spark: SparkSession, table_path: str) -> int:
     m = read_manifest(table_path, v)
     if "columns" in m:
         raise ValueError(f"already column-mapped: {table_path}")
+    # the mapped commit lists files + columns only — it cannot carry MoR
+    # tombstones (read_mapped applies none), and silently dropping them
+    # would RESURRECT deleted rows. Same for a standing partition spec:
+    # the mapped read path knows nothing of hidden-partition routing.
+    if m.get("dvs") or m.get("eqs"):
+        raise ValueError(
+            "table carries merge-on-read deletes; OPTIMIZE (compact) "
+            "first to materialize them, then convert"
+        )
+    if m.get("spec"):
+        raise ValueError(
+            "spec-partitioned tables cannot convert to column mapping "
+            "(the mapped read path has no hidden-partition routing)"
+        )
     schema = read_table_version(spark, table_path).schema
     columns = [
         [i + 1, f.name, f.dataType.simpleString()]

@@ -625,3 +625,41 @@ def test_optimize_zorder_refused_on_spec_partitioned_table(spark, tmp_path):
         execute_dml(
             spark, "OPTIMIZE evp ZORDER BY (user_id, value)", {"evp": t}
         )
+
+
+def test_convert_to_mapped_refuses_live_mor_deletes(spark, tmp_path):
+    """Converting with live DV/equality tombstones would drop them from
+    the new manifest and resurrect deleted rows — refused; OPTIMIZE
+    materializes the deletes, after which conversion proceeds."""
+    from iceberg_file_writer_spark.ingest.deletion_vectors import (
+        commit_delete_where_mor,
+    )
+    from iceberg_file_writer_spark.ingest.column_mapping import read_mapped
+
+    t = str(tmp_path / "ord")
+    orders = load_tables(spark, SF_DIR)["orders"].select(
+        "o_orderkey", "o_custkey"
+    )
+    commit_append(spark, orders, t, max_rows=300)
+    commit_delete_where_mor(spark, t, "o_custkey % 5 = 0")
+    survivors = read_table_version(spark, t).count()
+    tbl = {"ord": t}
+    with pytest.raises(ValueError, match="merge-on-read deletes"):
+        execute_dml(spark, "ALTER TABLE ord CONVERT TO MAPPED", tbl)
+    execute_dml(spark, "OPTIMIZE ord", tbl)
+    execute_dml(spark, "ALTER TABLE ord CONVERT TO MAPPED", tbl)
+    assert read_mapped(spark, t).count() == survivors
+
+
+def test_convert_to_mapped_refuses_spec_partitioned(spark, tmp_path):
+    from iceberg_file_writer_spark.ingest.partitioning import (
+        commit_append_partitioned,
+    )
+
+    t = str(tmp_path / "evp")
+    ev = load_tables(spark, SF_DIR)["events"].select(
+        "event_id", "ts", "user_id"
+    )
+    commit_append_partitioned(spark, ev, t, spec=[("day", "ts")], max_rows=5000)
+    with pytest.raises(ValueError, match="spec-partitioned"):
+        execute_dml(spark, "ALTER TABLE evp CONVERT TO MAPPED", {"evp": t})
