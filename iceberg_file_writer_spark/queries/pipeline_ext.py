@@ -833,6 +833,55 @@ _SEGS_SQL = f"""
 """
 
 
+def segment_hashes(df: DataFrame) -> DataFrame:
+    """(doc_id, seg_idx, h, n_tok): the non-overlapping SEG_TOKENS tiling
+    of a (doc_id, text) relation — shared by the batch rewrite operator
+    and the streaming span-dedup ingest gate. Hashing happens at scan
+    time so nothing downstream ever moves token text."""
+    tk = F.split(F.col("text"), " ")
+    starts = F.sequence(
+        F.lit(0), F.greatest(F.size(tk) - 1, F.lit(0)), F.lit(SEG_TOKENS)
+    )
+    seg_tok = F.slice("tk", F.col("s") + 1, SEG_TOKENS)
+    return (
+        df.select("doc_id", tk.alias("tk"), F.explode(starts).alias("s"))
+        .select(
+            "doc_id",
+            (F.col("s") / SEG_TOKENS).cast("long").alias("seg_idx"),
+            F.md5(F.array_join(seg_tok, " ")).alias("h"),
+            F.size(seg_tok).cast("long").alias("n_tok"),
+        )
+    )
+
+
+def span_removal_ledger(ranked: DataFrame) -> DataFrame:
+    """Per-document rewrite ledger over a (doc_id, seg_idx, h, n_tok, rn)
+    relation where rn = 1 marks the kept first occurrence — the aggregate
+    half of doc_dup_span_removal, shared with the streaming gate."""
+    kept = F.col("rn") == 1
+    return ranked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_segments"),
+        F.sum(F.when(~kept, 1).otherwise(0)).alias("n_removed"),
+        F.sum(F.when(kept, F.col("n_tok")).otherwise(0)).alias("kept_tokens"),
+        F.sum(F.when(~kept, F.col("n_tok")).otherwise(0)).alias(
+            "removed_tokens"
+        ),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(kept, F.struct("seg_idx", "h"))
+                        )
+                    ),
+                    lambda x: x["h"],
+                ),
+                "",
+            )
+        ).alias("cleaned_fingerprint"),
+    )
+
+
 @register(
     "doc_dup_span_removal",
     oracle=f"""
@@ -882,45 +931,12 @@ def doc_dup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     the result is deterministic under any partitioning.
     """
     t = load_tables(spark, sf_dir)
-    tk = F.split(F.col("text"), " ")
-    starts = F.sequence(
-        F.lit(0), F.greatest(F.size(tk) - 1, F.lit(0)), F.lit(SEG_TOKENS)
-    )
-    seg_tok = F.slice("tk", F.col("s") + 1, SEG_TOKENS)
-    segs = (
-        t["documents"]
-        .select("doc_id", tk.alias("tk"), F.explode(starts).alias("s"))
-        .select(
-            "doc_id",
-            (F.col("s") / SEG_TOKENS).cast("long").alias("seg_idx"),
-            F.md5(F.array_join(seg_tok, " ")).alias("h"),
-            F.size(seg_tok).cast("long").alias("n_tok"),
-        )
-    )
+    segs = segment_hashes(t["documents"].select("doc_id", "text"))
     w = Window.partitionBy("h").orderBy("doc_id", "seg_idx")
     ranked = segs.select(
         "doc_id", "seg_idx", "h", "n_tok", F.row_number().over(w).alias("rn")
     )
-    kept = F.col("rn") == 1
-    return ranked.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_segments"),
-        F.sum(F.when(~kept, 1).otherwise(0)).alias("n_removed"),
-        F.sum(F.when(kept, F.col("n_tok")).otherwise(0)).alias("kept_tokens"),
-        F.sum(F.when(~kept, F.col("n_tok")).otherwise(0)).alias("removed_tokens"),
-        F.md5(
-            F.array_join(
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(
-                            F.when(kept, F.struct("seg_idx", "h"))
-                        )
-                    ),
-                    lambda x: x["h"],
-                ),
-                "",
-            )
-        ).alias("cleaned_fingerprint"),
-    )
+    return span_removal_ledger(ranked)
 
 
 # --- BPE merge training ---------------------------------------------------

@@ -1709,3 +1709,159 @@ def streaming_multi_table_txn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fact.join(roll, "event_type").select(
         "event_type", "fact_rows", "rollup_rows", "first_event", "last_event"
     )
+
+
+# --- streaming exact-span dedup ingest gate ----------------------------------
+
+
+def _span_gate_oracle() -> str:
+    from iceberg_file_writer_spark.queries.dedup import NEW_BATCH_SPLIT
+    from iceberg_file_writer_spark.queries.pipeline_ext import _SEGS_SQL
+
+    return f"""
+WITH segs AS ({_SEGS_SQL}),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY h ORDER BY doc_id, seg_idx) AS rn
+  FROM segs
+)
+SELECT doc_id,
+       count(*) AS n_segments,
+       CAST(count(*) FILTER (WHERE rn > 1) AS BIGINT)          AS n_removed,
+       CAST(coalesce(sum(n_tok) FILTER (WHERE rn = 1), 0) AS BIGINT) AS kept_tokens,
+       CAST(coalesce(sum(n_tok) FILTER (WHERE rn > 1), 0) AS BIGINT) AS removed_tokens,
+       md5(coalesce(string_agg(h, '' ORDER BY seg_idx) FILTER (WHERE rn = 1), ''))
+         AS cleaned_fingerprint
+FROM ranked
+WHERE doc_id >= {NEW_BATCH_SPLIT}
+GROUP BY doc_id
+"""
+
+
+@register(
+    "streaming_span_dedup_gate",
+    oracle=_span_gate_oracle(),
+    description=(
+        "Structured Streaming: the per-ingest exact-span dedup gate — "
+        "each arriving document file (one micro-batch, doc-id-ordered) is "
+        "tiled into segments, segments whose hash exists in the standing "
+        "span set (corpus + every earlier batch) or earlier in the batch "
+        "are dropped, the per-document rewrite ledger appends to the "
+        "output and the newly-kept hashes extend the standing set; "
+        "run-to-completion equals the batch doc_dup_span_removal "
+        "restricted to the new shard EXACTLY (first occurrence is a "
+        "total order, so batch boundaries cannot change the result)"
+    ),
+    driver_exposed=False,
+    eager=True,  # builds/loads a trained artifact or runs a stream at plan time
+)
+def streaming_span_dedup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The rewrite-dedup curation loop in its streaming steady state.
+
+    Build-once: the standing span set starts as the distinct segment
+    hashes of the existing corpus (in production the persisted span-index
+    table beside the corpus). Stream: each arriving file is one
+    micro-batch; its segments rank intra-batch (first occurrence per
+    hash), probe the standing set with a digest-keyed left join, and the
+    batch appends BOTH outputs — the per-document rewrite ledger and the
+    newly-kept hashes that extend the standing set for every later batch.
+
+    Scale shape: per batch the only corpus-sized operand is the standing
+    span set, and it is touched digest-to-digest (hash join on 32-hex
+    keys, no text). Batch work is bounded by the batch: one window over
+    the batch's own segments, one join, two appends. Files are staged in
+    doc-id order (ingest arrival order at 100 TB), which is what makes
+    the gate's keep-first semantics identical to the batch operator's
+    global (doc_id, seg_idx) total order — pinned by the value-hash
+    oracle, not argued.
+    """
+    from iceberg_file_writer_spark.queries.dedup import NEW_BATCH_SPLIT
+    from iceberg_file_writer_spark.queries.pipeline_ext import (
+        segment_hashes,
+        span_removal_ledger,
+    )
+
+    docs = load_tables(spark, sf_dir)["documents"].select("doc_id", "text")
+    new_docs = docs.where(F.col("doc_id") >= NEW_BATCH_SPLIT)
+
+    def _stage(p: str) -> None:
+        import os
+        import time as _time
+
+        qs = new_docs.approxQuantile("doc_id", [1 / 3, 2 / 3], 0.001)
+        lo, hi = int(qs[0]), int(qs[1])
+        bounds = [
+            (F.col("doc_id") < lo, "b0"),
+            ((F.col("doc_id") >= lo) & (F.col("doc_id") < hi), "b1"),
+            (F.col("doc_id") >= hi, "b2"),
+        ]
+        for i, (pred, name) in enumerate(bounds):
+            sub = os.path.join(p, name)
+            new_docs.where(pred).coalesce(1).write.mode("overwrite").parquet(
+                sub
+            )
+            # FileStreamSource orders batches by modification time:
+            # force strictly increasing mtimes so arrival order IS
+            # doc-id order (the oracle's total order)
+            now = _time.time()
+            for f in os.listdir(sub):
+                if f.endswith(".parquet"):
+                    os.utime(os.path.join(sub, f), (now + i, now + i))
+
+    incoming = _staged_input((sf_dir, "spangate"), _stage)
+
+    sink = tempfile.mkdtemp(prefix="spangate-sink-")
+    standing = tempfile.mkdtemp(prefix="spangate-spans-")
+    ckpt = tempfile.mkdtemp(prefix="spangate-ckpt-")
+    # genesis standing set: the existing corpus's distinct segment hashes
+    (
+        segment_hashes(docs.where(F.col("doc_id") < NEW_BATCH_SPLIT))
+        .select("h")
+        .distinct()
+        .write.mode("overwrite")
+        .parquet(standing)
+    )
+
+    from pyspark.sql import Window
+
+    def _gate_batch(batch_df: DataFrame, _batch_id: int) -> None:
+        segs = segment_hashes(batch_df)
+        w = Window.partitionBy("h").orderBy("doc_id", "seg_idx")
+        ranked = segs.select(
+            "doc_id", "seg_idx", "h", "n_tok",
+            F.row_number().over(w).alias("brn"),
+        )
+        seen = spark.read.schema("h string").parquet(standing).select(
+            "h", F.lit(1).alias("hit")
+        )
+        flagged = ranked.join(seen, "h", "left").select(
+            "doc_id", "seg_idx", "h", "n_tok",
+            # rn = 1 means kept: first in batch AND absent upstream
+            F.when(
+                (F.col("brn") == 1) & F.col("hit").isNull(), 1
+            ).otherwise(2).alias("rn"),
+        )
+        flagged = flagged.localCheckpoint(eager=True)  # two consumers
+        span_removal_ledger(flagged).write.mode("append").parquet(sink)
+        flagged.where(F.col("rn") == 1).select("h").distinct().write.mode(
+            "append"
+        ).parquet(standing)
+
+    stream = (
+        spark.readStream.schema(new_docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(incoming + "/*")
+    )
+    q = (
+        stream.writeStream.foreachBatch(_gate_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+    finally:
+        q.stop()
+    return spark.read.schema(
+        "doc_id bigint, n_segments bigint, n_removed bigint, "
+        "kept_tokens bigint, removed_tokens bigint, cleaned_fingerprint string"
+    ).parquet(sink)
