@@ -718,3 +718,98 @@ def event_concentration_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("gini_milli"),
     ).drop("k", "tot").select("n_users", "n_events", "gini_milli")
+
+
+@register(
+    "events_daily_linear_trend",
+    oracle="""
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS d, count(*)::BIGINT AS y
+  FROM events GROUP BY event_type, CAST(ts AS DATE)
+),
+centered AS (
+  SELECT d.event_type,
+         CAST(datediff('day', m.d0, d.d) AS BIGINT) AS x,
+         d.y
+  FROM daily d
+  JOIN (SELECT event_type, min(d) AS d0 FROM daily GROUP BY event_type) m
+    ON m.event_type = d.event_type
+),
+sums AS (
+  SELECT event_type,
+         count(*)::BIGINT  AS n,
+         CAST(sum(x) AS BIGINT)     AS sx,
+         CAST(sum(y) AS BIGINT)     AS sy,
+         CAST(sum(x * x) AS BIGINT) AS sxx,
+         CAST(sum(x * y) AS BIGINT) AS sxy,
+         CAST(sum(y * y) AS BIGINT) AS syy
+  FROM centered GROUP BY event_type
+)
+SELECT event_type,
+       n AS n_days,
+       round((n * sxy - sx * sy)::DOUBLE
+             / nullif(n * sxx - sx * sx, 0), 6) AS slope_per_day,
+       round((sy - (n * sxy - sx * sy)::DOUBLE
+                   / nullif(n * sxx - sx * sx, 0) * sx) / n, 4) AS intercept,
+       round(((n * sxy - sx * sy)::DOUBLE * (n * sxy - sx * sy))
+             / nullif((n * sxx - sx * sx)::DOUBLE
+                      * (n * syy - sy * sy), 0), 6) AS r2
+FROM sums
+""",
+    description=(
+        "Per-type daily-count linear trend by closed-form OLS: slope, "
+        "intercept, and R^2 from the five classic sums (n, Sx, Sy, Sxx, "
+        "Sxy, Syy) kept in EXACT integer arithmetic until the single "
+        "final division — the trend/drift readout over event volume, "
+        "deterministic across engines and partitionings"
+    ),
+    driver_exposed=False,
+)
+def events_daily_linear_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Is traffic growing, and how fast — the regression-readout shape.
+
+    Scale shape: ONE corpus-sized pass (the daily partial-agg'd count);
+    everything after runs on the types x days relation. The OLS sums are
+    plain integer aggregates (map-side combined), per-type day centering
+    keeps them small, and exact integers until the final division mean
+    the result cannot drift with partitioning — no iterative fitting,
+    no float accumulation order. The same five-sums shape extends to
+    any closed-form per-group regression at 100 TB.
+    """
+    ev = load_tables(spark, sf_dir)["events"]
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("d")
+    ).agg(F.count("*").cast("long").alias("y"))
+    d0 = daily.groupBy("event_type").agg(F.min("d").alias("d0"))
+    centered = daily.join(F.broadcast(d0), "event_type").select(
+        "event_type",
+        F.datediff(F.col("d"), F.col("d0")).cast("long").alias("x"),
+        "y",
+    )
+    sums = centered.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, sxy, syy = F.col("sxx"), F.col("sxy"), F.col("syy")
+    num = n * sxy - sx * sy
+    den = F.nullif(n * sxx - sx * sx, F.lit(0))
+    slope = num.cast("double") / den
+    return sums.select(
+        "event_type",
+        n.alias("n_days"),
+        F.round(slope, 6).alias("slope_per_day"),
+        F.round((sy - slope * sx) / n, 4).alias("intercept"),
+        F.round(
+            (num.cast("double") * num)
+            / F.nullif(
+                (n * sxx - sx * sx).cast("double") * (n * syy - sy * sy),
+                F.lit(0.0),
+            ),
+            6,
+        ).alias("r2"),
+    )

@@ -385,6 +385,40 @@ def neardup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("cluster_size", F.count(F.lit(1)).over(wsz))
 
 
+def _stop_filtered_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct (doc_id, gram) postings with the stop-shingle cutoff
+    applied — the shared operand of the Jaccard and containment pair
+    entries.
+
+    cache() at the distinct-gram table: the stop-shingle docfreq pass
+    added a 4th consumer (stop agg + sizes + both self-join sides), and
+    without the cache Spark plans the full shingling pipeline once per
+    branch (12 parquet scans, no exchange reuse — measured round 3).
+    Round-1's "caching is 2.4x slower" predates the docfreq pass; the
+    round-3 same-session A/B reads cached 2.20s vs uncached 2.43s at
+    sf0.1. (A Window.partitionBy(x) docfreq measured faster still, 1.64s,
+    but is NOT 100 TB-safe: it shuffles every posting of a hot stop
+    shingle to one task before the filter — the groupBy here partial-
+    aggregates map-side, so the hot key never ships its postings.)
+
+    Stop-shingle cutoff: the stop set (shingles in > NGRAM_STOP_DF_FRAC of
+    docs) is at most 1/frac entries per distinct text pattern — tiny — so
+    the anti-join is a broadcast, not a shuffle.
+    """
+    all_grams = _shingle_x_df(spark, sf_dir, NGRAM_N).distinct().transform(ensure_cached)
+    n_docs = load_tables(spark, sf_dir)["documents"].agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    stop = (
+        all_grams.groupBy("x")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .crossJoin(F.broadcast(n_docs))
+        .where(F.col("df") > F.col("n_docs") * NGRAM_STOP_DF_FRAC)
+        .select("x")
+    )
+    return all_grams.join(F.broadcast(stop), "x", "left_anti")
+
+
 @register(
     "ngram_jaccard_near_duplicates",
     oracle=f"""
@@ -416,31 +450,7 @@ WHERE i.n_shared::DOUBLE / (za.sz + zb.sz - i.n_shared) >= {NGRAM_JACCARD_THRESH
     driver_exposed=False,
 )
 def ngram_jaccard_near_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # cache() at the distinct-gram table: the stop-shingle docfreq pass
-    # added a 4th consumer (stop agg + sizes + both self-join sides), and
-    # without the cache Spark plans the full shingling pipeline once per
-    # branch (12 parquet scans, no exchange reuse — measured round 3).
-    # Round-1's "caching is 2.4x slower" predates the docfreq pass; the
-    # round-3 same-session A/B reads cached 2.20s vs uncached 2.43s at
-    # sf0.1. (A Window.partitionBy(x) docfreq measured faster still, 1.64s,
-    # but is NOT 100 TB-safe: it shuffles every posting of a hot stop
-    # shingle to one task before the filter — the groupBy here partial-
-    # aggregates map-side, so the hot key never ships its postings.)
-    all_grams = _shingle_x_df(spark, sf_dir, NGRAM_N).distinct().transform(ensure_cached)
-    # Stop-shingle cutoff: the stop set (shingles in > NGRAM_STOP_DF_FRAC of
-    # docs) is at most 1/frac entries per distinct text pattern — tiny — so
-    # the anti-join is a broadcast, not a shuffle.
-    n_docs = load_tables(spark, sf_dir)["documents"].agg(
-        F.count(F.lit(1)).alias("n_docs")
-    )
-    stop = (
-        all_grams.groupBy("x")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .crossJoin(F.broadcast(n_docs))
-        .where(F.col("df") > F.col("n_docs") * NGRAM_STOP_DF_FRAC)
-        .select("x")
-    )
-    grams = all_grams.join(F.broadcast(stop), "x", "left_anti")
+    grams = _stop_filtered_grams(spark, sf_dir)
     sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     inter = (
         grams.alias("a")
@@ -981,4 +991,100 @@ def prefix_filter_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard_sim"),
         )
         .where(F.col("jaccard_sim") >= PREFIX_JACCARD_T)
+    )
+
+
+NGRAM_CONTAINMENT_THRESHOLD = 0.9
+
+
+@register(
+    "ngram_containment_pairs",
+    oracle=f"""
+WITH wordx AS ({_WORDX_SQL}),
+shingle_x AS ({_shingle_x_sql(NGRAM_N)}),
+all_grams AS (SELECT DISTINCT doc_id, x FROM shingle_x),
+stop AS (
+  SELECT x FROM all_grams GROUP BY x
+  HAVING count(*) > (SELECT count(*) FROM documents) * {NGRAM_STOP_DF_FRAC}
+),
+grams AS (SELECT g.doc_id, g.x FROM all_grams g ANTI JOIN stop s ON g.x = s.x),
+sizes AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+  FROM grams a JOIN grams b ON a.x = b.x AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+directed AS (
+  SELECT i.doc_a AS contained_doc, i.doc_b AS container_doc,
+         i.n_shared, round(i.n_shared::DOUBLE / za.sz, 6) AS containment
+  FROM inter i JOIN sizes za ON za.doc_id = i.doc_a
+  UNION ALL
+  SELECT i.doc_b, i.doc_a,
+         i.n_shared, round(i.n_shared::DOUBLE / zb.sz, 6)
+  FROM inter i JOIN sizes zb ON zb.doc_id = i.doc_b
+)
+SELECT contained_doc, container_doc, CAST(n_shared AS BIGINT) AS n_shared,
+       containment
+FROM directed WHERE containment >= {NGRAM_CONTAINMENT_THRESHOLD}
+""",
+    description=(
+        "n-gram CONTAINMENT pairs (asymmetric near-dup): directional "
+        f"|A∩B|/|A| ≥ {NGRAM_CONTAINMENT_THRESHOLD} over stop-filtered "
+        f"{NGRAM_N}-gram sets — catches a short document swallowed by a "
+        "long one (quotes, excerpts, page-in-page), which symmetric "
+        "Jaccard misses because the union is dominated by the longer side"
+    ),
+    driver_exposed=False,
+)
+def ngram_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The subset-detection half of near-dup curation.
+
+    A 200-word quote inside a 5,000-word page has Jaccard ~0.04 and
+    containment ~1.0: threshold-Jaccard dedup never sees it. Containment
+    is the right signal for excerpt/quote/boilerplate-page relations,
+    and the index shape is identical to the Jaccard entry — the shared
+    stop-filtered posting relation (cached), one inverted-index
+    self-join producing each unordered pair ONCE, then both directions
+    derived from the same (n_shared, size) row via a union of two
+    size-relation joins (pair-sized, not posting-sized). Same skew
+    armor: stop-shingle cutoff + AQE."""
+    grams = _stop_filtered_grams(spark, sf_dir)
+    sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    inter = (
+        grams.alias("a")
+        .join(
+            grams.alias("b"),
+            (F.col("a.x") == F.col("b.x"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    za = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
+    zb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    both = inter.join(za, "doc_a").join(zb, "doc_b")
+    directed = both.select(
+        F.col("doc_a").alias("contained_doc"),
+        F.col("doc_b").alias("container_doc"),
+        "n_shared",
+        F.round(F.col("n_shared").cast("double") / F.col("sz_a"), 6).alias(
+            "containment"
+        ),
+    ).unionByName(
+        both.select(
+            F.col("doc_b").alias("contained_doc"),
+            F.col("doc_a").alias("container_doc"),
+            "n_shared",
+            F.round(
+                F.col("n_shared").cast("double") / F.col("sz_b"), 6
+            ).alias("containment"),
+        )
+    )
+    return directed.where(
+        F.col("containment") >= NGRAM_CONTAINMENT_THRESHOLD
+    ).select(
+        "contained_doc",
+        "container_doc",
+        F.col("n_shared").cast("long").alias("n_shared"),
+        "containment",
     )
