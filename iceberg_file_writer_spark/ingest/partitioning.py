@@ -142,6 +142,25 @@ def apply_spec(df: DataFrame, spec: list) -> DataFrame:
         elif tr[0] == "month":
             c = f"_m_{tr[1]}"
             work = work.withColumn(c, F.date_format(tr[1], "yyyy-MM"))
+        elif tr[0] == "year":
+            c = f"_y_{tr[1]}"
+            work = work.withColumn(c, F.date_format(tr[1], "yyyy"))
+        elif tr[0] == "hour":
+            c = f"_h_{tr[1]}"
+            work = work.withColumn(c, F.date_format(tr[1], "yyyy-MM-dd-HH"))
+        elif tr[0] == "truncate":
+            # ("truncate", width, col): string -> width-char prefix,
+            # numeric -> floor to a width multiple. Both are ORDER-
+            # PRESERVING, so the raw column's file stats stay tight and
+            # prune range/equality predicates — no hidden column needed
+            # (Iceberg's truncate transform contract).
+            width, col = tr[1], tr[2]
+            c = f"_t{width}_{col}"
+            if dict(work.dtypes).get(col) == "string":
+                key = F.substring(F.col(col), 1, width)
+            else:
+                key = F.col(col) - (F.col(col) % F.lit(width))
+            work = work.withColumn(c, key)
         elif tr[0] == "bucket":
             c = _bucket_col_name(tr[2], tr[1])
             work = work.withColumn(c, _bucket_expr(tr[2], tr[1]))

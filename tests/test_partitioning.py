@@ -374,3 +374,58 @@ def test_in_list_prunes_via_bucket(spark, table):
     assert kept < total
     want = ev.where(F.col("user_id").isin(uids))
     assert _canon(got) == _canon(want) and got.count() > 0
+
+
+def test_hour_transform_prunes_sub_day_ranges(spark, tmp_path):
+    """hour(ts) clustering keeps raw ts stats tight enough that a
+    few-hour range predicate prunes where day clustering cannot."""
+    t = str(tmp_path / "ev_hour")
+    ev = load_tables(spark, SF_DIR)["events"].select("event_id", "ts", "value")
+    commit_append_partitioned(spark, ev, t, [("hour", "ts")], max_rows=40)
+    got = scan_partitioned(
+        spark,
+        t,
+        [("ts", ">=", "2024-01-05 06:00:00"), ("ts", "<", "2024-01-05 09:00:00")],
+    )
+    kept, total = scan_partitioned.last_files
+    assert kept < total
+    want = ev.where(
+        (F.col("ts") >= "2024-01-05 06:00:00") & (F.col("ts") < "2024-01-05 09:00:00")
+    )
+    assert _canon(got) == _canon(want)
+
+
+def test_year_transform_applies(spark, tmp_path):
+    t = str(tmp_path / "ev_year")
+    ev = load_tables(spark, SF_DIR)["events"].select("event_id", "ts")
+    commit_append_partitioned(spark, ev, t, [("year", "ts")], max_rows=200)
+    got = scan_partitioned(spark, t, [])
+    assert _canon(got) == _canon(ev)
+
+
+def test_truncate_transform_prunes_string_prefix_and_numeric(spark, tmp_path):
+    """truncate is order-preserving: string-prefix clustering tightens
+    the raw string stats (prefix predicates prune), numeric flooring
+    tightens numeric stats (range predicates prune); rows identical."""
+    t = str(tmp_path / "cust_trunc")
+    cust = load_tables(spark, SF_DIR)["customer"].select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+    commit_append_partitioned(
+        spark, cust, t, [("truncate", 12, "c_name")], max_rows=15
+    )
+    got = scan_partitioned(spark, t, [("c_name", ">=", "Customer#0000009")])
+    kept, total = scan_partitioned.last_files
+    assert kept < total
+    want = cust.where(F.col("c_name") >= "Customer#0000009")
+    assert _canon(got) == _canon(want)
+
+    t2 = str(tmp_path / "ev_trunc")
+    ev = load_tables(spark, SF_DIR)["events"].select("event_id", "user_id")
+    commit_append_partitioned(
+        spark, ev, t2, [("truncate", 100, "user_id")], max_rows=50
+    )
+    got = scan_partitioned(spark, t2, [("user_id", ">=", 400)])
+    kept, total = scan_partitioned.last_files
+    assert kept < total
+    assert _canon(got) == _canon(ev.where(F.col("user_id") >= 400))
