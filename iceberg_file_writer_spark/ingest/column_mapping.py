@@ -205,6 +205,39 @@ def evolve_mapped(
     return _commit_with_columns(table_path, "evolve", files, columns)
 
 
+def _sig_groups(files: list) -> "dict[str, list]":
+    """File entries grouped by identical writer (id, name) mapping — one
+    scan per evolution epoch."""
+    groups: dict[str, list] = {}
+    for e in files:
+        sig = json.dumps(e.get("cols", []), sort_keys=True)
+        groups.setdefault(sig, []).append(e)
+    return groups
+
+
+def _group_scan(
+    spark: SparkSession,
+    table_path: str,
+    entries: list,
+    sig: str,
+    columns: list,
+    extra_cols: "list | None" = None,
+) -> DataFrame:
+    """One epoch group's files projected to the logical schema (resolve
+    by field id; absent ids null-fill). ``extra_cols`` appends physical
+    helper columns (e.g. input_file_name) after the logical projection."""
+    file_cols = {cid: name for cid, name in json.loads(sig)}
+    paths = [os.path.join(table_path, e["path"]) for e in entries]
+    part = spark.read.parquet(*paths)
+    proj = []
+    for cid, name, typ in columns:
+        if cid in file_cols:
+            proj.append(F.col(file_cols[cid]).alias(name))
+        else:
+            proj.append(F.lit(None).cast(typ).alias(name))
+    return part.select(*(proj + (extra_cols or [])))
+
+
 def read_mapped(
     spark: SparkSession, table_path: str, version: int | None = None
 ) -> DataFrame:
@@ -217,25 +250,178 @@ def read_mapped(
         raise ValueError(f"version {v} is not committed (CURRENT={cur})")
     columns = table_columns(table_path, v)
     files = read_manifest(table_path, v)["files"]
-    groups: dict[str, list] = {}
-    for e in files:
-        sig = json.dumps(e.get("cols", []), sort_keys=True)
-        groups.setdefault(sig, []).append(e)
     out = None
-    for sig, entries in sorted(groups.items()):
-        file_cols = {cid: name for cid, name in json.loads(sig)}
-        paths = [os.path.join(table_path, e["path"]) for e in entries]
-        part = spark.read.parquet(*paths)
-        proj = []
-        for cid, name, typ in columns:
-            if cid in file_cols:
-                proj.append(F.col(file_cols[cid]).alias(name))
-            else:
-                proj.append(F.lit(None).cast(typ).alias(name))
-        part = part.select(*proj)
+    for sig, entries in sorted(_sig_groups(files).items()):
+        part = _group_scan(spark, table_path, entries, sig, columns)
         out = part if out is None else out.unionByName(part)
     if out is None:
         # empty table: synthesize the schema from the logical columns
         ddl = ", ".join(f"`{name}` {typ}" for _id, name, typ in columns)
         return spark.createDataFrame([], ddl)
     return out
+
+
+# --- row-level DML on mapped tables (CoW, O(affected)) -----------------------
+
+
+def _affected_paths(
+    spark: SparkSession,
+    table_path: str,
+    m: dict,
+    predicate: str,
+) -> set:
+    """Manifest-relative paths of files holding rows where the predicate
+    is TRUE — one predicate-pushed scan per evolution epoch keyed by
+    input_file_name (footer/row-group metadata work at scale, not data
+    movement), exactly commit_delete_where's discovery but resolved
+    through the field-id projection."""
+    columns = m["columns"]
+    hit_uris: set = set()
+    for sig, entries in sorted(_sig_groups(m["files"]).items()):
+        scan = _group_scan(
+            spark,
+            table_path,
+            entries,
+            sig,
+            columns,
+            extra_cols=[F.input_file_name().alias("__f")],
+        )
+        hit_uris |= {
+            r["__f"]
+            for r in scan.where(predicate).select("__f").distinct().collect()
+        }
+    return {
+        e["path"]
+        for e in m["files"]
+        if any(u.endswith(e["path"]) for u in hit_uris)
+    }
+
+
+def _rewrite_mapped(
+    spark: SparkSession,
+    table_path: str,
+    m: dict,
+    affected: set,
+    transform,
+    op: str,
+    max_rows: int,
+) -> int:
+    """Shared CoW tail: read the affected entries through the field-id
+    projection, apply ``transform`` (the survivor filter / SET
+    projection), write the result stamped with the CURRENT mapping, and
+    carry every untouched entry by reference under its own mapping."""
+    columns = m["columns"]
+    files = m["files"]
+    out = None
+    for sig, entries in sorted(_sig_groups(files).items()):
+        aff = [e for e in entries if e["path"] in affected]
+        if not aff:
+            continue
+        part = _group_scan(spark, table_path, aff, sig, columns)
+        out = part if out is None else out.unionByName(part)
+    rewritten = []
+    if out is not None:
+        result = transform(out)
+        rewritten = _write_data_files(result, table_path, max_rows)
+        for e in rewritten:
+            e["cols"] = [[c[0], c[1]] for c in columns]
+    carried = [e for e in files if e["path"] not in affected]
+    return _commit_with_columns(table_path, op, carried + rewritten, columns)
+
+
+def delete_where_mapped(
+    spark: SparkSession, table_path: str, predicate: str, max_rows: int = 4096
+) -> int:
+    """Copy-on-write DELETE on a column-mapped table: only files holding
+    matching rows rewrite (stamped with the current mapping — a rewrite
+    is a fresh write); unaffected files carry by reference under their
+    own historical mapping, so pre-evolution epochs stay untouched on
+    disk. SQL semantics: rows where the predicate is NULL survive."""
+    v = current_version(table_path)
+    m = read_manifest(table_path, v)
+    affected = _affected_paths(spark, table_path, m, predicate)
+    if not affected:
+        return _commit_with_columns(
+            table_path, "delete", m["files"], m["columns"]
+        )
+    return _rewrite_mapped(
+        spark,
+        table_path,
+        m,
+        affected,
+        lambda df: df.where(f"({predicate}) IS NOT TRUE"),
+        "delete",
+        max_rows,
+    )
+
+
+def update_where_mapped(
+    spark: SparkSession,
+    table_path: str,
+    predicate: str,
+    assignments: "dict[str, str]",
+    max_rows: int = 4096,
+) -> int:
+    """Copy-on-write UPDATE on a column-mapped table. SQL semantics:
+    every SET expression evaluates against the OLD row, results cast
+    back to the column's standing logical type, NULL-predicate rows are
+    not updated."""
+    v = current_version(table_path)
+    m = read_manifest(table_path, v)
+    types = {name: typ for _id, name, typ in m["columns"]}
+    for c in assignments:
+        if c not in types:
+            raise ValueError(f"no such column: {c}")
+    affected = _affected_paths(spark, table_path, m, predicate)
+    if not affected:
+        return _commit_with_columns(
+            table_path, "update", m["files"], m["columns"]
+        )
+
+    def _apply(df: DataFrame) -> DataFrame:
+        cond = F.expr(f"({predicate}) IS TRUE")
+        proj = [
+            F.when(cond, F.expr(expr).cast(types[c]))
+            .otherwise(F.col(c))
+            .alias(c)
+            if c in assignments
+            else F.col(c)
+            for c, expr in (
+                (name, assignments.get(name)) for _id, name, _t in m["columns"]
+            )
+        ]
+        return df.select(*proj)
+
+    return _rewrite_mapped(
+        spark, table_path, m, affected, _apply, "update", max_rows
+    )
+
+
+def overwrite_mapped(
+    spark: SparkSession, df: DataFrame, table_path: str, max_rows: int = 4096
+) -> int:
+    """INSERT OVERWRITE on a column-mapped table: the new snapshot lists
+    only the replacement files (stamped with the current mapping); time
+    travel still reads every historical epoch."""
+    columns = table_columns(table_path)
+    want = [c[1] for c in columns]
+    if sorted(df.columns) != sorted(want):
+        raise ValueError(f"schema mismatch: have {df.columns}, want {want}")
+    files = _write_data_files(df.select(*want), table_path, max_rows)
+    for e in files:
+        e["cols"] = [[c[0], c[1]] for c in columns]
+    return _commit_with_columns(table_path, "overwrite", files, columns)
+
+
+def compact_mapped(
+    spark: SparkSession, table_path: str, target_rows: int = 65536
+) -> int:
+    """OPTIMIZE on a column-mapped table: rewrite everything under the
+    CURRENT logical schema (epoch groups collapse to one mapping — the
+    moment historical physical names are physically retired)."""
+    df = read_mapped(spark, table_path)
+    columns = table_columns(table_path)
+    files = _write_data_files(df, table_path, target_rows)
+    for e in files:
+        e["cols"] = [[c[0], c[1]] for c in columns]
+    return _commit_with_columns(table_path, "compact", files, columns)

@@ -65,11 +65,16 @@ DDL (column-mapped tables — field-id schema evolution from birth):
 
 CREATE TABLE AS makes a COLUMN-MAPPED table (ingest/column_mapping.py):
 every ALTER is a metadata-only commit, zero data bytes move, and reads
-resolve files by field id (read_mapped). INSERT INTO routes to
-append_mapped on such tables. Row-level DML verbs (DELETE/UPDATE/MERGE/
-INSERT OVERWRITE/OPTIMIZE) write file entries without the (id, name)
-mapping — on a mapped table that would null-fill columns at read time —
-so they are REFUSED loudly there until they learn to carry the mapping.
+resolve files by field id (read_mapped). On mapped tables the verbs
+route to mapping-aware twins: INSERT INTO -> append_mapped, DELETE/
+UPDATE -> CoW rewrites that resolve through the field-id projection and
+stamp rewritten files with the current mapping (untouched epochs carry
+by reference), INSERT OVERWRITE -> overwrite_mapped, OPTIMIZE ->
+compact_mapped (collapses evolution epochs into the current schema).
+Only the merge-on-read forms (MERGE's equality-delete upsert, DELETE
+USING MOR) and ZORDER compaction remain REFUSED on mapped tables — the
+mapped read path applies no MoR sidecars yet, and silently dropping
+them would resurrect rows.
 
 ``tables`` maps statement table names to snapshot-table paths; source
 relations inside INSERT/MERGE queries resolve against the session's
@@ -345,14 +350,15 @@ def _is_mapped(path: str) -> bool:
 
 
 def _reject_mapped(path: str, verb: str) -> None:
-    """Row-level DML verbs write file entries without the (id, name)
-    mapping — on a column-mapped table that would null-fill every column
-    at read time (silent data loss). Refuse loudly instead."""
+    """The merge-on-read forms commit sidecars the mapped read path does
+    not apply — silently dropping them would resurrect rows. Refuse
+    loudly until the mapped reader learns MoR."""
     if _is_mapped(path):
         raise ValueError(
             f"{verb} is not supported on column-mapped tables yet "
-            f"({path}); supported there: INSERT INTO, TRUNCATE TABLE, "
-            "ALTER TABLE ADD/RENAME/DROP COLUMN, DROP TABLE, VACUUM"
+            f"({path}); supported there: INSERT INTO / OVERWRITE, "
+            "DELETE, UPDATE, TRUNCATE TABLE, ALTER TABLE, OPTIMIZE, "
+            "DROP TABLE, VACUUM"
         )
 
 
@@ -486,12 +492,30 @@ def execute_dml(
     m = _DELETE_RE.match(stmt)
     if m:
         path = _resolve(tables, m.group("t"))
-        _reject_mapped(path, "DELETE")
+        mapped = _is_mapped(path)
         if m.group("pred") is None:
+            if mapped:
+                from iceberg_file_writer_spark.ingest.column_mapping import (
+                    _commit_with_columns,
+                    table_columns,
+                )
+
+                return _commit_with_columns(
+                    path, "truncate", [], table_columns(path)
+                )
             # bare DELETE FROM t = logical truncate (metadata-only)
             return commit_truncate(path)
         if _DELETE_MOR_RE.match(stmt):
+            _reject_mapped(path, "DELETE ... USING MOR")
             return commit_delete_where_mor(spark, path, m.group("pred"))
+        if mapped:
+            from iceberg_file_writer_spark.ingest.column_mapping import (
+                delete_where_mapped,
+            )
+
+            return delete_where_mapped(
+                spark, path, m.group("pred"), max_rows=max_rows
+            )
         return commit_delete_where(
             spark, path, m.group("pred"), max_rows=max_rows
         )
@@ -501,7 +525,14 @@ def execute_dml(
         sets, pred = _split_top_level_keyword(m.group("rest"), "WHERE")
         assignments = _parse_assignments(sets)
         path = _resolve(tables, m.group("t"))
-        _reject_mapped(path, "UPDATE")
+        if _is_mapped(path):
+            from iceberg_file_writer_spark.ingest.column_mapping import (
+                update_where_mapped,
+            )
+
+            return update_where_mapped(
+                spark, path, pred or "true", assignments, max_rows=max_rows
+            )
         return commit_update_where(
             spark,
             path,
@@ -513,7 +544,14 @@ def execute_dml(
     m = _INSERT_OVERWRITE_RE.match(stmt)
     if m:
         path = _resolve(tables, m.group("t"))
-        _reject_mapped(path, "INSERT OVERWRITE")
+        if _is_mapped(path):
+            from iceberg_file_writer_spark.ingest.column_mapping import (
+                overwrite_mapped,
+            )
+
+            return overwrite_mapped(
+                spark, spark.sql(m.group("q")), path, max_rows=max_rows
+            )
         return commit_overwrite(
             spark,
             _align_to_table(spark, spark.sql(m.group("q")), path),
@@ -576,8 +614,15 @@ def execute_dml(
     m = _OPTIMIZE_RE.match(stmt)
     if m:
         path = _resolve(tables, m.group("t"))
-        _reject_mapped(path, "OPTIMIZE")
         z = (m.group("z1"), m.group("z2")) if m.group("z1") else None
+        if _is_mapped(path):
+            if z:
+                _reject_mapped(path, "OPTIMIZE ... ZORDER BY")
+            from iceberg_file_writer_spark.ingest.column_mapping import (
+                compact_mapped,
+            )
+
+            return compact_mapped(spark, path)
         return commit_compact(spark, path, zorder_by=z)
 
     m = _VACUUM_RE.match(stmt)

@@ -476,10 +476,10 @@ def test_ddl_create_refuses_existing_table(spark, table):
         )
 
 
-def test_row_level_dml_refused_on_mapped_tables(spark, tmp_path):
-    """DELETE/UPDATE/MERGE/INSERT OVERWRITE/OPTIMIZE write entries
-    without the field-id mapping — refused loudly, never silent
-    null-fill."""
+def test_mor_forms_refused_on_mapped_tables(spark, tmp_path):
+    """MERGE (equality-delete upsert) and DELETE USING MOR commit
+    sidecars the mapped reader does not apply — refused loudly, never
+    silent row resurrection."""
     t = str(tmp_path / "cust")
     load_tables(spark, SF_DIR)
     tbl = {"cust": t}
@@ -489,17 +489,80 @@ def test_row_level_dml_refused_on_mapped_tables(spark, tmp_path):
         tbl,
     )
     for stmt in [
-        "DELETE FROM cust WHERE c_custkey = 1",
-        "UPDATE cust SET c_acctbal = 0.0",
-        "INSERT OVERWRITE cust SELECT c_custkey, c_acctbal FROM customer",
         """MERGE INTO cust USING (SELECT 1 AS c_custkey, 2.0 AS c_acctbal) AS s
            ON cust.c_custkey = s.c_custkey
            WHEN MATCHED THEN UPDATE SET *
            WHEN NOT MATCHED THEN INSERT *""",
-        "OPTIMIZE cust",
+        "DELETE FROM cust USING MOR WHERE c_custkey = 1",
     ]:
         with pytest.raises(ValueError, match="column-mapped"):
             execute_dml(spark, stmt, tbl)
+
+
+def test_mapped_row_level_dml_across_evolution_epochs(spark, tmp_path):
+    """DELETE/UPDATE/OPTIMIZE/INSERT OVERWRITE on a mapped table resolve
+    predicates through the field-id projection, so they work across a
+    rename + add (files written under the OLD physical name still
+    match); rewritten files stamp the current mapping, untouched epochs
+    carry by reference."""
+    from iceberg_file_writer_spark.ingest.column_mapping import read_mapped
+
+    t = str(tmp_path / "cust")
+    load_tables(spark, SF_DIR)
+    tbl = {"cust": t}
+    execute_dml(
+        spark,
+        "CREATE TABLE cust AS SELECT c_custkey, c_acctbal "
+        "FROM customer WHERE c_custkey < 60",
+        tbl,
+    )
+    execute_dml(spark, "ALTER TABLE cust RENAME COLUMN c_acctbal TO balance", tbl)
+    execute_dml(spark, "ALTER TABLE cust ADD COLUMN tier string", tbl)
+    execute_dml(
+        spark,
+        "INSERT INTO cust SELECT c_custkey, c_acctbal AS balance, 'new' AS tier "
+        "FROM customer WHERE c_custkey BETWEEN 60 AND 79",
+        tbl,
+    )
+    n_all = read_mapped(spark, t).count()
+    assert n_all == 80
+
+    # DELETE through the renamed column hits BOTH epochs
+    execute_dml(spark, "DELETE FROM cust WHERE c_custkey % 4 = 0", tbl)
+    got = read_mapped(spark, t)
+    assert got.count() == got.where("c_custkey % 4 <> 0").count()
+    survivors = got.count()
+
+    # UPDATE: old-row evaluation, predicate through the mapped projection
+    execute_dml(
+        spark,
+        "UPDATE cust SET balance = balance + 1000000.0, tier = 'vip' "
+        "WHERE c_custkey < 30",
+        tbl,
+    )
+    got = read_mapped(spark, t)
+    assert got.count() == survivors
+    vip = got.where("tier = 'vip'")
+    assert vip.count() == got.where("c_custkey < 30").count() > 0
+    # acctbal ranges [-999.99, 9999.99]: every bumped balance clears 999k
+    assert vip.where("balance < 999000.0").count() == 0
+    # epoch-1 rows NOT matching kept their null tier
+    assert got.where("c_custkey >= 30 AND c_custkey < 60 AND tier IS NULL").count() > 0
+
+    # OPTIMIZE collapses epochs into one mapping; rows identical
+    before = _canon(got)
+    execute_dml(spark, "OPTIMIZE cust", tbl)
+    assert _canon(read_mapped(spark, t)) == before
+
+    # INSERT OVERWRITE replaces content; time travel still reads history
+    execute_dml(
+        spark,
+        "INSERT OVERWRITE cust SELECT c_custkey, c_acctbal AS balance, "
+        "'ow' AS tier FROM customer WHERE c_custkey < 5",
+        tbl,
+    )
+    assert read_mapped(spark, t).count() == 5
+    assert sorted(_canon(read_mapped(spark, t, version=7))) == sorted(before)
 
 
 def test_truncate_table_on_plain_table(spark, table):
