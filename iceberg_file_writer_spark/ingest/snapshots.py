@@ -1622,3 +1622,73 @@ def scan_pruned(
         spark, table_path, keep, m.get("dvs"), eqs=m.get("eqs")
     ).where((F.col(col) >= F.lit(lo)) & (F.col(col) <= F.lit(hi)))
     return df, info
+
+
+def commit_analyze(
+    spark: SparkSession, table_path: str, columns: "list[str] | None" = None
+) -> int:
+    """ANALYZE TABLE: persist table-level column statistics (exact NDV,
+    null count, min/max, row count) into the manifest as a metadata-only
+    commit — Iceberg's ANALYZE/Puffin niche, jar-free.
+
+    One aggregate pass over the MoR-applied current state (a full scan,
+    as ANALYZE always is — but partial-agg'd and column-pruned to the
+    requested columns). Every standing extra carries forward explicitly
+    (MoR sidecars, bloom pointers, spec, column mapping): a stats commit
+    must never change what the table reads as. Readers:
+    ``table_stats(path)``.
+    """
+    from iceberg_file_writer_spark.ingest.partitioning import _is_hidden
+
+    parent = current_version(table_path)
+    m = read_manifest(table_path, parent)
+    df = read_table_version(spark, table_path)
+    cols = columns or [c for c in df.columns if not _is_hidden(c)]
+    missing = [c for c in cols if c not in df.columns]
+    if missing:
+        raise ValueError(f"no such column(s): {missing}")
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for i, c in enumerate(cols):
+        aggs += [
+            F.countDistinct(c).alias(f"__ndv{i}"),
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(
+                f"__nn{i}"
+            ),
+            F.min(c).alias(f"__mn{i}"),
+            F.max(c).alias(f"__mx{i}"),
+        ]
+    row = df.select(*cols).agg(*aggs).first()
+    col_stats = {}
+    for i, c in enumerate(cols):
+        col_stats[c] = {
+            "ndv": int(row[f"__ndv{i}"]),
+            "n_nulls": int(row[f"__nn{i}"]),
+            "min": _stat_value(row[f"__mn{i}"]),
+            "max": _stat_value(row[f"__mx{i}"]),
+        }
+    extra: dict = {
+        "table_stats": {
+            "n_rows": int(row["__n"]),
+            "columns": col_stats,
+        }
+    }
+    # a stats commit must not change what the table reads as: carry
+    # every standing read-path extra explicitly
+    for k in ("dvs", "eqs", "bloom", "spec", "columns", "last_column_id"):
+        if m.get(k) is not None:
+            extra[k] = m[k]
+    return _commit(table_path, parent, "analyze", m["files"], extra=extra)
+
+
+def table_stats(table_path: str, version: int | None = None) -> dict:
+    """The persisted ANALYZE statistics as of ``version`` (walking up the
+    parent chain to the newest ancestor that carries them — stats
+    survive until data-changing commits supersede them logically; the
+    result notes which version they were computed at)."""
+    v = current_version(table_path) if version is None else version
+    while v > 0:
+        m = read_manifest(table_path, v)
+        if "table_stats" in m:
+            return {"as_of_version": v, **m["table_stats"]}
+        v = m["parent"]
+    raise ValueError(f"no ANALYZE statistics recorded for {table_path}")

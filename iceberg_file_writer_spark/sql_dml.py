@@ -49,6 +49,10 @@ write.delete.mode table property, spelled inline.
     OPTIMIZE t [ZORDER BY (a, b)]                     -> commit_compact
                                          (ZORDER: Morton re-clustering —
                                           both columns' zone maps tighten)
+    ANALYZE TABLE t [COMPUTE STATISTICS]
+                    [FOR COLUMNS a, b]                -> commit_analyze
+                                         (persisted NDV/null/min/max +
+                                          row count; read via table_stats)
     VACUUM t [RETAIN <n> VERSIONS]                    -> maintenance.vacuum
 
 DDL (column-mapped tables — field-id schema evolution from birth):
@@ -158,6 +162,11 @@ _ALTER_RENAME_RE = re.compile(
 _ALTER_DROP_RE = re.compile(
     rf"^ALTER{_WS}TABLE{_WS}(?P<t>{_ID}){_WS}DROP{_WS}COLUMN{_WS}"
     rf"(?P<c>[A-Za-z_][A-Za-z0-9_]*)$",
+    re.IGNORECASE,
+)
+_ANALYZE_RE = re.compile(
+    rf"^ANALYZE{_WS}TABLE{_WS}(?P<t>{_ID})(?:{_WS}COMPUTE{_WS}STATISTICS)?"
+    rf"(?:{_WS}FOR{_WS}COLUMNS{_WS}(?P<cols>[A-Za-z0-9_,\s]+))?$",
     re.IGNORECASE,
 )
 _VACUUM_RE = re.compile(
@@ -624,6 +633,15 @@ def execute_dml(
 
             return compact_mapped(spark, path)
         return commit_compact(spark, path, zorder_by=z)
+
+    m = _ANALYZE_RE.match(stmt)
+    if m:
+        from iceberg_file_writer_spark.ingest.snapshots import commit_analyze
+
+        cols = None
+        if m.group("cols"):
+            cols = [c.strip() for c in m.group("cols").split(",") if c.strip()]
+        return commit_analyze(spark, _resolve(tables, m.group("t")), cols)
 
     m = _VACUUM_RE.match(stmt)
     if m:

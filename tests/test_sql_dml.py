@@ -726,3 +726,48 @@ def test_convert_to_mapped_refuses_spec_partitioned(spark, tmp_path):
     commit_append_partitioned(spark, ev, t, spec=[("day", "ts")], max_rows=5000)
     with pytest.raises(ValueError, match="spec-partitioned"):
         execute_dml(spark, "ALTER TABLE evp CONVERT TO MAPPED", {"evp": t})
+
+
+def test_analyze_table_persists_stats_and_preserves_read_state(spark, tmp_path):
+    """ANALYZE TABLE records exact NDV/null/min-max + row count in a
+    metadata-only commit that carries every read-path extra — on a MoR
+    table the tombstones must survive the stats commit."""
+    from iceberg_file_writer_spark.ingest.deletion_vectors import (
+        commit_delete_where_mor,
+    )
+    from iceberg_file_writer_spark.ingest.snapshots import table_stats
+
+    t = str(tmp_path / "ord")
+    orders = load_tables(spark, SF_DIR)["orders"].select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    commit_append(spark, orders, t, max_rows=300)
+    commit_delete_where_mor(spark, t, "o_custkey % 5 = 0")
+    survivors = read_table_version(spark, t)
+    n_live = survivors.count()
+
+    execute_dml(
+        spark,
+        "ANALYZE TABLE ord COMPUTE STATISTICS FOR COLUMNS o_custkey, o_totalprice",
+        {"ord": t},
+    )
+    # the stats commit changed nothing about what the table reads as
+    assert read_table_version(spark, t).count() == n_live
+
+    st = table_stats(t)
+    assert st["n_rows"] == n_live
+    exact = survivors.selectExpr(
+        "count(DISTINCT o_custkey) AS ndv",
+        "min(o_totalprice) AS mn",
+        "max(o_totalprice) AS mx",
+    ).first()
+    assert st["columns"]["o_custkey"]["ndv"] == exact.ndv
+    assert st["columns"]["o_custkey"]["n_nulls"] == 0
+    assert float(st["columns"]["o_totalprice"]["min"]) == exact.mn
+    assert float(st["columns"]["o_totalprice"]["max"]) == exact.mx
+    # stats survive later metadata commits via the parent walk
+    execute_dml(spark, "ANALYZE TABLE ord FOR COLUMNS o_orderkey", {"ord": t})
+    assert "o_orderkey" in table_stats(t)["columns"]
+
+    with pytest.raises(ValueError, match="no such column"):
+        execute_dml(spark, "ANALYZE TABLE ord FOR COLUMNS nope", {"ord": t})
