@@ -52,7 +52,8 @@ from iceberg_file_writer_spark.ingest.snapshots import (
 
 
 def _commit_with_columns(
-    table_path: str, op: str, files: list, columns: list
+    table_path: str, op: str, files: list, columns: list,
+    extra: "dict | None" = None,
 ) -> int:
     from iceberg_file_writer_spark.ingest.snapshots import _commit
 
@@ -69,7 +70,7 @@ def _commit_with_columns(
         parent,
         op,
         files,
-        extra={"columns": columns, "last_column_id": last},
+        extra={"columns": columns, "last_column_id": last, **(extra or {})},
     )
 
 
@@ -150,20 +151,35 @@ def table_columns(table_path: str, version: int | None = None) -> list:
     return m["columns"]
 
 
+def _select_as_standing(df: DataFrame, columns: list) -> DataFrame:
+    """Validate the exact column-name set and cast each column to its
+    standing logical type (SQL INSERT semantics: a decimal literal
+    source must not flip a double column — and a type-drifted file
+    would break the epoch group's single multi-path scan)."""
+    want = [c[1] for c in columns]
+    if sorted(df.columns) != sorted(want):
+        raise ValueError(f"schema mismatch: have {df.columns}, want {want}")
+    return df.select(
+        *[F.col(name).cast(typ).alias(name) for _id, name, typ in columns]
+    )
+
+
 def append_mapped(
     spark: SparkSession, df: DataFrame, table_path: str, max_rows: int = 4096
 ) -> int:
     """Append rows matching the CURRENT logical schema (by name); the new
     files record the current (id, name) mapping."""
     columns = table_columns(table_path)
-    want = [c[1] for c in columns]
-    if sorted(df.columns) != sorted(want):
-        raise ValueError(f"schema mismatch: have {df.columns}, want {want}")
-    files = _write_data_files(df.select(*want), table_path, max_rows)
+    files = _write_data_files(
+        _select_as_standing(df, columns), table_path, max_rows
+    )
     for e in files:
         e["cols"] = [[c[0], c[1]] for c in columns]
-    prev = read_manifest(table_path, current_version(table_path))["files"]
-    return _commit_with_columns(table_path, "append", prev + files, columns)
+    m = read_manifest(table_path, current_version(table_path))
+    extra = {"eqs": m["eqs"]} if m.get("eqs") else None
+    return _commit_with_columns(
+        table_path, "append", m["files"] + files, columns, extra=extra
+    )
 
 
 def evolve_mapped(
@@ -183,6 +199,19 @@ def evolve_mapped(
     for old in list(renames) + drops:
         if old not in names:
             raise ValueError(f"no such column: {old}")
+    if drops:
+        m0 = read_manifest(table_path, current_version(table_path))
+        live_key_ids = {
+            i for e in (m0.get("eqs") or []) for i in e.get("ids", [])
+        }
+        blocked = [
+            c[1] for c in columns if c[1] in drops and c[0] in live_key_ids
+        ]
+        if blocked:
+            raise ValueError(
+                f"column(s) {blocked} key live equality deletes; OPTIMIZE "
+                "(compact) first to materialize them, then drop"
+            )
     columns = [c for c in columns if c[1] not in drops]
     for c in columns:
         c[1] = renames.get(c[1], c[1])
@@ -201,8 +230,10 @@ def evolve_mapped(
         columns.append([max_id, name, typ])
     if len({c[1] for c in columns}) != len(columns):
         raise ValueError("rename collision")
-    files = m["files"]
-    return _commit_with_columns(table_path, "evolve", files, columns)
+    extra = {"eqs": m["eqs"]} if m.get("eqs") else None
+    return _commit_with_columns(
+        table_path, "evolve", m["files"], columns, extra=extra
+    )
 
 
 def _sig_groups(files: list) -> "dict[str, list]":
@@ -238,22 +269,111 @@ def _group_scan(
     return part.select(*(proj + (extra_cols or [])))
 
 
+def _apply_eqs_mapped(
+    spark: SparkSession,
+    table_path: str,
+    data: DataFrame,
+    files: list,
+    eqs: list,
+    columns: list,
+) -> DataFrame:
+    """Equality-delete application for mapped tables: delete files key on
+    FIELD IDS (rename-proof), so the join resolves each id to whatever
+    name the column carries in ``columns`` — same Iceberg v2 seq scoping
+    as snapshots._apply_equality_deletes (strict delete.seq > file.seq).
+    ``data`` must carry ``_pos_fn`` (input_file_name)."""
+    id_to_name = {cid: name for cid, name, _t in columns}
+    key_ids = eqs[0]["ids"]
+    missing = [i for i in key_ids if i not in id_to_name]
+    if missing:
+        raise ValueError(
+            f"equality-delete key field id(s) {missing} are not in the "
+            "as-of schema — the key column was dropped with live deletes"
+        )
+    seq_rows = [
+        (os.path.basename(e["path"]), int(e.get("seq") or 0)) for e in files
+    ]
+    seq_map = spark.createDataFrame(seq_rows, "_pos_bn string, _file_seq long")
+    eq = None
+    for e in eqs:
+        part = spark.read.parquet(os.path.join(table_path, e["path"])).select(
+            *[
+                F.col(name_at_commit).alias(f"_eqk_{cid}")
+                for cid, name_at_commit in zip(e["ids"], e["cols"])
+            ]
+        ).withColumn("_eq_seq", F.lit(int(e["seq"])))
+        eq = part if eq is None else eq.unionByName(part)
+    eq = eq.groupBy(*[f"_eqk_{i}" for i in key_ids]).agg(
+        F.max("_eq_seq").alias("_eq_seq")
+    )
+    out = (
+        data.withColumn(
+            "_pos_bn", F.element_at(F.split(F.col("_pos_fn"), "/"), -1)
+        )
+        .join(F.broadcast(seq_map), "_pos_bn", "left")
+        .join(
+            F.broadcast(eq),
+            [
+                F.col(id_to_name[i]) == F.col(f"_eqk_{i}")
+                for i in key_ids
+            ],
+            "left",
+        )
+        .where(
+            F.col("_eq_seq").isNull() | (F.col("_eq_seq") <= F.col("_file_seq"))
+        )
+        .drop(
+            "_pos_bn", "_file_seq", "_eq_seq",
+            *[f"_eqk_{i}" for i in key_ids],
+        )
+    )
+    return out
+
+
+def _scan_mapped(
+    spark: SparkSession,
+    table_path: str,
+    m: dict,
+    with_file: bool = False,
+) -> "DataFrame | None":
+    """MoR-applied logical scan of a mapped manifest: one scan per
+    evolution epoch, equality deletes applied (field-id-keyed).
+    ``with_file=True`` keeps ``_pos_fn`` for file-addressed consumers."""
+    columns = m["columns"]
+    out = None
+    for sig, entries in sorted(_sig_groups(m["files"]).items()):
+        part = _group_scan(
+            spark,
+            table_path,
+            entries,
+            sig,
+            columns,
+            extra_cols=[F.input_file_name().alias("_pos_fn")],
+        )
+        out = part if out is None else out.unionByName(part)
+    if out is None:
+        return None
+    if m.get("eqs"):
+        out = _apply_eqs_mapped(
+            spark, table_path, out, m["files"], m["eqs"], columns
+        )
+    return out if with_file else out.drop("_pos_fn")
+
+
 def read_mapped(
     spark: SparkSession, table_path: str, version: int | None = None
 ) -> DataFrame:
     """Read a column-mapped table (as of ``version``): files resolve by
     field id to the as-of logical schema, grouped into one scan per
-    distinct writer mapping."""
+    distinct writer mapping; equality-delete tombstones (upsert_mapped)
+    apply at read time with Iceberg v2 seq scoping."""
     v = current_version(table_path) if version is None else version
     cur = current_version(table_path)
     if v > cur:
         raise ValueError(f"version {v} is not committed (CURRENT={cur})")
     columns = table_columns(table_path, v)
-    files = read_manifest(table_path, v)["files"]
-    out = None
-    for sig, entries in sorted(_sig_groups(files).items()):
-        part = _group_scan(spark, table_path, entries, sig, columns)
-        out = part if out is None else out.unionByName(part)
+    m = read_manifest(table_path, v)
+    out = _scan_mapped(spark, table_path, m)
     if out is None:
         # empty table: synthesize the schema from the logical columns
         ddl = ", ".join(f"`{name}` {typ}" for _id, name, typ in columns)
@@ -270,26 +390,20 @@ def _affected_paths(
     m: dict,
     predicate: str,
 ) -> set:
-    """Manifest-relative paths of files holding rows where the predicate
-    is TRUE — one predicate-pushed scan per evolution epoch keyed by
-    input_file_name (footer/row-group metadata work at scale, not data
-    movement), exactly commit_delete_where's discovery but resolved
-    through the field-id projection."""
-    columns = m["columns"]
-    hit_uris: set = set()
-    for sig, entries in sorted(_sig_groups(m["files"]).items()):
-        scan = _group_scan(
-            spark,
-            table_path,
-            entries,
-            sig,
-            columns,
-            extra_cols=[F.input_file_name().alias("__f")],
-        )
-        hit_uris |= {
-            r["__f"]
-            for r in scan.where(predicate).select("__f").distinct().collect()
-        }
+    """Manifest-relative paths of files holding LIVE rows where the
+    predicate is TRUE — one predicate-pushed scan per evolution epoch
+    keyed by input_file_name (footer/row-group metadata work at scale,
+    not data movement), exactly commit_delete_where's discovery but
+    resolved through the field-id projection WITH equality deletes
+    applied (a row already tombstoned by an upsert must not drag its
+    file into a rewrite)."""
+    scan = _scan_mapped(spark, table_path, m, with_file=True)
+    if scan is None:
+        return set()
+    hit_uris = {
+        r["_pos_fn"]
+        for r in scan.where(predicate).select("_pos_fn").distinct().collect()
+    }
     return {
         e["path"]
         for e in m["files"]
@@ -312,21 +426,30 @@ def _rewrite_mapped(
     carry every untouched entry by reference under its own mapping."""
     columns = m["columns"]
     files = m["files"]
-    out = None
-    for sig, entries in sorted(_sig_groups(files).items()):
-        aff = [e for e in entries if e["path"] in affected]
-        if not aff:
-            continue
-        part = _group_scan(spark, table_path, aff, sig, columns)
-        out = part if out is None else out.unionByName(part)
+    # survivors come from the MoR-APPLIED state: rewriting raw bytes
+    # would re-commit rows an upsert already tombstoned at a NEWER seq
+    # than the rewrite (silent resurrection)
+    scan = _scan_mapped(spark, table_path, m, with_file=True)
     rewritten = []
-    if out is not None:
+    if scan is not None and affected:
+        bns = [os.path.basename(p) for p in affected]
+        out = (
+            scan.where(
+                F.element_at(F.split(F.col("_pos_fn"), "/"), -1).isin(bns)
+            )
+            .drop("_pos_fn")
+        )
         result = transform(out)
         rewritten = _write_data_files(result, table_path, max_rows)
         for e in rewritten:
             e["cols"] = [[c[0], c[1]] for c in columns]
     carried = [e for e in files if e["path"] not in affected]
-    return _commit_with_columns(table_path, op, carried + rewritten, columns)
+    # live tombstones still govern the carried files; rewritten files
+    # take the new commit's seq, above every standing delete
+    extra = {"eqs": m.get("eqs") or []} if m.get("eqs") else None
+    return _commit_with_columns(
+        table_path, op, carried + rewritten, columns, extra=extra
+    )
 
 
 def delete_where_mapped(
@@ -397,6 +520,61 @@ def update_where_mapped(
     )
 
 
+def upsert_mapped(
+    spark: SparkSession,
+    df: DataFrame,
+    table_path: str,
+    key_cols: "list[str]",
+    max_rows: int = 4096,
+) -> int:
+    """One-commit MERGE-on-read upsert on a column-mapped table: rows of
+    ``df`` replace same-key current rows and insert otherwise — without
+    reading the table (O(batch), the Flink-upsert shape).
+
+    The equality-delete file records the key columns under their
+    commit-time names but the manifest entry keys on FIELD IDS, so a
+    later RENAME of a key column cannot detach standing tombstones
+    (reads re-resolve ids to whatever name the schema carries).
+    ``df`` must hold at most one row per key."""
+    columns = table_columns(table_path)
+    df = _select_as_standing(df, columns)
+    name_to_id = {name: cid for cid, name, _t in columns}
+    missing = [c for c in key_cols if c not in name_to_id]
+    if missing:
+        raise ValueError(f"no such key column(s): {missing}")
+    key_ids = [name_to_id[c] for c in key_cols]
+    m = read_manifest(table_path, current_version(table_path))
+    eqs = m.get("eqs") or []
+    if eqs and eqs[0]["ids"] != key_ids:
+        raise ValueError(
+            f"table's equality-delete key ids are {eqs[0]['ids']}, got "
+            f"{key_ids} — one consistent key set per table"
+        )
+    from iceberg_file_writer_spark.ingest.equality_deletes import (
+        _write_eq_file,
+    )
+
+    new = _write_data_files(df, table_path, max_rows)
+    for e in new:
+        e["cols"] = [[c[0], c[1]] for c in columns]
+    rel, n = _write_eq_file(spark, table_path, df.select(*key_cols))
+    version = current_version(table_path) + 1
+    eq_entry = {
+        "path": rel,
+        "seq": version,
+        "ids": key_ids,
+        "cols": list(key_cols),
+        "rows": n,
+    }
+    return _commit_with_columns(
+        table_path,
+        "upsert_mor",
+        m["files"] + new,
+        columns,
+        extra={"eqs": eqs + ([eq_entry] if n else [])},
+    )
+
+
 def overwrite_mapped(
     spark: SparkSession, df: DataFrame, table_path: str, max_rows: int = 4096
 ) -> int:
@@ -404,13 +582,14 @@ def overwrite_mapped(
     only the replacement files (stamped with the current mapping); time
     travel still reads every historical epoch."""
     columns = table_columns(table_path)
-    want = [c[1] for c in columns]
-    if sorted(df.columns) != sorted(want):
-        raise ValueError(f"schema mismatch: have {df.columns}, want {want}")
-    files = _write_data_files(df.select(*want), table_path, max_rows)
+    files = _write_data_files(
+        _select_as_standing(df, columns), table_path, max_rows
+    )
     for e in files:
         e["cols"] = [[c[0], c[1]] for c in columns]
-    return _commit_with_columns(table_path, "overwrite", files, columns)
+    return _commit_with_columns(
+        table_path, "overwrite", files, columns, extra={"eqs": []}
+    )
 
 
 def compact_mapped(
@@ -419,9 +598,12 @@ def compact_mapped(
     """OPTIMIZE on a column-mapped table: rewrite everything under the
     CURRENT logical schema (epoch groups collapse to one mapping — the
     moment historical physical names are physically retired)."""
-    df = read_mapped(spark, table_path)
+    df = read_mapped(spark, table_path)  # MoR-applied state
     columns = table_columns(table_path)
     files = _write_data_files(df, table_path, target_rows)
     for e in files:
         e["cols"] = [[c[0], c[1]] for c in columns]
-    return _commit_with_columns(table_path, "compact", files, columns)
+    # compaction materializes the applied state: tombstones retire
+    return _commit_with_columns(
+        table_path, "compact", files, columns, extra={"eqs": []}
+    )

@@ -75,10 +75,12 @@ UPDATE -> CoW rewrites that resolve through the field-id projection and
 stamp rewritten files with the current mapping (untouched epochs carry
 by reference), INSERT OVERWRITE -> overwrite_mapped, OPTIMIZE ->
 compact_mapped (collapses evolution epochs into the current schema).
-Only the merge-on-read forms (MERGE's equality-delete upsert, DELETE
-USING MOR) and ZORDER compaction remain REFUSED on mapped tables — the
-mapped read path applies no MoR sidecars yet, and silently dropping
-them would resurrect rows.
+Whole-row MERGE routes to upsert_mapped: the one-commit equality-
+delete upsert whose delete file keys on FIELD IDS, so renaming a key
+column cannot detach standing tombstones; read_mapped applies them
+with Iceberg v2 seq scoping, and every mapped verb carries or clears
+them explicitly. Only column-wise MERGE, DELETE USING MOR (positional
+DVs), and ZORDER compaction remain REFUSED on mapped tables.
 
 ``tables`` maps statement table names to snapshot-table paths; source
 relations inside INSERT/MERGE queries resolve against the session's
@@ -595,9 +597,22 @@ def execute_dml(
         aliases_s = {salias} - {None}
         keys = _merge_keys(m.group("on"), aliases_t, aliases_s)
         path = _resolve(tables, t)
-        _reject_mapped(path, "MERGE")
         sets = m.group("sets").strip()
         sync = m.group("sync") is not None
+        if _is_mapped(path):
+            if sets != "*":
+                _reject_mapped(path, "column-wise MERGE")
+            from iceberg_file_writer_spark.ingest.column_mapping import (
+                overwrite_mapped,
+                upsert_mapped,
+            )
+
+            src_df = spark.sql(m.group("q"))
+            if sync:
+                # SET * + INSERT * + NOT MATCHED BY SOURCE DELETE: the
+                # result IS the source relation (sql_dml module doc)
+                return overwrite_mapped(spark, src_df, path, max_rows=max_rows)
+            return upsert_mapped(spark, src_df, path, keys, max_rows=max_rows)
         if sets == "*":
             src = _align_to_table(spark, spark.sql(m.group("q")), path)
             if sync:

@@ -476,10 +476,10 @@ def test_ddl_create_refuses_existing_table(spark, table):
         )
 
 
-def test_mor_forms_refused_on_mapped_tables(spark, tmp_path):
-    """MERGE (equality-delete upsert) and DELETE USING MOR commit
-    sidecars the mapped reader does not apply — refused loudly, never
-    silent row resurrection."""
+def test_unsupported_mor_forms_refused_on_mapped_tables(spark, tmp_path):
+    """Column-wise MERGE and positional-DV DELETE commit artifacts the
+    mapped reader does not apply — refused loudly, never silent row
+    resurrection. (Whole-row MERGE is supported: upsert_mapped.)"""
     t = str(tmp_path / "cust")
     load_tables(spark, SF_DIR)
     tbl = {"cust": t}
@@ -489,9 +489,9 @@ def test_mor_forms_refused_on_mapped_tables(spark, tmp_path):
         tbl,
     )
     for stmt in [
-        """MERGE INTO cust USING (SELECT 1 AS c_custkey, 2.0 AS c_acctbal) AS s
-           ON cust.c_custkey = s.c_custkey
-           WHEN MATCHED THEN UPDATE SET *
+        """MERGE INTO cust AS tgt USING (SELECT 1 AS c_custkey) AS s
+           ON tgt.c_custkey = s.c_custkey
+           WHEN MATCHED THEN UPDATE SET c_acctbal = tgt.c_acctbal + 1.0
            WHEN NOT MATCHED THEN INSERT *""",
         "DELETE FROM cust USING MOR WHERE c_custkey = 1",
     ]:
@@ -771,3 +771,116 @@ def test_analyze_table_persists_stats_and_preserves_read_state(spark, tmp_path):
 
     with pytest.raises(ValueError, match="no such column"):
         execute_dml(spark, "ANALYZE TABLE ord FOR COLUMNS nope", {"ord": t})
+
+
+def test_mapped_merge_upsert_survives_key_rename(spark, tmp_path):
+    """Whole-row MERGE on a mapped table is the O(batch) equality-delete
+    upsert; the delete file keys on FIELD IDS, so renaming the key
+    column afterwards cannot detach the standing tombstones."""
+    from iceberg_file_writer_spark.ingest.column_mapping import read_mapped
+
+    t = str(tmp_path / "cust")
+    load_tables(spark, SF_DIR)
+    tbl = {"cust": t}
+    execute_dml(
+        spark,
+        "CREATE TABLE cust AS SELECT c_custkey, c_acctbal "
+        "FROM customer WHERE c_custkey < 50",
+        tbl,
+    )
+    execute_dml(
+        spark,
+        """MERGE INTO cust USING (
+             SELECT c_custkey, -1.0 AS c_acctbal FROM customer
+             WHERE c_custkey < 10
+             UNION ALL SELECT 7777, -2.0
+           ) AS src ON cust.c_custkey = src.c_custkey
+           WHEN MATCHED THEN UPDATE SET *
+           WHEN NOT MATCHED THEN INSERT *""",
+        tbl,
+    )
+    got = read_mapped(spark, t)
+    assert got.count() == 51  # 50 originals (10 replaced) + 1 insert
+    assert got.where("c_acctbal = -1.0").count() == 10
+    assert got.where("c_custkey = 7777 AND c_acctbal = -2.0").count() == 1
+    assert read_manifest(t, current_version(t))["op"] == "upsert_mor"
+
+    # rename the KEY column: tombstones still apply (id-keyed)
+    execute_dml(spark, "ALTER TABLE cust RENAME COLUMN c_custkey TO ck", tbl)
+    got = read_mapped(spark, t)
+    assert got.count() == 51
+    assert got.where("ck < 10 AND c_acctbal <> -1.0").count() == 0
+
+    # a second upsert AFTER the rename chains correctly
+    execute_dml(
+        spark,
+        """MERGE INTO cust USING (SELECT 3 AS ck, -9.0 AS c_acctbal) AS s
+           ON cust.ck = s.ck
+           WHEN MATCHED THEN UPDATE SET *
+           WHEN NOT MATCHED THEN INSERT *""",
+        tbl,
+    )
+    got = read_mapped(spark, t)
+    assert got.count() == 51
+    assert got.where("ck = 3").collect()[0]["c_acctbal"] == -9.0
+
+    # dropping the live key column is refused; compaction clears the way
+    with pytest.raises(ValueError, match="live equality deletes"):
+        execute_dml(spark, "ALTER TABLE cust DROP COLUMN ck", tbl)
+    before = _canon(read_mapped(spark, t))
+    execute_dml(spark, "OPTIMIZE cust", tbl)
+    assert read_manifest(t, current_version(t))["eqs"] == []
+    assert _canon(read_mapped(spark, t)) == before
+    execute_dml(spark, "ALTER TABLE cust DROP COLUMN ck", tbl)
+    assert read_mapped(spark, t).columns == ["c_acctbal"]
+
+
+def test_mapped_cow_verbs_do_not_resurrect_upserted_rows(spark, tmp_path):
+    """DELETE/UPDATE rewrites on a mapped table with live tombstones
+    read the MoR-APPLIED state: a rewritten file takes the new commit's
+    seq (above every standing delete), so superseded row versions must
+    not reappear."""
+    from iceberg_file_writer_spark.ingest.column_mapping import read_mapped
+
+    t = str(tmp_path / "cust")
+    load_tables(spark, SF_DIR)
+    tbl = {"cust": t}
+    execute_dml(
+        spark,
+        "CREATE TABLE cust AS SELECT c_custkey, c_acctbal "
+        "FROM customer WHERE c_custkey < 40",
+        tbl,
+    )
+    execute_dml(
+        spark,
+        """MERGE INTO cust USING (
+             SELECT c_custkey, 5000000.0 AS c_acctbal FROM customer
+             WHERE c_custkey < 20
+           ) AS src ON cust.c_custkey = src.c_custkey
+           WHEN MATCHED THEN UPDATE SET *
+           WHEN NOT MATCHED THEN INSERT *""",
+        tbl,
+    )
+    # CoW DELETE touching files that hold superseded row versions
+    execute_dml(spark, "DELETE FROM cust WHERE c_custkey % 2 = 1", tbl)
+    got = read_mapped(spark, t)
+    assert got.count() == 20  # evens of 0..39
+    # every surviving upserted key shows the NEW value only
+    assert got.where("c_custkey < 20 AND c_acctbal <> 5000000.0").count() == 0
+    assert got.where("c_custkey >= 20 AND c_acctbal >= 5000000.0").count() == 0
+    # UPDATE after the delete: still exactly one version per key
+    execute_dml(
+        spark, "UPDATE cust SET c_acctbal = 1.5 WHERE c_custkey = 2", tbl
+    )
+    got = read_mapped(spark, t)
+    assert got.count() == 20
+    assert got.where("c_custkey = 2").count() == 1
+    # INSERT INTO carries the tombstones (no resurrection via append)
+    execute_dml(
+        spark,
+        "INSERT INTO cust SELECT 9999 AS c_custkey, 0.0 AS c_acctbal",
+        tbl,
+    )
+    got = read_mapped(spark, t)
+    assert got.count() == 21
+    assert got.where("c_custkey < 20 AND c_acctbal > 5000000.0").count() == 0
