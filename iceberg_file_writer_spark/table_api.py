@@ -170,10 +170,27 @@ class SnapshotTable:
         )
 
     # -- maintenance ------------------------------------------------------
-    def compact(self, target_rows: int = 65536) -> int:
+    def compact(
+        self,
+        target_rows: int = 65536,
+        zorder_by: "tuple[str, str] | None" = None,
+    ) -> int:
         from iceberg_file_writer_spark.ingest.snapshots import commit_compact
 
-        return commit_compact(self.spark, self.path, target_rows=target_rows)
+        return commit_compact(
+            self.spark, self.path, target_rows=target_rows, zorder_by=zorder_by
+        )
+
+    def analyze(self, columns: "list[str] | None" = None) -> int:
+        """Persist column statistics (ANALYZE TABLE); read via stats()."""
+        from iceberg_file_writer_spark.ingest.snapshots import commit_analyze
+
+        return commit_analyze(self.spark, self.path, columns)
+
+    def stats(self, version: "int | None" = None) -> dict:
+        from iceberg_file_writer_spark.ingest.snapshots import table_stats
+
+        return table_stats(self.path, version)
 
     def rollback(self, to_version: int) -> int:
         from iceberg_file_writer_spark.ingest.snapshots import commit_rollback

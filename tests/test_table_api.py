@@ -131,3 +131,20 @@ def test_scan_time_travel_routes_by_requested_version(spark, tmp_path):
         (F.col("event_id") % 2 == 0) & (F.col("user_id") == uid)
     )
     assert _canon(got) == _canon(want)
+
+
+def test_facade_analyze_stats_and_zorder_compact(spark, tmp_path):
+    from iceberg_file_writer_spark.table_api import SnapshotTable
+    from iceberg_file_writer_spark.tables import load_tables
+
+    ev = load_tables(spark, "/root/testdata/sf0.001")["events"].select(
+        "event_id", "user_id", "value"
+    )
+    t = SnapshotTable.create(spark, str(tmp_path / "ev"), ev)
+    t.analyze(["user_id"])
+    st = t.stats()
+    assert st["n_rows"] == ev.count()
+    assert st["columns"]["user_id"]["ndv"] == ev.select("user_id").distinct().count()
+    before = sorted(tuple(r) for r in t.read().collect())
+    t.compact(target_rows=200, zorder_by=("user_id", "value"))
+    assert sorted(tuple(r) for r in t.read().collect()) == before
