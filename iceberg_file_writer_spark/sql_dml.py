@@ -75,12 +75,13 @@ UPDATE -> CoW rewrites that resolve through the field-id projection and
 stamp rewritten files with the current mapping (untouched epochs carry
 by reference), INSERT OVERWRITE -> overwrite_mapped, OPTIMIZE ->
 compact_mapped (collapses evolution epochs into the current schema).
-Whole-row MERGE routes to upsert_mapped: the one-commit equality-
-delete upsert whose delete file keys on FIELD IDS, so renaming a key
-column cannot detach standing tombstones; read_mapped applies them
-with Iceberg v2 seq scoping, and every mapped verb carries or clears
-them explicitly. Only column-wise MERGE, DELETE USING MOR (positional
-DVs), and ZORDER compaction remain REFUSED on mapped tables.
+MERGE (whole-row AND column-wise, incl. full-sync) routes to
+upsert_mapped/overwrite_mapped: the one-commit equality-delete upsert
+whose delete file keys on FIELD IDS, so renaming a key column cannot
+detach standing tombstones; read_mapped applies them with Iceberg v2
+seq scoping, and every mapped verb carries or clears them explicitly.
+Only DELETE USING MOR (positional DVs) and ZORDER compaction remain
+REFUSED on mapped tables.
 
 ``tables`` maps statement table names to snapshot-table paths; source
 relations inside INSERT/MERGE queries resolve against the session's
@@ -281,6 +282,7 @@ def _merge_column_wise(
     keys: "list[str]",
     max_rows: int,
     sync: bool = False,
+    mapped: bool = False,
 ):
     """``WHEN MATCHED THEN UPDATE SET c = expr`` MERGE: matched target
     rows are projected through the assignments with BOTH aliases in
@@ -298,7 +300,12 @@ def _merge_column_wise(
     from iceberg_file_writer_spark.ingest.partitioning import _is_hidden
     from iceberg_file_writer_spark.ingest.snapshots import read_table_version
 
-    tdf = read_table_version(spark, path)
+    if mapped:
+        from iceberg_file_writer_spark.ingest.column_mapping import read_mapped
+
+        tdf = read_mapped(spark, path)
+    else:
+        tdf = read_table_version(spark, path)
     visible = [f.name for f in tdf.schema.fields if not _is_hidden(f.name)]
     unknown = set(assignments) - set(visible)
     if unknown:
@@ -325,9 +332,17 @@ def _merge_column_wise(
             f"SELECT `{salias}`.* FROM ({q}) AS `{salias}` "
             f"LEFT ANTI JOIN {tview} AS `{talias}` ON {on}"
         )
-        upsert_rows = _align_to_table(
-            spark, matched.unionByName(inserted, allowMissingColumns=False), path
-        )
+        merged = matched.unionByName(inserted, allowMissingColumns=False)
+        if mapped:
+            from iceberg_file_writer_spark.ingest.column_mapping import (
+                overwrite_mapped,
+                upsert_mapped,
+            )
+
+            if sync:
+                return overwrite_mapped(spark, merged, path, max_rows=max_rows)
+            return upsert_mapped(spark, merged, path, keys, max_rows=max_rows)
+        upsert_rows = _align_to_table(spark, merged, path)
         if sync:
             from iceberg_file_writer_spark.ingest.snapshots import (
                 commit_overwrite,
@@ -600,19 +615,35 @@ def execute_dml(
         sets = m.group("sets").strip()
         sync = m.group("sync") is not None
         if _is_mapped(path):
-            if sets != "*":
-                _reject_mapped(path, "column-wise MERGE")
-            from iceberg_file_writer_spark.ingest.column_mapping import (
-                overwrite_mapped,
-                upsert_mapped,
-            )
+            if sets == "*":
+                from iceberg_file_writer_spark.ingest.column_mapping import (
+                    overwrite_mapped,
+                    upsert_mapped,
+                )
 
-            src_df = spark.sql(m.group("q"))
-            if sync:
-                # SET * + INSERT * + NOT MATCHED BY SOURCE DELETE: the
-                # result IS the source relation (sql_dml module doc)
-                return overwrite_mapped(spark, src_df, path, max_rows=max_rows)
-            return upsert_mapped(spark, src_df, path, keys, max_rows=max_rows)
+                src_df = spark.sql(m.group("q"))
+                if sync:
+                    # SET * + INSERT * + NOT MATCHED BY SOURCE DELETE:
+                    # the result IS the source relation (module doc)
+                    return overwrite_mapped(
+                        spark, src_df, path, max_rows=max_rows
+                    )
+                return upsert_mapped(
+                    spark, src_df, path, keys, max_rows=max_rows
+                )
+            return _merge_column_wise(
+                spark,
+                path,
+                m.group("q"),
+                talias,
+                salias or "__dml_src",
+                m.group("on"),
+                _parse_assignments(sets),
+                keys,
+                max_rows,
+                sync=sync,
+                mapped=True,
+            )
         if sets == "*":
             src = _align_to_table(spark, spark.sql(m.group("q")), path)
             if sync:

@@ -477,9 +477,9 @@ def test_ddl_create_refuses_existing_table(spark, table):
 
 
 def test_unsupported_mor_forms_refused_on_mapped_tables(spark, tmp_path):
-    """Column-wise MERGE and positional-DV DELETE commit artifacts the
-    mapped reader does not apply — refused loudly, never silent row
-    resurrection. (Whole-row MERGE is supported: upsert_mapped.)"""
+    """Positional-DV DELETE commits artifacts the mapped reader does not
+    apply — refused loudly, never silent row resurrection. (Both MERGE
+    forms are supported: upsert_mapped.)"""
     t = str(tmp_path / "cust")
     load_tables(spark, SF_DIR)
     tbl = {"cust": t}
@@ -489,10 +489,6 @@ def test_unsupported_mor_forms_refused_on_mapped_tables(spark, tmp_path):
         tbl,
     )
     for stmt in [
-        """MERGE INTO cust AS tgt USING (SELECT 1 AS c_custkey) AS s
-           ON tgt.c_custkey = s.c_custkey
-           WHEN MATCHED THEN UPDATE SET c_acctbal = tgt.c_acctbal + 1.0
-           WHEN NOT MATCHED THEN INSERT *""",
         "DELETE FROM cust USING MOR WHERE c_custkey = 1",
     ]:
         with pytest.raises(ValueError, match="column-mapped"):
@@ -884,3 +880,36 @@ def test_mapped_cow_verbs_do_not_resurrect_upserted_rows(spark, tmp_path):
     got = read_mapped(spark, t)
     assert got.count() == 21
     assert got.where("c_custkey < 20 AND c_acctbal > 5000000.0").count() == 0
+
+
+def test_mapped_column_wise_merge(spark, tmp_path):
+    """Column-wise MERGE on a mapped table: SET sees both aliases, the
+    merged relation commits through the id-keyed upsert, and it still
+    works across a rename of a non-key column."""
+    from iceberg_file_writer_spark.ingest.column_mapping import read_mapped
+
+    t = str(tmp_path / "cust")
+    load_tables(spark, SF_DIR)
+    tbl = {"cust": t}
+    execute_dml(
+        spark,
+        "CREATE TABLE cust AS SELECT c_custkey, c_acctbal "
+        "FROM customer WHERE c_custkey < 30",
+        tbl,
+    )
+    execute_dml(spark, "ALTER TABLE cust RENAME COLUMN c_acctbal TO bal", tbl)
+    execute_dml(
+        spark,
+        """MERGE INTO cust AS tgt USING (
+             SELECT c_custkey, c_acctbal AS bal FROM customer
+             WHERE c_custkey < 10 UNION ALL SELECT 8888, 4.5
+           ) AS src ON tgt.c_custkey = src.c_custkey
+           WHEN MATCHED THEN UPDATE SET bal = tgt.bal + src.bal + 2000000.0
+           WHEN NOT MATCHED THEN INSERT *""",
+        tbl,
+    )
+    got = read_mapped(spark, t)
+    assert got.count() == 31
+    assert got.where("c_custkey < 10 AND bal < 1000000.0").count() == 0
+    assert got.where("c_custkey = 8888 AND bal = 4.5").count() == 1
+    assert read_manifest(t, current_version(t))["op"] == "upsert_mor"
