@@ -176,9 +176,11 @@ def append_mapped(
     for e in files:
         e["cols"] = [[c[0], c[1]] for c in columns]
     m = read_manifest(table_path, current_version(table_path))
-    extra = {"eqs": m["eqs"]} if m.get("eqs") else None
+    extra = {
+        k: m[k] for k in ("eqs", "dvs") if m.get(k)
+    }
     return _commit_with_columns(
-        table_path, "append", m["files"] + files, columns, extra=extra
+        table_path, "append", m["files"] + files, columns, extra=extra or None
     )
 
 
@@ -230,9 +232,11 @@ def evolve_mapped(
         columns.append([max_id, name, typ])
     if len({c[1] for c in columns}) != len(columns):
         raise ValueError("rename collision")
-    extra = {"eqs": m["eqs"]} if m.get("eqs") else None
+    extra = {
+        k: m[k] for k in ("eqs", "dvs") if m.get(k)
+    }
     return _commit_with_columns(
-        table_path, "evolve", m["files"], columns, extra=extra
+        table_path, "evolve", m["files"], columns, extra=extra or None
     )
 
 
@@ -307,9 +311,7 @@ def _apply_eqs_mapped(
         F.max("_eq_seq").alias("_eq_seq")
     )
     out = (
-        data.withColumn(
-            "_pos_bn", F.element_at(F.split(F.col("_pos_fn"), "/"), -1)
-        )
+        data.withColumnRenamed("_pos_fn", "_pos_bn")
         .join(F.broadcast(seq_map), "_pos_bn", "left")
         .join(
             F.broadcast(eq),
@@ -322,8 +324,9 @@ def _apply_eqs_mapped(
         .where(
             F.col("_eq_seq").isNull() | (F.col("_eq_seq") <= F.col("_file_seq"))
         )
+        .withColumnRenamed("_pos_bn", "_pos_fn")
         .drop(
-            "_pos_bn", "_file_seq", "_eq_seq",
+            "_file_seq", "_eq_seq",
             *[f"_eqk_{i}" for i in key_ids],
         )
     )
@@ -348,16 +351,27 @@ def _scan_mapped(
             entries,
             sig,
             columns,
-            extra_cols=[F.input_file_name().alias("_pos_fn")],
+            extra_cols=[
+                F.col("_metadata.file_name").alias("_pos_fn"),
+                F.col("_metadata.row_index").alias("_pos_ri"),
+            ],
         )
         out = part if out is None else out.unionByName(part)
     if out is None:
         return None
+    if m.get("dvs"):
+        dv = spark.read.parquet(
+            *[os.path.join(table_path, p) for p in m["dvs"]]
+        ).select(
+            F.col("file_name").alias("_pos_fn"),
+            F.col("row_index").alias("_pos_ri"),
+        )
+        out = out.join(dv, ["_pos_fn", "_pos_ri"], "left_anti")
     if m.get("eqs"):
         out = _apply_eqs_mapped(
             spark, table_path, out, m["files"], m["eqs"], columns
         )
-    return out if with_file else out.drop("_pos_fn")
+    return out if with_file else out.drop("_pos_fn", "_pos_ri")
 
 
 def read_mapped(
@@ -400,14 +414,14 @@ def _affected_paths(
     scan = _scan_mapped(spark, table_path, m, with_file=True)
     if scan is None:
         return set()
-    hit_uris = {
+    hit_names = {
         r["_pos_fn"]
         for r in scan.where(predicate).select("_pos_fn").distinct().collect()
     }
     return {
         e["path"]
         for e in m["files"]
-        if any(u.endswith(e["path"]) for u in hit_uris)
+        if os.path.basename(e["path"]) in hit_names
     }
 
 
@@ -433,11 +447,8 @@ def _rewrite_mapped(
     rewritten = []
     if scan is not None and affected:
         bns = [os.path.basename(p) for p in affected]
-        out = (
-            scan.where(
-                F.element_at(F.split(F.col("_pos_fn"), "/"), -1).isin(bns)
-            )
-            .drop("_pos_fn")
+        out = scan.where(F.col("_pos_fn").isin(bns)).drop(
+            "_pos_fn", "_pos_ri"
         )
         result = transform(out)
         rewritten = _write_data_files(result, table_path, max_rows)
@@ -445,10 +456,14 @@ def _rewrite_mapped(
             e["cols"] = [[c[0], c[1]] for c in columns]
     carried = [e for e in files if e["path"] not in affected]
     # live tombstones still govern the carried files; rewritten files
-    # take the new commit's seq, above every standing delete
-    extra = {"eqs": m.get("eqs") or []} if m.get("eqs") else None
+    # are already MoR-applied (and take the new commit's seq)
+    extra = {}
+    if m.get("eqs"):
+        extra["eqs"] = m["eqs"]
+    if m.get("dvs"):
+        extra["dvs"] = m["dvs"]
     return _commit_with_columns(
-        table_path, op, carried + rewritten, columns, extra=extra
+        table_path, op, carried + rewritten, columns, extra=extra or None
     )
 
 
@@ -566,12 +581,58 @@ def upsert_mapped(
         "cols": list(key_cols),
         "rows": n,
     }
+    extra = {"eqs": eqs + ([eq_entry] if n else [])}
+    if m.get("dvs"):
+        extra["dvs"] = m["dvs"]
     return _commit_with_columns(
-        table_path,
-        "upsert_mor",
-        m["files"] + new,
-        columns,
-        extra={"eqs": eqs + ([eq_entry] if n else [])},
+        table_path, "upsert_mor", m["files"] + new, columns, extra=extra
+    )
+
+
+def delete_where_mor_mapped(
+    spark: SparkSession, table_path: str, predicate: str
+) -> int:
+    """Merge-on-read DELETE on a column-mapped table: positional
+    tombstones for matching LIVE rows (the predicate scan is DV- and
+    eq-applied, so already-deleted rows are not re-tombstoned); zero
+    files rewritten. Positions are file-addressed (basename, row index)
+    — schema-agnostic, so they survive any amount of column evolution."""
+    import shutil
+    import uuid
+
+    v = current_version(table_path)
+    m = read_manifest(table_path, v)
+    dvs = m.get("dvs") or []
+    scan = _scan_mapped(spark, table_path, m, with_file=True)
+    extra = {"dvs": dvs}
+    if m.get("eqs"):
+        extra["eqs"] = m["eqs"]
+    if scan is None:
+        return _commit_with_columns(
+            table_path, "delete_mor", m["files"], m["columns"], extra=extra
+        )
+    hits = scan.where(predicate).select(
+        F.col("_pos_fn").alias("file_name"),
+        F.col("_pos_ri").alias("row_index"),
+    )
+    dv_rel = f"dv/dv-{uuid.uuid4().hex}"
+    hits.write.mode("overwrite").option("compression", "snappy").parquet(
+        os.path.join(table_path, dv_rel)
+    )
+    import pyarrow.parquet as pq
+
+    d = os.path.join(table_path, dv_rel)
+    n = sum(
+        pq.ParquetFile(os.path.join(d, f)).metadata.num_rows
+        for f in os.listdir(d)
+        if f.endswith(".parquet") and not f.startswith(("_", "."))
+    )
+    if n == 0:
+        shutil.rmtree(d)
+    else:
+        extra["dvs"] = dvs + [dv_rel]
+    return _commit_with_columns(
+        table_path, "delete_mor", m["files"], m["columns"], extra=extra
     )
 
 
@@ -588,7 +649,8 @@ def overwrite_mapped(
     for e in files:
         e["cols"] = [[c[0], c[1]] for c in columns]
     return _commit_with_columns(
-        table_path, "overwrite", files, columns, extra={"eqs": []}
+        table_path, "overwrite", files, columns,
+        extra={"eqs": [], "dvs": []},
     )
 
 
@@ -605,5 +667,5 @@ def compact_mapped(
         e["cols"] = [[c[0], c[1]] for c in columns]
     # compaction materializes the applied state: tombstones retire
     return _commit_with_columns(
-        table_path, "compact", files, columns, extra={"eqs": []}
+        table_path, "compact", files, columns, extra={"eqs": [], "dvs": []}
     )

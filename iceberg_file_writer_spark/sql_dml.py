@@ -78,10 +78,11 @@ compact_mapped (collapses evolution epochs into the current schema).
 MERGE (whole-row AND column-wise, incl. full-sync) routes to
 upsert_mapped/overwrite_mapped: the one-commit equality-delete upsert
 whose delete file keys on FIELD IDS, so renaming a key column cannot
-detach standing tombstones; read_mapped applies them with Iceberg v2
-seq scoping, and every mapped verb carries or clears them explicitly.
-Only DELETE USING MOR (positional DVs) and ZORDER compaction remain
-REFUSED on mapped tables.
+detach standing tombstones; DELETE USING MOR routes to the positional
+twin (file-addressed tombstones — schema-agnostic by construction).
+read_mapped applies both delete classes with Iceberg v2 semantics, and
+every mapped verb carries or clears them explicitly. Only ZORDER
+compaction remains refused on mapped tables.
 
 ``tables`` maps statement table names to snapshot-table paths; source
 relations inside INSERT/MERGE queries resolve against the session's
@@ -376,15 +377,12 @@ def _is_mapped(path: str) -> bool:
 
 
 def _reject_mapped(path: str, verb: str) -> None:
-    """The merge-on-read forms commit sidecars the mapped read path does
-    not apply — silently dropping them would resurrect rows. Refuse
-    loudly until the mapped reader learns MoR."""
+    """The one statement form without a mapped twin (ZORDER compaction:
+    the Morton rewrite runs through the plain reader). Refuse loudly."""
     if _is_mapped(path):
         raise ValueError(
             f"{verb} is not supported on column-mapped tables yet "
-            f"({path}); supported there: INSERT INTO / OVERWRITE, "
-            "DELETE, UPDATE, TRUNCATE TABLE, ALTER TABLE, OPTIMIZE, "
-            "DROP TABLE, VACUUM"
+            f"({path}); every other DML/DDL statement is"
         )
 
 
@@ -532,7 +530,12 @@ def execute_dml(
             # bare DELETE FROM t = logical truncate (metadata-only)
             return commit_truncate(path)
         if _DELETE_MOR_RE.match(stmt):
-            _reject_mapped(path, "DELETE ... USING MOR")
+            if mapped:
+                from iceberg_file_writer_spark.ingest.column_mapping import (
+                    delete_where_mor_mapped,
+                )
+
+                return delete_where_mor_mapped(spark, path, m.group("pred"))
             return commit_delete_where_mor(spark, path, m.group("pred"))
         if mapped:
             from iceberg_file_writer_spark.ingest.column_mapping import (

@@ -476,23 +476,62 @@ def test_ddl_create_refuses_existing_table(spark, table):
         )
 
 
-def test_unsupported_mor_forms_refused_on_mapped_tables(spark, tmp_path):
-    """Positional-DV DELETE commits artifacts the mapped reader does not
-    apply — refused loudly, never silent row resurrection. (Both MERGE
-    forms are supported: upsert_mapped.)"""
+def test_mapped_positional_mor_delete_across_evolution(spark, tmp_path):
+    """DELETE USING MOR on a mapped table: positional tombstones, zero
+    rewrites — and because positions are file-addressed they survive a
+    rename; stacked with an equality-delete upsert both classes apply."""
+    from iceberg_file_writer_spark.ingest.column_mapping import read_mapped
+
     t = str(tmp_path / "cust")
     load_tables(spark, SF_DIR)
     tbl = {"cust": t}
     execute_dml(
         spark,
-        "CREATE TABLE cust AS SELECT c_custkey, c_acctbal FROM customer",
+        "CREATE TABLE cust AS SELECT c_custkey, c_acctbal "
+        "FROM customer WHERE c_custkey < 40",
         tbl,
     )
-    for stmt in [
-        "DELETE FROM cust USING MOR WHERE c_custkey = 1",
-    ]:
-        with pytest.raises(ValueError, match="column-mapped"):
-            execute_dml(spark, stmt, tbl)
+    files_before = {
+        e["path"] for e in read_manifest(t, current_version(t))["files"]
+    }
+    execute_dml(
+        spark, "DELETE FROM cust USING MOR WHERE c_custkey % 4 = 0", tbl
+    )
+    m = read_manifest(t, current_version(t))
+    assert m["op"] == "delete_mor" and m.get("dvs")
+    assert {e["path"] for e in m["files"]} == files_before  # zero rewrites
+    got = read_mapped(spark, t)
+    assert got.count() == 30
+    assert got.where("c_custkey % 4 = 0").count() == 0
+
+    execute_dml(spark, "ALTER TABLE cust RENAME COLUMN c_acctbal TO bal", tbl)
+    assert read_mapped(spark, t).count() == 30  # DVs survive the rename
+
+    # stack an equality-delete upsert on top: both classes apply
+    execute_dml(
+        spark,
+        """MERGE INTO cust USING (SELECT 1 AS c_custkey, -3.0 AS bal) AS s
+           ON cust.c_custkey = s.c_custkey
+           WHEN MATCHED THEN UPDATE SET *
+           WHEN NOT MATCHED THEN INSERT *""",
+        tbl,
+    )
+    got = read_mapped(spark, t)
+    assert got.count() == 30
+    assert got.where("c_custkey = 1").collect()[0]["bal"] == -3.0
+    assert got.where("c_custkey % 4 = 0").count() == 0
+    # already-tombstoned rows are not re-tombstoned
+    n_dvs = len(read_manifest(t, current_version(t))["dvs"])
+    execute_dml(
+        spark, "DELETE FROM cust USING MOR WHERE c_custkey % 4 = 0", tbl
+    )
+    assert len(read_manifest(t, current_version(t))["dvs"]) == n_dvs
+    # compaction materializes and retires BOTH delete classes
+    before = _canon(read_mapped(spark, t))
+    execute_dml(spark, "OPTIMIZE cust", tbl)
+    m = read_manifest(t, current_version(t))
+    assert m["eqs"] == [] and m["dvs"] == []
+    assert _canon(read_mapped(spark, t)) == before
 
 
 def test_mapped_row_level_dml_across_evolution_epochs(spark, tmp_path):
