@@ -655,13 +655,35 @@ def overwrite_mapped(
 
 
 def compact_mapped(
-    spark: SparkSession, table_path: str, target_rows: int = 65536
+    spark: SparkSession,
+    table_path: str,
+    target_rows: int = 65536,
+    zorder_by: "tuple[str, str] | None" = None,
 ) -> int:
     """OPTIMIZE on a column-mapped table: rewrite everything under the
     CURRENT logical schema (epoch groups collapse to one mapping — the
-    moment historical physical names are physically retired)."""
+    moment historical physical names are physically retired).
+    ``zorder_by=(a, b)`` re-clusters the rewrite along the Morton
+    interleave exactly as the plain commit_compact does."""
     df = read_mapped(spark, table_path)  # MoR-applied state
     columns = table_columns(table_path)
+    if zorder_by is not None:
+        if len(zorder_by) != 2:
+            raise ValueError("zorder_by takes exactly two columns")
+        missing = [c for c in zorder_by if c not in df.columns]
+        if missing:
+            raise ValueError(f"no such column(s): {missing}")
+        from iceberg_file_writer_spark.operators.zorder import with_zorder_key
+
+        m0 = read_manifest(table_path, current_version(table_path))
+        total = sum(e.get("rows", 0) for e in m0["files"])
+        nparts = max(1, -(-total // target_rows))
+        df = (
+            with_zorder_key(df, tuple(zorder_by), key_name="__zcluster")
+            .repartitionByRange(nparts, "__zcluster")
+            .sortWithinPartitions("__zcluster")
+            .drop("__zcluster")
+        )
     files = _write_data_files(df, table_path, target_rows)
     for e in files:
         e["cols"] = [[c[0], c[1]] for c in columns]

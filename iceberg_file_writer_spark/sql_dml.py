@@ -81,8 +81,9 @@ whose delete file keys on FIELD IDS, so renaming a key column cannot
 detach standing tombstones; DELETE USING MOR routes to the positional
 twin (file-addressed tombstones — schema-agnostic by construction).
 read_mapped applies both delete classes with Iceberg v2 semantics, and
-every mapped verb carries or clears them explicitly. Only ZORDER
-compaction remains refused on mapped tables.
+every mapped verb carries or clears them explicitly. The FULL statement
+surface — DML, DDL, OPTIMIZE [ZORDER], ANALYZE, VACUUM — works on both
+table flavors.
 
 ``tables`` maps statement table names to snapshot-table paths; source
 relations inside INSERT/MERGE queries resolve against the session's
@@ -376,16 +377,6 @@ def _is_mapped(path: str) -> bool:
     return "columns" in read_manifest(path, current_version(path))
 
 
-def _reject_mapped(path: str, verb: str) -> None:
-    """The one statement form without a mapped twin (ZORDER compaction:
-    the Morton rewrite runs through the plain reader). Refuse loudly."""
-    if _is_mapped(path):
-        raise ValueError(
-            f"{verb} is not supported on column-mapped tables yet "
-            f"({path}); every other DML/DDL statement is"
-        )
-
-
 def _resolve(tables: "dict[str, str]", name: str) -> str:
     if name not in tables:
         raise ValueError(
@@ -674,13 +665,11 @@ def execute_dml(
         path = _resolve(tables, m.group("t"))
         z = (m.group("z1"), m.group("z2")) if m.group("z1") else None
         if _is_mapped(path):
-            if z:
-                _reject_mapped(path, "OPTIMIZE ... ZORDER BY")
             from iceberg_file_writer_spark.ingest.column_mapping import (
                 compact_mapped,
             )
 
-            return compact_mapped(spark, path)
+            return compact_mapped(spark, path, zorder_by=z)
         return commit_compact(spark, path, zorder_by=z)
 
     m = _ANALYZE_RE.match(stmt)

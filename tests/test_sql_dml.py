@@ -952,3 +952,43 @@ def test_mapped_column_wise_merge(spark, tmp_path):
     assert got.where("c_custkey < 10 AND bal < 1000000.0").count() == 0
     assert got.where("c_custkey = 8888 AND bal = 4.5").count() == 1
     assert read_manifest(t, current_version(t))["op"] == "upsert_mor"
+
+
+def test_mapped_zorder_compaction(spark, tmp_path):
+    """OPTIMIZE ZORDER on a mapped table: rows identical, zone volumes
+    shrink, delete classes retire — the full statement surface now works
+    on both table flavors."""
+    from iceberg_file_writer_spark.ingest.column_mapping import (
+        compact_mapped,
+        read_mapped,
+    )
+
+    t = str(tmp_path / "ev")
+    load_tables(spark, SF_DIR)
+    tbl = {"ev": t}
+    execute_dml(
+        spark,
+        "CREATE TABLE ev AS SELECT event_id, user_id, value FROM events",
+        tbl,
+    )
+    execute_dml(spark, "DELETE FROM ev USING MOR WHERE event_id % 7 = 0", tbl)
+    before = _canon(read_mapped(spark, t))
+    execute_dml(spark, "OPTIMIZE ev ZORDER BY (user_id, value)", tbl)
+    m = read_manifest(t, current_version(t))
+    assert m["dvs"] == [] and m["eqs"] == []
+    assert _canon(read_mapped(spark, t)) == before
+
+    def zone_volume(m):
+        vol, n = 0.0, 0
+        for e in m["files"]:
+            s = e["stats"]
+            vol += (s["user_id"][1] - s["user_id"][0]) * (
+                s["value"][1] - s["value"][0]
+            )
+            n += 1
+        return vol / max(n, 1)
+
+    v_plain = zone_volume(read_manifest(t, 1))
+    compact_mapped(spark, t, target_rows=120, zorder_by=("user_id", "value"))
+    assert _canon(read_mapped(spark, t)) == before
+    assert zone_volume(read_manifest(t, current_version(t))) < 0.5 * v_plain
