@@ -691,3 +691,48 @@ def compact_mapped(
     return _commit_with_columns(
         table_path, "compact", files, columns, extra={"eqs": [], "dvs": []}
     )
+
+
+def streaming_append_sink_mapped(table_path: str, max_rows: int = 4096):
+    """foreachBatch callback: exactly-once appends into a column-mapped
+    table — snapshots.streaming_append_sink with the field-id contract.
+
+    Same idempotence protocol (the cumulative ``batch_ids`` ledger rides
+    in every commit, so a replayed micro-batch is a no-op read of ONE
+    manifest), plus the mapped invariants: batch rows cast to the
+    standing logical types, new entries stamped with the CURRENT
+    (id, name) mapping, and standing delete classes carried — a stream
+    appending into a table someone is concurrently upserting must not
+    drop its tombstones. Schema evolution BETWEEN micro-batches is the
+    point: a rename lands mid-stream and later batches stamp the new
+    mapping while earlier files keep resolving by id.
+    """
+    from iceberg_file_writer_spark.ingest.snapshots import seen_batch_ids
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        parent = current_version(table_path)
+        seen = seen_batch_ids(table_path, parent)
+        if batch_id in seen:
+            return
+        m = read_manifest(table_path, parent)
+        columns = m["columns"]
+        # intake is name-based and FAILFAST like append_mapped: after a
+        # mid-stream rename the stream owner evolves its projection with
+        # the table (a silent old-name alias would hide the drift)
+        new = _write_data_files(
+            _select_as_standing(batch_df, columns), table_path, max_rows
+        )
+        for e in new:
+            e["cols"] = [[c[0], c[1]] for c in columns]
+        extra: dict = {
+            "batch_id": batch_id,
+            "batch_ids": sorted(seen | {batch_id}),
+        }
+        for k in ("eqs", "dvs"):
+            if m.get(k):
+                extra[k] = m[k]
+        _commit_with_columns(
+            table_path, "append", m["files"] + new, columns, extra=extra
+        )
+
+    return _sink

@@ -150,3 +150,58 @@ def test_pushdown_and_pruning_survive_evolution(spark, table):
     assert "(price" in new_epoch[0]  # filter under the NEW name
     for ln in scans:
         assert "o_custkey" not in ln  # pruned everywhere
+
+
+def test_streaming_append_sink_mapped_exactly_once_with_midstream_rename(
+    spark, tmp_path
+):
+    """The mapped streaming sink: replayed batch ids are no-ops, files
+    stamp the mapping CURRENT at their batch's commit, and a rename
+    between micro-batches leaves earlier files resolving by id."""
+    from iceberg_file_writer_spark.ingest.column_mapping import (
+        create_mapped_table,
+        evolve_mapped,
+        read_mapped,
+        streaming_append_sink_mapped,
+    )
+    from iceberg_file_writer_spark.ingest.snapshots import (
+        current_version,
+        read_manifest,
+    )
+    from iceberg_file_writer_spark.tables import load_tables
+
+    ev = load_tables(spark, "/root/testdata/sf0.001")["events"].select(
+        "event_id", F.col("value").alias("v")
+    )
+    t = str(tmp_path / "ev")
+    create_mapped_table(spark, ev.where("event_id < 100"), t)
+    sink = streaming_append_sink_mapped(t)
+
+    sink(ev.where("event_id >= 100 AND event_id < 200"), batch_id=0)
+    n1 = read_mapped(spark, t).count()
+    # crash replay: same batch id is a no-op
+    sink(ev.where("event_id >= 100 AND event_id < 200"), batch_id=0)
+    assert read_mapped(spark, t).count() == n1
+    assert current_version(t) == 2
+
+    # mid-stream rename; the NEXT batch must speak the new schema
+    evolve_mapped(t, renames={"v": "val"})
+    with pytest.raises(ValueError, match="schema mismatch"):
+        sink(
+            ev.where("event_id >= 200 AND event_id < 300"), batch_id=1
+        )
+    sink(
+        ev.selectExpr("event_id", "v AS val").where(
+            "event_id >= 200 AND event_id < 300"
+        ),
+        batch_id=1,
+    )
+    got = read_mapped(spark, t)
+    assert got.columns == ["event_id", "val"]
+    # all three epochs' values resolve (none null-filled away)
+    assert got.where("val IS NOT NULL").count() == got.count()
+    assert got.count() == ev.where("event_id < 300").count()
+    # entries carry the mapping current at their commit
+    m = read_manifest(t, current_version(t))
+    names = {tuple(dict(e["cols"]).values()) for e in m["files"]}
+    assert ("event_id", "v") in names and ("event_id", "val") in names
