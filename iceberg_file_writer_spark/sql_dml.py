@@ -85,6 +85,13 @@ every mapped verb carries or clears them explicitly. The FULL statement
 surface — DML, DDL, OPTIMIZE [ZORDER], ANALYZE, VACUUM — works on both
 table flavors.
 
+Reads: ``execute_query(spark, sql, tables)`` runs a SELECT with
+standard time-travel syntax — ``FROM t VERSION AS OF 3`` /
+``FROM t TIMESTAMP AS OF '2024-01-05 00:00:00'`` (or epoch millis) —
+each reference resolved to its as-of snapshot state (mapped tables by
+field id, so a pre-rename version reads under its OWN schema), bare
+references to CURRENT, and any mix joinable in one statement.
+
 ``tables`` maps statement table names to snapshot-table paths; source
 relations inside INSERT/MERGE queries resolve against the session's
 temp views (``load_tables`` / ``create_views``), so a statement can
@@ -690,3 +697,81 @@ def execute_dml(
         "unsupported DML statement (see sql_dml module doc for the "
         f"accepted grammar): {stmt[:120]!r}"
     )
+
+
+# --- SQL reads with time travel ----------------------------------------------
+
+_ASOF_RE = re.compile(
+    rf"\b(?P<t>{_ID}){_WS}(?P<kind>VERSION|TIMESTAMP){_WS}AS{_WS}OF"
+    rf"{_WS}(?P<v>\d+|'[^']+')",
+    re.IGNORECASE,
+)
+
+
+def execute_query(
+    spark: SparkSession, sql: str, tables: "dict[str, str]"
+):
+    """Run a SELECT over snapshot tables with standard time-travel
+    syntax: ``FROM t VERSION AS OF 3`` / ``FROM t TIMESTAMP AS OF
+    '2024-01-05 00:00:00'`` (or epoch millis). Each as-of reference is
+    resolved through read_table_version/read_table_asof (mapped tables
+    through read_mapped) and substituted as a temp view; bare references
+    to known snapshot tables resolve to their CURRENT version. Every
+    other name resolves against the session's existing temp views, so a
+    query can join time-traveled table states with live testdata.
+
+    Returns the result DataFrame (lazy — the views live for the
+    session). Same division of labor as execute_dml: only the
+    table-reference SHAPE is parsed; the query itself is Spark SQL's.
+    """
+    import uuid as _uuid
+
+    from iceberg_file_writer_spark.ingest.snapshots import (
+        read_table_version,
+        version_asof,
+    )
+
+    stmt = sql.strip().rstrip(";")
+    rewritten = stmt
+
+    def _read(path: str, version: "int | None") -> "object":
+        if _is_mapped(path):
+            from iceberg_file_writer_spark.ingest.column_mapping import (
+                read_mapped,
+            )
+
+            return read_mapped(spark, path, version=version)
+        return read_table_version(spark, path, version)
+
+    for m in list(_ASOF_RE.finditer(stmt)):
+        name = m.group("t")
+        if name not in tables:
+            continue
+        path = tables[name]
+        raw = m.group("v")
+        if m.group("kind").upper() == "VERSION":
+            version = int(raw)
+        else:
+            if raw.startswith("'"):
+                ts = raw.strip("'")
+                from datetime import datetime, timezone
+
+                dt = datetime.fromisoformat(ts).replace(tzinfo=timezone.utc)
+                ms = int(dt.timestamp() * 1000)
+            else:
+                ms = int(raw)
+            # read_table_asof is read_table_version(version_asof(...));
+            # resolving the version here lets mapped routing share it
+            version = version_asof(path, ms)
+        view = f"__tt_{name}_{_uuid.uuid4().hex[:8]}"
+        _read(path, version).createOrReplaceTempView(view)
+        rewritten = rewritten.replace(m.group(0), view)
+    # bare references to known snapshot tables -> CURRENT state
+    for name, path in tables.items():
+        if re.search(rf"\b{re.escape(name)}\b", rewritten):
+            if not _table_exists(path):
+                continue
+            view = f"__tt_{name}_cur_{_uuid.uuid4().hex[:8]}"
+            _read(path, None).createOrReplaceTempView(view)
+            rewritten = re.sub(rf"\b{re.escape(name)}\b", view, rewritten)
+    return spark.sql(rewritten)

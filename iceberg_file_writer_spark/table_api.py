@@ -160,6 +160,13 @@ class SnapshotTable:
 
         return commit_upsert(self.spark, self.path, updates, keys, max_rows=max_rows)
 
+    def query(self, statement: str) -> DataFrame:
+        """SELECT over this table with time-travel syntax (sql_dml
+        module doc): the table is addressable as ``t`` in the text."""
+        from iceberg_file_writer_spark.sql_dml import execute_query
+
+        return execute_query(self.spark, statement, {"t": self.path})
+
     def sql(self, statement: str, max_rows: int = 4096):
         """DML statement text against THIS table (its name in the
         statement is the path's basename — see module doc example)."""

@@ -992,3 +992,71 @@ def test_mapped_zorder_compaction(spark, tmp_path):
     compact_mapped(spark, t, target_rows=120, zorder_by=("user_id", "value"))
     assert _canon(read_mapped(spark, t)) == before
     assert zone_volume(read_manifest(t, current_version(t))) < 0.5 * v_plain
+
+
+def test_execute_query_time_travel_syntax(spark, tmp_path):
+    """SELECT with VERSION AS OF / TIMESTAMP AS OF: each reference reads
+    the as-of snapshot state (mapped tables through the id projection),
+    bare references read CURRENT, and both can join in one statement."""
+    from iceberg_file_writer_spark.ingest.snapshots import read_manifest as rm
+    from iceberg_file_writer_spark.sql_dml import execute_query
+
+    t = str(tmp_path / "ord")
+    orders = load_tables(spark, SF_DIR)["orders"].select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    commit_append(spark, orders.where("o_orderkey < 100"), t)
+    execute_dml(spark, "DELETE FROM ord WHERE o_orderkey >= 50", {"ord": t})
+
+    v1 = execute_query(
+        spark, "SELECT count(*) AS n FROM ord VERSION AS OF 1", {"ord": t}
+    ).first()["n"]
+    cur = execute_query(
+        spark, "SELECT count(*) AS n FROM ord", {"ord": t}
+    ).first()["n"]
+    exact1 = orders.where("o_orderkey < 100").count()
+    assert v1 == exact1 and cur < v1
+
+    # TIMESTAMP AS OF: epoch-millis form pinned against the manifest stamp
+    ts1 = rm(t, 1)["ts_ms"]
+    n = execute_query(
+        spark,
+        f"SELECT count(*) AS n FROM ord TIMESTAMP AS OF {ts1}",
+        {"ord": t},
+    ).first()["n"]
+    assert n == exact1
+
+    # join a past state against the current one in ONE statement
+    diff = execute_query(
+        spark,
+        "SELECT count(*) AS gone FROM ord VERSION AS OF 1 old "
+        "LEFT ANTI JOIN ord cur ON old.o_orderkey = cur.o_orderkey",
+        {"ord": t},
+    ).first()["gone"]
+    assert diff == v1 - cur
+
+
+def test_execute_query_time_travel_on_mapped_table(spark, tmp_path):
+    """Time travel through execute_query resolves mapped tables by field
+    id: the pre-rename version reads under its OWN schema."""
+    from iceberg_file_writer_spark.sql_dml import execute_query
+
+    t = str(tmp_path / "cust")
+    load_tables(spark, SF_DIR)
+    tbl = {"cust": t}
+    execute_dml(
+        spark,
+        "CREATE TABLE cust AS SELECT c_custkey, c_acctbal "
+        "FROM customer WHERE c_custkey < 20",
+        tbl,
+    )
+    execute_dml(spark, "ALTER TABLE cust RENAME COLUMN c_acctbal TO bal", tbl)
+    old = execute_query(
+        spark,
+        "SELECT round(sum(c_acctbal), 2) AS s FROM cust VERSION AS OF 1",
+        tbl,
+    ).first()["s"]
+    new = execute_query(
+        spark, "SELECT round(sum(bal), 2) AS s FROM cust", tbl
+    ).first()["s"]
+    assert old == new is not None
