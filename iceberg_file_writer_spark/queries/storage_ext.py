@@ -1303,3 +1303,149 @@ def sql_ddl_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         _DDL_REPORTS[key],
         "phase string, n_rows long, n_cols long, cols string, bal double",
     )
+
+
+# --- mapped-table MoR lifecycle ----------------------------------------------
+
+_MAPPED_REPORTS: dict[tuple, list] = {}
+
+
+@register(
+    "mapped_table_lifecycle",
+    oracle="""
+WITH b AS (SELECT o_orderkey AS k, o_custkey AS c FROM orders),
+s1 AS (SELECT k, c FROM b WHERE k % 2 = 0),
+src AS (SELECT k, c FROM b WHERE c % 3 = 0),
+s2 AS (SELECT k, c, CASE WHEN c % 3 = 0 THEN 1 ELSE 0 END AS u
+       FROM b WHERE k % 2 = 0 OR c % 3 = 0),
+s3 AS (SELECT * FROM s2 WHERE c % 7 <> 0),
+s5 AS (SELECT k, c, CASE WHEN c % 7 = 1 THEN 0 ELSE u END AS u,
+              CASE WHEN c % 7 = 1 THEN 1 ELSE 0 END AS z
+       FROM s3)
+SELECT * FROM (
+  SELECT '1_create' AS phase, (SELECT count(*) FROM s1)::BIGINT AS n_rows,
+         0::BIGINT AS n_upserted, 0::BIGINT AS n_zeroed,
+         (SELECT max(k) FROM s1)::BIGINT AS max_key,
+         'o_orderkey,o_custkey,o_totalprice' AS cols
+  UNION ALL
+  SELECT '2_merge_upsert', (SELECT count(*) FROM s2)::BIGINT,
+         (SELECT CAST(sum(u) AS BIGINT) FROM s2), 0::BIGINT,
+         (SELECT max(k) FROM s2)::BIGINT,
+         'o_orderkey,o_custkey,o_totalprice'
+  UNION ALL
+  SELECT '3_dv_delete', (SELECT count(*) FROM s3)::BIGINT,
+         (SELECT CAST(sum(u) AS BIGINT) FROM s3), 0::BIGINT,
+         (SELECT max(k) FROM s3)::BIGINT,
+         'o_orderkey,o_custkey,o_totalprice'
+  UNION ALL
+  SELECT '4_rename', (SELECT count(*) FROM s3)::BIGINT,
+         (SELECT CAST(sum(u) AS BIGINT) FROM s3), 0::BIGINT,
+         (SELECT max(k) FROM s3)::BIGINT,
+         'o_orderkey,o_custkey,price'
+  UNION ALL
+  SELECT '5_cow_update', (SELECT count(*) FROM s5)::BIGINT,
+         (SELECT CAST(sum(u) AS BIGINT) FROM s5),
+         (SELECT CAST(sum(z) AS BIGINT) FROM s5),
+         (SELECT max(k) FROM s5)::BIGINT,
+         'o_orderkey,o_custkey,price'
+  UNION ALL
+  SELECT '6_compact', (SELECT count(*) FROM s5)::BIGINT,
+         (SELECT CAST(sum(u) AS BIGINT) FROM s5),
+         (SELECT CAST(sum(z) AS BIGINT) FROM s5),
+         (SELECT max(k) FROM s5)::BIGINT,
+         'o_orderkey,o_custkey,price'
+  UNION ALL
+  SELECT '7_timetravel', (SELECT count(*) FROM s2)::BIGINT,
+         (SELECT CAST(sum(u) AS BIGINT) FROM s2), 0::BIGINT,
+         (SELECT max(k) FROM s2)::BIGINT,
+         'o_orderkey,o_custkey,o_totalprice'
+)
+""",
+    description=(
+        "Column-mapped MoR lifecycle under the value-hash gate: CREATE "
+        "TABLE AS -> whole-row MERGE (field-id-keyed equality-delete "
+        "upsert, O(batch)) -> DELETE USING MOR (positional DVs, zero "
+        "rewrites) -> RENAME COLUMN (metadata-only; both delete classes "
+        "keep applying) -> column-targeted CoW UPDATE through the id "
+        "projection -> OPTIMIZE (both delete classes retire) -> time "
+        "travel under the pre-rename schema; every phase's observable "
+        "state recomputed independently by the oracle"
+    ),
+    driver_exposed=False,
+    eager=True,  # issues DML/DDL statements against a temp table at plan time
+)
+def mapped_table_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mapped-table flavor exercised end-to-end through statement
+    text — the driver-checkable twin of the pytest MoR suite.
+
+    Scale shape inherits the verbs': the upsert never reads the table
+    (O(batch) + one delete file), the DV delete rewrites nothing, the
+    rename moves zero bytes, the CoW update rewrites only affected
+    files resolved through the field-id projection with both delete
+    classes applied (no resurrection), and compaction is the single
+    whole-table pass that retires the tombstones."""
+    from iceberg_file_writer_spark.ingest.column_mapping import (
+        read_mapped,
+        table_columns,
+    )
+    from iceberg_file_writer_spark.sql_dml import execute_dml
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _MAPPED_REPORTS:
+        t = os.path.join(tempfile.mkdtemp(prefix="mapped-lc-"), "ord")
+        load_tables(spark, sf_dir)
+        tbl = {"ord": t}
+
+        def snap(phase: str, version: int | None = None) -> tuple:
+            df = read_mapped(spark, t, version=version)
+            cols = [c[1] for c in table_columns(t, version)]
+            p = "price" if "price" in cols else "o_totalprice"
+            agg = df.selectExpr(
+                "count(*) AS n",
+                f"count_if({p} = -1.0) AS u",
+                f"count_if({p} = 0.0) AS z",
+                "max(o_orderkey) AS mk",
+            ).first()
+            return (phase, agg.n, agg.u, agg.z, agg.mk, ",".join(cols))
+
+        report = []
+        execute_dml(
+            spark,
+            "CREATE TABLE ord AS SELECT o_orderkey, o_custkey, o_totalprice "
+            "FROM orders WHERE o_orderkey % 2 = 0",
+            tbl,
+        )
+        report.append(snap("1_create"))
+        execute_dml(
+            spark,
+            """MERGE INTO ord USING (
+                 SELECT o_orderkey, o_custkey,
+                        CAST(-1.0 AS DOUBLE) AS o_totalprice
+                 FROM orders WHERE o_custkey % 3 = 0
+               ) AS src ON ord.o_orderkey = src.o_orderkey
+               WHEN MATCHED THEN UPDATE SET *
+               WHEN NOT MATCHED THEN INSERT *""",
+            tbl,
+        )
+        report.append(snap("2_merge_upsert"))
+        execute_dml(
+            spark, "DELETE FROM ord USING MOR WHERE o_custkey % 7 = 0", tbl
+        )
+        report.append(snap("3_dv_delete"))
+        execute_dml(
+            spark, "ALTER TABLE ord RENAME COLUMN o_totalprice TO price", tbl
+        )
+        report.append(snap("4_rename"))
+        execute_dml(
+            spark, "UPDATE ord SET price = 0.0 WHERE o_custkey % 7 = 1", tbl
+        )
+        report.append(snap("5_cow_update"))
+        execute_dml(spark, "OPTIMIZE ord", tbl)
+        report.append(snap("6_compact"))
+        report.append(snap("7_timetravel", version=2))
+        _MAPPED_REPORTS[key] = report
+    return spark.createDataFrame(
+        _MAPPED_REPORTS[key],
+        "phase string, n_rows long, n_upserted long, n_zeroed long, "
+        "max_key long, cols string",
+    )
