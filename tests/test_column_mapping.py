@@ -205,3 +205,50 @@ def test_streaming_append_sink_mapped_exactly_once_with_midstream_rename(
     m = read_manifest(t, current_version(t))
     names = {tuple(dict(e["cols"]).values()) for e in m["files"]}
     assert ("event_id", "v") in names and ("event_id", "val") in names
+
+
+def test_vacuum_respects_mapped_tombstones_then_sweeps_after_compact(
+    spark, tmp_path
+):
+    """The janitor must never collect a delete file a mapped manifest
+    still references; after compaction retires the tombstones and the
+    old versions expire, the sidecar dirs sweep."""
+    import os
+
+    from iceberg_file_writer_spark.ingest.column_mapping import (
+        create_mapped_table,
+        compact_mapped,
+        delete_where_mor_mapped,
+        read_mapped,
+        upsert_mapped,
+    )
+    from iceberg_file_writer_spark.ingest.maintenance import vacuum
+    from iceberg_file_writer_spark.tables import load_tables
+
+    cust = load_tables(spark, "/root/testdata/sf0.001")["customer"].select(
+        "c_custkey", "c_acctbal"
+    )
+    t = str(tmp_path / "cust")
+    create_mapped_table(spark, cust, t)
+    upsert_mapped(
+        spark,
+        cust.where("c_custkey < 10").withColumn("c_acctbal", F.lit(-1.0)),
+        t,
+        ["c_custkey"],
+    )
+    delete_where_mor_mapped(spark, t, "c_custkey % 5 = 4")
+    want = sorted(tuple(r) for r in read_mapped(spark, t).collect())
+
+    vacuum(t, keep_last=1, grace_seconds=0)
+    # both sidecar classes survive the vacuum (still referenced)
+    assert os.listdir(os.path.join(t, "eq")) and os.listdir(
+        os.path.join(t, "dv")
+    )
+    assert sorted(tuple(r) for r in read_mapped(spark, t).collect()) == want
+
+    compact_mapped(spark, t)
+    vacuum(t, keep_last=1, grace_seconds=0)
+    for d in ("eq", "dv"):
+        p = os.path.join(t, d)
+        assert not os.path.isdir(p) or not os.listdir(p)
+    assert sorted(tuple(r) for r in read_mapped(spark, t).collect()) == want
