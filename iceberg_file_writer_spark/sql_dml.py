@@ -766,12 +766,24 @@ def execute_query(
         view = f"__tt_{name}_{_uuid.uuid4().hex[:8]}"
         _read(path, version).createOrReplaceTempView(view)
         rewritten = rewritten.replace(m.group(0), view)
-    # bare references to known snapshot tables -> CURRENT state
+    # bare references to known snapshot tables -> CURRENT state.
+    # Substitution is quote-aware: a table name inside a string literal
+    # is data, not a reference.
+    def _sub_outside_quotes(text: str, name: str, view: str) -> str:
+        parts = re.split(r"('(?:[^']|'')*')", text)
+        pat = re.compile(rf"\b{re.escape(name)}\b")
+        return "".join(
+            p if p.startswith("'") else pat.sub(view, p)
+            for p in parts
+        )
+
     for name, path in tables.items():
-        if re.search(rf"\b{re.escape(name)}\b", rewritten):
-            if not _table_exists(path):
-                continue
-            view = f"__tt_{name}_cur_{_uuid.uuid4().hex[:8]}"
-            _read(path, None).createOrReplaceTempView(view)
-            rewritten = re.sub(rf"\b{re.escape(name)}\b", view, rewritten)
+        probe = _sub_outside_quotes(rewritten, name, "\x00")
+        if "\x00" not in probe:
+            continue
+        if not _table_exists(path):
+            continue
+        view = f"__tt_{name}_cur_{_uuid.uuid4().hex[:8]}"
+        _read(path, None).createOrReplaceTempView(view)
+        rewritten = _sub_outside_quotes(rewritten, name, view)
     return spark.sql(rewritten)

@@ -1060,3 +1060,15 @@ def test_execute_query_time_travel_on_mapped_table(spark, tmp_path):
         spark, "SELECT round(sum(bal), 2) AS s FROM cust", tbl
     ).first()["s"]
     assert old == new is not None
+
+
+def test_execute_query_name_in_string_literal_is_data(spark, table):
+    from iceberg_file_writer_spark.sql_dml import execute_query
+
+    t, _ = table
+    got = execute_query(
+        spark,
+        "SELECT 'ord is the name' AS s, count(*) AS n FROM ord",
+        {"ord": t},
+    ).first()
+    assert got["s"] == "ord is the name" and got["n"] > 0
