@@ -121,8 +121,9 @@ def _build_parser() -> argparse.ArgumentParser:
 
     dml = sub.add_parser(
         "dml",
-        help="run one DML statement against snapshot tables "
-        "(DELETE/UPDATE/INSERT/MERGE/OPTIMIZE/VACUUM — sql_dml grammar)",
+        help="run one DML/DDL statement against snapshot tables "
+        "(DELETE/UPDATE/INSERT/MERGE/CREATE/ALTER/OPTIMIZE [ZORDER]/"
+        "ANALYZE/VACUUM — sql_dml grammar, both table flavors)",
     )
     dml.add_argument("statement", help="DML text, or '-' to read stdin")
     dml.add_argument(
@@ -138,6 +139,23 @@ def _build_parser() -> argparse.ArgumentParser:
         default="/root/testdata/sf0.001",
         help="testdata views for INSERT/MERGE source queries",
     )
+
+    tq = sub.add_parser(
+        "tsql",
+        help="run a SELECT over snapshot tables with time-travel syntax "
+        "(FROM t VERSION AS OF n / TIMESTAMP AS OF ts)",
+    )
+    tq.add_argument("statement", help="SQL text, or '-' to read stdin")
+    tq.add_argument(
+        "--table",
+        action="append",
+        required=True,
+        metavar="NAME=PATH",
+        help="bind a statement table name to a snapshot-table path "
+        "(repeatable)",
+    )
+    tq.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    tq.add_argument("--limit", type=int, default=20)
     return p
 
 
@@ -285,6 +303,27 @@ def main(argv: list[str] | None = None) -> int:
         if args.explain:
             df.explain("formatted")
         df.show(args.limit, truncate=60)
+        return 0
+
+    if args.cmd == "tsql":
+        from iceberg_file_writer_spark.sql_dml import execute_query
+        from iceberg_file_writer_spark.tables import load_tables
+
+        stmt = sys.stdin.read() if args.statement == "-" else args.statement
+        tables = {}
+        for binding in args.table:
+            name, eq, path = binding.partition("=")
+            if not eq or not name or not path:
+                print(f"malformed --table binding: {binding!r}", file=sys.stderr)
+                return 2
+            tables[name] = path
+        load_tables(spark, args.sf_dir)
+        try:
+            df = execute_query(spark, stmt, tables)
+        except ValueError as e:
+            print(str(e), file=sys.stderr)
+            return 2
+        df.show(args.limit, truncate=False)
         return 0
 
     if args.cmd == "dml":
