@@ -54,10 +54,16 @@ from iceberg_file_writer_spark.ingest.snapshots import (
 def _commit_with_columns(
     table_path: str, op: str, files: list, columns: list,
     extra: "dict | None" = None,
+    parent: "int | None" = None,
 ) -> int:
+    """``parent`` is the version the CALLER read its state from: passing
+    it through makes the optimistic O_EXCL commit detect a concurrent
+    writer (CommitConflict) instead of silently rebasing onto — and
+    thereby erasing — a commit the caller never saw (lost update)."""
     from iceberg_file_writer_spark.ingest.snapshots import _commit
 
-    parent = current_version(table_path)
+    if parent is None:
+        parent = current_version(table_path)
     # last_column_id is the durable high-water mark (the Iceberg field):
     # a dropped id must stay retired even after its last file/manifest
     # reference expires, or a later add could recycle it
@@ -139,7 +145,9 @@ def convert_to_mapped(spark: SparkSession, table_path: str) -> int:
         e["cols"] = [
             [cid, name] for cid, name, _typ in columns if name in present
         ]
-    return _commit_with_columns(table_path, "convert", files, columns)
+    return _commit_with_columns(
+        table_path, "convert", files, columns, parent=v
+    )
 
 
 def table_columns(table_path: str, version: int | None = None) -> list:
@@ -169,18 +177,20 @@ def append_mapped(
 ) -> int:
     """Append rows matching the CURRENT logical schema (by name); the new
     files record the current (id, name) mapping."""
-    columns = table_columns(table_path)
+    v = current_version(table_path)
+    columns = table_columns(table_path, v)
     files = _write_data_files(
         _select_as_standing(df, columns), table_path, max_rows
     )
     for e in files:
         e["cols"] = [[c[0], c[1]] for c in columns]
-    m = read_manifest(table_path, current_version(table_path))
+    m = read_manifest(table_path, v)
     extra = {
         k: m[k] for k in ("eqs", "dvs") if m.get(k)
     }
     return _commit_with_columns(
-        table_path, "append", m["files"] + files, columns, extra=extra or None
+        table_path, "append", m["files"] + files, columns,
+        extra=extra or None, parent=v,
     )
 
 
@@ -236,7 +246,8 @@ def evolve_mapped(
         k: m[k] for k in ("eqs", "dvs") if m.get(k)
     }
     return _commit_with_columns(
-        table_path, "evolve", m["files"], columns, extra=extra or None
+        table_path, "evolve", m["files"], columns,
+        extra=extra or None, parent=v,
     )
 
 
@@ -433,6 +444,7 @@ def _rewrite_mapped(
     transform,
     op: str,
     max_rows: int,
+    parent: "int | None" = None,
 ) -> int:
     """Shared CoW tail: read the affected entries through the field-id
     projection, apply ``transform`` (the survivor filter / SET
@@ -463,7 +475,8 @@ def _rewrite_mapped(
     if m.get("dvs"):
         extra["dvs"] = m["dvs"]
     return _commit_with_columns(
-        table_path, op, carried + rewritten, columns, extra=extra or None
+        table_path, op, carried + rewritten, columns,
+        extra=extra or None, parent=parent,
     )
 
 
@@ -480,7 +493,7 @@ def delete_where_mapped(
     affected = _affected_paths(spark, table_path, m, predicate)
     if not affected:
         return _commit_with_columns(
-            table_path, "delete", m["files"], m["columns"]
+            table_path, "delete", m["files"], m["columns"], parent=v
         )
     return _rewrite_mapped(
         spark,
@@ -490,6 +503,7 @@ def delete_where_mapped(
         lambda df: df.where(f"({predicate}) IS NOT TRUE"),
         "delete",
         max_rows,
+        parent=v,
     )
 
 
@@ -513,7 +527,7 @@ def update_where_mapped(
     affected = _affected_paths(spark, table_path, m, predicate)
     if not affected:
         return _commit_with_columns(
-            table_path, "update", m["files"], m["columns"]
+            table_path, "update", m["files"], m["columns"], parent=v
         )
 
     def _apply(df: DataFrame) -> DataFrame:
@@ -531,7 +545,7 @@ def update_where_mapped(
         return df.select(*proj)
 
     return _rewrite_mapped(
-        spark, table_path, m, affected, _apply, "update", max_rows
+        spark, table_path, m, affected, _apply, "update", max_rows, parent=v
     )
 
 
@@ -551,14 +565,15 @@ def upsert_mapped(
     later RENAME of a key column cannot detach standing tombstones
     (reads re-resolve ids to whatever name the schema carries).
     ``df`` must hold at most one row per key."""
-    columns = table_columns(table_path)
+    v0 = current_version(table_path)
+    columns = table_columns(table_path, v0)
     df = _select_as_standing(df, columns)
     name_to_id = {name: cid for cid, name, _t in columns}
     missing = [c for c in key_cols if c not in name_to_id]
     if missing:
         raise ValueError(f"no such key column(s): {missing}")
     key_ids = [name_to_id[c] for c in key_cols]
-    m = read_manifest(table_path, current_version(table_path))
+    m = read_manifest(table_path, v0)
     eqs = m.get("eqs") or []
     if eqs and eqs[0]["ids"] != key_ids:
         raise ValueError(
@@ -573,7 +588,7 @@ def upsert_mapped(
     for e in new:
         e["cols"] = [[c[0], c[1]] for c in columns]
     rel, n = _write_eq_file(spark, table_path, df.select(*key_cols))
-    version = current_version(table_path) + 1
+    version = v0 + 1
     eq_entry = {
         "path": rel,
         "seq": version,
@@ -585,7 +600,25 @@ def upsert_mapped(
     if m.get("dvs"):
         extra["dvs"] = m["dvs"]
     return _commit_with_columns(
-        table_path, "upsert_mor", m["files"] + new, columns, extra=extra
+        table_path, "upsert_mor", m["files"] + new, columns,
+        extra=extra, parent=v0,
+    )
+
+
+def truncate_mapped(table_path: str) -> int:
+    """Logical truncate keeping the logical schema: empty file list and
+    BOTH delete classes cleared with the rows they described (the plain
+    commit_truncate contract) — carrying them would pin dead sidecar
+    files against vacuum and lock the equality-key contract of a table
+    that no longer has any rows."""
+    v = current_version(table_path)
+    return _commit_with_columns(
+        table_path,
+        "truncate",
+        [],
+        table_columns(table_path, v),
+        extra={"eqs": [], "dvs": []},
+        parent=v,
     )
 
 
@@ -609,7 +642,8 @@ def delete_where_mor_mapped(
         extra["eqs"] = m["eqs"]
     if scan is None:
         return _commit_with_columns(
-            table_path, "delete_mor", m["files"], m["columns"], extra=extra
+            table_path, "delete_mor", m["files"], m["columns"],
+            extra=extra, parent=v,
         )
     hits = scan.where(predicate).select(
         F.col("_pos_fn").alias("file_name"),
@@ -632,7 +666,8 @@ def delete_where_mor_mapped(
     else:
         extra["dvs"] = dvs + [dv_rel]
     return _commit_with_columns(
-        table_path, "delete_mor", m["files"], m["columns"], extra=extra
+        table_path, "delete_mor", m["files"], m["columns"],
+        extra=extra, parent=v,
     )
 
 
@@ -642,7 +677,8 @@ def overwrite_mapped(
     """INSERT OVERWRITE on a column-mapped table: the new snapshot lists
     only the replacement files (stamped with the current mapping); time
     travel still reads every historical epoch."""
-    columns = table_columns(table_path)
+    v0 = current_version(table_path)
+    columns = table_columns(table_path, v0)
     files = _write_data_files(
         _select_as_standing(df, columns), table_path, max_rows
     )
@@ -650,7 +686,7 @@ def overwrite_mapped(
         e["cols"] = [[c[0], c[1]] for c in columns]
     return _commit_with_columns(
         table_path, "overwrite", files, columns,
-        extra={"eqs": [], "dvs": []},
+        extra={"eqs": [], "dvs": []}, parent=v0,
     )
 
 
@@ -665,31 +701,20 @@ def compact_mapped(
     moment historical physical names are physically retired).
     ``zorder_by=(a, b)`` re-clusters the rewrite along the Morton
     interleave exactly as the plain commit_compact does."""
-    df = read_mapped(spark, table_path)  # MoR-applied state
-    columns = table_columns(table_path)
+    v0 = current_version(table_path)
+    df = read_mapped(spark, table_path, version=v0)  # MoR-applied state
+    columns = table_columns(table_path, v0)
     if zorder_by is not None:
-        if len(zorder_by) != 2:
-            raise ValueError("zorder_by takes exactly two columns")
-        missing = [c for c in zorder_by if c not in df.columns]
-        if missing:
-            raise ValueError(f"no such column(s): {missing}")
-        from iceberg_file_writer_spark.operators.zorder import with_zorder_key
+        from iceberg_file_writer_spark.operators.zorder import zorder_recluster
 
-        m0 = read_manifest(table_path, current_version(table_path))
-        total = sum(e.get("rows", 0) for e in m0["files"])
-        nparts = max(1, -(-total // target_rows))
-        df = (
-            with_zorder_key(df, tuple(zorder_by), key_name="__zcluster")
-            .repartitionByRange(nparts, "__zcluster")
-            .sortWithinPartitions("__zcluster")
-            .drop("__zcluster")
-        )
+        df = zorder_recluster(df, tuple(zorder_by), target_rows)
     files = _write_data_files(df, table_path, target_rows)
     for e in files:
         e["cols"] = [[c[0], c[1]] for c in columns]
     # compaction materializes the applied state: tombstones retire
     return _commit_with_columns(
-        table_path, "compact", files, columns, extra={"eqs": [], "dvs": []}
+        table_path, "compact", files, columns,
+        extra={"eqs": [], "dvs": []}, parent=v0,
     )
 
 
@@ -731,8 +756,12 @@ def streaming_append_sink_mapped(table_path: str, max_rows: int = 4096):
         for k in ("eqs", "dvs"):
             if m.get(k):
                 extra[k] = m[k]
+        # parent = the version this batch READ: a concurrent commit
+        # surfaces as CommitConflict (streaming retries the batch),
+        # never a silent rebase that erases the other writer
         _commit_with_columns(
-            table_path, "append", m["files"] + new, columns, extra=extra
+            table_path, "append", m["files"] + new, columns,
+            extra=extra, parent=parent,
         )
 
     return _sink

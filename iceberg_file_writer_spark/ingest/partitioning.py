@@ -159,7 +159,10 @@ def apply_spec(df: DataFrame, spec: list) -> DataFrame:
             if dict(work.dtypes).get(col) == "string":
                 key = F.substring(F.col(col), 1, width)
             else:
-                key = F.col(col) - (F.col(col) % F.lit(width))
+                # pmod, not %: Spark's % takes the dividend's sign, so
+                # col - (col % w) rounds negatives toward zero (a
+                # double-wide bucket at 0); floor semantics = Iceberg's
+                key = F.col(col) - F.pmod(F.col(col), F.lit(width))
             work = work.withColumn(c, key)
         elif tr[0] == "bucket":
             c = _bucket_col_name(tr[2], tr[1])

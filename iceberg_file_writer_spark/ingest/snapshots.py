@@ -1142,24 +1142,9 @@ def commit_compact(
                 "the standing hidden-partition layout; compact without "
                 "ZORDER (re-clusters along the spec) instead"
             )
-        if len(zorder_by) != 2:
-            raise ValueError("zorder_by takes exactly two columns")
-        from iceberg_file_writer_spark.operators.zorder import with_zorder_key
+        from iceberg_file_writer_spark.operators.zorder import zorder_recluster
 
-        missing = [c for c in zorder_by if c not in df.columns]
-        if missing:
-            raise ValueError(f"no such column(s): {missing}")
-        # one range partition per target file: zone tightness comes from
-        # the RANGE split on the Morton key, so file count must track
-        # target_rows, not the coalesce heuristic
-        total = sum(e.get("rows", 0) for e in files)
-        nparts = max(1, -(-total // target_rows))
-        df = (
-            with_zorder_key(df, tuple(zorder_by), key_name="__zcluster")
-            .repartitionByRange(nparts, "__zcluster")
-            .sortWithinPartitions("__zcluster")
-            .drop("__zcluster")
-        )
+        df = zorder_recluster(df, tuple(zorder_by), target_rows)
     elif m.get("spec"):
         # re-cluster along the standing spec (compaction is exactly the
         # moment to repair layout drift); hidden bucket columns already
@@ -1642,7 +1627,17 @@ def commit_analyze(
 
     parent = current_version(table_path)
     m = read_manifest(table_path, parent)
-    df = read_table_version(spark, table_path)
+    if "columns" in m:
+        # column-mapped table: resolve by field id, or a post-rename
+        # column would error (or worse, null-fill from pre-rename
+        # physical names) through the name-based reader
+        from iceberg_file_writer_spark.ingest.column_mapping import (
+            read_mapped,
+        )
+
+        df = read_mapped(spark, table_path)
+    else:
+        df = read_table_version(spark, table_path)
     cols = columns or [c for c in df.columns if not _is_hidden(c)]
     missing = [c for c in cols if c not in df.columns]
     if missing:

@@ -77,3 +77,28 @@ def with_zorder_key(
     return joined.select(
         *df.columns, morton_col(qa, qb).alias(key_name)
     )
+
+
+def zorder_recluster(
+    df: DataFrame, cols: "tuple[str, str]", target_rows: int
+) -> DataFrame:
+    """The OPTIMIZE ZORDER rewrite step, shared by the plain and mapped
+    compaction paths: append the Morton key, range-partition one
+    partition per target file, sort within, drop the key (the ORDER is
+    the artifact). Partition count comes from the LIVE row count (one
+    count job — compaction is already a whole-table pass), not manifest
+    row totals, which include MoR-tombstoned rows and would oversplit a
+    heavily-deleted table into under-filled files."""
+    if len(cols) != 2:
+        raise ValueError("zorder_by takes exactly two columns")
+    missing = [c for c in cols if c not in df.columns]
+    if missing:
+        raise ValueError(f"no such column(s): {missing}")
+    total = df.count()
+    nparts = max(1, -(-total // target_rows))
+    return (
+        with_zorder_key(df, tuple(cols), key_name="__zcluster")
+        .repartitionByRange(nparts, "__zcluster")
+        .sortWithinPartitions("__zcluster")
+        .drop("__zcluster")
+    )

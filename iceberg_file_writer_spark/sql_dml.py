@@ -500,15 +500,11 @@ def execute_dml(
     if m:
         path = _resolve(tables, m.group("t"))
         if _is_mapped(path):
-            # keep the logical schema: empty file list, columns carried
             from iceberg_file_writer_spark.ingest.column_mapping import (
-                _commit_with_columns,
-                table_columns,
+                truncate_mapped,
             )
 
-            return _commit_with_columns(
-                path, "truncate", [], table_columns(path)
-            )
+            return truncate_mapped(path)
         return commit_truncate(path)
 
     m = _DELETE_RE.match(stmt)
@@ -518,13 +514,10 @@ def execute_dml(
         if m.group("pred") is None:
             if mapped:
                 from iceberg_file_writer_spark.ingest.column_mapping import (
-                    _commit_with_columns,
-                    table_columns,
+                    truncate_mapped,
                 )
 
-                return _commit_with_columns(
-                    path, "truncate", [], table_columns(path)
-                )
+                return truncate_mapped(path)
             # bare DELETE FROM t = logical truncate (metadata-only)
             return commit_truncate(path)
         if _DELETE_MOR_RE.match(stmt):
@@ -743,9 +736,23 @@ def execute_query(
             return read_mapped(spark, path, version=version)
         return read_table_version(spark, path, version)
 
-    for m in list(_ASOF_RE.finditer(stmt)):
+    # quoted segments are data: compute their spans once so neither the
+    # as-of rewrite nor the bare-name rewrite ever touches them
+    def _quoted_spans(text: str) -> list:
+        return [
+            q.span() for q in re.finditer(r"'(?:[^']|'')*'", text)
+        ]
+
+    def _in_quotes(spans: list, pos: int) -> bool:
+        return any(a <= pos < b for a, b in spans)
+
+    spans = _quoted_spans(stmt)
+    # replace by exact match SPANS, right-to-left (str.replace would
+    # also clobber prefixes of longer literals: '... AS OF 3' inside
+    # '... AS OF 33')
+    for m in reversed(list(_ASOF_RE.finditer(stmt))):
         name = m.group("t")
-        if name not in tables:
+        if name not in tables or _in_quotes(spans, m.start()):
             continue
         path = tables[name]
         raw = m.group("v")
@@ -765,7 +772,9 @@ def execute_query(
             version = version_asof(path, ms)
         view = f"__tt_{name}_{_uuid.uuid4().hex[:8]}"
         _read(path, version).createOrReplaceTempView(view)
-        rewritten = rewritten.replace(m.group(0), view)
+        rewritten = (
+            rewritten[: m.start()] + view + rewritten[m.end():]
+        )
     # bare references to known snapshot tables -> CURRENT state.
     # Substitution is quote-aware: a table name inside a string literal
     # is data, not a reference.

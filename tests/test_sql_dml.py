@@ -1072,3 +1072,109 @@ def test_execute_query_name_in_string_literal_is_data(spark, table):
         {"ord": t},
     ).first()
     assert got["s"] == "ord is the name" and got["n"] > 0
+
+
+def test_analyze_table_on_mapped_table_after_rename(spark, tmp_path):
+    """ANALYZE on a mapped table resolves by field id: post-rename
+    column names work and the values come from the id projection, not
+    null-filled physical names (review finding)."""
+    from iceberg_file_writer_spark.ingest.snapshots import table_stats
+
+    t = str(tmp_path / "cust")
+    load_tables(spark, SF_DIR)
+    tbl = {"cust": t}
+    execute_dml(
+        spark,
+        "CREATE TABLE cust AS SELECT c_custkey, c_acctbal "
+        "FROM customer WHERE c_custkey < 30",
+        tbl,
+    )
+    execute_dml(spark, "ALTER TABLE cust RENAME COLUMN c_acctbal TO bal", tbl)
+    execute_dml(
+        spark,
+        "INSERT INTO cust SELECT c_custkey, c_acctbal AS bal "
+        "FROM customer WHERE c_custkey BETWEEN 30 AND 39",
+        tbl,
+    )
+    execute_dml(spark, "ANALYZE TABLE cust FOR COLUMNS bal", tbl)
+    st = table_stats(t)
+    assert st["n_rows"] == 40
+    # both epochs' values resolve: zero nulls, exact NDV across the mix
+    assert st["columns"]["bal"]["n_nulls"] == 0
+    cust = load_tables(spark, SF_DIR)["customer"]
+    assert st["columns"]["bal"]["ndv"] == (
+        cust.where("c_custkey < 40").select("c_acctbal").distinct().count()
+    )
+
+
+def test_mapped_truncate_clears_both_delete_classes(spark, tmp_path):
+    """TRUNCATE on a mapped table clears eqs/dvs with the rows they
+    described — stale tombstones would lock the equality-key contract
+    of an empty table and pin dead sidecars against vacuum (review
+    finding)."""
+    t = str(tmp_path / "cust")
+    load_tables(spark, SF_DIR)
+    tbl = {"cust": t}
+    execute_dml(
+        spark,
+        "CREATE TABLE cust AS SELECT c_custkey, c_acctbal FROM customer",
+        tbl,
+    )
+    execute_dml(
+        spark,
+        """MERGE INTO cust USING (SELECT 1 AS c_custkey, -1.0 AS c_acctbal) AS s
+           ON cust.c_custkey = s.c_custkey
+           WHEN MATCHED THEN UPDATE SET *
+           WHEN NOT MATCHED THEN INSERT *""",
+        tbl,
+    )
+    execute_dml(spark, "DELETE FROM cust USING MOR WHERE c_custkey = 2", tbl)
+    execute_dml(spark, "TRUNCATE TABLE cust", tbl)
+    m = read_manifest(t, current_version(t))
+    assert m["files"] == [] and m["eqs"] == [] and m["dvs"] == []
+    # a DIFFERENT equality key is now acceptable (contract unlocked)
+    execute_dml(
+        spark,
+        "INSERT INTO cust SELECT c_custkey, c_acctbal FROM customer "
+        "WHERE c_custkey < 5",
+        tbl,
+    )
+    from iceberg_file_writer_spark.ingest.column_mapping import upsert_mapped
+
+    upsert_mapped(
+        spark,
+        spark.sql("SELECT 99 AS c_custkey, 7.0 AS c_acctbal"),
+        t,
+        ["c_acctbal"],  # different key than the pre-truncate upsert
+    )
+
+
+def test_execute_query_asof_prefix_and_literal_safety(spark, tmp_path):
+    """'t VERSION AS OF 3' must not clobber the prefix of
+    't VERSION AS OF 33', and an as-of phrase inside a string literal
+    is data (review finding)."""
+    from iceberg_file_writer_spark.sql_dml import execute_query
+
+    t = str(tmp_path / "ord")
+    orders = load_tables(spark, SF_DIR)["orders"].select(
+        "o_orderkey", "o_totalprice"
+    )
+    commit_append(spark, orders.where("o_orderkey < 10"), t)
+    for hi in range(2, 35):
+        execute_dml(
+            spark,
+            f"INSERT INTO ord SELECT CAST({hi * 100} AS BIGINT) AS "
+            "o_orderkey, CAST(1.0 AS DOUBLE) AS o_totalprice",
+            {"ord": t},
+        )
+    got = execute_query(
+        spark,
+        "SELECT (SELECT count(*) FROM ord VERSION AS OF 3) AS a, "
+        "(SELECT count(*) FROM ord VERSION AS OF 33) AS b, "
+        "'ord VERSION AS OF 3' AS s",
+        {"ord": t},
+    ).first()
+    n1 = orders.where("o_orderkey < 10").count()
+    assert got["a"] == n1 + 2
+    assert got["b"] == n1 + 32
+    assert got["s"] == "ord VERSION AS OF 3"
