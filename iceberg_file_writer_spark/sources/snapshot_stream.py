@@ -449,6 +449,15 @@ class _SnapshotBatchReader(DataSourceReader):
             m = read_manifest(self.path, v)
         except FileNotFoundError:
             m = _manifest(self.path, v)  # re-raise the retention remedy
+        if "columns" in m:
+            # a column-mapped table resolves files by FIELD ID; this
+            # name-based reader would silently null-fill every column a
+            # rename ever touched — refuse loudly instead
+            raise ValueError(
+                f"{self.path} is column-mapped; the snapshot_table format "
+                "reads by physical name — use "
+                "ingest.column_mapping.read_mapped (or SnapshotTable.query)"
+            )
         self.files = m["files"]
         self.files_total = len(self.files)
         self.dv_dirs = [

@@ -419,3 +419,29 @@ def test_stream_over_segmented_manifests(spark, tmp_path, orders, monkeypatch):
     commit_append(spark, c, t, max_rows=60)
     _drain(spark, t, sink, ckpt, maxVersionsPerBatch="1")
     assert _canon(spark.read.parquet(sink)) == _canon(orders)
+
+
+def test_format_read_refuses_mapped_tables(spark, tmp_path):
+    """The name-based snapshot_table format would silently null-fill
+    renamed columns on a mapped table — refused loudly."""
+    import pytest
+
+    from iceberg_file_writer_spark.ingest.column_mapping import (
+        create_mapped_table,
+    )
+    from iceberg_file_writer_spark.tables import load_tables
+
+    register_snapshot_source(spark)
+    t = str(tmp_path / "cust")
+    cust = load_tables(spark, "/root/testdata/sf0.001")["customer"].select(
+        "c_custkey", "c_acctbal"
+    )
+    create_mapped_table(spark, cust, t)
+    with pytest.raises(Exception, match="column-mapped"):
+        (
+            spark.read.format("snapshot_table")
+            .schema("c_custkey long, c_acctbal double")
+            .option("path", t)
+            .load()
+            .count()
+        )
