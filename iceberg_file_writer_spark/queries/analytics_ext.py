@@ -1718,3 +1718,97 @@ def pareto_lineitems_3d(spark: SparkSession, sf_dir: str) -> DataFrame:
         li,
         [("l_quantity", "max"), ("l_discount", "max"), ("l_tax", "min")],
     )
+
+
+# --- pairwise Pearson correlation matrix --------------------------------------
+
+CORR_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+
+def _corr_oracle() -> str:
+    sums = [f"count(*)::DOUBLE AS n"]
+    for c in CORR_COLS:
+        sums.append(f"sum({c}::DOUBLE) AS s_{c}")
+        sums.append(f"sum({c}::DOUBLE * {c}::DOUBLE) AS ss_{c}")
+    pairs = [
+        (a, b)
+        for i, a in enumerate(CORR_COLS)
+        for b in CORR_COLS[i + 1 :]
+    ]
+    for a, b in pairs:
+        sums.append(f"sum({a}::DOUBLE * {b}::DOUBLE) AS sx_{a}_{b}")
+    selects = []
+    for a, b in pairs:
+        num = f"(n * sx_{a}_{b} - s_{a} * s_{b})"
+        den = (
+            f"sqrt((n * ss_{a} - s_{a} * s_{a})"
+            f" * (n * ss_{b} - s_{b} * s_{b}))"
+        )
+        selects.append(
+            f"SELECT '{a}' AS col_a, '{b}' AS col_b, "
+            f"round({num} / nullif({den}, 0), 6) AS pearson_r FROM sums"
+        )
+    return (
+        "WITH sums AS (SELECT " + ", ".join(sums) + " FROM lineitem)\n"
+        + "\nUNION ALL\n".join(selects)
+    )
+
+
+@register(
+    "lineitem_numeric_correlations",
+    oracle=_corr_oracle(),
+    description=(
+        "Pairwise Pearson correlation matrix over lineitem's four "
+        "numeric measures in ONE aggregate pass (15 shared sums, 6 "
+        "pairs) — the column-profiling step feature selection and "
+        "anomaly triage start from; closed-form sums make it one "
+        "map-side-combined scan, never per-pair passes"
+    ),
+    driver_exposed=False,
+)
+def lineitem_numeric_correlations(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Which measures move together — the profiling correlation matrix.
+
+    Scale shape: ONE partial-agg'd pass computes all 15 sums (4 sums, 4
+    sums of squares, 6 cross-products, 1 count); the 6 correlations are
+    a 1-row projection unpivoted via stack. At 100 TB the cost equals a
+    single column-pruned scan regardless of how many pairs the matrix
+    has (k columns = k(k+3)/2 + 1 aggregates in the same pass), where
+    the naive per-pair F.corr() would re-scan the table 6 times.
+    """
+    li = load_tables(spark, sf_dir)["lineitem"]
+    aggs = [F.count(F.lit(1)).cast("double").alias("n")]
+    for c in CORR_COLS:
+        d = F.col(c).cast("double")
+        aggs.append(F.sum(d).alias(f"s_{c}"))
+        aggs.append(F.sum(d * d).alias(f"ss_{c}"))
+    pairs = [
+        (a, b)
+        for i, a in enumerate(CORR_COLS)
+        for b in CORR_COLS[i + 1 :]
+    ]
+    for a, b in pairs:
+        aggs.append(
+            F.sum(F.col(a).cast("double") * F.col(b).cast("double")).alias(
+                f"sx_{a}_{b}"
+            )
+        )
+    one = li.agg(*aggs)
+    rows = []
+    for a, b in pairs:
+        num = f"(n * sx_{a}_{b} - s_{a} * s_{b})"
+        den = (
+            f"sqrt((n * ss_{a} - s_{a} * s_{a})"
+            f" * (n * ss_{b} - s_{b} * s_{b}))"
+        )
+        rows.append(
+            f"'{a}', '{b}', round({num} / nullif({den}, 0.0D), 6)"
+        )
+    return one.select(
+        F.expr(
+            f"stack({len(pairs)}, {', '.join(rows)}) AS "
+            "(col_a, col_b, pearson_r)"
+        )
+    )

@@ -1879,3 +1879,44 @@ def streaming_span_dedup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.stop()
     _SPAN_GATE_SINKS[memo_key] = sink
     return spark.read.schema(_SPAN_GATE_SCHEMA).parquet(sink)
+
+
+@register(
+    "streaming_interval_full_join",
+    oracle="""
+SELECT p.event_id AS purchase_id,
+       coalesce(p.user_id, c.user_id) AS user_id,
+       p.ts       AS purchase_ts,
+       p.value    AS purchase_value,
+       c.event_id AS click_id,
+       c.ts       AS click_ts
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+FULL JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON c.user_id = p.user_id
+ AND c.ts < p.ts
+ AND c.ts >= p.ts - INTERVAL 30 MINUTE
+""",
+    description=(
+        "Structured Streaming: stream-stream FULL OUTER interval join — "
+        "unattributed purchases AND never-converting clicks in one "
+        "stream, each null-extension class emitting when the opposite "
+        "side's watermark closes its window; run-to-completion equals "
+        "the batch FULL JOIN exactly via the sentinel runner advancing "
+        "BOTH frontiers"
+    ),
+    driver_exposed=False,
+    eager=True,  # builds/loads a trained artifact or runs a stream at plan time
+)
+def streaming_interval_full_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from iceberg_file_writer_spark.streaming.windows import (
+        purchase_click_interval_full_join,
+    )
+
+    out = _run_stream_with_flush(
+        spark, sf_dir, purchase_click_interval_full_join, "ivlfull"
+    )
+    # drop sentinel rows from EITHER side on the committed-sink read
+    return out.where(
+        (F.col("purchase_id").isNull() | (F.col("purchase_id") >= 0))
+        & (F.col("click_id").isNull() | (F.col("click_id") >= 0))
+    )

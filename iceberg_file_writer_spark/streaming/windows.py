@@ -438,3 +438,62 @@ def user_daily_totals_closed_tws(
             timeMode="EventTime",
         )
     )
+
+
+def purchase_click_interval_full_join(
+    events: DataFrame,
+    lookback: str = "30 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Stream-stream FULL OUTER interval join: every purchase emits (null
+    click columns when nothing preceded it in ``lookback``) AND every
+    click emits (null purchase columns when no purchase followed it
+    within ``lookback``) — the audit view that answers both "unattributed
+    purchases" and "clicks that never converted" in one stream.
+
+    Both null-extension classes are watermark-gated: a side's unmatched
+    row emits only when the OTHER side's watermark proves no partner can
+    still arrive, so run-to-completion equality with the batch FULL JOIN
+    needs the sentinel runner to advance BOTH frontiers past the real
+    data. State stays bounded by the interval exactly as in the
+    inner/left forms."""
+    purchases = (
+        events.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    clicks = (
+        events.where(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("click_ts") < F.col("purchase_ts"))
+        & (
+            F.col("click_ts")
+            >= F.col("purchase_ts") - F.expr(f"INTERVAL {lookback}")
+        ),
+        "fullOuter",
+    )
+    # sentinel rows (negative ids, both streams) flow through to the sink
+    # and drop on the batch read-back — a filter HERE would push below
+    # the EventTimeWatermark nodes (see the left-join note above)
+    return joined.select(
+        "purchase_id",
+        F.coalesce(F.col("p_user"), F.col("c_user")).alias("user_id"),
+        "purchase_ts",
+        "purchase_value",
+        "click_id",
+        "click_ts",
+    )

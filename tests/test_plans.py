@@ -574,3 +574,14 @@ def test_label_propagation_argmax_is_aggregate_not_window(spark):
         assert "lead(" in m.group(1), m.group(1)
     assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p, p
     assert "CartesianProduct" not in p, p
+
+
+def test_correlation_matrix_is_one_scan(spark):
+    """All 15 sums for the 6-pair Pearson matrix must come from ONE
+    column-pruned, partial-aggregated scan — never per-pair passes."""
+    p = _plan(spark, "lineitem_numeric_correlations")
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1, p
+    assert "partial_sum" in p, p
+    m = re.search(r"ReadSchema: struct<([^>]*)>", p)
+    cols = {c.split(":")[0] for c in m.group(1).split(",")}
+    assert cols == {"l_quantity", "l_extendedprice", "l_discount", "l_tax"}, cols
