@@ -46,7 +46,7 @@ from iceberg_file_writer_spark.ingest.snapshots import (
     read_manifest,
 )
 
-KINDS = ("snapshots", "files", "history", "partitions", "refs")
+KINDS = ("snapshots", "files", "history", "partitions", "refs", "stats")
 
 
 def _retained_versions(table_path: str) -> "list[int]":
@@ -112,6 +112,29 @@ def inspect_table(
 
     v = current_version(table_path) if version is None else version
     m = read_manifest(table_path, v)
+    if kind == "stats":
+        # the persisted ANALYZE statistics (snapshots.table_stats) as a
+        # relation: one row per analyzed column
+        from iceberg_file_writer_spark.ingest.snapshots import table_stats
+
+        st = table_stats(table_path, version)
+        rows = [
+            (
+                c,
+                int(s["ndv"]),
+                int(s["n_nulls"]),
+                str(s["min"]),
+                str(s["max"]),
+                int(st["n_rows"]),
+                int(st["as_of_version"]),
+            )
+            for c, s in sorted(st["columns"].items())
+        ]
+        return spark.createDataFrame(
+            rows,
+            "column string, ndv bigint, n_nulls bigint, min string, "
+            "max string, n_rows bigint, as_of_version bigint",
+        )
     if kind == "files":
         rows = [
             (e["path"], e["rows"], json.dumps(e.get("stats") or {}, default=str))

@@ -163,3 +163,25 @@ def test_clustering_report_decay_and_repair(spark, tmp_path, orders):
     r3 = clustering_report(t)
     assert r3["clustered_permille"] == 1000  # spec re-applied
     assert r3["n_eq_files"] == 0 and r3["n_dv_files"] == 0
+
+
+def test_inspect_stats_kind(spark, tmp_path):
+    from iceberg_file_writer_spark.ingest.inspect import inspect_table
+    from iceberg_file_writer_spark.ingest.snapshots import (
+        commit_analyze,
+        commit_append,
+    )
+    from iceberg_file_writer_spark.tables import load_tables
+
+    t = str(tmp_path / "ord")
+    orders = load_tables(spark, "/root/testdata/sf0.001")["orders"].select(
+        "o_orderkey", "o_custkey"
+    )
+    commit_append(spark, orders, t)
+    commit_analyze(spark, t, ["o_custkey"])
+    got = inspect_table(spark, t, "stats").collect()
+    assert len(got) == 1
+    r = got[0]
+    assert r.column == "o_custkey"
+    assert r.ndv == orders.select("o_custkey").distinct().count()
+    assert r.n_rows == orders.count()
