@@ -252,3 +252,57 @@ def test_vacuum_respects_mapped_tombstones_then_sweeps_after_compact(
         p = os.path.join(t, d)
         assert not os.path.isdir(p) or not os.listdir(p)
     assert sorted(tuple(r) for r in read_mapped(spark, t).collect()) == want
+
+
+def test_mapped_commit_conflicts_instead_of_lost_update(spark, tmp_path):
+    """A mapped commit built against a stale parent must raise
+    CommitConflict (the O_EXCL slot is taken), never silently rebase
+    onto — and erase — the commit it never saw (review finding: the
+    streaming sink's exactly-once check reads ITS parent, so a silent
+    rebase would drop a concurrent upsert's tombstones)."""
+    import pytest
+
+    from iceberg_file_writer_spark.ingest.column_mapping import (
+        _commit_with_columns,
+        create_mapped_table,
+        read_mapped,
+        table_columns,
+        upsert_mapped,
+    )
+    from iceberg_file_writer_spark.ingest.snapshots import (
+        CommitConflict,
+        current_version,
+        read_manifest,
+    )
+    from iceberg_file_writer_spark.tables import load_tables
+
+    cust = load_tables(spark, "/root/testdata/sf0.001")["customer"].select(
+        "c_custkey", "c_acctbal"
+    )
+    t = str(tmp_path / "cust")
+    create_mapped_table(spark, cust, t)
+    stale_parent = current_version(t)  # what a slow writer observed
+    # a concurrent upsert lands first
+    upsert_mapped(
+        spark,
+        spark.sql("SELECT CAST(1 AS BIGINT) AS c_custkey, "
+                  "CAST(-1.0 AS DOUBLE) AS c_acctbal"),
+        t,
+        ["c_custkey"],
+    )
+    before = sorted(tuple(r) for r in read_mapped(spark, t).collect())
+    eqs_before = read_manifest(t, current_version(t))["eqs"]
+    assert eqs_before
+    # the slow writer now commits against its STALE parent
+    m_stale = read_manifest(t, stale_parent)
+    with pytest.raises(CommitConflict):
+        _commit_with_columns(
+            t,
+            "append",
+            m_stale["files"],
+            m_stale["columns"],
+            parent=stale_parent,
+        )
+    # nothing was lost: the upsert's state and tombstones are intact
+    assert sorted(tuple(r) for r in read_mapped(spark, t).collect()) == before
+    assert read_manifest(t, current_version(t))["eqs"] == eqs_before
