@@ -85,12 +85,18 @@ def _build_parser() -> argparse.ArgumentParser:
     tag.add_argument("--delete", metavar="NAME")
 
     insp = sub.add_parser(
-        "inspect", help="metadata tables: snapshots/files/history/partitions/refs"
+        "inspect",
+        help="metadata tables: snapshots/files/history/partitions/refs/"
+        "stats (+ clustering)",
     )
     insp.add_argument("table_path")
+    from iceberg_file_writer_spark.ingest.inspect import KINDS as _KINDS
+
     insp.add_argument(
         "kind",
-        choices=["snapshots", "files", "history", "partitions", "refs", "clustering"],
+        # derived from the module's registry so a new kind can never
+        # silently drift out of the CLI (review finding)
+        choices=[*_KINDS, "clustering"],
     )
     insp.add_argument("--version", type=int, default=None)
     insp.add_argument("--limit", type=int, default=50)

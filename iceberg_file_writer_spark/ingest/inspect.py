@@ -20,8 +20,11 @@ module is that surface for the jar-free snapshot layer:
   place one straddler at each boundary) surfaces as partition NULL
   rather than a wrong bucket — the view never lies, it declines.
 - ``refs`` — main + every branch and tag with its version.
+- ``stats`` — the persisted ANALYZE column statistics (ndv, nulls,
+  min/max, row count) as of a version, from the newest ancestor that
+  carries them; never-analyzed tables yield the schema with zero rows.
 
-All five are METADATA-ONLY: built from the manifest JSONs (and ref
+All six are METADATA-ONLY: built from the manifest JSONs (and ref
 pointer files), never opening a data file. At 100 TB that is the point —
 "rows per snapshot over the last 50 commits" costs 50 manifest reads;
 the DataFrames are createDataFrame over manifest-sized lists (manifests
@@ -67,7 +70,8 @@ def inspect_table(
 ) -> DataFrame:
     """The ``kind`` metadata relation for ``table_path`` (see module
     docstring). ``version`` scopes ``files``/``partitions`` to one
-    snapshot (default CURRENT); the other kinds are whole-table."""
+    snapshot (default CURRENT), and ``stats`` to the newest ANALYZE at
+    or below it; the other kinds are whole-table."""
     if kind not in KINDS:
         raise ValueError(f"unknown metadata table {kind!r}; one of {KINDS}")
     if kind == "snapshots":
@@ -114,27 +118,32 @@ def inspect_table(
     m = read_manifest(table_path, v)
     if kind == "stats":
         # the persisted ANALYZE statistics (snapshots.table_stats) as a
-        # relation: one row per analyzed column
+        # relation: one row per analyzed column; never-analyzed tables
+        # yield the declared schema with zero rows (every kind returns a
+        # relation — tools iterating KINDS over a fleet must not crash)
         from iceberg_file_writer_spark.ingest.snapshots import table_stats
 
-        st = table_stats(table_path, version)
+        schema = (
+            "column string, ndv bigint, n_nulls bigint, min string, "
+            "max string, n_rows bigint, as_of_version bigint"
+        )
+        try:
+            st = table_stats(table_path, version)
+        except ValueError:
+            return spark.createDataFrame([], schema)
         rows = [
             (
                 c,
                 int(s["ndv"]),
                 int(s["n_nulls"]),
-                str(s["min"]),
-                str(s["max"]),
+                None if s["min"] is None else str(s["min"]),
+                None if s["max"] is None else str(s["max"]),
                 int(st["n_rows"]),
                 int(st["as_of_version"]),
             )
             for c, s in sorted(st["columns"].items())
         ]
-        return spark.createDataFrame(
-            rows,
-            "column string, ndv bigint, n_nulls bigint, min string, "
-            "max string, n_rows bigint, as_of_version bigint",
-        )
+        return spark.createDataFrame(rows, schema)
     if kind == "files":
         rows = [
             (e["path"], e["rows"], json.dumps(e.get("stats") or {}, default=str))

@@ -930,7 +930,9 @@ def _run_stream_with_flush(
         for i, f in enumerate(sorted(os.listdir(staging))):
             os.utime(os.path.join(staging, f), (base + i * 10, base + i * 10))
 
-    staging = _staged_input((sf_dir, f"flush-{name}"), _stage)
+    # the staged content (events + two sentinel files) is independent of
+    # the entry name: one copy per sf_dir serves every flush-runner entry
+    staging = _staged_input((sf_dir, "flush-events"), _stage)
 
     stream = (
         spark.readStream.schema(raw_schema)

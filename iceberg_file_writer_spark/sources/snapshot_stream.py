@@ -293,11 +293,43 @@ def _mor_batches(part: "_MorFilePartition", schema: T.StructType) -> Iterator:
             yield kept
 
 
+def _reject_mapped_table(path: str, where: str, remedy: str) -> None:
+    """The format's readers and writers speak physical names; a field-id
+    column-mapped table would silently null-fill renamed columns (read)
+    or lose its mapping entirely (write — _commit never carries
+    'columns'). Refuse loudly everywhere the format touches a table."""
+    from iceberg_file_writer_spark.ingest.snapshots import (
+        current_version as _cv,
+        read_manifest as _rm,
+    )
+
+    try:
+        v = _cv(path)
+    except Exception:
+        return
+    if not v:
+        return
+    try:
+        m = _rm(path, v)
+    except Exception:
+        return
+    if "columns" in m:
+        raise ValueError(
+            f"{path} is column-mapped; the snapshot_table format "
+            f"{where} by physical name — use {remedy}"
+        )
+
+
 class _SnapshotStreamReader(DataSourceStreamReader):
     def __init__(self, schema: T.StructType, options):
         self.path = options.get("path")
         if not self.path:
             raise ValueError("snapshot_table requires a 'path' option")
+        _reject_mapped_table(
+            self.path,
+            "streams",
+            "ingest.column_mapping.read_mapped over version diffs",
+        )
         self.schema_ = schema
         self.max_versions = int(options.get("maxversionsperbatch", 0)) or None
         self.skip_non_appends = (
@@ -450,13 +482,10 @@ class _SnapshotBatchReader(DataSourceReader):
         except FileNotFoundError:
             m = _manifest(self.path, v)  # re-raise the retention remedy
         if "columns" in m:
-            # a column-mapped table resolves files by FIELD ID; this
-            # name-based reader would silently null-fill every column a
-            # rename ever touched — refuse loudly instead
-            raise ValueError(
-                f"{self.path} is column-mapped; the snapshot_table format "
-                "reads by physical name — use "
-                "ingest.column_mapping.read_mapped (or SnapshotTable.query)"
+            _reject_mapped_table(
+                self.path,
+                "reads",
+                "ingest.column_mapping.read_mapped (or SnapshotTable.query)",
             )
         self.files = m["files"]
         self.files_total = len(self.files)
@@ -594,6 +623,11 @@ class _SnapshotWriterBase:
         self.path = options.get("path")
         if not self.path:
             raise ValueError("snapshot_table sink requires a 'path' option")
+        _reject_mapped_table(
+            self.path,
+            "writes",
+            "ingest.column_mapping.append_mapped / the sql_dml statements",
+        )
         self.schema_ = schema
         self.max_commit_retries = int(options.get("maxcommitretries", 5))
         self.merge_schema = (

@@ -112,6 +112,26 @@ def purchase_click_interval_join(
     streaming emits per-match because append mode can't retract an earlier
     "most recent".)
     """
+    purchases, clicks, cond = _interval_join_frames(
+        events, lookback, watermark
+    )
+    joined = purchases.join(clicks, cond)
+    return joined.select(
+        "purchase_id",
+        F.col("p_user").alias("user_id"),
+        "purchase_ts",
+        "purchase_value",
+        "click_id",
+        "click_ts",
+    )
+
+
+def _interval_join_frames(
+    events: DataFrame, lookback: str, watermark: str
+):
+    """(purchases, clicks, condition): the shared operands of the
+    inner/left/full interval joins — one projection + watermark per
+    side, one band condition, so the three join flavors cannot drift."""
     purchases = (
         events.where(F.col("event_type") == "purchase")
         .select(
@@ -131,20 +151,15 @@ def purchase_click_interval_join(
         )
         .withWatermark("click_ts", watermark)
     )
-    joined = purchases.join(
-        clicks,
+    cond = (
         (F.col("p_user") == F.col("c_user"))
         & (F.col("click_ts") < F.col("purchase_ts"))
-        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr(f"INTERVAL {lookback}")),
+        & (
+            F.col("click_ts")
+            >= F.col("purchase_ts") - F.expr(f"INTERVAL {lookback}")
+        )
     )
-    return joined.select(
-        "purchase_id",
-        F.col("p_user").alias("user_id"),
-        "purchase_ts",
-        "purchase_value",
-        "click_id",
-        "click_ts",
-    )
+    return purchases, clicks, cond
 
 
 def purchase_click_interval_left_join(
@@ -164,32 +179,10 @@ def purchase_click_interval_left_join(
     final real event, which the sentinel-file runner in streaming_ops
     provides. State stays bounded exactly as in the inner join.
     """
-    purchases = (
-        events.where(F.col("event_type") == "purchase")
-        .select(
-            F.col("event_id").alias("purchase_id"),
-            F.col("user_id").alias("p_user"),
-            F.col("ts").alias("purchase_ts"),
-            F.col("value").alias("purchase_value"),
-        )
-        .withWatermark("purchase_ts", watermark)
+    purchases, clicks, cond = _interval_join_frames(
+        events, lookback, watermark
     )
-    clicks = (
-        events.where(F.col("event_type") == "click")
-        .select(
-            F.col("event_id").alias("click_id"),
-            F.col("user_id").alias("c_user"),
-            F.col("ts").alias("click_ts"),
-        )
-        .withWatermark("click_ts", watermark)
-    )
-    joined = purchases.join(
-        clicks,
-        (F.col("p_user") == F.col("c_user"))
-        & (F.col("click_ts") < F.col("purchase_ts"))
-        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr(f"INTERVAL {lookback}")),
-        "leftOuter",
-    )
+    joined = purchases.join(clicks, cond, "leftOuter")
     # Sentinel watermark-advance rows (negative event_ids) flow through to
     # the sink and are dropped by the caller on the batch read-back: a
     # purchase_id >= 0 filter HERE would be pushed below the
@@ -457,35 +450,10 @@ def purchase_click_interval_full_join(
     needs the sentinel runner to advance BOTH frontiers past the real
     data. State stays bounded by the interval exactly as in the
     inner/left forms."""
-    purchases = (
-        events.where(F.col("event_type") == "purchase")
-        .select(
-            F.col("event_id").alias("purchase_id"),
-            F.col("user_id").alias("p_user"),
-            F.col("ts").alias("purchase_ts"),
-            F.col("value").alias("purchase_value"),
-        )
-        .withWatermark("purchase_ts", watermark)
+    purchases, clicks, cond = _interval_join_frames(
+        events, lookback, watermark
     )
-    clicks = (
-        events.where(F.col("event_type") == "click")
-        .select(
-            F.col("event_id").alias("click_id"),
-            F.col("user_id").alias("c_user"),
-            F.col("ts").alias("click_ts"),
-        )
-        .withWatermark("click_ts", watermark)
-    )
-    joined = purchases.join(
-        clicks,
-        (F.col("p_user") == F.col("c_user"))
-        & (F.col("click_ts") < F.col("purchase_ts"))
-        & (
-            F.col("click_ts")
-            >= F.col("purchase_ts") - F.expr(f"INTERVAL {lookback}")
-        ),
-        "fullOuter",
-    )
+    joined = purchases.join(clicks, cond, "fullOuter")
     # sentinel rows (negative ids, both streams) flow through to the sink
     # and drop on the batch read-back — a filter HERE would push below
     # the EventTimeWatermark nodes (see the left-join note above)
