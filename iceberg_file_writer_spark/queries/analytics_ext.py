@@ -1812,3 +1812,152 @@ def lineitem_numeric_correlations(
             "(col_a, col_b, pearson_r)"
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Exponentially weighted moving average (time-series smoothing).
+# ---------------------------------------------------------------------------
+
+# Truncated EWMA: per-day decay 0.5 (exact in binary floating point),
+# window of the 7 most recent calendar days. Truncation is what makes the
+# operator distributable — the classic EWMA recursion y_t = a*x_t +
+# (1-a)*y_{t-1} is a sequential scan, but with decay 0.5 the weight of a
+# day 7+ days back is < 1/128 of the newest, so the windowed form is the
+# same smoother with a strictly bounded operand per output row.
+EWMA_WINDOW_DAYS = 7
+
+
+@register(
+    "event_type_daily_ewma",
+    oracle=f"""
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, avg(value) AS v
+  FROM events GROUP BY event_type, CAST(ts AS DATE)
+)
+SELECT e.event_type, e.day,
+       CAST(count(*) AS BIGINT)            AS n_days_in_window,
+       round(avg(h.v), 6)                  AS sma7,
+       round(sum(h.v * power(0.5, e.day - h.day))
+             / sum(power(0.5, e.day - h.day)), 6) AS ewma7
+FROM daily e
+JOIN daily h
+  ON h.event_type = e.event_type
+ AND h.day >= e.day - {EWMA_WINDOW_DAYS - 1} AND h.day <= e.day
+GROUP BY e.event_type, e.day
+""",
+    description=(
+        "Per-event-type daily EWMA (decay 0.5/day, 7-day truncated "
+        "window) plus the simple moving average it sharpens — the "
+        "trend-vs-noise smoother dashboards and drift monitors read; "
+        "windowed form instead of the sequential recursion so it "
+        "distributes"
+    ),
+    driver_exposed=False,
+)
+def event_type_daily_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Smoothed daily value per event type.
+
+    Scale shape: the raw scan collapses to ONE partial-agg'd daily
+    aggregate whose output is calendar-bounded (days x event types) —
+    independent of row count — so the 7-day range self-join that
+    follows is a broadcast hash join on event_type with the day-range
+    as a post-filter over a relation that stays tiny at ANY data
+    scale. The EWMA weights are powers of 0.5 over integer day gaps:
+    exact doubles, so both engines compute bit-identical weights.
+    """
+    ev = load_tables(spark, sf_dir)["events"]
+    daily = ensure_cached(
+        ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+            F.avg("value").alias("v")
+        )
+    )
+    h = daily.select(
+        F.col("event_type").alias("h_et"),
+        F.col("day").alias("h_day"),
+        F.col("v").alias("h_v"),
+    )
+    j = daily.drop("v").join(
+        F.broadcast(h),
+        (F.col("h_et") == F.col("event_type"))
+        & (F.col("h_day") >= F.date_sub(F.col("day"), EWMA_WINDOW_DAYS - 1))
+        & (F.col("h_day") <= F.col("day")),
+    )
+    w = F.pow(F.lit(0.5), F.datediff(F.col("day"), F.col("h_day")))
+    return j.groupBy("event_type", "day").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days_in_window"),
+        F.round(F.avg("h_v"), 6).alias("sma7"),
+        F.round(F.sum(F.col("h_v") * w) / F.sum(w), 6).alias("ewma7"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Candidate-key / functional-dependency audit (schema profiling).
+# ---------------------------------------------------------------------------
+
+# The column sets a modeler would test as keys or grain columns on orders.
+KEY_COMBOS: "list[tuple[str, ...]]" = [
+    ("o_orderkey",),
+    ("o_custkey",),
+    ("o_custkey", "o_orderdate"),
+    ("o_orderstatus", "o_orderpriority"),
+    ("o_totalprice",),
+]
+
+
+def _key_audit_oracle() -> str:
+    parts = []
+    for combo in KEY_COMBOS:
+        cols = ", ".join(combo)
+        tup = f"({cols})" if len(combo) > 1 else cols
+        parts.append(f"""
+SELECT '{",".join(combo)}' AS key_cols,
+       CAST(count(*) AS BIGINT)            AS n_rows,
+       CAST(count(DISTINCT {tup}) AS BIGINT) AS n_distinct,
+       (count(DISTINCT {tup}) = count(*))  AS is_unique,
+       round(count(*)::DOUBLE / count(DISTINCT {tup}), 6) AS dup_ratio
+FROM orders""")
+    return "\nUNION ALL\n".join(parts)
+
+
+@register(
+    "orders_key_candidate_audit",
+    oracle=_key_audit_oracle(),
+    description=(
+        "Candidate-key audit over orders: for each candidate column set, "
+        "exact distinct count, uniqueness verdict, and duplication "
+        "factor in ONE scan (Spark expands the multi-distinct into a "
+        "single Expand+aggregate pass) — the grain check every model "
+        "and MERGE key starts from"
+    ),
+    driver_exposed=False,
+)
+def orders_key_candidate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which column sets actually identify an order.
+
+    Scale shape: k candidate sets are NOT k scans — all five exact
+    distinct counts ride ONE aggregate (Catalyst rewrites multiple
+    DISTINCT aggregates into a single Expand(k+1 projections) +
+    two-level partial aggregate), then the 1-row result unpivots with
+    ``stack`` into the k-row report. The oracle is the straightforward
+    k-scan UNION ALL — deliberately a different plan shape.
+    """
+    orders = load_tables(spark, sf_dir)["orders"]
+    aggs = [F.count(F.lit(1)).cast("long").alias("n_rows")]
+    for i, combo in enumerate(KEY_COMBOS):
+        aggs.append(F.countDistinct(*combo).cast("long").alias(f"d{i}"))
+    one = orders.agg(*aggs)
+    stacked = ", ".join(
+        f"'{','.join(combo)}', d{i}" for i, combo in enumerate(KEY_COMBOS)
+    )
+    return one.select(
+        "n_rows",
+        F.expr(f"stack({len(KEY_COMBOS)}, {stacked}) AS (key_cols, n_distinct)"),
+    ).select(
+        "key_cols",
+        "n_rows",
+        "n_distinct",
+        (F.col("n_distinct") == F.col("n_rows")).alias("is_unique"),
+        F.round(
+            F.col("n_rows").cast("double") / F.col("n_distinct"), 6
+        ).alias("dup_ratio"),
+    )

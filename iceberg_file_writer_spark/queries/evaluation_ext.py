@@ -141,3 +141,76 @@ def pq_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("recall_permille"),
         )
     )
+
+
+# Ideal DCG for a full top-KNN_K list under the linear gain 
+# rel(r) = KNN_K + 1 - r: constant, computed once in Python and inlined
+# as the SAME literal into both the Spark plan and the DuckDB oracle so
+# the two sides can never disagree on it.
+import math as _math
+
+NDCG_IDCG = sum(
+    (KNN_K + 1 - r) / _math.log2(r + 1) for r in range(1, KNN_K + 1)
+)
+
+_NDCG_ORACLE = f"""
+WITH approx AS (
+{_REGISTRY["ivf_knn_cosine"].oracle}
+),
+exact AS (
+{_REGISTRY["knn_bruteforce_cosine"].oracle}
+),
+queries AS (SELECT DISTINCT query_id FROM exact)
+SELECT q.query_id,
+       round(COALESCE(sum(({KNN_K} + 1 - e.rk) / log2(a.rk + 1)), 0), 6) AS dcg,
+       round(COALESCE(sum(({KNN_K} + 1 - e.rk) / log2(a.rk + 1)), 0)
+             / {NDCG_IDCG!r}, 6) AS ndcg
+FROM queries q
+LEFT JOIN approx a ON a.query_id = q.query_id
+LEFT JOIN exact e ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+GROUP BY q.query_id
+"""
+
+
+@register(
+    "knn_ndcg_at_k",
+    oracle=_NDCG_ORACLE,
+    description=(
+        f"Rank-aware ANN quality: per-query nDCG@{KNN_K} of the "
+        "trained-IVF index against the exact brute-force ranking "
+        "(linear gain rel = k+1-exact_rank, log2 position discount) — "
+        "recall@k says WHETHER the true neighbors were found, nDCG says "
+        "whether they were found IN ORDER; same composed-oracle pattern "
+        "as ann_recall_at_k"
+    ),
+    driver_exposed=False,
+    eager=True,  # operands build/load the trained IVF artifact at plan time
+)
+def knn_ndcg_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Position-discounted index quality vs exact ground truth.
+
+    Anchored on the exact side's query set (LEFT joins), so a query the
+    index misses entirely still reports ndcg 0. An approx hit outside
+    the exact top-k carries relevance NULL and falls out of the sum —
+    exactly rel = 0. Both operands are the registered operators
+    themselves, so this evaluation moves when they move; the evaluation
+    adds only k·|queries| rows of join work on top of the operand plans.
+    """
+    approx = ivf_knn_cosine(spark, sf_dir).select(
+        "query_id", "neighbor_id", F.col("rk").alias("ark")
+    )
+    exact = knn_bruteforce_cosine(spark, sf_dir).select(
+        "query_id", "neighbor_id", F.col("rk").alias("erk")
+    )
+    queries = exact.select("query_id").distinct()
+    gain = (F.lit(KNN_K + 1) - F.col("erk")) / F.log2(F.col("ark") + F.lit(1))
+    dcg = F.coalesce(F.sum(gain), F.lit(0.0))
+    return (
+        queries.join(approx, "query_id", "left")
+        .join(exact, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.round(dcg, 6).alias("dcg"),
+            F.round(dcg / F.lit(NDCG_IDCG), 6).alias("ndcg"),
+        )
+    )

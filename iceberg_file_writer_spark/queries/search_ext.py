@@ -1507,3 +1507,128 @@ def user_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("user_id").alias("min_user"),
         F.max("user_id").alias("max_user"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Link prediction (Adamic-Adar over the hand-off graph).
+# ---------------------------------------------------------------------------
+
+# Middle nodes above the adaptive degree cap max(AA_MID_DEGREE_FLOOR,
+# 2*sqrt(|E|)) are excluded from wedge generation: a hub-mediated
+# co-occurrence is exactly the evidence Adamic-Adar exists to down-weight
+# (1/ln d), and capping the middle degree bounds the wedge fan-out per
+# node — the sqrt(|E|) form is the same skew bound the oriented triangle
+# count relies on, and the floor keeps small dense graphs (sf0.001's
+# 15-user near-clique) from emptying. The oracle applies the identical cap.
+AA_MID_DEGREE_FLOOR = 64
+# Pairs sharing fewer than this many (capped-degree) common neighbors are
+# noise for link prediction and would dominate the output row count.
+AA_MIN_COMMON = 2
+
+
+@register(
+    "user_adamic_adar_links",
+    oracle=f"""
+WITH und AS ({_TRI_EDGES_SQL}),
+adj AS (
+  SELECT u AS mid, v AS nb FROM und
+  UNION ALL
+  SELECT v AS mid, u AS nb FROM und
+),
+deg AS (
+  SELECT mid, CAST(count(*) AS BIGINT) AS d FROM adj GROUP BY mid
+),
+capped AS (
+  SELECT a.mid, a.nb, g.d FROM adj a
+  JOIN deg g ON g.mid = a.mid
+  WHERE g.d <= greatest({AA_MID_DEGREE_FLOOR},
+                        CAST(2 * sqrt((SELECT count(*) FROM und)) AS BIGINT))
+),
+scored AS (
+  SELECT a1.nb AS user_a, a2.nb AS user_b,
+         CAST(count(*) AS BIGINT)       AS n_common,
+         round(sum(1.0 / ln(a1.d)), 6)  AS aa_score
+  FROM capped a1
+  JOIN capped a2 ON a2.mid = a1.mid AND a1.nb < a2.nb
+  GROUP BY a1.nb, a2.nb
+)
+SELECT s.user_a, s.user_b, s.n_common, s.aa_score,
+       (e.u IS NOT NULL) AS linked
+FROM scored s
+LEFT JOIN und e ON e.u = s.user_a AND e.v = s.user_b
+WHERE s.n_common >= {AA_MIN_COMMON}
+""",
+    description=(
+        "Adamic-Adar link prediction over the undirected hand-off graph: "
+        "user pairs scored by sum(1/ln deg) over common neighbors, "
+        "middle-node degree capped at max(64, 2*sqrt(|E|)) (hub wedges "
+        "are the down-weighted evidence anyway), with a `linked` flag "
+        "separating observed edges from predicted ones — the "
+        "friend-/item-suggestion primitive"
+    ),
+    # Registered mid-round 10; driver surface is at its 50-entry cap.
+    driver_exposed=False,
+)
+def user_adamic_adar_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Who is likely to interact next, from shared neighborhoods.
+
+    Scale shape: the wedge self-join is the classic skew trap — fan-out
+    through a middle node is deg^2, so one hub dominates the shuffle.
+    The adaptive cap (applied BEFORE the self-join, so the hub's
+    adjacency rows never enter it) bounds per-node fan-out at
+    O(|E|); semantically the dropped wedges are the 1/ln(d)-smallest
+    contributions, which is why Adamic-Adar (vs raw common-neighbor
+    count) tolerates the cut. One shuffle on mid for the self-join
+    (degree join rides the same key), one on the (user_a, user_b) pair
+    for the aggregate, one left join against the edge set for the
+    `linked` flag — no window over the whole graph, no all-pairs stage.
+    The edge count enters the plan as a broadcast 1-row relation, so
+    plan build stays job-free.
+    """
+    hg_edges, _ = _handoff_graph(spark, sf_dir)
+    und = ensure_cached(
+        hg_edges.select(
+            F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
+        ).distinct()
+    )
+    adj = und.select(F.col("u").alias("mid"), F.col("v").alias("nb")).unionAll(
+        und.select(F.col("v").alias("mid"), F.col("u").alias("nb"))
+    )
+    deg = adj.groupBy("mid").agg(F.count(F.lit(1)).cast("long").alias("d"))
+    ecnt = und.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+    cap = F.greatest(
+        F.lit(AA_MID_DEGREE_FLOOR).cast("long"),
+        (F.lit(2.0) * F.sqrt(F.col("n_edges"))).cast("long"),
+    )
+    # cap BEFORE the self-join: the hub's rows never reach the wedge stage
+    capped = ensure_cached(
+        adj.join(deg, "mid")
+        .crossJoin(F.broadcast(ecnt))
+        .where(F.col("d") <= cap)
+        .drop("n_edges")
+    )
+    a1 = capped.select("mid", "d", F.col("nb").alias("user_a"))
+    a2 = capped.select("mid", F.col("nb").alias("user_b"))
+    scored = (
+        a1.join(a2, "mid")
+        .where(F.col("user_a") < F.col("user_b"))
+        .groupBy("user_a", "user_b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_common"),
+            F.round(
+                F.sum(F.lit(1.0) / F.log(F.col("d").cast("double"))), 6
+            ).alias("aa_score"),
+        )
+    )
+    edges_flag = und.select(
+        F.col("u").alias("user_a"), F.col("v").alias("user_b"),
+        F.lit(1).alias("_is_edge"),
+    )
+    return (
+        scored.where(F.col("n_common") >= AA_MIN_COMMON)
+        .join(edges_flag, ["user_a", "user_b"], "left")
+        .select(
+            "user_a", "user_b", "n_common", "aa_score",
+            F.col("_is_edge").isNotNull().alias("linked"),
+        )
+    )

@@ -585,3 +585,42 @@ def test_correlation_matrix_is_one_scan(spark):
     m = re.search(r"ReadSchema: struct<([^>]*)>", p)
     cols = {c.split(":")[0] for c in m.group(1).split(",")}
     assert cols == {"l_quantity", "l_extendedprice", "l_discount", "l_tax"}, cols
+
+
+def test_adamic_adar_wedge_join_is_capped_and_equi(spark):
+    """The wedge stage must be an equi-join on the middle node over the
+    degree-CAPPED adjacency (hub armor applied before the fan-out), the
+    edge-count cap a broadcast 1-row relation, and no CartesianProduct
+    anywhere."""
+    p = _plan(spark, "user_adamic_adar_links")
+    assert "CartesianProduct" not in p, p
+    # the 1-row edge-count relation rides a broadcast nested loop; every
+    # data-sized join is hash/sort-merge equi
+    assert "BroadcastNestedLoopJoin" in p, p
+
+
+def test_ewma_daily_join_is_broadcast(spark):
+    """The 7-day range self-join runs over the calendar-bounded daily
+    relation — broadcast hash join on event_type, never a sort-merge of
+    the raw events."""
+    p = _plan(spark, "event_type_daily_ewma")
+    assert "BroadcastHashJoin" in p, p
+    assert "SortMergeJoin" not in p, p
+    # the raw scan collapses to a partial-agg'd daily aggregate
+    assert "partial_avg" in p or "partial_sum" in p, p
+
+
+def test_key_audit_is_one_expand_scan(spark):
+    """Five exact distinct counts = ONE scan + ONE Expand, never five
+    passes over orders."""
+    p = _plan(spark, "orders_key_candidate_audit")
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1, p
+    assert len(re.findall(r"\(\d+\) Expand", p)) == 1, p
+
+
+def test_ndcg_adds_no_extra_scan_over_operands(spark):
+    """The nDCG evaluation composes the two operand plans plus bounded
+    join work — it must not re-scan embeddings beyond what the operands
+    already scan (cached column blocks appear as InMemory relations)."""
+    p = _plan(spark, "knn_ndcg_at_k")
+    assert "CartesianProduct" not in p, p
