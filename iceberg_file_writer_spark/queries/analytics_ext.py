@@ -1961,3 +1961,221 @@ def orders_key_candidate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_rows").cast("double") / F.col("n_distinct"), 6
         ).alias("dup_ratio"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Time-series diagnostics (round-10 session 3): autocorrelation and lagged
+# cross-correlation over the daily event series — the seasonality /
+# lead-lag readouts a metrics pipeline runs next to the EWMA smoother.
+# ---------------------------------------------------------------------------
+
+ACF_MAX_LAG = 7
+XCORR_MAX_LAG = 3
+
+# Daily totals in exact integer cents so both engines aggregate
+# bit-identically; the corr() runs over the calendar-bounded daily
+# relation (days x types — independent of row count), rounded to 6.
+_DAILY_CENTS_CTE = """
+daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         sum(CAST(round(value * 100, 0) AS BIGINT)) AS v
+  FROM events GROUP BY 1, 2
+)"""
+
+_ACF_ORACLE = f"""
+WITH {_DAILY_CENTS_CTE},
+lags AS (SELECT CAST(lag_days AS BIGINT) AS lag_days FROM range(1, {ACF_MAX_LAG + 1}) t(lag_days))
+SELECT d.event_type, l.lag_days,
+       CAST(count(*) AS BIGINT)  AS n_pairs,
+       round(corr(d.v, h.v), 6)  AS acf
+FROM daily d
+CROSS JOIN lags l
+JOIN daily h
+  ON h.event_type = d.event_type AND h.day = d.day - CAST(l.lag_days AS INT)
+GROUP BY d.event_type, l.lag_days
+"""
+
+
+@register(
+    "event_type_autocorrelation",
+    oracle=_ACF_ORACLE,
+    description=(
+        f"Per-event-type autocorrelation of the daily value series at "
+        f"lags 1..{ACF_MAX_LAG} — the seasonality detector behind "
+        "anomaly thresholds; ONE partial-agg'd scan, then lag pairing "
+        "as a broadcast self-join of the calendar-bounded daily relation"
+    ),
+    driver_exposed=False,
+)
+def event_type_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ACF(1..7) per type. Same scale shape as event_type_daily_ewma:
+    the raw scan collapses to a daily aggregate whose size is calendar-
+    bounded; the lag join is broadcast; daily sums are exact integer
+    cents so the corr inputs are bit-identical across engines."""
+    ev = load_tables(spark, sf_dir)["events"]
+    daily = ensure_cached(
+        ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+            F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("v")
+        )
+    )
+    lags = spark.range(1, ACF_MAX_LAG + 1).select(
+        F.col("id").cast("long").alias("lag_days")
+    )
+    h = daily.select(
+        F.col("event_type").alias("h_et"),
+        F.col("day").alias("h_day"),
+        F.col("v").alias("h_v"),
+    )
+    j = (
+        daily.crossJoin(F.broadcast(lags))
+        .join(
+            F.broadcast(h),
+            (F.col("h_et") == F.col("event_type"))
+            & (
+                F.col("h_day")
+                == F.date_sub(F.col("day"), F.col("lag_days").cast("int"))
+            ),
+        )
+    )
+    return j.groupBy("event_type", "lag_days").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.round(F.corr("v", "h_v"), 6).alias("acf"),
+    )
+
+
+_XCORR_ORACLE = f"""
+WITH {_DAILY_CENTS_CTE},
+x AS (SELECT day, v FROM daily WHERE event_type = 'click'),
+y AS (SELECT day, v FROM daily WHERE event_type = 'purchase'),
+lags AS (SELECT CAST(lag_days AS BIGINT) AS lag_days
+         FROM range(-{XCORR_MAX_LAG}, {XCORR_MAX_LAG + 1}) t(lag_days))
+SELECT l.lag_days,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       round(corr(x.v, y.v), 6) AS xcorr
+FROM x CROSS JOIN lags l
+JOIN y ON y.day = x.day + CAST(l.lag_days AS INT)
+GROUP BY l.lag_days
+"""
+
+
+@register(
+    "clicks_purchases_crosscorr",
+    oracle=_XCORR_ORACLE,
+    description=(
+        f"Lagged cross-correlation (lags -{XCORR_MAX_LAG}..{XCORR_MAX_LAG}) "
+        "between the daily click and purchase value series — the lead-lag "
+        "readout that says whether clicks predict purchases days ahead; "
+        "same calendar-bounded broadcast shape as the ACF"
+    ),
+    driver_exposed=False,
+)
+def clicks_purchases_crosscorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """corr(click(t), purchase(t+lag)) for each lag over the daily
+    relation; positive-lag peaks mean clicks lead purchases."""
+    ev = load_tables(spark, sf_dir)["events"]
+    daily = ensure_cached(
+        ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+            F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("v")
+        )
+    )
+    x = daily.where(F.col("event_type") == "click").select(
+        F.col("day").alias("x_day"), F.col("v").alias("x_v")
+    )
+    y = daily.where(F.col("event_type") == "purchase").select(
+        F.col("day").alias("y_day"), F.col("v").alias("y_v")
+    )
+    lags = spark.range(-XCORR_MAX_LAG, XCORR_MAX_LAG + 1).select(
+        F.col("id").cast("long").alias("lag_days")
+    )
+    j = x.crossJoin(F.broadcast(lags)).join(
+        F.broadcast(y),
+        F.col("y_day") == F.expr("date_add(x_day, CAST(lag_days AS INT))"),
+    )
+    return j.groupBy("lag_days").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.round(F.corr("x_v", "y_v"), 6).alias("xcorr"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Approximate functional-dependency audit (round-10 session 3): the
+# dependency-discovery sibling of orders_key_candidate_audit. For each
+# candidate FD A -> B the g3 metric: the minimum fraction of rows that
+# would have to be removed for the dependency to hold exactly
+# (rows - sum over determinant values of the modal dependent count).
+# ---------------------------------------------------------------------------
+
+# (table, determinant, dependent) triples a modeler would test. The
+# nation row holds exactly (key determinant) — the audit must report
+# g3 = 0 for it; the others are approximate.
+FD_CANDIDATES: "list[tuple[str, str, str]]" = [
+    ("nation", "n_nationkey", "n_regionkey"),
+    ("lineitem", "l_partkey", "l_suppkey"),
+    ("orders", "o_custkey", "o_orderpriority"),
+    ("customer", "c_nationkey", "c_mktsegment"),
+    ("supplier", "s_nationkey", "s_name"),
+]
+
+
+def _fd_audit_oracle() -> str:
+    parts = []
+    for table, det, dep in FD_CANDIDATES:
+        parts.append(f"""
+SELECT '{table}: {det} -> {dep}' AS fd,
+       CAST(sum(cnt) AS BIGINT)           AS n_rows,
+       CAST(count(*) AS BIGINT)           AS n_determinants,
+       CAST(sum(cnt) - sum(mx) AS BIGINT) AS n_violations,
+       (sum(cnt) = sum(mx))               AS holds,
+       round((sum(cnt) - sum(mx))::DOUBLE / sum(cnt), 6) AS g3_rate
+FROM (
+  SELECT {det}, max(c) AS mx, sum(c) AS cnt
+  FROM (SELECT {det}, {dep}, count(*) AS c FROM {table} GROUP BY 1, 2)
+  GROUP BY {det}
+)""")
+    return "\nUNION ALL\n".join(parts)
+
+
+@register(
+    "fd_violation_audit",
+    oracle=_fd_audit_oracle(),
+    description=(
+        "Approximate functional-dependency audit: for each candidate "
+        "A -> B, the g3 violation metric (minimum row fraction to "
+        "remove for the FD to hold) via a two-level partial-agg'd "
+        "count — the dependency-discovery profiling a schema modeler "
+        "runs before normalizing a 100 TB table"
+    ),
+    driver_exposed=False,
+)
+def fd_violation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """g3 per candidate FD.
+
+    Scale shape: each candidate is exactly two hash aggregates — (A, B)
+    counts (map-side combined, output bounded by the PAIR domain, not
+    the row count) then per-A max/sum — plus a 1-row rollup. Candidates
+    on different tables scan independently; nothing is row-scaled past
+    the first partial aggregation.
+    """
+    t = load_tables(spark, sf_dir)
+    outs = []
+    for table, det, dep in FD_CANDIDATES:
+        pairs = t[table].groupBy(det, dep).agg(F.count(F.lit(1)).alias("c"))
+        per_det = pairs.groupBy(det).agg(
+            F.max("c").alias("mx"), F.sum("c").alias("cnt")
+        )
+        outs.append(
+            per_det.agg(
+                F.lit(f"{table}: {det} -> {dep}").alias("fd"),
+                F.sum("cnt").cast("long").alias("n_rows"),
+                F.count(F.lit(1)).cast("long").alias("n_determinants"),
+                (F.sum("cnt") - F.sum("mx")).cast("long").alias("n_violations"),
+                (F.sum("cnt") == F.sum("mx")).alias("holds"),
+                F.round(
+                    (F.sum("cnt") - F.sum("mx")).cast("double") / F.sum("cnt"), 6
+                ).alias("g3_rate"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out

@@ -214,3 +214,225 @@ def knn_ndcg_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(dcg / F.lit(NDCG_IDCG), 6).alias("ndcg"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Classifier evaluation (round-10 session 3): confusion statistics, ROC AUC,
+# and calibration — the three readouts every model-quality dashboard carries.
+# Reference scope note: /root/reference/main.go is a 304-line ingest driver
+# with no evaluation surface. [extension]
+# ---------------------------------------------------------------------------
+
+from iceberg_file_writer_spark.queries.similarity import knn_label_vote  # noqa: F401
+from iceberg_file_writer_spark.tables import load_tables
+
+_CONFUSION_ORACLE = f"""
+WITH votes AS (
+{_REGISTRY["knn_label_vote"].oracle}
+),
+classes AS (
+  SELECT true_label AS label FROM votes
+  UNION
+  SELECT predicted_label FROM votes
+)
+SELECT c.label,
+       CAST(count(*) FILTER (v.true_label = c.label
+                             AND v.predicted_label = c.label) AS BIGINT) AS tp,
+       CAST(count(*) FILTER (v.true_label <> c.label
+                             AND v.predicted_label = c.label) AS BIGINT) AS fp,
+       CAST(count(*) FILTER (v.true_label = c.label
+                             AND v.predicted_label <> c.label) AS BIGINT) AS fn,
+       round(count(*) FILTER (v.true_label = c.label AND v.predicted_label = c.label)::DOUBLE
+             / nullif(count(*) FILTER (v.predicted_label = c.label), 0), 6) AS precision_,
+       round(count(*) FILTER (v.true_label = c.label AND v.predicted_label = c.label)::DOUBLE
+             / nullif(count(*) FILTER (v.true_label = c.label), 0), 6) AS recall_,
+       round(2.0 * count(*) FILTER (v.true_label = c.label AND v.predicted_label = c.label)
+             / nullif(count(*) FILTER (v.predicted_label = c.label)
+                      + count(*) FILTER (v.true_label = c.label), 0), 6) AS f1
+FROM classes c CROSS JOIN votes v
+GROUP BY c.label
+"""
+
+
+@register(
+    "knn_confusion_stats",
+    oracle=_CONFUSION_ORACLE,
+    description=(
+        "Per-class confusion statistics (TP/FP/FN, precision, recall, "
+        "F1) of the kNN label-vote classifier against the true labels — "
+        "the composed-oracle pattern of ann_recall_at_k applied to the "
+        "classification entry, so the evaluation moves when the "
+        "classifier moves"
+    ),
+    driver_exposed=False,
+)
+def knn_confusion_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class precision/recall/F1 over the registered vote entry.
+
+    Scale shape: the operand emits one row per query (bounded by the
+    query-set constant), and the class relation is the distinct label
+    set — both tiny at any corpus size, so the class x votes cross join
+    here is a broadcast of a handful of classes against a per-query
+    relation; every count is a conditional aggregate in ONE pass. The
+    heavy work (corpus scan, top-k) lives entirely in the operand plan.
+    """
+    from iceberg_file_writer_spark.cache_util import ensure_cached
+
+    # One row per query — tiny at any corpus size. Cached so the class
+    # derivation and the confusion pass read it from memory instead of
+    # re-executing the corpus-sized vote operand three times.
+    votes = ensure_cached(
+        knn_label_vote(spark, sf_dir).select("true_label", "predicted_label")
+    )
+    classes = (
+        votes.select(F.col("true_label").alias("label"))
+        .union(votes.select("predicted_label"))
+        .distinct()
+    )
+    v = F.broadcast(classes).crossJoin(votes)
+    is_tp = (F.col("true_label") == F.col("label")) & (
+        F.col("predicted_label") == F.col("label")
+    )
+    is_fp = (F.col("true_label") != F.col("label")) & (
+        F.col("predicted_label") == F.col("label")
+    )
+    is_fn = (F.col("true_label") == F.col("label")) & (
+        F.col("predicted_label") != F.col("label")
+    )
+    tp = F.sum(is_tp.cast("long"))
+    pred_pos = F.sum((F.col("predicted_label") == F.col("label")).cast("long"))
+    true_pos = F.sum((F.col("true_label") == F.col("label")).cast("long"))
+    return v.groupBy("label").agg(
+        tp.alias("tp"),
+        F.sum(is_fp.cast("long")).alias("fp"),
+        F.sum(is_fn.cast("long")).alias("fn"),
+        F.round(tp / F.nullif(pred_pos, F.lit(0)), 6).alias("precision_"),
+        F.round(tp / F.nullif(true_pos, F.lit(0)), 6).alias("recall_"),
+        F.round(
+            (F.lit(2.0) * tp) / F.nullif(pred_pos + true_pos, F.lit(0)), 6
+        ).alias("f1"),
+    )
+
+
+# --- ROC AUC + calibration over a score/label relation ----------------------
+#
+# Scorer under test: event `value` as a predictor of `event_type =
+# 'purchase'`. The interesting part is the SHAPE, which is what makes ROC
+# AUC computable at 100 TB: instead of the textbook global rank over every
+# row (a single-partition sort of the whole corpus), the scan collapses to
+# a partial-agg'd per-distinct-score relation (integer cents — bounded by
+# the value DOMAIN, ~50k groups regardless of row count), and the
+# Mann-Whitney statistic is a running-negative window plus one aggregate
+# over that tiny relation. All intermediate arithmetic is exact (integer
+# counts, halves) so both engines agree bit-for-bit before the final
+# division.
+
+_AUC_ORACLE = """
+WITH s AS (
+  SELECT CAST(round(value * 100, 0) AS BIGINT) AS cents,
+         CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT) AS pos,
+         CAST(count(*) FILTER (event_type <> 'purchase') AS BIGINT) AS neg
+  FROM events GROUP BY 1
+),
+c AS (
+  SELECT pos, neg,
+         COALESCE(sum(neg) OVER (ORDER BY cents
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS neg_below
+  FROM s
+)
+SELECT CAST(sum(pos) AS BIGINT) AS n_pos,
+       CAST(sum(neg) AS BIGINT) AS n_neg,
+       round(sum(pos * (neg_below + neg / 2.0))
+             / (sum(pos)::DOUBLE * sum(neg)), 6) AS auc
+FROM c
+"""
+
+
+@register(
+    "event_value_auc",
+    oracle=_AUC_ORACLE,
+    description=(
+        "ROC AUC of event value as a purchase predictor via the "
+        "Mann-Whitney rank statistic, computed tie-correctly over the "
+        "per-distinct-score aggregate (never a global row rank) — the "
+        "distributed form of the binary-classifier quality readout"
+    ),
+    driver_exposed=False,
+)
+def event_value_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed ROC AUC: partial-agg per score, window over ~50k groups.
+
+    The window is unpartitioned but runs over the per-cents relation whose
+    size is bounded by the score domain, not the row count — at 100 TB the
+    raw scan is the only data-sized stage and it partial-aggregates
+    map-side.
+    """
+    from pyspark.sql import Window
+
+    ev = load_tables(spark, sf_dir)["events"]
+    is_pos = F.col("event_type") == "purchase"
+    s = ev.groupBy(
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents")
+    ).agg(
+        F.sum(is_pos.cast("long")).alias("pos"),
+        F.sum((~is_pos).cast("long")).alias("neg"),
+    )
+    w = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, -1)
+    c = s.withColumn("neg_below", F.coalesce(F.sum("neg").over(w), F.lit(0)))
+    return c.agg(
+        F.sum("pos").cast("long").alias("n_pos"),
+        F.sum("neg").cast("long").alias("n_neg"),
+        F.round(
+            F.sum(F.col("pos") * (F.col("neg_below") + F.col("neg") / F.lit(2.0)))
+            / (F.sum("pos").cast("double") * F.sum("neg")),
+            6,
+        ).alias("auc"),
+    )
+
+
+# Calibration bins: fixed-width value buckets (width 50, clamped to 10
+# bins) — fixed edges, never quantile edges, so bucket assignment is
+# deterministic and identical in both engines. The mean score per bin is
+# computed from the exact integer-cents sum so no floating accumulation
+# order can flip the 6th decimal.
+_CALIBRATION_ORACLE = """
+SELECT CAST(least(floor(value / 50.0), 9) AS BIGINT) AS bin,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT) AS n_pos,
+       round(sum(CAST(round(value * 100, 0) AS BIGINT))::DOUBLE
+             / count(*) / 100, 6) AS mean_value,
+       round(count(*) FILTER (event_type = 'purchase')::DOUBLE
+             / count(*), 6) AS purchase_rate
+FROM events
+GROUP BY 1
+"""
+
+
+@register(
+    "event_value_calibration",
+    oracle=_CALIBRATION_ORACLE,
+    description=(
+        "Calibration curve of event value vs purchase outcome: "
+        "fixed-width score bins with per-bin mean score and observed "
+        "positive rate — ONE conditional-aggregate scan, exact-integer "
+        "mean arithmetic"
+    ),
+    driver_exposed=False,
+)
+def event_value_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One partial-agg'd scan; 10 output rows at any scale."""
+    ev = load_tables(spark, sf_dir)["events"]
+    is_pos = (F.col("event_type") == "purchase").cast("long")
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    return ev.groupBy(
+        F.least(F.floor(F.col("value") / 50.0), F.lit(9)).cast("long").alias("bin")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum(is_pos).cast("long").alias("n_pos"),
+        F.round(F.sum(cents).cast("double") / F.count(F.lit(1)) / 100, 6).alias(
+            "mean_value"
+        ),
+        F.round(F.sum(is_pos).cast("double") / F.count(F.lit(1)), 6).alias(
+            "purchase_rate"
+        ),
+    )

@@ -873,3 +873,117 @@ def open_orders_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
         "net",
         F.sum("net").over(w).cast("long").alias("open_orders"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Item-item collaborative recommendations (round-10 session 3): the
+# "customers who bought X also bought Y" serving table, composed from the
+# co-purchase statistics above.
+# ---------------------------------------------------------------------------
+
+RECS_SIMS_PER_ITEM = 10  # neighborhood cap — bounds the candidate fan-out
+RECS_PER_CUSTOMER = 3
+
+
+@register(
+    "customer_item_recommendations",
+    oracle=f"""
+WITH owned AS (
+  SELECT DISTINCT o.o_custkey AS cust, l.l_partkey AS part
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+),
+items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+pairs AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+         CAST(count(*) AS BIGINT) AS n_ab
+  FROM items a JOIN items b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+  GROUP BY 1, 2
+),
+sims AS (
+  SELECT part_a, part_b, n_ab FROM (
+    SELECT *, row_number() OVER (PARTITION BY part_a
+                                 ORDER BY n_ab DESC, part_b) AS rk
+    FROM pairs
+  ) WHERE rk <= {RECS_SIMS_PER_ITEM}
+),
+cand AS (
+  SELECT o.cust, s.part_b AS candidate,
+         CAST(sum(s.n_ab) AS BIGINT) AS total_cooc,
+         CAST(count(*) AS BIGINT)    AS n_paths
+  FROM owned o JOIN sims s ON s.part_a = o.part
+  WHERE NOT EXISTS (SELECT 1 FROM owned w
+                    WHERE w.cust = o.cust AND w.part = s.part_b)
+  GROUP BY 1, 2
+)
+SELECT cust, candidate, total_cooc, n_paths
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY cust
+            ORDER BY total_cooc DESC, n_paths DESC, candidate) AS rrk
+  FROM cand
+) WHERE rrk <= {RECS_PER_CUSTOMER}
+""",
+    description=(
+        f"Item-item collaborative filtering: top-{RECS_PER_CUSTOMER} "
+        "not-yet-owned part recommendations per customer from the "
+        f"degree-capped (top-{RECS_SIMS_PER_ITEM} per item) co-purchase "
+        "neighborhood — the 'bought X, also bought Y' serving table; "
+        "all-integer scoring so ranking is engine-deterministic"
+    ),
+    driver_exposed=False,
+)
+def customer_item_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neighborhood-method recommendations as pure relational composition.
+
+    Scale shape: the pair fan-out is bounded by basket size squared
+    (equi-join on the basket key, same armor as part_copurchase_pairs);
+    the neighborhood cap is applied BEFORE the customer join, so the
+    candidate stage is |owned| x top-M, never |owned| x |catalog|; the
+    already-owned exclusion is a left-anti equi-join; final top-k per
+    customer is a window over per-customer groups. Every score is an
+    integer count — no float ranking anywhere.
+    """
+    t = load_tables(spark, sf_dir)
+    owned = (
+        t["orders"]
+        .join(t["lineitem"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(F.col("o_custkey").alias("cust"), F.col("l_partkey").alias("part"))
+        .distinct()
+    )
+    items = t["lineitem"].select("l_orderkey", "l_partkey").distinct()
+    a = items.selectExpr("l_orderkey", "l_partkey AS part_a")
+    b = items.selectExpr("l_orderkey", "l_partkey AS part_b")
+    pairs = (
+        a.join(b, "l_orderkey")
+        .where(F.col("part_a") != F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+    )
+    wk = Window.partitionBy("part_a").orderBy(F.desc("n_ab"), F.asc("part_b"))
+    sims = (
+        pairs.withColumn("rk", F.row_number().over(wk))
+        .where(F.col("rk") <= RECS_SIMS_PER_ITEM)
+        .drop("rk")
+    )
+    cand = (
+        owned.join(sims, owned["part"] == sims["part_a"])
+        .join(
+            owned.selectExpr("cust AS w_cust", "part AS w_part"),
+            (F.col("cust") == F.col("w_cust"))
+            & (F.col("part_b") == F.col("w_part")),
+            "left_anti",
+        )
+        .groupBy("cust", F.col("part_b").alias("candidate"))
+        .agg(
+            F.sum("n_ab").cast("long").alias("total_cooc"),
+            F.count(F.lit(1)).cast("long").alias("n_paths"),
+        )
+    )
+    wr = Window.partitionBy("cust").orderBy(
+        F.desc("total_cooc"), F.desc("n_paths"), F.asc("candidate")
+    )
+    return (
+        cand.withColumn("rrk", F.row_number().over(wr))
+        .where(F.col("rrk") <= RECS_PER_CUSTOMER)
+        .select("cust", "candidate", "total_cooc", "n_paths")
+    )

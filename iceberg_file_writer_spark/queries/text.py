@@ -657,3 +657,65 @@ def user_pseudonymization(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 6).alias("total_value"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Zipf fit (round-10 session 3): how power-law the corpus vocabulary is.
+# ---------------------------------------------------------------------------
+
+ZIPF_HEAD = 1000  # fit over the frequency head — the power-law regime
+
+
+@register(
+    "token_zipf_fit",
+    oracle=f"""
+WITH freq AS (
+  SELECT token, CAST(count(*) AS BIGINT) AS f
+  FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+  GROUP BY token
+),
+ranked AS (
+  SELECT f, row_number() OVER (ORDER BY f DESC, token) AS rnk FROM freq
+)
+SELECT CAST(count(*) AS BIGINT) AS n_tokens,
+       round(regr_slope(ln(f), ln(rnk)), 6)     AS zipf_slope,
+       round(regr_intercept(ln(f), ln(rnk)), 6) AS zipf_intercept,
+       round(regr_r2(ln(f), ln(rnk)), 6)        AS fit_r2
+FROM ranked WHERE rnk <= {ZIPF_HEAD}
+""",
+    description=(
+        f"Zipf's-law fit of the corpus vocabulary: OLS slope/intercept/R² "
+        f"of ln(frequency) on ln(rank) over the top-{ZIPF_HEAD} head — the "
+        "one-number corpus-health check (natural text sits near slope -1; "
+        "boilerplate or spam floods bend it)"
+    ),
+    driver_exposed=False,
+)
+def token_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power-law diagnostic over the token frequency table.
+
+    Scale shape: the explode→count is the only corpus-sized stage
+    (map-side combined, output bounded by the vocabulary); the head is
+    TakeOrderedAndProject (distributed top-k, never a global sort), and
+    the rank window + regression run on the 1000-row head. The oracle
+    ranks the FULL vocabulary, but both sides share the same total order
+    (f DESC, token) so the head sets are identical.
+    """
+    t = load_tables(spark, sf_dir)
+    freq = (
+        t["documents"]
+        .select(F.explode(words(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("f"))
+    )
+    head = freq.orderBy(F.desc("f"), "token").limit(ZIPF_HEAD)
+    ranked = head.withColumn(
+        "rnk", F.row_number().over(Window.orderBy(F.desc("f"), F.asc("token")))
+    )
+    lf, lr = F.log(F.col("f")), F.log(F.col("rnk"))
+    return ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.round(F.regr_slope(lf, lr), 6).alias("zipf_slope"),
+        F.round(F.regr_intercept(lf, lr), 6).alias("zipf_intercept"),
+        F.round(F.regr_r2(lf, lr), 6).alias("fit_r2"),
+    )

@@ -624,3 +624,73 @@ def test_ndcg_adds_no_extra_scan_over_operands(spark):
     already scan (cached column blocks appear as InMemory relations)."""
     p = _plan(spark, "knn_ndcg_at_k")
     assert "CartesianProduct" not in p, p
+
+
+def test_auc_window_runs_over_aggregated_scores(spark):
+    """ROC AUC must never globally rank raw rows: ONE scan, partial-agg'd
+    per-distinct-score aggregate BEFORE the running-negative window."""
+    p = _plan(spark, "event_value_auc")
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1, p
+    assert re.search(r"partial_(sum|count)", p), p
+    # the window consumes the aggregate's output, so HashAggregate must
+    # appear before the first Window in physical order
+    agg_pos = p.index("HashAggregate")
+    win_pos = p.index("Window")
+    assert agg_pos < win_pos, p
+
+
+def test_calibration_is_one_scan_no_join(spark):
+    p = _plan(spark, "event_value_calibration")
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1, p
+    assert "Join" not in p, p
+
+
+def test_acf_and_xcorr_stay_broadcast_over_daily(spark):
+    """The lag pairing joins run over the calendar-bounded daily relation
+    — broadcast, never a sort-merge of raw events."""
+    for name in ("event_type_autocorrelation", "clicks_purchases_crosscorr"):
+        p = _plan(spark, name)
+        assert "BroadcastHashJoin" in p, (name, p)
+        assert "SortMergeJoin" not in p, (name, p)
+        assert "CartesianProduct" not in p, (name, p)
+        assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1, (name, p)
+
+
+def test_fd_audit_two_level_aggregate_per_candidate(spark):
+    """Each candidate FD is exactly one scan of its table + two hash
+    aggregates; nothing row-scaled past the first partial agg."""
+    from iceberg_file_writer_spark.queries.analytics_ext import FD_CANDIDATES
+
+    p = _plan(spark, "fd_violation_audit")
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) == len(FD_CANDIDATES), p
+    assert "Join" not in p, p
+
+
+def test_zipf_head_is_distributed_topk(spark):
+    """The head cut must be TakeOrderedAndProject (distributed top-k),
+    never a global sort of the vocabulary."""
+    p = _plan(spark, "token_zipf_fit")
+    assert "TakeOrderedAndProject" in p, p
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1, p
+
+
+def test_confusion_stats_reads_cached_votes(spark):
+    """The class derivation and the confusion pass must consume the
+    CACHED per-query votes relation, not re-execute the corpus-sized
+    vote operand per branch."""
+    p = _plan(spark, "knn_confusion_stats")
+    assert "InMemoryTableScan" in p, p
+    # Uncached, the vote operand re-executes per branch (6 parquet scans
+    # observed). Cached, the only parquet scans left are the ones printed
+    # INSIDE the InMemoryRelation's build plan — the operand's own two.
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) <= 2, p
+
+
+def test_recommendations_no_cartesian_and_capped_window(spark):
+    """Candidate generation must ride equi-joins (basket key, part key,
+    anti-join exclusion) — no CartesianProduct anywhere — and the
+    neighborhood cap must be a row_number filter, not a global sort."""
+    p = _plan(spark, "customer_item_recommendations")
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastNestedLoopJoin" not in p, p
+    assert "Window" in p, p
