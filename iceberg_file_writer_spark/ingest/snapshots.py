@@ -1106,6 +1106,15 @@ def commit_rollback(table_path: str, to_version: int) -> int:
         "dvs": m.get("dvs") or [],
         "eqs": m.get("eqs") or [],
     }
+    if pm.get("columns") is not None:
+        # Mapped table: rollback restores the SNAPSHOT (file list +
+        # sidecar state), never the schema — Iceberg semantics. The
+        # CURRENT mapping carries forward; restored files resolve under
+        # it by field id (_commit alone would silently de-map the table
+        # — no manifest after the rollback would carry "columns").
+        extra["columns"] = pm["columns"]
+        if pm.get("last_column_id") is not None:
+            extra["last_column_id"] = pm["last_column_id"]
     bloom = sorted(set(m.get("bloom") or []) | set(pm.get("bloom") or []))
     if bloom:
         extra["bloom"] = bloom

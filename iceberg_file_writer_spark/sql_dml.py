@@ -66,6 +66,11 @@ DDL (column-mapped tables — field-id schema evolution from birth):
     ALTER TABLE t RENAME COLUMN a TO b       -> evolve_mapped(renames)
     ALTER TABLE t DROP COLUMN c              -> evolve_mapped(drops)
     DROP TABLE t                             -> remove the table directory
+    RESTORE TABLE t [TO] VERSION AS OF n     -> commit_rollback (linear
+                                                append-only history; on
+                                                mapped tables the CURRENT
+                                                mapping carries — schema
+                                                is never rolled back)
 
 CREATE TABLE AS makes a COLUMN-MAPPED table (ingest/column_mapping.py):
 every ALTER is a metadata-only commit, zero data bytes move, and reads
@@ -183,6 +188,11 @@ _ANALYZE_RE = re.compile(
 )
 _VACUUM_RE = re.compile(
     rf"^VACUUM{_WS}(?P<t>{_ID})(?:{_WS}RETAIN{_WS}(?P<n>\d+){_WS}VERSIONS)?$",
+    re.IGNORECASE,
+)
+_RESTORE_RE = re.compile(
+    rf"^RESTORE{_WS}TABLE{_WS}(?P<t>{_ID}){_WS}(?:TO{_WS})?"
+    rf"VERSION{_WS}AS{_WS}OF{_WS}(?P<v>\d+)$",
     re.IGNORECASE,
 )
 _ON_EQ_RE = re.compile(
@@ -495,6 +505,15 @@ def execute_dml(
         return evolve_mapped(
             _resolve(tables, m.group("t")), drops=[m.group("c")]
         )
+
+    m = _RESTORE_RE.match(stmt)
+    if m:
+        from iceberg_file_writer_spark.ingest.snapshots import commit_rollback
+
+        path = _resolve(tables, m.group("t"))
+        if not _table_exists(path):
+            raise ValueError(f"no such table: {m.group('t')} ({path})")
+        return commit_rollback(path, int(m.group("v")))
 
     m = _TRUNCATE_RE.match(stmt)
     if m:

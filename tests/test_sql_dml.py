@@ -1178,3 +1178,76 @@ def test_execute_query_asof_prefix_and_literal_safety(spark, tmp_path):
     assert got["a"] == n1 + 2
     assert got["b"] == n1 + 32
     assert got["s"] == "ord VERSION AS OF 3"
+
+
+def test_restore_statement_plain_table(spark, table):
+    """RESTORE TABLE ... VERSION AS OF n restores the old snapshot's
+    state as a NEW commit: history stays linear (time travel to the bad
+    intermediate keeps working), and the restored read equals v1."""
+    t, orders = table
+    v1_rows = _canon(read_table_version(spark, t))
+    execute_dml(spark, "DELETE FROM orders WHERE o_totalprice > 0", {"orders": t})
+    assert read_table_version(spark, t).count() < len(v1_rows)
+    v = execute_dml(
+        spark, "RESTORE TABLE orders TO VERSION AS OF 1", {"orders": t}
+    )
+    assert v == 3  # a new commit, not a history rewrite
+    assert _canon(read_table_version(spark, t)) == v1_rows
+    # the bad intermediate is still addressable
+    assert read_table_version(spark, t, version=2).count() < len(v1_rows)
+    # the optional TO is optional
+    execute_dml(spark, "RESTORE TABLE orders VERSION AS OF 2", {"orders": t})
+    assert read_table_version(spark, t).count() < len(v1_rows)
+
+
+def test_restore_statement_mapped_table_keeps_mapping(spark, tmp_path):
+    """Rollback on a COLUMN-MAPPED table restores the snapshot but never
+    the schema (Iceberg semantics): the current mapping carries forward,
+    restored files resolve by field id under it, and the table stays
+    mapped (a bare-_commit rollback used to silently de-map it)."""
+    from iceberg_file_writer_spark.ingest.column_mapping import (
+        read_mapped,
+        table_columns,
+    )
+
+    t = str(tmp_path / "cust")
+    load_tables(spark, SF_DIR)
+    tbl = {"cust": t}
+    execute_dml(
+        spark,
+        "CREATE TABLE cust AS SELECT c_custkey, c_name, c_acctbal "
+        "FROM customer WHERE c_custkey < 10",
+        tbl,
+    )  # v1
+    execute_dml(
+        spark,
+        "INSERT INTO cust SELECT c_custkey, c_name, c_acctbal "
+        "FROM customer WHERE c_custkey BETWEEN 10 AND 14",
+        tbl,
+    )  # v2
+    execute_dml(
+        spark, "ALTER TABLE cust RENAME COLUMN c_acctbal TO balance", tbl
+    )  # v3
+    v = execute_dml(spark, "RESTORE TABLE cust VERSION AS OF 1", tbl)  # v4
+    assert v == 4
+    got = read_mapped(spark, t)
+    # v1's ROWS under the CURRENT (post-rename) schema
+    assert got.count() == 10
+    assert got.columns == ["c_custkey", "c_name", "balance"]
+    assert got.where("balance IS NOT NULL").count() == 10
+    # still mapped: the rollback manifest carries the mapping, so
+    # further metadata-only evolution keeps working
+    assert [c[1] for c in table_columns(t)] == ["c_custkey", "c_name", "balance"]
+    execute_dml(spark, "ALTER TABLE cust ADD COLUMN tier string", tbl)
+    assert read_mapped(spark, t).columns == [
+        "c_custkey",
+        "c_name",
+        "balance",
+        "tier",
+    ]
+
+
+def test_restore_statement_rejects_bad_version(spark, table):
+    t, _ = table
+    with pytest.raises(ValueError):
+        execute_dml(spark, "RESTORE TABLE orders VERSION AS OF 9", {"orders": t})
