@@ -2179,3 +2179,83 @@ def fd_violation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     for o in outs[1:]:
         out = out.unionByName(o)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Benford's-law audit (round-10 session 3): first-digit distribution of a
+# monetary column vs the Benford expectation — the classic anomaly /
+# fabricated-data screen an audit pipeline runs over financial facts.
+# ---------------------------------------------------------------------------
+
+# log10(1 + 1/d) for d = 1..9, inlined as the same literals on both
+# engines so the expectation can never disagree.
+_BENFORD_P = {d: __import__("math").log10(1 + 1 / d) for d in range(1, 10)}
+
+
+def _benford_oracle() -> str:
+    cases = " ".join(
+        f"WHEN {d} THEN {_BENFORD_P[d]!r}" for d in range(1, 10)
+    )
+    return f"""
+WITH digits AS (
+  SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS d
+  FROM orders WHERE o_totalprice >= 1
+),
+counts AS (
+  SELECT d, CAST(count(*) AS BIGINT) AS n FROM digits GROUP BY d
+),
+tot AS (SELECT sum(n) AS t FROM counts)
+SELECT c.d AS first_digit, c.n AS n_values,
+       round(c.n::DOUBLE / t.t, 6) AS observed_p,
+       round(CASE c.d {cases} END, 6) AS benford_p,
+       round(power(c.n::DOUBLE / t.t - CASE c.d {cases} END, 2)
+             / (CASE c.d {cases} END), 8) AS chi2_term
+FROM counts c CROSS JOIN tot t
+"""
+
+
+@register(
+    "orders_benford_audit",
+    oracle=_benford_oracle(),
+    description=(
+        "Benford's-law first-digit audit of order totals: observed vs "
+        "expected digit distribution with per-digit chi-square terms — "
+        "the fabricated-data / anomaly screen auditors run over "
+        "monetary columns; ONE partial-agg'd scan, 9 output rows at any "
+        "scale"
+    ),
+    driver_exposed=False,
+)
+def orders_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-digit law screen.
+
+    Scale shape: the scan collapses to a 9-group aggregate (map-side
+    combined); the total joins back as a broadcast 1-row relation. The
+    Benford expectations are Python-computed literals inlined
+    identically into both plans.
+    """
+    orders = load_tables(spark, sf_dir)["orders"]
+    digits = orders.where(F.col("o_totalprice") >= 1).select(
+        F.substring(
+            F.floor(F.col("o_totalprice")).cast("long").cast("string"), 1, 1
+        )
+        .cast("long")
+        .alias("d")
+    )
+    # 9 rows at any scale — cached so the grand total derives from the
+    # aggregate instead of re-scanning orders a second time.
+    counts = ensure_cached(
+        digits.groupBy("d").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    tot = counts.agg(F.sum("n").alias("t"))
+    expected = F.create_map(
+        *[x for d in range(1, 10) for x in (F.lit(d), F.lit(_BENFORD_P[d]))]
+    )[F.col("d")]
+    obs = F.col("n").cast("double") / F.col("t")
+    return counts.crossJoin(F.broadcast(tot)).select(
+        F.col("d").alias("first_digit"),
+        F.col("n").alias("n_values"),
+        F.round(obs, 6).alias("observed_p"),
+        F.round(expected, 6).alias("benford_p"),
+        F.round(F.pow(obs - expected, 2) / expected, 8).alias("chi2_term"),
+    )

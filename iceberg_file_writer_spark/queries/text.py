@@ -719,3 +719,83 @@ def token_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.regr_intercept(lf, lr), 6).alias("zipf_intercept"),
         F.round(F.regr_r2(lf, lr), 6).alias("fit_r2"),
     )
+
+
+# ---------------------------------------------------------------------------
+# k-anonymity / l-diversity audit (round-10 session 3): the re-identification
+# risk readout a privacy review runs before a table leaves the pipeline —
+# sibling of user_pseudonymization (which REDUCES the risk this MEASURES).
+# ---------------------------------------------------------------------------
+
+K_ANON_THRESHOLD = 5  # classes smaller than this are re-identifiable
+L_DIV_THRESHOLD = 2  # classes with fewer distinct sensitive values leak
+
+
+@register(
+    "events_k_anonymity_audit",
+    oracle=f"""
+WITH classes AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(least(floor(value / 50.0), 9) AS BIGINT) AS vbin,
+         CAST(count(*) AS BIGINT) AS k,
+         CAST(count(DISTINCT user_id) AS BIGINT) AS l
+  FROM events GROUP BY 1, 2, 3
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT)  AS n_classes,
+       CAST(sum(k) AS BIGINT)    AS n_rows,
+       CAST(min(k) AS BIGINT)    AS min_k,
+       CAST(sum(CASE WHEN k < {K_ANON_THRESHOLD} THEN k ELSE 0 END) AS BIGINT)
+                                 AS rows_below_k,
+       round(sum(CASE WHEN k < {K_ANON_THRESHOLD} THEN k ELSE 0 END)::DOUBLE
+             / sum(k), 6)        AS k_risk_rate,
+       CAST(sum(CASE WHEN l < {L_DIV_THRESHOLD} THEN 1 ELSE 0 END) AS BIGINT)
+                                 AS classes_below_l
+FROM classes GROUP BY event_type
+""",
+    description=(
+        "k-anonymity / l-diversity audit over the (event_type, day, "
+        "value-bucket) quasi-identifier: per-type equivalence-class "
+        f"stats, rows in classes smaller than k={K_ANON_THRESHOLD} "
+        f"(re-identifiable), and classes with fewer than "
+        f"l={L_DIV_THRESHOLD} distinct users (attribute disclosure) — "
+        "the privacy gate before a table leaves the pipeline"
+    ),
+    driver_exposed=False,
+)
+def events_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Re-identification risk as two nested aggregates.
+
+    Scale shape: the scan collapses to the QI-class aggregate (map-side
+    combined; class count bounded by the QI DOMAIN — types x days x 10
+    bins — not the row count); the rollup runs on that tiny relation.
+    The distinct-user count per class is the only expensive aggregate
+    and it partial-aggregates too. All outputs are exact integers plus
+    one guarded ratio.
+    """
+    ev = load_tables(spark, sf_dir)["events"]
+    classes = ev.groupBy(
+        "event_type",
+        F.to_date("ts").alias("day"),
+        F.least(F.floor(F.col("value") / 50.0), F.lit(9))
+        .cast("long")
+        .alias("vbin"),
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.countDistinct("user_id").cast("long").alias("l"),
+    )
+    below_k = F.when(F.col("k") < K_ANON_THRESHOLD, F.col("k")).otherwise(
+        F.lit(0)
+    )
+    return classes.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_classes"),
+        F.sum("k").cast("long").alias("n_rows"),
+        F.min("k").cast("long").alias("min_k"),
+        F.sum(below_k).cast("long").alias("rows_below_k"),
+        F.round(F.sum(below_k).cast("double") / F.sum("k"), 6).alias(
+            "k_risk_rate"
+        ),
+        F.sum(
+            (F.col("l") < L_DIV_THRESHOLD).cast("long")
+        ).cast("long").alias("classes_below_l"),
+    )

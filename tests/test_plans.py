@@ -694,3 +694,24 @@ def test_recommendations_no_cartesian_and_capped_window(spark):
     assert "CartesianProduct" not in p, p
     assert "BroadcastNestedLoopJoin" not in p, p
     assert "Window" in p, p
+
+
+def test_benford_is_one_scan_nine_groups(spark):
+    """The digit histogram must be ONE partial-agg'd scan; the total
+    joins back as a broadcast 1-row relation (BNLJ), never a shuffle."""
+    p = _plan(spark, "orders_benford_audit")
+    # the cached 9-row digit histogram feeds BOTH the report and the
+    # grand total — the only parquet scan is the one inside the cached
+    # relation's build plan
+    assert "InMemoryTableScan" in p, p
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) <= 1, p
+    assert "SortMergeJoin" not in p, p
+
+
+def test_k_anonymity_two_nested_aggregates(spark):
+    """One scan, QI-class aggregate (bounded by the QI domain) then the
+    per-type rollup — no join, no window."""
+    p = _plan(spark, "events_k_anonymity_audit")
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1, p
+    assert "Join" not in p, p
+    assert "Window" not in p, p
