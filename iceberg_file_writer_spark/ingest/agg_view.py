@@ -1,0 +1,193 @@
+"""CDC-driven incremental aggregate-view maintenance [extension — not in
+reference].
+
+The incremental family so far maintains an append-only rollup
+(ingest/incremental.py — batches arrive, groups merge) and a materialized
+join (ingest/join_view.py). This closes the triangle: a materialized
+GROUP BY over a SNAPSHOT TABLE kept current under *arbitrary DML* —
+deletes, CoW updates, MoR upserts, overwrites — by folding the table's
+own row-level change feed (snapshots.changes_between) into the standing
+aggregate:
+
+1. the feed between the view's last-refreshed version and CURRENT is
+   delta-sized by construction (the manifest diff reads only changed
+   files / changed tombstone state — never the table),
+2. signed per-key deltas aggregate from the feed ('+' rows add, '-'
+   rows retract): count folds as +-1, sum as +-value — the algebraic
+   aggregates that are exactly maintainable under retraction,
+3. the delta full-outer-joins the standing view on the group keys:
+   touched groups adjust, groups whose count reaches zero DISAPPEAR
+   (exact GROUP BY semantics — an aggregate over no rows has no row),
+   untouched groups pass through,
+4. the new state lands in a fresh data directory and a single atomic
+   state-pointer write publishes it — a crash mid-refresh leaves the
+   old state pointer intact (readers never see a partial refresh), and
+   re-running the refresh is idempotent (it re-derives the same feed).
+
+Exactness contract: count/sum retraction is exact only over exactly-
+representable values, so the value column must be integral or decimal
+— a float/double column is refused (retraction drift would diverge
+from a full recompute). avg derives as sum/count at read time. min/max
+are NOT incrementally maintainable under deletes (a retracted minimum
+needs the full group to re-derive) and are deliberately not offered;
+the recompute path is `init_agg_view` again.
+
+At 100 TB: refresh cost is O(|changes| + |touched groups| + |view|),
+never O(table). The feed read is delta-sized (manifest diff); the
+delta aggregate partial-aggregates map-side to the touched-group
+relation; the full-outer join shuffles at most the view (groups-sized)
+— and with AQE the broadcast side is picked when the view is small.
+
+Reference scope note: the reference (/root/reference/main.go) is a
+304-line partitioned ingest driver; this maintains a queryable
+aggregate artifact over tables its write path produces. [extension]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from iceberg_file_writer_spark.ingest.ledger import write_atomic
+from iceberg_file_writer_spark.ingest.snapshots import (
+    changes_between,
+    current_version,
+    read_table_version,
+)
+
+_STATE = "_agg_view_state.json"
+
+_EXACT_PREFIXES = ("int", "bigint", "smallint", "tinyint", "long", "decimal")
+
+
+def _state_path(view_path: str) -> str:
+    return os.path.join(view_path, _STATE)
+
+
+def _read_state(view_path: str) -> dict:
+    with open(_state_path(view_path)) as f:
+        return json.load(f)
+
+
+def _write_data(df: DataFrame, view_path: str, version: int) -> str:
+    data = f"data-v{version}"
+    df.write.mode("overwrite").parquet(os.path.join(view_path, data))
+    return data
+
+
+def _publish(view_path: str, state: dict) -> None:
+    """Atomic state-pointer flip: readers see old or new, never partial."""
+    write_atomic(_state_path(view_path), json.dumps(state))
+
+
+def _gc(view_path: str, keep: str) -> None:
+    for d in os.listdir(view_path):
+        if d.startswith("data-v") and d != keep:
+            shutil.rmtree(os.path.join(view_path, d), ignore_errors=True)
+
+
+def _check_exact(df: DataFrame, value_col: str) -> None:
+    typ = dict(df.dtypes)[value_col]
+    if not typ.startswith(_EXACT_PREFIXES):
+        raise ValueError(
+            f"value column {value_col!r} has type {typ}: count/sum "
+            "retraction is exact only over integral/decimal values — "
+            "cast to an exact type (e.g. integer cents) first"
+        )
+
+
+def _aggregate(df: DataFrame, keys: list[str], value_col: str) -> DataFrame:
+    return df.groupBy(*keys).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(value_col).cast("long").alias("sum_v"),
+    )
+
+
+def init_agg_view(
+    spark: SparkSession,
+    table_path: str,
+    view_path: str,
+    keys: list[str],
+    value_col: str,
+) -> int:
+    """Materialize GROUP BY ``keys`` -> (count, sum(value_col)) over the
+    table's CURRENT version; returns the version the view now reflects."""
+    v = current_version(table_path)
+    df = read_table_version(spark, table_path)
+    _check_exact(df, value_col)
+    os.makedirs(view_path, exist_ok=True)
+    data = _write_data(_aggregate(df, keys, value_col), view_path, v)
+    _publish(
+        view_path,
+        {
+            "table": os.path.abspath(table_path),
+            "keys": list(keys),
+            "value_col": value_col,
+            "version": v,
+            "data": data,
+        },
+    )
+    _gc(view_path, data)
+    return v
+
+
+def read_agg_view(spark: SparkSession, view_path: str) -> DataFrame:
+    st = _read_state(view_path)
+    return spark.read.parquet(os.path.join(view_path, st["data"]))
+
+
+def agg_view_version(view_path: str) -> int:
+    return _read_state(view_path)["version"]
+
+
+def refresh_agg_view(spark: SparkSession, table_path: str, view_path: str) -> int:
+    """Fold the table's change feed since the last refresh into the view.
+
+    Returns the version the view now reflects (no-op when already
+    current). Safe to re-run after a crash: the state pointer only
+    advances in the final atomic publish, and the feed re-derives
+    identically from the immutable manifests.
+    """
+    st = _read_state(view_path)
+    if os.path.abspath(table_path) != st["table"]:
+        raise ValueError(
+            f"view was built over {st['table']}, not {table_path}"
+        )
+    keys, value_col = st["keys"], st["value_col"]
+    cur = current_version(table_path)
+    if cur == st["version"]:
+        return cur
+    if cur < st["version"]:
+        raise ValueError(
+            f"table CURRENT v{cur} is behind the view's v{st['version']}"
+        )
+    feed = changes_between(spark, table_path, st["version"], cur)
+    sign = F.when(F.col("change") == "+", F.lit(1)).otherwise(F.lit(-1))
+    delta = feed.groupBy(*keys).agg(
+        F.sum(sign).cast("long").alias("_dn"),
+        F.sum(sign * F.col(value_col)).cast("long").alias("_dv"),
+    )
+    standing = read_agg_view(spark, view_path)
+    merged = (
+        standing.join(delta, keys, "full_outer")
+        .select(
+            *keys,
+            (F.coalesce(F.col("n_rows"), F.lit(0)) + F.coalesce(F.col("_dn"), F.lit(0)))
+            .cast("long")
+            .alias("n_rows"),
+            (F.coalesce(F.col("sum_v"), F.lit(0)) + F.coalesce(F.col("_dv"), F.lit(0)))
+            .cast("long")
+            .alias("sum_v"),
+        )
+        # exact GROUP BY semantics: a group with no surviving rows has
+        # no row (count can never go negative on a consistent feed)
+        .where(F.col("n_rows") > 0)
+    )
+    data = _write_data(merged, view_path, cur)
+    _publish(view_path, {**st, "version": cur, "data": data})
+    _gc(view_path, data)
+    return cur

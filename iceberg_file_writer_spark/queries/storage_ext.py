@@ -1449,3 +1449,90 @@ def mapped_table_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         "phase string, n_rows long, n_upserted long, n_zeroed long, "
         "max_key long, cols string",
     )
+
+
+# ---------------------------------------------------------------------------
+# CDC-driven incremental aggregate view (round-10 session 3): a materialized
+# GROUP BY over a snapshot table kept current under arbitrary DML by folding
+# the table's own change feed — ingest/agg_view.py under the value-hash gate.
+# ---------------------------------------------------------------------------
+
+_AGG_VIEWS: dict[tuple, str] = {}
+
+
+@register(
+    "incremental_agg_view_refresh",
+    oracle="""
+WITH src AS (
+  SELECT o_orderkey, o_custkey % 100 AS grp,
+         CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+  FROM orders WHERE o_orderkey % 3 IN (0, 1)
+),
+final AS (
+  SELECT grp, CASE WHEN grp % 5 = 1 THEN cents + 100 ELSE cents END AS cents
+  FROM src WHERE grp % 5 <> 0
+)
+SELECT grp, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(cents) AS BIGINT) AS sum_v,
+       round(sum(cents)::DOUBLE / count(*) / 100, 6) AS avg_value
+FROM final GROUP BY grp
+""",
+    description=(
+        "Incremental aggregate-view maintenance from the snapshot CDC "
+        "feed: a materialized GROUP BY refreshed through append -> CoW "
+        "delete (whole groups vanish) -> CoW update, each refresh "
+        "folding only the delta-sized change feed (never re-scanning "
+        "the table); the oracle recomputes the final state from scratch "
+        "— the view must equal it exactly"
+    ),
+    driver_exposed=False,
+    eager=True,  # builds the base table + view and runs refreshes at plan time
+)
+def incremental_agg_view_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The rollup/join-view family closed over arbitrary DML.
+
+    Scale shape (ingest/agg_view.py module doc): each refresh reads the
+    manifest-diff change feed (delta-sized), partial-aggregates it to
+    the touched-group relation, and full-outer-joins the groups-sized
+    standing view — O(changes + view), never O(table). Exactness under
+    retraction comes from the integer-cents value column; the final avg
+    derives at read time.
+    """
+    from iceberg_file_writer_spark.ingest.agg_view import (
+        init_agg_view,
+        read_agg_view,
+        refresh_agg_view,
+    )
+    from iceberg_file_writer_spark.ingest.snapshots import (
+        commit_append,
+        commit_delete_where,
+        commit_update_where,
+    )
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _AGG_VIEWS:
+        base_dir = tempfile.mkdtemp(prefix="agg-view-")
+        t = os.path.join(base_dir, "base")
+        v = os.path.join(base_dir, "view")
+        src = load_tables(spark, sf_dir)["orders"].select(
+            "o_orderkey",
+            (F.col("o_custkey") % 100).cast("long").alias("grp"),
+            F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+        )
+        commit_append(spark, src.where("o_orderkey % 3 = 0"), t, max_rows=4096)
+        init_agg_view(spark, t, v, ["grp"], "cents")
+        commit_append(spark, src.where("o_orderkey % 3 = 1"), t, max_rows=4096)
+        refresh_agg_view(spark, t, v)
+        commit_delete_where(spark, t, "grp % 5 = 0")
+        refresh_agg_view(spark, t, v)
+        commit_update_where(spark, t, "grp % 5 = 1", {"cents": "cents + 100"})
+        refresh_agg_view(spark, t, v)
+        _AGG_VIEWS[key] = v
+    return read_agg_view(spark, _AGG_VIEWS[key]).select(
+        "grp",
+        "n_rows",
+        "sum_v",
+        F.round(F.col("sum_v").cast("double") / F.col("n_rows") / 100, 6).alias(
+            "avg_value"
+        ),
+    )

@@ -1,0 +1,168 @@
+"""CDC-driven aggregate-view maintenance: the view must equal a full
+GROUP BY recompute after ANY sequence of DML against the base table —
+deletes, CoW updates, MoR upserts, overwrites — refreshed from the
+change feed alone (never a table re-scan)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from iceberg_file_writer_spark.ingest.agg_view import (
+    agg_view_version,
+    init_agg_view,
+    read_agg_view,
+    refresh_agg_view,
+)
+from iceberg_file_writer_spark.ingest.snapshots import (
+    commit_append,
+    commit_delete_where,
+    commit_overwrite,
+    commit_update_where,
+    read_table_version,
+)
+from iceberg_file_writer_spark.sql_dml import execute_dml
+from iceberg_file_writer_spark.tables import load_tables
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _base(spark):
+    return (
+        load_tables(spark, SF_DIR)["orders"]
+        .select(
+            "o_orderkey",
+            (F.col("o_custkey") % 100).cast("long").alias("grp"),
+            F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+        )
+    )
+
+
+def _recompute(spark, t):
+    return (
+        read_table_version(spark, t)
+        .groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("cents").cast("long").alias("sum_v"),
+        )
+    )
+
+
+def _canon(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+@pytest.fixture()
+def setup(spark, tmp_path):
+    t = str(tmp_path / "base")
+    v = str(tmp_path / "view")
+    commit_append(spark, _base(spark).where("o_orderkey % 3 = 0"), t, max_rows=500)
+    init_agg_view(spark, t, v, ["grp"], "cents")
+    return t, v
+
+
+def test_view_tracks_full_dml_sequence(spark, setup):
+    t, v = setup
+    assert _canon(read_agg_view(spark, v)) == _canon(_recompute(spark, t))
+
+    # append
+    commit_append(spark, _base(spark).where("o_orderkey % 3 = 1"), t, max_rows=500)
+    refresh_agg_view(spark, t, v)
+    assert _canon(read_agg_view(spark, v)) == _canon(_recompute(spark, t))
+
+    # CoW delete (whole groups may vanish)
+    commit_delete_where(spark, t, "grp % 5 = 0")
+    refresh_agg_view(spark, t, v)
+    got = _canon(read_agg_view(spark, v))
+    assert got == _canon(_recompute(spark, t))
+    assert all(r[0] % 5 != 0 for r in got)  # deleted groups have NO row
+
+    # CoW update (value moves within surviving groups)
+    commit_update_where(spark, t, "grp % 5 = 1", {"cents": "cents + 100"})
+    refresh_agg_view(spark, t, v)
+    assert _canon(read_agg_view(spark, v)) == _canon(_recompute(spark, t))
+
+
+def test_multi_version_catchup_in_one_refresh(spark, setup):
+    """Three commits, ONE refresh: the feed spans the whole gap."""
+    t, v = setup
+    commit_append(spark, _base(spark).where("o_orderkey % 3 = 1"), t, max_rows=500)
+    commit_delete_where(spark, t, "grp % 7 = 0")
+    commit_update_where(spark, t, "grp % 7 = 1", {"cents": "cents - 50"})
+    refresh_agg_view(spark, t, v)
+    assert _canon(read_agg_view(spark, v)) == _canon(_recompute(spark, t))
+
+
+def test_refresh_is_noop_when_current_and_idempotent(spark, setup):
+    t, v = setup
+    v0 = agg_view_version(v)
+    assert refresh_agg_view(spark, t, v) == v0  # no-op
+    commit_delete_where(spark, t, "grp % 2 = 0")
+    v1 = refresh_agg_view(spark, t, v)
+    assert v1 == v0 + 1
+    snap = _canon(read_agg_view(spark, v))
+    assert refresh_agg_view(spark, t, v) == v1  # second call: no-op
+    assert _canon(read_agg_view(spark, v)) == snap
+
+
+def test_mor_upsert_and_overwrite_flow_through_feed(spark, setup):
+    t, v = setup
+    # MoR upsert via MERGE statement (key tombstones + new rows)
+    spark.createDataFrame(
+        [(2, 999, 12345), (10_000_001, 3, 777)],
+        "o_orderkey long, grp long, cents long",
+    ).createOrReplaceTempView("mv_src")
+    execute_dml(
+        spark,
+        "MERGE INTO base USING (SELECT * FROM mv_src) AS s "
+        "ON base.o_orderkey = s.o_orderkey "
+        "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *",
+        {"base": t},
+    )
+    refresh_agg_view(spark, t, v)
+    assert _canon(read_agg_view(spark, v)) == _canon(_recompute(spark, t))
+
+    # overwrite replaces everything
+    commit_overwrite(
+        spark, _base(spark).where("o_orderkey % 10 = 0"), t, max_rows=500
+    )
+    refresh_agg_view(spark, t, v)
+    assert _canon(read_agg_view(spark, v)) == _canon(_recompute(spark, t))
+
+
+def test_crash_between_data_and_publish_is_safe(spark, setup):
+    """A staged-but-unpublished data directory must be invisible to
+    readers and harmless to the re-run (pointer flip is the commit)."""
+    t, v = setup
+    before = _canon(read_agg_view(spark, v))
+    commit_delete_where(spark, t, "grp % 3 = 0")
+    # simulate the crash: stage the data dir a refresh WOULD write,
+    # without publishing the state pointer
+    os.makedirs(os.path.join(v, "data-v99"), exist_ok=True)
+    assert _canon(read_agg_view(spark, v)) == before  # old state intact
+    refresh_agg_view(spark, t, v)
+    assert _canon(read_agg_view(spark, v)) == _canon(_recompute(spark, t))
+    assert not os.path.exists(os.path.join(v, "data-v99"))  # gc'd
+
+
+def test_float_value_column_refused(spark, tmp_path):
+    t = str(tmp_path / "base")
+    commit_append(
+        spark,
+        load_tables(spark, SF_DIR)["orders"].selectExpr(
+            "o_orderkey", "o_custkey % 10 AS grp", "o_totalprice"
+        ),
+        t,
+        max_rows=500,
+    )
+    with pytest.raises(ValueError, match="exact"):
+        init_agg_view(spark, t, str(tmp_path / "view"), ["grp"], "o_totalprice")
+
+
+def test_wrong_table_and_stale_view_refused(spark, setup, tmp_path):
+    t, v = setup
+    with pytest.raises(ValueError, match="built over"):
+        refresh_agg_view(spark, str(tmp_path / "other"), v)

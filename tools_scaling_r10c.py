@@ -29,6 +29,7 @@ TARGETS = [
     "customer_item_recommendations",
     "orders_benford_audit",
     "events_k_anonymity_audit",
+    "incremental_agg_view_refresh",
 ]
 
 spark = get_spark("scaling-r10c")
