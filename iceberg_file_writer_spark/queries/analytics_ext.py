@@ -2259,3 +2259,102 @@ def orders_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(expected, 6).alias("benford_p"),
         F.round(F.pow(obs - expected, 2) / expected, 8).alias("chi2_term"),
     )
+
+
+# ---------------------------------------------------------------------------
+# CUSUM drift detection (round-10 session 3). The textbook recursion
+# S_t = max(0, S_{t-1} + (x_t - target - slack)) is sequential; the
+# distributed form used here is the classic identity
+#   S_t = R_t - min(R_0..R_t),  R_t = running sum of (x_t - target - slack)
+# — a cumulative-sum window plus a running-min window over the
+# calendar-bounded daily relation, no recursion anywhere.
+# ---------------------------------------------------------------------------
+
+CUSUM_SLACK_CENTS = 50  # k: slack below which deviation is noise
+CUSUM_ALARM_CENTS = 2000  # h: alarm threshold on the statistic
+
+
+@register(
+    "event_type_cusum_drift",
+    oracle=f"""
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(round(avg(value) * 100, 0) AS BIGINT) AS cents
+  FROM events GROUP BY 1, 2
+),
+target AS (
+  SELECT event_type, CAST(round(avg(cents), 0) AS BIGINT) AS mu
+  FROM daily GROUP BY event_type
+),
+r AS (
+  SELECT d.event_type, d.day,
+         sum(d.cents - t.mu - {CUSUM_SLACK_CENTS})
+           OVER (PARTITION BY d.event_type ORDER BY d.day
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rt
+  FROM daily d JOIN target t ON t.event_type = d.event_type
+),
+s AS (
+  SELECT event_type, day,
+         rt - least(0, min(rt) OVER (PARTITION BY event_type ORDER BY day
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS st
+  FROM r
+)
+SELECT event_type, day, CAST(st AS BIGINT) AS cusum_cents,
+       (st > {CUSUM_ALARM_CENTS}) AS alarm
+FROM s
+""",
+    description=(
+        "CUSUM upward-drift statistic per event type over the daily "
+        "mean-value series (integer cents) with alarm flags — the "
+        "change-point monitor; computed via the distributed identity "
+        "S_t = R_t - min(R_<=t) (cumsum + running-min windows over the "
+        "calendar-bounded daily relation), never the sequential "
+        "recursion"
+    ),
+    driver_exposed=False,
+)
+def event_type_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drift detection without recursion.
+
+    Scale shape: ONE partial-agg'd scan collapses events to the daily
+    relation (calendar-bounded); the per-type target is a broadcast
+    join; both windows run per-type over that tiny relation. Integer
+    cents end-to-end, so the running sums are exact in both engines.
+    """
+    from pyspark.sql import Window
+
+    ev = load_tables(spark, sf_dir)["events"]
+    daily = ensure_cached(
+        ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+            F.round(F.avg("value") * 100, 0).cast("long").alias("cents")
+        )
+    )
+    target = daily.groupBy("event_type").agg(
+        F.round(F.avg("cents"), 0).cast("long").alias("mu")
+    )
+    r = daily.join(F.broadcast(target), "event_type").withColumn(
+        "rt",
+        F.sum(
+            F.col("cents") - F.col("mu") - F.lit(CUSUM_SLACK_CENTS)
+        ).over(
+            Window.partitionBy("event_type")
+            .orderBy("day")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    # the min INCLUDES the current row (and 0, standing in for R_0):
+    # S_t = R_t - min(0, R_1..R_t) is the exact prefix-min form of the
+    # recursion S_t = max(0, S_{t-1} + d_t) — excluding the current row
+    # would let the statistic go negative
+    run_min = F.min("rt").over(
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    st = F.col("rt") - F.least(F.lit(0), run_min)
+    return r.select(
+        "event_type",
+        "day",
+        st.cast("long").alias("cusum_cents"),
+        (st > CUSUM_ALARM_CENTS).alias("alarm"),
+    )

@@ -715,3 +715,14 @@ def test_k_anonymity_two_nested_aggregates(spark):
     assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1, p
     assert "Join" not in p, p
     assert "Window" not in p, p
+
+
+def test_cusum_windows_run_over_daily_aggregate(spark):
+    """The CUSUM windows must consume the cached calendar-bounded daily
+    relation: one scan (inside the cached build), broadcast target join,
+    no sort-merge."""
+    p = _plan(spark, "event_type_cusum_drift")
+    assert "InMemoryTableScan" in p, p
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) <= 1, p
+    assert "SortMergeJoin" not in p, p
+    assert "BroadcastHashJoin" in p, p
