@@ -332,7 +332,7 @@ WITH s AS (
   SELECT CAST(round(value * 100, 0) AS BIGINT) AS cents,
          CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT) AS pos,
          CAST(count(*) FILTER (event_type <> 'purchase') AS BIGINT) AS neg
-  FROM events GROUP BY 1
+  FROM events WHERE value IS NOT NULL GROUP BY 1
 ),
 c AS (
   SELECT pos, neg,
@@ -369,7 +369,10 @@ def event_value_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql import Window
 
-    ev = load_tables(spark, sf_dir)["events"]
+    # NULL scores are excluded on BOTH sides (standard AUC semantics —
+    # an unscored row has no rank; also keeps the window's NULL ordering,
+    # which the two engines default differently, out of the plan)
+    ev = load_tables(spark, sf_dir)["events"].where(F.col("value").isNotNull())
     is_pos = F.col("event_type") == "purchase"
     s = ev.groupBy(
         F.round(F.col("value") * 100, 0).cast("long").alias("cents")

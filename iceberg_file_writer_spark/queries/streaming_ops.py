@@ -1922,3 +1922,123 @@ def streaming_interval_full_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("purchase_id").isNull() | (F.col("purchase_id") >= 0))
         & (F.col("click_id").isNull() | (F.col("click_id") >= 0))
     )
+
+
+# --- streaming incremental AGGREGATE-view maintenance ------------------------
+
+
+@register(
+    "streaming_agg_view_maintenance",
+    oracle="""
+WITH src AS (
+  SELECT o_orderkey, o_custkey % 100 AS grp,
+         CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+  FROM orders
+),
+final AS (
+  SELECT grp,
+         CASE WHEN o_orderkey % 8 = 0 THEN cents + 1000 ELSE cents END AS cents
+  FROM src
+)
+SELECT grp, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(cents) AS BIGINT) AS sum_v
+FROM final GROUP BY grp
+""",
+    description=(
+        "Structured Streaming incremental AGGREGATE-view maintenance: "
+        "foreachBatch lands each micro-batch as a MoR upsert on the "
+        "base snapshot table and folds the table's own CDC feed into "
+        "the standing GROUP BY via ingest/agg_view.py — corrections "
+        "RETRACT the replaced rows' contribution, so the final view "
+        "equals the from-scratch aggregate over the latest row per key, "
+        "independent of batch boundaries"
+    ),
+    eager=True,  # builds/loads a trained artifact or runs a stream at plan time
+)
+def streaming_agg_view_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming write side of the CDC-maintained aggregate view.
+
+    A quarter of orders is the standing base (with the view
+    initialized over it); the rest arrive as three staged files driven
+    one-per-trigger, the LAST carrying corrections (+1000 cents) for
+    keys already present in the base. Each micro-batch is ONE
+    commit_upsert (key tombstones + new rows, O(batch)) followed by ONE
+    refresh_agg_view (feed-sized fold). The retraction path is what
+    distinguishes this from the append-only rollup: the correction
+    batch's feed emits '-' for the replaced rows and '+' for the new
+    ones, and the standing aggregate adjusts exactly — pinned by the
+    oracle computing the latest-row-per-key aggregate from scratch.
+
+    At 100 TB: per-batch cost is O(batch) for the upsert (never reads
+    the table) + O(changes + view) for the fold; crash recovery is the
+    atomic state-pointer publish (ingest/agg_view.py module doc).
+    """
+    import os
+
+    from iceberg_file_writer_spark.ingest.agg_view import (
+        init_agg_view,
+        read_agg_view,
+        refresh_agg_view,
+    )
+    from iceberg_file_writer_spark.ingest.equality_deletes import commit_upsert
+    from iceberg_file_writer_spark.ingest.snapshots import commit_append
+
+    src = load_tables(spark, sf_dir)["orders"].select(
+        "o_orderkey",
+        (F.col("o_custkey") % 100).cast("long").alias("grp"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+    )
+
+    def _stage(path: str) -> None:
+        arriving = src.where("o_orderkey % 4 <> 0")
+        corrections = src.where("o_orderkey % 8 = 0").withColumn(
+            "cents", F.col("cents") + F.lit(1000)
+        )
+        # two arrival files, then the correction file last (same-key
+        # rows must not share a file with their replacement — upsert
+        # batches hold at most one row per key)
+        arriving.where("o_orderkey % 2 = 1").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(path, "f0"))
+        arriving.where("o_orderkey % 2 = 0").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(path, "f1"))
+        corrections.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(path, "f2")
+        )
+        # flatten into one source dir with ordered names
+        import glob
+        import shutil
+
+        for i in range(3):
+            for j, f in enumerate(
+                sorted(glob.glob(os.path.join(path, f"f{i}", "*.parquet")))
+            ):
+                shutil.move(f, os.path.join(path, f"b{i}_{j}.parquet"))
+            shutil.rmtree(os.path.join(path, f"f{i}"))
+
+    incoming = _staged_input((sf_dir, "agg-view"), _stage)
+
+    root = tempfile.mkdtemp(prefix="aggview-stream-")
+    base = os.path.join(root, "base")
+    view = os.path.join(root, "view")
+    ckpt = os.path.join(root, "ckpt")
+    commit_append(spark, src.where("o_orderkey % 4 = 0"), base, max_rows=4096)
+    init_agg_view(spark, base, view, ["grp"], "cents")
+
+    def _fold(batch_df: DataFrame, batch_id: int) -> None:
+        s = batch_df.sparkSession
+        commit_upsert(s, base, batch_df, ["o_orderkey"], max_rows=4096)
+        refresh_agg_view(s, base, view)
+
+    q = (
+        spark.readStream.schema(src.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(incoming)
+        .writeStream.foreachBatch(_fold)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return read_agg_view(spark, view).select("grp", "n_rows", "sum_v")
