@@ -799,3 +799,129 @@ def events_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l") < L_DIV_THRESHOLD).cast("long")
         ).cast("long").alias("classes_below_l"),
     )
+
+
+# ---------------------------------------------------------------------------
+# RAKE keyphrase extraction (round-10 session 3): stopword-delimited
+# phrases scored by the member words' degree/frequency ratio — the
+# classic unsupervised keyword extractor, here as pure column algebra.
+# ---------------------------------------------------------------------------
+
+RAKE_STOPWORDS = ("the", "a")
+RAKE_TOP_K = 20
+
+
+@register(
+    "doc_rake_keyphrases",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, t.pos, t.token,
+         (t.token IN {RAKE_STOPWORDS!r}) AS is_stop
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents) d,
+       LATERAL (SELECT UNNEST(generate_series(1, len(d.w))) AS pos,
+                       UNNEST(d.w) AS token) t
+),
+marked AS (
+  SELECT doc_id, pos, token, is_stop,
+         count(*) FILTER (is_stop) OVER (PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS phrase_id
+  FROM tok
+),
+phrases AS (
+  SELECT doc_id, phrase_id,
+         string_agg(token, ' ' ORDER BY pos) AS phrase,
+         CAST(count(*) AS BIGINT) AS n_words
+  FROM marked WHERE NOT is_stop
+  GROUP BY doc_id, phrase_id
+),
+words AS (
+  SELECT doc_id, phrase_id, UNNEST(string_split(phrase, ' ')) AS w,
+         n_words
+  FROM phrases
+),
+scores AS (
+  SELECT w, sum(n_words)::DOUBLE / count(*) AS score FROM words GROUP BY w
+),
+phrase_scores AS (
+  SELECT p.phrase, p.n_words, sum(s.score) AS raw
+  FROM words wd
+  JOIN scores s ON s.w = wd.w
+  JOIN phrases p ON p.doc_id = wd.doc_id AND p.phrase_id = wd.phrase_id
+  GROUP BY p.doc_id, p.phrase_id, p.phrase, p.n_words
+)
+SELECT phrase, n_words,
+       CAST(count(*) AS BIGINT) AS n_occurrences,
+       round(avg(raw), 6) AS rake_score
+FROM phrase_scores
+GROUP BY phrase, n_words
+ORDER BY rake_score DESC, phrase
+LIMIT {RAKE_TOP_K}
+""",
+    description=(
+        f"RAKE keyphrase extraction: stopword-delimited phrases scored "
+        "by summed member-word degree/frequency with the corpus top-"
+        f"{RAKE_TOP_K} reported — the unsupervised keyword extractor, "
+        "as explode/window/aggregate column algebra (no Python)"
+    ),
+    driver_exposed=False,
+)
+def doc_rake_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyphrases without a model.
+
+    Scale shape: ONE explode of the corpus into (doc, pos, token); the
+    phrase segmentation is a per-doc running count window (co-
+    partitioned with the explode's shuffle); word statistics are two
+    partial-agg'd aggregates over the phrase-member relation (bounded
+    by the vocabulary for scores); the report is TakeOrderedAndProject.
+    Degree uses each occurrence's own phrase length (classic RAKE), so
+    every quantity is a count — the only floats are the final ratios.
+    """
+    t = load_tables(spark, sf_dir)
+    tok = (
+        t["documents"]
+        .select("doc_id", F.posexplode(words(F.col("text"))).alias("pos", "token"))
+        .withColumn("is_stop", F.col("token").isin(*RAKE_STOPWORDS))
+    )
+    w_run = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    marked = tok.withColumn("phrase_id", F.sum(F.col("is_stop").cast("long")).over(w_run))
+    members = marked.where(~F.col("is_stop"))
+    phrases = ensure_cached(
+        members.groupBy("doc_id", "phrase_id").agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "token"))),
+                    lambda s: s["token"],
+                ),
+                " ",
+            ).alias("phrase"),
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+        )
+    )
+    wrds = phrases.select(
+        "doc_id",
+        "phrase_id",
+        "n_words",
+        F.explode(F.split(F.col("phrase"), " ")).alias("w"),
+    )
+    scores = wrds.groupBy("w").agg(
+        (F.sum("n_words").cast("double") / F.count(F.lit(1))).alias("score")
+    )
+    phrase_scores = (
+        wrds.join(F.broadcast(scores), "w")
+        .groupBy("doc_id", "phrase_id", "n_words")
+        .agg(F.sum("score").alias("raw"))
+        .join(phrases, ["doc_id", "phrase_id", "n_words"])
+    )
+    return (
+        phrase_scores.groupBy("phrase", "n_words")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+            F.round(F.avg("raw"), 6).alias("rake_score"),
+        )
+        .orderBy(F.desc("rake_score"), "phrase")
+        .limit(RAKE_TOP_K)
+    )

@@ -726,3 +726,12 @@ def test_cusum_windows_run_over_daily_aggregate(spark):
     assert len(re.findall(r"\(\d+\) Scan parquet", p)) <= 1, p
     assert "SortMergeJoin" not in p, p
     assert "BroadcastHashJoin" in p, p
+
+
+def test_rake_is_one_explode_plus_bounded_joins(spark):
+    """RAKE must stay column algebra: no Python eval nodes, the word-score
+    join broadcast (vocabulary-sized), the report TakeOrderedAndProject."""
+    p = _plan(spark, "doc_rake_keyphrases")
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p, p
+    assert "TakeOrderedAndProject" in p, p
+    assert "CartesianProduct" not in p, p
