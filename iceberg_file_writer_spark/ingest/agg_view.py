@@ -84,9 +84,13 @@ def _publish(view_path: str, state: dict) -> None:
     write_atomic(_state_path(view_path), json.dumps(state))
 
 
-def _gc(view_path: str, keep: str) -> None:
+def _gc(view_path: str, keep: str, grace: "str | None" = None) -> None:
+    """Remove superseded data generations. ``grace`` (the generation the
+    refresh just replaced) survives one cycle so a reader that loaded
+    the state pointer moments before the publish still finds its files;
+    it falls out on the NEXT refresh."""
     for d in os.listdir(view_path):
-        if d.startswith("data-v") and d != keep:
+        if d.startswith("data-v") and d != keep and d != grace:
             shutil.rmtree(os.path.join(view_path, d), ignore_errors=True)
 
 
@@ -189,5 +193,5 @@ def refresh_agg_view(spark: SparkSession, table_path: str, view_path: str) -> in
     )
     data = _write_data(merged, view_path, cur)
     _publish(view_path, {**st, "version": cur, "data": data})
-    _gc(view_path, data)
+    _gc(view_path, data, grace=st["data"])
     return cur
