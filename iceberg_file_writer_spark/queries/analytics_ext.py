@@ -2207,9 +2207,9 @@ counts AS (
 tot AS (SELECT sum(n) AS t FROM counts)
 SELECT c.d AS first_digit, c.n AS n_values,
        round(c.n::DOUBLE / t.t, 6) AS observed_p,
-       round(CASE c.d {cases} END, 6) AS benford_p,
-       round(power(c.n::DOUBLE / t.t - CASE c.d {cases} END, 2)
-             / (CASE c.d {cases} END), 8) AS chi2_term
+       round((CASE c.d {cases} END)::DOUBLE, 6) AS benford_p,
+       round(power(c.n::DOUBLE / t.t - (CASE c.d {cases} END)::DOUBLE, 2)
+             / ((CASE c.d {cases} END)::DOUBLE), 8) AS chi2_term
 FROM counts c CROSS JOIN tot t
 """
 
