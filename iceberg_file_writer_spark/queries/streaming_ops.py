@@ -1953,6 +1953,9 @@ FROM final GROUP BY grp
         "equals the from-scratch aggregate over the latest row per key, "
         "independent of batch boundaries"
     ),
+    # Registered after the ninth-rotation surface froze at the 50 cap;
+    # pytest-oracle-checked at 3 SFs — a round-11 rotation candidate.
+    driver_exposed=False,
     eager=True,  # builds/loads a trained artifact or runs a stream at plan time
 )
 def streaming_agg_view_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
