@@ -61,7 +61,11 @@ from iceberg_file_writer_spark.ingest.snapshots import (
 
 _STATE = "_agg_view_state.json"
 
-_EXACT_PREFIXES = ("int", "bigint", "smallint", "tinyint", "long", "decimal")
+# Integral only: the maintained sums live as BIGINT, and truncating a
+# DECIMAL per delta would violate the recompute-equality contract
+# (truncate(a) + truncate(b) != truncate(a + b)). Decimal callers cast
+# to scaled integers (cents) first.
+_EXACT_PREFIXES = ("int", "bigint", "smallint", "tinyint", "long")
 
 
 def _state_path(view_path: str) -> str:
@@ -99,14 +103,19 @@ def _check_exact(df: DataFrame, value_col: str) -> None:
     if not typ.startswith(_EXACT_PREFIXES):
         raise ValueError(
             f"value column {value_col!r} has type {typ}: count/sum "
-            "retraction is exact only over integral/decimal values — "
-            "cast to an exact type (e.g. integer cents) first"
+            "retraction is exact only over integral values — cast to a "
+            "scaled integer (e.g. cents) first"
         )
 
 
 def _aggregate(df: DataFrame, keys: list[str], value_col: str) -> DataFrame:
+    # n_vals (the non-NULL count) rides along so the refresh can
+    # preserve SQL sum semantics: a group whose values are all NULL has
+    # sum_v = NULL, and only the n_vals counter can tell that apart
+    # from "values summing to zero" incrementally.
     return df.groupBy(*keys).agg(
         F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.count(value_col).cast("long").alias("n_vals"),
         F.sum(value_col).cast("long").alias("sum_v"),
     )
 
@@ -173,19 +182,32 @@ def refresh_agg_view(spark: SparkSession, table_path: str, view_path: str) -> in
     sign = F.when(F.col("change") == "+", F.lit(1)).otherwise(F.lit(-1))
     delta = feed.groupBy(*keys).agg(
         F.sum(sign).cast("long").alias("_dn"),
+        F.sum(
+            F.when(F.col(value_col).isNotNull(), sign).otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("_dnv"),
         F.sum(sign * F.col(value_col)).cast("long").alias("_dv"),
     )
     standing = read_agg_view(spark, view_path)
+    n_rows = (
+        F.coalesce(F.col("n_rows"), F.lit(0)) + F.coalesce(F.col("_dn"), F.lit(0))
+    ).cast("long")
+    n_vals = (
+        F.coalesce(F.col("n_vals"), F.lit(0)) + F.coalesce(F.col("_dnv"), F.lit(0))
+    ).cast("long")
+    raw_sum = (
+        F.coalesce(F.col("sum_v"), F.lit(0)) + F.coalesce(F.col("_dv"), F.lit(0))
+    ).cast("long")
     merged = (
         standing.join(delta, keys, "full_outer")
         .select(
             *keys,
-            (F.coalesce(F.col("n_rows"), F.lit(0)) + F.coalesce(F.col("_dn"), F.lit(0)))
-            .cast("long")
-            .alias("n_rows"),
-            (F.coalesce(F.col("sum_v"), F.lit(0)) + F.coalesce(F.col("_dv"), F.lit(0)))
-            .cast("long")
-            .alias("sum_v"),
+            n_rows.alias("n_rows"),
+            n_vals.alias("n_vals"),
+            # SQL sum semantics: all-NULL groups report NULL, exactly
+            # as a from-scratch recompute would
+            F.when(n_vals > 0, raw_sum).alias("sum_v"),
         )
         # exact GROUP BY semantics: a group with no surviving rows has
         # no row (count can never go negative on a consistent feed)

@@ -1975,6 +1975,19 @@ XCORR_MAX_LAG = 3
 # Daily totals in exact integer cents so both engines aggregate
 # bit-identically; the corr() runs over the calendar-bounded daily
 # relation (days x types — independent of row count), rounded to 6.
+def _daily_value_cents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Spark twin of _DAILY_CENTS_CTE: per-(type, day) total value in
+    exact integer cents (per-row round, integer sum — no float
+    accumulation anywhere), cached because the ACF and cross-correlation
+    entries both consume it."""
+    ev = load_tables(spark, sf_dir)["events"]
+    return ensure_cached(
+        ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+            F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("v")
+        )
+    )
+
+
 _DAILY_CENTS_CTE = """
 daily AS (
   SELECT event_type, CAST(ts AS DATE) AS day,
@@ -2012,12 +2025,7 @@ def event_type_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
     the raw scan collapses to a daily aggregate whose size is calendar-
     bounded; the lag join is broadcast; daily sums are exact integer
     cents so the corr inputs are bit-identical across engines."""
-    ev = load_tables(spark, sf_dir)["events"]
-    daily = ensure_cached(
-        ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
-            F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("v")
-        )
-    )
+    daily = _daily_value_cents(spark, sf_dir)
     lags = spark.range(1, ACF_MAX_LAG + 1).select(
         F.col("id").cast("long").alias("lag_days")
     )
@@ -2072,12 +2080,7 @@ GROUP BY l.lag_days
 def clicks_purchases_crosscorr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """corr(click(t), purchase(t+lag)) for each lag over the daily
     relation; positive-lag peaks mean clicks lead purchases."""
-    ev = load_tables(spark, sf_dir)["events"]
-    daily = ensure_cached(
-        ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
-            F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("v")
-        )
-    )
+    daily = _daily_value_cents(spark, sf_dir)
     x = daily.where(F.col("event_type") == "click").select(
         F.col("day").alias("x_day"), F.col("v").alias("x_v")
     )
@@ -2279,7 +2282,8 @@ CUSUM_ALARM_CENTS = 2000  # h: alarm threshold on the statistic
     oracle=f"""
 WITH daily AS (
   SELECT event_type, CAST(ts AS DATE) AS day,
-         CAST(round(avg(value) * 100, 0) AS BIGINT) AS cents
+         CAST(round(sum(CAST(round(value * 100, 0) AS BIGINT))::DOUBLE
+                    / count(*), 0) AS BIGINT) AS cents
   FROM events GROUP BY 1, 2
 ),
 target AS (
@@ -2323,10 +2327,21 @@ def event_type_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql import Window
 
+    # mean daily cents via exact integer sums and ONE double division —
+    # round(avg(value)*100) would ride a float accumulation whose order
+    # (and therefore half-boundary rounding) differs between engines
     ev = load_tables(spark, sf_dir)["events"]
     daily = ensure_cached(
         ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
-            F.round(F.avg("value") * 100, 0).cast("long").alias("cents")
+            F.round(
+                F.sum(F.round(F.col("value") * 100, 0).cast("long")).cast(
+                    "double"
+                )
+                / F.count(F.lit(1)),
+                0,
+            )
+            .cast("long")
+            .alias("cents")
         )
     )
     target = daily.groupBy("event_type").agg(

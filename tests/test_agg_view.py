@@ -66,24 +66,24 @@ def setup(spark, tmp_path):
 
 def test_view_tracks_full_dml_sequence(spark, setup):
     t, v = setup
-    assert _canon(read_agg_view(spark, v)) == _canon(_recompute(spark, t))
+    assert _canon(read_agg_view(spark, v).select("grp", "n_rows", "sum_v")) == _canon(_recompute(spark, t))
 
     # append
     commit_append(spark, _base(spark).where("o_orderkey % 3 = 1"), t, max_rows=500)
     refresh_agg_view(spark, t, v)
-    assert _canon(read_agg_view(spark, v)) == _canon(_recompute(spark, t))
+    assert _canon(read_agg_view(spark, v).select("grp", "n_rows", "sum_v")) == _canon(_recompute(spark, t))
 
     # CoW delete (whole groups may vanish)
     commit_delete_where(spark, t, "grp % 5 = 0")
     refresh_agg_view(spark, t, v)
-    got = _canon(read_agg_view(spark, v))
+    got = _canon(read_agg_view(spark, v).select("grp", "n_rows", "sum_v"))
     assert got == _canon(_recompute(spark, t))
     assert all(r[0] % 5 != 0 for r in got)  # deleted groups have NO row
 
     # CoW update (value moves within surviving groups)
     commit_update_where(spark, t, "grp % 5 = 1", {"cents": "cents + 100"})
     refresh_agg_view(spark, t, v)
-    assert _canon(read_agg_view(spark, v)) == _canon(_recompute(spark, t))
+    assert _canon(read_agg_view(spark, v).select("grp", "n_rows", "sum_v")) == _canon(_recompute(spark, t))
 
 
 def test_multi_version_catchup_in_one_refresh(spark, setup):
@@ -93,7 +93,7 @@ def test_multi_version_catchup_in_one_refresh(spark, setup):
     commit_delete_where(spark, t, "grp % 7 = 0")
     commit_update_where(spark, t, "grp % 7 = 1", {"cents": "cents - 50"})
     refresh_agg_view(spark, t, v)
-    assert _canon(read_agg_view(spark, v)) == _canon(_recompute(spark, t))
+    assert _canon(read_agg_view(spark, v).select("grp", "n_rows", "sum_v")) == _canon(_recompute(spark, t))
 
 
 def test_refresh_is_noop_when_current_and_idempotent(spark, setup):
@@ -103,9 +103,9 @@ def test_refresh_is_noop_when_current_and_idempotent(spark, setup):
     commit_delete_where(spark, t, "grp % 2 = 0")
     v1 = refresh_agg_view(spark, t, v)
     assert v1 == v0 + 1
-    snap = _canon(read_agg_view(spark, v))
+    snap = _canon(read_agg_view(spark, v).select("grp", "n_rows", "sum_v"))
     assert refresh_agg_view(spark, t, v) == v1  # second call: no-op
-    assert _canon(read_agg_view(spark, v)) == snap
+    assert _canon(read_agg_view(spark, v).select("grp", "n_rows", "sum_v")) == snap
 
 
 def test_mor_upsert_and_overwrite_flow_through_feed(spark, setup):
@@ -123,28 +123,28 @@ def test_mor_upsert_and_overwrite_flow_through_feed(spark, setup):
         {"base": t},
     )
     refresh_agg_view(spark, t, v)
-    assert _canon(read_agg_view(spark, v)) == _canon(_recompute(spark, t))
+    assert _canon(read_agg_view(spark, v).select("grp", "n_rows", "sum_v")) == _canon(_recompute(spark, t))
 
     # overwrite replaces everything
     commit_overwrite(
         spark, _base(spark).where("o_orderkey % 10 = 0"), t, max_rows=500
     )
     refresh_agg_view(spark, t, v)
-    assert _canon(read_agg_view(spark, v)) == _canon(_recompute(spark, t))
+    assert _canon(read_agg_view(spark, v).select("grp", "n_rows", "sum_v")) == _canon(_recompute(spark, t))
 
 
 def test_crash_between_data_and_publish_is_safe(spark, setup):
     """A staged-but-unpublished data directory must be invisible to
     readers and harmless to the re-run (pointer flip is the commit)."""
     t, v = setup
-    before = _canon(read_agg_view(spark, v))
+    before = _canon(read_agg_view(spark, v).select("grp", "n_rows", "sum_v"))
     commit_delete_where(spark, t, "grp % 3 = 0")
     # simulate the crash: stage the data dir a refresh WOULD write,
     # without publishing the state pointer
     os.makedirs(os.path.join(v, "data-v99"), exist_ok=True)
-    assert _canon(read_agg_view(spark, v)) == before  # old state intact
+    assert _canon(read_agg_view(spark, v).select("grp", "n_rows", "sum_v")) == before  # old state intact
     refresh_agg_view(spark, t, v)
-    assert _canon(read_agg_view(spark, v)) == _canon(_recompute(spark, t))
+    assert _canon(read_agg_view(spark, v).select("grp", "n_rows", "sum_v")) == _canon(_recompute(spark, t))
     assert not os.path.exists(os.path.join(v, "data-v99"))  # gc'd
 
 
@@ -166,3 +166,54 @@ def test_wrong_table_and_stale_view_refused(spark, setup, tmp_path):
     t, v = setup
     with pytest.raises(ValueError, match="built over"):
         refresh_agg_view(spark, str(tmp_path / "other"), v)
+
+
+def test_all_null_group_sum_stays_null_through_refresh(spark, tmp_path):
+    """SQL sum semantics under retraction: a group whose values are all
+    NULL reports sum NULL after ANY refresh, exactly like a recompute —
+    the n_vals counter is what distinguishes it from 'sums to zero'."""
+    t = str(tmp_path / "base")
+    v = str(tmp_path / "view")
+    df = spark.createDataFrame(
+        [(1, 10, None), (2, 10, None), (3, 20, 5), (4, 30, 0)],
+        "id long, grp long, val long",
+    )
+    commit_append(spark, df, t, max_rows=500)
+    init_agg_view(spark, t, v, ["grp"], "val")
+    base = {
+        r.grp: (r.n_rows, r.sum_v) for r in read_agg_view(spark, v).collect()
+    }
+    assert base[10] == (2, None)  # all-NULL group: sum NULL, not 0
+    assert base[30] == (1, 0)  # genuinely-zero group: sum 0
+
+    # a refresh touching OTHER groups must not rewrite NULL to 0
+    commit_delete_where(spark, t, "grp = 20")
+    refresh_agg_view(spark, t, v)
+    after = {
+        r.grp: (r.n_rows, r.sum_v) for r in read_agg_view(spark, v).collect()
+    }
+    assert after == {10: (2, None), 30: (1, 0)}
+
+    # retracting one NULL row keeps the group all-NULL
+    commit_delete_where(spark, t, "id = 1")
+    refresh_agg_view(spark, t, v)
+    got = {r.grp: (r.n_rows, r.sum_v) for r in read_agg_view(spark, v).collect()}
+    assert got[10] == (1, None)
+
+
+def test_decimal_value_column_refused(spark, tmp_path):
+    """Truncating a decimal per delta breaks recompute equality
+    (truncate(a)+truncate(b) != truncate(a+b)) — refused up front."""
+    t = str(tmp_path / "base")
+    commit_append(
+        spark,
+        load_tables(spark, SF_DIR)["orders"].selectExpr(
+            "o_orderkey",
+            "o_custkey % 10 AS grp",
+            "CAST(o_totalprice AS DECIMAL(12,2)) AS price",
+        ),
+        t,
+        max_rows=500,
+    )
+    with pytest.raises(ValueError, match="integral"):
+        init_agg_view(spark, t, str(tmp_path / "view"), ["grp"], "price")

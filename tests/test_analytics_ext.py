@@ -23,10 +23,22 @@ def test_cusum_equals_sequential_recursion(spark):
     got = defaultdict(list)
     for r in rows:
         got[r.event_type].append((r.day, r.cusum_cents))
+    import math
+
     daily = (
         load_tables(spark, "/root/testdata/sf0.001")["events"]
         .groupBy("event_type", F.to_date("ts").alias("day"))
-        .agg(F.round(F.avg("value") * 100, 0).cast("long").alias("cents"))
+        .agg(
+            F.round(
+                F.sum(F.round(F.col("value") * 100, 0).cast("long")).cast(
+                    "double"
+                )
+                / F.count(F.lit(1)),
+                0,
+            )
+            .cast("long")
+            .alias("cents")
+        )
         .collect()
     )
     series = defaultdict(list)
@@ -34,7 +46,9 @@ def test_cusum_equals_sequential_recursion(spark):
         series[r.event_type].append((r.day, r.cents))
     for et, sr in series.items():
         sr.sort()
-        mu = round(sum(c for _, c in sr) / len(sr))
+        # HALF_UP like both engines' round() — Python round() is
+        # half-to-even and would diverge on an exactly-.5 mean
+        mu = math.floor(sum(c for _, c in sr) / len(sr) + 0.5)
         s, seq = 0, []
         for d, c in sr:
             s = max(0, s + (c - mu - CUSUM_SLACK_CENTS))
