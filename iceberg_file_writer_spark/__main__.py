@@ -67,6 +67,14 @@ def _build_parser() -> argparse.ArgumentParser:
     tt.add_argument("--version", type=int, default=None)
     tt.add_argument("--limit", type=int, default=20)
 
+    chg = sub.add_parser(
+        "changes", help="row-level change feed between two snapshot versions"
+    )
+    chg.add_argument("table_path")
+    chg.add_argument("from_version", type=int)
+    chg.add_argument("to_version", type=int)
+    chg.add_argument("--limit", type=int, default=20)
+
     exp = sub.add_parser("expire-snapshots", help="drop unreferenced history")
     exp.add_argument("table_path")
     exp.add_argument("--keep-last", type=int, default=2)
@@ -243,6 +251,14 @@ def main(argv: list[str] | None = None) -> int:
         read_table_version(spark, args.table_path, args.version).show(
             args.limit, truncate=60
         )
+        return 0
+
+    if args.cmd == "changes":
+        from iceberg_file_writer_spark.ingest.snapshots import changes_between
+
+        changes_between(
+            spark, args.table_path, args.from_version, args.to_version
+        ).show(args.limit, truncate=60)
         return 0
 
     if args.cmd == "expire-snapshots":

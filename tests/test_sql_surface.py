@@ -162,3 +162,26 @@ def test_materialize_view_rejects_plan_only_entries(spark):
         materialize_view(spark, SF_DIR, "top_purchasers")
     with _pytest.raises(ValueError, match="unknown query"):
         materialize_view(spark, SF_DIR, "no_such_entry")
+
+
+def test_cli_changes_subcommand(capsys, tmp_path):
+    """`changes <table> <from> <to>` prints the CDC feed between two
+    versions — the +/- changelog reachable from the command line."""
+    from iceberg_file_writer_spark.__main__ import main
+    from iceberg_file_writer_spark.ingest.snapshots import (
+        commit_append,
+        commit_delete_where,
+    )
+    from iceberg_file_writer_spark.session import get_spark
+    from iceberg_file_writer_spark.tables import load_tables
+
+    spark = get_spark("iceberg_file_writer_spark-tests")
+    t = str(tmp_path / "ord")
+    orders = load_tables(spark, SF_DIR)["orders"].select(
+        "o_orderkey", "o_totalprice"
+    )
+    commit_append(spark, orders.where("o_orderkey < 100"), t, max_rows=500)
+    commit_delete_where(spark, t, "o_orderkey < 50")
+    rc = main(["changes", t, "1", "2", "--limit", "5"])
+    out = capsys.readouterr().out
+    assert rc == 0 and "change" in out and "-" in out
