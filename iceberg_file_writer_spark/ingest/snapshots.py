@@ -1126,6 +1126,7 @@ def commit_compact(
     table_path: str,
     target_rows: int = 65536,
     zorder_by: "tuple[str, str] | None" = None,
+    where: "str | None" = None,
 ) -> int:
     """Compaction as a snapshot: same rows, fewer/larger files, history
     intact — Iceberg's rewrite_data_files. Old files stay on disk for time
@@ -1143,6 +1144,58 @@ def commit_compact(
     parent = current_version(table_path)
     m = read_manifest(table_path, parent)
     files = m["files"]
+    if where is not None:
+        # Predicate-scoped compaction (Iceberg's rewrite_data_files with
+        # a filter): rewrite ONLY the files holding matching rows —
+        # discovery is commit_delete_where's pushed-predicate scan keyed
+        # by input_file_name (footer/stats work at scale). Rewritten rows
+        # re-commit at seq = v with their MoR state APPLIED, so standing
+        # equality tombstones (strictly-older seq) no longer touch them;
+        # carried files keep their seq and their sidecars keep applying.
+        # DV sidecar entries naming rewritten files are inert (uuid file
+        # names never recur) — carried, not cleared, because the same
+        # sidecars still tombstone CARRIED files' rows.
+        if zorder_by is not None:
+            raise ValueError(
+                "scoped ZORDER would leave the table with two competing "
+                "layouts; OPTIMIZE ... ZORDER BY is whole-table"
+            )
+        paths = [os.path.join(table_path, e["path"]) for e in files]
+        if not paths:
+            return _commit(table_path, parent, "compact", [])
+        hit_uris = {
+            r.f
+            for r in (
+                spark.read.schema(_standing_schema(spark, table_path, files))
+                .parquet(*paths)
+                .where(where)
+                .select(F.input_file_name().alias("f"))
+                .distinct()
+                .collect()
+            )
+        }
+        affected = {
+            e["path"]
+            for e in files
+            if any(u.endswith(e["path"]) for u in hit_uris)
+        }
+        if not affected:
+            return _commit(table_path, parent, "compact", files)
+        aff_entries = [e for e in files if e["path"] in affected]
+        carried = [e for e in files if e["path"] not in affected]
+        df = _read_files(
+            spark, table_path, aff_entries, m.get("dvs"), eqs=m.get("eqs")
+        )
+        if m.get("spec"):
+            from iceberg_file_writer_spark.ingest.partitioning import _is_hidden
+
+            df = _apply_standing_spec(
+                df.drop(*[c for c in df.columns if _is_hidden(c)]), m
+            )
+        else:
+            df = df.coalesce(max(1, len(aff_entries) // 8))
+        rewritten = _write_data_files(df, table_path, target_rows)
+        return _commit(table_path, parent, "compact", carried + rewritten)
     df = _read_files(spark, table_path, files, m.get("dvs"), eqs=m.get("eqs"))
     if zorder_by is not None:
         if m.get("spec"):

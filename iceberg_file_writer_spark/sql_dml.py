@@ -46,9 +46,14 @@ source rows, and commits the result through the same one-commit MoR
 upsert as the whole-row form. The MoR DELETE opt-in mirrors Iceberg's
 write.delete.mode table property, spelled inline.
 
-    OPTIMIZE t [ZORDER BY (a, b)]                     -> commit_compact
+    OPTIMIZE t [ZORDER BY (a, b)] [WHERE <pred>]      -> commit_compact
                                          (ZORDER: Morton re-clustering —
-                                          both columns' zone maps tighten)
+                                          both columns' zone maps tighten;
+                                          WHERE: predicate-scoped rewrite —
+                                          only files holding matching rows
+                                          rewrite, the rest carry by
+                                          reference; not combinable with
+                                          ZORDER)
     ANALYZE TABLE t [COMPUTE STATISTICS]
                     [FOR COLUMNS a, b]                -> commit_analyze
                                          (persisted NDV/null/min/max +
@@ -147,7 +152,8 @@ _MERGE_RE = re.compile(
 )
 _OPTIMIZE_RE = re.compile(
     rf"^OPTIMIZE{_WS}(?P<t>{_ID})"
-    rf"(?:{_WS}ZORDER{_WS}BY{_WS}\(\s*(?P<z1>{_ID})\s*,\s*(?P<z2>{_ID})\s*\))?$",
+    rf"(?:{_WS}ZORDER{_WS}BY{_WS}\(\s*(?P<z1>{_ID})\s*,\s*(?P<z2>{_ID})\s*\))?"
+    rf"(?:{_WS}WHERE{_WS}(?P<pred>.+))?$",
     re.IGNORECASE,
 )
 _TRUNCATE_RE = re.compile(
@@ -683,13 +689,20 @@ def execute_dml(
     if m:
         path = _resolve(tables, m.group("t"))
         z = (m.group("z1"), m.group("z2")) if m.group("z1") else None
+        pred = m.group("pred")
         if _is_mapped(path):
             from iceberg_file_writer_spark.ingest.column_mapping import (
                 compact_mapped,
             )
 
+            if pred is not None:
+                raise ValueError(
+                    "OPTIMIZE ... WHERE is not supported on column-mapped "
+                    "tables yet (epoch-scoped rewrites would need per-"
+                    "epoch predicate resolution); OPTIMIZE the whole table"
+                )
             return compact_mapped(spark, path, zorder_by=z)
-        return commit_compact(spark, path, zorder_by=z)
+        return commit_compact(spark, path, zorder_by=z, where=pred)
 
     m = _ANALYZE_RE.match(stmt)
     if m:

@@ -1251,3 +1251,76 @@ def test_restore_statement_rejects_bad_version(spark, table):
     t, _ = table
     with pytest.raises(ValueError):
         execute_dml(spark, "RESTORE TABLE orders VERSION AS OF 9", {"orders": t})
+
+
+def test_optimize_where_rewrites_only_affected_files(spark, tmp_path):
+    """Predicate-scoped OPTIMIZE: files holding matching rows rewrite,
+    the rest carry BY REFERENCE (same manifest entries), rows identical,
+    and MoR tombstones on carried files keep applying."""
+    from iceberg_file_writer_spark.ingest.deletion_vectors import (
+        commit_delete_where_mor,
+    )
+    from iceberg_file_writer_spark.ingest.snapshots import read_manifest
+
+    t = str(tmp_path / "ord")
+    orders = load_tables(spark, SF_DIR)["orders"].select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    # many small files so the predicate isolates a subset
+    commit_append(spark, orders, t, max_rows=100)
+    # MoR-delete one row that lives OUTSIDE the compaction scope
+    commit_delete_where_mor(spark, t, "o_orderkey = 1400")
+    before = _canon(read_table_version(spark, t))
+    m1 = read_manifest(t, 2)
+    v = execute_dml(
+        spark, "OPTIMIZE ord WHERE o_orderkey < 150", {"ord": t}
+    )
+    m2 = read_manifest(t, v)
+    # rows identical (MoR row still deleted)
+    assert _canon(read_table_version(spark, t)) == before
+    # some files carried by reference, some rewritten
+    p1 = {e["path"] for e in m1["files"]}
+    p2 = {e["path"] for e in m2["files"]}
+    assert p1 & p2, "expected carried files"
+    assert p2 - p1, "expected rewritten files"
+    assert len(p2) < len(p1), "compaction should shrink the file count"
+    # carried entries keep their original seq stamps
+    seqs1 = {e["path"]: e.get("seq") for e in m1["files"]}
+    for e in m2["files"]:
+        if e["path"] in p1:
+            assert e.get("seq") == seqs1[e["path"]]
+    # sidecars carried (not cleared): the DV still lists its tombstone
+    assert m2.get("dvs"), "partial compaction must carry DV sidecars"
+
+
+def test_optimize_where_rejects_zorder_and_mapped(spark, table, tmp_path):
+    t, _ = table
+    with pytest.raises(ValueError, match="ZORDER"):
+        execute_dml(
+            spark,
+            "OPTIMIZE orders ZORDER BY (o_orderkey, o_custkey) "
+            "WHERE o_custkey < 5",
+            {"orders": t},
+        )
+    mt = str(tmp_path / "m")
+    load_tables(spark, SF_DIR)
+    execute_dml(
+        spark,
+        "CREATE TABLE m AS SELECT c_custkey, c_acctbal FROM customer "
+        "WHERE c_custkey < 20",
+        {"m": mt},
+    )
+    with pytest.raises(ValueError, match="mapped"):
+        execute_dml(spark, "OPTIMIZE m WHERE c_custkey < 5", {"m": mt})
+
+
+def test_optimize_where_no_match_is_pure_carry(spark, table):
+    t, _ = table
+    from iceberg_file_writer_spark.ingest.snapshots import read_manifest
+
+    m1 = read_manifest(t, 1)
+    v = execute_dml(
+        spark, "OPTIMIZE orders WHERE o_totalprice < 0", {"orders": t}
+    )
+    m2 = read_manifest(t, v)
+    assert {e["path"] for e in m2["files"]} == {e["path"] for e in m1["files"]}
