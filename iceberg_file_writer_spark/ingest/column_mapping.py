@@ -695,13 +695,44 @@ def compact_mapped(
     table_path: str,
     target_rows: int = 65536,
     zorder_by: "tuple[str, str] | None" = None,
+    where: "str | None" = None,
 ) -> int:
     """OPTIMIZE on a column-mapped table: rewrite everything under the
     CURRENT logical schema (epoch groups collapse to one mapping — the
     moment historical physical names are physically retired).
     ``zorder_by=(a, b)`` re-clusters the rewrite along the Morton
-    interleave exactly as the plain commit_compact does."""
+    interleave exactly as the plain commit_compact does.
+
+    ``where=<pred>`` scopes the rewrite to files holding matching LIVE
+    rows (the predicate resolves through the field-id projection per
+    evolution epoch — `_affected_paths`, the same discovery the mapped
+    DELETE uses); untouched files carry by reference under their own
+    historical mapping, so a scoped OPTIMIZE collapses only the epochs
+    it touches. Tombstones carry (the shared `_rewrite_mapped`
+    contract); not combinable with ZORDER (two competing layouts)."""
     v0 = current_version(table_path)
+    if where is not None:
+        if zorder_by is not None:
+            raise ValueError(
+                "scoped ZORDER would leave the table with two competing "
+                "layouts; OPTIMIZE ... ZORDER BY is whole-table"
+            )
+        m = read_manifest(table_path, v0)
+        affected = _affected_paths(spark, table_path, m, where)
+        if not affected:
+            return _commit_with_columns(
+                table_path, "compact", m["files"], m["columns"], parent=v0
+            )
+        return _rewrite_mapped(
+            spark,
+            table_path,
+            m,
+            affected,
+            lambda df: df.coalesce(max(1, len(affected) // 8)),
+            "compact",
+            target_rows,
+            parent=v0,
+        )
     df = read_mapped(spark, table_path, version=v0)  # MoR-applied state
     columns = table_columns(table_path, v0)
     if zorder_by is not None:

@@ -695,13 +695,7 @@ def execute_dml(
                 compact_mapped,
             )
 
-            if pred is not None:
-                raise ValueError(
-                    "OPTIMIZE ... WHERE is not supported on column-mapped "
-                    "tables yet (epoch-scoped rewrites would need per-"
-                    "epoch predicate resolution); OPTIMIZE the whole table"
-                )
-            return compact_mapped(spark, path, zorder_by=z)
+            return compact_mapped(spark, path, zorder_by=z, where=pred)
         return commit_compact(spark, path, zorder_by=z, where=pred)
 
     m = _ANALYZE_RE.match(stmt)

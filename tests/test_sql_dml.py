@@ -1293,7 +1293,9 @@ def test_optimize_where_rewrites_only_affected_files(spark, tmp_path):
     assert m2.get("dvs"), "partial compaction must carry DV sidecars"
 
 
-def test_optimize_where_rejects_zorder_and_mapped(spark, table, tmp_path):
+def test_optimize_where_rejects_scoped_zorder(spark, table, tmp_path):
+    """Scoped ZORDER refused on BOTH table flavors — it would leave two
+    competing layouts."""
     t, _ = table
     with pytest.raises(ValueError, match="ZORDER"):
         execute_dml(
@@ -1310,8 +1312,12 @@ def test_optimize_where_rejects_zorder_and_mapped(spark, table, tmp_path):
         "WHERE c_custkey < 20",
         {"m": mt},
     )
-    with pytest.raises(ValueError, match="mapped"):
-        execute_dml(spark, "OPTIMIZE m WHERE c_custkey < 5", {"m": mt})
+    with pytest.raises(ValueError, match="ZORDER"):
+        execute_dml(
+            spark,
+            "OPTIMIZE m ZORDER BY (c_custkey, c_acctbal) WHERE c_custkey < 5",
+            {"m": mt},
+        )
 
 
 def test_optimize_where_no_match_is_pure_carry(spark, table):
@@ -1324,3 +1330,43 @@ def test_optimize_where_no_match_is_pure_carry(spark, table):
     )
     m2 = read_manifest(t, v)
     assert {e["path"] for e in m2["files"]} == {e["path"] for e in m1["files"]}
+
+
+def test_optimize_where_on_mapped_table_scopes_by_epoch(spark, tmp_path):
+    """Scoped OPTIMIZE on a COLUMN-MAPPED table: the predicate resolves
+    through the field-id projection, only matching files rewrite (stamped
+    with the CURRENT mapping), pre-evolution epochs outside the scope
+    stay untouched on disk, and rows read identically."""
+    from iceberg_file_writer_spark.ingest.column_mapping import read_mapped
+    from iceberg_file_writer_spark.ingest.snapshots import read_manifest
+
+    t = str(tmp_path / "m")
+    load_tables(spark, SF_DIR)
+    tbl = {"m": t}
+    execute_dml(
+        spark,
+        "CREATE TABLE m AS SELECT c_custkey, c_acctbal FROM customer "
+        "WHERE c_custkey < 60",
+        tbl,
+    )  # v1 epoch
+    execute_dml(spark, "ALTER TABLE m RENAME COLUMN c_acctbal TO balance", tbl)
+    execute_dml(
+        spark,
+        "INSERT INTO m SELECT c_custkey, c_acctbal AS balance FROM customer "
+        "WHERE c_custkey BETWEEN 60 AND 119",
+        tbl,
+    )  # v3: second epoch under the renamed schema
+    before = _canon(read_mapped(spark, t))
+    mv = read_manifest(t, 3)
+    v = execute_dml(spark, "OPTIMIZE m WHERE c_custkey >= 60", tbl)
+    after_m = read_manifest(t, v)
+    assert _canon(read_mapped(spark, t)) == before
+    p_old = {e["path"] for e in mv["files"]}
+    p_new = {e["path"] for e in after_m["files"]}
+    assert p_old & p_new, "out-of-scope epoch must carry by reference"
+    assert p_new - p_old, "in-scope files must rewrite"
+    # the rewritten entries carry the CURRENT (renamed) mapping
+    cur_cols = {c[1] for c in after_m["columns"]}
+    for e in after_m["files"]:
+        if e["path"] not in p_old:
+            assert {c[1] for c in e["cols"]} <= cur_cols
