@@ -98,6 +98,22 @@ def _gc(view_path: str, keep: str, grace: "str | None" = None) -> None:
             shutil.rmtree(os.path.join(view_path, d), ignore_errors=True)
 
 
+def _refuse_mapped(table_path: str, version: int) -> None:
+    """The view reads and diffs the base table through the PLAIN
+    name-based path (read_table_version / changes_between); on a
+    column-mapped table that path would surface historical physical
+    names after a rename and silently mis-aggregate — refuse loudly,
+    like the name-based snapshot_table format does."""
+    from iceberg_file_writer_spark.ingest.snapshots import read_manifest
+
+    if "columns" in read_manifest(table_path, version):
+        raise ValueError(
+            f"{table_path} is a column-mapped table: aggregate views "
+            "read through the plain name-based path and would mis-"
+            "resolve post-rename epochs; use a plain snapshot table"
+        )
+
+
 def _check_exact(df: DataFrame, value_col: str) -> None:
     typ = dict(df.dtypes)[value_col]
     if not typ.startswith(_EXACT_PREFIXES):
@@ -130,6 +146,7 @@ def init_agg_view(
     """Materialize GROUP BY ``keys`` -> (count, sum(value_col)) over the
     table's CURRENT version; returns the version the view now reflects."""
     v = current_version(table_path)
+    _refuse_mapped(table_path, v)
     df = read_table_version(spark, table_path)
     _check_exact(df, value_col)
     os.makedirs(view_path, exist_ok=True)
@@ -172,6 +189,7 @@ def refresh_agg_view(spark: SparkSession, table_path: str, view_path: str) -> in
         )
     keys, value_col = st["keys"], st["value_col"]
     cur = current_version(table_path)
+    _refuse_mapped(table_path, cur)
     if cur == st["version"]:
         return cur
     if cur < st["version"]:

@@ -217,3 +217,36 @@ def test_decimal_value_column_refused(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="integral"):
         init_agg_view(spark, t, str(tmp_path / "view"), ["grp"], "price")
+
+
+def test_mapped_base_table_refused(spark, tmp_path):
+    """agg views read the base through the plain name-based path; a
+    column-mapped base would mis-resolve post-rename epochs — refused
+    loudly at init AND at refresh (a table converted underneath)."""
+    from iceberg_file_writer_spark.sql_dml import execute_dml
+
+    t = str(tmp_path / "m")
+    load_tables(spark, SF_DIR)
+    execute_dml(
+        spark,
+        "CREATE TABLE m AS SELECT c_custkey, c_custkey % 10 AS grp, "
+        "CAST(c_acctbal * 100 AS BIGINT) AS cents FROM customer "
+        "WHERE c_custkey < 20",
+        {"m": t},
+    )
+    with pytest.raises(ValueError, match="mapped"):
+        init_agg_view(spark, t, str(tmp_path / "v"), ["grp"], "cents")
+
+    # plain base, converted to mapped AFTER the view exists
+    t2 = str(tmp_path / "p")
+    v2 = str(tmp_path / "v2")
+    commit_append(
+        spark,
+        _base(spark).where("o_orderkey % 50 = 0"),
+        t2,
+        max_rows=500,
+    )
+    init_agg_view(spark, t2, v2, ["grp"], "cents")
+    execute_dml(spark, "ALTER TABLE p CONVERT TO MAPPED", {"p": t2})
+    with pytest.raises(ValueError, match="mapped"):
+        refresh_agg_view(spark, t2, v2)
