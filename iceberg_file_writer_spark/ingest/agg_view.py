@@ -106,6 +106,9 @@ def _refuse_mapped(table_path: str, version: int) -> None:
     like the name-based snapshot_table format does."""
     from iceberg_file_writer_spark.ingest.snapshots import read_manifest
 
+    if version == 0:
+        return  # no snapshots yet: read_table_version raises its own
+        # clear "no committed snapshots" error downstream
     if "columns" in read_manifest(table_path, version):
         raise ValueError(
             f"{table_path} is a column-mapped table: aggregate views "

@@ -500,6 +500,39 @@ def commit_truncate(table_path: str) -> int:
     )
 
 
+def _affected_file_paths(
+    spark: SparkSession, table_path: str, m: dict, predicate: str
+) -> set:
+    """Manifest-relative paths of files holding LIVE rows where the
+    predicate is TRUE — ONE predicate-pushed scan keyed by the physical
+    file name (footer/row-group stats prune most files' bytes; at scale
+    this is metadata work, not data movement). The scan is MoR-APPLIED:
+    a row already tombstoned by a DV or an equality delete must not drag
+    its file into a CoW rewrite (pure write amplification). Shared by
+    DELETE / UPDATE / scoped OPTIMIZE."""
+    files = m["files"]
+    if not files:
+        return set()
+    scan = _read_files(
+        spark,
+        table_path,
+        files,
+        m.get("dvs"),
+        with_position=True,
+        eqs=m.get("eqs"),
+    )
+    hit_names = {
+        r.f
+        for r in scan.where(predicate)
+        .select(F.col("_pos_fn").alias("f"))
+        .distinct()
+        .collect()
+    }
+    return {
+        e["path"] for e in files if os.path.basename(e["path"]) in hit_names
+    }
+
+
 def commit_delete_where(
     spark: SparkSession, table_path: str, predicate: str, max_rows: int = 4096
 ) -> int:
@@ -511,30 +544,15 @@ def commit_delete_where(
     movement. Unaffected files carry into the new manifest by reference.
     """
     parent = current_version(table_path)
-    files = read_manifest(table_path, parent)["files"]
-    paths = [os.path.join(table_path, e["path"]) for e in files]
-    if not paths:
+    pm = read_manifest(table_path, parent)
+    files = pm["files"]
+    if not files:
         return _commit(table_path, parent, "delete", [])
 
-    hit_uris = {
-        r.f
-        for r in (
-            spark.read.schema(_standing_schema(spark, table_path, files))
-            .parquet(*paths)
-            .where(predicate)
-            .select(F.input_file_name().alias("f"))
-            .distinct()
-            .collect()
-        )
-    }
-    # input_file_name returns file: URIs; match by manifest-relative suffix
-    affected = {
-        e["path"] for e in files if any(u.endswith(e["path"]) for u in hit_uris)
-    }
+    affected = _affected_file_paths(spark, table_path, pm, predicate)
     if not affected:
         return _commit(table_path, parent, "delete", files)
 
-    pm = read_manifest(table_path, parent)
     aff_entries = [e for e in files if e["path"] in affected]
     survivors = _read_files(
         spark,
@@ -542,6 +560,7 @@ def commit_delete_where(
         aff_entries,
         pm.get("dvs"),
         eqs=pm.get("eqs"),
+        schema_files=files,
     ).where(f"({predicate}) IS NOT TRUE")
     # IS NOT TRUE, not NOT(...): SQL DELETE removes rows where the
     # predicate is TRUE — a NULL-valued predicate row must SURVIVE, but
@@ -572,24 +591,10 @@ def commit_update_where(
     parent = current_version(table_path)
     pm = read_manifest(table_path, parent) if parent else {}
     files = pm.get("files") or []
-    paths = [os.path.join(table_path, e["path"]) for e in files]
-    if not paths:
+    if not files:
         return _commit(table_path, parent, "update", [])
 
-    hit_uris = {
-        r.f
-        for r in (
-            spark.read.schema(_standing_schema(spark, table_path, files))
-            .parquet(*paths)
-            .where(predicate)
-            .select(F.input_file_name().alias("f"))
-            .distinct()
-            .collect()
-        )
-    }
-    affected = {
-        e["path"] for e in files if any(u.endswith(e["path"]) for u in hit_uris)
-    }
+    affected = _affected_file_paths(spark, table_path, pm, predicate)
     if not affected:
         return _commit(table_path, parent, "update", files)
 
@@ -601,6 +606,7 @@ def commit_update_where(
         [e for e in files if e["path"] in affected],
         pm.get("dvs"),
         eqs=pm.get("eqs"),
+        schema_files=files,
     )
     visible = [f for f in aff.schema.fields if not _is_hidden(f.name)]
     unknown = set(assignments) - {f.name for f in visible}
@@ -755,6 +761,7 @@ def _read_files(
     dvs: "list[str] | None" = None,
     with_position: bool = False,
     eqs: "list[dict] | None" = None,
+    schema_files: "list[dict] | None" = None,
 ) -> DataFrame:
     """Scan manifest entries; when the snapshot carries merge-on-read
     deletes, apply them at read time so deleted rows never surface:
@@ -788,12 +795,19 @@ def _read_files(
         tuple(dvs or []),
         tuple((e["path"], int(e.get("seq") or 0)) for e in (eqs or [])),
         with_position,
+        tuple(e["path"] for e in (schema_files or [])),
     )
     cached = _READ_PLAN_CACHE.get(key)
     if cached is not None:
         return cached
+    # ``schema_files`` lets a partial read (a CoW rewrite of an affected
+    # SUBSET) use the FULL snapshot's standing schema: deriving it from
+    # the subset would narrow the table when every affected file
+    # predates an additive evolution — the rewrite, stamped newest-seq,
+    # would then become the schema source and drop later-added columns
+    # from all subsequent reads.
     data = spark.read.schema(
-        _standing_schema(spark, table_path, files)
+        _standing_schema(spark, table_path, schema_files or files)
     ).parquet(*[os.path.join(table_path, e["path"]) for e in files])
     if not dvs and not eqs and not with_position:
         if len(_READ_PLAN_CACHE) >= _READ_PLAN_CACHE_MAX:
@@ -1160,31 +1174,20 @@ def commit_compact(
                 "scoped ZORDER would leave the table with two competing "
                 "layouts; OPTIMIZE ... ZORDER BY is whole-table"
             )
-        paths = [os.path.join(table_path, e["path"]) for e in files]
-        if not paths:
+        if not files:
             return _commit(table_path, parent, "compact", [])
-        hit_uris = {
-            r.f
-            for r in (
-                spark.read.schema(_standing_schema(spark, table_path, files))
-                .parquet(*paths)
-                .where(where)
-                .select(F.input_file_name().alias("f"))
-                .distinct()
-                .collect()
-            )
-        }
-        affected = {
-            e["path"]
-            for e in files
-            if any(u.endswith(e["path"]) for u in hit_uris)
-        }
+        affected = _affected_file_paths(spark, table_path, m, where)
         if not affected:
             return _commit(table_path, parent, "compact", files)
         aff_entries = [e for e in files if e["path"] in affected]
         carried = [e for e in files if e["path"] not in affected]
         df = _read_files(
-            spark, table_path, aff_entries, m.get("dvs"), eqs=m.get("eqs")
+            spark,
+            table_path,
+            aff_entries,
+            m.get("dvs"),
+            eqs=m.get("eqs"),
+            schema_files=files,
         )
         if m.get("spec"):
             from iceberg_file_writer_spark.ingest.partitioning import _is_hidden
@@ -1195,6 +1198,18 @@ def commit_compact(
         else:
             df = df.coalesce(max(1, len(aff_entries) // 8))
         rewritten = _write_data_files(df, table_path, target_rows)
+        if not carried:
+            # the scope happened to cover every file: this IS a full
+            # compaction — retire the now-inert sidecars exactly as the
+            # whole-table branch does (otherwise every later read pays
+            # the DV/eq joins forever and the sidecars can never GC)
+            return _commit(
+                table_path,
+                parent,
+                "compact",
+                rewritten,
+                extra={"dvs": [], "eqs": [], "bloom": []},
+            )
         return _commit(table_path, parent, "compact", carried + rewritten)
     df = _read_files(spark, table_path, files, m.get("dvs"), eqs=m.get("eqs"))
     if zorder_by is not None:
@@ -1323,6 +1338,13 @@ def changes_between(
     """
     ma = read_manifest(table_path, from_version)
     mb = read_manifest(table_path, to_version)
+    if "columns" in ma or "columns" in mb:
+        raise ValueError(
+            f"{table_path} is a column-mapped table: the change feed "
+            "reads name-based and would surface historical physical "
+            "names after a rename (NULL-filled spurious +/- pairs); "
+            "read via the field-id path instead"
+        )
     ea = {e["path"]: e for e in ma["files"]}
     eb = {e["path"]: e for e in mb["files"]}
     a, b = set(ea), set(eb)

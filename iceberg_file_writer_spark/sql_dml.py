@@ -154,7 +154,7 @@ _OPTIMIZE_RE = re.compile(
     rf"^OPTIMIZE{_WS}(?P<t>{_ID})"
     rf"(?:{_WS}ZORDER{_WS}BY{_WS}\(\s*(?P<z1>{_ID})\s*,\s*(?P<z2>{_ID})\s*\))?"
     rf"(?:{_WS}WHERE{_WS}(?P<pred>.+))?$",
-    re.IGNORECASE,
+    re.IGNORECASE | re.DOTALL,
 )
 _TRUNCATE_RE = re.compile(
     rf"^TRUNCATE{_WS}TABLE{_WS}(?P<t>{_ID})$", re.IGNORECASE

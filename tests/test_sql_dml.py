@@ -1370,3 +1370,103 @@ def test_optimize_where_on_mapped_table_scopes_by_epoch(spark, tmp_path):
     for e in after_m["files"]:
         if e["path"] not in p_old:
             assert {c[1] for c in e["cols"]} <= cur_cols
+
+
+def test_optimize_where_keeps_added_columns_full_width(spark, tmp_path):
+    """Scoped compact of files that PREDATE an additive evolution must
+    rewrite FULL-WIDTH under the snapshot's standing schema: the
+    rewritten file becomes the newest-seq schema source, so deriving the
+    read schema from the affected subset would silently drop the
+    later-added column from every subsequent read."""
+    t = str(tmp_path / "ord")
+    orders = load_tables(spark, SF_DIR)["orders"]
+    old = orders.selectExpr("o_orderkey", "o_totalprice").where(
+        "o_orderkey < 300"
+    )
+    new = orders.selectExpr(
+        "o_orderkey", "o_totalprice", "o_orderstatus AS status"
+    ).where("o_orderkey >= 300 AND o_orderkey < 600")
+    commit_append(spark, old, t, max_rows=100)
+    commit_append(spark, new, t, max_rows=100)  # additive evolution
+    # scope the rewrite to the PRE-evolution files only
+    execute_dml(spark, "OPTIMIZE ord WHERE o_orderkey < 300", {"ord": t})
+    got = read_table_version(spark, t)
+    assert "status" in got.columns
+    assert got.where("status IS NOT NULL").count() == 300
+    assert got.count() == 600
+
+
+def test_optimize_where_skips_fully_tombstoned_files(spark, tmp_path):
+    """Discovery is MoR-applied: a file whose ONLY predicate-matching
+    rows are already tombstoned must not drag into the rewrite (pure
+    write amplification)."""
+    from iceberg_file_writer_spark.ingest.deletion_vectors import (
+        commit_delete_where_mor,
+    )
+    from iceberg_file_writer_spark.ingest.snapshots import read_manifest
+
+    t = str(tmp_path / "ord")
+    orders = load_tables(spark, SF_DIR)["orders"].select(
+        "o_orderkey", "o_totalprice"
+    )
+    commit_append(spark, orders, t, max_rows=100)
+    # tombstone EVERY row the predicate would match in the first file
+    commit_delete_where_mor(spark, t, "o_orderkey < 100")
+    m1 = read_manifest(t, 2)
+    v = execute_dml(
+        spark, "OPTIMIZE ord WHERE o_orderkey < 100", {"ord": t}
+    )
+    m2 = read_manifest(t, v)
+    assert {e["path"] for e in m2["files"]} == {
+        e["path"] for e in m1["files"]
+    }, "no live row matched: pure carry, nothing rewritten"
+
+
+def test_optimize_where_multiline_predicate(spark, table):
+    t, _ = table
+    v = execute_dml(
+        spark,
+        "OPTIMIZE orders WHERE o_custkey < 50\n  AND o_totalprice > 0",
+        {"orders": t},
+    )
+    assert v == 2
+
+
+def test_changes_between_refuses_mapped_tables(spark, tmp_path):
+    from iceberg_file_writer_spark.ingest.snapshots import changes_between
+
+    t = str(tmp_path / "m")
+    load_tables(spark, SF_DIR)
+    execute_dml(
+        spark,
+        "CREATE TABLE m AS SELECT c_custkey, c_acctbal FROM customer "
+        "WHERE c_custkey < 20",
+        {"m": t},
+    )
+    execute_dml(spark, "INSERT INTO m SELECT c_custkey, c_acctbal "
+                "FROM customer WHERE c_custkey BETWEEN 20 AND 29", {"m": t})
+    with pytest.raises(ValueError, match="mapped"):
+        changes_between(spark, t, 1, 2)
+
+
+def test_optimize_where_covering_all_files_retires_sidecars(spark, tmp_path):
+    """A scope that covers every file IS a full compaction: the inert
+    sidecars retire exactly as the whole-table branch retires them."""
+    from iceberg_file_writer_spark.ingest.deletion_vectors import (
+        commit_delete_where_mor,
+    )
+    from iceberg_file_writer_spark.ingest.snapshots import read_manifest
+
+    t = str(tmp_path / "ord")
+    orders = load_tables(spark, SF_DIR)["orders"].select(
+        "o_orderkey", "o_totalprice"
+    )
+    commit_append(spark, orders, t, max_rows=200)
+    commit_delete_where_mor(spark, t, "o_orderkey = 7")
+    before = _canon(read_table_version(spark, t))
+    v = execute_dml(
+        spark, "OPTIMIZE ord WHERE o_totalprice >= 0", {"ord": t}
+    )
+    m2 = read_manifest(t, v)
+    assert not m2.get("dvs") and not m2.get("eqs")
+    assert _canon(read_table_version(spark, t)) == before
