@@ -439,3 +439,60 @@ def event_value_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
             "purchase_rate"
         ),
     )
+
+
+# --- kNN-distance outlier mining ---------------------------------------------
+#
+# The embedding-space curation screen: a vector far from even its nearest
+# neighbors is a mislabeled/garbage/exotic sample. Outlier score = mean
+# cosine DISTANCE to the exact top-k neighbors — composed from the
+# registered brute-force operand so the score can never drift from what
+# the retrieval stack actually computes.
+
+OUTLIER_TOP_N = 10
+
+_OUTLIER_ORACLE = f"""
+WITH exact AS (
+{_REGISTRY["knn_bruteforce_cosine"].oracle}
+)
+SELECT query_id,
+       round(1 - avg(cosine_sim), 6) AS outlier_score,
+       round(1 - max(cosine_sim), 6) AS nn_distance
+FROM exact
+GROUP BY query_id
+ORDER BY outlier_score DESC, query_id
+LIMIT {OUTLIER_TOP_N}
+"""
+
+
+@register(
+    "embedding_knn_outliers",
+    oracle=_OUTLIER_ORACLE,
+    description=(
+        f"kNN-distance outlier mining: top-{OUTLIER_TOP_N} query vectors "
+        f"by mean cosine distance to their exact top-{KNN_K} neighbors "
+        "(with the single-nearest-neighbor distance alongside) — the "
+        "embedding-space curation screen for mislabeled/garbage "
+        "samples; composed from the registered brute-force operand"
+    ),
+    driver_exposed=False,
+)
+def embedding_knn_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isolation by neighborhood distance.
+
+    Scale shape: the operand plan (broadcast queries x one corpus scan,
+    per-query top-k) is the only data-sized work; this adds a k-row-per-
+    query aggregate and a TakeOrderedAndProject. At full-corpus scale
+    the same composition rides the IVF operand instead — the scoring
+    tail is operand-agnostic.
+    """
+    exact = knn_bruteforce_cosine(spark, sf_dir)
+    return (
+        exact.groupBy("query_id")
+        .agg(
+            F.round(F.lit(1) - F.avg("cosine_sim"), 6).alias("outlier_score"),
+            F.round(F.lit(1) - F.max("cosine_sim"), 6).alias("nn_distance"),
+        )
+        .orderBy(F.desc("outlier_score"), "query_id")
+        .limit(OUTLIER_TOP_N)
+    )

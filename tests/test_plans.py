@@ -735,3 +735,19 @@ def test_rake_is_one_explode_plus_bounded_joins(spark):
     assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p, p
     assert "TakeOrderedAndProject" in p, p
     assert "CartesianProduct" not in p, p
+
+
+def test_rfm_has_no_global_sort_and_broadcast_ledgers(spark):
+    """RFM scores come from ledger-sized windows + broadcast joins —
+    the deciles entry's scale note forbids a corpus-wide ntile here."""
+    p = _plan(spark, "user_rfm_segmentation")
+    assert "ntile" not in p, p
+    assert "BroadcastHashJoin" in p, p
+    assert "SortMergeJoin" not in p, p
+    assert "CartesianProduct" not in p, p
+
+
+def test_embedding_outliers_is_operand_plus_topk(spark):
+    p = _plan(spark, "embedding_knn_outliers")
+    assert "TakeOrderedAndProject" in p, p
+    assert "CartesianProduct" not in p, p
