@@ -2525,3 +2525,74 @@ def user_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_monetary"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Chi-square independence test (round-10 session 3): are order priority
+# and order status independent? The classic categorical association test,
+# as pure aggregation: observed cell counts vs expected = row*col/total.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "orders_priority_status_chi2",
+    oracle="""
+WITH obs AS (
+  SELECT o_orderpriority AS pri, o_orderstatus AS st,
+         CAST(count(*) AS BIGINT) AS o
+  FROM orders GROUP BY 1, 2
+),
+rows_t AS (SELECT pri, sum(o) AS r FROM obs GROUP BY pri),
+cols_t AS (SELECT st, sum(o) AS c FROM obs GROUP BY st),
+tot AS (SELECT sum(o) AS t FROM obs)
+SELECT obs.pri, obs.st, obs.o AS observed,
+       round(r.r * c.c / t.t::DOUBLE, 6) AS expected,
+       round(power(obs.o - r.r * c.c / t.t::DOUBLE, 2)
+             / (r.r * c.c / t.t::DOUBLE), 8) AS chi2_term
+FROM obs
+JOIN rows_t r ON r.pri = obs.pri
+JOIN cols_t c ON c.st = obs.st
+CROSS JOIN tot t
+""",
+    description=(
+        "Chi-square independence test of order priority vs order "
+        "status: per-cell observed counts, expected counts under "
+        "independence (row x col / total), and chi-square terms — the "
+        "classic categorical association test as ONE contingency "
+        "aggregate plus broadcast marginals"
+    ),
+    driver_exposed=False,
+)
+def orders_priority_status_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Categorical association as pure aggregation.
+
+    Scale shape: the scan collapses to the contingency table (bounded
+    by the category-pair domain — priorities x statuses); marginals and
+    the grand total derive from the CACHED table and join back
+    broadcast. All counts exact integers; the only floats are the final
+    expected/term divisions, identical single operations per cell in
+    both engines.
+    """
+    orders = load_tables(spark, sf_dir)["orders"]
+    obs = ensure_cached(
+        orders.groupBy(
+            F.col("o_orderpriority").alias("pri"),
+            F.col("o_orderstatus").alias("st"),
+        ).agg(F.count(F.lit(1)).cast("long").alias("o"))
+    )
+    rows_t = obs.groupBy("pri").agg(F.sum("o").alias("r"))
+    cols_t = obs.groupBy("st").agg(F.sum("o").alias("c"))
+    tot = obs.agg(F.sum("o").alias("t"))
+    exp = F.col("r") * F.col("c") / F.col("t").cast("double")
+    return (
+        obs.join(F.broadcast(rows_t), "pri")
+        .join(F.broadcast(cols_t), "st")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "pri",
+            "st",
+            F.col("o").alias("observed"),
+            F.round(exp, 6).alias("expected"),
+            F.round(F.pow(F.col("o") - exp, 2) / exp, 8).alias("chi2_term"),
+        )
+    )

@@ -751,3 +751,12 @@ def test_embedding_outliers_is_operand_plus_topk(spark):
     p = _plan(spark, "embedding_knn_outliers")
     assert "TakeOrderedAndProject" in p, p
     assert "CartesianProduct" not in p, p
+
+
+def test_chi2_contingency_is_cached_one_scan(spark):
+    """Marginals and the total derive from the CACHED contingency table
+    — one parquet scan inside the cached build, broadcast joins only."""
+    p = _plan(spark, "orders_priority_status_chi2")
+    assert "InMemoryTableScan" in p, p
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) <= 1, p
+    assert "SortMergeJoin" not in p, p
