@@ -63,6 +63,14 @@ write.delete.mode table property, spelled inline.
 DDL (column-mapped tables — field-id schema evolution from birth):
 
     CREATE TABLE t AS <query>                -> create_mapped_table
+    CREATE TABLE t (a BIGINT, b STRING, ...) -> create_mapped_table (an
+                                                EMPTY mapped table with
+                                                the declared schema)
+    DESCRIBE [TABLE] t [VERSION AS OF n]     -> (execute_query) the
+                                                logical schema relation:
+                                                col_name/data_type/
+                                                field_id (ids NULL on
+                                                plain tables)
     TRUNCATE TABLE t                         -> empty commit (schema kept;
                                                 plain tables: commit_truncate)
     ALTER TABLE t CONVERT TO MAPPED          -> convert_to_mapped (upgrade
@@ -158,6 +166,15 @@ _OPTIMIZE_RE = re.compile(
 )
 _TRUNCATE_RE = re.compile(
     rf"^TRUNCATE{_WS}TABLE{_WS}(?P<t>{_ID})$", re.IGNORECASE
+)
+_CREATE_SCHEMA_RE = re.compile(
+    rf"^CREATE{_WS}TABLE{_WS}(?P<t>{_ID})\s*\((?P<cols>.+)\)\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_DESCRIBE_RE = re.compile(
+    rf"^DESC(?:RIBE)?(?:{_WS}TABLE)?{_WS}(?P<t>{_ID})"
+    rf"(?:{_WS}VERSION{_WS}AS{_WS}OF{_WS}(?P<v>\d+))?$",
+    re.IGNORECASE,
 )
 _CTAS_RE = re.compile(
     rf"^CREATE{_WS}TABLE{_WS}(?P<t>{_ID}){_WS}AS"
@@ -468,6 +485,24 @@ def execute_dml(
             spark, spark.sql(m.group("q")), path, max_rows=max_rows
         )
 
+    m = _CREATE_SCHEMA_RE.match(stmt)
+    if m:
+        # CREATE TABLE t (a BIGINT, b STRING ...): an EMPTY column-mapped
+        # table with the declared schema — field ids assigned 1..n, every
+        # later write/evolution flows through the same mapped verbs as a
+        # CTAS-born table (read_mapped synthesizes the schema for the
+        # empty state). Column definitions parse as Spark DDL, so any
+        # Spark type spelling works.
+        from iceberg_file_writer_spark.ingest.column_mapping import (
+            create_mapped_table,
+        )
+
+        path = _resolve(tables, m.group("t"))
+        if _table_exists(path):
+            raise ValueError(f"table exists: {m.group('t')} ({path})")
+        empty = spark.createDataFrame([], m.group("cols").strip())
+        return create_mapped_table(spark, empty, path, max_rows=max_rows)
+
     m = _DROP_TABLE_RE.match(stmt)
     if m:
         import shutil
@@ -751,6 +786,37 @@ def execute_query(
     )
 
     stmt = sql.strip().rstrip(";")
+
+    dm = _DESCRIBE_RE.match(stmt)
+    if dm:
+        # DESCRIBE [TABLE] t [VERSION AS OF n]: the logical schema as a
+        # relation — (col_name, data_type, field_id), field ids NULL on
+        # plain (name-based) tables. Time travel shows the AS-OF schema
+        # (a pre-rename version describes under its own names).
+        path = _resolve(tables, dm.group("t"))
+        version = int(dm.group("v")) if dm.group("v") else None
+        if _is_mapped(path):
+            from iceberg_file_writer_spark.ingest.column_mapping import (
+                table_columns,
+            )
+
+            rows = [
+                (name, typ, int(cid))
+                for cid, name, typ in table_columns(path, version)
+            ]
+        else:
+            from iceberg_file_writer_spark.ingest.snapshots import (
+                read_table_version as _rtv,
+            )
+
+            rows = [
+                (f.name, f.dataType.simpleString(), None)
+                for f in _rtv(spark, path, version).schema.fields
+            ]
+        return spark.createDataFrame(
+            rows, "col_name string, data_type string, field_id long"
+        )
+
     rewritten = stmt
 
     def _read(path: str, version: "int | None") -> "object":

@@ -1470,3 +1470,71 @@ def test_optimize_where_covering_all_files_retires_sidecars(spark, tmp_path):
     m2 = read_manifest(t, v)
     assert not m2.get("dvs") and not m2.get("eqs")
     assert _canon(read_table_version(spark, t)) == before
+
+
+def test_create_table_with_explicit_schema(spark, tmp_path):
+    """CREATE TABLE t (cols...) makes an EMPTY column-mapped table; the
+    declared schema reads back, inserts land, and evolution works from
+    birth exactly like a CTAS-born table."""
+    from iceberg_file_writer_spark.ingest.column_mapping import (
+        read_mapped,
+        table_columns,
+    )
+
+    t = str(tmp_path / "c")
+    load_tables(spark, SF_DIR)
+    tbl = {"c": t}
+    v = execute_dml(
+        spark, "CREATE TABLE c (ck BIGINT, name STRING, bal DOUBLE)", tbl
+    )
+    assert v == 1
+    got = read_mapped(spark, t)
+    assert got.columns == ["ck", "name", "bal"] and got.count() == 0
+    assert [c[0] for c in table_columns(t)] == [1, 2, 3]
+    execute_dml(
+        spark,
+        "INSERT INTO c SELECT c_custkey AS ck, c_name AS name, "
+        "c_acctbal AS bal FROM customer WHERE c_custkey < 5",
+        tbl,
+    )
+    execute_dml(spark, "ALTER TABLE c RENAME COLUMN bal TO balance", tbl)
+    assert read_mapped(spark, t).where("balance IS NOT NULL").count() == 5
+    with pytest.raises(ValueError, match="exists"):
+        execute_dml(spark, "CREATE TABLE c (x BIGINT)", tbl)
+
+
+def test_describe_table_both_flavors_and_time_travel(spark, tmp_path, table):
+    """DESCRIBE shows (col_name, data_type, field_id): ids on mapped
+    tables, NULL ids on plain; VERSION AS OF describes the as-of schema
+    (a pre-rename version under its own names)."""
+    from iceberg_file_writer_spark.sql_dml import execute_query
+
+    t, _ = table
+    plain = execute_query(spark, "DESCRIBE orders", {"orders": t}).collect()
+    assert [r.col_name for r in plain] == [
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+    ]
+    assert all(r.field_id is None for r in plain)
+
+    mt = str(tmp_path / "m")
+    load_tables(spark, SF_DIR)
+    execute_dml(
+        spark,
+        "CREATE TABLE m AS SELECT c_custkey, c_acctbal FROM customer "
+        "WHERE c_custkey < 5",
+        {"m": mt},
+    )
+    execute_dml(
+        spark, "ALTER TABLE m RENAME COLUMN c_acctbal TO balance", {"m": mt}
+    )
+    cur = execute_query(spark, "DESCRIBE TABLE m", {"m": mt}).collect()
+    assert [(r.col_name, r.field_id) for r in cur] == [
+        ("c_custkey", 1),
+        ("balance", 2),
+    ]
+    old = execute_query(
+        spark, "DESC m VERSION AS OF 1", {"m": mt}
+    ).collect()
+    assert [r.col_name for r in old] == ["c_custkey", "c_acctbal"]
