@@ -64,8 +64,10 @@ _STATE = "_agg_view_state.json"
 # Integral only: the maintained sums live as BIGINT, and truncating a
 # DECIMAL per delta would violate the recompute-equality contract
 # (truncate(a) + truncate(b) != truncate(a + b)). Decimal callers cast
-# to scaled integers (cents) first.
-_EXACT_PREFIXES = ("int", "bigint", "smallint", "tinyint", "long")
+# to scaled integers (cents) first. Exact dtype set, not a prefix
+# match: ANSI interval dtypes ("interval day" ...) also start with
+# "int" and must not slip through.
+_EXACT_TYPES = frozenset({"int", "bigint", "smallint", "tinyint", "long"})
 
 
 def _state_path(view_path: str) -> str:
@@ -119,7 +121,7 @@ def _refuse_mapped(table_path: str, version: int) -> None:
 
 def _check_exact(df: DataFrame, value_col: str) -> None:
     typ = dict(df.dtypes)[value_col]
-    if not typ.startswith(_EXACT_PREFIXES):
+    if typ not in _EXACT_TYPES:
         raise ValueError(
             f"value column {value_col!r} has type {typ}: count/sum "
             "retraction is exact only over integral values — cast to a "
@@ -153,6 +155,13 @@ def init_agg_view(
     df = read_table_version(spark, table_path)
     _check_exact(df, value_col)
     os.makedirs(view_path, exist_ok=True)
+    # Re-init over an existing view is the documented recompute path:
+    # the generation being replaced gets the same one-cycle grace that
+    # refresh gives, so a reader that just loaded the old state pointer
+    # still finds its files.
+    prior = None
+    if os.path.exists(_state_path(view_path)):
+        prior = _read_state(view_path).get("data")
     data = _write_data(_aggregate(df, keys, value_col), view_path, v)
     _publish(
         view_path,
@@ -164,7 +173,7 @@ def init_agg_view(
             "data": data,
         },
     )
-    _gc(view_path, data)
+    _gc(view_path, data, grace=prior if prior != data else None)
     return v
 
 
@@ -220,10 +229,26 @@ def refresh_agg_view(spark: SparkSession, table_path: str, view_path: str) -> in
     raw_sum = (
         F.coalesce(F.col("sum_v"), F.lit(0)) + F.coalesce(F.col("_dv"), F.lit(0))
     ).cast("long")
+    # Null-safe key join: a USING-style column-list join matches with
+    # plain equality, so a NULL-valued group key would never meet its
+    # own retraction — the standing NULL group would pass through
+    # untouched while the delta landed on a separate row. eqNullSafe
+    # per key (NULL <=> NULL is true) plus a coalesce of the two key
+    # sides restores exact GROUP BY semantics for NULL groups.
+    delta_r = delta.select(
+        *[F.col(k).alias(f"_d_{k}") for k in keys], "_dn", "_dnv", "_dv"
+    )
+    cond = None
+    for k in keys:
+        c = standing[k].eqNullSafe(delta_r[f"_d_{k}"])
+        cond = c if cond is None else (cond & c)
     merged = (
-        standing.join(delta, keys, "full_outer")
+        standing.join(delta_r, cond, "full_outer")
         .select(
-            *keys,
+            *[
+                F.coalesce(standing[k], delta_r[f"_d_{k}"]).alias(k)
+                for k in keys
+            ],
             n_rows.alias("n_rows"),
             n_vals.alias("n_vals"),
             # SQL sum semantics: all-NULL groups report NULL, exactly

@@ -528,9 +528,22 @@ def _affected_file_paths(
         .distinct()
         .collect()
     }
-    return {
-        e["path"] for e in files if os.path.basename(e["path"]) in hit_names
-    }
+    # _pos_fn is the physical basename; map it back to the manifest-
+    # relative path through an explicit map so two entries that ever
+    # shared a basename across directories can't BOTH be dragged into
+    # the CoW rewrite. Writer-side names are uuids, so a collision
+    # means a corrupted manifest — fail loudly rather than amplify.
+    by_name: dict = {}
+    for e in files:
+        name = os.path.basename(e["path"])
+        if name in by_name and by_name[name] != e["path"]:
+            raise ValueError(
+                f"manifest holds two entries with basename {name!r} "
+                f"({by_name[name]!r} vs {e['path']!r}); file names must "
+                "be unique to key the CoW rewrite by physical name"
+            )
+        by_name[name] = e["path"]
+    return {by_name[n] for n in hit_names if n in by_name}
 
 
 def commit_delete_where(

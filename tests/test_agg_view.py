@@ -250,3 +250,99 @@ def test_mapped_base_table_refused(spark, tmp_path):
     execute_dml(spark, "ALTER TABLE p CONVERT TO MAPPED", {"p": t2})
     with pytest.raises(ValueError, match="mapped"):
         refresh_agg_view(spark, t2, v2)
+
+
+def test_null_group_key_retracts_against_itself(spark, tmp_path):
+    """A NULL-valued group key must meet its own retraction: the merge
+    join is null-safe (NULL <=> NULL), so deleting a row of the NULL
+    group adjusts THAT group instead of passing the standing NULL row
+    through untouched while the retraction lands on a phantom row."""
+    t = str(tmp_path / "base")
+    v = str(tmp_path / "view")
+    df = spark.createDataFrame(
+        [(1, None, 10), (2, None, 20), (3, 7, 5)],
+        "id long, grp long, val long",
+    )
+    commit_append(spark, df, t, max_rows=500)
+    init_agg_view(spark, t, v, ["grp"], "val")
+    before = {
+        r.grp: (r.n_rows, r.sum_v) for r in read_agg_view(spark, v).collect()
+    }
+    assert before[None] == (2, 30)
+
+    commit_delete_where(spark, t, "id = 1")
+    refresh_agg_view(spark, t, v)
+    got = {tuple(r) for r in read_agg_view(spark, v).select("grp", "n_rows", "sum_v").collect()}
+    assert got == {tuple(r) for r in _recompute_val(spark, t).collect()}
+    after = {
+        r.grp: (r.n_rows, r.sum_v) for r in read_agg_view(spark, v).collect()
+    }
+    assert after[None] == (1, 20)  # retraction met the NULL group
+    assert len(after) == 2  # no phantom extra NULL row
+
+    # retract the last NULL-group row: the group disappears entirely
+    commit_delete_where(spark, t, "id = 2")
+    refresh_agg_view(spark, t, v)
+    final = {
+        r.grp: (r.n_rows, r.sum_v) for r in read_agg_view(spark, v).collect()
+    }
+    assert final == {7: (1, 5)}
+
+    # and a NULL group can be BORN through the feed too
+    commit_append(
+        spark,
+        spark.createDataFrame([(9, None, 99)], "id long, grp long, val long"),
+        t,
+        max_rows=500,
+    )
+    refresh_agg_view(spark, t, v)
+    reborn = {
+        r.grp: (r.n_rows, r.sum_v) for r in read_agg_view(spark, v).collect()
+    }
+    assert reborn == {7: (1, 5), None: (1, 99)}
+
+
+def _recompute_val(spark, t):
+    return (
+        read_table_version(spark, t)
+        .groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("val").cast("long").alias("sum_v"),
+        )
+    )
+
+
+def test_interval_dtype_refused_despite_int_prefix(spark, tmp_path):
+    """'interval day' starts with 'int' but is not integral — the
+    exactness gate matches the dtype exactly, not by prefix."""
+    t = str(tmp_path / "base")
+    commit_append(
+        spark,
+        spark.sql(
+            "SELECT id, id % 3 AS grp, "
+            "make_dt_interval(0, 0, 0, id) AS iv FROM range(10)"
+        ),
+        t,
+        max_rows=500,
+    )
+    with pytest.raises(ValueError, match="integral"):
+        init_agg_view(spark, t, str(tmp_path / "view"), ["grp"], "iv")
+
+
+def test_reinit_keeps_prior_generation_one_cycle(spark, setup):
+    """Re-running init as the documented recompute path gives the
+    replaced data generation the same one-cycle grace refresh gives:
+    a reader holding the old state pointer still finds its files."""
+    t, v = setup
+    import json as _json
+
+    with open(os.path.join(v, "_agg_view_state.json")) as f:
+        old_data = _json.load(f)["data"]
+    commit_delete_where(spark, t, "grp % 2 = 0")
+    init_agg_view(spark, t, v, ["grp"], "cents")
+    assert os.path.exists(os.path.join(v, old_data))  # grace survived
+    # ...and falls out on the NEXT cycle
+    commit_delete_where(spark, t, "grp % 3 = 0")
+    refresh_agg_view(spark, t, v)
+    assert not os.path.exists(os.path.join(v, old_data))
