@@ -100,23 +100,24 @@ def _gc(view_path: str, keep: str, grace: "str | None" = None) -> None:
             shutil.rmtree(os.path.join(view_path, d), ignore_errors=True)
 
 
-def _refuse_mapped(table_path: str, version: int) -> None:
-    """The view reads and diffs the base table through the PLAIN
-    name-based path (read_table_version / changes_between); on a
-    column-mapped table that path would surface historical physical
-    names after a rename and silently mis-aggregate — refuse loudly,
-    like the name-based snapshot_table format does."""
+def _base_columns(table_path: str, version: int) -> "list | None":
+    """The base table's field-id schema [[id, name, type], ...] when it
+    is column-mapped, else None (plain name-based table)."""
     from iceberg_file_writer_spark.ingest.snapshots import read_manifest
 
     if version == 0:
-        return  # no snapshots yet: read_table_version raises its own
+        return None  # no snapshots yet: the read raises its own
         # clear "no committed snapshots" error downstream
-    if "columns" in read_manifest(table_path, version):
-        raise ValueError(
-            f"{table_path} is a column-mapped table: aggregate views "
-            "read through the plain name-based path and would mis-"
-            "resolve post-rename epochs; use a plain snapshot table"
-        )
+    m = read_manifest(table_path, version)
+    return m.get("columns")
+
+
+def _read_base(spark: SparkSession, table_path: str, mapped: bool) -> DataFrame:
+    if mapped:
+        from iceberg_file_writer_spark.ingest.column_mapping import read_mapped
+
+        return read_mapped(spark, table_path)
+    return read_table_version(spark, table_path)
 
 
 def _check_exact(df: DataFrame, value_col: str) -> None:
@@ -151,8 +152,8 @@ def init_agg_view(
     """Materialize GROUP BY ``keys`` -> (count, sum(value_col)) over the
     table's CURRENT version; returns the version the view now reflects."""
     v = current_version(table_path)
-    _refuse_mapped(table_path, v)
-    df = read_table_version(spark, table_path)
+    base_cols = _base_columns(table_path, v)
+    df = _read_base(spark, table_path, base_cols is not None)
     _check_exact(df, value_col)
     os.makedirs(view_path, exist_ok=True)
     # Re-init over an existing view is the documented recompute path:
@@ -163,16 +164,24 @@ def init_agg_view(
     if os.path.exists(_state_path(view_path)):
         prior = _read_state(view_path).get("data")
     data = _write_data(_aggregate(df, keys, value_col), view_path, v)
-    _publish(
-        view_path,
-        {
-            "table": os.path.abspath(table_path),
-            "keys": list(keys),
-            "value_col": value_col,
-            "version": v,
-            "data": data,
-        },
-    )
+    state = {
+        "table": os.path.abspath(table_path),
+        "keys": list(keys),
+        "value_col": value_col,
+        "version": v,
+        "data": data,
+    }
+    if base_cols is not None:
+        # mapped base: pin the view's columns by FIELD ID so a later
+        # RENAME of a key/value column keeps the refresh resolvable
+        # (ids are stable; names re-derive at refresh time)
+        name_to_id = {name: cid for cid, name, _t in base_cols}
+        missing = [c for c in [*keys, value_col] if c not in name_to_id]
+        if missing:
+            raise ValueError(f"no such column(s): {missing}")
+        state["key_ids"] = [name_to_id[k] for k in keys]
+        state["value_id"] = name_to_id[value_col]
+    _publish(view_path, state)
     _gc(view_path, data, grace=prior if prior != data else None)
     return v
 
@@ -201,7 +210,33 @@ def refresh_agg_view(spark: SparkSession, table_path: str, view_path: str) -> in
         )
     keys, value_col = st["keys"], st["value_col"]
     cur = current_version(table_path)
-    _refuse_mapped(table_path, cur)
+    base_cols = _base_columns(table_path, cur)
+    renames: dict = {}
+    if base_cols is not None and "key_ids" in st:
+        # mapped base: re-resolve the view's columns by field id — a
+        # RENAME between refreshes just re-labels the view's key/value
+        # columns; a DROP of one refuses loudly (re-init is recompute)
+        id_to_name = {cid: name for cid, name, _t in base_cols}
+        gone = [
+            i
+            for i in [*st["key_ids"], st["value_id"]]
+            if i not in id_to_name
+        ]
+        if gone:
+            raise ValueError(
+                f"view column(s) with field id(s) {gone} were dropped "
+                "from the base table; re-run init_agg_view"
+            )
+        new_keys = [id_to_name[i] for i in st["key_ids"]]
+        new_val = id_to_name[st["value_id"]]
+        renames = {
+            old: new
+            for old, new in zip(
+                [*st["keys"], st["value_col"]], [*new_keys, new_val]
+            )
+            if old != new
+        }
+        keys, value_col = new_keys, new_val
     if cur == st["version"]:
         return cur
     if cur < st["version"]:
@@ -220,6 +255,8 @@ def refresh_agg_view(spark: SparkSession, table_path: str, view_path: str) -> in
         F.sum(sign * F.col(value_col)).cast("long").alias("_dv"),
     )
     standing = read_agg_view(spark, view_path)
+    for old, new in renames.items():
+        standing = standing.withColumnRenamed(old, new)
     n_rows = (
         F.coalesce(F.col("n_rows"), F.lit(0)) + F.coalesce(F.col("_dn"), F.lit(0))
     ).cast("long")
@@ -260,6 +297,15 @@ def refresh_agg_view(spark: SparkSession, table_path: str, view_path: str) -> in
         .where(F.col("n_rows") > 0)
     )
     data = _write_data(merged, view_path, cur)
-    _publish(view_path, {**st, "version": cur, "data": data})
+    _publish(
+        view_path,
+        {
+            **st,
+            "keys": list(keys),
+            "value_col": value_col,
+            "version": cur,
+            "data": data,
+        },
+    )
     _gc(view_path, data, grace=st["data"])
     return cur

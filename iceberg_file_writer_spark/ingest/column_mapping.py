@@ -796,3 +796,220 @@ def streaming_append_sink_mapped(table_path: str, max_rows: int = 4096):
         )
 
     return _sink
+
+
+# --- row-level change feed (CDC) on mapped tables ----------------------------
+
+
+def _project_by_id(df: DataFrame, from_cols: list, to_cols: list) -> DataFrame:
+    """Re-express a side's logical rows under another version's logical
+    schema by FIELD ID: renamed columns line up (same id, new name),
+    columns dropped by the target vanish, columns added by the target
+    null-fill. This is what makes a rename CDC-silent — both sides of
+    the diff resolve to the same logical column."""
+    src = {cid: name for cid, name, _t in from_cols}
+    extra = [c for c in df.columns if c.startswith("_pos_")]
+    return df.select(
+        *[
+            F.col(src[cid]).cast(typ).alias(name)
+            if cid in src
+            else F.lit(None).cast(typ).alias(name)
+            for cid, name, typ in to_cols
+        ],
+        *extra,
+    )
+
+
+def _entry_intersects(entry: dict, key_phys: "dict[int, str]", lo: dict, hi: dict) -> bool:
+    """Footer-stats prune for the carried-file eq-delta path: can this
+    file hold a row whose key falls in the delta keys' bounding box?
+    Stats shape is snapshots._footer_stats' [min, max, nulls]; missing
+    stats => cannot exclude."""
+    st = entry.get("stats") or {}
+    for cid, phys in key_phys.items():
+        s = st.get(phys)
+        if not s or s[0] is None or s[1] is None:
+            continue
+        l, h = lo.get(cid), hi.get(cid)
+        if l is None or h is None:
+            continue
+        try:
+            if s[0] > h or s[1] < l:
+                return False
+        except TypeError:
+            continue
+    return True
+
+
+def changes_between_mapped(
+    spark: SparkSession, table_path: str, from_version: int, to_version: int
+) -> DataFrame:
+    """Row-level change feed between two snapshots of a COLUMN-MAPPED
+    table, emitted under the TO-version's logical schema.
+
+    Same manifest-diff economics as the plain ``changes_between``
+    (reference scope note: /root/reference has no CDC at all — this is
+    the [extension] feed over the mapped flavor): only files present in
+    exactly one manifest, plus carried files whose merge-on-read
+    tombstone state changed, are ever read — but every read resolves
+    through the field-id projection, so:
+
+    - a metadata-only RENAME / DROP / ADD between the versions emits an
+      EMPTY feed (no file changed; both sides project to the same
+      logical columns by id) instead of the NULL-filled spurious +/-
+      pairs a name-based diff would fabricate,
+    - rows from pre-evolution epochs emit under the CURRENT names,
+    - a compaction that rewrites bytes without changing values nets to
+      zero through the multiset diff, exactly like the plain feed.
+
+    Carried-file deltas diff by POSITION (file basename, row index):
+    carried bytes are immutable, so a visibility flip is exactly a
+    position present on one side only — no value-hashing needed. The
+    eq-delta read set prunes by footer stats against the delta keys'
+    bounding box (per-epoch physical key names resolve via each entry's
+    own (id, name) list).
+
+    At 100 TB: append-mostly feeds read the new files only; an upsert's
+    feed reads the new files plus the stats-pruned carried candidates —
+    never the table.
+    """
+    if from_version > to_version:
+        raise ValueError(f"from_version {from_version} > to_version {to_version}")
+    ma = read_manifest(table_path, from_version)
+    mb = read_manifest(table_path, to_version)
+    if "columns" not in mb:
+        raise ValueError(
+            f"v{to_version} of {table_path} is not column-mapped; use the "
+            "plain changes_between"
+        )
+    if "columns" not in ma:
+        raise ValueError(
+            f"the range [v{from_version}, v{to_version}] crosses the "
+            "CONVERT TO MAPPED commit; start from_version at or after the "
+            "conversion (pre-conversion files carry no field-id mapping)"
+        )
+    cols_b = mb["columns"]
+
+    ea = {e["path"]: e for e in ma["files"]}
+    eb = {e["path"]: e for e in mb["files"]}
+    only_a = [ea[p] for p in sorted(set(ea) - set(eb))]
+    only_b = [eb[p] for p in sorted(set(eb) - set(ea))]
+    carried = [ea[p] for p in sorted(set(ea) & set(eb))]
+    dvs_a, dvs_b = ma.get("dvs") or [], mb.get("dvs") or []
+    eqs_a, eqs_b = ma.get("eqs") or [], mb.get("eqs") or []
+
+    def _visible(m_side: dict, entries: list, with_file: bool) -> "DataFrame | None":
+        if not entries:
+            return None
+        sub = {"columns": m_side["columns"], "files": entries}
+        if m_side.get("dvs"):
+            sub["dvs"] = m_side["dvs"]
+        if m_side.get("eqs"):
+            sub["eqs"] = m_side["eqs"]
+        return _scan_mapped(spark, table_path, sub, with_file=with_file)
+
+    sides = []  # DataFrames under cols_b (+ "_d" sign)
+
+    removed = _visible(ma, only_a, with_file=False)
+    if removed is not None:
+        r = _project_by_id(removed, ma["columns"], cols_b)
+        sides.append(r.select(F.lit(-1).alias("_d"), *r.columns))
+    added = _visible(mb, only_b, with_file=False)
+    if added is not None:
+        sides.append(added.select(F.lit(1).alias("_d"), *added.columns))
+
+    # carried files: immutable bytes, so only a tombstone-state change
+    # can flip a row's visibility — identical MoR state => no reads
+    eq_paths_a = {e["path"] for e in eqs_a}
+    eq_paths_b = {e["path"] for e in eqs_b}
+    if carried and (set(dvs_a) != set(dvs_b) or eq_paths_a != eq_paths_b):
+        keep_paths: "set[str]" = set()
+        # (1) positional delta: only files NAMED by the DV symmetric
+        # difference can flip through positions (delta is deletion-sized)
+        if set(dvs_a) != set(dvs_b):
+            def _dv(dvs):
+                if not dvs:
+                    return None
+                return spark.read.parquet(
+                    *[os.path.join(table_path, p) for p in dvs]
+                ).select("file_name", "row_index")
+
+            da, db = _dv(dvs_a), _dv(dvs_b)
+            if da is None:
+                delta = db
+            elif db is None:
+                delta = da
+            else:
+                delta = db.subtract(da).unionByName(da.subtract(db))
+            if delta is not None:
+                hit = {
+                    r.file_name
+                    for r in delta.select("file_name").distinct().collect()
+                }
+                bn = {os.path.basename(e["path"]): e["path"] for e in carried}
+                keep_paths |= {bn[n] for n in hit if n in bn}
+        # (2) key delta: files whose footer stats intersect the delta
+        # keys' bounding box (per-epoch physical names via entry cols)
+        delta_eq = [e for e in eqs_b if e["path"] not in eq_paths_a] + [
+            e for e in eqs_a if e["path"] not in eq_paths_b
+        ]
+        if delta_eq:
+            key_ids = delta_eq[0]["ids"]
+            dparts = None
+            for e in delta_eq:
+                p = spark.read.parquet(
+                    os.path.join(table_path, e["path"])
+                ).select(
+                    *[
+                        F.col(nm).alias(f"_k_{cid}")
+                        for cid, nm in zip(e["ids"], e["cols"])
+                    ]
+                )
+                dparts = p if dparts is None else dparts.unionByName(p)
+            b = dparts.agg(
+                *[F.min(f"_k_{i}").alias(f"lo_{i}") for i in key_ids],
+                *[F.max(f"_k_{i}").alias(f"hi_{i}") for i in key_ids],
+            ).collect()[0]
+            lo = {i: b[f"lo_{i}"] for i in key_ids}
+            hi = {i: b[f"hi_{i}"] for i in key_ids}
+            for e in carried:
+                phys = {
+                    cid: nm
+                    for cid, nm in (e.get("cols") or [])
+                    if cid in key_ids
+                }
+                if _entry_intersects(e, phys, lo, hi):
+                    keep_paths.add(e["path"])
+        keep = [e for e in carried if e["path"] in keep_paths]
+        if keep:
+            va = _project_by_id(
+                _visible(ma, keep, with_file=True), ma["columns"], cols_b
+            )
+            vb = _visible(mb, keep, with_file=True)
+            pos = ["_pos_fn", "_pos_ri"]
+            minus = va.join(vb.select(*pos), pos, "left_anti").drop(*pos)
+            plus = vb.join(va.select(*pos), pos, "left_anti").drop(*pos)
+            sides.append(minus.select(F.lit(-1).alias("_d"), *minus.columns))
+            sides.append(plus.select(F.lit(1).alias("_d"), *plus.columns))
+
+    if not sides:
+        empty = read_mapped(spark, table_path, to_version).where(F.lit(False))
+        return empty.select(F.lit("+").alias("change"), *empty.columns)
+    tagged = sides[0]
+    for s_df in sides[1:]:
+        tagged = tagged.unionByName(s_df)
+    cols = [c for c in tagged.columns if c != "_d"]
+    net = (
+        tagged.groupBy(*cols)
+        .agg(F.sum("_d").alias("_net"))
+        .where(F.col("_net") != 0)
+    )
+    exploded = net.select(
+        *cols,
+        F.explode(
+            F.expr(
+                "transform(sequence(1, abs(_net)), i -> IF(_net > 0, '+', '-'))"
+            )
+        ).alias("change"),
+    )
+    return exploded.select("change", *cols)

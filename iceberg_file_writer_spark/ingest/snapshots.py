@@ -1352,11 +1352,16 @@ def changes_between(
     ma = read_manifest(table_path, from_version)
     mb = read_manifest(table_path, to_version)
     if "columns" in ma or "columns" in mb:
-        raise ValueError(
-            f"{table_path} is a column-mapped table: the change feed "
-            "reads name-based and would surface historical physical "
-            "names after a rename (NULL-filled spurious +/- pairs); "
-            "read via the field-id path instead"
+        # column-mapped span: resolve through the field-id projection
+        # (a name-based diff would surface historical physical names
+        # after a rename as NULL-filled spurious +/- pairs). Local
+        # import: column_mapping imports this module at load time.
+        from iceberg_file_writer_spark.ingest.column_mapping import (
+            changes_between_mapped,
+        )
+
+        return changes_between_mapped(
+            spark, table_path, from_version, to_version
         )
     ea = {e["path"]: e for e in ma["files"]}
     eb = {e["path"]: e for e in mb["files"]}

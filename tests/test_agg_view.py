@@ -219,10 +219,18 @@ def test_decimal_value_column_refused(spark, tmp_path):
         init_agg_view(spark, t, str(tmp_path / "view"), ["grp"], "price")
 
 
-def test_mapped_base_table_refused(spark, tmp_path):
-    """agg views read the base through the plain name-based path; a
-    column-mapped base would mis-resolve post-rename epochs — refused
-    loudly at init AND at refresh (a table converted underneath)."""
+def test_mapped_base_table_full_lifecycle(spark, tmp_path):
+    """Aggregate views now work on COLUMN-MAPPED bases: the feed
+    resolves through the field-id projection, and the view's own
+    key/value columns are pinned by FIELD ID — a rename of the group
+    key between refreshes re-labels the view instead of breaking it."""
+    from iceberg_file_writer_spark.ingest.column_mapping import (
+        append_mapped,
+        delete_where_mapped,
+        evolve_mapped,
+        read_mapped,
+        upsert_mapped,
+    )
     from iceberg_file_writer_spark.sql_dml import execute_dml
 
     t = str(tmp_path / "m")
@@ -231,13 +239,94 @@ def test_mapped_base_table_refused(spark, tmp_path):
         spark,
         "CREATE TABLE m AS SELECT c_custkey, c_custkey % 10 AS grp, "
         "CAST(c_acctbal * 100 AS BIGINT) AS cents FROM customer "
-        "WHERE c_custkey < 20",
+        "WHERE c_custkey < 40",
         {"m": t},
     )
-    with pytest.raises(ValueError, match="mapped"):
-        init_agg_view(spark, t, str(tmp_path / "v"), ["grp"], "cents")
+    v = str(tmp_path / "v")
+    init_agg_view(spark, t, v, ["grp"], "cents")
 
-    # plain base, converted to mapped AFTER the view exists
+    def recompute(keys, val):
+        return {
+            tuple(r)
+            for r in read_mapped(spark, t)
+            .groupBy(*keys)
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.sum(val).cast("long").alias("sum_v"),
+            )
+            .collect()
+        }
+
+    def view(keys):
+        return {
+            tuple(r)
+            for r in read_agg_view(spark, v)
+            .select(*keys, "n_rows", "sum_v")
+            .collect()
+        }
+
+    assert view(["grp"]) == recompute(["grp"], "cents")
+
+    # append + CoW delete flow through the mapped feed
+    append_mapped(
+        spark,
+        read_mapped(spark, t).selectExpr(
+            "c_custkey + 1000 AS c_custkey", "grp", "cents * 2 AS cents"
+        ),
+        t,
+        max_rows=500,
+    )
+    delete_where_mapped(spark, t, "grp % 3 = 0")
+    refresh_agg_view(spark, t, v)
+    assert view(["grp"]) == recompute(["grp"], "cents")
+
+    # MoR upsert (equality-delete tombstones) flows through too
+    upsert_mapped(
+        spark,
+        spark.createDataFrame(
+            [(2, 99, 777), (5000, 4, 111)],
+            "c_custkey long, grp long, cents long",
+        ),
+        t,
+        ["c_custkey"],
+        max_rows=500,
+    )
+    refresh_agg_view(spark, t, v)
+    assert view(["grp"]) == recompute(["grp"], "cents")
+
+    # RENAME the group key mid-stream: metadata-only commit; the view
+    # re-labels by field id and keeps folding
+    evolve_mapped(t, renames={"grp": "bucket"})
+    append_mapped(
+        spark,
+        spark.createDataFrame(
+            [(7000, 1, 555)], "c_custkey long, bucket long, cents long"
+        ),
+        t,
+        max_rows=500,
+    )
+    refresh_agg_view(spark, t, v)
+    assert view(["bucket"]) == recompute(["bucket"], "cents")
+    assert "bucket" in read_agg_view(spark, v).columns
+
+    # DROP the value column: refresh refuses with a clear re-init hint
+    evolve_mapped(t, drops=["cents"])
+    append_mapped(
+        spark,
+        spark.createDataFrame([(8000, 2)], "c_custkey long, bucket long"),
+        t,
+        max_rows=500,
+    )
+    with pytest.raises(ValueError, match="re-run init_agg_view"):
+        refresh_agg_view(spark, t, v)
+
+
+def test_view_over_convert_boundary_refused(spark, tmp_path):
+    """A view built while the base was PLAIN cannot refresh across the
+    CONVERT TO MAPPED commit (pre-conversion files carry no field-id
+    mapping); the error says to restart the span at the conversion."""
+    from iceberg_file_writer_spark.sql_dml import execute_dml
+
     t2 = str(tmp_path / "p")
     v2 = str(tmp_path / "v2")
     commit_append(
@@ -248,8 +337,11 @@ def test_mapped_base_table_refused(spark, tmp_path):
     )
     init_agg_view(spark, t2, v2, ["grp"], "cents")
     execute_dml(spark, "ALTER TABLE p CONVERT TO MAPPED", {"p": t2})
-    with pytest.raises(ValueError, match="mapped"):
+    with pytest.raises(ValueError, match="CONVERT"):
         refresh_agg_view(spark, t2, v2)
+    # ...and re-init (the documented recompute path) works, field-id-pinned
+    init_agg_view(spark, t2, v2, ["grp"], "cents")
+    refresh_agg_view(spark, t2, v2)  # no-op, current
 
 
 def test_null_group_key_retracts_against_itself(spark, tmp_path):

@@ -306,3 +306,160 @@ def test_mapped_commit_conflicts_instead_of_lost_update(spark, tmp_path):
     # nothing was lost: the upsert's state and tombstones are intact
     assert sorted(tuple(r) for r in read_mapped(spark, t).collect()) == before
     assert read_manifest(t, current_version(t))["eqs"] == eqs_before
+
+
+# --- row-level change feed (CDC) on mapped tables ----------------------------
+
+
+def _feed(spark, t, a, b):
+    from iceberg_file_writer_spark.ingest.snapshots import changes_between
+
+    return changes_between(spark, t, a, b)
+
+
+def _feed_canon(spark, t, a, b):
+    return sorted(tuple(r) for r in _feed(spark, t, a, b).collect())
+
+
+def test_mapped_feed_appends_and_rename_silence(spark, tmp_path):
+    """Appends emit '+' rows; a metadata-only RENAME between the
+    versions emits an EMPTY feed, and spans crossing the rename emit
+    under the CURRENT names with pre-rename epochs resolved by id."""
+    from iceberg_file_writer_spark.ingest.column_mapping import (
+        delete_where_mapped,
+    )
+
+    t = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20)], "id long, tag string, v long"
+    )
+    v1 = create_mapped_table(spark, df, t, max_rows=10)
+    v2 = append_mapped(
+        spark,
+        spark.createDataFrame([(3, "c", 30)], "id long, tag string, v long"),
+        t,
+        max_rows=10,
+    )
+    assert _feed_canon(spark, t, v1, v2) == [("+", 3, "c", 30)]
+
+    v3 = evolve_mapped(t, renames={"v": "val"})
+    # rename alone: EMPTY feed (no spurious NULL-filled pairs)
+    assert _feed(spark, t, v2, v3).count() == 0
+    # span crossing the rename: emitted under the NEW name
+    f = _feed(spark, t, v1, v3)
+    assert f.columns == ["change", "id", "tag", "val"]
+    assert sorted(tuple(r) for r in f.collect()) == [("+", 3, "c", 30)]
+
+    # CoW delete of a pre-rename row: '-' under current names
+    v4 = delete_where_mapped(spark, t, "id = 1")
+    got = _feed_canon(spark, t, v3, v4)
+    assert got == [("-", 1, "a", 10)]
+
+
+def test_mapped_feed_upsert_and_mor_delete(spark, tmp_path):
+    """An upsert's key tombstone emits the old row as '-' and the new
+    as '+' (identical values net to zero); a MoR positional delete
+    emits '-' without any file changing."""
+    from iceberg_file_writer_spark.ingest.column_mapping import (
+        delete_where_mor_mapped,
+        upsert_mapped,
+    )
+
+    t = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(1, 10), (2, 20), (3, 30)], "id long, v long"
+    )
+    v1 = create_mapped_table(spark, df, t, max_rows=10)
+    # upsert: replace id=2, insert id=4, and re-assert id=3 unchanged
+    v2 = upsert_mapped(
+        spark,
+        spark.createDataFrame([(2, 99), (4, 40), (3, 30)], "id long, v long"),
+        t,
+        ["id"],
+        max_rows=10,
+    )
+    got = _feed_canon(spark, t, v1, v2)
+    assert got == [("+", 2, 99), ("+", 4, 40), ("-", 2, 20)]  # id=3 nets out
+
+    # MoR positional delete: zero files rewritten, feed still sees it
+    v3 = delete_where_mor_mapped(spark, t, "id = 1")
+    assert _feed_canon(spark, t, v2, v3) == [("-", 1, 10)]
+
+    # whole span folds consistently
+    whole = _feed_canon(spark, t, v1, v3)
+    assert whole == [("+", 2, 99), ("+", 4, 40), ("-", 1, 10), ("-", 2, 20)]
+
+
+def test_mapped_feed_compaction_nets_to_zero(spark, tmp_path):
+    """OPTIMIZE rewrites bytes without changing values: the multiset
+    diff nets every row out — an empty feed, like the plain path."""
+    from iceberg_file_writer_spark.ingest.column_mapping import (
+        compact_mapped,
+        upsert_mapped,
+    )
+
+    t = str(tmp_path / "t")
+    v0 = create_mapped_table(
+        spark,
+        spark.createDataFrame([(i, i * 10) for i in range(8)], "id long, v long"),
+        t,
+        max_rows=2,
+    )
+    upsert_mapped(
+        spark,
+        spark.createDataFrame([(1, 111)], "id long, v long"),
+        t,
+        ["id"],
+        max_rows=10,
+    )
+    va = current_version(t)
+    vb = compact_mapped(spark, t, target_rows=100)
+    assert _feed(spark, t, va, vb).count() == 0
+    # and the span across upsert+compact shows just the upsert's net
+    assert _feed_canon(spark, t, v0, vb) == [("+", 1, 111), ("-", 1, 10)]
+
+
+def test_mapped_feed_drop_and_add_columns(spark, tmp_path):
+    """Feed emits under the TO-version schema: a dropped column is
+    absent, an added column null-fills pre-addition rows."""
+    t = str(tmp_path / "t")
+    v1 = create_mapped_table(
+        spark,
+        spark.createDataFrame([(1, "x", 5)], "id long, tag string, v long"),
+        t,
+        max_rows=10,
+    )
+    evolve_mapped(t, drops=["tag"], adds=[("score", "double")])
+    v2 = append_mapped(
+        spark,
+        spark.createDataFrame([(2, 7, 1.5)], "id long, v long, score double"),
+        t,
+        max_rows=10,
+    )
+    f = _feed(spark, t, v1, v2)
+    assert f.columns == ["change", "id", "v", "score"]
+    assert sorted(tuple(r) for r in f.collect()) == [("+", 2, 7, 1.5)]
+
+
+def test_feed_across_convert_refused_with_clear_error(spark, tmp_path):
+    from iceberg_file_writer_spark.ingest.column_mapping import (
+        convert_to_mapped,
+    )
+    from iceberg_file_writer_spark.ingest.snapshots import commit_append
+
+    t = str(tmp_path / "t")
+    commit_append(
+        spark,
+        spark.createDataFrame([(1, 2)], "a long, b long"),
+        t,
+        max_rows=10,
+    )
+    v1 = current_version(t)
+    v2 = convert_to_mapped(spark, t)
+    with pytest.raises(ValueError, match="CONVERT"):
+        _feed(spark, t, v1, v2).count()
+    # from the conversion onward the feed works
+    v3 = append_mapped(
+        spark, spark.createDataFrame([(3, 4)], "a long, b long"), t, max_rows=10
+    )
+    assert _feed_canon(spark, t, v2, v3) == [("+", 3, 4)]
