@@ -94,7 +94,7 @@ from iceberg_file_writer_spark.ingest.snapshots import (  # noqa: E402
 # row effect is zero; everything else (delete_where, eq_delete, compact,
 # rollback, overwrite, merge) can remove or rewrite rows, which an
 # append stream cannot express
-_APPEND_OPS = {"append", "upsert_mor", "publish", "respec", "evolve"}
+_APPEND_OPS = {"append", "upsert_mor", "publish", "respec", "evolve", "create"}
 
 
 def _snap_dir(table_path: str) -> str:
@@ -203,21 +203,39 @@ def _added_entries(table_path: str, raw_prev: dict, raw_cur: dict) -> list:
 
 
 class _AddedFilePartition(InputPartition):
-    def __init__(self, path: str, rows: int):
+    """``physmap`` (column-mapped tables only): {logical name ->
+    physical column name in THIS file} resolved by field id driver-side;
+    logical columns absent from the map null-fill. None = plain table
+    (physical names ARE the logical names)."""
+
+    def __init__(self, path: str, rows: int, physmap: "dict | None" = None):
         self.path = path
         self.rows = rows
+        self.physmap = physmap
 
 
 class _MorFilePartition(InputPartition):
     """One data file plus the merge-on-read delete state that applies to
     it: the snapshot's DV dirs (probed per file name task-side) and the
-    equality-delete files sequenced strictly above this file."""
+    equality-delete files sequenced strictly above this file.
+    ``eq_specs`` rows are (dir, probe_cols, read_cols, seq): read_cols
+    are the delete file's commit-time column names, probe_cols the
+    CURRENT logical names they resolve to (identical on plain tables,
+    field-id-resolved on mapped ones)."""
 
-    def __init__(self, path: str, rows: int, dv_dirs: list, eq_specs: list):
+    def __init__(
+        self,
+        path: str,
+        rows: int,
+        dv_dirs: list,
+        eq_specs: list,
+        physmap: "dict | None" = None,
+    ):
         self.path = path
         self.rows = rows
         self.dv_dirs = dv_dirs
-        self.eq_specs = eq_specs  # [(dir, key_cols, seq), ...]
+        self.eq_specs = eq_specs
+        self.physmap = physmap
 
 
 def _mor_batches(part: "_MorFilePartition", schema: T.StructType) -> Iterator:
@@ -252,13 +270,17 @@ def _mor_batches(part: "_MorFilePartition", schema: T.StructType) -> Iterator:
 
     key_cols: tuple = ()
     eq_tabs = []
-    for d, cols, _seq in part.eq_specs:
+    for d, cols, rcols, _seq in part.eq_specs:
         key_cols = cols  # one key-column set per table (commit-enforced)
-        eq_tabs.append(pq.read_table(d, columns=list(cols)))
+        # read under the delete file's commit-time names, probe under
+        # the current logical names (field-id resolution on mapped
+        # tables; identical on plain ones)
+        t = pq.read_table(d, columns=list(rcols))
+        eq_tabs.append(t.rename_columns(list(cols)))
     tomb = pa.concat_tables(eq_tabs).drop_null() if eq_tabs else None
 
     offset = 0
-    for batch in _normalized_batches(part.path, schema):
+    for batch in _normalized_batches(part.path, schema, part.physmap):
         n = batch.num_rows
         mask = np.ones(n, dtype=bool)
         if positions.size:
@@ -293,31 +315,46 @@ def _mor_batches(part: "_MorFilePartition", schema: T.StructType) -> Iterator:
             yield kept
 
 
-def _reject_mapped_table(path: str, where: str, remedy: str) -> None:
-    """The format's readers and writers speak physical names; a field-id
-    column-mapped table would silently null-fill renamed columns (read)
-    or lose its mapping entirely (write — _commit never carries
-    'columns'). Refuse loudly everywhere the format touches a table."""
-    from iceberg_file_writer_spark.ingest.snapshots import (
-        current_version as _cv,
-        read_manifest as _rm,
-    )
+def _file_physmap(entry: dict, columns: list) -> dict:
+    """{logical name -> physical name in this file} by FIELD ID, for one
+    data-file entry of a column-mapped manifest. Ids the file lacks are
+    simply absent (the read null-fills); physical columns under retired
+    ids are invisible (never resurrect under a recycled name)."""
+    id_to_logical = {cid: name for cid, name, _t in columns}
+    out = {}
+    for cid, phys in entry.get("cols") or []:
+        if cid in id_to_logical:
+            out[id_to_logical[cid]] = phys
+    return out
 
-    try:
-        v = _cv(path)
-    except Exception:
-        return
-    if not v:
-        return
-    try:
-        m = _rm(path, v)
-    except Exception:
-        return
-    if "columns" in m:
-        raise ValueError(
-            f"{path} is column-mapped; the snapshot_table format "
-            f"{where} by physical name — use {remedy}"
-        )
+
+def _mapped_schema_ddl(columns: list) -> str:
+    """DDL string for a mapped manifest's logical schema (the DataSource
+    schema() contract accepts DDL — no JVM needed in the runner)."""
+    return ", ".join(f"`{name}` {typ}" for _id, name, typ in columns)
+
+
+def _stable_prunable_cols(columns: list, files: list) -> set:
+    """Logical columns whose footer stats are trustworthy across EVERY
+    file of a mapped manifest: the field id maps to the same physical
+    name everywhere, and no file carries a retired id under that name
+    (a dropped-then-re-added column's old stats describe DIFFERENT
+    data — pruning on them would skip files that hold matches)."""
+    stable = set()
+    for cid, name, _t in columns:
+        ok = True
+        for e in files:
+            fc = {c[0]: c[1] for c in e.get("cols") or []}
+            if cid in fc:
+                if fc[cid] != name:
+                    ok = False
+                    break
+            elif name in fc.values():
+                ok = False  # same physical name under a retired id
+                break
+        if ok:
+            stable.add(name)
+    return stable
 
 
 class _SnapshotStreamReader(DataSourceStreamReader):
@@ -325,12 +362,17 @@ class _SnapshotStreamReader(DataSourceStreamReader):
         self.path = options.get("path")
         if not self.path:
             raise ValueError("snapshot_table requires a 'path' option")
-        _reject_mapped_table(
-            self.path,
-            "streams",
-            "ingest.column_mapping.read_mapped over version diffs",
-        )
         self.schema_ = schema
+        # column-mapped table: pin the logical schema (WITH field ids)
+        # at stream start — every added file, whatever evolution epoch
+        # wrote it, projects onto these ids. A mid-stream rename keeps
+        # streaming under the start-time names; a mid-stream add is
+        # invisible (fresh id, not in the pinned schema); a mid-stream
+        # drop null-fills from then on.
+        cur = _current_version(self.path)
+        self.map_cols = (
+            _manifest_raw(self.path, cur).get("columns") if cur else None
+        )
         self.max_versions = int(options.get("maxversionsperbatch", 0)) or None
         self.skip_non_appends = (
             str(options.get("skipnonappends", "false")).lower() == "true"
@@ -384,39 +426,63 @@ class _SnapshotStreamReader(DataSourceStreamReader):
             for f in _added_entries(self.path, raw_prev, raw):
                 out.append(
                     _AddedFilePartition(
-                        os.path.join(self.path, f["path"]), f["rows"]
+                        os.path.join(self.path, f["path"]),
+                        f["rows"],
+                        _file_physmap(f, self.map_cols)
+                        if self.map_cols is not None
+                        else None,
                     )
                 )
             raw_prev = raw
         return out
 
     def read(self, partition: _AddedFilePartition) -> Iterator:
-        yield from _normalized_batches(partition.path, self.schema_)
+        yield from _normalized_batches(
+            partition.path, self.schema_, partition.physmap
+        )
 
     def commit(self, end: dict) -> None:
         pass  # offsets are durable in the engine's checkpoint WAL
 
 
-def _normalized_batches(file_path: str, schema: T.StructType) -> Iterator:
+def _normalized_batches(
+    file_path: str, schema: T.StructType, physmap: "dict | None" = None
+) -> Iterator:
     """Vectorized read of one data file, every batch normalized to the
     declared schema: files may carry extra hidden layout columns
     (_b<n>_<col>) that must not surface, may lack columns a later
     additive evolution introduced (surface NULLs, as the table read
-    does), and may disagree on arrow-level annotations."""
+    does), and may disagree on arrow-level annotations.
+
+    ``physmap`` (column-mapped tables): logical name -> this file's
+    physical column name, resolved by field id driver-side. A logical
+    name absent from the map does NOT fall back to a same-named
+    physical column — on mapped tables a recycled name belongs to a
+    retired id and must null-fill, never resurrect."""
     import pyarrow as pa
     import pyarrow.parquet as pq
     from pyspark.sql.pandas.types import to_arrow_schema
 
     target = to_arrow_schema(schema)
     pf = pq.ParquetFile(file_path)
-    present = [c for c in target.names if c in pf.schema_arrow.names]
+
+    def _phys(name: str) -> "str | None":
+        if physmap is None:
+            return name
+        return physmap.get(name)
+
+    want = {f.name: _phys(f.name) for f in target}
+    present = sorted(
+        {p for p in want.values() if p is not None and p in pf.schema_arrow.names}
+    )
     for batch in pf.iter_batches(columns=present):
         tbl = pa.Table.from_batches([batch])
         arrays = []
         for field in target:
-            if field.name in tbl.column_names:
+            phys = want[field.name]
+            if phys is not None and phys in tbl.column_names:
                 arrays.append(
-                    tbl.column(field.name).cast(field.type).combine_chunks()
+                    tbl.column(phys).cast(field.type).combine_chunks()
                 )
             else:
                 arrays.append(pa.nulls(len(tbl), field.type))
@@ -481,21 +547,41 @@ class _SnapshotBatchReader(DataSourceReader):
             m = read_manifest(self.path, v)
         except FileNotFoundError:
             m = _manifest(self.path, v)  # re-raise the retention remedy
-        if "columns" in m:
-            _reject_mapped_table(
-                self.path,
-                "reads",
-                "ingest.column_mapping.read_mapped (or SnapshotTable.query)",
-            )
         self.files = m["files"]
         self.files_total = len(self.files)
         self.dv_dirs = [
             os.path.join(self.path, p) for p in (m.get("dvs") or [])
         ]
-        self.eq_specs = [
-            (os.path.join(self.path, e["path"]), tuple(e["cols"]), int(e["seq"]))
-            for e in (m.get("eqs") or [])
-        ]
+        # column-mapped manifest: resolve every file by FIELD ID — one
+        # physmap per file (epoch), built driver-side from the entry's
+        # own (id, name) list; eq-delete keys resolve id -> current name
+        self.map_cols = m.get("columns")
+        self.stable_cols = (
+            _stable_prunable_cols(self.map_cols, self.files)
+            if self.map_cols is not None
+            else None
+        )
+        if self.map_cols is not None:
+            id_to_name = {cid: nm for cid, nm, _t in self.map_cols}
+            self.eq_specs = [
+                (
+                    os.path.join(self.path, e["path"]),
+                    tuple(id_to_name[i] for i in e["ids"]),
+                    tuple(e["cols"]),
+                    int(e["seq"]),
+                )
+                for e in (m.get("eqs") or [])
+            ]
+        else:
+            self.eq_specs = [
+                (
+                    os.path.join(self.path, e["path"]),
+                    tuple(e["cols"]),
+                    tuple(e["cols"]),
+                    int(e["seq"]),
+                )
+                for e in (m.get("eqs") or [])
+            ]
 
     def pushFilters(self, filters):
         """File skipping through the format: conjuncts the manifest stats
@@ -527,6 +613,9 @@ class _SnapshotBatchReader(DataSourceReader):
             if len(getattr(f, "attribute", ())) != 1:
                 continue  # nested column: no top-level stats
             col = f.attribute[0]
+            if self.stable_cols is not None and col not in self.stable_cols:
+                continue  # mapped: stats keyed by an epoch-variant or
+                # recycled physical name cannot prune safely
             if t in ops:
                 v = _stat_value(f.value)  # same normalization stats use
                 if v is not None:
@@ -552,9 +641,16 @@ class _SnapshotBatchReader(DataSourceReader):
         return filters
 
     def partitions(self):
+        def _pm(f):
+            if self.map_cols is None:
+                return None
+            return _file_physmap(f, self.map_cols)
+
         if not self.dv_dirs and not self.eq_specs:
             return [
-                _AddedFilePartition(os.path.join(self.path, f["path"]), f["rows"])
+                _AddedFilePartition(
+                    os.path.join(self.path, f["path"]), f["rows"], _pm(f)
+                )
                 for f in self.files
             ]
         out = []
@@ -562,13 +658,14 @@ class _SnapshotBatchReader(DataSourceReader):
             seq = int(f.get("seq") or 0)
             # Iceberg v2 scoping: an equality delete hits only files
             # whose data sequence number is STRICTLY below the delete's
-            eqs = [s for s in self.eq_specs if s[2] > seq]
+            eqs = [s for s in self.eq_specs if s[3] > seq]
             out.append(
                 _MorFilePartition(
                     os.path.join(self.path, f["path"]),
                     f["rows"],
                     self.dv_dirs,
                     eqs,
+                    _pm(f),
                 )
             )
         return out
@@ -577,7 +674,9 @@ class _SnapshotBatchReader(DataSourceReader):
         if isinstance(partition, _MorFilePartition):
             yield from _mor_batches(partition, self.schema_)
         else:
-            yield from _normalized_batches(partition.path, self.schema_)
+            yield from _normalized_batches(
+                partition.path, self.schema_, partition.physmap
+            )
 
 
 def _table_arrow_schema(table_path: str, version: "int | None" = None):
@@ -623,11 +722,6 @@ class _SnapshotWriterBase:
         self.path = options.get("path")
         if not self.path:
             raise ValueError("snapshot_table sink requires a 'path' option")
-        _reject_mapped_table(
-            self.path,
-            "writes",
-            "ingest.column_mapping.append_mapped / the sql_dml statements",
-        )
         self.schema_ = schema
         self.max_commit_retries = int(options.get("maxcommitretries", 5))
         self.merge_schema = (
@@ -654,7 +748,30 @@ class _SnapshotWriterBase:
             # per-batch re-check could close either)
             return
         self._schema_ok = True
-        if _current_version(self.path) == 0:
+        v = _current_version(self.path)
+        if v == 0:
+            return
+        mc = _manifest_raw(self.path, v).get("columns")
+        if mc is not None:
+            # column-mapped table: the manifest's logical schema is the
+            # contract (no footer reads — physical names may be stale)
+            types = {name: typ for _id, name, typ in mc}
+            for field in self.schema_.fields:
+                have = types.get(field.name)
+                if have is None:
+                    if not self.merge_schema:
+                        raise ValueError(
+                            f"write adds column {field.name!r} the table "
+                            "has never seen — pass mergeSchema=true to add "
+                            "it with a fresh field id, or drop the column"
+                        )
+                elif field.dataType.simpleString() != have:
+                    raise ValueError(
+                        f"type conflict on column {field.name!r}: table "
+                        f"has {have}, write has "
+                        f"{field.dataType.simpleString()} — cast the "
+                        "write side to the table's type"
+                    )
             return
         try:
             table = _table_arrow_schema(self.path)
@@ -739,6 +856,44 @@ class _SnapshotWriterBase:
             if m is not None and m.staged_path and os.path.exists(m.staged_path):
                 os.remove(m.staged_path)
 
+    def _mapped_commit_meta(
+        self, pm: dict, entries: list, replace: bool = False
+    ) -> dict:
+        """Column-mapped commit plumbing the generic ``_commit`` lacks:
+        stamp each new entry with the standing (id, name) mapping,
+        assign FRESH ids (beyond the durable ``last_column_id``
+        high-water mark) to mergeSchema additions, and return the
+        ``columns``/``last_column_id`` extra the manifest must carry.
+        ``replace=True`` (overwrite) drops logical columns the incoming
+        schema no longer provides — the overwrite replaces the contract;
+        their ids stay retired via the high-water mark."""
+        columns = [list(c) for c in pm["columns"]]
+        incoming = {f.name: f.dataType.simpleString() for f in self.schema_.fields}
+        if replace:
+            # the new file set is the whole table: surviving names keep
+            # their ids but adopt the incoming type (old epochs stay
+            # readable via time travel under their own manifests)
+            columns = [
+                [cid, nm, incoming[nm]]
+                for cid, nm, _t in columns
+                if nm in incoming
+            ]
+        name_to_id = {nm: cid for cid, nm, _t in columns}
+        last = pm.get("last_column_id", 0)
+        for c in pm["columns"]:
+            last = max(last, c[0])
+        for field in self.schema_.fields:
+            if field.name not in name_to_id:
+                last += 1
+                columns.append([last, field.name, incoming[field.name]])
+                name_to_id[field.name] = last
+        stamp = [
+            [cid, nm] for cid, nm, _t in columns if nm in incoming
+        ]
+        for e in entries:
+            e["cols"] = [list(p) for p in stamp]
+        return {"columns": columns, "last_column_id": last}
+
 
 def _types_compatible(a, b) -> bool:
     """Arrow-type equality, lenient ONLY about the timezone label of
@@ -794,16 +949,19 @@ class _SnapshotStreamWriter(_SnapshotWriterBase, DataSourceStreamArrowWriter):
             if entries is None:
                 entries = self._finalize(messages)
             pm = read_manifest(self.path, parent) if parent else {}
+            extra: dict = {
+                "batch_id": batchId,
+                "batch_ids": sorted(seen | {batchId}),
+            }
+            if pm.get("columns") is not None:
+                extra.update(self._mapped_commit_meta(pm, entries))
             try:
                 _commit(
                     self.path,
                     parent,
                     "append",
                     (pm.get("files") or []) + entries,
-                    extra={
-                        "batch_id": batchId,
-                        "batch_ids": sorted(seen | {batchId}),
-                    },
+                    extra=extra,
                 )
                 return
             except CommitConflict:
@@ -848,6 +1006,12 @@ class _SnapshotBatchWriter(_SnapshotWriterBase, DataSourceArrowWriter):
             else:
                 op, files = "append", (pm.get("files") or []) + entries
                 extra = {}
+            if pm.get("columns") is not None:
+                extra.update(
+                    self._mapped_commit_meta(
+                        pm, entries, replace=self.overwrite
+                    )
+                )
             try:
                 _commit(self.path, parent, op, files, extra=extra)
                 return
@@ -871,7 +1035,7 @@ class SnapshotTableDataSource(DataSource):
     def name(cls) -> str:
         return "snapshot_table"
 
-    def schema(self) -> T.StructType:
+    def schema(self) -> "T.StructType | str":
         from pyspark.sql.pandas.types import from_arrow_schema
 
         path = self.options.get("path")
@@ -879,7 +1043,14 @@ class SnapshotTableDataSource(DataSource):
             raise ValueError("snapshot_table requires a 'path' option")
         # batch reads may address an old snapshot: declare THAT version's
         # schema (schema-as-of); streams always read CURRENT-forward
-        arrow = _table_arrow_schema(path, _resolve_version(path, self.options))
+        v = _resolve_version(path, self.options)
+        if v:
+            m = _manifest_raw(path, v)
+            if "columns" in m:
+                # column-mapped: the manifest IS the schema authority
+                # (returned as DDL — no footer reads, no JVM needed)
+                return _mapped_schema_ddl(m["columns"])
+        arrow = _table_arrow_schema(path, v)
         spark_schema = from_arrow_schema(arrow)
         # every field nullable: files written before an additive column
         # evolution stream NULLs in the new column even when the

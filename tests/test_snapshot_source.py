@@ -421,27 +421,233 @@ def test_stream_over_segmented_manifests(spark, tmp_path, orders, monkeypatch):
     assert _canon(spark.read.parquet(sink)) == _canon(orders)
 
 
-def test_format_read_refuses_mapped_tables(spark, tmp_path):
-    """The name-based snapshot_table format would silently null-fill
-    renamed columns on a mapped table — refused loudly."""
-    import pytest
-
+def test_format_batch_read_resolves_mapped_by_field_id(spark, tmp_path):
+    """spark.read.format("snapshot_table") on a COLUMN-MAPPED table:
+    pre-rename epochs surface under the CURRENT names (field-id
+    resolution), recycled names never resurrect, and MoR equality
+    deletes apply even when a key column was renamed after the
+    tombstone was written."""
     from iceberg_file_writer_spark.ingest.column_mapping import (
+        append_mapped,
         create_mapped_table,
+        evolve_mapped,
+        upsert_mapped,
     )
-    from iceberg_file_writer_spark.tables import load_tables
 
     register_snapshot_source(spark)
-    t = str(tmp_path / "cust")
-    cust = load_tables(spark, "/root/testdata/sf0.001")["customer"].select(
-        "c_custkey", "c_acctbal"
+    t = str(tmp_path / "m")
+    create_mapped_table(
+        spark,
+        spark.createDataFrame(
+            [(1, "a", 10), (2, "b", 20)], "id long, tag string, v long"
+        ),
+        t,
+        max_rows=10,
     )
-    create_mapped_table(spark, cust, t)
-    with pytest.raises(Exception, match="column-mapped"):
-        (
-            spark.read.format("snapshot_table")
-            .schema("c_custkey long, c_acctbal double")
-            .option("path", t)
-            .load()
-            .count()
+    # upsert under the ORIGINAL names (eq tombstone written now) ...
+    upsert_mapped(
+        spark,
+        spark.createDataFrame(
+            [(2, "B", 99), (3, "c", 30)], "id long, tag string, v long"
+        ),
+        t,
+        ["id"],
+        max_rows=10,
+    )
+    # ... then rename the key column AND the value column (metadata-only)
+    evolve_mapped(t, renames={"id": "ident", "v": "val"})
+    append_mapped(
+        spark,
+        spark.createDataFrame(
+            [(4, "d", 40)], "ident long, tag string, val long"
+        ),
+        t,
+        max_rows=10,
+    )
+
+    df = spark.read.format("snapshot_table").option("path", t).load()
+    assert df.columns == ["ident", "tag", "val"]
+    assert _canon(df) == [
+        (1, "a", 10),
+        (2, "B", 99),
+        (3, "c", 30),
+        (4, "d", 40),
+    ]
+
+    # drop + re-add the same NAME: old data must NOT resurrect
+    evolve_mapped(t, drops=["val"])
+    evolve_mapped(t, adds=[("val", "bigint")])
+    df2 = spark.read.format("snapshot_table").option("path", t).load()
+    assert _canon(df2.select("ident", "val")) == [
+        (1, None),
+        (2, None),
+        (3, None),
+        (4, None),
+    ]
+
+    # versionAsOf time travel reads v1 under v1's OWN schema
+    df_v1 = (
+        spark.read.format("snapshot_table")
+        .option("path", t)
+        .option("versionAsOf", 1)
+        .load()
+    )
+    assert df_v1.columns == ["id", "tag", "v"]
+    assert _canon(df_v1) == [(1, "a", 10), (2, "b", 20)]
+
+
+def test_format_mapped_pushdown_skips_safely(spark, tmp_path):
+    """File skipping on mapped tables prunes only on STABLE columns:
+    a renamed column's conjunct does not prune (stats live under the
+    old physical name), and results stay exact either way."""
+    from iceberg_file_writer_spark.ingest.column_mapping import (
+        append_mapped,
+        create_mapped_table,
+        evolve_mapped,
+    )
+
+    register_snapshot_source(spark)
+    t = str(tmp_path / "m")
+    create_mapped_table(
+        spark,
+        spark.createDataFrame([(i, i * 2) for i in range(100)], "k long, w long"),
+        t,
+        max_rows=10,
+    )
+    evolve_mapped(t, renames={"w": "weight"})
+    append_mapped(
+        spark,
+        spark.createDataFrame(
+            [(i, i * 2) for i in range(100, 120)], "k long, weight long"
+        ),
+        t,
+        max_rows=10,
+    )
+    df = (
+        spark.read.format("snapshot_table")
+        .option("path", t)
+        .load()
+        .where("k >= 110 AND weight >= 0")
+    )
+    assert df.count() == 10  # exact despite the unprunable renamed column
+    assert (
+        spark.read.format("snapshot_table")
+        .option("path", t)
+        .load()
+        .where("weight = 4")
+        .count()
+        == 1
+    )
+
+
+def test_format_stream_spans_mapped_evolution(spark, tmp_path):
+    """An incremental stream over a mapped table keeps streaming across
+    a MID-STREAM rename: later appends stamp the new physical names but
+    project onto the start-time logical schema by field id."""
+    from iceberg_file_writer_spark.ingest.column_mapping import (
+        append_mapped,
+        create_mapped_table,
+        evolve_mapped,
+    )
+
+    t = str(tmp_path / "m")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    create_mapped_table(
+        spark,
+        spark.createDataFrame([(1, 10), (2, 20)], "id long, v long"),
+        t,
+        max_rows=10,
+    )
+    register_snapshot_source(spark)
+    q = (
+        spark.readStream.format("snapshot_table")
+        .option("path", t)
+        .load()
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(processingTime="50 milliseconds")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        assert _canon(spark.read.parquet(sink)) == [(1, 10), (2, 20)]
+
+        # rename WHILE the query runs, then append under the NEW name:
+        # the pinned start-time schema (id, v) keeps receiving the rows
+        # because the new file resolves by field id
+        evolve_mapped(t, renames={"v": "val"})
+        append_mapped(
+            spark,
+            spark.createDataFrame([(3, 30)], "id long, val long"),
+            t,
+            max_rows=10,
         )
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    out = spark.read.parquet(sink)
+    assert out.columns == ["id", "v"]  # start-time logical names
+    assert _canon(out) == [(1, 10), (2, 20), (3, 30)]
+
+
+def test_format_write_into_mapped_table(spark, tmp_path):
+    """df.write.format("snapshot_table") into a mapped table stamps the
+    new files with the standing (id, name) mapping and carries the
+    columns metadata — the whole mapped read surface keeps working;
+    mergeSchema=true adds a column under a FRESH id."""
+    from iceberg_file_writer_spark.ingest.column_mapping import (
+        create_mapped_table,
+        evolve_mapped,
+        read_mapped,
+        table_columns,
+    )
+
+    register_snapshot_source(spark)
+    t = str(tmp_path / "m")
+    create_mapped_table(
+        spark,
+        spark.createDataFrame([(1, 10)], "id long, v long"),
+        t,
+        max_rows=10,
+    )
+    evolve_mapped(t, renames={"v": "val"})
+    (
+        spark.createDataFrame([(2, 20)], "id long, val long")
+        .write.format("snapshot_table")
+        .option("path", t)
+        .mode("append")
+        .save()
+    )
+    assert _canon(read_mapped(spark, t)) == [(1, 10), (2, 20)]
+    # the mapping survived the format write (rename still resolves)
+    assert [c[1] for c in table_columns(t)] == ["id", "val"]
+
+    # unknown column without mergeSchema: refused; with it: fresh id
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="mergeSchema"):
+        (
+            spark.createDataFrame([(3, 30, "x")], "id long, val long, tag string")
+            .write.format("snapshot_table")
+            .option("path", t)
+            .mode("append")
+            .save()
+        )
+    (
+        spark.createDataFrame([(3, 30, "x")], "id long, val long, tag string")
+        .write.format("snapshot_table")
+        .option("path", t)
+        .option("mergeSchema", "true")
+        .mode("append")
+        .save()
+    )
+    cols = table_columns(t)
+    assert [c[1] for c in cols] == ["id", "val", "tag"]
+    assert cols[-1][0] == 3  # fresh id beyond the high-water mark
+    assert _canon(read_mapped(spark, t)) == [
+        (1, 10, None),
+        (2, 20, None),
+        (3, 30, "x"),
+    ]
