@@ -143,10 +143,17 @@ def _build_parser() -> argparse.ArgumentParser:
     dml.add_argument(
         "--table",
         action="append",
-        required=True,
+        default=None,
         metavar="NAME=PATH",
         help="bind a statement table name to a snapshot-table path "
-        "(repeatable)",
+        "(repeatable; overrides --warehouse names)",
+    )
+    dml.add_argument(
+        "--warehouse",
+        default=None,
+        help="warehouse directory with a durable name catalog "
+        "(catalog.json): CREATE registers, DROP unregisters, bare "
+        "names resolve across invocations",
     )
     dml.add_argument(
         "--sf-dir",
@@ -163,10 +170,15 @@ def _build_parser() -> argparse.ArgumentParser:
     tq.add_argument(
         "--table",
         action="append",
-        required=True,
+        default=None,
         metavar="NAME=PATH",
         help="bind a statement table name to a snapshot-table path "
-        "(repeatable)",
+        "(repeatable; overrides --warehouse names)",
+    )
+    tq.add_argument(
+        "--warehouse",
+        default=None,
+        help="warehouse directory with a durable name catalog",
     )
     tq.add_argument("--sf-dir", default="/root/testdata/sf0.001")
     tq.add_argument("--limit", type=int, default=20)
@@ -333,15 +345,18 @@ def main(argv: list[str] | None = None) -> int:
 
         stmt = sys.stdin.read() if args.statement == "-" else args.statement
         tables = {}
-        for binding in args.table:
+        for binding in args.table or []:
             name, eq, path = binding.partition("=")
             if not eq or not name or not path:
                 print(f"malformed --table binding: {binding!r}", file=sys.stderr)
                 return 2
             tables[name] = path
+        if not tables and not args.warehouse:
+            print("pass --table NAME=PATH and/or --warehouse DIR", file=sys.stderr)
+            return 2
         load_tables(spark, args.sf_dir)
         try:
-            df = execute_query(spark, stmt, tables)
+            df = execute_query(spark, stmt, tables, catalog=args.warehouse)
         except ValueError as e:
             print(str(e), file=sys.stderr)
             return 2
@@ -354,15 +369,18 @@ def main(argv: list[str] | None = None) -> int:
 
         stmt = sys.stdin.read() if args.statement == "-" else args.statement
         tables = {}
-        for binding in args.table:
+        for binding in args.table or []:
             name, eq, path = binding.partition("=")
             if not eq or not name or not path:
                 print(f"malformed --table binding: {binding!r}", file=sys.stderr)
                 return 2
             tables[name] = path
+        if not tables and not args.warehouse:
+            print("pass --table NAME=PATH and/or --warehouse DIR", file=sys.stderr)
+            return 2
         load_tables(spark, args.sf_dir)  # views for statement sources
         try:
-            out = execute_dml(spark, stmt, tables)
+            out = execute_dml(spark, stmt, tables, catalog=args.warehouse)
         except ValueError as e:
             print(str(e), file=sys.stderr)
             return 2

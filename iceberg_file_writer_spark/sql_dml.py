@@ -176,6 +176,7 @@ _DESCRIBE_RE = re.compile(
     rf"(?:{_WS}VERSION{_WS}AS{_WS}OF{_WS}(?P<v>\d+))?$",
     re.IGNORECASE,
 )
+_SHOW_TABLES_RE = re.compile(rf"^SHOW{_WS}TABLES$", re.IGNORECASE)
 _CTAS_RE = re.compile(
     rf"^CREATE{_WS}TABLE{_WS}(?P<t>{_ID}){_WS}AS"
     rf"{_WS}(?P<q>(?:SELECT|VALUES|WITH|TABLE).+)$",
@@ -452,10 +453,18 @@ def _merge_keys(on: str, t_names: set, s_names: set) -> list[str]:
 def execute_dml(
     spark: SparkSession,
     sql: str,
-    tables: "dict[str, str]",
+    tables: "dict[str, str] | None" = None,
     max_rows: int = 4096,
+    catalog=None,
 ):
-    """Execute one DML statement against snapshot tables (module doc)."""
+    """Execute one DML statement against snapshot tables (module doc).
+
+    ``tables={name: path}`` is the per-call override; ``catalog`` (a
+    ``catalog.Catalog`` or a warehouse directory path) resolves every
+    other bare name durably — CREATE TABLE registers a fresh
+    ``<warehouse>/<name>`` slot, DROP TABLE unregisters it, and the
+    binding survives across statements, sessions, and processes."""
+    from iceberg_file_writer_spark.catalog import Scope
     from iceberg_file_writer_spark.ingest.deletion_vectors import (
         commit_delete_where_mor,
     )
@@ -470,6 +479,7 @@ def execute_dml(
         commit_update_where,
     )
 
+    tables = Scope(tables, catalog)
     stmt = sql.strip().rstrip(";").strip()
 
     m = _CTAS_RE.match(stmt)
@@ -478,7 +488,7 @@ def execute_dml(
             create_mapped_table,
         )
 
-        path = _resolve(tables, m.group("t"))
+        path = tables.create_path(m.group("t"))
         if _table_exists(path):
             raise ValueError(f"table exists: {m.group('t')} ({path})")
         return create_mapped_table(
@@ -497,7 +507,7 @@ def execute_dml(
             create_mapped_table,
         )
 
-        path = _resolve(tables, m.group("t"))
+        path = tables.create_path(m.group("t"))
         if _table_exists(path):
             raise ValueError(f"table exists: {m.group('t')} ({path})")
         empty = spark.createDataFrame([], m.group("cols").strip())
@@ -511,6 +521,7 @@ def execute_dml(
         if not _table_exists(path):
             raise ValueError(f"no such table: {m.group('t')} ({path})")
         shutil.rmtree(path)
+        tables.on_drop(m.group("t"))
         return None
 
     m = _ALTER_ADD_RE.match(stmt)
@@ -763,7 +774,10 @@ _ASOF_RE = re.compile(
 
 
 def execute_query(
-    spark: SparkSession, sql: str, tables: "dict[str, str]"
+    spark: SparkSession,
+    sql: str,
+    tables: "dict[str, str] | None" = None,
+    catalog=None,
 ):
     """Run a SELECT over snapshot tables with standard time-travel
     syntax: ``FROM t VERSION AS OF 3`` / ``FROM t TIMESTAMP AS OF
@@ -780,12 +794,25 @@ def execute_query(
     """
     import uuid as _uuid
 
+    from iceberg_file_writer_spark.catalog import Scope
     from iceberg_file_writer_spark.ingest.snapshots import (
         read_table_version,
         version_asof,
     )
 
+    tables = Scope(tables, catalog)
     stmt = sql.strip().rstrip(";")
+
+    if _SHOW_TABLES_RE.match(stmt):
+        # SHOW TABLES: the statement scope — override names plus the
+        # warehouse catalog — with each table's path and existence
+        rows = [
+            (name, path, _table_exists(path))
+            for name, path in tables.items()
+        ]
+        return spark.createDataFrame(
+            rows, "table_name string, path string, exists boolean"
+        )
 
     dm = _DESCRIBE_RE.match(stmt)
     if dm:

@@ -1,0 +1,140 @@
+"""Warehouse catalog: durable name->path resolution for the SQL
+surface — CREATE registers, DROP unregisters, bare names work across
+statements and (simulated) sessions; tables={} stays the override."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from iceberg_file_writer_spark.catalog import Catalog
+from iceberg_file_writer_spark.sql_dml import execute_dml, execute_query
+from iceberg_file_writer_spark.tables import load_tables
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _canon(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_full_lifecycle_by_bare_name_across_sessions(spark, tmp_path):
+    wh = str(tmp_path / "wh")
+    load_tables(spark, SF_DIR)
+
+    # session 1: CREATE + INSERT by bare name (no tables= anywhere)
+    execute_dml(
+        spark,
+        "CREATE TABLE accounts AS SELECT c_custkey, c_name, "
+        "CAST(c_acctbal * 100 AS BIGINT) AS cents FROM customer "
+        "WHERE c_custkey <= 5",
+        catalog=wh,
+    )
+    execute_dml(
+        spark,
+        "INSERT INTO accounts SELECT c_custkey, c_name, "
+        "CAST(c_acctbal * 100 AS BIGINT) AS cents FROM customer "
+        "WHERE c_custkey BETWEEN 6 AND 8",
+        catalog=wh,
+    )
+
+    # a SECOND Catalog instance = a new session/process
+    cat2 = Catalog(wh)
+    assert cat2.names() == ["accounts"]
+    n = execute_query(
+        spark, "SELECT count(*) AS n FROM accounts", catalog=cat2
+    ).collect()[0].n
+    assert n == 9  # custkeys 0..5 plus 6..8
+
+    # MERGE + DESCRIBE + time travel, still by name
+    execute_dml(
+        spark,
+        "MERGE INTO accounts USING (SELECT 1 AS c_custkey, "
+        "'patched' AS c_name, CAST(999 AS BIGINT) AS cents) AS s "
+        "ON accounts.c_custkey = s.c_custkey "
+        "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *",
+        catalog=cat2,
+    )
+    got = execute_query(
+        spark,
+        "SELECT c_name, cents FROM accounts WHERE c_custkey = 1",
+        catalog=cat2,
+    ).collect()
+    assert [(r.c_name, r.cents) for r in got] == [("patched", 999)]
+    desc = execute_query(spark, "DESCRIBE TABLE accounts", catalog=cat2)
+    assert [r.col_name for r in desc.collect()] == [
+        "c_custkey", "c_name", "cents",
+    ]
+    old = execute_query(
+        spark,
+        "SELECT c_name FROM accounts VERSION AS OF 1 WHERE c_custkey = 1",
+        catalog=cat2,
+    ).collect()
+    assert old[0].c_name != "patched"
+
+    # SHOW TABLES sees the catalog
+    st = execute_query(spark, "SHOW TABLES", catalog=cat2).collect()
+    assert [(r.table_name, r.exists) for r in st] == [("accounts", True)]
+
+    # DROP removes data AND the registration
+    execute_dml(spark, "DROP TABLE accounts", catalog=cat2)
+    assert Catalog(wh).names() == []
+    assert not os.path.exists(os.path.join(wh, "accounts"))
+    # an unresolvable bare name falls through to Spark (it could still
+    # be a temp view); here nothing backs it, so Spark raises
+    with pytest.raises(Exception, match="cannot be found|unknown"):
+        execute_query(spark, "SELECT * FROM accounts LIMIT 1", catalog=wh).collect()
+
+
+def test_tables_override_shadows_catalog(spark, tmp_path):
+    wh = str(tmp_path / "wh")
+    load_tables(spark, SF_DIR)
+    execute_dml(
+        spark,
+        "CREATE TABLE t AS SELECT 1 AS a",
+        catalog=wh,
+    )
+    other = str(tmp_path / "elsewhere")
+    execute_dml(
+        spark,
+        "CREATE TABLE t AS SELECT 2 AS a",
+        tables={"t": other},
+        catalog=wh,
+    )
+    # override wins for reads too
+    a_override = execute_query(
+        spark, "SELECT a FROM t", tables={"t": other}, catalog=wh
+    ).collect()[0].a
+    a_catalog = execute_query(spark, "SELECT a FROM t", catalog=wh).collect()[0].a
+    assert (a_override, a_catalog) == (2, 1)
+    # DROP with the override does NOT unregister the catalog name
+    execute_dml(spark, "DROP TABLE t", tables={"t": other}, catalog=wh)
+    assert Catalog(wh).names() == ["t"]
+
+
+def test_register_guards_and_relocation(tmp_path):
+    wh = str(tmp_path / "wh")
+    cat = Catalog(wh)
+    p = cat.register("x")
+    assert p == os.path.join(os.path.abspath(wh), "x")
+    assert cat.register("x") == p  # idempotent same-slot
+    with pytest.raises(ValueError, match="already registered"):
+        cat.register("x", str(tmp_path / "other"))
+    with pytest.raises(ValueError, match="invalid table name"):
+        cat.register("bad-name!")
+    with pytest.raises(ValueError, match="unknown table"):
+        cat.resolve("nope")
+
+    # relative storage: the warehouse relocates with a rename
+    os.makedirs(p, exist_ok=True)
+    wh2 = str(tmp_path / "wh_moved")
+    os.rename(wh, wh2)
+    assert Catalog(wh2).resolve("x") == os.path.join(
+        os.path.abspath(wh2), "x"
+    )
+
+
+def test_create_by_bare_name_without_catalog_refuses(spark):
+    with pytest.raises(ValueError, match="catalog|warehouse"):
+        execute_dml(spark, "CREATE TABLE nocat AS SELECT 1 AS a")

@@ -1432,7 +1432,10 @@ def test_optimize_where_multiline_predicate(spark, table):
     assert v == 2
 
 
-def test_changes_between_refuses_mapped_tables(spark, tmp_path):
+def test_changes_between_works_on_mapped_tables(spark, tmp_path):
+    """The feed routes mapped spans through the field-id diff: the
+    INSERT's rows emit as '+' even though the table CREATE produced
+    is column-mapped (this used to refuse)."""
     from iceberg_file_writer_spark.ingest.snapshots import changes_between
 
     t = str(tmp_path / "m")
@@ -1445,8 +1448,11 @@ def test_changes_between_refuses_mapped_tables(spark, tmp_path):
     )
     execute_dml(spark, "INSERT INTO m SELECT c_custkey, c_acctbal "
                 "FROM customer WHERE c_custkey BETWEEN 20 AND 29", {"m": t})
-    with pytest.raises(ValueError, match="mapped"):
-        changes_between(spark, t, 1, 2)
+    feed = changes_between(spark, t, 1, 2)
+    rows = feed.collect()
+    assert len(rows) == 10
+    assert {r.change for r in rows} == {"+"}
+    assert {r.c_custkey for r in rows} == set(range(20, 30))
 
 
 def test_optimize_where_covering_all_files_retires_sidecars(spark, tmp_path):
