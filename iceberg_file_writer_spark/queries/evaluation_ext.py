@@ -357,7 +357,7 @@ FROM c
         "per-distinct-score aggregate (never a global row rank) — the "
         "distributed form of the binary-classifier quality readout"
     ),
-    driver_exposed=False,
+    driver_exposed=True,  # tenth rotation (round 11): promoted,
 )
 def event_value_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed ROC AUC: partial-agg per score, window over ~50k groups.

@@ -1357,7 +1357,7 @@ FROM m GROUP BY touch_type, model
         "U-shaped position-based (40/20/40) — reported as credited "
         "(fractional) conversions and revenue per touch type and model"
     ),
-    driver_exposed=False,
+    driver_exposed=True,  # tenth rotation (round 11): promoted,
 )
 def purchase_multitouch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The marketing-analytics attribution read over the event stream.

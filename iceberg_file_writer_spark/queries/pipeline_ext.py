@@ -268,6 +268,8 @@ GROUP BY bg.doc_id
         "under an add-one-smoothed corpus bigram model (train + apply in one "
         "plan) — the perplexity-filter shape of web-corpus curation"
     ),
+    driver_exposed=False,  # tenth rotation (round 11): ceded
+    # after long green tenure; class continuity per the guard
 )
 def doc_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus bigram model trained and applied in a single plan.
@@ -504,7 +506,9 @@ FROM embeddings e CROSS JOIN b
         f"floor((x - min) * {QUANT_LEVELS} / range) per dimension — the "
         "compression step before an ANN index build, exact integer outputs"
     ),
-    eager=True,  # builds/loads a trained artifact or runs a stream at plan time
+    eager=True,  # builds/loads a trained artifact or runs a stream at plan time,
+    driver_exposed=False,  # tenth rotation (round 11): ceded
+    # after long green tenure; class continuity per the guard
 )
 def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One bounds pass + one codegen'd projection; no shuffle of vectors.
@@ -907,7 +911,7 @@ FROM ranked GROUP BY doc_id
         "repetition — are dropped), and emit the per-document rewrite "
         "ledger plus an order-preserving fingerprint of the cleaned text"
     ),
-    driver_exposed=False,
+    driver_exposed=True,  # tenth rotation (round 11): promoted,
 )
 def doc_dup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact substring dedup as a rewrite: drop repeated spans, keep firsts.

@@ -306,6 +306,8 @@ SELECT user_id, CAST(s AS BIGINT) AS pr_nano FROM s3
         "exact fixed-point 1e-9-unit integers — bit-identical across "
         "engines and partitionings; oracle unrolls the supersteps as CTEs"
     ),
+    driver_exposed=False,  # tenth rotation (round 11): ceded
+    # after long green tenure; class continuity per the guard
 )
 def user_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Who is central in the 'acts right after' graph.
@@ -1334,7 +1336,7 @@ FROM l{LP_ROUNDS} GROUP BY lbl
         "components only finds reachability; oracle unrolls every "
         "superstep as CTEs"
     ),
-    driver_exposed=False,
+    driver_exposed=True,  # tenth rotation (round 11): promoted,
 )
 def user_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Community structure of the 'acts right after' graph.

@@ -546,7 +546,9 @@ SELECT 4, 'upsert_mor',
     # Round-8 seventh rotation: promoted (metadata-inspection flagship);
     # knn_sq8_rerank ceded its slot (retrieve-then-rerank shape stays
     # covered by knn_pq_adc_rerank and the ann_index probes).
-    eager=True,  # builds/loads a trained artifact or runs a stream at plan time
+    eager=True,  # builds/loads a trained artifact or runs a stream at plan time,
+    driver_exposed=False,  # tenth rotation (round 11): ceded
+    # after long green tenure; class continuity per the guard
 )
 def snapshots_metadata_log(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The observability surface: table metadata AS a relation.
@@ -1232,7 +1234,7 @@ SELECT * FROM (
         "time travel back under the pre-evolution schema; every phase's "
         "observable state recomputed independently by the oracle"
     ),
-    driver_exposed=False,
+    driver_exposed=True,  # tenth rotation (round 11): promoted,
     eager=True,  # issues DDL statements against a temp table at plan time
 )
 def sql_ddl_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1371,7 +1373,7 @@ SELECT * FROM (
         "travel under the pre-rename schema; every phase's observable "
         "state recomputed independently by the oracle"
     ),
-    driver_exposed=False,
+    driver_exposed=True,  # tenth rotation (round 11): promoted,
     eager=True,  # issues DML/DDL statements against a temp table at plan time
 )
 def mapped_table_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1485,7 +1487,7 @@ FROM final GROUP BY grp
         "the table); the oracle recomputes the final state from scratch "
         "— the view must equal it exactly"
     ),
-    driver_exposed=False,
+    driver_exposed=True,  # tenth rotation (round 11): promoted,
     eager=True,  # builds the base table + view and runs refreshes at plan time
 )
 def incremental_agg_view_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -223,7 +223,9 @@ FROM sess
 WHERE session_end <= {_FINAL_WM_SQL}
 """,
     description="Structured Streaming: native session_window sessionization run to completion (finalized sessions; session_end = last event + 30 min gap)",
-    eager=True,  # builds/loads a trained artifact or runs a stream at plan time
+    eager=True,  # builds/loads a trained artifact or runs a stream at plan time,
+    driver_exposed=False,  # tenth rotation (round 11): ceded
+    # after long green tenure; class continuity per the guard
 )
 def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     from iceberg_file_writer_spark.streaming.windows import session_windows
@@ -274,7 +276,9 @@ FROM events
 QUALIFY row_number() OVER (PARTITION BY event_id ORDER BY ts, user_id) = 1
 """,
     description="Structured Streaming: watermark-bounded exact dedup (dropDuplicatesWithinWatermark). Oracle = first occurrence per key, which the streaming result equals whenever duplicate pairs arrive within the watermark horizon — true of this corpus (keys are unique)",
-    eager=True,  # builds/loads a trained artifact or runs a stream at plan time
+    eager=True,  # builds/loads a trained artifact or runs a stream at plan time,
+    driver_exposed=False,  # tenth rotation (round 11): ceded
+    # after long green tenure; class continuity per the guard
 )
 def streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     from iceberg_file_writer_spark.streaming.windows import streaming_dedup
@@ -1054,7 +1058,9 @@ from iceberg_file_writer_spark.queries.analytics_ext import (  # noqa: E402
     # pytest-oracle-checked (incl. a forced multi-batch run); driver
     # surface is at its 50-entry cap — the sampling class is
     # driver-visible via doc_stratified_sample/token_budget_sample.
-    eager=True,  # builds/loads a trained artifact or runs a stream at plan time
+    eager=True,  # builds/loads a trained artifact or runs a stream at plan time,
+    driver_exposed=False,  # tenth rotation (round 11): ceded
+    # after long green tenure; class continuity per the guard
 )
 def streaming_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reservoir-style sampling as a streaming operator.
