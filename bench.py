@@ -84,6 +84,25 @@ def main() -> None:
             queries[warm_name].fn(spark, warm_dir).write.format("noop").mode(
                 "overwrite"
             ).save()
+    # Load sentinel (round-11 protocol): a FIXED data-independent plan
+    # timed before and after the corpus. Its cost never changes with SF
+    # or registry content, so a drifted sentinel reading identifies a
+    # loaded host — the uniform 1.25-2x inflation BENCH_r10 showed —
+    # and lets a reader normalize instead of flagging false >=2x rows.
+    def _sentinel() -> float:
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            spark.range(0, 50_000_000, 1, 32).selectExpr(
+                "id * 2 AS a", "id % 97 AS b"
+            ).groupBy("b").count().write.format("noop").mode(
+                "overwrite"
+            ).save()
+            best = min(best, time.time() - t0)
+        return round(best, 3)
+
+    sentinel_pre = _sentinel()
+
     # Headline total/geomean cover the driver-exposed surface (the corpus
     # BASELINE.md anchored); registry-only extras are timed and reported
     # per-query but kept out of the headline so corpus growth across
@@ -109,6 +128,10 @@ def main() -> None:
         # entry the second (best-of-2) run still benefits from its own
         # caches — the clear happens after both runs.
         spark.catalog.clearCache()
+
+    sentinel_post = _sentinel()
+    timings["sentinel_pre"] = sentinel_pre
+    timings["sentinel_post"] = sentinel_post
 
     total = round(sum(corpus_times), 3)
     timings["geomean"] = round(
@@ -138,7 +161,8 @@ def main() -> None:
     headline_timings = {
         k: v
         for k, v in sorted(timings.items())
-        if k in headline or k in ("geomean", "ingest_events")
+        if k in headline
+        or k in ("geomean", "ingest_events", "sentinel_pre", "sentinel_post")
     }
     line = json.dumps(
         {

@@ -54,7 +54,6 @@ from pyspark.sql import functions as F
 
 from iceberg_file_writer_spark.ingest.ledger import write_atomic
 from iceberg_file_writer_spark.ingest.snapshots import (
-    changes_between,
     current_version,
     read_table_version,
 )
@@ -243,8 +242,36 @@ def refresh_agg_view(spark: SparkSession, table_path: str, view_path: str) -> in
         raise ValueError(
             f"table CURRENT v{cur} is behind the view's v{st['version']}"
         )
-    feed = changes_between(spark, table_path, st["version"], cur)
-    sign = F.when(F.col("change") == "+", F.lit(1)).otherwise(F.lit(-1))
+    # fold the SIGNED pre-net relation: the view's deltas are sign-
+    # linear (sum of _d, sum of _d * value), so the netted feed's
+    # full-width multiset groupBy + explode would be pure overhead —
+    # rows that net to zero contribute zero to every fold term
+    from iceberg_file_writer_spark.ingest.snapshots import changes_tagged
+
+    feed = changes_tagged(spark, table_path, st["version"], cur)
+    if feed is None:
+        # commits happened but no row-level change (e.g. metadata-only):
+        # publish the version bump; a rename still re-labels the view
+        if renames:
+            standing = read_agg_view(spark, view_path)
+            for old, new in renames.items():
+                standing = standing.withColumnRenamed(old, new)
+            data = _write_data(standing, view_path, cur)
+            _publish(
+                view_path,
+                {
+                    **st,
+                    "keys": list(keys),
+                    "value_col": value_col,
+                    "version": cur,
+                    "data": data,
+                },
+            )
+            _gc(view_path, data, grace=st["data"])
+        else:
+            _publish(view_path, {**st, "version": cur})
+        return cur
+    sign = F.col("_d")
     delta = feed.groupBy(*keys).agg(
         F.sum(sign).cast("long").alias("_dn"),
         F.sum(

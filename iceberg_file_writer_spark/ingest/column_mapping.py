@@ -844,8 +844,39 @@ def _entry_intersects(entry: dict, key_phys: "dict[int, str]", lo: dict, hi: dic
 def changes_between_mapped(
     spark: SparkSession, table_path: str, from_version: int, to_version: int
 ) -> DataFrame:
-    """Row-level change feed between two snapshots of a COLUMN-MAPPED
-    table, emitted under the TO-version's logical schema.
+    """Netted +/- change feed over a mapped span: ``changes_tagged_mapped``
+    plus the multiset-net groupBy + explode (the ``changes_between``
+    presentation contract)."""
+    tagged = changes_tagged_mapped(
+        spark, table_path, from_version, to_version
+    )
+    if tagged is None:
+        empty = read_mapped(spark, table_path, to_version).where(F.lit(False))
+        return empty.select(F.lit("+").alias("change"), *empty.columns)
+    cols = [c for c in tagged.columns if c != "_d"]
+    net = (
+        tagged.groupBy(*cols)
+        .agg(F.sum("_d").alias("_net"))
+        .where(F.col("_net") != 0)
+    )
+    exploded = net.select(
+        *cols,
+        F.explode(
+            F.expr(
+                "transform(sequence(1, abs(_net)), i -> IF(_net > 0, '+', '-'))"
+            )
+        ).alias("change"),
+    )
+    return exploded.select("change", *cols)
+
+
+def changes_tagged_mapped(
+    spark: SparkSession, table_path: str, from_version: int, to_version: int
+) -> "DataFrame | None":
+    """SIGNED pre-net change relation (``_d`` = +1/-1) of a COLUMN-MAPPED
+    span, emitted under the TO-version's logical schema — the mapped twin
+    of ``snapshots.changes_tagged`` (same sign-linear contract: rows
+    netting to zero may appear as paired +1/-1; None = empty feed).
 
     Same manifest-diff economics as the plain ``changes_between``
     (reference scope note: /root/reference has no CDC at all — this is
@@ -993,23 +1024,8 @@ def changes_between_mapped(
             sides.append(plus.select(F.lit(1).alias("_d"), *plus.columns))
 
     if not sides:
-        empty = read_mapped(spark, table_path, to_version).where(F.lit(False))
-        return empty.select(F.lit("+").alias("change"), *empty.columns)
+        return None
     tagged = sides[0]
     for s_df in sides[1:]:
         tagged = tagged.unionByName(s_df)
-    cols = [c for c in tagged.columns if c != "_d"]
-    net = (
-        tagged.groupBy(*cols)
-        .agg(F.sum("_d").alias("_net"))
-        .where(F.col("_net") != 0)
-    )
-    exploded = net.select(
-        *cols,
-        F.explode(
-            F.expr(
-                "transform(sequence(1, abs(_net)), i -> IF(_net > 0, '+', '-'))"
-            )
-        ).alias("change"),
-    )
-    return exploded.select("change", *cols)
+    return tagged

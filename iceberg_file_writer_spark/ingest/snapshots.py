@@ -1349,6 +1349,40 @@ def changes_between(
     (inserted) and '-' (deleted) rows; an update appears as its
     delete + insert pair, exactly a changelog.
     """
+    tagged = changes_tagged(spark, table_path, from_version, to_version)
+    if tagged is None:
+        # identical manifests: an empty feed with the snapshot's schema
+        empty = read_table_version(spark, table_path, to_version).where(F.lit(False))
+        return empty.select(F.lit("+").alias("change"), *empty.columns)
+    cols = [c for c in tagged.columns if c != "_d"]
+    # multiset diff: net signed count per distinct row value is the change
+    net = (
+        tagged.groupBy(*cols)
+        .agg(F.sum("_d").alias("_net"))
+        .where(F.col("_net") != 0)
+    )
+    exploded = net.select(
+        *cols,
+        F.explode(
+            F.expr("transform(sequence(1, abs(_net)), i -> IF(_net > 0, '+', '-'))")
+        ).alias("change"),
+    )
+    return exploded.select("change", *cols)
+
+
+def changes_tagged(
+    spark: SparkSession, table_path: str, from_version: int, to_version: int
+) -> "DataFrame | None":
+    """The change feed's SIGNED pre-net relation: raw rows with a ``_d``
+    column of +1 (visible at B, from an added-at-B file or a carried
+    visibility gain) or -1 (visible at A, gone at B) — WITHOUT the
+    full-width multiset-net groupBy + explode ``changes_between`` layers
+    on top. Algebraically interchangeable with the netted feed for any
+    SIGN-LINEAR consumer (sum of _d per group == sum over netted +/-
+    rows), which is exactly what the aggregate-view fold needs — it
+    saves one full-width shuffle per refresh. Returns None for an
+    empty feed. Rows that net to zero (e.g. a compaction rewrite) MAY
+    appear as paired +1/-1 rows here; sign-linear folds are immune."""
     ma = read_manifest(table_path, from_version)
     mb = read_manifest(table_path, to_version)
     if "columns" in ma or "columns" in mb:
@@ -1357,10 +1391,10 @@ def changes_between(
         # after a rename as NULL-filled spurious +/- pairs). Local
         # import: column_mapping imports this module at load time.
         from iceberg_file_writer_spark.ingest.column_mapping import (
-            changes_between_mapped,
+            changes_tagged_mapped,
         )
 
-        return changes_between_mapped(
+        return changes_tagged_mapped(
             spark, table_path, from_version, to_version
         )
     ea = {e["path"]: e for e in ma["files"]}
@@ -1408,26 +1442,11 @@ def changes_between(
     if carried_delta is not None:
         sides.append(carried_delta)
     if not sides:
-        # identical manifests: an empty feed with the snapshot's schema
-        empty = read_table_version(spark, table_path, to_version).where(F.lit(False))
-        return empty.select(F.lit("+").alias("change"), *empty.columns)
+        return None
     tagged = sides[0]
     for s_df in sides[1:]:
         tagged = tagged.unionByName(s_df, allowMissingColumns=True)
-    cols = [c for c in tagged.columns if c != "_d"]
-    # multiset diff: net signed count per distinct row value is the change
-    net = (
-        tagged.groupBy(*cols)
-        .agg(F.sum("_d").alias("_net"))
-        .where(F.col("_net") != 0)
-    )
-    exploded = net.select(
-        *cols,
-        F.explode(
-            F.expr("transform(sequence(1, abs(_net)), i -> IF(_net > 0, '+', '-'))")
-        ).alias("change"),
-    )
-    return exploded.select("change", *cols)
+    return tagged
 
 
 def _carried_dv_delta(

@@ -2038,7 +2038,13 @@ def streaming_agg_view_maintenance(spark: SparkSession, sf_dir: str) -> DataFram
     def _fold(batch_df: DataFrame, batch_id: int) -> None:
         s = batch_df.sparkSession
         commit_upsert(s, base, batch_df, ["o_orderkey"], max_rows=4096)
-        refresh_agg_view(s, base, view)
+        # fold cadence (r10 verdict #6): refresh_agg_view spans any
+        # number of commits in ONE feed fold by design (the
+        # multi-version-catchup contract), so the view folds every
+        # SECOND batch here — upsert stays O(batch) per trigger, the
+        # fold count halves, and the final catch-up below lands the tail
+        if batch_id % 2 == 1:
+            refresh_agg_view(s, base, view)
 
     q = (
         spark.readStream.schema(src.schema)
@@ -2050,4 +2056,5 @@ def streaming_agg_view_maintenance(spark: SparkSession, sf_dir: str) -> DataFram
         .start()
     )
     q.awaitTermination()
+    refresh_agg_view(spark, base, view)  # catch-up: folds the tail commits
     return read_agg_view(spark, view).select("grp", "n_rows", "sum_v")
