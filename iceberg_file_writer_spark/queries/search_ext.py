@@ -1586,7 +1586,41 @@ def user_adamic_adar_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     `linked` flag — no window over the whole graph, no all-pairs stage.
     The edge count enters the plan as a broadcast 1-row relation, so
     plan build stays job-free.
+
+    100x-scale posture: the adaptive cap grows as 2*sqrt(|E|), so
+    total wedge work follows the classic O(|E|^1.5) exact-enumeration
+    asymptote — sub-linear per the 10x scaling study but the steepest
+    curve in the registry by construction. The CONSTANT-budget sibling
+    `user_adamic_adar_topm` (O(|E| * M), monotone under-estimating
+    scores) is the scale path beside this exact one, the same
+    brute-vs-IVF split the ANN family uses.
     """
+    return _adamic_adar_scored(spark, sf_dir, top_m=None)
+
+
+# Constant per-middle-node wedge budget for the SAMPLED Adamic-Adar
+# variant: wedge work is O(|E| * AA_TOPM) — linear in the edge count —
+# vs the exact entry's adaptive sqrt(|E|) cap, whose total wedge work
+# grows as O(|E|^1.5) (the classic exact-enumeration bound; it showed
+# as the registry's steepest 10x-data ratio, 6.30x, in scaling_r10).
+# The two entries are the repo's brute-vs-IVF pattern applied to link
+# prediction: exact path beside the scale path, approximation bound
+# stated, pinned against each other at test SF.
+AA_TOPM = 32
+
+
+def _adamic_adar_scored(
+    spark: SparkSession, sf_dir: str, top_m: "int | None"
+) -> DataFrame:
+    """Shared Adamic-Adar pipeline: ``top_m=None`` applies the adaptive
+    sqrt(|E|) middle-degree cap (exact within the cap); an integer
+    keeps only the first ``top_m`` neighbors per middle node (by
+    neighbor id — deterministic), bounding wedge work linearly.
+
+    The 1/ln(d) weight always uses the FULL middle-node degree: the
+    budget limits which wedges are ENUMERATED, never how a wedge is
+    weighted, so sampled scores are exact partial sums (monotone
+    under-estimates) of the uncapped score."""
     hg_edges, _ = _handoff_graph(spark, sf_dir)
     und = ensure_cached(
         hg_edges.select(
@@ -1597,18 +1631,31 @@ def user_adamic_adar_links(spark: SparkSession, sf_dir: str) -> DataFrame:
         und.select(F.col("v").alias("mid"), F.col("u").alias("nb"))
     )
     deg = adj.groupBy("mid").agg(F.count(F.lit(1)).cast("long").alias("d"))
-    ecnt = und.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
-    cap = F.greatest(
-        F.lit(AA_MID_DEGREE_FLOOR).cast("long"),
-        (F.lit(2.0) * F.sqrt(F.col("n_edges"))).cast("long"),
-    )
-    # cap BEFORE the self-join: the hub's rows never reach the wedge stage
-    capped = ensure_cached(
-        adj.join(deg, "mid")
-        .crossJoin(F.broadcast(ecnt))
-        .where(F.col("d") <= cap)
-        .drop("n_edges")
-    )
+    if top_m is None:
+        ecnt = und.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+        cap = F.greatest(
+            F.lit(AA_MID_DEGREE_FLOOR).cast("long"),
+            (F.lit(2.0) * F.sqrt(F.col("n_edges"))).cast("long"),
+        )
+        capped = ensure_cached(
+            adj.join(deg, "mid")
+            .crossJoin(F.broadcast(ecnt))
+            .where(F.col("d") <= cap)
+            .drop("n_edges")
+        )
+    else:
+        from pyspark.sql import Window
+
+        # rank() <= k over a mid-partitioned window: Spark's
+        # WindowGroupLimit pushes the budget INTO the shuffle read, so
+        # a hub's adjacency never materializes past top_m rows per task
+        w = Window.partitionBy("mid").orderBy("nb")
+        capped = ensure_cached(
+            adj.join(deg, "mid")
+            .withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") <= top_m)
+            .drop("_rn")
+        )
     a1 = capped.select("mid", "d", F.col("nb").alias("user_a"))
     a2 = capped.select("mid", F.col("nb").alias("user_b"))
     scored = (
@@ -1634,3 +1681,52 @@ def user_adamic_adar_links(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("_is_edge").isNotNull().alias("linked"),
         )
     )
+
+
+@register(
+    "user_adamic_adar_topm",
+    oracle=f"""
+WITH und AS ({_TRI_EDGES_SQL}),
+adj AS (
+  SELECT u AS mid, v AS nb FROM und
+  UNION ALL
+  SELECT v AS mid, u AS nb FROM und
+),
+deg AS (
+  SELECT mid, CAST(count(*) AS BIGINT) AS d FROM adj GROUP BY mid
+),
+ranked AS (
+  SELECT a.mid, a.nb, g.d,
+         row_number() OVER (PARTITION BY a.mid ORDER BY a.nb) AS rn
+  FROM adj a JOIN deg g ON g.mid = a.mid
+),
+capped AS (SELECT mid, nb, d FROM ranked WHERE rn <= {AA_TOPM}),
+scored AS (
+  SELECT a1.nb AS user_a, a2.nb AS user_b,
+         CAST(count(*) AS BIGINT)       AS n_common,
+         round(sum(1.0 / ln(a1.d)), 6)  AS aa_score
+  FROM capped a1
+  JOIN capped a2 ON a2.mid = a1.mid AND a1.nb < a2.nb
+  GROUP BY a1.nb, a2.nb
+)
+SELECT s.user_a, s.user_b, s.n_common, s.aa_score,
+       (e.u IS NOT NULL) AS linked
+FROM scored s
+LEFT JOIN und e ON e.u = s.user_a AND e.v = s.user_b
+WHERE s.n_common >= {AA_MIN_COMMON}
+""",
+    description=(
+        "Adamic-Adar link prediction, CONSTANT-budget variant: each "
+        "middle node contributes wedges from its first "
+        f"{AA_TOPM} neighbors only (deterministic by id), so total "
+        "wedge work is O(|E| * M) — linear in edges — vs the exact "
+        "entry's O(|E|^1.5) sqrt-cap bound; scores are exact partial "
+        "sums (monotone under-estimates) of the uncapped score, the "
+        "100x-scale path beside user_adamic_adar_links' exact path"
+    ),
+    # Registry-only (surface at cap); pinned against the exact entry in
+    # tests/test_search_ext.py.
+    driver_exposed=False,
+)
+def user_adamic_adar_topm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _adamic_adar_scored(spark, sf_dir, top_m=AA_TOPM)

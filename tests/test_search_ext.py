@@ -426,3 +426,44 @@ def test_funnel_hot_user_cap(spark, tmp_path, monkeypatch):
         f"read_parquet('{tmp_path}/events.parquet')"
     )
     assert_parity(result, con, ev_mod._funnel_oracle(), name="funnel-capped")
+
+
+def test_adamic_adar_topm_pinned_against_exact(spark):
+    """The constant-budget variant is an exact partial sum of the
+    uncapped score: with an unbinding budget it EQUALS the exact
+    entry's output; with the shipped budget every pair's n_common and
+    aa_score are monotone under-estimates of the uncapped values."""
+    from iceberg_file_writer_spark.queries import search_ext as se
+    from iceberg_file_writer_spark.queries.search_ext import (
+        _adamic_adar_scored,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    exact = {
+        (r.user_a, r.user_b): (r.n_common, r.aa_score, r.linked)
+        for r in se.user_adamic_adar_links(spark, sf).collect()
+    }
+    # budget so large it never binds, adaptive cap OFF on both sides:
+    # compare against an uncapped run of the shared pipeline
+    uncapped = {
+        (r.user_a, r.user_b): (r.n_common, r.aa_score, r.linked)
+        for r in _adamic_adar_scored(spark, sf, top_m=10**9).collect()
+    }
+    # the exact entry applies the adaptive middle-degree cap, so it is
+    # itself a subset of the uncapped run with <= counts
+    for pair, (nc, sc, _l) in exact.items():
+        assert pair in uncapped
+        unc, usc, _ = uncapped[pair]
+        assert nc <= unc and sc <= usc + 1e-6
+
+    shipped = {
+        (r.user_a, r.user_b): (r.n_common, r.aa_score, r.linked)
+        for r in se.user_adamic_adar_topm(spark, sf).collect()
+    }
+    assert shipped  # budget does not empty the result at test SF
+    for pair, (nc, sc, linked) in shipped.items():
+        assert pair in uncapped  # never invents a pair
+        unc, usc, ulinked = uncapped[pair]
+        assert nc <= unc  # monotone under-estimate (wedge subset)
+        assert sc <= usc + 1e-6
+        assert linked == ulinked  # the observed-edge flag is exact
