@@ -73,9 +73,9 @@ class Catalog:
 
     def _store(self, tables: dict) -> None:
         os.makedirs(self.warehouse, exist_ok=True)
-        write_atomic(
-            self._path(), json.dumps({"tables": tables}, sort_keys=True)
-        )
+        doc = self._load_doc()
+        doc["tables"] = tables
+        write_atomic(self._path(), json.dumps(doc, sort_keys=True))
         self._cache = None
 
     # -- reads ----------------------------------------------------------------
@@ -104,6 +104,8 @@ class Catalog:
         first (a silent rebind would orphan the old data)."""
         if not _NAME_RE.match(name):
             raise ValueError(f"invalid table name: {name!r}")
+        if name in (self._load_doc().get("views") or {}):
+            raise ValueError(f"{name!r} is already a VIEW in this warehouse")
         tables = self._load()
         rel = (
             os.path.relpath(os.path.abspath(path), self.warehouse)
@@ -128,6 +130,53 @@ class Catalog:
             tables = dict(tables)
             del tables[name]
             self._store(tables)
+
+    # -- durable views ----------------------------------------------------------
+    # A view is stored SQL text, re-planned at every reference (the
+    # classic non-materialized view): it rides in the same catalog.json
+    # document under "views" and resolves through execute_query, so a
+    # view can reference catalog tables, other views, and time travel.
+
+    def _load_doc(self) -> dict:
+        try:
+            with open(self._path()) as f:
+                return json.load(f)
+        except OSError:
+            return {}
+
+    def view_names(self) -> list:
+        return sorted(self._load_doc().get("views") or {})
+
+    def view_sql(self, name: str) -> str:
+        views = self._load_doc().get("views") or {}
+        if name not in views:
+            raise ValueError(
+                f"unknown view {name!r} in warehouse {self.warehouse}; "
+                f"known: {sorted(views)}"
+            )
+        return views[name]
+
+    def register_view(self, name: str, sql: str) -> None:
+        if not _NAME_RE.match(name):
+            raise ValueError(f"invalid view name: {name!r}")
+        doc = self._load_doc()
+        if name in (doc.get("tables") or {}):
+            raise ValueError(f"{name!r} is already a TABLE in this warehouse")
+        views = dict(doc.get("views") or {})
+        views[name] = sql
+        doc["views"] = views
+        os.makedirs(self.warehouse, exist_ok=True)
+        write_atomic(self._path(), json.dumps(doc, sort_keys=True))
+        self._cache = None
+
+    def unregister_view(self, name: str) -> None:
+        doc = self._load_doc()
+        views = dict(doc.get("views") or {})
+        if name in views:
+            del views[name]
+            doc["views"] = views
+            write_atomic(self._path(), json.dumps(doc, sort_keys=True))
+            self._cache = None
 
 
 class Scope:

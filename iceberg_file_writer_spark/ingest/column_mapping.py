@@ -954,10 +954,20 @@ def changes_tagged_mapped(
     eq_paths_a = {e["path"] for e in eqs_a}
     eq_paths_b = {e["path"] for e in eqs_b}
     if carried and (set(dvs_a) != set(dvs_b) or eq_paths_a != eq_paths_b):
-        keep_paths: "set[str]" = set()
+        from iceberg_file_writer_spark.ingest.snapshots import (
+            CARRIED_PRUNE_MIN_FILES,
+        )
+
+        # few enough carried files that reading them beats the two
+        # driver-side pruning jobs (same shortcut as the plain path) —
+        # keep everything and skip straight to the position diff
+        prune = len(carried) > CARRIED_PRUNE_MIN_FILES
+        keep_paths: "set[str]" = (
+            set() if prune else {e["path"] for e in carried}
+        )
         # (1) positional delta: only files NAMED by the DV symmetric
         # difference can flip through positions (delta is deletion-sized)
-        if set(dvs_a) != set(dvs_b):
+        if prune and set(dvs_a) != set(dvs_b):
             def _dv(dvs):
                 if not dvs:
                     return None
@@ -984,7 +994,7 @@ def changes_tagged_mapped(
         delta_eq = [e for e in eqs_b if e["path"] not in eq_paths_a] + [
             e for e in eqs_a if e["path"] not in eq_paths_b
         ]
-        if delta_eq:
+        if prune and delta_eq:
             key_ids = delta_eq[0]["ids"]
             dparts = None
             for e in delta_eq:

@@ -1516,6 +1516,13 @@ def _carried_dv_delta(
     return out
 
 
+# Below this many carried files, the CDC eq-delta path reads them all
+# instead of paying the two driver-side pruning jobs (delta-key bounds +
+# DV-delta names) — the prune exists to keep 10^5-file tables from
+# full scans, not to tax a 20-file one with job latency.
+CARRIED_PRUNE_MIN_FILES = 16
+
+
 def _carried_mor_delta(
     spark: SparkSession,
     table_path: str,
@@ -1528,47 +1535,39 @@ def _carried_mor_delta(
     """Signed rows (+1/-1 in ``_d``) from carried files under the GENERAL
     merge-on-read state change: visibility of each row is derived at both
     versions from that version's positional DVs AND equality deletes,
-    and only rows whose visibility flipped emit. Unlike the positional
-    fast path, equality deletes name keys, not files, so every carried
-    file within the delta's key bounding box is read — one stats prune
-    (per key column min/max of the NEW delete keys) keeps that from
-    being the whole table when the delete set is narrow."""
+    and only rows whose visibility flipped emit.
+
+    Delta-sized everywhere (the 100 TB contract):
+
+    - **read set**: unlike the positional fast path, equality deletes
+      name keys, not files, so every carried file within the delta's
+      key bounding box is read — one stats prune (per key column
+      min/max of the delta keys) keeps that from being the whole table
+      when the delete set is narrow. Below CARRIED_PRUNE_MIN_FILES the
+      two pruning jobs cost more than just reading the files.
+    - **candidate rows**: a flip needs the row's key in the DELTA key
+      set or its position in the DV symmetric difference — everything
+      else has identical MoR state at both versions, so candidates
+      filter by two delta-sized broadcast markers before any state
+      joins.
+    - **eq state**: the aggregates that decide visibility semi-join to
+      the delta keys BEFORE broadcasting — the accumulated equality-
+      delete state grows until compaction, the flip set cannot, so the
+      per-fold broadcast is O(delta), never O(accumulated deletes).
+    """
     if not carried:
         return None
 
-    def _eq_agg(eqs: list[dict], suffix: str):
-        if not eqs:
-            return None, None
-        cols = eqs[0]["cols"]
-        parts = [
-            spark.read.parquet(os.path.join(table_path, e["path"]))
-            .select(*cols)
-            .withColumn("_eq_seq", F.lit(int(e["seq"])))
-            for e in eqs
-        ]
-        eq = parts[0]
-        for p in parts[1:]:
-            eq = eq.unionByName(p)
-        eq = eq.groupBy(*cols).agg(F.max("_eq_seq").alias(f"_eqs_{suffix}"))
-        return (
-            eq.select(
-                *[F.col(c).alias(f"_eqk{suffix}_{c}") for c in cols],
-                f"_eqs_{suffix}",
-            ),
-            cols,
-        )
+    key_cols = tuple((eqs_b[0] if eqs_b else eqs_a[0])["cols"]) if (
+        eqs_a or eqs_b
+    ) else ()
 
-    eq_a, cols_a = _eq_agg(eqs_a, "a")
-    eq_b, cols_b = _eq_agg(eqs_b, "b")
-    key_cols = cols_b or cols_a
-
-    # stats prune: a carried file can only change visibility through an
-    # eq delete if its per-column range intersects the DELTA keys' box
-    # (DV-named files are kept regardless)
-    new_eq = [e for e in eqs_b if e["path"] not in {x["path"] for x in eqs_a}]
-    gone_eq = [e for e in eqs_a if e["path"] not in {x["path"] for x in eqs_b}]
-    delta_eq = new_eq + gone_eq
-    keep = carried
+    # delta relations (plans — nothing collected unless pruning runs)
+    paths_a, paths_b = {e["path"] for e in eqs_a}, {e["path"] for e in eqs_b}
+    delta_eq = [e for e in eqs_b if e["path"] not in paths_a] + [
+        e for e in eqs_a if e["path"] not in paths_b
+    ]
+    dk = None
     if delta_eq and key_cols:
         dparts = [
             spark.read.parquet(os.path.join(table_path, e["path"])).select(
@@ -1577,23 +1576,37 @@ def _carried_mor_delta(
             for e in delta_eq
         ]
         dk = dparts[0]
-        for p in dparts[1:]:
-            dk = dk.unionByName(p)
+        for part in dparts[1:]:
+            dk = dk.unionByName(part)
+
+    def _dv(dvs: list) -> DataFrame | None:
+        if not dvs:
+            return None
+        return spark.read.parquet(
+            *[os.path.join(table_path, p) for p in dvs]
+        ).select("file_name", "row_index")
+
+    dv_delta = None
+    if set(dvs_a) != set(dvs_b):
+        da, db = _dv(dvs_a), _dv(dvs_b)
+        if da is None:
+            dv_delta = db
+        elif db is None:
+            dv_delta = da
+        else:
+            dv_delta = db.subtract(da).unionByName(da.subtract(db))
+
+    keep = carried
+    if dk is not None and len(carried) > CARRIED_PRUNE_MIN_FILES:
         bounds = dk.agg(
             *[F.min(c).alias(f"lo_{c}") for c in key_cols],
             *[F.max(c).alias(f"hi_{c}") for c in key_cols],
         ).first()
         dv_named: set[str] = set()
-        dv_delta_rels = set(dvs_a) ^ set(dvs_b)
-        if dv_delta_rels:
+        if dv_delta is not None:
             dv_named = {
                 r.file_name
-                for r in spark.read.parquet(
-                    *[os.path.join(table_path, p) for p in dv_delta_rels]
-                )
-                .select("file_name")
-                .distinct()
-                .collect()
+                for r in dv_delta.select("file_name").distinct().collect()
             }
         keep = []
         for e in carried:
@@ -1616,6 +1629,61 @@ def _carried_mor_delta(
             return None
 
     rows = _read_files(spark, table_path, keep, None, with_position=True)
+
+    # candidate restriction (delta-sized broadcast markers)
+    cand = None
+    if dk is not None:
+        mk = (
+            dk.distinct()
+            .select(*[F.col(c).alias(f"_cd_{c}") for c in key_cols])
+            .withColumn("_cdk", F.lit(1))
+        )
+        rows = rows.join(
+            F.broadcast(mk),
+            [F.col(c) == F.col(f"_cd_{c}") for c in key_cols],
+            "left",
+        ).drop(*[f"_cd_{c}" for c in key_cols])
+        cand = F.col("_cdk").isNotNull()
+    if dv_delta is not None:
+        mp = (
+            dv_delta.select(
+                F.col("file_name").alias("_pos_fn"),
+                F.col("row_index").alias("_pos_ri"),
+            )
+            .distinct()
+            .withColumn("_cdv", F.lit(1))
+        )
+        rows = rows.join(F.broadcast(mp), ["_pos_fn", "_pos_ri"], "left")
+        c2 = F.col("_cdv").isNotNull()
+        cand = c2 if cand is None else (cand | c2)
+    if cand is not None:
+        rows = rows.where(cand).drop("_cdk", "_cdv")
+
+    def _eq_agg(eqs: list[dict], suffix: str):
+        if not eqs:
+            return None
+        cols = eqs[0]["cols"]
+        parts = [
+            spark.read.parquet(os.path.join(table_path, e["path"]))
+            .select(*cols)
+            .withColumn("_eq_seq", F.lit(int(e["seq"])))
+            for e in eqs
+        ]
+        eq = parts[0]
+        for p in parts[1:]:
+            eq = eq.unionByName(p)
+        if dk is not None:
+            # only delta-keyed candidates remain, so only delta-keyed
+            # state can matter: bound the broadcast at delta size
+            eq = eq.join(F.broadcast(dk.distinct()), list(cols), "left_semi")
+        eq = eq.groupBy(*cols).agg(F.max("_eq_seq").alias(f"_eqs_{suffix}"))
+        return eq.select(
+            *[F.col(c).alias(f"_eqk{suffix}_{c}") for c in cols],
+            f"_eqs_{suffix}",
+        )
+
+    eq_a = _eq_agg(eqs_a, "a")
+    eq_b = _eq_agg(eqs_b, "b")
 
     def _dv_marker(dvs: list, name: str):
         if not dvs:
@@ -1642,7 +1710,7 @@ def _carried_mor_delta(
             if mk is not None
             else rows.withColumn(name, F.lit(None).cast("int"))
         )
-    for eq, suffix, cols in ((eq_a, "a", cols_a), (eq_b, "b", cols_b)):
+    for eq, suffix, cols in ((eq_a, "a", key_cols), (eq_b, "b", key_cols)):
         if eq is None:
             rows = rows.withColumn(f"_eqs_{suffix}", F.lit(None).cast("long"))
         else:

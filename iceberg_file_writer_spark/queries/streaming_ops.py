@@ -1968,11 +1968,12 @@ def streaming_agg_view_maintenance(spark: SparkSession, sf_dir: str) -> DataFram
     """The streaming write side of the CDC-maintained aggregate view.
 
     A quarter of orders is the standing base (with the view
-    initialized over it); the rest arrive as three staged files driven
+    initialized over it); the rest arrive as two staged files driven
     one-per-trigger, the LAST carrying corrections (+1000 cents) for
     keys already present in the base. Each micro-batch is ONE
     commit_upsert (key tombstones + new rows, O(batch)) followed by ONE
-    refresh_agg_view (feed-sized fold). The retraction path is what
+    refresh_agg_view (feed-sized fold), with a final catch-up refresh
+    after the stream drains (a no-op when already current). The retraction path is what
     distinguishes this from the append-only rollup: the correction
     batch's feed emits '-' for the replaced rows and '+' for the new
     ones, and the standing aggregate adjusts exactly — pinned by the
@@ -2003,23 +2004,20 @@ def streaming_agg_view_maintenance(spark: SparkSession, sf_dir: str) -> DataFram
         corrections = src.where("o_orderkey % 8 = 0").withColumn(
             "cents", F.col("cents") + F.lit(1000)
         )
-        # two arrival files, then the correction file last (same-key
+        # one arrival file, then the correction file last (same-key
         # rows must not share a file with their replacement — upsert
         # batches hold at most one row per key)
-        arriving.where("o_orderkey % 2 = 1").coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(os.path.join(path, "f0"))
-        arriving.where("o_orderkey % 2 = 0").coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(os.path.join(path, "f1"))
+        arriving.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(path, "f0")
+        )
         corrections.coalesce(1).write.mode("overwrite").parquet(
-            os.path.join(path, "f2")
+            os.path.join(path, "f1")
         )
         # flatten into one source dir with ordered names
         import glob
         import shutil
 
-        for i in range(3):
+        for i in range(2):
             for j, f in enumerate(
                 sorted(glob.glob(os.path.join(path, f"f{i}", "*.parquet")))
             ):
@@ -2038,13 +2036,7 @@ def streaming_agg_view_maintenance(spark: SparkSession, sf_dir: str) -> DataFram
     def _fold(batch_df: DataFrame, batch_id: int) -> None:
         s = batch_df.sparkSession
         commit_upsert(s, base, batch_df, ["o_orderkey"], max_rows=4096)
-        # fold cadence (r10 verdict #6): refresh_agg_view spans any
-        # number of commits in ONE feed fold by design (the
-        # multi-version-catchup contract), so the view folds every
-        # SECOND batch here — upsert stays O(batch) per trigger, the
-        # fold count halves, and the final catch-up below lands the tail
-        if batch_id % 2 == 1:
-            refresh_agg_view(s, base, view)
+        refresh_agg_view(s, base, view)
 
     q = (
         spark.readStream.schema(src.schema)

@@ -177,6 +177,14 @@ _DESCRIBE_RE = re.compile(
     re.IGNORECASE,
 )
 _SHOW_TABLES_RE = re.compile(rf"^SHOW{_WS}TABLES$", re.IGNORECASE)
+_CREATE_VIEW_RE = re.compile(
+    rf"^CREATE(?:{_WS}OR{_WS}REPLACE)?{_WS}VIEW{_WS}(?P<v>{_ID}){_WS}AS"
+    rf"{_WS}(?P<q>.+)$",
+    re.IGNORECASE | re.DOTALL,
+)
+_DROP_VIEW_RE = re.compile(
+    rf"^DROP{_WS}VIEW{_WS}(?P<v>{_ID})$", re.IGNORECASE
+)
 _CTAS_RE = re.compile(
     rf"^CREATE{_WS}TABLE{_WS}(?P<t>{_ID}){_WS}AS"
     rf"{_WS}(?P<q>(?:SELECT|VALUES|WITH|TABLE).+)$",
@@ -482,6 +490,38 @@ def execute_dml(
     tables = Scope(tables, catalog)
     stmt = sql.strip().rstrip(";").strip()
 
+    m = _CREATE_VIEW_RE.match(stmt)
+    if m:
+        # a DURABLE view: stored SQL text in the warehouse catalog,
+        # re-planned at every reference (non-materialized). Validated
+        # now by planning it once — a typo fails at CREATE, not at the
+        # first read. CREATE OR REPLACE overwrites.
+        if tables.catalog is None:
+            raise ValueError(
+                "CREATE VIEW needs a catalog/warehouse (views are "
+                "durable catalog objects)"
+            )
+        execute_query(
+            spark, m.group("q"), tables.tables, catalog=tables.catalog
+        )  # plan-validate only (lazy — no execution)
+        if not re.match(r"(?i)^CREATE\s+OR\s+REPLACE", stmt) and (
+            m.group("v") in tables.catalog.view_names()
+        ):
+            raise ValueError(
+                f"view exists: {m.group('v')} (use CREATE OR REPLACE VIEW)"
+            )
+        tables.catalog.register_view(m.group("v"), m.group("q").strip())
+        return None
+
+    m = _DROP_VIEW_RE.match(stmt)
+    if m:
+        if tables.catalog is None:
+            raise ValueError("DROP VIEW needs a catalog/warehouse")
+        if m.group("v") not in tables.catalog.view_names():
+            raise ValueError(f"no such view: {m.group('v')}")
+        tables.catalog.unregister_view(m.group("v"))
+        return None
+
     m = _CTAS_RE.match(stmt)
     if m:
         from iceberg_file_writer_spark.ingest.column_mapping import (
@@ -778,6 +818,7 @@ def execute_query(
     sql: str,
     tables: "dict[str, str] | None" = None,
     catalog=None,
+    _depth: int = 0,
 ):
     """Run a SELECT over snapshot tables with standard time-travel
     syntax: ``FROM t VERSION AS OF 3`` / ``FROM t TIMESTAMP AS OF
@@ -905,6 +946,28 @@ def execute_query(
             for p in parts
         )
 
+    # durable catalog VIEWS resolve first (a view's stored SQL may
+    # reference catalog tables, time travel, or other views — the
+    # recursive execute_query handles all of it; depth-capped so a
+    # view cycle fails loudly instead of recursing forever)
+    if tables.catalog is not None:
+        if _depth > 8:
+            raise ValueError(
+                "view resolution exceeded depth 8 — circular views?"
+            )
+        for name in tables.catalog.view_names():
+            probe = _sub_outside_quotes(rewritten, name, "\x00")
+            if "\x00" not in probe:
+                continue
+            view = f"__vw_{name}_{_uuid.uuid4().hex[:8]}"
+            execute_query(
+                spark,
+                tables.catalog.view_sql(name),
+                tables.tables,
+                catalog=tables.catalog,
+                _depth=_depth + 1,
+            ).createOrReplaceTempView(view)
+            rewritten = _sub_outside_quotes(rewritten, name, view)
     for name, path in tables.items():
         probe = _sub_outside_quotes(rewritten, name, "\x00")
         if "\x00" not in probe:
@@ -915,3 +978,64 @@ def execute_query(
         _read(path, None).createOrReplaceTempView(view)
         rewritten = _sub_outside_quotes(rewritten, name, view)
     return spark.sql(rewritten)
+
+
+def _split_statements(script: str) -> list:
+    """Quote-aware top-level semicolon split (a ';' inside a string
+    literal is data). Empty fragments (trailing ';', blank lines
+    between statements) drop."""
+    parts, buf, i, n = [], [], 0, len(script)
+    in_str = False
+    while i < n:
+        ch = script[i]
+        if in_str:
+            if ch == "'":
+                if i + 1 < n and script[i + 1] == "'":
+                    buf.append("''")
+                    i += 2
+                    continue
+                in_str = False
+            buf.append(ch)
+        elif ch == "'":
+            in_str = True
+            buf.append(ch)
+        elif ch == ";":
+            parts.append("".join(buf))
+            buf = []
+        else:
+            buf.append(ch)
+        i += 1
+    parts.append("".join(buf))
+    return [p.strip() for p in parts if p.strip()]
+
+
+_QUERY_VERBS = re.compile(
+    r"(?i)^\s*(SELECT|WITH|SHOW|DESC|DESCRIBE)\b"
+)
+
+
+def execute_script(
+    spark: SparkSession,
+    script: str,
+    tables: "dict[str, str] | None" = None,
+    catalog=None,
+    max_rows: int = 4096,
+):
+    """Run a ';'-separated SQL script: each statement routes to
+    ``execute_query`` (SELECT/WITH/SHOW/DESCRIBE) or ``execute_dml``
+    (everything else) against the same tables/catalog scope. Returns
+    the LAST statement's result (a DataFrame for a trailing query,
+    the commit version for a trailing DML, None for DDL) — the shape a
+    setup-then-read script wants. Statements run sequentially and each
+    DML commit is durable when it returns, so a failure mid-script
+    leaves every completed statement committed (scripts are not a
+    transaction; multi-table atomicity lives in ingest/multi_commit)."""
+    result = None
+    for stmt in _split_statements(script):
+        if _QUERY_VERBS.match(stmt):
+            result = execute_query(spark, stmt, tables, catalog=catalog)
+        else:
+            result = execute_dml(
+                spark, stmt, tables, max_rows=max_rows, catalog=catalog
+            )
+    return result

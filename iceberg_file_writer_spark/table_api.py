@@ -40,6 +40,18 @@ class SnapshotTable:
 
     # -- constructors --------------------------------------------------
     @classmethod
+    def by_name(cls, spark: SparkSession, name: str, catalog) -> "SnapshotTable":
+        """Open a table by its warehouse-catalog name (``catalog`` is a
+        ``catalog.Catalog`` or a warehouse directory path) — the
+        object-API face of the durable name registry."""
+        from iceberg_file_writer_spark.catalog import Catalog
+
+        cat = Catalog(catalog) if isinstance(catalog, str) else catalog
+        t = cls(spark, cat.resolve(name))
+        t.name = name
+        return t
+
+    @classmethod
     def create(
         cls,
         spark: SparkSession,

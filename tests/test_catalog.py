@@ -138,3 +138,80 @@ def test_register_guards_and_relocation(tmp_path):
 def test_create_by_bare_name_without_catalog_refuses(spark):
     with pytest.raises(ValueError, match="catalog|warehouse"):
         execute_dml(spark, "CREATE TABLE nocat AS SELECT 1 AS a")
+
+
+def test_durable_views_and_script(spark, tmp_path):
+    """CREATE VIEW stores SQL in catalog.json (re-planned per read,
+    survives sessions); views resolve in queries, may reference tables
+    AND other views; execute_script runs ;-separated statements and
+    returns the last result."""
+    from iceberg_file_writer_spark.sql_dml import execute_script
+
+    wh = str(tmp_path / "wh")
+    load_tables(spark, SF_DIR)
+    out = execute_script(
+        spark,
+        """
+        CREATE TABLE sales AS
+          SELECT o_custkey, CAST(o_totalprice * 100 AS BIGINT) AS cents
+          FROM orders WHERE o_orderkey % 50 = 0;
+        CREATE VIEW big_sales AS SELECT * FROM sales WHERE cents > 1000000;
+        CREATE VIEW big_count AS
+          SELECT count(*) AS n, 'has; semicolon' AS note FROM big_sales;
+        SELECT n FROM big_count
+        """,
+        catalog=wh,
+    )
+    n1 = out.collect()[0].n
+    assert n1 > 0
+
+    # a new Catalog instance = a new session; the view re-plans against
+    # the table's CURRENT state, so DML shows through it
+    cat2 = Catalog(wh)
+    assert cat2.view_names() == ["big_count", "big_sales"]
+    execute_dml(spark, "DELETE FROM sales WHERE cents > 1000000", catalog=cat2)
+    n2 = execute_query(spark, "SELECT n FROM big_count", catalog=cat2).collect()[0].n
+    assert n2 == 0
+
+    # guards: name collisions both ways, duplicate CREATE, unknown DROP
+    with pytest.raises(ValueError, match="already a TABLE"):
+        execute_dml(spark, "CREATE VIEW sales AS SELECT 1 AS a", catalog=cat2)
+    with pytest.raises(ValueError, match="already a VIEW"):
+        execute_dml(spark, "CREATE TABLE big_sales AS SELECT 1 AS a", catalog=cat2)
+    with pytest.raises(ValueError, match="view exists"):
+        execute_dml(
+            spark, "CREATE VIEW big_sales AS SELECT 1 AS a", catalog=cat2
+        )
+    execute_dml(
+        spark,
+        "CREATE OR REPLACE VIEW big_sales AS SELECT * FROM sales WHERE cents > 0",
+        catalog=cat2,
+    )
+    with pytest.raises(ValueError, match="no such view"):
+        execute_dml(spark, "DROP VIEW nope", catalog=cat2)
+    execute_dml(spark, "DROP VIEW big_count", catalog=cat2)
+    assert Catalog(wh).view_names() == ["big_sales"]
+
+    # a broken view body fails at CREATE, not first read
+    with pytest.raises(Exception):
+        execute_dml(
+            spark, "CREATE VIEW broken AS SELECT nope FROM sales", catalog=cat2
+        )
+    assert "broken" not in Catalog(wh).view_names()
+
+
+def test_snapshot_table_by_name(spark, tmp_path):
+    from iceberg_file_writer_spark.table_api import SnapshotTable
+
+    wh = str(tmp_path / "wh")
+    load_tables(spark, SF_DIR)
+    execute_dml(
+        spark,
+        "CREATE TABLE named AS SELECT r_regionkey, r_name FROM region",
+        catalog=wh,
+    )
+    t = SnapshotTable.by_name(spark, "named", wh)
+    assert t.read().count() == 5
+    assert t.name == "named"
+    with pytest.raises(ValueError, match="unknown table"):
+        SnapshotTable.by_name(spark, "ghost", wh)
