@@ -1538,3 +1538,128 @@ def incremental_agg_view_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
             "avg_value"
         ),
     )
+
+
+# --- warehouse catalog + durable views lifecycle ------------------------------
+
+_CATALOG_REPORTS: dict[tuple, list] = {}
+
+
+@register(
+    "catalog_views_lifecycle",
+    oracle="""
+WITH base AS (
+  SELECT o_orderkey AS k,
+         CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+  FROM orders WHERE o_orderkey % 4 = 0
+),
+surv AS (SELECT * FROM base WHERE k % 3 <> 0),
+big0 AS (SELECT * FROM base WHERE cents > 20000000),
+big1 AS (SELECT * FROM surv WHERE cents > 20000000)
+SELECT * FROM (
+  SELECT '1_create' AS phase, (SELECT count(*) FROM base)::BIGINT AS n,
+         (SELECT sum(cents) FROM base)::BIGINT AS s
+  UNION ALL
+  SELECT '2_view', (SELECT count(*) FROM big0)::BIGINT,
+         (SELECT sum(cents) FROM big0)::BIGINT
+  UNION ALL
+  SELECT '3_delete_replans', (SELECT count(*) FROM big1)::BIGINT,
+         (SELECT sum(cents) FROM big1)::BIGINT
+  UNION ALL
+  SELECT '4_view_on_view', (SELECT count(*) FROM big1)::BIGINT,
+         (SELECT sum(cents) FROM big1)::BIGINT
+  UNION ALL
+  SELECT '5_drop', 1::BIGINT, 1::BIGINT
+)
+""",
+    description=(
+        "Warehouse-catalog lifecycle, value-hash-gated: CREATE TABLE by "
+        "BARE NAME registers a slot in catalog.json; a durable "
+        "(non-materialized) VIEW stores SQL that RE-PLANS per reference "
+        "— a DELETE against the base table shows through it with no "
+        "refresh step; a view stacks on another view; DROP VIEW / the "
+        "registry survive into a fresh Catalog instance (a second "
+        "session); every phase's observable recomputed independently by "
+        "the oracle"
+    ),
+    # Registered mid-round 11; the driver surface is at its 50 cap — an
+    # eleventh-rotation candidate.
+    driver_exposed=False,
+    eager=True,  # issues catalog DDL/DML against a temp warehouse at plan time
+)
+def catalog_views_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The durable-name layer exercised end-to-end: tables and views by
+    bare name only (no tables= dict anywhere), across two Catalog
+    instances to pin cross-session durability.
+
+    Scale shape: the catalog is ONE JSON document per warehouse —
+    metadata, parsed once per statement (mtime-memoized per instance);
+    view resolution substitutes stored SQL as a temp view per
+    reference, so the planned query is exactly what inlining the view
+    text would plan (Catalyst sees one tree; pushdown crosses the view
+    boundary). Nothing here scales with table size.
+    """
+    from iceberg_file_writer_spark.catalog import Catalog
+    from iceberg_file_writer_spark.sql_dml import (
+        execute_dml,
+        execute_query,
+        execute_script,
+    )
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _CATALOG_REPORTS:
+        wh = tempfile.mkdtemp(prefix="catalog-lifecycle-")
+        load_tables(spark, sf_dir)  # temp views for statement sources
+
+        def through(sql: str, cat) -> tuple:
+            r = execute_query(spark, sql, catalog=cat).first()
+            return (int(r.n), int(r.s) if r.s is not None else None)
+
+        report = []
+        execute_dml(
+            spark,
+            "CREATE TABLE sales AS SELECT o_orderkey AS k, "
+            "CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents "
+            "FROM orders WHERE o_orderkey % 4 = 0",
+            catalog=wh,
+        )
+        n, s = through("SELECT count(*) AS n, sum(cents) AS s FROM sales", wh)
+        report.append(("1_create", n, s))
+
+        execute_dml(
+            spark,
+            "CREATE VIEW big_sales AS "
+            "SELECT k, cents FROM sales WHERE cents > 20000000",
+            catalog=wh,
+        )
+        n, s = through(
+            "SELECT count(*) AS n, sum(cents) AS s FROM big_sales", wh
+        )
+        report.append(("2_view", n, s))
+
+        # a SECOND Catalog instance from here on = a fresh session:
+        # the table binding and the stored view SQL must both survive
+        cat2 = Catalog(wh)
+        execute_dml(spark, "DELETE FROM sales WHERE k % 3 = 0", catalog=cat2)
+        n, s = through(
+            "SELECT count(*) AS n, sum(cents) AS s FROM big_sales", cat2
+        )
+        report.append(("3_delete_replans", n, s))
+
+        out = execute_script(
+            spark,
+            "CREATE VIEW sales_rollup AS "
+            "  SELECT count(*) AS n, sum(cents) AS s FROM big_sales; "
+            "SELECT n, s FROM sales_rollup",
+            catalog=cat2,
+        ).first()
+        report.append(("4_view_on_view", int(out.n), int(out.s)))
+
+        execute_dml(spark, "DROP VIEW sales_rollup", catalog=cat2)
+        n_views = len(Catalog(wh).view_names())
+        n_tables = execute_query(spark, "SHOW TABLES", catalog=wh).count()
+        report.append(("5_drop", n_views, n_tables))
+        _CATALOG_REPORTS[key] = report
+    return spark.createDataFrame(
+        _CATALOG_REPORTS[key], "phase string, n long, s long"
+    )
