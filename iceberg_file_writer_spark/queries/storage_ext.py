@@ -1663,3 +1663,103 @@ def catalog_views_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         _CATALOG_REPORTS[key], "phase string, n long, s long"
     )
+
+
+# --- mapped-table DataSource format roundtrip ---------------------------------
+
+_MAPPED_FMT_TABLES: dict[tuple, str] = {}
+
+
+@register(
+    "mapped_format_roundtrip",
+    oracle="""
+SELECT o_orderkey AS k, o_custkey AS cust, o_totalprice AS price
+FROM orders
+WHERE o_totalprice > 100000.0 AND o_custkey % 3 <> 0
+""",
+    description=(
+        "DataSource format round-trip on a COLUMN-MAPPED table: create "
+        "mapped, RENAME two columns + upsert through the statement "
+        "surface, write MORE rows through "
+        "df.write.format('snapshot_table') (entries stamped with the "
+        "standing mapping), then spark.read.format(...) with a pushed "
+        "filter — pre-rename epochs resolve by field id under the "
+        "current names, equality-delete tombstones apply task-side, and "
+        "file skipping prunes only epoch-stable columns; values equal "
+        "the plain filtered scan exactly"
+    ),
+    # Registered mid-round 11; surface at the 50 cap — an eleventh-
+    # rotation candidate (puts the mapped format work under the gate).
+    driver_exposed=False,
+    eager=True,  # builds a mapped table + runs format writes at plan time
+)
+def mapped_format_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mapped flavor through the format quartet.
+
+    Construction: a mapped table is CREATEd with half of orders under
+    the ORIGINAL column names, a MERGE re-asserts rows for custkey%3=0
+    (equality tombstones at a higher seq), the key columns are RENAMED
+    (metadata-only), and the other half of orders lands through the
+    format's batch WRITER under the new names. The format READ then
+    projects every epoch to the current names by field id, applies the
+    tombstones task-side with seq scoping, and the oracle — a plain
+    filtered scan of orders — matches only if (a) renames resolved,
+    (b) the upsert's duplicate re-assertions were shadowed, and (c) the
+    pushed filter dropped no qualifying row despite pruning being
+    restricted to epoch-stable columns.
+
+    Scale shape: one scan per evolution epoch (InputPartition physmaps,
+    not per-file plans); the delete probe is broadcast-shaped and the
+    delta is deletion-sized.
+    """
+    from iceberg_file_writer_spark.ingest.column_mapping import (
+        create_mapped_table,
+        evolve_mapped,
+        upsert_mapped,
+    )
+    from iceberg_file_writer_spark.sources.snapshot_stream import (
+        register_snapshot_source,
+    )
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _MAPPED_FMT_TABLES:
+        register_snapshot_source(spark)
+        t = os.path.join(tempfile.mkdtemp(prefix="mapped-fmt-"), "orders")
+        half = _orders(spark, sf_dir)
+        create_mapped_table(
+            spark, half.where("o_orderkey % 2 = 0"), t, max_rows=8192
+        )
+        # re-assert identical rows for a key slice: the eq tombstones
+        # must shadow the originals, NOT double them, through the format
+        upsert_mapped(
+            spark,
+            half.where("o_orderkey % 2 = 0 AND o_custkey % 5 = 0"),
+            t,
+            ["o_orderkey"],
+            max_rows=8192,
+        )
+        evolve_mapped(
+            t, renames={"o_orderkey": "k", "o_custkey": "cust",
+                        "o_totalprice": "price"}
+        )
+        # second half arrives through the format writer under NEW names
+        (
+            half.where("o_orderkey % 2 = 1")
+            .selectExpr("o_orderkey AS k", "o_custkey AS cust",
+                        "o_totalprice AS price")
+            .orderBy("price")
+            .write.format("snapshot_table")
+            .option("path", t)
+            .mode("append")
+            .save()
+        )
+        _MAPPED_FMT_TABLES[key] = t
+    else:
+        register_snapshot_source(spark)
+    return (
+        spark.read.format("snapshot_table")
+        .option("path", _MAPPED_FMT_TABLES[key])
+        .load()
+        .where((F.col("price") > 100000.0) & (F.col("cust") % 3 != 0))
+        .select("k", "cust", "price")
+    )
