@@ -760,3 +760,45 @@ def test_chi2_contingency_is_cached_one_scan(spark):
     assert "InMemoryTableScan" in p, p
     assert len(re.findall(r"\(\d+\) Scan parquet", p)) <= 1, p
     assert "SortMergeJoin" not in p, p
+
+
+def test_view_reference_keeps_filter_pushdown(spark, tmp_path):
+    """A durable catalog VIEW is substituted as stored SQL, so Catalyst
+    sees ONE tree: a filter applied OUTSIDE the view must reach the
+    parquet scan INSIDE it (PushedFilters), exactly as if the view text
+    had been inlined — views cost nothing at plan time."""
+    import contextlib
+    import io
+
+    from iceberg_file_writer_spark.sql_dml import execute_dml, execute_query
+    from iceberg_file_writer_spark.tables import load_tables
+
+    wh = str(tmp_path / "wh")
+    load_tables(spark, SF_DIR)
+    execute_dml(
+        spark,
+        "CREATE TABLE pricetab AS SELECT o_orderkey, o_custkey, "
+        "o_totalprice FROM orders",
+        catalog=wh,
+    )
+    execute_dml(
+        spark,
+        "CREATE VIEW pricey AS SELECT o_orderkey, o_totalprice "
+        "FROM pricetab WHERE o_totalprice > 50000.0",
+        catalog=wh,
+    )
+    df = execute_query(
+        spark,
+        "SELECT o_orderkey FROM pricey WHERE o_orderkey < 1000",
+        catalog=wh,
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    # both the view's own predicate and the OUTER one pushed to the scan
+    assert re.search(r"PushedFilters:.*GreaterThan\(o_totalprice", plan)
+    assert re.search(r"PushedFilters:.*LessThan\(o_orderkey", plan)
+    # column pruning crossed the boundary too: o_custkey never read
+    m = re.search(r"ReadSchema: ([^\n]+)", plan)
+    assert m and "o_custkey" not in m.group(1)
