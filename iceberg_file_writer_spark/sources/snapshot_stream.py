@@ -445,6 +445,459 @@ class _SnapshotStreamReader(DataSourceStreamReader):
         pass  # offsets are durable in the engine's checkpoint WAL
 
 
+class _CDFPartition(InputPartition):
+    """One data file's contribution to a change-feed micro-batch.
+
+    ``kind``:
+    - "side"      — a file present in exactly one of the two manifests:
+                    emit its MoR-visible rows signed ``sign`` (+1 for
+                    added-at-B, -1 for removed-after-A).
+    - "eq_flip"   — a carried file some NEW equality-delete file may
+                    newly kill rows of: emit '-' for rows that were
+                    A-visible AND are hit by the delta tombstones.
+    - "dv_minus"  — a carried file with positions in (dv_B \ dv_A):
+                    emit '-' for those positions, minus rows the eq
+                    delta already owns (eq_flip emits those).
+    - "dv_plus"   — positions in (dv_A \ dv_B) (tombstone retirement,
+                    e.g. a rollback): emit '+' for rows B-visible.
+
+    ``eq_specs``/``new_eq_specs`` rows are (dir, probe_cols, read_cols,
+    seq), already seq-scoped to this file (strictly above its data
+    sequence number); ``dv_dirs`` is the visibility side's full DV
+    state; ``dv_a_dirs``/``dv_b_dirs`` feed the positional delta."""
+
+    def __init__(
+        self,
+        kind: str,
+        path: str,
+        sign: int,
+        version: int,
+        physmap: "dict | None",
+        dv_dirs: list,
+        eq_specs: list,
+        new_eq_specs: "list | None" = None,
+        dv_a_dirs: "list | None" = None,
+        dv_b_dirs: "list | None" = None,
+    ):
+        self.kind = kind
+        self.path = path
+        self.sign = sign
+        self.version = version
+        self.physmap = physmap
+        self.dv_dirs = dv_dirs
+        self.eq_specs = eq_specs
+        self.new_eq_specs = new_eq_specs or []
+        self.dv_a_dirs = dv_a_dirs or []
+        self.dv_b_dirs = dv_b_dirs or []
+
+
+def _cdf_batches(part: "_CDFPartition", schema: T.StructType) -> Iterator:
+    """Worker-side change-feed rows for one data file: the same Arrow
+    machinery as _mor_batches (positional tombstones by file-pushdown
+    parquet reads, equality tombstones by is_in / hash-merge probes),
+    plus the flip logic per _CDFPartition.kind. Output batches carry
+    ``change`` and ``_commit_version`` ahead of the table columns."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pds
+    import pyarrow.parquet as pq
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    full = to_arrow_schema(schema)
+    table_schema = T.StructType(schema.fields[2:])
+    base = os.path.basename(part.path)
+
+    def _pos_set(dv_dirs: list) -> set:
+        out: set = set()
+        for d in dv_dirs:
+            t = pds.dataset(d, format="parquet").to_table(
+                columns=["row_index"], filter=pds.field("file_name") == base
+            )
+            out.update(t.column("row_index").to_pylist())
+        return out
+
+    def _tomb(specs: list):
+        tabs, cols = [], ()
+        for d, pcols, rcols, _seq in specs:
+            cols = tuple(pcols)
+            tabs.append(
+                pq.read_table(d, columns=list(rcols)).rename_columns(
+                    list(pcols)
+                )
+            )
+        if not tabs:
+            return None
+        return cols, pa.concat_tables(tabs).drop_null()
+
+    def _killed(batch, tomb) -> "object":
+        if tomb is None or tomb[1].num_rows == 0:
+            return np.zeros(batch.num_rows, dtype=bool)
+        cols, tab = tomb
+        if len(cols) == 1:
+            col = batch.column(batch.schema.get_field_index(cols[0]))
+            vals = tab.column(cols[0]).cast(col.type).combine_chunks()
+            return pc.fill_null(
+                pc.is_in(col, value_set=vals), False
+            ).to_numpy(zero_copy_only=False)
+        import pandas as pd  # noqa: F401
+
+        bdf = pa.Table.from_batches([batch]).select(list(cols)).to_pandas()
+        n = len(bdf)
+        bdf["_ri"] = np.arange(n)
+        probe = bdf.dropna(subset=list(cols))
+        hits = probe.merge(
+            tab.to_pandas().drop_duplicates(), on=list(cols)
+        )["_ri"].to_numpy()
+        mask = np.zeros(n, dtype=bool)
+        mask[hits] = True
+        return mask
+
+    apply_pos = (
+        np.array(sorted(_pos_set(part.dv_dirs)), dtype=np.int64)
+        if part.dv_dirs
+        else np.array([], dtype=np.int64)
+    )
+    tomb_apply = _tomb(part.eq_specs)
+    tomb_hit = _tomb(part.new_eq_specs) if part.new_eq_specs else None
+    pos_delta = None
+    if part.kind in ("dv_minus", "dv_plus"):
+        a, b = _pos_set(part.dv_a_dirs), _pos_set(part.dv_b_dirs)
+        delta = (b - a) if part.kind == "dv_minus" else (a - b)
+        if not delta:
+            return
+        pos_delta = np.array(sorted(delta), dtype=np.int64)
+
+    change = "+" if part.sign > 0 else "-"
+    offset = 0
+    for batch in _normalized_batches(part.path, table_schema, part.physmap):
+        n = batch.num_rows
+        if part.kind in ("dv_minus", "dv_plus"):
+            mask = np.zeros(n, dtype=bool)
+            hit = pos_delta[(pos_delta >= offset) & (pos_delta < offset + n)]
+            mask[hit - offset] = True
+            mask &= ~_killed(batch, tomb_apply)
+            if part.kind == "dv_minus" and tomb_hit is not None:
+                # rows the eq delta also kills belong to eq_flip — one
+                # emission per flipped row, exactly like the batch diff
+                mask &= ~_killed(batch, tomb_hit)
+        else:
+            mask = np.ones(n, dtype=bool)
+            if apply_pos.size:
+                hit = apply_pos[
+                    (apply_pos >= offset) & (apply_pos < offset + n)
+                ]
+                mask[hit - offset] = False
+            mask &= ~_killed(batch, tomb_apply)
+            if part.kind == "eq_flip":
+                mask &= _killed(batch, tomb_hit)
+        offset += n
+        if not mask.any():
+            continue
+        kept = batch if mask.all() else batch.filter(pa.array(mask))
+        arrays = [
+            pa.array([change] * kept.num_rows, type=full.field(0).type),
+            pa.array(
+                np.full(kept.num_rows, part.version, dtype=np.int64),
+                type=full.field(1).type,
+            ),
+        ] + [
+            kept.column(i).cast(full.field(i + 2).type)
+            for i in range(kept.num_columns)
+        ]
+        yield pa.RecordBatch.from_arrays(arrays, schema=full)
+
+
+def _eq_spec_rows(table_path: str, eqs: list, map_cols: "list | None") -> list:
+    """(dir, probe_cols, read_cols, seq) rows: probe under the current
+    logical names (field-id-resolved on mapped tables), read under the
+    delete file's commit-time names."""
+    if map_cols is not None:
+        id_to_name = {cid: nm for cid, nm, _t in map_cols}
+        return [
+            (
+                os.path.join(table_path, e["path"]),
+                tuple(id_to_name[i] for i in e["ids"]),
+                tuple(e["cols"]),
+                int(e["seq"]),
+            )
+            for e in eqs
+        ]
+    return [
+        (
+            os.path.join(table_path, e["path"]),
+            tuple(e["cols"]),
+            tuple(e["cols"]),
+            int(e["seq"]),
+        )
+        for e in eqs
+    ]
+
+
+class _SnapshotCDFStreamReader(DataSourceStreamReader):
+    """``readStream.format("snapshot_table").option("readChangeFeed",
+    "true")`` — the streaming CHANGE DATA FEED (Delta's CDF / Iceberg's
+    incremental changelog, format-native) [extension]:
+
+    - offsets are snapshot versions; each micro-batch emits the
+      row-level changes of a version RANGE as sign-tagged rows
+      (``change`` '+'/'-', ``_commit_version``, then the table columns)
+      — deletes, CoW updates, MoR upserts and positional deletes all
+      stream, which the append-only reader cannot express at all.
+    - per version step the planner diffs the two manifests and ships
+      delta-scoped work: added/removed files read MoR-visible under
+      their own side's state; carried files join only when the
+      equality-delete or DV state changed, pruned by footer stats
+      against the delta keys' bounding box (metadata-only, driver-side)
+      — the per-trigger read is change-sized, never table-sized.
+    - rows that net to zero across a rewrite (compaction emits -row/
+      +row with identical values) MAY both appear — standard changelog
+      semantics; sign-linear consumers (the aggregate-view fold) are
+      immune, and a per-version net equals ``changes_between`` exactly
+      (pinned in tests).
+    - column-mapped tables stream under the stream-start logical schema
+      by field id, like the append reader.
+
+    Planning cost note: unlike the append reader's segment diff, a CDF
+    step resolves BOTH manifests' file lists (removed files are only
+    discoverable two-sided) — O(files) metadata per advanced version.
+    Equality-delete retirement on carried files (possible only through
+    a rollback) refuses with the batch-feed remedy.
+    """
+
+    def __init__(self, schema: T.StructType, options):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("snapshot_table requires a 'path' option")
+        self.schema_ = schema
+        cur = _current_version(self.path)
+        self.map_cols = (
+            _manifest_raw(self.path, cur).get("columns") if cur else None
+        )
+        self.max_versions = int(options.get("maxversionsperbatch", 0)) or None
+        self.starting_version = int(options.get("startingversion", 0))
+        self._last_end = self.starting_version
+
+    def initialOffset(self) -> dict:
+        return {"version": self.starting_version}
+
+    def latestOffset(self) -> dict:
+        cur = _current_version(self.path)
+        if self.max_versions is not None:
+            cur = min(cur, self._last_end + self.max_versions)
+        self._last_end = max(self._last_end, cur)
+        return {"version": cur}
+
+    def _entries(self, version: int) -> dict:
+        if version <= 0:
+            return {}
+        raw = _manifest_raw(self.path, version)
+        return {e["path"]: e for e in _raw_entries(self.path, raw)}
+
+    def partitions(self, start: dict, end: dict):
+        import pyarrow.parquet as pq
+
+        s, e = start["version"], end["version"]
+        self._last_end = max(self._last_end, s, e)
+        out = []
+        ea = self._entries(s)
+        for v in range(s + 1, e + 1):
+            ma = _manifest_raw(self.path, v - 1) if v > 1 else {}
+            mb = _manifest_raw(self.path, v)
+            eb = self._entries(v)
+            dvs_a = [
+                os.path.join(self.path, p) for p in (ma.get("dvs") or [])
+            ]
+            dvs_b = [
+                os.path.join(self.path, p) for p in (mb.get("dvs") or [])
+            ]
+            eqs_a, eqs_b = ma.get("eqs") or [], mb.get("eqs") or []
+            carried = sorted(set(ea) & set(eb))
+            gone_eq = [
+                x
+                for x in eqs_a
+                if x["path"] not in {y["path"] for y in eqs_b}
+            ]
+            if gone_eq and carried:
+                raise ValueError(
+                    f"v{v} retires equality-delete files while carrying "
+                    "data files (a rollback shape): the change-feed "
+                    "stream cannot express the resurrection — consume "
+                    "changes_between for this span"
+                )
+
+            def _pm(entry):
+                if self.map_cols is None:
+                    return None
+                return _file_physmap(entry, self.map_cols)
+
+            def _scoped(eqs, seq):
+                return [
+                    r
+                    for r in _eq_spec_rows(self.path, eqs, self.map_cols)
+                    if r[3] > seq
+                ]
+
+            for p in sorted(set(eb) - set(ea)):
+                f = eb[p]
+                out.append(
+                    _CDFPartition(
+                        "side",
+                        os.path.join(self.path, p),
+                        1,
+                        v,
+                        _pm(f),
+                        dvs_b,
+                        _scoped(eqs_b, int(f.get("seq") or 0)),
+                    )
+                )
+            for p in sorted(set(ea) - set(eb)):
+                f = ea[p]
+                out.append(
+                    _CDFPartition(
+                        "side",
+                        os.path.join(self.path, p),
+                        -1,
+                        v,
+                        _pm(f),
+                        dvs_a,
+                        _scoped(eqs_a, int(f.get("seq") or 0)),
+                    )
+                )
+
+            new_eq = [
+                x
+                for x in eqs_b
+                if x["path"] not in {y["path"] for y in eqs_a}
+            ]
+            if new_eq and carried:
+                # footer-stats prune against the delta keys' bounding
+                # box — metadata-only (no data pages read driver-side)
+                lo: dict = {}
+                hi: dict = {}
+                for x in new_eq:
+                    d = os.path.join(self.path, x["path"])
+                    files = (
+                        [
+                            os.path.join(d, n)
+                            for n in sorted(os.listdir(d))
+                            if n.endswith(".parquet")
+                            and not n.startswith(("_", "."))
+                        ]
+                        if os.path.isdir(d)
+                        else [d]
+                    )
+                    for fp in files:
+                        st = _footer_stats(pq.ParquetFile(fp).metadata)
+                        for c, (mn, mx, _nl) in st.items():
+                            lo[c] = mn if c not in lo else min(lo[c], mn)
+                            hi[c] = mx if c not in hi else max(hi[c], mx)
+                for p in carried:
+                    f = ea[p]
+                    seq = int(f.get("seq") or 0)
+                    scoped_hit = _scoped(new_eq, seq)
+                    if not scoped_hit:
+                        continue
+                    st = f.get("stats") or {}
+                    # per-epoch physical names: x["cols"] are the delete
+                    # file's commit-time names; the DATA file's stats
+                    # key on ITS physical names — compare only when the
+                    # two agree (plain tables always; mapped tables via
+                    # the entry's own mapping)
+                    overlap = True
+                    for x in new_eq:
+                        for cid_or_c, cname in zip(
+                            x.get("ids") or x["cols"], x["cols"]
+                        ):
+                            phys = cname
+                            if self.map_cols is not None:
+                                fc = {
+                                    c[0]: c[1] for c in f.get("cols") or []
+                                }
+                                phys = fc.get(cid_or_c)
+                                if phys is None:
+                                    continue
+                            s_ent = st.get(phys)
+                            if (
+                                s_ent
+                                and cname in lo
+                                and (
+                                    s_ent[0] > hi[cname]
+                                    or s_ent[1] < lo[cname]
+                                )
+                            ):
+                                overlap = False
+                    if not overlap:
+                        continue
+                    out.append(
+                        _CDFPartition(
+                            "eq_flip",
+                            os.path.join(self.path, p),
+                            -1,
+                            v,
+                            _pm(f),
+                            dvs_a,
+                            _scoped(eqs_a, seq),
+                            new_eq_specs=scoped_hit,
+                        )
+                    )
+
+            if set(dvs_a) != set(dvs_b) and carried:
+                import pyarrow.dataset as pds
+
+                delta_dirs = set(dvs_a) ^ set(dvs_b)
+                named: set = set()
+                for d in delta_dirs:
+                    named.update(
+                        pds.dataset(d, format="parquet")
+                        .to_table(columns=["file_name"])
+                        .column("file_name")
+                        .to_pylist()
+                    )
+                bn = {os.path.basename(p): p for p in carried}
+                for name in sorted(named):
+                    if name not in bn:
+                        continue
+                    p = bn[name]
+                    f = ea[p]
+                    seq = int(f.get("seq") or 0)
+                    out.append(
+                        _CDFPartition(
+                            "dv_minus",
+                            os.path.join(self.path, p),
+                            -1,
+                            v,
+                            _pm(f),
+                            [],
+                            _scoped(eqs_a, seq),
+                            new_eq_specs=_scoped(new_eq, seq),
+                            dv_a_dirs=dvs_a,
+                            dv_b_dirs=dvs_b,
+                        )
+                    )
+                    out.append(
+                        _CDFPartition(
+                            "dv_plus",
+                            os.path.join(self.path, p),
+                            1,
+                            v,
+                            _pm(f),
+                            [],
+                            _scoped(eqs_b, seq),
+                            dv_a_dirs=dvs_a,
+                            dv_b_dirs=dvs_b,
+                        )
+                    )
+            ea = eb
+        return out
+
+    def read(self, partition: "_CDFPartition") -> Iterator:
+        yield from _cdf_batches(partition, self.schema_)
+
+    def commit(self, end: dict) -> None:
+        pass  # offsets are durable in the engine's checkpoint WAL
+
+
 def _normalized_batches(
     file_path: str, schema: T.StructType, physmap: "dict | None" = None
 ) -> Iterator:
@@ -1041,6 +1494,9 @@ class SnapshotTableDataSource(DataSource):
         path = self.options.get("path")
         if not path:
             raise ValueError("snapshot_table requires a 'path' option")
+        cdf = (
+            str(self.options.get("readchangefeed", "false")).lower() == "true"
+        )
         # batch reads may address an old snapshot: declare THAT version's
         # schema (schema-as-of); streams always read CURRENT-forward
         v = _resolve_version(path, self.options)
@@ -1049,19 +1505,26 @@ class SnapshotTableDataSource(DataSource):
             if "columns" in m:
                 # column-mapped: the manifest IS the schema authority
                 # (returned as DDL — no footer reads, no JVM needed)
-                return _mapped_schema_ddl(m["columns"])
+                ddl = _mapped_schema_ddl(m["columns"])
+                if cdf:
+                    ddl = "`change` string, `_commit_version` bigint, " + ddl
+                return ddl
         arrow = _table_arrow_schema(path, v)
         spark_schema = from_arrow_schema(arrow)
         # every field nullable: files written before an additive column
         # evolution stream NULLs in the new column even when the
         # introducing writer's footer marked it required
-        return T.StructType(
-            [
-                T.StructField(f.name, f.dataType, nullable=True)
-                for f in spark_schema.fields
-                if not _is_hidden_name(f.name)
-            ]
-        )
+        fields = [
+            T.StructField(f.name, f.dataType, nullable=True)
+            for f in spark_schema.fields
+            if not _is_hidden_name(f.name)
+        ]
+        if cdf:
+            fields = [
+                T.StructField("change", T.StringType(), nullable=False),
+                T.StructField("_commit_version", T.LongType(), nullable=False),
+            ] + fields
+        return T.StructType(fields)
 
     def reader(self, schema: T.StructType) -> DataSourceReader:
         return _SnapshotBatchReader(schema, self.options)
@@ -1070,6 +1533,8 @@ class SnapshotTableDataSource(DataSource):
         return _SnapshotBatchWriter(schema, self.options, overwrite)
 
     def streamReader(self, schema: T.StructType) -> DataSourceStreamReader:
+        if str(self.options.get("readchangefeed", "false")).lower() == "true":
+            return _SnapshotCDFStreamReader(schema, self.options)
         return _SnapshotStreamReader(schema, self.options)
 
     def streamWriter(

@@ -651,3 +651,188 @@ def test_format_write_into_mapped_table(spark, tmp_path):
         (2, 20, None),
         (3, 30, "x"),
     ]
+
+
+# --- streaming change data feed (readChangeFeed=true) -------------------------
+
+
+def _drain_cdf(spark, table, sink, ckpt):
+    register_snapshot_source(spark)
+    q = (
+        spark.readStream.format("snapshot_table")
+        .option("path", table)
+        .option("readChangeFeed", "true")
+        .load()
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(processingTime="50 milliseconds")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+
+def _net(df, cols):
+    """Fold sign-tagged CDF rows to the netted multiset the batch feed
+    emits: (change, *cols) tuples after cancelling +/- pairs."""
+    from pyspark.sql import functions as F
+
+    sign = F.when(F.col("change") == "+", F.lit(1)).otherwise(F.lit(-1))
+    rows = (
+        df.groupBy(*cols)
+        .agg(F.sum(sign).alias("_net"))
+        .where(F.col("_net") != 0)
+        .collect()
+    )
+    out = []
+    for r in rows:
+        ch = "+" if r["_net"] > 0 else "-"
+        out.extend([(ch, *[r[c] for c in cols])] * abs(r["_net"]))
+    return sorted(out, key=repr)
+
+
+def test_cdf_stream_matches_batch_feed_across_dml(spark, tmp_path):
+    """The CDF stream net-folds to exactly changes_between over the
+    same span, across append, MoR upsert (equality tombstones), MoR
+    positional delete, and a CoW delete — the four change classes the
+    append-only reader cannot express."""
+    from iceberg_file_writer_spark.ingest.deletion_vectors import (
+        commit_delete_where_mor,
+    )
+    from iceberg_file_writer_spark.ingest.equality_deletes import commit_upsert
+    from iceberg_file_writer_spark.ingest.snapshots import (
+        changes_between,
+        commit_append,
+        commit_delete_where,
+        current_version,
+    )
+
+    t = str(tmp_path / "t")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    df = spark.createDataFrame(
+        [(i, i % 5, i * 10) for i in range(40)], "id long, g long, v long"
+    )
+    commit_append(spark, df, t, max_rows=10)
+    commit_upsert(
+        spark,
+        t,
+        spark.createDataFrame([(3, 99, 333), (100, 1, 111)], "id long, g long, v long"),
+        ["id"],
+        max_rows=10,
+    )
+    commit_delete_where_mor(spark, t, "id IN (7, 11)")
+    commit_delete_where(spark, t, "g = 4 AND id < 20")
+    end = current_version(t)
+
+    _drain_cdf(spark, t, sink, ckpt)
+    out = spark.read.parquet(sink)
+    assert out.columns == ["change", "_commit_version", "id", "g", "v"]
+    cols = ["id", "g", "v"]
+
+    from iceberg_file_writer_spark.ingest.snapshots import read_table_version
+
+    # per-version: the netted stream slice equals the batch feed (v1 is
+    # the genesis commit — its feed is '+' of the v1-visible rows)
+    all_want = []
+    for v in range(1, end + 1):
+        got = _net(out.where(F.col("_commit_version") == v), cols)
+        if v == 1:
+            want = sorted(
+                (
+                    ("+", *r)
+                    for r in read_table_version(spark, t, 1)
+                    .select(*cols)
+                    .collect()
+                ),
+                key=repr,
+            )
+        else:
+            want = sorted(
+                (
+                    tuple(r)
+                    for r in changes_between(spark, t, v - 1, v).collect()
+                ),
+                key=repr,
+            )
+        all_want.extend(want)
+        assert got == want, f"version {v}: {got} != {want}"
+
+    # whole-span: net of everything equals the netted union of steps
+    from collections import Counter
+
+    net_want = Counter()
+    for ch, *vals in all_want:
+        net_want[tuple(vals)] += 1 if ch == "+" else -1
+    expected = sorted(
+        (
+            ("+" if n > 0 else "-", *vals)
+            for vals, n in net_want.items()
+            if n != 0
+            for _ in range(abs(n))
+        ),
+        key=repr,
+    )
+    assert _net(out, cols) == expected
+
+
+def test_cdf_stream_spans_mapped_rename_mid_query(spark, tmp_path):
+    """A mapped table's rename WHILE the CDF query runs is CDC-silent
+    (metadata-only: no rows emit), and later upserts/deletes keep
+    emitting under the stream-start names (field-id resolution)."""
+    from iceberg_file_writer_spark.ingest.column_mapping import (
+        create_mapped_table,
+        delete_where_mapped,
+        evolve_mapped,
+        upsert_mapped,
+    )
+
+    t = str(tmp_path / "m")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    create_mapped_table(
+        spark,
+        spark.createDataFrame([(1, 10), (2, 20), (3, 30)], "id long, v long"),
+        t,
+        max_rows=10,
+    )
+    register_snapshot_source(spark)
+    q = (
+        spark.readStream.format("snapshot_table")
+        .option("path", t)
+        .option("readChangeFeed", "true")
+        .load()
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(processingTime="50 milliseconds")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        assert _net(spark.read.parquet(sink), ["id", "v"]) == sorted(
+            [("+", 1, 10), ("+", 2, 20), ("+", 3, 30)], key=repr
+        )
+        evolve_mapped(t, renames={"v": "val"})  # metadata-only: no rows
+        upsert_mapped(
+            spark,
+            spark.createDataFrame([(2, 99)], "id long, val long"),
+            t,
+            ["id"],
+            max_rows=10,
+        )
+        delete_where_mapped(spark, t, "id = 1")
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    out = spark.read.parquet(sink)
+    # start-time names pin; the rename emitted NOTHING
+    assert out.columns == ["change", "_commit_version", "id", "v"]
+    assert out.where(F.col("_commit_version") == 2).count() == 0
+    tail = _net(out.where(F.col("_commit_version") > 1), ["id", "v"])
+    assert tail == sorted(
+        [("+", 2, 99), ("-", 2, 20), ("-", 1, 10)], key=repr
+    )
