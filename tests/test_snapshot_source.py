@@ -836,3 +836,85 @@ def test_cdf_stream_spans_mapped_rename_mid_query(spark, tmp_path):
     assert tail == sorted(
         [("+", 2, 99), ("-", 2, 20), ("-", 1, 10)], key=repr
     )
+
+
+_cdf_ops = st.lists(
+    st.tuples(
+        st.sampled_from(["append", "upsert", "delete_cow", "delete_mor"]),
+        st.lists(
+            st.tuples(st.integers(0, 9), st.integers(0, 49)),
+            min_size=1,
+            max_size=4,
+        ),
+    ),
+    min_size=2,
+    max_size=5,
+).filter(lambda ops: ops[0][0] == "append")
+
+
+@settings(
+    max_examples=4,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(ops=_cdf_ops)
+def test_cdf_property_any_dml_interleaving_nets_to_batch_feed(
+    spark, tmp_path_factory, ops
+):
+    """Property: for ANY interleaving of appends, MoR upserts, CoW
+    deletes and MoR positional deletes, the CDF stream's sign-fold per
+    version equals changes_between for that step — duplicate keys,
+    shadowing, empty deletes and all."""
+    from iceberg_file_writer_spark.ingest.deletion_vectors import (
+        commit_delete_where_mor,
+    )
+    from iceberg_file_writer_spark.ingest.equality_deletes import commit_upsert
+    from iceberg_file_writer_spark.ingest.snapshots import (
+        changes_between,
+        current_version,
+        read_table_version,
+    )
+
+    t = str(tmp_path_factory.mktemp("cdf-prop") / "tbl")
+    for op, rows in ops:
+        if op in ("append", "upsert"):
+            if op == "upsert":
+                rows = list({k: (k, v) for k, v in rows}.values())
+            df = spark.createDataFrame(rows, "k long, v long")
+            if op == "append":
+                commit_append(spark, df, t)
+            else:
+                if current_version(t) == 0:
+                    commit_append(spark, df, t)
+                else:
+                    commit_upsert(spark, t, df, ["k"])
+        elif op == "delete_cow":
+            commit_delete_where(spark, t, f"v % 7 = {rows[0][1] % 7}")
+        else:
+            commit_delete_where_mor(spark, t, f"k = {rows[0][0]}")
+    end = current_version(t)
+    sink = str(tmp_path_factory.mktemp("cdf-prop") / "out")
+    ckpt = str(tmp_path_factory.mktemp("cdf-prop") / "ckpt")
+    _drain_cdf(spark, t, sink, ckpt)
+    out = spark.read.parquet(sink)
+    for v in range(1, end + 1):
+        got = _net(out.where(F.col("_commit_version") == v), ["k", "v"])
+        if v == 1:
+            want = sorted(
+                (
+                    ("+", *r)
+                    for r in read_table_version(spark, t, 1)
+                    .select("k", "v")
+                    .collect()
+                ),
+                key=repr,
+            )
+        else:
+            want = sorted(
+                (
+                    tuple(r)
+                    for r in changes_between(spark, t, v - 1, v).collect()
+                ),
+                key=repr,
+            )
+        assert got == want, f"version {v}: {got} != {want}"
