@@ -194,6 +194,66 @@ def agg_view_version(view_path: str) -> int:
     return _read_state(view_path)["version"]
 
 
+def _fold_signed(
+    standing: DataFrame,
+    feed: DataFrame,
+    sign,
+    keys: list,
+    value_col: str,
+) -> DataFrame:
+    """Fold a SIGNED change relation (``sign`` evaluates to +-1 per
+    row) into a standing (keys -> n_rows/n_vals/sum_v) aggregate.
+
+    Null-safe key join: a USING-style column-list join matches with
+    plain equality, so a NULL-valued group key would never meet its
+    own retraction — the standing NULL group would pass through
+    untouched while the delta landed on a separate row. eqNullSafe
+    per key (NULL <=> NULL is true) plus a coalesce of the two key
+    sides restores exact GROUP BY semantics for NULL groups."""
+    delta = feed.groupBy(*keys).agg(
+        F.sum(sign).cast("long").alias("_dn"),
+        F.sum(
+            F.when(F.col(value_col).isNotNull(), sign).otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("_dnv"),
+        F.sum(sign * F.col(value_col)).cast("long").alias("_dv"),
+    )
+    n_rows = (
+        F.coalesce(F.col("n_rows"), F.lit(0)) + F.coalesce(F.col("_dn"), F.lit(0))
+    ).cast("long")
+    n_vals = (
+        F.coalesce(F.col("n_vals"), F.lit(0)) + F.coalesce(F.col("_dnv"), F.lit(0))
+    ).cast("long")
+    raw_sum = (
+        F.coalesce(F.col("sum_v"), F.lit(0)) + F.coalesce(F.col("_dv"), F.lit(0))
+    ).cast("long")
+    delta_r = delta.select(
+        *[F.col(k).alias(f"_d_{k}") for k in keys], "_dn", "_dnv", "_dv"
+    )
+    cond = None
+    for k in keys:
+        c = standing[k].eqNullSafe(delta_r[f"_d_{k}"])
+        cond = c if cond is None else (cond & c)
+    return (
+        standing.join(delta_r, cond, "full_outer")
+        .select(
+            *[
+                F.coalesce(standing[k], delta_r[f"_d_{k}"]).alias(k)
+                for k in keys
+            ],
+            n_rows.alias("n_rows"),
+            n_vals.alias("n_vals"),
+            # SQL sum semantics: all-NULL groups report NULL, exactly
+            # as a from-scratch recompute would
+            F.when(n_vals > 0, raw_sum).alias("sum_v"),
+        )
+        # exact GROUP BY semantics: a group with no surviving rows has
+        # no row (count can never go negative on a consistent feed)
+        .where(F.col("n_rows") > 0)
+    )
+
+
 def refresh_agg_view(spark: SparkSession, table_path: str, view_path: str) -> int:
     """Fold the table's change feed since the last refresh into the view.
 
@@ -271,58 +331,10 @@ def refresh_agg_view(spark: SparkSession, table_path: str, view_path: str) -> in
         else:
             _publish(view_path, {**st, "version": cur})
         return cur
-    sign = F.col("_d")
-    delta = feed.groupBy(*keys).agg(
-        F.sum(sign).cast("long").alias("_dn"),
-        F.sum(
-            F.when(F.col(value_col).isNotNull(), sign).otherwise(F.lit(0))
-        )
-        .cast("long")
-        .alias("_dnv"),
-        F.sum(sign * F.col(value_col)).cast("long").alias("_dv"),
-    )
     standing = read_agg_view(spark, view_path)
     for old, new in renames.items():
         standing = standing.withColumnRenamed(old, new)
-    n_rows = (
-        F.coalesce(F.col("n_rows"), F.lit(0)) + F.coalesce(F.col("_dn"), F.lit(0))
-    ).cast("long")
-    n_vals = (
-        F.coalesce(F.col("n_vals"), F.lit(0)) + F.coalesce(F.col("_dnv"), F.lit(0))
-    ).cast("long")
-    raw_sum = (
-        F.coalesce(F.col("sum_v"), F.lit(0)) + F.coalesce(F.col("_dv"), F.lit(0))
-    ).cast("long")
-    # Null-safe key join: a USING-style column-list join matches with
-    # plain equality, so a NULL-valued group key would never meet its
-    # own retraction — the standing NULL group would pass through
-    # untouched while the delta landed on a separate row. eqNullSafe
-    # per key (NULL <=> NULL is true) plus a coalesce of the two key
-    # sides restores exact GROUP BY semantics for NULL groups.
-    delta_r = delta.select(
-        *[F.col(k).alias(f"_d_{k}") for k in keys], "_dn", "_dnv", "_dv"
-    )
-    cond = None
-    for k in keys:
-        c = standing[k].eqNullSafe(delta_r[f"_d_{k}"])
-        cond = c if cond is None else (cond & c)
-    merged = (
-        standing.join(delta_r, cond, "full_outer")
-        .select(
-            *[
-                F.coalesce(standing[k], delta_r[f"_d_{k}"]).alias(k)
-                for k in keys
-            ],
-            n_rows.alias("n_rows"),
-            n_vals.alias("n_vals"),
-            # SQL sum semantics: all-NULL groups report NULL, exactly
-            # as a from-scratch recompute would
-            F.when(n_vals > 0, raw_sum).alias("sum_v"),
-        )
-        # exact GROUP BY semantics: a group with no surviving rows has
-        # no row (count can never go negative on a consistent feed)
-        .where(F.col("n_rows") > 0)
-    )
+    merged = _fold_signed(standing, feed, F.col("_d"), keys, value_col)
     data = _write_data(merged, view_path, cur)
     _publish(
         view_path,
@@ -336,3 +348,76 @@ def refresh_agg_view(spark: SparkSession, table_path: str, view_path: str) -> in
     )
     _gc(view_path, data, grace=st["data"])
     return cur
+
+
+# --- CDF-driven maintenance: fold the change STREAM directly ------------------
+
+
+def init_cdf_agg_view(
+    view_path: str,
+    keys: list,
+    value_col: str,
+) -> None:
+    """Empty standing aggregate for a CDF-stream-maintained view: the
+    change feed carries the WHOLE history from version 0, so the fold
+    starts from nothing — no base-table scan ever happens. Value-type
+    exactness is gated per batch (the schema is only known once rows
+    arrive), keeping the contract identical to the table-driven view."""
+    os.makedirs(view_path, exist_ok=True)
+    _publish(
+        view_path,
+        {
+            "keys": list(keys),
+            "value_col": value_col,
+            "last_batch": -1,
+            "data": None,
+        },
+    )
+
+
+def cdf_fold_sink(view_path: str, keys: list, value_col: str):
+    """foreachBatch callback maintaining a standing GROUP BY aggregate
+    from a CHANGE DATA FEED stream (``format("snapshot_table").option(
+    "readChangeFeed", "true")``) — the composition the CDF exists for:
+    the stream already delivers signed row-level changes, so the
+    consumer folds them sign-linearly (the shared ``_fold_signed``) and
+    never reads the base table, never calls refresh, never recomputes a
+    feed.
+
+    Exactly-once under micro-batch REPLAYS: the state records the last
+    folded batch id; a replayed batch (checkpoint recovery re-delivers
+    the last uncommitted batch) is skipped, so no delta double-folds.
+    The state-pointer publish is atomic (old or new, never partial).
+
+    At 100 TB: per-batch cost is O(batch + touched groups + view); the
+    stream's planner already made each batch change-sized.
+    """
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        s = batch_df.sparkSession
+        st = _read_state(view_path)
+        if batch_id <= st.get("last_batch", -1):
+            return  # replay after checkpoint recovery: already folded
+        ks, vc = st["keys"], st["value_col"]
+        _check_exact(batch_df, vc)
+        if st.get("data"):
+            standing = s.read.parquet(os.path.join(view_path, st["data"]))
+        else:
+            standing = (
+                batch_df.select(
+                    *ks,
+                    F.lit(0).cast("long").alias("n_rows"),
+                    F.lit(0).cast("long").alias("n_vals"),
+                    F.lit(0).cast("long").alias("sum_v"),
+                ).where(F.lit(False))
+            )
+        sign = F.when(F.col("change") == "+", F.lit(1)).otherwise(F.lit(-1))
+        merged = _fold_signed(standing, batch_df, sign, ks, vc)
+        data = _write_data(merged, view_path, batch_id)
+        _publish(
+            view_path,
+            {**st, "last_batch": batch_id, "data": data},
+        )
+        _gc(view_path, data, grace=st.get("data"))
+
+    return _sink

@@ -2158,3 +2158,110 @@ def streaming_cdf_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return net.select(
         F.expr("IF(_net > 0, '+', '-')").alias("change"), "k", "grp", "cents"
     )
+
+
+_CDF_AGG_VIEWS: dict[tuple, str] = {}
+
+
+@register(
+    "streaming_cdf_agg_maintenance",
+    oracle="""
+WITH base AS (
+  SELECT o_orderkey AS k, o_custkey % 100 AS grp,
+         CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+  FROM orders WHERE o_orderkey % 2 = 0
+),
+upserted AS (
+  SELECT k, grp,
+         CASE WHEN k % 6 = 0 THEN cents + 500 ELSE cents END AS cents
+  FROM base
+),
+final AS (SELECT * FROM upserted WHERE grp % 9 <> 0)
+SELECT grp, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(cents) AS BIGINT) AS sum_v
+FROM final GROUP BY grp
+""",
+    description=(
+        "CDF-stream-maintained aggregate: readChangeFeed + a foreachBatch "
+        "sign-linear fold (agg_view.cdf_fold_sink) keep a standing GROUP "
+        "BY current under append/upsert/delete with ZERO base-table "
+        "reads and ZERO feed recomputation — the stream already delivers "
+        "the signed deltas; replayed micro-batches skip via the state's "
+        "batch ledger (exactly-once); final view equals the from-scratch "
+        "aggregate over the latest visible rows"
+    ),
+    # Registered mid-round 11; surface at the 50 cap — an eleventh-
+    # rotation candidate (the CDF-consumer composition).
+    driver_exposed=False,
+    eager=True,  # builds a table + runs the CDF stream at plan time
+)
+def streaming_cdf_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The architectural payoff of the CDF source: maintenance cost is
+    the fold alone.
+
+    Contrast with streaming_agg_view_maintenance (which upserts into
+    the table per batch and calls refresh_agg_view — each refresh
+    derives the feed from manifests): here the SOURCE delivers the
+    feed, so the consumer is a pure sign-linear merge. Same exactness
+    contract (integral values, retraction-exact, NULL-group-safe via
+    the shared _fold_signed).
+    """
+    import os
+
+    from iceberg_file_writer_spark.ingest.agg_view import (
+        cdf_fold_sink,
+        init_cdf_agg_view,
+        read_agg_view,
+    )
+    from iceberg_file_writer_spark.ingest.equality_deletes import commit_upsert
+    from iceberg_file_writer_spark.ingest.snapshots import (
+        commit_append,
+        commit_delete_where,
+    )
+    from iceberg_file_writer_spark.sources.snapshot_stream import (
+        register_snapshot_source,
+    )
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _CDF_AGG_VIEWS:
+        register_snapshot_source(spark)
+        src = load_tables(spark, sf_dir)["orders"].select(
+            F.col("o_orderkey").alias("k"),
+            (F.col("o_custkey") % 100).cast("long").alias("grp"),
+            F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+        ).where("k % 2 = 0")
+        root = tempfile.mkdtemp(prefix="cdf-agg-")
+        t = os.path.join(root, "t")
+        view = os.path.join(root, "view")
+        ckpt = os.path.join(root, "ckpt")
+        commit_append(spark, src, t, max_rows=8192)
+        commit_upsert(
+            spark,
+            t,
+            src.where("k % 6 = 0").withColumn(
+                "cents", F.col("cents") + F.lit(500)
+            ),
+            ["k"],
+            max_rows=8192,
+        )
+        commit_delete_where(spark, t, "grp % 9 = 0")
+        init_cdf_agg_view(view, ["grp"], "cents")
+        q = (
+            spark.readStream.format("snapshot_table")
+            .option("path", t)
+            .option("readChangeFeed", "true")
+            .option("maxVersionsPerBatch", "1")
+            .load()
+            .writeStream.foreachBatch(cdf_fold_sink(view, ["grp"], "cents"))
+            .option("checkpointLocation", ckpt)
+            .trigger(processingTime="50 milliseconds")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        _CDF_AGG_VIEWS[key] = view
+    return read_agg_view(spark, _CDF_AGG_VIEWS[key]).select(
+        "grp", "n_rows", "sum_v"
+    )
