@@ -1672,9 +1672,14 @@ def _carried_mor_delta(
         eq = parts[0]
         for p in parts[1:]:
             eq = eq.unionByName(p)
-        if dk is not None:
-            # only delta-keyed candidates remain, so only delta-keyed
-            # state can matter: bound the broadcast at delta size
+        if dk is not None and dv_delta is None:
+            # pure eq-delta case: every candidate row is delta-keyed,
+            # so only delta-keyed state can matter — bound the
+            # broadcast at delta size. With a DV delta in play a
+            # candidate may be position-kept with a key OUTSIDE the
+            # delta set, and ITS visibility still needs the full eq
+            # state (a DV landing on an already-eq-dead row must not
+            # fabricate a flip) — keep the full aggregate then.
             eq = eq.join(F.broadcast(dk.distinct()), list(cols), "left_semi")
         eq = eq.groupBy(*cols).agg(F.max("_eq_seq").alias(f"_eqs_{suffix}"))
         return eq.select(

@@ -780,3 +780,63 @@ def test_standing_schema_newest_seq_after_evolution(spark, tmp_path):
     assert [f.name for f in sch.fields] == ["k", "v", "tag"]
     got = {r.k: r.tag for r in S.read_table_version(spark, t).collect()}
     assert got == {1: None, 2: "x"}
+
+
+def test_feed_dv_on_already_eq_dead_row_is_silent(spark, tmp_path):
+    """A positional tombstone landing on a row ALREADY dead via an
+    equality delete must not fabricate a feed flip (the row was
+    invisible at A and stays invisible at B). This repo's own writers
+    never produce the shape (delete_where_mor scans MoR-applied), so
+    the DV is hand-committed — a foreign-written table could do this."""
+    import os as _os
+    import uuid as _uuid
+
+    from iceberg_file_writer_spark.ingest.equality_deletes import (
+        commit_delete_keys,
+    )
+    from iceberg_file_writer_spark.ingest.snapshots import (
+        _commit,
+        changes_between,
+        current_version,
+        read_manifest,
+    )
+
+    t = str(tmp_path / "t")
+    commit_append(
+        spark,
+        spark.createDataFrame([(1, 10), (2, 20), (3, 30)], "k long, v long"),
+        t,
+        max_rows=10,
+    )
+    commit_delete_keys(spark, t, spark.createDataFrame([(2,)], "k long"))
+    v_eq = current_version(t)
+
+    # hand-commit a DV naming the eq-dead row's physical position
+    m = read_manifest(t, v_eq)
+    fname = _os.path.basename(m["files"][0]["path"])
+    dv_rel = f"dv/dv-{_uuid.uuid4().hex}"
+    spark.createDataFrame(
+        [(fname, 1)], "file_name string, row_index long"  # row k=2 is index 1
+    ).coalesce(1).write.mode("overwrite").parquet(_os.path.join(t, dv_rel))
+    v_dv = _commit(
+        t, v_eq, "delete_mor", m["files"], extra={"dvs": [dv_rel]}
+    )
+
+    feed = changes_between(spark, t, v_eq, v_dv)
+    assert feed.count() == 0  # no spurious +/- for the doubly-dead row
+
+    # and a combined span still reports exactly the eq delete once
+    got = sorted(tuple(r) for r in changes_between(spark, t, 1, v_dv).collect())
+    assert got == [("-", 2, 20)]
+
+    # the sharper shape: ONE span carrying BOTH a new eq delete (key 1)
+    # and the hand DV above — the dv-kept candidate's key (2) is OUTSIDE
+    # the span's eq-delta keys, so its visibility must still see the
+    # FULL standing eq state (a delta-restricted broadcast would compute
+    # vis_a=true and fabricate a '-')
+    commit_delete_keys(spark, t, spark.createDataFrame([(1,)], "k long"))
+    v_end = current_version(t)
+    got = sorted(
+        tuple(r) for r in changes_between(spark, t, v_eq, v_end).collect()
+    )
+    assert got == [("-", 1, 10)]  # only the new eq delete; k=2 silent
