@@ -21,6 +21,12 @@ Design, deliberately file-native like the rest of the storage layer:
   crash between directory creation and registration leaves an
   unregistered directory (re-CREATE reuses it only after an explicit
   ``register``), never a broken catalog.
+- Concurrency posture: updates are read-modify-write with an atomic
+  publish — readers never see a torn document, but two SIMULTANEOUS
+  registrations can last-writer-win (one binding lost). Table DATA is
+  never at risk (the tables' own optimistic commits are the
+  correctness layer); catalog writes are rare human-scale DDL. A
+  multi-writer deployment would put the O_EXCL ledger protocol here.
 - ``tables={...}`` remains a per-call OVERRIDE everywhere: explicit
   paths shadow catalog names, so tests and ad-hoc joins keep working
   unchanged.

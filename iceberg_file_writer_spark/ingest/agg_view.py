@@ -389,6 +389,12 @@ def cdf_fold_sink(view_path: str, keys: list, value_col: str):
     the last uncommitted batch) is skipped, so no delta double-folds.
     The state-pointer publish is atomic (old or new, never partial).
 
+    The view is bound to ONE checkpoint lineage: batch ids are
+    monotonic only within a checkpoint, so pointing a FRESH checkpoint
+    at an existing view would restart ids at 0 and the ledger would
+    skip every batch (safe — never double-folds — but silently stale).
+    To rebuild, re-run init_cdf_agg_view with a fresh checkpoint dir.
+
     At 100 TB: per-batch cost is O(batch + touched groups + view); the
     stream's planner already made each batch change-sized.
     """
