@@ -177,6 +177,7 @@ _DESCRIBE_RE = re.compile(
     re.IGNORECASE,
 )
 _SHOW_TABLES_RE = re.compile(rf"^SHOW{_WS}TABLES$", re.IGNORECASE)
+_SHOW_VIEWS_RE = re.compile(rf"^SHOW{_WS}VIEWS$", re.IGNORECASE)
 _CREATE_VIEW_RE = re.compile(
     rf"^CREATE(?:{_WS}OR{_WS}REPLACE)?{_WS}VIEW{_WS}(?P<v>{_ID}){_WS}AS"
     rf"{_WS}(?P<q>.+)$",
@@ -843,6 +844,18 @@ def execute_query(
 
     tables = Scope(tables, catalog)
     stmt = sql.strip().rstrip(";")
+
+    if _SHOW_VIEWS_RE.match(stmt):
+        # SHOW VIEWS: the warehouse's durable views with their stored SQL
+        rows = (
+            [
+                (n, tables.catalog.view_sql(n))
+                for n in tables.catalog.view_names()
+            ]
+            if tables.catalog is not None
+            else []
+        )
+        return spark.createDataFrame(rows, "view_name string, sql string")
 
     if _SHOW_TABLES_RE.match(stmt):
         # SHOW TABLES: the statement scope — override names plus the

@@ -215,3 +215,12 @@ def test_snapshot_table_by_name(spark, tmp_path):
     assert t.name == "named"
     with pytest.raises(ValueError, match="unknown table"):
         SnapshotTable.by_name(spark, "ghost", wh)
+
+
+def test_show_views(spark, tmp_path):
+    wh = str(tmp_path / "wh")
+    execute_dml(spark, "CREATE TABLE t AS SELECT 1 AS a", catalog=wh)
+    execute_dml(spark, "CREATE VIEW v1 AS SELECT a FROM t", catalog=wh)
+    got = execute_query(spark, "SHOW VIEWS", catalog=wh).collect()
+    assert [(r.view_name, r.sql) for r in got] == [("v1", "SELECT a FROM t")]
+    assert execute_query(spark, "SHOW VIEWS").count() == 0  # no catalog
