@@ -840,3 +840,101 @@ def test_feed_dv_on_already_eq_dead_row_is_silent(spark, tmp_path):
         tuple(r) for r in changes_between(spark, t, v_eq, v_end).collect()
     )
     assert got == [("-", 1, 10)]  # only the new eq delete; k=2 silent
+
+
+def test_changes_typed_classification_and_guards(spark, tmp_path):
+    """Typed feed: update pre/post pairing (null-safe on NULL keys),
+    insert/delete classification, and the row-unique-key guard."""
+    from iceberg_file_writer_spark.ingest.equality_deletes import commit_upsert
+    from iceberg_file_writer_spark.ingest.snapshots import (
+        changes_typed,
+        current_version,
+    )
+
+    t = str(tmp_path / "t")
+    commit_append(
+        spark,
+        spark.createDataFrame(
+            [(1, 10), (2, 20), (None, 5)], "k long, v long"
+        ),
+        t,
+        max_rows=10,
+    )
+    # CoW update rewrites the NULL-keyed row too (predicate on v)
+    from iceberg_file_writer_spark.ingest.snapshots import commit_update_where
+
+    commit_update_where(spark, t, "v = 5", {"v": "v + 1"})
+    commit_upsert(
+        spark,
+        t,
+        spark.createDataFrame([(2, 99), (7, 70)], "k long, v long"),
+        ["k"],
+        max_rows=10,
+    )
+    commit_delete_where(spark, t, "k = 1")
+    typed = {
+        (r._change_type, r.k, r.v)
+        for r in changes_typed(
+            spark, t, 1, current_version(t), ["k"]
+        ).collect()
+    }
+    assert typed == {
+        ("update_preimage", None, 5),
+        ("update_postimage", None, 6),
+        ("update_preimage", 2, 20),
+        ("update_postimage", 2, 99),
+        ("insert", 7, 70),
+        ("delete", 1, 10),
+    }
+
+    # duplicate key on one side of the span: refused loudly
+    commit_append(
+        spark,
+        spark.createDataFrame([(8, 1), (8, 2)], "k long, v long"),
+        t,
+        max_rows=10,
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="not unique"):
+        changes_typed(spark, t, 1, current_version(t), ["k"]).collect()
+
+
+def test_changes_typed_on_mapped_table(spark, tmp_path):
+    """Typed feed routes through the field-id path: a rename between
+    the span's endpoints still pairs updates by key."""
+    from iceberg_file_writer_spark.ingest.column_mapping import (
+        create_mapped_table,
+        evolve_mapped,
+        upsert_mapped,
+    )
+    from iceberg_file_writer_spark.ingest.snapshots import (
+        changes_typed,
+        current_version,
+    )
+
+    t = str(tmp_path / "m")
+    create_mapped_table(
+        spark,
+        spark.createDataFrame([(1, 10), (2, 20)], "id long, v long"),
+        t,
+        max_rows=10,
+    )
+    evolve_mapped(t, renames={"v": "val"})
+    upsert_mapped(
+        spark,
+        spark.createDataFrame([(2, 99)], "id long, val long"),
+        t,
+        ["id"],
+        max_rows=10,
+    )
+    typed = {
+        (r._change_type, r.id, r.val)
+        for r in changes_typed(
+            spark, t, 1, current_version(t), ["id"]
+        ).collect()
+    }
+    assert typed == {
+        ("update_preimage", 2, 20),
+        ("update_postimage", 2, 99),
+    }
