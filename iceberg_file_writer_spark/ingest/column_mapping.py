@@ -68,15 +68,27 @@ def _commit_with_columns(
     # a dropped id must stay retired even after its last file/manifest
     # reference expires, or a later add could recycle it
     prev_last = 0
+    prev_defaults: dict = {}
     if parent:
-        prev_last = read_manifest(table_path, parent).get("last_column_id", 0)
+        pm = read_manifest(table_path, parent)
+        prev_last = pm.get("last_column_id", 0)
+        prev_defaults = pm.get("column_defaults") or {}
     last = max([prev_last] + [c[0] for c in columns])
+    base_extra = {"columns": columns, "last_column_id": last}
+    # initial-default values (Iceberg v3 shape) ride with the schema:
+    # keyed by FIELD ID (rename-proof), pruned to live ids, carried by
+    # every mapped commit unless the caller overrides
+    if prev_defaults and "column_defaults" not in (extra or {}):
+        live = {str(c[0]) for c in columns}
+        kept = {i: v for i, v in prev_defaults.items() if i in live}
+        if kept:
+            base_extra["column_defaults"] = kept
     return _commit(
         table_path,
         parent,
         op,
         files,
-        extra={"columns": columns, "last_column_id": last, **(extra or {})},
+        extra={**base_extra, **(extra or {})},
     )
 
 
@@ -202,7 +214,10 @@ def evolve_mapped(
 ) -> int:
     """Metadata-only schema evolution: zero data bytes move.
 
-    ``renames`` {old: new}, ``drops`` [name], ``adds`` [(name, type)].
+    ``renames`` {old: new}, ``drops`` [name], ``adds`` [(name, type)]
+    or [(name, type, default)] — with a DEFAULT, rows written BEFORE
+    the column existed read the default instead of NULL (Iceberg v3's
+    initial-default, metadata-only; stored by field id, rename-proof).
     Adds always take a FRESH id (max id + 1, never recycled), so a
     dropped-then-re-added name cannot resurrect old data."""
     columns = [list(c) for c in table_columns(table_path)]
@@ -235,16 +250,24 @@ def evolve_mapped(
     max_id = m.get("last_column_id", 0)
     for c in m.get("columns", []):
         max_id = max(max_id, c[0])
-    for name, typ in adds:
+    new_defaults = dict(m.get("column_defaults") or {})
+    for cid, _nm, _t in [c for c in m.get("columns", []) if c[1] in drops]:
+        new_defaults.pop(str(cid), None)
+    for add in adds:
+        name, typ = add[0], add[1]
         if name in {c[1] for c in columns}:
             raise ValueError(f"column exists: {name}")
         max_id += 1
         columns.append([max_id, name, typ])
+        if len(add) > 2 and add[2] is not None:
+            new_defaults[str(max_id)] = add[2]
     if len({c[1] for c in columns}) != len(columns):
         raise ValueError("rename collision")
     extra = {
         k: m[k] for k in ("eqs", "dvs") if m.get(k)
     }
+    if new_defaults or m.get("column_defaults"):
+        extra["column_defaults"] = new_defaults
     return _commit_with_columns(
         table_path, "evolve", m["files"], columns,
         extra=extra or None, parent=v,
@@ -268,10 +291,12 @@ def _group_scan(
     sig: str,
     columns: list,
     extra_cols: "list | None" = None,
+    defaults: "dict | None" = None,
 ) -> DataFrame:
     """One epoch group's files projected to the logical schema (resolve
-    by field id; absent ids null-fill). ``extra_cols`` appends physical
-    helper columns (e.g. input_file_name) after the logical projection."""
+    by field id; absent ids fill their initial DEFAULT when one is
+    declared, else NULL). ``extra_cols`` appends physical helper
+    columns (e.g. input_file_name) after the logical projection."""
     file_cols = {cid: name for cid, name in json.loads(sig)}
     paths = [os.path.join(table_path, e["path"]) for e in entries]
     part = spark.read.parquet(*paths)
@@ -280,7 +305,9 @@ def _group_scan(
         if cid in file_cols:
             proj.append(F.col(file_cols[cid]).alias(name))
         else:
-            proj.append(F.lit(None).cast(typ).alias(name))
+            proj.append(
+                F.lit((defaults or {}).get(str(cid))).cast(typ).alias(name)
+            )
     return part.select(*(proj + (extra_cols or [])))
 
 
@@ -354,6 +381,7 @@ def _scan_mapped(
     evolution epoch, equality deletes applied (field-id-keyed).
     ``with_file=True`` keeps ``_pos_fn`` for file-addressed consumers."""
     columns = m["columns"]
+    defaults = m.get("column_defaults") or {}
     out = None
     for sig, entries in sorted(_sig_groups(m["files"]).items()):
         part = _group_scan(
@@ -366,6 +394,7 @@ def _scan_mapped(
                 F.col("_metadata.file_name").alias("_pos_fn"),
                 F.col("_metadata.row_index").alias("_pos_ri"),
             ],
+            defaults=defaults,
         )
         out = part if out is None else out.unionByName(part)
     if out is None:

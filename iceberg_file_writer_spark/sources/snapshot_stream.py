@@ -208,10 +208,17 @@ class _AddedFilePartition(InputPartition):
     logical columns absent from the map null-fill. None = plain table
     (physical names ARE the logical names)."""
 
-    def __init__(self, path: str, rows: int, physmap: "dict | None" = None):
+    def __init__(
+        self,
+        path: str,
+        rows: int,
+        physmap: "dict | None" = None,
+        defaults: "dict | None" = None,
+    ):
         self.path = path
         self.rows = rows
         self.physmap = physmap
+        self.defaults = defaults
 
 
 class _MorFilePartition(InputPartition):
@@ -230,12 +237,14 @@ class _MorFilePartition(InputPartition):
         dv_dirs: list,
         eq_specs: list,
         physmap: "dict | None" = None,
+        defaults: "dict | None" = None,
     ):
         self.path = path
         self.rows = rows
         self.dv_dirs = dv_dirs
         self.eq_specs = eq_specs
         self.physmap = physmap
+        self.defaults = defaults
 
 
 def _mor_batches(part: "_MorFilePartition", schema: T.StructType) -> Iterator:
@@ -280,7 +289,9 @@ def _mor_batches(part: "_MorFilePartition", schema: T.StructType) -> Iterator:
     tomb = pa.concat_tables(eq_tabs).drop_null() if eq_tabs else None
 
     offset = 0
-    for batch in _normalized_batches(part.path, schema, part.physmap):
+    for batch in _normalized_batches(
+        part.path, schema, part.physmap, part.defaults
+    ):
         n = batch.num_rows
         mask = np.ones(n, dtype=bool)
         if positions.size:
@@ -328,6 +339,19 @@ def _file_physmap(entry: dict, columns: list) -> dict:
     return out
 
 
+def _mapped_defaults(m: dict) -> "dict | None":
+    """{logical name -> initial-default literal} for a mapped manifest
+    (column_defaults is FIELD-ID-keyed; resolve to the current names)."""
+    raw = m.get("column_defaults")
+    if not raw:
+        return None
+    id_to_name = {cid: nm for cid, nm, _t in m.get("columns") or []}
+    out = {
+        id_to_name[int(i)]: v for i, v in raw.items() if int(i) in id_to_name
+    }
+    return out or None
+
+
 def _mapped_schema_ddl(columns: list) -> str:
     """DDL string for a mapped manifest's logical schema (the DataSource
     schema() contract accepts DDL — no JVM needed in the runner)."""
@@ -370,9 +394,9 @@ class _SnapshotStreamReader(DataSourceStreamReader):
         # invisible (fresh id, not in the pinned schema); a mid-stream
         # drop null-fills from then on.
         cur = _current_version(self.path)
-        self.map_cols = (
-            _manifest_raw(self.path, cur).get("columns") if cur else None
-        )
+        _m0 = _manifest_raw(self.path, cur) if cur else {}
+        self.map_cols = _m0.get("columns")
+        self.map_defaults = _mapped_defaults(_m0)
         self.max_versions = int(options.get("maxversionsperbatch", 0)) or None
         self.skip_non_appends = (
             str(options.get("skipnonappends", "false")).lower() == "true"
@@ -431,6 +455,7 @@ class _SnapshotStreamReader(DataSourceStreamReader):
                         _file_physmap(f, self.map_cols)
                         if self.map_cols is not None
                         else None,
+                        self.map_defaults,
                     )
                 )
             raw_prev = raw
@@ -438,7 +463,7 @@ class _SnapshotStreamReader(DataSourceStreamReader):
 
     def read(self, partition: _AddedFilePartition) -> Iterator:
         yield from _normalized_batches(
-            partition.path, self.schema_, partition.physmap
+            partition.path, self.schema_, partition.physmap, partition.defaults
         )
 
     def commit(self, end: dict) -> None:
@@ -478,6 +503,7 @@ class _CDFPartition(InputPartition):
         new_eq_specs: "list | None" = None,
         dv_a_dirs: "list | None" = None,
         dv_b_dirs: "list | None" = None,
+        defaults: "dict | None" = None,
     ):
         self.kind = kind
         self.path = path
@@ -489,6 +515,7 @@ class _CDFPartition(InputPartition):
         self.new_eq_specs = new_eq_specs or []
         self.dv_a_dirs = dv_a_dirs or []
         self.dv_b_dirs = dv_b_dirs or []
+        self.defaults = defaults
 
 
 def _cdf_batches(part: "_CDFPartition", schema: T.StructType) -> Iterator:
@@ -570,7 +597,9 @@ def _cdf_batches(part: "_CDFPartition", schema: T.StructType) -> Iterator:
 
     change = "+" if part.sign > 0 else "-"
     offset = 0
-    for batch in _normalized_batches(part.path, table_schema, part.physmap):
+    for batch in _normalized_batches(
+        part.path, table_schema, part.physmap, part.defaults
+    ):
         n = batch.num_rows
         if part.kind in ("dv_minus", "dv_plus"):
             mask = np.zeros(n, dtype=bool)
@@ -671,9 +700,9 @@ class _SnapshotCDFStreamReader(DataSourceStreamReader):
             raise ValueError("snapshot_table requires a 'path' option")
         self.schema_ = schema
         cur = _current_version(self.path)
-        self.map_cols = (
-            _manifest_raw(self.path, cur).get("columns") if cur else None
-        )
+        _m0 = _manifest_raw(self.path, cur) if cur else {}
+        self.map_cols = _m0.get("columns")
+        self.map_defaults = _mapped_defaults(_m0)
         self.max_versions = int(options.get("maxversionsperbatch", 0)) or None
         self.starting_version = int(options.get("startingversion", 0))
         self._last_end = self.starting_version
@@ -749,6 +778,7 @@ class _SnapshotCDFStreamReader(DataSourceStreamReader):
                         _pm(f),
                         dvs_b,
                         _scoped(eqs_b, int(f.get("seq") or 0)),
+                        defaults=self.map_defaults,
                     )
                 )
             for p in sorted(set(ea) - set(eb)):
@@ -762,6 +792,7 @@ class _SnapshotCDFStreamReader(DataSourceStreamReader):
                         _pm(f),
                         dvs_a,
                         _scoped(eqs_a, int(f.get("seq") or 0)),
+                        defaults=self.map_defaults,
                     )
                 )
 
@@ -839,6 +870,7 @@ class _SnapshotCDFStreamReader(DataSourceStreamReader):
                             dvs_a,
                             _scoped(eqs_a, seq),
                             new_eq_specs=scoped_hit,
+                            defaults=self.map_defaults,
                         )
                     )
 
@@ -873,6 +905,7 @@ class _SnapshotCDFStreamReader(DataSourceStreamReader):
                             new_eq_specs=_scoped(new_eq, seq),
                             dv_a_dirs=dvs_a,
                             dv_b_dirs=dvs_b,
+                            defaults=self.map_defaults,
                         )
                     )
                     out.append(
@@ -886,6 +919,7 @@ class _SnapshotCDFStreamReader(DataSourceStreamReader):
                             _scoped(eqs_b, seq),
                             dv_a_dirs=dvs_a,
                             dv_b_dirs=dvs_b,
+                            defaults=self.map_defaults,
                         )
                     )
             ea = eb
@@ -899,7 +933,10 @@ class _SnapshotCDFStreamReader(DataSourceStreamReader):
 
 
 def _normalized_batches(
-    file_path: str, schema: T.StructType, physmap: "dict | None" = None
+    file_path: str,
+    schema: T.StructType,
+    physmap: "dict | None" = None,
+    defaults: "dict | None" = None,
 ) -> Iterator:
     """Vectorized read of one data file, every batch normalized to the
     declared schema: files may carry extra hidden layout columns
@@ -911,7 +948,9 @@ def _normalized_batches(
     physical column name, resolved by field id driver-side. A logical
     name absent from the map does NOT fall back to a same-named
     physical column — on mapped tables a recycled name belongs to a
-    retired id and must null-fill, never resurrect."""
+    retired id and must null-fill, never resurrect. ``defaults``
+    (logical name -> literal): the column's initial DEFAULT fills
+    instead of NULL when the file predates the column."""
     import pyarrow as pa
     import pyarrow.parquet as pq
     from pyspark.sql.pandas.types import to_arrow_schema
@@ -938,7 +977,13 @@ def _normalized_batches(
                     tbl.column(phys).cast(field.type).combine_chunks()
                 )
             else:
-                arrays.append(pa.nulls(len(tbl), field.type))
+                dv = (defaults or {}).get(field.name)
+                if dv is not None:
+                    arrays.append(
+                        pa.array([dv] * len(tbl)).cast(field.type)
+                    )
+                else:
+                    arrays.append(pa.nulls(len(tbl), field.type))
         yield pa.RecordBatch.from_arrays(arrays, schema=target)
 
 
@@ -1009,6 +1054,7 @@ class _SnapshotBatchReader(DataSourceReader):
         # physmap per file (epoch), built driver-side from the entry's
         # own (id, name) list; eq-delete keys resolve id -> current name
         self.map_cols = m.get("columns")
+        self.map_defaults = _mapped_defaults(m)
         self.stable_cols = (
             _stable_prunable_cols(self.map_cols, self.files)
             if self.map_cols is not None
@@ -1102,7 +1148,10 @@ class _SnapshotBatchReader(DataSourceReader):
         if not self.dv_dirs and not self.eq_specs:
             return [
                 _AddedFilePartition(
-                    os.path.join(self.path, f["path"]), f["rows"], _pm(f)
+                    os.path.join(self.path, f["path"]),
+                    f["rows"],
+                    _pm(f),
+                    self.map_defaults,
                 )
                 for f in self.files
             ]
@@ -1119,6 +1168,7 @@ class _SnapshotBatchReader(DataSourceReader):
                     self.dv_dirs,
                     eqs,
                     _pm(f),
+                    self.map_defaults,
                 )
             )
         return out
@@ -1128,7 +1178,10 @@ class _SnapshotBatchReader(DataSourceReader):
             yield from _mor_batches(partition, self.schema_)
         else:
             yield from _normalized_batches(
-                partition.path, self.schema_, partition.physmap
+                partition.path,
+                self.schema_,
+                partition.physmap,
+                partition.defaults,
             )
 
 

@@ -196,9 +196,33 @@ _DROP_TABLE_RE = re.compile(
 )
 _ALTER_ADD_RE = re.compile(
     rf"^ALTER{_WS}TABLE{_WS}(?P<t>{_ID}){_WS}ADD{_WS}COLUMN{_WS}"
-    rf"(?P<c>[A-Za-z_][A-Za-z0-9_]*){_WS}(?P<typ>.+)$",
+    rf"(?P<c>[A-Za-z_][A-Za-z0-9_]*){_WS}(?P<typ>.+?)"
+    rf"(?:{_WS}DEFAULT{_WS}(?P<dflt>.+))?$",
     re.IGNORECASE | re.DOTALL,
 )
+
+
+def _parse_default_literal(raw: str):
+    """A DEFAULT literal: quoted string, integer, float, boolean, or
+    NULL — JSON-storable scalars only (they ride in the manifest)."""
+    s = raw.strip()
+    if s.upper() == "NULL":
+        return None
+    if s.startswith("'") and s.endswith("'") and len(s) >= 2:
+        return s[1:-1].replace("''", "'")
+    if s.upper() in ("TRUE", "FALSE"):
+        return s.upper() == "TRUE"
+    try:
+        return int(s)
+    except ValueError:
+        pass
+    try:
+        return float(s)
+    except ValueError:
+        raise ValueError(
+            f"unsupported DEFAULT literal {raw!r}: use a quoted string, "
+            "number, boolean, or NULL"
+        )
 _ALTER_CONVERT_RE = re.compile(
     rf"^ALTER{_WS}TABLE{_WS}(?P<t>{_ID}){_WS}CONVERT{_WS}TO{_WS}MAPPED$",
     re.IGNORECASE,
@@ -569,9 +593,14 @@ def execute_dml(
     if m:
         from iceberg_file_writer_spark.ingest.column_mapping import evolve_mapped
 
+        add = (m.group("c"), m.group("typ").strip().lower())
+        if m.group("dflt") is not None:
+            # initial DEFAULT (Iceberg v3): rows written before the
+            # column existed read this instead of NULL — metadata-only
+            add = add + (_parse_default_literal(m.group("dflt")),)
         return evolve_mapped(
             _resolve(tables, m.group("t")),
-            adds=[(m.group("c"), m.group("typ").strip().lower())],
+            adds=[add],
         )
 
     m = _ALTER_CONVERT_RE.match(stmt)

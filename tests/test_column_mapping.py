@@ -463,3 +463,111 @@ def test_feed_across_convert_refused_with_clear_error(spark, tmp_path):
         spark, spark.createDataFrame([(3, 4)], "a long, b long"), t, max_rows=10
     )
     assert _feed_canon(spark, t, v2, v3) == [("+", 3, 4)]
+
+
+# --- initial DEFAULT values (Iceberg v3 shape) --------------------------------
+
+
+def test_add_column_with_default_fills_history(spark, tmp_path):
+    """DEFAULT on ADD COLUMN: rows written BEFORE the column existed
+    read the default (not NULL) through EVERY read path — read_mapped,
+    the format batch read, the incremental stream, and the CDF — while
+    rows written after carry their own values; rename keeps the default
+    (id-keyed), drop retires it, and time travel shows each version
+    under its own defaults."""
+    from iceberg_file_writer_spark.sql_dml import execute_dml, execute_query
+    from iceberg_file_writer_spark.sources.snapshot_stream import (
+        register_snapshot_source,
+    )
+
+    t = str(tmp_path / "m")
+    execute_dml(
+        spark,
+        "CREATE TABLE m AS SELECT 1 AS id, 10 AS v "
+        "UNION ALL SELECT 2, 20",
+        {"m": t},
+    )
+    execute_dml(
+        spark, "ALTER TABLE m ADD COLUMN tier STRING DEFAULT 'bronze'", {"m": t}
+    )
+    execute_dml(
+        spark, "ALTER TABLE m ADD COLUMN score BIGINT DEFAULT 7", {"m": t}
+    )
+    execute_dml(
+        spark,
+        "INSERT INTO m SELECT 3 AS id, 30 AS v, 'gold' AS tier, "
+        "99 AS score",
+        {"m": t},
+    )
+    got = _canon(
+        execute_query(spark, "SELECT id, tier, score FROM m", {"m": t})
+    )
+    assert got == [(1, "bronze", 7), (2, "bronze", 7), (3, "gold", 99)]
+
+    # time travel: version 1 predates the columns entirely
+    v1 = execute_query(
+        spark, "SELECT * FROM m VERSION AS OF 1", {"m": t}
+    )
+    assert v1.columns == ["id", "v"]
+
+    # rename keeps the default (keyed by field id, not name)
+    execute_dml(spark, "ALTER TABLE m RENAME COLUMN tier TO rank", {"m": t})
+    got = _canon(execute_query(spark, "SELECT id, rank FROM m", {"m": t}))
+    assert got == [(1, "bronze"), (2, "bronze"), (3, "gold")]
+
+    # the format surfaces agree
+    register_snapshot_source(spark)
+    fmt = spark.read.format("snapshot_table").option("path", t).load()
+    assert _canon(fmt.select("id", "rank", "score")) == [
+        (1, "bronze", 7),
+        (2, "bronze", 7),
+        (3, "gold", 99),
+    ]
+    sink, ckpt = str(tmp_path / "s"), str(tmp_path / "c")
+    q = (
+        spark.readStream.format("snapshot_table")
+        .option("path", t)
+        .load()
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(processingTime="50 milliseconds")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert _canon(
+        spark.read.parquet(sink).select("id", "rank", "score")
+    ) == [(1, "bronze", 7), (2, "bronze", 7), (3, "gold", 99)]
+    # CDF: the '+' rows of the pre-default files carry the default too
+    sink2, ckpt2 = str(tmp_path / "s2"), str(tmp_path / "c2")
+    q = (
+        spark.readStream.format("snapshot_table")
+        .option("path", t)
+        .option("readChangeFeed", "true")
+        .load()
+        .writeStream.format("parquet")
+        .option("path", sink2)
+        .option("checkpointLocation", ckpt2)
+        .trigger(processingTime="50 milliseconds")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    cdf = spark.read.parquet(sink2)
+    assert _canon(cdf.select("change", "id", "rank")) == [
+        ("+", 1, "bronze"),
+        ("+", 2, "bronze"),
+        ("+", 3, "gold"),
+    ]
+
+    # drop retires the default; re-adding the NAME gets a fresh id with
+    # no default (and never resurrects)
+    execute_dml(spark, "ALTER TABLE m DROP COLUMN rank", {"m": t})
+    execute_dml(spark, "ALTER TABLE m ADD COLUMN rank STRING", {"m": t})
+    got = _canon(execute_query(spark, "SELECT id, rank FROM m", {"m": t}))
+    assert got == [(1, None), (2, None), (3, None)]
