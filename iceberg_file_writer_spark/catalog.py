@@ -130,6 +130,18 @@ class Catalog:
         self._store(tables)
         return os.path.join(self.warehouse, rel)
 
+    def slot(self, name: str) -> str:
+        """The path ``register(name)`` WOULD bind — no mutation. Lets
+        CREATE check target existence before durably binding the name
+        (a failed CTAS must not leave a binding to data it refused to
+        create)."""
+        if not _NAME_RE.match(name):
+            raise ValueError(f"invalid table name: {name!r}")
+        tables = self._load()
+        if name in tables:
+            return os.path.join(self.warehouse, tables[name])
+        return os.path.join(self.warehouse, name)
+
     def unregister(self, name: str) -> None:
         tables = self._load()
         if name in tables:
@@ -229,6 +241,19 @@ class Scope:
             return self.tables[name]
         if self.catalog is not None:
             return self.catalog.register(name)
+        raise ValueError(
+            f"unknown snapshot table {name!r}; pass tables={{...}} or a "
+            "catalog/warehouse to CREATE by bare name"
+        )
+
+    def peek_create_path(self, name: str) -> str:
+        """``create_path`` WITHOUT the durable catalog binding: CREATE
+        statements check target existence on this first, so a refused
+        CREATE never leaves a name bound to data it didn't create."""
+        if name in self.tables:
+            return self.tables[name]
+        if self.catalog is not None:
+            return self.catalog.slot(name)
         raise ValueError(
             f"unknown snapshot table {name!r}; pass tables={{...}} or a "
             "catalog/warehouse to CREATE by bare name"

@@ -111,6 +111,18 @@ def _base_columns(table_path: str, version: int) -> "list | None":
     return m.get("columns")
 
 
+def _apply_renames(df: DataFrame, renames: dict) -> DataFrame:
+    """One-pass atomic rename. Sequential ``withColumnRenamed`` calls
+    corrupt a single-commit column SWAP (renames={a:b, b:a} — legal in
+    evolve_mapped, which rewrites names in one pass): the first call
+    creates a duplicate name the second then hits ambiguously."""
+    if not renames:
+        return df
+    return df.select(
+        [F.col(c).alias(renames.get(c, c)) for c in df.columns]
+    )
+
+
 def _read_base(spark: SparkSession, table_path: str, mapped: bool) -> DataFrame:
     if mapped:
         from iceberg_file_writer_spark.ingest.column_mapping import read_mapped
@@ -313,9 +325,7 @@ def refresh_agg_view(spark: SparkSession, table_path: str, view_path: str) -> in
         # commits happened but no row-level change (e.g. metadata-only):
         # publish the version bump; a rename still re-labels the view
         if renames:
-            standing = read_agg_view(spark, view_path)
-            for old, new in renames.items():
-                standing = standing.withColumnRenamed(old, new)
+            standing = _apply_renames(read_agg_view(spark, view_path), renames)
             data = _write_data(standing, view_path, cur)
             _publish(
                 view_path,
@@ -331,9 +341,7 @@ def refresh_agg_view(spark: SparkSession, table_path: str, view_path: str) -> in
         else:
             _publish(view_path, {**st, "version": cur})
         return cur
-    standing = read_agg_view(spark, view_path)
-    for old, new in renames.items():
-        standing = standing.withColumnRenamed(old, new)
+    standing = _apply_renames(read_agg_view(spark, view_path), renames)
     merged = _fold_signed(standing, feed, F.col("_d"), keys, value_col)
     data = _write_data(merged, view_path, cur)
     _publish(

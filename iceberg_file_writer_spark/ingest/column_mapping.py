@@ -81,8 +81,9 @@ def _commit_with_columns(
     if prev_defaults and "column_defaults" not in (extra or {}):
         live = {str(c[0]) for c in columns}
         kept = {i: v for i, v in prev_defaults.items() if i in live}
-        if kept:
-            base_extra["column_defaults"] = kept
+        # always override (even with {}): an empty pruned dict must
+        # SUPPRESS _commit's verbatim parent carry, not fall through to it
+        base_extra["column_defaults"] = kept
     return _commit(
         table_path,
         parent,

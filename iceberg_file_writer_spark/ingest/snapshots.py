@@ -407,6 +407,16 @@ def _commit(
         # rewritten files just lack rows (conservative)
         if pm.get("bloom") and not (extra and "bloom" in extra):
             manifest["bloom"] = pm["bloom"]
+        # initial-default values (mapped tables, Iceberg-v3 shape) are
+        # schema metadata: ANY commit that drops them silently null-fills
+        # pre-default-epoch history on every subsequent read. Column-aware
+        # paths override with an id-pruned dict; everyone else carries
+        # verbatim (retired-id leftovers are inert — reads resolve
+        # defaults by live field id only).
+        if pm.get("column_defaults") and not (
+            extra and "column_defaults" in extra
+        ):
+            manifest["column_defaults"] = pm["column_defaults"]
     if extra:
         if "batch_ids" in extra and manifest.get("batch_ids"):
             extra = dict(extra)

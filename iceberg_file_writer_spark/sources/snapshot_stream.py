@@ -803,9 +803,17 @@ class _SnapshotCDFStreamReader(DataSourceStreamReader):
             ]
             if new_eq and carried:
                 # footer-stats prune against the delta keys' bounding
-                # box — metadata-only (no data pages read driver-side)
+                # box — metadata-only (no data pages read driver-side).
+                # A column is prunable ONLY when EVERY new_eq parquet
+                # file contributed stats for it (_footer_stats already
+                # requires every row group within a file): a box built
+                # from partial coverage under-spans the delete keys and
+                # would silently drop carried files holding only the
+                # stats-less file's keys — same "missing stats => cannot
+                # exclude" posture as _entry_intersects.
                 lo: dict = {}
                 hi: dict = {}
+                covered: "set | None" = None
                 for x in new_eq:
                     d = os.path.join(self.path, x["path"])
                     files = (
@@ -820,9 +828,14 @@ class _SnapshotCDFStreamReader(DataSourceStreamReader):
                     )
                     for fp in files:
                         st = _footer_stats(pq.ParquetFile(fp).metadata)
+                        covered = (
+                            set(st) if covered is None else covered & set(st)
+                        )
                         for c, (mn, mx, _nl) in st.items():
                             lo[c] = mn if c not in lo else min(lo[c], mn)
                             hi[c] = mx if c not in hi else max(hi[c], mx)
+                for c in [c for c in lo if c not in (covered or set())]:
+                    del lo[c], hi[c]
                 for p in carried:
                     f = ea[p]
                     seq = int(f.get("seq") or 0)
@@ -1398,7 +1411,22 @@ class _SnapshotWriterBase:
         ]
         for e in entries:
             e["cols"] = [list(p) for p in stamp]
-        return {"columns": columns, "last_column_id": last}
+        out = {"columns": columns, "last_column_id": last}
+        # initial-default values ride with the schema on EVERY mapped
+        # commit (same carry `_commit_with_columns` performs): dropping
+        # them here would make any format() append silently null-fill
+        # pre-default-epoch history on all subsequent reads. Pruned to
+        # live ids; an overwrite keeps defaults for surviving ids (inert
+        # for the new, fully-populated files; still the schema contract).
+        prev_defaults = pm.get("column_defaults") or {}
+        if prev_defaults:
+            live = {str(c[0]) for c in columns}
+            # always override (even with {}) so a pruned-to-empty dict
+            # suppresses _commit's verbatim parent carry
+            out["column_defaults"] = {
+                i: v for i, v in prev_defaults.items() if i in live
+            }
+        return out
 
 
 def _types_compatible(a, b) -> bool:

@@ -553,9 +553,12 @@ def execute_dml(
             create_mapped_table,
         )
 
-        path = tables.create_path(m.group("t"))
+        # existence check BEFORE create_path's durable catalog binding:
+        # a refused CTAS must not leave the bare name bound (r12 ADVICE)
+        path = tables.peek_create_path(m.group("t"))
         if _table_exists(path):
             raise ValueError(f"table exists: {m.group('t')} ({path})")
+        path = tables.create_path(m.group("t"))
         return create_mapped_table(
             spark, spark.sql(m.group("q")), path, max_rows=max_rows
         )
@@ -572,9 +575,10 @@ def execute_dml(
             create_mapped_table,
         )
 
-        path = tables.create_path(m.group("t"))
+        path = tables.peek_create_path(m.group("t"))
         if _table_exists(path):
             raise ValueError(f"table exists: {m.group('t')} ({path})")
+        path = tables.create_path(m.group("t"))
         empty = spark.createDataFrame([], m.group("cols").strip())
         return create_mapped_table(spark, empty, path, max_rows=max_rows)
 

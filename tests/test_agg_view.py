@@ -541,3 +541,44 @@ def test_cdf_stream_maintained_view(spark, tmp_path):
         for r in read_agg_view(spark, v).collect()
     }
     assert got2 == {None: (1, 5), 7: (2, 119)}
+
+
+def test_mapped_swap_rename_relabels_view_atomically(spark, tmp_path):
+    """Regression (r12 ADVICE, low): a single-commit column SWAP
+    (renames={a:b, b:a} — legal in evolve_mapped) must re-label the
+    standing aggregate atomically; sequential withColumnRenamed calls
+    produce duplicate/ambiguous names and corrupt the fold."""
+    from iceberg_file_writer_spark.ingest.column_mapping import (
+        append_mapped,
+        create_mapped_table,
+        evolve_mapped,
+        read_mapped,
+    )
+
+    t = str(tmp_path / "m")
+    v = str(tmp_path / "v")
+    df = spark.createDataFrame(
+        [(1, 10, 100), (1, 20, 200), (2, 10, 300)],
+        "ka long, kb long, cents long",
+    )
+    create_mapped_table(spark, df, t)
+    init_agg_view(spark, t, v, ["ka", "kb"], "cents")
+
+    evolve_mapped(t, renames={"ka": "kb", "kb": "ka"})
+    append_mapped(
+        spark,
+        spark.createDataFrame([(20, 2, 400)], "ka long, kb long, cents long"),
+        t,
+    )
+    refresh_agg_view(spark, t, v)
+
+    got = _canon(read_agg_view(spark, v).select("ka", "kb", "n_rows", "sum_v"))
+    want = _canon(
+        read_mapped(spark, t)
+        .groupBy("ka", "kb")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("cents").cast("long").alias("sum_v"),
+        )
+    )
+    assert got == want

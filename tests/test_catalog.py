@@ -224,3 +224,30 @@ def test_show_views(spark, tmp_path):
     got = execute_query(spark, "SHOW VIEWS", catalog=wh).collect()
     assert [(r.view_name, r.sql) for r in got] == [("v1", "SELECT a FROM t")]
     assert execute_query(spark, "SHOW VIEWS").count() == 0  # no catalog
+
+
+def test_failed_ctas_leaves_no_dangling_binding(spark, tmp_path):
+    """Regression (r12 ADVICE, low): a CTAS refused because the target
+    directory already holds a committed table must NOT leave the bare
+    name durably bound in catalog.json — a later statement would
+    resolve the name to data the CREATE refused to create."""
+    wh = str(tmp_path / "wh")
+    load_tables(spark, SF_DIR)
+    # a committed table sits at <warehouse>/ghost WITHOUT a binding
+    # (created through an explicit override path inside the warehouse)
+    execute_dml(
+        spark,
+        "CREATE TABLE g AS SELECT 1 AS id",
+        {"g": os.path.join(wh, "ghost")},
+    )
+    with pytest.raises(ValueError, match="table exists"):
+        execute_dml(
+            spark, "CREATE TABLE ghost AS SELECT 2 AS id", catalog=wh
+        )
+    assert "ghost" not in Catalog(wh).names(), (
+        "refused CTAS left a dangling catalog binding"
+    )
+    # same guard for the empty-schema CREATE flavor
+    with pytest.raises(ValueError, match="table exists"):
+        execute_dml(spark, "CREATE TABLE ghost (id BIGINT)", catalog=wh)
+    assert "ghost" not in Catalog(wh).names()

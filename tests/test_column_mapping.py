@@ -571,3 +571,65 @@ def test_add_column_with_default_fills_history(spark, tmp_path):
     execute_dml(spark, "ALTER TABLE m ADD COLUMN rank STRING", {"m": t})
     got = _canon(execute_query(spark, "SELECT id, rank FROM m", {"m": t}))
     assert got == [(1, None), (2, None), (3, None)]
+
+
+def test_format_write_onto_mapped_table_keeps_defaults(spark, tmp_path):
+    """Regression (r12 ADVICE, high): a ``format("snapshot_table")``
+    append onto a mapped table with ADD COLUMN ... DEFAULT metadata must
+    carry ``column_defaults`` into the manifest it publishes — dropping
+    it silently null-fills pre-default-epoch history on every later
+    read. Covers the batch writer, the streaming writer, AND the generic
+    ``_commit`` parent-carry (a plain maintenance commit between mapped
+    appends)."""
+    from iceberg_file_writer_spark.sql_dml import execute_dml, execute_query
+    from iceberg_file_writer_spark.sources.snapshot_stream import (
+        register_snapshot_source,
+    )
+    from iceberg_file_writer_spark.ingest.snapshots import (
+        current_version,
+        read_manifest,
+    )
+
+    t = str(tmp_path / "m")
+    execute_dml(
+        spark,
+        "CREATE TABLE m AS SELECT 1 AS id, 10 AS v UNION ALL SELECT 2, 20",
+        {"m": t},
+    )
+    execute_dml(
+        spark, "ALTER TABLE m ADD COLUMN tier STRING DEFAULT 'bronze'", {"m": t}
+    )
+
+    register_snapshot_source(spark)
+    # batch format append (writer provides all columns incl. tier)
+    spark.createDataFrame([(3, 30, "gold")], "id int, v int, tier string") \
+        .write.format("snapshot_table").option("path", t).mode("append").save()
+    m = read_manifest(t, current_version(t))
+    assert m.get("column_defaults"), "batch format append dropped defaults"
+    got = _canon(execute_query(spark, "SELECT id, tier FROM m", {"m": t}))
+    assert got == [(1, "bronze"), (2, "bronze"), (3, "gold")]
+
+    # streaming format append
+    src, ckpt = str(tmp_path / "src"), str(tmp_path / "c")
+    spark.createDataFrame(
+        [(4, 40, "silver")], "id int, v int, tier string"
+    ).write.parquet(src)
+    q = (
+        spark.readStream.schema("id int, v int, tier string")
+        .parquet(src)
+        .writeStream.format("snapshot_table")
+        .option("path", t)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    m = read_manifest(t, current_version(t))
+    assert m.get("column_defaults"), "streaming format append dropped defaults"
+    got = _canon(execute_query(spark, "SELECT id, tier FROM m", {"m": t}))
+    assert got == [
+        (1, "bronze"),
+        (2, "bronze"),
+        (3, "gold"),
+        (4, "silver"),
+    ]

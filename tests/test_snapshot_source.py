@@ -918,3 +918,70 @@ def test_cdf_property_any_dml_interleaving_nets_to_batch_feed(
                 key=repr,
             )
         assert got == want, f"version {v}: {got} != {want}"
+
+
+def test_cdf_eq_prune_unsound_under_partial_footer_stats(spark, tmp_path):
+    """Regression (r12 ADVICE, medium): the CDF stream's eq_flip prune
+    builds its delta-key bounding box from the new equality-delete
+    files' footer stats — when ONE delete part-file carries min/max and
+    ANOTHER lacks them (truncated strings, decimals, stats-less row
+    groups), the key column must become UN-prunable, or carried files
+    holding only the stats-less file's keys silently lose their '-'
+    rows. Simulated by rewriting one eq-delete part-file with
+    write_statistics=False after the commit."""
+    import pyarrow.parquet as pq
+
+    from iceberg_file_writer_spark.ingest.equality_deletes import (
+        commit_delete_keys,
+    )
+    from iceberg_file_writer_spark.ingest.snapshots import (
+        commit_append,
+        read_manifest,
+        current_version,
+    )
+
+    t = str(tmp_path / "t")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    # two data files with disjoint key ranges (separate appends)
+    commit_append(
+        spark,
+        spark.createDataFrame([(i, i * 10) for i in range(1, 6)], "k long, v long"),
+        t,
+    )
+    commit_append(
+        spark,
+        spark.createDataFrame(
+            [(i, i * 10) for i in range(100, 106)], "k long, v long"
+        ),
+        t,
+    )
+    # one eq-delete commit whose delete dir holds TWO part files:
+    # one for k=3 (stats kept), one for k=102 (stats stripped below)
+    keys = spark.createDataFrame([(3,), (102,)], "k long").repartition(2, "k")
+    commit_delete_keys(spark, t, keys)
+    m = read_manifest(t, current_version(t))
+    d = os.path.join(t, m["eqs"][0]["path"])
+    parts = [
+        os.path.join(d, n)
+        for n in sorted(os.listdir(d))
+        if n.endswith(".parquet") and not n.startswith(("_", "."))
+    ]
+    stripped = 0
+    for p in parts:
+        tbl = pq.read_table(p)
+        if 102 in tbl.column("k").to_pylist():
+            pq.write_table(tbl, p, write_statistics=False)
+            stripped += 1
+    assert stripped >= 1, "harness: no part file held key 102"
+    assert len(parts) >= 2, "harness: need a stats-carrying sibling file"
+
+    _drain_cdf(spark, t, sink, ckpt)
+    out = spark.read.parquet(sink)
+    minus = sorted(
+        tuple(r)
+        for r in out.where(F.col("change") == "-").select("k", "v").collect()
+    )
+    # both deleted keys must surface '-' — k=102 lives in a carried file
+    # whose range [100,105] is outside the stats-visible box [3,3]
+    assert minus == [(3, 30), (102, 1020)], minus
