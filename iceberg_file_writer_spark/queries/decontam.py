@@ -84,6 +84,7 @@ GROUP BY 1, 2
         "(salted-hash split), with shared-gram counts — corpus grams "
         "equi-joined against broadcast holdout grams"
     ),
+    driver_exposed=False,  # r12 rotation: ceded per tenure (class continuity kept)
 )
 def eval_train_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cache(): the distinct-gram relation feeds both the train and the

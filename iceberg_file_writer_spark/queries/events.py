@@ -39,6 +39,7 @@ WHERE user_id = 7
   AND ts <  TIMESTAMP '2024-01-20 00:00:00'
 """,
     description="The reference layout's flagship read: entity + time-range pruned scan (SURVEY §7.1)",
+    driver_exposed=False,  # r12 rotation: ceded per tenure (class continuity kept)
 )
 def pruned_time_range_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
@@ -329,6 +330,7 @@ ORDER BY total_spent DESC, user_id
 LIMIT 10
 """,
     description="Global top-k: TakeOrderedAndProject, no full sort",
+    driver_exposed=False,  # r12 rotation: ceded per tenure (class continuity kept)
 )
 def top_purchasers(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)

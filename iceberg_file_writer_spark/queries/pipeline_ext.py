@@ -110,6 +110,7 @@ WHERE cum_tokens - n_tokens < {TOKEN_BUDGET}
         "(bucket ledger + within-bucket running totals) so no task scans a "
         "whole language"
     ),
+    driver_exposed=False,  # r12 rotation: ceded per tenure (class continuity kept)
 )
 def token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact per-language token budget without a per-language global scan.
@@ -195,6 +196,7 @@ GROUP BY shard, seq_id
         "belongs to the sequence where it starts) — per-sequence doc and "
         "token counts"
     ),
+    driver_exposed=False,  # r12 rotation: ceded per tenure (class continuity kept)
 )
 def pack_training_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Contiguous sequence packing, sharded for scale.
@@ -339,6 +341,7 @@ FROM (
         "reduced to the newest row per user (the MERGE/upsert materialized "
         "view) — one window over the key partition, no self-join"
     ),
+    driver_exposed=False,  # r12 rotation: ceded per tenure (class continuity kept)
 )
 def cdc_user_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)

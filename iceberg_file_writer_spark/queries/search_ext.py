@@ -1726,7 +1726,7 @@ WHERE s.n_common >= {AA_MIN_COMMON}
     ),
     # Registry-only (surface at cap); pinned against the exact entry in
     # tests/test_search_ext.py.
-    driver_exposed=False,
+    driver_exposed=True,  # r12 rotation: promoted (constant-budget graph scale path)
 )
 def user_adamic_adar_topm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _adamic_adar_scored(spark, sf_dir, top_m=AA_TOPM)

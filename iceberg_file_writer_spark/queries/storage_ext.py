@@ -1584,7 +1584,7 @@ SELECT * FROM (
     ),
     # Registered mid-round 11; the driver surface is at its 50 cap — an
     # eleventh-rotation candidate.
-    driver_exposed=False,
+    driver_exposed=True,  # r12 rotation: promoted (durable names + views)
     eager=True,  # issues catalog DDL/DML against a temp warehouse at plan time
 )
 def catalog_views_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1690,7 +1690,7 @@ WHERE o_totalprice > 100000.0 AND o_custkey % 3 <> 0
     ),
     # Registered mid-round 11; surface at the 50 cap — an eleventh-
     # rotation candidate (puts the mapped format work under the gate).
-    driver_exposed=False,
+    driver_exposed=True,  # r12 rotation: promoted (mapped DataSource)
     eager=True,  # builds a mapped table + runs format writes at plan time
 )
 def mapped_format_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1803,7 +1803,7 @@ SELECT 'delete', k, grp, cents FROM base WHERE grp % 9 = 0
     ),
     # Registered mid-round 11; surface at the 50 cap — an eleventh-
     # rotation candidate (the typed-changelog class).
-    driver_exposed=False,
+    driver_exposed=True,  # r12 rotation: promoted (typed change feed)
     eager=True,  # builds a table + runs DML at plan time
 )
 def cdc_typed_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1879,7 +1879,7 @@ SELECT k, tier, credit FROM newer
     ),
     # Registered mid-round 11; surface at the 50 cap — an eleventh-
     # rotation candidate.
-    driver_exposed=False,
+    driver_exposed=True,  # r12 rotation: promoted (initial defaults)
     eager=True,  # issues DDL/DML against a temp table at plan time
 )
 def mapped_default_values(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -261,6 +261,7 @@ HAVING CAST(CAST(ts AS DATE) AS TIMESTAMP) + INTERVAL 1 DAY < {_FINAL_WM_SQL}
 """,
     description="Structured Streaming: custom stateful operator (applyInPandasWithState + EventTimeTimeout) emitting per-(user, day) totals exactly once when the watermark closes the day — deterministic finalized output, exact batch oracle",
     eager=True,  # builds/loads a trained artifact or runs a stream at plan time
+    driver_exposed=False,  # r12 rotation: ceded per tenure (class continuity kept)
 )
 def streaming_stateful_daily_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     from iceberg_file_writer_spark.streaming.windows import user_daily_totals_closed
@@ -2085,7 +2086,7 @@ SELECT '+' AS change, k, grp, cents FROM final
     ),
     # Registered mid-round 11; surface at the 50 cap — an eleventh-
     # rotation candidate (the change-feed class's streaming form).
-    driver_exposed=False,
+    driver_exposed=True,  # r12 rotation: promoted (CDF class)
     eager=True,  # builds a table + runs the CDF stream at plan time
 )
 def streaming_cdf_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2192,7 +2193,7 @@ FROM final GROUP BY grp
     ),
     # Registered mid-round 11; surface at the 50 cap — an eleventh-
     # rotation candidate (the CDF-consumer composition).
-    driver_exposed=False,
+    driver_exposed=True,  # r12 rotation: promoted (CDF-consumer composition)
     eager=True,  # builds a table + runs the CDF stream at plan time
 )
 def streaming_cdf_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -66,7 +66,8 @@ CLASS_MEMBERS: dict[str, set[str]] = {
         "streaming_dedup_events", "streaming_session_windows",
         "streaming_stateful_daily_totals", "streaming_priority_sample",
         "streaming_join_view_maintenance", "streaming_upsert_mor_state",
-        "streaming_multi_table_txn",
+        "streaming_multi_table_txn", "streaming_cdf_feed",
+        "streaming_cdf_agg_maintenance",
     },
     "udf_surface": {
         "multimodal_feature_extract", "streaming_stateful_daily_totals",
