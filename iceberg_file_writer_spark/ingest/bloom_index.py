@@ -117,12 +117,43 @@ def attach_bloom_index(
     if not todo:
         return 0
 
-    src = _read_files(
-        spark, table_path, todo, None, with_position=True
-    ).select(
-        F.col("_pos_fn").alias("file_name"),
-        *[F.col(c).cast("string").alias(c) for c in cols],
-    )
+    if "columns" in m:
+        # column-mapped table: the sidecar keys on FIELD ID ("f<id>"),
+        # not name — a later RENAME of the indexed column can never
+        # detach standing filters. Values are read through the field-id
+        # projection (raw rows, no MoR application — matching the plain
+        # path's conservative posture; initial DEFAULTs fill in, so a
+        # probe for the default keeps pre-default files, whose logical
+        # rows genuinely match).
+        from iceberg_file_writer_spark.ingest.column_mapping import (
+            _scan_mapped,
+        )
+
+        name_to_id = {name: cid for cid, name, _t in m["columns"]}
+        missing = [c for c in cols if c not in name_to_id]
+        if missing:
+            raise ValueError(f"no such column(s): {missing}")
+        keys = [f"f{name_to_id[c]}" for c in cols]
+        sub = {
+            "files": todo,
+            "columns": m["columns"],
+            "column_defaults": m.get("column_defaults"),
+        }
+        src = _scan_mapped(spark, table_path, sub, with_file=True).select(
+            F.col("_pos_fn").alias("file_name"),
+            *[
+                F.col(c).cast("string").alias(k)
+                for c, k in zip(cols, keys)
+            ],
+        )
+        cols = keys
+    else:
+        src = _read_files(
+            spark, table_path, todo, None, with_position=True
+        ).select(
+            F.col("_pos_fn").alias("file_name"),
+            *[F.col(c).cast("string").alias(c) for c in cols],
+        )
 
     def _build(pdf: pd.DataFrame) -> pd.DataFrame:
         # self-contained on purpose: executors under a plain driver
@@ -187,11 +218,18 @@ def attach_bloom_index(
 
 
 def bloom_prune(
-    table_path: str, blooms: list, kept: list, conjuncts: list
+    table_path: str,
+    blooms: list,
+    kept: list,
+    conjuncts: list,
+    name_to_id: "dict | None" = None,
 ) -> list:
     """Drop manifest entries whose bloom filters PROVE an equality
     conjunct cannot match. Files without a filter row for the probed
-    column always survive (carried semantics: conservative)."""
+    column always survive (carried semantics: conservative).
+    ``name_to_id`` (mapped tables) resolves conjunct column names to
+    the field-id sidecar keys ("f<id>"); unknown names skip the bloom
+    test conservatively."""
     import pyarrow.parquet as pq
 
     # Only str and non-bool int literals render identically under
@@ -210,6 +248,10 @@ def bloom_prune(
     # whole conjunct is skipped conservatively.
     probes = []
     for col, op, *rest in conjuncts:
+        if name_to_id is not None:
+            if col not in name_to_id:
+                continue  # unknown name: cannot exclude
+            col = f"f{name_to_id[col]}"
         if op == "=" and rest and _probe_safe(rest[0]):
             probes.append((col, [str(rest[0])]))
         elif op == "in" and rest:

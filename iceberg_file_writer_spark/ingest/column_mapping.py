@@ -94,17 +94,55 @@ def _commit_with_columns(
 
 
 def create_mapped_table(
-    spark: SparkSession, df: DataFrame, table_path: str, max_rows: int = 4096
+    spark: SparkSession,
+    df: DataFrame,
+    table_path: str,
+    max_rows: int = 4096,
+    spec: "list | None" = None,
 ) -> int:
-    """Create a column-mapped table: field ids 1..n in schema order."""
+    """Create a column-mapped table: field ids 1..n in schema order.
+
+    ``spec`` (optional) is a hidden-partition spec in the NAME-keyed
+    user form (``[("day", "ts"), ("bucket", 16, "id"), ...]`` — the
+    same shape ``commit_append_partitioned`` takes); it is pinned to
+    FIELD IDS at create time and stored id-keyed in the manifest, so
+    Iceberg's two marquee features compose: a later RENAME of a spec'd
+    column re-labels reads without detaching the transform layout."""
     columns = [
         [i + 1, f.name, f.dataType.simpleString()]
         for i, f in enumerate(df.schema.fields)
     ]
+    extra = None
+    if spec:
+        from iceberg_file_writer_spark.ingest.partitioning import (
+            apply_spec_mapped,
+            spec_names_to_ids,
+        )
+
+        spec_ids = spec_names_to_ids(spec, columns)
+        df = apply_spec_mapped(df, spec_ids, columns)
+        extra = {"spec": spec_ids}
     files = _write_data_files(df, table_path, max_rows)
     for e in files:
         e["cols"] = [[c[0], c[1]] for c in columns]
-    return _commit_with_columns(table_path, "create", files, columns)
+    return _commit_with_columns(
+        table_path, "create", files, columns, extra=extra
+    )
+
+
+def _spec_clustered(df: DataFrame, m: dict) -> DataFrame:
+    """Apply the table's standing id-keyed spec to a batch about to be
+    written (the mapped twin of ``snapshots._apply_standing_spec``):
+    the spec belongs to the TABLE, so every write verb clusters by it
+    and layout never silently decays."""
+    spec = m.get("spec")
+    if not spec:
+        return df
+    from iceberg_file_writer_spark.ingest.partitioning import (
+        apply_spec_mapped,
+    )
+
+    return apply_spec_mapped(df, spec, m["columns"])
 
 
 def convert_to_mapped(spark: SparkSession, table_path: str) -> int:
@@ -140,16 +178,26 @@ def convert_to_mapped(spark: SparkSession, table_path: str) -> int:
             "table carries merge-on-read deletes; OPTIMIZE (compact) "
             "first to materialize them, then convert"
         )
-    if m.get("spec"):
-        raise ValueError(
-            "spec-partitioned tables cannot convert to column mapping "
-            "(the mapped read path has no hidden-partition routing)"
-        )
+    from iceberg_file_writer_spark.ingest.partitioning import _is_hidden
+
     schema = read_table_version(spark, table_path).schema
+    logical = [f for f in schema.fields if not _is_hidden(f.name)]
     columns = [
         [i + 1, f.name, f.dataType.simpleString()]
-        for i, f in enumerate(schema.fields)
+        for i, f in enumerate(logical)
     ]
+    extra = None
+    if m.get("spec"):
+        # carry the standing spec, re-keyed by the fresh field ids: the
+        # layout survives conversion AND every later rename. Pre-convert
+        # files' hidden bucket stats stay name-keyed (_b<n>_<col>); the
+        # mapped pruned scan checks the per-file stamp's name alongside
+        # the id form, so their pruning signal is not lost.
+        from iceberg_file_writer_spark.ingest.partitioning import (
+            spec_names_to_ids,
+        )
+
+        extra = {"spec": spec_names_to_ids(m["spec"], columns)}
     files = [dict(e) for e in m["files"]]
     for e in files:
         present = set(
@@ -159,7 +207,7 @@ def convert_to_mapped(spark: SparkSession, table_path: str) -> int:
             [cid, name] for cid, name, _typ in columns if name in present
         ]
     return _commit_with_columns(
-        table_path, "convert", files, columns, parent=v
+        table_path, "convert", files, columns, parent=v, extra=extra
     )
 
 
@@ -192,12 +240,14 @@ def append_mapped(
     files record the current (id, name) mapping."""
     v = current_version(table_path)
     columns = table_columns(table_path, v)
+    m = read_manifest(table_path, v)
     files = _write_data_files(
-        _select_as_standing(df, columns), table_path, max_rows
+        _spec_clustered(_select_as_standing(df, columns), m),
+        table_path,
+        max_rows,
     )
     for e in files:
         e["cols"] = [[c[0], c[1]] for c in columns]
-    m = read_manifest(table_path, v)
     extra = {
         k: m[k] for k in ("eqs", "dvs") if m.get(k)
     }
@@ -492,7 +542,7 @@ def _rewrite_mapped(
         out = scan.where(F.col("_pos_fn").isin(bns)).drop(
             "_pos_fn", "_pos_ri"
         )
-        result = transform(out)
+        result = _spec_clustered(transform(out), m)
         rewritten = _write_data_files(result, table_path, max_rows)
         for e in rewritten:
             e["cols"] = [[c[0], c[1]] for c in columns]
@@ -614,7 +664,7 @@ def upsert_mapped(
         _write_eq_file,
     )
 
-    new = _write_data_files(df, table_path, max_rows)
+    new = _write_data_files(_spec_clustered(df, m), table_path, max_rows)
     for e in new:
         e["cols"] = [[c[0], c[1]] for c in columns]
     rel, n = _write_eq_file(spark, table_path, df.select(*key_cols))
@@ -709,8 +759,11 @@ def overwrite_mapped(
     travel still reads every historical epoch."""
     v0 = current_version(table_path)
     columns = table_columns(table_path, v0)
+    m = read_manifest(table_path, v0)
     files = _write_data_files(
-        _select_as_standing(df, columns), table_path, max_rows
+        _spec_clustered(_select_as_standing(df, columns), m),
+        table_path,
+        max_rows,
     )
     for e in files:
         e["cols"] = [[c[0], c[1]] for c in columns]
@@ -765,10 +818,22 @@ def compact_mapped(
         )
     df = read_mapped(spark, table_path, version=v0)  # MoR-applied state
     columns = table_columns(table_path, v0)
+    m_full = read_manifest(table_path, v0)
     if zorder_by is not None:
+        if m_full.get("spec"):
+            raise ValueError(
+                "ZORDER compaction on a spec-partitioned table would fight "
+                "the standing hidden-partition layout; compact without "
+                "ZORDER (re-clusters along the spec) instead"
+            )
         from iceberg_file_writer_spark.operators.zorder import zorder_recluster
 
         df = zorder_recluster(df, tuple(zorder_by), target_rows)
+    else:
+        # re-cluster along the standing spec when one rides the table
+        # (compaction is exactly the moment to repair layout drift);
+        # read_mapped's logical projection already excludes hidden cols
+        df = _spec_clustered(df, m_full)
     files = _write_data_files(df, table_path, target_rows)
     for e in files:
         e["cols"] = [[c[0], c[1]] for c in columns]
@@ -806,7 +871,9 @@ def streaming_append_sink_mapped(table_path: str, max_rows: int = 4096):
         # mid-stream rename the stream owner evolves its projection with
         # the table (a silent old-name alias would hide the drift)
         new = _write_data_files(
-            _select_as_standing(batch_df, columns), table_path, max_rows
+            _spec_clustered(_select_as_standing(batch_df, columns), m),
+            table_path,
+            max_rows,
         )
         for e in new:
             e["cols"] = [[c[0], c[1]] for c in columns]
@@ -826,6 +893,139 @@ def streaming_append_sink_mapped(table_path: str, max_rows: int = 4096):
         )
 
     return _sink
+
+
+# --- hidden partitioning on mapped tables -------------------------------------
+
+
+def respec_mapped(table_path: str, spec: list) -> int:
+    """``ALTER TABLE ... SET PARTITION SPEC`` on a column-mapped table:
+    metadata-only (zero file moves) — the NAME-keyed user spec is
+    pinned to FIELD IDS against the current schema and rides the
+    manifest, so every subsequent write clusters by it and a later
+    RENAME never detaches the layout. Files written under older specs
+    simply lack the new hidden columns' stats and survive pruning
+    conservatively (the plain ``commit_respec`` contract). Pass
+    ``spec=[]`` to drop the spec."""
+    from iceberg_file_writer_spark.ingest.partitioning import (
+        spec_names_to_ids,
+    )
+
+    v = current_version(table_path)
+    m = read_manifest(table_path, v)
+    columns = m["columns"]
+    return _commit_with_columns(
+        table_path,
+        "respec",
+        m["files"],
+        columns,
+        extra={"spec": spec_names_to_ids(spec, columns)},
+        parent=v,
+    )
+
+
+def scan_mapped_partitioned(
+    spark: SparkSession,
+    table_path: str,
+    conjuncts: list,
+    version: "int | None" = None,
+) -> DataFrame:
+    """File-skipping scan of a MAPPED table where predicates on RAW
+    (current-name) columns prune per evolution epoch AND through the
+    id-keyed spec's bucket transforms; hidden columns never surface.
+    Row-identical to ``read_mapped(...).where(residual)``.
+
+    Per file: the conjunct's column resolves current-name -> field id
+    -> that file's PHYSICAL name (its commit-epoch stamp), so stats
+    written under any historical name keep pruning after renames; time
+    transforms (day/month/year/hour/truncate) prune through those raw
+    stats with no hidden column at all. Bucket transforms check the
+    id-keyed hidden column (``_b<n>_f<id>``) and fall back to the
+    name-keyed form a pre-conversion plain writer produced
+    (``_b<n>_<phys>``) — either way the modulus is part of the key, so
+    a re-bucketed spec can never trust stale stats. Missing stats =>
+    cannot exclude. Driver-side O(files) metadata loop, zero data
+    reads before the pruned scan.
+    """
+    from iceberg_file_writer_spark.ingest.file_skipping import (
+        _file_can_match,
+        conjuncts_to_sql,
+    )
+    from iceberg_file_writer_spark.ingest.partitioning import (
+        _bucket_col_name,
+        _mapped_bucket_col_name,
+        bucket_of,
+    )
+
+    v = current_version(table_path) if version is None else version
+    m = read_manifest(table_path, v)
+    if "columns" not in m:
+        raise ValueError(f"{table_path} is not a column-mapped table")
+    columns = m["columns"]
+    name_to_id = {name: cid for cid, name, _t in columns}
+    for col, _op, *_rest in conjuncts:
+        if col not in name_to_id:
+            raise ValueError(f"no such column: {col}")
+    spec = m.get("spec") or []
+    buckets = {tr[2]: tr[1] for tr in spec if tr[0] == "bucket"}  # fid -> n
+
+    kept = []
+    for e in m["files"]:
+        stamp = {cid: nm for cid, nm in (e.get("cols") or [])}
+        stats = e.get("stats") or {}
+        ok = True
+        for col, op, *rest in conjuncts:
+            val = rest[0] if rest else None
+            fid = name_to_id[col]
+            phys = stamp.get(fid)
+            if phys is not None and not _file_can_match(
+                stats, phys, op, val
+            ):
+                ok = False
+                break
+            n = buckets.get(fid)
+            if n is not None and op in ("=", "in"):
+                if op == "=":
+                    want = [bucket_of(val, n)] if val is not None else []
+                else:
+                    want = sorted(
+                        {
+                            bucket_of(x, n)
+                            for x in (val or [])
+                            if x is not None
+                        }
+                    )
+                cand = [_mapped_bucket_col_name(fid, n)]
+                if phys is not None:
+                    cand.append(_bucket_col_name(phys, n))
+                hidden = next((c for c in cand if c in stats), None)
+                if hidden is not None and not _file_can_match(
+                    stats, hidden, "in", want
+                ):
+                    ok = False
+                    break
+        if ok:
+            kept.append(e)
+    scan_mapped_partitioned.last_files = (len(kept), len(m["files"]))
+    residual = conjuncts_to_sql(conjuncts)
+    if not kept:
+        ddl = ", ".join(f"`{name}` {typ}" for _id, name, typ in columns)
+        return spark.createDataFrame([], ddl)
+    if m.get("bloom"):
+        from iceberg_file_writer_spark.ingest.bloom_index import bloom_prune
+
+        kept = bloom_prune(
+            table_path, m["bloom"], kept, conjuncts,
+            name_to_id=name_to_id,
+        )
+        scan_mapped_partitioned.last_files = (len(kept), len(m["files"]))
+        if not kept:
+            ddl = ", ".join(f"`{name}` {typ}" for _id, name, typ in columns)
+            return spark.createDataFrame([], ddl)
+    sub = dict(m)
+    sub["files"] = kept
+    out = _scan_mapped(spark, table_path, sub)
+    return out.where(residual)
 
 
 # --- row-level change feed (CDC) on mapped tables ----------------------------

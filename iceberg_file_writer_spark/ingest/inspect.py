@@ -156,7 +156,7 @@ def inspect_table(
     spec = m.get("spec") or []
     agg: dict = {}
     for e in m["files"]:
-        part = _file_partition(e, spec)
+        part = _file_partition(e, spec, columns=m.get("columns"))
         cell = agg.setdefault(part, [0, 0])
         cell[0] += 1
         cell[1] += e["rows"]
@@ -166,32 +166,61 @@ def inspect_table(
     )
 
 
-def _file_partition(entry: dict, spec: list) -> "str | None":
+def _file_partition(
+    entry: dict, spec: list, columns: "list | None" = None
+) -> "str | None":
     """The file's transform-value tuple recovered from stats, or None
     when any transform value is not constant within the file (boundary
     straddler) / not derivable (z-order is a clustering, not a
-    partition; missing stats)."""
-    from iceberg_file_writer_spark.ingest.partitioning import _bucket_col_name
+    partition; missing stats). ``columns`` (mapped tables) marks the
+    spec as FIELD-ID-keyed: labels use the current names, stats resolve
+    through the file's own commit-epoch stamp."""
+    from iceberg_file_writer_spark.ingest.partitioning import (
+        _bucket_col_name,
+        _mapped_bucket_col_name,
+    )
 
     if not spec:
         return ""
     stats = entry.get("stats") or {}
+    if columns is not None:
+        id2n = {cid: name for cid, name, _t in columns}
+        stamp = {cid: nm for cid, nm in entry.get("cols") or []}
+
+    def _raw_key(ref):
+        # plain: the spec names the stats key; mapped: the file's
+        # physical name for the field id (None = column postdates file)
+        return ref if columns is None else stamp.get(ref)
+
+    def _label(ref):
+        return ref if columns is None else id2n.get(ref, f"f{ref}")
+
     parts = []
     for tr in spec:
         if tr[0] in ("day", "month"):
-            s = stats.get(tr[1])
+            key = _raw_key(tr[1])
+            s = stats.get(key) if key is not None else None
             if not s or s[0] is None or s[1] is None:
                 return None
             w = 10 if tr[0] == "day" else 7
             lo, hi = str(s[0])[:w], str(s[1])[:w]
             if lo != hi:
                 return None
-            parts.append(f"{tr[0]}({tr[1]})={lo}")
+            parts.append(f"{tr[0]}({_label(tr[1])})={lo}")
         elif tr[0] == "bucket":
-            s = stats.get(_bucket_col_name(tr[2], tr[1]))
+            if columns is None:
+                cand = [_bucket_col_name(tr[2], tr[1])]
+            else:
+                cand = [_mapped_bucket_col_name(tr[2], tr[1])]
+                phys = stamp.get(tr[2])
+                if phys is not None:
+                    cand.append(_bucket_col_name(phys, tr[1]))
+            s = next(
+                (stats[k] for k in cand if k in stats), None
+            )
             if not s or s[0] is None or s[0] != s[1]:
                 return None
-            parts.append(f"bucket[{tr[1]}]({tr[2]})={s[0]}")
+            parts.append(f"bucket[{tr[1]}]({_label(tr[2])})={s[0]}")
         else:  # zorder and future clustering-only transforms
             continue
     return "/".join(parts)
@@ -220,7 +249,11 @@ def clustering_report(table_path: str, version: int | None = None) -> dict:
     files = m["files"]
     n = len(files)
     rows = sum(e["rows"] for e in files)
-    straddlers = sum(1 for e in files if _file_partition(e, spec) is None)
+    straddlers = sum(
+        1
+        for e in files
+        if _file_partition(e, spec, columns=m.get("columns")) is None
+    )
     return {
         "version": v,
         "spec": spec,

@@ -124,6 +124,89 @@ def _is_hidden(name: str) -> bool:
     return bool(digits) and digits.isdigit() and "_" in name[2:]
 
 
+def _mapped_bucket_col_name(fid: int, n: int) -> str:
+    """Hidden bucket column name on COLUMN-MAPPED tables: keyed by
+    FIELD ID, not name, so a rename of the raw column never orphans
+    the stats already written under the hidden column (the modulus
+    stays in the name for the same spec-evolution reason as
+    ``_bucket_col_name``)."""
+    return f"_b{n}_f{fid}"
+
+
+def resolve_spec_ids(spec: list, columns: list) -> list:
+    """A field-id-keyed spec (the mapped-table form: transforms name
+    source columns by FIELD ID so they survive renames) resolved to
+    the NAME-keyed form ``apply_spec`` consumes, under one evolution
+    epoch's ``columns`` [[id, name, type], ...]. Raises when a spec'd
+    id was dropped from the schema."""
+    id2n = {cid: name for cid, name, _t in columns}
+
+    def _n(fid):
+        if fid not in id2n:
+            raise ValueError(
+                f"partition spec references dropped field id {fid}; "
+                "SET PARTITION SPEC without it first"
+            )
+        return id2n[fid]
+
+    out = []
+    for tr in spec:
+        if tr[0] in ("day", "month", "year", "hour"):
+            out.append([tr[0], _n(tr[1])])
+        elif tr[0] == "truncate":
+            out.append(["truncate", tr[1], _n(tr[2])])
+        elif tr[0] == "bucket":
+            out.append(["bucket", tr[1], _n(tr[2])])
+        elif tr[0] == "zorder":
+            out.append(["zorder", [_n(c) for c in tr[1]]])
+        else:
+            raise ValueError(f"unknown transform: {tr[0]}")
+    return out
+
+
+def spec_names_to_ids(spec: list, columns: list) -> list:
+    """The inverse of ``resolve_spec_ids``: a user-facing NAME-keyed
+    spec pinned to FIELD IDS at DDL time — the durable manifest form
+    for mapped tables (renames can never detach the layout)."""
+    n2id = {name: cid for cid, name, _t in columns}
+
+    def _i(name):
+        if name not in n2id:
+            raise ValueError(f"partition spec names unknown column {name!r}")
+        return n2id[name]
+
+    out = []
+    for tr in spec:
+        if tr[0] in ("day", "month", "year", "hour"):
+            out.append([tr[0], _i(tr[1])])
+        elif tr[0] == "truncate":
+            out.append(["truncate", tr[1], _i(tr[2])])
+        elif tr[0] == "bucket":
+            out.append(["bucket", tr[1], _i(tr[2])])
+        elif tr[0] == "zorder":
+            out.append(["zorder", [_i(c) for c in tr[1]]])
+        else:
+            raise ValueError(f"unknown transform: {tr[0]}")
+    return out
+
+
+def apply_spec_mapped(df: DataFrame, spec: list, columns: list) -> DataFrame:
+    """Cluster a mapped-table batch along a FIELD-ID-keyed spec: resolve
+    ids to the current epoch's names, cluster exactly as ``apply_spec``,
+    then re-key the hidden bucket columns by field id (rename-proof
+    physical names — the whole point of the mapped flavor)."""
+    named = resolve_spec_ids(spec, columns)
+    work = apply_spec(df, named)
+    id2n = {cid: name for cid, name, _t in columns}
+    for tr in spec:
+        if tr[0] == "bucket":
+            work = work.withColumnRenamed(
+                _bucket_col_name(id2n[tr[2]], tr[1]),
+                _mapped_bucket_col_name(tr[2], tr[1]),
+            )
+    return work
+
+
 def apply_spec(df: DataFrame, spec: list) -> DataFrame:
     """Cluster a batch along a transform spec: materialize the cluster
     keys, range-partition + sort by them, keep only the hidden bucket
@@ -298,7 +381,9 @@ def commit_respec(table_path: str, spec: list) -> int:
     )
 
     for tr in spec:
-        if tr[0] not in ("day", "month", "bucket", "zorder"):
+        if tr[0] not in (
+            "day", "month", "year", "hour", "truncate", "bucket", "zorder",
+        ):
             raise ValueError(f"unknown transform: {tr[0]}")
     parent = current_version(table_path)
     m = read_manifest(table_path, parent) if parent else {}

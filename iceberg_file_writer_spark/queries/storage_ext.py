@@ -210,6 +210,76 @@ def hidden_partition_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+_MAPPED_PART_TABLES: dict[tuple, str] = {}
+
+
+@register(
+    "mapped_partitioned_pruned_scan",
+    oracle="""
+SELECT event_id, user_id AS uid, ts, event_type, value
+FROM events
+WHERE user_id = (SELECT min(user_id) FROM events)
+""",
+    description=(
+        "Hidden partitioning ON a column-mapped table (r12): the spec "
+        "is pinned to FIELD IDS at create, a mid-life RENAME of the "
+        "bucketed column re-labels reads without detaching the layout, "
+        "post-rename appends cluster under the standing spec, and the "
+        "point lookup prunes through the id-keyed hidden bucket column "
+        "across BOTH evolution epochs"
+    ),
+    driver_exposed=False,
+    eager=True,  # builds/loads a trained artifact or runs a stream at plan time
+)
+def mapped_partitioned_pruned_scan(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Transform pruning composed with rename-safe evolution.
+
+    Pruning effectiveness (fewer files scanned, pinned counts) lives in
+    tests/test_mapped_partitioning.py; this entry's value parity proves
+    the id-resolved, bucket-pruned, two-epoch read loses no rows. At
+    100 TB the scan is O(files-per-bucket) metadata + the kept files —
+    the same contract as the plain flavor, now surviving renames."""
+    from iceberg_file_writer_spark.ingest.column_mapping import (
+        append_mapped,
+        create_mapped_table,
+        evolve_mapped,
+        scan_mapped_partitioned,
+    )
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _MAPPED_PART_TABLES:
+        t = os.path.join(tempfile.mkdtemp(prefix="mappart-tbl-"), "events")
+        ev = load_tables(spark, sf_dir)["events"].select(
+            "event_id", "user_id", "ts", "event_type", "value"
+        )
+        create_mapped_table(
+            spark,
+            ev.where("event_id % 2 = 0"),
+            t,
+            max_rows=2_000,
+            spec=[("bucket", 8, "user_id"), ("day", "ts")],
+        )
+        evolve_mapped(t, renames={"user_id": "uid"})
+        append_mapped(
+            spark,
+            ev.where("event_id % 2 = 1").withColumnRenamed(
+                "user_id", "uid"
+            ),
+            t,
+            max_rows=2_000,
+        )
+        _MAPPED_PART_TABLES[key] = t
+    t = _MAPPED_PART_TABLES[key]
+    uid = (
+        load_tables(spark, sf_dir)["events"].agg(F.min("user_id")).first()[0]
+    )
+    return scan_mapped_partitioned(spark, t, [("uid", "=", int(uid))]).select(
+        "event_id", "uid", "ts", "event_type", "value"
+    )
+
+
 _MOR_TABLES: dict[tuple, str] = {}
 
 

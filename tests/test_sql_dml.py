@@ -749,9 +749,17 @@ def test_convert_to_mapped_refuses_live_mor_deletes(spark, tmp_path):
     assert read_mapped(spark, t).count() == survivors
 
 
-def test_convert_to_mapped_refuses_spec_partitioned(spark, tmp_path):
+def test_convert_to_mapped_carries_spec_partitioning(spark, tmp_path):
+    """r12: conversion no longer refuses spec-partitioned tables — the
+    standing spec re-keys to the fresh field ids and rides along (the
+    mapped pruned-scan lifecycle is pinned in
+    tests/test_mapped_partitioning.py)."""
     from iceberg_file_writer_spark.ingest.partitioning import (
         commit_append_partitioned,
+    )
+    from iceberg_file_writer_spark.ingest.snapshots import (
+        current_version,
+        read_manifest,
     )
 
     t = str(tmp_path / "evp")
@@ -759,8 +767,9 @@ def test_convert_to_mapped_refuses_spec_partitioned(spark, tmp_path):
         "event_id", "ts", "user_id"
     )
     commit_append_partitioned(spark, ev, t, spec=[("day", "ts")], max_rows=5000)
-    with pytest.raises(ValueError, match="spec-partitioned"):
-        execute_dml(spark, "ALTER TABLE evp CONVERT TO MAPPED", {"evp": t})
+    execute_dml(spark, "ALTER TABLE evp CONVERT TO MAPPED", {"evp": t})
+    m = read_manifest(t, current_version(t))
+    assert m["spec"] == [["day", 2]]  # field id of ts, not its name
 
 
 def test_analyze_table_persists_stats_and_preserves_read_state(spark, tmp_path):
