@@ -21,12 +21,13 @@ Design, deliberately file-native like the rest of the storage layer:
   crash between directory creation and registration leaves an
   unregistered directory (re-CREATE reuses it only after an explicit
   ``register``), never a broken catalog.
-- Concurrency posture: updates are read-modify-write with an atomic
-  publish — readers never see a torn document, but two SIMULTANEOUS
-  registrations can last-writer-win (one binding lost). Table DATA is
-  never at risk (the tables' own optimistic commits are the
-  correctness layer); catalog writes are rare human-scale DDL. A
-  multi-writer deployment would put the O_EXCL ledger protocol here.
+- Concurrency posture (r12): every mutation is read-modify-write under
+  an O_EXCL claim file (``catalog.json.lock``, stale-stolen after a
+  TTL), so simultaneous registrations SERIALIZE — no binding is ever
+  lost to a last-writer-win race. Readers never take the lock; the
+  atomic tmp+rename publish already gives them untorn documents.
+  DROP TABLE refuses (without CASCADE) when a durable view's SQL
+  references the name — no silently dangling views.
 - ``tables={...}`` remains a per-call OVERRIDE everywhere: explicit
   paths shadow catalog names, so tests and ad-hoc joins keep working
   unchanged.
@@ -43,14 +44,19 @@ naming layer its write path never needed. [extension]
 
 from __future__ import annotations
 
+import contextlib
 import json
 import os
 import re
+import time
 
 from iceberg_file_writer_spark.ingest.ledger import write_atomic
 
 _CATALOG = "catalog.json"
 _NAME_RE = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
+# catalog mutations are microsecond JSON rewrites; a lock older than
+# this belongs to a crashed holder and is stolen
+_LOCK_TTL_S = 10.0
 
 
 class Catalog:
@@ -77,10 +83,42 @@ class Catalog:
         self._cache = (mtime, tables)
         return tables
 
-    def _store(self, tables: dict) -> None:
+    @contextlib.contextmanager
+    def _locked(self):
+        """O_EXCL mutation lock (r11 missing #4): every catalog write
+        is read-modify-write under this claim, so two simultaneous
+        registrations serialize instead of last-writer-winning (one
+        binding silently lost). Readers never take the lock — the
+        atomic tmp+rename publish already gives them untorn documents.
+        A crashed holder's lock is stolen after ``_LOCK_TTL_S``."""
         os.makedirs(self.warehouse, exist_ok=True)
-        doc = self._load_doc()
-        doc["tables"] = tables
+        lock = self._path() + ".lock"
+        deadline = time.monotonic() + _LOCK_TTL_S
+        while True:
+            try:
+                os.close(os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY))
+                break
+            except FileExistsError:
+                try:
+                    if time.time() - os.path.getmtime(lock) > _LOCK_TTL_S:
+                        os.unlink(lock)
+                        continue
+                except OSError:
+                    continue  # holder released between the two calls
+                if time.monotonic() > deadline:
+                    raise TimeoutError(
+                        f"catalog mutation lock busy for {_LOCK_TTL_S}s: "
+                        f"{lock} — remove it if its holder is gone"
+                    )
+                time.sleep(0.01)
+        try:
+            yield
+        finally:
+            with contextlib.suppress(OSError):
+                os.unlink(lock)
+
+    def _publish_doc(self, doc: dict) -> None:
+        os.makedirs(self.warehouse, exist_ok=True)
         write_atomic(self._path(), json.dumps(doc, sort_keys=True))
         self._cache = None
 
@@ -110,24 +148,28 @@ class Catalog:
         first (a silent rebind would orphan the old data)."""
         if not _NAME_RE.match(name):
             raise ValueError(f"invalid table name: {name!r}")
-        if name in (self._load_doc().get("views") or {}):
-            raise ValueError(f"{name!r} is already a VIEW in this warehouse")
-        tables = self._load()
         rel = (
             os.path.relpath(os.path.abspath(path), self.warehouse)
             if path is not None
             else name
         )
-        if name in tables:
-            if tables[name] != rel:
+        with self._locked():
+            doc = self._load_doc()  # fresh under the claim
+            if name in (doc.get("views") or {}):
                 raise ValueError(
-                    f"table {name!r} is already registered at "
-                    f"{tables[name]!r}; DROP it before re-binding"
+                    f"{name!r} is already a VIEW in this warehouse"
                 )
-            return os.path.join(self.warehouse, rel)
-        tables = dict(tables)
-        tables[name] = rel
-        self._store(tables)
+            tables = dict(doc.get("tables") or {})
+            if name in tables:
+                if tables[name] != rel:
+                    raise ValueError(
+                        f"table {name!r} is already registered at "
+                        f"{tables[name]!r}; DROP it before re-binding"
+                    )
+                return os.path.join(self.warehouse, rel)
+            tables[name] = rel
+            doc["tables"] = tables
+            self._publish_doc(doc)
         return os.path.join(self.warehouse, rel)
 
     def slot(self, name: str) -> str:
@@ -143,11 +185,13 @@ class Catalog:
         return os.path.join(self.warehouse, name)
 
     def unregister(self, name: str) -> None:
-        tables = self._load()
-        if name in tables:
-            tables = dict(tables)
-            del tables[name]
-            self._store(tables)
+        with self._locked():
+            doc = self._load_doc()
+            tables = dict(doc.get("tables") or {})
+            if name in tables:
+                del tables[name]
+                doc["tables"] = tables
+                self._publish_doc(doc)
 
     # -- durable views ----------------------------------------------------------
     # A view is stored SQL text, re-planned at every reference (the
@@ -177,24 +221,37 @@ class Catalog:
     def register_view(self, name: str, sql: str) -> None:
         if not _NAME_RE.match(name):
             raise ValueError(f"invalid view name: {name!r}")
-        doc = self._load_doc()
-        if name in (doc.get("tables") or {}):
-            raise ValueError(f"{name!r} is already a TABLE in this warehouse")
-        views = dict(doc.get("views") or {})
-        views[name] = sql
-        doc["views"] = views
-        os.makedirs(self.warehouse, exist_ok=True)
-        write_atomic(self._path(), json.dumps(doc, sort_keys=True))
-        self._cache = None
+        with self._locked():
+            doc = self._load_doc()
+            if name in (doc.get("tables") or {}):
+                raise ValueError(
+                    f"{name!r} is already a TABLE in this warehouse"
+                )
+            views = dict(doc.get("views") or {})
+            views[name] = sql
+            doc["views"] = views
+            self._publish_doc(doc)
 
     def unregister_view(self, name: str) -> None:
-        doc = self._load_doc()
-        views = dict(doc.get("views") or {})
-        if name in views:
-            del views[name]
-            doc["views"] = views
-            write_atomic(self._path(), json.dumps(doc, sort_keys=True))
-            self._cache = None
+        with self._locked():
+            doc = self._load_doc()
+            views = dict(doc.get("views") or {})
+            if name in views:
+                del views[name]
+                doc["views"] = views
+                self._publish_doc(doc)
+
+    def views_referencing(self, table_name: str) -> list:
+        """Durable views whose stored SQL mentions ``table_name`` as a
+        word — the DROP TABLE dependency check. Conservative (a column
+        spelled like the table matches too): the cost of a false hit is
+        an explicit CASCADE, never a silently dangling view."""
+        pat = re.compile(rf"\b{re.escape(table_name)}\b")
+        return sorted(
+            n
+            for n, sql in (self._load_doc().get("views") or {}).items()
+            if pat.search(sql)
+        )
 
 
 class Scope:

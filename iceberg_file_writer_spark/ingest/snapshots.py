@@ -1913,61 +1913,63 @@ def changes_typed(
     update, not a delete+insert). Column-mapped tables route through
     the field-id feed automatically.
 
-    At 100 TB: one extra shuffle on the key over the DELTA (the feed is
-    change-sized, never table-sized); the pairing join is delta<->delta.
+    At 100 TB: ONE shuffle on the key over the DELTA (the feed is
+    change-sized, never table-sized). Single-pass shape (r11 What's
+    wrong #3): the pairing is one groupBy(key) collecting each side's
+    row struct — groupBy treats NULL keys as a group, which IS the
+    null-safe pairing — and every change type explodes out of that one
+    aggregate; the old full-outer-of-two-branches + union-of-four
+    re-executed the feed computation ~10x (and a ``from_version=0``
+    span is the whole table). The eager uniqueness guard costs one
+    extra execution of the aggregate; the returned plan runs it once.
     """
     feed = changes_between(spark, table_path, from_version, to_version)
     data_cols = [c for c in feed.columns if c != "change"]
     missing = [k for k in key_cols if k not in data_cols]
     if missing:
         raise ValueError(f"key column(s) {missing} not in the feed schema")
-    minus = feed.where("change = '-'").drop("change")
-    plus = feed.where("change = '+'").drop("change")
-    for side, name in ((minus, "'-'"), (plus, "'+'")):
-        dup = (
-            side.groupBy(*key_cols)
-            .count()
-            .where(F.col("count") > 1)
-            .limit(1)
-            .collect()
+    row = F.struct(*[F.col(c) for c in data_cols])
+    is_m = F.col("change") == "-"
+    g = feed.groupBy(*key_cols).agg(
+        F.max(F.when(is_m, row)).alias("_m"),
+        F.max(F.when(~is_m, row)).alias("_p"),
+        F.sum(F.when(is_m, 1).otherwise(0)).alias("_nm"),
+        F.sum(F.when(~is_m, 1).otherwise(0)).alias("_np"),
+    )
+    dup = (
+        g.where("(_nm > 1) OR (_np > 1)")
+        .select(*key_cols, "_nm", "_np")
+        .limit(1)
+        .collect()
+    )
+    if dup:
+        side = "'-'" if dup[0]["_nm"] > 1 else "'+'"
+        key = tuple(dup[0][k] for k in key_cols)
+        raise ValueError(
+            f"key {key_cols} is not unique among the span's {side} "
+            f"rows (e.g. {key}); a typed feed needs a "
+            "row-unique key — consume changes_between instead"
         )
-        if dup:
-            raise ValueError(
-                f"key {key_cols} is not unique among the span's {name} "
-                f"rows (e.g. {tuple(dup[0])[:-1]}); a typed feed needs a "
-                "row-unique key — consume changes_between instead"
-            )
-    # explicit presence markers: NULL-valued rows (even all-NULL ones)
-    # must not read as "side absent" after the full-outer join
-    m = minus.select(
-        *[F.col(c).alias(f"_m_{c}") for c in data_cols],
-        F.lit(1).alias("_m_present"),
+    has_m = F.col("_nm") == 1
+    has_p = F.col("_np") == 1
+
+    def _typed(label: str, src: str):
+        return F.struct(
+            F.lit(label).alias("_change_type"), F.col(src).alias("_row")
+        )
+
+    typed = (
+        F.when(
+            has_m & has_p,
+            F.array(
+                _typed("update_preimage", "_m"),
+                _typed("update_postimage", "_p"),
+            ),
+        )
+        .when(has_p, F.array(_typed("insert", "_p")))
+        .otherwise(F.array(_typed("delete", "_m")))
     )
-    p = plus.select(
-        *[F.col(c).alias(f"_p_{c}") for c in data_cols],
-        F.lit(1).alias("_p_present"),
+    return g.select(F.explode(typed).alias("_t")).select(
+        F.col("_t._change_type").alias("_change_type"),
+        *[F.col(f"_t._row.{c}").alias(c) for c in data_cols],
     )
-    cond = None
-    for k in key_cols:
-        c = F.col(f"_m_{k}").eqNullSafe(F.col(f"_p_{k}"))
-        cond = c if cond is None else (cond & c)
-    j = m.join(p, cond, "full_outer")
-    has_m = F.col("_m_present").isNotNull()
-    has_p = F.col("_p_present").isNotNull()
-    pre = j.where(has_m & has_p).select(
-        F.lit("update_preimage").alias("_change_type"),
-        *[F.col(f"_m_{c}").alias(c) for c in data_cols],
-    )
-    post = j.where(has_m & has_p).select(
-        F.lit("update_postimage").alias("_change_type"),
-        *[F.col(f"_p_{c}").alias(c) for c in data_cols],
-    )
-    ins = j.where(has_p & ~has_m).select(
-        F.lit("insert").alias("_change_type"),
-        *[F.col(f"_p_{c}").alias(c) for c in data_cols],
-    )
-    dele = j.where(has_m & ~has_p).select(
-        F.lit("delete").alias("_change_type"),
-        *[F.col(f"_m_{c}").alias(c) for c in data_cols],
-    )
-    return pre.unionByName(post).unionByName(ins).unionByName(dele)

@@ -227,7 +227,8 @@ def _parse_partition_spec(text: str) -> list:
             spec.append((fn, m.group("c")))
     return spec
 _DROP_TABLE_RE = re.compile(
-    rf"^DROP{_WS}TABLE{_WS}(?P<t>{_ID})$", re.IGNORECASE
+    rf"^DROP{_WS}TABLE{_WS}(?P<t>{_ID})(?:{_WS}(?P<cascade>CASCADE))?$",
+    re.IGNORECASE,
 )
 _ALTER_ADD_RE = re.compile(
     rf"^ALTER{_WS}TABLE{_WS}(?P<t>{_ID}){_WS}ADD{_WS}COLUMN{_WS}"
@@ -637,6 +638,20 @@ def execute_dml(
         path = _resolve(tables, m.group("t"))
         if not _table_exists(path):
             raise ValueError(f"no such table: {m.group('t')} ({path})")
+        cat = getattr(tables, "catalog", None)
+        if cat is not None:
+            # dependency check at DROP time (r11 missing #4): a durable
+            # view referencing the table would dangle — refuse without
+            # CASCADE; with it, drop the dependent views too
+            deps = cat.views_referencing(m.group("t"))
+            if deps and not m.group("cascade"):
+                raise ValueError(
+                    f"view(s) {deps} reference table {m.group('t')!r}; "
+                    "DROP TABLE ... CASCADE drops them too, or DROP "
+                    "VIEW them first"
+                )
+            for v in deps:
+                cat.unregister_view(v)
         shutil.rmtree(path)
         tables.on_drop(m.group("t"))
         return None

@@ -938,3 +938,38 @@ def test_changes_typed_on_mapped_table(spark, tmp_path):
         ("update_preimage", 2, 20),
         ("update_postimage", 2, 99),
     }
+
+
+def test_changes_typed_is_single_pass(spark, tmp_path):
+    """r12 plan gate (VERDICT r11 What's wrong #3): the typed feed is
+    ONE groupBy pass over the change feed — no pairing join, no
+    union-of-four rescans; a from_version=0 span (the whole table) is
+    computed once, not 10x."""
+    from iceberg_file_writer_spark.ingest.snapshots import (
+        changes_typed,
+        current_version,
+    )
+
+    t = str(tmp_path / "t")
+    commit_append(
+        spark,
+        spark.createDataFrame([(1, 10), (2, 20)], "k long, v long"),
+        t,
+        max_rows=10,
+    )
+    commit_delete_where(spark, t, "k = 1")
+    df = changes_typed(spark, t, 1, current_version(t), ["k"])
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "Join" not in plan, "typed feed reintroduced a pairing join"
+    assert "Union" not in plan, "typed feed reintroduced union rescans"
+    # exactly ONE aggregate beyond what the feed itself plans (the
+    # key-pairing groupBy) — no per-change-type recomputation
+    from iceberg_file_writer_spark.ingest.snapshots import changes_between
+
+    feed_plan = (
+        changes_between(spark, t, 1, current_version(t))
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert plan.count("Aggregate") == feed_plan.count("Aggregate") + 1
