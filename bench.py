@@ -108,31 +108,64 @@ def main() -> None:
     # per-query but kept out of the headline so corpus growth across
     # rounds doesn't masquerade as regression.
     headline = set(driver_queries())
-    corpus_times = []
-    for name, q in sorted(queries.items()):
-        best = float("inf")
-        for _ in range(2):
-            t0 = time.time()
-            q.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            best = min(best, time.time() - t0)
-        timings[name] = round(best, 3)
-        if name in headline:
-            corpus_times.append(max(best, 1e-3))
-        print(f"  {name}: {best:.2f}s", file=sys.stderr)
-        # Entry isolation: many entries pin relations (signatures, shingle
-        # sets, BPE sequence chains, ...) with cache(); left in place they
-        # accumulate across the corpus and storage-eviction/GC churn
-        # inflates later entries 2-3x (measured: ngram_jaccard 1.44s
-        # isolated vs 4.03s late in a contaminated session). The driver
-        # runs queries in fresh contexts; measure the same way. Within an
-        # entry the second (best-of-2) run still benefits from its own
-        # caches — the clear happens after both runs.
-        spark.catalog.clearCache()
 
+    def _time_corpus() -> dict:
+        out: dict[str, float] = {}
+        for name, q in sorted(queries.items()):
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.time()
+                q.fn(spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                best = min(best, time.time() - t0)
+            out[name] = round(best, 3)
+            print(f"  {name}: {best:.2f}s", file=sys.stderr)
+            # Entry isolation: many entries pin relations (signatures,
+            # shingle sets, BPE sequence chains, ...) with cache(); left
+            # in place they accumulate across the corpus and storage-
+            # eviction/GC churn inflates later entries 2-3x (measured:
+            # ngram_jaccard 1.44s isolated vs 4.03s late in a
+            # contaminated session). The driver runs queries in fresh
+            # contexts; measure the same way. Within an entry the second
+            # (best-of-2) run still benefits from its own caches — the
+            # clear happens after both runs.
+            spark.catalog.clearCache()
+        return out
+
+    per_query = _time_corpus()
     sentinel_post = _sentinel()
+
+    # Load-drift auto re-run (r11 What's-wrong #1 / next #7): the idle
+    # sentinel band is a MEASURED property of this plan on this box
+    # (BASELINE.md three-run validation: 0.326-0.332 s idle). When
+    # either sentinel reads >25% above it, the corpus numbers carry
+    # host load (the BENCH_r11 signature: uniform 1.25-2x inflation,
+    # five false >=2x rows) — re-time the corpus ONCE and keep per-
+    # entry minima; both sentinel sets are recorded so a reader sees
+    # exactly what happened.
+    IDLE_SENTINEL = 0.33
+    reran = False
+    if max(sentinel_pre, sentinel_post) > 1.25 * IDLE_SENTINEL:
+        print(
+            f"  [bench] sentinel drifted ({sentinel_pre}/{sentinel_post} vs "
+            f"idle {IDLE_SENTINEL}) — loaded host; re-timing corpus once",
+            file=sys.stderr,
+        )
+        reran = True
+        second = _time_corpus()
+        per_query = {
+            k: min(per_query[k], second[k]) for k in per_query
+        }
+        timings["sentinel_pre2"] = _sentinel()
+
+    timings.update(per_query)
     timings["sentinel_pre"] = sentinel_pre
     timings["sentinel_post"] = sentinel_post
 
+    corpus_times = [
+        max(t, 1e-3) for name, t in per_query.items() if name in headline
+    ]
     total = round(sum(corpus_times), 3)
     timings["geomean"] = round(
         math.exp(sum(math.log(t) for t in corpus_times) / len(corpus_times)), 3
@@ -155,6 +188,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf_dir,
+        "reran_on_load": reran,
     }
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"), "w") as f:
         json.dump(detail, f, indent=1, sort_keys=True)
@@ -162,7 +196,14 @@ def main() -> None:
         k: v
         for k, v in sorted(timings.items())
         if k in headline
-        or k in ("geomean", "ingest_events", "sentinel_pre", "sentinel_post")
+        or k
+        in (
+            "geomean",
+            "ingest_events",
+            "sentinel_pre",
+            "sentinel_post",
+            "sentinel_pre2",
+        )
     }
     line = json.dumps(
         {

@@ -307,3 +307,29 @@ def test_respec_drop_then_write_plain(spark, spec_table):
     # results stay correct with a mixed spec'd/plain file population
     out = scan_mapped_partitioned(spark, t, [("id", "=", 1)])
     assert _canon(out) == _canon(read_mapped(spark, t).where("id = 1"))
+
+
+def test_residual_pushes_into_every_epoch_scan(spark, spec_table):
+    """Plan gate: the pruned scan's residual predicate reaches the
+    parquet readers as PushedFilters under each epoch's PHYSICAL
+    column name (Catalyst rewrites through the field-id aliasing), so
+    row-group/page pruning works inside the kept files too."""
+    import re
+
+    t = spec_table
+    evolve_mapped(t, renames={"id": "ident"})
+    append_mapped(
+        spark,
+        spark.createDataFrame(
+            [(99999, datetime.datetime(2024, 1, 1), 1)],
+            "ident long, ts timestamp, v long",
+        ),
+        t,
+    )
+    out = scan_mapped_partitioned(spark, t, [("ident", "=", 7)])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    pushed = set(re.findall(r"PushedFilters: \[[^\]]*\]", plan))
+    assert pushed, "no parquet scan in the plan?"
+    assert all("EqualTo(id" in p or "EqualTo(ident" in p for p in pushed), (
+        f"residual not pushed under the physical name: {pushed}"
+    )
