@@ -471,6 +471,45 @@ def _merge_column_wise(
         spark.catalog.dropTempView(tview)
 
 
+def _describe_spec(spark, path: str, version: "int | None"):
+    """DESCRIBE's trailing '# partition spec' row when the (as-of)
+    manifest carries a hidden-partition spec — transforms rendered
+    under the as-of names (mapped specs are field-id-keyed); absent on
+    spec-less tables, so DESCRIBE output is unchanged for them."""
+    from iceberg_file_writer_spark.ingest.snapshots import (
+        current_version,
+        read_manifest,
+    )
+
+    v = current_version(path) if version is None else version
+    try:
+        m = read_manifest(path, v)
+    except FileNotFoundError:
+        return None
+    spec = m.get("spec")
+    if not spec:
+        return None
+    if "columns" in m:
+        id2n = {cid: name for cid, name, _t in m["columns"]}
+
+        def _n(ref):
+            return id2n.get(ref, f"f{ref}")
+    else:
+
+        def _n(ref):
+            return ref
+
+    parts = []
+    for tr in spec:
+        if tr[0] in ("day", "month", "year", "hour"):
+            parts.append(f"{tr[0]}({_n(tr[1])})")
+        elif tr[0] in ("bucket", "truncate"):
+            parts.append(f"{tr[0]}({tr[1]}, {_n(tr[2])})")
+        elif tr[0] == "zorder":
+            parts.append(f"zorder({', '.join(_n(c) for c in tr[1])})")
+    return ("# partition spec", ", ".join(parts), None)
+
+
 def _table_exists(path: str) -> bool:
     import os
 
@@ -1010,6 +1049,9 @@ def execute_query(
                 (f.name, f.dataType.simpleString(), None)
                 for f in _rtv(spark, path, version).schema.fields
             ]
+        spec_row = _describe_spec(spark, path, version)
+        if spec_row is not None:
+            rows.append(spec_row)
         return spark.createDataFrame(
             rows, "col_name string, data_type string, field_id long"
         )

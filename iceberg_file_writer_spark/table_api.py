@@ -109,6 +109,17 @@ class SnapshotTable:
         m = read_manifest(
             self.path, self.version() if version is None else version
         )
+        if "columns" in m:
+            # column-mapped (spec'd or not): per-epoch physical-name
+            # stats pruning + id-keyed bucket transforms + field-id
+            # bloom, surviving renames (r12)
+            from iceberg_file_writer_spark.ingest.column_mapping import (
+                scan_mapped_partitioned,
+            )
+
+            return scan_mapped_partitioned(
+                self.spark, self.path, conjuncts, version
+            )
         if m.get("spec"):
             from iceberg_file_writer_spark.ingest.partitioning import (
                 scan_partitioned,

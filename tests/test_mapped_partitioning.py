@@ -333,3 +333,23 @@ def test_residual_pushes_into_every_epoch_scan(spark, spec_table):
     assert all("EqualTo(id" in p or "EqualTo(ident" in p for p in pushed), (
         f"residual not pushed under the physical name: {pushed}"
     )
+
+
+def test_describe_shows_partition_spec_under_current_names(spark, spec_table):
+    from iceberg_file_writer_spark.sql_dml import execute_query
+
+    t = spec_table
+    evolve_mapped(t, renames={"ts": "event_ts"})
+    rows = {
+        r["col_name"]: r["data_type"]
+        for r in execute_query(spark, "DESCRIBE t", {"t": t}).collect()
+    }
+    assert rows["# partition spec"] == "day(event_ts), bucket(8, id)"
+    # spec-less tables keep the unchanged DESCRIBE shape
+    t2 = str(spec_table) + "2"
+    create_mapped_table(spark, _events(spark, 10), t2)
+    rows2 = [
+        r["col_name"]
+        for r in execute_query(spark, "DESCRIBE t", {"t": t2}).collect()
+    ]
+    assert "# partition spec" not in rows2

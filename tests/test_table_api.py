@@ -148,3 +148,29 @@ def test_facade_analyze_stats_and_zorder_compact(spark, tmp_path):
     before = sorted(tuple(r) for r in t.read().collect())
     t.compact(target_rows=200, zorder_by=("user_id", "value"))
     assert sorted(tuple(r) for r in t.read().collect()) == before
+
+
+def test_facade_scan_routes_mapped_tables(spark, tmp_path):
+    """r12: SnapshotTable.scan on a COLUMN-MAPPED table routes through
+    the field-id pruned scan — bucket pruning survives a rename, and
+    results stay row-identical to read_mapped + where."""
+    from iceberg_file_writer_spark.ingest.column_mapping import (
+        create_mapped_table,
+        evolve_mapped,
+        read_mapped,
+        scan_mapped_partitioned,
+    )
+
+    t = str(tmp_path / "m")
+    df = spark.range(3000).selectExpr("id", "id * 10 AS v")
+    create_mapped_table(
+        spark, df, t, max_rows=300, spec=[("bucket", 8, "id")]
+    )
+    evolve_mapped(t, renames={"id": "ident"})
+    tab = SnapshotTable(spark, t)
+    out = tab.scan([("ident", "=", 7)])
+    kept, total = scan_mapped_partitioned.last_files
+    assert kept < total
+    assert sorted(tuple(r) for r in out.collect()) == sorted(
+        tuple(r) for r in read_mapped(spark, t).where("ident = 7").collect()
+    )
