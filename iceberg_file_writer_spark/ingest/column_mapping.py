@@ -44,6 +44,12 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from iceberg_file_writer_spark.ingest.file_skipping import _file_can_match
+from iceberg_file_writer_spark.ingest.partitioning import (
+    _bucket_col_name,
+    _mapped_bucket_col_name,
+    bucket_of,
+)
 from iceberg_file_writer_spark.ingest.snapshots import (
     _write_data_files,
     current_version,
@@ -924,59 +930,37 @@ def respec_mapped(table_path: str, spec: list) -> int:
     )
 
 
-def scan_mapped_partitioned(
-    spark: SparkSession,
-    table_path: str,
-    conjuncts: list,
-    version: "int | None" = None,
-) -> DataFrame:
-    """File-skipping scan of a MAPPED table where predicates on RAW
-    (current-name) columns prune per evolution epoch AND through the
-    id-keyed spec's bucket transforms; hidden columns never surface.
-    Row-identical to ``read_mapped(...).where(residual)``.
+def prune_entries_mapped(
+    files: list, conjuncts: list, columns: list, spec: "list | None"
+) -> list:
+    """The mapped per-file skipping engine shared by
+    ``scan_mapped_partitioned`` and the ``snapshot_table`` format's
+    pushFilters: each conjunct's column resolves current-name -> field
+    id -> THAT file's physical name (its commit-epoch stamp), so stats
+    keyed under any historical — or recycled — name prune safely;
+    bucket transforms check the id-keyed hidden column with the
+    name-keyed pre-conversion form as fallback. Conjuncts naming
+    columns outside ``columns`` are skipped (cannot exclude). Missing
+    stats => keep.
 
-    Per file: the conjunct's column resolves current-name -> field id
-    -> that file's PHYSICAL name (its commit-epoch stamp), so stats
-    written under any historical name keep pruning after renames; time
-    transforms (day/month/year/hour/truncate) prune through those raw
-    stats with no hidden column at all. Bucket transforms check the
-    id-keyed hidden column (``_b<n>_f<id>``) and fall back to the
-    name-keyed form a pre-conversion plain writer produced
-    (``_b<n>_<phys>``) — either way the modulus is part of the key, so
-    a re-bucketed spec can never trust stale stats. Missing stats =>
-    cannot exclude. Driver-side O(files) metadata loop, zero data
-    reads before the pruned scan.
-    """
-    from iceberg_file_writer_spark.ingest.file_skipping import (
-        _file_can_match,
-        conjuncts_to_sql,
-    )
-    from iceberg_file_writer_spark.ingest.partitioning import (
-        _bucket_col_name,
-        _mapped_bucket_col_name,
-        bucket_of,
-    )
-
-    v = current_version(table_path) if version is None else version
-    m = read_manifest(table_path, v)
-    if "columns" not in m:
-        raise ValueError(f"{table_path} is not a column-mapped table")
-    columns = m["columns"]
+    Worker-safety contract: this function runs inside the DataSource's
+    plan worker, which CANNOT import this package — every helper it
+    touches must be a module-level reference (captured pickle-by-value
+    at registration), never a function-level import."""
     name_to_id = {name: cid for cid, name, _t in columns}
-    for col, _op, *_rest in conjuncts:
-        if col not in name_to_id:
-            raise ValueError(f"no such column: {col}")
-    spec = m.get("spec") or []
-    buckets = {tr[2]: tr[1] for tr in spec if tr[0] == "bucket"}  # fid -> n
-
+    buckets = {
+        tr[2]: tr[1] for tr in (spec or []) if tr[0] == "bucket"
+    }  # fid -> n
     kept = []
-    for e in m["files"]:
+    for e in files:
         stamp = {cid: nm for cid, nm in (e.get("cols") or [])}
         stats = e.get("stats") or {}
         ok = True
         for col, op, *rest in conjuncts:
             val = rest[0] if rest else None
-            fid = name_to_id[col]
+            fid = name_to_id.get(col)
+            if fid is None:
+                continue  # unknown name: cannot exclude
             phys = stamp.get(fid)
             if phys is not None and not _file_can_match(
                 stats, phys, op, val
@@ -1006,6 +990,48 @@ def scan_mapped_partitioned(
                     break
         if ok:
             kept.append(e)
+    return kept
+
+
+def scan_mapped_partitioned(
+    spark: SparkSession,
+    table_path: str,
+    conjuncts: list,
+    version: "int | None" = None,
+) -> DataFrame:
+    """File-skipping scan of a MAPPED table where predicates on RAW
+    (current-name) columns prune per evolution epoch AND through the
+    id-keyed spec's bucket transforms; hidden columns never surface.
+    Row-identical to ``read_mapped(...).where(residual)``.
+
+    Per file: the conjunct's column resolves current-name -> field id
+    -> that file's PHYSICAL name (its commit-epoch stamp), so stats
+    written under any historical name keep pruning after renames; time
+    transforms (day/month/year/hour/truncate) prune through those raw
+    stats with no hidden column at all. Bucket transforms check the
+    id-keyed hidden column (``_b<n>_f<id>``) and fall back to the
+    name-keyed form a pre-conversion plain writer produced
+    (``_b<n>_<phys>``) — either way the modulus is part of the key, so
+    a re-bucketed spec can never trust stale stats. Missing stats =>
+    cannot exclude. Driver-side O(files) metadata loop, zero data
+    reads before the pruned scan.
+    """
+    from iceberg_file_writer_spark.ingest.file_skipping import (
+        conjuncts_to_sql,
+    )
+
+    v = current_version(table_path) if version is None else version
+    m = read_manifest(table_path, v)
+    if "columns" not in m:
+        raise ValueError(f"{table_path} is not a column-mapped table")
+    columns = m["columns"]
+    name_to_id = {name: cid for cid, name, _t in columns}
+    for col, _op, *_rest in conjuncts:
+        if col not in name_to_id:
+            raise ValueError(f"no such column: {col}")
+    kept = prune_entries_mapped(
+        m["files"], conjuncts, columns, m.get("spec")
+    )
     scan_mapped_partitioned.last_files = (len(kept), len(m["files"]))
     residual = conjuncts_to_sql(conjuncts)
     if not kept:

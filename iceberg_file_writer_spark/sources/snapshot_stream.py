@@ -75,8 +75,15 @@ from pyspark.sql.datasource import (
 # NOT importable — binding the symbols here puts them in this module's
 # globals, which register_snapshot_source pickles BY VALUE (snapshots is
 # registered too, so these function objects serialize self-contained)
+from iceberg_file_writer_spark.ingest.column_mapping import (  # noqa: E402
+    prune_entries_mapped,
+)
 from iceberg_file_writer_spark.ingest.file_skipping import (  # noqa: E402
     prune_files,
+)
+from iceberg_file_writer_spark.ingest.partitioning import (  # noqa: E402
+    _bucket_col_name,
+    bucket_of,
 )
 from iceberg_file_writer_spark.ingest.snapshots import (  # noqa: E402
     CommitConflict,
@@ -356,29 +363,6 @@ def _mapped_schema_ddl(columns: list) -> str:
     """DDL string for a mapped manifest's logical schema (the DataSource
     schema() contract accepts DDL — no JVM needed in the runner)."""
     return ", ".join(f"`{name}` {typ}" for _id, name, typ in columns)
-
-
-def _stable_prunable_cols(columns: list, files: list) -> set:
-    """Logical columns whose footer stats are trustworthy across EVERY
-    file of a mapped manifest: the field id maps to the same physical
-    name everywhere, and no file carries a retired id under that name
-    (a dropped-then-re-added column's old stats describe DIFFERENT
-    data — pruning on them would skip files that hold matches)."""
-    stable = set()
-    for cid, name, _t in columns:
-        ok = True
-        for e in files:
-            fc = {c[0]: c[1] for c in e.get("cols") or []}
-            if cid in fc:
-                if fc[cid] != name:
-                    ok = False
-                    break
-            elif name in fc.values():
-                ok = False  # same physical name under a retired id
-                break
-        if ok:
-            stable.add(name)
-    return stable
 
 
 class _SnapshotStreamReader(DataSourceStreamReader):
@@ -1129,6 +1113,7 @@ class _SnapshotBatchReader(DataSourceReader):
             m = _manifest(self.path, v)  # re-raise the retention remedy
         self.files = m["files"]
         self.files_total = len(self.files)
+        self.spec = m.get("spec") or []
         self.dv_dirs = [
             os.path.join(self.path, p) for p in (m.get("dvs") or [])
         ]
@@ -1137,11 +1122,6 @@ class _SnapshotBatchReader(DataSourceReader):
         # own (id, name) list; eq-delete keys resolve id -> current name
         self.map_cols = m.get("columns")
         self.map_defaults = _mapped_defaults(m)
-        self.stable_cols = (
-            _stable_prunable_cols(self.map_cols, self.files)
-            if self.map_cols is not None
-            else None
-        )
         if self.map_cols is not None:
             id_to_name = {cid: nm for cid, nm, _t in self.map_cols}
             self.eq_specs = [
@@ -1194,9 +1174,6 @@ class _SnapshotBatchReader(DataSourceReader):
             if len(getattr(f, "attribute", ())) != 1:
                 continue  # nested column: no top-level stats
             col = f.attribute[0]
-            if self.stable_cols is not None and col not in self.stable_cols:
-                continue  # mapped: stats keyed by an epoch-variant or
-                # recycled physical name cannot prune safely
             if t in ops:
                 v = _stat_value(f.value)  # same normalization stats use
                 if v is not None:
@@ -1218,7 +1195,43 @@ class _SnapshotBatchReader(DataSourceReader):
                 ):
                     conjuncts.append((col, "in", vals))
         if conjuncts:
-            self.files = prune_files(self.files, conjuncts)
+            if self.map_cols is not None:
+                # mapped (r12): per-file stamp translation — stats keyed
+                # under any historical/recycled physical name prune
+                # safely, and the id-keyed spec's bucket transforms add
+                # point-lookup pruning (replaces the old stable-name
+                # restriction, which dropped every renamed column's
+                # pruning signal). Module-level reference on purpose:
+                # this runs in the plan worker, which cannot import the
+                # package (the registration ships it by value).
+                self.files = prune_entries_mapped(
+                    self.files, conjuncts, self.map_cols, self.spec
+                )
+            else:
+                # plain spec'd table: augment equality probes with the
+                # hidden bucket column (scan_partitioned's derivation)
+                buckets = {
+                    tr[2]: tr[1] for tr in self.spec if tr[0] == "bucket"
+                }
+                aug = list(conjuncts)
+                for col, op, *rest in conjuncts:
+                    if op == "=" and col in buckets and rest[0] is not None:
+                        n = buckets[col]
+                        aug.append(
+                            (_bucket_col_name(col, n), "=",
+                             bucket_of(rest[0], n))
+                        )
+                    elif op == "in" and col in buckets and rest:
+                        n = buckets[col]
+                        ids = sorted(
+                            {
+                                bucket_of(x, n)
+                                for x in (rest[0] or [])
+                                if x is not None
+                            }
+                        )
+                        aug.append((_bucket_col_name(col, n), "in", ids))
+                self.files = prune_files(self.files, aug)
         return filters
 
     def partitions(self):
@@ -1709,13 +1722,19 @@ def register_snapshot_source(spark: SparkSession) -> None:
     that module rides by value too."""
     from pyspark import cloudpickle
 
+    import iceberg_file_writer_spark.ingest.column_mapping as mapping_mod
     import iceberg_file_writer_spark.ingest.file_skipping as skip_mod
+    import iceberg_file_writer_spark.ingest.partitioning as part_mod
     import iceberg_file_writer_spark.ingest.snapshots as snapshots_mod
     import iceberg_file_writer_spark.sources.snapshot_stream as this_mod
 
     cloudpickle.register_pickle_by_value(this_mod)
     cloudpickle.register_pickle_by_value(snapshots_mod)
     cloudpickle.register_pickle_by_value(skip_mod)
+    # the mapped per-file skipping engine + bucket transforms ride by
+    # value too (pushFilters runs in the plan worker, package-less)
+    cloudpickle.register_pickle_by_value(mapping_mod)
+    cloudpickle.register_pickle_by_value(part_mod)
     # a reader that implements pushFilters is an ERROR (not a no-op)
     # while this conf is off, and it defaults off in 4.1 — the batch
     # reader's file skipping needs it

@@ -496,15 +496,21 @@ def test_format_batch_read_resolves_mapped_by_field_id(spark, tmp_path):
     assert _canon(df_v1) == [(1, "a", 10), (2, "b", 20)]
 
 
-def test_format_mapped_pushdown_skips_safely(spark, tmp_path):
-    """File skipping on mapped tables prunes only on STABLE columns:
-    a renamed column's conjunct does not prune (stats live under the
-    old physical name), and results stay exact either way."""
+def test_format_mapped_pushdown_prunes_across_renames(spark, tmp_path):
+    """File skipping on mapped tables (r12): each conjunct's column
+    resolves per file through its commit-epoch stamp, so a RENAMED
+    column's stats (living under the old physical name) still prune —
+    the old stable-name restriction dropped that signal entirely — and
+    results stay exact either way."""
     from iceberg_file_writer_spark.ingest.column_mapping import (
         append_mapped,
         create_mapped_table,
         evolve_mapped,
     )
+    from iceberg_file_writer_spark.sources.snapshot_stream import (
+        _SnapshotBatchReader,
+    )
+    from pyspark.sql.datasource import EqualTo, GreaterThanOrEqual
 
     register_snapshot_source(spark)
     t = str(tmp_path / "m")
@@ -529,7 +535,7 @@ def test_format_mapped_pushdown_skips_safely(spark, tmp_path):
         .load()
         .where("k >= 110 AND weight >= 0")
     )
-    assert df.count() == 10  # exact despite the unprunable renamed column
+    assert df.count() == 10
     assert (
         spark.read.format("snapshot_table")
         .option("path", t)
@@ -538,6 +544,15 @@ def test_format_mapped_pushdown_skips_safely(spark, tmp_path):
         .count()
         == 1
     )
+    # the renamed column's conjunct prunes files via per-epoch stamps
+    r = _SnapshotBatchReader(df.schema, {"path": t})
+    total = r.files_total
+    r.pushFilters([EqualTo(("weight",), 4)])
+    assert 0 < len(r.files) < total, "renamed-column stats gave no pruning"
+    # both epochs prune together on a shared range
+    r2 = _SnapshotBatchReader(df.schema, {"path": t})
+    r2.pushFilters([GreaterThanOrEqual(("k",), 110)])
+    assert 0 < len(r2.files) < total
 
 
 def test_format_stream_spans_mapped_evolution(spark, tmp_path):
