@@ -699,8 +699,13 @@ def read_table_version(
                 src = read_manifest(table_path, pick["version"])["files"]
         if not src:
             raise ValueError("table never contained data; no schema available")
+        from iceberg_file_writer_spark.ingest.partitioning import _is_hidden
+
         anc = [os.path.join(table_path, e["path"]) for e in src]
-        return spark.read.parquet(*anc).where(F.lit(False))
+        empty = spark.read.parquet(*anc).where(F.lit(False))
+        return empty.drop(
+            *[c for c in empty.columns if _is_hidden(c)]
+        )
     # Snapshots may mix files written before and after an additive
     # column evolution; older rows surface NULL for new columns. The
     # read schema comes from ONE newest-seq footer (_standing_schema),
@@ -832,6 +837,18 @@ def _read_files(
     data = spark.read.schema(
         _standing_schema(spark, table_path, schema_files or files)
     ).parquet(*[os.path.join(table_path, e["path"]) for e in files])
+    # hidden layout columns (_b<n>_<col>, any spec epoch) are WRITE-side
+    # clustering artifacts, never part of the logical schema: dropping
+    # them centrally keeps EVERY read surface honest — before this, a
+    # respec'd table leaked them through read_table_version and the CDC
+    # feed emitted phantom +/- pairs across a post-respec compaction
+    # (pre-spec rows under (…, NULL) vs re-clustered rows under (…, b)
+    # — found by the r12 lifecycle property test)
+    from iceberg_file_writer_spark.ingest.partitioning import _is_hidden
+
+    hidden = [f.name for f in data.schema.fields if _is_hidden(f.name)]
+    if hidden:
+        data = data.drop(*hidden)
     if not dvs and not eqs and not with_position:
         if len(_READ_PLAN_CACHE) >= _READ_PLAN_CACHE_MAX:
             _READ_PLAN_CACHE.clear()

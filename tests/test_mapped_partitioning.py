@@ -353,3 +353,112 @@ def test_describe_shows_partition_spec_under_current_names(spark, spec_table):
         for r in execute_query(spark, "DESCRIBE t", {"t": t2}).collect()
     ]
     assert "# partition spec" not in rows2
+
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+# random lifecycle ops over a spec'd mapped table; every op keeps the
+# two-column contract (key k, value v, timestamp ts) so conjuncts stay
+# well-formed after renames
+_ops = st.lists(
+    st.sampled_from(
+        ["append", "upsert", "delete_cow", "delete_mor", "rename", "respec"]
+    ),
+    min_size=1,
+    max_size=5,
+)
+
+
+@settings(
+    max_examples=4,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(ops=_ops, seed=st.integers(0, 2**16))
+def test_property_pruned_scan_equals_unpruned_after_any_lifecycle(
+    spark, tmp_path_factory, ops, seed
+):
+    """Property: for ANY interleaving of appends, MoR upserts, CoW/MoR
+    deletes, renames, and spec evolutions over a spec'd mapped table,
+    the pruned scan is row-identical to the unpruned filtered read for
+    point, IN, and range conjuncts — a wrong prune is silent data loss,
+    so this is the load-bearing guarantee of the r12 feature."""
+    import random
+
+    rng = random.Random(seed)
+    t = str(tmp_path_factory.mktemp("prop") / "t")
+    kname = "k"
+    create_mapped_table(
+        spark,
+        spark.createDataFrame(
+            [
+                (rng.randint(0, 50), rng.randint(0, 999),
+                 datetime.datetime(2024, 1, rng.randint(1, 9)))
+                for _ in range(rng.randint(5, 60))
+            ],
+            "k long, v long, ts timestamp",
+        ),
+        t,
+        max_rows=10,
+        spec=[("bucket", 4, "k"), ("day", "ts")],
+    )
+    for op in ops:
+        rows = [
+            (rng.randint(0, 50), rng.randint(0, 999),
+             datetime.datetime(2024, 1, rng.randint(1, 9)))
+            for _ in range(rng.randint(1, 8))
+        ]
+        if op == "append":
+            append_mapped(
+                spark,
+                spark.createDataFrame(rows, f"{kname} long, v long, ts timestamp"),
+                t,
+                max_rows=10,
+            )
+        elif op == "upsert":
+            uniq = list({r[0]: r for r in rows}.values())
+            upsert_mapped(
+                spark,
+                spark.createDataFrame(uniq, f"{kname} long, v long, ts timestamp"),
+                t,
+                [kname],
+            )
+        elif op == "delete_cow":
+            delete_where_mapped(spark, t, f"v % 5 = {rows[0][1] % 5}")
+        elif op == "delete_mor":
+            from iceberg_file_writer_spark.ingest.column_mapping import (
+                delete_where_mor_mapped,
+            )
+
+            delete_where_mor_mapped(spark, t, f"{kname} = {rows[0][0]}")
+        elif op == "rename":
+            new = f"k{rng.randint(0, 9)}"
+            if new != kname:
+                evolve_mapped(t, renames={kname: new})
+                kname = new
+        else:  # respec
+            respec_mapped(
+                t,
+                rng.choice(
+                    [[("bucket", 8, kname)], [("day", "ts")], []]
+                ),
+            )
+    probe = rng.randint(0, 50)
+    cases = [
+        ([(kname, "=", probe)], f"{kname} = {probe}"),
+        ([(kname, "in", [probe, probe + 1])], f"{kname} IN ({probe}, {probe + 1})"),
+        (
+            [("v", ">=", 200), ("v", "<", 700)],
+            "v >= 200 AND v < 700",
+        ),
+        (
+            [("ts", ">=", "2024-01-03 00:00:00"), ("ts", "<", "2024-01-06 00:00:00")],
+            "ts >= '2024-01-03' AND ts < '2024-01-06'",
+        ),
+    ]
+    base = read_mapped(spark, t)
+    for conjuncts, sql in cases:
+        got = _canon(scan_mapped_partitioned(spark, t, conjuncts))
+        want = _canon(base.where(sql))
+        assert got == want, (conjuncts, got, want)

@@ -429,3 +429,30 @@ def test_truncate_transform_prunes_string_prefix_and_numeric(spark, tmp_path):
     kept, total = scan_partitioned.last_files
     assert kept < total
     assert _canon(got) == _canon(ev.where(F.col("user_id") >= 400))
+
+
+def test_hidden_columns_never_leak_from_any_read_surface(spark, tmp_path):
+    """Regression (r12, property-found): a respec'd table leaked its
+    hidden bucket column through read_table_version, and the CDC feed
+    emitted PHANTOM +/- pairs across a post-respec compaction (pre-spec
+    rows keyed (…, NULL) vs re-clustered rows (…, bucket)). Hidden
+    layout columns are write-side artifacts — every read surface drops
+    them centrally in _read_files."""
+    from iceberg_file_writer_spark.ingest.partitioning import commit_respec
+    from iceberg_file_writer_spark.ingest.snapshots import (
+        changes_between,
+        commit_append,
+        commit_compact,
+        read_table_version,
+    )
+
+    t = str(tmp_path / "t")
+    df = spark.createDataFrame([(0, 0), (1, 10)], "k long, v long")
+    commit_append(spark, df, t)
+    commit_respec(t, [["bucket", 4, "k"]])
+    commit_append(spark, df, t)
+    assert read_table_version(spark, t).columns == ["k", "v"]
+    assert changes_between(spark, t, 2, 3).columns == ["change", "k", "v"]
+    commit_compact(spark, t)
+    # a pure re-layout nets to ZERO changes — no phantom pairs
+    assert changes_between(spark, t, 3, 4).count() == 0

@@ -855,7 +855,10 @@ def test_cdf_stream_spans_mapped_rename_mid_query(spark, tmp_path):
 
 _cdf_ops = st.lists(
     st.tuples(
-        st.sampled_from(["append", "upsert", "delete_cow", "delete_mor"]),
+        st.sampled_from(
+            ["append", "upsert", "delete_cow", "delete_mor",
+             "respec", "compact"]
+        ),
         st.lists(
             st.tuples(st.integers(0, 9), st.integers(0, 49)),
             min_size=1,
@@ -905,6 +908,23 @@ def test_cdf_property_any_dml_interleaving_nets_to_batch_feed(
                     commit_upsert(spark, t, df, ["k"])
         elif op == "delete_cow":
             commit_delete_where(spark, t, f"v % 7 = {rows[0][1] % 7}")
+        elif op == "respec":
+            # metadata-only step: the CDF must emit an EMPTY slice and
+            # the planner's segment advance must handle a carried-
+            # verbatim file list
+            from iceberg_file_writer_spark.ingest.partitioning import (
+                commit_respec,
+            )
+
+            commit_respec(t, [["bucket", 4, "k"]])
+        elif op == "compact":
+            # whole-table rewrite: re-chunks the manifest (the planner's
+            # full-parse fallback) and nets to zero in the feed
+            from iceberg_file_writer_spark.ingest.snapshots import (
+                commit_compact,
+            )
+
+            commit_compact(spark, t)
         else:
             commit_delete_where_mor(spark, t, f"k = {rows[0][0]}")
     end = current_version(t)
