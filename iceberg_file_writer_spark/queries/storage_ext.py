@@ -210,6 +210,62 @@ def hidden_partition_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+_RELAYOUT_TABLES: dict[tuple, str] = {}
+
+
+@register(
+    "relayout_cdc_quiet",
+    oracle="""
+SELECT '+' AS change, o_orderkey, o_custkey, o_totalprice
+FROM orders WHERE o_orderkey % 2 = 1
+""",
+    description=(
+        "Layout changes are CDC-silent (r12): a whole-span change feed "
+        "across CREATE -> SET PARTITION SPEC -> spec-clustered append "
+        "-> OPTIMIZE nets to exactly the appended rows — the respec is "
+        "metadata-only, the compaction's rewrite pairs cancel, and the "
+        "hidden bucket column never reaches the feed's schema (the "
+        "value-hash gate would catch a leaked column or a phantom pair)"
+    ),
+    driver_exposed=False,
+    eager=True,  # builds/loads a trained artifact or runs a stream at plan time
+)
+def relayout_cdc_quiet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The deterministic driver-checkable pin of the r12 hidden-column
+    leak fix: before it, this exact span emitted a phantom -/+ pair per
+    row (pre-spec rows keyed (…, NULL) vs re-clustered rows keyed
+    (…, bucket) in the multiset diff) plus a leaked _b8_* column.
+
+    At 100 TB the properties under test are the load-bearing ones: a
+    respec must cost zero data movement AND zero change volume, and a
+    compaction must never re-emit the table to CDC consumers."""
+    from iceberg_file_writer_spark.ingest.partitioning import commit_respec
+    from iceberg_file_writer_spark.ingest.snapshots import (
+        changes_between,
+        commit_append,
+        commit_compact,
+        current_version,
+    )
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _RELAYOUT_TABLES:
+        t = os.path.join(tempfile.mkdtemp(prefix="relayout-tbl-"), "orders")
+        orders = _orders(spark, sf_dir)
+        commit_append(
+            spark, orders.where("o_orderkey % 2 = 0"), t, max_rows=2_000
+        )
+        commit_respec(t, [["bucket", 8, "o_custkey"]])
+        commit_append(
+            spark, orders.where("o_orderkey % 2 = 1"), t, max_rows=2_000
+        )
+        commit_compact(spark, t)
+        _RELAYOUT_TABLES[key] = t
+    t = _RELAYOUT_TABLES[key]
+    return changes_between(spark, t, 1, current_version(t)).select(
+        "change", "o_orderkey", "o_custkey", "o_totalprice"
+    )
+
+
 _MAPPED_PART_TABLES: dict[tuple, str] = {}
 
 
