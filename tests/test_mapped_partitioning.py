@@ -462,3 +462,42 @@ def test_property_pruned_scan_equals_unpruned_after_any_lifecycle(
         got = _canon(scan_mapped_partitioned(spark, t, conjuncts))
         want = _canon(base.where(sql))
         assert got == want, (conjuncts, got, want)
+
+
+def test_cdf_stream_over_spec_mapped_table(spark, tmp_path):
+    """Composition pin (r12): the streaming CHANGE DATA FEED over a
+    table that is BOTH column-mapped and hidden-partitioned — with a
+    rename and MoR state mid-history — emits the logical schema only
+    (current names, no hidden bucket columns) and net-folds to the
+    batch feed per version."""
+    import sys
+
+    sys.path.insert(0, os.path.dirname(__file__))
+    from test_snapshot_source import _drain_cdf, _net
+
+    from iceberg_file_writer_spark.ingest.column_mapping import (
+        delete_where_mor_mapped,
+        upsert_mapped,
+    )
+    from iceberg_file_writer_spark.ingest.snapshots import changes_between
+
+    t = str(tmp_path / "m")
+    df = spark.createDataFrame([(i, i * 10) for i in range(200)], "k long, v long")
+    create_mapped_table(spark, df, t, max_rows=50, spec=[("bucket", 4, "k")])
+    evolve_mapped(t, renames={"k": "key"})
+    upsert_mapped(
+        spark, spark.createDataFrame([(7, 777)], "key long, v long"), t, ["key"]
+    )
+    delete_where_mor_mapped(spark, t, "key = 3")
+    end = current_version(t)
+    sink, ckpt = str(tmp_path / "s"), str(tmp_path / "c")
+    _drain_cdf(spark, t, sink, ckpt)
+    out = spark.read.parquet(sink)
+    assert out.columns == ["change", "_commit_version", "key", "v"]
+    for v in range(2, end + 1):
+        got = _net(out.where(F.col("_commit_version") == v), ["key", "v"])
+        want = sorted(
+            (tuple(r) for r in changes_between(spark, t, v - 1, v).collect()),
+            key=repr,
+        )
+        assert got == want, f"version {v}"
