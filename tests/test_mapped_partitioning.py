@@ -501,3 +501,118 @@ def test_cdf_stream_over_spec_mapped_table(spark, tmp_path):
             key=repr,
         )
         assert got == want, f"version {v}"
+
+
+_mapped_cdf_ops = st.lists(
+    st.sampled_from(
+        ["append", "upsert", "delete_cow", "delete_mor", "rename", "respec"]
+    ),
+    min_size=1,
+    max_size=4,
+)
+
+
+@settings(
+    max_examples=3,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(ops=_mapped_cdf_ops, seed=st.integers(0, 2**16))
+def test_property_mapped_cdf_nets_to_batch_feed(
+    spark, tmp_path_factory, ops, seed
+):
+    """Property: over a column-mapped, hidden-partitioned table, ANY
+    interleaving of appends, MoR upserts, CoW/MoR deletes, renames, and
+    spec evolutions nets the CDF stream to the batch feed per version.
+    The stream emits under the START-TIME schema by field id while the
+    batch feed uses current names — comparison is positional (same
+    field ids in the same order on both sides)."""
+    import random
+    import sys
+
+    sys.path.insert(0, os.path.dirname(__file__))
+    from test_snapshot_source import _drain_cdf
+
+    from iceberg_file_writer_spark.ingest.column_mapping import (
+        delete_where_mor_mapped,
+    )
+    from iceberg_file_writer_spark.ingest.snapshots import changes_between
+
+    rng = random.Random(seed)
+    base = tmp_path_factory.mktemp("mcdf")
+    t = str(base / "t")
+    kname = "k"
+    create_mapped_table(
+        spark,
+        spark.createDataFrame(
+            [(rng.randint(0, 20), rng.randint(0, 99)) for _ in range(20)],
+            "k long, v long",
+        ),
+        t,
+        max_rows=5,
+        spec=[("bucket", 4, "k")],
+    )
+    for op in ops:
+        rows = [
+            (rng.randint(0, 20), rng.randint(0, 99))
+            for _ in range(rng.randint(1, 5))
+        ]
+        if op == "append":
+            append_mapped(
+                spark,
+                spark.createDataFrame(rows, f"{kname} long, v long"),
+                t,
+                max_rows=5,
+            )
+        elif op == "upsert":
+            uniq = list({r[0]: r for r in rows}.values())
+            upsert_mapped(
+                spark,
+                spark.createDataFrame(uniq, f"{kname} long, v long"),
+                t,
+                [kname],
+            )
+        elif op == "delete_cow":
+            delete_where_mapped(spark, t, f"v % 5 = {rows[0][1] % 5}")
+        elif op == "delete_mor":
+            delete_where_mor_mapped(spark, t, f"{kname} = {rows[0][0]}")
+        elif op == "rename":
+            new = f"k{rng.randint(0, 9)}"
+            if new != kname:
+                evolve_mapped(t, renames={kname: new})
+                kname = new
+        else:
+            respec_mapped(
+                t, rng.choice([[("bucket", 8, kname)], []])
+            )
+    end = current_version(t)
+    sink, ckpt = str(base / "s"), str(base / "c")
+    _drain_cdf(spark, t, sink, ckpt)
+    out = spark.read.parquet(sink)
+    scols = [c for c in out.columns if c not in ("change", "_commit_version")]
+
+    def _net_pos(df, cols):
+        from collections import Counter
+
+        n = Counter()
+        for r in df.select("change", *cols).collect():
+            n[tuple(r)[1:]] += 1 if r[0] == "+" else -1
+        return [
+            ("+" if c > 0 else "-", *vals)
+            for vals, c in n.items()
+            if c
+            for _ in range(abs(c))
+        ]
+
+    for v in range(2, end + 1):
+        feed = changes_between(spark, t, v - 1, v)
+        fcols = [c for c in feed.columns if c != "change"]
+        got = sorted(
+            _net_pos(out.where(F.col("_commit_version") == v), scols),
+            key=repr,
+        )
+        want = sorted(
+            _net_pos(feed, fcols),
+            key=repr,
+        )
+        assert got == want, f"v{v}: {got} != {want}"
