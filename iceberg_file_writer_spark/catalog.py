@@ -101,10 +101,18 @@ class Catalog:
             except FileExistsError:
                 try:
                     if time.time() - os.path.getmtime(lock) > _LOCK_TTL_S:
-                        os.unlink(lock)
+                        # Steal by RENAME, not unlink: rename is atomic, so
+                        # exactly one of N waiters that all saw the expired
+                        # mtime wins; a loser's unlink can no longer delete
+                        # the winner's freshly re-created lock (which would
+                        # let two mutators into the critical section).
+                        stolen = f"{lock}.stolen.{os.getpid()}.{time.monotonic_ns()}"
+                        os.rename(lock, stolen)
+                        with contextlib.suppress(OSError):
+                            os.unlink(stolen)
                         continue
                 except OSError:
-                    continue  # holder released between the two calls
+                    continue  # holder released / another waiter stole first
                 if time.monotonic() > deadline:
                     raise TimeoutError(
                         f"catalog mutation lock busy for {_LOCK_TTL_S}s: "

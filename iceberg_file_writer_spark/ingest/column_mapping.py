@@ -49,6 +49,7 @@ from iceberg_file_writer_spark.ingest.partitioning import (
     _bucket_col_name,
     _mapped_bucket_col_name,
     bucket_of,
+    spec_source_ids,
 )
 from iceberg_file_writer_spark.ingest.snapshots import (
     _write_data_files,
@@ -66,8 +67,12 @@ def _commit_with_columns(
     it through makes the optimistic O_EXCL commit detect a concurrent
     writer (CommitConflict) instead of silently rebasing onto — and
     thereby erasing — a commit the caller never saw (lost update)."""
+    from iceberg_file_writer_spark.ingest.partitioning import (
+        reject_reserved_names,
+    )
     from iceberg_file_writer_spark.ingest.snapshots import _commit
 
+    reject_reserved_names([c[1] for c in columns])
     if parent is None:
         parent = current_version(table_path)
     # last_column_id is the durable high-water mark (the Iceberg field):
@@ -295,6 +300,19 @@ def evolve_mapped(
             raise ValueError(
                 f"column(s) {blocked} key live equality deletes; OPTIMIZE "
                 "(compact) first to materialize them, then drop"
+            )
+        # Dropping a column the standing partition spec sources from
+        # would brick every write verb at resolve_spec_ids time
+        # (Iceberg likewise refuses to drop partition source columns).
+        spec_ids = spec_source_ids(m0.get("spec") or [])
+        spec_blocked = [
+            c[1] for c in columns if c[1] in drops and c[0] in spec_ids
+        ]
+        if spec_blocked:
+            raise ValueError(
+                f"column(s) {spec_blocked} are partition spec sources; "
+                "ALTER TABLE ... SET PARTITION SPEC without them first, "
+                "then drop"
             )
     columns = [c for c in columns if c[1] not in drops]
     for c in columns:

@@ -197,16 +197,33 @@ def _file_partition(
 
     parts = []
     for tr in spec:
-        if tr[0] in ("day", "month"):
+        if tr[0] in ("day", "month", "year", "hour"):
             key = _raw_key(tr[1])
             s = stats.get(key) if key is not None else None
             if not s or s[0] is None or s[1] is None:
                 return None
-            w = 10 if tr[0] == "day" else 7
+            # timestamp-string prefix widths: YYYY=4, YYYY-MM=7,
+            # YYYY-MM-DD=10, YYYY-MM-DD HH=13 (r12 ADVICE: year/hour
+            # previously fell into the clustering-only branch and were
+            # silently omitted from partition labels)
+            w = {"year": 4, "month": 7, "day": 10, "hour": 13}[tr[0]]
             lo, hi = str(s[0])[:w], str(s[1])[:w]
             if lo != hi:
                 return None
             parts.append(f"{tr[0]}({_label(tr[1])})={lo}")
+        elif tr[0] == "truncate":
+            key = _raw_key(tr[2])
+            s = stats.get(key) if key is not None else None
+            if not s or s[0] is None or s[1] is None:
+                return None
+            w = tr[1]
+            if isinstance(s[0], str):
+                lo, hi = s[0][:w], s[1][:w]
+            else:  # numeric: floor to a width multiple (Iceberg contract)
+                lo, hi = s[0] - s[0] % w, s[1] - s[1] % w
+            if lo != hi:
+                return None
+            parts.append(f"truncate[{w}]({_label(tr[2])})={lo}")
         elif tr[0] == "bucket":
             if columns is None:
                 cand = [_bucket_col_name(tr[2], tr[1])]

@@ -124,6 +124,21 @@ def _is_hidden(name: str) -> bool:
     return bool(digits) and digits.isdigit() and "_" in name[2:]
 
 
+def reject_reserved_names(names) -> None:
+    """Refuse user schemas that claim the hidden layout namespace
+    (``_b<n>_<suffix>``): ``_read_files`` drops such columns centrally
+    from every read surface, so a user column named e.g. ``_b2_x``
+    would otherwise be written and then SILENTLY vanish from query
+    results (r12 ADVICE) — enforce the reservation loudly at write/DDL
+    time instead."""
+    bad = sorted(n for n in names if _is_hidden(n))
+    if bad:
+        raise ValueError(
+            f"column name(s) {bad} collide with the reserved hidden "
+            "layout namespace (_b<n>_...); rename them"
+        )
+
+
 def _mapped_bucket_col_name(fid: int, n: int) -> str:
     """Hidden bucket column name on COLUMN-MAPPED tables: keyed by
     FIELD ID, not name, so a rename of the raw column never orphans
@@ -162,6 +177,21 @@ def resolve_spec_ids(spec: list, columns: list) -> list:
         else:
             raise ValueError(f"unknown transform: {tr[0]}")
     return out
+
+
+def spec_source_ids(spec: list) -> set:
+    """Every field id an id-keyed spec's transforms source from —
+    the set a schema evolution must keep alive (dropping one bricks
+    every write verb at ``resolve_spec_ids`` time)."""
+    ids: set = set()
+    for tr in spec or []:
+        if tr[0] in ("day", "month", "year", "hour"):
+            ids.add(tr[1])
+        elif tr[0] in ("truncate", "bucket"):
+            ids.add(tr[2])
+        elif tr[0] == "zorder":
+            ids.update(tr[1])
+    return ids
 
 
 def spec_names_to_ids(spec: list, columns: list) -> list:

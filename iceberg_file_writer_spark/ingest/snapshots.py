@@ -466,6 +466,11 @@ def commit_append(
 ) -> int:
     """New snapshot = parent's files + the batch's new files (clustered
     by the table's standing spec, if any)."""
+    from iceberg_file_writer_spark.ingest.partitioning import (
+        reject_reserved_names,
+    )
+
+    reject_reserved_names(df.columns)
     parent = current_version(table_path)
     pm = read_manifest(table_path, parent) if parent else {}
     prev = pm.get("files") or []
@@ -484,6 +489,11 @@ def commit_overwrite(
     would silently delete rows of the NEW data. The standing hidden
     spec still applies: overwrite replaces the data, not the layout
     contract."""
+    from iceberg_file_writer_spark.ingest.partitioning import (
+        reject_reserved_names,
+    )
+
+    reject_reserved_names(df.columns)
     parent = current_version(table_path)
     pm = read_manifest(table_path, parent) if parent else {}
     new = _write_data_files(_apply_standing_spec(df, pm), table_path, max_rows)

@@ -455,7 +455,7 @@ class _SnapshotStreamReader(DataSourceStreamReader):
 
 
 class _CDFPartition(InputPartition):
-    """One data file's contribution to a change-feed micro-batch.
+    r"""One data file's contribution to a change-feed micro-batch.
 
     ``kind``:
     - "side"      — a file present in exactly one of the two manifests:

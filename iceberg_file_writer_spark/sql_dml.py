@@ -641,10 +641,18 @@ def execute_dml(
         spec = (
             _parse_partition_spec(m.group("spec")) if m.group("spec") else None
         )
+        df = spark.sql(m.group("q"))  # plan/analyze BEFORE the binding
         path = tables.create_path(m.group("t"))
-        return create_mapped_table(
-            spark, spark.sql(m.group("q")), path, max_rows=max_rows, spec=spec
-        )
+        try:
+            return create_mapped_table(
+                spark, df, path, max_rows=max_rows, spec=spec
+            )
+        except BaseException:
+            # a failed CTAS must not leave the name durably bound to a
+            # directory that was never created (r12 ADVICE)
+            if not _table_exists(path):
+                tables.on_drop(m.group("t"))
+            raise
 
     m = _CREATE_SCHEMA_RE.match(stmt)
     if m:
@@ -664,11 +672,16 @@ def execute_dml(
         spec = (
             _parse_partition_spec(m.group("spec")) if m.group("spec") else None
         )
-        path = tables.create_path(m.group("t"))
         empty = spark.createDataFrame([], m.group("cols").strip())
-        return create_mapped_table(
-            spark, empty, path, max_rows=max_rows, spec=spec
-        )
+        path = tables.create_path(m.group("t"))
+        try:
+            return create_mapped_table(
+                spark, empty, path, max_rows=max_rows, spec=spec
+            )
+        except BaseException:
+            if not _table_exists(path):
+                tables.on_drop(m.group("t"))
+            raise
 
     m = _DROP_TABLE_RE.match(stmt)
     if m:

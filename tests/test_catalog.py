@@ -308,3 +308,68 @@ def test_drop_table_refuses_when_a_view_depends_on_it(spark, tmp_path):
     execute_dml(spark, "DROP TABLE base CASCADE", catalog=wh)
     assert Catalog(wh).names() == []
     assert Catalog(wh).view_names() == []
+
+
+def test_concurrent_stale_lock_steal_is_single_winner(tmp_path):
+    """Regression (r12 ADVICE, medium): N waiters that ALL observe an
+    expired lock mtime must elect exactly one stealer. The old
+    unlink-based steal let a slow loser delete a fast winner's freshly
+    re-created lock, re-admitting two mutators (and the lost-binding
+    race the lock exists to close). The rename-based steal is atomic:
+    every registration survives and no lock litter remains."""
+    import threading
+
+    wh = str(tmp_path / "wh")
+    os.makedirs(wh)
+    lock = os.path.join(wh, "catalog.json.lock")
+    open(lock, "w").close()
+    old = os.path.getmtime(lock)
+    os.utime(lock, (old - 60, old - 60))  # crashed holder, long gone
+    names = [f"s{i:02d}" for i in range(16)]
+    errs = []
+    gate = threading.Barrier(len(names))
+
+    def _reg(n):
+        try:
+            gate.wait()  # maximize simultaneous stale-mtime observers
+            Catalog(wh).register(n)
+        except Exception as exc:
+            errs.append((n, exc))
+
+    threads = [threading.Thread(target=_reg, args=(n,)) for n in names]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errs, errs
+    assert Catalog(wh).names() == sorted(names)
+    litter = [f for f in os.listdir(wh) if ".lock" in f]
+    assert litter == [], litter
+
+
+def test_ctas_failing_at_execution_unbinds_the_name(spark, tmp_path):
+    """Regression (r12 ADVICE, low, part 2): a CTAS whose AS-query
+    fails at EXECUTION (not just at the existence check) must also
+    leave no durable binding to a directory that was never created —
+    and an analysis error must fail before any binding happens."""
+    wh = str(tmp_path / "wh")
+    from pyspark.errors import AnalysisException
+
+    with pytest.raises(AnalysisException):
+        execute_dml(
+            spark, "CREATE TABLE broken AS SELECT * FROM no_such_tbl",
+            catalog=wh,
+        )
+    assert "broken" not in Catalog(wh).names()
+    with pytest.raises(Exception, match="boom"):
+        execute_dml(
+            spark,
+            "CREATE TABLE broken AS SELECT raise_error('boom') AS x",
+            catalog=wh,
+        )
+    assert "broken" not in Catalog(wh).names(), (
+        "runtime-failed CTAS left a dangling catalog binding"
+    )
+    # the name is immediately reusable by a correct CTAS
+    execute_dml(spark, "CREATE TABLE broken AS SELECT 1 AS x", catalog=wh)
+    assert "broken" in Catalog(wh).names()

@@ -185,3 +185,38 @@ def test_inspect_stats_kind(spark, tmp_path):
     assert r.column == "o_custkey"
     assert r.ndv == orders.select("o_custkey").distinct().count()
     assert r.n_rows == orders.count()
+
+
+def test_partitions_year_hour_truncate_labels():
+    """Regression (r12 ADVICE, low): year/hour/truncate — accepted by
+    commit_respec / SET PARTITION SPEC / PARTITIONED BY — used to fall
+    into the clustering-only branch, so the partitions view and
+    clustering_report silently omitted them from labels and straddler
+    counts. They now label exactly like day/month."""
+    ts = lambda lo, hi: {"stats": {"ts": [lo, hi, 0]}}
+    assert (
+        _file_partition(ts("2024-03-01 02:00:00", "2024-11-30 23:00:00"),
+                        [("year", "ts")])
+        == "year(ts)=2024"
+    )
+    assert _file_partition(
+        ts("2024-12-31 23:00:00", "2025-01-01 01:00:00"), [("year", "ts")]
+    ) is None
+    assert (
+        _file_partition(ts("2024-01-01 02:00:00", "2024-01-01 02:59:59"),
+                        [("hour", "ts")])
+        == "hour(ts)=2024-01-01 02"
+    )
+    assert _file_partition(
+        ts("2024-01-01 02:59:00", "2024-01-01 03:01:00"), [("hour", "ts")]
+    ) is None
+    # truncate: string -> width prefix, numeric -> floor to width multiple
+    s = {"stats": {"code": ["abcd", "abzz", 0]}}
+    assert _file_partition(s, [("truncate", 2, "code")]) == "truncate[2](code)=ab"
+    assert _file_partition(s, [("truncate", 3, "code")]) is None
+    n = {"stats": {"v": [100, 199, 0]}}
+    assert _file_partition(n, [("truncate", 100, "v")]) == "truncate[100](v)=100"
+    assert _file_partition(n, [("truncate", 50, "v")]) is None
+    # stats missing -> unknown, never a wrong label
+    assert _file_partition({"stats": {}}, [("truncate", 2, "code")]) is None
+    assert _file_partition({"stats": {}}, [("hour", "ts")]) is None

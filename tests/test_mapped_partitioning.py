@@ -279,16 +279,21 @@ def test_bloom_index_on_mapped_table_across_rename(spark, tmp_path):
 
 
 def test_spec_referencing_dropped_column_refused(spark, spec_table):
+    """Tightened by the r12 ADVICE fix: the DROP itself now refuses at
+    evolve time (the old contract let the drop through and only the
+    next write failed at resolve_spec_ids — a bricked table)."""
     t = spec_table
-    with pytest.raises(ValueError, match="dropped field id"):
+    with pytest.raises(ValueError, match="partition spec source"):
         evolve_mapped(t, drops=["id"])
-        append_mapped(
-            spark,
-            spark.createDataFrame(
-                [(datetime.datetime(2024, 1, 1), 1)], "ts timestamp, v long"
-            ),
-            t,
-        )
+    # table is NOT bricked: writes still work after the refusal
+    append_mapped(
+        spark,
+        spark.createDataFrame(
+            [(99991, datetime.datetime(2024, 1, 1), 1)],
+            "id long, ts timestamp, v long",
+        ),
+        t,
+    )
 
 
 def test_respec_drop_then_write_plain(spark, spec_table):
@@ -616,3 +621,56 @@ def test_property_mapped_cdf_nets_to_batch_feed(
             key=repr,
         )
         assert got == want, f"v{v}: {got} != {want}"
+
+
+def test_drop_of_spec_source_column_is_refused(spark, spec_table):
+    """Regression (r12 ADVICE, medium): dropping a column the standing
+    id-keyed spec sources from used to succeed at evolve time and then
+    brick EVERY write verb at resolve_spec_ids — refuse at evolve time
+    instead (Iceberg likewise blocks dropping partition source columns),
+    and keep the refusal rename-proof (field-id keyed)."""
+    t = spec_table
+    with pytest.raises(ValueError, match="partition spec source"):
+        evolve_mapped(t, drops=["ts"])
+    with pytest.raises(ValueError, match="partition spec source"):
+        evolve_mapped(t, drops=["id"])
+    # rename-proof: the guard keys on field id, not name
+    evolve_mapped(t, renames={"ts": "event_ts"})
+    with pytest.raises(ValueError, match="partition spec source"):
+        evolve_mapped(t, drops=["event_ts"])
+    # a non-spec column still drops fine, and writes keep working
+    evolve_mapped(t, drops=["v"])
+    append_mapped(spark, _events(spark, n=50).withColumnRenamed(
+        "ts", "event_ts").drop("v"), t)
+    assert read_mapped(spark, t).count() == 4050
+    # after SET PARTITION SPEC without the column, the drop is legal
+    respec_mapped(t, [("bucket", 8, "id")])
+    evolve_mapped(t, drops=["event_ts"])
+    assert set(read_mapped(spark, t).columns) == {"id"}
+
+
+def test_reserved_hidden_names_are_rejected_loudly(spark, tmp_path):
+    """Regression (r12 ADVICE, low): a user column named like a hidden
+    layout column (_b<n>_<suffix>) used to be written and then silently
+    dropped by _read_files from every read surface — now every mapped
+    commit and the plain append/overwrite verbs refuse it at write
+    time."""
+    from iceberg_file_writer_spark.ingest.snapshots import (
+        commit_append,
+        commit_overwrite,
+    )
+
+    bad = spark.range(5).select(F.col("id"), F.lit(1).alias("_b2_x"))
+    with pytest.raises(ValueError, match="reserved hidden"):
+        create_mapped_table(spark, bad, str(tmp_path / "m"))
+    with pytest.raises(ValueError, match="reserved hidden"):
+        commit_append(spark, bad, str(tmp_path / "p"))
+    with pytest.raises(ValueError, match="reserved hidden"):
+        commit_overwrite(spark, bad, str(tmp_path / "p2"))
+    # rename TO a reserved name is refused too (same commit-time gate)
+    t = str(tmp_path / "ok")
+    create_mapped_table(spark, spark.range(5), t)
+    with pytest.raises(ValueError, match="reserved hidden"):
+        evolve_mapped(t, renames={"id": "_b16_id"})
+    with pytest.raises(ValueError, match="reserved hidden"):
+        evolve_mapped(t, adds=[("_b4_z", "bigint")])
