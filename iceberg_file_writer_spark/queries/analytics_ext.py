@@ -58,6 +58,10 @@ SELECT cohort_day, CAST(day_offset AS BIGINT) AS day_offset,
        CAST(count(*) AS BIGINT) AS n_active_users
 FROM activity GROUP BY cohort_day, day_offset
 """,
+    driver_exposed=False,  # twelfth rotation (r13): ceded after 12 green
+    # rounds (r1 tenure, the longest on the surface) — joins class keeps
+    # bloom_prefilter_join + streaming_join_view_maintenance, window class
+    # keeps orders_above_customer_avg; still benched + pytest-oracle-checked
     description=(
         "Cohort retention: users bucketed by first-seen day, distinct "
         "active users per (cohort, day-offset) cell"

@@ -1190,6 +1190,9 @@ def _bpe_train_merges(spark: SparkSession, sf_dir: str) -> "tuple[DataFrame, lis
     # multi-join + group-agg shape stays covered by q3/q5/q18) ceded its
     # slot so tokenizer *application* earns driver evidence alongside
     # tokenizer training.
+    driver_exposed=False,  # twelfth rotation (r13): ceded after 8 green
+    # rounds — tokenizer class keeps bpe_merge_train on the surface (the
+    # train half; encode stays benched + pytest-oracle-checked)
     eager=True,  # builds/loads a trained artifact or runs a stream at plan time
 )
 def bpe_encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:

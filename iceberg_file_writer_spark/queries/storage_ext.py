@@ -227,7 +227,9 @@ FROM orders WHERE o_orderkey % 2 = 1
         "hidden bucket column never reaches the feed's schema (the "
         "value-hash gate would catch a leaked column or a phantom pair)"
     ),
-    driver_exposed=False,
+    driver_exposed=True,  # twelfth rotation (r13): promoted — the r12
+    # headline (hidden partitioning x column mapping) and the property-found
+    # leak fix get hard-gate evidence (VERDICT r12 next-step 1)
     eager=True,  # builds/loads a trained artifact or runs a stream at plan time
 )
 def relayout_cdc_quiet(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -284,7 +286,7 @@ WHERE user_id = (SELECT min(user_id) FROM events)
         "point lookup prunes through the id-keyed hidden bucket column "
         "across BOTH evolution epochs"
     ),
-    driver_exposed=False,
+    driver_exposed=True,  # twelfth rotation (r13): promoted (VERDICT r12 #1)
     eager=True,  # builds/loads a trained artifact or runs a stream at plan time
 )
 def mapped_partitioned_pruned_scan(
