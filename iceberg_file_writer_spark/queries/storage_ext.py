@@ -338,6 +338,108 @@ def mapped_partitioned_pruned_scan(
     )
 
 
+_SQL_CDF_TABLES: dict[tuple, tuple] = {}
+
+
+@register(
+    "sql_cdf_lifecycle",
+    oracle="""
+WITH base AS (SELECT o_orderkey, o_custkey, o_totalprice FROM orders),
+del AS (SELECT * FROM base WHERE o_custkey % 5 = 0),
+upd AS (SELECT * FROM base WHERE o_custkey % 5 = 1),
+ins AS (SELECT o_orderkey + 20000000 AS o_orderkey, o_custkey,
+               o_totalprice
+        FROM base WHERE o_orderkey < 20)
+SELECT '2_delete' AS phase, '-' AS change, o_orderkey, o_custkey,
+       o_totalprice FROM del
+UNION ALL SELECT '3_update', '-', o_orderkey, o_custkey, o_totalprice
+FROM upd
+UNION ALL SELECT '3_update', '+', o_orderkey, o_custkey, 0.0 FROM upd
+UNION ALL SELECT '4_insert', '+', o_orderkey, o_custkey, o_totalprice
+FROM ins
+UNION ALL SELECT '5_net', '-', o_orderkey, o_custkey, o_totalprice
+FROM del
+UNION ALL SELECT '5_net', '-', o_orderkey, o_custkey, o_totalprice
+FROM upd
+UNION ALL SELECT '5_net', '+', o_orderkey, o_custkey, 0.0 FROM upd
+UNION ALL SELECT '5_net', '+', o_orderkey, o_custkey, o_totalprice
+FROM ins
+UNION ALL SELECT '6_typed', 'delete', o_orderkey, o_custkey,
+       o_totalprice FROM del
+UNION ALL SELECT '6_typed', 'update_preimage', o_orderkey, o_custkey,
+       o_totalprice FROM upd
+UNION ALL SELECT '6_typed', 'update_postimage', o_orderkey, o_custkey,
+       0.0 FROM upd
+UNION ALL SELECT '6_typed', 'insert', o_orderkey, o_custkey,
+       o_totalprice FROM ins
+""",
+    description=(
+        "SQL change-feed surface (r13, VERDICT r12 missing #1): the "
+        "engine's CDC feed driven entirely as statement text — CREATE "
+        "TABLE AS / DELETE / UPDATE / INSERT through the catalog, then "
+        "ONE SELECT unioning per-span table_changes('co', v1, v2) "
+        "reads, the open-ended table_changes('co', v1) whole-span net, "
+        "and table_changes_typed('co', v1, v4, 'o_orderkey') — every "
+        "phase's rows recomputed independently by the DuckDB oracle"
+    ),
+    driver_exposed=False,  # r13 next-rotation candidate (surface at cap)
+    eager=True,  # builds/loads a trained artifact or runs a stream at plan time
+)
+def sql_cdf_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta's ``table_changes`` table-valued form on the statement
+    surface: per-span feeds, the open-ended form (end defaults to the
+    CURRENT version), and the typed variant, all resolved inside
+    execute_query's reference rewriter — the engine's flagship CDC
+    capability reachable without dropping to Python.
+
+    Reference posture: the CDC feed is the query-layer dual of the
+    reference's append-only write contract (main.go:47-54). At 100 TB
+    each span's planning is O(changed files) via the manifest segment
+    diff; the feed itself is change-sized, never table-sized."""
+    from iceberg_file_writer_spark.ingest.snapshots import current_version
+    from iceberg_file_writer_spark.sql_dml import execute_dml, execute_query
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _SQL_CDF_TABLES:
+        wh = tempfile.mkdtemp(prefix="sql-cdf-wh-")
+        load_tables(spark, sf_dir)  # temp views for statement sources
+        execute_dml(
+            spark,
+            "CREATE TABLE co AS SELECT o_orderkey, o_custkey, "
+            "o_totalprice FROM orders",
+            catalog=wh,
+        )
+        path = os.path.join(wh, "co")
+        vs = [current_version(path)]
+        for stmt in (
+            "DELETE FROM co WHERE o_custkey % 5 = 0",
+            "UPDATE co SET o_totalprice = 0.0 WHERE o_custkey % 5 = 1",
+            "INSERT INTO co SELECT o_orderkey + 20000000 AS o_orderkey, "
+            "o_custkey, o_totalprice FROM orders WHERE o_orderkey < 20",
+        ):
+            execute_dml(spark, stmt, catalog=wh)
+            vs.append(current_version(path))
+        _SQL_CDF_TABLES[key] = (wh, vs)
+    wh, (v1, v2, v3, v4) = _SQL_CDF_TABLES[key]
+    cols = "o_orderkey, o_custkey, o_totalprice"
+    return execute_query(
+        spark,
+        f"""
+SELECT '2_delete' AS phase, change, {cols}
+FROM table_changes('co', {v1}, {v2})
+UNION ALL SELECT '3_update', change, {cols}
+FROM table_changes('co', {v2}, {v3})
+UNION ALL SELECT '4_insert', change, {cols}
+FROM table_changes('co', {v3}, {v4})
+UNION ALL SELECT '5_net', change, {cols}
+FROM table_changes('co', {v1})
+UNION ALL SELECT '6_typed', _change_type AS change, {cols}
+FROM table_changes_typed('co', {v1}, {v4}, 'o_orderkey')
+""",
+        catalog=wh,
+    )
+
+
 _MOR_TABLES: dict[tuple, str] = {}
 
 

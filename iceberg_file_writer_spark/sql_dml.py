@@ -981,6 +981,23 @@ _ASOF_RE = re.compile(
     re.IGNORECASE,
 )
 
+# SELECT ... FROM table_changes('t', v1[, v2]) — Delta's table-valued CDC
+# form — and the typed variant table_changes_typed('t', v1, v2, 'k'...)
+# (Delta CDF's _change_type shape keyed by the listed columns). v2
+# omitted = the table's CURRENT version.
+_TABLE_CHANGES_RE = re.compile(
+    r"\btable_changes(?P<typed>_typed)?\s*\(\s*'(?P<t>[^']+)'\s*,"
+    r"\s*(?P<a>\d+)\s*(?:,\s*(?P<b>\d+)\s*)?"
+    r"(?P<keys>(?:,\s*'[^']+'\s*)*)\)",
+    re.IGNORECASE,
+)
+
+
+def _quoted_spans_of(text: str) -> list:
+    """Spans of string literals ('' escapes included): rewrites must
+    never substitute inside them — quoted text is data."""
+    return [q.span() for q in re.finditer(r"'(?:[^']|'')*'", text)]
+
 
 def execute_query(
     spark: SparkSession,
@@ -1069,6 +1086,54 @@ def execute_query(
             rows, "col_name string, data_type string, field_id long"
         )
 
+    # change-feed table references FIRST (r12 missing #1): the call's
+    # table name rides inside a string literal, so neither the as-of
+    # nor the bare-name rewrite can ever see it — resolve each call to
+    # a temp view over changes_between/changes_typed (mapped tables
+    # route through the field-id feed automatically). Right-to-left so
+    # earlier spans stay valid; quote-aware so a call spelled inside a
+    # bigger string literal stays data.
+    tc_spans = _quoted_spans_of(stmt)
+    for m in reversed(list(_TABLE_CHANGES_RE.finditer(stmt))):
+        if any(a <= m.start() < b for a, b in tc_spans):
+            continue
+        from iceberg_file_writer_spark.ingest.snapshots import (
+            changes_between,
+            changes_typed,
+            current_version,
+        )
+
+        name = m.group("t")
+        if name not in tables:
+            raise ValueError(
+                f"table_changes references unknown table {name!r}"
+            )
+        path = tables[name]
+        v1 = int(m.group("a"))
+        v2 = (
+            int(m.group("b"))
+            if m.group("b")
+            else current_version(path)
+        )
+        keys = re.findall(r"'([^']+)'", m.group("keys") or "")
+        if m.group("typed"):
+            if not keys:
+                raise ValueError(
+                    "table_changes_typed needs key column(s): "
+                    "table_changes_typed('t', v1, v2, 'k1'[, 'k2'...])"
+                )
+            feed = changes_typed(spark, path, v1, v2, keys)
+        else:
+            if keys:
+                raise ValueError(
+                    "table_changes takes ('t', v1[, v2]); for key-paired "
+                    "insert/delete/update rows use table_changes_typed"
+                )
+            feed = changes_between(spark, path, v1, v2)
+        view = f"__cdf_{name}_{_uuid.uuid4().hex[:8]}"
+        feed.createOrReplaceTempView(view)
+        stmt = stmt[: m.start()] + view + stmt[m.end():]
+
     rewritten = stmt
 
     def _read(path: str, version: "int | None") -> "object":
@@ -1082,15 +1147,10 @@ def execute_query(
 
     # quoted segments are data: compute their spans once so neither the
     # as-of rewrite nor the bare-name rewrite ever touches them
-    def _quoted_spans(text: str) -> list:
-        return [
-            q.span() for q in re.finditer(r"'(?:[^']|'')*'", text)
-        ]
-
     def _in_quotes(spans: list, pos: int) -> bool:
         return any(a <= pos < b for a, b in spans)
 
-    spans = _quoted_spans(stmt)
+    spans = _quoted_spans_of(stmt)
     # replace by exact match SPANS, right-to-left (str.replace would
     # also clobber prefixes of longer literals: '... AS OF 3' inside
     # '... AS OF 33')
