@@ -999,6 +999,20 @@ def _quoted_spans_of(text: str) -> list:
     return [q.span() for q in re.finditer(r"'(?:[^']|'')*'", text)]
 
 
+# DESCRIBE HISTORY t — Delta's statement form of the history relation
+_DESCRIBE_HISTORY_RE = re.compile(
+    rf"^DESC(?:RIBE)?{_WS}HISTORY{_WS}(?P<t>{_ID})$", re.IGNORECASE
+)
+
+# t$snapshots / t$files / t$history / t$partitions / t$refs / t$stats —
+# Iceberg's metadata-table reference suffix, routed to inspect_table
+_META_REF_RE = re.compile(
+    rf"\b(?P<t>{_ID})\$"
+    r"(?P<kind>snapshots|files|history|partitions|refs|stats)\b",
+    re.IGNORECASE,
+)
+
+
 def execute_query(
     spark: SparkSession,
     sql: str,
@@ -1085,6 +1099,32 @@ def execute_query(
         return spark.createDataFrame(
             rows, "col_name string, data_type string, field_id long"
         )
+
+    dh = _DESCRIBE_HISTORY_RE.match(stmt)
+    if dh:
+        # DESCRIBE HISTORY t (Delta's shape): the commit log as a
+        # relation — the debugging surface users reach for first
+        # (r12 missing #2), previously Python-only via inspect_table
+        from iceberg_file_writer_spark.ingest.inspect import inspect_table
+
+        return inspect_table(spark, _resolve(tables, dh.group("t")), "history")
+
+    # metadata-table references (t$snapshots, t$files, ...): substitute
+    # BEFORE the bare-name rewrite (whose \b-matching would otherwise
+    # clobber the 't' prefix of 't$files'). Right-to-left, quote-aware.
+    meta_spans = _quoted_spans_of(stmt)
+    for m in reversed(list(_META_REF_RE.finditer(stmt))):
+        if any(a <= m.start() < b for a, b in meta_spans):
+            continue
+        name = m.group("t")
+        if name not in tables:
+            continue  # not a known table: leave for Spark to resolve
+        from iceberg_file_writer_spark.ingest.inspect import inspect_table
+
+        kind = m.group("kind").lower()
+        view = f"__meta_{name}_{kind}_{_uuid.uuid4().hex[:8]}"
+        inspect_table(spark, tables[name], kind).createOrReplaceTempView(view)
+        stmt = stmt[: m.start()] + view + stmt[m.end():]
 
     # change-feed table references FIRST (r12 missing #1): the call's
     # table name rides inside a string literal, so neither the as-of

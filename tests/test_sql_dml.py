@@ -1686,3 +1686,91 @@ class TestTableChangesSQL:
             spark, "SELECT * FROM recent_changes", catalog=cdc_wh
         ).collect()
         assert [tuple(r) for r in got] == [("-", 3)]
+
+
+class TestMetadataSQL:
+    """Metadata-inspection SQL (r13, VERDICT r12 missing #2): DESCRIBE
+    HISTORY t and the t$snapshots/$files/$history/$partitions/$refs/
+    $stats reference suffix routed to inspect_table."""
+
+    @pytest.fixture()
+    def meta_wh(self, spark, tmp_path):
+        from iceberg_file_writer_spark.sql_dml import execute_script
+
+        wh = str(tmp_path / "wh")
+        execute_script(
+            spark,
+            """
+            CREATE TABLE t (id BIGINT, v BIGINT);
+            INSERT INTO t SELECT CAST(1 AS BIGINT) AS id,
+              CAST(10 AS BIGINT) AS v UNION ALL SELECT 2, 20;
+            DELETE FROM t WHERE id = 2;
+            """,
+            catalog=wh,
+        )
+        return wh
+
+    def test_describe_history(self, spark, meta_wh):
+        from iceberg_file_writer_spark.sql_dml import execute_query
+
+        got = execute_query(spark, "DESCRIBE HISTORY t", catalog=meta_wh)
+        rows = sorted(tuple(r) for r in got.collect())
+        assert rows == [
+            (1, "create", False), (2, "append", False), (3, "delete", True),
+        ]
+        # DESC spelling too
+        assert execute_query(
+            spark, "DESC HISTORY t", catalog=meta_wh
+        ).count() == 3
+
+    def test_dollar_references(self, spark, meta_wh):
+        from iceberg_file_writer_spark.sql_dml import execute_query
+
+        snaps = execute_query(
+            spark,
+            "SELECT version, op, n_rows FROM t$snapshots ORDER BY version",
+            catalog=meta_wh,
+        ).collect()
+        assert [tuple(r) for r in snaps] == [
+            (1, "create", 0), (2, "append", 2), (3, "delete", 1),
+        ]
+        refs = execute_query(
+            spark, "SELECT * FROM t$refs", catalog=meta_wh
+        ).collect()
+        assert [tuple(r) for r in refs] == [("main", "branch", 3)]
+        # $files of the current snapshot, and composition with the DATA
+        # table in one statement (the $-rewrite must not clobber the
+        # bare 't' reference beside it)
+        mixed = execute_query(
+            spark,
+            "SELECT (SELECT sum(rows) FROM t$files) AS meta_rows, "
+            "count(*) AS data_rows FROM t",
+            catalog=meta_wh,
+        ).first()
+        assert mixed.meta_rows == mixed.data_rows == 1
+        # $stats: never-analyzed tables yield the empty relation
+        assert execute_query(
+            spark, "SELECT * FROM t$stats", catalog=meta_wh
+        ).count() == 0
+
+    def test_unknown_name_with_dollar_falls_through(self, spark, meta_wh):
+        """A $-suffixed reference whose prefix is NOT a known table is
+        left for Spark (loud AnalysisException, not a silent rewrite)."""
+        from pyspark.errors import AnalysisException
+
+        from iceberg_file_writer_spark.sql_dml import execute_query
+
+        with pytest.raises(AnalysisException):
+            execute_query(
+                spark, "SELECT * FROM nope$snapshots", catalog=meta_wh
+            ).collect()
+
+    def test_dollar_inside_literal_is_data(self, spark, meta_wh):
+        from iceberg_file_writer_spark.sql_dml import execute_query
+
+        got = execute_query(
+            spark,
+            "SELECT 't$snapshots' AS tip FROM t$history WHERE is_current",
+            catalog=meta_wh,
+        ).collect()
+        assert [r.tip for r in got] == ["t$snapshots"]
