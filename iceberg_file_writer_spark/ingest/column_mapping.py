@@ -349,6 +349,58 @@ def evolve_mapped(
     )
 
 
+# Iceberg's type-promotion lattice (the schema-evolution subset the
+# engine's types cover): a column may only widen along these edges —
+# the same rules ingest-side Avro schema resolution applies
+# (avro_py.decode_resolved, reference main.go:19-41's fixed schema
+# generalized). Key: current type -> the types it may widen TO.
+_TYPE_PROMOTIONS: "dict[str, set]" = {
+    "tinyint": {"smallint", "int", "bigint"},
+    "smallint": {"int", "bigint"},
+    "int": {"bigint"},
+    "float": {"double"},
+}
+
+
+def alter_column_type_mapped(
+    table_path: str, col: str, new_type: str
+) -> int:
+    """``ALTER TABLE ... ALTER COLUMN col TYPE <wider>``: a metadata-only
+    epoch that widens the column's LOGICAL type along Iceberg's
+    promotion lattice (int->bigint, float->double, ...). Zero data
+    bytes move: files written under the narrower physical type read
+    through a cast in the epoch projection (``_group_scan``) and the
+    Arrow normalization (``_normalized_batches``) — every read surface
+    (batch, pruned scan, streaming, CDF) sees the widened type
+    uniformly. Narrowing or cross-family changes are REFUSED: old files
+    cannot be re-read narrower without data loss."""
+    new_type = new_type.strip().lower()
+    alias = {"long": "bigint", "integer": "int", "short": "smallint",
+             "byte": "tinyint"}
+    new_type = alias.get(new_type, new_type)
+    columns = [list(c) for c in table_columns(table_path)]
+    hit = [c for c in columns if c[1] == col]
+    if not hit:
+        raise ValueError(f"no such column: {col}")
+    cur = hit[0][2].strip().lower()
+    cur = alias.get(cur, cur)
+    if new_type == cur:
+        return current_version(table_path)  # no-op widen: nothing to do
+    if new_type not in _TYPE_PROMOTIONS.get(cur, set()):
+        raise ValueError(
+            f"cannot alter column {col!r} from {cur} to {new_type}: only "
+            f"widening promotions are allowed "
+            f"({cur} -> {sorted(_TYPE_PROMOTIONS.get(cur, set())) or 'none'})"
+        )
+    hit[0][2] = new_type
+    v = current_version(table_path)
+    m = read_manifest(table_path, v)
+    # spec/dvs/eqs/defaults all ride _commit's parent-carry untouched
+    return _commit_with_columns(
+        table_path, "evolve", m["files"], columns, parent=v
+    )
+
+
 def _sig_groups(files: list) -> "dict[str, list]":
     """File entries grouped by identical writer (id, name) mapping — one
     scan per evolution epoch."""
@@ -374,7 +426,25 @@ def _group_scan(
     columns (e.g. input_file_name) after the logical projection."""
     file_cols = {cid: name for cid, name in json.loads(sig)}
     paths = [os.path.join(table_path, e["path"]) for e in entries]
-    part = spark.read.parquet(*paths)
+    # read under an EXPLICIT schema carrying the LOGICAL type for each
+    # physical column: after an ALTER COLUMN TYPE widening, one epoch
+    # group holds files written int AND files written bigint under the
+    # same (id, name) stamp — schema inference from one file would make
+    # the other half fail with PARQUET_COLUMN_DATA_TYPE_MISMATCH, while
+    # Spark 4's parquet reader performs the widening conversion natively
+    # when the declared type is the wider one (the Delta type-widening
+    # read path). Unwidened tables declare their exact types: no change.
+    id2typ = {cid: typ for cid, _n, typ in columns}
+    ddl = ", ".join(
+        f"`{phys}` {id2typ[cid]}"
+        for cid, phys in file_cols.items()
+        if cid in id2typ
+    )
+    part = (
+        spark.read.schema(ddl).parquet(*paths)
+        if ddl
+        else spark.read.parquet(*paths)
+    )
     proj = []
     for cid, name, typ in columns:
         if cid in file_cols:

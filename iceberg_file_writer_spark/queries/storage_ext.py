@@ -338,6 +338,59 @@ def mapped_partitioned_pruned_scan(
     )
 
 
+_WIDEN_TABLES: dict[tuple, str] = {}
+
+
+@register(
+    "type_widening_lifecycle",
+    oracle="""
+SELECT o_orderkey, CAST(o_custkey AS BIGINT) AS ck FROM orders
+UNION ALL
+SELECT o_orderkey + 30000000, o_custkey + 10000000000
+FROM orders WHERE o_orderkey < 20
+""",
+    description=(
+        "ALTER COLUMN TYPE widening (r13, VERDICT r12 missing #3): an "
+        "INT column widens to BIGINT as a metadata-only field-id epoch "
+        "— pre-widen files read through the epoch projection's widening "
+        "parquet read, post-widen appends carry values beyond int "
+        "range, and ONE scan returns both epochs uniformly typed; "
+        "driven entirely as statement text"
+    ),
+    driver_exposed=False,  # r13 next-rotation candidate (surface at cap)
+    eager=True,  # builds/loads a trained artifact or runs a stream at plan time
+)
+def type_widening_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg's type-promotion lattice on the mapped flavor: the same
+    int->long / float->double rules the ingest edge's Avro schema
+    resolution applies (avro_py.decode_resolved), now as a table
+    evolution. At 100 TB the widen is one manifest write — no data
+    file is touched, and unwidened tables pay nothing (the epoch
+    projection declares exact types; Catalyst sees no cast)."""
+    from iceberg_file_writer_spark.sql_dml import execute_query, execute_script
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _WIDEN_TABLES:
+        wh = tempfile.mkdtemp(prefix="widen-wh-")
+        load_tables(spark, sf_dir)
+        execute_script(
+            spark,
+            """
+            CREATE TABLE tw AS SELECT o_orderkey,
+              CAST(o_custkey AS INT) AS ck FROM orders;
+            ALTER TABLE tw ALTER COLUMN ck TYPE BIGINT;
+            INSERT INTO tw SELECT o_orderkey + 30000000 AS o_orderkey,
+              o_custkey + 10000000000 AS ck
+            FROM orders WHERE o_orderkey < 20;
+            """,
+            catalog=wh,
+        )
+        _WIDEN_TABLES[key] = wh
+    return execute_query(
+        spark, "SELECT o_orderkey, ck FROM tw", catalog=_WIDEN_TABLES[key]
+    )
+
+
 _SQL_CDF_TABLES: dict[tuple, tuple] = {}
 
 

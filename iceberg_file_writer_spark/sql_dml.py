@@ -279,6 +279,11 @@ _ALTER_SPEC_RE = re.compile(
     rf"\s*\((?P<spec>.*?)\)$",
     re.IGNORECASE | re.DOTALL,
 )
+_ALTER_TYPE_RE = re.compile(
+    rf"^ALTER{_WS}TABLE{_WS}(?P<t>{_ID}){_WS}ALTER{_WS}COLUMN{_WS}"
+    rf"(?P<c>[A-Za-z_][A-Za-z0-9_]*){_WS}TYPE{_WS}(?P<typ>.+)$",
+    re.IGNORECASE,
+)
 _ANALYZE_RE = re.compile(
     rf"^ANALYZE{_WS}TABLE{_WS}(?P<t>{_ID})(?:{_WS}COMPUTE{_WS}STATISTICS)?"
     rf"(?:{_WS}FOR{_WS}COLUMNS{_WS}(?P<cols>[A-Za-z0-9_,\s]+))?$",
@@ -745,6 +750,19 @@ def execute_dml(
 
         return evolve_mapped(
             _resolve(tables, m.group("t")), drops=[m.group("c")]
+        )
+
+    m = _ALTER_TYPE_RE.match(stmt)
+    if m:
+        # type widening along Iceberg's promotion lattice — metadata-only
+        # (r12 missing #3); narrowing refuses inside the verb
+        from iceberg_file_writer_spark.ingest.column_mapping import (
+            alter_column_type_mapped,
+        )
+
+        return alter_column_type_mapped(
+            _resolve(tables, m.group("t")), m.group("c"),
+            m.group("typ").strip(),
         )
 
     m = _ALTER_SPEC_RE.match(stmt)
