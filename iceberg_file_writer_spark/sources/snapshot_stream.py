@@ -139,14 +139,36 @@ def _manifest(table_path: str, version: int) -> dict:
     return m
 
 
+# raw-manifest memo (r12 verdict next-step 7): the CDF planner re-read
+# the raw JSON (tail + segment pointers) of BOTH span endpoints on every
+# trigger — at a 100k-file table that parse WAS the measured 0.09 s/step
+# steady-state floor. Keyed by (path, mtime_ns, size) like the resolved
+# read_manifest memo, so an in-place stats/bloom attach (mtime change)
+# can never serve stale pointers. Entries are handed out as top-level
+# shallow copies; the nested tail/segment lists are read-only by
+# contract (no planner mutates file entries).
+_RAW_MANIFEST_CACHE: dict = {}
+_RAW_MANIFEST_CACHE_MAX = 256
+
+
 def _manifest_raw(table_path: str, version: int) -> dict:
     """The manifest WITHOUT segment resolution (`segments`/`tail` or
     inline `files`) — metadata-sized however many files the snapshot
     holds. Same expired-history remedy as ``_manifest``."""
     p = os.path.join(_snap_dir(table_path), f"v{version:06d}.json")
     try:
-        with open(p) as f:
-            return json.load(f)
+        st = os.stat(p)
+        key = (p, st.st_mtime_ns, st.st_size)
+        master = _RAW_MANIFEST_CACHE.get(key)
+        if master is None:
+            with open(p) as f:
+                master = json.load(f)
+            for k in [k for k in _RAW_MANIFEST_CACHE if k[0] == p]:
+                del _RAW_MANIFEST_CACHE[k]
+            if len(_RAW_MANIFEST_CACHE) >= _RAW_MANIFEST_CACHE_MAX:
+                _RAW_MANIFEST_CACHE.clear()
+            _RAW_MANIFEST_CACHE[key] = master
+        return dict(master)
     except FileNotFoundError:
         raise FileNotFoundError(
             f"snapshot v{version} of {table_path} is expired or missing — "
@@ -746,15 +768,22 @@ class _SnapshotCDFStreamReader(DataSourceStreamReader):
             for ent in (raw_cur.get("tail") or raw_cur.get("files") or [])
         }
         out = dict(prev_map)
+        removed = []
         for p in {
             ent["path"]
             for ent in (raw_prev.get("tail") or raw_prev.get("files") or [])
         }:
             if p not in new and p not in tail:
-                out.pop(p, None)  # loose entry the new version dropped
+                if out.pop(p, None) is not None:
+                    removed.append(p)  # loose entry the new version dropped
+        added = [p for p in {*new, *tail} if p not in prev_map]
         out.update(new)
         out.update(tail)
-        return out
+        # added/removed are the step's path delta — O(changed files),
+        # handed back so the planner never rebuilds them with O(table)
+        # set algebra (the measured residual of the r12 0.09 s/step
+        # floor was exactly those three 10^5-key set ops + sorts)
+        return out, added, removed
 
     # segment files opened by planning since reader creation — the
     # O(changed files) contract's observable (pinned in tests)
@@ -771,14 +800,32 @@ class _SnapshotCDFStreamReader(DataSourceStreamReader):
         for v in range(s + 1, e + 1):
             ma = raw_a
             mb = _manifest_raw(self.path, v)
-            eb = self._advance(ea, ma, mb)
-            if eb is None:  # re-chunked (rewrite): full two-sided parse
+            stepped = self._advance(ea, ma, mb)
+            if stepped is None:  # re-chunked (rewrite): full 2-sided parse
                 _SnapshotCDFStreamReader.last_seg_parsed += len(
                     mb.get("segments") or []
                 )
                 eb = {
                     ent["path"]: ent for ent in _raw_entries(self.path, mb)
                 }
+                added = sorted(set(eb) - set(ea))
+                removed = sorted(set(ea) - set(eb))
+            else:
+                eb, added, removed = stepped
+                added, removed = sorted(added), sorted(removed)
+            # carried file PATHS are only materialized by the MoR-delta
+            # branches below (lazy): the append-only steady state needs
+            # just the count, keeping per-step python work O(changed
+            # files) — the r12 0.09 s/step floor was this method's own
+            # 10^5-key set algebra, not the manifest parse
+            n_carried = len(eb) - len(added)
+            _carried_memo: list = []
+
+            def _carried() -> list:
+                if not _carried_memo:
+                    _carried_memo.append(sorted(set(ea) & set(eb)))
+                return _carried_memo[0]
+
             dvs_a = [
                 os.path.join(self.path, p) for p in (ma.get("dvs") or [])
             ]
@@ -786,13 +833,12 @@ class _SnapshotCDFStreamReader(DataSourceStreamReader):
                 os.path.join(self.path, p) for p in (mb.get("dvs") or [])
             ]
             eqs_a, eqs_b = ma.get("eqs") or [], mb.get("eqs") or []
-            carried = sorted(set(ea) & set(eb))
             gone_eq = [
                 x
                 for x in eqs_a
                 if x["path"] not in {y["path"] for y in eqs_b}
             ]
-            if gone_eq and carried:
+            if gone_eq and n_carried:
                 raise ValueError(
                     f"v{v} retires equality-delete files while carrying "
                     "data files (a rollback shape): the change-feed "
@@ -812,7 +858,7 @@ class _SnapshotCDFStreamReader(DataSourceStreamReader):
                     if r[3] > seq
                 ]
 
-            for p in sorted(set(eb) - set(ea)):
+            for p in added:
                 f = eb[p]
                 out.append(
                     _CDFPartition(
@@ -826,7 +872,7 @@ class _SnapshotCDFStreamReader(DataSourceStreamReader):
                         defaults=self.map_defaults,
                     )
                 )
-            for p in sorted(set(ea) - set(eb)):
+            for p in removed:
                 f = ea[p]
                 out.append(
                     _CDFPartition(
@@ -846,7 +892,7 @@ class _SnapshotCDFStreamReader(DataSourceStreamReader):
                 for x in eqs_b
                 if x["path"] not in {y["path"] for y in eqs_a}
             ]
-            if new_eq and carried:
+            if new_eq and n_carried:
                 # footer-stats prune against the delta keys' bounding
                 # box — metadata-only (no data pages read driver-side).
                 # A column is prunable ONLY when EVERY new_eq parquet
@@ -881,7 +927,7 @@ class _SnapshotCDFStreamReader(DataSourceStreamReader):
                             hi[c] = mx if c not in hi else max(hi[c], mx)
                 for c in [c for c in lo if c not in (covered or set())]:
                     del lo[c], hi[c]
-                for p in carried:
+                for p in _carried():
                     f = ea[p]
                     seq = int(f.get("seq") or 0)
                     scoped_hit = _scoped(new_eq, seq)
@@ -932,7 +978,7 @@ class _SnapshotCDFStreamReader(DataSourceStreamReader):
                         )
                     )
 
-            if set(dvs_a) != set(dvs_b) and carried:
+            if set(dvs_a) != set(dvs_b) and n_carried:
                 import pyarrow.compute as pc
                 import pyarrow.dataset as pds
 
@@ -950,7 +996,7 @@ class _SnapshotCDFStreamReader(DataSourceStreamReader):
                         named.update(
                             pc.unique(batch.column(0)).to_pylist()
                         )
-                bn = {os.path.basename(p): p for p in carried}
+                bn = {os.path.basename(p): p for p in _carried()}
                 for name in sorted(named):
                     if name not in bn:
                         continue

@@ -1106,3 +1106,35 @@ def test_cdf_planning_parses_only_the_segment_delta(spark, tmp_path,
         (tuple(r) for r in changes_between(spark, t, end, v2).collect()),
         key=repr,
     )
+
+
+def test_cdf_advance_returns_the_step_delta(tmp_path):
+    """r13 (VERDICT r12 next-step 7): _advance hands back (map, added,
+    removed) so the planner's per-step python work is O(changed files)
+    — the measured residual of the 0.09 s/step floor at a 100k-file
+    table was partitions() rebuilding the delta with O(table) set
+    algebra. Pins the delta's correctness including a removed
+    loose-tail entry and the rewrite fallback (None)."""
+    import iceberg_file_writer_spark.sources.snapshot_stream as SS
+    from iceberg_file_writer_spark.ingest import snapshots as S
+
+    t = str(tmp_path / "t")
+    e = lambda p: {"path": p, "rows": 1, "stats": {}}
+    S._commit(t, 0, "append", [e("data/a"), e("data/b")])
+    S._commit(t, 1, "append", [e("data/a"), e("data/b"), e("data/c")])
+    S._commit(t, 2, "delete", [e("data/a"), e("data/c")])  # b dropped
+
+    r = SS._SnapshotCDFStreamReader.__new__(SS._SnapshotCDFStreamReader)
+    r.path = t
+    m1, m2, m3 = (SS._manifest_raw(t, v) for v in (1, 2, 3))
+    e1 = {x["path"]: x for x in SS._raw_entries(t, m1)}
+    out, added, removed = r._advance(e1, m1, m2)
+    assert sorted(out) == ["data/a", "data/b", "data/c"]
+    assert (sorted(added), removed) == (["data/c"], [])
+    out2, added2, removed2 = r._advance(out, m2, m3)
+    assert sorted(out2) == ["data/a", "data/c"]
+    assert (added2, removed2) == ([], ["data/b"])
+    # a re-chunked (non-superset-segment) step falls back to None
+    assert r._advance(
+        out2, {"segments": ["gone.seg"], "tail": []}, {"tail": []}
+    ) is None
