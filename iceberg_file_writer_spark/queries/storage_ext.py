@@ -338,6 +338,84 @@ def mapped_partitioned_pruned_scan(
     )
 
 
+_WAP_TABLES: dict[tuple, str] = {}
+
+
+@register(
+    "sql_wap_lifecycle",
+    oracle="""
+WITH ev AS (SELECT count(*)::BIGINT AS n, sum(o_totalprice) AS s
+            FROM orders WHERE o_orderkey % 2 = 0),
+od AS (SELECT count(*)::BIGINT AS n, sum(o_totalprice) AS s
+       FROM orders WHERE o_orderkey % 2 = 1 AND o_orderkey < 1000),
+al AS (SELECT ev.n + od.n AS n, ev.s + od.s AS s FROM ev, od)
+SELECT '1_main_before' AS phase, n, s FROM ev
+UNION ALL SELECT '2_branch_audit', n, s FROM al
+UNION ALL SELECT '3_main_during', n, s FROM ev
+UNION ALL SELECT '4_published', n, s FROM al
+UNION ALL SELECT '5_tag_travel', n, s FROM ev
+""",
+    description=(
+        "Write-audit-publish as statement text (r13, VERDICT r12 "
+        "missing #4): CREATE BRANCH -> branch-scoped INSERT -> FOR "
+        "BRANCH audit read (production readers unchanged) -> PUBLISH "
+        "BRANCH fast-forward -> FOR TAG time travel to the pre-publish "
+        "snapshot; every phase's (count, sum) recomputed by the oracle"
+    ),
+    driver_exposed=False,  # r13 next-rotation candidate (surface at cap)
+    eager=True,  # builds/loads a trained artifact or runs a stream at plan time
+)
+def sql_wap_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's append-only contract gains a staging lane: a
+    branch accumulates audited appends invisible to production, the
+    publish is ONE atomic manifest fast-forward (no data rewrite), and
+    a tag pins the pre-publish state for rollback-by-name. At 100 TB
+    the publish cost is one manifest write regardless of staged bytes.
+    Crash/concurrency semantics inherit from ingest/branching.py and
+    ingest/tags.py (O_EXCL tag create, idempotent publish)."""
+    from iceberg_file_writer_spark.ingest.snapshots import commit_append
+    from iceberg_file_writer_spark.sql_dml import execute_dml, execute_query
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _WAP_TABLES:
+        t = os.path.join(tempfile.mkdtemp(prefix="sql-wap-"), "ord")
+        orders = _orders(spark, sf_dir)
+        load_tables(spark, sf_dir)
+        commit_append(
+            spark, orders.where("o_orderkey % 2 = 0"), t, max_rows=2_000
+        )
+        tbl = {"ord": t}
+
+        def snap(phase: str, suffix: str = "") -> tuple:
+            r = execute_query(
+                spark,
+                "SELECT count(*) AS n, sum(o_totalprice) AS s "
+                f"FROM ord{suffix}",
+                tbl,
+            ).first()
+            return (phase, r.n, float(r.s))
+
+        report = [snap("1_main_before")]
+        execute_dml(spark, "ALTER TABLE ord CREATE TAG pre", tbl)
+        execute_dml(spark, "ALTER TABLE ord CREATE BRANCH wap", tbl)
+        execute_dml(
+            spark,
+            "INSERT INTO ord BRANCH wap SELECT o_orderkey, o_custkey, "
+            "o_totalprice FROM orders "
+            "WHERE o_orderkey % 2 = 1 AND o_orderkey < 1000",
+            tbl,
+        )
+        report.append(snap("2_branch_audit", " FOR BRANCH wap"))
+        report.append(snap("3_main_during"))
+        execute_dml(spark, "ALTER TABLE ord PUBLISH BRANCH wap", tbl)
+        report.append(snap("4_published"))
+        report.append(snap("5_tag_travel", " FOR TAG pre"))
+        _WAP_TABLES[key] = report
+    return spark.createDataFrame(
+        _WAP_TABLES[key], "phase string, n bigint, s double"
+    )
+
+
 _WIDEN_TABLES: dict[tuple, str] = {}
 
 

@@ -284,6 +284,26 @@ _ALTER_TYPE_RE = re.compile(
     rf"(?P<c>[A-Za-z_][A-Za-z0-9_]*){_WS}TYPE{_WS}(?P<typ>.+)$",
     re.IGNORECASE,
 )
+# branch/tag lifecycle verbs (r12 missing #4): Iceberg's ALTER TABLE
+# spellings, plus PUBLISH BRANCH (the WAP fast-forward) and a branch-
+# scoped INSERT so the whole write-audit-publish flow is statement text
+_BRANCH_TAG_DDL_RE = re.compile(
+    rf"^ALTER{_WS}TABLE{_WS}(?P<t>{_ID}){_WS}(?P<verb>CREATE|DROP){_WS}"
+    rf"(?P<kind>BRANCH|TAG){_WS}(?P<n>[A-Za-z_][A-Za-z0-9_]*)"
+    rf"(?:{_WS}AS{_WS}OF{_WS}VERSION{_WS}(?P<v>\d+))?$",
+    re.IGNORECASE,
+)
+_PUBLISH_BRANCH_RE = re.compile(
+    rf"^ALTER{_WS}TABLE{_WS}(?P<t>{_ID}){_WS}PUBLISH{_WS}BRANCH{_WS}"
+    rf"(?P<n>[A-Za-z_][A-Za-z0-9_]*)$",
+    re.IGNORECASE,
+)
+_INSERT_BRANCH_RE = re.compile(
+    rf"^INSERT{_WS}INTO{_WS}(?P<t>{_ID}){_WS}BRANCH{_WS}"
+    rf"(?P<n>[A-Za-z_][A-Za-z0-9_]*){_WS}"
+    rf"(?P<q>(?:SELECT|VALUES|WITH|TABLE).+)$",
+    re.IGNORECASE | re.DOTALL,
+)
 _ANALYZE_RE = re.compile(
     rf"^ANALYZE{_WS}TABLE{_WS}(?P<t>{_ID})(?:{_WS}COMPUTE{_WS}STATISTICS)?"
     rf"(?:{_WS}FOR{_WS}COLUMNS{_WS}(?P<cols>[A-Za-z0-9_,\s]+))?$",
@@ -752,6 +772,63 @@ def execute_dml(
             _resolve(tables, m.group("t")), drops=[m.group("c")]
         )
 
+    m = _BRANCH_TAG_DDL_RE.match(stmt)
+    if m:
+        from iceberg_file_writer_spark.ingest.branching import (
+            create_branch,
+            delete_branch,
+        )
+        from iceberg_file_writer_spark.ingest.tags import (
+            create_tag,
+            delete_tag,
+        )
+
+        path = _resolve(tables, m.group("t"))
+        kind = m.group("kind").upper()
+        at = int(m.group("v")) if m.group("v") else None
+        if m.group("verb").upper() == "CREATE":
+            if kind == "BRANCH":
+                if _is_mapped(path):
+                    raise ValueError(
+                        "branches are not supported on column-mapped "
+                        "tables; use a plain snapshot table or WAP via "
+                        "tags"
+                    )
+                create_branch(path, m.group("n"), at_version=at)
+                return None
+            return create_tag(path, m.group("n"), version=at)
+        if m.group("v"):
+            raise ValueError("DROP BRANCH|TAG takes no AS OF VERSION")
+        (delete_branch if kind == "BRANCH" else delete_tag)(
+            path, m.group("n")
+        )
+        return None
+
+    m = _PUBLISH_BRANCH_RE.match(stmt)
+    if m:
+        from iceberg_file_writer_spark.ingest.branching import publish_branch
+
+        return publish_branch(_resolve(tables, m.group("t")), m.group("n"))
+
+    m = _INSERT_BRANCH_RE.match(stmt)
+    if m:
+        from iceberg_file_writer_spark.ingest.branching import (
+            commit_append_branch,
+        )
+
+        path = _resolve(tables, m.group("t"))
+        if _is_mapped(path):
+            raise ValueError(
+                "branches are not supported on column-mapped tables"
+            )
+        return commit_append_branch(
+            spark,
+            _align_to_table(spark, spark.sql(m.group("q")), path),
+            path,
+            m.group("n"),
+            max_rows=max_rows,
+        )
+
     m = _ALTER_TYPE_RE.match(stmt)
     if m:
         # type widening along Iceberg's promotion lattice — metadata-only
@@ -999,6 +1076,13 @@ _ASOF_RE = re.compile(
     re.IGNORECASE,
 )
 
+# FROM t FOR BRANCH b / FOR TAG g — named-ref reads (WAP audit surface)
+_FORREF_RE = re.compile(
+    rf"\b(?P<t>{_ID}){_WS}FOR{_WS}(?P<kind>BRANCH|TAG){_WS}"
+    r"(?P<n>[A-Za-z_][A-Za-z0-9_]*)",
+    re.IGNORECASE,
+)
+
 # SELECT ... FROM table_changes('t', v1[, v2]) — Delta's table-valued CDC
 # form — and the typed variant table_changes_typed('t', v1, v2, 'k'...)
 # (Delta CDF's _change_type shape keyed by the listed columns). v2
@@ -1142,6 +1226,46 @@ def execute_query(
         kind = m.group("kind").lower()
         view = f"__meta_{name}_{kind}_{_uuid.uuid4().hex[:8]}"
         inspect_table(spark, tables[name], kind).createOrReplaceTempView(view)
+        stmt = stmt[: m.start()] + view + stmt[m.end():]
+
+    # named-ref reads (r12 missing #4): FROM t FOR BRANCH b / FOR TAG g
+    # — a tag resolves to its pinned version (mapped tables route
+    # through read_mapped like any time travel), a branch reads its
+    # head (what CURRENT would become on publish). Before the as-of and
+    # bare-name rewrites so neither clobbers the 't' prefix.
+    fr_spans = _quoted_spans_of(stmt)
+    for m in reversed(list(_FORREF_RE.finditer(stmt))):
+        name = m.group("t")
+        if name not in tables or any(
+            a <= m.start() < b for a, b in fr_spans
+        ):
+            continue
+        path = tables[name]
+        if m.group("kind").upper() == "TAG":
+            from iceberg_file_writer_spark.ingest.tags import list_tags
+
+            tags = list_tags(path)
+            if m.group("n") not in tags:
+                raise ValueError(f"no tag {m.group('n')!r} on {path}")
+            tv = tags[m.group("n")]["version"]
+            if _is_mapped(path):
+                from iceberg_file_writer_spark.ingest.column_mapping import (
+                    read_mapped,
+                )
+
+                ref = read_mapped(spark, path, version=tv)
+            else:
+                from iceberg_file_writer_spark.ingest.snapshots import (
+                    read_table_version as _rtv2,
+                )
+
+                ref = _rtv2(spark, path, tv)
+        else:
+            from iceberg_file_writer_spark.ingest.branching import read_branch
+
+            ref = read_branch(spark, path, m.group("n"))
+        view = f"__ref_{name}_{_uuid.uuid4().hex[:8]}"
+        ref.createOrReplaceTempView(view)
         stmt = stmt[: m.start()] + view + stmt[m.end():]
 
     # change-feed table references FIRST (r12 missing #1): the call's
