@@ -338,7 +338,7 @@ def mapped_partitioned_pruned_scan(
     )
 
 
-_WAP_TABLES: dict[tuple, str] = {}
+_SQL_WAP_REPORTS: dict[tuple, list] = {}
 
 
 @register(
@@ -377,7 +377,7 @@ def sql_wap_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     from iceberg_file_writer_spark.sql_dml import execute_dml, execute_query
 
     key = (spark.sparkContext.applicationId, sf_dir)
-    if key not in _WAP_TABLES:
+    if key not in _SQL_WAP_REPORTS:
         t = os.path.join(tempfile.mkdtemp(prefix="sql-wap-"), "ord")
         orders = _orders(spark, sf_dir)
         load_tables(spark, sf_dir)
@@ -410,9 +410,9 @@ def sql_wap_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         execute_dml(spark, "ALTER TABLE ord PUBLISH BRANCH wap", tbl)
         report.append(snap("4_published"))
         report.append(snap("5_tag_travel", " FOR TAG pre"))
-        _WAP_TABLES[key] = report
+        _SQL_WAP_REPORTS[key] = report
     return spark.createDataFrame(
-        _WAP_TABLES[key], "phase string, n bigint, s double"
+        _SQL_WAP_REPORTS[key], "phase string, n bigint, s double"
     )
 
 

@@ -1089,10 +1089,25 @@ _FORREF_RE = re.compile(
 # omitted = the table's CURRENT version.
 _TABLE_CHANGES_RE = re.compile(
     r"\btable_changes(?P<typed>_typed)?\s*\(\s*'(?P<t>[^']+)'\s*,"
-    r"\s*(?P<a>\d+)\s*(?:,\s*(?P<b>\d+)\s*)?"
+    r"\s*(?P<a>\d+|'[^']+')\s*(?:,\s*(?P<b>\d+|'[^']+')\s*)?"
     r"(?P<keys>(?:,\s*'[^']+'\s*)*)\)",
     re.IGNORECASE,
 )
+
+
+def _cdf_bound(path: str, raw: str) -> int:
+    """A table_changes version bound: a plain integer version, or a
+    quoted ISO timestamp resolved via version_asof (Delta's form)."""
+    if raw.startswith("'"):
+        from datetime import datetime, timezone
+
+        from iceberg_file_writer_spark.ingest.snapshots import version_asof
+
+        dt = datetime.fromisoformat(raw.strip("'")).replace(
+            tzinfo=timezone.utc
+        )
+        return version_asof(path, int(dt.timestamp() * 1000))
+    return int(raw)
 
 
 def _quoted_spans_of(text: str) -> list:
@@ -1291,9 +1306,9 @@ def execute_query(
                 f"table_changes references unknown table {name!r}"
             )
         path = tables[name]
-        v1 = int(m.group("a"))
+        v1 = _cdf_bound(path, m.group("a"))
         v2 = (
-            int(m.group("b"))
+            _cdf_bound(path, m.group("b"))
             if m.group("b")
             else current_version(path)
         )

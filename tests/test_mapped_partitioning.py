@@ -368,7 +368,8 @@ from hypothesis import strategies as st  # noqa: E402
 # well-formed after renames
 _ops = st.lists(
     st.sampled_from(
-        ["append", "upsert", "delete_cow", "delete_mor", "rename", "respec"]
+        ["append", "upsert", "delete_cow", "delete_mor", "rename",
+         "respec", "widen"]
     ),
     min_size=1,
     max_size=5,
@@ -402,7 +403,7 @@ def test_property_pruned_scan_equals_unpruned_after_any_lifecycle(
                  datetime.datetime(2024, 1, rng.randint(1, 9)))
                 for _ in range(rng.randint(5, 60))
             ],
-            "k long, v long, ts timestamp",
+            "k long, v int, ts timestamp",
         ),
         t,
         max_rows=10,
@@ -417,7 +418,7 @@ def test_property_pruned_scan_equals_unpruned_after_any_lifecycle(
         if op == "append":
             append_mapped(
                 spark,
-                spark.createDataFrame(rows, f"{kname} long, v long, ts timestamp"),
+                spark.createDataFrame(rows, f"{kname} long, v int, ts timestamp"),
                 t,
                 max_rows=10,
             )
@@ -425,10 +426,16 @@ def test_property_pruned_scan_equals_unpruned_after_any_lifecycle(
             uniq = list({r[0]: r for r in rows}.values())
             upsert_mapped(
                 spark,
-                spark.createDataFrame(uniq, f"{kname} long, v long, ts timestamp"),
+                spark.createDataFrame(uniq, f"{kname} long, v int, ts timestamp"),
                 t,
                 [kname],
             )
+        elif op == "widen":
+            from iceberg_file_writer_spark.ingest.column_mapping import (
+                alter_column_type_mapped,
+            )
+
+            alter_column_type_mapped(t, "v", "bigint")
         elif op == "delete_cow":
             delete_where_mapped(spark, t, f"v % 5 = {rows[0][1] % 5}")
         elif op == "delete_mor":
@@ -510,7 +517,8 @@ def test_cdf_stream_over_spec_mapped_table(spark, tmp_path):
 
 _mapped_cdf_ops = st.lists(
     st.sampled_from(
-        ["append", "upsert", "delete_cow", "delete_mor", "rename", "respec"]
+        ["append", "upsert", "delete_cow", "delete_mor", "rename",
+         "respec", "widen"]
     ),
     min_size=1,
     max_size=4,
@@ -551,7 +559,7 @@ def test_property_mapped_cdf_nets_to_batch_feed(
         spark,
         spark.createDataFrame(
             [(rng.randint(0, 20), rng.randint(0, 99)) for _ in range(20)],
-            "k long, v long",
+            "k long, v int",
         ),
         t,
         max_rows=5,
@@ -565,7 +573,7 @@ def test_property_mapped_cdf_nets_to_batch_feed(
         if op == "append":
             append_mapped(
                 spark,
-                spark.createDataFrame(rows, f"{kname} long, v long"),
+                spark.createDataFrame(rows, f"{kname} long, v int"),
                 t,
                 max_rows=5,
             )
@@ -573,10 +581,16 @@ def test_property_mapped_cdf_nets_to_batch_feed(
             uniq = list({r[0]: r for r in rows}.values())
             upsert_mapped(
                 spark,
-                spark.createDataFrame(uniq, f"{kname} long, v long"),
+                spark.createDataFrame(uniq, f"{kname} long, v int"),
                 t,
                 [kname],
             )
+        elif op == "widen":
+            from iceberg_file_writer_spark.ingest.column_mapping import (
+                alter_column_type_mapped,
+            )
+
+            alter_column_type_mapped(t, "v", "bigint")
         elif op == "delete_cow":
             delete_where_mapped(spark, t, f"v % 5 = {rows[0][1] % 5}")
         elif op == "delete_mor":

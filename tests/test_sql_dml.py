@@ -1888,3 +1888,37 @@ class TestBranchTagSQL:
         assert execute_query(
             spark, "SELECT count(*) AS n FROM m FOR TAG v1", catalog=wh
         ).first().n == 1
+
+
+def test_table_changes_timestamp_bounds(spark, tmp_path):
+    """table_changes accepts quoted ISO timestamps as bounds (Delta's
+    form), resolved via version_asof like TIMESTAMP AS OF."""
+    import time as _time
+
+    from iceberg_file_writer_spark.sql_dml import (
+        execute_dml,
+        execute_query,
+        execute_script,
+    )
+
+    wh = str(tmp_path / "wh")
+    execute_script(
+        spark,
+        """
+        CREATE TABLE t (id BIGINT);
+        INSERT INTO t SELECT CAST(1 AS BIGINT) AS id;
+        """,
+        catalog=wh,
+    )
+    _time.sleep(0.05)
+    from datetime import datetime, timezone
+
+    cut = datetime.now(timezone.utc).strftime("%Y-%m-%d %H:%M:%S.%f")
+    _time.sleep(0.05)
+    execute_dml(spark, "INSERT INTO t SELECT CAST(2 AS BIGINT) AS id", catalog=wh)
+    got = execute_query(
+        spark,
+        f"SELECT change, id FROM table_changes('t', '{cut}')",
+        catalog=wh,
+    ).collect()
+    assert [tuple(r) for r in got] == [("+", 2)]
