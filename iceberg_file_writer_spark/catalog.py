@@ -167,6 +167,11 @@ class Catalog:
                 raise ValueError(
                     f"{name!r} is already a VIEW in this warehouse"
                 )
+            if name in (doc.get("mviews") or {}):
+                raise ValueError(
+                    f"{name!r} is already a MATERIALIZED VIEW in this "
+                    "warehouse"
+                )
             tables = dict(doc.get("tables") or {})
             if name in tables:
                 if tables[name] != rel:
@@ -235,6 +240,11 @@ class Catalog:
                 raise ValueError(
                     f"{name!r} is already a TABLE in this warehouse"
                 )
+            if name in (doc.get("mviews") or {}):
+                raise ValueError(
+                    f"{name!r} is already a MATERIALIZED VIEW in this "
+                    "warehouse"
+                )
             views = dict(doc.get("views") or {})
             views[name] = sql
             doc["views"] = views
@@ -248,6 +258,61 @@ class Catalog:
                 del views[name]
                 doc["views"] = views
                 self._publish_doc(doc)
+
+    # -- materialized views -----------------------------------------------------
+    # A materialized view (ingest/mview.py) stores its agg-view SPEC in
+    # the catalog document and its STATE under <warehouse>/_mviews/; the
+    # same atomic publish and mutation lock cover it. Name space is
+    # shared with tables and views — one name, one thing.
+
+    def mview_names(self) -> list:
+        return sorted(self._load_doc().get("mviews") or {})
+
+    def mview_spec(self, name: str) -> dict:
+        mvs = self._load_doc().get("mviews") or {}
+        if name not in mvs:
+            raise ValueError(
+                f"unknown materialized view {name!r} in warehouse "
+                f"{self.warehouse}; known: {sorted(mvs)}"
+            )
+        return mvs[name]
+
+    def register_mview(self, name: str, spec: dict) -> None:
+        if not _NAME_RE.match(name):
+            raise ValueError(f"invalid materialized view name: {name!r}")
+        with self._locked():
+            doc = self._load_doc()
+            if name in (doc.get("tables") or {}):
+                raise ValueError(
+                    f"{name!r} is already a TABLE in this warehouse"
+                )
+            if name in (doc.get("views") or {}):
+                raise ValueError(
+                    f"{name!r} is already a VIEW in this warehouse"
+                )
+            mvs = dict(doc.get("mviews") or {})
+            mvs[name] = spec
+            doc["mviews"] = mvs
+            self._publish_doc(doc)
+
+    def unregister_mview(self, name: str) -> None:
+        with self._locked():
+            doc = self._load_doc()
+            mvs = dict(doc.get("mviews") or {})
+            if name in mvs:
+                del mvs[name]
+                doc["mviews"] = mvs
+                self._publish_doc(doc)
+
+    def mviews_referencing(self, table_name: str) -> list:
+        """Materialized views whose BASE is ``table_name`` — exact
+        match on the stored spec (unlike the durable-view word-match,
+        the dependency is structural, not textual)."""
+        return sorted(
+            n
+            for n, s in (self._load_doc().get("mviews") or {}).items()
+            if s.get("table") == table_name
+        )
 
     def views_referencing(self, table_name: str) -> list:
         """Durable views whose stored SQL mentions ``table_name`` as a

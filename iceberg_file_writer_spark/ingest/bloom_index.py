@@ -306,6 +306,80 @@ def bloom_prune(
     ]
 
 
+def detach_bloom_index(table_path: str) -> int:
+    """``DROP INDEX``: a metadata-only commit that clears the bloom
+    sidecar list — every file carries by reference, zero data bytes
+    move, and subsequent scans skip the bloom probe entirely. Older
+    manifests keep their pointers (time-travel scans of an indexed
+    version still prune); the sidecar FILES are GC'd later by
+    ``expire_bloom_index`` (VACUUM) once no retained manifest
+    references them. Raises when no index is attached — a silent no-op
+    would mask a typo'd table name."""
+    from iceberg_file_writer_spark.ingest.snapshots import (
+        _commit,
+        current_version,
+        read_manifest,
+    )
+
+    v = current_version(table_path)
+    m = read_manifest(table_path, v)
+    if not m.get("bloom"):
+        raise ValueError(f"no index on {table_path}")
+    if "columns" in m:
+        from iceberg_file_writer_spark.ingest.column_mapping import (
+            _commit_with_columns,
+        )
+
+        return _commit_with_columns(
+            table_path,
+            "detach_index",
+            m["files"],
+            m["columns"],
+            extra={"bloom": []},
+            parent=v,
+        )
+    return _commit(
+        table_path, v, "detach_index", m["files"], extra={"bloom": []}
+    )
+
+
+def bloom_index_report(table_path: str) -> list:
+    """Rows for ``SHOW INDEXES ON t``: one per indexed column at
+    CURRENT — ``(column, kind, files_covered, files_total)``. On
+    mapped tables the sidecar's field-id key resolves to the column's
+    CURRENT name (a rename re-labels the report like every other read
+    surface). Metadata-plane only: sidecar parquet column reads, no
+    data IO."""
+    import pyarrow.parquet as pq
+
+    from iceberg_file_writer_spark.ingest.snapshots import (
+        current_version,
+        read_manifest,
+    )
+
+    m = read_manifest(table_path, current_version(table_path))
+    blooms = m.get("bloom") or []
+    names = {os.path.basename(e["path"]) for e in m.get("files") or []}
+    per_col: dict = {}
+    for rel in blooms:
+        d = os.path.join(table_path, rel)
+        if not os.path.isdir(d):
+            continue
+        t = pq.read_table(d, columns=["file_name", "col"])
+        for fn, col in zip(
+            t.column("file_name").to_pylist(), t.column("col").to_pylist()
+        ):
+            if fn in names:
+                per_col.setdefault(col, set()).add(fn)
+    id_to_name = {
+        f"f{cid}": name for cid, name, _t in m.get("columns") or []
+    }
+    return sorted(
+        (id_to_name.get(col, col), "bloom", len(files), len(names))
+        for col, files in per_col.items()
+    )
+
+
 def expire_bloom_index(table_path: str, grace_seconds: int = 3600) -> int:
     """GC bloom sidecar dirs referenced by no retained manifest (run
     after ``expire_snapshots``; same grace discipline as DV GC)."""

@@ -60,6 +60,26 @@ write.delete.mode table property, spelled inline.
                                           row count; read via table_stats)
     VACUUM t [RETAIN <n> VERSIONS]                    -> maintenance.vacuum
 
+    CREATE MATERIALIZED VIEW mv AS
+      SELECT <keys>, count(*)/count(c)/sum(c)/avg(c)
+        AS <alias>... FROM t GROUP BY <keys>          -> mview.create_mview
+                                         (incremental maintenance: REFRESH
+                                          folds the base table's change
+                                          feed — O(changes), never O(table);
+                                          reads serve the materialized
+                                          state; avg derives at read time)
+    REFRESH MATERIALIZED VIEW mv                      -> mview.refresh_mview
+    DROP MATERIALIZED VIEW mv                         -> mview.drop_mview
+    CREATE INDEX ON t (c, ...) USING BLOOM
+                  [WITH FPP 0.01]                     -> attach_bloom_index
+                                         (incremental: only uncovered files
+                                          index, so re-running after appends
+                                          IS the refresh; field-id-keyed on
+                                          mapped tables — rename-proof)
+    DROP INDEX ON t                                   -> detach_bloom_index
+                                         (metadata-only commit; sidecar
+                                          files GC via VACUUM)
+
 DDL (column-mapped tables — field-id schema evolution from birth):
 
     CREATE TABLE t AS <query>                -> create_mapped_table
@@ -104,7 +124,13 @@ surface — DML, DDL, OPTIMIZE [ZORDER], ANALYZE, VACUUM — works on both
 table flavors.
 
 Reads: ``execute_query(spark, sql, tables)`` runs a SELECT with
-standard time-travel syntax — ``FROM t VERSION AS OF 3`` /
+standard time-travel syntax. A single-relation SELECT whose WHERE is a
+pure conjunction reads through the file-skipping scan (zone maps +
+bloom sidecars prune files before any data IO; conservative extraction
+per ingest/predicate_extract.py, row-identical by construction —
+``execute_query.last_scan`` exposes the (kept, total) file counts).
+``SHOW MATERIALIZED VIEWS`` / ``SHOW INDEXES ON t`` report the standing
+maintenance state. Time travel: — ``FROM t VERSION AS OF 3`` /
 ``FROM t TIMESTAMP AS OF '2024-01-05 00:00:00'`` (or epoch millis) —
 each reference resolved to its as-of snapshot state (mapped tables by
 field id, so a pre-rename version reads under its OWN schema), bare
@@ -186,6 +212,32 @@ _CREATE_VIEW_RE = re.compile(
 )
 _DROP_VIEW_RE = re.compile(
     rf"^DROP{_WS}VIEW{_WS}(?P<v>{_ID})$", re.IGNORECASE
+)
+_CREATE_MVIEW_RE = re.compile(
+    rf"^CREATE{_WS}MATERIALIZED{_WS}VIEW{_WS}(?P<v>{_ID}){_WS}AS{_WS}"
+    rf"(?P<q>.+)$",
+    re.IGNORECASE | re.DOTALL,
+)
+_REFRESH_MVIEW_RE = re.compile(
+    rf"^REFRESH{_WS}MATERIALIZED{_WS}VIEW{_WS}(?P<v>{_ID})$", re.IGNORECASE
+)
+_DROP_MVIEW_RE = re.compile(
+    rf"^DROP{_WS}MATERIALIZED{_WS}VIEW{_WS}(?P<v>{_ID})$", re.IGNORECASE
+)
+_SHOW_MVIEWS_RE = re.compile(
+    rf"^SHOW{_WS}MATERIALIZED{_WS}VIEWS$", re.IGNORECASE
+)
+_CREATE_INDEX_RE = re.compile(
+    rf"^CREATE{_WS}INDEX{_WS}ON{_WS}(?P<t>{_ID})\s*"
+    rf"\((?P<cols>[^)]+)\){_WS}USING{_WS}BLOOM"
+    rf"(?:{_WS}WITH{_WS}FPP{_WS}(?P<fpp>0?\.\d+))?$",
+    re.IGNORECASE,
+)
+_DROP_INDEX_RE = re.compile(
+    rf"^DROP{_WS}INDEX{_WS}ON{_WS}(?P<t>{_ID})$", re.IGNORECASE
+)
+_SHOW_INDEXES_RE = re.compile(
+    rf"^SHOW{_WS}INDEXES{_WS}ON{_WS}(?P<t>{_ID})$", re.IGNORECASE
 )
 _CTAS_RE = re.compile(
     rf"^CREATE{_WS}TABLE{_WS}(?P<t>{_ID})"
@@ -652,6 +704,60 @@ def execute_dml(
         tables.catalog.unregister_view(m.group("v"))
         return None
 
+    m = _CREATE_MVIEW_RE.match(stmt)
+    if m:
+        # a MATERIALIZED view: the incremental agg-view engine behind a
+        # statement (ingest/mview.py) — one full aggregation now, then
+        # change-feed-sized REFRESHes; reads serve the materialized
+        # state. Registration happens only after the state exists.
+        from iceberg_file_writer_spark.ingest.mview import create_mview
+
+        return create_mview(spark, tables, m.group("v"), m.group("q"))
+
+    m = _REFRESH_MVIEW_RE.match(stmt)
+    if m:
+        from iceberg_file_writer_spark.ingest.mview import refresh_mview
+
+        if tables.catalog is None:
+            raise ValueError(
+                "REFRESH MATERIALIZED VIEW needs a catalog/warehouse"
+            )
+        return refresh_mview(spark, tables.catalog, m.group("v"))
+
+    m = _DROP_MVIEW_RE.match(stmt)
+    if m:
+        from iceberg_file_writer_spark.ingest.mview import drop_mview
+
+        if tables.catalog is None:
+            raise ValueError(
+                "DROP MATERIALIZED VIEW needs a catalog/warehouse"
+            )
+        drop_mview(tables.catalog, m.group("v"))
+        return None
+
+    m = _CREATE_INDEX_RE.match(stmt)
+    if m:
+        # bloom sidecar build: incremental by construction — only
+        # CURRENT-version files not yet covered are indexed, so re-running
+        # after appends is the REFRESH verb. Returns files newly indexed.
+        from iceberg_file_writer_spark.ingest.bloom_index import (
+            attach_bloom_index,
+        )
+
+        cols = [c.strip() for c in m.group("cols").split(",")]
+        fpp = float(m.group("fpp")) if m.group("fpp") else 0.01
+        return attach_bloom_index(
+            spark, _resolve(tables, m.group("t")), cols, fpp=fpp
+        )
+
+    m = _DROP_INDEX_RE.match(stmt)
+    if m:
+        from iceberg_file_writer_spark.ingest.bloom_index import (
+            detach_bloom_index,
+        )
+
+        return detach_bloom_index(_resolve(tables, m.group("t")))
+
     m = _CTAS_RE.match(stmt)
     if m:
         from iceberg_file_writer_spark.ingest.column_mapping import (
@@ -727,8 +833,20 @@ def execute_dml(
                     "DROP TABLE ... CASCADE drops them too, or DROP "
                     "VIEW them first"
                 )
+            mdeps = cat.mviews_referencing(m.group("t"))
+            if mdeps and not m.group("cascade"):
+                raise ValueError(
+                    f"materialized view(s) {mdeps} are maintained over "
+                    f"table {m.group('t')!r}; DROP TABLE ... CASCADE "
+                    "drops them too, or DROP MATERIALIZED VIEW them first"
+                )
             for v in deps:
                 cat.unregister_view(v)
+            if mdeps:
+                from iceberg_file_writer_spark.ingest.mview import drop_mview
+
+                for v in mdeps:
+                    drop_mview(cat, v)
         shutil.rmtree(path)
         tables.on_drop(m.group("t"))
         return None
@@ -1160,6 +1278,39 @@ def execute_query(
 
     tables = Scope(tables, catalog)
     stmt = sql.strip().rstrip(";")
+    if _depth == 0:
+        # pruned-scan observability: (kept, total) file counts of the
+        # last substituted scan this statement, None when no
+        # substitution applied (gated shape, no conjuncts, or error)
+        execute_query.last_scan = None
+
+    if _SHOW_MVIEWS_RE.match(stmt):
+        from iceberg_file_writer_spark.ingest.mview import mview_status
+
+        rows = (
+            mview_status(spark, tables.catalog)
+            if tables.catalog is not None
+            else []
+        )
+        return spark.createDataFrame(
+            rows,
+            "name string, base_table string, keys string, value_col "
+            "string, view_version bigint, table_version bigint, "
+            "stale boolean",
+        )
+
+    sim = _SHOW_INDEXES_RE.match(stmt)
+    if sim:
+        from iceberg_file_writer_spark.ingest.bloom_index import (
+            bloom_index_report,
+        )
+
+        rows = bloom_index_report(_resolve(tables, sim.group("t")))
+        return spark.createDataFrame(
+            rows,
+            "column string, kind string, files_covered bigint, "
+            "files_total bigint",
+        )
 
     if _SHOW_VIEWS_RE.match(stmt):
         # SHOW VIEWS: the warehouse's durable views with their stored SQL
@@ -1387,6 +1538,21 @@ def execute_query(
             for p in parts
         )
 
+    # MATERIALIZED views resolve to their standing state (that is what
+    # materialized means — no re-planning, no base-table read)
+    if tables.catalog is not None:
+        from iceberg_file_writer_spark.ingest.mview import read_mview
+
+        for name in tables.catalog.mview_names():
+            probe = _sub_outside_quotes(rewritten, name, "\x00")
+            if "\x00" not in probe:
+                continue
+            view = f"__mv_{name}_{_uuid.uuid4().hex[:8]}"
+            read_mview(spark, tables.catalog, name).createOrReplaceTempView(
+                view
+            )
+            rewritten = _sub_outside_quotes(rewritten, name, view)
+
     # durable catalog VIEWS resolve first (a view's stored SQL may
     # reference catalog tables, time travel, or other views — the
     # recursive execute_query handles all of it; depth-capped so a
@@ -1409,16 +1575,63 @@ def execute_query(
                 _depth=_depth + 1,
             ).createOrReplaceTempView(view)
             rewritten = _sub_outside_quotes(rewritten, name, view)
+    # statement-level pruned scan: a single-relation SELECT whose WHERE
+    # is a pure conjunction reads through scan_table /
+    # scan_mapped_partitioned — zone maps + bloom sidecars exclude
+    # files before any data IO. The extraction is conservative by
+    # contract (ingest/predicate_extract.py): any shape in doubt falls
+    # back to the full read, and the statement's own WHERE always
+    # re-applies in full, so substitution can never change results.
+    from iceberg_file_writer_spark.ingest.predicate_extract import (
+        safe_conjuncts,
+        single_table_target,
+    )
+
+    gate = single_table_target(rewritten)
     for name, path in tables.items():
         probe = _sub_outside_quotes(rewritten, name, "\x00")
         if "\x00" not in probe:
             continue
         if not _table_exists(path):
             continue
+        df = None
+        if gate is not None and gate[0] == name and gate[2]:
+            conjs = safe_conjuncts(gate[2], {name, gate[1] or name})
+            df = _pruned_read(spark, path, conjs) if conjs else None
+        if df is None:
+            df = _read(path, None)
         view = f"__tt_{name}_cur_{_uuid.uuid4().hex[:8]}"
-        _read(path, None).createOrReplaceTempView(view)
+        df.createOrReplaceTempView(view)
         rewritten = _sub_outside_quotes(rewritten, name, view)
     return spark.sql(rewritten)
+
+
+def _pruned_read(spark: SparkSession, path: str, conjuncts: list):
+    """File-skipping read of ``path`` under ``conjuncts``, or None to
+    fall back to the full read (unknown columns, unprunable types, any
+    analysis error — the conservative default is always available)."""
+    try:
+        if _is_mapped(path):
+            from iceberg_file_writer_spark.ingest.column_mapping import (
+                scan_mapped_partitioned,
+                table_columns,
+            )
+
+            names = {name for _id, name, _t in table_columns(path)}
+            conjs = [c for c in conjuncts if c[0] in names]
+            if not conjs:
+                return None
+            df = scan_mapped_partitioned(spark, path, conjs)
+            execute_query.last_scan = scan_mapped_partitioned.last_files
+            return df
+        from iceberg_file_writer_spark.ingest.file_skipping import scan_table
+
+        df = scan_table(spark, path, conjuncts)
+        execute_query.last_scan = scan_table.last_files
+        return df
+    except Exception:
+        execute_query.last_scan = None
+        return None
 
 
 def _split_statements(script: str) -> list:
