@@ -1730,3 +1730,149 @@ WHERE s.n_common >= {AA_MIN_COMMON}
 )
 def user_adamic_adar_topm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _adamic_adar_scored(spark, sf_dir, top_m=AA_TOPM)
+
+
+# --- index-served BM25 on the statement surface (r13) -----------------------
+
+_SQL_TXT_REPORTS: dict[tuple, list] = {}
+
+
+def _bm25_phase_sql(phase: str, state: str) -> str:
+    """One phase of the sql_text_search_lifecycle oracle: the
+    bm25_ranked_search DuckDB computation parameterized by corpus
+    state — byte-identical math/rounding to the index-served probe."""
+    return f"""
+SELECT '{phase}' AS phase, doc_id, score, n_matched_terms FROM (
+  WITH dl AS (
+    SELECT doc_id, CAST(length(string_split(text, ' ')) AS BIGINT) AS dl
+    FROM {state}
+  ),
+  avgdl AS (SELECT sum(dl)::DOUBLE / count(*) AS avgdl FROM dl),
+  postings AS (
+    SELECT doc_id, w AS term, CAST(count(*) AS BIGINT) AS tf
+    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+          FROM {state})
+    WHERE w IN {SEARCH_TERMS}
+    GROUP BY doc_id, w
+  ),
+  dfr AS (
+    SELECT term, CAST(count(*) AS BIGINT) AS df FROM postings GROUP BY term
+  ),
+  n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM {state}),
+  scored AS (
+    SELECT p.doc_id,
+           round(round(ln((n.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0), 6)
+                 * (p.tf * ({BM25_K1} + 1.0))
+                 / (p.tf + {BM25_K1} * (1.0 - {BM25_B}
+                                        + {BM25_B} * (dl.dl / a.avgdl))), 6)
+             AS term_score
+    FROM postings p
+    JOIN dfr d USING (term)
+    JOIN dl ON dl.doc_id = p.doc_id
+    CROSS JOIN n CROSS JOIN avgdl a
+  )
+  SELECT doc_id, round(sum(term_score), 6) AS score,
+         CAST(count(*) AS BIGINT) AS n_matched_terms
+  FROM scored GROUP BY doc_id
+  ORDER BY score DESC, doc_id
+  LIMIT {SEARCH_TOP_K}
+)
+"""
+
+
+@register(
+    "sql_text_search_lifecycle",
+    oracle=f"""
+WITH t0 AS (SELECT doc_id, text FROM documents),
+t1 AS (SELECT doc_id, text FROM t0
+       UNION ALL
+       SELECT doc_id + 1000000, text FROM t0 WHERE doc_id % 17 = 0),
+t3 AS (SELECT doc_id, text FROM t1 WHERE NOT (doc_id % 5 = 0))
+{_bm25_phase_sql('1_ranked', 't0')}
+UNION ALL {_bm25_phase_sql('2_after_append', 't1')}
+UNION ALL {_bm25_phase_sql('3_renamed', 't1')}
+UNION ALL {_bm25_phase_sql('4_after_delete', 't3')}
+""",
+    description=(
+        "Index-served BM25 on the statement surface (r13): CREATE INDEX "
+        "USING INVERTED over a CTAS documents table, text_search('dt', "
+        "'spark window hash', 20) probes through execute_query, an "
+        "append + incremental refresh (one new segment, O(new files)), "
+        "a RENAME that leaves the index FRESH (fingerprint tracks data "
+        "files, not versions — phase 3 must equal phase 2), and a "
+        "DELETE + rebuild; every phase's ranking recomputed from the "
+        "corpus state by the DuckDB oracle with identical math and "
+        "rounding"
+    ),
+    driver_exposed=False,  # r13 next-rotation candidate (surface at cap)
+    eager=True,  # builds/loads a trained artifact or runs a stream at plan time
+)
+def sql_text_search_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The persisted-postings search engine behind SQL: Lucene-shaped
+    segments under the table dir, BM25 scores byte-identical to the
+    inline bm25_ranked_search (same k1/b, Lucene idf, per-term round(6)
+    before the per-doc sum), freshness by manifest fingerprint — a
+    probe is exact or loudly stale, never approximately current.
+
+    At 100 TB: the probe reads <= |terms|/16 of each segment's postings
+    via partition pruning with doc lengths denormalized into the rows
+    (no doc-side join); the refresh after appends indexes only the new
+    files. Reference posture: a derived search artifact over the
+    reference's partitioned record output (main.go:47-54)."""
+    from iceberg_file_writer_spark.sql_dml import execute_dml, execute_query
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _SQL_TXT_REPORTS:
+        import tempfile
+
+        wh = tempfile.mkdtemp(prefix="sql-txt-wh-")
+        load_tables(spark, sf_dir)
+        execute_dml(
+            spark,
+            "CREATE TABLE dt AS SELECT doc_id, text FROM documents",
+            catalog=wh,
+        )
+        terms = " ".join(SEARCH_TERMS)
+
+        def probe(phase: str, idc: str) -> list:
+            return [
+                (phase, r[idc], r.score, r.n_matched_terms)
+                for r in execute_query(
+                    spark,
+                    f"SELECT * FROM text_search('dt', '{terms}', "
+                    f"{SEARCH_TOP_K})",
+                    catalog=wh,
+                ).collect()
+            ]
+
+        execute_dml(
+            spark, "CREATE INDEX ON dt (doc_id, text) USING INVERTED",
+            catalog=wh,
+        )
+        report = probe("1_ranked", "doc_id")
+        execute_dml(
+            spark,
+            "INSERT INTO dt SELECT doc_id + 1000000 AS doc_id, text "
+            "FROM documents WHERE doc_id % 17 = 0",
+            catalog=wh,
+        )
+        execute_dml(
+            spark, "CREATE INDEX ON dt (doc_id, text) USING INVERTED",
+            catalog=wh,
+        )
+        report += probe("2_after_append", "doc_id")
+        execute_dml(
+            spark, "ALTER TABLE dt RENAME COLUMN doc_id TO did", catalog=wh
+        )
+        report += probe("3_renamed", "did")
+        execute_dml(spark, "DELETE FROM dt WHERE did % 5 = 0", catalog=wh)
+        execute_dml(
+            spark, "CREATE INDEX ON dt (did, text) USING INVERTED",
+            catalog=wh,
+        )
+        report += probe("4_after_delete", "did")
+        _SQL_TXT_REPORTS[key] = report
+    return spark.createDataFrame(
+        _SQL_TXT_REPORTS[key],
+        "phase string, doc_id bigint, score double, n_matched_terms bigint",
+    )

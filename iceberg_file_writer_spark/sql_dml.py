@@ -229,7 +229,7 @@ _SHOW_MVIEWS_RE = re.compile(
 )
 _CREATE_INDEX_RE = re.compile(
     rf"^CREATE{_WS}INDEX{_WS}ON{_WS}(?P<t>{_ID})\s*"
-    rf"\((?P<cols>[^)]+)\){_WS}USING{_WS}BLOOM"
+    rf"\((?P<cols>[^)]+)\){_WS}USING{_WS}(?P<kind>BLOOM|INVERTED)"
     rf"(?:{_WS}WITH{_WS}FPP{_WS}(?P<fpp>0?\.\d+))?$",
     re.IGNORECASE,
 )
@@ -737,26 +737,56 @@ def execute_dml(
 
     m = _CREATE_INDEX_RE.match(stmt)
     if m:
-        # bloom sidecar build: incremental by construction — only
-        # CURRENT-version files not yet covered are indexed, so re-running
-        # after appends is the REFRESH verb. Returns files newly indexed.
+        # index builds are incremental by construction — only files not
+        # yet covered index, so re-running after appends IS the refresh
+        # verb. Returns files newly indexed.
+        cols = [c.strip() for c in m.group("cols").split(",")]
+        path = _resolve(tables, m.group("t"))
+        if m.group("kind").upper() == "INVERTED":
+            if m.group("fpp"):
+                raise ValueError("WITH FPP applies to BLOOM indexes only")
+            if len(cols) != 2:
+                raise ValueError(
+                    "USING INVERTED takes exactly (id_col, text_col)"
+                )
+            from iceberg_file_writer_spark.ingest.text_index import (
+                build_text_index,
+            )
+
+            return build_text_index(spark, path, cols[0], cols[1])
         from iceberg_file_writer_spark.ingest.bloom_index import (
             attach_bloom_index,
         )
 
-        cols = [c.strip() for c in m.group("cols").split(",")]
         fpp = float(m.group("fpp")) if m.group("fpp") else 0.01
-        return attach_bloom_index(
-            spark, _resolve(tables, m.group("t")), cols, fpp=fpp
-        )
+        return attach_bloom_index(spark, path, cols, fpp=fpp)
 
     m = _DROP_INDEX_RE.match(stmt)
     if m:
+        # drops EVERY standing index on the table (bloom: metadata-only
+        # detach commit; inverted: artifact removal); loud when none
         from iceberg_file_writer_spark.ingest.bloom_index import (
             detach_bloom_index,
         )
+        from iceberg_file_writer_spark.ingest.text_index import (
+            drop_text_index,
+            read_text_index_meta,
+        )
 
-        return detach_bloom_index(_resolve(tables, m.group("t")))
+        path = _resolve(tables, m.group("t"))
+        out = None
+        dropped = False
+        try:
+            out = detach_bloom_index(path)
+            dropped = True
+        except ValueError:
+            pass  # no bloom index — the text index may still exist
+        if read_text_index_meta(path) is not None:
+            drop_text_index(path)
+            dropped = True
+        if not dropped:
+            raise ValueError(f"no index on {path}")
+        return out
 
     m = _CTAS_RE.match(stmt)
     if m:
@@ -1211,6 +1241,11 @@ _TABLE_CHANGES_RE = re.compile(
     r"(?P<keys>(?:,\s*'[^']+'\s*)*)\)",
     re.IGNORECASE,
 )
+_TEXT_SEARCH_RE = re.compile(
+    r"\btext_search\s*\(\s*'(?P<t>[^']+)'\s*,"
+    r"\s*'(?P<q>(?:[^']|'')*)'\s*,\s*(?P<k>\d+)\s*\)",
+    re.IGNORECASE,
+)
 
 
 def _cdf_bound(path: str, raw: str) -> int:
@@ -1301,11 +1336,18 @@ def execute_query(
 
     sim = _SHOW_INDEXES_RE.match(stmt)
     if sim:
+        # bloom rows count FILES (covered/total); inverted rows reuse
+        # the two counters for DOCS indexed / SEGMENTS — the units that
+        # matter for a postings artifact
         from iceberg_file_writer_spark.ingest.bloom_index import (
             bloom_index_report,
         )
+        from iceberg_file_writer_spark.ingest.text_index import (
+            text_index_report,
+        )
 
-        rows = bloom_index_report(_resolve(tables, sim.group("t")))
+        path = _resolve(tables, sim.group("t"))
+        rows = bloom_index_report(path) + text_index_report(path)
         return spark.createDataFrame(
             rows,
             "column string, kind string, files_covered bigint, "
@@ -1480,6 +1522,30 @@ def execute_query(
             feed = changes_between(spark, path, v1, v2)
         view = f"__cdf_{name}_{_uuid.uuid4().hex[:8]}"
         feed.createOrReplaceTempView(view)
+        stmt = stmt[: m.start()] + view + stmt[m.end():]
+
+    # BM25 retrieval as a table-valued reference — same rewrite shape
+    # as table_changes: the table name rides in a string literal, so
+    # only this resolver can see it; right-to-left and quote-aware
+    ts_spans = _quoted_spans_of(stmt)
+    for m in reversed(list(_TEXT_SEARCH_RE.finditer(stmt))):
+        if any(a <= m.start() < b for a, b in ts_spans):
+            continue
+        name = m.group("t")
+        if name not in tables:
+            raise ValueError(
+                f"text_search references unknown table {name!r}"
+            )
+        from iceberg_file_writer_spark.ingest.text_index import text_search
+
+        hits = text_search(
+            spark,
+            tables[name],
+            m.group("q").replace("''", "'"),
+            int(m.group("k")),
+        )
+        view = f"__txt_{name}_{_uuid.uuid4().hex[:8]}"
+        hits.createOrReplaceTempView(view)
         stmt = stmt[: m.start()] + view + stmt[m.end():]
 
     rewritten = stmt
