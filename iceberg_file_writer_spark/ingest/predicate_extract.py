@@ -150,6 +150,79 @@ _NULL_RE = re.compile(
 )
 
 
+_INTEGRAL = frozenset({"tinyint", "smallint", "int", "bigint", "long"})
+_FLOATING = frozenset({"float", "double"})
+
+
+def typed_conjuncts(conjuncts: list, schema_pairs: list) -> list:
+    """Second gate: keep only conjuncts whose LITERAL TYPE matches the
+    column's declared type under the pruners' comparison contracts —
+    and rewrite column names to their exact-case schema spelling (stats
+    and sidecar keys are exact-case; Spark's resolution is not).
+
+    Why this exists: the stats index compares numerics numerically but
+    strings lexicographically against CAST-style renderings (timestamps
+    as fixed-width strings), and the bloom sidecar matches the exact
+    ``CAST(col AS STRING)`` rendering. A literal of the wrong type can
+    therefore FALSE-NEGATIVE — ``double_col = 5`` probes '5' against a
+    stored '5.0', ``ts_col = '2024-01-05'`` probes a truncated string
+    against '2024-01-05 00:00:00.000000' — and a false negative here is
+    silently lost rows, the one failure mode the whole extraction is
+    built to exclude. Rules, all conservative:
+
+    - integral column: int literal passes; anything else drops.
+    - floating column: int/float literals pass, the int PROMOTED to
+      float so the bloom probe skips it (``_probe_safe`` rejects
+      floats) while stats still compare numerically.
+    - string column: str literal passes (CAST is identity).
+    - every other column type (timestamp, date, decimal, complex) and
+      any unknown column: drop — Spark may cast-compare forms the
+      pruners' renderings cannot reproduce.
+    - IN lists convert member-wise; ONE unconvertible member drops the
+      whole conjunct (a partial candidate list could exclude a file
+      holding the dropped member's rows).
+    - IS [NOT] NULL is type-independent: passes on any known column.
+    """
+    by_lower = {name.lower(): (name, typ) for name, typ in schema_pairs}
+
+    def _convert(typ: str, v):
+        base = typ.strip().lower()
+        if base in _INTEGRAL:
+            return (v, True) if isinstance(v, int) and not isinstance(v, bool) else (None, False)
+        if base in _FLOATING:
+            if isinstance(v, bool):
+                return None, False
+            if isinstance(v, (int, float)):
+                return float(v), True
+            return None, False
+        if base == "string":
+            return (v, True) if isinstance(v, str) else (None, False)
+        return None, False
+
+    out = []
+    for col, op, *rest in conjuncts:
+        hit = by_lower.get(col.lower())
+        if hit is None:
+            continue
+        name, typ = hit
+        if op in ("isnull", "notnull"):
+            out.append((name, op))
+            continue
+        if op == "in":
+            vals, ok = [], True
+            for v in rest[0]:
+                cv, vok = _convert(typ, v)
+                ok = ok and vok
+                vals.append(cv)
+            if ok and vals:
+                out.append((name, "in", vals))
+            continue
+        cv, ok = _convert(typ, rest[0])
+        if ok:
+            out.append((name, op, cv))
+    return out
+
+
 def safe_conjuncts(where_text: str, qualifiers: set) -> list:
     """Extract ``[(col, op, value), ...]`` pruner conjuncts from a
     WHERE clause. ``qualifiers`` are the prefixes (table name, alias)

@@ -1675,7 +1675,16 @@ def execute_query(
 def _pruned_read(spark: SparkSession, path: str, conjuncts: list):
     """File-skipping read of ``path`` under ``conjuncts``, or None to
     fall back to the full read (unknown columns, unprunable types, any
-    analysis error — the conservative default is always available)."""
+    analysis error — the conservative default is always available).
+
+    Conjuncts pass the TYPE gate first (``typed_conjuncts``): a literal
+    whose type does not match the column's declared type is dropped —
+    the pruners compare against CAST-style renderings, and a
+    wrong-typed probe could false-negative (silently lost rows)."""
+    from iceberg_file_writer_spark.ingest.predicate_extract import (
+        typed_conjuncts,
+    )
+
     try:
         if _is_mapped(path):
             from iceberg_file_writer_spark.ingest.column_mapping import (
@@ -1683,16 +1692,26 @@ def _pruned_read(spark: SparkSession, path: str, conjuncts: list):
                 table_columns,
             )
 
-            names = {name for _id, name, _t in table_columns(path)}
-            conjs = [c for c in conjuncts if c[0] in names]
+            pairs = [(name, typ) for _id, name, typ in table_columns(path)]
+            conjs = typed_conjuncts(conjuncts, pairs)
             if not conjs:
                 return None
             df = scan_mapped_partitioned(spark, path, conjs)
             execute_query.last_scan = scan_mapped_partitioned.last_files
             return df
         from iceberg_file_writer_spark.ingest.file_skipping import scan_table
+        from iceberg_file_writer_spark.ingest.snapshots import (
+            read_table_version,
+        )
 
-        df = scan_table(spark, path, conjuncts)
+        pairs = [
+            (f.name, f.dataType.simpleString())
+            for f in read_table_version(spark, path).schema.fields
+        ]
+        conjs = typed_conjuncts(conjuncts, pairs)
+        if not conjs:
+            return None
+        df = scan_table(spark, path, conjs)
         execute_query.last_scan = scan_table.last_files
         return df
     except Exception:

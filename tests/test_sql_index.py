@@ -234,3 +234,64 @@ class TestMappedIndexLifecycle:
             spark, "SHOW INDEXES ON mt", catalog=wh
         ).collect()
         assert [r.column for r in rows] == ["hv"]  # current name
+
+
+class TestTypedConjunctGate:
+    """A wrong-typed literal must never prune: the bloom sidecar and the
+    string-rendered stats compare against CAST renderings, so a
+    mismatched probe could false-negative — these pin the type gate."""
+
+    def test_int_literal_on_double_column_keeps_rows(self, spark, tmp_path):
+        t = str(tmp_path / "t")
+        df = spark.createDataFrame(
+            [(i, float(_scrambled(i))) for i in range(300)],
+            "id bigint, d double",
+        ).coalesce(1)
+        commit_append(spark, df, t, max_rows=FILE_ROWS)
+        execute_dml(spark, "CREATE INDEX ON t (d) USING BLOOM", {"t": t})
+        val = _scrambled(17)  # integer literal against the DOUBLE column
+        got = execute_query(
+            spark, f"SELECT id FROM t WHERE d = {val}", {"t": t}
+        ).collect()
+        # bloom stored '<v>.0'; a raw '<v>' probe would prune every
+        # file — the gate promotes the literal to float, bloom skips it
+        assert [r.id for r in got] == [17]
+
+    def test_string_literal_on_timestamp_column_keeps_rows(
+        self, spark, tmp_path
+    ):
+        import datetime
+
+        t = str(tmp_path / "t")
+        rows = [
+            (i, datetime.datetime(2024, 1, 1 + (i % 9)))
+            for i in range(200)
+        ]
+        df = spark.createDataFrame(rows, "id bigint, ts timestamp")
+        commit_append(spark, df.coalesce(1), t, max_rows=50)
+        # truncated form: Spark casts to midnight; the stats strings are
+        # fixed-width — an equality string-probe would false-negative
+        got = execute_query(
+            spark,
+            "SELECT count(*) AS n FROM t WHERE ts = '2024-01-05'",
+            {"t": t},
+        ).collect()
+        assert got[0].n == len([r for r in rows if r[1].day == 5])
+        assert execute_query.last_scan is None  # conjunct dropped
+
+    def test_string_literal_on_int_column_keeps_rows(self, spark, plain):
+        got = execute_query(
+            spark, "SELECT id FROM t WHERE id = '5'", {"t": plain}
+        ).collect()
+        assert [r.id for r in got] == [5]
+        assert execute_query.last_scan is None  # dropped, full read
+
+    def test_case_insensitive_column_still_prunes(self, spark, plain):
+        execute_dml(spark, "CREATE INDEX ON t (h) USING BLOOM", {"t": plain})
+        val = _scrambled(88)
+        got = execute_query(
+            spark, f"SELECT id FROM t WHERE H = {val}", {"t": plain}
+        ).collect()
+        assert [r.id for r in got] == [88]
+        kept, total = execute_query.last_scan  # canonical-name rewrite
+        assert kept < total
