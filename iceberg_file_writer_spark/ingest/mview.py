@@ -140,18 +140,30 @@ def mview_dir(warehouse: str, name: str) -> str:
 
 
 def create_mview(
-    spark: SparkSession, scope, name: str, query_sql: str
+    spark: SparkSession,
+    scope,
+    name: str,
+    query_sql: str,
+    replace: bool = False,
 ) -> int:
     """Parse, materialize (one full aggregation over CURRENT), then
     durably register. Registration is LAST: a refused or failed
     materialization leaves no catalog entry (the orphan state dir, if
-    any, is reclaimed by a later CREATE of the same name)."""
+    any, is reclaimed by a later CREATE of the same name). An existing
+    name refuses up front — BEFORE the expensive aggregation — unless
+    ``replace`` (CREATE OR REPLACE MATERIALIZED VIEW): a typo'd
+    re-create must not silently destroy standing state."""
     from iceberg_file_writer_spark.ingest.agg_view import init_agg_view
 
     cat = scope.catalog
     if cat is None:
         raise ValueError(
             "CREATE MATERIALIZED VIEW needs a catalog/warehouse"
+        )
+    if not replace and name in cat.mview_names():
+        raise ValueError(
+            f"materialized view exists: {name} (use CREATE OR REPLACE "
+            "MATERIALIZED VIEW)"
         )
     spec = parse_mv_query(query_sql)
     base = spec["table"]
@@ -193,15 +205,29 @@ def read_mview(spark: SparkSession, cat, name: str) -> DataFrame:
     """The materialized state projected to the declared select list.
     sum is NULL for all-NULL groups (exact SQL semantics, maintained
     via the n_vals counter); avg derives as sum/count — double, exactly
-    one IEEE division, so it can never drift from a recompute."""
-    from iceberg_file_writer_spark.ingest.agg_view import read_agg_view
+    one IEEE division, so it can never drift from a recompute.
+
+    Key columns resolve POSITIONALLY through the agg-view state: a
+    base-table RENAME between refreshes re-labels the standing state's
+    key columns (field-id re-resolution in refresh_agg_view), so the
+    CREATE-time name in the spec may no longer exist — the state's
+    current name at the same position is the same logical column, and
+    the view's OUTPUT names stay the CREATE-time aliases (a view's
+    schema is its own contract, not the base table's)."""
+    from iceberg_file_writer_spark.ingest.agg_view import (
+        _read_state,
+        read_agg_view,
+    )
 
     spec = cat.mview_spec(name)
-    df = read_agg_view(spark, os.path.join(cat.warehouse, spec["dir"]))
+    vdir = os.path.join(cat.warehouse, spec["dir"])
+    df = read_agg_view(spark, vdir)
+    state_keys = _read_state(vdir)["keys"]
+    key_pos = {k: i for i, k in enumerate(spec["keys"])}
     proj = []
     for kind, arg, alias in spec["items"]:
         if kind == "key":
-            proj.append(F.col(arg).alias(alias))
+            proj.append(F.col(state_keys[key_pos[arg]]).alias(alias))
         elif kind == "count_star":
             proj.append(F.col("n_rows").alias(alias))
         elif kind == "count_val":

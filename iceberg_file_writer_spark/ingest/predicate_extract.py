@@ -57,32 +57,50 @@ _NUM_RE = re.compile(r"^-?\d+(?:\.\d+)?(?:[eE][+-]?\d+)?$")
 
 
 def _mask_strings(text: str) -> str:
-    """Replace every character inside single-quoted literals (with ''
-    escapes) by a space, preserving length — keyword/offset scans on
-    the mask can never be fooled by quoted data."""
+    """Replace every character inside string literals by a space,
+    preserving length — keyword/offset scans on the mask can never be
+    fooled by quoted data. Spark's THREE lexical forms are handled:
+    single-quoted (with '' and backslash escapes), double-quoted (also
+    a string literal in Spark, same escapes), and backslash-escaped
+    characters inside either (the char after a backslash is data even
+    when it is the quote itself)."""
     out, i, n = list(text), 0, len(text)
-    in_str = False
+    quote = None  # the delimiter of the literal we are inside, or None
     while i < n:
         ch = text[i]
-        if in_str:
-            if ch == "'":
-                if i + 1 < n and text[i + 1] == "'":
+        if quote is not None:
+            if ch == "\\" and i + 1 < n:
+                out[i] = out[i + 1] = " "
+                i += 2
+                continue
+            if ch == quote:
+                if i + 1 < n and text[i + 1] == quote:
                     out[i] = out[i + 1] = " "
                     i += 2
                     continue
-                in_str = False
+                quote = None
             else:
                 out[i] = " "
-        elif ch == "'":
-            in_str = True
+        elif ch in ("'", '"'):
+            quote = ch
         i += 1
     return "".join(out)
+
+
+def _has_comment(masked: str) -> bool:
+    """True when the masked text contains a SQL comment opener (``--``
+    or ``/*``) outside any string literal. The extractor's lexer does
+    not model comments, so their presence disables extraction entirely
+    — commented-out text must never become a live filter."""
+    return "--" in masked or "/*" in masked
 
 
 def single_table_target(stmt: str):
     """``(table, alias_or_None, where_text_or_None)`` when ``stmt`` is
     a single-relation SELECT safe for scan substitution, else None."""
     masked = _mask_strings(stmt)
+    if _has_comment(masked):
+        return None
     froms = list(re.finditer(r"\bFROM\b", masked, re.IGNORECASE))
     if len(froms) != 1 or _MULTI_REL.search(masked):
         return None
@@ -129,7 +147,13 @@ def _parse_literal(tok: str):
             return int(tok), True
         return float(tok), True
     if len(tok) >= 2 and tok.startswith("'") and tok.endswith("'"):
-        return tok[1:-1].replace("''", "'"), True
+        body = tok[1:-1]
+        if "\\" in body:
+            # Spark interprets backslashes as escapes ('a\nb' is a
+            # real newline); this lexer does not — refuse rather than
+            # prune on a value Spark never compares against
+            return None, False
+        return body.replace("''", "'"), True
     return None, False
 
 
@@ -229,6 +253,8 @@ def safe_conjuncts(where_text: str, qualifiers: set) -> list:
     allowed to qualify a column; any other qualifier disables that
     conjunct. Empty list = nothing provable — never an error."""
     masked = _mask_strings(where_text)
+    if _has_comment(masked):
+        return []
     # allow IS NOT NULL, refuse every other NOT / any OR
     neutral = re.sub(r"\bIS\s+NOT\s+NULL\b", " ", masked, flags=re.IGNORECASE)
     if re.search(r"\bOR\b|\bNOT\b", neutral, re.IGNORECASE):

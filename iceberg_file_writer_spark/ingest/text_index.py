@@ -151,10 +151,18 @@ def _read_entries(
 
 
 def _write_segment(
-    docs: DataFrame, seg_abs: str
+    spark: SparkSession, docs: DataFrame, seg_abs: str
 ) -> "tuple[int, int]":
     """One segment from (doc_id, text) rows; returns (n_docs, sum_dl).
-    Tokenization = whitespace split, the corpus convention."""
+    Tokenization = whitespace split, the corpus convention.
+
+    The source relation is scanned ONCE (the postings write); doc
+    stats derive from reading back the written postings' (doc_id, dl)
+    columns — index-sized columnar IO, not a second pass over the
+    table's text. The read-back doubles as the uniqueness check: BM25
+    is ill-defined over duplicate ids (the inline query and the DuckDB
+    oracle group by doc_id too), so a segment whose ids collide
+    refuses instead of silently mis-scoring."""
     ws = F.split(F.col("text"), " ")
     base = docs.select(
         "doc_id", F.explode(ws).alias("term"),
@@ -165,14 +173,35 @@ def _write_segment(
         .agg(F.count(F.lit(1)).cast("long").alias("tf"))
         .withColumn("term_bucket", _term_bucket(F.col("term")))
     )
-    postings.write.partitionBy("term_bucket").parquet(
-        os.path.join(seg_abs, "postings")
+    pdir = os.path.join(seg_abs, "postings")
+    postings.write.partitionBy("term_bucket").parquet(pdir)
+    try:
+        back = spark.read.parquet(pdir)
+    except Exception:
+        # a zero-doc batch writes no part files at all (partitioned
+        # writer), so the read-back has no schema to infer — the
+        # segment is legitimately empty
+        return 0, 0
+    stats = (
+        back
+        .groupBy("doc_id")
+        .agg(F.min("dl").alias("dl"), F.max("dl").alias("dl2"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("dl").cast("long").alias("s"),
+            F.sum(F.when(F.col("dl") != F.col("dl2"), 1).otherwise(0))
+            .alias("dupes"),
+        )
+        .first()
     )
-    stats = docs.select(
-        F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum(F.size(F.split(F.col("text"), " "))).cast("long").alias("s"),
-    ).first()
-    return int(stats.n), int(stats.s or 0)
+    if int(stats.dupes or 0) > 0:
+        shutil.rmtree(seg_abs, ignore_errors=True)
+        raise ValueError(
+            "duplicate doc ids with differing documents in the indexed "
+            "batch — BM25 over a non-unique id column is ill-defined; "
+            "deduplicate or choose a unique id column"
+        )
+    return int(stats.n or 0), int(stats.s or 0)
 
 
 def build_text_index(
@@ -226,14 +255,55 @@ def build_text_index(
                 F.col(cur_id).alias("doc_id"),
                 F.col(cur_text).alias("text"),
             )
+            # cross-segment uniqueness: an appended row re-using a
+            # standing doc id would split its tf across segments and
+            # double-count df — BM25 would silently diverge from the
+            # inline computation. One columnar job (doc_id only).
+            standing_dirs = [
+                os.path.join(table_path, _DIR, s["dir"], "postings")
+                for s in meta["segments"]
+                if s["n_docs"] > 0
+            ]
+            if standing_dirs:
+                from functools import reduce
+
+                standing_ids = reduce(
+                    lambda a, b: a.unionByName(b),
+                    [
+                        spark.read.parquet(d).select("doc_id")
+                        for d in standing_dirs
+                    ],
+                ).distinct()
+                clashes = (
+                    docs.select("doc_id")
+                    .distinct()
+                    .join(standing_ids, "doc_id", "inner")
+                    .count()
+                )
+                if clashes:
+                    raise ValueError(
+                        f"{clashes} appended doc id(s) already exist in "
+                        "the index — BM25 over a non-unique id column "
+                        "is ill-defined; use a unique id or rebuild "
+                        "after deduplicating"
+                    )
             rel = f"segments/{uuid.uuid4().hex}"
             n, s = _write_segment(
-                docs, os.path.join(table_path, _DIR, rel)
+                spark, docs, os.path.join(table_path, _DIR, rel)
             )
             meta = dict(meta)
             meta["segments"] = meta["segments"] + [
                 {"dir": rel, "n_docs": n, "sum_dl": s}
             ]
+            # the generation retired by the LAST rebuild has had its
+            # grace cycle — reclaim it here too, or a table maintained
+            # purely by appends would keep it forever
+            for rel_old in meta.get("retired") or []:
+                shutil.rmtree(
+                    os.path.join(table_path, _DIR, rel_old),
+                    ignore_errors=True,
+                )
+            meta["retired"] = []
             meta.update(fp)
             meta["version"] = v
             write_atomic(_meta_path(table_path), json.dumps(meta))
@@ -263,7 +333,7 @@ def build_text_index(
         F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
     )
     rel = f"segments/{uuid.uuid4().hex}"
-    n, s = _write_segment(docs, os.path.join(table_path, _DIR, rel))
+    n, s = _write_segment(spark, docs, os.path.join(table_path, _DIR, rel))
     meta = {
         "kind": "inverted",
         "id_col": id_col,
@@ -333,8 +403,28 @@ def text_search(
         if s["n_docs"] > 0
     ]
     if not seg_dirs or n_docs == 0:
-        return spark.createDataFrame(
-            [], f"`{cur_id}` string, score double, n_matched_terms bigint"
+        # typed empty result: the id column keeps its TABLE type (a
+        # schema that depended on whether the index is empty would
+        # break downstream joins/unions only in the empty case)
+        if "columns" in m:
+            from iceberg_file_writer_spark.ingest.column_mapping import (
+                read_mapped,
+            )
+
+            base = read_mapped(spark, table_path)
+        else:
+            from iceberg_file_writer_spark.ingest.snapshots import (
+                read_table_version,
+            )
+
+            base = read_table_version(spark, table_path)
+        return (
+            base.select(cur_id)
+            .limit(0)
+            .withColumn("score", F.lit(None).cast("double"))
+            .withColumn(
+                "n_matched_terms", F.lit(None).cast("bigint")
+            )
         )
     avgdl = sum_dl / n_docs
     buckets = sorted({_bucket_of(t) for t in terms})

@@ -146,6 +146,7 @@ Returns the committed version (or the vacuum report dict).
 
 from __future__ import annotations
 
+import os
 import re
 
 from pyspark.sql import SparkSession
@@ -214,8 +215,8 @@ _DROP_VIEW_RE = re.compile(
     rf"^DROP{_WS}VIEW{_WS}(?P<v>{_ID})$", re.IGNORECASE
 )
 _CREATE_MVIEW_RE = re.compile(
-    rf"^CREATE{_WS}MATERIALIZED{_WS}VIEW{_WS}(?P<v>{_ID}){_WS}AS{_WS}"
-    rf"(?P<q>.+)$",
+    rf"^CREATE{_WS}(?P<rep>OR{_WS}REPLACE{_WS})?MATERIALIZED{_WS}VIEW"
+    rf"{_WS}(?P<v>{_ID}){_WS}AS{_WS}(?P<q>.+)$",
     re.IGNORECASE | re.DOTALL,
 )
 _REFRESH_MVIEW_RE = re.compile(
@@ -712,7 +713,13 @@ def execute_dml(
         # state. Registration happens only after the state exists.
         from iceberg_file_writer_spark.ingest.mview import create_mview
 
-        return create_mview(spark, tables, m.group("v"), m.group("q"))
+        return create_mview(
+            spark,
+            tables,
+            m.group("v"),
+            m.group("q"),
+            replace=bool(m.group("rep")),
+        )
 
     m = _REFRESH_MVIEW_RE.match(stmt)
     if m:
@@ -1700,15 +1707,8 @@ def _pruned_read(spark: SparkSession, path: str, conjuncts: list):
             execute_query.last_scan = scan_mapped_partitioned.last_files
             return df
         from iceberg_file_writer_spark.ingest.file_skipping import scan_table
-        from iceberg_file_writer_spark.ingest.snapshots import (
-            read_table_version,
-        )
 
-        pairs = [
-            (f.name, f.dataType.simpleString())
-            for f in read_table_version(spark, path).schema.fields
-        ]
-        conjs = typed_conjuncts(conjuncts, pairs)
+        conjs = typed_conjuncts(conjuncts, _plain_type_pairs(path))
         if not conjs:
             return None
         df = scan_table(spark, path, conjs)
@@ -1717,6 +1717,41 @@ def _pruned_read(spark: SparkSession, path: str, conjuncts: list):
     except Exception:
         execute_query.last_scan = None
         return None
+
+
+def _plain_type_pairs(path: str) -> list:
+    """(column, type-class) pairs for a plain table's type gate from
+    ONE parquet footer (the newest file — fullest schema under additive
+    evolution) instead of a full Spark relation build. Columns absent
+    from that file simply drop their conjuncts — conservative."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from iceberg_file_writer_spark.ingest.snapshots import (
+        current_version,
+        read_manifest,
+    )
+
+    m = read_manifest(path, current_version(path))
+    files = m.get("files") or []
+    if not files:
+        return []
+    schema = pq.read_schema(os.path.join(path, files[-1]["path"]))
+    pairs = []
+    for field in schema:
+        t = field.type
+        if pa.types.is_boolean(t):
+            cls = "boolean"
+        elif pa.types.is_integer(t):
+            cls = "bigint"
+        elif pa.types.is_floating(t):
+            cls = "double"
+        elif pa.types.is_string(t) or pa.types.is_large_string(t):
+            cls = "string"
+        else:
+            cls = "other"  # timestamp/date/decimal/nested: gate drops
+        pairs.append((field.name, cls))
+    return pairs
 
 
 def _split_statements(script: str) -> list:

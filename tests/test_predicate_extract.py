@@ -126,3 +126,73 @@ class TestSafeConjuncts:
 
     def test_null_literal_comparison_ignored(self):
         assert safe_conjuncts("a = NULL", {"t"}) == []
+
+
+class TestLexicalHazards:
+    """Findings from the round-13 self-review: Spark lexical forms the
+    extractor's lexer does not model must DISABLE extraction, never
+    feed it."""
+
+    def test_line_comment_disables_extraction(self):
+        # '-- note AND j = 2' is comment text to Spark; extracting
+        # j = 2 would filter rows the query never filtered
+        sql = "SELECT * FROM t WHERE k = 1 -- note AND j = 2"
+        assert single_table_target(sql) is None
+        assert safe_conjuncts("k = 1 -- AND j = 2", {"t"}) == []
+
+    def test_bracket_comment_disables_extraction(self):
+        sql = "SELECT * FROM t WHERE k = 1 /* AND j = 2 */"
+        assert single_table_target(sql) is None
+
+    def test_double_quoted_literal_is_masked(self):
+        # Spark treats "..." as a string literal; its content must
+        # never parse as syntax
+        got = safe_conjuncts('s = "x AND k = 5 AND y"', {"t"})
+        assert all(c[0] != "k" for c in got)
+        t = single_table_target(
+            'SELECT * FROM t WHERE s = "x AND k = 5"'
+        )
+        assert t is not None  # statement shape is fine, content hidden
+
+    def test_backslash_escape_literal_refused(self):
+        # Spark reads 'a\nb' as a-newline-b; the extractor must not
+        # prune on the raw backslash form
+        got = safe_conjuncts(r"s = 'a\nb' AND k = 2", {"t"})
+        assert got == [("k", "=", 2)]
+
+    def test_escaped_quote_inside_literal(self):
+        got = safe_conjuncts(r"s = 'a\'b OR 1' AND k = 2", {"t"})
+        assert ("k", "=", 2) in got
+        assert all(c[0] != "1" for c in got)
+
+
+class TestTypedConjuncts:
+    def test_type_gate_rules(self):
+        from iceberg_file_writer_spark.ingest.predicate_extract import (
+            typed_conjuncts,
+        )
+
+        pairs = [("I", "bigint"), ("D", "double"), ("S", "string"),
+                 ("TS", "timestamp")]
+        got = typed_conjuncts(
+            [
+                ("i", "=", 5),          # int on integral: keep, exact case
+                ("d", "=", 5),          # int on double: promote to float
+                ("s", "=", "x"),        # str on string: keep
+                ("ts", "=", "2024-01-05"),  # str on timestamp: DROP
+                ("i", "=", "5"),        # str on integral: DROP
+                ("s", "=", 5),          # int on string: DROP
+                ("ts", "isnull"),       # null test: type-independent
+                ("d", "in", [1, 2]),    # promote member-wise
+                ("i", "in", [1, "2"]),  # one bad member drops the IN
+                ("nope", "=", 1),       # unknown column: DROP
+            ],
+            pairs,
+        )
+        assert got == [
+            ("I", "=", 5),
+            ("D", "=", 5.0),
+            ("S", "=", "x"),
+            ("TS", "isnull"),
+            ("D", "in", [1.0, 2.0]),
+        ]

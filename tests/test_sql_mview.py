@@ -283,3 +283,50 @@ class TestMviewMappedEvolution:
             ).collect()
         }
         assert got == want
+
+
+class TestMviewReviewFindings:
+    """Round-13 self-review regressions."""
+
+    def test_rename_of_KEY_column_survives_refresh_and_read(self, spark):
+        # refresh re-labels the agg state's key columns by field id; a
+        # read keyed on the CREATE-time name would brick — keys resolve
+        # positionally through the state, output keeps CREATE aliases
+        wh = _wh(spark)
+        execute_dml(spark, MV_DDL, catalog=wh)
+        execute_script(
+            spark,
+            """
+            ALTER TABLE t RENAME COLUMN g TO grp;
+            DELETE FROM t WHERE grp = 1;
+            REFRESH MATERIALIZED VIEW mv;
+            """,
+            catalog=wh,
+        )
+        got = _read_mv(spark, wh)  # still SELECT g, ... FROM mv
+        want = {
+            (r.grp, r.n, r.s, r.a)
+            for r in execute_query(
+                spark,
+                "SELECT grp, count(*) AS n, sum(v) AS s, "
+                "CAST(sum(v) AS DOUBLE)/count(v) AS a FROM t GROUP BY grp",
+                catalog=wh,
+            ).collect()
+        }
+        assert got == want
+
+    def test_duplicate_create_refused_or_replace_works(self, spark):
+        wh = _wh(spark)
+        execute_dml(spark, MV_DDL, catalog=wh)
+        with pytest.raises(ValueError, match="OR REPLACE"):
+            execute_dml(spark, MV_DDL, catalog=wh)
+        execute_dml(
+            spark,
+            "CREATE OR REPLACE MATERIALIZED VIEW mv AS SELECT g, "
+            "count(*) AS c2 , sum(v) AS s2 FROM t GROUP BY g",
+            catalog=wh,
+        )
+        row = execute_query(
+            spark, "SELECT g, c2, s2 FROM mv WHERE g = 0", catalog=wh
+        ).collect()
+        assert len(row) == 1  # new definition serves

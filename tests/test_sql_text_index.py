@@ -315,3 +315,92 @@ class TestTextIndexLifecycle:
                 "SELECT * FROM text_search('t', '  ', 5)",
                 {"t": plain},
             )
+
+
+class TestTextIndexReviewFindings:
+    """Round-13 self-review regressions."""
+
+    def test_duplicate_id_append_refused(self, spark, plain):
+        execute_dml(
+            spark,
+            "CREATE INDEX ON t (doc_id, text) USING INVERTED",
+            {"t": plain},
+        )
+        # re-use an EXISTING doc id in an appended file: the split
+        # tf/df would silently diverge from the inline BM25
+        from iceberg_file_writer_spark.ingest.snapshots import commit_append
+
+        commit_append(
+            spark,
+            spark.createDataFrame(
+                [(5, "spark window")], "doc_id bigint, text string"
+            ).coalesce(1),
+            plain,
+            max_rows=10,
+        )
+        with pytest.raises(ValueError, match="non-unique id"):
+            execute_dml(
+                spark,
+                "CREATE INDEX ON t (doc_id, text) USING INVERTED",
+                {"t": plain},
+            )
+
+    def test_retired_generation_reclaimed_by_append_refresh(
+        self, spark, tmp_path
+    ):
+        import random as _r
+
+        from iceberg_file_writer_spark.ingest.snapshots import commit_append
+
+        rng = _r.Random(5)
+        t = str(tmp_path / "t")
+        commit_append(
+            spark,
+            spark.createDataFrame(
+                _doc_rows(rng, 60), "doc_id bigint, text string"
+            ).coalesce(1),
+            t,
+            max_rows=30,
+        )
+        ddl = "CREATE INDEX ON t (doc_id, text) USING INVERTED"
+        execute_dml(spark, ddl, {"t": t})
+        execute_dml(spark, "DELETE FROM t WHERE doc_id % 2 = 0", {"t": t})
+        execute_dml(spark, ddl, {"t": t})  # rebuild -> retires gen A
+        assert read_text_index_meta(t)["retired"]
+        commit_append(
+            spark,
+            spark.createDataFrame(
+                _doc_rows(rng, 10, start=5000), "doc_id bigint, text string"
+            ).coalesce(1),
+            t,
+            max_rows=30,
+        )
+        execute_dml(spark, ddl, {"t": t})  # appends-only refresh
+        meta = read_text_index_meta(t)
+        assert meta["retired"] == []  # grace cycle over, reclaimed
+        live = {s["dir"].split("/", 1)[1] for s in meta["segments"]}
+        import os as _os
+
+        on_disk = set(_os.listdir(_os.path.join(t, "_text_index", "segments")))
+        assert on_disk == live
+
+    def test_empty_table_probe_keeps_id_type(self, spark):
+        # empty MAPPED table (the supported empty-table shape: schema
+        # synthesized from the mapping) — the probe's id column must
+        # keep the declared type, not collapse to string
+        wh = tempfile.mkdtemp(prefix="txte-")
+        execute_script(
+            spark,
+            """
+            CREATE TABLE et (doc_id BIGINT, text STRING);
+            CREATE INDEX ON et (doc_id, text) USING INVERTED;
+            """,
+            catalog=wh,
+        )
+        df = execute_query(
+            spark,
+            "SELECT * FROM text_search('et', 'spark', 5)",
+            catalog=wh,
+        )
+        assert dict(df.dtypes)["doc_id"] == "bigint"  # not string
+        assert df.count() == 0
