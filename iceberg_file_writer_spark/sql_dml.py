@@ -76,9 +76,17 @@ write.delete.mode table property, spelled inline.
                                           index, so re-running after appends
                                           IS the refresh; field-id-keyed on
                                           mapped tables — rename-proof)
-    DROP INDEX ON t                                   -> detach_bloom_index
-                                         (metadata-only commit; sidecar
-                                          files GC via VACUUM)
+    CREATE INDEX ON t (id, text) USING INVERTED       -> text_index.build
+                                         (Lucene-shaped segments; fresh
+                                          under metadata-only commits,
+                                          appends-only re-run indexes just
+                                          the new files, retractions
+                                          rebuild; probe via
+                                          text_search('t', 'query', k))
+    DROP INDEX ON t                                   -> drops every standing
+                                         index kind (bloom: metadata-only
+                                         detach commit, sidecars GC via
+                                         VACUUM; inverted: artifact removal)
 
 DDL (column-mapped tables — field-id schema evolution from birth):
 
