@@ -245,10 +245,17 @@ def _select_as_standing(df: DataFrame, columns: list) -> DataFrame:
 
 
 def append_mapped(
-    spark: SparkSession, df: DataFrame, table_path: str, max_rows: int = 4096
+    spark: SparkSession,
+    df: DataFrame,
+    table_path: str,
+    max_rows: int = 4096,
+    extra_manifest: "dict | None" = None,
+    op: str = "append",
 ) -> int:
     """Append rows matching the CURRENT logical schema (by name); the new
-    files record the current (id, name) mapping."""
+    files record the current (id, name) mapping. ``extra_manifest``/
+    ``op`` let append-shaped commit flavors (COPY INTO) carry their own
+    manifest metadata through the same path."""
     v = current_version(table_path)
     columns = table_columns(table_path, v)
     m = read_manifest(table_path, v)
@@ -262,8 +269,9 @@ def append_mapped(
     extra = {
         k: m[k] for k in ("eqs", "dvs") if m.get(k)
     }
+    extra.update(extra_manifest or {})
     return _commit_with_columns(
-        table_path, "append", m["files"] + files, columns,
+        table_path, op, m["files"] + files, columns,
         extra=extra or None, parent=v,
     )
 

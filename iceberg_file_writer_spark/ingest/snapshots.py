@@ -407,6 +407,11 @@ def _commit(
         # rewritten files just lack rows (conservative)
         if pm.get("bloom") and not (extra and "bloom" in extra):
             manifest["bloom"] = pm["bloom"]
+        # the COPY INTO source ledger (ingest/copy_into.py) carries like
+        # batch_ids: an interleaved DML commit must not forget which
+        # source files were already loaded (re-COPY would duplicate)
+        if pm.get("copied") and not (extra and "copied" in extra):
+            manifest["copied"] = pm["copied"]
         # initial-default values (mapped tables, Iceberg-v3 shape) are
         # schema metadata: ANY commit that drops them silently null-fills
         # pre-default-epoch history on every subsequent read. Column-aware
@@ -462,10 +467,17 @@ def _apply_standing_spec(df: DataFrame, manifest: dict) -> DataFrame:
 
 
 def commit_append(
-    spark: SparkSession, df: DataFrame, table_path: str, max_rows: int = 4096
+    spark: SparkSession,
+    df: DataFrame,
+    table_path: str,
+    max_rows: int = 4096,
+    extra: "dict | None" = None,
+    op: str = "append",
 ) -> int:
     """New snapshot = parent's files + the batch's new files (clustered
-    by the table's standing spec, if any)."""
+    by the table's standing spec, if any). ``extra``/``op`` let commit
+    flavors that ARE appends (COPY INTO) ride the same path with their
+    own manifest metadata."""
     from iceberg_file_writer_spark.ingest.partitioning import (
         reject_reserved_names,
     )
@@ -475,7 +487,7 @@ def commit_append(
     pm = read_manifest(table_path, parent) if parent else {}
     prev = pm.get("files") or []
     new = _write_data_files(_apply_standing_spec(df, pm), table_path, max_rows)
-    return _commit(table_path, parent, "append", prev + new)
+    return _commit(table_path, parent, op, prev + new, extra=extra)
 
 
 def commit_overwrite(

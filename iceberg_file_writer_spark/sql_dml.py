@@ -60,6 +60,15 @@ write.delete.mode table property, spelled inline.
                                           row count; read via table_stats)
     VACUUM t [RETAIN <n> VERSIONS]                    -> maintenance.vacuum
 
+    COPY INTO t FROM '<file-or-dir>'
+                [FORMAT PARQUET|CSV|AVRO]             -> copy_into.copy_into
+                                         (file-idempotent bulk load: the
+                                          manifest's "copied" ledger makes
+                                          re-runs skip already-loaded files;
+                                          rows decode TARGET-shaped — Avro
+                                          via the jar-free codec with the
+                                          table schema as reader schema)
+
     CREATE MATERIALIZED VIEW mv AS
       SELECT <keys>, count(*)/count(c)/sum(c)/avg(c)
         AS <alias>... FROM t GROUP BY <keys>          -> mview.create_mview
@@ -247,6 +256,15 @@ _DROP_INDEX_RE = re.compile(
 )
 _SHOW_INDEXES_RE = re.compile(
     rf"^SHOW{_WS}INDEXES{_WS}ON{_WS}(?P<t>{_ID})$", re.IGNORECASE
+)
+_SHOW_CREATE_RE = re.compile(
+    rf"^SHOW{_WS}CREATE{_WS}TABLE{_WS}(?P<t>{_ID})$", re.IGNORECASE
+)
+_COPY_INTO_RE = re.compile(
+    rf"^COPY{_WS}INTO{_WS}(?P<t>{_ID}){_WS}FROM{_WS}"
+    r"'(?P<src>[^']+)'"
+    rf"(?:{_WS}FORMAT{_WS}(?P<fmt>[A-Za-z]+))?$",
+    re.IGNORECASE,
 )
 _CTAS_RE = re.compile(
     rf"^CREATE{_WS}TABLE{_WS}(?P<t>{_ID})"
@@ -803,6 +821,21 @@ def execute_dml(
             raise ValueError(f"no index on {path}")
         return out
 
+    m = _COPY_INTO_RE.match(stmt)
+    if m:
+        # the reference's pipeline as a statement: file-idempotent bulk
+        # load (the manifest's "copied" ledger makes re-runs skip seen
+        # files). Returns {"version", "files_loaded", "files_skipped"}.
+        from iceberg_file_writer_spark.ingest.copy_into import copy_into
+
+        return copy_into(
+            spark,
+            _resolve(tables, m.group("t")),
+            m.group("src"),
+            fmt=(m.group("fmt") or "parquet"),
+            max_rows=max_rows,
+        )
+
     m = _CTAS_RE.match(stmt)
     if m:
         from iceberg_file_writer_spark.ingest.column_mapping import (
@@ -1348,6 +1381,54 @@ def execute_query(
             "string, view_version bigint, table_version bigint, "
             "stale boolean",
         )
+
+    scm = _SHOW_CREATE_RE.match(stmt)
+    if scm:
+        # reconstructed DDL from the manifest: mapped tables from the
+        # (id, name, type) mapping, the hidden-partition spec rendered
+        # with CURRENT column names (zorder terms are clustering-only
+        # and not part of PARTITIONED BY)
+        from iceberg_file_writer_spark.ingest.snapshots import (
+            current_version,
+            read_manifest,
+        )
+
+        name = scm.group("t")
+        path = _resolve(tables, name)
+        m = read_manifest(path, current_version(path))
+        if "columns" in m:
+            cols = [(c[1], c[2]) for c in m["columns"]]
+            id_to_name = {c[0]: c[1] for c in m["columns"]}
+        else:
+            from iceberg_file_writer_spark.ingest.snapshots import (
+                read_table_version,
+            )
+
+            cols = [
+                (f.name, f.dataType.simpleString())
+                for f in read_table_version(spark, path).schema.fields
+            ]
+            id_to_name = None
+
+        def _nm(x):
+            if id_to_name is not None and x in id_to_name:
+                return id_to_name[x]
+            return str(x)
+
+        parts = []
+        for tr in m.get("spec") or []:
+            if tr[0] in ("day", "month", "year", "hour"):
+                parts.append(f"{tr[0]}({_nm(tr[1])})")
+            elif tr[0] in ("bucket", "truncate"):
+                parts.append(f"{tr[0]}({tr[1]}, {_nm(tr[2])})")
+        ddl = (
+            f"CREATE TABLE {name} ("
+            + ", ".join(f"{c} {t.upper()}" for c, t in cols)
+            + ")"
+        )
+        if parts:
+            ddl += " PARTITIONED BY (" + ", ".join(parts) + ")"
+        return spark.createDataFrame([(ddl,)], "createtab_stmt string")
 
     sim = _SHOW_INDEXES_RE.match(stmt)
     if sim:
