@@ -763,13 +763,16 @@ def upsert_mapped(
             f"{key_ids} — one consistent key set per table"
         )
     from iceberg_file_writer_spark.ingest.equality_deletes import (
+        _keys_from_written,
         _write_eq_file,
     )
 
     new = _write_data_files(_spec_clustered(df, m), table_path, max_rows)
     for e in new:
         e["cols"] = [[c[0], c[1]] for c in columns]
-    rel, n = _write_eq_file(spark, table_path, df.select(*key_cols))
+    rel, n = _write_eq_file(
+        spark, table_path, _keys_from_written(spark, table_path, new, df, key_cols)
+    )
     version = v0 + 1
     eq_entry = {
         "path": rel,

@@ -86,6 +86,30 @@ def _write_eq_file(
     return rel, n
 
 
+def _keys_from_written(
+    spark: SparkSession,
+    table_path: str,
+    new: "list[dict]",
+    df: DataFrame,
+    key_cols: "list[str]",
+) -> DataFrame:
+    """The upsert batch's key tuples, read back from the data files the
+    commit just wrote instead of re-executing the batch plan.
+
+    An upsert runs two write jobs (data files, then the equality-delete
+    keys); deriving the second from the first's immutable output halves
+    the per-commit compute — the batch lineage (a streaming micro-batch's
+    window, a CDC reduction) executes once, and the key job becomes a
+    batch-sized local parquet read (r13 optimization; guide §1.2 /
+    §2.3 "shuffle keys instead of payloads"). Falls back to the original
+    plan when the batch wrote no files (empty batch)."""
+    if not new:
+        return df.select(*key_cols)
+    return spark.read.parquet(
+        *[os.path.join(table_path, e["path"]) for e in new]
+    ).select(*key_cols)
+
+
 def commit_delete_keys(
     spark: SparkSession, table_path: str, keys: DataFrame
 ) -> int:
@@ -136,7 +160,9 @@ def commit_upsert(
     new = _write_data_files(
         _apply_standing_spec(df, m), table_path, max_rows
     )
-    rel, n = _write_eq_file(spark, table_path, df.select(*key_cols))
+    rel, n = _write_eq_file(
+        spark, table_path, _keys_from_written(spark, table_path, new, df, key_cols)
+    )
     version = parent + 1
     eq_entry = {
         "path": rel, "seq": version, "cols": list(key_cols), "rows": n,

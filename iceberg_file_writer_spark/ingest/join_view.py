@@ -199,7 +199,20 @@ def refresh_join_view_facts(
     has_parts = os.path.isdir(app) and any(
         p.startswith("kb=") for p in os.listdir(app)
     )
-    n = spark.read.parquet(app).count() if has_parts else 0
+    # rows_appended from the staged files' parquet footers: the count is
+    # pure commit telemetry, and a second Spark job re-reading the delta
+    # just to count it doubled the per-batch job count (r13 optimization;
+    # guide §1.2). Footer metadata is exact.
+    n = 0
+    if has_parts:
+        import pyarrow.parquet as pq
+
+        for walk_root, _dirs, files in os.walk(app):
+            for fname in files:
+                if fname.endswith(".parquet") and not fname.startswith(("_", ".")):
+                    n += pq.ParquetFile(
+                        os.path.join(walk_root, fname)
+                    ).metadata.num_rows
     write_atomic(base + ".jv-commit", batch_id or "")
     _commit_join_view(base)
     return {"rows_appended": n}

@@ -785,6 +785,18 @@ _READ_PLAN_CACHE: dict = {}
 _READ_PLAN_CACHE_MAX = 64
 
 
+# newest-file -> schema memo: data files are immutable and content-
+# addressed (uuid names, never rewritten), so the schema read from one
+# file's footer can never change for that path — re-reading it cost one
+# driver-side footer fetch per *plan* even when consecutive versions
+# share their newest file (metadata-only commits, delete-only commits,
+# repeated reads of one version across statements). Bounded like the
+# plan cache. (r13 optimization; guide §5 "the driver should do almost
+# no data work".)
+_SCHEMA_MEMO: dict = {}
+_SCHEMA_MEMO_MAX = 256
+
+
 def _standing_schema(spark: SparkSession, table_path: str, files: list[dict]):
     """The snapshot's schema from the footer of ONE newest-seq file.
 
@@ -799,9 +811,19 @@ def _standing_schema(spark: SparkSession, table_path: str, files: list[dict]):
     added column surface NULL for it under an explicit read schema,
     exactly as mergeSchema produced."""
     newest = max(files, key=lambda e: int(e.get("seq") or 0))
-    return spark.read.parquet(
-        os.path.join(table_path, newest["path"])
-    ).schema
+    key = (
+        spark.sparkContext.applicationId,
+        os.path.join(table_path, newest["path"]),
+    )
+    schema = _SCHEMA_MEMO.get(key)
+    if schema is None:
+        schema = spark.read.parquet(
+            os.path.join(table_path, newest["path"])
+        ).schema
+        if len(_SCHEMA_MEMO) >= _SCHEMA_MEMO_MAX:
+            _SCHEMA_MEMO.clear()
+        _SCHEMA_MEMO[key] = schema
+    return schema
 
 
 def _read_files(
@@ -1969,11 +1991,24 @@ def changes_typed(
         raise ValueError(f"key column(s) {missing} not in the feed schema")
     row = F.struct(*[F.col(c) for c in data_cols])
     is_m = F.col("change") == "-"
-    g = feed.groupBy(*key_cols).agg(
-        F.max(F.when(is_m, row)).alias("_m"),
-        F.max(F.when(~is_m, row)).alias("_p"),
-        F.sum(F.when(is_m, 1).otherwise(0)).alias("_nm"),
-        F.sum(F.when(~is_m, 1).otherwise(0)).alias("_np"),
+    # The keyed aggregate is executed twice per call — once eagerly by
+    # the uniqueness guard below, once by whoever runs the returned
+    # plan. Cache it so the feed derivation (manifest-diff scans + MoR
+    # sidecar joins) and the key shuffle run ONCE: the guard's collect
+    # materializes the delta-sized relation and the returned plan
+    # explodes straight out of it (r13 optimization; guide §1.2 "don't
+    # compute things twice"). The relation is change-sized — the same
+    # bound the feed itself carries — and spills to disk if a huge span
+    # (from_version=0) exceeds memory.
+    from iceberg_file_writer_spark.cache_util import ensure_cached
+
+    g = ensure_cached(
+        feed.groupBy(*key_cols).agg(
+            F.max(F.when(is_m, row)).alias("_m"),
+            F.max(F.when(~is_m, row)).alias("_p"),
+            F.sum(F.when(is_m, 1).otherwise(0)).alias("_nm"),
+            F.sum(F.when(~is_m, 1).otherwise(0)).alias("_np"),
+        )
     )
     dup = (
         g.where("(_nm > 1) OR (_np > 1)")

@@ -2345,53 +2345,84 @@ def doc_trigram_backoff_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     the per-doc count relations (SUM OVER (PARTITION BY gram) - own), so
     "the model minus this document" costs no second training pass.
 
-    Scale shape: each gram relation shuffles once on its gram key for the
-    window sum (trigram keys are high-cardinality — no hot partitions),
-    then joins back on (doc_id, gram) — co-partitioned with the per-doc
-    aggregates. No broadcast of corpus-sized state; the only global
-    scalars are V and the 1-row total.
+    Scale shape (r13 optimization, guide §2.4 "remove shuffles outright"):
+    every leave-one-out statistic is a sum of the per-(doc, trigram)
+    counts over a coarser key, so ALL of them are window sums over the
+    ONE aggregated trigram relation — no join-backs, no per-gram-relation
+    aggregation passes, and no broadcast of gram-sized relations (the old
+    plan built five; at 100 TB those are corpus-sized and would have to
+    degrade to shuffle joins). Windows sharing a key family ride ONE
+    explicit coarse repartition: hash(w1,w2) serves the (w1,w2,doc_id) /
+    (w1,w2,w3) / (w1,w2) partitions (a hash partitioning satisfies any
+    window clustering it is a subset of), hash(w2) serves the w2 family,
+    hash(w3) the w3 family, and the final hash(doc_id) is reused by the
+    closing per-doc aggregate. Plan: 15 exchanges + 5 join-side broadcast
+    builds → 6 exchanges, 0 joins (plans/r13/
+    doc_trigram_backoff_logprob_{before,after}.txt). Per-word keys (w2),
+    (w3) partition exactly as the old Window.partitionBy("w2") did — no
+    new hot-key exposure. The only global scalars are V and the 1-row
+    total, broadcast as before.
     """
     from pyspark.sql import Window
 
     docs = load_tables(spark, sf_dir)["documents"]
     from iceberg_file_writer_spark.operators.text import words
 
-    wx = docs.select(
-        "doc_id", F.posexplode(words(F.col("text"))).alias("pos", "w")
-    )
-    dw = Window.partitionBy("doc_id").orderBy("pos")
+    # Trigram extraction is per-row array algebra: zip each word with its
+    # two successors inside the words array and explode once — no
+    # posexplode to word rows, no per-doc window (the old plan's first
+    # exchange + sort over the full word stream; guide §2.4). Array
+    # subscripts are 0-based; the slice keeps exactly the n-2 trigram
+    # starts, so short docs (<3 words) emit nothing, as the old
+    # lead(w,2)-NOT-NULL filter did.
     tg = (
-        wx.select(
+        docs.select("doc_id", words(F.col("text")).alias("__ws"))
+        .select(
             "doc_id",
-            F.col("w").alias("w1"),
-            F.lead("w", 1).over(dw).alias("w2"),
-            F.lead("w", 2).over(dw).alias("w3"),
+            F.explode(
+                F.expr(
+                    "transform("
+                    "  slice(__ws, 1, greatest(size(__ws) - 2, 0)),"
+                    "  (x, i) -> struct(x AS w1, __ws[i+1] AS w2, __ws[i+2] AS w3))"
+                )
+            ).alias("t"),
         )
-        .where(F.col("w3").isNotNull())
-        .transform(ensure_cached)
+        .select("doc_id", "t.w1", "t.w2", "t.w3")
+    )
+    # cache the AGGREGATED trigram relation (strictly smaller than the
+    # raw trigram stream): the window chain and the t_all scalar both
+    # read it, so the doc scan + explode + count run once per plan
+    tgd = ensure_cached(
+        tg.groupBy("doc_id", "w1", "w2", "w3").agg(
+            F.count(F.lit(1)).alias("cnt")
+        )
+    )
+    t_all = tgd.agg(F.sum("cnt").cast("long").alias("t_all"))
+    v = docs.select(F.explode(words(F.col("text"))).alias("w")).agg(
+        F.countDistinct("w").alias("v")
     )
 
-    def loo(keys: list[str], cname: str) -> DataFrame:
-        per = tg.groupBy("doc_id", *keys).agg(F.count(F.lit(1)).alias(cname))
-        return per.withColumn(
-            f"{cname}_all", F.sum(cname).over(Window.partitionBy(*keys))
-        )
-
-    tgd = loo(["w1", "w2", "w3"], "cnt")
-    bgd12 = loo(["w1", "w2"], "b12")
-    bgd23 = loo(["w2", "w3"], "b23")
-    ugd2 = loo(["w2"], "u2")
-    ugd3 = loo(["w3"], "u3")
-    totd = tg.groupBy("doc_id").agg(F.count(F.lit(1)).alias("td"))
-    t_all = tg.agg(F.count(F.lit(1)).cast("long").alias("t_all"))
-    v = wx.agg(F.countDistinct("w").alias("v"))
+    def wsum(*keys: str):
+        # partition-key ORDER only shapes the required sort (letting
+        # same-family windows share one local sort prefix); the summed
+        # value is over the whole partition either way
+        return F.sum("cnt").over(Window.partitionBy(*keys))
 
     j = (
-        tgd.join(bgd12, ["doc_id", "w1", "w2"])
-        .join(bgd23, ["doc_id", "w2", "w3"])
-        .join(ugd2, ["doc_id", "w2"])
-        .join(ugd3, ["doc_id", "w3"])
-        .join(totd, "doc_id")
+        tgd.repartition(F.col("w1"), F.col("w2"))
+        .withColumn("b12", wsum("w1", "w2", "doc_id"))
+        .withColumn("b12_all", wsum("w1", "w2"))
+        .withColumn("cnt_all", wsum("w1", "w2", "w3"))
+        .repartition(F.col("w2"))
+        .withColumn("b23", wsum("w2", "w3", "doc_id"))
+        .withColumn("b23_all", wsum("w2", "w3"))
+        .withColumn("u2", wsum("w2", "doc_id"))
+        .withColumn("u2_all", wsum("w2"))
+        .repartition(F.col("w3"))
+        .withColumn("u3", wsum("w3", "doc_id"))
+        .withColumn("u3_all", wsum("w3"))
+        .repartition(F.col("doc_id"))
+        .withColumn("td", wsum("doc_id"))
         .crossJoin(F.broadcast(t_all))
         .crossJoin(F.broadcast(v))
     )

@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from iceberg_file_writer_spark.cache_util import ensure_cached
 from iceberg_file_writer_spark.queries import register
 from iceberg_file_writer_spark.tables import load_tables
 
@@ -944,7 +945,11 @@ def customer_item_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame
     integer count — no float ranking anywhere.
     """
     t = load_tables(spark, sf_dir)
-    owned = (
+    # cache(): owned feeds BOTH the candidate join and the already-owned
+    # anti-join on different keys (no exchange reuse possible), so
+    # without the pin the orders x lineitem join + distinct executed
+    # twice per run (r13 optimization; guide §1.2)
+    owned = ensure_cached(
         t["orders"]
         .join(t["lineitem"], F.col("l_orderkey") == F.col("o_orderkey"))
         .select(F.col("o_custkey").alias("cust"), F.col("l_partkey").alias("part"))

@@ -128,9 +128,16 @@ def _emb_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (spark.sparkContext.applicationId, sf_dir)
     df = _EMB_CACHED.get(key)
     if df is None:
-        df = _emb_cols(spark, sf_dir).cache()
+        df = _emb_cols(spark, sf_dir)
         _EMB_CACHED[key] = df
-    return df
+    # re-pin on every access: a session-level clearCache (the bench's
+    # entry isolation, a user's own hygiene) silently dropped the memo's
+    # storage, after which every ANN entry recomputed the 65-column
+    # unpack per use with no cache at all (r13 optimization) —
+    # ensure_cached is a no-op while the pin is live
+    from iceberg_file_writer_spark.cache_util import ensure_cached
+
+    return ensure_cached(df)
 
 
 def _rename(df: DataFrame, id_alias: str, dst: str, norm_alias: str) -> DataFrame:
@@ -168,7 +175,11 @@ FROM ranked WHERE rk <= {KNN_K}
     driver_exposed=False,
 )
 def knn_bruteforce_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = _emb_cols(spark, sf_dir)
+    # the shared pinned unpack (r13): the recall/nDCG evaluation entries
+    # run this operand alongside an approximate operand over the same
+    # corpus — both sides and the query slice now read one cached
+    # relation instead of re-unpacking 65 columns per use
+    emb = _emb_cached(spark, sf_dir)
     q = _rename(emb.where(F.col("vec_id") < KNN_N_QUERIES), "query_id", "a", "na")
     c = _rename(emb, "neighbor_id", "b", "nb")
     scored = (
@@ -262,7 +273,7 @@ WHERE {_cosine_sql('ea.embedding', 'eb.embedding')} >= {NEARDUP_COS_THRESHOLD}
 )
 def embedding_near_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
-    emb = _emb_cols(spark, sf_dir)
+    emb = _emb_cached(spark, sf_dir)  # both verify sides read it (r13)
     keyed = t["embeddings"].select("vec_id", _srp_keys_udf()(F.col("embedding")).alias("tkeys"))
     # cache(): both sides of the bucket self-join read the SRP keys; without
     # it the pandas-UDF projection (the one Python stage) runs twice.
@@ -1951,7 +1962,7 @@ def knn_pq_adc_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("prk") <= PQ_CAND_M)
         .select("query_id", F.col("vec_id").alias("neighbor_id"))
     )
-    emb = _emb_cols(spark, sf_dir)
+    emb = _emb_cached(spark, sf_dir)  # shared pinned unpack (r13)
     qe = _rename(emb.where(F.col("vec_id") < KNN_N_QUERIES), "query_id", "a", "na")
     ce = _rename(emb, "neighbor_id", "b", "nb")
     rr = (

@@ -1572,7 +1572,13 @@ def streaming_upsert_mor_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = tempfile.mkdtemp(prefix="upsert-mor-")
     table = os.path.join(root, "state")
     ckpt = os.path.join(root, "ckpt")
-    sink = streaming_upsert_sink(table, ["user_id"])
+    # 64k-row file bound: the default 4096 (the reference ingest
+    # pipeline's contract, which keeps it) shredded each ~60k-row
+    # micro-batch into ~15 tiny files — per-file open cost on every
+    # subsequent MoR read and write-side commit overhead (guide §6
+    # "small files hurt twice"). Results are row-identical; only the
+    # file layout changes.
+    sink = streaming_upsert_sink(table, ["user_id"], max_rows=65536)
     bw = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
 
     def _fold(batch_df: DataFrame, batch_id: int) -> None:
@@ -2031,12 +2037,15 @@ def streaming_agg_view_maintenance(spark: SparkSession, sf_dir: str) -> DataFram
     base = os.path.join(root, "base")
     view = os.path.join(root, "view")
     ckpt = os.path.join(root, "ckpt")
-    commit_append(spark, src.where("o_orderkey % 4 = 0"), base, max_rows=4096)
+    commit_append(spark, src.where("o_orderkey % 4 = 0"), base, max_rows=65536)
     init_agg_view(spark, base, view, ["grp"], "cents")
 
     def _fold(batch_df: DataFrame, batch_id: int) -> None:
         s = batch_df.sparkSession
-        commit_upsert(s, base, batch_df, ["o_orderkey"], max_rows=4096)
+        # 64k-row file bound (was 4096): fewer files per micro-batch
+        # commit → smaller manifest diffs for the CDC fold and fewer
+        # per-file opens on every read (guide §6); results identical
+        commit_upsert(s, base, batch_df, ["o_orderkey"], max_rows=65536)
         refresh_agg_view(s, base, view)
 
     q = (
