@@ -2413,14 +2413,17 @@ def doc_trigram_backoff_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("b12", wsum("w1", "w2", "doc_id"))
         .withColumn("b12_all", wsum("w1", "w2"))
         .withColumn("cnt_all", wsum("w1", "w2", "w3"))
+        .drop("w1")  # consumed — later exchanges move counts, not words
         .repartition(F.col("w2"))
         .withColumn("b23", wsum("w2", "w3", "doc_id"))
         .withColumn("b23_all", wsum("w2", "w3"))
         .withColumn("u2", wsum("w2", "doc_id"))
         .withColumn("u2_all", wsum("w2"))
+        .drop("w2")
         .repartition(F.col("w3"))
         .withColumn("u3", wsum("w3", "doc_id"))
         .withColumn("u3_all", wsum("w3"))
+        .drop("w3")
         .repartition(F.col("doc_id"))
         .withColumn("td", wsum("doc_id"))
         .crossJoin(F.broadcast(t_all))

@@ -671,6 +671,11 @@ def ivf_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         # join, so Catalyst can't see it's tiny — broadcast explicitly or
         # the cell-id equi-join falls back to sort-merge
         F.broadcast(_ivf_probes(emb, cents))
+        # NOT cached (r13 A/B): pinning the assignment relation read
+        # ~40% slower than recomputing it — the uncached form fuses the
+        # broadcast cross join + argmax into one codegen stage over the
+        # already-cached emb, while a cache pin forces an InMemoryRelation
+        # scan plus materialization
         .join(_ivf_assign(emb, cents), "cent_id")
         .where(F.col("vec_id") != F.col("query_id"))
         .select("query_id", F.col("vec_id").alias("neighbor_id"))
@@ -1939,6 +1944,9 @@ def knn_pq_adc_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     sub_rel = _pq_sub_rel(spark, sf_dir)
     cents = _pq_codebooks_df(spark, sf_dir)
+    # NOT cached (r13 A/B): pinning the encoded corpus measured ~40%
+    # slower than recomputing it — uncached, the encode argmin fuses
+    # with the ADC join in one codegen stage over the cached sub_rel
     encode = _pq_encode(sub_rel, cents)
     lut = (
         sub_rel.where(F.col("vec_id") < KNN_N_QUERIES)
