@@ -1453,8 +1453,15 @@ def streaming_join_view_maintenance(spark: SparkSession, sf_dir: str) -> DataFra
     facts = t["orders"].select(
         "o_orderkey", F.col("o_custkey").alias("custkey"), "o_totalprice"
     )
-    dim = t["customer"].select(
-        F.col("c_custkey").alias("custkey"), "c_name", "c_mktsegment"
+    # cache(): the dim relation is broadcast-rebuilt by init + every
+    # micro-batch's delta join — pin it so each build reads the cached
+    # projection instead of re-scanning customer parquet (r13)
+    from iceberg_file_writer_spark.cache_util import ensure_cached
+
+    dim = ensure_cached(
+        t["customer"].select(
+            F.col("c_custkey").alias("custkey"), "c_name", "c_mktsegment"
+        )
     )
 
     def _stage(path: str) -> None:
