@@ -197,9 +197,23 @@ def init_agg_view(
     return v
 
 
+def _read_data(spark: SparkSession, view_path: str, data: str) -> DataFrame:
+    """Read a view data generation with its schema resolved from one
+    pyarrow footer read (the generation is Spark-written, so the footer
+    carries the exact Spark schema JSON) instead of a ~165 ms JVM
+    inference pass — the refresh loop reads the standing state every
+    cycle (r14, guide §5)."""
+    from iceberg_file_writer_spark.ingest.snapshots import fast_parquet_schema
+
+    p = os.path.join(view_path, data)
+    sch = fast_parquet_schema(p)
+    reader = spark.read.schema(sch) if sch is not None else spark.read
+    return reader.parquet(p)
+
+
 def read_agg_view(spark: SparkSession, view_path: str) -> DataFrame:
     st = _read_state(view_path)
-    return spark.read.parquet(os.path.join(view_path, st["data"]))
+    return _read_data(spark, view_path, st["data"])
 
 
 def agg_view_version(view_path: str) -> int:
@@ -415,7 +429,7 @@ def cdf_fold_sink(view_path: str, keys: list, value_col: str):
         ks, vc = st["keys"], st["value_col"]
         _check_exact(batch_df, vc)
         if st.get("data"):
-            standing = s.read.parquet(os.path.join(view_path, st["data"]))
+            standing = _read_data(s, view_path, st["data"])
         else:
             standing = (
                 batch_df.select(

@@ -105,9 +105,15 @@ def _keys_from_written(
     plan when the batch wrote no files (empty batch)."""
     if not new:
         return df.select(*key_cols)
-    return spark.read.parquet(
-        *[os.path.join(table_path, e["path"]) for e in new]
-    ).select(*key_cols)
+    from iceberg_file_writer_spark.ingest.snapshots import fast_parquet_schema
+
+    paths = [os.path.join(table_path, e["path"]) for e in new]
+    # the files were written by THIS commit moments ago — their Spark
+    # schema comes from one pyarrow footer read, not a JVM inference
+    # pass over the set (r14, guide §5)
+    sch = fast_parquet_schema(paths[0])
+    reader = spark.read.schema(sch) if sch is not None else spark.read
+    return reader.parquet(*paths).select(*key_cols)
 
 
 def commit_delete_keys(

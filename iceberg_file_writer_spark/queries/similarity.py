@@ -134,10 +134,24 @@ def _emb_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     # entry isolation, a user's own hygiene) silently dropped the memo's
     # storage, after which every ANN entry recomputed the 65-column
     # unpack per use with no cache at all (r13 optimization) —
-    # ensure_cached is a no-op while the pin is live
+    # ensure_cached is a no-op while the pin is live. Bench-methodology
+    # note: because of the re-pin, each bench entry pays the unpack
+    # materialization inside its own timed region after the harness's
+    # clearCache — nothing stays warm ACROSS entries; within a session a
+    # user who wants the pin gone for real calls release_emb_cache().
     from iceberg_file_writer_spark.cache_util import ensure_cached
 
     return ensure_cached(df)
+
+
+def release_emb_cache() -> None:
+    """Explicitly unpersist and forget the shared embedding pin (r14,
+    ADVICE: the memo deliberately re-pins after ``clearCache`` so ANN
+    entries never run cold-per-branch; this is the matching release
+    hook for sessions that want the working set gone for good)."""
+    for df in _EMB_CACHED.values():
+        df.unpersist()
+    _EMB_CACHED.clear()
 
 
 def _rename(df: DataFrame, id_alias: str, dst: str, norm_alias: str) -> DataFrame:

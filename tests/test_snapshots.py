@@ -964,13 +964,66 @@ def test_changes_typed_is_single_pass(spark, tmp_path):
     commit_delete_where(spark, t, "k = 1")
     df = changes_typed(spark, t, 1, current_version(t), ["k"])
     plan = df._jdf.queryExecution().optimizedPlan().toString()
-    assert "InMemoryRelation" in plan, (
-        "typed feed no longer shares one materialized aggregate between "
-        "the uniqueness guard and the returned plan"
-    )
+    # The single-pass contract, stated mechanism-tolerantly (r14, ADVICE):
+    # the guard and the returned plan must SHARE one materialization of
+    # the keyed aggregate. Today that reuse is a cache pin
+    # (InMemoryRelation); any future mechanism (localCheckpoint, a
+    # guard-side-only materialization) is acceptable as long as the
+    # returned plan does not re-derive the feed — i.e. the head of the
+    # plan (above whatever reuse node appears, or the whole plan if the
+    # feed were inlined) stays join-free, union-free and aggregation-free
+    # EXCEPT the one keyed aggregate itself.
+    for reuse_node in ("InMemoryRelation", "LogicalRDD", "Checkpoint"):
+        if reuse_node in plan:
+            head = plan.split(reuse_node)[0]
+            break
+    else:
+        raise AssertionError(
+            "typed feed no longer shares one materialized aggregate "
+            "between the uniqueness guard and the returned plan "
+            "(no reuse node in the optimized plan)"
+        )
     # everything ABOVE the shared aggregate is join-free, union-free and
     # aggregation-free — the typed rows explode straight out of it
-    head = plan.split("InMemoryRelation")[0]
     assert "Join" not in head, "typed feed reintroduced a pairing join"
     assert "Union" not in head, "typed feed reintroduced union rescans"
     assert "Aggregate" not in head, "typed feed re-aggregates the feed"
+
+
+def test_changes_typed_pin_registry_is_bounded(spark, tmp_path):
+    """r14 cache hygiene (VERDICT r13 What's-wrong #4): each distinct
+    (table, span) typed-feed call pins its keyed aggregate, and the pins
+    ride a bounded LRU registry — polling many spans in one long-lived
+    session must never accumulate more than the bound, and the explicit
+    release hook drops them all."""
+    from iceberg_file_writer_spark import cache_util
+    from iceberg_file_writer_spark.cache_util import release_pins
+    from iceberg_file_writer_spark.ingest.snapshots import (
+        changes_typed,
+        current_version,
+    )
+
+    release_pins()  # isolate from other tests' pins
+    t = str(tmp_path / "t")
+    n_spans = cache_util._PINNED_MAX + 3
+    commit_append(
+        spark,
+        spark.createDataFrame([(0, 0)], "k long, v long"),
+        t,
+        max_rows=10,
+    )
+    for i in range(1, n_spans + 1):
+        commit_append(
+            spark,
+            spark.createDataFrame([(i, i * 10)], "k long, v long"),
+            t,
+            max_rows=10,
+        )
+    cur = current_version(t)
+    for i in range(1, n_spans + 1):
+        # n_spans distinct spans, each a distinct pinned plan
+        changes_typed(spark, t, i, cur, ["k"]).collect()
+    assert len(cache_util._PINNED) <= cache_util._PINNED_MAX
+    # every registry entry is genuinely cached; release drops them all
+    release_pins()
+    assert len(cache_util._PINNED) == 0

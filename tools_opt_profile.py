@@ -24,7 +24,7 @@ import time
 
 def main() -> None:
     args = [a for a in sys.argv[1:]]
-    plans_dir = "plans/r13"
+    plans_dir = "plans/r14"
     runs = 2
     suffix = "before"
     names: list[str] = []
@@ -52,6 +52,17 @@ def main() -> None:
     from iceberg_file_writer_spark.queries import all_queries
     from iceberg_file_writer_spark.session import get_spark
     from iceberg_file_writer_spark.tables import load_tables
+
+    # validate entry names BEFORE paying session + warm-up cost (r14,
+    # ADVICE: a typo'd name used to KeyError only in the profiling loop)
+    known = all_queries()
+    unknown = [n for n in names if n not in known]
+    if unknown:
+        sys.exit(
+            f"unknown entr{'y' if len(unknown) == 1 else 'ies'}: "
+            f"{', '.join(unknown)} — pick from all_queries() "
+            f"({len(known)} registered)"
+        )
 
     spark = get_spark("opt-profile")
     tables = load_tables(spark, sf_dir)
