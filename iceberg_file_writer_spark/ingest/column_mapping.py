@@ -485,13 +485,22 @@ def _apply_eqs_mapped(
             f"equality-delete key field id(s) {missing} are not in the "
             "as-of schema — the key column was dropped with live deletes"
         )
-    seq_rows = [
-        (os.path.basename(e["path"]), int(e.get("seq") or 0)) for e in files
-    ]
-    seq_map = spark.createDataFrame(seq_rows, "_pos_bn string, _file_seq long")
+    from iceberg_file_writer_spark.ingest.snapshots import (
+        _with_file_seq,
+        fast_parquet_schema,
+    )
+
+    # per-file reads stay (eq files key by field id but carry their
+    # commit-time NAMES, so epochs can differ in physical schema), but
+    # each resolves one pyarrow footer instead of a JVM inference pass,
+    # and the file->seq attachment is a literal-map expression instead
+    # of a createDataFrame'd broadcast join (r14, guide §5)
     eq = None
     for e in eqs:
-        part = spark.read.parquet(os.path.join(table_path, e["path"])).select(
+        p = os.path.join(table_path, e["path"])
+        sch = fast_parquet_schema(p)
+        reader = spark.read.schema(sch) if sch is not None else spark.read
+        part = reader.parquet(p).select(
             *[
                 F.col(name_at_commit).alias(f"_eqk_{cid}")
                 for cid, name_at_commit in zip(e["ids"], e["cols"])
@@ -501,9 +510,12 @@ def _apply_eqs_mapped(
     eq = eq.groupBy(*[f"_eqk_{i}" for i in key_ids]).agg(
         F.max("_eq_seq").alias("_eq_seq")
     )
+    data = _with_file_seq(
+        spark, data.withColumnRenamed("_pos_fn", "_pos_bn"), files,
+        "_file_seq", fn_col="_pos_bn",
+    )
     out = (
-        data.withColumnRenamed("_pos_fn", "_pos_bn")
-        .join(F.broadcast(seq_map), "_pos_bn", "left")
+        data
         .join(
             F.broadcast(eq),
             [
@@ -553,9 +565,9 @@ def _scan_mapped(
     if out is None:
         return None
     if m.get("dvs"):
-        dv = spark.read.parquet(
-            *[os.path.join(table_path, p) for p in m["dvs"]]
-        ).select(
+        from iceberg_file_writer_spark.ingest.snapshots import _read_dvs
+
+        dv = _read_dvs(spark, table_path, m["dvs"]).select(
             F.col("file_name").alias("_pos_fn"),
             F.col("row_index").alias("_pos_ri"),
         )

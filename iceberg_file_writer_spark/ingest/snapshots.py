@@ -814,8 +814,10 @@ _ARROW_SIMPLE = {
     "binary": "binary",
     "large_binary": "binary",
     "date32[day]": "date",
+    # timestamp[ns] deliberately absent: this engine reads nano-stamped
+    # parquet under spark.sql.legacy.parquet.nanosAsLong (tables.py), so
+    # JVM inference yields LongType there — the map must not disagree
     "timestamp[us]": "timestamp_ntz",
-    "timestamp[ns]": "timestamp_ntz",
     "timestamp[ms]": "timestamp_ntz",
 }
 
@@ -975,11 +977,15 @@ def _read_eqs(
 
 
 def _with_file_seq(
-    spark: SparkSession, data: DataFrame, files: list[dict], out_col: str
+    spark: SparkSession,
+    data: DataFrame,
+    files: list[dict],
+    out_col: str,
+    fn_col: str = "_pos_fn",
 ) -> DataFrame:
-    """Attach each row's data-file sequence number (from its ``_pos_fn``)
-    as a literal-map expression when the file count allows, else as the
-    broadcast-join fallback."""
+    """Attach each row's data-file sequence number (from its file-name
+    column ``fn_col``) as a literal-map expression when the file count
+    allows, else as the broadcast-join fallback."""
     seq_rows = [
         (os.path.basename(e["path"]), int(e.get("seq") or 0)) for e in files
     ]
@@ -989,11 +995,11 @@ def _with_file_seq(
         )
         # element_at yields NULL for unmapped names — identical to the
         # left join it replaces
-        return data.withColumn(out_col, F.element_at(m, F.col("_pos_fn")))
+        return data.withColumn(out_col, F.element_at(m, F.col(fn_col)))
     seq_map = spark.createDataFrame(
-        seq_rows, f"_pos_fn string, {out_col} long"
+        seq_rows, f"{fn_col} string, {out_col} long"
     )
-    return data.join(F.broadcast(seq_map), "_pos_fn", "left")
+    return data.join(F.broadcast(seq_map), fn_col, "left")
 
 
 def _read_files(

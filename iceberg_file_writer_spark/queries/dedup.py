@@ -953,7 +953,14 @@ def prefix_filter_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     dfr = grams.groupBy("x").agg(F.count(F.lit(1)).alias("df"))
     sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     wr = Window.partitionBy("doc_id").orderBy("df", "x")
-    prefix = (
+    # Pin the prefix relation: BOTH sides of the candidate self-join read
+    # it, and broadcast self-joins share no exchange — un-pinned, the
+    # docfreq aggregate, rank window and size join all ran TWICE (r14;
+    # the r13 disposition's "reuses exchange" claim was wrong, the plan
+    # showed two Window+join subtrees). The pin is prefix-sized (~30% of
+    # the posting relation — the same signatures-table boundary the
+    # minhash pipeline persists at 100 TB).
+    prefix = ensure_cached(
         grams.join(dfr, "x")
         .withColumn("r", F.row_number().over(wr))
         .join(sizes, "doc_id")

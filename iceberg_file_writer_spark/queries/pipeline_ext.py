@@ -2345,23 +2345,22 @@ def doc_trigram_backoff_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     the per-doc count relations (SUM OVER (PARTITION BY gram) - own), so
     "the model minus this document" costs no second training pass.
 
-    Scale shape (r13 optimization, guide §2.4 "remove shuffles outright"):
-    every leave-one-out statistic is a sum of the per-(doc, trigram)
-    counts over a coarser key, so ALL of them are window sums over the
-    ONE aggregated trigram relation — no join-backs, no per-gram-relation
-    aggregation passes, and no broadcast of gram-sized relations (the old
-    plan built five; at 100 TB those are corpus-sized and would have to
-    degrade to shuffle joins). Windows sharing a key family ride ONE
-    explicit coarse repartition: hash(w1,w2) serves the (w1,w2,doc_id) /
-    (w1,w2,w3) / (w1,w2) partitions (a hash partitioning satisfies any
-    window clustering it is a subset of), hash(w2) serves the w2 family,
-    hash(w3) the w3 family, and the final hash(doc_id) is reused by the
-    closing per-doc aggregate. Plan: 15 exchanges + 5 join-side broadcast
-    builds → 6 exchanges, 0 joins (plans/r13/
-    doc_trigram_backoff_logprob_{before,after}.txt). Per-word keys (w2),
-    (w3) partition exactly as the old Window.partitionBy("w2") did — no
-    new hot-key exposure. The only global scalars are V and the 1-row
-    total, broadcast as before.
+    Scale shape (r13 rewrite + r14 skew fix, guide §2.4/§2.5): every
+    leave-one-out statistic is a sum of the per-(doc, trigram) counts
+    over a coarser key. The multi-word families (b12/b12_all/cnt_all
+    under hash(w1,w2); b23/b23_all under hash(w2,w3)) stay window sums
+    over the ONE aggregated trigram relation — composite word keys have
+    no single-stop-word hot partition. The SINGLE-word families (u2/u3)
+    are two-level: a map-side partial groupBy to (doc, word) grain
+    first (the hot word spreads across docs before any exchange), the
+    word-keyed window over that docs-per-word-bounded relation, then an
+    evenly-keyed (doc_id, word) join back — corpus-proportional, never
+    broadcast (the r13 all-window form gathered every distinct trigram
+    containing a stop word into one partition; the pre-r13 form
+    broadcast five gram-sized relations — both 100 TB hazards). The
+    final hash(doc_id) repartition is reused by the closing per-doc
+    aggregate. The only global scalars are V and the 1-row total,
+    broadcast as before.
     """
     from pyspark.sql import Window
 
@@ -2408,22 +2407,39 @@ def doc_trigram_backoff_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         # value is over the whole partition either way
         return F.sum("cnt").over(Window.partitionBy(*keys))
 
+    # Single-word families (u2/u3) as PRE-AGGREGATED side relations
+    # (r14, VERDICT r13 What's-wrong #3 / guide §2.5 two-level
+    # aggregation): windowing the trigram-grained relation by a bare
+    # word key gathers EVERY distinct trigram containing a stop word
+    # ("the" as middle word) into one partition — a strictly larger hot
+    # partition than the old (doc, w2)-aggregated relation ever had.
+    # The groupBy(doc_id, w2) partial-aggregates map-side (the hot w2
+    # spreads across doc_ids before any exchange), the w2-keyed window
+    # then runs over the (doc, w2) grain — bounded by docs-per-word,
+    # orders smaller than trigrams-per-word — and the join back to the
+    # chain keys on (doc_id, w2): evenly spread, corpus-proportional,
+    # never broadcast. The b23 family moves under the composite
+    # (w2, w3) hash for the same reason: a two-word key has no single
+    # stop-word hot partition.
+    u2g = (
+        tgd.groupBy("doc_id", "w2").agg(F.sum("cnt").alias("u2"))
+        .withColumn("u2_all", F.sum("u2").over(Window.partitionBy("w2")))
+    )
+    u3g = (
+        tgd.groupBy("doc_id", "w3").agg(F.sum("cnt").alias("u3"))
+        .withColumn("u3_all", F.sum("u3").over(Window.partitionBy("w3")))
+    )
     j = (
         tgd.repartition(F.col("w1"), F.col("w2"))
         .withColumn("b12", wsum("w1", "w2", "doc_id"))
         .withColumn("b12_all", wsum("w1", "w2"))
         .withColumn("cnt_all", wsum("w1", "w2", "w3"))
         .drop("w1")  # consumed — later exchanges move counts, not words
-        .repartition(F.col("w2"))
+        .repartition(F.col("w2"), F.col("w3"))
         .withColumn("b23", wsum("w2", "w3", "doc_id"))
         .withColumn("b23_all", wsum("w2", "w3"))
-        .withColumn("u2", wsum("w2", "doc_id"))
-        .withColumn("u2_all", wsum("w2"))
-        .drop("w2")
-        .repartition(F.col("w3"))
-        .withColumn("u3", wsum("w3", "doc_id"))
-        .withColumn("u3_all", wsum("w3"))
-        .drop("w3")
+        .join(u2g, ["doc_id", "w2"]).drop("w2")
+        .join(u3g, ["doc_id", "w3"]).drop("w3")
         .repartition(F.col("doc_id"))
         .withColumn("td", wsum("doc_id"))
         .crossJoin(F.broadcast(t_all))

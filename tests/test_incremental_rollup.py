@@ -3,6 +3,8 @@ to the full recompute, refreshing only the touched days' partitions."""
 
 from __future__ import annotations
 
+import pytest
+
 import os
 
 from pyspark.sql import functions as F
@@ -176,6 +178,8 @@ def test_recover_rollup_heals_crashed_swap(spark, tmp_path):
     assert _canon(read_daily_rollup(spark, rollup).drop("avg_value")) == _canon(full)
 
 
+@pytest.mark.slow  # injected-crash sweep, minutes: excluded from the
+# default run (pytest.ini); run with -m slow before shipping changes here
 def test_refresh_atomic_across_injected_crashes(spark, tmp_path):
     """Crash-inject every rename of the commit phase: recovery must roll
     the batch FORWARD into ALL touched days, and a caller retry with the

@@ -5,6 +5,8 @@ rate, and the probe plans must keep their broadcast/pruning posture."""
 
 from __future__ import annotations
 
+import pytest
+
 import contextlib
 import io
 
@@ -233,6 +235,8 @@ def test_index_append_recovers_crashed_swap(spark, tmp_path):
     assert res_full == res_inc
 
 
+@pytest.mark.slow  # injected-crash sweep, minutes: excluded from the
+# default run (pytest.ini); run with -m slow before shipping changes here
 def test_index_append_atomic_across_injected_crashes(spark, tmp_path):
     """Crash-inject the commit phase at every rename step: recovery must
     roll the append FORWARD (marker present => staged state is complete),
