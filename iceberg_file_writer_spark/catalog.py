@@ -21,11 +21,13 @@ Design, deliberately file-native like the rest of the storage layer:
   crash between directory creation and registration leaves an
   unregistered directory (re-CREATE reuses it only after an explicit
   ``register``), never a broken catalog.
-- Concurrency posture (r12): every mutation is read-modify-write under
-  an O_EXCL claim file (``catalog.json.lock``, stale-stolen after a
-  TTL), so simultaneous registrations SERIALIZE — no binding is ever
-  lost to a last-writer-win race. Readers never take the lock; the
-  atomic tmp+rename publish already gives them untorn documents.
+- Concurrency posture (r12, mechanism fixed r14): every mutation is
+  read-modify-write under a kernel ``flock`` on a persistent
+  ``catalog.json.lock`` file (a crashed holder's lock releases
+  automatically — no stale-mtime steal heuristics), so simultaneous
+  registrations SERIALIZE — no binding is ever lost to a
+  last-writer-win race. Readers never take the lock; the atomic
+  tmp+rename publish already gives them untorn documents.
   DROP TABLE refuses (without CASCADE) when a durable view's SQL
   references the name — no silently dangling views.
 - ``tables={...}`` remains a per-call OVERRIDE everywhere: explicit
@@ -85,45 +87,53 @@ class Catalog:
 
     @contextlib.contextmanager
     def _locked(self):
-        """O_EXCL mutation lock (r11 missing #4): every catalog write
-        is read-modify-write under this claim, so two simultaneous
+        """Mutation lock (r11 missing #4): every catalog write is
+        read-modify-write under this claim, so two simultaneous
         registrations serialize instead of last-writer-winning (one
         binding silently lost). Readers never take the lock — the
         atomic tmp+rename publish already gives them untorn documents.
-        A crashed holder's lock is stolen after ``_LOCK_TTL_S``."""
+
+        Kernel ``flock`` on a persistent lock file (r14 fix): the old
+        O_EXCL + mtime-TTL steal had a non-atomic check-then-rename —
+        a waiter that observed a stale mtime could rename away the
+        FRESH lock another waiter had just legitimately re-created,
+        admitting two mutators (observed as a ~10% flake in the
+        concurrent-steal test: the two writers raced write_atomic's
+        tmp rename, and a binding could be silently lost). flock is
+        owned by the kernel: exactly one fd holds LOCK_EX, a crashed
+        holder's lock releases automatically (strictly better than the
+        TTL heuristic), and there is nothing on disk to steal or
+        litter. The lock FILE deliberately persists and is never
+        unlinked — unlinking would let a late opener lock the deleted
+        inode while a new creator locks a fresh one, breaking mutual
+        exclusion (the classic flock-unlink pitfall). ``_LOCK_TTL_S``
+        remains the busy-wait bound against a LIVE holder."""
+        import fcntl
+
         os.makedirs(self.warehouse, exist_ok=True)
         lock = self._path() + ".lock"
         deadline = time.monotonic() + _LOCK_TTL_S
-        while True:
-            try:
-                os.close(os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY))
-                break
-            except FileExistsError:
-                try:
-                    if time.time() - os.path.getmtime(lock) > _LOCK_TTL_S:
-                        # Steal by RENAME, not unlink: rename is atomic, so
-                        # exactly one of N waiters that all saw the expired
-                        # mtime wins; a loser's unlink can no longer delete
-                        # the winner's freshly re-created lock (which would
-                        # let two mutators into the critical section).
-                        stolen = f"{lock}.stolen.{os.getpid()}.{time.monotonic_ns()}"
-                        os.rename(lock, stolen)
-                        with contextlib.suppress(OSError):
-                            os.unlink(stolen)
-                        continue
-                except OSError:
-                    continue  # holder released / another waiter stole first
-                if time.monotonic() > deadline:
-                    raise TimeoutError(
-                        f"catalog mutation lock busy for {_LOCK_TTL_S}s: "
-                        f"{lock} — remove it if its holder is gone"
-                    )
-                time.sleep(0.01)
+        fd = os.open(lock, os.O_CREAT | os.O_RDWR)
         try:
-            yield
+            while True:
+                try:
+                    fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+                    break
+                except OSError:
+                    if time.monotonic() > deadline:
+                        raise TimeoutError(
+                            f"catalog mutation lock busy for {_LOCK_TTL_S}s: "
+                            f"{lock} — its holder is alive (a crashed "
+                            "holder's flock releases automatically)"
+                        )
+                    time.sleep(0.01)
+            try:
+                yield
+            finally:
+                with contextlib.suppress(OSError):
+                    fcntl.flock(fd, fcntl.LOCK_UN)
         finally:
-            with contextlib.suppress(OSError):
-                os.unlink(lock)
+            os.close(fd)
 
     def _publish_doc(self, doc: dict) -> None:
         os.makedirs(self.warehouse, exist_ok=True)

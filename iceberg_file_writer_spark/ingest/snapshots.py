@@ -870,6 +870,17 @@ def fast_parquet_schema(path: str):
     return StructType.fromJson({"type": "struct", "fields": fields})
 
 
+def read_parquet_fast(spark: SparkSession, path: str) -> DataFrame:
+    """``spark.read.parquet`` with the schema resolved from one pyarrow
+    footer read when possible (see ``fast_parquet_schema``) — for
+    non-partitioned single dirs/files only (a directory-partitioned
+    layout needs Spark's partition discovery; fall through naturally
+    since no parquet file sits at its root)."""
+    sch = fast_parquet_schema(path)
+    reader = spark.read.schema(sch) if sch is not None else spark.read
+    return reader.parquet(path)
+
+
 def _standing_schema(spark: SparkSession, table_path: str, files: list[dict]):
     """The snapshot's schema from the footer of ONE newest-seq file.
 

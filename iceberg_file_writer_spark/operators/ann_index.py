@@ -52,6 +52,8 @@ import shutil
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from iceberg_file_writer_spark.ingest.snapshots import read_parquet_fast
+
 _APPEND_MARKER = ".append-commit"
 _APPLIED_SHARDS = "applied_shards.json"
 
@@ -91,7 +93,7 @@ def _codes_stacked(spark: SparkSession, index_path: str) -> DataFrame:
 
     groups = ", ".join(f"{s}L, code{s}" for s in range(PQ_SUBS))
     return (
-        spark.read.parquet(os.path.join(index_path, "pq_codes"))
+        read_parquet_fast(spark, os.path.join(index_path, "pq_codes"))
         .selectExpr("vec_id", f"stack({PQ_SUBS}, {groups}) AS (sub, cent_id)")
     )
 
@@ -126,14 +128,14 @@ def build_ann_index(spark: SparkSession, sf_dir: str, index_path: str) -> None:
 
 
 def _read_centroids(spark: SparkSession, index_path: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(index_path, "centroids"))
+    return read_parquet_fast(spark, os.path.join(index_path, "centroids"))
 
 
 def _read_assign(spark: SparkSession, index_path: str) -> DataFrame:
     # cent_id comes back as a partition-inferred INT; restore the BIGINT
     # the inline plan carries so join/schema shapes match exactly
     return (
-        spark.read.parquet(os.path.join(index_path, "ivf_assign"))
+        read_parquet_fast(spark, os.path.join(index_path, "ivf_assign"))
         .select("vec_id", F.col("cent_id").cast("long").alias("cent_id"))
     )
 
@@ -170,7 +172,7 @@ def pq_probe_index(spark: SparkSession, sf_dir: str, index_path: str) -> DataFra
         _pq_d2_expr,
     )
 
-    books = spark.read.parquet(os.path.join(index_path, "codebooks"))
+    books = read_parquet_fast(spark, os.path.join(index_path, "codebooks"))
     lut = (
         S._pq_sub_rel(spark, sf_dir)
         .where(F.col("vec_id") < KNN_N_QUERIES)
@@ -308,7 +310,7 @@ def append_to_ann_index(
             return  # replayed shard: already folded
 
     cents = _read_centroids(spark, index_path)
-    books = spark.read.parquet(os.path.join(index_path, "codebooks"))
+    books = read_parquet_fast(spark, os.path.join(index_path, "codebooks"))
     (
         S._ivf_assign(_unpacked(new_vecs), cents)
         .write.mode("overwrite")
@@ -323,7 +325,7 @@ def append_to_ann_index(
         .parquet(os.path.join(index_path, "pq_codes.staged"))
     )
     new_meta = (
-        spark.read.parquet(os.path.join(index_path, "meta"))
+        read_parquet_fast(spark, os.path.join(index_path, "meta"))
         .crossJoin(new_vecs.agg(F.count("*").cast("long").alias("add")))
         .select((F.col("n_vecs") + F.col("add")).alias("n_vecs"))
     )

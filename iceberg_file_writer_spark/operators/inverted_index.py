@@ -28,6 +28,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from iceberg_file_writer_spark.ingest.snapshots import read_parquet_fast
+
 N_TERM_BUCKETS = 16
 
 
@@ -92,14 +94,14 @@ def conjunctive_search_index(
         }
     )
     postings = (
-        spark.read.parquet(f"{index_path}/postings")
+        read_parquet_fast(spark, f"{index_path}/postings")
         .where(F.col("term_bucket").isin(buckets))
         .where(F.col("term").isin(*terms))
     )
-    df_rel = spark.read.parquet(f"{index_path}/lexicon").where(
+    df_rel = read_parquet_fast(spark, f"{index_path}/lexicon").where(
         F.col("term").isin(*terms)
     )
-    n = spark.read.parquet(f"{index_path}/meta")
+    n = read_parquet_fast(spark, f"{index_path}/meta")
     scored = (
         postings.join(F.broadcast(df_rel), "term")
         .crossJoin(F.broadcast(n))
@@ -266,7 +268,7 @@ def append_to_inverted_index(
     )
     new_lex = shard.groupBy("term").agg(F.count("*").alias("df"))
     merged = (
-        spark.read.parquet(f"{index_path}/lexicon")
+        read_parquet_fast(spark, f"{index_path}/lexicon")
         .unionByName(new_lex)
         .groupBy("term")
         .agg(F.sum("df").alias("df"))
@@ -275,7 +277,7 @@ def append_to_inverted_index(
         f"{index_path}/lexicon.tmp"
     )
     new_meta = (
-        spark.read.parquet(f"{index_path}/meta")
+        read_parquet_fast(spark, f"{index_path}/meta")
         .crossJoin(new_docs.agg(F.count("*").cast("long").alias("add")))
         .select((F.col("n_docs") + F.col("add")).alias("n_docs"))
     )

@@ -33,6 +33,8 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from iceberg_file_writer_spark.ingest.snapshots import read_parquet_fast
+
 
 def build_minhash_index(spark: SparkSession, sf_dir: str, index_path: str) -> None:
     """One corpus pass -> three persisted relations under ``index_path``.
@@ -83,13 +85,13 @@ def load_index_corpus(
     via ``corpus=``; results are identical by construction (same plans,
     memoized)."""
     corpus_bands = (
-        spark.read.parquet(os.path.join(index_path, "postings"))
+        read_parquet_fast(spark, os.path.join(index_path, "postings"))
         .where(F.col("doc_id") < new_split)
         .select(F.col("doc_id").alias("corpus_doc_id"), "band_idx", "band_hash")
         .cache()
     )
     corpus_sets = (
-        spark.read.parquet(os.path.join(index_path, "sets"))
+        read_parquet_fast(spark, os.path.join(index_path, "sets"))
         .where(F.col("doc_id") < new_split)
         .select(F.col("doc_id").alias("corpus_doc_id"), F.col("s").alias("sb"))
         .cache()
@@ -137,14 +139,14 @@ def probe_docs_against_index(
         corpus_bands, corpus_sets = corpus
     else:
         corpus_bands = (
-            spark.read.parquet(os.path.join(index_path, "postings"))
+            read_parquet_fast(spark, os.path.join(index_path, "postings"))
             .where(F.col("doc_id") < new_split)
             .select(
                 F.col("doc_id").alias("corpus_doc_id"), "band_idx", "band_hash"
             )
         )
         corpus_sets = (
-            spark.read.parquet(os.path.join(index_path, "sets"))
+            read_parquet_fast(spark, os.path.join(index_path, "sets"))
             .where(F.col("doc_id") < new_split)
             .select(F.col("doc_id").alias("corpus_doc_id"), F.col("s").alias("sb"))
         )

@@ -972,16 +972,22 @@ def customer_item_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     cand = (
         owned.join(sims, owned["part"] == sims["part_a"])
-        .join(
-            owned.selectExpr("cust AS w_cust", "part AS w_part"),
-            (F.col("cust") == F.col("w_cust"))
-            & (F.col("part_b") == F.col("w_part")),
-            "left_anti",
-        )
         .groupBy("cust", F.col("part_b").alias("candidate"))
         .agg(
             F.sum("n_ab").cast("long").alias("total_cooc"),
             F.count(F.lit(1)).cast("long").alias("n_paths"),
+        )
+        # already-owned exclusion AFTER the aggregate (r14, guide §1.2):
+        # ownership is a property of the whole (cust, candidate) group,
+        # so the anti-join filters identical groups either way — placed
+        # here it probes |groups| rows instead of |paths| (the owned x
+        # top-M fan-out), and the aggregate's map-side partials shrink
+        # the shuffle first. A/B: 3.54 -> 3.21 s, results identical.
+        .join(
+            owned.selectExpr("cust AS w_cust", "part AS w_part"),
+            (F.col("cust") == F.col("w_cust"))
+            & (F.col("candidate") == F.col("w_part")),
+            "left_anti",
         )
     )
     wr = Window.partitionBy("cust").orderBy(

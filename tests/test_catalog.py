@@ -288,9 +288,12 @@ def test_stale_catalog_lock_is_stolen(tmp_path, monkeypatch):
     open(lock, "w").close()
     old = os.path.getmtime(lock)
     os.utime(lock, (old - 60, old - 60))  # crashed holder, long gone
-    Catalog(wh).register("t")  # steals the stale lock instead of hanging
+    Catalog(wh).register("t")  # acquires immediately instead of hanging
     assert Catalog(wh).names() == ["t"]
-    assert not os.path.exists(lock)
+    # r14: the lock file deliberately persists (flock holds the claim;
+    # a crashed holder's flock releases by itself — unlinking the file
+    # would break mutual exclusion via the flock-unlink inode race)
+    assert os.path.exists(lock)
 
 
 def test_drop_table_refuses_when_a_view_depends_on_it(spark, tmp_path):
@@ -311,12 +314,17 @@ def test_drop_table_refuses_when_a_view_depends_on_it(spark, tmp_path):
 
 
 def test_concurrent_stale_lock_steal_is_single_winner(tmp_path):
-    """Regression (r12 ADVICE, medium): N waiters that ALL observe an
-    expired lock mtime must elect exactly one stealer. The old
-    unlink-based steal let a slow loser delete a fast winner's freshly
-    re-created lock, re-admitting two mutators (and the lost-binding
-    race the lock exists to close). The rename-based steal is atomic:
-    every registration survives and no lock litter remains."""
+    """Regression (r12 ADVICE medium; mechanism re-fixed r14): N
+    waiters hitting an abandoned lock file simultaneously must all
+    serialize with no lost registration. The unlink-based steal let a
+    slow loser delete a fast winner's fresh lock; the r13 rename-based
+    steal still had a non-atomic check-then-rename (a waiter that
+    observed the stale mtime could rename away a just-re-created live
+    lock — ~10% flake: two admitted mutators raced write_atomic and
+    threw FileNotFoundError). Under kernel flock there is nothing to
+    steal: the abandoned FILE holds no lock, every waiter just
+    acquires in turn, and the only on-disk artifact is the persistent
+    lock file itself."""
     import threading
 
     wh = str(tmp_path / "wh")
@@ -343,8 +351,10 @@ def test_concurrent_stale_lock_steal_is_single_winner(tmp_path):
         th.join()
     assert not errs, errs
     assert Catalog(wh).names() == sorted(names)
+    # the persistent flock file is the lone expected artifact — no
+    # .stolen.* litter, no duplicate claims
     litter = [f for f in os.listdir(wh) if ".lock" in f]
-    assert litter == [], litter
+    assert litter == [os.path.basename(lock)], litter
 
 
 def test_ctas_failing_at_execution_unbinds_the_name(spark, tmp_path):
