@@ -872,12 +872,23 @@ def bm25_ranked_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from iceberg_file_writer_spark.operators.text import words
 
+    from iceberg_file_writer_spark.cache_util import ensure_cached
+
     docs = load_tables(spark, sf_dir)["documents"]
-    dl = docs.select(
-        "doc_id", F.size(words(F.col("text"))).cast("long").alias("dl")
+    # pin (doc_id, dl) — two consumers (the avgdl/n_docs aggregate and
+    # the scoring join), and uncached each replays the full text scan +
+    # tokenize; the pinned artifact is two integers per doc (r14, guide
+    # §1.2). n_docs rides the same aggregate (count of dl rows == count
+    # of documents), dropping the separate count-scan branch: document
+    # scans 4 -> 2 (length pass + postings pass).
+    dl = ensure_cached(
+        docs.select(
+            "doc_id", F.size(words(F.col("text"))).cast("long").alias("dl")
+        )
     )
-    avgdl = dl.agg(
-        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl")
+    stats = dl.agg(
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
     )
     postings = (
         docs.select("doc_id", F.explode(words(F.col("text"))).alias("term"))
@@ -886,12 +897,10 @@ def bm25_ranked_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("tf"))
     )
     dfr = postings.groupBy("term").agg(F.count("*").alias("df"))
-    n = docs.agg(F.count("*").cast("long").alias("n_docs"))
     scored = (
         postings.join(F.broadcast(dfr), "term")
         .join(dl, "doc_id")
-        .crossJoin(F.broadcast(n))
-        .crossJoin(F.broadcast(avgdl))
+        .crossJoin(F.broadcast(stats))
         .selectExpr(
             "doc_id",
             f"round(round(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0), 6)"
