@@ -44,10 +44,39 @@ def main() -> None:
 
     from iceberg_file_writer_spark.ingest.batch import IngestConfig, ingest_batch
 
+    # Warm the parquet WRITE path once at the smallest available SF
+    # before timing (r14, guide §1: measure the computation, not
+    # one-time JVM work — same policy and warm-dir derivation as the
+    # streaming warm-up below): the first ingest_batch in a JVM pays
+    # ~2.2 s of write-codegen + committer initialization that is
+    # independent of data size (measured idle at sf0.1: cold 3.04 s vs
+    # steady-state 0.80-0.85 s, 4 same-session runs) and was previously
+    # misattributed to the timed row. Old-protocol numbers are recorded
+    # in OPTIMIZATION_r14.md next to the new ones.
+    _sf_parent = os.path.dirname(sf_dir.rstrip("/"))
+    _sf_sibs = sorted(
+        d
+        for d in (
+            os.path.join(_sf_parent, n)
+            for n in os.listdir(_sf_parent or ".")
+            if n.startswith("sf")
+        )
+        if os.path.isdir(d)
+    )
+    ingest_warm_dir = _sf_sibs[0] if _sf_sibs else sf_dir
+    cfg = IngestConfig(partition_column="user_bucket", key_column="ts")
+    warm_out = tempfile.mkdtemp(prefix="bench-ingest-warm-")
+    try:
+        warm_ev = load_tables(spark, ingest_warm_dir)["events"].withColumn(
+            "user_bucket", F.col("user_id") % 32
+        )
+        ingest_batch(warm_ev, os.path.join(warm_out, "t"), cfg, defaults={})
+    finally:
+        shutil.rmtree(warm_out, ignore_errors=True)
+
     out = tempfile.mkdtemp(prefix="bench-ingest-")
     try:
         ev = tables["events"].withColumn("user_bucket", F.col("user_id") % 32)
-        cfg = IngestConfig(partition_column="user_bucket", key_column="ts")
         t0 = time.time()
         ingest_batch(ev, os.path.join(out, "events_table"), cfg, defaults={})
         timings["ingest_events"] = round(time.time() - t0, 3)
